@@ -1,0 +1,176 @@
+package graft.raster
+
+import java.time.Instant
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.BlockRegistry
+
+/** In-memory `(t, y, x)` array source, after the reference `MemorySource`
+  * (dask_geomodeling/raster/sources.py:157-393, shared read/warp kernel
+  * :40-149): the request grid is sampled from the native grid by
+  * nearest-neighbour (each output pixel takes the source pixel containing
+  * its center), out-of-footprint pixels are nodata, and start/stop snap to
+  * frames per `snap_start_stop`.
+  *
+  * `data` holds one row-major `gridW`×`gridH` array per frame; `pixelOrigin`
+  * is the world coordinate of the top-left corner of pixel (0,0), y axis
+  * pointing down in array space (GDAL orientation).
+  */
+case class MemorySource(
+    data: Seq[Array[Double]],
+    gridW: Int,
+    gridH: Int,
+    noDataIn: Double,
+    projection: String,
+    pixelSize: Double,
+    originX: Double,
+    originY: Double,
+    timeFirstMs: Long = 0L,
+    frameDeltaMs: Option[Long] = None,
+    dtypeName: String = "uint8",
+    metadata: Seq[String] = Nil
+) extends RasterBlock {
+  require(data.forall(_.length == gridW * gridH), "frame size mismatch")
+
+  override def dtype: DType = DType.byName(dtypeName)
+  override def temporal: Boolean = frameDeltaMs.isDefined
+  override def timeDeltaMs: Option[Long] = frameDeltaMs
+  override def period: Option[(Instant, Instant)] =
+    if (data.isEmpty) None
+    else Some((Instant.ofEpochMilli(timeFirstMs),
+      Instant.ofEpochMilli(timeFirstMs + frameDeltaMs.getOrElse(0L) * (data.size - 1))))
+  override def extent: Option[Bbox] =
+    if (data.isEmpty) None
+    else Some(Bbox(originX, originY - gridH * pixelSize, originX + gridW * pixelSize, originY))
+  override def allTimes: Seq[Instant] =
+    data.indices.map(i => Instant.ofEpochMilli(timeFirstMs + frameDeltaMs.getOrElse(0L) * i))
+
+  override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
+    require(req.projection == projection,
+      s"reprojection ${projection}→${req.projection} not supported yet")
+    val times = timesIn(req.start, req.stop)
+    val frameIdx: Map[Long, Int] =
+      allTimes.zipWithIndex.map { case (t, i) => t.toEpochMilli -> i }.toMap
+    val bc = spark.sparkContext.broadcast(data.toArray)
+    val (gw, gh, ps, ox, oy, nd, outNd) =
+      (gridW, gridH, pixelSize, originX, originY, noDataIn, noDataValue)
+    val r = req
+    RasterFrames.generate(req, times, (tMs, ty, tx) => {
+      val arr = bc.value(frameIdx(tMs))
+      val tw = TileLayout.tileW(r.width, tx)
+      val th = TileLayout.tileH(r.height, ty)
+      val out = new Array[Double](tw * th)
+      var i = 0
+      while (i < th) {
+        val cy = r.cellCenterY(ty * TileLayout.TILE + i)
+        val si = math.floor((oy - cy) / ps).toInt
+        var j = 0
+        while (j < tw) {
+          val cx = r.cellCenterX(tx * TileLayout.TILE + j)
+          val sj = math.floor((cx - ox) / ps).toInt
+          val v =
+            if (si < 0 || si >= gh || sj < 0 || sj >= gw) outNd
+            else {
+              val raw = arr(si * gw + sj)
+              if (raw == nd) outNd else raw
+            }
+          out(i * tw + j) = v
+          j += 1
+        }
+        i += 1
+      }
+      out
+    })
+  }
+}
+
+object MemorySource {
+  BlockRegistry.register(classOf[MemorySource].getName) { args =>
+    val Seq(data, gw, gh, nd, proj, ps, ox, oy, tf, fd, dt, md) = args
+    MemorySource(
+      data.asInstanceOf[Seq[Any]].map {
+        case a: Array[Double] => a
+        case s: Seq[_]        => s.map(_.toString.toDouble).toArray
+      },
+      gw.toString.toDouble.toInt, gh.toString.toDouble.toInt,
+      nd.toString.toDouble, proj.toString, ps.toString.toDouble,
+      ox.toString.toDouble, oy.toString.toDouble, tf.toString.toDouble.toLong,
+      fd match {
+        case null => None; case None => None
+        case Some(x) => Some(x.toString.toDouble.toLong)
+        case x => Some(x.toString.toDouble.toLong)
+      },
+      dt.toString,
+      md match { case null => Nil; case s: Seq[_] => s.map(_.toString); case _ => Nil })
+  }
+}
+
+/** Distributed raster source over a parquet table: a dense integer id
+  * column is reshaped into `frames` time frames on a `gridW`-wide grid
+  * (`t = id % frames`, `cell = id / frames`, `y = cell / gridW`,
+  * `x = cell % gridW`). This is the cluster-scale ingestion path — no
+  * driver-side materialization; tile assembly is a single shuffle keyed by
+  * (t, ty, tx). Rows where `noDataFilter` holds become nodata cells; cells
+  * past the end of the table (tail padding of the last tile) are nodata.
+  *
+  * The request grid must equal the native grid (identity request) — the
+  * resample path of `MemorySource` does not apply to the tabular source.
+  */
+case class TableRasterSource(
+    path: String,
+    idExpr: String,
+    valueExpr: String,
+    frames: Int,
+    gridW: Int,
+    gridH: Int,
+    noDataFilter: String = "false",
+    timeFirstMs: Long = 0L,
+    frameDeltaMs0: Long = 3600000L,
+    dtypeName: String = "float64",
+    projection: String = "EPSG:28992"
+) extends RasterBlock {
+
+  override def dtype: DType = DType.byName(dtypeName)
+  override def temporal: Boolean = frames > 1
+  override def timeDeltaMs: Option[Long] = if (frames > 1) Some(frameDeltaMs0) else None
+  override def period: Option[(Instant, Instant)] =
+    Some((Instant.ofEpochMilli(timeFirstMs),
+      Instant.ofEpochMilli(timeFirstMs + frameDeltaMs0 * (frames - 1))))
+  override def extent: Option[Bbox] = Some(Bbox(0, 0, gridW, gridH))
+  override def allTimes: Seq[Instant] =
+    (0 until frames).map(i => Instant.ofEpochMilli(timeFirstMs + frameDeltaMs0 * i))
+
+  override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
+    require(req.width == gridW && req.height == gridH,
+      "TableRasterSource serves identity requests only")
+    val times = timesIn(req.start, req.stop)
+    val timesMs = times.map(_.toEpochMilli)
+    val wanted = timesMs.map(t => ((t - timeFirstMs) / frameDeltaMs0).toInt).toSet
+    val nd = noDataValue
+    val tileCells = udf { (entries: Seq[org.apache.spark.sql.Row], tw: Int, th: Int) =>
+      val out = Array.fill(tw * th)(nd)
+      entries.foreach { e => out(e.getInt(0)) = e.getDouble(1) }
+      out
+    }
+    val df = spark.read.parquet(path)
+      .select(expr(idExpr).cast("long").as("id"),
+        when(expr(noDataFilter), lit(nd)).otherwise(expr(valueExpr).cast("double")).as("v"))
+      .withColumn("fi", (col("id") % frames).cast("int"))
+      .filter(col("fi").isin(wanted.toSeq: _*))
+      .withColumn("cell", (col("id") / frames).cast("long"))
+      .withColumn("y", (col("cell") / gridW).cast("int"))
+      .withColumn("x", (col("cell") % gridW).cast("int"))
+      .filter(col("y") < gridH)
+      .withColumn("t", col("fi").cast("long") * frameDeltaMs0 + timeFirstMs)
+      .withColumn("ty", floor(col("y") / TileLayout.TILE).cast("int"))
+      .withColumn("tx", floor(col("x") / TileLayout.TILE).cast("int"))
+      .withColumn("tw", least(lit(TileLayout.TILE), lit(gridW) - col("tx") * TileLayout.TILE))
+      .withColumn("th", least(lit(TileLayout.TILE), lit(gridH) - col("ty") * TileLayout.TILE))
+      .withColumn("pos",
+        (col("y") % TileLayout.TILE) * col("tw") + (col("x") % TileLayout.TILE))
+      .groupBy(col("t"), col("ty"), col("tx"))
+      .agg(tileCells(collect_list(struct(col("pos"), col("v"))),
+        first(col("tw")), first(col("th"))).as("values"))
+    df.select(col("t"), col("ty"), col("tx"), col("values"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.raster._
+
+/** Scratch driver used by /verify sessions to exercise the library through
+  * its public API from a real Spark driver (not a test). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val t0 = java.time.Instant.parse("2000-01-01T00:00:00Z")
+    val src = MemorySource(
+      data = Seq(Array.fill(100)(1.0), Array.fill(100)(7.0), Array.fill(100)(255.0)),
+      gridW = 10, gridH = 10, noDataIn = 255,
+      projection = "EPSG:28992", pixelSize = 0.5, originX = 135000, originY = 456000,
+      timeFirstMs = t0.toEpochMilli, frameDeltaMs = Some(3600000L), dtypeName = "uint8")
+    val req = RasterRequest(Bbox(135000, 455997, 135002, 456000), "EPSG:28992", 4, 6,
+      Some(t0), Some(t0.plusSeconds(3 * 3600)))
+
+    val view = Divide(Add(src, src), 4)   // (x + x) / 4
+    println("dtype=" + view.dtype.name + " noData=" + view.noDataValue)
+    val res = view.getData(req).get
+    res.times.zip(res.values).foreach { case (t, arr) =>
+      println(s"$t -> " + arr.take(6).mkString(",") + s" ... (${arr.length} cells)")
+    }
+    println("JSON view: " + view.toJson.take(400))
+    // probe: out-of-period request
+    println("out-of-period -> " + view.getData(req.copy(
+      start = Some(java.time.Instant.parse("2001-01-01T00:00:00Z")),
+      stop = Some(java.time.Instant.parse("2001-01-02T00:00:00Z")))))
+    // probe: reprojection not supported yet should raise cleanly
+    try { src.getData(req.copy(projection = "EPSG:4326")) }
+    catch { case e: Exception => println("reprojection probe -> " + e.getMessage) }
+    spark.stop()
+  }
+}
