@@ -68,9 +68,12 @@ trait RasterBlock extends Block {
   /** Collect a request into dense frame arrays — the `get_data` of the
     * single-request API, used by tests and exports. */
   final def getData(req: RasterRequest)(implicit spark: SparkSession): Option[RasterResult] = {
-    val times = timesIn(req.start, req.stop)
-    if (times.isEmpty) return None
+    if (timesIn(req.start, req.stop).isEmpty) return None
     val rows = frame(req).collect()
+    if (rows.isEmpty) return None
+    // derive output times from the produced frames — operators like
+    // TemporalSum restructure the time axis relative to their metadata
+    val times = rows.map(_.getLong(0)).distinct.sorted.toSeq.map(Instant.ofEpochMilli)
     val byTime = rows.groupBy(_.getLong(0))
     val frames = times.map { t =>
       val full = Array.fill(req.width * req.height)(noDataValue)

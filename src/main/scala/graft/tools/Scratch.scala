@@ -24,6 +24,22 @@ object Scratch {
     val req = RasterRequest(Bbox(135000, 455997, 135002, 456000), "EPSG:28992", 4, 6,
       Some(t0), Some(t0.plusSeconds(3 * 3600)))
 
+    // drive the new misc/reduction/temporal operators through the public API:
+    // classify the hourly source, group it with a shifted copy, aggregate to
+    // a daily mean and accumulate — a realistic composed view
+    val classified = Classify(src, Seq(2.0, 8.0))
+    val grouped = Group(Seq(src, Shift(src, 3600000L * 3)))
+    println("grouped times = " + grouped.allTimes.mkString(","))
+    val dayMean = TemporalAggregate(grouped, Some("D"), "mean", timezone = "Europe/Amsterdam")
+    val cum = Cumulative(src, "sum")
+    println("classified -> " + classified.getData(req).get.values.map(_.head).mkString(","))
+    println("dayMean(Ams) -> " + dayMean.getData(req.copy(
+      start = Some(java.time.Instant.parse("1999-12-31T23:00:00Z")),
+      stop = Some(java.time.Instant.parse("2000-01-02T23:00:00Z"))))
+      .map(r => r.times.mkString(",") + " vals " + r.values.map(_.head).mkString(",")))
+    println("cumulative -> " + cum.getData(req).get.values.map(_.head).mkString(","))
+    println("snap/resample -> " + Resample(src, "h").getData(req).get.values.map(_.head).mkString(","))
+
     val view = Divide(Add(src, src), 4)   // (x + x) / 4
     println("dtype=" + view.dtype.name + " noData=" + view.noDataValue)
     val res = view.getData(req).get
