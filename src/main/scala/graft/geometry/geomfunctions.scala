@@ -1,0 +1,124 @@
+package graft.geometry
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+import org.locationtech.jts.geom.{Geometry, GeometryFactory}
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader}
+import org.locationtech.jts.simplify.{DouglasPeuckerSimplifier, TopologyPreservingSimplifier}
+import org.locationtech.jts.operation.buffer.BufferParameters
+
+/** JTS-backed geometry kernels exposed as Spark UDFs.
+  *
+  * The reference runs shapely/GEOS under geopandas for these
+  * (geometry/geom_operations.py, constructive.py, set_operations.py); on the
+  * JVM the equivalent engine is JTS (on the Spark classpath). Geometries
+  * travel as WKB binary columns. Readers/writers are per-thread to stay
+  * executor-safe.
+  */
+object GeomFunctions extends Serializable {
+
+  @transient private lazy val factory = new GeometryFactory()
+  private val wkbReaderTL = new ThreadLocal[WKBReader] {
+    override def initialValue(): WKBReader = new WKBReader()
+  }
+  private val wkbWriterTL = new ThreadLocal[WKBWriter] {
+    override def initialValue(): WKBWriter = new WKBWriter()
+  }
+  private val wktReaderTL = new ThreadLocal[WKTReader] {
+    override def initialValue(): WKTReader = new WKTReader()
+  }
+
+  def readWkb(b: Array[Byte]): Geometry = wkbReaderTL.get.read(b)
+  def writeWkb(g: Geometry): Array[Byte] = wkbWriterTL.get.write(g)
+  def readWkt(s: String): Geometry = wktReaderTL.get.read(s)
+
+  private val geomFromWkt = udf { (wkt: String) =>
+    if (wkt == null) null else writeWkb(readWkt(wkt))
+  }
+  private val asWkt = udf { (wkb: Array[Byte]) =>
+    if (wkb == null) null else readWkb(wkb).toText
+  }
+  private val area = udf { (wkb: Array[Byte]) =>
+    if (wkb == null) null else java.lang.Double.valueOf(readWkb(wkb).getArea)
+  }
+  private val buffer = udf { (wkb: Array[Byte], dist: Double, quadrantSegs: Int) =>
+    if (wkb == null) null
+    else writeWkb(readWkb(wkb).buffer(dist, quadrantSegs, BufferParameters.CAP_ROUND))
+  }
+  private val simplify = udf { (wkb: Array[Byte], tol: Double, preserve: Boolean) =>
+    if (wkb == null) null
+    else {
+      val g = readWkb(wkb)
+      val s = if (preserve) TopologyPreservingSimplifier.simplify(g, tol)
+              else DouglasPeuckerSimplifier.simplify(g, tol)
+      writeWkb(s)
+    }
+  }
+  private val difference = udf { (a: Array[Byte], b: Array[Byte]) =>
+    if (a == null) null
+    else if (b == null) a // A - None = A (set_operations.py:69-77)
+    else writeWkb(readWkb(a).difference(readWkb(b)))
+  }
+  private val intersectionWkt = udf { (a: Array[Byte], wkt: String) =>
+    if (a == null || wkt == null) null
+    else writeWkb(readWkb(a).intersection(readWkt(wkt)))
+  }
+  private val filterPred = udf { (wkb: Array[Byte], wkt: String, mode: String) =>
+    if (wkb == null || wkt == null) false
+    else {
+      val g = readWkb(wkb)
+      val f = readWkt(wkt)
+      if (mode == "centroid") f.contains(g.getCentroid) else f.intersects(g)
+    }
+  }
+  private val sizeAtLeast = udf { (wkb: Array[Byte], minSize: Double) =>
+    if (wkb == null) false
+    else {
+      val e = readWkb(wkb).getEnvelopeInternal
+      // min_size drops features whose bbox is smaller in BOTH directions
+      // (geometry/base.py:18-31)
+      e.getWidth >= minSize || e.getHeight >= minSize
+    }
+  }
+  private val containsPoint = udf { (wkb: Array[Byte], x: Double, y: Double) =>
+    if (wkb == null) false
+    else readWkb(wkb).contains(factory.createPoint(new org.locationtech.jts.geom.Coordinate(x, y)))
+  }
+  private val envMinX = udf { (wkb: Array[Byte]) =>
+    if (wkb == null) null else java.lang.Double.valueOf(readWkb(wkb).getEnvelopeInternal.getMinX)
+  }
+  private val envMinY = udf { (wkb: Array[Byte]) =>
+    if (wkb == null) null else java.lang.Double.valueOf(readWkb(wkb).getEnvelopeInternal.getMinY)
+  }
+  private val envMaxX = udf { (wkb: Array[Byte]) =>
+    if (wkb == null) null else java.lang.Double.valueOf(readWkb(wkb).getEnvelopeInternal.getMaxX)
+  }
+  private val envMaxY = udf { (wkb: Array[Byte]) =>
+    if (wkb == null) null else java.lang.Double.valueOf(readWkb(wkb).getEnvelopeInternal.getMaxY)
+  }
+  private val centroidX = udf { (wkb: Array[Byte]) =>
+    if (wkb == null) null else java.lang.Double.valueOf(readWkb(wkb).getCentroid.getX)
+  }
+  private val centroidY = udf { (wkb: Array[Byte]) =>
+    if (wkb == null) null else java.lang.Double.valueOf(readWkb(wkb).getCentroid.getY)
+  }
+
+  def stGeomFromWkt(wkt: Column): Column = geomFromWkt(wkt)
+  def stAsWkt(wkb: Column): Column = asWkt(wkb)
+  def stArea(wkb: Column): Column = area(wkb)
+  def stBuffer(wkb: Column, dist: Column, quadrantSegs: Column): Column =
+    buffer(wkb, dist, quadrantSegs)
+  def stSimplify(wkb: Column, tol: Column, preserve: Column): Column =
+    simplify(wkb, tol, preserve)
+  def stDifference(a: Column, b: Column): Column = difference(a, b)
+  def stIntersectionWkt(a: Column, wkt: Column): Column = intersectionWkt(a, wkt)
+  def stFilter(wkb: Column, wkt: Column, mode: Column): Column = filterPred(wkb, wkt, mode)
+  def stSizeAtLeast(wkb: Column, minSize: Column): Column = sizeAtLeast(wkb, minSize)
+  def stCentroidX(wkb: Column): Column = centroidX(wkb)
+  def stCentroidY(wkb: Column): Column = centroidY(wkb)
+  def stContainsPoint(wkb: Column, x: Column, y: Column): Column = containsPoint(wkb, x, y)
+  def stEnvMinX(wkb: Column): Column = envMinX(wkb)
+  def stEnvMinY(wkb: Column): Column = envMinY(wkb)
+  def stEnvMaxX(wkb: Column): Column = envMaxX(wkb)
+  def stEnvMaxY(wkb: Column): Column = envMaxY(wkb)
+}

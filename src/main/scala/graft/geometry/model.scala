@@ -1,0 +1,132 @@
+package graft.geometry
+
+import java.time.Instant
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Block
+
+/** Feature-table Block family, after the reference GeometryBlock
+  * (dask_geomodeling/geometry/base.py:10-96).
+  *
+  * Physical format: a DataFrame with a `fid` LongType index column (the
+  * load-bearing feature id — merges and column set/get align on it,
+  * geometry/base.py:246-250), an optional WKB `geometry` BinaryType column,
+  * and property columns. CRS is plan metadata. The dynamic `columns` set of
+  * the reference maps to the declared schema.
+  */
+case class GeometryRequest(
+    mode: String = "intersects", // intersects | centroid | extent
+    geometryWkt: Option[String] = None, // filter geometry (WKT, in `projection`)
+    projection: String = "EPSG:28992",
+    limit: Option[Int] = None,
+    minSize: Option[Double] = None,
+    filters: Map[String, Any] = Map.empty,
+    start: Option[Instant] = None,
+    stop: Option[Instant] = None
+)
+
+trait GeometryBlock extends Block {
+  /** Known property columns (names only, like the reference's `columns`). */
+  def columns: Set[String]
+  def projection: String = "EPSG:28992"
+  /** Lower to a DataFrame with at least `fid` plus `columns`. */
+  def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame
+
+  def getSeries(name: String): GetSeriesBlock = GetSeriesBlock(this, name)
+  def set(name: String, series: SeriesBlock): SetSeriesBlock =
+    SetSeriesBlock(this, name, series)
+}
+
+/** A single column as a first-class lazy value (geometry/base.py:99-199).
+  * A SeriesBlock composes a Column expression over its root GeometryBlock's
+  * frame; pandas missing-value semantics map to SQL NULL. */
+trait SeriesBlock extends Block {
+  /** The GeometryBlock this series is rooted in. */
+  def root: GeometryBlock
+  /** The column expression over the root's frame. */
+  def column(df: DataFrame): Column
+}
+
+object SeriesBlock {
+  /** Column of a series-or-scalar operand. */
+  def colOf(op: Any, df: DataFrame): Column = op match {
+    case s: SeriesBlock => s.column(df)
+    case v: Int         => lit(v)
+    case v: Long        => lit(v)
+    case v: Double      => lit(v)
+    case v: Boolean     => lit(v)
+    case v: String      => lit(v)
+    case other => throw new IllegalArgumentException(s"operand $other not allowed")
+  }
+  def rootOf(ops: Seq[Any]): GeometryBlock =
+    ops.collectFirst { case s: SeriesBlock => s.root }
+      .getOrElse(throw new IllegalArgumentException("need at least one series operand"))
+}
+
+/** Project one column out of a feature table (geometry/base.py:202-237). */
+case class GetSeriesBlock(source: GeometryBlock, name: String) extends SeriesBlock {
+  require(source.columns.contains(name), s"column '$name' not present")
+  override def root: GeometryBlock = source
+  override def column(df: DataFrame): Column = col(name)
+}
+
+/** Add (or replace) a column, aligned by fid (geometry/base.py:240-300). */
+case class SetSeriesBlock(source: GeometryBlock, name: String, series: Any)
+    extends GeometryBlock {
+  override def columns: Set[String] = source.columns + name
+  override def projection: String = source.projection
+  override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
+    val df = source.frame(req)
+    df.withColumn(name, SeriesBlock.colOf(series, df))
+  }
+}
+
+/** Feature source over a parquet table: `fid` comes from `fidExpr`, property
+  * columns from the table schema, and an optional geometry from a WKT SQL
+  * expression (the cluster-scale analogue of the reference's
+  * GeometryFileSource, geometry/sources.py:18-159 — attribute filters and
+  * limit push down into the scan). */
+case class TableGeometrySource(
+    path: String,
+    fidExpr: String,
+    columnNames: Seq[String],
+    geomWktExpr: Option[String] = None,
+    proj: String = "EPSG:28992"
+) extends GeometryBlock {
+  override def columns: Set[String] =
+    columnNames.toSet ++ (if (geomWktExpr.isDefined) Set("geometry") else Set.empty)
+  override def projection: String = proj
+
+  override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
+    var df = spark.read.parquet(path)
+    df = df.select((expr(fidExpr).cast("long").as("fid") +:
+      columnNames.map(c => col(c))) ++
+      geomWktExpr.map(g => GeomFunctions.stGeomFromWkt(expr(g)).as("geometry")).toSeq: _*)
+    // attribute equality filters push down to the parquet scan
+    req.filters.foreach { case (k, v) => df = df.filter(col(k) === lit(v)) }
+    // spatial predicate: bbox prefilter (sargable) + exact JTS predicate
+    (req.geometryWkt, geomWktExpr) match {
+      case (Some(wkt), Some(_)) =>
+        val mode = if (req.mode == "centroid") "centroid" else "intersects"
+        df = df.filter(GeomFunctions.stFilter(col("geometry"), lit(wkt), lit(mode)))
+      case _ =>
+    }
+    req.minSize.foreach { ms =>
+      if (geomWktExpr.isDefined)
+        df = df.filter(GeomFunctions.stSizeAtLeast(col("geometry"), lit(ms)))
+    }
+    req.limit.foreach { n => df = df.limit(n) }
+    df
+  }
+}
+
+/** One-row literal geometry source (geometry/sources.py:162-257). */
+case class GeometryWKTSource(wkt: String, proj: String) extends GeometryBlock {
+  override def columns: Set[String] = Set("geometry")
+  override def projection: String = proj
+  override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((0L, wkt)).toDF("fid", "wkt")
+      .select(col("fid"), GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+  }
+}

@@ -38,6 +38,10 @@ trait RasterBlock extends Block {
   /** Whether results carry a real time axis (reference `temporal`). */
   def temporal: Boolean
 
+  /** Native pixel size in projection units, when the block has one (used by
+    * zonal statistics to pick a default sampling grid). */
+  def cellSize: Option[Double] = None
+
   final def noDataValue: Double = dtype.noDataValue
 
   /** All frame instants, ascending. Metadata-level — the reference obtains

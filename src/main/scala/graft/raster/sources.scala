@@ -33,6 +33,7 @@ case class MemorySource(
   require(data.forall(_.length == gridW * gridH), "frame size mismatch")
 
   override def dtype: DType = DType.byName(dtypeName)
+  override def cellSize: Option[Double] = Some(pixelSize)
   override def temporal: Boolean = frameDeltaMs.isDefined
   override def timeDeltaMs: Option[Long] = frameDeltaMs
   override def period: Option[(Instant, Instant)] =

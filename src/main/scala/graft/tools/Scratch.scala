@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import graft.raster._
+import org.apache.spark.sql.functions.col
 
 /** Scratch driver used by /verify sessions to exercise the library through
   * its public API from a real Spark driver (not a test). */
@@ -39,6 +40,21 @@ object Scratch {
       .map(r => r.times.mkString(",") + " vals " + r.values.map(_.head).mkString(",")))
     println("cumulative -> " + cum.getData(req).get.values.map(_.head).mkString(","))
     println("snap/resample -> " + Resample(src, "h").getData(req).get.values.map(_.head).mkString(","))
+
+    // geometry + zonal stats through the public API
+    {
+      import graft.geometry._
+      val feats = TableGeometrySource("/root/testdata/sf0.001/part.parquet",
+        "p_partkey", Seq("p_size", "p_retailprice"),
+        geomWktExpr = Some("concat('POLYGON ((', 135000 + p_partkey % 10, ' ', 455990 + cast(p_partkey / 10 as int), ', ', 135000 + p_partkey % 10 + 1, ' ', 455990 + cast(p_partkey / 10 as int), ', ', 135000 + p_partkey % 10 + 1, ' ', 455990 + cast(p_partkey / 10 as int) + 1, ', ', 135000 + p_partkey % 10, ' ', 455990 + cast(p_partkey / 10 as int) + 1, ', ', 135000 + p_partkey % 10, ' ', 455990 + cast(p_partkey / 10 as int), '))')"))
+      val withArea = feats.set("area", Area(feats, "EPSG:28992"))
+      val priced = withArea.set("price_bucket",
+        FieldOps.Classify(feats.getSeries("p_retailprice"), Seq(1000.0), Seq("cheap", "pricey")))
+      val zonal = AggregateRaster(priced, src, "mean", pixelSize = Some(0.5))
+      val out = zonal.frame(GeometryRequest(start = Some(t0)))
+      out.filter(col("fid").between(50, 54)).select("fid", "area", "price_bucket", "agg").show(5, false)
+      println("zonal rows = " + out.count())
+    }
 
     val view = Divide(Add(src, src), 4)   // (x + x) / 4
     println("dtype=" + view.dtype.name + " noData=" + view.noDataValue)

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.geometry._
+import GeometryFixtures._
+
+class GeometrySpec extends SparkSpec {
+
+  private def byFid(df: org.apache.spark.sql.DataFrame, colName: String): Map[Long, Any] =
+    df.select("fid", colName).collect().map(r => r.getLong(0) -> r.get(1)).toMap
+
+  test("GetSeriesBlock / SetSeriesBlock project and add columns") {
+    val vals = features.getSeries("value")
+    val doubled = FieldOps.Multiply(vals, 2)
+    val out = features.set("doubled", doubled)
+    assert(out.columns.contains("doubled"))
+    val m = byFid(out.frame(request), "doubled")
+    assert(m == Map(1L -> 84.0, 2L -> 15.0, 3L -> -2.0))
+  }
+
+  test("field arithmetic, python modulo and banker's rounding") {
+    val v = features.getSeries("value")
+    val df = features.frame(request)
+    assert(byFid(features.set("x", FieldOps.Modulo(v, 5)).frame(request), "x") ==
+      Map(1L -> 2.0, 2L -> 2.5, 3L -> 4.0)) // -1 mod 5 = 4 (divisor's sign)
+    assert(byFid(features.set("x", FieldOps.Round(FieldOps.Divide(v, 5), 0))
+      .frame(request), "x") == Map(1L -> 8.0, 2L -> 2.0, 3L -> -0.0)) // 1.5 → 2, 8.4 → 8
+    assert(byFid(features.set("x", FieldOps.FloorDivide(v, 5)).frame(request), "x") ==
+      Map(1L -> 8.0, 2L -> 1.0, 3L -> -1.0))
+  }
+
+  test("comparisons, logic, Where/Mask") {
+    val v = features.getSeries("value")
+    val big = FieldOps.Greater(v, 10)
+    assert(byFid(features.set("x", big).frame(request), "x") ==
+      Map(1L -> true, 2L -> false, 3L -> false))
+    assert(byFid(features.set("x", FieldOps.Where(v, big, 0)).frame(request), "x") ==
+      Map(1L -> 42.0, 2L -> 0.0, 3L -> 0.0))
+    assert(byFid(features.set("x", FieldOps.Mask(v, big, 0)).frame(request), "x") ==
+      Map(1L -> 0.0, 2L -> 7.5, 3L -> -1.0))
+  }
+
+  test("Classify with open and closed bounds") {
+    val v = features.getSeries("value")
+    val open = FieldOps.Classify(v, Seq(0.0, 10.0), Seq("low", "mid", "high"))
+    assert(byFid(features.set("x", open).frame(request), "x") ==
+      Map(1L -> "high", 2L -> "mid", 3L -> "low"))
+    val closed = FieldOps.Classify(v, Seq(0.0, 10.0, 50.0), Seq("mid", "high"))
+    assert(byFid(features.set("x", closed).frame(request), "x") ==
+      Map(1L -> "high", 2L -> "mid", 3L -> null))
+  }
+
+  test("ClassifyFromColumns uses per-row bins") {
+    val cls = FieldOps.ClassifyFromColumns(features, "value", Seq("value"), Seq("lo", "hi"))
+    // value > value is false → index 0 → open-bounds label "lo"
+    assert(byFid(features.set("x", cls).frame(request), "x") ==
+      Map(1L -> "lo", 2L -> "lo", 3L -> "lo"))
+  }
+
+  test("Interp piecewise-linear with fills") {
+    val v = features.getSeries("value")
+    val interp = FieldOps.Interp(v, Seq(0.0, 10.0, 100.0), Seq(0.0, 1.0, 10.0))
+    val m = byFid(features.set("x", interp).frame(request), "x")
+    assert(m(2L) == 0.75)
+    assert(math.abs(m(1L).asInstanceOf[Double] - 4.2) < 1e-9)
+    assert(m(3L) == 0.0) // below range → left fill
+  }
+
+  test("Choose selects between series") {
+    val v = features.getSeries("value")
+    val sel = FieldOps.Classify(v, Seq(10.0), Seq(0, 1)) // ≤10 → 0.0, >10 → 1.0
+    val chosen = FieldOps.Choose(sel, Seq(features.getSeries("name"), features.getSeries("name")))
+    assert(byFid(features.set("x", chosen).frame(request), "x") ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("MergeGeometryBlocks joins on fid with suffixes") {
+    val a = features
+    val b = SeqGeometrySource(Seq((1L, GeometryFixtures.square(0, 0, 1, 1), 100.0, "x")))
+    val merged = MergeGeometryBlocks(a, b, "left", ("", "_right"))
+    val df = merged.frame(request)
+    assert(df.columns.contains("value") && df.columns.contains("value_right"))
+    val m = byFid(df, "value_right")
+    assert(m(1L) == 100.0 && m(2L) == null)
+    assert(MergeGeometryBlocks(a, b, "inner").frame(request).count() == 1)
+  }
+
+  test("ParseTextColumn parses key=value pairs") {
+    val src = SeqGeometrySource(Seq(
+      (1L, GeometryFixtures.square(0, 0, 1, 1), 0.0, "k=3.5 flag=true s=null"),
+      (2L, GeometryFixtures.square(0, 0, 1, 1), 0.0, "k=7")))
+    val parsed = ParseTextColumn(src, "name", Seq(("k", "k_val", "double"),
+      ("flag", "flag_val", "boolean")))
+    val df = parsed.frame(request)
+    assert(byFid(df, "k_val") == Map(1L -> 3.5, 2L -> 7.0))
+    assert(byFid(df, "flag_val") == Map(1L -> true, 2L -> null))
+  }
+
+  test("Area / Buffer / Simplify / Difference / Intersection via JTS") {
+    val area = features.set("area", Area(features, "EPSG:28992"))
+    val m = byFid(area.frame(request), "area")
+    assert(math.abs(m(1L).asInstanceOf[Double] - 1.0) < 1e-9)
+    assert(math.abs(m(2L).asInstanceOf[Double] - 4.0) < 1e-9)
+
+    val buffered = Buffer(features, 1.0, "EPSG:28992", resolution = 16)
+    val ba = byFid(buffered.set("area", Area(buffered, "EPSG:28992"))
+      .frame(request), "area")
+    // buffered unit square area ≈ 1 + 4*1 + π (within quadrant-segment error)
+    assert(math.abs(ba(1L).asInstanceOf[Double] - (5 + math.Pi)) < 0.01)
+
+    val diff = Difference(features,
+      SeqGeometrySource(Seq((1L, GeometryFixtures.square(135000, 455999, 135000.5, 456000), 0.0, "m"))))
+    val da = byFid(diff.set("area", Area(diff, "EPSG:28992")).frame(request), "area")
+    assert(math.abs(da(1L).asInstanceOf[Double] - 0.5) < 1e-9)
+    assert(math.abs(da(2L).asInstanceOf[Double] - 4.0) < 1e-9) // A - None = A
+
+    val clipped = Intersection(features)
+    val ca = byFid(clipped.set("area", Area(clipped, "EPSG:28992"))
+      .frame(request.copy(geometryWkt = Some(GeometryFixtures.square(135000, 455999.5, 135010, 456000)))), "area")
+    assert(math.abs(ca(1L).asInstanceOf[Double] - 0.5) < 1e-9)
+  }
+
+  test("AggregateRaster zonal statistics with centroid fallback") {
+    import java.time.Instant
+    val raster = RasterFixtures.source
+    val agg = AggregateRaster(features, raster, "sum", pixelSize = Some(0.5))
+    val req = request.copy(start = Some(RasterFixtures.T0))
+    val m = byFid(agg.frame(req), "agg")
+    // fid 1: 1×1 m square = 4 cells of 0.5m, frame0 value 1 → sum 4
+    assert(m(1L) == 4.0)
+    // fid 2: 2×2 m = 16 cells → 16
+    assert(m(2L) == 16.0)
+    // fid 3: sliver catches no center → centroid cell value 1
+    assert(m(3L) == 1.0)
+    val mean = AggregateRaster(features, raster, "mean", pixelSize = Some(0.5))
+    assert(byFid(mean.frame(req), "agg") == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+    // nodata frame: all cells nodata → sum falls back to 0
+    val reqNd = request.copy(start = Some(RasterFixtures.T0.plusMillis(2 * RasterFixtures.Hour)))
+    assert(byFid(agg.frame(reqNd), "agg") == Map(1L -> 0.0, 2L -> 0.0, 3L -> 0.0))
+  }
+
+  test("AggregateRasterAboveThreshold masks per-feature") {
+    val raster = RasterFixtures.source
+    val withThr = features.set("threshold", FieldOps.Add(features.getSeries("value"), -41.0))
+    // fid1 threshold 1.0 (keeps value-1 cells), fid2 → -33.5 keeps all, fid3 → -42
+    val agg = AggregateRasterAboveThreshold(withThr, raster, "sum",
+      pixelSize = Some(0.5), thresholdName = "threshold")
+    val req = request.copy(start = Some(RasterFixtures.T0))
+    val m = byFid(agg.frame(req), "agg")
+    assert(m(1L) == 4.0 && m(2L) == 16.0 && m(3L) == 1.0)
+    val agg2 = AggregateRasterAboveThreshold(
+      features.set("threshold", FieldOps.Add(features.getSeries("value"), 0.0)),
+      raster, "sum", pixelSize = Some(0.5), thresholdName = "threshold")
+    // thresholds 42/7.5/-1: frame0 value 1 → only fid3 keeps cells
+    assert(byFid(agg2.frame(req), "agg") == Map(1L -> 0.0, 2L -> 0.0, 3L -> 1.0))
+  }
+}
