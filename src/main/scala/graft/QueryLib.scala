@@ -1,0 +1,126 @@
+package graft
+
+import java.time.Instant
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.raster._
+import graft.geometry._
+import graft.pipeline._
+
+/** The driver-contract query inventory: one entry per implemented operator
+  * from SURVEY §2 (+ the training-data pipeline operators), each expressed
+  * through the graft library over the driver's parquet tables, with an
+  * equivalent ANSI-SQL oracle for DuckDB.
+  *
+  * Conventions for hash-parity with the oracle:
+  *  - every float output is rounded identically on both sides;
+  *  - column names are aliased identically;
+  *  - raster queries reshape the dense `event_id` of the events table into a
+  *    4-frame grid (t = id%4, cell = id/4, 100 cells per row, 'error' rows
+  *    are nodata) and compare per-cell rows, excluding the incomplete tail
+  *    cell group.
+  */
+object QueryLib {
+
+  val ND: Double = Double.MaxValue // float64 sentinel (dtype max)
+  private val Hour = 3600000L
+
+  /** Read a table; the events table carries nanosecond timestamps which
+    * Spark only reads as raw longs (spark.sql.legacy.parquet.nanosAsLong) —
+    * normalize `ts` back to a microsecond timestamp. */
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (df.schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
+
+  // ---------------------------------------------------------------- raster
+  case class EventsGrid(n: Long, frames: Int, w: Int, h: Int) {
+    def completeCells: Long = n / frames
+  }
+
+  def eventsGrid(s: SparkSession, dir: String): EventsGrid = {
+    val n = tbl(s, dir, "events").count()
+    val frames = 4
+    val w = 100
+    val cells = (n + frames - 1) / frames
+    EventsGrid(n, frames, w, ((cells + w - 1) / w).toInt)
+  }
+
+  def eventsRaster(dir: String, g: EventsGrid, valueExpr: String = "value",
+      ndFilter: String = "event_type = 'error'", dtype: String = "float64"): TableRasterSource =
+    TableRasterSource(s"$dir/events.parquet", "event_id", valueExpr,
+      g.frames, g.w, g.h, ndFilter, 0L, Hour, dtype)
+
+  def fullReq(g: EventsGrid, nFrames: Int = 0): RasterRequest = {
+    val fr = if (nFrames > 0) nFrames else g.frames
+    RasterRequest(Bbox(0, 0, g.w, g.h), "EPSG:28992", g.w, g.h,
+      Some(Instant.ofEpochMilli(0)), Some(Instant.ofEpochMilli(Hour * (fr - 1))))
+  }
+
+  /** Explode a tile frame to (t_idx, cell_id, v) rows, keeping only
+    * complete cell groups. */
+  def cells(frame: DataFrame, g: EventsGrid): DataFrame = {
+    val tile = TileLayout.TILE
+    frame
+      .select((col("t") / Hour).cast("long").as("t_idx"), col("ty"), col("tx"),
+        posexplode(col("values")).as(Seq("pos", "v")))
+      .withColumn("tw", least(lit(tile), lit(g.w) - col("tx") * tile))
+      .withColumn("x", col("tx") * tile + col("pos") % col("tw"))
+      .withColumn("y", col("ty") * tile + (col("pos") / col("tw")).cast("int"))
+      .withColumn("cell_id", (col("y").cast("long") * g.w + col("x")))
+      .filter(col("cell_id") < g.completeCells)
+      .select(col("t_idx"), col("cell_id"), col("v"))
+  }
+
+  /** DuckDB CTE mirroring the events→cells reshape. `vexpr`/`ndexpr` are SQL
+    * over the raw events row. */
+  def cellsSql(vexpr: String = "value", ndcond: String = "event_type = 'error'"): String =
+    s"""WITH cells AS (
+       |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx,
+       |         CAST(event_id // 4 AS BIGINT) AS cell_id,
+       |         CASE WHEN $ndcond THEN 1.7976931348623157e308
+       |              ELSE CAST(($vexpr) AS DOUBLE) END AS v
+       |  FROM events
+       |  WHERE event_id // 4 < (SELECT COUNT(*) // 4 FROM events))""".stripMargin
+
+  val NDSQL = "1.7976931348623157e308"
+
+  // ------------------------------------------------------------- geometry
+  /** Feature squares synthesized from the customer table on the events
+    * raster grid: side-2 squares at deterministic positions. */
+  def customerSquares(dir: String, g: EventsGrid): TableGeometrySource = {
+    val h = g.h
+    TableGeometrySource(s"$dir/customer.parquet", "c_custkey",
+      Seq("c_acctbal", "c_mktsegment",
+        s"cast((c_custkey * 7) % ${g.w - 2} as int) as x0",
+        s"cast((c_custkey * 13) % ${h - 2} as int) as y0"),
+      geomWktExpr = Some(
+        s"""concat('POLYGON ((', (c_custkey * 7) % ${g.w - 2}, ' ', (c_custkey * 13) % ${h - 2},
+           |', ', (c_custkey * 7) % ${g.w - 2} + 2, ' ', (c_custkey * 13) % ${h - 2},
+           |', ', (c_custkey * 7) % ${g.w - 2} + 2, ' ', (c_custkey * 13) % ${h - 2} + 2,
+           |', ', (c_custkey * 7) % ${g.w - 2}, ' ', (c_custkey * 13) % ${h - 2} + 2,
+           |', ', (c_custkey * 7) % ${g.w - 2}, ' ', (c_custkey * 13) % ${h - 2}, '))')"""
+          .stripMargin.replaceAll("\n", "")))
+  }
+
+  /** SQL fragment: the same squares, as (fid, x0, y0) with 2×2 extent. */
+  def customerSquaresSql(g: EventsGrid): String =
+    s"""squares AS (
+       |  SELECT c_custkey AS fid, c_acctbal,
+       |         CAST((c_custkey * 7) % ${g.w - 2} AS BIGINT) AS x0,
+       |         CAST((c_custkey * 13) % ${g.h - 2} AS BIGINT) AS y0
+       |  FROM customer)""".stripMargin
+
+  /** SQL fragment: world cell centers of frame-0 cells on the grid
+    * (cx = x+0.5, cy = gridH - y - 0.5). */
+  def cellCentersSql(g: EventsGrid): String =
+    s"""centers AS (
+       |  SELECT cell_id, t_idx, v,
+       |         CAST(cell_id % ${g.w} AS BIGINT) AS x,
+       |         CAST(cell_id // ${g.w} AS BIGINT) AS y
+       |  FROM cells)""".stripMargin
+}

@@ -1,13 +1,717 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.Instant
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.raster._
+import graft.geometry._
+import graft.pipeline._
+import graft.streaming.EventStream
+import QueryLib._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * One `queries` entry per implemented operator from SURVEY §2 (+ the
+  * training-data pipeline operators); `oracleSql` gives the DuckDB
+  * equivalent for the hash-match correctness gate. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private val Hour = 3600000L
+
+  /** Flagship query on /root/testdata/sf0.001: revenue per region per
+    * month with a running total — joins, window agg, broadcast dims. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = tbl(spark, dir, "lineitem")
+    val o = tbl(spark, dir, "orders")
+    val c = tbl(spark, dir, "customer")
+    val n = tbl(spark, dir, "nation")
+    val r = tbl(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .withColumn("running", round(sum(col("revenue"))
+        .over(Window.partitionBy(col("r_name")).orderBy(col("month"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+  }
+
+  // =======================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = relationalQueries ++
+    temporalQueries ++ rasterQueries ++ zonalQueries ++ geometryQueries ++ pipelineQueries
+
+  // ------------------------------------------------------- relational core
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q02_join_revenue" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer"); val n = tbl(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+    "q03_broadcast_filter" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val p = tbl(s, dir, "part").filter(col("p_size") < 20)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("total"), count(lit(1)).as("n"))
+    }),
+    "q04_window_topn" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+    }),
+    "q05_semi_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+    }),
+    "q06_anti_join" -> ((s, dir) => {
+      val p = tbl(s, dir, "part"); val li = tbl(s, dir, "lineitem")
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_brand"))
+    }),
+    "q07_distinct_agg" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem"); val sup = tbl(s, dir, "supplier")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_sup"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+    "q08_sort_limit" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+    "q09_conditional_agg" -> ((s, dir) => {
+      tbl(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2)
+            .as("open_total"))
+    }),
+    "q10_grouping_sets" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("n"))
+    })
+  )
+
+  private def relationalOracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS n_rows FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q02_join_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q03_broadcast_filter" ->
+      """SELECT p_brand, round(sum(l_extendedprice), 2) AS total, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size < 20 GROUP BY 1""".stripMargin,
+    "q04_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        | SELECT o_custkey, o_orderkey, row_number() OVER
+        |  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        | FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+    "q07_distinct_agg" ->
+      """SELECT s_nationkey, count(DISTINCT l_suppkey) AS n_sup,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1""".stripMargin,
+    "q08_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10""".stripMargin,
+    "q09_conditional_agg" ->
+      """SELECT o_orderpriority, sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q10_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+  )
+
+  // ------------------------------------------------- temporal / streaming
+  private def temporalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_stream_window" -> ((s, dir) => EventStream.batch(s, dir, "1 hour")),
+    "q12_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "events")
+        .withColumn("running", round(sum(col("value")).over(w), 4))
+        .select(col("event_id"), col("user_id"), col("running"))
+    }),
+    "q13_asof_ffill" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "events")
+        .withColumn("last_purchase",
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w))
+        .select(col("event_id"), round(coalesce(col("last_purchase"), lit(-1.0)), 4)
+          .as("last_purchase"))
+    })
+  )
+
+  private def temporalOracles: Map[String, String] = Map(
+    "q11_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+        | round(sum(value), 4) AS total FROM events GROUP BY 1, 2""".stripMargin,
+    "q12_running_sum" ->
+      """SELECT event_id, user_id, round(sum(value) OVER
+        | (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running FROM events""".stripMargin,
+    "q13_asof_ffill" ->
+      """SELECT event_id, round(coalesce(last_value(CASE WHEN event_type = 'purchase'
+        | THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0), 4) AS last_purchase
+        |FROM events""".stripMargin
+  )
+
+  // -------------------------------------------------------------- raster
+  private def rasterQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    def q(f: (SparkSession, String, EventsGrid) => DataFrame)
+        : (SparkSession, String) => DataFrame =
+      (s, dir) => { val g = eventsGrid(s, dir); f(s, dir, g) }
+    Map(
+      "r01_add" -> q((s, dir, g) =>
+        cells(Add(eventsRaster(dir, g), 10.0).frame(fullReq(g))(s), g)),
+      "r02_multiply_rasters" -> q((s, dir, g) =>
+        cells(Multiply(eventsRaster(dir, g), eventsRaster(dir, g, "value * 0.5 + 1"))
+          .frame(fullReq(g))(s), g)),
+      "r03_divide" -> q((s, dir, g) =>
+        cells(Divide(eventsRaster(dir, g), 7.0).frame(fullReq(g))(s), g)
+          .select(col("t_idx"), col("cell_id"), round(col("v"), 6).as("v"))),
+      "r04_power" -> q((s, dir, g) =>
+        cells(Power(eventsRaster(dir, g), 2).frame(fullReq(g))(s), g)),
+      "r05_greater" -> q((s, dir, g) =>
+        cells(Greater(eventsRaster(dir, g), 100.0).frame(fullReq(g))(s), g)),
+      "r06_logic" -> q((s, dir, g) => {
+        val a = eventsRaster(dir, g)
+        cells(And(Greater(a, 50.0), Less(a, 150.0)).frame(fullReq(g))(s), g)
+      }),
+      "r07_isdata" -> q((s, dir, g) =>
+        cells(IsData(eventsRaster(dir, g)).frame(fullReq(g))(s), g)),
+      "r08_fillnodata" -> q((s, dir, g) => {
+        val sparse = eventsRaster(dir, g, "value", "event_type <> 'purchase'")
+        val dense = eventsRaster(dir, g, "value * 2", "event_type = 'error'")
+        cells(FillNoData(Seq(sparse, dense)).frame(fullReq(g))(s), g)
+      }),
+      "r09_log" -> q((s, dir, g) =>
+        cells(Log(eventsRaster(dir, g, "value + 1")).frame(fullReq(g))(s), g)
+          .select(col("t_idx"), col("cell_id"), round(col("v"), 6).as("v"))),
+      "r10_clip" -> q((s, dir, g) => {
+        val a = eventsRaster(dir, g)
+        cells(Clip(a, Greater(a, 50.0)).frame(fullReq(g))(s), g)
+      }),
+      "r11_mask" -> q((s, dir, g) =>
+        cells(Mask(eventsRaster(dir, g), 5).frame(fullReq(g))(s), g)),
+      "r12_maskbelow" -> q((s, dir, g) =>
+        cells(MaskBelow(eventsRaster(dir, g), 100.0).frame(fullReq(g))(s), g)),
+      "r13_step" -> q((s, dir, g) =>
+        cells(Step(eventsRaster(dir, g), left = -1, right = 1, value = 100.0)
+          .frame(fullReq(g))(s), g)),
+      "r14_classify" -> q((s, dir, g) =>
+        cells(Classify(eventsRaster(dir, g), Seq(50.0, 100.0, 150.0)).frame(fullReq(g))(s), g)),
+      "r15_reclassify" -> q((s, dir, g) =>
+        cells(Reclassify(eventsRaster(dir, g, "cast(floor(value) as long) % 10", dtype = "int64"),
+          Seq((0.0, 100.0), (5.0, 500.0)), select = false).frame(fullReq(g))(s), g)),
+      "r16_group_shift" -> q((s, dir, g) => {
+        val a = eventsRaster(dir, g)
+        val grouped = Group(Seq(a, Shift(a, 2 * Hour)))
+        cells(grouped.frame(fullReq(g, g.frames + 2))(s), g)
+      }),
+      "r17_reduce_max" -> q((s, dir, g) =>
+        cells(Max(Seq(eventsRaster(dir, g), eventsRaster(dir, g, "250.0 - value")))
+          .frame(fullReq(g))(s), g)),
+      "r18_reduce_median" -> q((s, dir, g) =>
+        cells(Reduce(Seq(eventsRaster(dir, g), eventsRaster(dir, g, "value + 10"),
+          eventsRaster(dir, g, "value * 2")), "median").frame(fullReq(g))(s), g)
+          .select(col("t_idx"), col("cell_id"), round(col("v"), 6).as("v"))),
+      "r19_temporal_sum" -> q((s, dir, g) =>
+        cells(TemporalSum(eventsRaster(dir, g, "value", "false")).frame(fullReq(g))(s), g)
+          .select(col("cell_id"), round(col("v"), 3).as("v"))),
+      "r20_temporal_agg" -> q((s, dir, g) =>
+        cells(TemporalAggregate(eventsRaster(dir, g), Some("D"), "count")
+          .frame(fullReq(g))(s), g).select(col("cell_id"), col("v"))),
+      "r21_cumulative" -> q((s, dir, g) =>
+        cells(Cumulative(eventsRaster(dir, g), "sum").frame(fullReq(g))(s), g)
+          .select(col("t_idx"), col("cell_id"), round(col("v"), 3).as("v"))),
+      "r22_shift" -> q((s, dir, g) =>
+        cells(Shift(eventsRaster(dir, g), Hour).frame(fullReq(g, g.frames + 1))(s), g)),
+      "r23_resample" -> q((s, dir, g) => {
+        val slow = TableRasterSource(s"$dir/events.parquet", "event_id", "value",
+          g.frames, g.w, g.h, "event_type = 'error'", 0L, 2 * Hour)
+        val rreq = RasterRequest(Bbox(0, 0, g.w, g.h), "EPSG:28992", g.w, g.h,
+          Some(Instant.ofEpochMilli(0)),
+          Some(Instant.ofEpochMilli(2 * Hour * (g.frames - 1))))
+        cells(Resample(slow, "h", "nearest").frame(rreq)(s), g)
+      }),
+      "r24_snap" -> q((s, dir, g) => {
+        val a = eventsRaster(dir, g)
+        val index = Shift(a, Hour / 3)
+        cells(Snap(a, index).frame(fullReq(g, g.frames + 1))(s), g)
+          .select((col("t_idx") - 0).as("t_idx"), col("cell_id"), col("v"))
+      })
+    )
+  }
+
+  private def rasterOracles: Map[String, String] = Map(
+    "r01_add" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, CASE WHEN v = $NDSQL THEN v ELSE v + 10.0 END AS v FROM cells""".stripMargin,
+    "r02_multiply_rasters" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, CASE WHEN v = $NDSQL THEN v ELSE v * (v * 0.5 + 1) END AS v
+      |FROM cells""".stripMargin,
+    "r03_divide" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, CASE WHEN v = $NDSQL THEN v ELSE round(v / 7.0, 6) END AS v
+      |FROM cells""".stripMargin,
+    "r04_power" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, CASE WHEN v = $NDSQL THEN v ELSE v * v END AS v FROM cells""".stripMargin,
+    "r05_greater" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, CASE WHEN v = $NDSQL THEN 0.0
+      | WHEN v > 100.0 THEN 1.0 ELSE 0.0 END AS v FROM cells""".stripMargin,
+    "r06_logic" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, CASE WHEN v = $NDSQL THEN 0.0
+      | WHEN v > 50.0 AND v < 150.0 THEN 1.0 ELSE 0.0 END AS v FROM cells""".stripMargin,
+    "r07_isdata" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, CASE WHEN v = $NDSQL THEN 0.0 ELSE 1.0 END AS v FROM cells""".stripMargin,
+    "r08_fillnodata" -> s"""WITH cells AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type <> 'purchase' THEN $NDSQL ELSE value END AS va,
+      |    CASE WHEN event_type = 'error' THEN $NDSQL ELSE value * 2 END AS vb
+      |  FROM events WHERE event_id // 4 < (SELECT COUNT(*) // 4 FROM events))
+      |SELECT t_idx, cell_id, CASE WHEN vb <> $NDSQL THEN vb
+      | WHEN va <> $NDSQL THEN va ELSE $NDSQL END AS v FROM cells""".stripMargin,
+    "r09_log" -> s"""${cellsSql("value + 1")}
+      |SELECT t_idx, cell_id, CASE WHEN v = $NDSQL THEN v ELSE round(ln(v), 6) END AS v
+      |FROM cells""".stripMargin,
+    "r10_clip" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, CASE WHEN v = $NDSQL OR v <= 50.0 THEN $NDSQL ELSE v END AS v
+      |FROM cells""".stripMargin,
+    "r11_mask" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, CASE WHEN v = $NDSQL THEN 0.0 ELSE 5.0 END AS v FROM cells""".stripMargin,
+    "r12_maskbelow" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, CASE WHEN v < 100.0 THEN $NDSQL ELSE v END AS v FROM cells""".stripMargin,
+    "r13_step" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, CASE WHEN v = $NDSQL THEN v WHEN v < 100.0 THEN -1.0
+      | WHEN v = 100.0 THEN 0.0 ELSE 1.0 END AS v FROM cells""".stripMargin,
+    "r14_classify" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, CASE WHEN v = $NDSQL THEN 255.0
+      | ELSE CAST((CASE WHEN v >= 50 THEN 1 ELSE 0 END) + (CASE WHEN v >= 100 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN v >= 150 THEN 1 ELSE 0 END) AS DOUBLE) END AS v FROM cells""".stripMargin,
+    "r15_reclassify" -> s"""WITH cells AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE CAST(floor(value) AS BIGINT) % 10 END AS v
+      |  FROM events WHERE event_id // 4 < (SELECT COUNT(*) // 4 FROM events))
+      |SELECT t_idx, cell_id, CASE WHEN v IS NULL THEN CAST(9223372036854775807 AS DOUBLE)
+      | WHEN v = 0 THEN 100.0 WHEN v = 5 THEN 500.0 ELSE CAST(v AS DOUBLE) END AS v
+      |FROM cells""".stripMargin,
+    "r16_group_shift" -> s"""${cellsSql()}
+      |, frames AS (SELECT t_idx AS t, cell_id, v FROM cells)
+      |, grid AS (SELECT t, cell_id FROM (SELECT DISTINCT cell_id FROM frames),
+      |   (SELECT unnest(range(6)) AS t))
+      |SELECT g.t AS t_idx, g.cell_id,
+      | CASE WHEN s.v IS NOT NULL AND s.v <> $NDSQL THEN s.v
+      |      WHEN b.v IS NOT NULL AND b.v <> $NDSQL THEN b.v
+      |      ELSE $NDSQL END AS v
+      |FROM grid g
+      |LEFT JOIN frames b ON b.cell_id = g.cell_id AND b.t = g.t
+      |LEFT JOIN frames s ON s.cell_id = g.cell_id AND s.t = g.t - 2""".stripMargin,
+    "r17_reduce_max" -> s"""WITH cells AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN $NDSQL ELSE value END AS va,
+      |    CASE WHEN event_type = 'error' THEN $NDSQL ELSE 250.0 - value END AS vb
+      |  FROM events WHERE event_id // 4 < (SELECT COUNT(*) // 4 FROM events))
+      |SELECT t_idx, cell_id, CASE
+      | WHEN va = $NDSQL AND vb = $NDSQL THEN $NDSQL
+      | WHEN va = $NDSQL THEN vb WHEN vb = $NDSQL THEN va
+      | WHEN va > vb THEN va ELSE vb END AS v FROM cells""".stripMargin,
+    "r18_reduce_median" -> s"""WITH cells AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS a,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value + 10 END AS b,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value * 2 END AS c
+      |  FROM events WHERE event_id // 4 < (SELECT COUNT(*) // 4 FROM events))
+      |SELECT t_idx, cell_id, CASE WHEN a IS NULL THEN $NDSQL
+      | ELSE round(a + b + c - greatest(a, b, c) - least(a, b, c), 6) END AS v FROM cells""".stripMargin,
+    "r19_temporal_sum" -> s"""WITH cells AS (
+      |  SELECT CAST(event_id // 4 AS BIGINT) AS cell_id, value AS v, event_id % 4 AS t
+      |  FROM events WHERE event_id // 4 < (SELECT COUNT(*) // 4 FROM events))
+      |SELECT cell_id, round(sum(v ORDER BY t), 3) AS v FROM cells GROUP BY 1""".stripMargin,
+    "r20_temporal_agg" -> s"""${cellsSql()}
+      |SELECT cell_id, CAST(count(CASE WHEN v <> $NDSQL THEN 1 END) AS DOUBLE) AS v
+      |FROM cells GROUP BY 1""".stripMargin,
+    "r21_cumulative" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, round(sum(CASE WHEN v = $NDSQL THEN 0 ELSE v END)
+      | OVER (PARTITION BY cell_id ORDER BY t_idx
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS v FROM cells""".stripMargin,
+    "r22_shift" -> s"""${cellsSql()}
+      |SELECT t_idx + 1 AS t_idx, cell_id, v FROM cells""".stripMargin,
+    "r23_resample" -> s"""WITH cells AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS src_t, CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN $NDSQL ELSE value END AS v
+      |  FROM events WHERE event_id // 4 < (SELECT COUNT(*) // 4 FROM events))
+      |SELECT h.t AS t_idx, c.cell_id, c.v
+      |FROM (SELECT unnest(range(7)) AS t) h
+      |JOIN cells c ON c.src_t = h.t // 2""".stripMargin,
+    "r24_snap" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin
+  )
+
+  // --------------------------------------------------------------- zonal
+  private def zonalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "z01_zonal_mean" -> ((s, dir) => {
+      val g = eventsGrid(s, dir)
+      val feats = customerSquares(dir, g)
+      val agg = AggregateRaster(feats, eventsRaster(dir, g), "mean",
+        pixelSize = Some(1.0), columnName = "agg")
+      agg.frame(GeometryRequest(start = Some(Instant.ofEpochMilli(0))))(s)
+        .select(col("fid"), round(col("agg"), 6).as("zonal_mean"))
+    }),
+    "z02_zonal_threshold" -> ((s, dir) => {
+      val g = eventsGrid(s, dir)
+      val feats = customerSquares(dir, g)
+      val withThr = feats.set("thr",
+        FieldOps.Divide(feats.getSeries("c_acctbal"), 50.0))
+      val agg = AggregateRasterAboveThreshold(withThr, eventsRaster(dir, g), "sum",
+        pixelSize = Some(1.0), columnName = "agg", thresholdName = "thr")
+      agg.frame(GeometryRequest(start = Some(Instant.ofEpochMilli(0))))(s)
+        .select(col("fid"), round(col("agg"), 4).as("zonal_sum"))
+    })
+  )
+
+  private def zonalOraclesSql: Map[String, String] = Map(
+    // the grid height depends on the event count; computed inline
+    "z01_zonal_mean" -> s"""WITH params AS (
+      |  SELECT 100 AS w, CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
+      |   count(*) AS n FROM events),
+      |cells AS (
+      |  SELECT CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |  FROM events WHERE event_id % 4 = 0),
+      |centers AS (
+      |  SELECT cell_id, v, CAST(cell_id % 100 AS BIGINT) AS x,
+      |    (SELECT h FROM params) - 1 - CAST(cell_id // 100 AS BIGINT) AS wy
+      |  FROM cells),
+      |squares AS (
+      |  SELECT c_custkey AS fid,
+      |    CAST((c_custkey * 7) % 98 AS BIGINT) AS x0,
+      |    CAST((c_custkey * 13) % ((SELECT h FROM params) - 2) AS BIGINT) AS y0
+      |  FROM customer)
+      |SELECT s.fid, round(avg(c.v), 6) AS zonal_mean
+      |FROM squares s LEFT JOIN centers c
+      |  ON c.x >= s.x0 AND c.x < s.x0 + 2 AND c.wy >= s.y0 AND c.wy < s.y0 + 2
+      |GROUP BY 1""".stripMargin,
+    "z02_zonal_threshold" -> s"""WITH params AS (
+      |  SELECT 100 AS w, CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
+      |   count(*) AS n FROM events),
+      |cells AS (
+      |  SELECT CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |  FROM events WHERE event_id % 4 = 0),
+      |centers AS (
+      |  SELECT cell_id, v, CAST(cell_id % 100 AS BIGINT) AS x,
+      |    (SELECT h FROM params) - 1 - CAST(cell_id // 100 AS BIGINT) AS wy
+      |  FROM cells),
+      |squares AS (
+      |  SELECT c_custkey AS fid, c_acctbal / 50.0 AS thr,
+      |    CAST((c_custkey * 7) % 98 AS BIGINT) AS x0,
+      |    CAST((c_custkey * 13) % ((SELECT h FROM params) - 2) AS BIGINT) AS y0
+      |  FROM customer)
+      |SELECT s.fid, round(coalesce(sum(CASE WHEN c.v >= s.thr THEN c.v END), 0.0), 4) AS zonal_sum
+      |FROM squares s LEFT JOIN centers c
+      |  ON c.x >= s.x0 AND c.x < s.x0 + 2 AND c.wy >= s.y0 AND c.wy < s.y0 + 2
+      |GROUP BY 1""".stripMargin
+  )
+
+  // ------------------------------------------------------------ geometry
+  private def geometryQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_merge_blocks" -> ((s, dir) => {
+      val c = TableGeometrySource(s"$dir/customer.parquet", "c_custkey",
+        Seq("c_acctbal", "c_mktsegment"))
+      val o = TableGeometrySource(s"$dir/orders.parquet", "o_custkey",
+        Seq("o_orderkey", "o_totalprice"))
+      MergeGeometryBlocks(c, o, "inner").frame(GeometryRequest())(s)
+        .select(col("fid"), col("o_orderkey"), col("c_acctbal"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+    "g02_field_ops" -> ((s, dir) => {
+      val c = TableGeometrySource(s"$dir/customer.parquet", "c_custkey", Seq("c_acctbal"))
+      val bal = c.getSeries("c_acctbal")
+      val out = c
+        .set("m7", FieldOps.Modulo(bal, 7.0))
+        .set("shifted", FieldOps.Add(FieldOps.Multiply(bal, 2.0), 100.0))
+        .set("pos", FieldOps.Where(bal, FieldOps.Greater(bal, 0.0), 0.0))
+      out.frame(GeometryRequest())(s)
+        .select(col("fid"), round(col("m7"), 4).as("m7"),
+          round(col("shifted"), 2).as("shifted"), round(col("pos"), 2).as("pos"))
+    }),
+    "g03_classify" -> ((s, dir) => {
+      val c = TableGeometrySource(s"$dir/customer.parquet", "c_custkey", Seq("c_acctbal"))
+      val cls = FieldOps.Classify(c.getSeries("c_acctbal"),
+        Seq(0.0, 5000.0), Seq("neg", "low", "high"))
+      c.set("bucket", cls).frame(GeometryRequest())(s).select(col("fid"), col("bucket"))
+    }),
+    "g04_classify_columns" -> ((s, dir) => {
+      val p = TableGeometrySource(s"$dir/part.parquet", "p_partkey",
+        Seq("p_retailprice", "p_size", "cast(p_size * 30 as double) as lo",
+          "cast(p_size * 60 as double) as hi"))
+      val cls = FieldOps.ClassifyFromColumns(p, "p_retailprice", Seq("lo", "hi"),
+        Seq("below", "between", "above"))
+      p.set("bucket", cls).frame(GeometryRequest())(s).select(col("fid"), col("bucket"))
+    }),
+    "g05_interp" -> ((s, dir) => {
+      val c = TableGeometrySource(s"$dir/customer.parquet", "c_custkey", Seq("c_acctbal"))
+      val itp = FieldOps.Interp(c.getSeries("c_acctbal"),
+        Seq(0.0, 5000.0, 10000.0), Seq(0.0, 1.0, 2.0))
+      c.set("score", itp).frame(GeometryRequest())(s)
+        .select(col("fid"), round(col("score"), 6).as("score"))
+    }),
+    "g06_choose" -> ((s, dir) => {
+      val c = TableGeometrySource(s"$dir/customer.parquet", "c_custkey", Seq("c_acctbal"))
+      val bal = c.getSeries("c_acctbal")
+      val sel = FieldOps.Classify(bal, Seq(1000.0), Seq(0, 1))
+      val chosen = FieldOps.Choose(sel,
+        Seq(FieldOps.Multiply(bal, -1.0), FieldOps.Multiply(bal, 2.0)))
+      c.set("picked", chosen).frame(GeometryRequest())(s)
+        .select(col("fid"), round(col("picked"), 2).as("picked"))
+    }),
+    "g07_parse_text" -> ((s, dir) => {
+      val e = TableGeometrySource(s"$dir/events.parquet", "event_id",
+        Seq("regexp_replace(props, '[{}\" ]', '') as kv"))
+      ParseTextColumn(e, "kv", Seq(("k", "k_val", "double")), ",", ":")
+        .frame(GeometryRequest())(s).select(col("fid"), col("k_val"))
+    }),
+    "g08_area" -> ((s, dir) => {
+      val p = partSquares(dir)
+      p.set("area", Area(p, "EPSG:28992")).frame(GeometryRequest())(s)
+        .select(col("fid"), round(col("area"), 6).as("area"))
+    }),
+    "g09_difference" -> ((s, dir) => {
+      val p = partSquares(dir)
+      val half = TableGeometrySource(s"$dir/part.parquet", "p_partkey", Seq(),
+        geomWktExpr = Some(squareWkt("p_partkey % 50", "cast(p_partkey / 50 as int) * 2",
+          "p_size / 20")))
+      val d = Difference(p, half)
+      d.set("area", Area(d, "EPSG:28992")).frame(GeometryRequest())(s)
+        .select(col("fid"), round(col("area"), 6).as("area"))
+    }),
+    "g10_intersection" -> ((s, dir) => {
+      val p = partSquares(dir)
+      val clipped = Intersection(p)
+      clipped.set("area", Area(clipped, "EPSG:28992"))
+        .frame(GeometryRequest(geometryWkt = Some("POLYGON ((0 0, 25 0, 25 6, 0 6, 0 0))")))(s)
+        .select(col("fid"), round(col("area"), 6).as("area"))
+    }),
+    "g11_filters_pushdown" -> ((s, dir) => {
+      val c = TableGeometrySource(s"$dir/customer.parquet", "c_custkey",
+        Seq("c_acctbal", "c_mktsegment"))
+      c.frame(GeometryRequest(filters = Map("c_mktsegment" -> "BUILDING")))(s)
+        .select(col("fid"), round(col("c_acctbal"), 2).as("c_acctbal"))
+    })
+  )
+
+  /** side-(p_size/10) squares at (p_partkey%50, (p_partkey/50)*2). */
+  private def squareWkt(x0: String, y0: String, side: String): String =
+    s"""concat('POLYGON ((', $x0, ' ', $y0, ', ', ($x0) + ($side), ' ', $y0,
+       |', ', ($x0) + ($side), ' ', ($y0) + ($side), ', ', $x0, ' ', ($y0) + ($side),
+       |', ', $x0, ' ', $y0, '))')""".stripMargin.replaceAll("\n", "")
+
+  private def partSquares(dir: String): TableGeometrySource =
+    TableGeometrySource(s"$dir/part.parquet", "p_partkey", Seq("p_size"),
+      geomWktExpr = Some(squareWkt("p_partkey % 50", "cast(p_partkey / 50 as int) * 2",
+        "p_size / 10")))
+
+  private def geometryOracles: Map[String, String] = Map(
+    "g01_merge_blocks" ->
+      """SELECT c_custkey AS fid, o_orderkey, c_acctbal, round(o_totalprice, 2) AS o_totalprice
+        |FROM customer JOIN orders ON o_custkey = c_custkey""".stripMargin,
+    "g02_field_ops" ->
+      """SELECT c_custkey AS fid, round(fmod(fmod(c_acctbal, 7.0) + 7.0, 7.0), 4) AS m7,
+        | round(c_acctbal * 2.0 + 100.0, 2) AS shifted,
+        | round(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0.0 END, 2) AS pos
+        |FROM customer""".stripMargin,
+    "g03_classify" ->
+      """SELECT c_custkey AS fid, CASE WHEN c_acctbal <= 0 THEN 'neg'
+        | WHEN c_acctbal <= 5000 THEN 'low' ELSE 'high' END AS bucket FROM customer""".stripMargin,
+    "g04_classify_columns" ->
+      """SELECT p_partkey AS fid, CASE
+        | WHEN p_retailprice <= p_size * 30 THEN 'below'
+        | WHEN p_retailprice <= p_size * 60 THEN 'between' ELSE 'above' END AS bucket
+        |FROM part""".stripMargin,
+    "g05_interp" ->
+      """SELECT c_custkey AS fid, round(CASE
+        | WHEN c_acctbal < 0 THEN 0.0
+        | WHEN c_acctbal >= 10000 THEN 2.0
+        | WHEN c_acctbal < 5000 THEN 0.0 + (c_acctbal - 0.0) * ((1.0 - 0.0) / (5000.0 - 0.0))
+        | ELSE 1.0 + (c_acctbal - 5000.0) * ((2.0 - 1.0) / (10000.0 - 5000.0)) END, 6) AS score
+        |FROM customer""".stripMargin,
+    "g06_choose" ->
+      """SELECT c_custkey AS fid, round(CASE WHEN c_acctbal <= 1000 THEN c_acctbal * -1.0
+        | ELSE c_acctbal * 2.0 END, 2) AS picked FROM customer""".stripMargin,
+    "g07_parse_text" ->
+      """SELECT event_id AS fid,
+        | CAST(str_split(regexp_replace(props, '[{}" ]', '', 'g'), ':')[2] AS DOUBLE) AS k_val
+        |FROM events""".stripMargin,
+    "g08_area" ->
+      """SELECT p_partkey AS fid, round((p_size / 10.0) * (p_size / 10.0), 6) AS area
+        |FROM part""".stripMargin,
+    "g09_difference" ->
+      """SELECT p_partkey AS fid, round((p_size / 10.0) * (p_size / 10.0)
+        | - (p_size / 20.0) * (p_size / 20.0), 6) AS area FROM part""".stripMargin,
+    "g10_intersection" ->
+      """SELECT p_partkey AS fid, round(
+        | greatest(least(CAST(p_partkey % 50 AS DOUBLE) + p_size / 10.0, 25.0)
+        |   - least(CAST(p_partkey % 50 AS DOUBLE), 25.0), 0.0)
+        | * greatest(least(CAST(p_partkey // 50 AS DOUBLE) * 2 + p_size / 10.0, 6.0)
+        |   - least(CAST(p_partkey // 50 AS DOUBLE) * 2, 6.0), 0.0), 6) AS area
+        |FROM part
+        |WHERE p_partkey % 50 <= 25 AND p_partkey // 50 * 2 <= 6""".stripMargin,
+    "g11_filters_pushdown" ->
+      """SELECT c_custkey AS fid, round(c_acctbal, 2) AS c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin
+  )
+
+  // ------------------------------------------------------------ pipeline
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")),
+    "p02_token_count" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"))),
+    "p03_quality" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+    "p04_langid" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))),
+    "p05_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "p06_ngram_jaccard" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(size(array_intersect(col("a.sh"), col("b.sh"))) > 0)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            greatest(size(array_union(col("a.sh"), col("b.sh"))).cast("double"), lit(1.0)), 6)
+            .as("jaccard"))
+    }),
+    "p07_minhash_lsh" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(tbl(s, dir, "documents"), "doc_id", "text", 32, 8, 3)),
+    "p08_simhash" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        Dedup.simhash(col("text")).as("sig"))),
+    "p09_embed_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", Seq(0L, 1L, 2L), 5)),
+    "p10_embed_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq(0L, 1L, 2L), 5, numPlanes = 4)),
+    "p11_embed_near_dups" -> ((s, dir) =>
+      Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        0.3, Similarity.randomPlanes(4, 64))),
+    "p12_multimodal_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = Multimodal.mediaTable(tbl(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("modality"), round(element_at(col("feature"), 1), 4).as("f0"))
+    }),
+    "p13_stream_vs_batch" -> ((s, dir) => {
+      // batch form of the streaming plan; the streaming parity is covered by
+      // the ScalaTest suite (memory sink)
+      EventStream.batch(s, dir, "30 minutes")
+    })
+  )
+
+  private def pipelineOracles: Map[String, String] = Map(
+    "p01_dedup_exact" ->
+      "SELECT min(doc_id) AS rep_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "p02_token_count" ->
+      """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        | ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe
+        |FROM documents""".stripMargin,
+    "p04_langid" -> {
+      // argmax with 'later wins on >' exactly like the Spark fold
+      val scoreSql = TextAnalysis.langMarkers.map { case (lang, markers) =>
+        val inList = markers.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(ws, w -> list_contains([$inList], w))) AS s_$lang"
+      }.mkString(", ")
+      val folded = TextAnalysis.langMarkers.map(_._1).drop(1)
+        .foldLeft(s"struct_pack(score := s_${TextAnalysis.langMarkers.head._1}, l := '${TextAnalysis.langMarkers.head._1}')") {
+          case (acc, lang) =>
+            s"CASE WHEN s_$lang > ($acc).score THEN struct_pack(score := s_$lang, l := '$lang') ELSE $acc END"
+        }
+      s"""WITH t AS (SELECT doc_id,
+         | list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+         | FROM documents),
+         |scored AS (SELECT doc_id, $scoreSql FROM t)
+         |SELECT doc_id, ($folded).l AS lang_guess FROM scored""".stripMargin
+    },
+    "p05_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        | list_prepend(CAST(0 AS BIGINT), list_transform(
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0),
+        |  w -> CAST(len(w) * 7 + ord(w[1]) AS BIGINT))),
+        | (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
+    "p06_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id,
+        | list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+        | FROM documents WHERE doc_id < 40),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, greatest(len(ws) - 2, 1) + 1),
+        |  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |  / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) > 0""".stripMargin,
+    "p09_embed_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_cosine_similarity(q.v, c.v), 6) AS cos
+        | FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        | WHERE q.vec_id IN (0, 1, 2)),
+        |ranked AS (SELECT *, row_number() OVER
+        | (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank FROM scored)
+        |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "p13_stream_vs_batch" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type,
+        | count(*) AS n, round(sum(value), 4) AS total FROM events GROUP BY 1, 2""".stripMargin
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for ops whose kernels (xxhash64,
+    * JVM-seeded hyperplanes, binary payload kernels) an external engine
+    * cannot reproduce → driver records a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    relationalOracles ++ temporalOracles ++ rasterOracles ++ zonalOraclesSql ++
+      geometryOracles ++ pipelineOracles
 }

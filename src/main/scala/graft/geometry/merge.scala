@@ -41,14 +41,16 @@ case class MergeGeometryBlocks(
 case class ParseTextColumn(
     source: GeometryBlock,
     sourceColumn: String,
-    keyMapping: Seq[(String, String, String)] // (key, outColumn, type)
+    keyMapping: Seq[(String, String, String)], // (key, outColumn, type)
+    pairSep: String = " ",
+    kvSep: String = "="
 ) extends GeometryBlock {
   override def columns: Set[String] = source.columns ++ keyMapping.map(_._2)
   override def projection: String = source.projection
 
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
     val df = source.frame(req)
-    val kv = str_to_map(col(sourceColumn), lit(" "), lit("="))
+    val kv = str_to_map(col(sourceColumn), lit(pairSep), lit(kvSep))
     keyMapping.foldLeft(df) { case (d, (key, out, typ)) =>
       val raw = element_at(kv, key)
       val casted = typ match {

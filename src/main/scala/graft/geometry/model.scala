@@ -94,13 +94,14 @@ case class TableGeometrySource(
     proj: String = "EPSG:28992"
 ) extends GeometryBlock {
   override def columns: Set[String] =
-    columnNames.toSet ++ (if (geomWktExpr.isDefined) Set("geometry") else Set.empty)
+    columnNames.map(c => c.split("(?i)\\s+as\\s+").last.trim).toSet ++
+      (if (geomWktExpr.isDefined) Set("geometry") else Set.empty)
   override def projection: String = proj
 
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
     var df = spark.read.parquet(path)
     df = df.select((expr(fidExpr).cast("long").as("fid") +:
-      columnNames.map(c => col(c))) ++
+      columnNames.map(c => expr(c))) ++
       geomWktExpr.map(g => GeomFunctions.stGeomFromWkt(expr(g)).as("geometry")).toSeq: _*)
     // attribute equality filters push down to the parquet scan
     req.filters.foreach { case (k, v) => df = df.filter(col(k) === lit(v)) }

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (a broadcast join of the query set
+  * against the corpus — one scan, no shuffle of the corpus). Scale path:
+  * random-hyperplane LSH bucketing, turning the similarity search into an
+  * equi-join on bucket signatures.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes (fixed seed — reproducible across
+    * sessions and engines). */
+  def randomPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of a vector against the hyperplanes. */
+  def hyperplaneSignature(vec: Column, planes: Seq[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(zip_with(vec, typedLit(p.toSeq), (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Brute-force cosine top-k for each query id. The query side is tiny →
+    * broadcast; the corpus is scanned once; per-query ranking is a window
+    * over the query id partition. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    // compute in double precision regardless of the storage element type
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val corpus = df.select(col(idCol).as("cand_id"), vecD.as("cv"))
+    val queries = df.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), vecD.as("qv"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(Dedup.cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: candidates share a hyperplane bucket with the query
+    * (equi-join), then exact cosine ranking within the bucket. Trades recall
+    * for eliminating the corpus×queries product — the 100 TB path. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = randomPlanes(numPlanes, dim)
+    val sig = hyperplaneSignature(col(vecCol), planes)
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
+    val queries = keyed.filter(col("id").isInCollection(queryIds))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val scored = keyed.join(broadcast(queries), Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("cand_id"),
+        round(Dedup.cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+}

@@ -141,18 +141,28 @@ case class TableRasterSource(
   override def allTimes: Seq[Instant] =
     (0 until frames).map(i => Instant.ofEpochMilli(timeFirstMs + frameDeltaMs0 * i))
 
+  override def cellSize: Option[Double] = Some(1.0)
+
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
-    require(req.width == gridW && req.height == gridH,
-      "TableRasterSource serves identity requests only")
+    // serves the native grid or any integer-aligned unit-cell subwindow of
+    // it; world anchoring: cell (x, y) covers [x, x+1]×[gridH-y-1, gridH-y]
+    val isPoint = req.bbox.isPoint
+    require(isPoint || (req.cellW == 1.0 && req.cellH == 1.0),
+      "TableRasterSource serves unit-cell-aligned requests only")
+    val bx1 = math.round(if (isPoint) math.floor(req.bbox.x1) else req.bbox.x1).toInt
+    val by2 = math.round(if (isPoint) math.ceil(req.bbox.y2) else req.bbox.y2).toInt
     val times = timesIn(req.start, req.stop)
     val timesMs = times.map(_.toEpochMilli)
     val wanted = timesMs.map(t => ((t - timeFirstMs) / frameDeltaMs0).toInt).toSet
     val nd = noDataValue
+    val (rw, rh) = (req.width, req.height)
     val tileCells = udf { (entries: Seq[org.apache.spark.sql.Row], tw: Int, th: Int) =>
       val out = Array.fill(tw * th)(nd)
       entries.foreach { e => out(e.getInt(0)) = e.getDouble(1) }
       out
     }
+    val nTx = TileLayout.tilesX(rw)
+    val nTiles = TileLayout.numTiles(rw, rh)
     val df = spark.read.parquet(path)
       .select(expr(idExpr).cast("long").as("id"),
         when(expr(noDataFilter), lit(nd)).otherwise(expr(valueExpr).cast("double")).as("v"))
@@ -162,16 +172,37 @@ case class TableRasterSource(
       .withColumn("y", (col("cell") / gridW).cast("int"))
       .withColumn("x", (col("cell") % gridW).cast("int"))
       .filter(col("y") < gridH)
+      // request-window pixel coordinates (row 0 = top = world y2)
+      .withColumn("px", col("x") - bx1)
+      .withColumn("py", col("y") - (gridH - by2))
+      .filter(col("px") >= 0 && col("px") < rw && col("py") >= 0 && col("py") < rh)
       .withColumn("t", col("fi").cast("long") * frameDeltaMs0 + timeFirstMs)
-      .withColumn("ty", floor(col("y") / TileLayout.TILE).cast("int"))
-      .withColumn("tx", floor(col("x") / TileLayout.TILE).cast("int"))
-      .withColumn("tw", least(lit(TileLayout.TILE), lit(gridW) - col("tx") * TileLayout.TILE))
-      .withColumn("th", least(lit(TileLayout.TILE), lit(gridH) - col("ty") * TileLayout.TILE))
+      .withColumn("ty", floor(col("py") / TileLayout.TILE).cast("int"))
+      .withColumn("tx", floor(col("px") / TileLayout.TILE).cast("int"))
+      .withColumn("tw", least(lit(TileLayout.TILE), lit(rw) - col("tx") * TileLayout.TILE))
+      .withColumn("th", least(lit(TileLayout.TILE), lit(rh) - col("ty") * TileLayout.TILE))
       .withColumn("pos",
-        (col("y") % TileLayout.TILE) * col("tw") + (col("x") % TileLayout.TILE))
+        (col("py") % TileLayout.TILE) * col("tw") + (col("px") % TileLayout.TILE))
       .groupBy(col("t"), col("ty"), col("tx"))
       .agg(tileCells(collect_list(struct(col("pos"), col("v"))),
         first(col("tw")), first(col("th"))).as("values"))
-    df.select(col("t"), col("ty"), col("tx"), col("values"))
+      .select(col("t"), col("ty"), col("tx"), col("values"))
+    // densify: tiles with no table rows at all (fully padded) still need a
+    // nodata tile so downstream zip_with alignment holds
+    import spark.implicits._
+    val allTiles = spark.range(timesMs.length.toLong * nTiles).mapPartitions { it =>
+      it.map { i =>
+        val t = timesMs((i / nTiles).toInt)
+        val tile = (i % nTiles).toInt
+        (t, tile / nTx, tile % nTx)
+      }
+    }.toDF("t", "ty", "tx")
+    allTiles.join(df, Seq("t", "ty", "tx"), "left")
+      .select(col("t"), col("ty"), col("tx"),
+        coalesce(col("values"), {
+          val tw = least(lit(TileLayout.TILE), lit(rw) - col("tx") * TileLayout.TILE)
+          val th = least(lit(TileLayout.TILE), lit(rh) - col("ty") * TileLayout.TILE)
+          array_repeat(lit(nd), (tw * th).cast("int"))
+        }).as("values"))
   }
 }
