@@ -274,6 +274,32 @@ object SparkEntry {
         val index = Shift(a, Hour / 3)
         cells(Snap(a, index).frame(fullReq(g, g.frames + 1))(s), g)
           .select((col("t_idx") - 0).as("t_idx"), col("cell_id"), col("v"))
+      }),
+      "r25_dilate" -> q((s, dir, g) =>
+        cells(Dilate(eventsRaster(dir, g, "cast(floor(value) as long) % 10", dtype = "int64"),
+          Seq(5.0)).frame(fullReq(g))(s), g)),
+      "r26_movingmax" -> q((s, dir, g) =>
+        cells(MovingMax(eventsRaster(dir, g), 3).frame(fullReq(g))(s), g)),
+      "r27_hillshade" -> q((s, dir, g) =>
+        cells(HillShade(eventsRaster(dir, g)).frame(fullReq(g))(s), g)),
+      "r28_rasterize" -> q((s, dir, g) => {
+        val feats = customerSquares(dir, g)
+        val burned = Rasterize(feats, columnName = Some("c_acctbal"), dtypeName = "float64")
+        cells(burned.frame(fullReq(g, 1))(s), g)
+          .select(col("cell_id"), round(col("v"), 2).as("v"))
+      }),
+      "r29_rasterize_wkt" -> q((s, dir, g) => {
+        val r = RasterizeWKT("POLYGON ((10 10, 40 10, 40 30, 10 30, 10 10))", "EPSG:28992")
+        cells(r.frame(fullReq(g, 1))(s), g).select(col("cell_id"), col("v"))
+      }),
+      "r30_smooth" -> q((s, dir, g) =>
+        cells(Smooth(eventsRaster(dir, g), 2.0, fill = 0).frame(fullReq(g))(s), g)
+          .select(col("t_idx"), col("cell_id"), round(col("v"), 4).as("v"))),
+      "r31_place" -> q((s, dir, g) => {
+        val stamped = Place(eventsRaster(dir, g), "EPSG:28992", (50.0, g.h / 2.0),
+          Seq((25.0, g.h / 2.0), (75.0, g.h / 2.0)), "max")
+        cells(stamped.frame(fullReq(g))(s), g)
+          .select(col("t_idx"), col("cell_id"), round(col("v"), 4).as("v"))
       })
     )
   }
@@ -377,7 +403,56 @@ object SparkEntry {
       |FROM (SELECT unnest(range(7)) AS t) h
       |JOIN cells c ON c.src_t = h.t // 2""".stripMargin,
     "r24_snap" -> s"""${cellsSql()}
-      |SELECT t_idx, cell_id, v FROM cells""".stripMargin
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r25_dilate" -> s"""WITH cells AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE CAST(floor(value) AS BIGINT) % 10 END AS v
+      |  FROM events WHERE event_id // 4 < (SELECT COUNT(*) // 4 FROM events)),
+      |xy AS (SELECT t_idx, cell_id, v, CAST(cell_id % 100 AS BIGINT) AS x,
+      |  CAST(cell_id // 100 AS BIGINT) AS y FROM cells)
+      |SELECT a.t_idx, a.cell_id,
+      | CASE WHEN max(CASE WHEN b.v = 5 THEN 1 ELSE 0 END) = 1 THEN 5.0
+      |      WHEN a.v IS NULL THEN CAST(9223372036854775807 AS DOUBLE)
+      |      ELSE CAST(a.v AS DOUBLE) END AS v
+      |FROM xy a LEFT JOIN xy b ON b.t_idx = a.t_idx
+      |  AND b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
+      |GROUP BY a.t_idx, a.cell_id, a.v""".stripMargin,
+    "r26_movingmax" -> s"""WITH cells AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |  FROM events WHERE event_id // 4 < (SELECT COUNT(*) // 4 FROM events)),
+      |xy AS (SELECT t_idx, cell_id, v, CAST(cell_id % 100 AS BIGINT) AS x,
+      |  CAST(cell_id // 100 AS BIGINT) AS y FROM cells)
+      |SELECT a.t_idx, a.cell_id, coalesce(max(b.v), $NDSQL) AS v
+      |FROM xy a LEFT JOIN xy b ON b.t_idx = a.t_idx
+      |  AND b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
+      |  AND b.v IS NOT NULL
+      |GROUP BY a.t_idx, a.cell_id""".stripMargin,
+    "r28_rasterize" -> s"""WITH params AS (
+      |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
+      |   count(*) // 4 AS n_cells FROM events),
+      |grid AS (SELECT unnest(range((SELECT n_cells FROM params))) AS cell_id),
+      |centers AS (SELECT cell_id, CAST(cell_id % 100 AS BIGINT) AS x,
+      |  (SELECT h FROM params) - 1 - CAST(cell_id // 100 AS BIGINT) AS wy FROM grid),
+      |squares AS (
+      |  SELECT c_custkey AS fid, c_acctbal,
+      |    CAST((c_custkey * 7) % 98 AS BIGINT) AS x0,
+      |    CAST((c_custkey * 13) % ((SELECT h FROM params) - 2) AS BIGINT) AS y0
+      |  FROM customer)
+      |SELECT c.cell_id,
+      | round(coalesce(arg_max(s.c_acctbal, s.fid), $NDSQL), 2) AS v
+      |FROM centers c LEFT JOIN squares s
+      |  ON c.x >= s.x0 AND c.x < s.x0 + 2 AND c.wy >= s.y0 AND c.wy < s.y0 + 2
+      |GROUP BY c.cell_id""".stripMargin,
+    "r29_rasterize_wkt" -> s"""WITH params AS (
+      |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
+      |   count(*) // 4 AS n_cells FROM events),
+      |grid AS (SELECT unnest(range((SELECT n_cells FROM params))) AS cell_id),
+      |centers AS (SELECT cell_id, CAST(cell_id % 100 AS BIGINT) AS x,
+      |  (SELECT h FROM params) - 1 - CAST(cell_id // 100 AS BIGINT) AS wy FROM grid)
+      |SELECT cell_id, CASE WHEN x + 0.5 > 10 AND x + 0.5 < 40
+      |  AND wy + 0.5 > 10 AND wy + 0.5 < 30 THEN 1.0 ELSE 0.0 END AS v
+      |FROM centers""".stripMargin
   )
 
   // --------------------------------------------------------------- zonal

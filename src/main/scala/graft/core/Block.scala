@@ -28,7 +28,11 @@ trait Block extends Product with Serializable {
     * (core/graphs.py:220-222). */
   final def graphName: String = s"${getClass.getSimpleName}_$token"
 
-  def children: Seq[Block] = args.collect { case b: Block => b }
+  def children: Seq[Block] = args.flatMap {
+    case b: Block  => Seq(b)
+    case s: Seq[_] => s.collect { case b: Block => b }
+    case _         => Seq.empty
+  }
 
   // ---- JSON v2 view serde (core/graphs.py:265-286) -------------------------
 
@@ -42,6 +46,10 @@ trait Block extends Product with Serializable {
         b.children.foreach(visit)
         val serArgs = b.args.map {
           case c: Block => c.graphName
+          case s: Seq[_] => s.map {
+            case c: Block => c.graphName
+            case v        => v
+          }
           case i: java.time.Instant => i.toString
           case v        => v
         }
@@ -73,6 +81,96 @@ object BlockRegistry {
   def register(className: String)(f: Seq[Any] => Block): Unit =
     factories(className) = f
 
+  /** Generic factory via the primary constructor, coercing JSON literals
+    * (Long/Double/String/Boolean/List/null) to the declared parameter
+    * classes. Covers the common shapes: numbers, strings, options, blocks,
+    * Seq[Double], Seq[(Double, Double)] (2-lists), Seq[String], tuples of
+    * numbers. Blocks with exotic arg shapes register a custom factory. */
+  def registerAuto(cls: Class[_ <: Block]): Unit = register(cls.getName) { args =>
+    val ctor = cls.getConstructors.maxBy(_.getParameterCount)
+    val types = ctor.getParameterTypes
+    require(types.length == args.length,
+      s"${cls.getName}: expected ${types.length} args, got ${args.length}")
+    val coerced = args.zip(types).map { case (a, t) => coerce(a, t) }
+    ctor.newInstance(coerced.map(_.asInstanceOf[AnyRef]): _*).asInstanceOf[Block]
+  }
+
+  private def coerce(a: Any, t: Class[_]): Any = {
+    def num(v: Any): Double = v match {
+      case d: Double => d; case l: Long => l.toDouble; case i: Int => i.toDouble
+      case other => other.toString.toDouble
+    }
+    if (t == classOf[Int] || t == java.lang.Integer.TYPE) num(a).toInt
+    else if (t == classOf[Long] || t == java.lang.Long.TYPE) num(a).toLong
+    else if (t == classOf[Double] || t == java.lang.Double.TYPE) num(a)
+    else if (t == classOf[Boolean] || t == java.lang.Boolean.TYPE)
+      a.toString.toBoolean
+    else if (t == classOf[String]) a.toString
+    else if (t == classOf[Option[_]]) {
+      def wrap(v: Any): Option[Any] = Some(v match {
+        case l: Long => l.toDouble; case i: Int => i.toDouble; case x => x
+      })
+      a match {
+        case null | None => None
+        case Some(v)     => wrap(v)
+        case v           => wrap(v)
+      }
+    }
+    else if (classOf[Block].isAssignableFrom(t)) a.asInstanceOf[Block]
+    else if (classOf[Seq[_]].isAssignableFrom(t)) a match {
+      case s: Seq[_] => s.map {
+        case b: Block => b
+        case l: Seq[_] if l.size == 2 && l.forall(x => x.isInstanceOf[Long]
+          || x.isInstanceOf[Double] || x.isInstanceOf[Int]) =>
+          (num(l.head), num(l(1))) // 2-number lists → (Double, Double)
+        case l: Long => l.toDouble
+        case i: Int  => i.toDouble
+        case v       => v
+      }
+      case null => Nil
+      case v    => Seq(v)
+    }
+    else if (classOf[Product].isAssignableFrom(t)) a match {
+      case s: Seq[_] if s.size == 2 =>
+        if (s.forall(x => x.isInstanceOf[Long] || x.isInstanceOf[Int] || x.isInstanceOf[Double]))
+          (num(s.head), num(s(1)))
+        else (s.head, s(1))
+      case p: Product => p
+      case v          => v
+    }
+    else a
+  }
+
+  /** Register the standard operator inventory. Idempotent. */
+  lazy val registerBuiltins: Unit = {
+    import graft.raster._
+    Seq[Class[_ <: Block]](
+      classOf[Add], classOf[Subtract], classOf[Multiply], classOf[Divide],
+      classOf[Power], classOf[Equal], classOf[NotEqual], classOf[Greater],
+      classOf[GreaterEqual], classOf[Less], classOf[LessEqual], classOf[Invert],
+      classOf[And], classOf[Or], classOf[Xor], classOf[IsData], classOf[IsNoData],
+      classOf[Exp], classOf[Log], classOf[Log10], classOf[FillNoData],
+      classOf[Clip], classOf[Mask], classOf[MaskBelow], classOf[Step],
+      classOf[Classify], classOf[Reclassify], classOf[Group], classOf[Max],
+      classOf[Reduce], classOf[Snap], classOf[Shift], classOf[TemporalSum],
+      classOf[TemporalAggregate], classOf[Cumulative], classOf[Resample],
+      classOf[Dilate], classOf[MovingMax], classOf[Smooth], classOf[HillShade],
+      classOf[Place], classOf[RasterizeWKT], classOf[Rasterize],
+      classOf[TableRasterSource], classOf[RasterParquetSource], classOf[RasterTiler]
+    ).foreach(registerAuto)
+    Seq[Class[_ <: Block]](
+      classOf[graft.geometry.GetSeriesBlock], classOf[graft.geometry.SetSeriesBlock],
+      classOf[graft.geometry.TableGeometrySource], classOf[graft.geometry.GeometryWKTSource],
+      classOf[graft.geometry.MergeGeometryBlocks], classOf[graft.geometry.ParseTextColumn],
+      classOf[graft.geometry.Buffer], classOf[graft.geometry.Simplify],
+      classOf[graft.geometry.Difference], classOf[graft.geometry.Intersection],
+      classOf[graft.geometry.Area], classOf[graft.geometry.AggregateRaster],
+      classOf[graft.geometry.AggregateRasterAboveThreshold],
+      classOf[graft.geometry.GeoParquetSource], classOf[graft.geometry.GeometryTiler]
+    ).foreach(registerAuto)
+    graft.raster.MemorySource.ensureRegistered()
+  }
+
   def construct(className: String, args: Seq[Any]): Block =
     factories.get(className) match {
       case Some(f) => f(args)
@@ -84,6 +182,7 @@ object BlockRegistry {
 
   /** Rebuild a Block DAG from a serialized view document. */
   def fromJson(json: String): Block = {
+    registerBuiltins
     val doc = Json.parse(json).asInstanceOf[Map[String, Any]]
     require(doc.get("version").exists(v => v == 2L || v == 2), "expected version 2 view")
     val graph = doc("graph").asInstanceOf[Map[String, Any]]
@@ -94,7 +193,11 @@ object BlockRegistry {
       val cls = entry.head.toString
       val rawArgs = entry.tail.map {
         case s: String if graph.contains(s) => build(s)
-        case v                              => v
+        case l: List[_] => l.map {
+          case s: String if graph.contains(s) => build(s)
+          case v                              => v
+        }
+        case v => v
       }
       BlockRegistry.construct(cls, rawArgs)
     })

@@ -46,6 +46,7 @@ object Json {
       }
       sb.append(']')
     case arr: Array[_] => write(arr.toSeq, sb)
+    case p: Product    => write(p.productIterator.toSeq, sb) // tuples → lists
     case other         => writeString(other.toString, sb)
   }
 

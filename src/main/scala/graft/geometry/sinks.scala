@@ -1,0 +1,77 @@
+package graft.geometry
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Feature sinks, after `dask_geomodeling/geometry/sinks.py`.
+  *
+  * The reference writes shp/gpkg/geojson tiles named by request hash and
+  * appends them into one file (sinks.py:46-216). On Spark the natural
+  * formats are partitioned GeoParquet-style parquet (WKT geometry + bbox
+  * columns for pushdown) and newline-delimited GeoJSON via the JSON writer;
+  * the tile/merge dance is the committer's job.
+  */
+case class GeometryFileSink(source: GeometryBlock, url: String,
+    format: String = "geoparquet", fields: Option[Seq[String]] = None) {
+  require(Set("geoparquet", "geojson").contains(format), s"unsupported format $format")
+
+  def write(req: GeometryRequest)(implicit spark: SparkSession): String = {
+    val df = source.frame(req)
+    val cols = fields.getOrElse(df.columns.toSeq.filterNot(_ == "geometry"))
+    val out = df.select(
+      (col("fid") +: cols.filterNot(_ == "fid").map(col)) :+
+        GeomFunctions.stAsWkt(col("geometry")).as("geometry_wkt") :+
+        GeomFunctions.stEnvMinX(col("geometry")).as("bbox_minx") :+
+        GeomFunctions.stEnvMinY(col("geometry")).as("bbox_miny") :+
+        GeomFunctions.stEnvMaxX(col("geometry")).as("bbox_maxx") :+
+        GeomFunctions.stEnvMaxY(col("geometry")).as("bbox_maxy"): _*)
+    format match {
+      case "geoparquet" => out.write.mode(SaveMode.Overwrite).parquet(url)
+      case "geojson" =>
+        // newline-delimited GeoJSON-ish features via the JSON writer
+        out.select(to_json(struct(
+          lit("Feature").as("type"),
+          col("fid"),
+          struct(cols.filterNot(_ == "fid").map(col): _*).as("properties"),
+          col("geometry_wkt").as("geometry"))).as("value"))
+          .write.mode(SaveMode.Overwrite).text(url)
+    }
+    url
+  }
+}
+
+/** Re-open a written feature store. */
+case class GeoParquetSource(url: String, proj: String = "EPSG:28992") extends GeometryBlock {
+  override def columns: Set[String] = Set("geometry") // full schema known at read
+  override def projection: String = proj
+  override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
+    var df = spark.read.parquet(url)
+      .withColumn("geometry", GeomFunctions.stGeomFromWkt(col("geometry_wkt")))
+      .drop("geometry_wkt")
+    // bbox columns give sargable pushdown before the exact predicate
+    req.geometryWkt.foreach { wkt =>
+      val e = GeomFunctions.readWkt(wkt).getEnvelopeInternal
+      df = df.filter(col("bbox_maxx") >= e.getMinX && col("bbox_minx") <= e.getMaxX &&
+        col("bbox_maxy") >= e.getMinY && col("bbox_miny") <= e.getMaxY)
+      df = df.filter(GeomFunctions.stFilter(col("geometry"), lit(wkt),
+        lit(if (req.mode == "centroid") "centroid" else "intersects")))
+    }
+    req.filters.foreach { case (k, v) => df = df.filter(col(k) === lit(v)) }
+    req.limit.foreach(n => df = df.limit(n))
+    df
+  }
+}
+
+/** API-compat tiler, after `GeometryTiler` (geometry/parallelize.py:18-109):
+  * the reference splits centroid-mode requests into tiles for dask
+  * parallelism and exactly-once feature assignment; Spark's partitioning
+  * already provides both (a feature row lives in exactly one partition), so
+  * the block is a validated passthrough. */
+case class GeometryTiler(source: GeometryBlock, size: Double, proj: String)
+    extends GeometryBlock {
+  require(size > 0, "size must be positive")
+  override def columns: Set[String] = source.columns
+  override def projection: String = source.projection
+  override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame =
+    source.frame(req)
+}

@@ -42,7 +42,9 @@ trait RasterBlock extends Block {
     * zonal statistics to pick a default sampling grid). */
   def cellSize: Option[Double] = None
 
-  final def noDataValue: Double = dtype.noDataValue
+  /** The nodata sentinel: dtype max by convention (utils.py:67-76);
+    * overridable for deliberate out-of-range sentinels (HillShade's 256). */
+  def noDataValue: Double = dtype.noDataValue
 
   /** All frame instants, ascending. Metadata-level — the reference obtains
     * this via `mode="time"` sub-requests during planning (SURVEY §3.1); in

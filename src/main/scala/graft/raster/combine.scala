@@ -22,6 +22,7 @@ case class Group(rasters: Seq[RasterBlock]) extends RasterBlock {
   override def temporal: Boolean = rasters.exists(_.temporal)
   override def projection: String = rasters.head.projection
   override def dtype: DType = Elemwise.promoteAll(rasters)
+  override def cellSize: Option[Double] = rasters.flatMap(_.cellSize).headOption
 
   override def period: Option[(Instant, Instant)] = {
     val ps = rasters.flatMap(_.period)

@@ -93,6 +93,7 @@ trait ElemwiseBase extends RasterBlock {
   override def period: Option[(Instant, Instant)] = Elemwise.periodIntersection(srcs)
   override def extent: Option[Bbox] = Elemwise.extentIntersection(srcs)
   override def projection: String = srcs.head.projection
+  override def cellSize: Option[Double] = srcs.flatMap(_.cellSize).headOption
 
   override def allTimes: Seq[Instant] = period match {
     case None => Seq.empty

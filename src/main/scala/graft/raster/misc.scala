@@ -29,8 +29,11 @@ trait BaseSingleRaster extends RasterBlock {
   override def temporal: Boolean = store.temporal
   override def dtype: DType = store.dtype
   override def allTimes: Seq[Instant] = store.allTimes
+  override def cellSize: Option[Double] = store.cellSize
 
-  protected def kernel(v: Column): Column
+  /** Per-cell transform; identity by default (blocks overriding `frame`
+    * directly don't use it). */
+  protected def kernel(v: Column): Column = v
 
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame =
     store.frame(req).select(col("t"), col("ty"), col("tx"),
@@ -53,6 +56,7 @@ case class Clip(store: RasterBlock, source: RasterBlock) extends RasterBlock {
   override def projection: String = store.projection
   override def temporal: Boolean = store.temporal
   override def dtype: DType = store.dtype
+  override def cellSize: Option[Double] = store.cellSize
   override def allTimes: Seq[Instant] = period match {
     case None => Seq.empty
     case Some((p0, p1)) => store.allTimes.filter(t => !t.isBefore(p0) && !t.isAfter(p1))
@@ -85,14 +89,14 @@ case class Mask(store: RasterBlock, value: Double) extends BaseSingleRaster {
     store.frame(req).select(col("t"), col("ty"), col("tx"),
       transform(col("values"), x => when(x === nd, lit(f)).otherwise(lit(v))).as("values"))
   }
-  protected def kernel(v: Column): Column = v // unused; frame overridden
+  override protected def kernel(v: Column): Column = v // unused; frame overridden
   /** The sentinel deviates from dtype-max here (misc.py:192-194). */
   def maskNoDataValue: Double = fill
 }
 
 /** Cells strictly below `value` become nodata (misc.py:225-251). */
 case class MaskBelow(store: RasterBlock, value: Double) extends BaseSingleRaster {
-  protected def kernel(v: Column): Column =
+  override protected def kernel(v: Column): Column =
     when(v < value && v =!= store.noDataValue, lit(store.noDataValue)).otherwise(v)
 }
 
@@ -106,7 +110,7 @@ case class Step(
     atOpt: Option[Double] = None
 ) extends BaseSingleRaster {
   def at: Double = atOpt.getOrElse((left + right) / 2)
-  protected def kernel(v: Column): Column =
+  override protected def kernel(v: Column): Column =
     when(v === store.noDataValue, v)
       .when(v < value, lit(left))
       .when(v === value, lit(at))
@@ -121,7 +125,7 @@ case class Classify(store: RasterBlock, bins: Seq[Double], right: Boolean = fals
   require(bins.nonEmpty && bins.sliding(2).forall(p => p.size < 2 || p(0) < p(1)),
     "'bins' should be monotonic increasing")
   override def dtype: DType = MiscDTypes.uintFor(bins.size + 2)
-  protected def kernel(v: Column): Column = {
+  override protected def kernel(v: Column): Column = {
     val nd = noDataValue
     // np.digitize: right=False → index of first edge > v; right=True → >= v
     val idx = bins.foldLeft(lit(0)) { (acc, edge) =>
@@ -144,7 +148,7 @@ case class Reclassify(store: RasterBlock, data: Seq[(Double, Double)], select: B
   override def dtype: DType =
     if (data.forall(_._2.isWhole)) DType.I8 else DType.F8
 
-  protected def kernel(v: Column): Column = {
+  override protected def kernel(v: Column): Column = {
     val nd = noDataValue
     val mapped = data.foldLeft(when(v === store.noDataValue, lit(nd))) {
       case (acc, (from, to)) => acc.when(v === from, lit(to))

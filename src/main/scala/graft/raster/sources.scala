@@ -86,6 +86,8 @@ case class MemorySource(
 }
 
 object MemorySource {
+  /** Forces companion initialization so the custom factory below is live. */
+  def ensureRegistered(): Unit = ()
   BlockRegistry.register(classOf[MemorySource].getName) { args =>
     val Seq(data, gw, gh, nd, proj, ps, ox, oy, tf, fd, dt, md) = args
     MemorySource(

@@ -1,0 +1,335 @@
+package graft.raster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Focal (stencil) raster blocks, after `dask_geomodeling/raster/spatial.py`.
+  *
+  * The reference grows each request by a margin and crops it after the
+  * kernel (expand_request_pixels/meters, spatial.py:27-108). In the tiled
+  * Spark engine this becomes a *halo exchange*: the child is evaluated on
+  * the expanded grid, every expanded tile is shipped to each output tile
+  * whose padded patch overlaps it (≤9 targets for margins ≤ tile size), and
+  * a per-tile Scala kernel runs on the assembled patch — one shuffle keyed
+  * by output tile, no driver involvement.
+  */
+trait SpatialStencil extends BaseSingleRaster {
+
+  /** Halo margin in pixels for this request (mx, my). */
+  protected def marginPx(req: RasterRequest): (Int, Int)
+
+  /** Kernel over the padded patch ((ow+2mx) × (oh+2my), row-major);
+    * returns the cropped ow×oh output window. */
+  protected def kernel(patch: Array[Double], ow: Int, oh: Int, mx: Int, my: Int,
+      nd: Double, req: RasterRequest): Array[Double]
+
+  protected final def crop(patch: Array[Double], ow: Int, oh: Int, mx: Int, my: Int)
+      : Array[Double] = {
+    val pw = ow + 2 * mx
+    val out = new Array[Double](ow * oh)
+    var y = 0
+    while (y < oh) {
+      System.arraycopy(patch, (y + my) * pw + mx, out, y * ow, ow)
+      y += 1
+    }
+    out
+  }
+
+  override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
+    val (mx, my) = marginPx(req)
+    // point / degenerate requests are not expandable: pass through
+    if ((mx == 0 && my == 0) || req.bbox.isPoint) return store.frame(req)
+    require(mx <= TileLayout.TILE && my <= TileLayout.TILE,
+      s"stencil margin ($mx, $my) exceeds the tile size")
+    val ereq = RasterRequest(
+      Bbox(req.bbox.x1 - mx * req.cellW, req.bbox.y1 - my * req.cellH,
+        req.bbox.x2 + mx * req.cellW, req.bbox.y2 + my * req.cellH),
+      req.projection, req.width + 2 * mx, req.height + 2 * my, req.start, req.stop)
+
+    import spark.implicits._
+    val TILE = TileLayout.TILE
+    val (ow, oh) = (req.width, req.height)
+    val (ew, eh) = (ereq.width, ereq.height)
+    val nd = store.noDataValue
+    val nOtx = TileLayout.tilesX(ow)
+    val nOty = TileLayout.tilesY(oh)
+    val self = this
+    val r = req
+
+    // expanded tile (sty, stx) → all output tiles whose padded patch
+    // [otx*TILE, otx*TILE + otw + 2mx) × [...] overlaps it
+    val pairs = store.frame(ereq).as[TileRow].flatMap { row =>
+      val ex0 = row.tx * TILE; val ey0 = row.ty * TILE
+      val etw = math.min(TILE, ew - ex0); val eth = math.min(TILE, eh - ey0)
+      for {
+        oty <- math.max(0, (ey0 - 2 * my) / TILE - 1) to math.min(nOty - 1, (ey0 + eth - 1) / TILE)
+        otx <- math.max(0, (ex0 - 2 * mx) / TILE - 1) to math.min(nOtx - 1, (ex0 + etw - 1) / TILE)
+        otw = math.min(TILE, ow - otx * TILE)
+        oth = math.min(TILE, oh - oty * TILE)
+        if otx * TILE < ex0 + etw && otx * TILE + otw + 2 * mx > ex0 &&
+          oty * TILE < ey0 + eth && oty * TILE + oth + 2 * my > ey0
+      } yield (row.t, oty, otx, row.ty, row.tx, row.values)
+    }
+    pairs
+      .groupByKey { case (t, oty, otx, _, _, _) => (t, oty, otx) }
+      .mapGroups { (key: (Long, Int, Int), it: Iterator[(Long, Int, Int, Int, Int, Array[Double])]) =>
+        val (t, oty, otx) = key
+        val otw = math.min(TILE, ow - otx * TILE)
+        val oth = math.min(TILE, oh - oty * TILE)
+        val pw = otw + 2 * mx; val ph = oth + 2 * my
+        val patch = Array.fill(pw * ph)(nd)
+        // patch (0,0) sits at expanded pixel (otx*TILE, oty*TILE)
+        val px0 = otx * TILE; val py0 = oty * TILE
+        it.foreach { case (_, _, _, sty, stx, vals) =>
+          val ex0 = stx * TILE; val ey0 = sty * TILE
+          val etw = math.min(TILE, ew - ex0); val eth = math.min(TILE, eh - ey0)
+          val x0 = math.max(ex0, px0); val x1 = math.min(ex0 + etw, px0 + pw)
+          val y0 = math.max(ey0, py0); val y1 = math.min(ey0 + eth, py0 + ph)
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              patch((y - py0) * pw + (x - px0)) = vals((y - ey0) * etw + (x - ex0))
+              x += 1
+            }
+            y += 1
+          }
+        }
+        TileRow(t, oty, otx, self.kernel(patch, otw, oth, mx, my, nd, r))
+      }
+      .toDF("t", "ty", "tx", "values")
+  }
+}
+
+/** Binary dilation (3×3 incl. diagonals) of cells whose value is in
+  * `values`, applied in list order (spatial.py:111-155). */
+case class Dilate(store: RasterBlock, values: Seq[Double]) extends SpatialStencil {
+  protected def marginPx(req: RasterRequest): (Int, Int) = (1, 1)
+  protected def kernel(patch: Array[Double], ow: Int, oh: Int, mx: Int, my: Int,
+      nd: Double, req: RasterRequest): Array[Double] = {
+    val pw = ow + 2 * mx; val ph = oh + 2 * my
+    val dilated = patch.clone()
+    values.foreach { value =>
+      var y = 0
+      while (y < ph) {
+        var x = 0
+        while (x < pw) {
+          if (patch(y * pw + x) == value) {
+            var dy = -1
+            while (dy <= 1) {
+              var dx = -1
+              while (dx <= 1) {
+                val nx = x + dx; val ny = y + dy
+                if (nx >= 0 && nx < pw && ny >= 0 && ny < ph)
+                  dilated(ny * pw + nx) = value
+                dx += 1
+              }
+              dy += 1
+            }
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+    crop(dilated, ow, oh, mx, my)
+  }
+}
+
+/** Max filter with a circular footprint of odd diameter `size`
+  * (spatial.py:158-213; footprint utils.py:536-547). */
+case class MovingMax(store: RasterBlock, sizeRaw: Int) extends SpatialStencil {
+  val size: Int = 2 * Math.round((sizeRaw - 1) / 2.0).toInt + 1
+  require(size >= 3, "The size should be odd and larger than 1")
+  private val radius = size / 2
+  /** circle offsets: (x² + y²) < (size/2)² */
+  private val offsets: Array[(Int, Int)] = {
+    val r2 = (size / 2.0) * (size / 2.0)
+    (for { dy <- -radius to radius; dx <- -radius to radius
+           if dx * dx + dy * dy < r2 } yield (dx, dy)).toArray
+  }
+  protected def marginPx(req: RasterRequest): (Int, Int) = (radius, radius)
+  protected def kernel(patch: Array[Double], ow: Int, oh: Int, mx: Int, my: Int,
+      nd: Double, req: RasterRequest): Array[Double] = {
+    val pw = ow + 2 * mx
+    val out = new Array[Double](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val cx = x + mx; val cy = y + my
+        var best = Double.NegativeInfinity
+        offsets.foreach { case (dx, dy) =>
+          val v = patch((cy + dy) * pw + (cx + dx))
+          if (v != nd && v > best) best = v
+        }
+        out(y * ow + x) =
+          if (best == Double.NegativeInfinity) nd else best
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
+/** Gaussian blur with sigma = size/3 (size in projection meters); nodata is
+  * replaced by `fill` before filtering (spatial.py:216-307). Always runs the
+  * exact separable kernel (the reference's coarse "zoom" fallback for
+  * margins > 6 px is a fidelity/cost trade it makes for remote sources; the
+  * tiled engine evaluates exactly). */
+case class Smooth(store: RasterBlock, size: Double, fill: Double = 0) extends SpatialStencil {
+  protected def marginPx(req: RasterRequest): (Int, Int) = {
+    val mx = math.round(size / req.cellW).toInt
+    val my = math.round(size / req.cellH).toInt
+    (math.max(mx, 1), math.max(my, 1))
+  }
+  protected def kernel(patch: Array[Double], ow: Int, oh: Int, mx: Int, my: Int,
+      nd: Double, req: RasterRequest): Array[Double] = {
+    val pw = ow + 2 * mx; val ph = oh + 2 * my
+    val work = new Array[Double](pw * ph)
+    var i = 0
+    while (i < work.length) {
+      work(i) = if (patch(i) == nd) fill else patch(i); i += 1
+    }
+    // separable gaussian, scipy-compatible: radius = int(4σ + 0.5),
+    // mode=constant cval=fill
+    def gauss1d(sigma: Double): Array[Double] = {
+      val radius = (4.0 * sigma + 0.5).toInt
+      val k = Array.tabulate(2 * radius + 1) { j =>
+        val x = j - radius
+        math.exp(-0.5 * x * x / (sigma * sigma))
+      }
+      val s = k.sum
+      k.map(_ / s)
+    }
+    def convolveH(src: Array[Double], k: Array[Double]): Array[Double] = {
+      val r = k.length / 2
+      val dst = new Array[Double](pw * ph)
+      var y = 0
+      while (y < ph) {
+        var x = 0
+        while (x < pw) {
+          var acc = 0.0
+          var j = -r
+          while (j <= r) {
+            val xx = x + j
+            acc += k(j + r) * (if (xx < 0 || xx >= pw) fill else src(y * pw + xx))
+            j += 1
+          }
+          dst(y * pw + x) = acc
+          x += 1
+        }
+        y += 1
+      }
+      dst
+    }
+    def convolveV(src: Array[Double], k: Array[Double]): Array[Double] = {
+      val r = k.length / 2
+      val dst = new Array[Double](pw * ph)
+      var y = 0
+      while (y < ph) {
+        var x = 0
+        while (x < pw) {
+          var acc = 0.0
+          var j = -r
+          while (j <= r) {
+            val yy = y + j
+            acc += k(j + r) * (if (yy < 0 || yy >= ph) fill else src(yy * pw + x))
+            j += 1
+          }
+          dst(y * pw + x) = acc
+          x += 1
+        }
+        y += 1
+      }
+      dst
+    }
+    val sx = (size / req.cellW) / 3.0
+    val sy = (size / req.cellH) / 3.0
+    val blurred = convolveV(convolveH(work, gauss1d(sx)), gauss1d(sy))
+    crop(blurred, ow, oh, mx, my)
+  }
+}
+
+/** GDAL-style hillshade (port of the gdaldem kernel the reference adapted,
+  * spatial.py:310-438): 3×3 gradients, light from altitude/azimuth, uint8
+  * output with the 256 'impossible' sentinel. */
+case class HillShade(store: RasterBlock, altitude: Double = 45,
+    azimuth: Double = 315, fill: Double = 0) extends SpatialStencil {
+  override def dtype: DType = DType.U1
+  override def noDataValue: Double = 256 // deliberately outside uint8
+  protected def marginPx(req: RasterRequest): (Int, Int) = (1, 1)
+  protected def kernel(patch: Array[Double], ow: Int, oh: Int, mx: Int, my: Int,
+      nd: Double, req: RasterRequest): Array[Double] = {
+    val pw = ow + 2 * mx
+    val xres = req.bbox.width / req.width
+    val yres = req.bbox.height / req.height
+    val alt = math.toRadians(altitude)
+    val az = math.toRadians(azimuth)
+    val zsf = 1.0 / 8
+    val a = patch.map(v => if (v == nd) fill else v)
+    val out = new Array[Double](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val cx = x + mx; val cy = y + my
+        def p(dx: Int, dy: Int): Double = a((cy + dy) * pw + (cx + dx))
+        val gy = (p(-1, -1) + 2 * p(0, -1) + p(1, -1)
+          - p(-1, 1) - 2 * p(0, 1) - p(1, 1)) / yres
+        val gx = (p(-1, -1) + 2 * p(-1, 0) + p(-1, 1)
+          - p(1, -1) - 2 * p(1, 0) - p(1, 1)) / xres
+        val xxyy = gx * gx + gy * gy
+        val aspect = math.atan2(gy, gx)
+        val cang = (math.sin(alt) - math.cos(alt) * zsf * math.sqrt(xxyy) *
+          math.sin(aspect - az)) / math.sqrt(1 + zsf * zsf * xxyy)
+        out(y * ow + x) = if (cang <= 0) 0.0 else (255 * cang).toInt.toDouble
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
+/** Stamp the source at N anchor→coordinate placements; overlaps merged by
+  * `statistic` (spatial.py:441-731). This is the "group" physical mode (one
+  * shifted sub-request per coordinate, merged cellwise); the reference's
+  * "warp" fast path (fetch the full source once) is a cost-based choice it
+  * makes to limit request count — in the tiled engine each sub-request is
+  * already parallel, so group mode is uniformly used. */
+case class Place(store: RasterBlock, placeProjection: String,
+    anchor: (Double, Double), coordinates: Seq[(Double, Double)],
+    statistic: String = "last") extends BaseSingleRaster {
+  Statistics.validate(statistic)
+  require(coordinates.nonEmpty, "Place needs at least one coordinate")
+  override def extent: Option[Bbox] = store.extent.map { e =>
+    coordinates.map { case (cx, cy) =>
+      Bbox(e.x1 - anchor._1 + cx, e.y1 - anchor._2 + cy,
+        e.x2 - anchor._1 + cx, e.y2 - anchor._2 + cy)
+    }.reduce(_ union _)
+  }
+
+  override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
+    val nd = store.noDataValue
+    val parts = coordinates.zipWithIndex.map { case ((cx, cy), i) =>
+      val dx = anchor._1 - cx; val dy = anchor._2 - cy
+      val sreq = req.copy(bbox = Bbox(req.bbox.x1 + dx, req.bbox.y1 + dy,
+        req.bbox.x2 + dx, req.bbox.y2 + dy))
+      store.frame(sreq).select(col("t"), col("ty"), col("tx"),
+        lit(i).as("si"), col("values"))
+    }
+    val stat = statistic
+    parts.reduce(_ unionByName _)
+      .groupBy(col("t"), col("ty"), col("tx"))
+      .agg(sort_array(collect_list(struct(col("si"), col("values")))).as("stack"))
+      .select(col("t"), col("ty"), col("tx"),
+        transform(col("stack").getItem(0).getField("values"), (_, i) => {
+          val full = transform(col("stack"), s => element_at(s.getField("values"), i + 1))
+          val data = filter(full, x => x =!= nd)
+          Statistics.over(data, full, stat, nd)
+        }).as("values"))
+  }
+}

@@ -66,6 +66,7 @@ case class Snap(store: RasterBlock, index: RasterBlock) extends RasterBlock {
   override def temporal: Boolean = index.temporal
   override def extent: Option[Bbox] = store.extent
   override def projection: String = store.projection
+  override def cellSize: Option[Double] = store.cellSize
   override def allTimes: Seq[Instant] =
     if (store.period.isEmpty) Seq.empty else index.allTimes
 
@@ -91,7 +92,7 @@ case class Shift(store: RasterBlock, timeMs: Long) extends BaseSingleRaster {
   override def period: Option[(Instant, Instant)] =
     store.period.map { case (a, b) => (a.plusMillis(timeMs), b.plusMillis(timeMs)) }
   override def allTimes: Seq[Instant] = store.allTimes.map(_.plusMillis(timeMs))
-  protected def kernel(v: Column): Column = v
+  override protected def kernel(v: Column): Column = v
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     val sreq = req.copy(start = req.start.map(_.minusMillis(timeMs)),
       stop = req.stop.map(_.minusMillis(timeMs)))
@@ -102,7 +103,7 @@ case class Shift(store: RasterBlock, timeMs: Long) extends BaseSingleRaster {
 /** Plain (nodata-oblivious) sum over the whole requested time axis; single
   * output frame labeled at the last timestamp (temporal.py:239-255). */
 case class TemporalSum(store: RasterBlock) extends BaseSingleRaster {
-  protected def kernel(v: Column): Column = v
+  override protected def kernel(v: Column): Column = v
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     val times = store.timesIn(req.start, req.stop)
     if (times.isEmpty) return TemporalFrames.emptyFrame
@@ -224,7 +225,7 @@ case class Cumulative(
   private val zone: ZoneId = ZoneId.of(timezone)
   override def store: RasterBlock = source
   override def dtype: DType = DType.statResult(source.dtype, statistic)
-  protected def kernel(v: Column): Column = v
+  override protected def kernel(v: Column): Column = v
 
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     val outTimes = source.timesIn(req.start, req.stop)
@@ -286,7 +287,7 @@ case class Resample(
   private val zone: ZoneId = ZoneId.of(timezone)
   override def store: RasterBlock = source
   override def timeDeltaMs: Option[Long] = freq.timeDeltaMs
-  protected def kernel(v: Column): Column = v
+  override protected def kernel(v: Column): Column = v
 
   /** Label range containing data, per direction (temporal.py:1080-1125). */
   override def period: Option[(Instant, Instant)] = source.period.map { case (p0, p1) =>

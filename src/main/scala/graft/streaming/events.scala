@@ -34,11 +34,11 @@ object EventStream {
   def batch(spark: SparkSession, dir: String, windowLength: String = "1 hour"): DataFrame =
     windowedAgg(QueryLib.tbl(spark, dir, "events"), windowLength)
 
-  /** Streaming form: file-source stream over the same parquet directory,
-    * 10-minute watermark, append-mode windowed aggregation. */
+  /** Streaming form: file-source stream over a *directory* of events
+    * parquet files, 10-minute watermark, windowed aggregation. */
   def streaming(spark: SparkSession, dir: String, windowLength: String = "1 hour"): DataFrame =
     windowedAgg(
-      normalize(spark.readStream.schema(eventSchema).parquet(s"$dir/events.parquet"))
+      normalize(spark.readStream.schema(eventSchema).parquet(dir))
         .withWatermark("ts", "10 minutes"),
       windowLength)
 }

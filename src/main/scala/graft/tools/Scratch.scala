@@ -56,6 +56,23 @@ object Scratch {
       println("zonal rows = " + out.count())
     }
 
+    // sinks + serde through the public API
+    {
+      val out = java.nio.file.Files.createTempDirectory("scratch_sink").toString
+      RasterToFile.toFile(Smooth(src, 1.0), out)
+      val reopened = RasterParquetSource(out)
+      println("sink roundtrip -> times=" + reopened.allTimes.size +
+        " first=" + reopened.getData(RasterRequest(reopened.extent.get,
+          "EPSG:28992", 10, 10, Some(t0), Some(t0.plusSeconds(3 * 3600))))
+          .get.values(0).take(3).mkString(","))
+      val view2 = graft.core.BlockRegistry.fromJson(
+        Group(Seq(src, Shift(src, 7200000L))).toJson)
+      println("serde roundtrip -> " + view2.getClass.getSimpleName +
+        " times=" + view2.asInstanceOf[RasterBlock].allTimes.size)
+      println("stencil -> " + Dilate(Classify(src, Seq(2.0)), Seq(1.0))
+        .getData(req).get.values(0).take(4).mkString(","))
+    }
+
     val view = Divide(Add(src, src), 4)   // (x + x) / 4
     println("dtype=" + view.dtype.name + " noData=" + view.noDataValue)
     val res = view.getData(req).get

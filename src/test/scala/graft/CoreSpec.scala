@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.raster._
+import RasterFixtures._
+
+class CoreSpec extends AnyFunSuite {
+
+  test("tokens are deterministic and content-based") {
+    val a1 = Add(source, 1)
+    val a2 = Add(source, 1)
+    val a3 = Add(source, 2)
+    assert(a1.token == a2.token)
+    assert(a1.token != a3.token)
+    // integral doubles hash like ints (Python number equality)
+    assert(Add(source, 1.0).token == a1.token)
+    assert(a1.graphName.startsWith("Add_"))
+  }
+
+  test("graph collapses shared subexpressions onto one key") {
+    val shared = Multiply(source, 2)
+    val view = Add(shared, shared)
+    val g = view.graph
+    assert(g.size == 3) // MemorySource, Multiply, Add
+    assert(g.keys.count(_.startsWith("Multiply_")) == 1)
+  }
+
+  test("JSON v2 serde round-trips a composed raster view") {
+    val view = Divide(Add(source, source), 4)
+    val json = view.toJson
+    val back = BlockRegistry.fromJson(json)
+    // token equality is the identity check — case-class == compares Array
+    // fields by reference, so deep-array blocks never compare equal directly
+    assert(back.token == view.token)
+    assert(back.toJson == json)
+  }
+
+  test("serde round-trips misc/temporal operators") {
+    val view = TemporalAggregate(
+      Classify(MaskBelow(source, 2.0), Seq(2.0, 8.0)),
+      Some("D"), "count", timezone = "Europe/Amsterdam")
+    assert(BlockRegistry.fromJson(view.toJson).token == view.token)
+    val rc = Reclassify(Classify(source, Seq(5.0)), Seq((0.0, 100.0), (1.0, 200.0)))
+    assert(BlockRegistry.fromJson(rc.toJson).token == rc.token)
+    val grp = Group(Seq(source, Shift(source, 3600000L)))
+    assert(BlockRegistry.fromJson(grp.toJson).token == grp.token)
+  }
+
+  test("DummyBlock placeholders deserialize") {
+    val d = DummyBlock("placeholder")
+    assert(BlockRegistry.fromJson(d.toJson) == d)
+  }
+
+  test("Json renders and parses scalars, lists, maps, escapes") {
+    val v = Map("a" -> 1L, "b" -> List(1.5, "x\n\"y", true, null))
+    assert(Json.parse(Json.render(v)) == v)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.raster._
+import graft.geometry.GeometryRequest
+import RasterFixtures._
+
+class RasterSpatialSpec extends SparkSpec {
+
+  /** 10×10 uint8 source with a single 7 at (row 4, col 4), rest 1. */
+  private val spot: MemorySource = {
+    val d = Array.fill(100)(1.0); d(4 * 10 + 4) = 7.0
+    source.copy(data = Seq(d))
+  }
+  private val fullReq = RasterRequest(
+    Bbox(135000, 455995, 135005, 456000), "EPSG:28992", 10, 10,
+    Some(T0), Some(T0.plusMillis(3 * Hour)))
+
+  private def grid(r: RasterResult): Array[Double] = r.values(0)
+
+  test("Dilate grows marked values by one cell incl. diagonals") {
+    val res = Dilate(spot, Seq(7.0)).getData(fullReq).get
+    val g = grid(res)
+    for (y <- 3 to 5; x <- 3 to 5) assert(g(y * 10 + x) == 7.0, s"($x,$y)")
+    assert(g(2 * 10 + 4) == 1.0 && g(6 * 10 + 4) == 1.0)
+    assert(g.count(_ == 7.0) == 9)
+  }
+
+  test("Dilate works across tile boundaries (halo exchange)") {
+    val w = 300
+    val d = Array.fill(w * 4)(1.0)
+    d(1 * w + 255) = 7.0 // one px left of the 256-tile boundary
+    val wide = MemorySource(Seq(d), w, 4, 255, "EPSG:28992", 0.5, 135000, 456000,
+      T0.toEpochMilli, Some(Hour), "uint8")
+    val req = RasterRequest(Bbox(135000, 455998, 135000 + w * 0.5, 456000),
+      "EPSG:28992", w, 4, Some(T0), Some(T0))
+    val g = Dilate(wide, Seq(7.0)).getData(req).get.values(0)
+    for (y <- 0 to 2; x <- 254 to 256) assert(g(y * w + x) == 7.0, s"($x,$y)")
+    assert(g(0 * w + 253) == 1.0 && g(0 * w + 257) == 1.0)
+  }
+
+  test("MovingMax applies a circular max filter skipping nodata") {
+    val res = MovingMax(spot, 3).getData(fullReq).get
+    val g = grid(res)
+    // 3x3 footprint (diagonals included since 2 < 2.25)
+    for (y <- 3 to 5; x <- 3 to 5) assert(g(y * 10 + x) == 7.0)
+    assert(g(0) == 1.0)
+    // all-nodata frame stays nodata
+    val ndRes = MovingMax(nodataSource, 3).getData(fullReq).get
+    assert(ndRes.values(0).forall(_ == 255.0))
+  }
+
+  test("Smooth preserves a constant field and spreads a spot") {
+    val const = source.copy(data = Seq(Array.fill(100)(5.0)))
+    val g = Smooth(const, 1.0).getData(fullReq).get.values(0)
+    // interior cells stay ≈5 (boundary pulled toward fill=0)
+    assert(math.abs(g(5 * 10 + 5) - 5.0) < 0.2)
+    val gs = Smooth(spot, 1.0).getData(fullReq).get.values(0)
+    assert(gs(4 * 10 + 4) < 7.0 && gs(4 * 10 + 4) > 1.0)
+    assert(gs(4 * 10 + 6) > 1.0) // energy spread sideways
+  }
+
+  test("HillShade of a flat surface gives uniform shading") {
+    val flat = source.copy(data = Seq(Array.fill(100)(3.0)))
+    val g = HillShade(flat, altitude = 45, azimuth = 315).getData(fullReq).get.values(0)
+    // flat → cang = sin(45°) → 255 * 0.7071 → 180 (uint8 truncation)
+    assert(g(5 * 10 + 5) == 180.0)
+    val hs = HillShade(flat)
+    assert(hs.dtype == DType.U1 && hs.noDataValue == 256.0)
+  }
+
+  test("Place stamps the source at coordinates and merges with statistic") {
+    // anchor at source center; stamp at two spots inside the request
+    val placed = Place(spot, "EPSG:28992", (135002.5, 455997.5),
+      Seq((135001.0, 455999.0), (135004.0, 455996.0)))
+    val res = placed.getData(fullReq).get
+    val g = grid(res)
+    // the 7-spot sits at offset (-0.3, +0.3) from the anchor: near each
+    // coordinate there must be a 7
+    assert(g.count(_ == 7.0) == 2)
+    assert(placed.extent.isDefined)
+  }
+
+  test("RasterizeWKT burns a boolean mask with the cell-center rule") {
+    val wkt = "POLYGON ((135001 455997, 135003 455997, 135003 455999, 135001 455999, 135001 455997))"
+    val r = RasterizeWKT(wkt, "EPSG:28992")
+    assert(r.dtype == DType.Bool)
+    val g = r.getData(fullReq.copy(start = None, stop = None)).get.values(0)
+    // cells with center inside [135001,135003]×[455997,455999]: 4×4 block
+    assert(g.count(_ == 1.0) == 16)
+    assert(g(4 * 10 + 2) == 1.0 && g(0) == 0.0)
+  }
+
+  test("Rasterize burns features, last feature wins") {
+    val feats = SeqGeometrySource(Seq(
+      (1L, GeometryFixtures.square(135000, 455995, 135005, 456000), 10.0, "low"),
+      (2L, GeometryFixtures.square(135001, 455997, 135003, 455999), 20.0, "high")))
+    val r = Rasterize(feats, columnName = Some("value"), dtypeName = "float64")
+    val g = r.getData(fullReq.copy(start = None, stop = None)).get.values(0)
+    assert(g(4 * 10 + 4) == 20.0) // overlapping: higher fid wins
+    assert(g(0) == 10.0)
+    val mask = Rasterize(feats)
+    assert(mask.dtype == DType.Bool)
+    val gm = mask.getData(fullReq.copy(start = None, stop = None)).get.values(0)
+    assert(gm.forall(_ == 1.0))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import graft.raster._
+import graft.geometry._
+import RasterFixtures._
+
+class SinksSpec extends SparkSpec {
+
+  test("raster sink writes tiles + manifest and reads back identically") {
+    val dir = Files.createTempDirectory("graft_raster_sink").toString
+    val req = RasterRequest(Bbox(135000, 455995, 135005, 456000), "EPSG:28992",
+      10, 10, Some(T0), Some(T0.plusMillis(3 * Hour)))
+    RasterParquetSink(source, dir).write(req)
+    val back = RasterParquetSource(dir)
+    assert(back.dtype == DType.U1 && back.projection == "EPSG:28992")
+    assert(back.allTimes == source.allTimes)
+    val res = back.getData(req).get
+    val orig = source.getData(req).get
+    assert(res.values.map(_.toSeq).toSeq == orig.values.map(_.toSeq).toSeq)
+    // and it composes: ops over the re-opened store
+    assert(Add(back, 1).getData(req).get.values(0).head == 2.0)
+  }
+
+  test("RasterToFile derives the request from metadata") {
+    val dir = Files.createTempDirectory("graft_tofile").toString
+    RasterToFile.toFile(source, dir)
+    val back = RasterParquetSource(dir)
+    assert(back.extent == source.extent)
+  }
+
+  test("geometry sink round-trips through geoparquet with bbox pushdown") {
+    val dir = Files.createTempDirectory("graft_geo_sink").toString
+    GeometryFileSink(GeometryFixtures.features, dir).write(GeometryFixtures.request)
+    val back = GeoParquetSource(dir)
+    val df = back.frame(GeometryRequest())
+    assert(df.count() == 3)
+    assert(df.columns.contains("geometry") && df.columns.contains("bbox_minx"))
+    // spatial filter via bbox prefilter + exact predicate
+    val filtered = back.frame(GeometryRequest(geometryWkt =
+      Some(GeometryFixtures.square(135000.5, 455999.2, 135002, 456000))))
+    assert(filtered.count() == 2) // squares 1 and 2 intersect; sliver 3 does not
+  }
+
+  test("geojson sink writes parseable feature lines") {
+    val dir = Files.createTempDirectory("graft_geojson").toString
+    GeometryFileSink(GeometryFixtures.features, dir, format = "geojson")
+      .write(GeometryFixtures.request)
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.length == 3)
+    assert(lines.forall(l => l.contains("\"type\":\"Feature\"") && l.contains("POLYGON")))
+  }
+
+  test("tilers are validated passthroughs") {
+    val tiled = RasterTiler(source, 256)
+    assert(tiled.getData(valsRequest).get.values(0).toSeq ==
+      source.getData(valsRequest).get.values(0).toSeq)
+    val gt = GeometryTiler(GeometryFixtures.features, 100.0, "EPSG:28992")
+    assert(gt.frame(GeometryRequest()).count() == 3)
+  }
+}
