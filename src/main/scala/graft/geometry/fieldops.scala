@@ -201,10 +201,14 @@ object FieldOps {
 }
 
 /** Area of each feature in a target projection
-  * (geometry/geom_operations.py:15-55); same-projection planar area via JTS
-  * (reprojection pending the CRS kernel). */
+  * (geometry/geom_operations.py:15-55): planar area after reprojecting each
+  * coordinate through the Proj kernel (EPSG 4326/3857/28992). */
 case class Area(source: GeometryBlock, targetProjection: String) extends SeriesBlock {
   override def root: GeometryBlock = source
-  override def column(df: DataFrame): Column =
-    GeomFunctions.stArea(col("geometry"))
+  override def column(df: DataFrame): Column = {
+    val from = graft.raster.Proj.normalize(source.projection)
+    val to = graft.raster.Proj.normalize(targetProjection)
+    if (from == to) GeomFunctions.stArea(col("geometry"))
+    else GeomFunctions.stAreaInProjection(col("geometry"), lit(from), lit(to))
+  }
 }

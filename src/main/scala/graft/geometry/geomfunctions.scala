@@ -80,6 +80,22 @@ object GeomFunctions extends Serializable {
       e.getWidth >= minSize || e.getHeight >= minSize
     }
   }
+  private val areaInProjection = udf { (wkb: Array[Byte], from: String, to: String) =>
+    if (wkb == null) null
+    else {
+      val g = readWkb(wkb).copy()
+      if (from != to) {
+        g.apply(new org.locationtech.jts.geom.CoordinateFilter {
+          override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+            val (nx, ny) = graft.raster.Proj.transform(from, to, c.x, c.y)
+            c.x = nx; c.y = ny
+          }
+        })
+        g.geometryChanged()
+      }
+      java.lang.Double.valueOf(g.getArea)
+    }
+  }
   private val containsPoint = udf { (wkb: Array[Byte], x: Double, y: Double) =>
     if (wkb == null) false
     else readWkb(wkb).contains(factory.createPoint(new org.locationtech.jts.geom.Coordinate(x, y)))
@@ -117,6 +133,8 @@ object GeomFunctions extends Serializable {
   def stCentroidX(wkb: Column): Column = centroidX(wkb)
   def stCentroidY(wkb: Column): Column = centroidY(wkb)
   def stContainsPoint(wkb: Column, x: Column, y: Column): Column = containsPoint(wkb, x, y)
+  def stAreaInProjection(wkb: Column, from: Column, to: Column): Column =
+    areaInProjection(wkb, from, to)
   def stEnvMinX(wkb: Column): Column = envMinX(wkb)
   def stEnvMinY(wkb: Column): Column = envMinY(wkb)
   def stEnvMaxX(wkb: Column): Column = envMaxX(wkb)

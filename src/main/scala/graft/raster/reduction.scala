@@ -39,6 +39,35 @@ object Statistics {
     vLo + (vHi - vLo) * frac
   }
 
+  /** Fast path for folding a collected stack of tile arrays (array of
+    * array<double>, in stack order) cellwise without materializing a
+    * per-cell vector: a chain of `zip_with` folds, fully codegen-friendly.
+    * Returns None for statistics that need the whole per-cell vector
+    * (median/percentile/argmin/argmax/std/var) — callers fall back to the
+    * generic per-cell path. */
+  def foldStack(stack: Column, stat: String, nd: Double): Option[Column] = {
+    def zeros = transform(element_at(stack, 1), _ => lit(0.0))
+    def nds = transform(element_at(stack, 1), _ => lit(nd))
+    def dataFold(merge: (Column, Column) => Column, init: Column): Column =
+      aggregate(stack, init, (acc, arr) => zip_with(acc, arr, merge))
+    def counts = dataFold((a, x) => a + when(x === nd, 0.0).otherwise(1.0), zeros)
+    def sums = dataFold((a, x) => a + when(x === nd, 0.0).otherwise(x), zeros)
+    stat match {
+      case "sum" => Some(sums)
+      case "count" => Some(counts)
+      case "min" => Some(dataFold((a, x) =>
+        when(x === nd, a).when(a === nd, x).otherwise(least(a, x)), nds))
+      case "max" => Some(dataFold((a, x) =>
+        when(x === nd, a).when(a === nd, x).otherwise(greatest(a, x)), nds))
+      case "mean" => Some(zip_with(sums, counts,
+        (s, c) => when(c === 0.0, lit(nd)).otherwise(s / c)))
+      case "last" => Some(dataFold((a, x) => when(x === nd, a).otherwise(x), nds))
+      case "first" => Some(dataFold((a, x) =>
+        when(a === nd && x =!= nd, x).otherwise(a), nds))
+      case _ => None
+    }
+  }
+
   /** Statistic over `data` (array with nodata already removed, in stack
     * order); `full` is the original array including nodata sentinels (used
     * by argmin/argmax to recover stack positions). */

@@ -47,14 +47,17 @@ case class MemorySource(
     data.indices.map(i => Instant.ofEpochMilli(timeFirstMs + frameDeltaMs.getOrElse(0L) * i))
 
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
-    require(req.projection == projection,
-      s"reprojection ${projection}→${req.projection} not supported yet")
+    val reproject = req.projection != projection
+    require(!reproject ||
+      (Proj.supported(req.projection) && Proj.supported(projection)),
+      s"reprojection ${projection}→${req.projection} not supported")
     val times = timesIn(req.start, req.stop)
     val frameIdx: Map[Long, Int] =
       allTimes.zipWithIndex.map { case (t, i) => t.toEpochMilli -> i }.toMap
     val bc = spark.sparkContext.broadcast(data.toArray)
     val (gw, gh, ps, ox, oy, nd, outNd) =
       (gridW, gridH, pixelSize, originX, originY, noDataIn, noDataValue)
+    val (srcProj, dstProj) = (projection, req.projection)
     val r = req
     RasterFrames.generate(req, times, (tMs, ty, tx) => {
       val arr = bc.value(frameIdx(tMs))
@@ -63,11 +66,18 @@ case class MemorySource(
       val out = new Array[Double](tw * th)
       var i = 0
       while (i < th) {
-        val cy = r.cellCenterY(ty * TileLayout.TILE + i)
-        val si = math.floor((oy - cy) / ps).toInt
+        val cyReq = r.cellCenterY(ty * TileLayout.TILE + i)
         var j = 0
         while (j < tw) {
-          val cx = r.cellCenterX(tx * TileLayout.TILE + j)
+          val cxReq = r.cellCenterX(tx * TileLayout.TILE + j)
+          // nearest-neighbour: the source pixel containing the (possibly
+          // reprojected) request cell center (GDAL NN warp semantics;
+          // exact per-pixel transform instead of GDAL's 0.125px
+          // approximator)
+          val (cx, cy) =
+            if (reproject) Proj.transform(dstProj, srcProj, cxReq, cyReq)
+            else (cxReq, cyReq)
+          val si = math.floor((oy - cy) / ps).toInt
           val sj = math.floor((cx - ox) / ps).toInt
           val v =
             if (si < 0 || si >= gh || sj < 0 || sj >= gw) outNd

@@ -322,14 +322,16 @@ case class Place(store: RasterBlock, placeProjection: String,
         lit(i).as("si"), col("values"))
     }
     val stat = statistic
-    parts.reduce(_ unionByName _)
+    val grouped = parts.reduce(_ unionByName _)
       .groupBy(col("t"), col("ty"), col("tx"))
-      .agg(sort_array(collect_list(struct(col("si"), col("values")))).as("stack"))
-      .select(col("t"), col("ty"), col("tx"),
-        transform(col("stack").getItem(0).getField("values"), (_, i) => {
-          val full = transform(col("stack"), s => element_at(s.getField("values"), i + 1))
-          val data = filter(full, x => x =!= nd)
-          Statistics.over(data, full, stat, nd)
-        }).as("values"))
+      .agg(transform(sort_array(collect_list(struct(col("si"), col("values")))),
+        s => s.getField("values")).as("stack"))
+    val reduced = Statistics.foldStack(col("stack"), stat, nd).getOrElse(
+      transform(col("stack").getItem(0), (_, i) => {
+        val full = transform(col("stack"), arr => element_at(arr, i + 1))
+        val data = filter(full, x => x =!= nd)
+        Statistics.over(data, full, stat, nd)
+      }))
+    grouped.select(col("t"), col("ty"), col("tx"), reduced.as("values"))
   }
 }

@@ -181,16 +181,21 @@ case class TemporalAggregate(
         stop = Some(Instant.ofEpochMilli(needed.last)))
       val f = source.frame(sreq).filter(col("t").isin(needed: _*))
       val relabeled = TemporalFrames.relabel(f, used)
-      Some(relabeled
+      val grouped = relabeled
         .groupBy(col("t"), col("ty"), col("tx"))
-        .agg(collect_list(col("values")).as("stack"))
-        .select(col("t"), col("ty"), col("tx"),
-          transform(col("stack").getItem(0), (_, i) => {
-            val full = transform(col("stack"), s => element_at(s, i + 1))
-            val data = filter(full, x =>
-              if (source.dtype == DType.Bool) lit(true) else x =!= srcNd)
-            Statistics.over(data, full, stat, nd)
-          }).as("values")))
+        .agg(collect_list(
+          if (source.dtype == DType.Bool) col("values")
+          else transform(col("values"),
+            x => when(x === srcNd, lit(nd)).otherwise(x))).as("stack"))
+      // fold fast path for sum/count/min/max/mean; generic per-cell
+      // vector path for median/percentiles/std/var
+      val reduced = Statistics.foldStack(col("stack"), stat, nd).getOrElse(
+        transform(col("stack").getItem(0), (_, i) => {
+          val full = transform(col("stack"), s => element_at(s, i + 1))
+          val data = filter(full, x => x =!= nd)
+          Statistics.over(data, full, stat, nd)
+        }))
+      Some(grouped.select(col("t"), col("ty"), col("tx"), reduced.as("values")))
     }
     // labels with no contributing frames: constant fill tiles
     val emptyLabels = wanted.filterNot(t => used.exists(_._2 == t.toEpochMilli))

@@ -84,9 +84,17 @@ object Scratch {
     println("out-of-period -> " + view.getData(req.copy(
       start = Some(java.time.Instant.parse("2001-01-01T00:00:00Z")),
       stop = Some(java.time.Instant.parse("2001-01-02T00:00:00Z")))))
-    // probe: reprojection not supported yet should raise cleanly
-    try { src.getData(req.copy(projection = "EPSG:4326")) }
-    catch { case e: Exception => println("reprojection probe -> " + e.getMessage) }
+    // reprojection: request the RD raster in WGS84 over its footprint
+    locally {
+      val (lon1, lat1) = Proj.rdToWgs84(135000, 455995)
+      val (lon2, lat2) = Proj.rdToWgs84(135005, 456000)
+      val wgs = src.getData(RasterRequest(Bbox(lon1, lat1, lon2, lat2),
+        "EPSG:4326", 6, 6, Some(t0), Some(t0))).get
+      println("reprojection -> " + wgs.values(0).mkString(","))
+      // probe: unsupported CRS still raises cleanly
+      try { src.getData(req.copy(projection = "EPSG:32632")) }
+      catch { case e: Exception => println("unsupported-crs probe -> " + e.getMessage) }
+    }
     spark.stop()
   }
 }
