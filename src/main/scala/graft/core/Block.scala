@@ -181,12 +181,17 @@ object BlockRegistry {
     }
 
   /** Rebuild a Block DAG from a serialized view document. */
-  def fromJson(json: String): Block = {
+  def fromJson(json: String): Block = fromJsonMultiple(json, Seq.empty).head
+
+  /** `construct_multiple` (reference core/graphs.py:52-82): rebuild several
+    * endpoints out of one shared graph, preserving subgraph sharing. Empty
+    * `names` takes the document's own endpoint. */
+  def fromJsonMultiple(json: String, names: Seq[String]): Seq[Block] = {
     registerBuiltins
     val doc = Json.parse(json).asInstanceOf[Map[String, Any]]
     require(doc.get("version").exists(v => v == 2L || v == 2), "expected version 2 view")
     val graph = doc("graph").asInstanceOf[Map[String, Any]]
-    val endpoint = doc("name").toString
+    val endpoints = if (names.nonEmpty) names else Seq(doc("name").toString)
     val built = scala.collection.mutable.HashMap.empty[String, Block]
     def build(key: String): Block = built.getOrElseUpdate(key, {
       val entry = graph(key).asInstanceOf[List[Any]]
@@ -201,6 +206,6 @@ object BlockRegistry {
       }
       BlockRegistry.construct(cls, rawArgs)
     })
-    build(endpoint)
+    endpoints.map(build)
   }
 }

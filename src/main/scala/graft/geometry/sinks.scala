@@ -62,6 +62,28 @@ case class GeoParquetSource(url: String, proj: String = "EPSG:28992") extends Ge
   }
 }
 
+/** Re-open newline-GeoJSON features written by GeometryFileSink (the
+  * reference reads any OGR vector format, geometry/sources.py:18-159; here
+  * the JSON reader + JTS WKT parse cover the GeoJSON path). */
+case class GeoJsonSource(url: String, proj: String = "EPSG:28992") extends GeometryBlock {
+  override def columns: Set[String] = Set("geometry")
+  override def projection: String = proj
+  override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
+    var df = spark.read.json(url)
+    val props = df.schema.fieldNames.contains("properties")
+    df = df.select((Seq(col("fid"),
+      GeomFunctions.stGeomFromWkt(col("geometry")).as("geometry")) ++
+      (if (props) Seq(col("properties.*")) else Seq.empty)): _*)
+    req.geometryWkt.foreach { wkt =>
+      df = df.filter(GeomFunctions.stFilter(col("geometry"), lit(wkt),
+        lit(if (req.mode == "centroid") "centroid" else "intersects")))
+    }
+    req.filters.foreach { case (k, v) => df = df.filter(col(k) === lit(v)) }
+    req.limit.foreach(n => df = df.limit(n))
+    df
+  }
+}
+
 /** API-compat tiler, after `GeometryTiler` (geometry/parallelize.py:18-109):
   * the reference splits centroid-mode requests into tiles for dask
   * parallelism and exactly-once feature assignment; Spark's partitioning

@@ -20,7 +20,7 @@ import graft.core.Block
   * and declares the combination as DataFrame transforms — Catalyst owns the
   * physical plan.
   */
-trait RasterBlock extends Block {
+trait RasterBlock extends Block with RasterOps {
 
   /** (start, stop) instants of first/last frame; None when empty. */
   def period: Option[(Instant, Instant)]

@@ -73,6 +73,20 @@ object Scratch {
         .getData(req).get.values(0).take(4).mkString(","))
     }
 
+    // operator-overloaded DAG + geojson round trip
+    locally {
+      import graft.geometry._
+      val masked = Clip(src, (src > 0.5) & (src < 100.0))
+      println("overloaded ops -> " + masked.getData(req).get.values.map(_.head).mkString(","))
+      val gj = java.nio.file.Files.createTempDirectory("scratch_gj").toString
+      GeometryFileSink(TableGeometrySource("/root/testdata/sf0.001/region.parquet",
+        "r_regionkey", Seq("r_name"),
+        geomWktExpr = Some("concat('POLYGON ((', r_regionkey, ' 0, ', r_regionkey + 1, ' 0, ', r_regionkey + 1, ' 1, ', r_regionkey, ' 1, ', r_regionkey, ' 0))')")),
+        gj, format = "geojson").write(GeometryRequest())
+      println("geojson roundtrip -> " +
+        GeoJsonSource(gj).frame(GeometryRequest()).count() + " features")
+    }
+
     val view = Divide(Add(src, src), 4)   // (x + x) / 4
     println("dtype=" + view.dtype.name + " noData=" + view.noDataValue)
     val res = view.getData(req).get

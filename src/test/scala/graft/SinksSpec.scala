@@ -42,13 +42,26 @@ class SinksSpec extends SparkSpec {
     assert(filtered.count() == 2) // squares 1 and 2 intersect; sliver 3 does not
   }
 
-  test("geojson sink writes parseable feature lines") {
+  test("geojson sink writes parseable feature lines and reads back") {
     val dir = Files.createTempDirectory("graft_geojson").toString
     GeometryFileSink(GeometryFixtures.features, dir, format = "geojson")
       .write(GeometryFixtures.request)
     val lines = spark.read.text(dir).collect().map(_.getString(0))
     assert(lines.length == 3)
     assert(lines.forall(l => l.contains("\"type\":\"Feature\"") && l.contains("POLYGON")))
+    val back = GeoJsonSource(dir)
+    val df = back.frame(GeometryRequest(filters = Map("name" -> "a")))
+    assert(df.count() == 1)
+    assert(df.columns.toSet.intersect(Set("fid", "geometry", "value", "name")).size == 4)
+  }
+
+  test("construct_multiple rebuilds shared endpoints") {
+    import graft.core.BlockRegistry
+    val shared = Multiply(source, 2)
+    val view = Add(shared, 1)
+    val both = BlockRegistry.fromJsonMultiple(view.toJson,
+      Seq(view.graphName, shared.graphName))
+    assert(both.map(_.token) == Seq(view.token, shared.token))
   }
 
   test("tilers are validated passthroughs") {
