@@ -1,0 +1,47 @@
+package graft
+
+/** Plan-quality regression checks: the properties the 100 TB design relies
+  * on must be visible in the physical plans (SURVEY §4), not assumed. */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("attribute filters and column pruning reach the parquet scan") {
+    val p = plan("g11_filters_pushdown")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    val q = plan("q03_broadcast_filter")
+    assert(q.contains("LessThan(p_size,20)"))
+    // column pruning: lineitem scan reads only the 2 needed columns
+    assert(q.contains("ReadSchema: struct<l_partkey:bigint,l_extendedprice:double>"))
+  }
+
+  test("small dimensions broadcast in join queries") {
+    val p = plan("q02_join_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("zonal statistics never falls back to a nested-loop spatial join") {
+    val p = plan("z01_zonal_mean")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("elementwise raster math stays inside whole-stage codegen") {
+    // AQE hides codegen spans until execution, so check the executed plan
+    val df = SparkEntry.queries("r01_add")(spark, dir)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen'd spans in the plan string
+    assert(ep.contains("*("))
+    // and the per-cell nodata kernel is a lambda (HOF), not a UDF
+    assert(plan("r01_add").contains("lambdafunction"))
+  }
+
+  test("LSH similarity avoids the corpus cross join") {
+    val p = plan("p11_embed_near_dups")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
