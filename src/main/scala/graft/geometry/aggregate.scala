@@ -122,13 +122,21 @@ private[geometry] object ZonalStats {
         .filter(GeomFunctions.stContainsPoint(col("geometry"), col("cx"), col("cy")))
         .filter(col("v") =!= nd))
 
-    def aggregatePerFid(df: DataFrame, out: String): DataFrame =
-      df.groupBy(col("fid"), col("t"))
+    // temporal rasters produce a per-feature time-series cell (the
+    // reference's list wrapper, aggregate.py:581-585); non-temporal ones a
+    // scalar
+    val temporal = raster.temporal && raster.timesIn(req.start, req.stop).size > 1
+    def aggregatePerFid(df: DataFrame, out: String): DataFrame = {
+      val series = df.groupBy(col("fid"), col("t"))
         .agg(exactStat(statistic, col("v")).as("stat_v"))
         .groupBy(col("fid"))
         .agg(sort_array(collect_list(struct(col("t"), col("stat_v"))))
           .getField("stat_v").as("sv"))
-        .select(col("fid"), (element_at(col("sv"), -1) * rescale).as(out))
+      if (temporal)
+        series.select(col("fid"), transform(col("sv"), v => v * rescale).as(out))
+      else
+        series.select(col("fid"), (element_at(col("sv"), -1) * rescale).as(out))
+    }
 
     val perFid = aggregatePerFid(matched, "agg_value")
 
@@ -141,10 +149,13 @@ private[geometry] object ZonalStats {
       applyThreshold(centroids.join(cells, Seq("px", "py")).filter(col("v") =!= nd)),
       "fb_value")
 
+    val default =
+      if (temporal) lit(null)
+      else if (statistic == "sum" || statistic == "count") lit(0.0)
+      else lit(null).cast("double")
     feats.join(perFid, Seq("fid"), "left")
       .join(fallback, Seq("fid"), "left")
-      .withColumn(columnName, coalesce(col("agg_value"), col("fb_value"),
-        if (statistic == "sum" || statistic == "count") lit(0.0) else lit(null).cast("double")))
+      .withColumn(columnName, coalesce(col("agg_value"), col("fb_value"), default))
       .drop("agg_value", "fb_value")
   }
 }

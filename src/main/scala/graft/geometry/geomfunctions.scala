@@ -96,6 +96,20 @@ object GeomFunctions extends Serializable {
       java.lang.Double.valueOf(g.getArea)
     }
   }
+  private val transformGeom = udf { (wkb: Array[Byte], from: String, to: String) =>
+    if (wkb == null) null
+    else {
+      val g = readWkb(wkb).copy()
+      g.apply(new org.locationtech.jts.geom.CoordinateFilter {
+        override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+          val (nx, ny) = graft.raster.Proj.transform(from, to, c.x, c.y)
+          c.x = nx; c.y = ny
+        }
+      })
+      g.geometryChanged()
+      writeWkb(g)
+    }
+  }
   private val containsPoint = udf { (wkb: Array[Byte], x: Double, y: Double) =>
     if (wkb == null) false
     else readWkb(wkb).contains(factory.createPoint(new org.locationtech.jts.geom.Coordinate(x, y)))
@@ -135,6 +149,8 @@ object GeomFunctions extends Serializable {
   def stContainsPoint(wkb: Column, x: Column, y: Column): Column = containsPoint(wkb, x, y)
   def stAreaInProjection(wkb: Column, from: Column, to: Column): Column =
     areaInProjection(wkb, from, to)
+  def stTransform(wkb: Column, from: Column, to: Column): Column =
+    transformGeom(wkb, from, to)
   def stEnvMinX(wkb: Column): Column = envMinX(wkb)
   def stEnvMinY(wkb: Column): Column = envMinY(wkb)
   def stEnvMaxX(wkb: Column): Column = envMaxX(wkb)

@@ -32,6 +32,32 @@ trait GeometryBlock extends Block {
   /** Lower to a DataFrame with at least `fid` plus `columns`. */
   def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame
 
+  /** `frame` with geometries converted to the request CRS (the reference's
+    * sources reproject their output, geometry/sources.py:88-95). */
+  final def frameInRequestCrs(req: GeometryRequest)
+      (implicit spark: SparkSession): DataFrame = {
+    val df = frame(req)
+    val from = graft.raster.Proj.normalize(projection)
+    val to = graft.raster.Proj.normalize(req.projection)
+    if (from == to || !df.columns.contains("geometry")) df
+    else df.withColumn("geometry",
+      GeomFunctions.stTransform(col("geometry"), lit(from), lit(to)))
+  }
+
+  /** `mode="extent"` response (geometry/base.py:32-40): combined bbox of
+    * the matching features in the request CRS, None when empty. */
+  final def getExtent(req: GeometryRequest)
+      (implicit spark: SparkSession): Option[(Double, Double, Double, Double)] = {
+    val df = frameInRequestCrs(req.copy(mode = "extent"))
+    if (!df.columns.contains("geometry")) return None
+    val r = df.agg(
+      min(GeomFunctions.stEnvMinX(col("geometry"))), min(GeomFunctions.stEnvMinY(col("geometry"))),
+      max(GeomFunctions.stEnvMaxX(col("geometry"))), max(GeomFunctions.stEnvMaxY(col("geometry")))
+    ).head()
+    if (r.isNullAt(0)) None
+    else Some((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+  }
+
   def getSeries(name: String): GetSeriesBlock = GetSeriesBlock(this, name)
   def set(name: String, series: SeriesBlock): SetSeriesBlock =
     SetSeriesBlock(this, name, series)

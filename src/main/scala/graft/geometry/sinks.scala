@@ -62,6 +62,16 @@ case class GeoParquetSource(url: String, proj: String = "EPSG:28992") extends Ge
   }
 }
 
+/** Export utility, after the geometry `to_file` (sinks.py:224-284):
+  * centroid-mode request for exactly-once feature assignment, then the
+  * partitioned write (tiling is native partitioning). */
+object GeometryToFile {
+  def toFile(source: GeometryBlock, url: String, format: String = "geoparquet",
+      fields: Option[Seq[String]] = None)(implicit spark: SparkSession): String =
+    GeometryFileSink(source, url, format, fields)
+      .write(GeometryRequest(mode = "centroid"))
+}
+
 /** Re-open newline-GeoJSON features written by GeometryFileSink (the
   * reference reads any OGR vector format, geometry/sources.py:18-159; here
   * the JSON reader + JTS WKT parse cover the GeoJSON path). */

@@ -66,6 +66,16 @@ trait RasterBlock extends Block with RasterOps {
     }
   }
 
+  /** Per-frame metadata strings for the given frames (`mode="meta"`
+    * responses, reference raster/base.py:37-46); None when the block type
+    * carries no metadata. Propagated from the first metadata-bearing
+    * source by the wrapper blocks. */
+  def metaFor(times: Seq[Instant]): Option[Seq[String]] = None
+
+  /** `mode="meta"` request: metadata of the snapped frames. */
+  final def getMeta(req: RasterRequest): Option[Seq[String]] =
+    metaFor(timesIn(req.start, req.stop))
+
   /** Lower `(this, request)` to the tile DataFrame described above. The
     * result has exactly `timesIn(start, stop).size × TileLayout.numTiles`
     * rows. Implementations must be pure plan construction (no actions). */

@@ -94,6 +94,8 @@ trait ElemwiseBase extends RasterBlock {
   override def extent: Option[Bbox] = Elemwise.extentIntersection(srcs)
   override def projection: String = srcs.head.projection
   override def cellSize: Option[Double] = srcs.flatMap(_.cellSize).headOption
+  override def metaFor(times: Seq[Instant]): Option[Seq[String]] =
+    srcs.view.flatMap(s => s.metaFor(times)).headOption
 
   override def allTimes: Seq[Instant] = period match {
     case None => Seq.empty

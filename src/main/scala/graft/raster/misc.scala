@@ -30,6 +30,7 @@ trait BaseSingleRaster extends RasterBlock {
   override def dtype: DType = store.dtype
   override def allTimes: Seq[Instant] = store.allTimes
   override def cellSize: Option[Double] = store.cellSize
+  override def metaFor(times: Seq[Instant]): Option[Seq[String]] = store.metaFor(times)
 
   /** Per-cell transform; identity by default (blocks overriding `frame`
     * directly don't use it). */

@@ -46,6 +46,13 @@ case class MemorySource(
   override def allTimes: Seq[Instant] =
     data.indices.map(i => Instant.ofEpochMilli(timeFirstMs + frameDeltaMs.getOrElse(0L) * i))
 
+  override def metaFor(times: Seq[Instant]): Option[Seq[String]] =
+    if (metadata.isEmpty) None
+    else {
+      val idx = allTimes.zipWithIndex.toMap
+      Some(times.flatMap(t => idx.get(t).flatMap(metadata.lift)))
+    }
+
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     val reproject = req.projection != projection
     require(!reproject ||

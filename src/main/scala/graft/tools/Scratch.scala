@@ -87,6 +87,22 @@ object Scratch {
         GeoJsonSource(gj).frame(GeometryRequest()).count() + " features")
     }
 
+    // request modes + temporal zonal series
+    locally {
+      import graft.geometry._
+      println("meta mode -> " + Smooth(src, 1.0).getMeta(req))
+      val feats = TableGeometrySource("/root/testdata/sf0.001/region.parquet",
+        "r_regionkey", Seq("r_name"), geomWktExpr = Some(
+          "concat('POLYGON ((', 135000 + r_regionkey, ' 455999, ', 135001 + r_regionkey, " +
+            "' 455999, ', 135001 + r_regionkey, ' 456000, ', 135000 + r_regionkey, " +
+            "' 456000, ', 135000 + r_regionkey, ' 455999))')"))
+      println("extent mode -> " + feats.getExtent(GeometryRequest()))
+      val zonal = AggregateRaster(feats, src, "sum", pixelSize = Some(0.5))
+      println("temporal zonal series -> " + zonal.frame(GeometryRequest(
+        start = Some(t0), stop = Some(t0.plusSeconds(3 * 3600))))
+        .select("agg").head().getSeq[Double](0))
+    }
+
     val view = Divide(Add(src, src), 4)   // (x + x) / 4
     println("dtype=" + view.dtype.name + " noData=" + view.noDataValue)
     val res = view.getData(req).get

@@ -155,3 +155,45 @@ class GeometrySpec extends SparkSpec {
     assert(byFid(agg2.frame(req), "agg") == Map(1L -> 0.0, 2L -> 0.0, 3L -> 1.0))
   }
 }
+
+class GeometryModeSpec extends SparkSpec {
+  import GeometryFixtures._
+
+  test("mode=extent returns the combined bbox") {
+    val e = features.getExtent(request).get
+    assert(e == (135000.0, 455998.0, 135003.0, 456000.0))
+    val none = SeqGeometrySource(Seq.empty).getExtent(request)
+    assert(none.isEmpty)
+  }
+
+  test("frameInRequestCrs reprojects output geometries") {
+    val df = features.frameInRequestCrs(request.copy(projection = "EPSG:4326"))
+    val x = df.select(graft.geometry.GeomFunctions.stCentroidX(
+      org.apache.spark.sql.functions.col("geometry"))).head().getDouble(0)
+    assert(x > 4.0 && x < 6.0) // RD coords became longitudes
+  }
+
+  test("temporal zonal statistics yield a per-feature series") {
+    val agg = AggregateRaster(features, RasterFixtures.source, "sum", pixelSize = Some(0.5))
+    val df = agg.frame(request.copy(start = Some(RasterFixtures.T0),
+      stop = Some(RasterFixtures.T0.plusMillis(3 * RasterFixtures.Hour))))
+    val m = df.select("fid", "agg").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](1)).map(_.toList)).toMap
+    // frames 1 and 7 contribute; the nodata frame drops out of the series
+    assert(m(1L).contains(List(4.0, 28.0)))
+    assert(m(3L).contains(List(1.0, 7.0)))
+  }
+}
+
+class RasterMetaSpec extends SparkSpec {
+  import RasterFixtures._
+
+  test("mode=meta returns per-frame metadata through wrapper blocks") {
+    assert(source.getMeta(valsRequest).contains(
+      Seq("Testmeta for band 0", "Testmeta for band 1", "Testmeta for band 2")))
+    assert(graft.raster.Add(source, 1).getMeta(valsRequest).contains(
+      Seq("Testmeta for band 0", "Testmeta for band 1", "Testmeta for band 2")))
+    assert(graft.raster.MaskBelow(source, 2).getMeta(
+      valsRequest.copy(start = None, stop = None)).contains(Seq("Testmeta for band 2")))
+  }
+}
