@@ -720,12 +720,80 @@ object SparkEntry {
       // batch form of the streaming plan; the streaming parity is covered by
       // the ScalaTest suite (memory sink)
       EventStream.batch(s, dir, "30 minutes")
-    })
+    }),
+    "p14_ivf_topk" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Ivf.topK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq(0L, 1L, 2L), 5, numClusters = 8, nProbe = 8)
+    }),
+    "p15_corpus_clean" -> ((s, dir) =>
+      CorpusClean.run(tbl(s, dir, "documents"), 0.3,
+        Seq("de", "en", "es", "fr", "zh")))
   )
+
+  /** DuckDB expression for the quality score (parity verified value-exact
+    * against the Spark formula). Requires a `ws` word-list column. */
+  private def qualitySql: String = {
+    val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "was", "it", "for", "on", "with", "as", "at", "by")
+      .map(s => s"'$s'").mkString(", ")
+    s"""round(
+       | least(length(text) / 1000.0, 1.0) * 0.3 +
+       | least(CAST(len(list_distinct(list_intersect(ws, [$stops]))) AS DOUBLE)
+       |   / greatest(CAST(len(ws) AS DOUBLE), 1.0) * 3, 1.0) * 0.3 +
+       | (1.0 - least((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+       |   / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5, 1.0)) * 0.2 +
+       | least(list_reduce(list_prepend(0.0, list_transform(ws, w -> CAST(len(w) AS DOUBLE))), (a,x) -> a + x)
+       |   / greatest(CAST(len(ws) AS DOUBLE), 1.0) / 8.0, 1.0) * 0.2, 6)""".stripMargin
+  }
+
+  private def langIdSql: String = {
+    val scoreSql = TextAnalysis.langMarkers.map { case (lang, markers) =>
+      val inList = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(ws, w -> list_contains([$inList], w))) AS s_$lang"
+    }.mkString(", ")
+    val folded = TextAnalysis.langMarkers.map(_._1).drop(1)
+      .foldLeft(s"struct_pack(score := s_${TextAnalysis.langMarkers.head._1}, l := '${TextAnalysis.langMarkers.head._1}')") {
+        case (acc, lang) =>
+          s"CASE WHEN s_$lang > ($acc).score THEN struct_pack(score := s_$lang, l := '$lang') ELSE $acc END"
+      }
+    s"$scoreSql|$folded" // packed; split on '|' by callers
+  }
 
   private def pipelineOracles: Map[String, String] = Map(
     "p01_dedup_exact" ->
       "SELECT min(doc_id) AS rep_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "p03_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         | list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+         | FROM documents)
+         |SELECT doc_id, $qualitySql AS quality FROM t""".stripMargin,
+    "p14_ivf_topk" ->
+      // nProbe = numClusters probes exhaustively → exact == brute force
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_cosine_similarity(q.v, c.v), 6) AS cos
+        | FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        | WHERE q.vec_id IN (0, 1, 2)),
+        |ranked AS (SELECT *, row_number() OVER
+        | (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank FROM scored)
+        |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "p15_corpus_clean" -> {
+      val parts = langIdSql.split("\\|")
+      s"""WITH t AS (SELECT doc_id, text,
+         | list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws,
+         | row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         | FROM documents),
+         |scored AS (SELECT doc_id, text, ws, rn, ${parts(0)},
+         | $qualitySql AS quality,
+         | CASE WHEN length(trim(text)) = 0 THEN 0
+         |  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+         | FROM t)
+         |SELECT doc_id, (${parts(1)}).l AS lang_guess, n_tokens, quality
+         |FROM scored WHERE rn = 1 AND quality >= 0.3
+         | AND (${parts(1)}).l IN ('de', 'en', 'es', 'fr', 'zh')""".stripMargin
+    },
     "p02_token_count" ->
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
         | ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,

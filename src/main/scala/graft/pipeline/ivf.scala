@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour index: deterministic
+  * k-means coarse quantizer + cluster-assignment join.
+  *
+  * The scale story: `fit` is a few Lloyd iterations, each one scan +
+  * hash aggregation (centroids live on the driver — k·dim doubles);
+  * `topK` probes only the `nProbe` nearest clusters per query, turning the
+  * search into an equi-join on cluster id — no corpus×queries product.
+  * Everything is seeded/deterministic (id-ordered init, fixed iteration
+  * count) so results are reproducible across runs and engines.
+  */
+object Ivf {
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def nearest(centroids: Array[Array[Double]])(v: Seq[Double]): Int = {
+    val arr = v.toArray
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < centroids.length) {
+      val d = dist2(arr, centroids(c))
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic k-means: init = the k lowest-id vectors, then `iters`
+    * Lloyd steps (scan + groupBy mean per step). */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3)
+      (implicit spark: SparkSession): Array[Array[Double]] = {
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val base = df.select(col(idCol).as("id"), vecD.as("v")).cache()
+    var centroids = base.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val assignUdf = udf(nearest(centroids) _)
+      val sums = base.withColumn("c", assignUdf(col("v")))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("n"),
+          aggregate(collect_list(col("v")),
+            transform(sequence(lit(1), lit(centroids(0).length)), _ => lit(0.0)),
+            (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("sum"))
+        .collect()
+      val updated = centroids.clone()
+      sums.foreach { r =>
+        val c = r.getInt(0); val n = r.getLong(1).toDouble
+        updated(c) = r.getSeq[Double](2).map(_ / n).toArray
+      }
+      centroids = updated
+    }
+    centroids
+  }
+
+  /** Top-k cosine neighbours per query id, probing the `nProbe` nearest
+    * clusters of each query vector. */
+  def topK(df: DataFrame, idCol: String, vecCol: String, queryIds: Seq[Long],
+      k: Int, numClusters: Int = 16, nProbe: Int = 4, iters: Int = 3)
+      (implicit spark: SparkSession): DataFrame = {
+    val centroids = fit(df, idCol, vecCol, numClusters, iters)
+    val assignUdf = udf(nearest(centroids) _)
+    val probesUdf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      centroids.zipWithIndex.map { case (c, i) => (dist2(arr, c), i) }
+        .sortBy(_._1).take(nProbe).map(_._2)
+    }
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val corpus = df.select(col(idCol).as("cand_id"), vecD.as("cv"))
+      .withColumn("cluster", assignUdf(col("cv")))
+    val queries = df.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), vecD.as("qv"))
+      .withColumn("cluster", explode(probesUdf(col("qv"))))
+    val scored = corpus.join(broadcast(queries), Seq("cluster"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(Dedup.cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+}
+
+/** A composed corpus-cleaning pipeline — the flagship training-data flow:
+  * exact dedup → quality floor → language filter → token accounting.
+  * Single scan + one aggregation; every step is a Column expression. */
+object CorpusClean {
+  def run(docs: DataFrame, minQuality: Double, langs: Seq[String]): DataFrame =
+    docs
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("lang_guess", TextAnalysis.langId(col("text")))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      // exact dedup: keep the lowest doc_id per distinct text
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .filter(col("quality") >= minQuality)
+      .filter(col("lang_guess").isInCollection(langs))
+      .select(col("doc_id"), col("lang_guess"), col("n_tokens"),
+        round(col("quality"), 6).as("quality"))
+}
