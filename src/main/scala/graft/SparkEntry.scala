@@ -428,6 +428,33 @@ object SparkEntry {
       |  AND b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
       |  AND b.v IS NOT NULL
       |GROUP BY a.t_idx, a.cell_id""".stripMargin,
+    "r27_hillshade" -> s"""WITH params AS (
+      |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
+      |   count(*) // 4 AS n_cells FROM events),
+      |cells AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS v
+      |  FROM events),
+      |grid AS (SELECT t, cell_id FROM (SELECT unnest(range(4)) AS t),
+      |  (SELECT unnest(range((SELECT n_cells FROM params))) AS cell_id)),
+      |xy AS (SELECT g.t AS t_idx, g.cell_id, coalesce(c.v, 0.0) AS v,
+      |  CAST(g.cell_id % 100 AS BIGINT) AS x, CAST(g.cell_id // 100 AS BIGINT) AS y
+      |  FROM grid g LEFT JOIN cells c ON c.t_idx = g.t AND c.cell_id = g.cell_id),
+      |grad AS (
+      |  SELECT a.t_idx, a.cell_id,
+      |   (sum(CASE WHEN b.y = a.y - 1 THEN (CASE WHEN b.x = a.x THEN 2.0 ELSE 1.0 END) * b.v ELSE 0 END)
+      |    - sum(CASE WHEN b.y = a.y + 1 THEN (CASE WHEN b.x = a.x THEN 2.0 ELSE 1.0 END) * b.v ELSE 0 END)) AS gy,
+      |   (sum(CASE WHEN b.x = a.x - 1 THEN (CASE WHEN b.y = a.y THEN 2.0 ELSE 1.0 END) * b.v ELSE 0 END)
+      |    - sum(CASE WHEN b.x = a.x + 1 THEN (CASE WHEN b.y = a.y THEN 2.0 ELSE 1.0 END) * b.v ELSE 0 END)) AS gx
+      |  FROM xy a LEFT JOIN xy b ON b.t_idx = a.t_idx
+      |    AND b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
+      |    AND NOT (b.x = a.x AND b.y = a.y)
+      |  GROUP BY a.t_idx, a.cell_id)
+      |SELECT t_idx, cell_id,
+      | floor(greatest(0.0, 255 * (sin(radians(45)) - cos(radians(45)) * 0.125
+      |   * sqrt(gx*gx + gy*gy) * sin(atan2(gy, gx) - radians(315)))
+      |   / sqrt(1 + 0.015625 * (gx*gx + gy*gy)))) AS v
+      |FROM grad""".stripMargin,
     "r28_rasterize" -> s"""WITH params AS (
       |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
       |   count(*) // 4 AS n_cells FROM events),
