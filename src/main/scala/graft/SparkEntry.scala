@@ -275,6 +275,40 @@ object SparkEntry {
         cells(Snap(a, index).frame(fullReq(g, g.frames + 1))(s), g)
           .select((col("t_idx") - 0).as("t_idx"), col("cell_id"), col("v"))
       }),
+      "r00_memory_source" -> q((s, dir, g) => {
+        // literal in-memory source resampled 2× (the §2.2 MemorySource path)
+        val src = MemorySource(
+          Seq(Array(1.0, 2.0, 3.0, 255.0), Array(5.0, 6.0, 7.0, 8.0)),
+          2, 2, 255.0, "EPSG:28992", 1.0, 0.0, 2.0, 0L, Some(Hour), "float64")
+        val rq = RasterRequest(Bbox(0, 0, 2, 2), "EPSG:28992", 4, 4,
+          Some(Instant.ofEpochMilli(0)), Some(Instant.ofEpochMilli(Hour)))
+        src.frame(rq)(s)
+          .select((col("t") / Hour).cast("long").as("t_idx"),
+            posexplode(col("values")).as(Seq("pos", "v")))
+      }),
+      "r32_sink_roundtrip" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        val a = Multiply(eventsRaster(dir, g), 2.0)
+        val out = java.nio.file.Files.createTempDirectory("verify_sink").toString
+        RasterParquetSink(a, out).write(fullReq(g))
+        cells(RasterParquetSource(out).frame(fullReq(g)), g)
+      }),
+      "r33_elemwise_suite" -> q((s, dir, g) => {
+        val a = eventsRaster(dir, g)
+        val b = eventsRaster(dir, g, "200.0 - value")
+        def c(r: RasterBlock) = cells(r.frame(fullReq(g))(s), g)
+        c(Equal(a, b)).withColumnRenamed("v", "eq")
+          .join(c(NotEqual(a, 100.0)).withColumnRenamed("v", "ne"), Seq("t_idx", "cell_id"))
+          .join(c(GreaterEqual(a, b)).withColumnRenamed("v", "ge"), Seq("t_idx", "cell_id"))
+          .join(c(LessEqual(a, 100.0)).withColumnRenamed("v", "le"), Seq("t_idx", "cell_id"))
+          .join(c(Invert(IsNoData(a))).withColumnRenamed("v", "inv_nd"), Seq("t_idx", "cell_id"))
+          .join(c(Exp(Divide(a, 100.0))).withColumnRenamed("v", "expv"), Seq("t_idx", "cell_id"))
+          .join(c(Log10(eventsRaster(dir, g, "value + 1"))).withColumnRenamed("v", "l10"),
+            Seq("t_idx", "cell_id"))
+          .select(col("t_idx"), col("cell_id"), col("eq"), col("ne"), col("ge"),
+            col("le"), col("inv_nd"), round(col("expv"), 6).as("expv"),
+            round(col("l10"), 6).as("l10"))
+      }),
       "r25_dilate" -> q((s, dir, g) =>
         cells(Dilate(eventsRaster(dir, g, "cast(floor(value) as long) % 10", dtype = "int64"),
           Seq(5.0)).frame(fullReq(g))(s), g)),
@@ -404,6 +438,33 @@ object SparkEntry {
       |JOIN cells c ON c.src_t = h.t // 2""".stripMargin,
     "r24_snap" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r00_memory_source" ->
+      // 2×2 source at 1 m cells resampled to a 4×4 half-meter grid: each
+      // source cell covers a 2×2 output block; source nodata 255 → F8 max
+      s"""WITH src(t_idx, y, x, v) AS (VALUES
+        | (0, 0, 0, 1.0), (0, 0, 1, 2.0), (0, 1, 0, 3.0), (0, 1, 1, $NDSQL),
+        | (1, 0, 0, 5.0), (1, 0, 1, 6.0), (1, 1, 0, 7.0), (1, 1, 1, 8.0)),
+        |grid AS (SELECT t, p FROM (SELECT unnest(range(2)) AS t),
+        |  (SELECT unnest(range(16)) AS p))
+        |SELECT CAST(g.t AS BIGINT) AS t_idx, CAST(g.p AS INT) AS pos, s.v
+        |FROM grid g JOIN src s ON s.t_idx = g.t
+        |  AND s.x = (g.p % 4) // 2 AND s.y = (g.p // 4) // 2""".stripMargin,
+    "r32_sink_roundtrip" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, CASE WHEN v = $NDSQL THEN v ELSE v * 2.0 END AS v
+      |FROM cells""".stripMargin,
+    "r33_elemwise_suite" -> s"""WITH cells AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |  FROM events WHERE event_id // 4 < (SELECT COUNT(*) // 4 FROM events))
+      |SELECT t_idx, cell_id,
+      | CASE WHEN v IS NULL THEN 0.0 WHEN v = 200.0 - v THEN 1.0 ELSE 0.0 END AS eq,
+      | CASE WHEN v IS NULL THEN 1.0 WHEN v <> 100.0 THEN 1.0 ELSE 0.0 END AS ne,
+      | CASE WHEN v IS NULL THEN 0.0 WHEN v >= 200.0 - v THEN 1.0 ELSE 0.0 END AS ge,
+      | CASE WHEN v IS NULL THEN 0.0 WHEN v <= 100.0 THEN 1.0 ELSE 0.0 END AS le,
+      | CASE WHEN v IS NULL THEN 0.0 ELSE 1.0 END AS inv_nd,
+      | CASE WHEN v IS NULL THEN $NDSQL ELSE round(exp(v / 100.0), 6) END AS expv,
+      | CASE WHEN v IS NULL THEN $NDSQL ELSE round(log10(v + 1), 6) END AS l10
+      |FROM cells""".stripMargin,
     "r25_dilate" -> s"""WITH cells AS (
       |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
       |    CASE WHEN event_type = 'error' THEN NULL ELSE CAST(floor(value) AS BIGINT) % 10 END AS v
@@ -627,6 +688,36 @@ object SparkEntry {
         .frame(GeometryRequest(geometryWkt = Some("POLYGON ((0 0, 25 0, 25 6, 0 6, 0 0))")))(s)
         .select(col("fid"), round(col("area"), 6).as("area"))
     }),
+    "g12_geo_sink_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val p = partSquares(dir)
+      val out = java.nio.file.Files.createTempDirectory("verify_geo_sink").toString
+      GeometryFileSink(p, out).write(GeometryRequest())
+      val back = GeoParquetSource(out)
+      back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
+        .select(col("fid"), round(col("area"), 6).as("area"))
+    }),
+    "g13_buffer" -> ((s, dir) => {
+      val p = partSquares(dir)
+      val buffered = Buffer(p, 2.0, "EPSG:28992", resolution = 16)
+      buffered.set("area", Area(buffered, "EPSG:28992")).frame(GeometryRequest())(s)
+        .select(col("fid"), round(col("area"), 6).as("area"))
+    }),
+    "g14_simplify" -> ((s, dir) => {
+      val p = partSquares(dir)
+      val simplified = Simplify(p, tolerance = Some(0.01))
+      simplified.set("area", Area(simplified, "EPSG:28992")).frame(GeometryRequest())(s)
+        .select(col("fid"), round(col("area"), 6).as("area"))
+    }),
+    "g15_field_math" -> ((s, dir) => {
+      val c = TableGeometrySource(s"$dir/customer.parquet", "c_custkey", Seq("c_acctbal"))
+      val bal = c.getSeries("c_acctbal")
+      c.set("fd", FieldOps.FloorDivide(bal, 7.0))
+        .set("pw", FieldOps.Power(FieldOps.Divide(bal, 1000.0), 2.0))
+        .set("rnd", FieldOps.Round(FieldOps.Divide(bal, 7.0), 2))
+        .frame(GeometryRequest())(s)
+        .select(col("fid"), col("fd"), round(col("pw"), 6).as("pw"), col("rnd"))
+    }),
     "g11_filters_pushdown" -> ((s, dir) => {
       val c = TableGeometrySource(s"$dir/customer.parquet", "c_custkey",
         Seq("c_acctbal", "c_mktsegment"))
@@ -693,7 +784,25 @@ object SparkEntry {
         |WHERE p_partkey % 50 <= 25 AND p_partkey // 50 * 2 <= 6""".stripMargin,
     "g11_filters_pushdown" ->
       """SELECT c_custkey AS fid, round(c_acctbal, 2) AS c_acctbal FROM customer
-        |WHERE c_mktsegment = 'BUILDING'""".stripMargin
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "g12_geo_sink_roundtrip" ->
+      """SELECT p_partkey AS fid, round((p_size / 10.0) * (p_size / 10.0), 6) AS area
+        |FROM part""".stripMargin,
+    "g13_buffer" ->
+      // square side s buffered by d with 16 quadrant segments: the rounded
+      // corners form an inscribed 64-gon → area = s² + 4sd + 32 d² sin(π/32)
+      """SELECT p_partkey AS fid, round(
+        | (p_size / 10.0) * (p_size / 10.0) + 4 * (p_size / 10.0) * 2.0
+        | + 32 * 4.0 * sin(pi() / 32), 6) AS area FROM part""".stripMargin,
+    "g14_simplify" ->
+      // squares have no redundant vertices → simplification is the identity
+      """SELECT p_partkey AS fid, round((p_size / 10.0) * (p_size / 10.0), 6) AS area
+        |FROM part""".stripMargin,
+    "g15_field_math" ->
+      """SELECT c_custkey AS fid, floor(c_acctbal / 7.0) AS fd,
+        | round(pow(c_acctbal / 1000.0, 2.0), 6) AS pw,
+        | round(c_acctbal / 7.0, 2) AS rnd
+        |FROM customer""".stripMargin
   )
 
   // ------------------------------------------------------------ pipeline
