@@ -70,6 +70,16 @@ case class Snap(store: RasterBlock, index: RasterBlock) extends RasterBlock {
   override def allTimes: Seq[Instant] =
     if (store.period.isEmpty) Seq.empty else index.allTimes
 
+  /** Meta strings follow the nearest-frame mapping (temporal.py:169-181). */
+  override def metaFor(times: Seq[Instant]): Option[Seq[String]] = {
+    val storeTimes = store.allTimes
+    if (storeTimes.isEmpty) return None
+    val ms = storeTimes.map(_.toEpochMilli).toIndexedSeq
+    val mapped = times.map(t =>
+      storeTimes(TemporalFrames.neighbourIndex(ms, t.toEpochMilli, "nearest")))
+    store.metaFor(mapped)
+  }
+
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     val outTimes = timesIn(req.start, req.stop)
     if (outTimes.isEmpty) return TemporalFrames.emptyFrame
@@ -92,6 +102,8 @@ case class Shift(store: RasterBlock, timeMs: Long) extends BaseSingleRaster {
   override def period: Option[(Instant, Instant)] =
     store.period.map { case (a, b) => (a.plusMillis(timeMs), b.plusMillis(timeMs)) }
   override def allTimes: Seq[Instant] = store.allTimes.map(_.plusMillis(timeMs))
+  override def metaFor(times: Seq[Instant]): Option[Seq[String]] =
+    store.metaFor(times.map(_.minusMillis(timeMs)))
   override protected def kernel(v: Column): Column = v
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     val sreq = req.copy(start = req.start.map(_.minusMillis(timeMs)),
@@ -292,6 +304,13 @@ case class Resample(
   private val zone: ZoneId = ZoneId.of(timezone)
   override def store: RasterBlock = source
   override def timeDeltaMs: Option[Long] = freq.timeDeltaMs
+  override def metaFor(times: Seq[Instant]): Option[Seq[String]] = {
+    val srcTimes = source.allTimes
+    if (srcTimes.isEmpty) return None
+    val ms = srcTimes.map(_.toEpochMilli).toIndexedSeq
+    source.metaFor(times.map(t =>
+      srcTimes(TemporalFrames.neighbourIndex(ms, t.toEpochMilli, direction))))
+  }
   override protected def kernel(v: Column): Column = v
 
   /** Label range containing data, per direction (temporal.py:1080-1125). */

@@ -91,6 +91,9 @@ object Scratch {
     locally {
       import graft.geometry._
       println("meta mode -> " + Smooth(src, 1.0).getMeta(req))
+      val metaSrc = src.copy(metadata = Seq("m0", "m1", "m2"))
+      println("meta via Snap -> " +
+        Snap(metaSrc, Shift(metaSrc, 1800000L)).getMeta(req))
       val feats = TableGeometrySource("/root/testdata/sf0.001/region.parquet",
         "r_regionkey", Seq("r_name"), geomWktExpr = Some(
           "concat('POLYGON ((', 135000 + r_regionkey, ' 455999, ', 135001 + r_regionkey, " +

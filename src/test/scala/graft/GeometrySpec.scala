@@ -196,4 +196,17 @@ class RasterMetaSpec extends SparkSpec {
     assert(graft.raster.MaskBelow(source, 2).getMeta(
       valsRequest.copy(start = None, stop = None)).contains(Seq("Testmeta for band 2")))
   }
+
+  test("Snap/Shift/Resample restructure metadata along the time mapping") {
+    import graft.raster._
+    val shifted = Shift(source, 30 * 60000L)
+    assert(shifted.getMeta(valsRequest.copy(stop = Some(T0.plusMillis(4 * Hour))))
+      .contains(Seq("Testmeta for band 0", "Testmeta for band 1", "Testmeta for band 2")))
+    val snapped = Snap(source, shifted)
+    assert(snapped.getMeta(valsRequest.copy(stop = Some(T0.plusMillis(4 * Hour))))
+      .contains(Seq("Testmeta for band 0", "Testmeta for band 1", "Testmeta for band 2")))
+    val rs = Resample(source.copy(timeFirstMs = T0.toEpochMilli + 15 * 60000L), "h")
+    assert(rs.getMeta(valsRequest).contains(
+      Seq("Testmeta for band 0", "Testmeta for band 1", "Testmeta for band 2")))
+  }
 }
