@@ -1,0 +1,57 @@
+package graft
+
+import graft.raster._
+import RasterFixtures._
+
+/** The reference tests every operator against empty sources
+  * (tests/conftest.py empty_source / nodata_source variants); this battery
+  * asserts empty-in → empty-out (None) without crashes across the
+  * operator families. */
+class EmptySpec extends SparkSpec {
+
+  private val e = emptySource
+
+  test("metadata of empty sources") {
+    assert(e.period.isEmpty && e.extent.isEmpty && e.allTimes.isEmpty)
+    assert(e.getData(valsRequest).isEmpty)
+  }
+
+  test("elementwise over an empty source is empty") {
+    assert(Add(e, 1).getData(valsRequest).isEmpty)
+    assert(Add(e, source).period.isEmpty)
+    assert(Add(e, source).getData(valsRequest).isEmpty)
+    assert(FillNoData(Seq(e)).getData(valsRequest).isEmpty)
+    assert(Log(e).getData(valsRequest).isEmpty)
+  }
+
+  test("misc/temporal/reduce over an empty source are empty") {
+    assert(MaskBelow(e, 5).getData(valsRequest).isEmpty)
+    assert(Classify(e, Seq(2.0)).getData(valsRequest).isEmpty)
+    assert(TemporalAggregate(e, Some("D"), "sum").getData(valsRequest).isEmpty)
+    assert(Cumulative(e).getData(valsRequest).isEmpty)
+    assert(TemporalSum(e).getData(valsRequest).isEmpty)
+    assert(Shift(e, 1000).getData(valsRequest).isEmpty)
+    assert(Max(Seq(e)).getData(valsRequest).isEmpty)
+    assert(Reduce(Seq(e, e), "mean").getData(valsRequest).isEmpty)
+  }
+
+  test("Snap/Resample with an empty store or index are empty") {
+    assert(Snap(e, source).getData(valsRequest).isEmpty)
+    assert(Snap(source, e).getData(valsRequest).isEmpty)
+    assert(Resample(e, "h").period.isEmpty)
+    assert(Resample(e, "h").getData(valsRequest).isEmpty)
+  }
+
+  test("Group of empty + non-empty serves the non-empty part") {
+    val g = Group(Seq(e, source))
+    assert(g.period == source.period)
+    assert(g.getData(valsRequest).get.values.map(_.head).toSeq == Seq(1.0, 7.0, g.noDataValue))
+    assert(Group(Seq(e, e)).getData(valsRequest).isEmpty)
+  }
+
+  test("stencils over an empty source are empty") {
+    assert(Dilate(e, Seq(1.0)).getData(valsRequest).isEmpty)
+    assert(MovingMax(e, 3).getData(valsRequest).isEmpty)
+    assert(Smooth(e, 1.0).getData(valsRequest).isEmpty)
+  }
+}
