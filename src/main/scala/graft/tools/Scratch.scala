@@ -106,6 +106,21 @@ object Scratch {
         .select("agg").head().getSeq[Double](0))
     }
 
+    // GeoTIFF export + re-open through the public API
+    locally {
+      val out = java.nio.file.Files.createTempDirectory("scratch_tif").toString
+      val paths = GeoTiffSink(Multiply(src, 3), out).write(RasterRequest(
+        Bbox(135000, 455995, 135005, 456000), "EPSG:28992", 10, 10,
+        Some(t0), Some(t0.plusSeconds(3 * 3600))))
+      println("geotiff files -> " + paths.size + " first bytes: " +
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(paths.head))
+          .take(4).map(b => f"$b%02x").mkString(" "))
+      val back = GeoTiffSource(out, t0.toEpochMilli, 3600000L)
+      println("geotiff reopen -> " + back.getData(RasterRequest(
+        back.extent.get, "EPSG:28992", 10, 10, Some(t0), Some(t0.plusSeconds(7200))))
+        .get.values.map(_.head).mkString(","))
+    }
+
     val view = Divide(Add(src, src), 4)   // (x + x) / 4
     println("dtype=" + view.dtype.name + " noData=" + view.noDataValue)
     val res = view.getData(req).get
