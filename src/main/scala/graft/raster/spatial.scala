@@ -175,16 +175,96 @@ case class MovingMax(store: RasterBlock, sizeRaw: Int) extends SpatialStencil {
 }
 
 /** Gaussian blur with sigma = size/3 (size in projection meters); nodata is
-  * replaced by `fill` before filtering (spatial.py:216-307). Always runs the
-  * exact separable kernel (the reference's coarse "zoom" fallback for
-  * margins > 6 px is a fidelity/cost trade it makes for remote sources; the
-  * tiled engine evaluates exactly). */
+  * replaced by `fill` before filtering (spatial.py:216-307).
+  *
+  * Reproduces the reference's cost-based mode switch (spatial.py:256-267):
+  * margins ≤ MARGIN_THRESHOLD px run the exact separable kernel through the
+  * tile-halo machinery; larger margins switch to "zoom" mode — the child is
+  * evaluated over the grown bbox at the *request's* pixel count (coarser
+  * cells), smoothed with the rescaled sigma, and nearest-upsampled back to
+  * the request grid (the affine order-0 step). Zoom mode is also what keeps
+  * huge smoothing radii within the tile-size halo bound.
+  */
 case class Smooth(store: RasterBlock, size: Double, fill: Double = 0) extends SpatialStencil {
+  val MarginThreshold = 6
+
   protected def marginPx(req: RasterRequest): (Int, Int) = {
     val mx = math.round(size / req.cellW).toInt
     val my = math.round(size / req.cellH).toInt
     (math.max(mx, 1), math.max(my, 1))
   }
+
+  override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
+    val (mx, my) = marginPx(req)
+    if ((mx <= MarginThreshold && my <= MarginThreshold) || req.bbox.isPoint)
+      return super.frame(req)
+    // ---- zoom mode: coarse evaluation + nearest upsample ----
+    val g = req.bbox.buffer(size) // grown in meters on all sides
+    val creq = RasterRequest(g, req.projection, req.width, req.height,
+      req.start, req.stop)
+    // sigma in coarse pixels — margins shrink with the coarser cells
+    val coarseFrame = zoomKernelFrame(creq)
+    // upsample: each output pixel takes the coarse pixel containing its
+    // world center (affine order-0)
+    import spark.implicits._
+    val TILE = TileLayout.TILE
+    val (w, h) = (req.width, req.height)
+    val nd = noDataValue
+    val nOtx = TileLayout.tilesX(w)
+    val nOty = TileLayout.tilesY(h)
+    val (bx1, by2, cw, ch) = (req.bbox.x1, req.bbox.y2, req.cellW, req.cellH)
+    val (gx1, gy2) = (g.x1, g.y2)
+    val (ccw, cch) = (creq.cellW, creq.cellH)
+    // world x of output px ox → coarse px: floor((bx1 + (ox+.5)cw - gx1)/ccw)
+    def coarseX(ox: Int): Int =
+      math.min(w - 1, math.max(0, math.floor((bx1 + (ox + 0.5) * cw - gx1) / ccw).toInt))
+    def coarseY(oy: Int): Int =
+      math.min(h - 1, math.max(0, math.floor((gy2 - (by2 - (oy + 0.5) * ch)) / cch).toInt))
+    val pairs = coarseFrame.as[TileRow].flatMap { row =>
+      val cx0 = row.tx * TILE; val cy0 = row.ty * TILE
+      val ctw = math.min(TILE, w - cx0); val cth = math.min(TILE, h - cy0)
+      for {
+        oty <- 0 until nOty
+        otx <- 0 until nOtx
+        otw = math.min(TILE, w - otx * TILE)
+        oth = math.min(TILE, h - oty * TILE)
+        // coarse range needed by this output tile
+        if coarseX(otx * TILE + otw - 1) >= cx0 && coarseX(otx * TILE) < cx0 + ctw &&
+          coarseY(oty * TILE + oth - 1) >= cy0 && coarseY(oty * TILE) < cy0 + cth
+      } yield (row.t, oty, otx, row.ty, row.tx, row.values)
+    }
+    pairs.groupByKey { case (t, oty, otx, _, _, _) => (t, oty, otx) }
+      .mapGroups { (key: (Long, Int, Int),
+          it: Iterator[(Long, Int, Int, Int, Int, Array[Double])]) =>
+        val (t, oty, otx) = key
+        val otw = math.min(TILE, w - otx * TILE)
+        val oth = math.min(TILE, h - oty * TILE)
+        val chunks = it.map { case (_, _, _, sty, stx, vals) => (sty, stx, vals) }.toArray
+        val out = Array.fill(otw * oth)(nd)
+        var i = 0
+        while (i < oth) {
+          val cy = coarseY(oty * TILE + i)
+          var j = 0
+          while (j < otw) {
+            val cx = coarseX(otx * TILE + j)
+            val sty = cy / TILE; val stx = cx / TILE
+            chunks.find(c => c._1 == sty && c._2 == stx).foreach { c =>
+              val ctw = math.min(TILE, w - stx * TILE)
+              out(i * otw + j) = c._3((cy - sty * TILE) * ctw + (cx - stx * TILE))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        TileRow(t, oty, otx, out)
+      }
+      .toDF("t", "ty", "tx", "values")
+  }
+
+  /** The exact stencil path on an (already coarse) request — margins are
+    * recomputed against the coarse cell size. */
+  private def zoomKernelFrame(req: RasterRequest)(implicit spark: SparkSession): DataFrame =
+    super.frame(req)
   protected def kernel(patch: Array[Double], ow: Int, oh: Int, mx: Int, my: Int,
       nd: Double, req: RasterRequest): Array[Double] = {
     val pw = ow + 2 * mx; val ph = oh + 2 * my

@@ -104,3 +104,22 @@ class RasterSpatialSpec extends SparkSpec {
     assert(gm.forall(_ == 1.0))
   }
 }
+
+class SmoothZoomSpec extends SparkSpec {
+  import RasterFixtures._
+  test("Smooth switches to zoom mode for large margins") {
+    // 100×100 px over the 5 m footprint: request cell 0.05 m, size 10 m →
+    // 200 px margin >> threshold → zoom mode; the grown bbox (25 m at
+    // 100 px → 0.25 m coarse cells) still resolves the source
+    val req = RasterRequest(Bbox(135000, 455995, 135005, 456000), "EPSG:28992",
+      100, 100, Some(T0), Some(T0))
+    val res = Smooth(source, 10.0, fill = 0).getData(req).get
+    assert(res.values(0).length == 10000)
+    // heavy smoothing against fill=0 pulls everything below the source value
+    assert(res.values(0).forall(v => v >= 0.0 && v < 1.0))
+    assert(res.values(0).exists(_ > 0.01))
+    // exact mode still used for small sizes (values stay near the original)
+    val exact = Smooth(source, 1.0, fill = 0).getData(req).get
+    assert(exact.values(0)(55) > 0.5)
+  }
+}
