@@ -375,11 +375,14 @@ case class HillShade(store: RasterBlock, altitude: Double = 45,
 }
 
 /** Stamp the source at N anchor→coordinate placements; overlaps merged by
-  * `statistic` (spatial.py:441-731). This is the "group" physical mode (one
-  * shifted sub-request per coordinate, merged cellwise); the reference's
-  * "warp" fast path (fetch the full source once) is a cost-based choice it
-  * makes to limit request count — in the tiled engine each sub-request is
-  * already parallel, so group mode is uniformly used. */
+  * `statistic` (spatial.py:441-731). Reproduces the reference's cost-based
+  * physical-mode switch (:578-601): when reading the full source extent at
+  * the request resolution costs no more pixels than the request itself,
+  * "warp" mode fetches it once (bounded by the request size, so a driver
+  * broadcast) and stamps all coordinates in one generation pass; otherwise
+  * "group" mode issues one shifted sub-request per coordinate and merges
+  * cellwise. Group mode keeps every sub-request parallel; warp mode caps
+  * the plan at one child evaluation regardless of coordinate count. */
 case class Place(store: RasterBlock, placeProjection: String,
     anchor: (Double, Double), coordinates: Seq[(Double, Double)],
     statistic: String = "last") extends BaseSingleRaster {
@@ -392,8 +395,54 @@ case class Place(store: RasterBlock, placeProjection: String,
     }.reduce(_ union _)
   }
 
+  /** Scala-side merge of the values a cell collects across placements,
+    * mirroring reduce_rasters semantics (skip nodata; empty → 0 for
+    * sum/count, nodata otherwise; exact linear percentiles). */
+  private def mergeValues(vals: Array[Double], nd: Double): Double = {
+    val data = vals.filter(_ != nd)
+    if (data.isEmpty)
+      return if (statistic == "sum" || statistic == "count") 0.0 else nd
+    statistic match {
+      case "first" => data.head
+      case "last" => data.last
+      case "count" => data.length.toDouble
+      case "sum" => data.sum
+      case "product" => data.product
+      case "min" => data.min
+      case "max" => data.max
+      case "mean" => data.sum / data.length
+      case "var" =>
+        val m = data.sum / data.length
+        data.map(x => (x - m) * (x - m)).sum / data.length
+      case "std" =>
+        val m = data.sum / data.length
+        math.sqrt(data.map(x => (x - m) * (x - m)).sum / data.length)
+      case "argmin" => vals.indexOf(data.min).toDouble
+      case "argmax" => vals.indexOf(data.max).toDouble
+      case s =>
+        val q = if (s == "median") 50.0 else s.drop(1).toDouble
+        val sorted = data.sorted
+        val idx = (sorted.length - 1) * q / 100.0
+        val lo = idx.toInt
+        val frac = idx - lo
+        sorted(lo) + (sorted(math.min(lo + 1, sorted.length - 1)) - sorted(lo)) * frac
+    }
+  }
+
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     val nd = store.noDataValue
+    // cost switch: full source extent at request resolution vs N sub-requests
+    val warpChoice = for {
+      e <- store.extent
+      if !req.bbox.isPoint
+      fullW = math.ceil(e.width / req.cellW).toLong
+      fullH = math.ceil(e.height / req.cellH).toLong
+      if fullW > 0 && fullH > 0 && fullW * fullH <= req.width.toLong * req.height
+    } yield (e, fullW.toInt, fullH.toInt)
+    warpChoice match {
+      case Some((e, fw, fh)) => return warpFrame(req, e, fw, fh, nd)
+      case None =>
+    }
     val parts = coordinates.zipWithIndex.map { case ((cx, cy), i) =>
       val dx = anchor._1 - cx; val dy = anchor._2 - cy
       val sreq = req.copy(bbox = Bbox(req.bbox.x1 + dx, req.bbox.y1 + dy,
@@ -413,5 +462,57 @@ case class Place(store: RasterBlock, placeProjection: String,
         Statistics.over(data, full, stat, nd)
       }))
     grouped.select(col("t"), col("ty"), col("tx"), reduced.as("values"))
+  }
+
+  /** Warp mode: one full-extent read (bounded by the request pixel count →
+    * safe to broadcast), then all placements stamped in a single
+    * generation pass. */
+  private def warpFrame(req: RasterRequest, e: Bbox, fw: Int, fh: Int, nd: Double)
+      (implicit spark: SparkSession): DataFrame = {
+    // snap the full-extent grid to the request cell size
+    val sreq = RasterRequest(
+      Bbox(e.x1, e.y2 - fh * req.cellH, e.x1 + fw * req.cellW, e.y2),
+      req.projection, fw, fh, req.start, req.stop)
+    val res = store.getData(sreq).getOrElse(return TemporalFrames.emptyFrame)
+    val bc = spark.sparkContext.broadcast(res.values)
+    val times = res.times
+    val (cw, ch) = (req.cellW, req.cellH)
+    val coords = coordinates.toArray
+    val (ax, ay) = anchor
+    val (sx1, sy2) = (sreq.bbox.x1, sreq.bbox.y2)
+    val timeIdx = times.zipWithIndex.map { case (t, i) => t.toEpochMilli -> i }.toMap
+    val r = req
+    val self = this
+    RasterFrames.generate(req, times, (tMs, ty, tx) => {
+      val frame = bc.value(timeIdx(tMs))
+      val tw = TileLayout.tileW(r.width, tx)
+      val th = TileLayout.tileH(r.height, ty)
+      val out = new Array[Double](tw * th)
+      val buf = new Array[Double](coords.length)
+      var i = 0
+      while (i < th) {
+        val wy = r.cellCenterY(ty * TileLayout.TILE + i)
+        var j = 0
+        while (j < tw) {
+          val wx = r.cellCenterX(tx * TileLayout.TILE + j)
+          var c = 0
+          while (c < coords.length) {
+            // output point wx shifted back into source space
+            val sxw = wx + ax - coords(c)._1
+            val syw = wy + ay - coords(c)._2
+            val px = math.floor((sxw - sx1) / cw).toInt
+            val py = math.floor((sy2 - syw) / ch).toInt
+            buf(c) =
+              if (px < 0 || px >= fw || py < 0 || py >= fh) nd
+              else frame(py * fw + px)
+            c += 1
+          }
+          out(i * tw + j) = self.mergeValues(buf, nd)
+          j += 1
+        }
+        i += 1
+      }
+      out
+    })
   }
 }
