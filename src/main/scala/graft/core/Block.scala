@@ -166,8 +166,40 @@ object BlockRegistry {
       classOf[graft.geometry.Difference], classOf[graft.geometry.Intersection],
       classOf[graft.geometry.Area], classOf[graft.geometry.AggregateRaster],
       classOf[graft.geometry.AggregateRasterAboveThreshold],
-      classOf[graft.geometry.GeoParquetSource], classOf[graft.geometry.GeometryTiler]
+      classOf[graft.geometry.GeoParquetSource], classOf[graft.geometry.GeometryTiler],
+      classOf[graft.geometry.GeoJsonSource]
     ).foreach(registerAuto)
+    Seq[Class[_ <: Block]](
+      classOf[graft.geometry.FieldOps.Add], classOf[graft.geometry.FieldOps.Subtract],
+      classOf[graft.geometry.FieldOps.Multiply], classOf[graft.geometry.FieldOps.Divide],
+      classOf[graft.geometry.FieldOps.FloorDivide], classOf[graft.geometry.FieldOps.Power],
+      classOf[graft.geometry.FieldOps.Modulo], classOf[graft.geometry.FieldOps.Equal],
+      classOf[graft.geometry.FieldOps.NotEqual], classOf[graft.geometry.FieldOps.Greater],
+      classOf[graft.geometry.FieldOps.GreaterEqual], classOf[graft.geometry.FieldOps.Less],
+      classOf[graft.geometry.FieldOps.LessEqual], classOf[graft.geometry.FieldOps.And],
+      classOf[graft.geometry.FieldOps.Or], classOf[graft.geometry.FieldOps.Xor],
+      classOf[graft.geometry.FieldOps.Invert], classOf[graft.geometry.FieldOps.Where],
+      classOf[graft.geometry.FieldOps.Mask], classOf[graft.geometry.FieldOps.Round],
+      classOf[graft.geometry.FieldOps.Classify],
+      classOf[graft.geometry.FieldOps.ClassifyFromColumns],
+      classOf[graft.geometry.FieldOps.Interp], classOf[graft.geometry.FieldOps.Choose]
+    ).foreach(registerAuto)
+    // custom factories where erasure defeats the generic coercion
+    // (Option[Long] maxPixels, Option[Double] pixelSize side by side)
+    register(classOf[graft.geometry.AggregateRaster].getName) { args =>
+      def optD(a: Any): Option[Double] = a match {
+        case null | None => None
+        case Some(v) => Some(v.toString.toDouble)
+        case v => Some(v.toString.toDouble)
+      }
+      graft.geometry.AggregateRaster(
+        args(0).asInstanceOf[graft.geometry.GeometryBlock],
+        args(1).asInstanceOf[graft.raster.RasterBlock],
+        args(2).toString,
+        args(3) match { case null | None => None; case Some(v) => Some(v.toString); case v => Some(v.toString) },
+        optD(args(4)), optD(args(5)).map(_.toLong), args(6).toString,
+        args(7).toString.toBoolean)
+    }
     graft.raster.MemorySource.ensureRegistered()
   }
 

@@ -57,3 +57,28 @@ class CoreSpec extends AnyFunSuite {
     assert(Json.parse(Json.render(v)) == v)
   }
 }
+
+class GeometrySerdeSpec extends SparkSpec {
+  import graft.geometry._
+  import graft.core.BlockRegistry
+
+  test("geometry views with field ops and zonal stats round-trip") {
+    val feats = TableGeometrySource("/root/testdata/sf0.001/customer.parquet",
+      "c_custkey", Seq("c_acctbal"))
+    val view = feats.set("score",
+      FieldOps.Where(
+        FieldOps.Round(FieldOps.Divide(feats.getSeries("c_acctbal"), 100.0), 2),
+        FieldOps.Greater(feats.getSeries("c_acctbal"), 0.0), 0.0))
+    val back = BlockRegistry.fromJson(view.toJson)
+    assert(back.token == view.token)
+    // and the deserialized view evaluates
+    val df = back.asInstanceOf[GeometryBlock].frame(GeometryRequest())
+    assert(df.count() == 150)
+
+    val zonal = AggregateRaster(feats, RasterFixtures.source, "mean",
+      pixelSize = Some(0.5), maxPixels = Some(1000000L), autoPixelSize = true)
+    val back2 = BlockRegistry.fromJson(zonal.toJson)
+    assert(back2.token == zonal.token)
+    assert(back2.asInstanceOf[AggregateRaster].maxPixels.contains(1000000L))
+  }
+}
