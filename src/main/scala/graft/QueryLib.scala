@@ -42,13 +42,19 @@ object QueryLib {
     def completeCells: Long = n / frames
   }
 
-  def eventsGrid(s: SparkSession, dir: String): EventsGrid = {
-    val n = tbl(s, dir, "events").count()
-    val frames = 4
-    val w = 100
-    val cells = (n + frames - 1) / frames
-    EventsGrid(n, frames, w, ((cells + w - 1) / w).toInt)
-  }
+  private val gridCache =
+    new java.util.concurrent.ConcurrentHashMap[String, EventsGrid]()
+
+  /** Grid constants derived from the events row count — memoized per dir so
+    * a session of raster queries scans the table once, not once per query. */
+  def eventsGrid(s: SparkSession, dir: String): EventsGrid =
+    gridCache.computeIfAbsent(dir, _ => {
+      val n = tbl(s, dir, "events").count()
+      val frames = 4
+      val w = 100
+      val cells = (n + frames - 1) / frames
+      EventsGrid(n, frames, w, ((cells + w - 1) / w).toInt)
+    })
 
   def eventsRaster(dir: String, g: EventsGrid, valueExpr: String = "value",
       ndFilter: String = "event_type = 'error'", dtype: String = "float64"): TableRasterSource =

@@ -44,12 +44,17 @@ object SparkEntry {
 
   // ------------------------------------------------------- relational core
   private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Money sums go through DECIMAL(18,2): float partial-aggregate order
+    // differs between Spark and DuckDB, and a ulp can flip the 2-decimal
+    // rounding. The decimal sum is exact (order-insensitive) on both sides.
     "q01_pricing_summary" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("sum_price"),
+          round(sum(col("l_discount").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("n_rows"))
     }),
     "q02_join_revenue" -> ((s, dir) => {
@@ -59,14 +64,16 @@ object SparkEntry {
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
     }),
     "q03_broadcast_filter" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
       val p = tbl(s, dir, "part").filter(col("p_size") < 20)
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("total"), count(lit(1)).as("n"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("total"), count(lit(1)).as("n"))
     }),
     "q04_window_topn" -> ((s, dir) => {
       val o = tbl(s, dir, "orders")
@@ -101,8 +108,8 @@ object SparkEntry {
     "q09_conditional_agg" -> ((s, dir) => {
       tbl(s, dir, "orders").groupBy(col("o_orderpriority"))
         .agg(sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
-          round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2)
-            .as("open_total"))
+          round(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))
+            .otherwise(0.0).cast("decimal(18,2)")), 2).cast("double").as("open_total"))
     }),
     "q10_grouping_sets" -> ((s, dir) => {
       tbl(s, dir, "orders")
@@ -116,15 +123,18 @@ object SparkEntry {
   private def relationalOracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_discount), 6) AS avg_disc,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
         | count(*) AS n_rows FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q02_join_revenue" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT n_name, CAST(round(sum(
+        |  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
     "q03_broadcast_filter" ->
-      """SELECT p_brand, round(sum(l_extendedprice), 2) AS total, count(*) AS n
+      """SELECT p_brand, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |  AS total, count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size < 20 GROUP BY 1""".stripMargin,
     "q04_window_topn" ->
       """SELECT o_custkey, o_orderkey, rnk FROM (
@@ -145,8 +155,10 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10""".stripMargin,
     "q09_conditional_agg" ->
-      """SELECT o_orderpriority, sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_total
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END
+        |  AS DECIMAL(18,2))), 2) AS DOUBLE) AS open_total
         |FROM orders GROUP BY 1""".stripMargin,
     "q10_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -822,16 +834,9 @@ object SparkEntry {
     "p05_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
-    "p06_ngram_jaccard" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").filter(col("doc_id") < 40)
-        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
-      d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .filter(size(array_intersect(col("a.sh"), col("b.sh"))) > 0)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-            greatest(size(array_union(col("a.sh"), col("b.sh"))).cast("double"), lit(1.0)), 6)
-            .as("jaccard"))
-    }),
+    "p06_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(tbl(s, dir, "documents").filter(col("doc_id") < 40),
+        "doc_id", "text", 3)),
     "p07_minhash_lsh" -> ((s, dir) =>
       Dedup.lshCandidatePairs(tbl(s, dir, "documents"), "doc_id", "text", 32, 8, 3)),
     "p08_simhash" -> ((s, dir) =>

@@ -30,8 +30,12 @@ object Token {
     case i: Int           => sb.append("num:").append(i.toLong)
     case l: Long          => sb.append("num:").append(l)
     case d: Double        => // integral doubles hash like their long form so
-      // e.g. Mask(value=5) == Mask(value=5.0), matching Python number equality
-      if (d.isWhole && !d.isInfinite) sb.append("num:").append(d.toLong)
+      // e.g. Mask(value=5) == Mask(value=5.0), matching Python number
+      // equality — but only when the long form round-trips: whole doubles
+      // >= 2^63 (Float/Double.MaxValue nodata sentinels) would all clamp to
+      // Long.MaxValue and collide distinct blocks onto one token.
+      if (d.isWhole && !d.isInfinite && d == d.toLong.toDouble &&
+          math.abs(d) < 9.2e18) sb.append("num:").append(d.toLong)
       else sb.append("dbl:").append(java.lang.Double.doubleToLongBits(d))
     case f: Float         => canonical(f.toDouble, sb)
     case i: java.time.Instant => sb.append("ts:").append(i.toEpochMilli)

@@ -33,7 +33,9 @@ object FieldOps {
     protected def op(x: Column, y: Column): Column = x / y
   }
   case class FloorDivide(a: Any, b: Any) extends BaseFieldOperation {
-    protected def op(x: Column, y: Column): Column = floor(x / y)
+    // np.floor_divide on float64 yields float64; Spark's floor() yields
+    // BIGINT, so cast back to keep the numpy output dtype.
+    protected def op(x: Column, y: Column): Column = floor(x / y).cast("double")
   }
   case class Power(a: Any, b: Any) extends BaseFieldOperation {
     protected def op(x: Column, y: Column): Column = pow(x, y)

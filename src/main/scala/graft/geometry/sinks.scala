@@ -42,7 +42,31 @@ case class GeometryFileSink(source: GeometryBlock, url: String,
 
 /** Re-open a written feature store. */
 case class GeoParquetSource(url: String, proj: String = "EPSG:28992") extends GeometryBlock {
-  override def columns: Set[String] = Set("geometry") // full schema known at read
+  /** Plan-time schema read from the parquet footer of one part file, like
+    * the reference source declares its real columns
+    * (geometry/sources.py:44-56) — so `getSeries` on a reopened store
+    * validates without a full scan. Carrier columns (geometry_wkt, bbox_*)
+    * collapse back into 'geometry'. */
+  override lazy val columns: Set[String] = {
+    val carriers = Set("fid", "geometry_wkt",
+      "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy")
+    val part = Option(new java.io.File(url).listFiles).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).headOption
+    part match {
+      case None => Set("geometry")
+      case Some(f) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration())
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val schema = rdr.getFileMetaData.getSchema
+          val names = (0 until schema.getFieldCount)
+            .map(schema.getFieldName).toSet
+          (names -- carriers) + "geometry"
+        } finally rdr.close()
+    }
+  }
   override def projection: String = proj
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
     var df = spark.read.parquet(url)
@@ -76,7 +100,21 @@ object GeometryToFile {
   * reference reads any OGR vector format, geometry/sources.py:18-159; here
   * the JSON reader + JTS WKT parse cover the GeoJSON path). */
 case class GeoJsonSource(url: String, proj: String = "EPSG:28992") extends GeometryBlock {
-  override def columns: Set[String] = Set("geometry")
+  /** Plan-time schema from the first feature line of one part file. */
+  override lazy val columns: Set[String] = {
+    val part = Option(new java.io.File(url).listFiles).toSeq.flatten
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName).headOption
+    part.flatMap { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().find(_.trim.nonEmpty).map { line =>
+        val m = graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]
+        val props = m.get("properties").collect {
+          case p: Map[_, _] => p.keys.map(_.toString).toSet
+        }.getOrElse(Set.empty[String])
+        props + "geometry"
+      } finally src.close()
+    }.getOrElse(Set("geometry"))
+  }
   override def projection: String = proj
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
     var df = spark.read.json(url)

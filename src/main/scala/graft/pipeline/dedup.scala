@@ -10,9 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: one representative (min id) per distinct text. */
+  /** Exact dedup: one representative (min id) per distinct text.
+    *
+    * Groups by (xxhash64, md5) of the text, not the text itself, so the
+    * shuffle carries ~40 bytes per row instead of the full document body —
+    * at corpus scale the raw-text key is the dominant shuffle cost. Two
+    * independent 64/128-bit hashes make a cross-text collision (which would
+    * merge distinct groups) a ~2^-192 event, far below any hardware error
+    * rate; texts that agree on both keys are treated as equal. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.groupBy(xxhash64(col(textCol)), md5(col(textCol)))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
       .select(col("rep_id"), col("n_copies"))
 
@@ -102,6 +109,40 @@ object Dedup {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** All-pairs n-gram Jaccard via a shingle inverted index — the scale-safe
+    * plan shape (no cartesian / theta-join):
+    * explode shingles → self equi-join on the shingle → groupBy pair gives
+    * |A∩B|; |A∪B| = |A| + |B| − |A∩B| from per-doc distinct-shingle counts.
+    * Every join is an equi-join, so Catalyst picks a shuffled hash join on
+    * the shingle key; pair aggregation shuffles only compact (id, id) rows.
+    * `maxDf` optionally drops shingles appearing in more than that many
+    * documents (stop-phrase skew guard for web-scale corpora; changes
+    * results, so it is off by default). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      maxDf: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val counts = sh.select(col("id"), size(col("sh")).as("n_sh"))
+    val ex0 = sh.select(col("id"), explode(col("sh")).as("s"))
+    val ex = maxDf match {
+      case Some(cap) =>
+        val dfreq = ex0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("s"))
+        ex0.join(dfreq, "s")
+      case None => ex0
+    }
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          greatest((col("n_a") + col("n_b") - col("inter")).cast("double"), lit(1.0)), 6)
+          .as("jaccard"))
+  }
 
   /** Exact Jaccard similarity of word n-gram sets. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {

@@ -99,9 +99,14 @@ object CorpusClean {
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("lang_guess", TextAnalysis.langId(col("text")))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
-      // exact dedup: keep the lowest doc_id per distinct text
+      // exact dedup: keep the lowest doc_id per distinct text. Partition by
+      // (xxhash64, md5) of the text, not the text itself — the window
+      // shuffle then moves ~40-byte keys instead of document bodies (the
+      // dominant cost at corpus scale); the double hash makes collisions a
+      // ~2^-192 event.
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        Window.partitionBy(xxhash64(col("text")), md5(col("text")))
+          .orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
       .filter(col("quality") >= minQuality)
       .filter(col("lang_guess").isInCollection(langs))

@@ -1,0 +1,58 @@
+package graft.raster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+import graft.core.Block
+
+/** Token-keyed frame cache (SURVEY §4): the deterministic Block token plus
+  * the request identify a tile frame uniquely, so expensive source reshapes
+  * (e.g. `TableRasterSource`'s collect_list shuffle) can be persisted once
+  * per session and reused by every query over the same source+request —
+  * the Spark-native analogue of the reference's `cached` dask graphs.
+  *
+  * Bounded LRU (default 16 frames); evicted entries are unpersisted. Scoped
+  * per SparkSession so frames never leak across sessions. Disable with
+  * `spark.graft.frameCache=false`.
+  */
+object FrameCache {
+  private val MaxEntries = 16
+
+  private final case class Key(sessionId: Int, token: String, req: RasterRequest)
+
+  private val cache =
+    new java.util.LinkedHashMap[Key, DataFrame](MaxEntries, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Key, DataFrame]): Boolean = {
+        val evict = size() > MaxEntries
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
+
+  private def enabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.frameCache").forall(_.toBoolean)
+
+  /** Return the persisted frame for (block, req), building it on miss. */
+  def cached(block: Block, req: RasterRequest)(build: => DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    if (!enabled(spark)) build
+    else {
+      val k = Key(System.identityHashCode(spark), block.token, req)
+      cache.synchronized {
+        val hit = cache.get(k)
+        if (hit != null) hit
+        else {
+          val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+          cache.put(k, df)
+          df
+        }
+      }
+    }
+  }
+
+  /** Drop and unpersist everything (test hygiene). */
+  def clear(): Unit = cache.synchronized {
+    val it = cache.values().iterator()
+    while (it.hasNext) { it.next().unpersist(false); it.remove() }
+  }
+}

@@ -43,6 +43,13 @@ object Elemwise {
     case other => throw new IllegalArgumentException(s"operand $other not allowed")
   }
 
+  /** Numeric value of a scalar operand; Boolean maps to 1/0 (numpy bool
+    * arithmetic), matching what `operandDType` accepts for promotion. */
+  def scalarValue(s: Any): Double = s match {
+    case b: Boolean => if (b) 1.0 else 0.0
+    case other      => other.toString.toDouble
+  }
+
   def promoteAll(ops: Seq[Any]): DType = {
     val ds = ops.flatMap(operandDType)
     require(ds.nonEmpty, "need at least one raster operand")
@@ -169,12 +176,12 @@ trait BinaryElemwise extends ElemwiseBase {
             ndB.map(nd => when(y === nd, lit(outNd)).otherwise(withA)).getOrElse(withA)
           }).as("values"))
       case (ra: RasterBlock, s) =>
-        val sv = lit(s.toString.toDouble)
+        val sv = lit(Elemwise.scalarValue(s))
         val ndA = operandNoData(ra)
         ra.frame(creq).select(col("t"), col("ty"), col("tx"),
           transform(col("values"), x => guarded(x, sv, ndA.toSeq)).as("values"))
       case (s, rb: RasterBlock) =>
-        val sv = lit(s.toString.toDouble)
+        val sv = lit(Elemwise.scalarValue(s))
         val ndB = operandNoData(rb)
         rb.frame(creq).select(col("t"), col("ty"), col("tx"),
           transform(col("values"), y => guarded(sv, y, ndB.toSeq)).as("values"))

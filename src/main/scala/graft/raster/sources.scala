@@ -162,7 +162,13 @@ case class TableRasterSource(
 
   override def cellSize: Option[Double] = Some(1.0)
 
-  override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
+  override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame =
+    // the reshape below is a full-table shuffle; memoize it per
+    // (source token, request) so a session of queries over the same table
+    // pays it once (SURVEY §4 token-keyed cache)
+    FrameCache.cached(this, req)(buildFrame(req))
+
+  private def buildFrame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     // serves the native grid or any integer-aligned unit-cell subwindow of
     // it; world anchoring: cell (x, y) covers [x, x+1]×[gridH-y-1, gridH-y]
     val isPoint = req.bbox.isPoint

@@ -192,13 +192,23 @@ case class TemporalAggregate(
       val sreq = req.copy(start = Some(Instant.ofEpochMilli(needed.head)),
         stop = Some(Instant.ofEpochMilli(needed.last)))
       val f = source.frame(sreq).filter(col("t").isin(needed: _*))
-      val relabeled = TemporalFrames.relabel(f, used)
+      // relabel inline (not via TemporalFrames.relabel) keeping the source
+      // time: 'first'/'last'/argmin-argmax statistics depend on stack order,
+      // so the collected stack must be sorted by source time — a bare
+      // collect_list is shuffle-order-nondeterministic.
+      import spark.implicits._
+      val mappingDf = broadcast(used.toDF("src_t", "t"))
+      val relabeled = f
+        .select(col("t").as("src_t"), col("ty"), col("tx"), col("values"))
+        .join(mappingDf, Seq("src_t"))
+      val valExpr =
+        if (source.dtype == DType.Bool) col("values")
+        else transform(col("values"), x => when(x === srcNd, lit(nd)).otherwise(x))
       val grouped = relabeled
         .groupBy(col("t"), col("ty"), col("tx"))
-        .agg(collect_list(
-          if (source.dtype == DType.Bool) col("values")
-          else transform(col("values"),
-            x => when(x === srcNd, lit(nd)).otherwise(x))).as("stack"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("src_t").as("k"), valExpr.as("v")))),
+          s => s.getField("v")).as("stack"))
       // fold fast path for sum/count/min/max/mean; generic per-cell
       // vector path for median/percentiles/std/var
       val reduced = Statistics.foldStack(col("stack"), stat, nd).getOrElse(

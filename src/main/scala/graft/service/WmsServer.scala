@@ -37,9 +37,22 @@ object WmsMain {
   }
 }
 
-class WmsServer(spark: SparkSession, port: Int = 0) {
+object WmsServer {
+  /** Directories whose files deserialized views may read, from
+    * `SPARK_GRAFT_DATA_ROOTS` (colon-separated) plus the JVM temp dir
+    * (sink round-trips). */
+  def defaultDataRoots: Seq[String] =
+    sys.env.get("SPARK_GRAFT_DATA_ROOTS").map(_.split(':').toSeq)
+      .getOrElse(Seq("/root/testdata")) :+
+      System.getProperty("java.io.tmpdir")
+}
+
+class WmsServer(spark: SparkSession, port: Int = 0,
+    dataRoots: Seq[String] = WmsServer.defaultDataRoots) {
 
   private implicit val s: SparkSession = spark
+  // loopback bind is deliberately non-configurable: the endpoint evaluates
+  // client-supplied view JSON, so it must never listen on external interfaces
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   def boundPort: Int = server.getAddress.getPort
@@ -73,8 +86,35 @@ class WmsServer(spark: SparkSession, port: Int = 0) {
       k -> URLDecoder.decode(v, "UTF-8")
     }.toMap
 
+  /** Deserialized views name arbitrary filesystem paths in their source
+    * blocks; refuse anything outside the configured data roots so an HTTP
+    * client cannot read and render arbitrary process-readable files. */
+  private def validateSourcePaths(view: graft.core.Block): Unit = {
+    val roots = dataRoots.map(r =>
+      java.nio.file.Paths.get(r).toAbsolutePath.normalize)
+    def check(p: String): Unit = {
+      val abs = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+      require(roots.exists(abs.startsWith),
+        s"source path '$p' outside the configured data roots")
+    }
+    def walk(b: graft.core.Block): Unit = {
+      b match {
+        case t: graft.raster.TableRasterSource     => check(t.path)
+        case r: graft.raster.RasterParquetSource   => check(r.url)
+        case g: graft.raster.GeoTiffSource         => check(g.url)
+        case g: graft.geometry.GeoParquetSource    => check(g.url)
+        case g: graft.geometry.GeoJsonSource       => check(g.url)
+        case t: graft.geometry.TableGeometrySource => check(t.path)
+        case _                                     =>
+      }
+      b.children.foreach(walk)
+    }
+    walk(view)
+  }
+
   private[service] def render(params: Map[String, String]): Array[Byte] = {
     val view = BlockRegistry.fromJson(params("layers")).asInstanceOf[RasterBlock]
+    validateSourcePaths(view)
     val Array(x1, y1, x2, y2) = params("bbox").split(",").map(_.toDouble)
     val w = params.getOrElse("width", "256").toInt
     val h = params.getOrElse("height", "256").toInt

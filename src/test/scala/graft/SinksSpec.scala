@@ -42,6 +42,26 @@ class SinksSpec extends SparkSpec {
     assert(filtered.count() == 2) // squares 1 and 2 intersect; sliver 3 does not
   }
 
+  test("reopened stores declare real plan-time columns (getSeries works)") {
+    val dir = Files.createTempDirectory("graft_geo_schema").toString
+    GeometryFileSink(GeometryFixtures.features, dir).write(GeometryFixtures.request)
+    val back = GeoParquetSource(dir)
+    // footer-derived schema: property columns visible without a scan
+    assert(back.columns.contains("value") && back.columns.contains("name") &&
+      back.columns.contains("geometry"))
+    assert(!back.columns.contains("geometry_wkt") && !back.columns.contains("bbox_minx"))
+    // getSeries on a reopened store no longer throws at plan time
+    val s = back.getSeries("value")
+    val df = back.set("doubled", FieldOps.Multiply(s, 2.0)).frame(GeometryRequest())
+    assert(df.select("doubled").collect().map(_.getDouble(0)).sorted.nonEmpty)
+
+    val jdir = Files.createTempDirectory("graft_geojson_schema").toString
+    GeometryFileSink(GeometryFixtures.features, jdir, format = "geojson")
+      .write(GeometryFixtures.request)
+    val jback = GeoJsonSource(jdir)
+    assert(jback.columns.contains("value") && jback.columns.contains("geometry"))
+  }
+
   test("geojson sink writes parseable feature lines and reads back") {
     val dir = Files.createTempDirectory("graft_geojson").toString
     GeometryFileSink(GeometryFixtures.features, dir, format = "geojson")
