@@ -76,6 +76,17 @@ trait RasterBlock extends Block with RasterOps {
   final def getMeta(req: RasterRequest): Option[Seq[String]] =
     metaFor(timesIn(req.start, req.stop))
 
+  /** Nested meta: one list of contributing source meta strings per output
+    * frame — the reference's `mode="meta"` shape for restructuring operators
+    * (TemporalAggregate regroups meta per bin, temporal.py:716-720;
+    * Cumulative accumulates within the bin, temporal.py:945-957). Blocks
+    * that map frames 1:1 inherit singleton groups of `metaFor`. */
+  def metaGroupsFor(times: Seq[Instant]): Option[Seq[Seq[String]]] =
+    metaFor(times).map(_.map(Seq(_)))
+
+  final def getMetaGroups(req: RasterRequest): Option[Seq[Seq[String]]] =
+    metaGroupsFor(timesIn(req.start, req.stop))
+
   /** Lower `(this, request)` to the tile DataFrame described above. The
     * result has exactly `timesIn(start, stop).size × TileLayout.numTiles`
     * rows. Implementations must be pure plan construction (no actions). */

@@ -166,7 +166,15 @@ case class TableRasterSource(
     // the reshape below is a full-table shuffle; memoize it per
     // (source token, request) so a session of queries over the same table
     // pays it once (SURVEY §4 token-keyed cache)
-    FrameCache.cached(this, req)(buildFrame(req))
+    FrameCache.cached(this, req) {
+      // cross-CRS / off-grid requests route through the shared NN warp
+      // stage over the native grid (raster/sources.py:119-145 warps any
+      // source, not just the in-memory one)
+      if (WarpStage.needed(req, projection))
+        WarpStage.frame(req, projection, gridW, gridH, noDataValue,
+          r => buildFrame(r))
+      else buildFrame(req)
+    }
 
   private def buildFrame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     // serves the native grid or any integer-aligned unit-cell subwindow of

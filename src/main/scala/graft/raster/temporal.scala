@@ -171,6 +171,28 @@ case class TemporalAggregate(
     }
   }
 
+  /** Meta regrouped per bin: each output label carries the meta strings of
+    * its contributing source frames (temporal.py:716-720). */
+  override def metaGroupsFor(times: Seq[Instant]): Option[Seq[Seq[String]]] = {
+    val srcTimes = source.allTimes
+    if (srcTimes.isEmpty) return Some(times.map(_ => Seq.empty))
+    val srcMeta = source.metaFor(srcTimes) match {
+      case None    => return None
+      case Some(m) => m
+    }
+    val (c, l) = sides
+    val labelOf: Instant => Long = freq match {
+      case None    => _ => allTimes.head.toEpochMilli
+      case Some(f) => t => f.binLabel(t, c, l, zone).toEpochMilli
+    }
+    Some(times.map { lab =>
+      val ms = lab.toEpochMilli
+      srcTimes.lazyZip(srcMeta).collect {
+        case (t, m) if labelOf(t) == ms => m
+      }.toSeq
+    })
+  }
+
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     val wanted = timesIn(req.start, req.stop)
     if (wanted.isEmpty) return TemporalFrames.emptyFrame
@@ -253,6 +275,28 @@ case class Cumulative(
   override def store: RasterBlock = source
   override def dtype: DType = DType.statResult(source.dtype, statistic)
   override protected def kernel(v: Column): Column = v
+
+  /** Meta accumulated within the bin: each output frame carries the meta
+    * strings of all source frames of its bin up to and including itself
+    * (temporal.py:945-957). */
+  override def metaGroupsFor(times: Seq[Instant]): Option[Seq[Seq[String]]] = {
+    val srcTimes = source.allTimes
+    if (srcTimes.isEmpty) return None
+    val srcMeta = source.metaFor(srcTimes) match {
+      case None    => return None
+      case Some(m) => m
+    }
+    def binKey(t: Instant): Long = freq match {
+      case None    => 0L
+      case Some(f) => f.binLabel(t, "right", "right", zone).toEpochMilli
+    }
+    Some(times.map { t =>
+      val b = binKey(t)
+      srcTimes.lazyZip(srcMeta).collect {
+        case (st, m) if binKey(st) == b && !st.isAfter(t) => m
+      }.toSeq
+    })
+  }
 
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     val outTimes = source.timesIn(req.start, req.stop)

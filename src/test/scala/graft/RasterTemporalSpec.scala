@@ -102,6 +102,37 @@ class RasterTemporalSpec extends SparkSpec {
     assert(heads(snapped.getData(valsRequest)) == Seq(9.0, 9.0, 9.0))
   }
 
+  test("TemporalAggregate regroups meta per bin (mode=meta)") {
+    // daily bins: all three hourly frames of 2000-01-01 collapse into the
+    // single day label → one group with all three metas (temporal.py:716-720)
+    val day = TemporalAggregate(source, Some("D"), "sum")
+    val req = valsRequest.copy(start = Some(T0.minusMillis(Hour)),
+      stop = Some(T0.plusMillis(48 * Hour)))
+    assert(day.getMetaGroups(req) ==
+      Some(Seq((0 until 3).map(i => s"Testmeta for band $i"))))
+    // hourly bins (closed=left): one source frame per label → singleton groups
+    val hour = TemporalAggregate(source, Some("h"), "sum")
+    assert(hour.getMetaGroups(valsRequest) ==
+      Some(Seq(Seq("Testmeta for band 0"), Seq("Testmeta for band 1"),
+        Seq("Testmeta for band 2"))))
+    // frequency=None: the single period-end label carries every frame's meta
+    val whole = TemporalAggregate(source, None, "sum")
+    assert(whole.getMetaGroups(valsRequest) ==
+      Some(Seq((0 until 3).map(i => s"Testmeta for band $i"))))
+  }
+
+  test("Cumulative accumulates meta within the bin (mode=meta)") {
+    // frequency=None: growing prefixes (temporal.py:945-957)
+    val cum = Cumulative(source, "sum", None)
+    assert(cum.metaGroupsFor(source.allTimes) ==
+      Some(Seq(Seq("Testmeta for band 0"),
+        Seq("Testmeta for band 0", "Testmeta for band 1"),
+        Seq("Testmeta for band 0", "Testmeta for band 1", "Testmeta for band 2"))))
+    // 1:1 wrappers keep singleton groups
+    assert(Shift(source, Hour).metaGroupsFor(source.allTimes.map(_.plusMillis(Hour))) ==
+      Some((0 until 3).map(i => Seq(s"Testmeta for band $i"))))
+  }
+
   test("Resample relabels to a frequency grid") {
     val shifted = source.copy(timeFirstMs = T0.toEpochMilli + 15 * 60000L)
     val rs = Resample(shifted, "h", "nearest")

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+import graft.raster._
+
+/** Cross-CRS and off-grid requests against the distributed table source:
+  * the shared WarpStage must reproduce the `MemorySource` NN warp kernel
+  * (reference raster/sources.py:119-145 warps any source). */
+class WarpSpec extends SparkSpec {
+
+  private val (gw, gh, frames) = (10, 6, 2)
+  private val T0 = 0L
+  private val Hour = 3600000L
+
+  // deterministic content, nodata at one cell per frame
+  private def value(t: Int, y: Int, x: Int): Double = t * 100.0 + y * 10.0 + x
+
+  private lazy val tableDir: String = {
+    val dir = Files.createTempDirectory("graft_warp_tbl").toString
+    import spark.implicits._
+    val rows = for (y <- 0 until gh; x <- 0 until gw; t <- 0 until frames) yield {
+      val id = (y.toLong * gw + x) * frames + t
+      (id, value(t, y, x), if (x == 3 && y == 2) "error" else "ok")
+    }
+    rows.toDF("event_id", "value", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    s"$dir/events.parquet"
+  }
+
+  private lazy val table = TableRasterSource(tableDir, "event_id", "value",
+    frames, gw, gh, "event_type = 'error'", T0, Hour)
+
+  private lazy val memory = MemorySource(
+    data = (0 until frames).map(t =>
+      Array.tabulate(gw * gh)(i => value(t, i / gw, i % gw))),
+    gridW = gw, gridH = gh,
+    noDataIn = value(0, 2, 3), // not used: mask via data below
+    projection = "EPSG:28992", pixelSize = 1.0,
+    originX = 0.0, originY = gh.toDouble,
+    timeFirstMs = T0, frameDeltaMs = Some(Hour), dtypeName = "float64")
+
+  // MemorySource golden with the same nodata cell masked per frame
+  private lazy val golden = {
+    val masked = (0 until frames).map { t =>
+      val a = Array.tabulate(gw * gh)(i => value(t, i / gw, i % gw))
+      a(2 * gw + 3) = -1.0
+      a
+    }
+    memory.copy(data = masked, noDataIn = -1.0)
+  }
+
+  private def compare(req: RasterRequest): Unit = {
+    val got = table.getData(req).get
+    val want = golden.getData(req).get
+    assert(got.times == want.times)
+    got.values.zip(want.values).zipWithIndex.foreach { case ((g, w), t) =>
+      val gn = g.map(v => if (v == got.noDataValue) Double.NaN else v)
+      val wn = w.map(v => if (v == want.noDataValue) Double.NaN else v)
+      assert(gn.zip(wn).forall { case (a, b) =>
+        (a.isNaN && b.isNaN) || a == b
+      }, s"frame $t: ${gn.toSeq} vs ${wn.toSeq}")
+    }
+  }
+
+  test("native identity request still takes the direct path") {
+    compare(RasterRequest(Bbox(0, 0, gw, gh), "EPSG:28992", gw, gh,
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0 + Hour))))
+  }
+
+  test("same-CRS upsample routes through the warp stage") {
+    // 2x upsample of the (2,1)-(7,4) window: 10x6 output at 0.5 cells
+    compare(RasterRequest(Bbox(2, 1, 7, 4), "EPSG:28992", 10, 6,
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0 + Hour))))
+  }
+
+  test("same-CRS off-grid window routes through the warp stage") {
+    compare(RasterRequest(Bbox(0.5, 0.25, 8.5, 4.25), "EPSG:28992", 8, 4,
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0 + Hour))))
+  }
+
+  test("EPSG:3857 request over a table raster matches the MemorySource warp") {
+    val (x1, y1) = Proj.transform("EPSG:28992", "EPSG:3857", 0, 0)
+    val (x2, y2) = Proj.transform("EPSG:28992", "EPSG:3857", gw, gh)
+    val req = RasterRequest(Bbox(x1, y1, x2, y2), "EPSG:3857", 20, 12,
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0 + Hour)))
+    compare(req)
+  }
+
+  test("EPSG:4326 request over a table raster matches the MemorySource warp") {
+    val (x1, y1) = Proj.transform("EPSG:28992", "EPSG:4326", 0, 0)
+    val (x2, y2) = Proj.transform("EPSG:28992", "EPSG:4326", gw, gh)
+    val req = RasterRequest(Bbox(x1, y1, x2, y2), "EPSG:4326", 10, 6,
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0 + Hour)))
+    compare(req)
+  }
+}
