@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * All statistics skip nodata. Cells with no data contributions yield 0 for
   * sum/count and nodata for everything else (reduce_rasters,
   * reduction.py:77-83). Percentiles use numpy's linear interpolation
-  * (np.nanpercentile), reproduced exactly with sort + lerp expressions —
-  * everything stays inside whole-stage codegen (no UDFs/UDAFs).
+  * (np.nanpercentile). The fold runs as a per-tile primitive-loop kernel:
+  * Spark's higher-order `aggregate`/`zip_with` evaluate interpreted, so a
+  * single while-loop pass over the stack beats the HOF chain by an order
+  * of magnitude on 64k-cell tiles (the measured r1 per-row-kernel lesson).
   */
 object Statistics {
 
@@ -29,76 +31,82 @@ object Statistics {
   def emptyValue(statistic: String, noData: Double): Double =
     if (statistic == "sum" || statistic == "count") 0.0 else noData
 
-  /** Exact linear-interpolation percentile of a sorted array column. */
-  private def percentileExpr(sorted: Column, n: Column, q: Double): Column = {
-    val idx = (n - 1).cast("double") * (q / 100.0)
-    val lo = floor(idx).cast("int")
-    val frac = idx - lo.cast("double")
-    val vLo = element_at(sorted, lo + 1)
-    val vHi = element_at(sorted, least(lo + 2, n))
-    vLo + (vHi - vLo) * frac
-  }
-
-  /** Fast path for folding a collected stack of tile arrays (array of
-    * array<double>, in stack order) cellwise without materializing a
-    * per-cell vector: a chain of `zip_with` folds, fully codegen-friendly.
-    * Returns None for statistics that need the whole per-cell vector
-    * (median/percentile/argmin/argmax/std/var) — callers fall back to the
-    * generic per-cell path. */
-  def foldStack(stack: Column, stat: String, nd: Double): Option[Column] = {
-    def zeros = transform(element_at(stack, 1), _ => lit(0.0))
-    def nds = transform(element_at(stack, 1), _ => lit(nd))
-    def dataFold(merge: (Column, Column) => Column, init: Column): Column =
-      aggregate(stack, init, (acc, arr) => zip_with(acc, arr, merge))
-    def counts = dataFold((a, x) => a + when(x === nd, 0.0).otherwise(1.0), zeros)
-    def sums = dataFold((a, x) => a + when(x === nd, 0.0).otherwise(x), zeros)
-    stat match {
-      case "sum" => Some(sums)
-      case "count" => Some(counts)
-      case "min" => Some(dataFold((a, x) =>
-        when(x === nd, a).when(a === nd, x).otherwise(least(a, x)), nds))
-      case "max" => Some(dataFold((a, x) =>
-        when(x === nd, a).when(a === nd, x).otherwise(greatest(a, x)), nds))
-      case "mean" => Some(zip_with(sums, counts,
-        (s, c) => when(c === 0.0, lit(nd)).otherwise(s / c)))
-      case "last" => Some(dataFold((a, x) => when(x === nd, a).otherwise(x), nds))
-      case "first" => Some(dataFold((a, x) =>
-        when(a === nd && x =!= nd, x).otherwise(a), nds))
-      case _ => None
+  /** One-pass primitive kernel over a stack of equal-length tile arrays:
+    * per output cell, fold every stack entry with while loops. Spark's
+    * higher-order `aggregate`/`zip_with` folds evaluate interpreted (outside
+    * whole-stage codegen) and re-walk the accumulator array per stack entry
+    * — the measured per-row-kernel lesson (NOTES r1: 200× on MinHash)
+    * applies equally here. Handles every known statistic plus `"rawsum"`,
+    * the nodata-oblivious plain sum of `TemporalSum` (temporal.py:239-255).
+    */
+  def stackKernel(stat: String, nd: Double): Column => Column = {
+    val q: Double = stat match {
+      case "median" => 50.0
+      case other    => percentileOf(other).getOrElse(Double.NaN)
     }
-  }
-
-  /** Statistic over `data` (array with nodata already removed, in stack
-    * order); `full` is the original array including nodata sentinels (used
-    * by argmin/argmax to recover stack positions). */
-  def over(data: Column, full: Column, statistic: String, noData: Double): Column = {
-    val n = size(data)
-    val stat = statistic match {
-      case "first"   => element_at(data, 1)
-      case "last"    => element_at(data, -1)
-      case "count"   => n.cast("double")
-      case "sum"     => aggregate(data, lit(0.0), (acc, x) => acc + x)
-      case "product" => aggregate(data, lit(1.0), (acc, x) => acc * x)
-      case "min"     => array_min(data)
-      case "max"     => array_max(data)
-      case "mean"    => aggregate(data, lit(0.0), (acc, x) => acc + x) / n
-      case "var" =>
-        val mean = aggregate(data, lit(0.0), (acc, x) => acc + x) / n
-        aggregate(data, lit(0.0), (acc, x) => acc + (x - mean) * (x - mean)) / n
-      case "std" =>
-        val mean = aggregate(data, lit(0.0), (acc, x) => acc + x) / n
-        sqrt(aggregate(data, lit(0.0), (acc, x) => acc + (x - mean) * (x - mean)) / n)
-      case "median"  => percentileExpr(array_sort(data), n, 50.0)
-      case "argmin"  => (array_position(full, array_min(data)) - 1).cast("double")
-      case "argmax"  => (array_position(full, array_max(data)) - 1).cast("double")
-      case other =>
-        percentileOf(other) match {
-          case Some(q) => percentileExpr(array_sort(data), n, q)
-          case None => throw new IllegalArgumentException(s"Unknown statistic $other")
+    val empty = emptyValue(stat, nd)
+    val f = udf { (stack: Seq[Seq[Double]]) =>
+      val m = stack.length
+      val arrs = new Array[Array[Double]](m)
+      var i = 0
+      while (i < m) { arrs(i) = stack(i).toArray; i += 1 }
+      val n = if (m == 0) 0 else arrs(0).length
+      val out = new Array[Double](n)
+      val buf = new Array[Double](m) // percentile gather scratch
+      var j = 0
+      while (j < n) {
+        var cnt = 0; var sum = 0.0; var raw = 0.0; var prod = 1.0
+        var min = Double.MaxValue; var max = -Double.MaxValue
+        var argmin = -1; var argmax = -1
+        var firstV = nd; var lastV = nd
+        i = 0
+        while (i < m) {
+          val v = arrs(i)(j)
+          raw += v
+          if (v != nd) {
+            if (firstV == nd && cnt == 0) firstV = v
+            lastV = v
+            sum += v; prod *= v
+            if (v < min) { min = v; argmin = i }
+            if (v > max) { max = v; argmax = i }
+            buf(cnt) = v
+            cnt += 1
+          }
+          i += 1
         }
+        out(j) =
+          if (stat == "rawsum") raw
+          else if (cnt == 0) empty
+          else stat match {
+            case "sum"     => sum
+            case "count"   => cnt.toDouble
+            case "mean"    => sum / cnt
+            case "min"     => min
+            case "max"     => max
+            case "first"   => firstV
+            case "last"    => lastV
+            case "product" => prod
+            case "argmin"  => argmin.toDouble
+            case "argmax"  => argmax.toDouble
+            case "var" | "std" =>
+              val mean = sum / cnt
+              var ss = 0.0; var k = 0
+              while (k < cnt) { val d = buf(k) - mean; ss += d * d; k += 1 }
+              if (stat == "var") ss / cnt else math.sqrt(ss / cnt)
+            case _ => // median / pXX: numpy linear interpolation
+              java.util.Arrays.sort(buf, 0, cnt)
+              val idx = (cnt - 1) * (q / 100.0)
+              val lo = math.floor(idx).toInt
+              val hi = math.min(lo + 1, cnt - 1)
+              buf(lo) + (buf(hi) - buf(lo)) * (idx - lo)
+          }
+        j += 1
+      }
+      out
     }
-    when(n === 0, lit(emptyValue(statistic, noData))).otherwise(stat)
+    (c: Column) => f(c)
   }
+
 }
 
 /** Reduce a stack of aligned rasters cellwise with a statistic, skipping
@@ -143,12 +151,10 @@ trait BaseReduction extends ElemwiseBase {
   }
 
   private def reduceColumns(df: DataFrame, vs: Seq[Column], nd: Double): DataFrame = {
-    val stat = statistic
-    val out = transform(vs.head, (x0, i) => {
-      val full = array(x0 +: vs.tail.map(v => element_at(v, i + 1)): _*)
-      val data = filter(full, x => x =!= nd)
-      Statistics.over(data, full, stat, nd)
-    })
+    // stack the aligned source arrays and fold with the primitive kernel —
+    // the nested HOF formulation (transform + filter + aggregate per cell)
+    // evaluates interpreted and re-derives the per-cell vector repeatedly
+    val out = Statistics.stackKernel(statistic, nd)(array(vs: _*))
     df.select(col("t"), col("ty"), col("tx"), out.as("values"))
   }
 }

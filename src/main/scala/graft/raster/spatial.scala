@@ -455,12 +455,7 @@ case class Place(store: RasterBlock, placeProjection: String,
       .groupBy(col("t"), col("ty"), col("tx"))
       .agg(transform(sort_array(collect_list(struct(col("si"), col("values")))),
         s => s.getField("values")).as("stack"))
-    val reduced = Statistics.foldStack(col("stack"), stat, nd).getOrElse(
-      transform(col("stack").getItem(0), (_, i) => {
-        val full = transform(col("stack"), arr => element_at(arr, i + 1))
-        val data = filter(full, x => x =!= nd)
-        Statistics.over(data, full, stat, nd)
-      }))
+    val reduced = Statistics.stackKernel(stat, nd)(col("stack"))
     grouped.select(col("t"), col("ty"), col("tx"), reduced.as("values"))
   }
 

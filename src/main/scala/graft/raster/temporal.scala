@@ -124,9 +124,8 @@ case class TemporalSum(store: RasterBlock) extends BaseSingleRaster {
       .groupBy(col("ty"), col("tx"))
       .agg(sort_array(collect_list(struct(col("t"), col("values")))).as("stack"))
       .select(lit(lastMs).as("t"), col("ty"), col("tx"),
-        aggregate(col("stack"),
-          transform(col("stack").getItem(0).getField("values"), _ => lit(0.0)),
-          (acc, s) => zip_with(acc, s.getField("values"), (a, x) => a + x)).as("values"))
+        Statistics.stackKernel("rawsum", noDataValue)(
+          transform(col("stack"), s => s.getField("values"))).as("values"))
   }
 }
 
@@ -231,14 +230,8 @@ case class TemporalAggregate(
         .agg(transform(
           sort_array(collect_list(struct(col("src_t").as("k"), valExpr.as("v")))),
           s => s.getField("v")).as("stack"))
-      // fold fast path for sum/count/min/max/mean; generic per-cell
-      // vector path for median/percentiles/std/var
-      val reduced = Statistics.foldStack(col("stack"), stat, nd).getOrElse(
-        transform(col("stack").getItem(0), (_, i) => {
-          val full = transform(col("stack"), s => element_at(s, i + 1))
-          val data = filter(full, x => x =!= nd)
-          Statistics.over(data, full, stat, nd)
-        }))
+      // primitive per-tile fold over the time-sorted stack (every statistic)
+      val reduced = Statistics.stackKernel(stat, nd)(col("stack"))
       Some(grouped.select(col("t"), col("ty"), col("tx"), reduced.as("values")))
     }
     // labels with no contributing frames: constant fill tiles
