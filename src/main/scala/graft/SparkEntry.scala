@@ -346,6 +346,41 @@ object SparkEntry {
           Seq((25.0, g.h / 2.0), (75.0, g.h / 2.0)), "max")
         cells(stamped.frame(fullReq(g))(s), g)
           .select(col("t_idx"), col("cell_id"), round(col("v"), 4).as("v"))
+      }),
+      // self-check oracles: the two operators DuckDB cannot reproduce get a
+      // hard signal from engine-internal equivalences instead
+      "r34_place_modes" -> q((s, dir, g) => {
+        // warp and group are physical strategies for the same semantics —
+        // forced via modeHint, their results must agree cell-exactly
+        val a = eventsRaster(dir, g)
+        def place(hint: String) = Place(a, "EPSG:28992", (50.0, g.h / 2.0),
+          Seq((25.0, g.h / 2.0), (75.0, g.h / 2.0)), "max", Some(hint))
+        val w = cells(place("warp").frame(fullReq(g))(s), g)
+          .withColumnRenamed("v", "vw")
+        val gr = cells(place("group").frame(fullReq(g))(s), g)
+          .withColumnRenamed("v", "vg")
+        w.join(gr, Seq("t_idx", "cell_id"))
+          .agg(sum(when(col("vw") =!= col("vg"), 1).otherwise(0))
+            .cast("long").as("n_diff"), count(lit(1)).as("n_cells"))
+      }),
+      "r35_smooth_linear" -> q((s, dir, g) => {
+        // smoothing is linear; scaling by 2 is exact in binary floating
+        // point, so Smooth(2a) must equal 2*Smooth(a) bit-for-bit in BOTH
+        // the exact stencil (sigma 2) and the zoom path (sigma 12)
+        val a = eventsRaster(dir, g)
+        def diff(sigma: Double): DataFrame = {
+          val nd = lit(QueryLib.ND)
+          val s2 = cells(Smooth(Multiply(a, 2.0), sigma).frame(fullReq(g))(s), g)
+            .withColumnRenamed("v", "va")
+          val s1 = cells(Smooth(a, sigma).frame(fullReq(g))(s), g)
+            .withColumnRenamed("v", "vb")
+          s2.join(s1, Seq("t_idx", "cell_id"))
+            .select(when(col("va") === col("vb") * 2 ||
+              (col("va") === nd && col("vb") === nd), 0).otherwise(1).as("d"))
+        }
+        diff(2.0).unionAll(diff(12.0))
+          .agg(sum(col("d")).cast("long").as("n_diff"),
+            count(lit(1)).as("n_cells"))
       })
     )
   }
@@ -544,6 +579,12 @@ object SparkEntry {
       |FROM centers c LEFT JOIN squares s
       |  ON c.x >= s.x0 AND c.x < s.x0 + 2 AND c.wy >= s.y0 AND c.wy < s.y0 + 2
       |GROUP BY c.cell_id""".stripMargin,
+    "r34_place_modes" ->
+      s"""SELECT CAST(0 AS BIGINT) AS n_diff,
+         | CAST((SELECT count(*) // 4 FROM events) * 4 AS BIGINT) AS n_cells""".stripMargin,
+    "r35_smooth_linear" ->
+      s"""SELECT CAST(0 AS BIGINT) AS n_diff,
+         | CAST((SELECT count(*) // 4 FROM events) * 8 AS BIGINT) AS n_cells""".stripMargin,
     "r29_rasterize_wkt" -> s"""WITH params AS (
       |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
       |   count(*) // 4 AS n_cells FROM events),

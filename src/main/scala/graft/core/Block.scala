@@ -200,6 +200,20 @@ object BlockRegistry {
         optD(args(4)), optD(args(5)).map(_.toLong), args(6).toString,
         args(7).toString.toBoolean)
     }
+    register(classOf[graft.geometry.AggregateRasterAboveThreshold].getName) { args =>
+      def optD(a: Any): Option[Double] = a match {
+        case null | None => None
+        case Some(v) => Some(v.toString.toDouble)
+        case v => Some(v.toString.toDouble)
+      }
+      graft.geometry.AggregateRasterAboveThreshold(
+        args(0).asInstanceOf[graft.geometry.GeometryBlock],
+        args(1).asInstanceOf[graft.raster.RasterBlock],
+        args(2).toString,
+        args(3) match { case null | None => None; case Some(v) => Some(v.toString); case v => Some(v.toString) },
+        optD(args(4)), optD(args(5)).map(_.toLong), args(6).toString,
+        args(7).toString)
+    }
     graft.raster.MemorySource.ensureRegistered()
   }
 

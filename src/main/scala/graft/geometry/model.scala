@@ -44,6 +44,25 @@ trait GeometryBlock extends Block {
       GeomFunctions.stTransform(col("geometry"), lit(from), lit(to)))
   }
 
+  /** Collect features into driver memory — the `get_data` of the
+    * single-request API. An explicit request limit truncates; without one
+    * the reference's global geometry-limit guard raises instead of pulling
+    * an unbounded result into one process (geometry/sources.py:148-157).
+    * The distributed `frame` plan is unguarded by design. */
+  final def getFeatures(req: GeometryRequest)
+      (implicit spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val df = frameInRequestCrs(req)
+    req.limit match {
+      case Some(_) => df.collect().toSeq // frame already applied the limit
+      case None =>
+        val cap = graft.raster.RequestGuards.geometryLimit
+        val rows = df.limit(cap + 1).collect()
+        if (rows.length > cap) throw new RuntimeException(
+          s"The amount of returned geometries exceeded the maximum of $cap geometries.")
+        rows.toSeq
+    }
+  }
+
   /** `mode="extent"` response (geometry/base.py:32-40): combined bbox of
     * the matching features in the request CRS, None when empty. */
   final def getExtent(req: GeometryRequest)

@@ -95,7 +95,12 @@ trait RasterBlock extends Block with RasterOps {
   /** Collect a request into dense frame arrays — the `get_data` of the
     * single-request API, used by tests and exports. */
   final def getData(req: RasterRequest)(implicit spark: SparkSession): Option[RasterResult] = {
-    if (timesIn(req.start, req.stop).isEmpty) return None
+    val reqTimes = timesIn(req.start, req.stop)
+    if (reqTimes.isEmpty) return None
+    // the reference's request-size guards protect exactly this in-memory
+    // materialization point (config.py:4-12); the distributed frame() plan
+    // itself has no single-process materialization to protect
+    RequestGuards.checkRaster(req, reqTimes.size)
     val rows = frame(req).collect()
     if (rows.isEmpty) return None
     // derive output times from the produced frames — operators like

@@ -385,9 +385,12 @@ case class HillShade(store: RasterBlock, altitude: Double = 45,
   * the plan at one child evaluation regardless of coordinate count. */
 case class Place(store: RasterBlock, placeProjection: String,
     anchor: (Double, Double), coordinates: Seq[(Double, Double)],
-    statistic: String = "last") extends BaseSingleRaster {
+    statistic: String = "last", modeHint: Option[String] = None)
+    extends BaseSingleRaster {
   Statistics.validate(statistic)
   require(coordinates.nonEmpty, "Place needs at least one coordinate")
+  require(modeHint.forall(Set("warp", "group")),
+    "modeHint must be 'warp' or 'group'")
   override def extent: Option[Bbox] = store.extent.map { e =>
     coordinates.map { case (cx, cy) =>
       Bbox(e.x1 - anchor._1 + cx, e.y1 - anchor._2 + cy,
@@ -431,13 +434,18 @@ case class Place(store: RasterBlock, placeProjection: String,
 
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     val nd = store.noDataValue
-    // cost switch: full source extent at request resolution vs N sub-requests
+    // cost switch: full source extent at request resolution vs N
+    // sub-requests; `modeHint` overrides it (a physical-strategy hint in
+    // the join-hint spirit — both modes compute identical results, which
+    // the r34 self-check oracle asserts)
     val warpChoice = for {
       e <- store.extent
+      if modeHint.forall(_ == "warp")
       if !req.bbox.isPoint
       fullW = math.ceil(e.width / req.cellW).toLong
       fullH = math.ceil(e.height / req.cellH).toLong
-      if fullW > 0 && fullH > 0 && fullW * fullH <= req.width.toLong * req.height
+      if modeHint.contains("warp") ||
+        (fullW > 0 && fullH > 0 && fullW * fullH <= req.width.toLong * req.height)
     } yield (e, fullW.toInt, fullH.toInt)
     warpChoice match {
       case Some((e, fw, fh)) => return warpFrame(req, e, fw, fh, nd)

@@ -80,5 +80,18 @@ class GeometrySerdeSpec extends SparkSpec {
     val back2 = BlockRegistry.fromJson(zonal.toJson)
     assert(back2.token == zonal.token)
     assert(back2.asInstanceOf[AggregateRaster].maxPixels.contains(1000000L))
+
+    val thr = AggregateRasterAboveThreshold(feats, RasterFixtures.source, "sum",
+      pixelSize = Some(0.5), maxPixels = Some(2000000L), thresholdName = "thr")
+    val back3 = BlockRegistry.fromJson(thr.toJson)
+    assert(back3.token == thr.token)
+    assert(back3.asInstanceOf[AggregateRasterAboveThreshold]
+      .maxPixels.contains(2000000L))
+
+    val placed = Place(RasterFixtures.source, "EPSG:28992", (135001.0, 455999.0),
+      Seq((135002.0, 455999.0)), "max", Some("group"))
+    val back4 = BlockRegistry.fromJson(placed.toJson)
+    assert(back4.token == placed.token)
+    assert(back4.asInstanceOf[Place].modeHint.contains("group"))
   }
 }
