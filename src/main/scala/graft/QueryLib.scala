@@ -33,7 +33,9 @@ object QueryLib {
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (df.schema.fields.exists(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer division: double division of ~1.7e18 ns exceeds the 53-bit
+      // mantissa and rounds the microsecond up on some rows
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
 

@@ -176,6 +176,8 @@ object SparkEntry {
         .withColumn("running", round(sum(col("value")).over(w), 4))
         .select(col("event_id"), col("user_id"), col("running"))
     }),
+    "q14_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.batch(tbl(s, dir, "events"), 30)),
     "q13_asof_ffill" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -195,6 +197,19 @@ object SparkEntry {
       """SELECT event_id, user_id, round(sum(value) OVER
         | (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running FROM events""".stripMargin,
+    "q14_sessionize" ->
+      """WITH marked AS (
+        | SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |   OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        | FROM marked)
+        |SELECT user_id, sid, min(ts) AS session_start, count(*) AS n_events,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+        |FROM sess GROUP BY 1, 2""".stripMargin,
     "q13_asof_ffill" ->
       """SELECT event_id, round(coalesce(last_value(CASE WHEN event_type = 'purchase'
         | THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -878,6 +893,12 @@ object SparkEntry {
     "p06_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(tbl(s, dir, "documents").filter(col("doc_id") < 40),
         "doc_id", "text", 3)),
+    "p16_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(
+        tbl(s, dir, "documents").filter(col("doc_id") < 40), "doc_id", "text", 3)
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("rep").as("rep_id"))
+    }),
     "p07_minhash_lsh" -> ((s, dir) =>
       Dedup.lshCandidatePairs(tbl(s, dir, "documents"), "doc_id", "text", 32, 8, 3)),
     "p08_simhash" -> ((s, dir) =>
@@ -1005,6 +1026,27 @@ object SparkEntry {
         |  w -> CAST(len(w) * 7 + ord(w[1]) AS BIGINT))),
         | (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
         |FROM documents""".stripMargin,
+    "p16_dup_clusters" ->
+      // transitive closure of the >=0.5-Jaccard pairs via recursive CTE;
+      // rep = min reachable id (the same fixpoint min-label propagation
+      // computes distributively)
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        | list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+        | FROM documents WHERE doc_id < 40),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, greatest(len(ws) - 2, 1) + 1),
+        |  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM d),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.s, b.s)) > 0),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |walk(id, rep) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.src, w.rep FROM edges e JOIN walk w ON w.id = e.dst)
+        |SELECT id AS doc_id, min(rep) AS rep_id FROM walk GROUP BY 1""".stripMargin,
     "p06_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id,
         | list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws

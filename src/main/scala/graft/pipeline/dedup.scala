@@ -144,6 +144,43 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Duplicate-cluster assignment: the transitive closure of candidate
+    * pairs, each member labeled with the smallest id of its component (the
+    * canonical representative a dedup pipeline keeps). Iterative min-label
+    * propagation: each round is one equi-join + min-aggregate shuffle on
+    * compact (id, label) rows, converging in O(component diameter) rounds —
+    * near-dup clusters are shallow (a handful of hops), so this is the
+    * standard large-graph CC pattern without needing GraphX. Rounds are
+    * checkpointed via persist; the convergence probe is one count per
+    * round (a driver-side loop over *jobs*, not over rows). */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val viaNeighbour = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("rep"))
+      val next = viaNeighbour.unionAll(labels.select(col("id"), col("rep")))
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.rep") =!= col("o.rep")).limit(1).count() > 0
+      labels.unpersist(false)
+      labels = next
+      done = !changed
+      round += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
   /** Exact Jaccard similarity of word n-gram sets. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val sa = shingles(a, n)

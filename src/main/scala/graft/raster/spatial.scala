@@ -239,7 +239,9 @@ case class Smooth(store: RasterBlock, size: Double, fill: Double = 0) extends Sp
         val (t, oty, otx) = key
         val otw = math.min(TILE, w - otx * TILE)
         val oth = math.min(TILE, h - oty * TILE)
-        val chunks = it.map { case (_, _, _, sty, stx, vals) => (sty, stx, vals) }.toArray
+        val chunks = it.map { case (_, _, _, sty, stx, vals) =>
+          (sty.toLong << 32 | stx.toLong, vals)
+        }.toMap
         val out = Array.fill(otw * oth)(nd)
         var i = 0
         while (i < oth) {
@@ -248,9 +250,9 @@ case class Smooth(store: RasterBlock, size: Double, fill: Double = 0) extends Sp
           while (j < otw) {
             val cx = coarseX(otx * TILE + j)
             val sty = cy / TILE; val stx = cx / TILE
-            chunks.find(c => c._1 == sty && c._2 == stx).foreach { c =>
+            chunks.get(sty.toLong << 32 | stx.toLong).foreach { vals =>
               val ctw = math.min(TILE, w - stx * TILE)
-              out(i * otw + j) = c._3((cy - sty * TILE) * ctw + (cx - stx * TILE))
+              out(i * otw + j) = vals((cy - sty * TILE) * ctw + (cx - stx * TILE))
             }
             j += 1
           }

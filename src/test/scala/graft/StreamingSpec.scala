@@ -1,8 +1,52 @@
 package graft
 
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, Sessionize}
 
 class StreamingSpec extends SparkSpec {
+
+  test("streaming sessionization (flatMapGroupsWithState) matches the batch plan") {
+    val dir = "/root/testdata/sf0.001"
+    val events = QueryLib.tbl(spark, dir, "events")
+    // batch truth. The stream emits sessions closed by a gap plus trailing
+    // sessions flushed by the event-time timeout once the final watermark
+    // passes them — so: streamed ⊆ batch, and every gap-closed batch
+    // session (all but each user's trailing one) must be streamed.
+    val batch = Sessionize.batch(events, 30)
+    val lastSid = batch.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("sid").as("sid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def key(r: org.apache.spark.sql.Row, tsIdx: Int, nIdx: Int, vIdx: Int) =
+      (r.getLong(0), r.getTimestamp(tsIdx), r.getLong(nIdx),
+        math.rint(r.getDouble(vIdx) * 1e4) / 1e4)
+    val batchAll = batch.collect().map(r => key(r, 2, 3, 4)).toSet
+    val closedBatch = batch.collect()
+      .filter(r => !lastSid.contains((r.getLong(0), r.getLong(1))))
+      .map(r => key(r, 2, 3, 4)).toSet
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sess")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val src = spark.readStream.schema(EventStream.eventSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val q = Sessionize.streaming(src, 30).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_sess").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_sess").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 1e4) / 1e4))
+        .toSet
+      assert(streamed.subsetOf(batchAll),
+        s"stream emitted sessions unknown to batch: ${(streamed -- batchAll).take(3)}")
+      assert(closedBatch.subsetOf(streamed),
+        s"gap-closed batch sessions missing from stream: ${(closedBatch -- streamed).take(3)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 
   test("streaming windowed aggregation matches the batch plan") {
     val dir = "/root/testdata/sf0.001"
