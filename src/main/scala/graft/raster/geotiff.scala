@@ -6,27 +6,37 @@ import java.nio.file.{Files, Paths}
 import java.time.Instant
 import org.apache.spark.sql.SparkSession
 
-/** Minimal pure-JVM GeoTIFF codec (no GDAL on the classpath): classic
-  * little-endian TIFF, one float64 strip per file, ModelPixelScale/
-  * ModelTiepoint + GeoKey EPSG tagging and the GDAL_NODATA convention —
-  * the subset the reference's RasterFileSource/Sink actually exercises
-  * (raster/sources.py:396-564, sinks.py:18-141). The layout follows TIFF
-  * 6.0 + the GeoTIFF 1.1 spec (ascending IFD tags, correct field types);
-  * round-trip verified with this reader — no external TIFF reader exists
-  * in this environment to cross-validate against.
+/** Pure-JVM GeoTIFF codec (no GDAL on the classpath): classic
+  * little-endian TIFF with striped layout, six sample types (float64/
+  * float32, int16/int32, uint8/uint16), ModelPixelScale/ModelTiepoint +
+  * GeoKey EPSG tagging and the GDAL_NODATA convention — the subset the
+  * reference's RasterFileSource/Sink actually exercises
+  * (raster/sources.py:396-564, sinks.py:18-141); tiled layout and
+  * compression remain out of scope (documented, not faked). The layout
+  * follows TIFF 6.0 + the GeoTIFF 1.1 spec (ascending IFD tags, correct
+  * field types, multi-strip offset/byte-count arrays); round-trip verified
+  * with this reader — no external TIFF reader exists in this environment
+  * to cross-validate against.
   */
 object GeoTiff {
 
-  private val TAGS = Map(
-    "width" -> 256, "height" -> 257, "bits" -> 258, "compression" -> 259,
-    "photometric" -> 262, "stripOffsets" -> 273, "samplesPerPixel" -> 277,
-    "rowsPerStrip" -> 278, "stripByteCounts" -> 279, "sampleFormat" -> 339,
-    "pixelScale" -> 33550, "tiepoint" -> 33922, "geoKeys" -> 34735,
-    "noData" -> 42113)
+  /** dtypeName → (bitsPerSample, TIFF SampleFormat). Format 1 = unsigned
+    * int, 2 = signed int, 3 = IEEE float. */
+  private val SampleTypes: Map[String, (Int, Int)] = Map(
+    "float64" -> ((64, 3)), "float32" -> ((32, 3)),
+    "int32" -> ((32, 2)), "int16" -> ((16, 2)),
+    "uint8" -> ((8, 1)), "uint16" -> ((16, 1)))
 
   def write(path: String, values: Array[Double], w: Int, h: Int,
-      bbox: Bbox, epsg: Int, noData: Double): Unit = {
+      bbox: Bbox, epsg: Int, noData: Double, dtypeName: String = "float64",
+      rowsPerStrip: Int = 256): Unit = {
     require(values.length == w * h, "value count must equal w*h")
+    val (bits, sampleFormat) = SampleTypes.getOrElse(dtypeName,
+      throw new IllegalArgumentException(
+        s"unsupported GeoTIFF dtype '$dtypeName' (${SampleTypes.keys.mkString(", ")})"))
+    val bytesPer = bits / 8
+    val rps = math.min(math.max(rowsPerStrip, 1), h)
+    val nStrips = (h + rps - 1) / rps
     // GDAL_NODATA: NUL-terminated ASCII, space-padded past 4 bytes so the
     // IFD entry legitimately stores an offset (TIFF 6.0 inlines <= 4 bytes)
     val ndAscii = (noData.toString.padTo(4, ' ') + "\u0000").getBytes("ASCII")
@@ -40,12 +50,18 @@ object GeoTiff {
     val headerLen = 8
     val ifdLen = 2 + nEntries * 12 + 4
     var aux = headerLen + ifdLen
+    // strip offset/byte-count arrays live out-of-line when nStrips > 1
+    val stripArrOff = aux; aux += (if (nStrips > 1) nStrips * 4 * 2 else 0)
     val pixelScaleOff = aux; aux += 3 * 8
     val tiepointOff = aux; aux += 6 * 8
     val geoKeysOff = aux; aux += geoKeys.length * 2
     val ndOff = aux; aux += ndAscii.length
-    val stripOff = aux
-    val total = stripOff + values.length * 8
+    val dataOff = aux
+    val total = dataOff + values.length * bytesPer
+
+    val stripRows = Array.tabulate(nStrips)(s => math.min(rps, h - s * rps))
+    val stripBytes = stripRows.map(_ * w * bytesPer)
+    val stripOffs = stripBytes.scanLeft(dataOff)(_ + _).init
 
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(headerLen)
@@ -58,32 +74,47 @@ object GeoTiff {
     // entries must be ascending by tag id
     entry(256, 3, 1, w)
     entry(257, 3, 1, h)
-    entry(258, 3, 1, 64)
+    entry(258, 3, 1, bits)
     entry(259, 3, 1, 1)
     entry(262, 3, 1, 1)
-    entry(273, 4, 1, stripOff)
+    if (nStrips == 1) entry(273, 4, 1, dataOff)
+    else entry(273, 4, nStrips, stripArrOff)
     entry(277, 3, 1, 1)
-    entry(278, 3, 1, h)
-    entry(279, 4, 1, values.length * 8)
-    entry(339, 3, 1, 3) // IEEE float
+    entry(278, 3, 1, rps)
+    if (nStrips == 1) entry(279, 4, 1, stripBytes(0))
+    else entry(279, 4, nStrips, stripArrOff + nStrips * 4)
+    entry(339, 3, 1, sampleFormat)
     entry(33550, 12, 3, pixelScaleOff)
     entry(33922, 12, 6, tiepointOff)
     entry(34735, 3, geoKeys.length, geoKeysOff)
     entry(42113, 2, ndAscii.length, ndOff)
     buf.putInt(0) // next IFD
+    if (nStrips > 1) {
+      stripOffs.foreach(buf.putInt)
+      stripBytes.foreach(buf.putInt)
+    }
     buf.putDouble(bbox.width / w).putDouble(bbox.height / h).putDouble(0.0)
     // tiepoint: raster (0,0,0) → world (x1, y2, 0) (top-left)
     buf.putDouble(0).putDouble(0).putDouble(0)
       .putDouble(bbox.x1).putDouble(bbox.y2).putDouble(0)
     geoKeys.foreach(k => buf.putShort(k.toShort))
     buf.put(ndAscii)
-    values.foreach(buf.putDouble)
+    val put: Double => Unit = (bits, sampleFormat) match {
+      case (64, 3) => v => buf.putDouble(v)
+      case (32, 3) => v => { buf.putFloat(v.toFloat); () }
+      case (32, 2) => v => { buf.putInt(math.rint(v).toInt); () }
+      case (16, 2) => v => { buf.putShort(math.rint(v).toShort); () }
+      case (16, 1) => v => { buf.putShort((math.rint(v).toLong & 0xffffL).toShort); () }
+      case (8, 1)  => v => { buf.put((math.rint(v).toLong & 0xffL).toByte); () }
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    values.foreach(put)
     Files.createDirectories(Paths.get(path).getParent)
     Files.write(Paths.get(path), buf.array())
   }
 
   case class Tiff(values: Array[Double], w: Int, h: Int, bbox: Bbox,
-      epsg: Int, noData: Double)
+      epsg: Int, noData: Double, dtypeName: String = "float64")
 
   def read(path: String): Tiff = {
     val bytes = Files.readAllBytes(Paths.get(path))
@@ -102,10 +133,44 @@ object GeoTiff {
       tags += tag -> ((typ, count, v))
     }
     val w = tags(256)._3; val h = tags(257)._3
-    require(tags(258)._3 == 64 && tags(339)._3 == 3 && tags(259)._3 == 1,
-      "reader supports uncompressed float64 only")
-    val stripOff = tags(273)._3
-    val values = Array.tabulate(w * h)(i => buf.getDouble(stripOff + i * 8))
+    val bits = tags(258)._3
+    val sampleFormat = tags.get(339).map(_._3).getOrElse(1)
+    require(tags(259)._3 == 1, "reader supports uncompressed TIFF only")
+    val dtypeName = SampleTypes.collectFirst {
+      case (name, (b, f)) if b == bits && f == sampleFormat => name
+    }.getOrElse(throw new IllegalArgumentException(
+      s"unsupported sample type bits=$bits format=$sampleFormat"))
+    val bytesPer = bits / 8
+    // strip offsets: scalar when count == 1, SHORT/LONG array otherwise
+    def intsOf(tag: Int): Array[Int] = {
+      val (typ, count, v) = tags(tag)
+      if (count == 1) Array(v)
+      else Array.tabulate(count)(i =>
+        if (typ == 3) buf.getShort(v + i * 2) & 0xffff else buf.getInt(v + i * 4))
+    }
+    val stripOffs = intsOf(273)
+    val rps = tags.get(278).map(_._3).getOrElse(h)
+    val get: Int => Double = (bits, sampleFormat) match {
+      case (64, 3) => off => buf.getDouble(off)
+      case (32, 3) => off => buf.getFloat(off).toDouble
+      case (32, 2) => off => buf.getInt(off).toDouble
+      case (16, 2) => off => buf.getShort(off).toDouble
+      case (16, 1) => off => (buf.getShort(off) & 0xffff).toDouble
+      case (8, 1)  => off => (bytes(off) & 0xff).toDouble
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    val values = new Array[Double](w * h)
+    var row = 0
+    while (row < h) {
+      val strip = row / rps
+      val base = stripOffs(strip) + (row - strip * rps) * w * bytesPer
+      var j = 0
+      while (j < w) {
+        values(row * w + j) = get(base + j * bytesPer)
+        j += 1
+      }
+      row += 1
+    }
     val psOff = tags(33550)._3
     val (sx, sy) = (buf.getDouble(psOff), buf.getDouble(psOff + 8))
     val tpOff = tags(33922)._3
@@ -122,23 +187,28 @@ object GeoTiff {
     val nd = tags.get(42113).map { case (_, count, off) =>
       new String(bytes, off, count, "ASCII").replace("\u0000", " ").trim.toDouble
     }.getOrElse(Double.MaxValue)
-    Tiff(values, w, h, bbox, epsg, nd)
+    Tiff(values, w, h, bbox, epsg, nd, dtypeName)
   }
 }
 
 /** Write one GeoTIFF per frame + a VRT-style JSON manifest (the reference's
   * tile-and-merge pattern, sinks.py:123-141). Frames are collected per
   * request — this is the export path, not the distributed store (that is
-  * RasterParquetSink). */
+  * RasterParquetSink). The file sample type follows the source dtype when
+  * the codec supports it; everything else exports as float64. */
 case class GeoTiffSink(source: RasterBlock, url: String) {
   def write(req: RasterRequest)(implicit spark: SparkSession): Seq[String] = {
     val res = source.getData(req).getOrElse(
       throw new IllegalArgumentException("empty result"))
     val epsg = req.projection.stripPrefix("EPSG:").toIntOption.getOrElse(0)
+    val dt = source.dtype.name match {
+      case n @ ("float32" | "int16" | "int32" | "uint8" | "uint16") => n
+      case _ => "float64"
+    }
     val paths = res.times.zipWithIndex.map { case (t, i) =>
       val p = s"$url/frame_${t.toEpochMilli}.tif"
       GeoTiff.write(p, res.values(i), req.width, req.height, req.bbox, epsg,
-        res.noDataValue)
+        res.noDataValue, dt)
       p
     }
     val manifest = Map("type" -> "graft-geotiff-v1",
@@ -166,9 +236,10 @@ case class GeoTiffSource(url: String, timeFirstMs: Long = 0L,
     val t = tiffs.head
     MemorySource(tiffs.map(_.values), t.w, t.h, t.noData,
       s"EPSG:${t.epsg}", (t.bbox.x2 - t.bbox.x1) / t.w, t.bbox.x1, t.bbox.y2,
-      timeFirstMs, if (tiffs.size > 1) Some(timeDeltaMsArg) else None, "float64")
+      timeFirstMs, if (tiffs.size > 1) Some(timeDeltaMsArg) else None,
+      t.dtypeName)
   }
-  override def dtype: DType = DType.F8
+  override def dtype: DType = DType.byName(tiffs.head.dtypeName)
   override def projection: String = memory.projection
   override def temporal: Boolean = memory.temporal
   override def timeDeltaMs: Option[Long] = memory.timeDeltaMs

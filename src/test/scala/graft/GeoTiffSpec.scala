@@ -17,6 +17,52 @@ class GeoTiffSpec extends SparkSpec {
     assert(t.epsg == 28992 && t.noData == -9999.0)
   }
 
+  test("GeoTIFF codec round-trips every sample type") {
+    val dir = Files.createTempDirectory("graft_tiff_dtypes").toString
+    val ints = Array.tabulate(12)(i => (i * 37 % 200).toDouble)
+    for (dt <- Seq("float64", "float32", "int32", "int16", "uint8", "uint16")) {
+      GeoTiff.write(s"$dir/$dt.tif", ints, 4, 3, Bbox(0, 0, 4, 3), 28992, 255.0, dt)
+      val t = GeoTiff.read(s"$dir/$dt.tif")
+      assert(t.dtypeName == dt, dt)
+      assert(t.values.toSeq == ints.toSeq, dt)
+    }
+    // fractional float32 survives at float precision
+    val fracs = Array.tabulate(12)(i => i + 0.25)
+    GeoTiff.write(s"$dir/f32.tif", fracs, 4, 3, Bbox(0, 0, 4, 3), 28992, -1.0, "float32")
+    assert(GeoTiff.read(s"$dir/f32.tif").values.toSeq ==
+      fracs.map(v => v.toFloat.toDouble).toSeq)
+    // signed ints keep their sign; unsigned wrap like numpy uint8
+    GeoTiff.write(s"$dir/neg.tif", Array.fill(12)(-7.0), 4, 3,
+      Bbox(0, 0, 4, 3), 28992, 0.0, "int16")
+    assert(GeoTiff.read(s"$dir/neg.tif").values.forall(_ == -7.0))
+  }
+
+  test("GeoTIFF multi-strip layout round-trips (rowsPerStrip < height)") {
+    val dir = Files.createTempDirectory("graft_tiff_strips").toString
+    val (w, h) = (7, 11)
+    val vals = Array.tabulate(w * h)(i => (i % 251).toDouble)
+    GeoTiff.write(s"$dir/s.tif", vals, w, h, Bbox(0, 0, w, h), 28992, -1.0,
+      "float64", rowsPerStrip = 3) // 4 strips, last one ragged (2 rows)
+    val t = GeoTiff.read(s"$dir/s.tif")
+    assert(t.w == w && t.h == h)
+    assert(t.values.toSeq == vals.toSeq)
+    // uint8 multi-strip too (1-byte samples exercise the offset math)
+    GeoTiff.write(s"$dir/s8.tif", vals, w, h, Bbox(0, 0, w, h), 28992, 255.0,
+      "uint8", rowsPerStrip = 4)
+    assert(GeoTiff.read(s"$dir/s8.tif").values.toSeq == vals.toSeq)
+  }
+
+  test("GeoTiffSink writes the source dtype; GeoTiffSource restores it") {
+    val dir = Files.createTempDirectory("graft_tiff_dt_sink").toString
+    val req = RasterRequest(Bbox(135000, 455995, 135005, 456000), "EPSG:28992",
+      10, 10, Some(T0), Some(T0.plusMillis(3 * Hour)))
+    GeoTiffSink(source, dir).write(req) // fixture source is uint8
+    val t = GeoTiff.read(s"$dir/frame_${T0.toEpochMilli}.tif")
+    assert(t.dtypeName == "uint8")
+    val back = GeoTiffSource(dir, T0.toEpochMilli, Hour)
+    assert(back.dtype == DType.U1)
+  }
+
   test("GeoTiffSink exports frames + manifest; GeoTiffSource serves them back") {
     val dir = Files.createTempDirectory("graft_tiff_sink").toString
     val req = RasterRequest(Bbox(135000, 455995, 135005, 456000), "EPSG:28992",
