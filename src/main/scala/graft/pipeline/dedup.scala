@@ -154,22 +154,66 @@ object Dedup {
     * checkpointed via persist; the convergence probe is one count per
     * round (a driver-side loop over *jobs*, not over rows). */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxRounds: Int = 20): DataFrame = {
+      idB: String = "id_b", maxRounds: Int = 20,
+      driverPairLimit: Long = 5000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // cost switch (the Place warp/group pattern): a pair set that fits the
+    // driver solves in one union-find pass instead of paying per-round
+    // Spark job overhead; past the limit, the distributed label loop runs.
+    val p = pairs.select(col(idA).cast("long").as(idA), col(idB).cast("long").as(idB))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = p.count()
+    if (nPairs <= driverPairLimit) {
+      val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      p.unpersist(false)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+          parent(hi) = lo }
+      }
+      return parent.keys.toSeq.sorted.map(k => (k, find(k))).toDF("id", "rep")
+    }
+    // localCheckpoint (cluster: reliable checkpoint dir) makes edges and
+    // labels leaf scans: they stop sharing lineage with each other and
+    // with prior rounds, so per-round plans stay constant-size
+    val edges = p.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(p.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val viaNeighbour = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("rep"))
-      val next = viaNeighbour.unionAll(labels.select(col("id"), col("rep")))
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // hop = min(own label, min over neighbours' labels), as a left join
+      // (a union of the join branch with the labels branch trips Spark's
+      // Union constraint rewriting when both sides share the labels plan)
+      val neighbourMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("rep")).as("nrep"))
+      val hop = labels.join(neighbourMin, labels("id") === col("nid"), "left")
+        .select(labels("id").as("id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      // pointer doubling: also adopt the label of the current
+      // representative, halving the remaining chain length each round —
+      // O(log diameter) rounds instead of O(diameter)
+      val next = hop.as("a")
+        .join(hop.as("b").select(col("id").as("rid"), col("rep").as("rrep")),
+          col("a.rep") === col("rid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.rep"), coalesce(col("rrep"), col("a.rep"))).as("rep"))
+        .localCheckpoint()
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.rep") =!= col("o.rep")).limit(1).count() > 0
       labels.unpersist(false)
@@ -178,6 +222,7 @@ object Dedup {
       round += 1
     }
     edges.unpersist(false)
+    p.unpersist(false)
     labels
   }
 

@@ -1,0 +1,48 @@
+package graft
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("duplicateClusters: driver union-find and distributed loop agree") {
+    import spark.implicits._
+    // two chains (0-1-2-3, 10-11), one clique (20,21,22), a self-contained pair
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val expect = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L)
+    val viaDriver = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == expect)
+    // force the distributed min-label path (pair limit 0)
+    val viaCluster = Dedup.duplicateClusters(pairs, driverPairLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCluster == expect)
+  }
+
+  test("jaccardPairs equals the direct pair-scoring function") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over a lazy cat"),
+      (2L, "completely different text with no overlap at all whatsoever"),
+      (3L, "the quick brown fox jumps over the lazy dog")) // exact dup of 0
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact dup pair scores 1.0
+    assert(pairs((0L, 3L)) == 1.0)
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0 && pairs((0L, 1L)) < 1)
+    assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L })
+    // parity with the direct scoring expression on one pair
+    val direct = docs.filter(col("doc_id").isin(0L, 1L))
+      .agg(collect_list(col("text"))).collect()(0).getSeq[String](0)
+    val scored = Seq((direct(0), direct(1))).toDF("a", "b")
+      .select(round(Dedup.ngramJaccard(col("a"), col("b"), 3), 6).as("j"))
+      .collect()(0).getDouble(0)
+    assert(scored == pairs((0L, 1L)))
+  }
+}
