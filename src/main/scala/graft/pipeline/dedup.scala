@@ -252,15 +252,34 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, bucketed by a
-    * random-hyperplane LSH prefilter (no full cross join). */
+    * random-hyperplane LSH prefilter (no full cross join). Vectors are
+    * cast to double and unit-normalized ONCE on the row side — the
+    * intra-bucket pair side then pays only a primitive dot product, not a
+    * per-pair cast + two norm computations. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Seq[Array[Double]]): DataFrame = {
+    val unit = udf { (v: Seq[Double]) =>
+      val a = v.toArray
+      var ss = 0.0; var i = 0
+      while (i < a.length) { ss += a(i) * a(i); i += 1 }
+      val inv = 1.0 / math.sqrt(ss)
+      i = 0
+      while (i < a.length) { a(i) *= inv; i += 1 }
+      a
+    }
+    val dot = udf { (x: Seq[Double], y: Seq[Double]) =>
+      var d = 0.0; var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) { d += x(i) * y(i); i += 1 }
+      d
+    }
+    val vecD = transform(col(vecCol), x => x.cast("double"))
     val sigCol = Similarity.hyperplaneSignature(col(vecCol), planes)
-    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"), sigCol.as("bucket"))
+    val keyed = df.select(col(idCol).as("id"), unit(vecD).as("v"), sigCol.as("bucket"))
     keyed.as("l").join(keyed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        cosine(col("l.v"), col("r.v")).as("cos"))
+        dot(col("l.v"), col("r.v")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

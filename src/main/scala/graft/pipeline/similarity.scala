@@ -20,14 +20,28 @@ object Similarity {
     Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit signature of a vector against the hyperplanes. */
+  /** Sign-bit signature of a vector against the hyperplanes. Runs as a
+    * per-row primitive kernel with the same sequential left-to-right dot
+    * accumulation as the equivalent aggregate/zip_with expression, so the
+    * produced signatures are bit-identical to the HOF form (which is
+    * interpreted and slower). */
   def hyperplaneSignature(vec: Column, planes: Seq[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(zip_with(vec, typedLit(p.toSeq), (x, w) => x * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    val ps = planes.toArray
+    val f = udf { (v: Seq[Double]) =>
+      var sig = 0L
+      var i = 0
+      while (i < ps.length) {
+        val p = ps(i)
+        var dot = 0.0
+        var j = 0
+        val n = math.min(v.length, p.length)
+        while (j < n) { dot += v(j) * p(j); j += 1 }
+        if (dot >= 0) sig |= 1L << i
+        i += 1
+      }
+      sig
     }
-    bits.reduce(_ + _)
+    f(transform(vec, x => x.cast("double")))
   }
 
   /** Brute-force cosine top-k for each query id. The query side is tiny →

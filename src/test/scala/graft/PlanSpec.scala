@@ -40,6 +40,36 @@ class PlanSpec extends SparkSpec {
     assert(plan("r01_add").contains("lambdafunction"))
   }
 
+  test("n-gram Jaccard pairs is an inverted-index equi-join, never cartesian") {
+    val p = plan("p06_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the self-join on the shingle key is a hash equi-join
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("cross-CRS table-raster request gathers tiles via broadcast join") {
+    import graft.raster._
+    import java.time.Instant
+    val g = QueryLib.eventsGrid(spark, dir)
+    val src = QueryLib.eventsRaster(dir, g)
+    val (x1, y1) = Proj.transform("EPSG:28992", "EPSG:3857", 0, 0)
+    val (x2, y2) = Proj.transform("EPSG:28992", "EPSG:3857", g.w, g.h)
+    val req = RasterRequest(Bbox(x1, y1, x2, y2), "EPSG:3857", g.w, g.h,
+      Some(Instant.ofEpochMilli(0)), Some(Instant.ofEpochMilli(3600000L)))
+    val p = src.frame(req)(spark).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("sessionization stays within one exchange per stage chain") {
+    // one shuffle on user_id feeds both window passes and the aggregate
+    val p = plan("q14_sessionize")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(!p.contains("CartesianProduct"))
+    assert(exchanges <= 4, s"unexpected exchange count:\n$p")
+  }
+
   test("LSH similarity avoids the corpus cross join") {
     val p = plan("p11_embed_near_dups")
     assert(!p.contains("CartesianProduct"))
