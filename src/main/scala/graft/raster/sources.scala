@@ -162,19 +162,25 @@ case class TableRasterSource(
 
   override def cellSize: Option[Double] = Some(1.0)
 
-  override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame =
-    // the reshape below is a full-table shuffle; memoize it per
-    // (source token, request) so a session of queries over the same table
-    // pays it once (SURVEY §4 token-keyed cache)
-    FrameCache.cached(this, req) {
-      // cross-CRS / off-grid requests route through the shared NN warp
-      // stage over the native grid (raster/sources.py:119-145 warps any
-      // source, not just the in-memory one)
-      if (WarpStage.needed(req, projection))
+  override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
+    // cross-CRS / off-grid requests route through the shared NN warp
+    // stage over the native grid (raster/sources.py:119-145 warps any
+    // source, not just the in-memory one)
+    if (WarpStage.needed(req, projection))
+      return FrameCache.cached(this, req)(
         WarpStage.frame(req, projection, gridW, gridH, noDataValue,
-          r => buildFrame(r))
-      else buildFrame(req)
-    }
+          r => buildFrame(r)))
+    // the reshape is a full-table shuffle; memoize ONE full-period frame
+    // per spatial window (SURVEY §4 token-keyed cache) and serve time
+    // sub-ranges by filtering it — Snap/Shift/Group sub-requests then
+    // reuse the same cached reshape instead of each paying their own
+    val wanted = timesIn(req.start, req.stop).map(_.toEpochMilli)
+    val (p0, p1) = period.get
+    val wholeReq = req.copy(start = Some(p0), stop = Some(p1))
+    val whole = FrameCache.cached(this, wholeReq)(buildFrame(wholeReq))
+    if (wanted.size == frames) whole
+    else whole.filter(col("t").isin(wanted: _*))
+  }
 
   private def buildFrame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     // serves the native grid or any integer-aligned unit-cell subwindow of

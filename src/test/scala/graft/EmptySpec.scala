@@ -49,6 +49,23 @@ class EmptySpec extends SparkSpec {
     assert(Group(Seq(e, e)).getData(valsRequest).isEmpty)
   }
 
+  test("new round-2 operators handle empty inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // empty pair set → empty cluster assignment (both strategies)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.pipeline.Dedup.duplicateClusters(noPairs).count() == 0)
+    assert(graft.pipeline.Dedup.duplicateClusters(noPairs, driverPairLimit = 0L)
+      .count() == 0)
+    // sessionize over zero events → zero sessions
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+      .toDF("user_id", "ts", "event_id", "value")
+    assert(graft.streaming.Sessionize.batch(noEvents, 30).count() == 0)
+    // jaccard pairs over an empty corpus
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.pipeline.Dedup.jaccardPairs(noDocs, "doc_id", "text").count() == 0)
+  }
+
   test("stencils over an empty source are empty") {
     assert(Dilate(e, Seq(1.0)).getData(valsRequest).isEmpty)
     assert(MovingMax(e, 3).getData(valsRequest).isEmpty)

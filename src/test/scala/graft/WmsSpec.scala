@@ -33,4 +33,29 @@ class WmsSpec extends SparkSpec {
       assert(bad.getResponseCode == 400)
     } finally server.stop()
   }
+
+  test("views naming paths outside the data roots are refused") {
+    val server = new WmsServer(spark, dataRoots = Seq("/root/testdata")).start()
+    try {
+      val outside = TableRasterSource("/etc/passwd", "0", "0.0", 1, 4, 4)
+      val layers = URLEncoder.encode(outside.toJson, "UTF-8")
+      val conn = new URL(s"http://127.0.0.1:${server.boundPort}/wms?layers=$layers" +
+        "&bbox=0,0,4,4&width=4&height=4&projection=EPSG:28992" +
+        "&time=1970-01-01T00:00:00Z")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 400)
+      val msg = new String(conn.getErrorStream.readAllBytes(), "UTF-8")
+      assert(msg.contains("outside the configured data roots"))
+
+      // an allowed path still renders
+      val g = QueryLib.eventsGrid(spark, "/root/testdata/sf0.001")
+      val ok = QueryLib.eventsRaster("/root/testdata/sf0.001", g)
+      val okLayers = URLEncoder.encode(ok.toJson, "UTF-8")
+      val okConn = new URL(s"http://127.0.0.1:${server.boundPort}/wms?layers=$okLayers" +
+        s"&bbox=0,0,${g.w},${g.h}&width=${g.w}&height=${g.h}" +
+        "&projection=EPSG:28992&time=1970-01-01T00:00:00Z")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(okConn.getResponseCode == 200)
+    } finally server.stop()
+  }
 }
