@@ -910,6 +910,11 @@ object SparkEntry {
     "p10_embed_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         Seq(0L, 1L, 2L), 5, numPlanes = 4)),
+    "p17_multiprobe_lsh" -> ((s, dir) =>
+      // full-radius multi-probe covers every bucket → must equal the
+      // brute-force ranking exactly (hard oracle for the LSH join path)
+      Similarity.lshTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq(0L, 1L, 2L), 5, numPlanes = 4, probeRadius = 4)),
     "p11_embed_near_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         0.3, Similarity.randomPlanes(4, 64))),
@@ -1060,6 +1065,16 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) > 0""".stripMargin,
     "p09_embed_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_cosine_similarity(q.v, c.v), 6) AS cos
+        | FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        | WHERE q.vec_id IN (0, 1, 2)),
+        |ranked AS (SELECT *, row_number() OVER
+        | (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank FROM scored)
+        |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "p17_multiprobe_lsh" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |scored AS (
         | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -67,14 +67,27 @@ object Similarity {
 
   /** LSH-bucketed ANN: candidates share a hyperplane bucket with the query
     * (equi-join), then exact cosine ranking within the bucket. Trades recall
-    * for eliminating the corpus×queries product — the 100 TB path. */
+    * for eliminating the corpus×queries product — the 100 TB path.
+    *
+    * `probeRadius` enables multi-probe: each query also probes the buckets
+    * whose signature differs in up to that many sign bits (near-boundary
+    * vectors land there), recovering recall at the cost of
+    * C(numPlanes, ≤radius) extra equi-join rows per query — still no
+    * cross join. radius = numPlanes probes every bucket and makes the
+    * search exact (the p17 oracle asserts equivalence with brute force). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryIds: Seq[Long], k: Int, numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+      queryIds: Seq[Long], k: Int, numPlanes: Int = 12, dim: Int = 64,
+      probeRadius: Int = 0): DataFrame = {
+    require(numPlanes <= 24, "numPlanes > 24 would enumerate too many probe masks")
     val planes = randomPlanes(numPlanes, dim)
     val sig = hyperplaneSignature(col(vecCol), planes)
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
+    val masks: Seq[Long] = (0L until (1L << numPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
     val queries = keyed.filter(col("id").isInCollection(queryIds))
-      .select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(transform(typedLit(masks), m => col("bucket").bitwiseXOR(m)))
+          .as("bucket"))
     val scored = keyed.join(broadcast(queries), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("cand_id"),
