@@ -34,27 +34,35 @@ object Ivf {
   }
 
   /** Deterministic k-means: init = the k lowest-id vectors, then `iters`
-    * Lloyd steps (scan + groupBy mean per step). */
+    * Lloyd steps. Each step is one scan + a (cluster, dimension)-keyed sum
+    * aggregation — map-side combinable, k·dim result rows to the driver.
+    * (A collect_list-of-vectors per cluster would gather whole clusters
+    * into single rows and OOM at corpus scale.) */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3)
       (implicit spark: SparkSession): Array[Array[Double]] = {
     val vecD = transform(col(vecCol), x => x.cast("double"))
     val base = df.select(col(idCol).as("id"), vecD.as("v")).cache()
     var centroids = base.orderBy(col("id")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
+    val dim = centroids(0).length
     for (_ <- 1 to iters) {
       val assignUdf = udf(nearest(centroids) _)
-      val sums = base.withColumn("c", assignUdf(col("v")))
-        .groupBy(col("c"))
-        .agg(count(lit(1)).as("n"),
-          aggregate(collect_list(col("v")),
-            transform(sequence(lit(1), lit(centroids(0).length)), _ => lit(0.0)),
-            (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("sum"))
+      val assigned = base.withColumn("c", assignUdf(col("v")))
+      val rows = assigned
+        .select(col("c"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("c"), col("d"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
-      val updated = centroids.clone()
-      sums.foreach { r =>
-        val c = r.getInt(0); val n = r.getLong(1).toDouble
-        updated(c) = r.getSeq[Double](2).map(_ / n).toArray
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Long](k)
+      rows.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        sums(c)(d) = r.getDouble(2)
+        counts(c) = r.getLong(3)
       }
+      val updated = centroids.clone()
+      for (c <- 0 until k if counts(c) > 0)
+        updated(c) = sums(c).map(_ / counts(c))
       centroids = updated
     }
     centroids
