@@ -100,20 +100,26 @@ object GeometryToFile {
   * reference reads any OGR vector format, geometry/sources.py:18-159; here
   * the JSON reader + JTS WKT parse cover the GeoJSON path). */
 case class GeoJsonSource(url: String, proj: String = "EPSG:28992") extends GeometryBlock {
-  /** Plan-time schema from the first feature line of one part file. */
+  /** Plan-time schema sampled from the leading feature lines of every part
+    * file (union of property keys — features may carry sparse properties,
+    * and spark.read.json unions schemas across all rows; a property first
+    * appearing past the sample depth is still served by `frame`, only the
+    * plan-time `getSeries` validation would miss it). */
   override lazy val columns: Set[String] = {
-    val part = Option(new java.io.File(url).listFiles).toSeq.flatten
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName).headOption
-    part.flatMap { f =>
+    val SampleLines = 100
+    val parts = Option(new java.io.File(url).listFiles).toSeq.flatten
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val props = parts.flatMap { f =>
       val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines().find(_.trim.nonEmpty).map { line =>
-        val m = graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]
-        val props = m.get("properties").collect {
-          case p: Map[_, _] => p.keys.map(_.toString).toSet
-        }.getOrElse(Set.empty[String])
-        props + "geometry"
-      } finally src.close()
-    }.getOrElse(Set("geometry"))
+      try src.getLines().filter(_.trim.nonEmpty).take(SampleLines).flatMap { line =>
+        graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]
+          .get("properties").collect {
+            case p: Map[_, _] => p.keys.map(_.toString).toSet
+          }.getOrElse(Set.empty[String])
+      }.toSet
+      finally src.close()
+    }.toSet
+    props + "geometry"
   }
   override def projection: String = proj
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {

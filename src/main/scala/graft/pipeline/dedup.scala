@@ -155,13 +155,16 @@ object Dedup {
     * round (a driver-side loop over *jobs*, not over rows). */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxRounds: Int = 20,
-      driverPairLimit: Long = 5000000L): DataFrame = {
+      driverPairLimit: Long = 1000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
     import spark.implicits._
     // cost switch (the Place warp/group pattern): a pair set that fits the
     // driver solves in one union-find pass instead of paying per-round
     // Spark job overhead; past the limit, the distributed label loop runs.
+    // The default limit (1M pairs ≈ tens of MB collected incl. Row
+    // overhead) is conservative for a default-sized driver; raise it only
+    // with driver memory to match.
     val p = pairs.select(col(idA).cast("long").as(idA), col(idB).cast("long").as(idB))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = p.count()

@@ -78,12 +78,16 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, numPlanes: Int = 12, dim: Int = 64,
       probeRadius: Int = 0): DataFrame = {
-    require(numPlanes <= 24, "numPlanes > 24 would enumerate too many probe masks")
+    require(probeRadius == 0 || numPlanes <= 24,
+      "multi-probe with numPlanes > 24 would enumerate too many probe masks")
     val planes = randomPlanes(numPlanes, dim)
     val sig = hyperplaneSignature(col(vecCol), planes)
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
-    val masks: Seq[Long] = (0L until (1L << numPlanes))
-      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    // C(numPlanes, <= radius) masks, built from bit combinations — never a
+    // 2^numPlanes walk (radius 0 is the single exact bucket)
+    val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
+      (0 until numPlanes).combinations(r)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
     val queries = keyed.filter(col("id").isInCollection(queryIds))
       .select(col("id").as("query_id"), col("v").as("qv"),
         explode(transform(typedLit(masks), m => col("bucket").bitwiseXOR(m)))

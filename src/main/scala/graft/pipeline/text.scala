@@ -47,7 +47,9 @@ object TextAnalysis {
     val f = udf { (t: String) =>
       val s = if (t == null) "" else t
       val ws = tokenize(s)
-      val nChars = s.length.toDouble
+      // code POINTS, not UTF-16 units: SQL length()/regexp count
+      // codepoints, so a non-BMP char (emoji) must count once
+      val nChars = s.codePointCount(0, s.length).toDouble
       val nWords = ws.length.toDouble
       // distinct stopwords present (list_distinct(list_intersect(...)))
       val seen = new scala.collection.mutable.HashSet[String]
@@ -56,18 +58,18 @@ object TextAnalysis {
       var i = 0
       while (i < ws.length) {
         val w = ws(i)
-        lenSum += w.length
+        lenSum += w.codePointCount(0, w.length)
         if (stopwordSet.contains(w) && seen.add(w)) stopHits += 1
         i += 1
       }
       var punct = 0
       i = 0
       while (i < s.length) {
-        val c = s.charAt(i)
-        val keep = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
-          (c >= '0' && c <= '9') || c == ' '
+        val cp = s.codePointAt(i)
+        val keep = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+          (cp >= '0' && cp <= '9') || cp == ' '
         if (!keep) punct += 1
-        i += 1
+        i += Character.charCount(cp)
       }
       val stopRatio = stopHits / math.max(nWords, 1.0)
       val punctRatio = punct / math.max(nChars, 1.0)

@@ -19,12 +19,16 @@ object FrameCache {
 
   private final case class Key(sessionId: Int, token: String, req: RasterRequest)
 
+  private def safeUnpersist(df: DataFrame): Unit =
+    try df.unpersist(false)
+    catch { case _: Exception => } // session already stopped
+
   private val cache =
     new java.util.LinkedHashMap[Key, DataFrame](MaxEntries, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[Key, DataFrame]): Boolean = {
         val evict = size() > MaxEntries
-        if (evict) e.getValue.unpersist(false)
+        if (evict) safeUnpersist(e.getValue)
         evict
       }
     }
@@ -40,8 +44,11 @@ object FrameCache {
       val k = Key(System.identityHashCode(spark), block.token, req)
       cache.synchronized {
         val hit = cache.get(k)
-        if (hit != null) hit
+        // never serve a frame bound to a stopped session (identity-hash
+        // reuse after GC could otherwise alias a dead session's entry)
+        if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit
         else {
+          if (hit != null) cache.remove(k)
           val df = build.persist(StorageLevel.MEMORY_AND_DISK)
           cache.put(k, df)
           df
@@ -53,6 +60,6 @@ object FrameCache {
   /** Drop and unpersist everything (test hygiene). */
   def clear(): Unit = cache.synchronized {
     val it = cache.values().iterator()
-    while (it.hasNext) { it.next().unpersist(false); it.remove() }
+    while (it.hasNext) { safeUnpersist(it.next()); it.remove() }
   }
 }

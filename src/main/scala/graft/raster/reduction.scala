@@ -59,6 +59,7 @@ object Statistics {
         var min = Double.MaxValue; var max = -Double.MaxValue
         var argmin = -1; var argmax = -1
         var firstV = nd; var lastV = nd
+        var hasNaN = false; var firstNaN = -1
         i = 0
         while (i < m) {
           val v = arrs(i)(j)
@@ -67,12 +68,23 @@ object Statistics {
             if (firstV == nd && cnt == 0) firstV = v
             lastV = v
             sum += v; prod *= v
-            if (v < min) { min = v; argmin = i }
-            if (v > max) { max = v; argmax = i }
+            if (v.isNaN) {
+              // SQL ordering treats NaN as greater than any value: max/
+              // argmax select it, min/argmin never do (unless all-NaN)
+              if (!hasNaN) { hasNaN = true; firstNaN = i }
+            } else {
+              if (v < min) { min = v; argmin = i }
+              if (v > max) { max = v; argmax = i }
+            }
             buf(cnt) = v
             cnt += 1
           }
           i += 1
+        }
+        if (hasNaN) {
+          max = Double.NaN
+          argmax = firstNaN
+          if (argmin < 0) { min = Double.NaN; argmin = firstNaN }
         }
         out(j) =
           if (stat == "rawsum") raw

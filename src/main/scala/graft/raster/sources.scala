@@ -169,6 +169,7 @@ case class TableRasterSource(
     if (WarpStage.needed(req, projection))
       return FrameCache.cached(this, req)(
         WarpStage.frame(req, projection, gridW, gridH, noDataValue,
+          timesIn(req.start, req.stop).map(_.toEpochMilli),
           r => buildFrame(r)))
     // the reshape is a full-table shuffle; memoize ONE full-period frame
     // per spatial window (SURVEY §4 token-keyed cache) and serve time

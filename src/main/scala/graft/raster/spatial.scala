@@ -446,8 +446,13 @@ case class Place(store: RasterBlock, placeProjection: String,
       if !req.bbox.isPoint
       fullW = math.ceil(e.width / req.cellW).toLong
       fullH = math.ceil(e.height / req.cellH).toLong
-      if modeHint.contains("warp") ||
-        (fullW > 0 && fullH > 0 && fullW * fullH <= req.width.toLong * req.height)
+      // even a forced warp stays bounded: the full-extent read must fit
+      // the request pixel budget (hint) or the global raster limit, and
+      // the dimensions must be sane Ints
+      if fullW > 0 && fullH > 0 && fullW <= Int.MaxValue && fullH <= Int.MaxValue
+      if (if (modeHint.contains("warp"))
+            fullW * fullH <= RequestGuards.rasterLimitPixels
+          else fullW * fullH <= req.width.toLong * req.height)
     } yield (e, fullW.toInt, fullH.toInt)
     warpChoice match {
       case Some((e, fw, fh)) => return warpFrame(req, e, fw, fh, nd)

@@ -184,12 +184,13 @@ case class TemporalAggregate(
       case None    => _ => allTimes.head.toEpochMilli
       case Some(f) => t => f.binLabel(t, c, l, zone).toEpochMilli
     }
-    Some(times.map { lab =>
-      val ms = lab.toEpochMilli
-      srcTimes.lazyZip(srcMeta).collect {
-        case (t, m) if labelOf(t) == ms => m
-      }.toSeq
-    })
+    // label each source frame once, then group — O(|src| + |times|), not
+    // the quadratic per-(label, frame) recomputation
+    val byLabel = srcTimes.lazyZip(srcMeta)
+      .map { case (t, m) => (labelOf(t), m) }
+      .groupBy(_._1)
+    Some(times.map(lab =>
+      byLabel.getOrElse(lab.toEpochMilli, Seq.empty).map(_._2)))
   }
 
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
@@ -283,11 +284,15 @@ case class Cumulative(
       case None    => 0L
       case Some(f) => f.binLabel(t, "right", "right", zone).toEpochMilli
     }
+    // bin each source frame once (O(|src| log + |times| log), not
+    // quadratic): within a bin, the prefix up to and including t
+    val keyed = srcTimes.lazyZip(srcMeta)
+      .map { case (st, m) => (binKey(st), st, m) }
+      .groupBy(_._1)
+      .map { case (b, xs) => b -> xs.sortBy(_._2) }
     Some(times.map { t =>
       val b = binKey(t)
-      srcTimes.lazyZip(srcMeta).collect {
-        case (st, m) if binKey(st) == b && !st.isAfter(t) => m
-      }.toSeq
+      keyed.getOrElse(b, Seq.empty).takeWhile(!_._2.isAfter(t)).map(_._3)
     })
   }
 

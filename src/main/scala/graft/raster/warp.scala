@@ -42,10 +42,11 @@ object WarpStage {
   }
 
   /** Warp `req` against a native-grid builder. `gridW`/`gridH` bound the
-    * store's native extent; `build` must serve integer-aligned unit-cell
+    * store's native extent; `timesMs` are the frame instants the request
+    * covers (plan metadata); `build` must serve integer-aligned unit-cell
     * sub-window requests in `storeProj`. */
   def frame(req: RasterRequest, storeProj: String, gridW: Int, gridH: Int,
-      noData: Double, build: RasterRequest => DataFrame)(
+      noData: Double, timesMs: Seq[Long], build: RasterRequest => DataFrame)(
       implicit spark: SparkSession): DataFrame = {
     // 1. native sub-window covering the request footprint (+1 cell margin)
     val env = sourceEnvelope(req, storeProj)
@@ -125,10 +126,30 @@ object WarpStage {
       }
       out
     }
-    src.join(mapDf, Seq("ty", "tx"))
+    val gathered = src.join(mapDf, Seq("ty", "tx"))
       .groupBy(col("t"), col("oty"), col("otx"))
       .agg(collect_list(struct(col("ty"), col("tx"), col("values"))).as("tiles"))
       .select(col("t"), col("oty").as("ty"), col("otx").as("tx"),
         kernel(col("oty"), col("otx"), col("t"), col("tiles")).as("values"))
+    // densify: output tiles whose source footprint fell outside the clamped
+    // native window produced no mapping rows — they must still appear as
+    // nodata tiles (the frame() contract is times × numTiles rows)
+    val nOtx = TileLayout.tilesX(req.width)
+    val nOTiles = TileLayout.numTiles(req.width, req.height)
+    val ts = timesMs.toIndexedSeq
+    val allTiles = spark.range(ts.length.toLong * nOTiles).mapPartitions { it =>
+      it.map { i =>
+        val t = ts((i / nOTiles).toInt)
+        val ti = (i % nOTiles).toInt
+        (t, ti / nOtx, ti % nOtx)
+      }
+    }.toDF("t", "ty", "tx")
+    allTiles.join(gathered, Seq("t", "ty", "tx"), "left")
+      .select(col("t"), col("ty"), col("tx"),
+        coalesce(col("values"), {
+          val tw = least(lit(TileLayout.TILE), lit(req.width) - col("tx") * TileLayout.TILE)
+          val th = least(lit(TileLayout.TILE), lit(req.height) - col("ty") * TileLayout.TILE)
+          array_repeat(lit(nd), (tw * th).cast("int"))
+        }).as("values"))
   }
 }

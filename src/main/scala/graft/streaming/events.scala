@@ -120,7 +120,11 @@ object Sessionize {
     }
     if (open != null) {
       state.update(open)
-      state.setTimeoutTimestamp(open.lastUs / 1000 + gapUs / 1000 + 1)
+      // the natural timeout (session end + gap) can lie behind the current
+      // watermark when the watermark delay exceeds the gap — Spark rejects
+      // such timestamps, so clamp to just past the watermark
+      val natural = open.lastUs / 1000 + gapUs / 1000 + 1
+      state.setTimeoutTimestamp(math.max(natural, state.getCurrentWatermarkMs() + 1))
     }
     closed.iterator
   }

@@ -79,6 +79,20 @@ class WarpSpec extends SparkSpec {
       Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0 + Hour))))
   }
 
+  test("requests extending beyond the source extent densify with nodata") {
+    // window partly off-grid on every side: outside cells are nodata, the
+    // tile count still matches the frame contract
+    val req = RasterRequest(Bbox(-3.5, -2.5, gw + 3.5, gh + 2.5), "EPSG:28992",
+      2 * (gw + 7), 2 * (gh + 5),
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0 + Hour)))
+    compare(req)
+    // entirely off-extent: all-nodata frames, not an empty result
+    val off = RasterRequest(Bbox(-30, -30, -20, -20), "EPSG:28992", 10, 10,
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0)))
+    val res = table.getData(off).get
+    assert(res.values.forall(_.forall(_ == table.noDataValue)))
+  }
+
   test("EPSG:3857 request over a table raster matches the MemorySource warp") {
     val (x1, y1) = Proj.transform("EPSG:28992", "EPSG:3857", 0, 0)
     val (x2, y2) = Proj.transform("EPSG:28992", "EPSG:3857", gw, gh)
