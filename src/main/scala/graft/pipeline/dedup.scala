@@ -23,6 +23,19 @@ object Dedup {
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
       .select(col("rep_id"), col("n_copies"))
 
+  /** Exact dedup for a document STREAM: first-arrival-wins per distinct
+    * text, as Structured Streaming keyed state (`dropDuplicates` on the
+    * hash pair — same ~40-byte state per distinct text as the batch
+    * shuffle key; without a watermark the state grows with the distinct
+    * count, which is the semantics exact dedup needs). Works identically
+    * on a batch frame. */
+  def exactStreaming(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("text_xxh", xxhash64(col(textCol)))
+      .withColumn("text_md5", md5(col(textCol)))
+      .dropDuplicates("text_xxh", "text_md5")
+      .drop("text_xxh", "text_md5")
+
   /** Word shingles (n-grams) of a text column. */
   def shingles(text: Column, n: Int): Column = {
     val ws = TextAnalysis.words(text)

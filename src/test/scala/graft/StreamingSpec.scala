@@ -48,6 +48,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps one document per distinct text") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = QueryLib.tbl(spark, dir, "documents")
+    val nDistinct = docs.select("text").distinct().count()
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val src = spark.readStream.schema(docs.schema).parquet(streamDir.toString)
+    val q = graft.pipeline.Dedup.exactStreaming(src, "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("stream_dedup")
+      assert(kept.count() == nDistinct)
+      assert(kept.select("text").distinct().count() == nDistinct)
+    } finally q.stop()
+  }
+
   test("streaming windowed aggregation matches the batch plan") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventStream.batch(spark, dir, "1 hour").collect()
