@@ -178,6 +178,19 @@ object SparkEntry {
     }),
     "q14_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(tbl(s, dir, "events"), 30)),
+    "q15_asof_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      // right side unique per (key, time): keep the max orderkey per day
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val o1 = tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"))
+      AsOfJoin.backward(e, "user_id", "ts", o1, "o_custkey", "o_orderdate")
+        .select(col("event_id"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
     "q13_asof_ffill" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -197,6 +210,15 @@ object SparkEntry {
       """SELECT event_id, user_id, round(sum(value) OVER
         | (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running FROM events""".stripMargin,
+    "q15_asof_join" ->
+      """WITH o1 AS (
+        | SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |   ORDER BY o_orderkey DESC) AS rn
+        | FROM orders QUALIFY rn = 1)
+        |SELECT event_id, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM events ASOF LEFT JOIN o1
+        | ON user_id = o_custkey AND ts >= o_orderdate""".stripMargin,
     "q14_sessionize" ->
       """WITH marked AS (
         | SELECT user_id, event_id, ts, value,
