@@ -915,6 +915,9 @@ object SparkEntry {
     "p06_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(tbl(s, dir, "documents").filter(col("doc_id") < 40),
         "doc_id", "text", 3)),
+    "p18_deterministic_sample" -> ((s, dir) =>
+      Sampling.deterministicSample(tbl(s, dir, "documents"), "text", 0.25)
+        .select(col("doc_id"))),
     "p16_dup_clusters" -> ((s, dir) => {
       val pairs = Dedup.jaccardPairs(
         tbl(s, dir, "documents").filter(col("doc_id") < 40), "doc_id", "text", 3)
@@ -1053,6 +1056,9 @@ object SparkEntry {
         |  w -> CAST(len(w) * 7 + ord(w[1]) AS BIGINT))),
         | (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
         |FROM documents""".stripMargin,
+    "p18_deterministic_sample" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE substr(md5(text), 1, 8) < '${graft.pipeline.Sampling.thresholdHex(0.25)}'""".stripMargin,
     "p16_dup_clusters" ->
       // transitive closure of the >=0.5-Jaccard pairs via recursive CTE;
       // rep = min reachable id (the same fixpoint min-label propagation

@@ -23,6 +23,27 @@ class DedupSpec extends SparkSpec {
     assert(viaCluster == expect)
   }
 
+  test("deterministic sampling: stable, disjoint split, rate in range") {
+    import spark.implicits._
+    val docs = QueryLib.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val s1 = graft.pipeline.Sampling.deterministicSample(docs, "text", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = graft.pipeline.Sampling.deterministicSample(docs, "text", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty) // stable across runs
+    val n = docs.count().toDouble
+    assert(s1.size / n > 0.1 && s1.size / n < 0.4) // ~rate (dup-correlated)
+    val (train, holdout) = graft.pipeline.Sampling.split(docs, "text", 0.25)
+    val t = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val h = holdout.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((t intersect h).isEmpty && (t union h).size == n.toLong)
+    assert(h == s1) // holdout membership == the sample predicate
+    // identical texts land on the same side (split survives duplication)
+    val dupSides = docs.groupBy("text")
+      .agg(countDistinct(graft.pipeline.Sampling.keep(col("text"), 0.25)).as("sides"))
+    assert(dupSides.filter(col("sides") > 1).count() == 0)
+  }
+
   test("jaccardPairs equals the direct pair-scoring function") {
     import spark.implicits._
     val docs = Seq(
