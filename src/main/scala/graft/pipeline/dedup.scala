@@ -250,22 +250,14 @@ object Dedup {
       greatest(size(array_union(sa, sb)).cast("double"), lit(1.0))
   }
 
-  /** Cosine similarity of two double-array embedding columns. A per-row
-    * primitive loop (sequential accumulation, matching the element order an
-    * external engine uses) — the HOF-expression form is interpreted and
-    * ~10× slower on wide join outputs. */
-  def cosine(a: Column, b: Column): Column = {
-    val f = udf { (x: Seq[Double], y: Seq[Double]) =>
-      var dot = 0.0; var nx = 0.0; var ny = 0.0
-      var i = 0
-      val n = math.min(x.length, y.length)
-      while (i < n) {
-        dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
-      }
-      dot / (math.sqrt(nx) * math.sqrt(ny))
-    }
-    f(a, b)
-  }
+  /** Cosine similarity of two double-array embedding columns — the native
+    * codegen'd `CosineSimilarity` expression (single sequential pass,
+    * identical accumulation order to the former UDF kernel, but reading
+    * ArrayData primitives inside whole-stage codegen instead of boxing
+    * each array into Seq[Double] per pair). Callers must
+    * `GraftFunctions.register` the session (all in-repo callers do). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine(a, b)
 
   /** Embedding near-duplicate pairs above a cosine threshold, bucketed by a
     * random-hyperplane LSH prefilter (no full cross join). Vectors are
@@ -274,6 +266,7 @@ object Dedup {
     * per-pair cast + two norm computations. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Seq[Array[Double]]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val unit = udf { (v: Seq[Double]) =>
       val a = v.toArray
       var ss = 0.0; var i = 0
@@ -283,19 +276,13 @@ object Dedup {
       while (i < a.length) { a(i) *= inv; i += 1 }
       a
     }
-    val dot = udf { (x: Seq[Double], y: Seq[Double]) =>
-      var d = 0.0; var i = 0
-      val n = math.min(x.length, y.length)
-      while (i < n) { d += x(i) * y(i); i += 1 }
-      d
-    }
     val vecD = transform(col(vecCol), x => x.cast("double"))
     val sigCol = Similarity.hyperplaneSignature(col(vecCol), planes)
     val keyed = df.select(col(idCol).as("id"), unit(vecD).as("v"), sigCol.as("bucket"))
     keyed.as("l").join(keyed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        dot(col("l.v"), col("r.v")).as("cos"))
+        graft.functions.GraftFunctions.dot(col("l.v"), col("r.v")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

@@ -73,6 +73,7 @@ object Ivf {
   def topK(df: DataFrame, idCol: String, vecCol: String, queryIds: Seq[Long],
       k: Int, numClusters: Int = 16, nProbe: Int = 4, iters: Int = 3)
       (implicit spark: SparkSession): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val centroids = fit(df, idCol, vecCol, numClusters, iters)
     val assignUdf = udf(nearest(centroids) _)
     val probesUdf = udf { (v: Seq[Double]) =>

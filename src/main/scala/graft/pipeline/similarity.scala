@@ -49,6 +49,7 @@ object Similarity {
     * over the query id partition. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // compute in double precision regardless of the storage element type
     val vecD = transform(col(vecCol), x => x.cast("double"))
     val corpus = df.select(col(idCol).as("cand_id"), vecD.as("cv"))
@@ -78,6 +79,7 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, numPlanes: Int = 12, dim: Int = 64,
       probeRadius: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     require(probeRadius == 0 || numPlanes <= 24,
       "multi-probe with numPlanes > 24 would enumerate too many probe masks")
     val planes = randomPlanes(numPlanes, dim)
