@@ -220,17 +220,20 @@ case class Smooth(store: RasterBlock, size: Double, fill: Double = 0) extends Sp
       math.min(w - 1, math.max(0, math.floor((bx1 + (ox + 0.5) * cw - gx1) / ccw).toInt))
     def coarseY(oy: Int): Int =
       math.min(h - 1, math.max(0, math.floor((gy2 - (by2 - (oy + 0.5) * ch)) / cch).toInt))
+    // Invert the (monotone) output→coarse pixel maps once per frame: for
+    // each coarse tile index, the contiguous output-tile range it feeds.
+    // Enumeration is O(outputTiles) total — each output tile reads a bounded
+    // coarse span (coarse cells are never finer than output cells), so the
+    // per-coarse-tile ranges sum to ≤ ~4× the tile count, not
+    // O(coarseTiles × outputTiles) as a full double loop would be.
+    val xRange = Smooth.inverseTileRange(nOtx, w, TILE, coarseX)
+    val yRange = Smooth.inverseTileRange(nOty, h, TILE, coarseY)
     val pairs = coarseFrame.as[TileRow].flatMap { row =>
-      val cx0 = row.tx * TILE; val cy0 = row.ty * TILE
-      val ctw = math.min(TILE, w - cx0); val cth = math.min(TILE, h - cy0)
+      val (otxLo, otxHi) = xRange(row.tx)
+      val (otyLo, otyHi) = yRange(row.ty)
       for {
-        oty <- 0 until nOty
-        otx <- 0 until nOtx
-        otw = math.min(TILE, w - otx * TILE)
-        oth = math.min(TILE, h - oty * TILE)
-        // coarse range needed by this output tile
-        if coarseX(otx * TILE + otw - 1) >= cx0 && coarseX(otx * TILE) < cx0 + ctw &&
-          coarseY(oty * TILE + oth - 1) >= cy0 && coarseY(oty * TILE) < cy0 + cth
+        oty <- otyLo to otyHi
+        otx <- otxLo to otxHi
       } yield (row.t, oty, otx, row.ty, row.tx, row.values)
     }
     pairs.groupByKey { case (t, oty, otx, _, _, _) => (t, oty, otx) }
@@ -332,6 +335,34 @@ case class Smooth(store: RasterBlock, size: Double, fill: Double = 0) extends Sp
     val sy = (size / req.cellH) / 3.0
     val blurred = convolveV(convolveH(work, gauss1d(sx)), gauss1d(sy))
     crop(blurred, ow, oh, mx, my)
+  }
+}
+
+object Smooth {
+  /** For a monotone output-pixel → coarse-pixel map `f` (values clamped to
+    * [0, extent)), the contiguous output-tile index range each coarse tile
+    * feeds. `ranges(ct) = (otLo, otHi)` with an empty range (`lo > hi`) for
+    * coarse tiles no output tile reads. Runs in O(n + total pairs); total
+    * pair count is O(n) because each output tile's coarse span is contiguous
+    * and coarse cells are at least as large as output cells. */
+  private[graft] def inverseTileRange(n: Int, extent: Int, tile: Int,
+      f: Int => Int): Array[(Int, Int)] = {
+    val otMin = Array.fill(n)(Int.MaxValue)
+    val otMax = Array.fill(n)(Int.MinValue)
+    var ot = 0
+    while (ot < n) {
+      val px0 = ot * tile
+      val pxN = math.min(extent, px0 + tile) - 1
+      var ct = f(px0) / tile
+      val ctHi = f(pxN) / tile
+      while (ct <= ctHi) {
+        if (ot < otMin(ct)) otMin(ct) = ot
+        if (ot > otMax(ct)) otMax(ct) = ot
+        ct += 1
+      }
+      ot += 1
+    }
+    Array.tabulate(n)(ct => (otMin(ct), otMax(ct)))
   }
 }
 

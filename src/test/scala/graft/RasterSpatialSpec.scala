@@ -122,4 +122,29 @@ class SmoothZoomSpec extends SparkSpec {
     val exact = Smooth(source, 1.0, fill = 0).getData(req).get
     assert(exact.values(0)(55) > 0.5)
   }
+
+  test("zoom upsample enumerates O(outputTiles) pairs, matching the containment filter") {
+    val TILE = TileLayout.TILE
+    // a realistic zoom map: w output px over [bx1, bx1+w·cw); coarse grid has
+    // the same pixel count over a bbox grown by 500 units each side
+    val w = 100000
+    val cw = 1.0; val bx1 = 0.0
+    val gx1 = -500.0; val ccw = (w * cw + 1000.0) / w
+    def f(ox: Int): Int =
+      math.min(w - 1, math.max(0, math.floor((bx1 + (ox + 0.5) * cw - gx1) / ccw).toInt))
+    val n = TileLayout.tilesX(w)
+    val ranges = Smooth.inverseTileRange(n, w, TILE, f)
+    val totalPairs = ranges.map { case (lo, hi) => math.max(0, hi - lo + 1) }.sum
+    assert(totalPairs <= 4 * n) // linear in tile count, not O(n²)
+    // the ranges must reproduce the brute-force containment filter exactly
+    for (ct <- Seq(0, 1, n / 2, n - 2, n - 1)) {
+      val cx0 = ct * TILE; val ctw = math.min(TILE, w - cx0)
+      val want = (0 until n).filter { ot =>
+        val otw = math.min(TILE, w - ot * TILE)
+        f(ot * TILE + otw - 1) >= cx0 && f(ot * TILE) < cx0 + ctw
+      }
+      val (lo, hi) = ranges(ct)
+      assert(want == (lo to hi))
+    }
+  }
 }
