@@ -90,18 +90,48 @@ object Dedup {
     f(text)
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline.Dedup")
+
+  /** Hot-bucket skew guard for LSH self-joins: keep only buckets with at
+    * most `cap` members. A degenerate bucket (boilerplate-heavy corpus, too
+    * few planes/bands) otherwise lands |bucket|² pairs on a single task. The
+    * dropped buckets and rows are LOGGED — never silently truncated — and a
+    * bucket that large signals exact duplication better served by
+    * [[exact]]/[[exactStreaming]] anyway. Costs one small aggregate job on
+    * the compact (key, count) frame; only paid when a cap is requested. */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String], cap: Int,
+      what: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val sizes = banded.groupBy(keys: _*).agg(count(lit(1)).as("_bsz"))
+    val hotStats = sizes.filter(col("_bsz") > cap)
+      .agg(count(lit(1)).as("nb"), coalesce(sum(col("_bsz")), lit(0L)).as("nr"))
+      .collect()(0)
+    val (nHot, nRows) = (hotStats.getLong(0), hotStats.getLong(1))
+    if (nHot > 0)
+      log.warn(s"$what: dropping $nHot hot buckets ($nRows member rows) " +
+        s"over maxBucket=$cap — raise the cap or add planes/bands to keep them")
+    banded.join(sizes.filter(col("_bsz") <= cap).drop("_bsz"), keyCols)
+  }
+
   /** LSH candidate pairs: band the signatures, bucket-join on
     * (band, bandHash), emit unique candidate pairs. The join is an
-    * equi-join on the band hash — the scale path for near-dup mining. */
+    * equi-join on the band hash — the scale path for near-dup mining.
+    * `maxBucket` drops buckets larger than the cap before the self-join
+    * (logged; see [[capBuckets]]) — off by default as it changes results. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      maxBucket: Option[Int] = None): DataFrame = {
     val rows = numHashes / bands
     val sigs = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
-    val banded = sigs.select(col("id"),
+    val banded0 = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b)))
         .as(Seq("band", "bh")))
+    val banded = maxBucket match {
+      case Some(cap) => capBuckets(banded0, Seq("band", "bh"), cap, "lshCandidatePairs")
+      case None      => banded0
+    }
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.id") < col("r.id"))
@@ -214,24 +244,30 @@ object Dedup {
     while (!done && round < maxRounds) {
       // hop = min(own label, min over neighbours' labels), as a left join
       // (a union of the join branch with the labels branch trips Spark's
-      // Union constraint rewriting when both sides share the labels plan)
+      // Union constraint rewriting when both sides share the labels plan);
+      // the pre-round label rides along so convergence is read off the
+      // materialized result below instead of re-joining against `labels`
       val neighbourMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("rep")).as("nrep"))
       val hop = labels.join(neighbourMin, labels("id") === col("nid"), "left")
         .select(labels("id").as("id"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
+          labels("rep").as("prev"))
         .localCheckpoint()
       // pointer doubling: also adopt the label of the current
       // representative, halving the remaining chain length each round —
       // O(log diameter) rounds instead of O(diameter)
+      val doubled = least(col("a.rep"), coalesce(col("rrep"), col("a.rep")))
       val next = hop.as("a")
         .join(hop.as("b").select(col("id").as("rid"), col("rep").as("rrep")),
           col("a.rep") === col("rid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.rep"), coalesce(col("rrep"), col("a.rep"))).as("rep"))
+        .select(col("a.id").as("id"), doubled.as("rep"),
+          (doubled =!= col("a.prev")).as("chg"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.rep") =!= col("o.rep")).limit(1).count() > 0
+      hop.unpersist(false)
+      // convergence probe: a scan of the just-checkpointed round result —
+      // no extra join against the previous labels
+      val changed = next.filter(col("chg")).limit(1).count() > 0
       labels.unpersist(false)
       labels = next
       done = !changed
@@ -239,7 +275,7 @@ object Dedup {
     }
     edges.unpersist(false)
     p.unpersist(false)
-    labels
+    labels.select(col("id"), col("rep"))
   }
 
   /** Exact Jaccard similarity of word n-gram sets. */
@@ -265,20 +301,29 @@ object Dedup {
     * intra-bucket pair side then pays only a primitive dot product, not a
     * per-pair cast + two norm computations. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Seq[Array[Double]]): DataFrame = {
+      threshold: Double, planes: Seq[Array[Double]],
+      maxBucket: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val unit = udf { (v: Seq[Double]) =>
       val a = v.toArray
       var ss = 0.0; var i = 0
       while (i < a.length) { ss += a(i) * a(i); i += 1 }
-      val inv = 1.0 / math.sqrt(ss)
-      i = 0
-      while (i < a.length) { a(i) *= inv; i += 1 }
+      // an all-zero vector has no direction: leave it as-is (cosine with
+      // anything is then 0) instead of dividing by zero into NaNs
+      if (ss > 0.0) {
+        val inv = 1.0 / math.sqrt(ss)
+        i = 0
+        while (i < a.length) { a(i) *= inv; i += 1 }
+      }
       a
     }
     val vecD = transform(col(vecCol), x => x.cast("double"))
     val sigCol = Similarity.hyperplaneSignature(col(vecCol), planes)
-    val keyed = df.select(col(idCol).as("id"), unit(vecD).as("v"), sigCol.as("bucket"))
+    val keyed0 = df.select(col(idCol).as("id"), unit(vecD).as("v"), sigCol.as("bucket"))
+    val keyed = maxBucket match {
+      case Some(cap) => capBuckets(keyed0, Seq("bucket"), cap, "embeddingNearDups")
+      case None      => keyed0
+    }
     keyed.as("l").join(keyed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),

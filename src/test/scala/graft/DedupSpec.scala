@@ -66,4 +66,43 @@ class DedupSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(scored == pairs((0L, 1L)))
   }
+
+  test("maxBucket caps degenerate LSH buckets; default output unchanged") {
+    import spark.implicits._
+    // degenerate corpus: 200 identical docs → every band lands one bucket
+    // of 200 members (|bucket|² = 40k pairs on one task without the guard)
+    val degenerate = (0L until 200L).map(i => (i, "same boilerplate text in every single document"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.lshCandidatePairs(degenerate, "doc_id", "text",
+      numHashes = 16, bands = 4, maxBucket = Some(10))
+    assert(capped.count() == 0) // the hot bucket is dropped, loudly
+    // a mixed corpus: near-dup pair survives the cap, hot bucket doesn't
+    val mixed = degenerate.unionByName(Seq(
+      (500L, "a genuinely unique document about rivers and tides"),
+      (501L, "a genuinely unique document about rivers and tides"))
+      .toDF("doc_id", "text"))
+    val mixedPairs = Dedup.lshCandidatePairs(mixed, "doc_id", "text",
+      numHashes = 16, bands = 4, maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mixedPairs.contains((500L, 501L)))
+    assert(mixedPairs.forall { case (a, b) => a >= 500L && b >= 500L })
+    // default (no cap) behavior is unchanged: all C(4,2)=6 pairs on a small clique
+    val tiny = (0L until 4L).map(i => (i, "same boilerplate text in every single document"))
+      .toDF("doc_id", "text")
+    assert(Dedup.lshCandidatePairs(tiny, "doc_id", "text", 16, 4).count() == 6)
+    // embedding variant: identical vectors form one hot bucket; cap drops it
+    val planes = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = (0L until 50L).map(i => (i, Array(1.0f, 2.0f)))
+      .toDF("doc_id", "embedding")
+    val vecCapped = Dedup.embeddingNearDups(vecs, "doc_id", "embedding",
+      0.9, planes, maxBucket = Some(10))
+    assert(vecCapped.count() == 0)
+    val vecOpen = Dedup.embeddingNearDups(vecs, "doc_id", "embedding", 0.9, planes)
+    assert(vecOpen.count() == 50L * 49L / 2)
+    // zero vectors no longer NaN out the dot product
+    val withZero = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)))
+      .toDF("doc_id", "embedding")
+    assert(Dedup.embeddingNearDups(withZero, "doc_id", "embedding", -1.0, planes)
+      .collect().forall(r => !r.getDouble(2).isNaN))
+  }
 }
