@@ -993,7 +993,72 @@ object SparkEntry {
     s"$scoreSql|$folded" // packed; split on '|' by callers
   }
 
+  /** DuckDB emulation of [[graft.pipeline.Dedup]]'s FNV-1a 64 word hash:
+    * the mod-2^64 xor/multiply fold runs in HUGEINT arithmetic (validated
+    * bit-exact against the Scala kernel). `w` is the column holding the
+    * word/shingle string. */
+  private def fnv64Sql(w: String): String =
+    s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |   list_transform(range(1, len($w)+1), i -> CAST(ord($w[i]) AS HUGEINT))),
+       | (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616)""".stripMargin
+
+  /** The deterministic hyperplanes as SQL double literals (Double.toString
+    * round-trips through DuckDB's decimal parser), so the oracle computes
+    * the same sign-bit bucket as [[graft.pipeline.Similarity]]. */
+  private def bucketSql(planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lit = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   private def pipelineOracles: Map[String, String] = Map(
+    "p07_minhash_lsh" ->
+      // full re-derivation of the MinHash+banding path: fnv64 shingle hash
+      // mod 2^31-1, 32 affine min-hashes, 8 bands of 4 rows; candidate
+      // pairs are docs sharing any band's slice (band-content equality ≡
+      // the engine's xxhash64 band-bucket join, which is collision-free at
+      // any realistic corpus size)
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+         |  FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |   range(1, greatest(len(ws) - 2, 1) + 1),
+         |   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shs FROM t),
+         |shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+         |hs AS (SELECT doc_id, CAST(${fnv64Sql("s")} % 2147483647 AS BIGINT) AS h FROM shx),
+         |sig AS (SELECT doc_id, k.k, MIN(((2*k.k+1)*h + 31*k.k+7) % 2147483647) AS mh
+         |  FROM hs, range(0,32) k(k) GROUP BY 1,2),
+         |sigl AS (SELECT doc_id, list(mh ORDER BY k) AS sg FROM sig GROUP BY 1),
+         |banded AS (SELECT doc_id, b.b, sg[b.b*4+1:b.b*4+4] AS sl FROM sigl, range(0,8) b(b))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM banded a JOIN banded b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id""".stripMargin,
+    "p08_simhash" ->
+      // per-word fnv64, per-bit occurrence-weighted majority vote, signed
+      // 64-bit reassembly — mirrors Dedup.simhash exactly
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+         |  FROM documents),
+         |wd AS (SELECT doc_id, unnest(ws) AS w FROM t),
+         |h AS (SELECT doc_id, ${fnv64Sql("w")} AS h FROM wd),
+         |bits AS (SELECT doc_id, r.bit,
+         |  SUM(CASE WHEN (h // (CAST(1 AS HUGEINT) << CAST(r.bit AS INTEGER))) % 2 = 1
+         |    THEN 1 ELSE -1 END) AS s
+         |  FROM h, range(0,64) r(bit) GROUP BY 1,2),
+         |sig0 AS (SELECT doc_id AS sid,
+         |  SUM(CASE WHEN s > 0 THEN (CAST(1 AS HUGEINT) << CAST(bit AS INTEGER))
+         |    ELSE CAST(0 AS HUGEINT) END) AS u FROM bits GROUP BY 1)
+         |SELECT t.doc_id, CAST(CASE WHEN coalesce(u, 0) >= 9223372036854775808
+         |  THEN u - 18446744073709551616 ELSE coalesce(u, 0) END AS BIGINT) AS sig
+         |FROM t LEFT JOIN sig0 ON t.doc_id = sig0.sid""".stripMargin,
+    "p11_embed_near_dups" ->
+      // hyperplane bucket from the same deterministic planes (embedded as
+      // double literals) + cosine threshold — the p09 list_cosine precedent
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v, ${bucketSql(Similarity.randomPlanes(4, 64))} AS bucket FROM e)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.3""".stripMargin,
     "p01_dedup_exact" ->
       "SELECT min(doc_id) AS rep_id, count(*) AS n_copies FROM documents GROUP BY text",
     "p03_quality" ->

@@ -45,7 +45,12 @@ private[geometry] object ZonalStats {
       projection: String,
       req: GeometryRequest
   )(implicit spark: SparkSession): DataFrame = {
-    val feats = source.frame(req).cache()
+    // localCheckpoint, not cache(): the feature frame is reused four times
+    // (extent probe, grid join, centroid fallback, final join) but must not
+    // outlive the query — a cache() entry pins the plan in the session
+    // CacheManager forever, while a localCheckpoint RDD is reclaimed by the
+    // ContextCleaner once the returned frame is dropped.
+    val feats = source.frame(req).localCheckpoint()
     val ps0 = pixelSize.orElse(raster.cellSize).getOrElse(
       throw new IllegalArgumentException("Pixel size is required"))
 

@@ -139,15 +139,33 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash: 64-bit signature from per-bit majority vote of word hashes. */
+  /** SimHash: 64-bit signature from per-bit majority vote of word hashes.
+    *
+    * Word hash is [[fnv64]] (not xxhash64) so an external engine can mirror
+    * the signature bit-for-bit (the p05 fingerprint precedent — DuckDB
+    * emulates the mod-2^64 FNV-1a fold in HUGEINT arithmetic). Runs as one
+    * per-row primitive kernel; the previous nested aggregate/transform
+    * expression was interpreted and re-walked the word array per bit. */
   def simhash(text: Column): Column = {
-    val hs = transform(TextAnalysis.words(text), w => xxhash64(w))
-    val bits = transform(sequence(lit(0), lit(63)), bit =>
-      when(aggregate(hs, lit(0),
-        (acc, h) => acc + when(call_function("shiftright", h, bit).bitwiseAND(1L) === 1L, 1)
-          .otherwise(-1)) > 0, 1L).otherwise(0L))
-    aggregate(transform(bits, (b, i) => call_function("shiftleft", b, i)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val f = udf { (t: String) =>
+      val ws = tokenizeWords(t)
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < ws.length) {
+        val h = fnv64(ws(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+      sig
+    }
+    f(text)
   }
 
   /** Hamming distance between two simhash values. */
