@@ -945,9 +945,14 @@ object SparkEntry {
         0.3, Similarity.randomPlanes(4, 64))),
     "p12_multimodal_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val media = Multimodal.mediaTable(tbl(s, dir, "documents"), "doc_id", "text")
-      Multimodal.extractFeatures(media).toDF()
-        .select(col("doc_id"), col("modality"), round(element_at(col("feature"), 1), 4).as("f0"))
+      // REAL codec round-trip: synth grayscale PNGs (ImageIO encode) →
+      // ImageIO decode → pixel stats; the oracle recomputes the stats from
+      // the pixel formula, codec-free (PNG is lossless)
+      val media = Multimodal.syntheticImageTable(
+        tbl(s, dir, "documents").select(col("doc_id")))
+      Multimodal.imageStats(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          round(col("mean"), 4).as("mean"), col("p_min"), col("p_max"))
     }),
     "p13_stream_vs_batch" -> ((s, dir) => {
       // batch form of the streaming plan; the streaming parity is covered by
@@ -1050,6 +1055,19 @@ object SparkEntry {
          |SELECT t.doc_id, CAST(CASE WHEN coalesce(u, 0) >= 9223372036854775808
          |  THEN u - 18446744073709551616 ELSE coalesce(u, 0) END AS BIGINT) AS sig
          |FROM t LEFT JOIN sig0 ON t.doc_id = sig0.sid""".stripMargin,
+    "p12_multimodal_features" ->
+      // closed-form pixel stats of the synthetic grayscale PNGs — checks
+      // the engine's ImageIO encode→decode round-trip without DuckDB
+      // needing a codec (PNG is lossless)
+      """WITH dims AS (SELECT doc_id, doc_id % 64 + 16 AS width,
+        |  doc_id % 48 + 16 AS height FROM documents),
+        |px AS (SELECT doc_id, width, height,
+        |  (doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS v
+        |  FROM dims, range(0, 80) x(x), range(0, 64) y(y)
+        |  WHERE x.x < width AND y.y < height)
+        |SELECT doc_id, width, height, 1 AS channels, round(AVG(v), 4) AS mean,
+        |  MIN(v) AS p_min, MAX(v) AS p_max
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
     "p11_embed_near_dups" ->
       // hyperplane bucket from the same deterministic planes (embedded as
       // double literals) + cosine threshold — the p09 list_cosine precedent

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed by per-partition Scala kernels (the JVM
   * analogue of `mapInPandas` batches).
   *
-  * The real decoders (JPEG/PNG/audio codecs) are NOT available in this
-  * environment — the decode step is a clearly-marked DETERMINISTIC FAKE
-  * (byte histograms / strided sampling) so the Spark-side plumbing (schema,
-  * partitioning, batch shape, kernel signature) is real and testable; swap
-  * `fakeDecode` for a codec call in production.
+  * IMAGE decode is REAL: `javax.imageio` ships with the JDK and reads
+  * PNG/JPEG/BMP/GIF without native libraries — [[decodeImage]] feeds
+  * per-partition batches through `ImageIO` and emits pixel statistics.
+  * Audio/video codecs are NOT available in this environment, so those
+  * modalities fall back to a clearly-marked DETERMINISTIC FAKE
+  * (byte histograms / strided sampling); the Spark-side plumbing (schema,
+  * partitioning, batch shape, kernel signature) is identical either way —
+  * swap `fakeDecode` for a codec call in production.
   */
 object Multimodal {
 
@@ -49,6 +52,95 @@ object Multimodal {
         FeatureRow(m.doc_id, m.modality, fakeDecode(m.payload), m.width, m.height)
       }
     }
+  }
+
+  case class ImageStatsRow(doc_id: Long, width: Int, height: Int,
+      channels: Int, mean: Double, p_min: Int, p_max: Int)
+
+  /** REAL image decode: `ImageIO.read` (PNG/JPEG/BMP/GIF — JDK built-in,
+    * no native codecs needed) → per-band pixel statistics. Returns None for
+    * payloads no installed reader understands (callers decide the
+    * fallback). */
+  private[pipeline] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double, Int, Int)] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val r = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, r.getNumBands)
+    var sum = 0L
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) {
+          val v = r.getSample(x, y, b)
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          b += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, bands, sum.toDouble / (w.toLong * h * bands), mn, mx))
+  }
+
+  /** Decode image payloads in partition batches and emit pixel statistics;
+    * undecodable payloads fall back to the byte-histogram fake with
+    * sentinel dimensions (-1) so they stay visible downstream rather than
+    * being dropped silently. */
+  def imageStats(media: DataFrame)(implicit spark: SparkSession): Dataset[ImageStatsRow] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          decodeImage(payload) match {
+            case Some((w, h, c, mean, mn, mx)) => ImageStatsRow(id, w, h, c, mean, mn, mx)
+            case None =>
+              val hist = fakeDecode(payload)
+              ImageStatsRow(id, -1, -1, -1, hist.sum.toDouble, -1, -1)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic images, REALLY encoded: one 8-bit grayscale
+    * PNG per id with pixel(x, y) = (id·31 + x·7 + y·13) mod 256 and
+    * dimensions (id mod 64 + 16) × (id mod 48 + 16). PNG is lossless, so
+    * the decoded statistics have a closed form an external oracle can
+    * compute without a codec — the end-to-end encode→decode round-trip is
+    * what the engine is being tested on. */
+  def syntheticImageTable(ids: DataFrame, idCol: String = "doc_id")
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 64 + 16).toInt
+        val h = (id % 48 + 16).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val r = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            r.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
   }
 
   /** "Resize": strided byte sampling to a fixed target size (stand-in for a

@@ -1,0 +1,59 @@
+package graft
+
+import graft.pipeline.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  implicit def sp: SparkSession = spark
+
+  test("synthetic PNGs decode back to the closed-form pixel statistics") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 17L, 63L).toDF("doc_id")
+    val media = Multimodal.syntheticImageTable(ids)
+    val stats = Multimodal.imageStats(media).collect().map(s => s.doc_id -> s).toMap
+    for (id <- Seq(0L, 5L, 17L, 63L)) {
+      val w = (id % 64 + 16).toInt; val h = (id % 48 + 16).toInt
+      val pix = for { y <- 0 until h; x <- 0 until w } yield ((id * 31 + x * 7 + y * 13) % 256).toInt
+      val s = stats(id)
+      assert(s.width == w && s.height == h && s.channels == 1)
+      assert(s.p_min == pix.min && s.p_max == pix.max)
+      assert(math.abs(s.mean - pix.sum.toDouble / pix.size) < 1e-9)
+    }
+  }
+
+  test("JPEG and BMP payloads decode; garbage falls back with sentinel dims") {
+    import spark.implicits._
+    // a real 10x7 RGB JPEG encoded in-process
+    val img = new java.awt.image.BufferedImage(10, 7, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 7; x <- 0 until 10; b <- 0 until 3)
+      img.getRaster.setSample(x, y, b, (x * 20 + y * 10 + b * 40) % 256)
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, enc("jpg")), (2L, enc("bmp")), (3L, "not an image".getBytes))
+      .toDF("doc_id", "payload")
+    val stats = Multimodal.imageStats(media).collect().map(s => s.doc_id -> s).toMap
+    assert(stats(1L).width == 10 && stats(1L).height == 7 && stats(1L).channels == 3)
+    assert(stats(2L).width == 10 && stats(2L).height == 7 && stats(2L).channels == 3)
+    // BMP is lossless: exact stats
+    val pix = for (y <- 0 until 7; x <- 0 until 10; b <- 0 until 3) yield (x * 20 + y * 10 + b * 40) % 256
+    assert(stats(2L).p_min == pix.min && stats(2L).p_max == pix.max)
+    // garbage payload: fake-decode fallback, sentinel dimensions
+    assert(stats(3L).width == -1 && stats(3L).channels == -1)
+  }
+
+  test("resize and frame sampling keep the partitioned kernel shape") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(
+      Seq((0L, "abcdefghij"), (1L, "0123456789")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val resized = Multimodal.resize(media, 4).collect()
+    assert(resized.forall(_.payload.length <= 4))
+    val frames = Multimodal.sampleFrames(media, 5, 2)
+    assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) == 3))
+  }
+}
