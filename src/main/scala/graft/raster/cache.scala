@@ -36,6 +36,11 @@ object FrameCache {
   private def enabled(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.frameCache").forall(_.toBoolean)
 
+  // observability hooks (specs assert containment hits; cheap enough to
+  // keep on unconditionally)
+  private[graft] val hitCount = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val missCount = new java.util.concurrent.atomic.AtomicLong
+
   /** Return the persisted frame for (block, req), building it on miss. */
   def cached(block: Block, req: RasterRequest)(build: => DataFrame)(
       implicit spark: SparkSession): DataFrame = {
@@ -46,9 +51,11 @@ object FrameCache {
         val hit = cache.get(k)
         // never serve a frame bound to a stopped session (identity-hash
         // reuse after GC could otherwise alias a dead session's entry)
-        if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit
-        else {
+        if (hit != null && !hit.sparkSession.sparkContext.isStopped) {
+          hitCount.incrementAndGet(); hit
+        } else {
           if (hit != null) cache.remove(k)
+          missCount.incrementAndGet()
           val df = build.persist(StorageLevel.MEMORY_AND_DISK)
           cache.put(k, df)
           df

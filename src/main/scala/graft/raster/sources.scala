@@ -163,22 +163,25 @@ case class TableRasterSource(
   override def cellSize: Option[Double] = Some(1.0)
 
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
-    // cross-CRS / off-grid requests route through the shared NN warp
-    // stage over the native grid (raster/sources.py:119-145 warps any
-    // source, not just the in-memory one)
-    if (WarpStage.needed(req, projection))
-      return FrameCache.cached(this, req)(
-        WarpStage.frame(req, projection, gridW, gridH, noDataValue,
-          timesIn(req.start, req.stop).map(_.toEpochMilli),
-          r => buildFrame(r)))
-    // the reshape is a full-table shuffle; memoize ONE full-period frame
-    // per spatial window (SURVEY §4 token-keyed cache) and serve time
-    // sub-ranges by filtering it — Snap/Shift/Group sub-requests then
-    // reuse the same cached reshape instead of each paying their own
+    // the reshape (and the warp gather) are the expensive steps; memoize
+    // ONE full-period frame per spatial window (SURVEY §4 token-keyed
+    // cache) and serve time sub-ranges by filtering it — Snap/Shift/
+    // Resample sub-requests over the SAME window, native or warped, then
+    // reuse the cached frame instead of each paying their own gather
+    // (window containment in time; the reference re-warps per request,
+    // raster/sources.py:119-145)
     val wanted = timesIn(req.start, req.stop).map(_.toEpochMilli)
     val (p0, p1) = period.get
     val wholeReq = req.copy(start = Some(p0), stop = Some(p1))
-    val whole = FrameCache.cached(this, wholeReq)(buildFrame(wholeReq))
+    val whole = FrameCache.cached(this, wholeReq) {
+      // cross-CRS / off-grid requests route through the shared NN warp
+      // stage over the native grid (raster/sources.py:119-145 warps any
+      // source, not just the in-memory one)
+      if (WarpStage.needed(req, projection))
+        WarpStage.frame(wholeReq, projection, gridW, gridH, noDataValue,
+          allTimes.map(_.toEpochMilli), r => buildFrame(r))
+      else buildFrame(wholeReq)
+    }
     if (wanted.size == frames) whole
     else whole.filter(col("t").isin(wanted: _*))
   }

@@ -108,4 +108,27 @@ class WarpSpec extends SparkSpec {
       Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0 + Hour)))
     compare(req)
   }
+
+  test("overlapping warped time sub-ranges reuse one cached gather") {
+    FrameCache.clear()
+    // off-grid window → warp path; two single-frame requests over the SAME
+    // spatial window must share one full-period warp build (window
+    // containment in time): the second is a pure cache hit, no new gather
+    val base = RasterRequest(Bbox(2, 1, 7, 4), "EPSG:28992", 10, 6,
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0)))
+    compare(base)
+    val (h0, m0) = (FrameCache.hitCount.get(), FrameCache.missCount.get())
+    compare(base.copy(start = Some(Instant.ofEpochMilli(T0 + Hour)),
+      stop = Some(Instant.ofEpochMilli(T0 + Hour))))
+    assert(FrameCache.missCount.get() == m0, "second sub-range rebuilt the warp gather")
+    assert(FrameCache.hitCount.get() > h0)
+    // native-path sub-ranges share the same containment behavior
+    val nat = RasterRequest(Bbox(0, 0, gw, gh), "EPSG:28992", gw, gh,
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0)))
+    compare(nat)
+    val m1 = FrameCache.missCount.get()
+    compare(nat.copy(start = Some(Instant.ofEpochMilli(T0 + Hour)),
+      stop = Some(Instant.ofEpochMilli(T0 + Hour))))
+    assert(FrameCache.missCount.get() == m1, "second native sub-range rebuilt the reshape")
+  }
 }
