@@ -1,6 +1,6 @@
 package graft.raster
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
 
@@ -411,8 +411,9 @@ case class HillShade(store: RasterBlock, altitude: Double = 45,
   * `statistic` (spatial.py:441-731). Reproduces the reference's cost-based
   * physical-mode switch (:578-601): when reading the full source extent at
   * the request resolution costs no more pixels than the request itself,
-  * "warp" mode fetches it once (bounded by the request size, so a driver
-  * broadcast) and stamps all coordinates in one generation pass; otherwise
+  * "warp" mode evaluates it once as a distributed tile frame and
+  * broadcast-gathers it per output tile (the WarpStage pattern — no pixels
+  * on the driver), stamping all coordinates in one kernel pass; otherwise
   * "group" mode issues one shifted sub-request per coordinate and merges
   * cellwise. Group mode keeps every sub-request parallel; warp mode caps
   * the plan at one child evaluation regardless of coordinate count. */
@@ -505,47 +506,88 @@ case class Place(store: RasterBlock, placeProjection: String,
     grouped.select(col("t"), col("ty"), col("tx"), reduced.as("values"))
   }
 
-  /** Warp mode: one full-extent read (bounded by the request pixel count →
-    * safe to broadcast), then all placements stamped in a single
-    * generation pass. */
+  /** Warp mode: the full-extent read is evaluated ONCE as a distributed
+    * tile frame and broadcast-gathered per output tile (the WarpStage
+    * pattern) — no pixel data ever lands on the driver. Each output tile
+    * joins only the source tiles its shifted placements actually sample,
+    * so the gather stays bounded by placements × tile overlap, and all
+    * coordinates are stamped in a single per-tile kernel pass. */
   private def warpFrame(req: RasterRequest, e: Bbox, fw: Int, fh: Int, nd: Double)
       (implicit spark: SparkSession): DataFrame = {
     // snap the full-extent grid to the request cell size
     val sreq = RasterRequest(
       Bbox(e.x1, e.y2 - fh * req.cellH, e.x1 + fw * req.cellW, e.y2),
       req.projection, fw, fh, req.start, req.stop)
-    val res = store.getData(sreq).getOrElse(return TemporalFrames.emptyFrame)
-    val bc = spark.sparkContext.broadcast(res.values)
-    val times = res.times
+    val times = store.timesIn(req.start, req.stop)
+    if (times.isEmpty) return TemporalFrames.emptyFrame
+    val src = store.frame(sreq)
+    val tile = TileLayout.TILE
     val (cw, ch) = (req.cellW, req.cellH)
     val coords = coordinates.toArray
     val (ax, ay) = anchor
     val (sx1, sy2) = (sreq.bbox.x1, sreq.bbox.y2)
-    val timeIdx = times.zipWithIndex.map { case (t, i) => t.toEpochMilli -> i }.toMap
+    // output tile → the source tiles its pixel centers sample under any
+    // placement shift (driver-side tile COUNTS only, like the stencil halo
+    // relation — the pixel data itself stays distributed)
+    val nOty = TileLayout.tilesY(req.height); val nOtx = TileLayout.tilesX(req.width)
+    val nSty = TileLayout.tilesY(fh); val nStx = TileLayout.tilesX(fw)
+    val mapping = scala.collection.mutable.LinkedHashSet.empty[(Int, Int, Int, Int)]
+    for (oty <- 0 until nOty; otx <- 0 until nOtx) {
+      val tw = TileLayout.tileW(req.width, otx)
+      val th = TileLayout.tileH(req.height, oty)
+      val wxLo = req.cellCenterX(otx * tile); val wxHi = req.cellCenterX(otx * tile + tw - 1)
+      val wyHi = req.cellCenterY(oty * tile); val wyLo = req.cellCenterY(oty * tile + th - 1)
+      var c = 0
+      while (c < coords.length) {
+        // extreme pixel centers shifted into source space (shift is linear,
+        // so the extremes bound every pixel of the tile)
+        val pjLo = math.floor((wxLo + ax - coords(c)._1 - sx1) / cw).toInt
+        val pjHi = math.floor((wxHi + ax - coords(c)._1 - sx1) / cw).toInt
+        val piLo = math.floor((sy2 - (wyHi + ay - coords(c)._2)) / ch).toInt
+        val piHi = math.floor((sy2 - (wyLo + ay - coords(c)._2)) / ch).toInt
+        var i = math.max(0, piLo / tile)
+        val i1 = math.min(nSty - 1, piHi / tile)
+        while (i <= i1) {
+          var j = math.max(0, pjLo / tile)
+          val j1 = math.min(nStx - 1, pjHi / tile)
+          while (j <= j1) { mapping += ((oty, otx, i, j)); j += 1 }
+          i += 1
+        }
+        c += 1
+      }
+    }
+    import spark.implicits._
+    val mapDf = broadcast(mapping.toSeq.toDF("oty", "otx", "ty", "tx"))
     val r = req
     val self = this
-    RasterFrames.generate(req, times, (tMs, ty, tx) => {
-      val frame = bc.value(timeIdx(tMs))
-      val tw = TileLayout.tileW(r.width, tx)
-      val th = TileLayout.tileH(r.height, ty)
+    val kernel = udf { (oty: Int, otx: Int, tiles: Seq[Row]) =>
+      val byTile = tiles.map(e => (e.getInt(0), e.getInt(1)) -> e.getSeq[Double](2)).toMap
+      val tw = TileLayout.tileW(r.width, otx)
+      val th = TileLayout.tileH(r.height, oty)
       val out = new Array[Double](tw * th)
       val buf = new Array[Double](coords.length)
       var i = 0
       while (i < th) {
-        val wy = r.cellCenterY(ty * TileLayout.TILE + i)
+        val wy = r.cellCenterY(oty * tile + i)
         var j = 0
         while (j < tw) {
-          val wx = r.cellCenterX(tx * TileLayout.TILE + j)
+          val wx = r.cellCenterX(otx * tile + j)
           var c = 0
           while (c < coords.length) {
-            // output point wx shifted back into source space
+            // output point shifted back into source space
             val sxw = wx + ax - coords(c)._1
             val syw = wy + ay - coords(c)._2
             val px = math.floor((sxw - sx1) / cw).toInt
             val py = math.floor((sy2 - syw) / ch).toInt
             buf(c) =
               if (px < 0 || px >= fw || py < 0 || py >= fh) nd
-              else frame(py * fw + px)
+              else {
+                val stw = TileLayout.tileW(fw, px / tile)
+                byTile.get((py / tile, px / tile)) match {
+                  case Some(vals) => vals((py % tile) * stw + (px % tile))
+                  case None       => nd
+                }
+              }
             c += 1
           }
           out(i * tw + j) = self.mergeValues(buf, nd)
@@ -554,6 +596,31 @@ case class Place(store: RasterBlock, placeProjection: String,
         i += 1
       }
       out
-    })
+    }
+    val gathered = src.join(mapDf, Seq("ty", "tx"))
+      .groupBy(col("t"), col("oty"), col("otx"))
+      .agg(collect_list(struct(col("ty"), col("tx"), col("values"))).as("tiles"))
+      .select(col("t"), col("oty").as("ty"), col("otx").as("tx"),
+        kernel(col("oty"), col("otx"), col("tiles")).as("values"))
+    // densify: output tiles no placement reaches still appear, filled with
+    // the statistic's empty value (0 for sum/count, nodata otherwise —
+    // exactly what the kernel computes for an all-nodata sample buffer)
+    val emptyVal = mergeValues(Array.fill(coords.length)(nd), nd)
+    val nOTiles = TileLayout.numTiles(req.width, req.height)
+    val ts = times.map(_.toEpochMilli).toIndexedSeq
+    val allTiles = spark.range(ts.length.toLong * nOTiles).mapPartitions { it =>
+      it.map { i =>
+        val t = ts((i / nOTiles).toInt)
+        val ti = (i % nOTiles).toInt
+        (t, ti / nOtx, ti % nOtx)
+      }
+    }.toDF("t", "ty", "tx")
+    allTiles.join(gathered, Seq("t", "ty", "tx"), "left")
+      .select(col("t"), col("ty"), col("tx"),
+        coalesce(col("values"), {
+          val tw = least(lit(tile), lit(r.width) - col("tx") * tile)
+          val th = least(lit(tile), lit(r.height) - col("ty") * tile)
+          array_repeat(lit(emptyVal), (tw * th).cast("int"))
+        }).as("values"))
   }
 }
