@@ -7,16 +7,16 @@ import java.time.Instant
 import org.apache.spark.sql.SparkSession
 
 /** Pure-JVM GeoTIFF codec (no GDAL on the classpath): classic
-  * little-endian TIFF with striped layout, six sample types (float64/
-  * float32, int16/int32, uint8/uint16), ModelPixelScale/ModelTiepoint +
-  * GeoKey EPSG tagging and the GDAL_NODATA convention — the subset the
-  * reference's RasterFileSource/Sink actually exercises
-  * (raster/sources.py:396-564, sinks.py:18-141); tiled layout and
-  * compression remain out of scope (documented, not faked). The layout
-  * follows TIFF 6.0 + the GeoTIFF 1.1 spec (ascending IFD tags, correct
-  * field types, multi-strip offset/byte-count arrays); round-trip verified
-  * with this reader — no external TIFF reader exists in this environment
-  * to cross-validate against.
+  * little-endian TIFF, striped or tiled layout, uncompressed or DEFLATE
+  * (`java.util.zip`), six sample types (float64/float32, int16/int32,
+  * uint8/uint16), ModelPixelScale/ModelTiepoint + GeoKey EPSG tagging and
+  * the GDAL_NODATA convention — the subset the reference's
+  * RasterFileSource/Sink actually exercises (raster/sources.py:396-564,
+  * sinks.py:18-141). LZW/PackBits and BigTIFF remain out of scope
+  * (documented, not faked). The layout follows TIFF 6.0 + the GeoTIFF 1.1
+  * spec (ascending IFD tags, correct field types, out-of-line offset/
+  * byte-count arrays); round-trip verified with this reader — no external
+  * TIFF reader exists in this environment to cross-validate against.
   */
 object GeoTiff {
 
@@ -27,41 +27,120 @@ object GeoTiff {
     "int32" -> ((32, 2)), "int16" -> ((16, 2)),
     "uint8" -> ((8, 1)), "uint16" -> ((16, 1)))
 
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(packed: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(packed)
+    val out = new Array[Byte](expected)
+    var at = 0
+    while (!inf.finished() && at < expected) {
+      val n = inf.inflate(out, at, expected - at)
+      if (n == 0 && inf.needsInput()) throw new IllegalArgumentException(
+        "truncated deflate stream in TIFF segment")
+      at += n
+    }
+    inf.end()
+    out
+  }
+
+  /** `tileSize` 0 = striped layout; > 0 = tiled layout with square tiles
+    * of that size (TIFF requires a multiple of 16). `compression` is
+    * "none" or "deflate". */
   def write(path: String, values: Array[Double], w: Int, h: Int,
       bbox: Bbox, epsg: Int, noData: Double, dtypeName: String = "float64",
-      rowsPerStrip: Int = 256): Unit = {
+      rowsPerStrip: Int = 256, compression: String = "none",
+      tileSize: Int = 0): Unit = {
     require(values.length == w * h, "value count must equal w*h")
     val (bits, sampleFormat) = SampleTypes.getOrElse(dtypeName,
       throw new IllegalArgumentException(
         s"unsupported GeoTIFF dtype '$dtypeName' (${SampleTypes.keys.mkString(", ")})"))
+    val comp = compression match {
+      case "none"    => 1
+      case "deflate" => 8 // Adobe deflate (zlib); the reader also takes 32946
+      case other => throw new IllegalArgumentException(
+        s"unsupported compression '$other' (none, deflate)")
+    }
+    val tiled = tileSize > 0
+    require(!tiled || tileSize % 16 == 0, "TIFF tile size must be a multiple of 16")
     val bytesPer = bits / 8
+
+    def encode(vals: Array[Double]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vals.length * bytesPer).order(ByteOrder.LITTLE_ENDIAN)
+      val put: Double => Unit = (bits, sampleFormat) match {
+        case (64, 3) => v => { bb.putDouble(v); () }
+        case (32, 3) => v => { bb.putFloat(v.toFloat); () }
+        case (32, 2) => v => { bb.putInt(math.rint(v).toInt); () }
+        case (16, 2) => v => { bb.putShort(math.rint(v).toShort); () }
+        case (16, 1) => v => { bb.putShort((math.rint(v).toLong & 0xffffL).toShort); () }
+        case (8, 1)  => v => { bb.put((math.rint(v).toLong & 0xffL).toByte); () }
+        case _ => throw new IllegalStateException("unreachable")
+      }
+      vals.foreach(put)
+      bb.array()
+    }
+
     val rps = math.min(math.max(rowsPerStrip, 1), h)
-    val nStrips = (h + rps - 1) / rps
+    // raw segments: strips of full rows, or square tiles padded with nodata
+    val rawSegments: Array[Array[Byte]] =
+      if (!tiled) {
+        val nStrips = (h + rps - 1) / rps
+        Array.tabulate(nStrips) { s =>
+          val rows = math.min(rps, h - s * rps)
+          encode(values.slice(s * rps * w, (s * rps + rows) * w))
+        }
+      } else {
+        val tAcross = (w + tileSize - 1) / tileSize
+        val tDown = (h + tileSize - 1) / tileSize
+        Array.tabulate(tDown * tAcross) { ti =>
+          val ty = ti / tAcross; val tx = ti % tAcross
+          val tvals = Array.fill(tileSize * tileSize)(noData)
+          var y = 0
+          while (y < tileSize && ty * tileSize + y < h) {
+            var x = 0
+            while (x < tileSize && tx * tileSize + x < w) {
+              tvals(y * tileSize + x) = values((ty * tileSize + y) * w + tx * tileSize + x)
+              x += 1
+            }
+            y += 1
+          }
+          encode(tvals)
+        }
+      }
+    val segments = if (comp == 1) rawSegments else rawSegments.map(deflate)
+    val nSegs = segments.length
+    val segArrays = nSegs > 1 // offset/byte-count arrays live out-of-line
+
     // GDAL_NODATA: NUL-terminated ASCII, space-padded past 4 bytes so the
     // IFD entry legitimately stores an offset (TIFF 6.0 inlines <= 4 bytes)
-    val ndAscii = (noData.toString.padTo(4, ' ') + "\u0000").getBytes("ASCII")
+    val ndAscii = (noData.toString.padTo(4, ' ') + 0.toChar).getBytes("ASCII")
     val geographic = epsg == 4326
     val geoKeys: Array[Int] = Array(
       1, 1, 0, 3, // version, revision, minor, number of keys
       1024, 0, 1, if (geographic) 2 else 1, // GTModelType
       1025, 0, 1, 1, // GTRasterType = PixelIsArea
       (if (geographic) 2048 else 3072), 0, 1, epsg)
-    val nEntries = 14
+    val nEntries = if (tiled) 15 else 14
     val headerLen = 8
     val ifdLen = 2 + nEntries * 12 + 4
     var aux = headerLen + ifdLen
-    // strip offset/byte-count arrays live out-of-line when nStrips > 1
-    val stripArrOff = aux; aux += (if (nStrips > 1) nStrips * 4 * 2 else 0)
+    val segArrOff = aux; aux += (if (segArrays) nSegs * 4 * 2 else 0)
     val pixelScaleOff = aux; aux += 3 * 8
     val tiepointOff = aux; aux += 6 * 8
     val geoKeysOff = aux; aux += geoKeys.length * 2
     val ndOff = aux; aux += ndAscii.length
     val dataOff = aux
-    val total = dataOff + values.length * bytesPer
-
-    val stripRows = Array.tabulate(nStrips)(s => math.min(rps, h - s * rps))
-    val stripBytes = stripRows.map(_ * w * bytesPer)
-    val stripOffs = stripBytes.scanLeft(dataOff)(_ + _).init
+    val segBytes = segments.map(_.length)
+    val segOffs = segBytes.scanLeft(dataOff)(_ + _).init
+    val total = dataOff + segBytes.sum
 
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(headerLen)
@@ -71,27 +150,35 @@ object GeoTiff {
       if (typ == 3 && count == 1) { buf.putShort(value.toShort).putShort(0) }
       else buf.putInt(value)
     }
+    def offsetsEntry(tag: Int): Unit =
+      if (segArrays) entry(tag, 4, nSegs, segArrOff) else entry(tag, 4, 1, segOffs(0))
+    def countsEntry(tag: Int): Unit =
+      if (segArrays) entry(tag, 4, nSegs, segArrOff + nSegs * 4)
+      else entry(tag, 4, 1, segBytes(0))
     // entries must be ascending by tag id
     entry(256, 3, 1, w)
     entry(257, 3, 1, h)
     entry(258, 3, 1, bits)
-    entry(259, 3, 1, 1)
+    entry(259, 3, 1, comp)
     entry(262, 3, 1, 1)
-    if (nStrips == 1) entry(273, 4, 1, dataOff)
-    else entry(273, 4, nStrips, stripArrOff)
+    if (!tiled) offsetsEntry(273)
     entry(277, 3, 1, 1)
-    entry(278, 3, 1, rps)
-    if (nStrips == 1) entry(279, 4, 1, stripBytes(0))
-    else entry(279, 4, nStrips, stripArrOff + nStrips * 4)
+    if (!tiled) { entry(278, 3, 1, rps); countsEntry(279) }
+    if (tiled) {
+      entry(322, 3, 1, tileSize)
+      entry(323, 3, 1, tileSize)
+      offsetsEntry(324)
+      countsEntry(325)
+    }
     entry(339, 3, 1, sampleFormat)
     entry(33550, 12, 3, pixelScaleOff)
     entry(33922, 12, 6, tiepointOff)
     entry(34735, 3, geoKeys.length, geoKeysOff)
     entry(42113, 2, ndAscii.length, ndOff)
     buf.putInt(0) // next IFD
-    if (nStrips > 1) {
-      stripOffs.foreach(buf.putInt)
-      stripBytes.foreach(buf.putInt)
+    if (segArrays) {
+      segOffs.foreach(buf.putInt)
+      segBytes.foreach(buf.putInt)
     }
     buf.putDouble(bbox.width / w).putDouble(bbox.height / h).putDouble(0.0)
     // tiepoint: raster (0,0,0) → world (x1, y2, 0) (top-left)
@@ -99,16 +186,7 @@ object GeoTiff {
       .putDouble(bbox.x1).putDouble(bbox.y2).putDouble(0)
     geoKeys.foreach(k => buf.putShort(k.toShort))
     buf.put(ndAscii)
-    val put: Double => Unit = (bits, sampleFormat) match {
-      case (64, 3) => v => buf.putDouble(v)
-      case (32, 3) => v => { buf.putFloat(v.toFloat); () }
-      case (32, 2) => v => { buf.putInt(math.rint(v).toInt); () }
-      case (16, 2) => v => { buf.putShort(math.rint(v).toShort); () }
-      case (16, 1) => v => { buf.putShort((math.rint(v).toLong & 0xffffL).toShort); () }
-      case (8, 1)  => v => { buf.put((math.rint(v).toLong & 0xffL).toByte); () }
-      case _ => throw new IllegalStateException("unreachable")
-    }
-    values.foreach(put)
+    segments.foreach(buf.put)
     Files.createDirectories(Paths.get(path).getParent)
     Files.write(Paths.get(path), buf.array())
   }
@@ -135,41 +213,79 @@ object GeoTiff {
     val w = tags(256)._3; val h = tags(257)._3
     val bits = tags(258)._3
     val sampleFormat = tags.get(339).map(_._3).getOrElse(1)
-    require(tags(259)._3 == 1, "reader supports uncompressed TIFF only")
+    val comp = tags.get(259).map(_._3).getOrElse(1)
+    require(comp == 1 || comp == 8 || comp == 32946,
+      s"reader supports uncompressed or deflate TIFF only (compression=$comp)")
     val dtypeName = SampleTypes.collectFirst {
       case (name, (b, f)) if b == bits && f == sampleFormat => name
     }.getOrElse(throw new IllegalArgumentException(
       s"unsupported sample type bits=$bits format=$sampleFormat"))
     val bytesPer = bits / 8
-    // strip offsets: scalar when count == 1, SHORT/LONG array otherwise
+    // offsets/counts: scalar when count == 1, SHORT/LONG array otherwise
     def intsOf(tag: Int): Array[Int] = {
       val (typ, count, v) = tags(tag)
       if (count == 1) Array(v)
       else Array.tabulate(count)(i =>
         if (typ == 3) buf.getShort(v + i * 2) & 0xffff else buf.getInt(v + i * 4))
     }
-    val stripOffs = intsOf(273)
-    val rps = tags.get(278).map(_._3).getOrElse(h)
-    val get: Int => Double = (bits, sampleFormat) match {
-      case (64, 3) => off => buf.getDouble(off)
-      case (32, 3) => off => buf.getFloat(off).toDouble
-      case (32, 2) => off => buf.getInt(off).toDouble
-      case (16, 2) => off => buf.getShort(off).toDouble
-      case (16, 1) => off => (buf.getShort(off) & 0xffff).toDouble
-      case (8, 1)  => off => (bytes(off) & 0xff).toDouble
+    val tiled = tags.contains(322)
+    val decodeFrom: (ByteBuffer, Int) => Double = (bits, sampleFormat) match {
+      case (64, 3) => (b, off) => b.getDouble(off)
+      case (32, 3) => (b, off) => b.getFloat(off).toDouble
+      case (32, 2) => (b, off) => b.getInt(off).toDouble
+      case (16, 2) => (b, off) => b.getShort(off).toDouble
+      case (16, 1) => (b, off) => (b.getShort(off) & 0xffff).toDouble
+      case (8, 1)  => (b, off) => (b.get(off) & 0xff).toDouble
       case _ => throw new IllegalStateException("unreachable")
     }
+    // one segment (strip or tile) as a decode-ready little-endian buffer
+    def segment(off: Int, count: Int, expected: Int): ByteBuffer = {
+      val raw =
+        if (comp == 1) java.util.Arrays.copyOfRange(bytes, off, off + count)
+        else inflate(java.util.Arrays.copyOfRange(bytes, off, off + count), expected)
+      ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    }
     val values = new Array[Double](w * h)
-    var row = 0
-    while (row < h) {
-      val strip = row / rps
-      val base = stripOffs(strip) + (row - strip * rps) * w * bytesPer
-      var j = 0
-      while (j < w) {
-        values(row * w + j) = get(base + j * bytesPer)
-        j += 1
+    if (!tiled) {
+      val stripOffs = intsOf(273)
+      val stripCnts = intsOf(279)
+      val rps = tags.get(278).map(_._3).getOrElse(h)
+      var strip = 0
+      while (strip * rps < h) {
+        val rows = math.min(rps, h - strip * rps)
+        val seg = segment(stripOffs(strip), stripCnts(strip), rows * w * bytesPer)
+        var r = 0
+        while (r < rows) {
+          var j = 0
+          while (j < w) {
+            values((strip * rps + r) * w + j) = decodeFrom(seg, (r * w + j) * bytesPer)
+            j += 1
+          }
+          r += 1
+        }
+        strip += 1
       }
-      row += 1
+    } else {
+      val tw = tags(322)._3; val th = tags(323)._3
+      val tileOffs = intsOf(324)
+      val tileCnts = intsOf(325)
+      val tAcross = (w + tw - 1) / tw
+      val tDown = (h + th - 1) / th
+      var ti = 0
+      while (ti < tDown * tAcross) {
+        val ty = ti / tAcross; val tx = ti % tAcross
+        val seg = segment(tileOffs(ti), tileCnts(ti), tw * th * bytesPer)
+        var y = 0
+        while (y < th && ty * th + y < h) {
+          var x = 0
+          while (x < tw && tx * tw + x < w) {
+            values((ty * th + y) * w + tx * tw + x) = decodeFrom(seg, (y * tw + x) * bytesPer)
+            x += 1
+          }
+          y += 1
+        }
+        ti += 1
+      }
     }
     val psOff = tags(33550)._3
     val (sx, sy) = (buf.getDouble(psOff), buf.getDouble(psOff + 8))
@@ -185,7 +301,7 @@ object GeoTiff {
       if (keyId == 3072 || keyId == 2048) epsg = buf.getShort(kOff + 6) & 0xffff
     }
     val nd = tags.get(42113).map { case (_, count, off) =>
-      new String(bytes, off, count, "ASCII").replace("\u0000", " ").trim.toDouble
+      new String(bytes, off, count, "ASCII").replace(0.toChar.toString, " ").trim.toDouble
     }.getOrElse(Double.MaxValue)
     Tiff(values, w, h, bbox, epsg, nd, dtypeName)
   }
@@ -196,7 +312,8 @@ object GeoTiff {
   * request — this is the export path, not the distributed store (that is
   * RasterParquetSink). The file sample type follows the source dtype when
   * the codec supports it; everything else exports as float64. */
-case class GeoTiffSink(source: RasterBlock, url: String) {
+case class GeoTiffSink(source: RasterBlock, url: String,
+    compression: String = "none", tileSize: Int = 0) {
   def write(req: RasterRequest)(implicit spark: SparkSession): Seq[String] = {
     val res = source.getData(req).getOrElse(
       throw new IllegalArgumentException("empty result"))
@@ -208,7 +325,7 @@ case class GeoTiffSink(source: RasterBlock, url: String) {
     val paths = res.times.zipWithIndex.map { case (t, i) =>
       val p = s"$url/frame_${t.toEpochMilli}.tif"
       GeoTiff.write(p, res.values(i), req.width, req.height, req.bbox, epsg,
-        res.noDataValue, dt)
+        res.noDataValue, dt, compression = compression, tileSize = tileSize)
       p
     }
     val manifest = Map("type" -> "graft-geotiff-v1",

@@ -52,6 +52,47 @@ class GeoTiffSpec extends SparkSpec {
     assert(GeoTiff.read(s"$dir/s8.tif").values.toSeq == vals.toSeq)
   }
 
+  test("GeoTIFF deflate compression round-trips, striped and tiled") {
+    val dir = Files.createTempDirectory("graft_tiff_deflate").toString
+    val (w, h) = (37, 23)
+    val vals = Array.tabulate(w * h)(i => ((i * 31) % 97).toDouble)
+    // striped + deflate, multiple strips
+    GeoTiff.write(s"$dir/d.tif", vals, w, h, Bbox(0, 0, w, h), 28992, -1.0,
+      "float64", rowsPerStrip = 5, compression = "deflate")
+    val d = GeoTiff.read(s"$dir/d.tif")
+    assert(d.values.toSeq == vals.toSeq && d.w == w && d.h == h)
+    // deflate actually shrinks this repetitive raster
+    assert(Files.size(java.nio.file.Paths.get(s"$dir/d.tif")) < w * h * 8)
+    // tiled + deflate, ragged edge tiles (37x23 with 16px tiles)
+    GeoTiff.write(s"$dir/t.tif", vals, w, h, Bbox(5, 7, 5 + w, 7 + h), 28992,
+      -1.0, "float64", compression = "deflate", tileSize = 16)
+    val t = GeoTiff.read(s"$dir/t.tif")
+    assert(t.values.toSeq == vals.toSeq)
+    assert(t.bbox == Bbox(5, 7, 5 + w, 7 + h) && t.epsg == 28992)
+    // tiled uncompressed, uint16 (2-byte samples exercise tile offsets)
+    GeoTiff.write(s"$dir/tu.tif", vals, w, h, Bbox(0, 0, w, h), 28992, 255.0,
+      "uint16", tileSize = 32)
+    assert(GeoTiff.read(s"$dir/tu.tif").values.toSeq == vals.toSeq)
+    // single-tile image (tile larger than the raster)
+    GeoTiff.write(s"$dir/one.tif", vals.take(12), 4, 3, Bbox(0, 0, 4, 3),
+      28992, -1.0, "float32", compression = "deflate", tileSize = 16)
+    assert(GeoTiff.read(s"$dir/one.tif").values.toSeq == vals.take(12).toSeq)
+  }
+
+  test("GeoTiffSink passes compression and tiling through") {
+    val dir = Files.createTempDirectory("graft_tiff_sink_opts").toString
+    val req = RasterRequest(Bbox(135000, 455995, 135005, 456000), "EPSG:28992",
+      20, 20, Some(T0), Some(T0))
+    val paths = GeoTiffSink(source, s"$dir/out", compression = "deflate",
+      tileSize = 16).write(req)(spark)
+    assert(paths.nonEmpty)
+    val t = GeoTiff.read(paths.head)
+    assert(t.w == 20 && t.h == 20)
+    // and the tiled-deflate file serves back through GeoTiffSource
+    val direct = GeoTiffSink(source, s"$dir/plain").write(req)(spark)
+    assert(GeoTiff.read(direct.head).values.toSeq == t.values.toSeq)
+  }
+
   test("GeoTiffSink writes the source dtype; GeoTiffSource restores it") {
     val dir = Files.createTempDirectory("graft_tiff_dt_sink").toString
     val req = RasterRequest(Bbox(135000, 455995, 135005, 456000), "EPSG:28992",
