@@ -17,8 +17,11 @@ import graft.raster.{Bbox, RasterBlock, RasterRequest}
   *        &height=256&projection=EPSG:28992[&time=<ISO instant>]
   *
   * deserializes the JSON v2 view, evaluates the request through the engine
-  * and renders the first frame as a grayscale PNG (nodata → transparent).
-  * Styling is linear min/max normalization unless `vmin`/`vmax` are given.
+  * and renders the first frame as a PNG (nodata → transparent). Styling is
+  * linear min/max normalization unless `vmin`/`vmax` are given; `styles=`
+  * selects the color ramp (`gray` default, `viridis`, `terrain`).
+  * `request=GetCapabilities` returns a WMS 1.3.0 capabilities document
+  * describing the dynamic-view contract.
   */
 object WmsMain {
   def main(args: Array[String]): Unit = {
@@ -45,6 +48,30 @@ object WmsServer {
     sys.env.get("SPARK_GRAFT_DATA_ROOTS").map(_.split(':').toSeq)
       .getOrElse(Seq("/root/testdata")) :+
       System.getProperty("java.io.tmpdir")
+
+  /** Color ramps as RGB anchor stops, linearly interpolated over the
+    * normalized [0, 1] value. `gray` keeps the original single-band look;
+    * `viridis` anchors follow matplotlib's published endpoints/midpoints. */
+  private val Ramps: Map[String, Array[Int]] = Map(
+    "gray" -> Array(0x000000, 0xffffff),
+    "viridis" -> Array(0x440154, 0x3b528b, 0x21918c, 0x5ec962, 0xfde725),
+    "terrain" -> Array(0x333399, 0x0d7fe5, 0x00be90, 0xfcf356, 0x996645, 0xffffff))
+
+  def rampNames: Seq[String] = Ramps.keys.toSeq.sorted
+
+  /** ARGB for normalized value `t` in [0, 1] under the named ramp. */
+  def rampColor(name: String, t: Double): Int = {
+    val stops = Ramps.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown style '$name' (${rampNames.mkString(", ")})"))
+    val x = math.max(0.0, math.min(1.0, t)) * (stops.length - 1)
+    val i = math.min(stops.length - 2, x.toInt)
+    val f = x - i
+    def ch(c: Int, shift: Int): Int = (c >> shift) & 0xff
+    def mix(shift: Int): Int =
+      math.round(ch(stops(i), shift) * (1 - f) + ch(stops(i + 1), shift) * f).toInt
+    0xff000000 | (mix(16) << 16) | (mix(8) << 8) | mix(0)
+  }
 }
 
 class WmsServer(spark: SparkSession, port: Int = 0,
@@ -62,10 +89,17 @@ class WmsServer(spark: SparkSession, port: Int = 0,
       override def handle(ex: HttpExchange): Unit = {
         try {
           val params = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-          val png = render(params)
-          ex.getResponseHeaders.set("Content-Type", "image/png")
-          ex.sendResponseHeaders(200, png.length)
-          ex.getResponseBody.write(png)
+          if (params.get("request").exists(_.equalsIgnoreCase("GetCapabilities"))) {
+            val xml = capabilitiesXml.getBytes("UTF-8")
+            ex.getResponseHeaders.set("Content-Type", "text/xml; charset=UTF-8")
+            ex.sendResponseHeaders(200, xml.length)
+            ex.getResponseBody.write(xml)
+          } else {
+            val png = render(params)
+            ex.getResponseHeaders.set("Content-Type", "image/png")
+            ex.sendResponseHeaders(200, png.length)
+            ex.getResponseBody.write(png)
+          }
         } catch {
           case e: Exception =>
             val msg = s"error: ${e.getMessage}".getBytes("UTF-8")
@@ -112,6 +146,42 @@ class WmsServer(spark: SparkSession, port: Int = 0,
     walk(view)
   }
 
+  /** WMS 1.3.0 capabilities. Layers here are dynamic (client-supplied view
+    * JSON), so the document advertises the endpoint contract and the one
+    * wildcard layer, mirroring the reference's ipyleaflet plugin surface
+    * (ipyleaflet_plugin.py:26-45). */
+  private[service] def capabilitiesXml: String = {
+    val host = s"http://127.0.0.1:$boundPort/wms"
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<WMS_Capabilities version="1.3.0" xmlns="http://www.opengis.net/wms">
+       |  <Service>
+       |    <Name>WMS</Name>
+       |    <Title>graft dynamic view renderer</Title>
+       |    <Abstract>Renders serialized graft raster views. Pass the view as
+       |      the url-encoded 'layers' query parameter (JSON v2 graph).</Abstract>
+       |    <OnlineResource xmlns:xlink="http://www.w3.org/1999/xlink" xlink:href="$host"/>
+       |  </Service>
+       |  <Capability>
+       |    <Request>
+       |      <GetCapabilities>
+       |        <Format>text/xml</Format>
+       |      </GetCapabilities>
+       |      <GetMap>
+       |        <Format>image/png</Format>
+       |      </GetMap>
+       |    </Request>
+       |    <Layer>
+       |      <Title>dynamic</Title>
+       |      <Abstract>Any serialized graft view; styles: ${WmsServer.rampNames.mkString(", ")}</Abstract>
+       |      <CRS>EPSG:28992</CRS>
+       |      <CRS>EPSG:3857</CRS>
+       |      <CRS>EPSG:4326</CRS>
+       |    </Layer>
+       |  </Capability>
+       |</WMS_Capabilities>
+       |""".stripMargin
+  }
+
   private[service] def render(params: Map[String, String]): Array[Byte] = {
     val view = BlockRegistry.fromJson(params("layers")).asInstanceOf[RasterBlock]
     validateSourcePaths(view)
@@ -132,16 +202,17 @@ class WmsServer(spark: SparkSession, port: Int = 0,
     val vmax = params.get("vmax").map(_.toDouble)
       .getOrElse(if (data.isEmpty) 1.0 else data.max)
     val span = math.max(vmax - vmin, 1e-12)
+    val style = params.getOrElse("styles", "gray") match {
+      case "" => "gray" // WMS clients send styles= for the default style
+      case s  => s
+    }
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
     var i = 0
     while (i < vals.length) {
       val v = vals(i)
       val argb =
         if (v == nd) 0 // transparent
-        else {
-          val g = math.max(0, math.min(255, ((v - vmin) / span * 255).toInt))
-          0xff000000 | (g << 16) | (g << 8) | g
-        }
+        else WmsServer.rampColor(style, (v - vmin) / span)
       img.setRGB(i % w, i / w, argb)
       i += 1
     }

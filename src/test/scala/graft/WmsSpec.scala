@@ -34,6 +34,47 @@ class WmsSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("GetCapabilities returns the WMS 1.3.0 contract; styles render ramps") {
+    val server = new WmsServer(spark).start()
+    try {
+      val cap = new URL(s"http://127.0.0.1:${server.boundPort}/wms" +
+        "?service=WMS&request=GetCapabilities")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(cap.getResponseCode == 200)
+      assert(cap.getContentType.startsWith("text/xml"))
+      val xml = new String(cap.getInputStream.readAllBytes(), "UTF-8")
+      // golden on the load-bearing structure, not byte-for-byte (the
+      // OnlineResource embeds the ephemeral port)
+      for (frag <- Seq(
+        """<WMS_Capabilities version="1.3.0"""",
+        "<Name>WMS</Name>", "<GetCapabilities>", "<GetMap>",
+        "<Format>image/png</Format>", "<CRS>EPSG:28992</CRS>",
+        "gray", "terrain", "viridis"))
+        assert(xml.contains(frag), s"capabilities missing: $frag")
+
+      // styled tile: value 70 of [0,255] under viridis ≠ gray, deterministic
+      val view = Multiply(source, 10)
+      val layers = URLEncoder.encode(view.toJson, "UTF-8")
+      def fetch(style: String): Int = {
+        val conn = new URL(s"http://127.0.0.1:${server.boundPort}/wms?layers=$layers" +
+          "&bbox=135000,455995,135005,456000&width=10&height=10" +
+          "&projection=EPSG:28992&time=2000-01-01T01:00:00Z&vmin=0&vmax=255" +
+          s"&styles=$style").openConnection().asInstanceOf[HttpURLConnection]
+        assert(conn.getResponseCode == 200)
+        val img = javax.imageio.ImageIO.read(conn.getInputStream)
+        img.getRGB(5, 5)
+      }
+      assert(fetch("gray") == 0xff464646) // 70 on all three channels
+      assert(fetch("viridis") == WmsServer.rampColor("viridis", 70.0 / 255))
+      assert(fetch("viridis") != fetch("gray"))
+      // unknown style → clean 400
+      val bad = new URL(s"http://127.0.0.1:${server.boundPort}/wms?layers=$layers" +
+        "&bbox=135000,455995,135005,456000&time=2000-01-01T01:00:00Z&styles=nope")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(bad.getResponseCode == 400)
+    } finally server.stop()
+  }
+
   test("views naming paths outside the data roots are refused") {
     val server = new WmsServer(spark, dataRoots = Seq("/root/testdata")).start()
     try {
