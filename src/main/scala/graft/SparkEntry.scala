@@ -918,6 +918,12 @@ object SparkEntry {
     "p18_deterministic_sample" -> ((s, dir) =>
       Sampling.deterministicSample(tbl(s, dir, "documents"), "text", 0.25)
         .select(col("doc_id"))),
+    "p19_repetition" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .withColumn("rep", TextAnalysis.repetitionStats(col("text"), 2, 5))
+        .select(col("doc_id"),
+          round(element_at(col("rep"), 1), 6).as("top2_frac"),
+          round(element_at(col("rep"), 2), 6).as("dup5_frac"))),
     "p16_dup_clusters" -> ((s, dir) => {
       val pairs = Dedup.jaccardPairs(
         tbl(s, dir, "documents").filter(col("doc_id") < 40), "doc_id", "text", 3)
@@ -1017,6 +1023,30 @@ object SparkEntry {
     }.mkString(" + ")
 
   private def pipelineOracles: Map[String, String] = Map(
+    "p19_repetition" ->
+      // Gopher-style repetition filters: top-bigram char fraction and
+      // duplicate-5-gram char fraction over the normalized word join
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |base AS (SELECT doc_id, ws, len(array_to_string(ws, ' ')) AS total FROM t),
+        |g2c AS (SELECT doc_id, g, count(*) AS c, any_value(total) AS total FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS g, total FROM base) GROUP BY doc_id, g),
+        |top2 AS (SELECT doc_id, c * len(g)::DOUBLE / total AS frac,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM g2c),
+        |g5c AS (SELECT doc_id, g, count(*) AS c, any_value(total) AS total FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 3, 1)),
+        |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))) AS g, total
+        |  FROM base WHERE len(ws) >= 5) GROUP BY doc_id, g),
+        |dup5 AS (SELECT doc_id,
+        |  SUM(CASE WHEN c > 1 THEN c * len(g) ELSE 0 END)::DOUBLE / any_value(total) AS frac
+        |  FROM g5c GROUP BY doc_id)
+        |SELECT b.doc_id, round(coalesce(t2.frac, 0), 6) AS top2_frac,
+        |  round(coalesce(d5.frac, 0), 6) AS dup5_frac
+        |FROM base b
+        |LEFT JOIN (SELECT doc_id, frac FROM top2 WHERE rn = 1) t2 ON b.doc_id = t2.doc_id
+        |LEFT JOIN dup5 d5 ON b.doc_id = d5.doc_id""".stripMargin,
     "p07_minhash_lsh" ->
       // full re-derivation of the MinHash+banding path: fnv64 shingle hash
       // mod 2^31-1, 32 affine min-hashes, 8 bands of 4 rows; candidate

@@ -40,6 +40,47 @@ object TextAnalysis {
     "is", "was", "it", "for", "on", "with", "as", "at", "by")
   private val stopwordSet = stopwordSeq.toSet
 
+  /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1: repetitious
+    * documents are low-quality): for word n-grams of size `n`,
+    *  - `topNgramCharFrac`: characters covered by the MOST frequent n-gram
+    *    (count × n-gram length over the normalized text length); ties break
+    *    to the lexicographically smallest n-gram so the statistic is
+    *    engine-reproducible;
+    *  - `dupNgramCharFrac`: characters covered by all n-grams occurring
+    *    more than once (overlaps double-counted, like the cheap form of the
+    *    Gopher filter; may exceed 1 for degenerate text).
+    * Normalized length = length of the single-space-joined word list. One
+    * per-row kernel pass; both mirror the DuckDB oracle exactly. */
+  def repetitionStats(text: Column, topN: Int, dupN: Int): Column = {
+    val f = udf { (t: String) =>
+      val ws = tokenize(t)
+      var totalChars = math.max(ws.length - 1, 0)
+      ws.foreach(totalChars += _.length)
+      def charFracs(n: Int): (Double, Double) = {
+        if (ws.length < n || totalChars == 0) return (0.0, 0.0)
+        val counts = new scala.collection.mutable.HashMap[String, Int]
+        var i = 0
+        while (i <= ws.length - n) {
+          val g = ws.slice(i, i + n).mkString(" ")
+          counts.update(g, counts.getOrElse(g, 0) + 1)
+          i += 1
+        }
+        var topG: String = null
+        var topC = 0
+        var dupChars = 0L
+        counts.foreach { case (g, c) =>
+          if (c > topC || (c == topC && (topG == null || g < topG))) { topG = g; topC = c }
+          if (c > 1) dupChars += c.toLong * g.length
+        }
+        (topC.toDouble * topG.length / totalChars, dupChars.toDouble / totalChars)
+      }
+      val top = charFracs(topN)._1
+      val dup = charFracs(dupN)._2
+      Array(top, dup)
+    }
+    f(text)
+  }
+
   /** Quality score in [0,1]: blend of length, punctuation ratio, stopword
     * ratio and mean word length — the standard cheap heuristics. The blend
     * arithmetic matches the oracle SQL term-for-term, left-to-right. */

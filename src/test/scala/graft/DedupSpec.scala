@@ -67,6 +67,29 @@ class DedupSpec extends SparkSpec {
     assert(scored == pairs((0L, 1L)))
   }
 
+  test("repetition stats flag repetitious text and stay zero on clean text") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam"), // one bigram everywhere
+      (1L, "every word here is completely different from neighbours"),
+      (2L, "a b c d e a b c d e a b c d e"), // repeated 5-gram
+      (3L, ""), (4L, "one"))
+      .toDF("doc_id", "text")
+    val r = docs.withColumn("rep", TextAnalysis.repetitionStats(col("text"), 2, 5))
+      .select(col("doc_id"), element_at(col("rep"), 1).as("top2"),
+        element_at(col("rep"), 2).as("dup5"))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    // "spam spam" appears 5x, len 9, total = 6*4+5 = 29
+    assert(math.abs(r(0L)._1 - 5.0 * 9 / 29) < 1e-12)
+    // all-duplicate 5-grams: "a b c d e ..." every 5-gram occurs >1 times?
+    assert(r(2L)._2 > 0.5)
+    // clean text: no bigram repeats (top covers just its single occurrence)
+    // and no duplicate 5-grams at all
+    assert(r(1L)._1 < r(0L)._1 && r(1L)._2 == 0.0)
+    assert(r(3L) == ((0.0, 0.0)) && r(4L) == ((0.0, 0.0)))
+  }
+
   test("maxBucket caps degenerate LSH buckets; default output unchanged") {
     import spark.implicits._
     // degenerate corpus: 200 identical docs → every band lands one bucket
