@@ -74,4 +74,30 @@ class PlanSpec extends SparkSpec {
     val p = plan("p11_embed_near_dups")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("Place warp mode gathers source tiles via broadcast equi-join") {
+    import graft.raster._
+    import org.apache.spark.sql.functions.col
+    val g = QueryLib.eventsGrid(spark, dir)
+    val src = QueryLib.eventsRaster(dir, g)
+    val stamped = Place(src, "EPSG:28992", (50.0, g.h / 2.0),
+      Seq((25.0, g.h / 2.0), (75.0, g.h / 2.0)), "max", Some("warp"))
+    val p = stamped.frame(QueryLib.fullReq(g))(spark).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // and no driver materialization: the plan is a single lazy frame (the
+    // old path ran getData + parallelize, which left no join in the plan)
+    assert(p.contains("Scan parquet") || p.contains("FileScan"))
+  }
+
+  test("hot-bucket capped LSH joins stay equi-joins") {
+    import graft.pipeline.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = QueryLib.tbl(spark, dir, "documents")
+    val p = Dedup.lshCandidatePairs(docs, "doc_id", "text", 16, 4,
+        maxBucket = Some(50)).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
