@@ -1060,7 +1060,15 @@ object SparkEntry {
          |   range(1, greatest(len(ws) - 2, 1) + 1),
          |   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shs FROM t),
          |shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-         |hs AS (SELECT doc_id, CAST(${fnv64Sql("s")} % 2147483647 AS BIGINT) AS h FROM shx),
+         |hsu AS (SELECT doc_id, ${fnv64Sql("s")} AS u FROM shx),
+         |-- floorMod on the SIGNED 64-bit hash, mirroring the engine's
+         |-- java.lang.Math.floorMod(fnv64(sh), P): 2^64 mod (2^31-1) = 4,
+         |-- so folding the unsigned value would drift by 4 whenever the
+         |-- hash's top bit is set
+         |hs AS (SELECT doc_id, CAST(
+         |  ((CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+         |     ELSE u END) % 2147483647 + 2147483647) % 2147483647
+         |  AS BIGINT) AS h FROM hsu),
          |sig AS (SELECT doc_id, k.k, MIN(((2*k.k+1)*h + 31*k.k+7) % 2147483647) AS mh
          |  FROM hs, range(0,32) k(k) GROUP BY 1,2),
          |sigl AS (SELECT doc_id, list(mh ORDER BY k) AS sg FROM sig GROUP BY 1),

@@ -49,8 +49,9 @@ private[geometry] object ZonalStats {
     // (extent probe, grid join, centroid fallback, final join) but must not
     // outlive the query — a cache() entry pins the plan in the session
     // CacheManager forever, while a localCheckpoint RDD is reclaimed by the
-    // ContextCleaner once the returned frame is dropped.
-    val feats = source.frame(req).localCheckpoint()
+    // ContextCleaner once the returned frame is dropped. Lazy: the extent
+    // probe right below is the first action and materializes it.
+    val feats = source.frame(req).localCheckpoint(eager = false)
     val ps0 = pixelSize.orElse(raster.cellSize).getOrElse(
       throw new IllegalArgumentException("Pixel size is required"))
 

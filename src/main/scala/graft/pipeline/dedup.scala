@@ -55,7 +55,9 @@ object Dedup {
 
   private def tokenizeWords(t: String): Array[String] =
     if (t == null) Array.empty
-    else t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    // Locale.ROOT: default-locale lowercasing diverges from SQL lower()
+    // (Turkish dotless-i) and would break the fnv64-mirroring oracles
+    else t.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
 
   /** MinHash signature: for hash function i, min over word-shingles of
     * ((2i+1)·h + 31i+7) mod p with h = fnv64(shingle) folded into [0,p).
@@ -102,7 +104,13 @@ object Dedup {
   private def capBuckets(banded: DataFrame, keyCols: Seq[String], cap: Int,
       what: String): DataFrame = {
     val keys = keyCols.map(col)
-    val sizes = banded.groupBy(keys: _*).agg(count(lit(1)).as("_bsz"))
+    // the upstream plan carries the signature UDF over the whole corpus;
+    // checkpoint it once so the stats job and both self-join sides read the
+    // materialization instead of re-running the kernel 3-5x (localCheckpoint
+    // rather than cache(): reclaimed by the ContextCleaner with the frame,
+    // not pinned in the session CacheManager)
+    val bandedCk = banded.localCheckpoint()
+    val sizes = bandedCk.groupBy(keys: _*).agg(count(lit(1)).as("_bsz"))
     val hotStats = sizes.filter(col("_bsz") > cap)
       .agg(count(lit(1)).as("nb"), coalesce(sum(col("_bsz")), lit(0L)).as("nr"))
       .collect()(0)
@@ -110,7 +118,7 @@ object Dedup {
     if (nHot > 0)
       log.warn(s"$what: dropping $nHot hot buckets ($nRows member rows) " +
         s"over maxBucket=$cap — raise the cap or add planes/bands to keep them")
-    banded.join(sizes.filter(col("_bsz") <= cap).drop("_bsz"), keyCols)
+    bandedCk.join(sizes.filter(col("_bsz") <= cap).drop("_bsz"), keyCols)
   }
 
   /** LSH candidate pairs: band the signatures, bucket-join on

@@ -63,9 +63,13 @@ object Multimodal {
     * fallback). */
   private[pipeline] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double, Int, Int)] = {
     if (payload == null || payload.isEmpty) return None
+    // NonFatal, not just IOException: ImageIO readers throw runtime
+    // exceptions on corrupt-but-recognized payloads (CMMException on broken
+    // ICC profiles, AIOOBE in PNGImageReader on truncation) and those must
+    // take the fallback too, not kill the task
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return None
     val r = img.getRaster
     val (w, h, bands) = (img.getWidth, img.getHeight, r.getNumBands)

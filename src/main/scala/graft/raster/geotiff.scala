@@ -44,8 +44,11 @@ object GeoTiff {
     var at = 0
     while (!inf.finished() && at < expected) {
       val n = inf.inflate(out, at, expected - at)
-      if (n == 0 && inf.needsInput()) throw new IllegalArgumentException(
-        "truncated deflate stream in TIFF segment")
+      // n == 0 without finishing means the inflater stalled: truncated
+      // input, or a zlib header demanding a preset dictionary — error out
+      // rather than spinning forever on a malformed file
+      if (n == 0) throw new IllegalArgumentException(
+        "truncated or unsupported deflate stream in TIFF segment")
       at += n
     }
     inf.end()
