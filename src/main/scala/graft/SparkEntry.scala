@@ -622,6 +622,28 @@ object SparkEntry {
     "r35_smooth_linear" ->
       s"""SELECT CAST(0 AS BIGINT) AS n_diff,
          | CAST((SELECT count(*) // 4 FROM events) * 8 AS BIGINT) AS n_cells""".stripMargin,
+    "r30_smooth" ->
+      // global separable Gaussian (σ = size/3 px, radius int(4σ+0.5),
+      // zero-padded — fill = 0 and outside-extent is nodata→fill). Valid
+      // as a GLOBAL convolution because the stencil halo covers the full
+      // kernel radius, making the tiled evaluation seam-exact.
+      s"""${cellsSql()},
+         |wts AS (SELECT t.j - 3 AS j,
+         |  exp(-0.5 * (t.j - 3) * (t.j - 3) / ((2.0/3.0) * (2.0/3.0))) AS wt
+         |  FROM range(0, 7) t(j)),
+         |wn AS (SELECT j, wt / (SELECT SUM(wt) FROM wts) AS w FROM wts),
+         |v2 AS (SELECT t_idx, CAST(cell_id % 100 AS BIGINT) AS x,
+         |  CAST(cell_id // 100 AS BIGINT) AS y,
+         |  CASE WHEN v = $NDSQL THEN 0.0 ELSE v END AS v FROM cells),
+         |hp AS (SELECT a.t_idx, a.y, a.x, SUM(w.w * b.v) AS v
+         |  FROM v2 a JOIN wn w ON TRUE
+         |  JOIN v2 b ON b.t_idx = a.t_idx AND b.y = a.y AND b.x = a.x + w.j
+         |  GROUP BY 1, 2, 3),
+         |vp AS (SELECT a.t_idx, a.y, a.x, SUM(w.w * b.v) AS v
+         |  FROM hp a JOIN wn w ON TRUE
+         |  JOIN hp b ON b.t_idx = a.t_idx AND b.x = a.x AND b.y = a.y + w.j
+         |  GROUP BY 1, 2, 3)
+         |SELECT t_idx, y * 100 + x AS cell_id, round(v, 4) AS v FROM vp""".stripMargin,
     "r29_rasterize_wkt" -> s"""WITH params AS (
       |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
       |   count(*) // 4 AS n_cells FROM events),

@@ -16,10 +16,21 @@ import org.apache.spark.sql.Column
   */
 trait SpatialStencil extends BaseSingleRaster {
 
-  /** Halo margin in pixels for this request (mx, my). */
+  /** Request-expansion margin in pixels (mx, my): how far beyond the
+    * request window real source data is fetched (the reference's
+    * expand_request_pixels amount). */
   protected def marginPx(req: RasterRequest): (Int, Int)
 
-  /** Kernel over the padded patch ((ow+2mx) × (oh+2my), row-major);
+  /** Patch halo in pixels (hx, hy) ≥ marginPx: how far each output tile's
+    * patch reaches into neighbouring tiles. Defaults to the margin; a
+    * kernel whose support exceeds the margin (Smooth's Gaussian radius
+    * int(4σ+0.5) > round(size/cell)) must override it so interior tile
+    * seams see real neighbour data out to the full kernel radius — beyond
+    * the expanded grid the patch stays nodata→fill, preserving the
+    * reference's constant-padding behaviour at the request edge. */
+  protected def haloPx(req: RasterRequest): (Int, Int) = marginPx(req)
+
+  /** Kernel over the padded patch ((ow+2hx) × (oh+2hy), row-major);
     * returns the cropped ow×oh output window. */
   protected def kernel(patch: Array[Double], ow: Int, oh: Int, mx: Int, my: Int,
       nd: Double, req: RasterRequest): Array[Double]
@@ -38,10 +49,12 @@ trait SpatialStencil extends BaseSingleRaster {
 
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     val (mx, my) = marginPx(req)
+    val (hx, hy) = haloPx(req)
+    require(hx >= mx && hy >= my, "halo must cover the request margin")
     // point / degenerate requests are not expandable: pass through
     if ((mx == 0 && my == 0) || req.bbox.isPoint) return store.frame(req)
-    require(mx <= TileLayout.TILE && my <= TileLayout.TILE,
-      s"stencil margin ($mx, $my) exceeds the tile size")
+    require(hx <= TileLayout.TILE && hy <= TileLayout.TILE,
+      s"stencil halo ($hx, $hy) exceeds the tile size")
     val ereq = RasterRequest(
       Bbox(req.bbox.x1 - mx * req.cellW, req.bbox.y1 - my * req.cellH,
         req.bbox.x2 + mx * req.cellW, req.bbox.y2 + my * req.cellH),
@@ -58,17 +71,22 @@ trait SpatialStencil extends BaseSingleRaster {
     val r = req
 
     // expanded tile (sty, stx) → all output tiles whose padded patch
-    // [otx*TILE, otx*TILE + otw + 2mx) × [...] overlaps it
+    // [otx*TILE + mx - hx, otx*TILE + mx + otw + hx) × [...] overlaps it
+    // (expanded-grid coordinates; patch pixel 0 = output pixel -hx)
     val pairs = store.frame(ereq).as[TileRow].flatMap { row =>
       val ex0 = row.tx * TILE; val ey0 = row.ty * TILE
       val etw = math.min(TILE, ew - ex0); val eth = math.min(TILE, eh - ey0)
       for {
-        oty <- math.max(0, (ey0 - 2 * my) / TILE - 1) to math.min(nOty - 1, (ey0 + eth - 1) / TILE)
-        otx <- math.max(0, (ex0 - 2 * mx) / TILE - 1) to math.min(nOtx - 1, (ex0 + etw - 1) / TILE)
+        oty <- math.max(0, (ey0 - my - hy) / TILE - 1) to
+          math.min(nOty - 1, (ey0 + eth - 1 + hy - my) / TILE + 1)
+        otx <- math.max(0, (ex0 - mx - hx) / TILE - 1) to
+          math.min(nOtx - 1, (ex0 + etw - 1 + hx - mx) / TILE + 1)
         otw = math.min(TILE, ow - otx * TILE)
         oth = math.min(TILE, oh - oty * TILE)
-        if otx * TILE < ex0 + etw && otx * TILE + otw + 2 * mx > ex0 &&
-          oty * TILE < ey0 + eth && oty * TILE + oth + 2 * my > ey0
+        if otx * TILE + mx - hx < ex0 + etw &&
+          otx * TILE + mx + otw + hx > ex0 &&
+          oty * TILE + my - hy < ey0 + eth &&
+          oty * TILE + my + oth + hy > ey0
       } yield (row.t, oty, otx, row.ty, row.tx, row.values)
     }
     pairs
@@ -77,10 +95,10 @@ trait SpatialStencil extends BaseSingleRaster {
         val (t, oty, otx) = key
         val otw = math.min(TILE, ow - otx * TILE)
         val oth = math.min(TILE, oh - oty * TILE)
-        val pw = otw + 2 * mx; val ph = oth + 2 * my
+        val pw = otw + 2 * hx; val ph = oth + 2 * hy
         val patch = Array.fill(pw * ph)(nd)
-        // patch (0,0) sits at expanded pixel (otx*TILE, oty*TILE)
-        val px0 = otx * TILE; val py0 = oty * TILE
+        // patch (0,0) sits at expanded pixel (otx*TILE + mx - hx, ...)
+        val px0 = otx * TILE + mx - hx; val py0 = oty * TILE + my - hy
         it.foreach { case (_, _, _, sty, stx, vals) =>
           val ex0 = stx * TILE; val ey0 = sty * TILE
           val etw = math.min(TILE, ew - ex0); val eth = math.min(TILE, eh - ey0)
@@ -96,7 +114,7 @@ trait SpatialStencil extends BaseSingleRaster {
             y += 1
           }
         }
-        TileRow(t, oty, otx, self.kernel(patch, otw, oth, mx, my, nd, r))
+        TileRow(t, oty, otx, self.kernel(patch, otw, oth, hx, hy, nd, r))
       }
       .toDF("t", "ty", "tx", "values")
   }
@@ -192,6 +210,17 @@ case class Smooth(store: RasterBlock, size: Double, fill: Double = 0) extends Sp
     val mx = math.round(size / req.cellW).toInt
     val my = math.round(size / req.cellH).toInt
     (math.max(mx, 1), math.max(my, 1))
+  }
+
+  /** The Gaussian support radius int(4σ+0.5) exceeds the request margin
+    * round(3σ) — the patch halo must cover the full radius or interior
+    * tile seams would leak `fill` into the outermost taps. The request
+    * expansion itself stays at the reference's margin. */
+  override protected def haloPx(req: RasterRequest): (Int, Int) = {
+    val (mx, my) = marginPx(req)
+    val rx = (4.0 * (size / req.cellW) / 3.0 + 0.5).toInt
+    val ry = (4.0 * (size / req.cellH) / 3.0 + 0.5).toInt
+    (math.max(mx, rx), math.max(my, ry))
   }
 
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {

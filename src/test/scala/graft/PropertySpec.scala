@@ -33,6 +33,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("inverseTileRange equals the brute-force containment filter on random zoom maps") {
+    // deterministic pseudo-random sweep over request/coarse geometries —
+    // the shapes the Smooth zoom upsample actually builds
+    val rnd = new scala.util.Random(20260812L)
+    val TILE = TileLayout.TILE
+    for (_ <- 0 until 200) {
+      val w = 1 + rnd.nextInt(3000)
+      val cw = 0.25 + rnd.nextDouble() * 4
+      val bx1 = (rnd.nextDouble() - 0.5) * 1000
+      val growth = rnd.nextDouble() * w * cw // grown bbox: same px count
+      val gx1 = bx1 - growth
+      val ccw = (w * cw + 2 * growth) / w
+      def f(ox: Int): Int =
+        math.min(w - 1, math.max(0, math.floor((bx1 + (ox + 0.5) * cw - gx1) / ccw).toInt))
+      val n = TileLayout.tilesX(w)
+      val ranges = Smooth.inverseTileRange(n, w, TILE, f)
+      // total pairs linear in the tile count (coarse cells >= output cells)
+      val pairs = ranges.map { case (lo, hi) => math.max(0, hi - lo + 1) }.sum
+      assert(pairs <= 4 * n, s"w=$w cw=$cw growth=$growth: $pairs pairs for $n tiles")
+      // exact agreement with the containment filter for EVERY coarse tile
+      for (ct <- 0 until n) {
+        val cx0 = ct * TILE; val ctw = math.min(TILE, w - cx0)
+        val want = (0 until n).filter { ot =>
+          val otw = math.min(TILE, w - ot * TILE)
+          f(ot * TILE + otw - 1) >= cx0 && f(ot * TILE) < cx0 + ctw
+        }
+        val (lo, hi) = ranges(ct)
+        assert(want == (lo to hi), s"w=$w ct=$ct: $want vs [$lo,$hi]")
+      }
+    }
+  }
+
   test("nodata sentinel is the dtype max") {
     for (d <- ds if d != DType.Bool) {
       assert(d.noDataValue > 0)

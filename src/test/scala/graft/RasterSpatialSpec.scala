@@ -123,6 +123,45 @@ class SmoothZoomSpec extends SparkSpec {
     assert(exact.values(0)(55) > 0.5)
   }
 
+  test("exact Smooth matches a global convolution across interior tile seams") {
+    // 20×300 raster spans two tile rows (TILE=256): rows near y=256 read
+    // their Gaussian taps across the seam, which requires the patch halo
+    // to cover the kernel radius int(4σ+0.5), not just the margin
+    val (w, h) = (20, 300)
+    val data = Array.tabulate(w * h)(i => ((i * 37) % 101).toDouble)
+    val src = MemorySource(Seq(data), w, h, -1.0, "EPSG:28992", 1.0, 0.0, h.toDouble)
+    val req = RasterRequest(Bbox(0, 0, w, h), "EPSG:28992", w, h, None, None)
+    val size = 2.0 // σ = 2/3, margin 2, radius 3 > margin
+    val got = Smooth(src, size, fill = 0).getData(req).get.values(0)
+    // reference: scipy-compatible separable gaussian over the margin-
+    // expanded array, constant fill beyond it
+    val m = 2
+    val sigma = size / 3.0
+    val radius = (4 * sigma + 0.5).toInt
+    val k0 = Array.tabulate(2 * radius + 1)(j =>
+      math.exp(-0.5 * (j - radius) * (j - radius) / (sigma * sigma)))
+    val k = k0.map(_ / k0.sum)
+    val (ew, eh) = (w + 2 * m, h + 2 * m)
+    def at(a: Array[Double], x: Int, y: Int): Double =
+      if (x < 0 || x >= ew || y < 0 || y >= eh) 0.0 else a(y * ew + x)
+    val expanded = Array.tabulate(ew * eh) { i =>
+      val (x, y) = (i % ew - m, i / ew - m)
+      if (x < 0 || x >= w || y < 0 || y >= h) 0.0 else data(y * w + x)
+    }
+    val hp = Array.tabulate(ew * eh) { i =>
+      val (x, y) = (i % ew, i / ew)
+      (0 to 2 * radius).map(j => k(j) * at(expanded, x + j - radius, y)).sum
+    }
+    val vp = Array.tabulate(ew * eh) { i =>
+      val (x, y) = (i % ew, i / ew)
+      (0 to 2 * radius).map(j => k(j) * at(hp, x, y + j - radius)).sum
+    }
+    var worst = 0.0
+    for (y <- 0 until h; x <- 0 until w)
+      worst = math.max(worst, math.abs(got(y * w + x) - vp((y + m) * ew + x + m)))
+    assert(worst < 1e-9, s"seam divergence: $worst")
+  }
+
   test("zoom upsample enumerates O(outputTiles) pairs, matching the containment filter") {
     val TILE = TileLayout.TILE
     // a realistic zoom map: w output px over [bx1, bx1+w·cw); coarse grid has
