@@ -622,6 +622,22 @@ object SparkEntry {
     "r35_smooth_linear" ->
       s"""SELECT CAST(0 AS BIGINT) AS n_diff,
          | CAST((SELECT count(*) // 4 FROM events) * 8 AS BIGINT) AS n_cells""".stripMargin,
+    "r31_place" ->
+      // the query's placements are pure x-translations (anchor 50, coords
+      // 25/75, same y) merged with nodata-skipping max — expressible as
+      // two shifted self-joins; empty sample set → nodata (max semantics)
+      s"""${cellsSql()},
+         |v2 AS (SELECT t_idx, CAST(cell_id % 100 AS BIGINT) AS x,
+         |  CAST(cell_id // 100 AS BIGINT) AS y, v FROM cells WHERE v != $NDSQL)
+         |SELECT g.t_idx, g.cell_id, round(
+         |  CASE WHEN a.v IS NULL AND b.v IS NULL THEN $NDSQL
+         |       WHEN a.v IS NULL THEN b.v
+         |       WHEN b.v IS NULL THEN a.v
+         |       ELSE greatest(a.v, b.v) END, 4) AS v
+         |FROM (SELECT t_idx, cell_id, CAST(cell_id % 100 AS BIGINT) AS x,
+         |      CAST(cell_id // 100 AS BIGINT) AS y FROM cells) g
+         |LEFT JOIN v2 a ON a.t_idx = g.t_idx AND a.y = g.y AND a.x = g.x + 25
+         |LEFT JOIN v2 b ON b.t_idx = g.t_idx AND b.y = g.y AND b.x = g.x - 25""".stripMargin,
     "r30_smooth" ->
       // global separable Gaussian (σ = size/3 px, radius int(4σ+0.5),
       // zero-padded — fill = 0 and outside-extent is nodata→fill). Valid
