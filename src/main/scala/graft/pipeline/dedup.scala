@@ -225,7 +225,6 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxRounds: Int = 20,
       driverPairLimit: Long = 1000000L): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
     import spark.implicits._
     // cost switch (the Place warp/group pattern): a pair set that fits the
@@ -233,13 +232,16 @@ object Dedup {
     // Spark job overhead; past the limit, the distributed label loop runs.
     // The default limit (1M pairs ≈ tens of MB collected incl. Row
     // overhead) is conservative for a default-sized driver; raise it only
-    // with driver memory to match.
+    // with driver memory to match. The probe is limit(n+1).collect() — one
+    // pass that either yields the complete (deterministic) pair set or
+    // proves it exceeds the limit, instead of a persist + count + collect
+    // that materialized the pair plan twice.
     val p = pairs.select(col(idA).cast("long").as(idA), col(idB).cast("long").as(idB))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nPairs = p.count()
-    if (nPairs <= driverPairLimit) {
-      val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
-      p.unpersist(false)
+    val probe =
+      if (driverPairLimit >= Int.MaxValue - 1) p.collect()
+      else p.limit(driverPairLimit.toInt + 1).collect()
+    if (probe.length <= driverPairLimit) {
+      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -300,7 +302,6 @@ object Dedup {
       round += 1
     }
     edges.unpersist(false)
-    p.unpersist(false)
     labels.select(col("id"), col("rep"))
   }
 
