@@ -57,9 +57,12 @@ case class RasterizeWKT(wkt: String, proj: String) extends RasterBlock {
 }
 
 /** Burn a GeometryBlock into a raster: `columnName` values, or a boolean
-  * presence mask when None (misc.py:518-709). Distributed as a grid-key
-  * equi-join of cells×features (same pattern as zonal statistics) — no
-  * per-feature driver loop, works for millions of features. */
+  * presence mask when None (misc.py:518-709). Each feature explodes
+  * directly to the cell indices its envelope covers (bounded arithmetic
+  * sequences — candidate rows are O(Σ per-feature envelope cells), with no
+  * dense cell table and no block join that would pay a full 64²-cell block
+  * per tiny feature) — no per-feature driver loop, works for millions of
+  * features. */
 case class Rasterize(source: GeometryBlock, columnName: Option[String] = None,
     dtypeName: String = "int32", proj: String = "EPSG:28992") extends RasterBlock {
   override def dtype: DType =
@@ -84,36 +87,41 @@ case class Rasterize(source: GeometryBlock, columnName: Option[String] = None,
       minSize = if (b.isPoint) None else Some(math.min(req.cellW, req.cellH))))
     val burnCol = columnName.map(c => col(c).cast("double")).getOrElse(lit(1.0))
 
-    // all request cells with centers
     val r = req
-    val cells = RasterFrames.generate(req, Seq(Instant.EPOCH), (_, ty, tx) => {
-      val tw = TileLayout.tileW(r.width, tx)
-      val th = TileLayout.tileH(r.height, ty)
-      new Array[Double](tw * th)
-    }).select(col("ty"), col("tx"), posexplode(col("values")).as(Seq("pos", "zero")))
-      .withColumn("tw", least(lit(tile), lit(r.width) - col("tx") * tile))
-      .withColumn("px", col("tx") * tile + col("pos") % col("tw"))
-      .withColumn("py", col("ty") * tile + (col("pos") / col("tw")).cast("int"))
-      .withColumn("cx", lit(b.x1) + (col("px") + 0.5) * r.cellW)
-      .withColumn("cy", lit(b.y2) - (col("py") + 0.5) * r.cellH)
-    // grid-key join (cells one key; features replicated over their bbox keys)
-    val g = math.max(r.cellW, r.cellH) * 64
-    val keyedCells = cells
-      .withColumn("gx", floor(col("cx") / g).cast("long"))
-      .withColumn("gy", floor(col("cy") / g).cast("long"))
+    val (cw, ch) = (r.cellW, r.cellH)
+    // each feature explodes to the pixel rows/cols its envelope covers
+    // (±1 cell slack; the exact center-in-envelope comparisons below keep
+    // the fp semantics). Rows and cols explode in two stages, so a
+    // worst-case full-extent feature materializes sequences of at most
+    // max(width, height) elements, never width × height.
     val fb = feats.select(col("fid"), col("geometry"), burnCol.as("burn"),
       GeomFunctions.stEnvMinX(col("geometry")).as("fx1"),
       GeomFunctions.stEnvMinY(col("geometry")).as("fy1"),
       GeomFunctions.stEnvMaxX(col("geometry")).as("fx2"),
       GeomFunctions.stEnvMaxY(col("geometry")).as("fy2"))
-      .withColumn("gx", explode(sequence(floor(col("fx1") / g).cast("long"),
-        floor(col("fx2") / g).cast("long"))))
-      .withColumn("gy", explode(sequence(floor(col("fy1") / g).cast("long"),
-        floor(col("fy2") / g).cast("long"))))
-    val burned = keyedCells.join(fb, Seq("gx", "gy"))
-      .filter(col("cx") >= col("fx1") && col("cx") <= col("fx2") &&
-        col("cy") >= col("fy1") && col("cy") <= col("fy2"))
+      // envelope must intersect the request window (the feature request is
+      // already bbox-scoped; this keeps the sequence bounds well-ordered)
+      .filter(col("fx2") >= b.x1 && col("fx1") <= b.x2 &&
+        col("fy2") >= b.y1 && col("fy1") <= b.y2)
+      .withColumn("py", explode(sequence(
+        greatest(floor((lit(b.y2) - col("fy2")) / ch - 0.5).cast("long") - 1, lit(0L)),
+        least(floor((lit(b.y2) - col("fy1")) / ch - 0.5).cast("long") + 1,
+          lit((r.height - 1).toLong)))))
+      .withColumn("cy", lit(b.y2) - (col("py") + 0.5) * ch)
+      .filter(col("cy") >= col("fy1") && col("cy") <= col("fy2"))
+      .withColumn("px", explode(sequence(
+        greatest(floor((col("fx1") - b.x1) / cw - 0.5).cast("long") - 1, lit(0L)),
+        least(floor((col("fx2") - b.x1) / cw - 0.5).cast("long") + 1,
+          lit((r.width - 1).toLong)))))
+      .withColumn("cx", lit(b.x1) + (col("px") + 0.5) * cw)
+      .filter(col("cx") >= col("fx1") && col("cx") <= col("fx2"))
+    val burned = fb
       .filter(GeomFunctions.stContainsPoint(col("geometry"), col("cx"), col("cy")))
+      .withColumn("ty", (col("py") / tile).cast("int"))
+      .withColumn("tx", (col("px") / tile).cast("int"))
+      .withColumn("tw", least(lit(tile), lit(r.width) - col("tx") * tile))
+      .withColumn("pos",
+        ((col("py") % tile) * col("tw") + (col("px") % tile)).cast("int"))
       .groupBy(col("ty"), col("tx"), col("pos"), col("tw"))
       // paint order: last feature (max fid) wins (utils.py:707-715)
       .agg(max_by(col("burn"), col("fid")).as("v"))
@@ -123,7 +131,14 @@ case class Rasterize(source: GeometryBlock, columnName: Option[String] = None,
       entries.foreach(e => out(e.getInt(0)) = e.getDouble(1))
       out
     }
-    cells.select(col("ty"), col("tx"), col("tw")).distinct()
+    // tile shell for densification (every tile appears, burned or not)
+    import spark.implicits._
+    val nTx = TileLayout.tilesX(r.width)
+    val nTiles = TileLayout.numTiles(r.width, r.height)
+    spark.range(nTiles).mapPartitions { it =>
+      it.map { i => ((i / nTx).toInt, (i % nTx).toInt) }
+    }.toDF("ty", "tx")
+      .withColumn("tw", least(lit(tile), lit(r.width) - col("tx") * tile))
       .withColumn("th", least(lit(tile), lit(r.height) - col("ty") * tile))
       .join(burned.groupBy(col("ty"), col("tx"))
         .agg(collect_list(struct(col("pos"), col("v"))).as("entries")),
