@@ -98,12 +98,13 @@ private[geometry] object ZonalStats {
       .withColumn("cy", lit(by2) - (col("py") + 0.5) * cps)
       .select(col("t"), col("px"), col("py"), col("cx"), col("cy"), col("v"))
 
-    // coarse grid keys: cells get one key; features are replicated onto all
-    // keys their bbox covers — a shuffle-friendly equi-join prefilter
-    val g = cps * 64
-    val keyedCells = cells
-      .withColumn("gx", floor(col("cx") / g).cast("long"))
-      .withColumn("gy", floor(col("cy") / g).cast("long"))
+    // features explode to the pixel indices their envelope covers (±1 cell
+    // slack, exact center-in-envelope filters after the join keep the fp
+    // semantics) and equi-join the value cells on the exact (px, py) key —
+    // candidate rows are O(Σ per-feature envelope cells), with no block
+    // join paying a full 64²-cell block per tiny feature. Two-stage
+    // explode: a full-extent feature materializes sequences of at most
+    // max(w, h) elements, never w × h.
     val thrCols = thresholdName.map(t => col(t)).toSeq
     val fb = feats.select(Seq(col("fid"), col("geometry"),
       GeomFunctions.stEnvMinX(col("geometry")).as("fx1"),
@@ -111,10 +112,16 @@ private[geometry] object ZonalStats {
       GeomFunctions.stEnvMaxX(col("geometry")).as("fx2"),
       GeomFunctions.stEnvMaxY(col("geometry")).as("fy2")) ++ thrCols: _*)
     val keyedFeats = fb
-      .withColumn("gx", explode(sequence(floor(col("fx1") / g).cast("long"),
-        floor(col("fx2") / g).cast("long"))))
-      .withColumn("gy", explode(sequence(floor(col("fy1") / g).cast("long"),
-        floor(col("fy2") / g).cast("long"))))
+      .filter(col("fx2") >= x1 && col("fx1") <= x2 &&
+        col("fy2") >= y1 && col("fy1") <= y2)
+      .withColumn("py", explode(sequence(
+        greatest(floor((lit(by2) - col("fy2")) / cps - 0.5).cast("long") - 1, lit(0L)),
+        least(floor((lit(by2) - col("fy1")) / cps - 0.5).cast("long") + 1,
+          lit((h - 1).toLong)))))
+      .withColumn("px", explode(sequence(
+        greatest(floor((col("fx1") - bx1) / cps - 0.5).cast("long") - 1, lit(0L)),
+        least(floor((col("fx2") - bx1) / cps - 0.5).cast("long") + 1,
+          lit((w - 1).toLong)))))
 
     def applyThreshold(df: DataFrame): DataFrame = thresholdName match {
       case Some(t) => df.filter(col("v") >= col(t))
@@ -122,7 +129,7 @@ private[geometry] object ZonalStats {
     }
 
     val matched = applyThreshold(
-      keyedCells.join(keyedFeats, Seq("gx", "gy"))
+      cells.join(keyedFeats, Seq("px", "py"))
         .filter(col("cx") >= col("fx1") && col("cx") <= col("fx2") &&
           col("cy") >= col("fy1") && col("cy") <= col("fy2"))
         .filter(GeomFunctions.stContainsPoint(col("geometry"), col("cx"), col("cy")))
