@@ -2,7 +2,7 @@ package graft.geometry
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.raster.{RasterBlock, RasterRequest, Bbox, TileLayout}
+import graft.raster.{RasterBlock, RasterRequest, Bbox, TileLayout, EnvelopeCells}
 
 /** Zonal statistics: per feature, a statistic over the raster cells whose
   * center falls inside the feature geometry, after the reference
@@ -98,30 +98,19 @@ private[geometry] object ZonalStats {
       .withColumn("cy", lit(by2) - (col("py") + 0.5) * cps)
       .select(col("t"), col("px"), col("py"), col("cx"), col("cy"), col("v"))
 
-    // features explode to the pixel indices their envelope covers (±1 cell
-    // slack, exact center-in-envelope filters after the join keep the fp
-    // semantics) and equi-join the value cells on the exact (px, py) key —
-    // candidate rows are O(Σ per-feature envelope cells), with no block
-    // join paying a full 64²-cell block per tiny feature. Two-stage
-    // explode: a full-extent feature materializes sequences of at most
-    // max(w, h) elements, never w × h.
+    // features explode to the cells whose centers their envelope covers
+    // (shared EnvelopeCells helper — exact center comparisons, candidate
+    // rows O(Σ envelope cells)) and equi-join the value cells on the
+    // exact (px, py) key, with no block join paying a full block of
+    // candidates per tiny feature
     val thrCols = thresholdName.map(t => col(t)).toSeq
     val fb = feats.select(Seq(col("fid"), col("geometry"),
       GeomFunctions.stEnvMinX(col("geometry")).as("fx1"),
       GeomFunctions.stEnvMinY(col("geometry")).as("fy1"),
       GeomFunctions.stEnvMaxX(col("geometry")).as("fx2"),
       GeomFunctions.stEnvMaxY(col("geometry")).as("fy2")) ++ thrCols: _*)
-    val keyedFeats = fb
-      .filter(col("fx2") >= x1 && col("fx1") <= x2 &&
-        col("fy2") >= y1 && col("fy1") <= y2)
-      .withColumn("py", explode(sequence(
-        greatest(floor((lit(by2) - col("fy2")) / cps - 0.5).cast("long") - 1, lit(0L)),
-        least(floor((lit(by2) - col("fy1")) / cps - 0.5).cast("long") + 1,
-          lit((h - 1).toLong)))))
-      .withColumn("px", explode(sequence(
-        greatest(floor((col("fx1") - bx1) / cps - 0.5).cast("long") - 1, lit(0L)),
-        least(floor((col("fx2") - bx1) / cps - 0.5).cast("long") + 1,
-          lit((w - 1).toLong)))))
+    val keyedFeats = EnvelopeCells.explode(fb, bx1, by2, cps, cps, w, h)
+      .drop("cx", "cy") // the joined cell rows carry the identical centers
 
     def applyThreshold(df: DataFrame): DataFrame = thresholdName match {
       case Some(t) => df.filter(col("v") >= col(t))
@@ -130,8 +119,6 @@ private[geometry] object ZonalStats {
 
     val matched = applyThreshold(
       cells.join(keyedFeats, Seq("px", "py"))
-        .filter(col("cx") >= col("fx1") && col("cx") <= col("fx2") &&
-          col("cy") >= col("fy1") && col("cy") <= col("fy2"))
         .filter(GeomFunctions.stContainsPoint(col("geometry"), col("cx"), col("cy")))
         .filter(col("v") =!= nd))
 

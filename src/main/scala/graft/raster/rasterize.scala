@@ -13,6 +13,36 @@ import graft.geometry.{GeometryBlock, GeometryRequest, GeomFunctions}
   * fid) wins.
   */
 
+/** Shared feature-envelope → grid-cell explode for the geometry⨝raster
+  * joins (Rasterize and ZonalStats). Input rows must carry `fx1`/`fy1`/
+  * `fx2`/`fy2` envelope columns; output adds `py`/`cy` and `px`/`cx` for
+  * every cell whose CENTER the envelope covers (exact comparisons; the
+  * sequence bounds carry ±1 cell slack). Two-stage explode with the row
+  * filter in between, so a full-extent feature materializes sequences of
+  * at most max(w, h) elements — never w × h — and off-row slack never
+  * multiplies into the px explode. */
+private[graft] object EnvelopeCells {
+  def explode(df: DataFrame, bx1: Double, by2: Double, cw: Double, ch: Double,
+      w: Int, h: Int): DataFrame =
+    df
+      // envelope must intersect the grid window (also keeps the sequence
+      // bounds well-ordered); exact cell membership is decided below
+      .filter(col("fx2") >= bx1 && col("fx1") <= bx1 + w * cw &&
+        col("fy2") >= by2 - h * ch && col("fy1") <= by2)
+      .withColumn("py", org.apache.spark.sql.functions.explode(sequence(
+        greatest(floor((lit(by2) - col("fy2")) / ch - 0.5).cast("long") - 1, lit(0L)),
+        least(floor((lit(by2) - col("fy1")) / ch - 0.5).cast("long") + 1,
+          lit((h - 1).toLong)))))
+      .withColumn("cy", lit(by2) - (col("py") + 0.5) * ch)
+      .filter(col("cy") >= col("fy1") && col("cy") <= col("fy2"))
+      .withColumn("px", org.apache.spark.sql.functions.explode(sequence(
+        greatest(floor((col("fx1") - bx1) / cw - 0.5).cast("long") - 1, lit(0L)),
+        least(floor((col("fx2") - bx1) / cw - 0.5).cast("long") + 1,
+          lit((w - 1).toLong)))))
+      .withColumn("cx", lit(bx1) + (col("px") + 0.5) * cw)
+      .filter(col("cx") >= col("fx1") && col("cx") <= col("fx2"))
+}
+
 /** Single literal WKT → boolean mask raster (misc.py:712-830). */
 case class RasterizeWKT(wkt: String, proj: String) extends RasterBlock {
   override def dtype: DType = DType.Bool
@@ -88,33 +118,15 @@ case class Rasterize(source: GeometryBlock, columnName: Option[String] = None,
     val burnCol = columnName.map(c => col(c).cast("double")).getOrElse(lit(1.0))
 
     val r = req
-    val (cw, ch) = (r.cellW, r.cellH)
-    // each feature explodes to the pixel rows/cols its envelope covers
-    // (±1 cell slack; the exact center-in-envelope comparisons below keep
-    // the fp semantics). Rows and cols explode in two stages, so a
-    // worst-case full-extent feature materializes sequences of at most
-    // max(width, height) elements, never width × height.
-    val fb = feats.select(col("fid"), col("geometry"), burnCol.as("burn"),
-      GeomFunctions.stEnvMinX(col("geometry")).as("fx1"),
-      GeomFunctions.stEnvMinY(col("geometry")).as("fy1"),
-      GeomFunctions.stEnvMaxX(col("geometry")).as("fx2"),
-      GeomFunctions.stEnvMaxY(col("geometry")).as("fy2"))
-      // envelope must intersect the request window (the feature request is
-      // already bbox-scoped; this keeps the sequence bounds well-ordered)
-      .filter(col("fx2") >= b.x1 && col("fx1") <= b.x2 &&
-        col("fy2") >= b.y1 && col("fy1") <= b.y2)
-      .withColumn("py", explode(sequence(
-        greatest(floor((lit(b.y2) - col("fy2")) / ch - 0.5).cast("long") - 1, lit(0L)),
-        least(floor((lit(b.y2) - col("fy1")) / ch - 0.5).cast("long") + 1,
-          lit((r.height - 1).toLong)))))
-      .withColumn("cy", lit(b.y2) - (col("py") + 0.5) * ch)
-      .filter(col("cy") >= col("fy1") && col("cy") <= col("fy2"))
-      .withColumn("px", explode(sequence(
-        greatest(floor((col("fx1") - b.x1) / cw - 0.5).cast("long") - 1, lit(0L)),
-        least(floor((col("fx2") - b.x1) / cw - 0.5).cast("long") + 1,
-          lit((r.width - 1).toLong)))))
-      .withColumn("cx", lit(b.x1) + (col("px") + 0.5) * cw)
-      .filter(col("cx") >= col("fx1") && col("cx") <= col("fx2"))
+    // each feature explodes to the cells whose centers its envelope
+    // covers (see EnvelopeCells — candidate rows are O(Σ envelope cells))
+    val fb = EnvelopeCells.explode(
+      feats.select(col("fid"), col("geometry"), burnCol.as("burn"),
+        GeomFunctions.stEnvMinX(col("geometry")).as("fx1"),
+        GeomFunctions.stEnvMinY(col("geometry")).as("fy1"),
+        GeomFunctions.stEnvMaxX(col("geometry")).as("fx2"),
+        GeomFunctions.stEnvMaxY(col("geometry")).as("fy2")),
+      b.x1, b.y2, r.cellW, r.cellH, r.width, r.height)
     val burned = fb
       .filter(GeomFunctions.stContainsPoint(col("geometry"), col("cx"), col("cy")))
       .withColumn("ty", (col("py") / tile).cast("int"))

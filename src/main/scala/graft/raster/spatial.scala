@@ -49,12 +49,16 @@ trait SpatialStencil extends BaseSingleRaster {
 
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
     val (mx, my) = marginPx(req)
-    val (hx, hy) = haloPx(req)
-    require(hx >= mx && hy >= my, "halo must cover the request margin")
+    // halo clamped to [margin, TILE]: a kernel radius beyond one tile
+    // degrades to the margin-limited reach (exactly the pre-halo
+    // behaviour) instead of rejecting a request the margin guard accepts
+    val (hx0, hy0) = haloPx(req)
+    val hx = math.min(math.max(hx0, mx), TileLayout.TILE)
+    val hy = math.min(math.max(hy0, my), TileLayout.TILE)
     // point / degenerate requests are not expandable: pass through
     if ((mx == 0 && my == 0) || req.bbox.isPoint) return store.frame(req)
-    require(hx <= TileLayout.TILE && hy <= TileLayout.TILE,
-      s"stencil halo ($hx, $hy) exceeds the tile size")
+    require(mx <= TileLayout.TILE && my <= TileLayout.TILE,
+      s"stencil margin ($mx, $my) exceeds the tile size")
     val ereq = RasterRequest(
       Bbox(req.bbox.x1 - mx * req.cellW, req.bbox.y1 - my * req.cellH,
         req.bbox.x2 + mx * req.cellW, req.bbox.y2 + my * req.cellH),
@@ -212,15 +216,14 @@ case class Smooth(store: RasterBlock, size: Double, fill: Double = 0) extends Sp
     (math.max(mx, 1), math.max(my, 1))
   }
 
-  /** The Gaussian support radius int(4σ+0.5) exceeds the request margin
-    * round(3σ) — the patch halo must cover the full radius or interior
-    * tile seams would leak `fill` into the outermost taps. The request
-    * expansion itself stays at the reference's margin. */
+  /** The Gaussian support radius [[Smooth.gaussRadius]] exceeds the
+    * request margin round(3σ) — the patch halo must cover the full radius
+    * or interior tile seams would leak `fill` into the outermost taps. The
+    * request expansion itself stays at the reference's margin. */
   override protected def haloPx(req: RasterRequest): (Int, Int) = {
     val (mx, my) = marginPx(req)
-    val rx = (4.0 * (size / req.cellW) / 3.0 + 0.5).toInt
-    val ry = (4.0 * (size / req.cellH) / 3.0 + 0.5).toInt
-    (math.max(mx, rx), math.max(my, ry))
+    (math.max(mx, Smooth.gaussRadius((size / req.cellW) / 3.0)),
+      math.max(my, Smooth.gaussRadius((size / req.cellH) / 3.0)))
   }
 
   override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
@@ -310,7 +313,7 @@ case class Smooth(store: RasterBlock, size: Double, fill: Double = 0) extends Sp
     // separable gaussian, scipy-compatible: radius = int(4σ + 0.5),
     // mode=constant cval=fill
     def gauss1d(sigma: Double): Array[Double] = {
-      val radius = (4.0 * sigma + 0.5).toInt
+      val radius = Smooth.gaussRadius(sigma)
       val k = Array.tabulate(2 * radius + 1) { j =>
         val x = j - radius
         math.exp(-0.5 * x * x / (sigma * sigma))
@@ -368,6 +371,11 @@ case class Smooth(store: RasterBlock, size: Double, fill: Double = 0) extends Sp
 }
 
 object Smooth {
+  /** scipy-compatible Gaussian support radius (truncate = 4.0). The halo
+    * and the kernel MUST share this — a halo below the radius re-opens the
+    * interior-seam fill leak the r3 seam spec guards against. */
+  private[raster] def gaussRadius(sigma: Double): Int = (4.0 * sigma + 0.5).toInt
+
   /** For a monotone output-pixel → coarse-pixel map `f` (values clamped to
     * [0, extent)), the contiguous output-tile index range each coarse tile
     * feeds. `ranges(ct) = (otLo, otHi)` with an empty range (`lo > hi`) for
