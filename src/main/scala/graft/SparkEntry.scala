@@ -962,6 +962,11 @@ object SparkEntry {
         .select(col("doc_id"),
           round(element_at(col("rep"), 1), 6).as("top2_frac"),
           round(element_at(col("rep"), 2), 6).as("dup5_frac"))),
+    "p20_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Decontaminate.overlap(docs, docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", 13)
+    }),
     "p16_dup_clusters" -> ((s, dir) => {
       val pairs = Dedup.jaccardPairs(
         tbl(s, dir, "documents").filter(col("doc_id") < 40), "doc_id", "text", 3)
@@ -1061,6 +1066,23 @@ object SparkEntry {
     }.mkString(" + ")
 
   private def pipelineOracles: Map[String, String] = Map(
+    "p20_decontaminate" -> {
+      // 13-gram overlap with the doc_id % 97 == 0 eval slice (GPT-3-style
+      // decontamination); short docs collapse to their single whole-text
+      // shingle, exactly like Dedup.shingles
+      val gram13 = (0 until 13).map(k => s"ws[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  range(1, greatest(len(ws) - 12, 1) + 1), i -> $gram13))) AS gram FROM t),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |sh AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+         |  FROM g JOIN ev USING (gram) GROUP BY 1)
+         |SELECT t.doc_id, coalesce(sh.n_shared, 0) AS n_shared,
+         |  coalesce(sh.n_shared, 0) > 0 AS contaminated
+         |FROM t LEFT JOIN sh ON t.doc_id = sh.doc_id""".stripMargin
+    },
     "p19_repetition" ->
       // Gopher-style repetition filters: top-bigram char fraction and
       // duplicate-5-gram char fraction over the normalized word join

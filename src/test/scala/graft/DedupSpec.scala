@@ -67,6 +67,31 @@ class DedupSpec extends SparkSpec {
     assert(scored == pairs((0L, 1L)))
   }
 
+  test("decontamination flags eval n-gram overlap, clean() removes it") {
+    import spark.implicits._
+    import graft.pipeline.Decontaminate
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // exact copy of eval doc
+      (1L, "zeta eta theta iota kappa"),      // disjoint
+      (2L, "alpha beta gamma delta epsilon and more trailing words here"),
+      (3L, "completely different text again"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    // n=5: the eval doc is one whole-text shingle; doc 0 shares it exactly,
+    // doc 2 contains it as its first 5-gram
+    val r = Decontaminate.overlap(docs, eval, "doc_id", "text", 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r(0L) == ((1L, true)) && r(2L) == ((1L, true)))
+    assert(r(1L) == ((0L, false)) && r(3L) == ((0L, false)))
+    val kept = Decontaminate.clean(docs, eval, "doc_id", "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    // the eval-gram side broadcasts (no corpus-side shuffle join)
+    val plan = Decontaminate.overlap(docs, eval, "doc_id", "text", 5)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("repetition stats flag repetitious text and stay zero on clean text") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
