@@ -88,4 +88,33 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("text-analysis kernels run unchanged on a document stream") {
+    import graft.pipeline.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.functions._
+    // quality/repetition/simhash are stateless per-row kernels, so the
+    // SAME column expressions must work on a readStream frame and agree
+    // with the batch result row-for-row
+    val dir = "/root/testdata/sf0.001"
+    val docs = QueryLib.tbl(spark, dir, "documents")
+    def features(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.repetitionStats(col("text"), 2, 5).as("rep"),
+      Dedup.simhash(col("text")).as("sig"))
+    val batch = features(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Double](2), r.getLong(3))).toMap
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_text_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val src = spark.readStream.schema(docs.schema).parquet(streamDir.toString)
+    val q = features(src).writeStream.outputMode("append")
+      .format("memory").queryName("stream_text").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_text").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Double](2), r.getLong(3))).toMap
+      assert(streamed == batch && streamed.size == 500)
+    } finally q.stop()
+  }
 }
