@@ -10,8 +10,8 @@ import graft.raster.{RasterBlock, RasterRequest, Bbox, TileLayout, EnvelopeCells
   *
   * Spark-first formulation (SURVEY §2.10): instead of rasterizing feature
   * labels, the raster is exploded to cell-center rows and joined spatially —
-  * a coarse *grid-key equi-join* (features replicated onto the grid cells
-  * their bbox covers) provides the shuffle-friendly prefilter, then an exact
+  * features explode to the exact pixel indices their envelope covers
+  * (EnvelopeCells) and equi-join the value cells on (px, py), then an exact
   * JTS point-in-polygon residual predicate. Overlapping features need no
   * bucketization (the reference's trick, :75-110) — the join handles them
   * natively. Small features that catch no cell center fall back to the cell
