@@ -643,14 +643,22 @@ object SparkEntry {
       // zero-padded — fill = 0 and outside-extent is nodata→fill). Valid
       // as a GLOBAL convolution because the stencil halo covers the full
       // kernel radius, making the tiled evaluation seam-exact.
+      // v2 is densified over the FULL w×h pixel grid (the last grid row may
+      // be only partially covered by cells, e.g. 250 cells on a 100×3 grid):
+      // horizontal-pass mass that spreads into cell-less pixels must still
+      // feed the vertical pass, exactly as it does in the engine's frame.
       s"""${cellsSql()},
          |wts AS (SELECT t.j - 3 AS j,
          |  exp(-0.5 * (t.j - 3) * (t.j - 3) / ((2.0/3.0) * (2.0/3.0))) AS wt
          |  FROM range(0, 7) t(j)),
          |wn AS (SELECT j, wt / (SELECT SUM(wt) FROM wts) AS w FROM wts),
-         |v2 AS (SELECT t_idx, CAST(cell_id % 100 AS BIGINT) AS x,
-         |  CAST(cell_id // 100 AS BIGINT) AS y,
-         |  CASE WHEN v = $NDSQL THEN 0.0 ELSE v END AS v FROM cells),
+         |grid AS (SELECT unnest(range(
+         |  (SELECT ((count(*) // 4 + 99) // 100) * 100 FROM events))) AS cell_id),
+         |v2 AS (SELECT ts.t_idx, CAST(g.cell_id % 100 AS BIGINT) AS x,
+         |  CAST(g.cell_id // 100 AS BIGINT) AS y,
+         |  COALESCE(CASE WHEN c.v = $NDSQL THEN 0.0 ELSE c.v END, 0.0) AS v
+         |  FROM grid g CROSS JOIN (SELECT DISTINCT t_idx FROM cells) ts
+         |  LEFT JOIN cells c ON c.t_idx = ts.t_idx AND c.cell_id = g.cell_id),
          |hp AS (SELECT a.t_idx, a.y, a.x, SUM(w.w * b.v) AS v
          |  FROM v2 a JOIN wn w ON TRUE
          |  JOIN v2 b ON b.t_idx = a.t_idx AND b.y = a.y AND b.x = a.x + w.j
@@ -659,7 +667,8 @@ object SparkEntry {
          |  FROM hp a JOIN wn w ON TRUE
          |  JOIN hp b ON b.t_idx = a.t_idx AND b.x = a.x AND b.y = a.y + w.j
          |  GROUP BY 1, 2, 3)
-         |SELECT t_idx, y * 100 + x AS cell_id, round(v, 4) AS v FROM vp""".stripMargin,
+         |SELECT t_idx, y * 100 + x AS cell_id, round(v, 4) AS v FROM vp
+         |WHERE y * 100 + x < (SELECT count(*) // 4 FROM events)""".stripMargin,
     "r29_rasterize_wkt" -> s"""WITH params AS (
       |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
       |   count(*) // 4 AS n_cells FROM events),
@@ -846,6 +855,16 @@ object SparkEntry {
         .frame(GeometryRequest())(s)
         .select(col("fid"), col("fd"), round(col("pw"), 6).as("pw"), col("rnd"))
     }),
+    "g16_shapefile_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val p = partSquares(dir)
+      val out = java.nio.file.Files.createTempDirectory("verify_shp")
+        .resolve("parts.shp").toString
+      ShapefileSink.write(p, out, GeometryRequest())
+      val back = ShapefileSource(out)
+      back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
+        .select(col("fid"), col("p_size"), round(col("area"), 6).as("area"))
+    }),
     "g11_filters_pushdown" -> ((s, dir) => {
       val c = TableGeometrySource(s"$dir/customer.parquet", "c_custkey",
         Seq("c_acctbal", "c_mktsegment"))
@@ -930,7 +949,13 @@ object SparkEntry {
       """SELECT c_custkey AS fid, floor(c_acctbal / 7.0) AS fd,
         | round(pow(c_acctbal / 1000.0, 2.0), 6) AS pw,
         | round(c_acctbal / 7.0, 2) AS rnd
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+    // the shapefile carries coordinates as binary doubles and p_size as a
+    // fixed-width N(18,0) field — both round-trip exactly
+    "g16_shapefile_roundtrip" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
+        | round((p_size / 10.0) * (p_size / 10.0), 6) AS area
+        |FROM part""".stripMargin
   )
 
   // ------------------------------------------------------------ pipeline
