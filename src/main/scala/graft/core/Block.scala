@@ -167,7 +167,8 @@ object BlockRegistry {
       classOf[graft.geometry.Area], classOf[graft.geometry.AggregateRaster],
       classOf[graft.geometry.AggregateRasterAboveThreshold],
       classOf[graft.geometry.GeoParquetSource], classOf[graft.geometry.GeometryTiler],
-      classOf[graft.geometry.GeoJsonSource]
+      classOf[graft.geometry.GeoJsonSource], classOf[graft.geometry.ShapefileSource],
+      classOf[graft.geometry.GeoPackageSource], classOf[graft.geometry.GeometryFileSource]
     ).foreach(registerAuto)
     Seq[Class[_ <: Block]](
       classOf[graft.geometry.FieldOps.Add], classOf[graft.geometry.FieldOps.Subtract],

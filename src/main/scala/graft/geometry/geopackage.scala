@@ -426,3 +426,30 @@ case class GeoPackageSource(url: String, table: Option[String] = None)
     df
   }
 }
+
+/** The reference's `GeometryFileSource(url, layer, id_field)` opens any OGR
+  * vector format by url (geometry/sources.py:18-159). Here the format
+  * dispatches on the extension to the engine's pure-JVM codecs:
+  * `.shp` → [[ShapefileSource]], `.gpkg` → [[GeoPackageSource]] (`layer`
+  * selects the feature table), `.geojson`/`.json`/`.ndjson` →
+  * [[GeoJsonSource]], anything else (directories, `.parquet`) →
+  * [[GeoParquetSource]]. `proj` is the fallback CRS for formats that do not
+  * carry one.
+  */
+case class GeometryFileSource(url: String, layer: Option[String] = None,
+    proj: String = "EPSG:28992") extends GeometryBlock {
+
+  @transient private lazy val delegate: GeometryBlock = {
+    val lower = url.toLowerCase
+    if (lower.endsWith(".shp")) ShapefileSource(url, proj)
+    else if (lower.endsWith(".gpkg")) GeoPackageSource(url, layer)
+    else if (lower.endsWith(".geojson") || lower.endsWith(".json") ||
+      lower.endsWith(".ndjson")) GeoJsonSource(url, proj)
+    else GeoParquetSource(url, proj)
+  }
+
+  override def columns: Set[String] = delegate.columns
+  override def projection: String = delegate.projection
+  override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame =
+    delegate.frame(req)
+}
