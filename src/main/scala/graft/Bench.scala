@@ -24,16 +24,25 @@ object Bench {
       QueryLib.eventsRaster(sfDir, g).frame(QueryLib.fullReq(g))(spark).count()
     } catch { case _: Throwable => }
     val warmupSec = (System.nanoTime() - warm0) / 1e9
+    // One short line per query as it completes: each survives log-tail
+    // truncation on its own, so per-query timings are machine-readable
+    // even when the aggregate line below gets cut mid-JSON.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"bench_query":"$name","sec":$sec}""")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val wall = (System.nanoTime() - wall0) / 1e9
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"reshape_warmup":$warmupSec,"wall":$wall,"queries":$qs,"sf":"$sfDir"}""")
+    // LAST line is a compact summary (no per-query map) so the driver's
+    // 2000-char tail window always contains one complete JSON object —
+    // BENCH_r02/r03 both lost the long line's front to that window.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"reshape_warmup":$warmupSec,"wall":$wall,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -975,9 +975,7 @@ object SparkEntry {
     "p05_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
-    "p06_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(tbl(s, dir, "documents").filter(col("doc_id") < 40),
-        "doc_id", "text", 3)),
+    "p06_ngram_jaccard" -> ((s, dir) => QueryLib.jaccardPairFrame(s, dir)),
     "p18_deterministic_sample" -> ((s, dir) =>
       Sampling.deterministicSample(tbl(s, dir, "documents"), "text", 0.25)
         .select(col("doc_id"))),
@@ -992,12 +990,9 @@ object SparkEntry {
       Decontaminate.overlap(docs, docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", 13)
     }),
-    "p16_dup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairs(
-        tbl(s, dir, "documents").filter(col("doc_id") < 40), "doc_id", "text", 3)
-      Dedup.duplicateClusters(pairs)
-        .select(col("id").as("doc_id"), col("rep").as("rep_id"))
-    }),
+    "p16_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(QueryLib.jaccardPairFrame(s, dir))
+        .select(col("id").as("doc_id"), col("rep").as("rep_id"))),
     "p07_minhash_lsh" -> ((s, dir) =>
       Dedup.lshCandidatePairs(tbl(s, dir, "documents"), "doc_id", "text", 32, 8, 3)),
     "p08_simhash" -> ((s, dir) =>
@@ -1014,6 +1009,15 @@ object SparkEntry {
       // brute-force ranking exactly (hard oracle for the LSH join path)
       Similarity.lshTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         Seq(0L, 1L, 2L), 5, numPlanes = 4, probeRadius = 4)),
+    "p21_lsh_probe_containment" -> ((s, dir) => {
+      // pins the intermediate probe radii (p10's oracle pins 0, p17 pins
+      // full): at each radius the probe-mask candidate set must equal the
+      // hamming-≤r ball derived brute-force from the signatures
+      val e = tbl(s, dir, "embeddings")
+      Seq(1, 2, 3).map(r => Similarity.lshProbeContainment(
+        e, "vec_id", "embedding", Seq(0L, 1L, 2L), 4, 64, r))
+        .reduce(_ unionAll _)
+    }),
     "p11_embed_near_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         0.3, Similarity.randomPlanes(4, 64))),
@@ -1308,6 +1312,24 @@ object SparkEntry {
         |ranked AS (SELECT *, row_number() OVER
         | (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank FROM scored)
         |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "p10_embed_lsh_topk" ->
+      // radius-0 LSH: candidates share the exact hyperplane bucket — the
+      // planes embed as double literals (the p11 precedent), so DuckDB
+      // re-derives the bucket join and the in-bucket cosine ranking
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v, ${bucketSql(Similarity.randomPlanes(4, 64))} AS bucket FROM e),
+         |scored AS (
+         | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |  round(list_cosine_similarity(q.v, c.v), 6) AS cos
+         | FROM sig q JOIN sig c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         | WHERE q.vec_id IN (0, 1, 2)),
+         |ranked AS (SELECT *, row_number() OVER
+         | (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank FROM scored)
+         |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "p21_lsh_probe_containment" ->
+      """SELECT CAST(r AS BIGINT) AS radius, CAST(0 AS BIGINT) AS n_missing,
+        | CAST(0 AS BIGINT) AS n_extra
+        |FROM (VALUES (1), (2), (3)) AS t(r)""".stripMargin,
     "p17_multiprobe_lsh" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |scored AS (

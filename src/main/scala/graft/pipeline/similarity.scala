@@ -76,8 +76,13 @@ object Similarity {
     * C(numPlanes, ≤radius) extra equi-join rows per query — still no
     * cross join. radius = numPlanes probes every bucket and makes the
     * search exact (the p17 oracle asserts equivalence with brute force). */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-      queryIds: Seq[Long], k: Int, numPlanes: Int = 12, dim: Int = 64,
+  /** The candidate stage of the LSH search: (query_id, qv, cand_id, v)
+    * pairs whose bucket signatures differ in at most `probeRadius` sign
+    * bits, produced by the probe-mask equi-join (never a cross join).
+    * Exposed so the probe enumeration can be pinned against a brute-force
+    * hamming-distance derivation (the p21 containment check). */
+  def lshCandidates(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], numPlanes: Int = 12, dim: Int = 64,
       probeRadius: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     require(probeRadius == 0 || numPlanes <= 24,
@@ -94,14 +99,54 @@ object Similarity {
       .select(col("id").as("query_id"), col("v").as("qv"),
         explode(transform(typedLit(masks), m => col("bucket").bitwiseXOR(m)))
           .as("bucket"))
-    val scored = keyed.join(broadcast(queries), Seq("bucket"))
+    keyed.join(broadcast(queries), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("cand_id"),
+      .select(col("query_id"), col("qv"), col("id").as("cand_id"), col("v"))
+  }
+
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, numPlanes: Int = 12, dim: Int = 64,
+      probeRadius: Int = 0): DataFrame = {
+    val scored = lshCandidates(df, idCol, vecCol, queryIds, numPlanes, dim,
+        probeRadius)
+      .select(col("query_id"), col("cand_id"),
         round(Dedup.cosine(col("qv"), col("v")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
+  /** Soundness + completeness check of the multi-probe enumeration at one
+    * radius: the candidate pairs produced by the probe-mask equi-join must
+    * EQUAL the pairs whose signatures differ in ≤ radius bits (derived
+    * brute-force from the signatures, no probe masks involved). Returns one
+    * row (radius, n_missing, n_extra) — (r, 0, 0) when the mask enumeration
+    * is exactly the hamming ball. */
+  def lshProbeContainment(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], numPlanes: Int, dim: Int,
+      probeRadius: Int): DataFrame = {
+    val planes = randomPlanes(numPlanes, dim)
+    val sig = hyperplaneSignature(col(vecCol), planes)
+    val keyed = df.select(col(idCol).as("id"), sig.as("bucket"))
+    val queries = keyed.filter(col("id").isInCollection(queryIds))
+      .select(col("id").as("query_id"), col("bucket").as("qb"))
+    // truth: per-pair hamming distance over the full corpus — a broadcast
+    // of the (tiny) query side, one corpus scan
+    val truth = keyed.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("query_id"))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qb"))) <= probeRadius)
+      .select(col("query_id"), col("id").as("cand_id"))
+    val cand = lshCandidates(df, idCol, vecCol, queryIds, numPlanes, dim,
+        probeRadius)
+      .select(col("query_id"), col("cand_id"))
+    truth.withColumn("side", lit(1L))
+      .unionAll(cand.withColumn("side", lit(2L)))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("side")).as("s"))
+      .agg(lit(probeRadius).cast("long").as("radius"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("s") === 2L, 1L).otherwise(0L)).as("n_extra"))
   }
 }

@@ -564,37 +564,50 @@ case class Place(store: RasterBlock, placeProjection: String,
     val (ax, ay) = anchor
     val (sx1, sy2) = (sreq.bbox.x1, sreq.bbox.y2)
     // output tile → the source tiles its pixel centers sample under any
-    // placement shift (driver-side tile COUNTS only, like the stencil halo
-    // relation — the pixel data itself stays distributed)
+    // placement shift, built AS A SPARK JOB: an output-tile frame crossed
+    // with a coordinates frame, the same extreme-pixel-center arithmetic
+    // as the stamping kernel expressed column-wise (identical operation
+    // order, so the floored indices are bit-identical), then the clamped
+    // tile-index ranges exploded and deduped. Tile COUNTS only — neither
+    // the mapping rows nor the pixel data ever loop on the driver, so
+    // millions of placements × a large output grid stay distributed.
     val nOty = TileLayout.tilesY(req.height); val nOtx = TileLayout.tilesX(req.width)
     val nSty = TileLayout.tilesY(fh); val nStx = TileLayout.tilesX(fw)
-    val mapping = scala.collection.mutable.LinkedHashSet.empty[(Int, Int, Int, Int)]
-    for (oty <- 0 until nOty; otx <- 0 until nOtx) {
-      val tw = TileLayout.tileW(req.width, otx)
-      val th = TileLayout.tileH(req.height, oty)
-      val wxLo = req.cellCenterX(otx * tile); val wxHi = req.cellCenterX(otx * tile + tw - 1)
-      val wyHi = req.cellCenterY(oty * tile); val wyLo = req.cellCenterY(oty * tile + th - 1)
-      var c = 0
-      while (c < coords.length) {
-        // extreme pixel centers shifted into source space (shift is linear,
-        // so the extremes bound every pixel of the tile)
-        val pjLo = math.floor((wxLo + ax - coords(c)._1 - sx1) / cw).toInt
-        val pjHi = math.floor((wxHi + ax - coords(c)._1 - sx1) / cw).toInt
-        val piLo = math.floor((sy2 - (wyHi + ay - coords(c)._2)) / ch).toInt
-        val piHi = math.floor((sy2 - (wyLo + ay - coords(c)._2)) / ch).toInt
-        var i = math.max(0, piLo / tile)
-        val i1 = math.min(nSty - 1, piHi / tile)
-        while (i <= i1) {
-          var j = math.max(0, pjLo / tile)
-          val j1 = math.min(nStx - 1, pjHi / tile)
-          while (j <= j1) { mapping += ((oty, otx, i, j)); j += 1 }
-          i += 1
-        }
-        c += 1
-      }
-    }
     import spark.implicits._
-    val mapDf = broadcast(mapping.toSeq.toDF("oty", "otx", "ty", "tx"))
+    val tilesDf = spark.range(nOty.toLong * nOtx).select(
+      (col("id") / nOtx).cast("int").as("oty"),
+      (col("id") % nOtx).cast("int").as("otx"))
+    val coordsBase = coords.toSeq.toDF("cx", "cy")
+    val coordsDf = if (coords.length > 10000)
+      coordsBase.repartition(spark.sparkContext.defaultParallelism)
+    else coordsBase
+    // extreme pixel centers of the tile (shift is linear, so the extremes
+    // bound every pixel); int sub-expressions first, exactly as
+    // cellCenterX/Y compute them
+    val twC = least(lit(tile), lit(req.width) - col("otx") * tile)
+    val thC = least(lit(tile), lit(req.height) - col("oty") * tile)
+    val wxLo = lit(req.bbox.x1) + (col("otx") * tile + lit(0.5)) * lit(cw)
+    val wxHi = lit(req.bbox.x1) + (col("otx") * tile + twC - 1 + lit(0.5)) * lit(cw)
+    val wyHi = lit(req.bbox.y2) - (col("oty") * tile + lit(0.5)) * lit(ch)
+    val wyLo = lit(req.bbox.y2) - (col("oty") * tile + thC - 1 + lit(0.5)) * lit(ch)
+    val mapDf = broadcast(coordsDf.crossJoin(tilesDf)
+      .select(col("oty"), col("otx"),
+        floor((wxLo + ax - col("cx") - sx1) / cw).as("pjLo"),
+        floor((wxHi + ax - col("cx") - sx1) / cw).as("pjHi"),
+        floor((lit(sy2) - (wyHi + ay - col("cy"))) / ch).as("piLo"),
+        floor((lit(sy2) - (wyLo + ay - col("cy"))) / ch).as("piHi"))
+      .select(col("oty"), col("otx"),
+        greatest(lit(0L), floor(col("piLo") / tile.toDouble)).as("i0"),
+        least(lit((nSty - 1).toLong), floor(col("piHi") / tile.toDouble)).as("i1"),
+        greatest(lit(0L), floor(col("pjLo") / tile.toDouble)).as("j0"),
+        least(lit((nStx - 1).toLong), floor(col("pjHi") / tile.toDouble)).as("j1"))
+      .filter(col("i0") <= col("i1") && col("j0") <= col("j1"))
+      .select(col("oty"), col("otx"),
+        explode(sequence(col("i0"), col("i1"))).as("tyL"), col("j0"), col("j1"))
+      .select(col("oty"), col("otx"), col("tyL").cast("int").as("ty"),
+        explode(sequence(col("j0"), col("j1"))).as("txL"))
+      .select(col("oty"), col("otx"), col("ty"), col("txL").cast("int").as("tx"))
+      .distinct())
     val r = req
     val self = this
     val kernel = udf { (oty: Int, otx: Int, tiles: Seq[Row]) =>

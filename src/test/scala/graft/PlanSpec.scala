@@ -41,7 +41,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("n-gram Jaccard pairs is an inverted-index equi-join, never cartesian") {
-    val p = plan("p06_ngram_jaccard")
+    // the operator itself, not the memoized p06 frame (which explains as a
+    // checkpoint scan once QueryLib.jaccardPairFrame has materialized it)
+    import org.apache.spark.sql.functions.col
+    val p = graft.pipeline.Dedup.jaccardPairs(
+        QueryLib.tbl(spark, dir, "documents").filter(col("doc_id") < 40),
+        "doc_id", "text", 3)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     // the self-join on the shingle key is a hash equi-join
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
@@ -85,7 +91,12 @@ class PlanSpec extends SparkSpec {
     val p = stamped.frame(QueryLib.fullReq(g))(spark).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the tile-mapping build is a Spark job: an intended count-only
+    // broadcast product of the coordinates frame with the output-tile
+    // frame (no pixel columns, no driver loop) — exactly one such node;
+    // the PIXEL gather itself must stay a broadcast hash equi-join
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size == 1)
+    assert(!p.contains("CartesianProduct"))
     // and no driver materialization: the plan is a single lazy frame (the
     // old path ran getData + parallelize, which left no join in the plan)
     assert(p.contains("Scan parquet") || p.contains("FileScan"))

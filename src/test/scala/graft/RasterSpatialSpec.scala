@@ -80,6 +80,19 @@ class RasterSpatialSpec extends SparkSpec {
     assert(placed.extent.isDefined)
   }
 
+  test("Place warp completes 1e5 coordinates via the distributed mapping build") {
+    // the tile-mapping relation (output tile → source tiles) is built as a
+    // Spark job; 1e5 placements would have looped 1e5 × outputTiles times
+    // on the driver under the old build. All placements at the anchor →
+    // zero shift → every in-extent pixel samples data in every placement,
+    // so "count" must be exactly n everywhere.
+    val n = 100000
+    val placed = Place(spot, "EPSG:28992", (135002.5, 455997.5),
+      Seq.fill(n)((135002.5, 455997.5)), "count", Some("warp"))
+    val g = grid(placed.getData(fullReq).get)
+    assert(g.length == 100 && g.forall(_ == n.toDouble))
+  }
+
   test("RasterizeWKT burns a boolean mask with the cell-center rule") {
     val wkt = "POLYGON ((135001 455997, 135003 455997, 135003 455999, 135001 455999, 135001 455997))"
     val r = RasterizeWKT(wkt, "EPSG:28992")
