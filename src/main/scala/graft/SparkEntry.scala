@@ -870,6 +870,16 @@ object SparkEntry {
         Seq("c_acctbal", "c_mktsegment"))
       c.frame(GeometryRequest(filters = Map("c_mktsegment" -> "BUILDING")))(s)
         .select(col("fid"), round(col("c_acctbal"), 2).as("c_acctbal"))
+    }),
+    "g17_gpkg_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val p = partSquares(dir)
+      val out = java.nio.file.Files.createTempDirectory("verify_gpkg")
+        .resolve("parts.gpkg").toString
+      GeoPackageSink.write(p, out, GeometryRequest())
+      val back = GeometryFileSource(out)
+      back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
+        .select(col("fid"), col("p_size"), round(col("area"), 6).as("area"))
     })
   )
 
@@ -953,6 +963,10 @@ object SparkEntry {
     // the shapefile carries coordinates as binary doubles and p_size as a
     // fixed-width N(18,0) field — both round-trip exactly
     "g16_shapefile_roundtrip" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
+        | round((p_size / 10.0) * (p_size / 10.0), 6) AS area
+        |FROM part""".stripMargin,
+    "g17_gpkg_roundtrip" ->
       """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
         | round((p_size / 10.0) * (p_size / 10.0), 6) AS area
         |FROM part""".stripMargin

@@ -91,9 +91,17 @@ case class GeoParquetSource(url: String, proj: String = "EPSG:28992") extends Ge
   * partitioned write (tiling is native partitioning). */
 object GeometryToFile {
   def toFile(source: GeometryBlock, url: String, format: String = "geoparquet",
-      fields: Option[Seq[String]] = None)(implicit spark: SparkSession): String =
-    GeometryFileSink(source, url, format, fields)
+      fields: Option[Seq[String]] = None)(implicit spark: SparkSession): String = {
+    val lower = url.toLowerCase
+    // single-file OGR-style formats dispatch on extension, like the
+    // reference's to_file; everything else goes through the partitioned sink
+    if (lower.endsWith(".shp"))
+      ShapefileSink.write(source, url, GeometryRequest(mode = "centroid"))
+    else if (lower.endsWith(".gpkg"))
+      GeoPackageSink.write(source, url, GeometryRequest(mode = "centroid"))
+    else GeometryFileSink(source, url, format, fields)
       .write(GeometryRequest(mode = "centroid"))
+  }
 }
 
 /** Re-open newline-GeoJSON features written by GeometryFileSink (the

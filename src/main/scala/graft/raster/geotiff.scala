@@ -7,16 +7,19 @@ import java.time.Instant
 import org.apache.spark.sql.SparkSession
 
 /** Pure-JVM GeoTIFF codec (no GDAL on the classpath): classic
-  * little-endian TIFF, striped or tiled layout, uncompressed or DEFLATE
-  * (`java.util.zip`), six sample types (float64/float32, int16/int32,
-  * uint8/uint16), ModelPixelScale/ModelTiepoint + GeoKey EPSG tagging and
-  * the GDAL_NODATA convention — the subset the reference's
-  * RasterFileSource/Sink actually exercises (raster/sources.py:396-564,
-  * sinks.py:18-141). LZW/PackBits and BigTIFF remain out of scope
-  * (documented, not faked). The layout follows TIFF 6.0 + the GeoTIFF 1.1
-  * spec (ascending IFD tags, correct field types, out-of-line offset/
-  * byte-count arrays); round-trip verified with this reader — no external
-  * TIFF reader exists in this environment to cross-validate against.
+  * little-endian TIFF, striped or tiled layout, uncompressed / DEFLATE
+  * (`java.util.zip`) / LZW (read-only, with horizontal-predictor support),
+  * six sample types (float64/float32, int16/int32, uint8/uint16),
+  * ModelPixelScale/ModelTiepoint + GeoKey EPSG tagging and the GDAL_NODATA
+  * convention — the subset the reference's RasterFileSource/Sink actually
+  * exercises (raster/sources.py:396-564, sinks.py:18-141). PackBits, the
+  * floating-point predictor, and BigTIFF remain out of scope (documented,
+  * not faked). The layout follows TIFF 6.0 + the GeoTIFF 1.1 spec
+  * (ascending IFD tags, correct field types, out-of-line offset/byte-count
+  * arrays). Write paths round-trip through this reader; the LZW read path
+  * is additionally pinned by fixtures from an independent spec-derived
+  * encoder (tools/make_lzw_fixture.py) — no external TIFF reader exists in
+  * this environment to cross-validate against.
   */
 object GeoTiff {
 
@@ -35,6 +38,87 @@ object GeoTiff {
     while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
     d.end()
     out.toByteArray
+  }
+
+  /** TIFF-flavour LZW decode (TIFF 6.0 §13): MSB-first bit packing, 9-bit
+    * initial codes, ClearCode 256 / EndOfInformation 257, and the "early
+    * change" width bump when one code short of the table limit. Decodes at
+    * most `expected` bytes; a truncated stream raises rather than looping. */
+  private def lzwDecode(packed: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var outAt = 0
+    val dict = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+    var nextCode = 258
+    var width = 9
+    var bitPos = 0L
+    val nBits = packed.length.toLong * 8
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done && outAt < expected) {
+      if (bitPos + width > nBits) throw new IllegalArgumentException(
+        "truncated LZW stream in TIFF segment")
+      var code = 0
+      var k = 0
+      while (k < width) {
+        val b = bitPos + k
+        code = (code << 1) | ((packed((b >> 3).toInt) >> (7 - (b & 7).toInt)) & 1)
+        k += 1
+      }
+      bitPos += width
+      if (code == 257) done = true
+      else if (code == 256) {
+        java.util.Arrays.fill(dict.asInstanceOf[Array[AnyRef]], 258, 4096, null)
+        nextCode = 258; width = 9; prev = null
+      } else {
+        val entry =
+          if (code < nextCode && dict(code) != null) dict(code)
+          else if (prev != null && code == nextCode) prev :+ prev(0)
+          else throw new IllegalArgumentException(
+            s"corrupt LZW stream: code $code used before definition")
+        val n = math.min(entry.length, expected - outAt)
+        System.arraycopy(entry, 0, out, outAt, n)
+        outAt += n
+        if (prev != null && nextCode < 4096) {
+          dict(nextCode) = prev :+ entry(0); nextCode += 1
+        }
+        // early change: the width grows one code BEFORE the table limit
+        if (nextCode == (1 << width) - 1 && width < 12) width += 1
+        prev = entry
+      }
+    }
+    out
+  }
+
+  /** Undo TIFF predictor 2 (horizontal differencing) in place: each sample
+    * is stored as the little-endian delta from its left neighbour, per row
+    * of `rowW` samples of `bytesPer` bytes. */
+  private def undoPredictor(raw: Array[Byte], rowW: Int, bytesPer: Int): Unit = {
+    val rowBytes = rowW * bytesPer
+    val rows = raw.length / rowBytes
+    var r = 0
+    while (r < rows) {
+      val base = r * rowBytes
+      var x = 1
+      while (x < rowW) {
+        var cur = 0L; var prev = 0L
+        var k = 0
+        while (k < bytesPer) {
+          cur |= (raw(base + x * bytesPer + k) & 0xffL) << (8 * k)
+          prev |= (raw(base + (x - 1) * bytesPer + k) & 0xffL) << (8 * k)
+          k += 1
+        }
+        val sum = cur + prev
+        k = 0
+        while (k < bytesPer) {
+          raw(base + x * bytesPer + k) = ((sum >> (8 * k)) & 0xff).toByte
+          k += 1
+        }
+        x += 1
+      }
+      r += 1
+    }
   }
 
   private def inflate(packed: Array[Byte], expected: Int): Array[Byte] = {
@@ -217,12 +301,17 @@ object GeoTiff {
     val bits = tags(258)._3
     val sampleFormat = tags.get(339).map(_._3).getOrElse(1)
     val comp = tags.get(259).map(_._3).getOrElse(1)
-    require(comp == 1 || comp == 8 || comp == 32946,
-      s"reader supports uncompressed or deflate TIFF only (compression=$comp)")
+    require(comp == 1 || comp == 5 || comp == 8 || comp == 32946,
+      s"reader supports uncompressed, LZW, or deflate TIFF only (compression=$comp)")
+    val predictor = tags.get(317).map(_._3).getOrElse(1)
     val dtypeName = SampleTypes.collectFirst {
       case (name, (b, f)) if b == bits && f == sampleFormat => name
     }.getOrElse(throw new IllegalArgumentException(
       s"unsupported sample type bits=$bits format=$sampleFormat"))
+    // predictor 2 (horizontal differencing) is defined on integer samples;
+    // 3 (floating-point) stays out of scope like PackBits/BigTIFF
+    require(predictor == 1 || (predictor == 2 && sampleFormat != 3),
+      s"unsupported TIFF predictor $predictor for sample format $sampleFormat")
     val bytesPer = bits / 8
     // offsets/counts: scalar when count == 1, SHORT/LONG array otherwise
     def intsOf(tag: Int): Array[Int] = {
@@ -241,11 +330,16 @@ object GeoTiff {
       case (8, 1)  => (b, off) => (b.get(off) & 0xff).toDouble
       case _ => throw new IllegalStateException("unreachable")
     }
-    // one segment (strip or tile) as a decode-ready little-endian buffer
-    def segment(off: Int, count: Int, expected: Int): ByteBuffer = {
-      val raw =
-        if (comp == 1) java.util.Arrays.copyOfRange(bytes, off, off + count)
-        else inflate(java.util.Arrays.copyOfRange(bytes, off, off + count), expected)
+    // one segment (strip or tile) as a decode-ready little-endian buffer;
+    // `rowW` is the segment's row width in samples (predictor 2 is per-row)
+    def segment(off: Int, count: Int, expected: Int, rowW: Int): ByteBuffer = {
+      val packed = java.util.Arrays.copyOfRange(bytes, off, off + count)
+      val raw = comp match {
+        case 1 => packed
+        case 5 => lzwDecode(packed, expected)
+        case _ => inflate(packed, expected)
+      }
+      if (predictor == 2) undoPredictor(raw, rowW, bytesPer)
       ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     }
     val values = new Array[Double](w * h)
@@ -256,7 +350,7 @@ object GeoTiff {
       var strip = 0
       while (strip * rps < h) {
         val rows = math.min(rps, h - strip * rps)
-        val seg = segment(stripOffs(strip), stripCnts(strip), rows * w * bytesPer)
+        val seg = segment(stripOffs(strip), stripCnts(strip), rows * w * bytesPer, w)
         var r = 0
         while (r < rows) {
           var j = 0
@@ -277,7 +371,7 @@ object GeoTiff {
       var ti = 0
       while (ti < tDown * tAcross) {
         val ty = ti / tAcross; val tx = ti % tAcross
-        val seg = segment(tileOffs(ti), tileCnts(ti), tw * th * bytesPer)
+        val seg = segment(tileOffs(ti), tileCnts(ti), tw * th * bytesPer, tw)
         var y = 0
         while (y < th && ty * th + y < h) {
           var x = 0

@@ -38,6 +38,14 @@ object Scratch {
     val shpView = GeometryFileSource("/tmp/scratch_export.shp")
     println(s"shp reopened rows: ${shpView.frame(GeometryRequest()).count()}")
 
+    // the .gpkg WRITE path: all 2000 fixture features — multi-leaf b-trees,
+    // an overflow-chain payload, NULL geometries — then reopen through the
+    // extension dispatcher (external validation: `sqlite3` opens the file
+    // and PRAGMA integrity_check returns ok)
+    GeoPackageSink.write(back, "/tmp/scratch_export.gpkg", GeometryRequest())
+    val gpkgView = GeometryFileSource("/tmp/scratch_export.gpkg")
+    println(s"gpkg reopened rows: ${gpkgView.frame(GeometryRequest()).count()}")
+
     spark.stop()
   }
 }

@@ -17,6 +17,41 @@ class GeoTiffSpec extends SparkSpec {
     assert(t.epsg == 28992 && t.noData == -9999.0)
   }
 
+  test("GeoTIFF LZW fixtures decode bit-exactly (independent encoder)") {
+    // fixtures from tools/make_lzw_fixture.py — a spec-derived TIFF-LZW
+    // encoder (MSB-first, early change, predictor 2) written independently
+    // of the Scala decoder; both meet only at TIFF 6.0 §13
+    val u8 = GeoTiff.read(getClass.getResource("/lzw_uint8.tif").getPath)
+    assert(u8.w == 100 && u8.h == 40 && u8.epsg == 28992)
+    assert(u8.dtypeName == "uint8")
+    assert((0 until 40).forall(y => (0 until 100).forall(x =>
+      u8.values(y * 100 + x) == ((x * 7 + y * 13) % 251).toDouble)))
+
+    val u16 = GeoTiff.read(getClass.getResource("/lzw_uint16.tif").getPath)
+    assert(u16.w == 64 && u16.h == 48 && u16.dtypeName == "uint16")
+    assert((0 until 48).forall(y => (0 until 64).forall(x =>
+      u16.values(y * 64 + x) == ((x * 531 + y * 7919) % 65521).toDouble)))
+
+    val f64 = GeoTiff.read(getClass.getResource("/lzw_f64.tif").getPath)
+    assert(f64.w == 60 && f64.h == 30 && f64.dtypeName == "float64")
+    assert((0 until 30).forall(y => (0 until 60).forall(x =>
+      f64.values(y * 60 + x) == x * 0.5 + y * 1.25)))
+    assert(f64.bbox == Bbox(135000.0, 456000.0 - 30 * 0.5, 135000.0 + 60 * 0.5, 456000.0))
+
+    // high-entropy single strip: the code stream walks 9→12-bit widths and
+    // hits the 4094-entry table reset — the early-change danger zones
+    def lcgByte(x: Int, y: Int): Int = {
+      var s = (y * 128 + x + 1) & 0x7FFFFFFF
+      var i = 0
+      while (i < 2) { s = (s * 1103515245 + 12345) & 0x7FFFFFFF; i += 1 }
+      (s >> 16) & 0xFF
+    }
+    val noise = GeoTiff.read(getClass.getResource("/lzw_noise.tif").getPath)
+    assert(noise.w == 128 && noise.h == 128 && noise.dtypeName == "uint8")
+    assert((0 until 128).forall(y => (0 until 128).forall(x =>
+      noise.values(y * 128 + x) == lcgByte(x, y).toDouble)))
+  }
+
   test("GeoTIFF codec round-trips every sample type") {
     val dir = Files.createTempDirectory("graft_tiff_dtypes").toString
     val ints = Array.tabulate(12)(i => (i * 37 % 200).toDouble)
