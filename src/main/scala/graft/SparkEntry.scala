@@ -880,6 +880,16 @@ object SparkEntry {
       val back = GeometryFileSource(out)
       back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
         .select(col("fid"), col("p_size"), round(col("area"), 6).as("area"))
+    }),
+    "g18_gml_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val p = partSquares(dir)
+      val out = java.nio.file.Files.createTempDirectory("verify_gml")
+        .resolve("parts.gml").toString
+      GmlSink.write(p, out, GeometryRequest())
+      val back = GeometryFileSource(out)
+      back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
+        .select(col("fid"), col("p_size"), round(col("area"), 6).as("area"))
     })
   )
 
@@ -967,6 +977,10 @@ object SparkEntry {
         | round((p_size / 10.0) * (p_size / 10.0), 6) AS area
         |FROM part""".stripMargin,
     "g17_gpkg_roundtrip" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
+        | round((p_size / 10.0) * (p_size / 10.0), 6) AS area
+        |FROM part""".stripMargin,
+    "g18_gml_roundtrip" ->
       """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
         | round((p_size / 10.0) * (p_size / 10.0), 6) AS area
         |FROM part""".stripMargin

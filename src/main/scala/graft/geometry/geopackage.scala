@@ -443,6 +443,7 @@ case class GeometryFileSource(url: String, layer: Option[String] = None,
     val lower = url.toLowerCase
     if (lower.endsWith(".shp")) ShapefileSource(url, proj)
     else if (lower.endsWith(".gpkg")) GeoPackageSource(url, layer)
+    else if (lower.endsWith(".gml")) GmlSource(url, proj)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") ||
       lower.endsWith(".ndjson")) GeoJsonSource(url, proj)
     else GeoParquetSource(url, proj)

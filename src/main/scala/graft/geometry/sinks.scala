@@ -99,6 +99,8 @@ object GeometryToFile {
       ShapefileSink.write(source, url, GeometryRequest(mode = "centroid"))
     else if (lower.endsWith(".gpkg"))
       GeoPackageSink.write(source, url, GeometryRequest(mode = "centroid"))
+    else if (lower.endsWith(".gml"))
+      GmlSink.write(source, url, GeometryRequest(mode = "centroid"))
     else GeometryFileSink(source, url, format, fields)
       .write(GeometryRequest(mode = "centroid"))
   }

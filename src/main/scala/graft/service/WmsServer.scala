@@ -94,6 +94,11 @@ class WmsServer(spark: SparkSession, port: Int = 0,
             ex.getResponseHeaders.set("Content-Type", "text/xml; charset=UTF-8")
             ex.sendResponseHeaders(200, xml.length)
             ex.getResponseBody.write(xml)
+          } else if (params.get("request").exists(_.equalsIgnoreCase("GetFeatureInfo"))) {
+            val (ctype, body) = featureInfo(params)
+            ex.getResponseHeaders.set("Content-Type", ctype)
+            ex.sendResponseHeaders(200, body.length)
+            ex.getResponseBody.write(body)
           } else {
             val png = render(params)
             ex.getResponseHeaders.set("Content-Type", "image/png")
@@ -169,6 +174,10 @@ class WmsServer(spark: SparkSession, port: Int = 0,
        |      <GetMap>
        |        <Format>image/png</Format>
        |      </GetMap>
+       |      <GetFeatureInfo>
+       |        <Format>application/json</Format>
+       |        <Format>text/plain</Format>
+       |      </GetFeatureInfo>
        |    </Request>
        |    <Layer>
        |      <Title>dynamic</Title>
@@ -180,6 +189,50 @@ class WmsServer(spark: SparkSession, port: Int = 0,
        |  </Capability>
        |</WMS_Capabilities>
        |""".stripMargin
+  }
+
+  /** WMS 1.3.0 GetFeatureInfo: the engine value under GetMap pixel (i, j)
+    * of the given view/bbox/size. The lookup is a point request (degenerate
+    * bbox at the pixel center, 1×1 grid) — the engine's native point path,
+    * so only that cell's frame evaluates, not the whole map tile. Accepts
+    * the 1.1.1 `x`/`y` aliases; `info_format=application/json` (default) or
+    * `text/plain`. */
+  private[service] def featureInfo(params: Map[String, String]): (String, Array[Byte]) = {
+    val viewJson = params.getOrElse("query_layers", params("layers"))
+    val view = BlockRegistry.fromJson(viewJson).asInstanceOf[RasterBlock]
+    validateSourcePaths(view)
+    val Array(x1, y1, x2, y2) = params("bbox").split(",").map(_.toDouble)
+    val w = params.getOrElse("width", "256").toInt
+    val h = params.getOrElse("height", "256").toInt
+    val i = params.get("i").orElse(params.get("x")).map(_.toInt)
+      .getOrElse(throw new IllegalArgumentException("missing pixel column i"))
+    val j = params.get("j").orElse(params.get("y")).map(_.toInt)
+      .getOrElse(throw new IllegalArgumentException("missing pixel row j"))
+    require(i >= 0 && i < w && j >= 0 && j < h,
+      s"pixel ($i, $j) outside the ${w}x$h map")
+    val px = x1 + (i + 0.5) * (x2 - x1) / w
+    val py = y2 - (j + 0.5) * (y2 - y1) / h // row 0 is the top row
+    val proj = params.getOrElse("projection", view.projection)
+    val time = params.get("time").map(Instant.parse)
+    val res = view.getData(RasterRequest(Bbox(px, py, px, py), proj, 1, 1, time, time))
+    val value: Option[Double] = res.flatMap { r =>
+      val v = r.values.head.head
+      if (v == r.noDataValue || v.isNaN) None else Some(v)
+    }
+    val at = res.flatMap(_.times.headOption)
+    params.getOrElse("info_format", "application/json") match {
+      case "text/plain" =>
+        val lines = Seq(
+          s"x: ${px}", s"y: ${py}",
+          s"value: ${value.map(_.toString).getOrElse("nodata")}") ++
+          at.map(t => s"time: $t")
+        ("text/plain; charset=UTF-8", (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      case _ =>
+        val json = "{\"x\":" + px + ",\"y\":" + py +
+          ",\"value\":" + value.map(_.toString).getOrElse("null") +
+          at.map(t => ",\"time\":\"" + t + "\"").getOrElse("") + "}"
+        ("application/json", json.getBytes("UTF-8"))
+    }
   }
 
   private[service] def render(params: Map[String, String]): Array[Byte] = {

@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.{Callable, FutureTask, TimeUnit, TimeoutException}
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.rng.Seed
+
+import graft.geometry.{GeomFunctions, Gml, Shapefile, Sqlite, GeoPackage}
+import graft.raster.{Bbox, GeoTiff}
+
+/** Byte-level fuzzing of the pure-JVM codecs (shapefile, SQLite/GeoPackage,
+  * GeoTIFF, GML): every truncated or corrupted input must fail with a clean
+  * exception (or parse) — never a hang, an OutOfMemoryError, or a
+  * StackOverflowError. The DEFLATE inflater-stall guard in geotiff.scala is
+  * the precedent this generalizes.
+  *
+  * The reference gets this robustness from GDAL/OGR/SQLite's hardened C
+  * parsers; these properties are the equivalent contract for the in-repo
+  * codecs.
+  */
+object CodecFuzzProps extends Properties("codec-fuzz") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withInitialSeed(Seed(427431L)).withMinSuccessfulTests(150)
+
+  // ------------------------------------------------------------- fixtures
+
+  private lazy val tmpRoot = Files.createTempDirectory("codec_fuzz")
+
+  /** Pristine shapefile trio (shp/shx/dbf) of 40 mixed polygons. */
+  private lazy val shpFixture: (Array[Byte], Array[Byte], Array[Byte], Shapefile.DbfHeader) = {
+    val base = tmpRoot.resolve("pristine")
+    val rows = (0 until 40).map { i =>
+      val g = GeomFunctions.readWkt(GeometryFixtures.square(i, 0, i + 1 + (i % 3), 2))
+      (g, Seq[Any](i.toLong, i * 0.25, s"name-$i"))
+    }
+    val fields = Shapefile.dbfFieldsFor(
+      Seq(("id", org.apache.spark.sql.types.LongType),
+        ("v", org.apache.spark.sql.types.DoubleType),
+        ("name", org.apache.spark.sql.types.StringType)),
+      rows.map(_._2))
+    Shapefile.write(base.toString + ".shp", rows, fields, "EPSG:28992")
+    val shp = Files.readAllBytes(Paths.get(base.toString + ".shp"))
+    val shx = Files.readAllBytes(Paths.get(base.toString + ".shx"))
+    val dbf = Files.readAllBytes(Paths.get(base.toString + ".dbf"))
+    (shp, shx, dbf, Shapefile.readDbfHeader(base.toString + ".dbf"))
+  }
+
+  private lazy val gpkgFixture: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/fixture.gpkg")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private lazy val tifDeflate: Array[Byte] = {
+    val p = tmpRoot.resolve("deflate.tif").toString
+    GeoTiff.write(p, Array.tabulate(32 * 32)(_ * 0.5), 32, 32,
+      Bbox(0, 0, 32, 32), 28992, -9999.0, "float64",
+      rowsPerStrip = 8, compression = "deflate")
+    Files.readAllBytes(Paths.get(p))
+  }
+
+  private lazy val tifLzw: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/lzw_noise.tif")
+    try in.readAllBytes() finally in.close()
+  }
+
+  // ------------------------------------------------------------ harness
+
+  /** Run `f` on a daemon thread: pass when it returns or throws any
+    * exception; fail on timeout (hang), OOM, or stack overflow. */
+  private def cleanOrFails(label: String)(f: => Unit): Prop = {
+    val task = new FutureTask(new Callable[Option[Throwable]] {
+      override def call(): Option[Throwable] =
+        try { f; None } catch { case t: Throwable => Some(t) }
+    })
+    val th = new Thread(task, s"fuzz-$label")
+    th.setDaemon(true)
+    th.start()
+    try task.get(30, TimeUnit.SECONDS) match {
+      case Some(_: OutOfMemoryError)    => Prop.falsified :| s"$label: OutOfMemoryError"
+      case Some(_: StackOverflowError)  => Prop.falsified :| s"$label: StackOverflowError"
+      case _                            => Prop.passed
+    } catch {
+      case _: TimeoutException =>
+        th.interrupt()
+        Prop.falsified :| s"$label: hung >30s"
+    }
+  }
+
+  private def mutate(bytes: Array[Byte], kind: Int, pos: Int, value: Int): Array[Byte] =
+    kind match {
+      case 0 => // truncate
+        bytes.take(math.min(pos, bytes.length))
+      case 1 => // flip one byte
+        val b = bytes.clone()
+        if (b.nonEmpty) b(pos % b.length) = value.toByte
+        b
+      case _ => // splice a hostile 32-bit value (huge counts / offsets)
+        val b = bytes.clone()
+        val at = if (b.length < 4) 0 else pos % (b.length - 3)
+        if (b.length >= 4) {
+          b(at) = (value >> 24).toByte; b(at + 1) = (value >> 16).toByte
+          b(at + 2) = (value >> 8).toByte; b(at + 3) = value.toByte
+        }
+        b
+    }
+
+  private val hostileInts =
+    Gen.oneOf(Int.MaxValue, Int.MinValue, -1, 0, 0x7fffff00, 0x40000000, 0xdeadbeef)
+
+  private def mutationGen(len: Int): Gen[(Int, Int, Int)] = for {
+    kind <- Gen.choose(0, 2)
+    pos <- Gen.choose(0, math.max(len - 1, 0))
+    value <- hostileInts
+  } yield (kind, pos, value)
+
+  private def writeTmp(name: String, bytes: Array[Byte]): String = {
+    val p = tmpRoot.resolve(name)
+    Files.write(p, bytes)
+    p.toString
+  }
+
+  // ---------------------------------------------------------- properties
+
+  property("shapefile read survives corrupt .shp bytes") =
+    Prop.forAll(mutationGen(1 << 14)) { case (kind, pos, value) =>
+      val (shp, shx, dbf, header) = shpFixture
+      val bad = writeTmp("bad_shp.shp", mutate(shp, kind, pos, value))
+      Files.write(Paths.get(bad.stripSuffix(".shp") + ".shx"), shx)
+      Files.write(Paths.get(bad.stripSuffix(".shp") + ".dbf"), dbf)
+      cleanOrFails(s"shp k=$kind p=$pos v=$value") {
+        Shapefile.readRange(bad, 0, header.numRecords, header).foreach(_ => ())
+      }
+    }
+
+  property("shapefile read survives corrupt .shx/.dbf bytes") =
+    Prop.forAll(mutationGen(1 << 12), Gen.oneOf("shx", "dbf")) { case ((kind, pos, value), which) =>
+      val (shp, shx, dbf, _) = shpFixture
+      val base = writeTmp("bad_idx.shp", shp).stripSuffix(".shp")
+      Files.write(Paths.get(base + ".shx"),
+        if (which == "shx") mutate(shx, kind, pos, value) else shx)
+      Files.write(Paths.get(base + ".dbf"),
+        if (which == "dbf") mutate(dbf, kind, pos, value) else dbf)
+      cleanOrFails(s"$which k=$kind p=$pos v=$value") {
+        val h = Shapefile.readDbfHeader(base + ".dbf")
+        Shapefile.readRange(base + ".shp", 0, h.numRecords, h).foreach(_ => ())
+      }
+    }
+
+  property("sqlite/gpkg walk survives corrupt database bytes") =
+    Prop.forAll(mutationGen(gpkgFixture.length)) { case (kind, pos, value) =>
+      val bad = writeTmp("bad.gpkg", mutate(gpkgFixture, kind, pos, value))
+      cleanOrFails(s"gpkg k=$kind p=$pos v=$value") {
+        val master = Sqlite.master(bad)
+        GeoPackage.featureTables(bad)
+        // walk every declared table's leaf pages like the source does
+        master.filter(_.kind == "table").foreach { t =>
+          Sqlite.leafPages(bad, t.rootPage).foreach(_ => ())
+        }
+      }
+    }
+
+  property("geotiff read survives corrupt DEFLATE file bytes") =
+    Prop.forAll(mutationGen(tifDeflate.length)) { case (kind, pos, value) =>
+      val bad = writeTmp("bad_deflate.tif", mutate(tifDeflate, kind, pos, value))
+      cleanOrFails(s"tif-deflate k=$kind p=$pos v=$value") {
+        GeoTiff.read(bad)
+      }
+    }
+
+  property("geotiff read survives corrupt LZW file bytes") =
+    Prop.forAll(mutationGen(tifLzw.length)) { case (kind, pos, value) =>
+      val bad = writeTmp("bad_lzw.tif", mutate(tifLzw, kind, pos, value))
+      cleanOrFails(s"tif-lzw k=$kind p=$pos v=$value") {
+        GeoTiff.read(bad)
+      }
+    }
+
+  property("gml member parse survives corrupt/truncated fragments") = {
+    val member =
+      """<gml:featureMember><ogr:t fid="t.7"><ogr:geometryProperty><gml:Polygon><gml:outerBoundaryIs><gml:LinearRing><gml:coordinates>0,0 4,0 4,4 0,4 0,0</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs></gml:Polygon></ogr:geometryProperty><ogr:v>1.5</ogr:v></ogr:t></gml:featureMember>"""
+    Prop.forAll(mutationGen(member.length)) { case (kind, pos, value) =>
+      val bytes = mutate(member.getBytes("UTF-8"), kind, pos, value)
+      cleanOrFails(s"gml k=$kind p=$pos v=$value") {
+        Gml.parseFeatureMember(new String(bytes, "UTF-8"))
+      }
+    }
+  }
+}

@@ -75,6 +75,50 @@ class WmsSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("GetFeatureInfo returns the engine value under a map pixel") {
+    val server = new WmsServer(spark).start()
+    try {
+      val view = Multiply(source, 10)
+      val layers = URLEncoder.encode(view.toJson, "UTF-8")
+      val base = s"http://127.0.0.1:${server.boundPort}/wms?request=GetFeatureInfo" +
+        s"&layers=$layers&bbox=135000,455995,135005,456000&width=10&height=10" +
+        "&projection=EPSG:28992&time=2000-01-01T01:00:00Z"
+
+      val conn = new URL(base + "&i=5&j=5").openConnection()
+        .asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType == "application/json")
+      val json = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      // pixel (5,5) of the 10x10 map over a 5x5-unit bbox → cell center
+      // (135002.75, 455997.25); frame value 7 → ×10 = 70
+      assert(json.contains("\"value\":70.0"), json)
+      assert(json.contains("\"x\":135002.75"), json)
+      assert(json.contains("\"y\":455997.25"), json)
+      assert(json.contains("\"time\":\"2000-01-01T01:00:00Z\""), json)
+
+      // text/plain format and the WMS 1.1.1 x/y aliases
+      val txtConn = new URL(base + "&x=5&y=5&info_format=text/plain")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(txtConn.getResponseCode == 200)
+      assert(txtConn.getContentType.startsWith("text/plain"))
+      val txt = new String(txtConn.getInputStream.readAllBytes(), "UTF-8")
+      assert(txt.contains("value: 70.0"), txt)
+
+      // out-of-period time → empty result reported as null, not an error
+      val empty = new URL(base.replace("time=2000-01-01T01:00:00Z",
+        "time=2015-01-01T00:00:00Z") + "&i=5&j=5")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(empty.getResponseCode == 200)
+      assert(new String(empty.getInputStream.readAllBytes(), "UTF-8")
+        .contains("\"value\":null"))
+
+      // pixel outside the map → clean 400
+      val bad = new URL(base + "&i=10&j=5").openConnection()
+        .asInstanceOf[HttpURLConnection]
+      assert(bad.getResponseCode == 400)
+    } finally server.stop()
+  }
+
   test("views naming paths outside the data roots are refused") {
     val server = new WmsServer(spark, dataRoots = Seq("/root/testdata")).start()
     try {
