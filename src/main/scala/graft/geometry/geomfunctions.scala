@@ -32,6 +32,33 @@ object GeomFunctions extends Serializable {
   def writeWkb(g: Geometry): Array[Byte] = wkbWriterTL.get.write(g)
   def readWkt(s: String): Geometry = wktReaderTL.get.read(s)
 
+  /** Per-thread single-entry memo for the request's constant filter WKT:
+    * predicate UDFs run once per row, and re-parsing (plus re-indexing)
+    * the same literal for millions of rows dominates the scan at scale.
+    * PreparedGeometry carries an edge index, so repeated intersects/
+    * contains tests are O(log n) instead of full geometry walks. */
+  private val preparedTL =
+    new ThreadLocal[(String, org.locationtech.jts.geom.prep.PreparedGeometry)]
+  private def preparedFor(wkt: String): org.locationtech.jts.geom.prep.PreparedGeometry = {
+    val cur = preparedTL.get
+    if (cur != null && cur._1 == wkt) cur._2
+    else {
+      val p = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(readWkt(wkt))
+      preparedTL.set((wkt, p))
+      p
+    }
+  }
+  private val parsedTL = new ThreadLocal[(String, Geometry)]
+  private def parsedFor(wkt: String): Geometry = {
+    val cur = parsedTL.get
+    if (cur != null && cur._1 == wkt) cur._2
+    else {
+      val g = readWkt(wkt)
+      parsedTL.set((wkt, g))
+      g
+    }
+  }
+
   private val geomFromWkt = udf { (wkt: String) =>
     if (wkt == null) null else writeWkb(readWkt(wkt))
   }
@@ -61,13 +88,13 @@ object GeomFunctions extends Serializable {
   }
   private val intersectionWkt = udf { (a: Array[Byte], wkt: String) =>
     if (a == null || wkt == null) null
-    else writeWkb(readWkb(a).intersection(readWkt(wkt)))
+    else writeWkb(readWkb(a).intersection(parsedFor(wkt)))
   }
   private val filterPred = udf { (wkb: Array[Byte], wkt: String, mode: String) =>
     if (wkb == null || wkt == null) false
     else {
       val g = readWkb(wkb)
-      val f = readWkt(wkt)
+      val f = preparedFor(wkt)
       if (mode == "centroid") f.contains(g.getCentroid) else f.intersects(g)
     }
   }

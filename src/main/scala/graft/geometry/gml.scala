@@ -451,16 +451,16 @@ case class GmlSource(url: String, proj: String = "EPSG:28992") extends GeometryB
         java.nio.file.Files.readAllBytes(xsd.toPath), "UTF-8"))
         .map { case (n, t) => (n, Gml.xsdToSpark(t)) }
     } else {
-      // sample the first member for attribute names; all strings
-      val src = scala.io.Source.fromFile(url, "UTF-8")
-      try {
-        val text = src.mkString
-        val start = text.indexOf("<gml:featureMember")
-        val end = text.indexOf("</gml:featureMember>")
-        if (start < 0 || end < 0) Seq.empty
-        else Gml.parseFeatureMember(text.substring(start, end))
-          .attrs.keys.toSeq.sorted.map(n => (n, "string"))
-      } finally src.close()
+      // sample the first member for attribute names (all strings) from a
+      // bounded head read — never the whole document on the driver
+      val HeadBytes = 4 << 20
+      val in = new java.io.FileInputStream(url)
+      val text = try new String(in.readNBytes(HeadBytes), "UTF-8") finally in.close()
+      val start = text.indexOf("<gml:featureMember")
+      val end = text.indexOf("</gml:featureMember>")
+      if (start < 0 || end < 0) Seq.empty
+      else Gml.parseFeatureMember(text.substring(start, end))
+        .attrs.keys.toSeq.sorted.map(n => (n, "string"))
     }
   }
 

@@ -6,15 +6,15 @@ import java.nio.file.{Files, Paths}
 import java.time.Instant
 import org.apache.spark.sql.SparkSession
 
-/** Pure-JVM GeoTIFF codec (no GDAL on the classpath): classic
-  * little-endian TIFF, striped or tiled layout, uncompressed / DEFLATE
-  * (`java.util.zip`) / LZW (read-only, with horizontal-predictor support),
+/** Pure-JVM GeoTIFF codec (no GDAL on the classpath). Reads classic TIFF
+  * and BigTIFF in either byte order; writes classic little-endian.
+  * Striped or tiled layout, uncompressed / DEFLATE (`java.util.zip`) /
+  * LZW / PackBits (both read-only; LZW with horizontal-predictor support),
   * six sample types (float64/float32, int16/int32, uint8/uint16),
   * ModelPixelScale/ModelTiepoint + GeoKey EPSG tagging and the GDAL_NODATA
   * convention — the subset the reference's RasterFileSource/Sink actually
-  * exercises (raster/sources.py:396-564, sinks.py:18-141). PackBits, the
-  * floating-point predictor, and BigTIFF remain out of scope (documented,
-  * not faked). The layout follows TIFF 6.0 + the GeoTIFF 1.1 spec
+  * exercises (raster/sources.py:396-564, sinks.py:18-141). The
+  * floating-point predictor remains out of scope (documented, not faked). The layout follows TIFF 6.0 + the GeoTIFF 1.1 spec
   * (ascending IFD tags, correct field types, out-of-line offset/byte-count
   * arrays). Write paths round-trip through this reader; the LZW read path
   * is additionally pinned by fixtures from an independent spec-derived
@@ -91,12 +91,43 @@ object GeoTiff {
     out
   }
 
+  /** PackBits decode (TIFF 6.0 §9): control byte n in [0, 127] copies n+1
+    * literal bytes; n in [-127, -1] repeats the next byte 1-n times; -128
+    * is a no-op. Decodes exactly `expected` bytes; truncated or
+    * over-running streams raise rather than read past either buffer. */
+  private def packBitsDecode(packed: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var i = 0
+    var o = 0
+    while (o < expected) {
+      if (i >= packed.length) throw new IllegalArgumentException(
+        "truncated PackBits stream in TIFF segment")
+      val n = packed(i); i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        if (i + cnt > packed.length || o + cnt > expected)
+          throw new IllegalArgumentException("corrupt PackBits literal run")
+        System.arraycopy(packed, i, out, o, cnt)
+        i += cnt; o += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        if (i >= packed.length || o + cnt > expected)
+          throw new IllegalArgumentException("corrupt PackBits repeat run")
+        java.util.Arrays.fill(out, o, o + cnt, packed(i))
+        i += 1; o += cnt
+      }
+    }
+    out
+  }
+
   /** Undo TIFF predictor 2 (horizontal differencing) in place: each sample
-    * is stored as the little-endian delta from its left neighbour, per row
-    * of `rowW` samples of `bytesPer` bytes. */
-  private def undoPredictor(raw: Array[Byte], rowW: Int, bytesPer: Int): Unit = {
+    * is stored as the delta from its left neighbour in the file's byte
+    * order, per row of `rowW` samples of `bytesPer` bytes. */
+  private def undoPredictor(raw: Array[Byte], rowW: Int, bytesPer: Int,
+      bigEndian: Boolean): Unit = {
     val rowBytes = rowW * bytesPer
     val rows = raw.length / rowBytes
+    def shiftOf(k: Int): Int = if (bigEndian) 8 * (bytesPer - 1 - k) else 8 * k
     var r = 0
     while (r < rows) {
       val base = r * rowBytes
@@ -105,14 +136,14 @@ object GeoTiff {
         var cur = 0L; var prev = 0L
         var k = 0
         while (k < bytesPer) {
-          cur |= (raw(base + x * bytesPer + k) & 0xffL) << (8 * k)
-          prev |= (raw(base + (x - 1) * bytesPer + k) & 0xffL) << (8 * k)
+          cur |= (raw(base + x * bytesPer + k) & 0xffL) << shiftOf(k)
+          prev |= (raw(base + (x - 1) * bytesPer + k) & 0xffL) << shiftOf(k)
           k += 1
         }
         val sum = cur + prev
         k = 0
         while (k < bytesPer) {
-          raw(base + x * bytesPer + k) = ((sum >> (8 * k)) & 0xff).toByte
+          raw(base + x * bytesPer + k) = ((sum >> shiftOf(k)) & 0xff).toByte
           k += 1
         }
         x += 1
@@ -281,29 +312,79 @@ object GeoTiff {
   case class Tiff(values: Array[Double], w: Int, h: Int, bbox: Bbox,
       epsg: Int, noData: Double, dtypeName: String = "float64")
 
+  /** TIFF field-type byte widths (TIFF 6.0 §2 + BigTIFF LONG8/SLONG8). */
+  private val TypeSizes = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 6 -> 1, 7 -> 1,
+    8 -> 2, 9 -> 4, 11 -> 4, 12 -> 8, 16 -> 8, 17 -> 8)
+
   def read(path: String): Tiff = {
     val bytes = Files.readAllBytes(Paths.get(path))
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    require(buf.getShort(0) == ('I' | ('I' << 8)).toShort || bytes(0) == 'I',
-      "not a little-endian TIFF")
-    val ifd = buf.getInt(4)
-    val n = buf.getShort(ifd).toInt
-    var tags = Map.empty[Int, (Int, Int, Int)] // tag -> (type, count, valueOrOffset)
+    require(bytes.length >= 8, "truncated TIFF header")
+    val bigEndian = bytes(0) == 'M' && bytes(1) == 'M'
+    require(bigEndian || (bytes(0) == 'I' && bytes(1) == 'I'),
+      "not a TIFF (bad byte-order mark)")
+    val buf = ByteBuffer.wrap(bytes)
+      .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val version = buf.getShort(2).toInt
+    // 42 = classic TIFF (4-byte offsets, 12-byte entries); 43 = BigTIFF
+    // (8-byte offsets, 20-byte entries) — same tag vocabulary
+    require(version == 42 || version == 43, s"not a TIFF (version $version)")
+    val big = version == 43
+    if (big) require(buf.getShort(4) == 8 && buf.getShort(6) == 0,
+      "malformed BigTIFF header")
+    // this reader materializes the file as one Array[Byte], so offsets
+    // beyond 2 GB are out of range even in BigTIFF (readAllBytes raises
+    // first); toInt below is safe under that ceiling
+    val ifd = if (big) buf.getLong(8).toInt else buf.getInt(4)
+    val n = if (big) buf.getLong(ifd).toInt else buf.getShort(ifd) & 0xffff
+    val entriesBase = ifd + (if (big) 8 else 2)
+    val inlineCap = if (big) 8 else 4
+    // tag -> (type, count, file offset of the value bytes): values at most
+    // inlineCap bytes live inside the entry's value field, larger ones
+    // behind the stored offset — resolving that here means every consumer
+    // below reads from a plain file offset
+    var tags = Map.empty[Int, (Int, Int, Int)]
     for (i <- 0 until n) {
-      val off = ifd + 2 + i * 12
+      val off = entriesBase + i * (if (big) 20 else 12)
       val tag = buf.getShort(off) & 0xffff
       val typ = buf.getShort(off + 2).toInt
-      val count = buf.getInt(off + 4)
-      val v = if (typ == 3 && count == 1) buf.getShort(off + 8).toInt else buf.getInt(off + 8)
-      tags += tag -> ((typ, count, v))
+      val count = (if (big) buf.getLong(off + 4) else buf.getInt(off + 4).toLong).toInt
+      val valueField = off + (if (big) 12 else 8)
+      val byteLen = TypeSizes.getOrElse(typ, 1).toLong * count
+      // structural bound: out-of-line value bytes live inside the file, so
+      // a count driving byteLen past the file size is corruption, not data
+      // (stops hostile 8-byte counts from sizing allocations)
+      require(count >= 0 && byteLen <= bytes.length,
+        s"corrupt TIFF: tag $tag count $count exceeds file size")
+      val valueOff =
+        if (byteLen <= inlineCap) valueField
+        else if (big) buf.getLong(valueField).toInt else buf.getInt(valueField)
+      require(valueOff >= 0 && valueOff + byteLen <= bytes.length,
+        s"corrupt TIFF: tag $tag value offset outside the file")
+      tags += tag -> ((typ, count, valueOff))
     }
-    val w = tags(256)._3; val h = tags(257)._3
-    val bits = tags(258)._3
-    val sampleFormat = tags.get(339).map(_._3).getOrElse(1)
-    val comp = tags.get(259).map(_._3).getOrElse(1)
-    require(comp == 1 || comp == 5 || comp == 8 || comp == 32946,
-      s"reader supports uncompressed, LZW, or deflate TIFF only (compression=$comp)")
-    val predictor = tags.get(317).map(_._3).getOrElse(1)
+    // typed scalar read from the resolved value offset
+    def scalar(tag: Int): Int = {
+      val (typ, _, off) = tags(tag)
+      typ match {
+        case 1      => bytes(off) & 0xff
+        case 3      => buf.getShort(off) & 0xffff
+        case 16     => buf.getLong(off).toInt
+        case _      => buf.getInt(off)
+      }
+    }
+    def scalarOpt(tag: Int): Option[Int] = tags.get(tag).map(_ => scalar(tag))
+    val w = scalar(256); val h = scalar(257)
+    // single-request materialization cap, same limit the engine's request
+    // guards enforce — and the backstop against hostile dimension tags
+    require(w > 0 && h > 0 && w.toLong * h <= RequestGuards.rasterLimitPixels,
+      s"TIFF of $w x $h pixels exceeds the in-memory limit of " +
+        s"${RequestGuards.rasterLimitPixels} pixels")
+    val bits = scalar(258)
+    val sampleFormat = scalarOpt(339).getOrElse(1)
+    val comp = scalarOpt(259).getOrElse(1)
+    require(comp == 1 || comp == 5 || comp == 8 || comp == 32946 || comp == 32773,
+      s"reader supports uncompressed, LZW, PackBits, or deflate TIFF only (compression=$comp)")
+    val predictor = scalarOpt(317).getOrElse(1)
     val dtypeName = SampleTypes.collectFirst {
       case (name, (b, f)) if b == bits && f == sampleFormat => name
     }.getOrElse(throw new IllegalArgumentException(
@@ -313,12 +394,17 @@ object GeoTiff {
     require(predictor == 1 || (predictor == 2 && sampleFormat != 3),
       s"unsupported TIFF predictor $predictor for sample format $sampleFormat")
     val bytesPer = bits / 8
-    // offsets/counts: scalar when count == 1, SHORT/LONG array otherwise
+    // offset/count arrays: SHORT, LONG, or (BigTIFF) LONG8 elements, read
+    // from the resolved value offset (inline and out-of-line look alike)
     def intsOf(tag: Int): Array[Int] = {
-      val (typ, count, v) = tags(tag)
-      if (count == 1) Array(v)
-      else Array.tabulate(count)(i =>
-        if (typ == 3) buf.getShort(v + i * 2) & 0xffff else buf.getInt(v + i * 4))
+      val (typ, count, off) = tags(tag)
+      Array.tabulate(count) { i =>
+        typ match {
+          case 3  => buf.getShort(off + i * 2) & 0xffff
+          case 16 => buf.getLong(off + i * 8).toInt
+          case _  => buf.getInt(off + i * 4)
+        }
+      }
     }
     val tiled = tags.contains(322)
     val decodeFrom: (ByteBuffer, Int) => Double = (bits, sampleFormat) match {
@@ -333,20 +419,24 @@ object GeoTiff {
     // one segment (strip or tile) as a decode-ready little-endian buffer;
     // `rowW` is the segment's row width in samples (predictor 2 is per-row)
     def segment(off: Int, count: Int, expected: Int, rowW: Int): ByteBuffer = {
+      require(off >= 0 && count >= 0 && off.toLong + count <= bytes.length,
+        s"corrupt TIFF: segment [$off, +$count) outside the file")
       val packed = java.util.Arrays.copyOfRange(bytes, off, off + count)
       val raw = comp match {
-        case 1 => packed
-        case 5 => lzwDecode(packed, expected)
-        case _ => inflate(packed, expected)
+        case 1     => packed
+        case 5     => lzwDecode(packed, expected)
+        case 32773 => packBitsDecode(packed, expected)
+        case _     => inflate(packed, expected)
       }
-      if (predictor == 2) undoPredictor(raw, rowW, bytesPer)
-      ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      if (predictor == 2) undoPredictor(raw, rowW, bytesPer, bigEndian)
+      ByteBuffer.wrap(raw)
+        .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     }
     val values = new Array[Double](w * h)
     if (!tiled) {
       val stripOffs = intsOf(273)
       val stripCnts = intsOf(279)
-      val rps = tags.get(278).map(_._3).getOrElse(h)
+      val rps = scalarOpt(278).getOrElse(h)
       var strip = 0
       while (strip * rps < h) {
         val rows = math.min(rps, h - strip * rps)
@@ -363,7 +453,7 @@ object GeoTiff {
         strip += 1
       }
     } else {
-      val tw = tags(322)._3; val th = tags(323)._3
+      val tw = scalar(322); val th = scalar(323)
       val tileOffs = intsOf(324)
       val tileCnts = intsOf(325)
       val tAcross = (w + tw - 1) / tw

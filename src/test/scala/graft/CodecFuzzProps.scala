@@ -65,6 +65,11 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
     try in.readAllBytes() finally in.close()
   }
 
+  private lazy val tifPackBits: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/packbits_uint8.tif")
+    try in.readAllBytes() finally in.close()
+  }
+
   // ------------------------------------------------------------ harness
 
   /** Run `f` on a daemon thread: pass when it returns or throws any
@@ -173,6 +178,27 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
     Prop.forAll(mutationGen(tifLzw.length)) { case (kind, pos, value) =>
       val bad = writeTmp("bad_lzw.tif", mutate(tifLzw, kind, pos, value))
       cleanOrFails(s"tif-lzw k=$kind p=$pos v=$value") {
+        GeoTiff.read(bad)
+      }
+    }
+
+  property("geotiff read survives corrupt PackBits file bytes") =
+    Prop.forAll(mutationGen(tifPackBits.length)) { case (kind, pos, value) =>
+      val bad = writeTmp("bad_packbits.tif", mutate(tifPackBits, kind, pos, value))
+      cleanOrFails(s"tif-packbits k=$kind p=$pos v=$value") {
+        GeoTiff.read(bad)
+      }
+    }
+
+  private lazy val tifBigBe: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/bigtiff_be_u16.tif")
+    try in.readAllBytes() finally in.close()
+  }
+
+  property("geotiff read survives corrupt BigTIFF bytes") =
+    Prop.forAll(mutationGen(tifBigBe.length)) { case (kind, pos, value) =>
+      val bad = writeTmp("bad_bigtiff.tif", mutate(tifBigBe, kind, pos, value))
+      cleanOrFails(s"tif-bigtiff k=$kind p=$pos v=$value") {
         GeoTiff.read(bad)
       }
     }

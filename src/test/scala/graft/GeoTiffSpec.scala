@@ -17,6 +17,53 @@ class GeoTiffSpec extends SparkSpec {
     assert(t.epsg == 28992 && t.noData == -9999.0)
   }
 
+  test("BigTIFF and big-endian fixtures decode exactly (independent encoder)") {
+    // fixtures from tools/make_bigtiff_fixture.py — BigTIFF (version 43,
+    // 20-byte entries, LONG8 offset arrays) and MM-order classic TIFF
+    // written from the published specs independently of this reader
+    val f64 = GeoTiff.read(getClass.getResource("/bigtiff_le_f64.tif").getPath)
+    assert(f64.w == 40 && f64.h == 30 && f64.dtypeName == "float64")
+    assert((0 until 30).forall(y => (0 until 40).forall(x =>
+      f64.values(y * 40 + x) == x * 1.5 - y * 0.75)))
+    assert(f64.epsg == 28992)
+
+    // big-endian BigTIFF: multi-byte sample decode + predictor 2 in BE
+    val u16 = GeoTiff.read(getClass.getResource("/bigtiff_be_u16.tif").getPath)
+    assert(u16.w == 48 && u16.h == 32 && u16.dtypeName == "uint16")
+    assert((0 until 32).forall(y => (0 until 48).forall(x =>
+      u16.values(y * 48 + x) == ((x * 523 + y * 7817) % 65521).toDouble)))
+
+    // big-endian classic with a 2-byte INLINE ASCII GDAL_NODATA — the
+    // inline-vs-offset value resolution edge
+    val u8 = GeoTiff.read(getClass.getResource("/classic_be_u8.tif").getPath)
+    assert(u8.w == 60 && u8.h == 25 && u8.dtypeName == "uint8")
+    assert(u8.noData == 7.0)
+    assert((0 until 25).forall(y => (0 until 60).forall(x =>
+      u8.values(y * 60 + x) == ((x * 11 + y * 29) % 251).toDouble)))
+    assert(u8.bbox == Bbox(135000.0, 456000.0 - 25 * 0.5, 135000.0 + 60 * 0.5, 456000.0))
+  }
+
+  test("GeoTIFF PackBits fixtures decode byte-exactly (independent encoder)") {
+    // fixtures from tools/make_packbits_fixture.py — a spec-derived TIFF
+    // PackBits encoder (literal/repeat runs, per-row packing, 128-byte run
+    // cap) written independently of the Scala decoder; both meet only at
+    // TIFF 6.0 §9
+    val u8 = GeoTiff.read(getClass.getResource("/packbits_uint8.tif").getPath)
+    assert(u8.w == 200 && u8.h == 60 && u8.epsg == 28992)
+    assert(u8.dtypeName == "uint8")
+    assert((0 until 60).forall(y => (0 until 200).forall { x =>
+      val v = (x / 40) * 50 + (if ((x * 31 + y * 17) % 23 == 0) 7 else 0)
+      u8.values(y * 200 + x) == v.toDouble
+    }))
+
+    val f64 = GeoTiff.read(getClass.getResource("/packbits_f64.tif").getPath)
+    assert(f64.w == 50 && f64.h == 40 && f64.dtypeName == "float64")
+    assert((0 until 40).forall(y => (0 until 50).forall { x =>
+      f64.values(y * 50 + x) == x * 0.25 - y * 2.0 + (if (x == y) 1.0 else 0.0)
+    }))
+    assert(f64.bbox == Bbox(135000.0, 456000.0 - 40 * 0.5, 135000.0 + 50 * 0.5, 456000.0))
+  }
+
   test("GeoTIFF LZW fixtures decode bit-exactly (independent encoder)") {
     // fixtures from tools/make_lzw_fixture.py — a spec-derived TIFF-LZW
     // encoder (MSB-first, early change, predictor 2) written independently
