@@ -115,27 +115,39 @@ object Gml {
       new Coordinate(pair.substring(0, comma).toDouble, pair.substring(comma + 1).toDouble)
     }
 
-  /** Read the text content of the current element's gml:coordinates child
-    * (reader positioned ON the geometry start element whose coordinates we
-    * want, e.g. Point/LineString/LinearRing). Leaves the reader on that
-    * element's end tag. */
+  /** GML 3 coordinate text: whitespace-separated "x y x y …". */
+  private def parsePosList(text: String): Array[Coordinate] = {
+    val nums = text.trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+    require(nums.length % 2 == 0, "odd number of ordinates in gml:posList")
+    Array.tabulate(nums.length / 2)(i => new Coordinate(nums(2 * i), nums(2 * i + 1)))
+  }
+
+  /** Read the coordinate content of the geometry element the reader is
+    * positioned on (Point/LineString/LinearRing): GML 2 `gml:coordinates`
+    * ("x,y x,y") or GML 3 `gml:posList`/`gml:pos` ("x y …", `pos` possibly
+    * repeated). Leaves the reader on that element's end tag. */
   private def readCoordinatesChild(r: XMLStreamReader): Array[Coordinate] = {
-    var result: Array[Coordinate] = null
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
     var depth = 1
     while (depth > 0) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           depth += 1
-          if (localName(r) == "coordinates") {
-            result = parseCoordinates(r.getElementText) // consumes the end tag
-            depth -= 1
+          localName(r) match {
+            case "coordinates" =>
+              acc ++= parseCoordinates(r.getElementText) // consumes the end tag
+              depth -= 1
+            case "posList" | "pos" =>
+              acc ++= parsePosList(r.getElementText)
+              depth -= 1
+            case _ =>
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
         case _ =>
       }
     }
-    require(result != null, "geometry element without gml:coordinates")
-    result
+    require(acc.nonEmpty, "geometry element without coordinates/posList")
+    acc.toArray
   }
 
   /** Parse the GML geometry element the reader is positioned on. Leaves the
@@ -165,8 +177,15 @@ object Gml {
         }
       }
       geomFactory.createPolygon(outer, inner.toArray)
-    case "MultiPoint" | "MultiLineString" | "MultiPolygon" | "MultiGeometry" =>
-      val kind = localName(r)
+    case "MultiPoint" | "MultiLineString" | "MultiPolygon" | "MultiGeometry" |
+         "MultiSurface" | "MultiCurve" =>
+      // GML 3 aliases: MultiSurface ≡ MultiPolygon, MultiCurve ≡
+      // MultiLineString (their *Member wrappers fall through generically)
+      val kind = localName(r) match {
+        case "MultiSurface" => "MultiPolygon"
+        case "MultiCurve"   => "MultiLineString"
+        case k              => k
+      }
       val parts = scala.collection.mutable.ArrayBuffer.empty[Geometry]
       var depth = 1
       while (depth > 0) {

@@ -13,8 +13,9 @@ import org.apache.spark.sql.SparkSession
   * six sample types (float64/float32, int16/int32, uint8/uint16),
   * ModelPixelScale/ModelTiepoint + GeoKey EPSG tagging and the GDAL_NODATA
   * convention — the subset the reference's RasterFileSource/Sink actually
-  * exercises (raster/sources.py:396-564, sinks.py:18-141). The
-  * floating-point predictor remains out of scope (documented, not faked). The layout follows TIFF 6.0 + the GeoTIFF 1.1 spec
+  * exercises (raster/sources.py:396-564, sinks.py:18-141). All three TIFF
+  * predictors decode (none / horizontal / floating-point).
+  * The layout follows TIFF 6.0 + the GeoTIFF 1.1 spec
   * (ascending IFD tags, correct field types, out-of-line offset/byte-count
   * arrays). Write paths round-trip through this reader; the LZW read path
   * is additionally pinned by fixtures from an independent spec-derived
@@ -116,6 +117,41 @@ object GeoTiff {
         java.util.Arrays.fill(out, o, o + cnt, packed(i))
         i += 1; o += cnt
       }
+    }
+    out
+  }
+
+  /** Undo TIFF predictor 3 (floating-point, TechNote 3): each row's sample
+    * bytes are stored as byte planes, most-significant plane first, then
+    * byte-wise horizontally differenced. Reverse: accumulate the byte
+    * deltas across the row, then de-interleave plane p into sample byte
+    * position p counted from the MSB (so LSB-first for little-endian
+    * files, as libtiff's fpAcc does). Returns a new array in the file's
+    * byte order, ready for the sample ByteBuffer. */
+  private def undoFloatPredictor(raw: Array[Byte], rowW: Int, bytesPer: Int,
+      bigEndian: Boolean): Array[Byte] = {
+    val rowBytes = rowW * bytesPer
+    val rows = raw.length / rowBytes
+    val out = new Array[Byte](raw.length)
+    var r = 0
+    while (r < rows) {
+      val base = r * rowBytes
+      var i = 1
+      while (i < rowBytes) {
+        raw(base + i) = (raw(base + i) + raw(base + i - 1)).toByte
+        i += 1
+      }
+      var p = 0
+      while (p < bytesPer) { // plane 0 holds every sample's MSB
+        val byteIdx = if (bigEndian) p else bytesPer - 1 - p
+        var x = 0
+        while (x < rowW) {
+          out(base + x * bytesPer + byteIdx) = raw(base + p * rowW + x)
+          x += 1
+        }
+        p += 1
+      }
+      r += 1
     }
     out
   }
@@ -389,9 +425,10 @@ object GeoTiff {
       case (name, (b, f)) if b == bits && f == sampleFormat => name
     }.getOrElse(throw new IllegalArgumentException(
       s"unsupported sample type bits=$bits format=$sampleFormat"))
-    // predictor 2 (horizontal differencing) is defined on integer samples;
-    // 3 (floating-point) stays out of scope like PackBits/BigTIFF
-    require(predictor == 1 || (predictor == 2 && sampleFormat != 3),
+    // predictor 2 (horizontal differencing) is defined on integer samples,
+    // 3 (floating-point byte-plane differencing) on float samples
+    require(predictor == 1 || (predictor == 2 && sampleFormat != 3) ||
+      (predictor == 3 && sampleFormat == 3),
       s"unsupported TIFF predictor $predictor for sample format $sampleFormat")
     val bytesPer = bits / 8
     // offset/count arrays: SHORT, LONG, or (BigTIFF) LONG8 elements, read
@@ -429,7 +466,10 @@ object GeoTiff {
         case _     => inflate(packed, expected)
       }
       if (predictor == 2) undoPredictor(raw, rowW, bytesPer, bigEndian)
-      ByteBuffer.wrap(raw)
+      val decoded =
+        if (predictor == 3) undoFloatPredictor(raw, rowW, bytesPer, bigEndian)
+        else raw
+      ByteBuffer.wrap(decoded)
         .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     }
     val values = new Array[Double](w * h)

@@ -43,6 +43,20 @@ class GeoTiffSpec extends SparkSpec {
     assert(u8.bbox == Bbox(135000.0, 456000.0 - 25 * 0.5, 135000.0 + 60 * 0.5, 456000.0))
   }
 
+  test("floating-point predictor (3) fixtures decode bit-exactly") {
+    // TechNote 3 byte-plane differencing, fixtures from
+    // tools/make_bigtiff_fixture.py (independent spec-derived encoder)
+    val f32 = GeoTiff.read(getClass.getResource("/fp_pred_f32.tif").getPath)
+    assert(f32.w == 64 && f32.h == 20 && f32.dtypeName == "float32")
+    assert((0 until 20).forall(y => (0 until 64).forall(x =>
+      f32.values(y * 64 + x) == (x * 0.25f - y * 8.5f).toDouble)))
+
+    val f64 = GeoTiff.read(getClass.getResource("/fp_pred_f64.tif").getPath)
+    assert(f64.w == 30 && f64.h == 22 && f64.dtypeName == "float64")
+    assert((0 until 22).forall(y => (0 until 30).forall(x =>
+      f64.values(y * 30 + x) == x * 1.125 + y * 0.0625 - 100.0)))
+  }
+
   test("GeoTIFF PackBits fixtures decode byte-exactly (independent encoder)") {
     // fixtures from tools/make_packbits_fixture.py — a spec-derived TIFF
     // PackBits encoder (literal/repeat runs, per-row packing, 128-byte run

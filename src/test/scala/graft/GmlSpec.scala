@@ -33,6 +33,31 @@ class GmlSpec extends SparkSpec {
     roundTripGeom("POINT (1.0000000000000002 -9.87654321e-7)")
   }
 
+  test("GML 3 encodings parse: posList, pos, exterior/interior, MultiSurface") {
+    // hand-written GML 3 fragment, as produced by modern OGR/GeoServer
+    val member =
+      """<gml:featureMember><ogr:t fid="t.9"><ogr:geometryProperty>
+        |<gml:MultiSurface><gml:surfaceMember>
+        |  <gml:Polygon>
+        |    <gml:exterior><gml:LinearRing><gml:posList>0 0 10 0 10 10 0 10 0 0</gml:posList></gml:LinearRing></gml:exterior>
+        |    <gml:interior><gml:LinearRing><gml:posList>2 2 4 2 4 4 2 4 2 2</gml:posList></gml:LinearRing></gml:interior>
+        |  </gml:Polygon>
+        |</gml:surfaceMember></gml:MultiSurface>
+        |</ogr:geometryProperty></ogr:t></gml:featureMember>""".stripMargin
+    val f = Gml.parseFeatureMember(member)
+    assert(f.fid == 9L)
+    assert(GeomFunctions.readWkb(f.wkb).equalsExact(GeomFunctions.readWkt(
+      "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2)))")))
+
+    // a gml:Point with gml:pos and a LineString assembled from repeated pos
+    val pt = Gml.parseFeatureMember(
+      """<gml:featureMember><ogr:t fid="t.3"><ogr:geometryProperty><gml:Point><gml:pos>1.5 -2.5</gml:pos></gml:Point></ogr:geometryProperty></ogr:t></gml:featureMember>""")
+    assert(GeomFunctions.readWkb(pt.wkb).equalsExact(GeomFunctions.readWkt("POINT (1.5 -2.5)")))
+    val ls = Gml.parseFeatureMember(
+      """<gml:featureMember><ogr:t fid="t.4"><ogr:geometryProperty><gml:LineString><gml:pos>0 0</gml:pos><gml:pos>3 4</gml:pos></gml:LineString></ogr:geometryProperty></ogr:t></gml:featureMember>""")
+    assert(GeomFunctions.readWkb(ls.wkb).equalsExact(GeomFunctions.readWkt("LINESTRING (0 0, 3 4)")))
+  }
+
   test("sink writes a document + xsd the source round-trips exactly") {
     val dir = java.nio.file.Files.createTempDirectory("gml_sink")
     val out = dir.resolve("export.gml").toString

@@ -18,6 +18,20 @@ import zlib
 outdir = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources"
 
 
+def fpdiff(row: bytes, bytes_per: int) -> bytes:
+    """Predictor 3 (TechNote 3): split the row into byte planes (MSB plane
+    first), then byte-wise horizontal differencing over the planar row."""
+    n = len(row) // bytes_per
+    planes = bytearray(len(row))
+    for x in range(n):
+        for k in range(bytes_per):  # k counts from the LSB of an LE sample
+            planes[(bytes_per - 1 - k) * n + x] = row[x * bytes_per + k]
+    out = bytearray(planes)
+    for i in range(len(out) - 1, 0, -1):
+        out[i] = (out[i] - out[i - 1]) & 0xFF
+    return bytes(out)
+
+
 def hdiff(row: bytes, bytes_per: int, e: str) -> bytes:
     n = len(row) // bytes_per
     order = "little" if e == "<" else "big"
@@ -53,7 +67,13 @@ def write_tiff(path, w, h, bits, sample_format, pixels, rows_per_strip,
         raw = bytearray()
         for r in range(rows):
             row = b"".join(pack(pixels(x, y + r)) for x in range(w))
-            raw += hdiff(row, bytes_per, e) if predictor == 2 else row
+            if predictor == 2:
+                raw += hdiff(row, bytes_per, e)
+            elif predictor == 3:
+                assert e == "<", "fp predictor fixture is little-endian"
+                raw += fpdiff(row, bytes_per)
+            else:
+                raw += row
         strips.append(zlib.compress(bytes(raw)) if compression == 8 else bytes(raw))
         y += rows
 
@@ -163,3 +183,15 @@ write_tiff(os.path.join(outdir, "bigtiff_be_u16.tif"), 48, 32, 16, 1,
 write_tiff(os.path.join(outdir, "classic_be_u8.tif"), 60, 25, 8, 1,
            lambda x, y: (x * 11 + y * 29) % 251, 8, endian=">",
            nodata="7")
+
+# classic LE float32, floating-point predictor (3) + DEFLATE — the byte
+# planes make smooth float gradients compressible; values chosen to be
+# exactly float32-representable so the formula pins them bit-for-bit
+write_tiff(os.path.join(outdir, "fp_pred_f32.tif"), 64, 20, 32, 3,
+           lambda x, y: x * 0.25 - y * 8.5, 8, endian="<",
+           compression=8, predictor=3)
+
+# classic LE float64, predictor 3, multi-strip
+write_tiff(os.path.join(outdir, "fp_pred_f64.tif"), 30, 22, 64, 3,
+           lambda x, y: x * 1.125 + y * 0.0625 - 100.0, 6, endian="<",
+           compression=8, predictor=3)
