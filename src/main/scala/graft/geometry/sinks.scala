@@ -13,9 +13,30 @@ import org.apache.spark.sql.functions._
   */
 case class GeometryFileSink(source: GeometryBlock, url: String,
     format: String = "geoparquet", fields: Option[Seq[String]] = None) {
-  require(Set("geoparquet", "geojson").contains(format), s"unsupported format $format")
+  require(Set("geoparquet", "geojson", "shp", "gpkg", "gml").contains(format),
+    s"unsupported format $format")
 
   def write(req: GeometryRequest)(implicit spark: SparkSession): String = {
+    // single-file OGR-style formats follow the reference's tile contract:
+    // one <requesthash>.<ext> file per request into the directory, merged
+    // later by mergeFiles (sinks.py:116-169)
+    if (Set("shp", "gpkg", "gml").contains(format)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(url))
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(req.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      val out = s"$url/$hash.$format"
+      val src = fields match {
+        case Some(cols) => ProjectedGeometryBlock(source, cols.toSet + "geometry")
+        case None       => source
+      }
+      format match {
+        case "shp"  => ShapefileSink.write(src, out, req)
+        case "gpkg" => GeoPackageSink.write(src, out, req)
+        case _      => GmlSink.write(src, out, req)
+      }
+      return out
+    }
     val df = source.frame(req)
     val cols = fields.getOrElse(df.columns.toSeq.filterNot(_ == "geometry"))
     val out = df.select(
@@ -37,6 +58,55 @@ case class GeometryFileSink(source: GeometryBlock, url: String,
           .write.mode(SaveMode.Overwrite).text(url)
     }
     url
+  }
+}
+
+/** Driver-side adapter handing a pre-built frame to the single-file sinks
+  * (mergeFiles only; the frame rides outside the product so token/serde
+  * see just the schema). */
+case class MergedFrameBlock(cols: Set[String], proj: String)(
+    @transient val df: DataFrame) extends GeometryBlock {
+  override def columns: Set[String] = cols
+  override def projection: String = proj
+  override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = df
+}
+
+/** Column-projected view of a block (the sink's `fields` subset). */
+case class ProjectedGeometryBlock(source: GeometryBlock, keep: Set[String])
+    extends GeometryBlock {
+  override def columns: Set[String] = source.columns intersect keep
+  override def projection: String = source.projection
+  override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
+    val df = source.frame(req)
+    val cols = df.columns.filter(c => c == "fid" || keep.contains(c))
+    df.select(cols.map(col).toIndexedSeq: _*)
+  }
+}
+
+object GeometryFileSink {
+  /** Merge the per-request tile files this sink wrote into one file, like
+    * the reference's `GeometryFileSink.merge_files` (sinks.py:172-216):
+    * every `.<ext>` file under `path` is read back through the codec and
+    * appended into `target`; optionally removes the sources. */
+  def mergeFiles(path: String, target: String, removeSource: Boolean = false)
+      (implicit spark: SparkSession): String = {
+    val ext = target.substring(target.lastIndexOf('.') + 1).toLowerCase
+    val parts = Option(new java.io.File(path).listFiles).toSeq.flatten
+      .filter(_.getName.toLowerCase.endsWith("." + ext)).sortBy(_.getName)
+    require(parts.nonEmpty, s"no .$ext files under $path to merge")
+    val sources = parts.map(f => GeometryFileSource(f.getAbsolutePath))
+    val frames = sources.map(_.frame(GeometryRequest()))
+    val merged = frames.reduce(_ unionByName _)
+    val block = MergedFrameBlock(sources.head.columns, sources.head.projection)(merged)
+    ext match {
+      case "shp"  => ShapefileSink.write(block, target, GeometryRequest())
+      case "gpkg" => GeoPackageSink.write(block, target, GeometryRequest())
+      case "gml"  => GmlSink.write(block, target, GeometryRequest())
+      case other  => throw new IllegalArgumentException(
+        s"mergeFiles supports shp/gpkg/gml targets, not .$other")
+    }
+    if (removeSource) parts.foreach(_.delete())
+    target
   }
 }
 

@@ -99,6 +99,11 @@ class WmsServer(spark: SparkSession, port: Int = 0,
             ex.getResponseHeaders.set("Content-Type", ctype)
             ex.sendResponseHeaders(200, body.length)
             ex.getResponseBody.write(body)
+          } else if (params.get("request").exists(_.equalsIgnoreCase("GetLegendGraphic"))) {
+            val png = legendGraphic(params)
+            ex.getResponseHeaders.set("Content-Type", "image/png")
+            ex.sendResponseHeaders(200, png.length)
+            ex.getResponseBody.write(png)
           } else {
             val png = render(params)
             ex.getResponseHeaders.set("Content-Type", "image/png")
@@ -178,6 +183,9 @@ class WmsServer(spark: SparkSession, port: Int = 0,
        |        <Format>application/json</Format>
        |        <Format>text/plain</Format>
        |      </GetFeatureInfo>
+       |      <GetLegendGraphic>
+       |        <Format>image/png</Format>
+       |      </GetLegendGraphic>
        |    </Request>
        |    <Layer>
        |      <Title>dynamic</Title>
@@ -233,6 +241,30 @@ class WmsServer(spark: SparkSession, port: Int = 0,
           at.map(t => ",\"time\":\"" + t + "\"").getOrElse("") + "}"
         ("application/json", json.getBytes("UTF-8"))
     }
+  }
+
+  /** WMS GetLegendGraphic: a vertical color-ramp bar for the requested
+    * style (top = max). Pure ramp evaluation — no view needed. */
+  private[service] def legendGraphic(params: Map[String, String]): Array[Byte] = {
+    val style = params.getOrElse("styles", params.getOrElse("style", "gray")) match {
+      case "" => "gray"
+      case s  => s
+    }
+    val w = params.getOrElse("width", "20").toInt
+    val h = params.getOrElse("height", "200").toInt
+    require(w > 0 && h > 0 && w <= 2048 && h <= 2048, s"legend size ${w}x$h out of range")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    var y = 0
+    while (y < h) {
+      val t = if (h == 1) 1.0 else 1.0 - y.toDouble / (h - 1) // row 0 = max
+      val argb = WmsServer.rampColor(style, t)
+      var x = 0
+      while (x < w) { img.setRGB(x, y, argb); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   private[service] def render(params: Map[String, String]): Array[Byte] = {

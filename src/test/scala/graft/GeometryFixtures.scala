@@ -18,6 +18,10 @@ case class SeqGeometrySource(
     var df = rows.toDF("fid", "wkt", "value", "name")
       .select(col("fid"), GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"),
         col("value"), col("name"))
+    req.geometryWkt.foreach { wkt =>
+      df = df.filter(GeomFunctions.stFilter(col("geometry"), lit(wkt),
+        lit(if (req.mode == "centroid") "centroid" else "intersects")))
+    }
     req.filters.foreach { case (k, v) => df = df.filter(col(k) === lit(v)) }
     req.limit.foreach(n => df = df.limit(n))
     df

@@ -75,6 +75,33 @@ class SinksSpec extends SparkSpec {
     assert(df.columns.toSet.intersect(Set("fid", "geometry", "value", "name")).size == 4)
   }
 
+  test("single-file formats write per-request tiles; mergeFiles combines them") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("sink_tiles").toString
+    val sink = GeometryFileSink(GeometryFixtures.features, dir, "gpkg")
+    // two disjoint tile requests, like the reference's GeometryTiler issues
+    val left = sink.write(GeometryRequest(mode = "centroid",
+      geometryWkt = Some(GeometryFixtures.square(134999, 455997, 135000.9, 456001))))
+    val right = sink.write(GeometryRequest(mode = "centroid",
+      geometryWkt = Some(GeometryFixtures.square(135000.9, 455997, 135004, 456001))))
+    assert(left != right && left.endsWith(".gpkg") && right.endsWith(".gpkg"))
+    assert(GeometryFileSource(left).frame(GeometryRequest()).count() +
+      GeometryFileSource(right).frame(GeometryRequest()).count() == 3)
+
+    val merged = GeometryFileSink.mergeFiles(dir,
+      Files.createTempDirectory("sink_merge").resolve("all.gpkg").toString)
+    val df = GeometryFileSource(merged).frame(GeometryRequest())
+    assert(df.count() == 3)
+    assert(df.filter(col("name") === "b").count() == 1)
+
+    // fields subset projects attribute columns through single-file formats
+    val fdir = Files.createTempDirectory("sink_fields").toString
+    val out = GeometryFileSink(GeometryFixtures.features, fdir, "gml",
+      fields = Some(Seq("name"))).write(GeometryRequest())
+    val cols = GeometryFileSource(out).columns
+    assert(cols == Set("name", "geometry"), cols.toString)
+  }
+
   test("construct_multiple rebuilds shared endpoints") {
     import graft.core.BlockRegistry
     val shared = Multiply(source, 2)

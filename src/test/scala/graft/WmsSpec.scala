@@ -119,6 +119,28 @@ class WmsSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("GetLegendGraphic renders the style ramp") {
+    val server = new WmsServer(spark).start()
+    try {
+      val conn = new URL(s"http://127.0.0.1:${server.boundPort}/wms" +
+        "?request=GetLegendGraphic&styles=viridis&width=10&height=100")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType == "image/png")
+      val img = javax.imageio.ImageIO.read(conn.getInputStream)
+      assert(img.getWidth == 10 && img.getHeight == 100)
+      // top row = ramp(1.0), bottom row = ramp(0.0), middle in between
+      assert(img.getRGB(5, 0) == WmsServer.rampColor("viridis", 1.0))
+      assert(img.getRGB(5, 99) == WmsServer.rampColor("viridis", 0.0))
+      assert(img.getRGB(5, 0) != img.getRGB(5, 99))
+      // unknown style → clean 400
+      val bad = new URL(s"http://127.0.0.1:${server.boundPort}/wms" +
+        "?request=GetLegendGraphic&styles=nope")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(bad.getResponseCode == 400)
+    } finally server.stop()
+  }
+
   test("views naming paths outside the data roots are refused") {
     val server = new WmsServer(spark, dataRoots = Seq("/root/testdata")).start()
     try {
