@@ -149,6 +149,10 @@ class WmsServer(spark: SparkSession, port: Int = 0,
         case g: graft.geometry.GeoParquetSource    => check(g.url)
         case g: graft.geometry.GeoJsonSource       => check(g.url)
         case t: graft.geometry.TableGeometrySource => check(t.path)
+        case s: graft.geometry.ShapefileSource     => check(s.url)
+        case s: graft.geometry.GeoPackageSource    => check(s.url)
+        case s: graft.geometry.GmlSource           => check(s.url)
+        case s: graft.geometry.GeometryFileSource  => check(s.url)
         case _                                     =>
       }
       b.children.foreach(walk)

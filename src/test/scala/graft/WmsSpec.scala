@@ -154,6 +154,25 @@ class WmsSpec extends SparkSpec {
       val msg = new String(conn.getErrorStream.readAllBytes(), "UTF-8")
       assert(msg.contains("outside the configured data roots"))
 
+      // every file-source family is walked, including the single-file
+      // geometry codecs (a .gpkg/.shp/.gml url must not bypass confinement)
+      for (bad <- Seq[graft.geometry.GeometryBlock](
+        graft.geometry.ShapefileSource("/etc/secrets.shp"),
+        graft.geometry.GeoPackageSource("/etc/secrets.gpkg"),
+        graft.geometry.GmlSource("/etc/secrets.gml"),
+        graft.geometry.GeometryFileSource("/etc/secrets.gpkg"))) {
+        // Rasterize makes the geometry source a child of a raster view, so
+        // the path walk must descend into it before any evaluation
+        val zl = URLEncoder.encode(graft.raster.Rasterize(bad).toJson, "UTF-8")
+        val c = new URL(s"http://127.0.0.1:${server.boundPort}/wms?layers=$zl" +
+          "&bbox=0,0,4,4&width=4&height=4&time=1970-01-01T00:00:00Z")
+          .openConnection().asInstanceOf[HttpURLConnection]
+        assert(c.getResponseCode == 400, bad.getClass.getSimpleName)
+        val m = new String(c.getErrorStream.readAllBytes(), "UTF-8")
+        assert(m.contains("outside the configured data roots"),
+          s"${bad.getClass.getSimpleName}: $m")
+      }
+
       // an allowed path still renders
       val g = QueryLib.eventsGrid(spark, "/root/testdata/sf0.001")
       val ok = QueryLib.eventsRaster("/root/testdata/sf0.001", g)
