@@ -38,7 +38,12 @@ object Sqlite {
       val bb = ByteBuffer.wrap(head).order(ByteOrder.BIG_ENDIAN)
       val ps0 = bb.getShort(16) & 0xffff
       val pageSize = if (ps0 == 1) 65536 else ps0
+      // spec: power of two in [512, 65536] — a corrupt size would let the
+      // overflow-chain reader loop without progress or missize every page
+      require(pageSize >= 512 && (pageSize & (pageSize - 1)) == 0,
+        s"corrupt SQLite header: page size $pageSize")
       val reserved = head(20) & 0xff
+      require(reserved < pageSize - 64, s"corrupt SQLite header: reserved $reserved")
       DbInfo(pageSize, pageSize - reserved, bb.getInt(56))
     } finally raf.close()
   }
@@ -69,7 +74,11 @@ object Sqlite {
     val raf = new RandomAccessFile(path, "r")
     try {
       val out = Seq.newBuilder[Int]
+      // a corrupt b-tree can cycle or point at itself; a page is visited
+      // at most once in a well-formed tree, so repeats are corruption
+      val seen = scala.collection.mutable.HashSet.empty[Int]
       def walk(page: Int): Unit = {
+        require(seen.add(page), s"corrupt SQLite b-tree: page $page revisited")
         val buf = readPage(raf, info, page)
         val hdr = if (page == 1) 100 else 0
         (buf(hdr) & 0xff) match {
@@ -107,6 +116,10 @@ object Sqlite {
       var off = cellOff
       val (payloadLen, n1) = varint(buf, off); off += n1
       val (rowid, n2) = varint(buf, off); off += n2
+      // structural bound: a record payload cannot exceed the database file
+      // (stops a corrupt varint from sizing a multi-GB allocation)
+      require(payloadLen >= 0 && payloadLen <= raf.length(),
+        s"corrupt SQLite cell: payload length $payloadLen")
       val u = info.usableSize
       val x = u - 35
       val payload =
@@ -168,11 +181,17 @@ object Sqlite {
         case 9 => java.lang.Long.valueOf(1L)
         case n if n >= 12 && n % 2 == 0 =>
           val len = ((n - 12) / 2).toInt
+          // bound BEFORE allocating: a corrupt serial type must not size
+          // a multi-GB array that the copy would only then reject
+          require(len >= 0 && off + len <= p.length,
+            s"corrupt SQLite record: blob of $len bytes past payload end")
           val v = new Array[Byte](len)
           System.arraycopy(p, off, v, 0, len); off += len
           v
         case n if n >= 13 =>
           val len = ((n - 13) / 2).toInt
+          require(len >= 0 && off + len <= p.length,
+            s"corrupt SQLite record: text of $len bytes past payload end")
           val v = new String(p, off, len, StandardCharsets.UTF_8)
           off += len
           v

@@ -53,6 +53,12 @@ object Shapefile {
       val numRecords = bb.getInt(4)
       val headerSize = bb.getShort(8) & 0xffff
       val recordSize = bb.getShort(10) & 0xffff
+      // structural bound: the declared record region must fit the file, so
+      // a corrupt count can never size readRange's allocations
+      require(numRecords >= 0 && headerSize >= 32 &&
+        headerSize.toLong + numRecords.toLong * recordSize <= raf.length(),
+        s"corrupt DBF header: $numRecords records of $recordSize bytes " +
+          s"do not fit ${raf.length()} file bytes")
       val nFields = (headerSize - 33) / 32
       val fdBytes = new Array[Byte](32 * nFields)
       raf.readFully(fdBytes)
@@ -124,12 +130,18 @@ object Shapefile {
       case 8 | 18 | 28 =>
         buf.position(buf.position() + 32) // bbox
         val n = buf.getInt
+        // counts must fit the record's remaining bytes BEFORE allocating
+        require(n >= 0 && n.toLong * 16 <= buf.remaining(),
+          s"corrupt shape record: $n points in ${buf.remaining()} bytes")
         val pts = Array.fill(n)(new Coordinate(buf.getDouble, buf.getDouble))
         factory.createMultiPointFromCoords(pts)
       case 3 | 13 | 23 | 5 | 15 | 25 =>
         buf.position(buf.position() + 32) // bbox
         val nParts = buf.getInt
         val nPoints = buf.getInt
+        require(nParts >= 0 && nPoints >= 0 &&
+          4L * nParts + 16L * nPoints <= buf.remaining(),
+          s"corrupt shape record: $nParts parts/$nPoints points in ${buf.remaining()} bytes")
         val parts = Array.fill(nParts)(buf.getInt)
         val xs = new Array[Double](nPoints)
         val ys = new Array[Double](nPoints)
@@ -261,6 +273,8 @@ object Shapefile {
     // .shx slice -> (offsetWords, lengthWords) per record
     val shx = new RandomAccessFile(base + ".shx", "r")
     val idx = try {
+      require(100L + 8L * hi <= shx.length(),
+        s"corrupt shapefile index: record $hi past ${shx.length()} .shx bytes")
       val raw = new Array[Byte](8 * n)
       shx.seek(100L + 8L * lo)
       shx.readFully(raw)
@@ -273,6 +287,10 @@ object Shapefile {
     val spanEnd = 2L * idx.last._1 + 8L + 2L * idx.last._2
     val shp = new RandomAccessFile(shpPath, "r")
     val span = try {
+      // index words are untrusted: the span they describe must lie inside
+      // the .shp file before it sizes an allocation
+      require(spanStart >= 0 && spanEnd >= spanStart && spanEnd <= shp.length(),
+        s"corrupt shapefile index: span [$spanStart, $spanEnd) outside ${shp.length()} bytes")
       val raw = new Array[Byte]((spanEnd - spanStart).toInt)
       shp.seek(spanStart)
       shp.readFully(raw)

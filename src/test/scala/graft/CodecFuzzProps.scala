@@ -21,8 +21,10 @@ import graft.raster.{Bbox, GeoTiff}
   */
 object CodecFuzzProps extends Properties("codec-fuzz") {
 
+  /** Deterministic by default; FUZZ_SEED sweeps new case sets locally. */
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withInitialSeed(Seed(427431L)).withMinSuccessfulTests(150)
+    p.withInitialSeed(Seed(sys.env.get("FUZZ_SEED").map(_.toLong).getOrElse(427431L)))
+      .withMinSuccessfulTests(150)
 
   // ------------------------------------------------------------- fixtures
 
