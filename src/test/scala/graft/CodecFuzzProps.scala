@@ -161,9 +161,17 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       cleanOrFails(s"gpkg k=$kind p=$pos v=$value") {
         val master = Sqlite.master(bad)
         GeoPackage.featureTables(bad)
-        // walk every declared table's leaf pages like the source does
+        // scan every declared table like the source does: b-tree walk,
+        // leaf cells, overflow chains, record decode, GPB strip, WKB parse
         master.filter(_.kind == "table").foreach { t =>
-          Sqlite.leafPages(bad, t.rootPage).foreach(_ => ())
+          Sqlite.scanTable(bad, t.rootPage).foreach { case (_, vals) =>
+            vals.foreach {
+              case b: Array[Byte] if b.length >= 2 && b(0) == 'G' && b(1) == 'P' =>
+                val wkb = GeoPackage.wkbOf(b)
+                if (wkb != null) GeomFunctions.readWkb(wkb)
+              case _ =>
+            }
+          }
         }
       }
     }
