@@ -464,7 +464,7 @@ case class GeometryFileSource(url: String, layer: Option[String] = None,
     else if (lower.endsWith(".gpkg")) GeoPackageSource(url, layer)
     else if (lower.endsWith(".gml")) GmlSource(url, proj)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") ||
-      lower.endsWith(".ndjson")) GeoJsonSource(url, proj)
+      lower.endsWith(".ndjson")) GeoJsonSource(url) // RFC 7946: always WGS84
     else GeoParquetSource(url, proj)
   }
 

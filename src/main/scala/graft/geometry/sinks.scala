@@ -39,22 +39,36 @@ case class GeometryFileSink(source: GeometryBlock, url: String,
     }
     val df = source.frame(req)
     val cols = fields.getOrElse(df.columns.toSeq.filterNot(_ == "geometry"))
-    val out = df.select(
-      (col("fid") +: cols.filterNot(_ == "fid").map(col)) :+
-        GeomFunctions.stAsWkt(col("geometry")).as("geometry_wkt") :+
-        GeomFunctions.stEnvMinX(col("geometry")).as("bbox_minx") :+
-        GeomFunctions.stEnvMinY(col("geometry")).as("bbox_miny") :+
-        GeomFunctions.stEnvMaxX(col("geometry")).as("bbox_maxx") :+
-        GeomFunctions.stEnvMaxY(col("geometry")).as("bbox_maxy"): _*)
     format match {
-      case "geoparquet" => out.write.mode(SaveMode.Overwrite).parquet(url)
+      case "geoparquet" =>
+        df.select(
+          (col("fid") +: cols.filterNot(_ == "fid").map(col)) :+
+            GeomFunctions.stAsWkt(col("geometry")).as("geometry_wkt") :+
+            GeomFunctions.stEnvMinX(col("geometry")).as("bbox_minx") :+
+            GeomFunctions.stEnvMinY(col("geometry")).as("bbox_miny") :+
+            GeomFunctions.stEnvMaxX(col("geometry")).as("bbox_maxx") :+
+            GeomFunctions.stEnvMaxY(col("geometry")).as("bbox_maxy"): _*)
+          .write.mode(SaveMode.Overwrite).parquet(url)
       case "geojson" =>
-        // newline-delimited GeoJSON-ish features via the JSON writer
-        out.select(to_json(struct(
-          lit("Feature").as("type"),
-          col("fid"),
-          struct(cols.filterNot(_ == "fid").map(col): _*).as("properties"),
-          col("geometry_wkt").as("geometry"))).as("value"))
+        // newline-delimited RFC 7946 Features (a GeoJSON text sequence):
+        // real nested coordinate arrays, reprojected to EPSG:4326 like the
+        // reference's OGR GeoJSON path (sinks.py:160-163)
+        val from = graft.raster.Proj.normalize(source.projection)
+        val wgs = if (from == "EPSG:4326") col("geometry")
+          else GeomFunctions.stTransform(col("geometry"), lit(from), lit("EPSG:4326"))
+        val geomJson = udf { (wkb: Array[Byte]) =>
+          if (wkb == null) "null" else GeoJson.toGeoJson(GeomFunctions.readWkb(wkb))
+        }
+        val propCols = cols.filterNot(_ == "fid")
+        val propsJson =
+          if (propCols.isEmpty) lit("{}")
+          else to_json(struct(propCols.map(col): _*))
+        df.withColumn("geometry", wgs)
+          .select(concat(
+            lit("""{"type":"Feature","id":"""), col("fid"),
+            lit(""","properties":"""), coalesce(propsJson, lit("{}")),
+            lit(""","geometry":"""), geomJson(col("geometry")),
+            lit("}")).as("value"))
           .write.mode(SaveMode.Overwrite).text(url)
     }
     url
@@ -177,37 +191,78 @@ object GeometryToFile {
 }
 
 /** Re-open newline-GeoJSON features written by GeometryFileSink (the
-  * reference reads any OGR vector format, geometry/sources.py:18-159; here
-  * the JSON reader + JTS WKT parse cover the GeoJSON path). */
-case class GeoJsonSource(url: String, proj: String = "EPSG:28992") extends GeometryBlock {
-  /** Plan-time schema sampled from the leading feature lines of every part
-    * file (union of property keys — features may carry sparse properties,
-    * and spark.read.json unions schemas across all rows; a property first
-    * appearing past the sample depth is still served by `frame`, only the
-    * plan-time `getSeries` validation would miss it). */
-  override lazy val columns: Set[String] = {
+  * reference reads any OGR vector format, geometry/sources.py:18-159).
+  * Feature lines carry RFC 7946 geometry objects (EPSG:4326, as the sink
+  * writes) — legacy WKT-string geometry lines still parse. Property types
+  * are sampled from the head of each part file; feature parsing itself is
+  * a narrow executor-side map over the distributed text scan. */
+case class GeoJsonSource(url: String, proj: String = "EPSG:4326") extends GeometryBlock {
+
+  /** (name, spark type) per property, unioned over the leading feature
+    * lines of every part file (features may carry sparse properties; a
+    * property first appearing past the sample depth is served as null by
+    * plan-time schema but present rows still parse). */
+  @transient private lazy val fields: Seq[(String, String)] = {
     val SampleLines = 100
     val parts = Option(new java.io.File(url).listFiles).toSeq.flatten
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val props = parts.flatMap { f =>
+    val typed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    parts.foreach { f =>
       val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines().filter(_.trim.nonEmpty).take(SampleLines).flatMap { line =>
+      try src.getLines().filter(_.trim.nonEmpty).take(SampleLines).foreach { line =>
         graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]
-          .get("properties").collect {
-            case p: Map[_, _] => p.keys.map(_.toString).toSet
-          }.getOrElse(Set.empty[String])
-      }.toSet
+          .get("properties").foreach {
+            case p: Map[_, _] => p.asInstanceOf[Map[String, Any]].foreach {
+              case (k, v) =>
+                val t = v match {
+                  case _: Long | _: Int => "long"
+                  case _: Double        => "double"
+                  case _: Boolean       => "boolean"
+                  case _                => "string"
+                }
+                // widen on conflict (long+double rows → double, else string)
+                typed.get(k) match {
+                  case None | Some("long") => typed(k) = t
+                  case Some("double") if t == "long" => // keep double
+                  case Some(prev) if prev != t => typed(k) = "string"
+                  case _ =>
+                }
+            }
+            case _ =>
+          }
+      }
       finally src.close()
-    }.toSet
-    props + "geometry"
+    }
+    typed.toSeq
   }
+
+  override lazy val columns: Set[String] = fields.map(_._1).toSet + "geometry"
   override def projection: String = proj
+
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
-    var df = spark.read.json(url)
-    val props = df.schema.fieldNames.contains("properties")
-    df = df.select((Seq(col("fid"),
-      GeomFunctions.stGeomFromWkt(col("geometry")).as("geometry")) ++
-      (if (props) Seq(col("properties.*")) else Seq.empty)): _*)
+    val parse = udf { (line: String) =>
+      val obj = graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]
+      val fid = obj.get("id").orElse(obj.get("fid")) match {
+        case Some(l: Long) => l
+        case Some(i: Int)  => i.toLong
+        case Some(d: Double) => d.toLong
+        case Some(s: String) => s.toLongOption.getOrElse(-1L)
+        case _ => -1L
+      }
+      val g = obj.get("geometry").map(GeoJson.fromGeoJson).orNull
+      val attrs = obj.get("properties") match {
+        case Some(p: Map[_, _]) => p.asInstanceOf[Map[String, Any]].collect {
+          case (k, v) if v != null => k -> v.toString
+        }
+        case _ => Map.empty[String, String]
+      }
+      (fid, if (g == null) null else GeomFunctions.writeWkb(g), attrs)
+    }
+    var df = spark.read.text(url)
+      .filter(length(trim(col("value"))) > 0)
+      .select(parse(col("value")).as("f"))
+      .select((Seq(col("f._1").as("fid"), col("f._2").as("geometry")) ++
+        fields.map { case (n, t) => col("f._3")(n).cast(t).as(n) }): _*)
     req.geometryWkt.foreach { wkt =>
       df = df.filter(GeomFunctions.stFilter(col("geometry"), lit(wkt),
         lit(if (req.mode == "centroid") "centroid" else "intersects")))

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import graft.raster._
 import graft.geometry._
 import RasterFixtures._
@@ -62,17 +63,31 @@ class SinksSpec extends SparkSpec {
     assert(jback.columns.contains("value") && jback.columns.contains("geometry"))
   }
 
-  test("geojson sink writes parseable feature lines and reads back") {
+  test("geojson sink writes RFC 7946 feature lines in WGS84 and reads back") {
     val dir = Files.createTempDirectory("graft_geojson").toString
     GeometryFileSink(GeometryFixtures.features, dir, format = "geojson")
       .write(GeometryFixtures.request)
     val lines = spark.read.text(dir).collect().map(_.getString(0))
     assert(lines.length == 3)
-    assert(lines.forall(l => l.contains("\"type\":\"Feature\"") && l.contains("POLYGON")))
+    // real GeoJSON geometry objects, not WKT carriers
+    assert(lines.forall(l => l.contains("\"type\":\"Feature\"") &&
+      l.contains("\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[[")))
+    // every parsed line is valid JSON with numeric positions
+    lines.foreach { l =>
+      val obj = graft.core.Json.parse(l).asInstanceOf[Map[String, Any]]
+      assert(obj("properties").isInstanceOf[Map[_, _]])
+      assert(obj("geometry").asInstanceOf[Map[String, Any]]("type") == "Polygon")
+    }
     val back = GeoJsonSource(dir)
+    assert(back.projection == "EPSG:4326") // the sink reprojected on write
     val df = back.frame(GeometryRequest(filters = Map("name" -> "a")))
     assert(df.count() == 1)
     assert(df.columns.toSet.intersect(Set("fid", "geometry", "value", "name")).size == 4)
+    // RD New fixture coordinates land in the Netherlands in lon/lat
+    val r = back.frame(GeometryRequest()).select(
+      GeomFunctions.stCentroidX(col("geometry")), GeomFunctions.stCentroidY(col("geometry"))).head()
+    assert(r.getDouble(0) > 4.0 && r.getDouble(0) < 7.0, r.toString) // lon
+    assert(r.getDouble(1) > 51.0 && r.getDouble(1) < 54.0, r.toString) // lat
   }
 
   test("single-file formats write per-request tiles; mergeFiles combines them") {
