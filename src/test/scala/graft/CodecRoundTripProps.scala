@@ -118,13 +118,20 @@ object CodecRoundTripProps extends Properties("codec-roundtrip") {
 
   private def roundTrip(ext: String, rows: List[(Long, String, Double, String)]): Prop = {
     val out = tmpRoot.resolve(s"rt_${counter.incrementAndGet()}.$ext").toString
-    val block = SeqGeometrySource(rows)
-    ext match {
-      case "shp"  => ShapefileSink.write(block, out, GeometryRequest())
-      case "gpkg" => GeoPackageSink.write(block, out, GeometryRequest())
-      case "gml"  => GmlSink.write(block, out, GeometryRequest())
+    // geojson: write/read in WGS84 so no reprojection leg runs — the codec
+    // itself is under test, not the CRS transform
+    val block = SeqGeometrySource(rows,
+      proj = if (ext == "geojson") "EPSG:4326" else "EPSG:28992")
+    val source: GeometryBlock = ext match {
+      case "shp"  => ShapefileSink.write(block, out, GeometryRequest()); GeometryFileSource(out)
+      case "gpkg" => GeoPackageSink.write(block, out, GeometryRequest()); GeometryFileSource(out)
+      case "gml"  => GmlSink.write(block, out, GeometryRequest()); GeometryFileSource(out)
+      case "geojson" =>
+        val dir = tmpRoot.resolve(s"rtdir_${counter.get()}").toString
+        GeometryFileSink(block, dir, "geojson").write(GeometryRequest())
+        GeoJsonSource(dir)
     }
-    val back = GeometryFileSource(out).frame(GeometryRequest())
+    val back = source.frame(GeometryRequest())
       .select(col("fid"), col("geometry"), col("value"), col("name"))
       .collect().map(r => (r.getLong(0), r.get(1).asInstanceOf[Array[Byte]],
         r.getDouble(2), r.getString(3))).sortBy(_._1)
@@ -162,4 +169,7 @@ object CodecRoundTripProps extends Properties("codec-roundtrip") {
 
   property("gml round-trips generated geometries and hostile attrs") =
     Prop.forAllNoShrink(rowsGen(anyGeom, genHostileName))(rows => roundTrip("gml", rows))
+
+  property("geojson round-trips generated geometries and hostile attrs") =
+    Prop.forAllNoShrink(rowsGen(anyGeom, genHostileName))(rows => roundTrip("geojson", rows))
 }
