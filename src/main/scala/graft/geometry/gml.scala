@@ -367,6 +367,27 @@ object Gml {
     val clean = base.replaceAll("[^A-Za-z0-9_]", "_")
     if (clean.isEmpty || !Character.isLetter(clean.charAt(0))) "layer_" + clean else clean
   }
+
+  /** Attribute element names must be XML names: a column called "my col" or
+    * `a"b` written raw as `<ogr:my col>` yields a document (and xsd) that is
+    * only discovered to be malformed when the reader throws. Same
+    * sanitization as [[layerNameFor]]. */
+  def fieldNameFor(name: String): String = {
+    val clean = name.replaceAll("[^A-Za-z0-9_]", "_")
+    if (clean.isEmpty || !Character.isLetter(clean.charAt(0))) "field_" + clean else clean
+  }
+
+  /** Sanitized, collision-free element names for a column list (two columns
+    * may sanitize to the same name; suffix the later one). */
+  def fieldNamesFor(cols: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    cols.map { c =>
+      val base = fieldNameFor(c)
+      var n = base; var i = 2
+      while (!seen.add(n)) { n = base + "_" + i; i += 1 }
+      n
+    }
+  }
 }
 
 /** Single-file GML writer. Like [[ShapefileSink]], a GML document is a
@@ -381,6 +402,8 @@ object GmlSink {
     val df = source.frame(req)
     require(df.columns.contains("geometry"), "GML export needs a geometry column")
     val attrCols = df.columns.filterNot(c => c == "geometry" || c == "fid").toSeq
+    // element names sanitized in lockstep for the document AND the xsd
+    val outNames = Gml.fieldNamesFor(attrCols)
     val rows = {
       val cap = graft.raster.RequestGuards.geometryLimit
       val limited = req.limit.isDefined
@@ -433,7 +456,7 @@ object GmlSink {
           java.util.regex.Matcher.quoteReplacement(s""" srsName="${Gml.escape(srs)}">"""))
         sb.append(s"      <ogr:geometryProperty>$gml</ogr:geometryProperty>\n")
       }
-      attrIdx.zip(attrCols).foreach { case (i, name) =>
+      attrIdx.zip(outNames).foreach { case (i, name) =>
         if (!r.isNullAt(i)) {
           val v = r.get(i) match {
             case d: java.sql.Timestamp => d.toInstant.toString
@@ -446,7 +469,9 @@ object GmlSink {
     }
     sb.append("</ogr:FeatureCollection>\n")
 
-    val fields = attrCols.map(c => (c, Gml.xsdType(df.schema(c).dataType)))
+    val fields = attrCols.zip(outNames).map { case (c, n) =>
+      (n, Gml.xsdType(df.schema(c).dataType))
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(gmlPath),
       sb.toString.getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get(Gml.xsdPathFor(gmlPath)),
@@ -461,6 +486,23 @@ object GmlSink {
   * (falling back to string attrs sampled from the head of the document when
   * the sidecar is missing). */
 case class GmlSource(url: String, proj: String = "EPSG:28992") extends GeometryBlock {
+
+  /** The CRS the document itself declares — the `srsName` the sink rides on
+    * the first geometry tag. Declared CRS wins over the caller's `proj`
+    * fallback (like a shapefile's .prj); without it, a merge of tiles
+    * written from a non-default-CRS source would silently relabel the data
+    * EPSG:28992. Bounded head read. */
+  @transient private lazy val declaredSrs: Option[String] = {
+    val f = new java.io.File(url)
+    if (!f.isFile) None
+    else {
+      val in = new java.io.FileInputStream(f)
+      val head = try new String(in.readNBytes(256 << 10), "UTF-8") finally in.close()
+      """srsName="([^"]+)"""".r.findFirstMatchIn(head).map(_.group(1))
+        .filter(s => scala.util.Try(graft.raster.Proj.normalize(s)).isSuccess)
+        .map(graft.raster.Proj.normalize)
+    }
+  }
 
   /** (name, spark type) in declaration order. */
   @transient private lazy val fields: Seq[(String, String)] = {
@@ -484,7 +526,7 @@ case class GmlSource(url: String, proj: String = "EPSG:28992") extends GeometryB
   }
 
   override lazy val columns: Set[String] = fields.map(_._1).toSet + "geometry"
-  override def projection: String = proj
+  override def projection: String = declaredSrs.getOrElse(proj)
 
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
     val parse = udf { (chunk: String) =>

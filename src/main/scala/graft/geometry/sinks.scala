@@ -104,6 +104,10 @@ object GeometryFileSink {
     * appended into `target`; optionally removes the sources. */
   def mergeFiles(path: String, target: String, removeSource: Boolean = false)
       (implicit spark: SparkSession): String = {
+    // the reference's merge_files raises IOError on an existing target
+    // (sinks.py:180) — never silently overwrite a previous export
+    if (new java.io.File(target).exists()) throw new java.io.IOException(
+      s"Target '$target' already exists")
     val ext = target.substring(target.lastIndexOf('.') + 1).toLowerCase
     val parts = Option(new java.io.File(path).listFiles).toSeq.flatten
       .filter(_.getName.toLowerCase.endsWith("." + ext)).sortBy(_.getName)
@@ -220,12 +224,16 @@ case class GeoJsonSource(url: String, proj: String = "EPSG:4326") extends Geomet
                   case _: Boolean       => "boolean"
                   case _                => "string"
                 }
-                // widen on conflict (long+double rows → double, else string)
+                // widen on conflict: long+double rows → double, any other
+                // type mix → string (the only cast every value survives).
+                // A previous long must NOT be overwritten by e.g. boolean —
+                // earlier "1" values would then cast to true.
                 typed.get(k) match {
-                  case None | Some("long") => typed(k) = t
+                  case None                          => typed(k) = t
+                  case Some(prev) if prev == t       => // unchanged
+                  case Some("long") if t == "double" => typed(k) = "double"
                   case Some("double") if t == "long" => // keep double
-                  case Some(prev) if prev != t => typed(k) = "string"
-                  case _ =>
+                  case Some(_)                       => typed(k) = "string"
                 }
             }
             case _ =>

@@ -41,31 +41,36 @@ object Ivf {
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3)
       (implicit spark: SparkSession): Array[Array[Double]] = {
     val vecD = transform(col(vecCol), x => x.cast("double"))
+    // Cached for the duration of the Lloyd iterations only — unpersisted
+    // before returning so repeated fits don't accumulate session-lifetime
+    // cached frames.
     val base = df.select(col(idCol).as("id"), vecD.as("v")).cache()
-    var centroids = base.orderBy(col("id")).limit(k)
-      .collect().map(_.getSeq[Double](1).toArray)
-    val dim = centroids(0).length
-    for (_ <- 1 to iters) {
-      val assignUdf = udf(nearest(centroids) _)
-      val assigned = base.withColumn("c", assignUdf(col("v")))
-      val rows = assigned
-        .select(col("c"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("c"), col("d"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val sums = Array.fill(k, dim)(0.0)
-      val counts = new Array[Long](k)
-      rows.foreach { r =>
-        val c = r.getInt(0); val d = r.getInt(1)
-        sums(c)(d) = r.getDouble(2)
-        counts(c) = r.getLong(3)
+    try {
+      var centroids = base.orderBy(col("id")).limit(k)
+        .collect().map(_.getSeq[Double](1).toArray)
+      val dim = centroids(0).length
+      for (_ <- 1 to iters) {
+        val assignUdf = udf(nearest(centroids) _)
+        val assigned = base.withColumn("c", assignUdf(col("v")))
+        val rows = assigned
+          .select(col("c"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy(col("c"), col("d"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val sums = Array.fill(k, dim)(0.0)
+        val counts = new Array[Long](k)
+        rows.foreach { r =>
+          val c = r.getInt(0); val d = r.getInt(1)
+          sums(c)(d) = r.getDouble(2)
+          counts(c) = r.getLong(3)
+        }
+        val updated = centroids.clone()
+        for (c <- 0 until k if counts(c) > 0)
+          updated(c) = sums(c).map(_ / counts(c))
+        centroids = updated
       }
-      val updated = centroids.clone()
-      for (c <- 0 until k if counts(c) > 0)
-        updated(c) = sums(c).map(_ / counts(c))
-      centroids = updated
-    }
-    centroids
+      centroids
+    } finally base.unpersist(false)
   }
 
   /** Top-k cosine neighbours per query id, probing the `nProbe` nearest

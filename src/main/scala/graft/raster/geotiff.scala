@@ -348,9 +348,14 @@ object GeoTiff {
   case class Tiff(values: Array[Double], w: Int, h: Int, bbox: Bbox,
       epsg: Int, noData: Double, dtypeName: String = "float64")
 
-  /** TIFF field-type byte widths (TIFF 6.0 §2 + BigTIFF LONG8/SLONG8). */
-  private val TypeSizes = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 6 -> 1, 7 -> 1,
-    8 -> 2, 9 -> 4, 11 -> 4, 12 -> 8, 16 -> 8, 17 -> 8)
+  /** TIFF field-type byte widths (TIFF 6.0 §2 + BigTIFF LONG8/SLONG8/IFD8).
+    * RATIONAL(5)/SRATIONAL(10) are two LONGs = 8 bytes — without them the
+    * inline-vs-offset decision for tags like XResolution resolves against a
+    * 1-byte width and reads the wrong offset. Unknown types reject instead
+    * of defaulting (a lax default makes the corrupt-tag bound too weak). */
+  private val TypeSizes = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8, 6 -> 1,
+    7 -> 1, 8 -> 2, 9 -> 4, 10 -> 8, 11 -> 4, 12 -> 8, 13 -> 4, 16 -> 8,
+    17 -> 8, 18 -> 8)
 
   def read(path: String): Tiff = {
     val bytes = Files.readAllBytes(Paths.get(path))
@@ -385,7 +390,8 @@ object GeoTiff {
       val typ = buf.getShort(off + 2).toInt
       val count = (if (big) buf.getLong(off + 4) else buf.getInt(off + 4).toLong).toInt
       val valueField = off + (if (big) 12 else 8)
-      val byteLen = TypeSizes.getOrElse(typ, 1).toLong * count
+      require(TypeSizes.contains(typ), s"corrupt TIFF: tag $tag has unknown field type $typ")
+      val byteLen = TypeSizes(typ).toLong * count
       // structural bound: out-of-line value bytes live inside the file, so
       // a count driving byteLen past the file size is corruption, not data
       // (stops hostile 8-byte counts from sizing allocations)

@@ -1,9 +1,22 @@
 package graft
 
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, Ivf}
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
+
+  test("Ivf leaves no cached RDDs behind after fit/topK") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val vecs = (0L until 64L)
+      .map(i => (i, Array.tabulate(8)(d => ((i * 7 + d) % 13).toDouble)))
+      .toDF("doc_id", "embedding")
+    val res = Ivf.topK(vecs, "doc_id", "embedding", Seq(0L, 1L),
+      k = 3, numClusters = 4, nProbe = 2)
+    assert(res.count() > 0)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"Ivf leaked cached RDDs: $leaked")
+  }
 
   test("duplicateClusters: driver union-find and distributed loop agree") {
     import spark.implicits._

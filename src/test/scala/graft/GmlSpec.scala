@@ -122,6 +122,32 @@ class GmlSpec extends SparkSpec {
     df.unpersist()
   }
 
+  /** Column names that are not valid XML element names. */
+  private case class HostileNamesSource() extends GeometryBlock {
+    override def columns: Set[String] = Set("geometry", "my col", "a\"b", "my_col")
+    override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      Seq((1L, GeometryFixtures.square(0, 0, 2, 2), 7L, "x", 1.5))
+        .toDF("fid", "wkt", "my col", "a\"b", "my_col")
+        .select(col("fid"), GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"),
+          col("`my col`"), col("`a\"b`"), col("my_col"))
+    }
+  }
+
+  test("XML-hostile column names are sanitized on write, in document and xsd") {
+    val out = java.nio.file.Files.createTempDirectory("gml_names")
+      .resolve("names.gml").toString
+    GmlSink.write(HostileNamesSource(), out, GeometryRequest())
+    val src = GmlSource(out)
+    // "my col" → my_col collides with the real my_col column → suffixed
+    assert(src.columns == Set("geometry", "my_col", "a_b", "my_col_2"),
+      src.columns.toString)
+    val r = src.frame(GeometryRequest()).head()
+    assert(r.getAs[Long]("my_col") == 7L)
+    assert(r.getAs[String]("a_b") == "x")
+    assert(r.getAs[Double]("my_col_2") == 1.5)
+  }
+
   test("GeometryFileSource dispatches .gml; to_file writes it; serde round-trips") {
     val out = java.nio.file.Files.createTempDirectory("gml_tofile")
       .resolve("parts.gml").toString

@@ -117,6 +117,57 @@ class SinksSpec extends SparkSpec {
     assert(cols == Set("name", "geometry"), cols.toString)
   }
 
+  test("mergeFiles refuses an existing target (reference sinks.py:180)") {
+    val dir = Files.createTempDirectory("merge_exists").toString
+    GeometryFileSink(GeometryFixtures.features, dir, "gpkg")
+      .write(GeometryRequest(mode = "centroid"))
+    val target = Files.createTempFile("already", ".gpkg")
+    intercept[java.io.IOException] {
+      GeometryFileSink.mergeFiles(dir, target.toString)
+    }
+  }
+
+  test("merged gml tiles keep the source CRS via srsName") {
+    val src = SeqGeometrySource(Seq(
+      (1L, GeometryFixtures.square(500000, 6800000, 500001, 6800001), 1.0, "a"),
+      (2L, GeometryFixtures.square(500002, 6800000, 500003, 6800001), 2.0, "b")),
+      proj = "EPSG:3857")
+    val dir = Files.createTempDirectory("merge_crs").toString
+    GeometryFileSink(src, dir, "gml").write(GeometryRequest(mode = "centroid"))
+    val target = Files.createTempDirectory("merge_crs_out").resolve("all.gml").toString
+    GeometryFileSink.mergeFiles(dir, target)
+    // without srsName read-back the merge would relabel the data EPSG:28992
+    assert(GeometryFileSource(target).projection == "EPSG:3857")
+  }
+
+  test("geojson source honors an explicitly passed proj (legacy native-CRS files)") {
+    val dir = Files.createTempDirectory("geojson_proj").resolve("data.geojson")
+    Files.createDirectory(dir)
+    Files.write(dir.resolve("part-00000"), java.util.Arrays.asList(
+      """{"type":"Feature","id":1,"properties":{"v":1},"geometry":{"type":"Point","coordinates":[5.0,52.0]}}"""))
+    // RFC 7946 default when no proj is given
+    assert(GeometryFileSource(dir.toString).projection == "EPSG:4326")
+    // a caller labeling a legacy native-CRS file keeps that CRS
+    assert(GeometryFileSource(dir.toString, proj = Some("EPSG:28992"))
+      .projection == "EPSG:28992")
+  }
+
+  test("geojson property types widen (never overwrite) on mixed-type rows") {
+    val dir = Files.createTempDirectory("geojson_widen")
+    val pt = """{"type":"Point","coordinates":[5.0,52.0]}"""
+    Files.write(dir.resolve("part-00000"), java.util.Arrays.asList(
+      s"""{"type":"Feature","id":1,"properties":{"p":1,"q":1.5,"r":true},"geometry":$pt}""",
+      s"""{"type":"Feature","id":2,"properties":{"p":true,"q":2,"r":"x"},"geometry":$pt}"""))
+    val df = GeoJsonSource(dir.toString).frame(GeometryRequest())
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("p") == "string", types.toString) // long then boolean → string
+    assert(types("q") == "double", types.toString) // double then long → double
+    assert(types("r") == "string", types.toString) // boolean then string → string
+    // earlier long values survive as their literal text, not a bogus cast
+    assert(df.orderBy("fid").select("p").collect().map(_.getString(0)).toSeq ==
+      Seq("1", "true"))
+  }
+
   test("construct_multiple rebuilds shared endpoints") {
     import graft.core.BlockRegistry
     val shared = Multiply(source, 2)
