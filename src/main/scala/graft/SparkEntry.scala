@@ -418,6 +418,26 @@ object SparkEntry {
         diff(2.0).unionAll(diff(12.0))
           .agg(sum(col("d")).cast("long").as("n_diff"),
             count(lit(1)).as("n_cells"))
+      }),
+      "r36_utm_warp" -> q((s, dir, g) => {
+        // the events grid served through a UTM zone-31 window: each request
+        // cell center routes through the full cross-CRS chain (inverse
+        // Krüger series to WGS84, then the RD polynomials). The oracle
+        // recomputes that chain independently in SQL from the published
+        // formulas — a hard cross-CRS warp oracle. Window = fixed UTM
+        // literals whose inverse image lies inside the RD grid.
+        val tile = TileLayout.TILE
+        val (wq, hq) = (80, 20)
+        val req = RasterRequest(Bbox(523410.0, 5313547.0, 523490.0, 5313567.0),
+          "EPSG:32631", wq, hq,
+          Some(Instant.ofEpochMilli(0)), Some(Instant.ofEpochMilli(0)))
+        eventsRaster(dir, g).frame(req)(s)
+          .select(col("ty"), col("tx"), posexplode(col("values")).as(Seq("pos", "v")))
+          .withColumn("tw", least(lit(tile), lit(wq) - col("tx") * tile))
+          .select(
+            (col("ty") * tile + (col("pos") / col("tw")).cast("int")).cast("long").as("i"),
+            (col("tx") * tile + col("pos") % col("tw")).cast("long").as("j"),
+            round(col("v"), 6).as("v"))
       })
     )
   }
@@ -677,7 +697,66 @@ object SparkEntry {
       |  (SELECT h FROM params) - 1 - CAST(cell_id // 100 AS BIGINT) AS wy FROM grid)
       |SELECT cell_id, CASE WHEN x + 0.5 > 10 AND x + 0.5 < 40
       |  AND wy + 0.5 > 10 AND wy + 0.5 < 30 THEN 1.0 ELSE 0.0 END AS v
-      |FROM centers""".stripMargin
+      |FROM centers""".stripMargin,
+    // the full cross-CRS chain recomputed from published formulas: the
+    // UTM inverse is the 6th-order Krüger series with the β/δ coefficients
+    // DERIVED IN SQL from n = f/(2−f) (Karney 2011 eq. 21-26), then the
+    // Schreutelkamp & Strang van Hees WGS84→RD polynomials — fully
+    // independent of the engine's Scala implementation
+    "r36_utm_warp" -> s"""${cellsSql()},
+      |par AS (SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h FROM events),
+      |kn AS (SELECT 1.0/298.257223563 AS f),
+      |ka AS (SELECT f/(2-f) AS n, sqrt(f*(2-f)) AS e FROM kn),
+      |kb AS (SELECT n, e,
+      |  6378137.0/(1+n)*(1 + n*n/4 + pow(n,4)/64 + pow(n,6)/256) AS A,
+      |  n/2 - 2*pow(n,2)/3 + 37*pow(n,3)/96 - pow(n,4)/360 - 81*pow(n,5)/512 + 96199*pow(n,6)/604800 AS b1,
+      |  pow(n,2)/48 + pow(n,3)/15 - 437*pow(n,4)/1440 + 46*pow(n,5)/105 - 1118711*pow(n,6)/3870720 AS b2,
+      |  17*pow(n,3)/480 - 37*pow(n,4)/840 - 209*pow(n,5)/4480 + 5569*pow(n,6)/90720 AS b3,
+      |  4397*pow(n,4)/161280 - 11*pow(n,5)/504 - 830251*pow(n,6)/7257600 AS b4,
+      |  4583*pow(n,5)/161280 - 108847*pow(n,6)/3991680 AS b5,
+      |  20648693*pow(n,6)/638668800 AS b6,
+      |  2*n - 2*pow(n,2)/3 - 2*pow(n,3) + 116*pow(n,4)/45 + 26*pow(n,5)/45 - 2854*pow(n,6)/675 AS d1,
+      |  7*pow(n,2)/3 - 8*pow(n,3)/5 - 227*pow(n,4)/45 + 2704*pow(n,5)/315 + 2323*pow(n,6)/945 AS d2,
+      |  56*pow(n,3)/15 - 136*pow(n,4)/35 - 1262*pow(n,5)/105 + 73814*pow(n,6)/2835 AS d3,
+      |  4279*pow(n,4)/630 - 332*pow(n,5)/35 - 399572*pow(n,6)/14175 AS d4,
+      |  4174*pow(n,5)/315 - 144838*pow(n,6)/6237 AS d5,
+      |  601676*pow(n,6)/22275 AS d6
+      | FROM ka),
+      |grid AS (SELECT CAST(ii.i AS BIGINT) AS i, CAST(jj.j AS BIGINT) AS j
+      |  FROM range(0, 20) ii(i), range(0, 80) jj(j)),
+      |ctr AS (SELECT i, j, 523410.0 + (j + 0.5) AS ue, 5313567.0 - (i + 0.5) AS un FROM grid),
+      |s1 AS (SELECT i, j, b1, b2, b3, b4, b5, b6, d1, d2, d3, d4, d5, d6,
+      |  un/(0.9996*A) AS xi, (ue - 500000)/(0.9996*A) AS eta FROM ctr, kb),
+      |s2 AS (SELECT i, j, d1, d2, d3, d4, d5, d6,
+      |  xi - (b1*sin(2*xi)*(exp(2*eta)+exp(-2*eta))/2 + b2*sin(4*xi)*(exp(4*eta)+exp(-4*eta))/2
+      |      + b3*sin(6*xi)*(exp(6*eta)+exp(-6*eta))/2 + b4*sin(8*xi)*(exp(8*eta)+exp(-8*eta))/2
+      |      + b5*sin(10*xi)*(exp(10*eta)+exp(-10*eta))/2 + b6*sin(12*xi)*(exp(12*eta)+exp(-12*eta))/2) AS xi2,
+      |  eta - (b1*cos(2*xi)*(exp(2*eta)-exp(-2*eta))/2 + b2*cos(4*xi)*(exp(4*eta)-exp(-4*eta))/2
+      |      + b3*cos(6*xi)*(exp(6*eta)-exp(-6*eta))/2 + b4*cos(8*xi)*(exp(8*eta)-exp(-8*eta))/2
+      |      + b5*cos(10*xi)*(exp(10*eta)-exp(-10*eta))/2 + b6*cos(12*xi)*(exp(12*eta)-exp(-12*eta))/2) AS eta2
+      |  FROM s1),
+      |s3 AS (SELECT i, j, d1, d2, d3, d4, d5, d6,
+      |  asin(sin(xi2)/((exp(eta2)+exp(-eta2))/2)) AS chi,
+      |  atan2((exp(eta2)-exp(-eta2))/2, cos(xi2)) AS lam FROM s2),
+      |s4 AS (SELECT i, j,
+      |  degrees(chi + d1*sin(2*chi) + d2*sin(4*chi) + d3*sin(6*chi)
+      |        + d4*sin(8*chi) + d5*sin(10*chi) + d6*sin(12*chi)) AS lat,
+      |  3.0 + degrees(lam) AS lon FROM s3),
+      |s5 AS (SELECT i, j, 0.36*(lat - 52.15517440) AS P, 0.36*(lon - 5.38720621) AS L FROM s4),
+      |rd AS (SELECT i, j,
+      |  155000 + 190094.945*L - 11832.228*P*L - 114.221*pow(P,2)*L - 32.391*pow(L,3)
+      |    - 0.705*P - 2.340*pow(P,3)*L - 0.608*P*pow(L,3) - 0.008*pow(L,2)
+      |    + 0.148*pow(P,2)*pow(L,3) AS x,
+      |  463000 + 309056.544*P + 3638.893*pow(L,2) + 73.077*pow(P,2) - 157.984*P*pow(L,2)
+      |    + 59.788*pow(P,3) + 0.433*L - 6.439*pow(P,2)*pow(L,2) - 0.032*P*L
+      |    + 0.092*pow(L,4) - 0.054*P*pow(L,4) AS y
+      |  FROM s5),
+      |idx AS (SELECT i, j, CAST(floor(x) AS BIGINT) AS sj, CAST(floor(y) AS BIGINT) AS wy FROM rd)
+      |SELECT t.i, t.j,
+      |  round(CASE WHEN t.sj < 0 OR t.sj >= 100 OR t.wy < 0 OR t.wy >= (SELECT h FROM par)
+      |    THEN $NDSQL ELSE COALESCE(c.v, $NDSQL) END, 6) AS v
+      |FROM idx t LEFT JOIN cells c
+      |  ON c.t_idx = 0 AND c.cell_id = ((SELECT h FROM par) - 1 - t.wy) * 100 + t.sj""".stripMargin
   )
 
   // --------------------------------------------------------------- zonal
@@ -699,6 +778,32 @@ object SparkEntry {
         pixelSize = Some(1.0), columnName = "agg", thresholdName = "thr")
       agg.frame(GeometryRequest(start = Some(Instant.ofEpochMilli(0))))(s)
         .select(col("fid"), round(col("agg"), 4).as("zonal_sum"))
+    }),
+    "z03_zonal_crs" -> ((s, dir) => {
+      // features authored in lon/lat (EPSG:4326); the aggregation runs in
+      // the raster's CRS via aggProjection (reference aggregate.py:426-434),
+      // so every feature geometry is reprojected before the cell join. The
+      // oracle re-derives the WGS84→RD polynomial transform in SQL and runs
+      // half-plane containment on the transformed quads.
+      val g = eventsGrid(s, dir)
+      val lonE = s"(3.31357 + ((c_custkey * 7) % 88) * 0.0000134)"
+      val latE = s"(47.97478 + ((c_custkey * 13) % 18) * 0.0000090)"
+      val lonE2 = s"($lonE + 2.5 * 0.0000134)"
+      val latE2 = s"($latE + 2.5 * 0.0000090)"
+      val feats = TableGeometrySource(s"$dir/customer.parquet", "c_custkey",
+        Seq("c_acctbal"),
+        geomWktExpr = Some(
+          s"""concat('POLYGON ((', $lonE, ' ', $latE,
+             |', ', $lonE2, ' ', $latE,
+             |', ', $lonE2, ' ', $latE2,
+             |', ', $lonE, ' ', $latE2,
+             |', ', $lonE, ' ', $latE, '))')""".stripMargin.replaceAll("\n", "")),
+        proj = "EPSG:4326")
+      val agg = AggregateRaster(feats, eventsRaster(dir, g), "mean",
+        aggProjection = Some("EPSG:28992"), pixelSize = Some(1.0),
+        columnName = "agg")
+      agg.frame(GeometryRequest(start = Some(Instant.ofEpochMilli(0))))(s)
+        .select(col("fid"), round(col("agg"), 6).as("zonal_mean"))
     })
   )
 
@@ -743,6 +848,60 @@ object SparkEntry {
       |SELECT s.fid, round(coalesce(sum(CASE WHEN c.v >= s.thr THEN c.v END), 0.0), 4) AS zonal_sum
       |FROM squares s LEFT JOIN centers c
       |  ON c.x >= s.x0 AND c.x < s.x0 + 2 AND c.wy >= s.y0 AND c.wy < s.y0 + 2
+      |GROUP BY 1""".stripMargin,
+    // WGS84→RD re-derived in SQL from the published polynomial (the same
+    // Schreutelkamp & Strang van Hees coefficients, implemented
+    // independently), then exact point-in-quad containment by half-plane
+    // sign tests on the transformed corners
+    "z03_zonal_crs" -> s"""WITH params AS (
+      |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h
+      |  FROM events),
+      |cells0 AS (
+      |  SELECT CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |  FROM events WHERE event_id % 4 = 0),
+      |centers AS (
+      |  SELECT cell_id, v,
+      |    CAST(cell_id % 100 AS BIGINT) + 0.5 AS cx,
+      |    (SELECT h FROM params) - CAST(cell_id // 100 AS BIGINT) - 0.5 AS cy
+      |  FROM cells0),
+      |corners AS (
+      |  SELECT c_custkey AS fid, kk.k AS k,
+      |    3.31357 + ((c_custkey * 7) % 88) * 0.0000134
+      |      + (CASE WHEN kk.k IN (1, 2) THEN 2.5 * 0.0000134 ELSE 0 END) AS lon,
+      |    47.97478 + ((c_custkey * 13) % 18) * 0.0000090
+      |      + (CASE WHEN kk.k IN (2, 3) THEN 2.5 * 0.0000090 ELSE 0 END) AS lat
+      |  FROM customer, range(0, 4) kk(k)),
+      |rdc AS (SELECT fid, k,
+      |  0.36*(lat - 52.15517440) AS P, 0.36*(lon - 5.38720621) AS L FROM corners),
+      |rdxy AS (SELECT fid, k,
+      |  155000 + 190094.945*L - 11832.228*P*L - 114.221*pow(P,2)*L - 32.391*pow(L,3)
+      |    - 0.705*P - 2.340*pow(P,3)*L - 0.608*P*pow(L,3) - 0.008*pow(L,2)
+      |    + 0.148*pow(P,2)*pow(L,3) AS x,
+      |  463000 + 309056.544*P + 3638.893*pow(L,2) + 73.077*pow(P,2) - 157.984*P*pow(L,2)
+      |    + 59.788*pow(P,3) + 0.433*L - 6.439*pow(P,2)*pow(L,2) - 0.032*P*L
+      |    + 0.092*pow(L,4) - 0.054*P*pow(L,4) AS y
+      |  FROM rdc),
+      |quads AS (SELECT fid,
+      |  max(CASE WHEN k = 0 THEN x END) AS x0, max(CASE WHEN k = 0 THEN y END) AS y0,
+      |  max(CASE WHEN k = 1 THEN x END) AS x1, max(CASE WHEN k = 1 THEN y END) AS y1,
+      |  max(CASE WHEN k = 2 THEN x END) AS x2, max(CASE WHEN k = 2 THEN y END) AS y2,
+      |  max(CASE WHEN k = 3 THEN x END) AS x3, max(CASE WHEN k = 3 THEN y END) AS y3
+      |  FROM rdxy GROUP BY 1)
+      |SELECT q.fid, round(avg(c.v), 6) AS zonal_mean
+      |FROM quads q LEFT JOIN centers c
+      |  ON c.cx >= least(q.x0, q.x1, q.x2, q.x3) AND c.cx <= greatest(q.x0, q.x1, q.x2, q.x3)
+      | AND c.cy >= least(q.y0, q.y1, q.y2, q.y3) AND c.cy <= greatest(q.y0, q.y1, q.y2, q.y3)
+      | AND (least(
+      |    (q.x1-q.x0)*(c.cy-q.y0) - (q.y1-q.y0)*(c.cx-q.x0),
+      |    (q.x2-q.x1)*(c.cy-q.y1) - (q.y2-q.y1)*(c.cx-q.x1),
+      |    (q.x3-q.x2)*(c.cy-q.y2) - (q.y3-q.y2)*(c.cx-q.x2),
+      |    (q.x0-q.x3)*(c.cy-q.y3) - (q.y0-q.y3)*(c.cx-q.x3)) > 0
+      |  OR greatest(
+      |    (q.x1-q.x0)*(c.cy-q.y0) - (q.y1-q.y0)*(c.cx-q.x0),
+      |    (q.x2-q.x1)*(c.cy-q.y1) - (q.y2-q.y1)*(c.cx-q.x1),
+      |    (q.x3-q.x2)*(c.cy-q.y2) - (q.y3-q.y2)*(c.cx-q.x2),
+      |    (q.x0-q.x3)*(c.cy-q.y3) - (q.y0-q.y3)*(c.cx-q.x3)) < 0)
       |GROUP BY 1""".stripMargin
   )
 

@@ -52,11 +52,22 @@ private[geometry] object ZonalStats {
     // ContextCleaner once the returned frame is dropped. Lazy: the extent
     // probe right below is the first action and materializes it.
     val feats = source.frame(req).localCheckpoint(eager = false)
+    // the aggregation runs in `projection` (the reference's agg projection,
+    // aggregate.py:426-434); a feature source living in a different CRS has
+    // its geometries transformed into the aggregation CRS for the spatial
+    // work, while the returned frame keeps the source-CRS geometry — the
+    // stat column is the only addition
+    val srcProj = graft.raster.Proj.normalize(source.projection)
+    val aggProj = graft.raster.Proj.normalize(projection)
+    val work =
+      if (srcProj == aggProj) feats
+      else feats.withColumn("geometry",
+        GeomFunctions.stTransform(col("geometry"), lit(srcProj), lit(aggProj)))
     val ps0 = pixelSize.orElse(raster.cellSize).getOrElse(
       throw new IllegalArgumentException("Pixel size is required"))
 
     // bbox of all features, snapped to the pixel grid (aggregate.py:454-469)
-    val ext = feats.agg(
+    val ext = work.agg(
       min(GeomFunctions.stEnvMinX(col("geometry"))), min(GeomFunctions.stEnvMinY(col("geometry"))),
       max(GeomFunctions.stEnvMaxX(col("geometry"))), max(GeomFunctions.stEnvMaxY(col("geometry")))
     ).head()
@@ -104,7 +115,7 @@ private[geometry] object ZonalStats {
     // exact (px, py) key, with no block join paying a full block of
     // candidates per tiny feature
     val thrCols = thresholdName.map(t => col(t)).toSeq
-    val fb = feats.select(Seq(col("fid"), col("geometry"),
+    val fb = work.select(Seq(col("fid"), col("geometry"),
       GeomFunctions.stEnvMinX(col("geometry")).as("fx1"),
       GeomFunctions.stEnvMinY(col("geometry")).as("fy1"),
       GeomFunctions.stEnvMaxX(col("geometry")).as("fx2"),

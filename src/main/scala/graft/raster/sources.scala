@@ -84,13 +84,18 @@ case class MemorySource(
           val (cx, cy) =
             if (reproject) Proj.transform(dstProj, srcProj, cxReq, cyReq)
             else (cxReq, cyReq)
-          val si = math.floor((oy - cy) / ps).toInt
-          val sj = math.floor((cx - ox) / ps).toInt
+          // beyond-domain transforms (e.g. >90° from a TM central meridian)
+          // yield NaN; NaN.toInt is 0 and would alias to the grid corner
           val v =
-            if (si < 0 || si >= gh || sj < 0 || sj >= gw) outNd
+            if (java.lang.Double.isNaN(cx) || java.lang.Double.isNaN(cy)) outNd
             else {
-              val raw = arr(si * gw + sj)
-              if (raw == nd) outNd else raw
+              val si = math.floor((oy - cy) / ps).toInt
+              val sj = math.floor((cx - ox) / ps).toInt
+              if (si < 0 || si >= gh || sj < 0 || sj >= gw) outNd
+              else {
+                val raw = arr(si * gw + sj)
+                if (raw == nd) outNd else raw
+              }
             }
           out(i * tw + j) = v
           j += 1

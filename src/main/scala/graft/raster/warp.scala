@@ -107,16 +107,21 @@ object WarpStage {
           val (cx, cy) =
             if (srcProj == dstProj) (cxReq, cyReq)
             else Proj.transform(dstProj, srcProj, cxReq, cyReq)
-          // window pixel coordinates (row 0 at world top)
-          val pj = math.floor(cx - winX0).toInt
-          val pi = math.floor(winYTop - cy).toInt
+          // beyond-domain transforms yield NaN; NaN.toInt is 0 and would
+          // alias to the window corner instead of reading as outside
           val v =
-            if (pi < 0 || pi >= winH || pj < 0 || pj >= winW) nd
+            if (java.lang.Double.isNaN(cx) || java.lang.Double.isNaN(cy)) nd
             else {
-              val stw = TileLayout.tileW(winW, pj / tile)
-              byTile.get((pi / tile, pj / tile)) match {
-                case Some(vals) => vals((pi % tile) * stw + (pj % tile))
-                case None       => nd
+              // window pixel coordinates (row 0 at world top)
+              val pj = math.floor(cx - winX0).toInt
+              val pi = math.floor(winYTop - cy).toInt
+              if (pi < 0 || pi >= winH || pj < 0 || pj >= winW) nd
+              else {
+                val stw = TileLayout.tileW(winW, pj / tile)
+                byTile.get((pi / tile, pj / tile)) match {
+                  case Some(vals) => vals((pi % tile) * stw + (pj % tile))
+                  case None       => nd
+                }
               }
             }
           out(i * tw + j) = v

@@ -26,6 +26,97 @@ class ProjSpec extends AnyFunSuite {
     val (lon, lat) = Proj.transform("EPSG:3857", "EPSG:4326", mx, my)
     assert(math.abs(lon - 5.387206) < 1e-9 && math.abs(lat - 52.155174) < 1e-9)
   }
+
+  // ---- UTM / ellipsoidal Transverse Mercator ------------------------------
+
+  test("UTM codes are recognized; junk zones are not") {
+    for (c <- Seq("EPSG:32601", "EPSG:32631", "EPSG:32660", "EPSG:32717", "EPSG:25832"))
+      assert(Proj.supported(c), c)
+    for (c <- Seq("EPSG:32600", "EPSG:32661", "EPSG:32699", "EPSG:9999"))
+      assert(!Proj.supported(c), c)
+  }
+
+  test("UTM ↔ WGS84 round-trips to sub-micrometre across zones and hemispheres") {
+    // points spread over each zone's 6° width, mid and high latitudes
+    val cases = Seq(
+      ("EPSG:32631", 3.0, 52.0), ("EPSG:32631", 0.5, 48.0), ("EPSG:32631", 5.5, 70.0),
+      ("EPSG:32617", -79.4, 43.64), ("EPSG:32601", -177.0, 30.0),
+      ("EPSG:32660", 177.0, 15.0), ("EPSG:32733", 15.0, -33.9),
+      ("EPSG:32719", -70.6, -33.4), ("EPSG:25832", 9.0, 54.0),
+      ("EPSG:25831", 4.4, 51.2))
+    for ((code, lon, lat) <- cases) {
+      val (e1, n1) = Proj.transform("EPSG:4326", code, lon, lat)
+      val (lon2, lat2) = Proj.transform(code, "EPSG:4326", e1, n1)
+      val (e2, n2) = Proj.transform("EPSG:4326", code, lon2, lat2)
+      // grid round-trip: metres, directly the |err| < 1e-6 m target
+      assert(math.abs(e2 - e1) < 1e-6 && math.abs(n2 - n1) < 1e-6,
+        s"$code ($lon,$lat): grid drift ${e2 - e1}, ${n2 - n1}")
+      assert(math.abs(lon2 - lon) < 1e-11 && math.abs(lat2 - lat) < 1e-11,
+        s"$code ($lon,$lat): angular drift")
+    }
+  }
+
+  test("central-meridian northing equals k0 × meridian arc (independent integral)") {
+    // the meridian arc length is computed HERE by numeric integration of
+    // M(φ) = ∫ a(1−e²)/(1−e² sin²φ)^{3/2} dφ — independent of the Krüger
+    // series under test
+    val a = 6378137.0; val f = 1.0 / 298.257223563
+    val e2 = f * (2 - f)
+    def integrand(phi: Double): Double =
+      a * (1 - e2) / math.pow(1 - e2 * math.sin(phi) * math.sin(phi), 1.5)
+    def meridianArc(latDeg: Double): Double = {
+      val hi = math.toRadians(latDeg)
+      val nSteps = 20000 // Simpson's rule, more than enough for 1e-7 m
+      val h = hi / nSteps
+      var s = integrand(0) + integrand(hi)
+      for (i <- 1 until nSteps)
+        s += (if (i % 2 == 1) 4.0 else 2.0) * integrand(i * h)
+      s * h / 3.0
+    }
+    for (lat <- Seq(0.01, 10.0, 40.0, 52.0, 75.0)) {
+      // zone 31 central meridian is 3°E
+      val (e, n) = Proj.transform("EPSG:4326", "EPSG:32631", 3.0, lat)
+      assert(math.abs(e - 500000.0) < 1e-6, s"lat $lat: easting $e")
+      val expect = 0.9996 * meridianArc(lat)
+      assert(math.abs(n - expect) < 1e-5, s"lat $lat: northing $n vs $expect")
+    }
+    // southern hemisphere: false northing 10 000 km
+    val (_, nS) = Proj.transform("EPSG:4326", "EPSG:32731", 3.0, -40.0)
+    assert(math.abs(nS - (10000000.0 - 0.9996 * meridianArc(40.0))) < 1e-5)
+  }
+
+  test("UTM matches published anchor coordinates") {
+    // CN Tower (the UTM article's worked example): 43°38'33.24"N
+    // 79°23'13.7"W → zone 17N 630084 E, 4833438 N
+    val (e1, n1) = Proj.transform("EPSG:4326", "EPSG:32617",
+      -(79 + 23 / 60.0 + 13.7 / 3600.0), 43 + 38 / 60.0 + 33.24 / 3600.0)
+    assert(math.abs(e1 - 630084) < 1.0, s"easting $e1")
+    assert(math.abs(n1 - 4833438) < 1.5, s"northing $n1")
+    // easting is antisymmetric about the central meridian
+    val (eW, nW) = Proj.transform("EPSG:4326", "EPSG:32631", 2.0, 45.0)
+    val (eE, nE) = Proj.transform("EPSG:4326", "EPSG:32631", 4.0, 45.0)
+    assert(math.abs((eE - 500000) + (eW - 500000)) < 1e-6)
+    assert(math.abs(nE - nW) < 1e-6)
+  }
+
+  test("UTM composes through the hub with RD and web mercator") {
+    // Amersfoort (RD origin) sits in UTM zone 31N
+    val (e, n) = Proj.transform("EPSG:28992", "EPSG:32631", 155000, 463000)
+    // independent: hub through WGS84 explicitly
+    val (lon, lat) = Proj.rdToWgs84(155000, 463000)
+    val (e2, n2) = Proj.transform("EPSG:4326", "EPSG:32631", lon, lat)
+    assert(e == e2 && n == n2)
+    assert(e > 600000 && e < 700000 && n > 5700000 && n < 5850000, s"($e,$n)")
+    // and back within RD polynomial accuracy (~25 cm)
+    val (x2, y2) = Proj.transform("EPSG:32631", "EPSG:28992", e, n)
+    assert(math.abs(x2 - 155000) < 0.5 && math.abs(y2 - 463000) < 0.5)
+  }
+
+  test("ETRS89 UTM and WGS84 UTM agree to sub-millimetre (GRS80 vs WGS84)") {
+    val (e1, n1) = Proj.transform("EPSG:4326", "EPSG:32632", 9.0, 54.0)
+    val (e2, n2) = Proj.transform("EPSG:4326", "EPSG:25832", 9.0, 54.0)
+    assert(math.abs(e1 - e2) < 1e-3 && math.abs(n1 - n2) < 1e-3)
+  }
 }
 
 class ReprojectionSpec extends SparkSpec {
@@ -42,6 +133,26 @@ class ReprojectionSpec extends SparkSpec {
     val far = RasterRequest(Bbox(4.0, 51.0, 4.001, 51.001), "EPSG:4326", 4, 4,
       Some(T0), Some(T0))
     assert(source.getData(far).get.values(0).forall(_ == 255.0))
+  }
+
+  test("MemorySource in UTM serves WGS84 and RD requests") {
+    import java.time.Instant
+    val src = MemorySource(
+      data = Seq(Array.fill(100)(1.0)),
+      gridW = 10, gridH = 10, noDataIn = 255.0,
+      projection = "EPSG:32631", pixelSize = 5.0,
+      originX = 600000.0, originY = 5800000.0, // ~52.3°N inside zone 31
+      timeFirstMs = 0L, frameDeltaMs = None, dtypeName = "float64")
+    val t = Some(Instant.ofEpochMilli(0L))
+    val (lon1, lat1) = Proj.transform("EPSG:32631", "EPSG:4326", 600001, 5799951)
+    val (lon2, lat2) = Proj.transform("EPSG:32631", "EPSG:4326", 600049, 5799999)
+    val res = src.getData(RasterRequest(Bbox(lon1, lat1, lon2, lat2),
+      "EPSG:4326", 10, 10, t, t)).get
+    assert(res.values(0).count(_ == 1.0) > 90, res.values(0).toSeq.toString)
+    // far away in lon/lat → all nodata (the output-dtype sentinel)
+    val far = src.getData(RasterRequest(Bbox(-100.0, 10.0, -99.9, 10.1),
+      "EPSG:4326", 4, 4, t, t)).get
+    assert(far.values(0).forall(_ == far.noDataValue))
   }
 
   test("Area reprojects: a 1-degree-ish WGS84 square has metric RD area") {

@@ -109,6 +109,22 @@ class WarpSpec extends SparkSpec {
     compare(req)
   }
 
+  test("UTM (EPSG:32631) request over a table raster matches the MemorySource warp") {
+    val (x1, y1) = Proj.transform("EPSG:28992", "EPSG:32631", 0, 0)
+    val (x2, y2) = Proj.transform("EPSG:28992", "EPSG:32631", gw, gh)
+    val req = RasterRequest(Bbox(x1, y1, x2, y2), "EPSG:32631", 20, 12,
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0 + Hour)))
+    compare(req)
+  }
+
+  test("southern-hemisphere UTM (EPSG:32731) request matches the MemorySource warp") {
+    val (x1, y1) = Proj.transform("EPSG:28992", "EPSG:32731", 0, 0)
+    val (x2, y2) = Proj.transform("EPSG:28992", "EPSG:32731", gw, gh)
+    val req = RasterRequest(Bbox(x1, y1, x2, y2), "EPSG:32731", 10, 6,
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0 + Hour)))
+    compare(req)
+  }
+
   test("overlapping warped time sub-ranges reuse one cached gather") {
     FrameCache.clear()
     // off-grid window → warp path; two single-frame requests over the SAME
