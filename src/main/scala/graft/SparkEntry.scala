@@ -1019,7 +1019,7 @@ object SparkEntry {
       val p = partSquares(dir)
       val out = java.nio.file.Files.createTempDirectory("verify_shp")
         .resolve("parts.shp").toString
-      ShapefileSink.write(p, out, GeometryRequest())
+      GeometryToFile.toFile(p, out) // streaming export: no geometry guard
       val back = ShapefileSource(out)
       back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
         .select(col("fid"), col("p_size"), round(col("area"), 6).as("area"))
@@ -1035,7 +1035,7 @@ object SparkEntry {
       val p = partSquares(dir)
       val out = java.nio.file.Files.createTempDirectory("verify_gpkg")
         .resolve("parts.gpkg").toString
-      GeoPackageSink.write(p, out, GeometryRequest())
+      GeometryToFile.toFile(p, out) // streaming export: no geometry guard
       val back = GeometryFileSource(out)
       back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
         .select(col("fid"), col("p_size"), round(col("area"), 6).as("area"))
@@ -1045,7 +1045,7 @@ object SparkEntry {
       val p = partSquares(dir)
       val out = java.nio.file.Files.createTempDirectory("verify_gml")
         .resolve("parts.gml").toString
-      GmlSink.write(p, out, GeometryRequest())
+      GeometryToFile.toFile(p, out) // streaming export: no geometry guard
       val back = GeometryFileSource(out)
       back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
         .select(col("fid"), col("p_size"), round(col("area"), 6).as("area"))

@@ -3,7 +3,7 @@ package graft.geometry
 import java.io.RandomAccessFile
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Minimal SQLite *writer* — the emit side of [[Sqlite]], enough to produce
@@ -28,8 +28,20 @@ object SqliteWrite {
   /** One table to emit: `sql` is the CREATE TABLE text recorded in
     * sqlite_master; rows are (rowid, values) with values already coerced to
     * null / java.lang.Long / java.lang.Double / String / Array[Byte]
-    * (INTEGER PRIMARY KEY columns must hold null — the rowid aliases them). */
-  case class Table(name: String, sql: String, rows: Seq[(Long, Seq[Any])])
+    * (INTEGER PRIMARY KEY columns must hold null — the rowid aliases them).
+    * `rows` is consumed ONCE, in streaming fashion, and must be
+    * rowid-ascending with no duplicates — so unbounded exports can feed a
+    * sorted `toLocalIterator` without materializing the table. */
+  case class Table(name: String, sql: String, rows: Iterator[(Long, Seq[Any])])
+
+  object Table {
+    def apply(name: String, sql: String, rows: Seq[(Long, Seq[Any])]): Table = {
+      val sorted = rows.sortBy(_._1)
+      require(sorted.map(_._1).distinct.size == sorted.size,
+        s"table $name: duplicate rowids")
+      Table(name, sql, sorted.iterator)
+    }
+  }
 
   /** SQLite varint (1-9 bytes, big-endian 7-bit groups; 9th byte = low 8). */
   def varintBytes(v: Long): Array[Byte] = {
@@ -184,12 +196,15 @@ object SqliteWrite {
     putShort(buf, hdrOff + 5, top)
   }
 
-  /** Pack cells into leaves (rows must be rowid-ascending). */
-  private def packLeaves(rows: Seq[(Long, Seq[Any])], alloc: Alloc): Seq[Child] = {
+  /** Pack cells into leaves, consuming `rows` once (streaming — only the
+    * current leaf's cells are held). Enforces the ascending-unique rowid
+    * contract the b-tree requires. */
+  private def packLeaves(rows: Iterator[(Long, Seq[Any])], alloc: Alloc,
+      table: String): Seq[Child] = {
     val leaves = Seq.newBuilder[Child]
     val cur = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     var curSize = 0
-    var lastRid = 0L
+    var lastRid = Long.MinValue
     def flush(): Unit = if (cur.nonEmpty) {
       val pn = alloc.alloc()
       writeLeaf(alloc(pn), 0, cur.toSeq)
@@ -197,6 +212,8 @@ object SqliteWrite {
       cur.clear(); curSize = 0
     }
     rows.foreach { case (rid, vals) =>
+      require(rid > lastRid,
+        s"table $table: rowids must be strictly ascending (got $rid after $lastRid)")
       val cell = makeLeafCell(rid, encodeRecord(vals), alloc)
       if (cur.nonEmpty && 8 + 2 * (cur.size + 1) + curSize + cell.length > U) flush()
       cur += cell; curSize += cell.length
@@ -238,10 +255,7 @@ object SqliteWrite {
       applicationId: Int = 0, userVersion: Int = 0): Unit = {
     val alloc = new Alloc
     val roots = tables.map { t =>
-      val rows = t.rows.sortBy(_._1)
-      require(rows.map(_._1).distinct.size == rows.size,
-        s"table ${t.name}: duplicate rowids")
-      val leaves = packLeaves(rows, alloc)
+      val leaves = packLeaves(t.rows, alloc, t.name)
       if (leaves.isEmpty) {
         // empty table: a single empty leaf page is its root
         val pn = alloc.alloc()
@@ -261,7 +275,7 @@ object SqliteWrite {
     }
     val oneLeafSize = 8 + 2 * masterCells.size + masterCells.map(_.length).sum
     if (oneLeafSize <= U - 100) writeLeaf(alloc(1), 100, masterCells)
-    else buildRoot(packLeaves(masterRows, alloc), alloc, Some(1))
+    else buildRoot(packLeaves(masterRows.iterator, alloc, "sqlite_master"), alloc, Some(1))
     // the lock-byte page (at offset 2^30) may hold no data; files that large
     // should use the distributed parquet sink instead
     require(alloc.pages.size.toLong * PageSize < (1L << 30),
@@ -345,59 +359,30 @@ object GeoPackageSink {
     case other => other.toString
   }
 
-  def write(source: GeometryBlock, gpkgPath: String, req: GeometryRequest,
-      table: Option[String] = None)(implicit spark: SparkSession): String = {
-    val df = source.frame(req)
-    require(df.columns.contains("geometry"), "gpkg export needs a geometry column")
-    val tableName = table.getOrElse {
+  private def tableNameFor(gpkgPath: String, table: Option[String]): String =
+    table.getOrElse {
       val base = new java.io.File(gpkgPath).getName
       if (base.toLowerCase.endsWith(".gpkg")) base.dropRight(5) else base
     }
-    val rows = {
-      val cap = graft.raster.RequestGuards.geometryLimit
-      val limited = req.limit.isDefined
-      val collected = (if (limited) df else df.limit(cap + 1)).collect()
-      if (!limited && collected.length > cap) throw new RuntimeException(
-        s"The amount of returned geometries exceeded the maximum of $cap geometries.")
-      collected
-    }
-    val srsId = source.projection.split(":") match {
+
+  private def srsOf(proj: String): (Int, String) = {
+    val srsId = proj.split(":") match {
       case Array(_, code) if code.forall(c => c.isDigit || c == '-') => code.toInt
       case _ => 0
     }
-    val org = source.projection.split(":").headOption.getOrElse("NONE").toUpperCase
-    val geomIdx = df.columns.indexOf("geometry")
-    val hasFid = df.columns.contains("fid")
-    val fidIdx = df.columns.indexOf("fid")
-    val attrCols = df.columns.zipWithIndex
-      .filter { case (c, i) => c != "geometry" && c != "fid" }
-    // feature rows: rowid = fid (or 1..n), record = (NULL ipk, gpb, attrs…)
-    var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity
-    var maxX = Double.NegativeInfinity; var maxY = Double.NegativeInfinity
-    val typeNames = scala.collection.mutable.Set[String]()
-    val featRows = rows.zipWithIndex.map { case (r, i) =>
-      val rid = if (hasFid) r.get(fidIdx) match {
-        case l: java.lang.Long => l.longValue
-        case x: java.lang.Integer => x.longValue
-        case _ => i + 1L
-      } else i + 1L
-      val wkb = r.get(geomIdx).asInstanceOf[Array[Byte]]
-      val blob = if (wkb == null) null else {
-        val g = GeomFunctions.readWkb(wkb)
-        val e = g.getEnvelopeInternal
-        minX = math.min(minX, e.getMinX); minY = math.min(minY, e.getMinY)
-        maxX = math.max(maxX, e.getMaxX); maxY = math.max(maxY, e.getMaxY)
-        typeNames += g.getGeometryType.toUpperCase
-        gpb(wkb, srsId)
-      }
-      (rid, null +: blob +: attrCols.map { case (_, ai) => coerce(r.get(ai)) }.toSeq)
-    }.toSeq
-    val geomType = if (typeNames.size == 1) typeNames.head else "GEOMETRY"
+    (srsId, proj.split(":").headOption.getOrElse("NONE").toUpperCase)
+  }
+
+  /** The three GeoPackage metadata tables + the feature-table DDL. */
+  private def buildTables(tableName: String, proj: String,
+      attrCols: Seq[(String, DataType)], geomType: String,
+      env: Option[(Double, Double, Double, Double)],
+      featRows: Iterator[(Long, Seq[Any])]): Seq[SqliteWrite.Table] = {
+    val (srsId, org) = srsOf(proj)
     val q = (s: String) => "\"" + s + "\""
     val featSql = s"CREATE TABLE ${q(tableName)} (${q("fid")} INTEGER PRIMARY KEY, " +
       s"${q("geom")} ${geomType}" +
-      attrCols.map { case (c, i) => s", ${q(c)} ${declFor(df.schema(c).dataType)}" }
-        .mkString + ")"
+      attrCols.map { case (c, dt) => s", ${q(c)} ${declFor(dt)}" }.mkString + ")"
     val srsRows: Seq[(Long, Seq[Any])] = {
       val base = Seq(
         (-1L, Seq[Any]("Undefined cartesian SRS", null, "NONE",
@@ -407,18 +392,17 @@ object GeoPackageSink {
         (4326L, Seq[Any]("WGS 84", null, "EPSG",
           java.lang.Long.valueOf(4326L), Wgs84Wkt, null)))
       if (Set(-1L, 0L, 4326L).contains(srsId.toLong)) base
-      else base :+ ((srsId.toLong, Seq[Any](source.projection, null, org,
+      else base :+ ((srsId.toLong, Seq[Any](proj, null, org,
         java.lang.Long.valueOf(srsId.toLong), "undefined", null)))
     }
-    val hasGeoms = typeNames.nonEmpty
     val contentsRow: Seq[Any] = Seq[Any](tableName, "features", tableName, "",
       "2026-01-01T00:00:00.000Z",
-      if (hasGeoms) java.lang.Double.valueOf(minX) else null,
-      if (hasGeoms) java.lang.Double.valueOf(minY) else null,
-      if (hasGeoms) java.lang.Double.valueOf(maxX) else null,
-      if (hasGeoms) java.lang.Double.valueOf(maxY) else null,
+      env.map(e => java.lang.Double.valueOf(e._1)).orNull,
+      env.map(e => java.lang.Double.valueOf(e._2)).orNull,
+      env.map(e => java.lang.Double.valueOf(e._3)).orNull,
+      env.map(e => java.lang.Double.valueOf(e._4)).orNull,
       java.lang.Long.valueOf(srsId.toLong))
-    val tables = Seq(
+    Seq(
       SqliteWrite.Table("gpkg_spatial_ref_sys",
         "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, " +
           "srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, " +
@@ -448,8 +432,126 @@ object GeoPackageSink {
           java.lang.Long.valueOf(srsId.toLong), java.lang.Long.valueOf(0L),
           java.lang.Long.valueOf(0L))))),
       SqliteWrite.Table(tableName, featSql, featRows))
+  }
+
+  def write(source: GeometryBlock, gpkgPath: String, req: GeometryRequest,
+      table: Option[String] = None)(implicit spark: SparkSession): String = {
+    val df = source.frame(req)
+    require(df.columns.contains("geometry"), "gpkg export needs a geometry column")
+    val tableName = tableNameFor(gpkgPath, table)
+    val rows = {
+      val cap = graft.raster.RequestGuards.geometryLimit
+      val limited = req.limit.isDefined
+      val collected = (if (limited) df else df.limit(cap + 1)).collect()
+      if (!limited && collected.length > cap) throw new RuntimeException(
+        s"The amount of returned geometries exceeded the maximum of $cap geometries.")
+      collected
+    }
+    val (srsId, _) = srsOf(source.projection)
+    val geomIdx = df.columns.indexOf("geometry")
+    val hasFid = df.columns.contains("fid")
+    val fidIdx = df.columns.indexOf("fid")
+    val attrCols = df.columns.zipWithIndex
+      .filter { case (c, _) => c != "geometry" && c != "fid" }
+    // feature rows: rowid = fid (or 1..n), record = (NULL ipk, gpb, attrs…)
+    var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity
+    var maxX = Double.NegativeInfinity; var maxY = Double.NegativeInfinity
+    val typeNames = scala.collection.mutable.Set[String]()
+    val featRows = rows.zipWithIndex.map { case (r, i) =>
+      val rid = if (hasFid) r.get(fidIdx) match {
+        case l: java.lang.Long => l.longValue
+        case x: java.lang.Integer => x.longValue
+        case _ => i + 1L
+      } else i + 1L
+      val wkb = r.get(geomIdx).asInstanceOf[Array[Byte]]
+      val blob = if (wkb == null) null else {
+        val g = GeomFunctions.readWkb(wkb)
+        val e = g.getEnvelopeInternal
+        minX = math.min(minX, e.getMinX); minY = math.min(minY, e.getMinY)
+        maxX = math.max(maxX, e.getMaxX); maxY = math.max(maxY, e.getMaxY)
+        typeNames += g.getGeometryType.toUpperCase
+        gpb(wkb, srsId)
+      }
+      (rid, null +: blob +: attrCols.map { case (_, ai) => coerce(r.get(ai)) }.toSeq)
+    }.toSeq
+    val geomType = if (typeNames.size == 1) typeNames.head else "GEOMETRY"
+    val tables = buildTables(tableName, source.projection,
+      attrCols.map { case (c, _) => (c, df.schema(c).dataType) }.toSeq, geomType,
+      if (typeNames.nonEmpty) Some((minX, minY, maxX, maxY)) else None,
+      featRows.sortBy(_._1).iterator)
     new java.io.File(gpkgPath).delete()
     // application_id "GPKG", user_version 1.3.0 (GeoPackage spec §1.1.1.1.1)
+    SqliteWrite.writeDb(gpkgPath, tables,
+      applicationId = 0x47504B47, userVersion = 10300)
+    gpkgPath
+  }
+
+  /** Unbounded streaming export, no geometry-limit guard: one distributed
+    * metadata pass (envelope, geometry types, fid usability), then a
+    * fid-sorted `toLocalIterator` feeds the page builder — driver memory is
+    * bounded by one Spark partition plus the page buffer. The reference
+    * exports unbounded totals the same way: per-tile files appended through
+    * one OGR handle (sinks.py:224-284, merge_files :116-169); here the tile
+    * stage is Spark's own partitioning. */
+  def writeStream(df: DataFrame, proj: String, gpkgPath: String,
+      table: Option[String] = None)(implicit spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    require(df.columns.contains("geometry"), "gpkg export needs a geometry column")
+    val tableName = tableNameFor(gpkgPath, table)
+    val (srsId, _) = srsOf(proj)
+    val geomTypeOf = udf { (wkb: Array[Byte]) =>
+      if (wkb == null) null else GeomFunctions.readWkb(wkb).getGeometryType.toUpperCase
+    }
+    val hasFid = df.columns.contains("fid")
+    val meta = df.agg(
+      min(GeomFunctions.stEnvMinX(col("geometry"))).as("x1"),
+      min(GeomFunctions.stEnvMinY(col("geometry"))).as("y1"),
+      max(GeomFunctions.stEnvMaxX(col("geometry"))).as("x2"),
+      max(GeomFunctions.stEnvMaxY(col("geometry"))).as("y2"),
+      collect_set(geomTypeOf(col("geometry"))).as("types"),
+      count(lit(1)).as("n"),
+      (if (hasFid) count_distinct(col("fid")) else lit(0L)).as("nfid")).head()
+    val types = meta.getSeq[String](4)
+    val geomType = if (types.size == 1) types.head else "GEOMETRY"
+    val env = if (meta.isNullAt(0)) None
+      else Some((meta.getDouble(0), meta.getDouble(1), meta.getDouble(2), meta.getDouble(3)))
+    // rowid = fid when usable (present, unique); else a sequential renumber,
+    // like OGR's append assigns fresh FIDs on merge
+    val useFid = hasFid && meta.getLong(6) == meta.getLong(5)
+    val attrCols = df.columns.filter(c => c != "geometry" && c != "fid").toSeq
+    val geomIdx = df.columns.indexOf("geometry")
+    val attrIdx = attrCols.map(df.columns.indexOf(_))
+    def record(r: org.apache.spark.sql.Row): Seq[Any] = {
+      val wkb = r.get(geomIdx).asInstanceOf[Array[Byte]]
+      val blob = if (wkb == null) null else gpb(wkb, srsId)
+      null +: blob +: attrIdx.map(i => coerce(r.get(i)))
+    }
+    val featRows: Iterator[(Long, Seq[Any])] =
+      if (useFid) {
+        val fidIdx = df.columns.indexOf("fid")
+        val it = df.orderBy(col("fid")).toLocalIterator()
+        new Iterator[(Long, Seq[Any])] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): (Long, Seq[Any]) = {
+            val r = it.next()
+            (r.get(fidIdx) match {
+              case l: java.lang.Long => l.longValue
+              case i: java.lang.Integer => i.longValue
+              case _ => throw new IllegalArgumentException("fid must be integral")
+            }, record(r))
+          }
+        }
+      } else {
+        val it = df.toLocalIterator()
+        var rid = 0L
+        new Iterator[(Long, Seq[Any])] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): (Long, Seq[Any]) = { rid += 1; (rid, record(it.next())) }
+        }
+      }
+    val tables = buildTables(tableName, proj,
+      attrCols.map(c => (c, df.schema(c).dataType)), geomType, env, featRows)
+    new java.io.File(gpkgPath).delete()
     SqliteWrite.writeDb(gpkgPath, tables,
       applicationId = 0x47504B47, userVersion = 10300)
     gpkgPath

@@ -397,6 +397,94 @@ object Gml {
   * way, geometry/sinks.py:128-154). Unbounded exports belong in
   * geoparquet. */
 object GmlSink {
+
+  private def docHead(gmlPath: String,
+      bbox: Option[(Double, Double, Double, Double)]): String = {
+    val sb = new StringBuilder(512)
+    sb.append("<?xml version=\"1.0\" encoding=\"utf-8\" ?>\n")
+    sb.append("<ogr:FeatureCollection\n")
+    sb.append(s"""     xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"\n""")
+    sb.append(s"""     xsi:schemaLocation="http://ogr.maptools.org/ ${Gml.escape(new java.io.File(Gml.xsdPathFor(gmlPath)).getName)}"\n""")
+    sb.append("     xmlns:ogr=\"http://ogr.maptools.org/\"\n")
+    sb.append("     xmlns:gml=\"http://www.opengis.net/gml\">\n")
+    bbox.foreach { case (minX, minY, maxX, maxY) =>
+      sb.append("  <gml:boundedBy><gml:Box>")
+      sb.append(s"<gml:coord><gml:X>${Gml.fmt(minX)}</gml:X><gml:Y>${Gml.fmt(minY)}</gml:Y></gml:coord>")
+      sb.append(s"<gml:coord><gml:X>${Gml.fmt(maxX)}</gml:X><gml:Y>${Gml.fmt(maxY)}</gml:Y></gml:coord>")
+      sb.append("</gml:Box></gml:boundedBy>\n")
+    }
+    sb.toString
+  }
+
+  /** One `<gml:featureMember>` block; `values` aligned with `names`,
+    * nulls omitted. */
+  private def memberXml(layer: String, fid: Long,
+      g: org.locationtech.jts.geom.Geometry, srs: String,
+      names: Seq[String], values: Seq[Any]): String = {
+    val sb = new StringBuilder(512)
+    sb.append(s"""  <gml:featureMember>\n    <ogr:$layer fid="$layer.$fid">\n""")
+    if (g != null) {
+      // srsName rides on the outermost geometry tag, like OGR writes it
+      val gml = Gml.toGml(g).replaceFirst(">",
+        java.util.regex.Matcher.quoteReplacement(s""" srsName="${Gml.escape(srs)}">"""))
+      sb.append(s"      <ogr:geometryProperty>$gml</ogr:geometryProperty>\n")
+    }
+    names.zip(values).foreach { case (name, v0) =>
+      if (v0 != null) {
+        val v = v0 match {
+          case d: java.sql.Timestamp => d.toInstant.toString
+          case other                 => other.toString
+        }
+        sb.append(s"      <ogr:$name>${Gml.escape(v)}</ogr:$name>\n")
+      }
+    }
+    sb.append(s"    </ogr:$layer>\n  </gml:featureMember>\n")
+    sb.toString
+  }
+
+  /** Unbounded streaming export, no geometry-limit guard: a distributed
+    * envelope pass fills `gml:boundedBy` up front, then a fid-sorted
+    * `toLocalIterator` appends one member at a time — driver memory is
+    * bounded by one Spark partition. The engine analogue of the reference's
+    * tiled to_file + merge_files (sinks.py:224-284, :116-169). */
+  def writeStream(df: DataFrame, proj: String, gmlPath: String)
+      (implicit spark: SparkSession): String = {
+    require(df.columns.contains("geometry"), "GML export needs a geometry column")
+    val attrCols = df.columns.filterNot(c => c == "geometry" || c == "fid").toSeq
+    val outNames = Gml.fieldNamesFor(attrCols)
+    val layer = Gml.layerNameFor(gmlPath)
+    val ext = df.agg(
+      min(GeomFunctions.stEnvMinX(col("geometry"))), min(GeomFunctions.stEnvMinY(col("geometry"))),
+      max(GeomFunctions.stEnvMaxX(col("geometry"))), max(GeomFunctions.stEnvMaxY(col("geometry")))
+    ).head()
+    val bbox = if (ext.isNullAt(0)) None
+      else Some((ext.getDouble(0), ext.getDouble(1), ext.getDouble(2), ext.getDouble(3)))
+    val fidIdx = df.columns.indexOf("fid")
+    val geomIdx = df.columns.indexOf("geometry")
+    val attrIdx = attrCols.map(df.columns.indexOf(_))
+    val ordered = if (fidIdx >= 0) df.orderBy(col("fid")) else df
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(gmlPath), "UTF-8"))
+    try {
+      w.write(docHead(gmlPath, bbox))
+      val it = ordered.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val fid = if (fidIdx >= 0 && !r.isNullAt(fidIdx)) r.getLong(fidIdx) else -1L
+        val wkb = if (geomIdx >= 0) r.get(geomIdx).asInstanceOf[Array[Byte]] else null
+        val g = if (wkb == null) null else GeomFunctions.readWkb(wkb)
+        w.write(memberXml(layer, fid, g, proj, outNames, attrIdx.map(i => r.get(i))))
+      }
+      w.write("</ogr:FeatureCollection>\n")
+    } finally w.close()
+    val fields = attrCols.zip(outNames).map { case (c, n) =>
+      (n, Gml.xsdType(df.schema(c).dataType))
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(Gml.xsdPathFor(gmlPath)),
+      Gml.xsdFor(layer, fields).getBytes("UTF-8"))
+    gmlPath
+  }
+
   def write(source: GeometryBlock, gmlPath: String, req: GeometryRequest)
       (implicit spark: SparkSession): String = {
     val df = source.frame(req)
@@ -435,37 +523,11 @@ object GmlSink {
     }
 
     val sb = new StringBuilder(1 << 20)
-    sb.append("<?xml version=\"1.0\" encoding=\"utf-8\" ?>\n")
-    sb.append("<ogr:FeatureCollection\n")
-    sb.append(s"""     xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"\n""")
-    sb.append(s"""     xsi:schemaLocation="http://ogr.maptools.org/ ${Gml.escape(new java.io.File(Gml.xsdPathFor(gmlPath)).getName)}"\n""")
-    sb.append("     xmlns:ogr=\"http://ogr.maptools.org/\"\n")
-    sb.append("     xmlns:gml=\"http://www.opengis.net/gml\">\n")
-    if (minX.isFinite) {
-      sb.append("  <gml:boundedBy><gml:Box>")
-      sb.append(s"<gml:coord><gml:X>${Gml.fmt(minX)}</gml:X><gml:Y>${Gml.fmt(minY)}</gml:Y></gml:coord>")
-      sb.append(s"<gml:coord><gml:X>${Gml.fmt(maxX)}</gml:X><gml:Y>${Gml.fmt(maxY)}</gml:Y></gml:coord>")
-      sb.append("</gml:Box></gml:boundedBy>\n")
-    }
+    sb.append(docHead(gmlPath,
+      if (minX.isFinite) Some((minX, minY, maxX, maxY)) else None))
     rows.zip(geoms).foreach { case (r, g) =>
       val fid = if (fidIdx >= 0 && !r.isNullAt(fidIdx)) r.getLong(fidIdx) else -1L
-      sb.append(s"""  <gml:featureMember>\n    <ogr:$layer fid="$layer.$fid">\n""")
-      if (g != null) {
-        // srsName rides on the outermost geometry tag, like OGR writes it
-        val gml = Gml.toGml(g).replaceFirst(">",
-          java.util.regex.Matcher.quoteReplacement(s""" srsName="${Gml.escape(srs)}">"""))
-        sb.append(s"      <ogr:geometryProperty>$gml</ogr:geometryProperty>\n")
-      }
-      attrIdx.zip(outNames).foreach { case (i, name) =>
-        if (!r.isNullAt(i)) {
-          val v = r.get(i) match {
-            case d: java.sql.Timestamp => d.toInstant.toString
-            case other                 => other.toString
-          }
-          sb.append(s"      <ogr:$name>${Gml.escape(v)}</ogr:$name>\n")
-        }
-      }
-      sb.append(s"    </ogr:$layer>\n  </gml:featureMember>\n")
+      sb.append(memberXml(layer, fid, g, srs, outNames, attrIdx.map(i => r.get(i))))
     }
     sb.append("</ogr:FeatureCollection>\n")
 

@@ -329,63 +329,89 @@ object Shapefile {
 
   // ----------------------------------------------------------------- write
 
+  /** Streaming shapefile writer: records append one at a time with bounded
+    * memory; the headers that depend on totals (.shp/.shx lengths, union
+    * envelope, shape type, .dbf record count) are back-patched on `close` —
+    * the shapefile layout permits this because every variable-length total
+    * lives in a fixed-offset header slot. Lets unbounded exports feed a
+    * sorted `toLocalIterator` without materializing the feature set. */
+  final class StreamWriter(shpPath: String, fields: Seq[DbfField], proj: String) {
+    private val base = shpPath.stripSuffix(".shp")
+    private val shp = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(shpPath)))
+    private val shx = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(base + ".shx")))
+    private val dbf = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(base + ".dbf")))
+    private val env = new Envelope()
+    private var shapeType = -1
+    private var count = 0
+    private var offWords = 50
+
+    // placeholder headers, patched in close()
+    shp.write(new Array[Byte](100))
+    shx.write(new Array[Byte](100))
+    dbf.write(dbfHeader(fields, 0))
+
+    def append(g: Geometry, attrs: Seq[Any]): Unit = {
+      if (g != null) {
+        val st = shapeTypeOf(g)
+        if (shapeType == -1) shapeType = st
+        else if (st != shapeType) throw new IllegalArgumentException(
+          "all geometries in a shapefile must share one shape type")
+        env.expandToInclude(g.getEnvelopeInternal)
+      }
+      val c = encodeShape(g)
+      count += 1
+      shp.writeInt(count) // record numbers are 1-based
+      shp.writeInt(c.length / 2)
+      shp.write(c)
+      shx.writeInt(offWords)
+      shx.writeInt(c.length / 2)
+      offWords += 4 + c.length / 2
+      writeDbfRecord(dbf, attrs, fields)
+    }
+
+    def close(): Unit = {
+      dbf.writeByte(0x1A)
+      shp.close(); shx.close(); dbf.close()
+      if (env.isNull) env.expandToInclude(0, 0)
+      def header(fileWords: Int): Array[Byte] = {
+        val b = ByteBuffer.allocate(100)
+        b.order(ByteOrder.BIG_ENDIAN)
+        b.putInt(0, 9994)
+        b.putInt(24, fileWords)
+        b.order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(28, 1000)
+        b.putInt(32, math.max(shapeType, 0))
+        b.putDouble(36, env.getMinX).putDouble(44, env.getMinY)
+        b.putDouble(52, env.getMaxX).putDouble(60, env.getMaxY)
+        b.array()
+      }
+      patch(shpPath, 0, header(offWords))
+      patch(base + ".shx", 0, header((100 + 8 * count) / 2))
+      // .dbf record count lives at offset 4
+      val cnt = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(count).array()
+      patch(base + ".dbf", 4, cnt)
+      val prj = new FileOutputStream(base + ".prj")
+      try prj.write(proj.getBytes(StandardCharsets.US_ASCII)) finally prj.close()
+    }
+
+    private def patch(path: String, off: Long, bytes: Array[Byte]): Unit = {
+      val raf = new java.io.RandomAccessFile(path, "rw")
+      try { raf.seek(off); raf.write(bytes) } finally raf.close()
+    }
+  }
+
   /** Write one complete shapefile set (.shp/.shx/.dbf/.prj). `rows` carry
     * (geometry, attrs) aligned with `fields`; attrs hold Long/Double/String/
     * Boolean/java.sql.Date or null. */
   def write(shpPath: String, rows: Seq[(Geometry, Seq[Any])],
       fields: Seq[DbfField], proj: String): Unit = {
-    val base = shpPath.stripSuffix(".shp")
-    val shapeType = rows.iterator.map(_._1).collectFirst {
-      case g if g != null => shapeTypeOf(g)
-    }.getOrElse(0)
-
-    val contents = rows.map { case (g, _) =>
-      if (g != null && shapeTypeOf(g) != shapeType)
-        throw new IllegalArgumentException(
-          "all geometries in a shapefile must share one shape type")
-      encodeShape(g)
-    }
-
-    // union envelope (0-box when everything is null)
-    val env = new Envelope()
-    rows.foreach { case (g, _) => if (g != null) env.expandToInclude(g.getEnvelopeInternal) }
-    if (env.isNull) env.expandToInclude(0, 0)
-
-    def header(fileWords: Int): Array[Byte] = {
-      val b = ByteBuffer.allocate(100)
-      b.order(ByteOrder.BIG_ENDIAN)
-      b.putInt(0, 9994)
-      b.putInt(24, fileWords)
-      b.order(ByteOrder.LITTLE_ENDIAN)
-      b.putInt(28, 1000)
-      b.putInt(32, shapeType)
-      b.putDouble(36, env.getMinX).putDouble(44, env.getMinY)
-      b.putDouble(52, env.getMaxX).putDouble(60, env.getMaxY)
-      b.array()
-    }
-
-    val shpWords = (100 + contents.map(c => 8 + c.length).sum) / 2
-    val shp = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(shpPath)))
-    val shx = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(base + ".shx")))
-    try {
-      shp.write(header(shpWords))
-      shx.write(header((100 + 8 * contents.length) / 2))
-      var offWords = 50
-      contents.zipWithIndex.foreach { case (c, i) =>
-        shp.writeInt(i + 1) // record numbers are 1-based
-        shp.writeInt(c.length / 2)
-        shp.write(c)
-        shx.writeInt(offWords)
-        shx.writeInt(c.length / 2)
-        offWords += 4 + c.length / 2
-      }
-    } finally { shp.close(); shx.close() }
-
-    writeDbf(base + ".dbf", rows.map(_._2), fields)
-    val prj = new FileOutputStream(base + ".prj")
-    try prj.write(proj.getBytes(StandardCharsets.US_ASCII)) finally prj.close()
+    val w = new StreamWriter(shpPath, fields, proj)
+    rows.foreach { case (g, attrs) => w.append(g, attrs) }
+    w.close()
   }
 
   /** DBF fields for a Spark schema (geometry/fid excluded by the caller).
@@ -441,62 +467,58 @@ object Shapefile {
     (" " * (f.length - s.length)) + s
   }
 
-  private def writeDbf(path: String, rows: Seq[Seq[Any]],
-      fields: Seq[DbfField]): Unit = {
+  private def dbfHeader(fields: Seq[DbfField], nRecords: Int): Array[Byte] = {
     val recordSize = 1 + fields.map(_.length).sum
     val headerSize = 32 + 32 * fields.length + 1
-    val out = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(path)))
-    try {
-      val head = ByteBuffer.allocate(headerSize).order(ByteOrder.LITTLE_ENDIAN)
-      head.put(0, 0x03.toByte)
-      // fixed stamp: the update date is metadata; a deterministic file is
-      // worth more than a true one here
-      head.put(1, 24.toByte); head.put(2, 1.toByte); head.put(3, 1.toByte)
-      head.putInt(4, rows.length)
-      head.putShort(8, headerSize.toShort)
-      head.putShort(10, recordSize.toShort)
-      fields.zipWithIndex.foreach { case (f, i) =>
-        val off = 32 + 32 * i
-        val nameB = f.name.getBytes(StandardCharsets.US_ASCII)
-        head.position(off)
-        head.put(nameB, 0, math.min(10, nameB.length))
-        head.put(off + 11, f.ftype.toByte)
-        head.put(off + 16, f.length.toByte)
-        head.put(off + 17, f.decimals.toByte)
-      }
-      head.put(headerSize - 1, 0x0D.toByte)
-      out.write(head.array())
+    val head = ByteBuffer.allocate(headerSize).order(ByteOrder.LITTLE_ENDIAN)
+    head.put(0, 0x03.toByte)
+    // fixed stamp: the update date is metadata; a deterministic file is
+    // worth more than a true one here
+    head.put(1, 24.toByte); head.put(2, 1.toByte); head.put(3, 1.toByte)
+    head.putInt(4, nRecords)
+    head.putShort(8, headerSize.toShort)
+    head.putShort(10, recordSize.toShort)
+    fields.zipWithIndex.foreach { case (f, i) =>
+      val off = 32 + 32 * i
+      val nameB = f.name.getBytes(StandardCharsets.US_ASCII)
+      head.position(off)
+      head.put(nameB, 0, math.min(10, nameB.length))
+      head.put(off + 11, f.ftype.toByte)
+      head.put(off + 16, f.length.toByte)
+      head.put(off + 17, f.decimals.toByte)
+    }
+    head.put(headerSize - 1, 0x0D.toByte)
+    head.array()
+  }
 
-      val pad = Array.fill(254)(' '.toByte)
-      rows.foreach { r =>
-        out.writeByte(0x20) // live record
-        fields.zip(r).foreach { case (f, v) =>
-          val bytes = f.ftype match {
-            case 'N' | 'F' => formatNumeric(v, f).getBytes(StandardCharsets.ISO_8859_1)
-            case 'L' => Array((v match {
-              case null => '?'
-              case b: Boolean => if (b) 'T' else 'F'
-              case other => if (other.toString.toBoolean) 'T' else 'F'
-            }).toByte)
-            case 'D' => (v match {
-              case null => " " * 8
-              case d: java.sql.Date => d.toString.replace("-", "")
-              case other => other.toString.replace("-", "").take(8)
-            }).getBytes(StandardCharsets.US_ASCII)
-            case _ =>
-              val s = if (v == null) "" else v.toString
-              val b = s.getBytes(StandardCharsets.ISO_8859_1)
-              if (b.length > f.length) throw new IllegalArgumentException(
-                s"string of ${b.length} bytes overflows C(${f.length}) field '${f.name}'")
-              b
-          }
-          out.write(bytes)
-          if (bytes.length < f.length) out.write(pad, 0, f.length - bytes.length)
-        }
+  private val dbfPad = Array.fill(254)(' '.toByte)
+
+  private def writeDbfRecord(out: DataOutputStream, r: Seq[Any],
+      fields: Seq[DbfField]): Unit = {
+    out.writeByte(0x20) // live record
+    fields.zip(r).foreach { case (f, v) =>
+      val bytes = f.ftype match {
+        case 'N' | 'F' => formatNumeric(v, f).getBytes(StandardCharsets.ISO_8859_1)
+        case 'L' => Array((v match {
+          case null => '?'
+          case b: Boolean => if (b) 'T' else 'F'
+          case other => if (other.toString.toBoolean) 'T' else 'F'
+        }).toByte)
+        case 'D' => (v match {
+          case null => " " * 8
+          case d: java.sql.Date => d.toString.replace("-", "")
+          case other => other.toString.replace("-", "").take(8)
+        }).getBytes(StandardCharsets.US_ASCII)
+        case _ =>
+          val s = if (v == null) "" else v.toString
+          val b = s.getBytes(StandardCharsets.ISO_8859_1)
+          if (b.length > f.length) throw new IllegalArgumentException(
+            s"string of ${b.length} bytes overflows C(${f.length}) field '${f.name}'")
+          b
       }
-      out.writeByte(0x1A)
-    } finally out.close()
+      out.write(bytes)
+      if (bytes.length < f.length) out.write(dbfPad, 0, f.length - bytes.length)
+    }
   }
 }
 
@@ -587,6 +609,60 @@ case class ShapefileSource(url: String, proj: String = "EPSG:28992")
   * workers write per-tile files that a single merge folds together.
   */
 object ShapefileSink {
+
+  /** Unbounded streaming export, no geometry-limit guard: one distributed
+    * pass sizes the fixed-width DBF string fields, then a fid-sorted
+    * `toLocalIterator` appends records one at a time — driver memory is
+    * bounded by one Spark partition. This is the engine's analogue of the
+    * reference's tiled to_file + merge_files (sinks.py:224-284, :116-169). */
+  def writeStream(df: DataFrame, proj: String, shpPath: String)
+      (implicit spark: SparkSession): String = {
+    require(df.columns.contains("geometry"), "shapefile export needs a geometry column")
+    val attrCols = df.columns.filterNot(_ == "geometry").toSeq
+    val schema = attrCols.map(c => (c, df.schema(c).dataType))
+    // distributed width pass for C (string) fields — DBF is fixed-width
+    val strCols = schema.collect {
+      case (c, dt) if !Set[DataType](LongType, IntegerType, ShortType, ByteType,
+        DoubleType, FloatType, BooleanType, DateType).contains(dt) => c
+    }
+    val widths: Map[String, Int] =
+      if (strCols.isEmpty) Map.empty
+      else {
+        val aggs = strCols.map(c => max(length(col(c).cast("string"))).as(c))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        strCols.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) 1 else math.max(1, r.getInt(i)))
+        }.toMap
+      }
+    val fields = schema.map { case (name, dt) =>
+      val short = name.take(10)
+      dt match {
+        case LongType | IntegerType | ShortType | ByteType => Shapefile.DbfField(short, 'N', 18, 0)
+        case DoubleType | FloatType => Shapefile.DbfField(short, 'N', 24, 15)
+        case BooleanType => Shapefile.DbfField(short, 'L', 1, 0)
+        case DateType => Shapefile.DbfField(short, 'D', 8, 0)
+        case _ => Shapefile.DbfField(short, 'C', math.min(254, widths(name)), 0)
+      }
+    }
+    val dup = fields.groupBy(_.name).collectFirst { case (n, fs) if fs.size > 1 => n }
+    dup.foreach(n => throw new IllegalArgumentException(
+      s"field name '$n' collides after the DBF 10-char truncation"))
+
+    val ordered = if (df.columns.contains("fid")) df.orderBy(col("fid")) else df
+    val geomIdx = df.columns.indexOf("geometry")
+    val attrIdx = attrCols.map(df.columns.indexOf(_))
+    val w = new Shapefile.StreamWriter(shpPath, fields, proj)
+    val it = ordered.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val wkb = r.get(geomIdx).asInstanceOf[Array[Byte]]
+      val g = if (wkb == null) null else GeomFunctions.readWkb(wkb)
+      w.append(g, attrIdx.map(i => r.get(i)))
+    }
+    w.close()
+    shpPath
+  }
+
   def write(source: GeometryBlock, shpPath: String, req: GeometryRequest)
       (implicit spark: SparkSession): String = {
     val df = source.frame(req)

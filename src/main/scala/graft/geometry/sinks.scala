@@ -115,11 +115,15 @@ object GeometryFileSink {
     val sources = parts.map(f => GeometryFileSource(f.getAbsolutePath))
     val frames = sources.map(_.frame(GeometryRequest()))
     val merged = frames.reduce(_ unionByName _)
-    val block = MergedFrameBlock(sources.head.columns, sources.head.projection)(merged)
+    // streaming append: the merged union is written through the codec's
+    // toLocalIterator path, so totals far beyond the per-request geometry
+    // guard export with bounded driver memory (reference merge_files
+    // appends tile-by-tile through one OGR handle the same way)
+    val proj = sources.head.projection
     ext match {
-      case "shp"  => ShapefileSink.write(block, target, GeometryRequest())
-      case "gpkg" => GeoPackageSink.write(block, target, GeometryRequest())
-      case "gml"  => GmlSink.write(block, target, GeometryRequest())
+      case "shp"  => ShapefileSink.writeStream(merged, proj, target)
+      case "gpkg" => GeoPackageSink.writeStream(merged, proj, target)
+      case "gml"  => GmlSink.writeStream(merged, proj, target)
       case other  => throw new IllegalArgumentException(
         s"mergeFiles supports shp/gpkg/gml targets, not .$other")
     }
@@ -182,13 +186,26 @@ object GeometryToFile {
       fields: Option[Seq[String]] = None)(implicit spark: SparkSession): String = {
     val lower = url.toLowerCase
     // single-file OGR-style formats dispatch on extension, like the
-    // reference's to_file; everything else goes through the partitioned sink
+    // reference's to_file — exported through the codecs' STREAMING writers,
+    // so totals beyond the per-request geometry guard work (the reference
+    // achieves the same with GeometryTiler tiles + merge_files,
+    // sinks.py:224-284); everything else goes through the partitioned sink
+    def frame = {
+      val df = source.frame(GeometryRequest(mode = "centroid"))
+      fields match {
+        case Some(cols) =>
+          val keep = df.columns.filter(c =>
+            c == "fid" || c == "geometry" || cols.contains(c))
+          df.select(keep.map(col).toIndexedSeq: _*)
+        case None => df
+      }
+    }
     if (lower.endsWith(".shp"))
-      ShapefileSink.write(source, url, GeometryRequest(mode = "centroid"))
+      ShapefileSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".gpkg"))
-      GeoPackageSink.write(source, url, GeometryRequest(mode = "centroid"))
+      GeoPackageSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".gml"))
-      GmlSink.write(source, url, GeometryRequest(mode = "centroid"))
+      GmlSink.writeStream(frame, source.projection, url)
     else GeometryFileSink(source, url, format, fields)
       .write(GeometryRequest(mode = "centroid"))
   }

@@ -168,6 +168,29 @@ class SinksSpec extends SparkSpec {
       Seq("1", "true"))
   }
 
+  test("streaming export moves 15k features through each single-file format") {
+    // 15k > the 10k request guard: only the streaming toLocalIterator path
+    // can export this as ONE file (reference: tiled to_file + merge_files)
+    val n = 15000
+    val src = SeqGeometrySource((1 to n).map { i =>
+      (i.toLong, GeometryFixtures.square((i % 100).toDouble, (i / 100).toDouble * 2,
+        (i % 100) + 1.0, (i / 100) * 2 + 1.0), i * 1.5, s"name_$i")
+    })
+    for (ext <- Seq("shp", "gpkg", "gml")) {
+      val out = Files.createTempDirectory(s"big_$ext").resolve(s"big.$ext").toString
+      GeometryToFile.toFile(src, out)
+      val back = GeometryFileSource(out)
+      val df = back.frame(GeometryRequest())
+      assert(df.count() == n, s"$ext count")
+      val r = df.filter(col("fid") === 12345L).head()
+      assert(r.getAs[Double]("value") == 12345 * 1.5, s"$ext value")
+      assert(r.getAs[String]("name") == "name_12345", s"$ext name")
+      val g = GeomFunctions.readWkb(r.getAs[Array[Byte]]("geometry"))
+      assert(math.abs(g.getArea - 1.0) < 1e-12, s"$ext geometry")
+      assert(back.projection == "EPSG:28992", s"$ext projection")
+    }
+  }
+
   test("construct_multiple rebuilds shared endpoints") {
     import graft.core.BlockRegistry
     val shared = Multiply(source, 2)
