@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// BigTiffSoakSpec holds two ~4.3 GB pixel arrays across its write→read
+// property; run alongside the parallel Spark suites in one JVM, the GC
+// pressure stalls Spark's RPC heartbeats and the fork dies after the tests
+// pass. Give it its own forked JVM and run the groups one at a time.
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  val (soak, main) = (Test / definedTests).value.partition(_.name.contains("BigTiffSoak"))
+  Seq(
+    Tests.Group("main", main, Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))),
+    Tests.Group("bigtiff-soak", soak, Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))),
+  ).filter(_.tests.nonEmpty)
+}
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +39,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 14g: the BigTIFF >4GiB round-trip test holds one 4.3 GB pixel array
+  // on each side of the write→read property (plus the Spark session)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "14g")}",
 )

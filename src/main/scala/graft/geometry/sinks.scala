@@ -217,13 +217,41 @@ object GeometryToFile {
   * writes) — legacy WKT-string geometry lines still parse. Property types
   * are sampled from the head of each part file; feature parsing itself is
   * a narrow executor-side map over the distributed text scan. */
-case class GeoJsonSource(url: String, proj: String = "EPSG:4326") extends GeometryBlock {
+case class GeoJsonSource(url: String, proj: String = "EPSG:4326",
+    fullSchema: Boolean = false) extends GeometryBlock {
 
-  /** (name, spark type) per property, unioned over the leading feature
-    * lines of every part file (features may carry sparse properties; a
-    * property first appearing past the sample depth is served as null by
-    * plan-time schema but present rows still parse). */
-  @transient private lazy val fields: Seq[(String, String)] = {
+  private def typeName(v: Any): String = v match {
+    case _: Long | _: Int => "long"
+    case _: Double        => "double"
+    case _: Boolean       => "boolean"
+    case _                => "string"
+  }
+
+  /** Widen on conflict: long+double rows → double, any other type mix →
+    * string (the only cast every value survives). A previous long must NOT
+    * be overwritten by e.g. boolean — earlier "1" values would then cast to
+    * true. */
+  private def widen(prev: Option[String], t: String): String = prev match {
+    case None                          => t
+    case Some(p) if p == t             => p
+    case Some("long") if t == "double" => "double"
+    case Some("double") if t == "long" => "double"
+    case Some(_)                       => "string"
+  }
+
+  /** (name, spark type) per property. Default: unioned over the leading
+    * feature lines of every part file (features may carry sparse
+    * properties; a property first appearing past the sample depth is served
+    * as null by plan-time schema but present rows still parse).
+    * `fullSchema = true` replaces the head sample with a DISTRIBUTED
+    * key-type union over every feature line (one Spark text scan, keys
+    * sorted for determinism) — late-appearing properties reach the plan
+    * schema at the cost of a schema-inference job, like Spark's own JSON
+    * source without a sampled schema. */
+  @transient private lazy val fields: Seq[(String, String)] =
+    if (fullSchema) fullFields else sampledFields
+
+  @transient private lazy val sampledFields: Seq[(String, String)] = {
     val SampleLines = 100
     val parts = Option(new java.io.File(url).listFiles).toSeq.flatten
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
@@ -234,24 +262,7 @@ case class GeoJsonSource(url: String, proj: String = "EPSG:4326") extends Geomet
         graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]
           .get("properties").foreach {
             case p: Map[_, _] => p.asInstanceOf[Map[String, Any]].foreach {
-              case (k, v) =>
-                val t = v match {
-                  case _: Long | _: Int => "long"
-                  case _: Double        => "double"
-                  case _: Boolean       => "boolean"
-                  case _                => "string"
-                }
-                // widen on conflict: long+double rows → double, any other
-                // type mix → string (the only cast every value survives).
-                // A previous long must NOT be overwritten by e.g. boolean —
-                // earlier "1" values would then cast to true.
-                typed.get(k) match {
-                  case None                          => typed(k) = t
-                  case Some(prev) if prev == t       => // unchanged
-                  case Some("long") if t == "double" => typed(k) = "double"
-                  case Some("double") if t == "long" => // keep double
-                  case Some(_)                       => typed(k) = "string"
-                }
+              case (k, v) => typed(k) = widen(typed.get(k), typeName(v))
             }
             case _ =>
           }
@@ -259,6 +270,30 @@ case class GeoJsonSource(url: String, proj: String = "EPSG:4326") extends Geomet
       finally src.close()
     }
     typed.toSeq
+  }
+
+  @transient private lazy val fullFields: Seq[(String, String)] = {
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.{col, collect_set, explode, length, trim, udf}
+    val keyTypes = udf { (line: String) =>
+      graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]
+        .get("properties") match {
+        case Some(p: Map[_, _]) =>
+          p.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> typeName(v) }
+        case _ => Map.empty[String, String]
+      }
+    }
+    spark.read.text(url)
+      .filter(length(trim(col("value"))) > 0)
+      .select(explode(keyTypes(col("value"))).as(Seq("k", "t")))
+      .groupBy(col("k")).agg(collect_set(col("t")).as("ts"))
+      .collect()
+      .map { r =>
+        val ts = r.getSeq[String](1)
+        r.getString(0) -> ts.foldLeft(Option.empty[String])(
+          (acc, t) => Some(widen(acc, t))).get
+      }
+      .sortBy(_._1).toSeq
   }
 
   override lazy val columns: Set[String] = fields.map(_._1).toSet + "geometry"

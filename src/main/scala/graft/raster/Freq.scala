@@ -111,15 +111,33 @@ object Freq {
       case "QS"              => one(QuarterFreq(end = false))
       case "YE" | "Y" | "A"  => one(YearFreq(end = true))
       case "YS" | "AS"       => one(YearFreq(end = false))
+      // month-anchored quarterly/yearly aliases (pre-2.2 spellings kept)
+      case Anchored(base, mon) =>
+        val m = monthNum(mon)
+        base match {
+          case "QE" | "Q"       => one(QuarterFreq(end = true, m))
+          case "QS"             => one(QuarterFreq(end = false, m))
+          case "YE" | "Y" | "A" => one(YearFreq(end = true, m))
+          case "YS" | "AS"      => one(YearFreq(end = false, m))
+        }
       case other => throw new IllegalArgumentException(s"unsupported frequency '$other'")
     }
   }
+
+  private val Anchored = "^(QE|QS|Q|YE|YS|Y|A|AS)-([A-Za-z]{3})$".r
 
   private def dayName(abbr: String): String = abbr.toUpperCase match {
     case "MON" => "MONDAY"; case "TUE" => "TUESDAY"; case "WED" => "WEDNESDAY"
     case "THU" => "THURSDAY"; case "FRI" => "FRIDAY"; case "SAT" => "SATURDAY"
     case "SUN" => "SUNDAY"
     case other => throw new IllegalArgumentException(s"unknown weekday '$other'")
+  }
+
+  private def monthNum(abbr: String): Int = abbr.toUpperCase match {
+    case "JAN" => 1; case "FEB" => 2; case "MAR" => 3; case "APR" => 4
+    case "MAY" => 5; case "JUN" => 6; case "JUL" => 7; case "AUG" => 8
+    case "SEP" => 9; case "OCT" => 10; case "NOV" => 11; case "DEC" => 12
+    case other => throw new IllegalArgumentException(s"unknown month '$other'")
   }
 
   private[raster] def midnight(d: LocalDate, zone: ZoneId): Instant =
@@ -186,9 +204,14 @@ case class MonthFreq(end: Boolean) extends Freq {
   override def timeDeltaMs: Option[Long] = None
 
   override def binLabel(t: Instant, closed: String, label: String, zone: ZoneId): Instant = {
-    var d = Freq.localDate(t, zone).withDayOfMonth(1)
+    val date = Freq.localDate(t, zone)
+    var d = date.withDayOfMonth(1)
     if (!end && closed == "right" && t == Freq.midnight(d, zone)) d = d.minusMonths(1)
     if (end) {
+      // closed="left": the boundary DATE itself belongs to the next bin
+      // (verified against pandas; same rule WeekFreq always had)
+      if (closed == "left" && date == d.`with`(TemporalAdjusters.lastDayOfMonth))
+        d = d.plusMonths(1)
       val eom = d.`with`(TemporalAdjusters.lastDayOfMonth)
       Freq.midnight(if (label == "left") d.minusDays(1) else eom, zone)
     } else {
@@ -205,16 +228,36 @@ case class MonthFreq(end: Boolean) extends Freq {
   }
 }
 
-case class QuarterFreq(end: Boolean) extends Freq {
+/** Quarterly, optionally month-anchored (pandas `QE-<MON>`/`QS-<MON>`):
+  * quarter boundary months are ≡ `anchorMonth` (mod 3). `QE` ≡ `QE-DEC`
+  * (ends Mar/Jun/Sep/Dec), `QS` ≡ `QS-JAN` (starts Jan/Apr/Jul/Oct);
+  * `QE-JAN` ends Jan/Apr/Jul/Oct, etc. */
+case class QuarterFreq(end: Boolean, anchorMonth: Int = 0) extends Freq {
+  require(anchorMonth >= 0 && anchorMonth <= 12, s"bad anchor month $anchorMonth")
   override def endType: Boolean = end
   override def timeDeltaMs: Option[Long] = None
-  private def quarterStart(d: LocalDate): LocalDate =
-    LocalDate.of(d.getYear, ((d.getMonthValue - 1) / 3) * 3 + 1, 1)
+  // default anchors match pandas: QE-DEC, QS-JAN
+  private val anchor = if (anchorMonth != 0) anchorMonth else if (end) 12 else 1
+  private def idx(d: LocalDate): Int = d.getYear * 12 + d.getMonthValue - 1
+  private def monthStart(i: Int): LocalDate =
+    LocalDate.of(Math.floorDiv(i, 12), Math.floorMod(i, 12) + 1, 1)
+  private val rem = Math.floorMod(anchor - 1, 3)
+  /** First day of the quarter containing month index `i`: for the end type
+    * the quarter ENDS at the next boundary month ≥ i; for the start type it
+    * STARTS at the last boundary month ≤ i. */
+  private def quarterStart(d: LocalDate): LocalDate = {
+    val i = idx(d)
+    if (end) monthStart(i + Math.floorMod(rem - i, 3) - 2)
+    else monthStart(i - Math.floorMod(i - rem, 3))
+  }
 
   override def binLabel(t: Instant, closed: String, label: String, zone: ZoneId): Instant = {
-    var qs = quarterStart(Freq.localDate(t, zone))
+    val d = Freq.localDate(t, zone)
+    var qs = quarterStart(d)
     if (!end && closed == "right" && t == Freq.midnight(qs, zone)) qs = qs.minusMonths(3)
     if (end) {
+      // closed="left": a quarter-end DATE belongs to the next quarter
+      if (closed == "left" && d == qs.plusMonths(3).minusDays(1)) qs = qs.plusMonths(3)
       val qe = qs.plusMonths(3).minusDays(1)
       Freq.midnight(if (label == "left") qs.minusDays(1) else qe, zone)
     } else {
@@ -232,23 +275,39 @@ case class QuarterFreq(end: Boolean) extends Freq {
   }
 }
 
-case class YearFreq(end: Boolean) extends Freq {
+/** Yearly, optionally month-anchored (pandas `YE-<MON>`/`YS-<MON>`): the
+  * year ends at the last day of `anchorMonth` (end type) or starts at its
+  * first day (start type). `YE` ≡ `YE-DEC`, `YS` ≡ `YS-JAN`. */
+case class YearFreq(end: Boolean, anchorMonth: Int = 0) extends Freq {
+  require(anchorMonth >= 0 && anchorMonth <= 12, s"bad anchor month $anchorMonth")
   override def endType: Boolean = end
   override def timeDeltaMs: Option[Long] = None
+  private val anchor = if (anchorMonth != 0) anchorMonth else if (end) 12 else 1
+
   override def binLabel(t: Instant, closed: String, label: String, zone: ZoneId): Instant = {
-    var y = Freq.localDate(t, zone).getYear
-    if (!end && closed == "right" && t == Freq.midnight(LocalDate.of(y, 1, 1), zone)) y -= 1
+    val d = Freq.localDate(t, zone)
     if (end) {
-      Freq.midnight(LocalDate.of(if (label == "left") y - 1 else y, 12, 31), zone)
+      // the year ends at the last day of the next anchor month (inclusive)
+      var yEnd = if (d.getMonthValue <= anchor) d.getYear else d.getYear + 1
+      // last-of-month computed per year (minusYears would clamp Feb 29→28)
+      def monthEnd(y: Int) =
+        LocalDate.of(y, anchor, 1).`with`(TemporalAdjusters.lastDayOfMonth)
+      // closed="left": the year-end DATE belongs to the next year
+      if (closed == "left" && d == monthEnd(yEnd)) yEnd += 1
+      Freq.midnight(monthEnd(if (label == "left") yEnd - 1 else yEnd), zone)
     } else {
-      Freq.midnight(LocalDate.of(if (label == "right") y + 1 else y, 1, 1), zone)
+      var ys = LocalDate.of(
+        if (d.getMonthValue >= anchor) d.getYear else d.getYear - 1, anchor, 1)
+      if (closed == "right" && t == Freq.midnight(ys, zone)) ys = ys.minusYears(1)
+      Freq.midnight(if (label == "right") ys.plusYears(1) else ys, zone)
     }
   }
   override def next(label: Instant, zone: ZoneId): Instant = step(label, zone, 1)
   override def prev(label: Instant, zone: ZoneId): Instant = step(label, zone, -1)
   private def step(label: Instant, zone: ZoneId, n: Int): Instant = {
     val d = Freq.localDate(label, zone)
-    if (end) Freq.midnight(LocalDate.of(d.getYear + n, 12, 31), zone)
-    else Freq.midnight(LocalDate.of(d.getYear + n, 1, 1), zone)
+    if (end) Freq.midnight(LocalDate.of(d.getYear + n, anchor, 1)
+      .`with`(TemporalAdjusters.lastDayOfMonth), zone)
+    else Freq.midnight(LocalDate.of(d.getYear + n, anchor, 1), zone)
   }
 }

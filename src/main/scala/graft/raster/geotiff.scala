@@ -208,12 +208,26 @@ object GeoTiff {
 
   /** `tileSize` 0 = striped layout; > 0 = tiled layout with square tiles
     * of that size (TIFF requires a multiple of 16). `compression` is
-    * "none" or "deflate". */
+    * "none" or "deflate".
+    *
+    * The writer STREAMS: header + IFD + auxiliary arrays are built in a
+    * small buffer, then segments encode and append one at a time — no
+    * whole-file allocation, so output size is bounded by disk, not heap.
+    * It emits classic TIFF (version 42, 4-byte offsets) while everything
+    * fits, and switches to BigTIFF (version 43: 16-byte header, 8-byte
+    * entry counts/values, 20-byte entries, LONG8 offset arrays) when the
+    * projected size passes 4 GiB or `bigTiff` forces it. */
+  /** `sparse` (tiled layout only) writes the GDAL sparse-file convention:
+    * all-nodata tiles record offset 0 and are never written — the dense
+    * layout's byte positions are kept for the real tiles, so the file's
+    * apparent size is that of the full raster while unwritten spans stay
+    * filesystem holes. */
   def write(path: String, values: Array[Double], w: Int, h: Int,
       bbox: Bbox, epsg: Int, noData: Double, dtypeName: String = "float64",
       rowsPerStrip: Int = 256, compression: String = "none",
-      tileSize: Int = 0): Unit = {
-    require(values.length == w * h, "value count must equal w*h")
+      tileSize: Int = 0, bigTiff: Boolean = false,
+      sparse: Boolean = false): Unit = {
+    require(values.length.toLong == w.toLong * h, "value count must equal w*h")
     val (bits, sampleFormat) = SampleTypes.getOrElse(dtypeName,
       throw new IllegalArgumentException(
         s"unsupported GeoTIFF dtype '$dtypeName' (${SampleTypes.keys.mkString(", ")})"))
@@ -225,6 +239,8 @@ object GeoTiff {
     }
     val tiled = tileSize > 0
     require(!tiled || tileSize % 16 == 0, "TIFF tile size must be a multiple of 16")
+    require(!sparse || (tiled && comp == 1),
+      "sparse writing requires an uncompressed tiled layout")
     val bytesPer = bits / 8
 
     def encode(vals: Array[Double]): Array[Byte] = {
@@ -243,39 +259,66 @@ object GeoTiff {
     }
 
     val rps = math.min(math.max(rowsPerStrip, 1), h)
-    // raw segments: strips of full rows, or square tiles padded with nodata
-    val rawSegments: Array[Array[Byte]] =
-      if (!tiled) {
-        val nStrips = (h + rps - 1) / rps
-        Array.tabulate(nStrips) { s =>
-          val rows = math.min(rps, h - s * rps)
-          encode(values.slice(s * rps * w, (s * rps + rows) * w))
-        }
-      } else {
-        val tAcross = (w + tileSize - 1) / tileSize
-        val tDown = (h + tileSize - 1) / tileSize
-        Array.tabulate(tDown * tAcross) { ti =>
-          val ty = ti / tAcross; val tx = ti % tAcross
-          val tvals = Array.fill(tileSize * tileSize)(noData)
-          var y = 0
-          while (y < tileSize && ty * tileSize + y < h) {
-            var x = 0
-            while (x < tileSize && tx * tileSize + x < w) {
-              tvals(y * tileSize + x) = values((ty * tileSize + y) * w + tx * tileSize + x)
-              x += 1
-            }
-            y += 1
-          }
-          encode(tvals)
-        }
-      }
-    val segments = if (comp == 1) rawSegments else rawSegments.map(deflate)
-    val nSegs = segments.length
-    val segArrays = nSegs > 1 // offset/byte-count arrays live out-of-line
+    val tAcross = if (tiled) (w + tileSize - 1) / tileSize else 0
+    val tDown = if (tiled) (h + tileSize - 1) / tileSize else 0
+    val nSegs = if (tiled) tDown * tAcross else (h + rps - 1) / rps
 
-    // GDAL_NODATA: NUL-terminated ASCII, space-padded past 4 bytes so the
-    // IFD entry legitimately stores an offset (TIFF 6.0 inlines <= 4 bytes)
-    val ndAscii = (noData.toString.padTo(4, ' ') + 0.toChar).getBytes("ASCII")
+    // raw (uncompressed) segment: strip of full rows, or a square tile
+    // padded with nodata — generated on demand so only one segment's bytes
+    // are ever held
+    def rawSegment(i: Int): Array[Byte] =
+      if (!tiled) {
+        val rows = math.min(rps, h - i * rps)
+        encode(java.util.Arrays.copyOfRange(values, i * rps * w, (i * rps + rows) * w))
+      } else {
+        val ty = i / tAcross; val tx = i % tAcross
+        val tvals = Array.fill(tileSize * tileSize)(noData)
+        var y = 0
+        while (y < tileSize && ty * tileSize + y < h) {
+          var x = 0
+          while (x < tileSize && tx * tileSize + x < w) {
+            tvals(y * tileSize + x) = values((ty * tileSize + y) * w + tx * tileSize + x)
+            x += 1
+          }
+          y += 1
+        }
+        encode(tvals)
+      }
+
+    // segment byte counts: analytic for "none" (so nothing is buffered);
+    // deflate pre-compresses (compressed output is small by construction)
+    val deflated: Array[Array[Byte]] =
+      if (comp == 1) null else Array.tabulate(nSegs)(i => deflate(rawSegment(i)))
+    val segBytes: Array[Long] = Array.tabulate(nSegs) { i =>
+      if (comp != 1) deflated(i).length.toLong
+      else if (tiled) tileSize.toLong * tileSize * bytesPer
+      else math.min(rps, h - i * rps).toLong * w * bytesPer
+    }
+    // sparse mode: an all-nodata tile is never written (offset 0 marker);
+    // the dense layout keeps every real tile's byte position
+    val tileEmpty: Array[Boolean] =
+      if (!sparse) null
+      else Array.tabulate(nSegs) { i =>
+        val ty = i / tAcross; val tx = i % tAcross
+        var empty = true
+        var y = 0
+        while (empty && y < tileSize && ty * tileSize + y < h) {
+          var x = 0
+          while (empty && x < tileSize && tx * tileSize + x < w) {
+            if (values((ty * tileSize + y) * w + tx * tileSize + x) != noData)
+              empty = false
+            x += 1
+          }
+          y += 1
+        }
+        empty
+      }
+
+    // GDAL_NODATA: NUL-terminated ASCII, space-padded past 8 bytes so the
+    // IFD entry legitimately stores an offset in BOTH formats (TIFF 6.0
+    // inlines <= 4 value bytes, BigTIFF <= 8 — a 5-byte string would be an
+    // offset classically but inline bytes in BigTIFF)
+    val ndAscii = (noData.toString.padTo(8, ' ') + 0.toChar).getBytes("ASCII")
     val geographic = epsg == 4326
     val geoKeys: Array[Int] = Array(
       1, 1, 0, 3, // version, revision, minor, number of keys
@@ -283,32 +326,62 @@ object GeoTiff {
       1025, 0, 1, 1, // GTRasterType = PixelIsArea
       (if (geographic) 2048 else 3072), 0, 1, epsg)
     val nEntries = if (tiled) 15 else 14
-    val headerLen = 8
-    val ifdLen = 2 + nEntries * 12 + 4
-    var aux = headerLen + ifdLen
-    val segArrOff = aux; aux += (if (segArrays) nSegs * 4 * 2 else 0)
-    val pixelScaleOff = aux; aux += 3 * 8
-    val tiepointOff = aux; aux += 6 * 8
-    val geoKeysOff = aux; aux += geoKeys.length * 2
-    val ndOff = aux; aux += ndAscii.length
-    val dataOff = aux
-    val segBytes = segments.map(_.length)
-    val segOffs = segBytes.scanLeft(dataOff)(_ + _).init
-    val total = dataOff + segBytes.sum
 
-    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(headerLen)
-    buf.putShort(nEntries.toShort)
-    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
-      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
-      if (typ == 3 && count == 1) { buf.putShort(value.toShort).putShort(0) }
-      else buf.putInt(value)
+    def layout(big: Boolean): (Long, Array[Long], Long) = {
+      val headerLen = if (big) 16L else 8L
+      val entryLen = if (big) 20 else 12
+      val ifdLen = (if (big) 8 + 8 else 2 + 4) + nEntries.toLong * entryLen
+      val offW = if (big) 8 else 4 // offset/count array element width
+      var aux = headerLen + ifdLen
+      val segArrays = nSegs > 1
+      val segArrOff = aux; aux += (if (segArrays) nSegs.toLong * offW * 2 else 0L)
+      val pixelScaleOff = aux; aux += 3 * 8
+      val tiepointOff = aux; aux += 6 * 8
+      val geoKeysOff = aux; aux += geoKeys.length * 2
+      val ndOff = aux; aux += ndAscii.length
+      val dataOff = aux
+      val segOffs = segBytes.scanLeft(dataOff)(_ + _).init
+      (segArrOff, Array(pixelScaleOff, tiepointOff, geoKeysOff, ndOff, dataOff) ++ segOffs,
+        dataOff + segBytes.sum)
     }
+    // auto-upgrade: classic TIFF offsets are unsigned 32-bit
+    val big = bigTiff || layout(false)._3 > 0xfffffff0L
+    val (segArrOff, offs, total) = layout(big)
+    val Array(pixelScaleOff, tiepointOff, geoKeysOff, ndOff, dataOff) = offs.take(5)
+    val segOffs = offs.drop(5)
+    require(big || total <= 0xffffffffL, "classic TIFF cannot exceed 4 GiB")
+    val segArrays = nSegs > 1
+    // what the IFD records: sparse tiles carry the offset-0 marker
+    val recOffs = if (!sparse) segOffs
+      else Array.tabulate(nSegs)(i => if (tileEmpty(i)) 0L else segOffs(i))
+    val recCnts = if (!sparse) segBytes
+      else Array.tabulate(nSegs)(i => if (tileEmpty(i)) 0L else segBytes(i))
+
+    val head = ByteBuffer.allocate(dataOff.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    if (big) {
+      head.put('I'.toByte).put('I'.toByte).putShort(43)
+      head.putShort(8).putShort(0).putLong(16L)
+      head.putLong(nEntries.toLong)
+    } else {
+      head.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      head.putShort(nEntries.toShort)
+    }
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      head.putShort(tag.toShort).putShort(typ.toShort)
+      if (big) head.putLong(count) else head.putInt(count.toInt)
+      if (typ == 3 && count == 1) {
+        head.putShort(value.toShort).putShort(0)
+        if (big) head.putInt(0)
+      } else if (big) head.putLong(value)
+      else head.putInt(value.toInt)
+    }
+    // in BigTIFF the offset/count arrays are LONG8; classic keeps LONG
+    val arrTyp = if (big) 16 else 4
     def offsetsEntry(tag: Int): Unit =
-      if (segArrays) entry(tag, 4, nSegs, segArrOff) else entry(tag, 4, 1, segOffs(0))
+      if (segArrays) entry(tag, arrTyp, nSegs, segArrOff) else entry(tag, arrTyp, 1, recOffs(0))
     def countsEntry(tag: Int): Unit =
-      if (segArrays) entry(tag, 4, nSegs, segArrOff + nSegs * 4)
-      else entry(tag, 4, 1, segBytes(0))
+      if (segArrays) entry(tag, arrTyp, nSegs, segArrOff + nSegs.toLong * (if (big) 8 else 4))
+      else entry(tag, arrTyp, 1, recCnts(0))
     // entries must be ascending by tag id
     entry(256, 3, 1, w)
     entry(257, 3, 1, h)
@@ -329,20 +402,45 @@ object GeoTiff {
     entry(33922, 12, 6, tiepointOff)
     entry(34735, 3, geoKeys.length, geoKeysOff)
     entry(42113, 2, ndAscii.length, ndOff)
-    buf.putInt(0) // next IFD
+    if (big) head.putLong(0L) else head.putInt(0) // next IFD
     if (segArrays) {
-      segOffs.foreach(buf.putInt)
-      segBytes.foreach(buf.putInt)
+      if (big) { recOffs.foreach(head.putLong); recCnts.foreach(head.putLong) }
+      else { recOffs.foreach(o => head.putInt(o.toInt)); recCnts.foreach(b => head.putInt(b.toInt)) }
     }
-    buf.putDouble(bbox.width / w).putDouble(bbox.height / h).putDouble(0.0)
+    head.putDouble(bbox.width / w).putDouble(bbox.height / h).putDouble(0.0)
     // tiepoint: raster (0,0,0) → world (x1, y2, 0) (top-left)
-    buf.putDouble(0).putDouble(0).putDouble(0)
+    head.putDouble(0).putDouble(0).putDouble(0)
       .putDouble(bbox.x1).putDouble(bbox.y2).putDouble(0)
-    geoKeys.foreach(k => buf.putShort(k.toShort))
-    buf.put(ndAscii)
-    segments.foreach(buf.put)
-    Files.createDirectories(Paths.get(path).getParent)
-    Files.write(Paths.get(path), buf.array())
+    geoKeys.foreach(k => head.putShort(k.toShort))
+    head.put(ndAscii)
+
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+    if (sparse) {
+      // seek-write only the real tiles; the skipped spans stay filesystem
+      // holes, and setLength extends the apparent size to the dense layout
+      val raf = new java.io.RandomAccessFile(path, "rw")
+      try {
+        raf.setLength(0)
+        raf.write(head.array())
+        var i = 0
+        while (i < nSegs) {
+          if (!tileEmpty(i)) { raf.seek(segOffs(i)); raf.write(rawSegment(i)) }
+          i += 1
+        }
+        raf.setLength(total)
+      } finally raf.close()
+    } else {
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(path), 1 << 20)
+      try {
+        out.write(head.array())
+        var i = 0
+        while (i < nSegs) {
+          out.write(if (comp == 1) rawSegment(i) else deflated(i))
+          i += 1
+        }
+      } finally out.close()
+    }
   }
 
   case class Tiff(values: Array[Double], w: Int, h: Int, bbox: Bbox,
@@ -357,50 +455,74 @@ object GeoTiff {
     7 -> 1, 8 -> 2, 9 -> 4, 10 -> 8, 11 -> 4, 12 -> 8, 13 -> 4, 16 -> 8,
     17 -> 8, 18 -> 8)
 
+  /** Positioned file access: the reader seeks header/IFD/segment spans
+    * instead of materializing the file, so BigTIFF inputs past 2 GB read
+    * with heap bounded by one segment. */
+  private final class TiffIn(path: String) extends AutoCloseable {
+    private val raf = new java.io.RandomAccessFile(path, "r")
+    val length: Long = raf.length()
+    var order: ByteOrder = ByteOrder.LITTLE_ENDIAN
+    def bytesAt(off: Long, len: Int): Array[Byte] = {
+      val a = new Array[Byte](len); raf.seek(off); raf.readFully(a); a
+    }
+    private def bb(off: Long, len: Int): ByteBuffer =
+      ByteBuffer.wrap(bytesAt(off, len)).order(order)
+    def u8(off: Long): Int = { raf.seek(off); raf.readUnsignedByte() }
+    def u16(off: Long): Int = bb(off, 2).getShort() & 0xffff
+    def i32(off: Long): Int = bb(off, 4).getInt()
+    def u32(off: Long): Long = bb(off, 4).getInt().toLong & 0xffffffffL
+    def i64(off: Long): Long = bb(off, 8).getLong()
+    def f64(off: Long): Double = bb(off, 8).getDouble()
+    override def close(): Unit = raf.close()
+  }
+
   def read(path: String): Tiff = {
-    val bytes = Files.readAllBytes(Paths.get(path))
-    require(bytes.length >= 8, "truncated TIFF header")
-    val bigEndian = bytes(0) == 'M' && bytes(1) == 'M'
-    require(bigEndian || (bytes(0) == 'I' && bytes(1) == 'I'),
+    val in = new TiffIn(path)
+    try readFrom(in) finally in.close()
+  }
+
+  private def readFrom(in: TiffIn): Tiff = {
+    require(in.length >= 8, "truncated TIFF header")
+    val mark = in.bytesAt(0, 2)
+    val bigEndian = mark(0) == 'M' && mark(1) == 'M'
+    require(bigEndian || (mark(0) == 'I' && mark(1) == 'I'),
       "not a TIFF (bad byte-order mark)")
-    val buf = ByteBuffer.wrap(bytes)
-      .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-    val version = buf.getShort(2).toInt
+    in.order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    val version = in.u16(2)
     // 42 = classic TIFF (4-byte offsets, 12-byte entries); 43 = BigTIFF
     // (8-byte offsets, 20-byte entries) — same tag vocabulary
     require(version == 42 || version == 43, s"not a TIFF (version $version)")
     val big = version == 43
-    if (big) require(buf.getShort(4) == 8 && buf.getShort(6) == 0,
+    if (big) require(in.u16(4) == 8 && in.u16(6) == 0,
       "malformed BigTIFF header")
-    // this reader materializes the file as one Array[Byte], so offsets
-    // beyond 2 GB are out of range even in BigTIFF (readAllBytes raises
-    // first); toInt below is safe under that ceiling
-    val ifd = if (big) buf.getLong(8).toInt else buf.getInt(4)
-    val n = if (big) buf.getLong(ifd).toInt else buf.getShort(ifd) & 0xffff
+    val ifd = if (big) in.i64(8) else in.u32(4)
+    require(ifd >= 0 && ifd < in.length, "corrupt TIFF: IFD offset outside the file")
+    val n = (if (big) in.i64(ifd) else (in.u16(ifd).toLong: Long)).toInt
+    require(n >= 0 && n < 65536, s"corrupt TIFF: $n IFD entries")
     val entriesBase = ifd + (if (big) 8 else 2)
     val inlineCap = if (big) 8 else 4
     // tag -> (type, count, file offset of the value bytes): values at most
     // inlineCap bytes live inside the entry's value field, larger ones
     // behind the stored offset — resolving that here means every consumer
     // below reads from a plain file offset
-    var tags = Map.empty[Int, (Int, Int, Int)]
+    var tags = Map.empty[Int, (Int, Int, Long)]
     for (i <- 0 until n) {
-      val off = entriesBase + i * (if (big) 20 else 12)
-      val tag = buf.getShort(off) & 0xffff
-      val typ = buf.getShort(off + 2).toInt
-      val count = (if (big) buf.getLong(off + 4) else buf.getInt(off + 4).toLong).toInt
+      val off = entriesBase + i.toLong * (if (big) 20 else 12)
+      val tag = in.u16(off)
+      val typ = in.u16(off + 2)
+      val count = (if (big) in.i64(off + 4) else in.u32(off + 4)).toInt
       val valueField = off + (if (big) 12 else 8)
       require(TypeSizes.contains(typ), s"corrupt TIFF: tag $tag has unknown field type $typ")
       val byteLen = TypeSizes(typ).toLong * count
       // structural bound: out-of-line value bytes live inside the file, so
       // a count driving byteLen past the file size is corruption, not data
       // (stops hostile 8-byte counts from sizing allocations)
-      require(count >= 0 && byteLen <= bytes.length,
+      require(count >= 0 && byteLen <= in.length,
         s"corrupt TIFF: tag $tag count $count exceeds file size")
       val valueOff =
         if (byteLen <= inlineCap) valueField
-        else if (big) buf.getLong(valueField).toInt else buf.getInt(valueField)
-      require(valueOff >= 0 && valueOff + byteLen <= bytes.length,
+        else if (big) in.i64(valueField) else in.u32(valueField)
+      require(valueOff >= 0 && valueOff + byteLen <= in.length,
         s"corrupt TIFF: tag $tag value offset outside the file")
       tags += tag -> ((typ, count, valueOff))
     }
@@ -408,10 +530,10 @@ object GeoTiff {
     def scalar(tag: Int): Int = {
       val (typ, _, off) = tags(tag)
       typ match {
-        case 1      => bytes(off) & 0xff
-        case 3      => buf.getShort(off) & 0xffff
-        case 16     => buf.getLong(off).toInt
-        case _      => buf.getInt(off)
+        case 1      => in.u8(off)
+        case 3      => in.u16(off)
+        case 16     => in.i64(off).toInt
+        case _      => in.i32(off)
       }
     }
     def scalarOpt(tag: Int): Option[Int] = tags.get(tag).map(_ => scalar(tag))
@@ -437,15 +559,15 @@ object GeoTiff {
       (predictor == 3 && sampleFormat == 3),
       s"unsupported TIFF predictor $predictor for sample format $sampleFormat")
     val bytesPer = bits / 8
-    // offset/count arrays: SHORT, LONG, or (BigTIFF) LONG8 elements, read
-    // from the resolved value offset (inline and out-of-line look alike)
-    def intsOf(tag: Int): Array[Int] = {
+    // offset arrays: SHORT, LONG, or (BigTIFF) LONG8 elements, read from
+    // the resolved value offset (inline and out-of-line look alike)
+    def longsOf(tag: Int): Array[Long] = {
       val (typ, count, off) = tags(tag)
       Array.tabulate(count) { i =>
         typ match {
-          case 3  => buf.getShort(off + i * 2) & 0xffff
-          case 16 => buf.getLong(off + i * 8).toInt
-          case _  => buf.getInt(off + i * 4)
+          case 3  => in.u16(off + i * 2).toLong
+          case 16 => in.i64(off + i * 8)
+          case _  => in.u32(off + i * 4)
         }
       }
     }
@@ -459,12 +581,16 @@ object GeoTiff {
       case (8, 1)  => (b, off) => (b.get(off) & 0xff).toDouble
       case _ => throw new IllegalStateException("unreachable")
     }
+    val nd = tags.get(42113).map { case (_, count, off) =>
+      new String(in.bytesAt(off, count), "ASCII").replace(0.toChar.toString, " ").trim.toDouble
+    }.getOrElse(Double.MaxValue)
     // one segment (strip or tile) as a decode-ready little-endian buffer;
     // `rowW` is the segment's row width in samples (predictor 2 is per-row)
-    def segment(off: Int, count: Int, expected: Int, rowW: Int): ByteBuffer = {
-      require(off >= 0 && count >= 0 && off.toLong + count <= bytes.length,
+    def segment(off: Long, count: Long, expected: Int, rowW: Int): ByteBuffer = {
+      require(off >= 0 && count >= 0 && count <= Int.MaxValue &&
+        off + count <= in.length,
         s"corrupt TIFF: segment [$off, +$count) outside the file")
-      val packed = java.util.Arrays.copyOfRange(bytes, off, off + count)
+      val packed = in.bytesAt(off, count.toInt)
       val raw = comp match {
         case 1     => packed
         case 5     => lzwDecode(packed, expected)
@@ -480,8 +606,8 @@ object GeoTiff {
     }
     val values = new Array[Double](w * h)
     if (!tiled) {
-      val stripOffs = intsOf(273)
-      val stripCnts = intsOf(279)
+      val stripOffs = longsOf(273)
+      val stripCnts = longsOf(279)
       val rps = scalarOpt(278).getOrElse(h)
       var strip = 0
       while (strip * rps < h) {
@@ -500,42 +626,53 @@ object GeoTiff {
       }
     } else {
       val tw = scalar(322); val th = scalar(323)
-      val tileOffs = intsOf(324)
-      val tileCnts = intsOf(325)
+      val tileOffs = longsOf(324)
+      val tileCnts = longsOf(325)
       val tAcross = (w + tw - 1) / tw
       val tDown = (h + th - 1) / th
       var ti = 0
       while (ti < tDown * tAcross) {
         val ty = ti / tAcross; val tx = ti % tAcross
-        val seg = segment(tileOffs(ti), tileCnts(ti), tw * th * bytesPer, tw)
-        var y = 0
-        while (y < th && ty * th + y < h) {
-          var x = 0
-          while (x < tw && tx * tw + x < w) {
-            values((ty * th + y) * w + tx * tw + x) = decodeFrom(seg, (y * tw + x) * bytesPer)
-            x += 1
+        if (tileOffs(ti) == 0) {
+          // GDAL sparse-file convention: offset 0 marks an unwritten tile —
+          // it reads as nodata fill, never as bytes from the file start
+          var y = 0
+          while (y < th && ty * th + y < h) {
+            var x = 0
+            while (x < tw && tx * tw + x < w) {
+              values((ty * th + y) * w + tx * tw + x) = nd
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+        } else {
+          val seg = segment(tileOffs(ti), tileCnts(ti), tw * th * bytesPer, tw)
+          var y = 0
+          while (y < th && ty * th + y < h) {
+            var x = 0
+            while (x < tw && tx * tw + x < w) {
+              values((ty * th + y) * w + tx * tw + x) = decodeFrom(seg, (y * tw + x) * bytesPer)
+              x += 1
+            }
+            y += 1
+          }
         }
         ti += 1
       }
     }
     val psOff = tags(33550)._3
-    val (sx, sy) = (buf.getDouble(psOff), buf.getDouble(psOff + 8))
+    val (sx, sy) = (in.f64(psOff), in.f64(psOff + 8))
     val tpOff = tags(33922)._3
-    val (ox, oy) = (buf.getDouble(tpOff + 24), buf.getDouble(tpOff + 32))
+    val (ox, oy) = (in.f64(tpOff + 24), in.f64(tpOff + 32))
     val bbox = Bbox(ox, oy - sy * h, ox + sx * w, oy)
     val gkOff = tags(34735)._3
-    val nKeys = buf.getShort(gkOff + 6).toInt
+    val nKeys = in.u16(gkOff + 6)
     var epsg = 0
     for (k <- 0 until nKeys) {
       val kOff = gkOff + 8 + k * 8
-      val keyId = buf.getShort(kOff) & 0xffff
-      if (keyId == 3072 || keyId == 2048) epsg = buf.getShort(kOff + 6) & 0xffff
+      val keyId = in.u16(kOff)
+      if (keyId == 3072 || keyId == 2048) epsg = in.u16(kOff + 6)
     }
-    val nd = tags.get(42113).map { case (_, count, off) =>
-      new String(bytes, off, count, "ASCII").replace(0.toChar.toString, " ").trim.toDouble
-    }.getOrElse(Double.MaxValue)
     Tiff(values, w, h, bbox, epsg, nd, dtypeName)
   }
 }

@@ -76,6 +76,43 @@ class FreqSpec extends AnyFunSuite {
     assert(qe.prev(i("2000-03-31T00:00:00Z"), utc) == i("1999-12-31T00:00:00Z"))
   }
 
+  test("pandas golden grid: anchored QE-/QS-/YE-/YS- aliases and end-type closed=left") {
+    // Every line was produced by pandas.Series.resample on the driver's
+    // pandas (freq|closed|label|ts|expected_label) — 480 combinations over
+    // 10 frequencies including the month-anchored quarterly/yearly aliases
+    // and boundary-date timestamps that pin the closed="left" shift.
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/freq_pandas_goldens.txt"), "UTF-8")
+    val lines = try src.getLines().filter(_.nonEmpty).toSeq finally src.close()
+    assert(lines.size == 480)
+    var checked = 0
+    for (line <- lines) {
+      val Array(fs, c, l, ts, want) = line.split('|')
+      val f = Freq.parse(fs)
+      val got = f.binLabel(i(ts), c, l, utc)
+      assert(got == i(want), s"$fs closed=$c label=$l t=$ts: got $got want $want")
+      checked += 1
+    }
+    assert(checked == 480)
+  }
+
+  test("anchored parse dispatch and label stepping") {
+    assert(Freq.parse("QE-JAN") == QuarterFreq(end = true, 1))
+    assert(Freq.parse("QS-FEB") == QuarterFreq(end = false, 2))
+    assert(Freq.parse("YE-JUN") == YearFreq(end = true, 6))
+    assert(Freq.parse("YS-APR") == YearFreq(end = false, 4))
+    assert(Freq.parse("A-SEP") == YearFreq(end = true, 9)) // pre-2.2 alias
+    // stepping stays on the anchored grid, leap-safe
+    val qeFeb = Freq.parse("QE-FEB")
+    assert(qeFeb.next(i("2000-02-29T00:00:00Z"), utc) == i("2000-05-31T00:00:00Z"))
+    assert(qeFeb.prev(i("2000-02-29T00:00:00Z"), utc) == i("1999-11-30T00:00:00Z"))
+    val yeFeb = Freq.parse("YE-FEB")
+    assert(yeFeb.next(i("2000-02-29T00:00:00Z"), utc) == i("2001-02-28T00:00:00Z"))
+    assert(yeFeb.prev(i("2001-02-28T00:00:00Z"), utc) == i("2000-02-29T00:00:00Z"))
+    val ysApr = Freq.parse("YS-APR")
+    assert(ysApr.next(i("2000-04-01T00:00:00Z"), utc) == i("2001-04-01T00:00:00Z"))
+  }
+
   test("legacy aliases normalize") {
     assert(Freq.parse("H") == FixedFreq(3600000))
     assert(Freq.parse("15T") == FixedFreq(900000))

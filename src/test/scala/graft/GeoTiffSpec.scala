@@ -216,4 +216,59 @@ class GeoTiffSpec extends SparkSpec {
     // and the re-opened store composes with the operator DAG
     assert(Add(back, 1).getData(req).get.values(1).head == 8.0)
   }
+
+  test("forced BigTIFF (version 43) round-trips, striped and tiled") {
+    val dir = Files.createTempDirectory("graft_bigtiff").toString
+    val vals = Array.tabulate(100 * 60)(i => if (i % 7 == 0) -1.0 else i.toDouble)
+    for ((name, ts) <- Seq(("strip", 0), ("tile", 16))) {
+      val p = s"$dir/$name.tif"
+      GeoTiff.write(p, vals, 100, 60, Bbox(10, 20, 110, 80), 28992, -1.0,
+        rowsPerStrip = 13, tileSize = ts, bigTiff = true)
+      val head = Files.readAllBytes(java.nio.file.Paths.get(p)).take(4)
+      assert(head(2) == 43 && head(3) == 0, s"$name is not version 43")
+      val t = GeoTiff.read(p)
+      assert(t.w == 100 && t.h == 60 && t.noData == -1.0)
+      assert(t.bbox == Bbox(10, 20, 110, 80) && t.epsg == 28992)
+      assert(t.values.toSeq == vals.toSeq, name)
+    }
+    // deflate under BigTIFF too
+    val pz = s"$dir/z.tif"
+    GeoTiff.write(pz, vals, 100, 60, Bbox(0, 0, 100, 60), 28992, -1.0,
+      compression = "deflate", tileSize = 32, bigTiff = true)
+    assert(GeoTiff.read(pz).values.toSeq == vals.toSeq)
+  }
+
+  test("sparse BigTIFF tiles (offset 0) read as nodata, GDAL convention") {
+    val dir = Files.createTempDirectory("graft_sparse").toString
+    val p = s"$dir/sparse.tif"
+    val vals = Array.tabulate(64 * 32)(_.toDouble)
+    GeoTiff.write(p, vals, 64, 32, Bbox(0, 0, 64, 32), 28992, -7.0,
+      tileSize = 16, bigTiff = true)
+    // locate tag 324 (tile offsets) in the BigTIFF IFD and zero the first
+    // element — the GDAL sparse-file marker for an unwritten tile
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try {
+      val hdr = new Array[Byte](8); raf.seek(8); raf.readFully(hdr)
+      val ifd = java.nio.ByteBuffer.wrap(hdr)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      val cnt = new Array[Byte](8); raf.seek(ifd); raf.readFully(cnt)
+      val n = java.nio.ByteBuffer.wrap(cnt)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+      var arrOff = -1L
+      for (i <- 0 until n) {
+        val e = new Array[Byte](20)
+        raf.seek(ifd + 8 + i * 20); raf.readFully(e)
+        val bb = java.nio.ByteBuffer.wrap(e).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        if ((bb.getShort(0) & 0xffff) == 324) arrOff = bb.getLong(12)
+      }
+      assert(arrOff > 0, "tile-offsets entry not found")
+      raf.seek(arrOff); raf.write(new Array[Byte](8)) // first tile offset := 0
+    } finally raf.close()
+    val t = GeoTiff.read(p)
+    // first 16x16 tile is nodata; the rest is intact
+    for (y <- 0 until 32; x <- 0 until 64) {
+      val expect = if (y < 16 && x < 16) -7.0 else (y * 64 + x).toDouble
+      assert(t.values(y * 64 + x) == expect, s"($x,$y)")
+    }
+  }
 }

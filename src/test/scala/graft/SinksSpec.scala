@@ -168,6 +168,24 @@ class SinksSpec extends SparkSpec {
       Seq("1", "true"))
   }
 
+  test("fullSchema geojson inference sees properties past the head sample") {
+    val dir = Files.createTempDirectory("geojson_full")
+    val pt = """{"type":"Point","coordinates":[5.0,52.0]}"""
+    val lines = (1 to 150).map { i =>
+      val extra = if (i >= 140) s""","late":$i.5""" else ""
+      s"""{"type":"Feature","id":$i,"properties":{"v":$i$extra},"geometry":$pt}"""
+    }
+    Files.write(dir.resolve("part-00000"), java.util.Arrays.asList(lines: _*))
+    // the default head sample (100 lines) cannot see row 140's property
+    assert(!GeoJsonSource(dir.toString).columns.contains("late"))
+    val full = GeoJsonSource(dir.toString, fullSchema = true)
+    assert(full.columns.contains("late"))
+    val df = full.frame(GeometryRequest())
+    assert(df.schema("late").dataType.simpleString == "double")
+    assert(df.filter(col("fid") === 140L).head().getAs[Double]("late") == 140.5)
+    assert(df.filter(col("fid") === 1L).head().isNullAt(df.columns.indexOf("late")))
+  }
+
   test("streaming export moves 15k features through each single-file format") {
     // 15k > the 10k request guard: only the streaming toLocalIterator path
     // can export this as ONE file (reference: tiled to_file + merge_files)
