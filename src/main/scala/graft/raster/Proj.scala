@@ -16,6 +16,9 @@ package graft.raster
   *    a few nanometers", J. Geodesy 85, 2011; series also in Deakin et al.
   *    and on the standard TM literature) — sub-µm round-trips inside a
   *    zone, well past the 1e-6 m target.
+  *  - Lambert Conformal Conic 2SP (Snyder / EPSG method 9802):
+  *    EPSG:2154 (RGF93 / Lambert-93) and the nine French CC zones
+  *    EPSG:3942-3950.
   *
   * Transforms compose through the WGS84 lon/lat hub. The three original
   * codes keep their exact pre-existing code paths (bit-identical results).
@@ -36,7 +39,7 @@ object Proj extends Serializable {
 
   def supported(code: String): Boolean = normalize(code) match {
     case "EPSG:4326" | "EPSG:3857" | "EPSG:28992" => true
-    case u => utmSpec(u).isDefined
+    case u => utmSpec(u).isDefined || lccSpec(u).isDefined
   }
 
   /** Transform a point; (x, y) = (lon, lat) for 4326. */
@@ -53,10 +56,9 @@ object Proj extends Serializable {
       (math.toDegrees(x / R),
         math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2))
     case "EPSG:28992" => rdToWgs84(x, y)
-    case other => utmSpec(other) match {
-      case Some(tm) => tm.inverse(x, y)
-      case None => throw new IllegalArgumentException(s"unsupported projection $other")
-    }
+    case other => utmSpec(other).map(_.inverse(x, y))
+      .orElse(lccSpec(other).map(_.inverse(x, y)))
+      .getOrElse(throw new IllegalArgumentException(s"unsupported projection $other"))
   }
 
   private def fromWgs84(code: String, lon: Double, lat: Double): (Double, Double) = code match {
@@ -65,10 +67,9 @@ object Proj extends Serializable {
       (R * math.toRadians(lon),
         R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
     case "EPSG:28992" => wgs84ToRd(lon, lat)
-    case other => utmSpec(other) match {
-      case Some(tm) => tm.forward(lon, lat)
-      case None => throw new IllegalArgumentException(s"unsupported projection $other")
-    }
+    case other => utmSpec(other).map(_.forward(lon, lat))
+      .orElse(lccSpec(other).map(_.forward(lon, lat)))
+      .getOrElse(throw new IllegalArgumentException(s"unsupported projection $other"))
   }
 
   // --- ellipsoidal Transverse Mercator (Krüger series, 6th order in n) -----
@@ -178,6 +179,74 @@ object Proj extends Serializable {
   // series computes once per JVM (executors included — the map is inside
   // the serialized-by-reference object)
   private val tmCache = new java.util.concurrent.ConcurrentHashMap[String, Option[TmSpec]]()
+
+  // --- Lambert Conformal Conic, 2 standard parallels (EPSG method 9802) ---
+
+  /** Snyder's ellipsoidal LCC-2SP. Angles in degrees in the public API,
+    * radians internally. Exact closed forms except the inverse latitude,
+    * which converges quadratically in a few fixed-point rounds. */
+  final case class LccSpec(a: Double, invF: Double, phi1Deg: Double,
+      phi2Deg: Double, phi0Deg: Double, lon0Deg: Double,
+      falseE: Double, falseN: Double) {
+    private val f = 1.0 / invF
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private def m(phi: Double): Double =
+      math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) * math.sin(phi))
+    private def tf(phi: Double): Double =
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi)), e / 2)
+    private val phi1 = math.toRadians(phi1Deg)
+    private val phi2 = math.toRadians(phi2Deg)
+    private val lon0 = math.toRadians(lon0Deg)
+    private val n = (math.log(m(phi1)) - math.log(m(phi2))) /
+      (math.log(tf(phi1)) - math.log(tf(phi2)))
+    private val bigF = m(phi1) / (n * math.pow(tf(phi1), n))
+    private val rho0 = a * bigF * math.pow(tf(math.toRadians(phi0Deg)), n)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = a * bigF * math.pow(tf(math.toRadians(latDeg)), n)
+      val th = n * (math.toRadians(lonDeg) - lon0)
+      (falseE + rho * math.sin(th), falseN + rho0 - rho * math.cos(th))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - falseE
+      val dy = rho0 - (y - falseN)
+      val rho = math.signum(n) * math.hypot(dx, dy)
+      val tp = math.pow(rho / (a * bigF), 1.0 / n)
+      val th = math.atan2(math.signum(n) * dx, math.signum(n) * dy)
+      var phi = math.Pi / 2 - 2.0 * math.atan(tp)
+      var i = 0
+      while (i < 8) {
+        phi = math.Pi / 2 - 2.0 * math.atan(tp *
+          math.pow((1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi)), e / 2))
+        i += 1
+      }
+      (math.toDegrees(lon0 + th / n), math.toDegrees(phi))
+    }
+  }
+
+  /** LCC-projected codes: EPSG:2154 (RGF93 / Lambert-93, GRS80 — standard
+    * parallels 44°/49°, origin 46.5°N 3°E, FE 700 km FN 6600 km) and the
+    * nine French CC zones EPSG:3942-3950 (CC42-CC50: for latitude L =
+    * 42+zone, parallels L∓0.75, origin L°N 3°E, FE 1700 km,
+    * FN (zone+1)·1000 km + 200 km). RGF93 rides the WGS84 hub (the datums
+    * agree to centimetres). */
+  private def lccSpec(code: String): Option[LccSpec] =
+    lccCache.computeIfAbsent(code, {
+      case "EPSG:2154" => Some(LccSpec(6378137.0, Grs80InvF,
+        44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0))
+      case FrCc(zz) =>
+        val z = zz.toInt // 3942..3950 → latitude 42..50
+        val lat = 42.0 + (z - 3942)
+        Some(LccSpec(6378137.0, Grs80InvF, lat - 0.75, lat + 0.75, lat, 3.0,
+          1700000.0, (z - 3942 + 1) * 1000000.0 + 200000.0))
+      case _ => None
+    })
+
+  private val FrCc = """EPSG:(394[2-9]|3950)""".r
+  private val lccCache = new java.util.concurrent.ConcurrentHashMap[String, Option[LccSpec]]()
 
   /** UTM family parser: EPSG:326zz/327zz (WGS84 N/S), EPSG:258zz (ETRS89 —
     * GRS80 ellipsoid, northern zones 28-38 in use). Zone zz ∈ 1..60; the

@@ -112,6 +112,46 @@ class ProjSpec extends AnyFunSuite {
     assert(math.abs(x2 - 155000) < 0.5 && math.abs(y2 - 463000) < 0.5)
   }
 
+  test("Lambert-93 (EPSG:2154): unit scale on standard parallels, round-trips, CC zones") {
+    // projection origin maps to the false origin
+    val (e0, n0) = Proj.transform("EPSG:4326", "EPSG:2154", 3.0, 46.5)
+    assert(math.abs(e0 - 700000.0) < 1e-6 && math.abs(n0 - 6600000.0) < 1e-6)
+    // the 2SP DEFINING property: scale factor exactly 1 on both standard
+    // parallels — checked against an independent meridian-radius formula
+    val a = 6378137.0; val f = 1 / 298.257222101; val e2 = f * (2 - f)
+    for (lat <- Seq(44.0, 49.0)) {
+      val d = 1e-6 // degrees
+      val (x1, y1) = Proj.transform("EPSG:4326", "EPSG:2154", 4.0, lat - d)
+      val (x2, y2) = Proj.transform("EPSG:4326", "EPSG:2154", 4.0, lat + d)
+      val mapped = math.hypot(x2 - x1, y2 - y1)
+      val phi = math.toRadians(lat)
+      val mRad = a * (1 - e2) / math.pow(1 - e2 * math.sin(phi) * math.sin(phi), 1.5)
+      assert(math.abs(mapped / (mRad * math.toRadians(2 * d)) - 1.0) < 1e-6,
+        s"scale at $lat")
+    }
+    // round-trips over the France extent, |err| < 1e-6 m
+    for ((lon, lat) <- Seq((-4.5, 48.4), (2.35, 48.85), (7.7, 48.6),
+        (3.0, 43.0), (9.2, 41.9))) {
+      val (x, y) = Proj.transform("EPSG:4326", "EPSG:2154", lon, lat)
+      val (lon2, lat2) = Proj.transform("EPSG:2154", "EPSG:4326", x, y)
+      val (x2, y2) = Proj.transform("EPSG:4326", "EPSG:2154", lon2, lat2)
+      assert(math.abs(x2 - x) < 1e-6 && math.abs(y2 - y) < 1e-6, s"($lon,$lat)")
+    }
+    // Paris lands where Lambert-93 puts it (~652.5 km E, ~6862 km N)
+    val (xp, yp) = Proj.transform("EPSG:4326", "EPSG:2154", 2.3522, 48.8566)
+    assert(xp > 600000 && xp < 700000 && yp > 6850000 && yp < 6880000, s"($xp,$yp)")
+    // nine CC zones: each origin hits its false origin; round-trip holds
+    for (z <- 3942 to 3950) {
+      val lat = 42.0 + (z - 3942)
+      val (e, n) = Proj.transform("EPSG:4326", s"EPSG:$z", 3.0, lat)
+      assert(math.abs(e - 1700000.0) < 1e-6, s"zone $z easting")
+      assert(math.abs(n - ((z - 3942 + 1) * 1000000.0 + 200000.0)) < 1e-6, s"zone $z northing")
+      val (lon2, lat2) = Proj.transform(s"EPSG:$z", "EPSG:4326", 1750000.0, n + 30000.0)
+      val (x2, y2) = Proj.transform("EPSG:4326", s"EPSG:$z", lon2, lat2)
+      assert(math.abs(x2 - 1750000.0) < 1e-6 && math.abs(y2 - (n + 30000.0)) < 1e-6)
+    }
+  }
+
   test("ETRS89 UTM and WGS84 UTM agree to sub-millimetre (GRS80 vs WGS84)") {
     val (e1, n1) = Proj.transform("EPSG:4326", "EPSG:32632", 9.0, 54.0)
     val (e2, n2) = Proj.transform("EPSG:4326", "EPSG:25832", 9.0, 54.0)
