@@ -19,6 +19,10 @@ package graft.raster
   *  - Lambert Conformal Conic 2SP (Snyder / EPSG method 9802):
   *    EPSG:2154 (RGF93 / Lambert-93) and the nine French CC zones
   *    EPSG:3942-3950.
+  *  - EPSG:27700 (British National Grid) — TM on Airy 1830 plus the
+  *    published WGS84↔OSGB36 Helmert 7-parameter shift through geocentric
+  *    XYZ (the OS guide's single-Helmert approximation, ~2 m vs the OSTN
+  *    correction grid — the standard grid-free path).
   *
   * Transforms compose through the WGS84 lon/lat hub. The three original
   * codes keep their exact pre-existing code paths (bit-identical results).
@@ -38,7 +42,7 @@ object Proj extends Serializable {
   }
 
   def supported(code: String): Boolean = normalize(code) match {
-    case "EPSG:4326" | "EPSG:3857" | "EPSG:28992" => true
+    case "EPSG:4326" | "EPSG:3857" | "EPSG:28992" | "EPSG:27700" => true
     case u => utmSpec(u).isDefined || lccSpec(u).isDefined
   }
 
@@ -56,6 +60,7 @@ object Proj extends Serializable {
       (math.toDegrees(x / R),
         math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2))
     case "EPSG:28992" => rdToWgs84(x, y)
+    case "EPSG:27700" => osgbToWgs84(x, y)
     case other => utmSpec(other).map(_.inverse(x, y))
       .orElse(lccSpec(other).map(_.inverse(x, y)))
       .getOrElse(throw new IllegalArgumentException(s"unsupported projection $other"))
@@ -67,6 +72,7 @@ object Proj extends Serializable {
       (R * math.toRadians(lon),
         R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
     case "EPSG:28992" => wgs84ToRd(lon, lat)
+    case "EPSG:27700" => wgs84ToOsgb(lon, lat)
     case other => utmSpec(other).map(_.forward(lon, lat))
       .orElse(lccSpec(other).map(_.forward(lon, lat)))
       .getOrElse(throw new IllegalArgumentException(s"unsupported projection $other"))
@@ -77,7 +83,7 @@ object Proj extends Serializable {
   /** Ellipsoid + TM grid parameters. UTM: k0 = 0.9996, false easting
     * 500 km, false northing 10 000 km in the southern hemisphere. */
   final case class TmSpec(a: Double, invF: Double, lon0Deg: Double,
-      k0: Double, falseE: Double, falseN: Double) {
+      k0: Double, falseE: Double, falseN: Double, lat0Deg: Double = 0.0) {
     private val f = 1.0 / invF
     private val n = f / (2.0 - f)
     private val e = math.sqrt(f * (2.0 - f)) // first eccentricity
@@ -128,6 +134,20 @@ object Proj extends Serializable {
         601676.0 * n6 / 22275.0)
     }
 
+    /** Rectifying ordinate ξ of a latitude (meridian arc / A). */
+    private def xiOf(latDeg: Double): Double = {
+      val t = math.sinh(atanh(math.sin(math.toRadians(latDeg))) -
+        e * atanh(e * math.sin(math.toRadians(latDeg))))
+      val xiP = math.atan(t)
+      var xi = xiP
+      var j = 1
+      while (j <= 6) { xi += alpha(j - 1) * math.sin(2.0 * j * xiP); j += 1 }
+      xi
+    }
+    // natural-origin latitude: its meridian distance is subtracted from
+    // northings (OSGB-style grids anchor at a non-equator latitude)
+    private val n0 = if (lat0Deg == 0.0) 0.0 else k0 * bigA * xiOf(lat0Deg)
+
     /** (lon, lat) degrees → (easting, northing) metres. */
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
       val phi = math.toRadians(latDeg)
@@ -144,12 +164,12 @@ object Proj extends Serializable {
         eta += alpha(j - 1) * math.cos(2.0 * j * xiP) * math.sinh(2.0 * j * etaP)
         j += 1
       }
-      (falseE + k0 * bigA * eta, falseN + k0 * bigA * xi)
+      (falseE + k0 * bigA * eta, falseN - n0 + k0 * bigA * xi)
     }
 
     /** (easting, northing) metres → (lon, lat) degrees. */
     def inverse(x: Double, y: Double): (Double, Double) = {
-      val xi = (y - falseN) / (k0 * bigA)
+      val xi = (y - falseN + n0) / (k0 * bigA)
       val eta = (x - falseE) / (k0 * bigA)
       var xiP = xi; var etaP = eta
       var j = 1
@@ -179,6 +199,76 @@ object Proj extends Serializable {
   // series computes once per JVM (executors included — the map is inside
   // the serialized-by-reference object)
   private val tmCache = new java.util.concurrent.ConcurrentHashMap[String, Option[TmSpec]]()
+
+  // --- datum shifts (Helmert 7-parameter, position-vector convention) ----
+
+  /** Geodetic (lon, lat in degrees, h = 0) → geocentric XYZ on (a, invF). */
+  private def toXyz(a: Double, invF: Double, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
+    val f = 1.0 / invF; val e2 = f * (2.0 - f)
+    val phi = math.toRadians(latDeg); val lam = math.toRadians(lonDeg)
+    val nu = a / math.sqrt(1.0 - e2 * math.sin(phi) * math.sin(phi))
+    (nu * math.cos(phi) * math.cos(lam), nu * math.cos(phi) * math.sin(lam),
+      (1.0 - e2) * nu * math.sin(phi))
+  }
+
+  /** Geocentric XYZ → geodetic (lon, lat in degrees) on (a, invF);
+    * fixed-point latitude iteration (converges in a handful of rounds). */
+  private def toGeodetic(a: Double, invF: Double, x: Double, y: Double, z: Double): (Double, Double) = {
+    val f = 1.0 / invF; val e2 = f * (2.0 - f)
+    val p = math.hypot(x, y)
+    var phi = math.atan2(z, p * (1.0 - e2))
+    var i = 0
+    while (i < 10) {
+      val nu = a / math.sqrt(1.0 - e2 * math.sin(phi) * math.sin(phi))
+      phi = math.atan2(z + e2 * nu * math.sin(phi), p)
+      i += 1
+    }
+    (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
+  }
+
+  /** Helmert, position-vector sign convention; t in metres, r in radians,
+    * s unitless. */
+  private def helmert(t: (Double, Double, Double), r: (Double, Double, Double),
+      s: Double, x: Double, y: Double, z: Double): (Double, Double, Double) = {
+    val m = 1.0 + s
+    (t._1 + m * (x - r._3 * y + r._2 * z),
+      t._2 + m * (r._3 * x + y - r._1 * z),
+      t._3 + m * (-r._2 * x + r._1 * y + z))
+  }
+
+  private def arcsec(v: Double): Double = math.toRadians(v / 3600.0)
+
+  // WGS84 → OSGB36 (OS "A guide to coordinate systems in Great Britain",
+  // the standard single-Helmert approximation, ~2 m vs the OSTN grid)
+  private val Osgb36T = (-446.448, 125.157, -542.060)
+  private val Osgb36R = (arcsec(-0.1502), arcsec(-0.2470), arcsec(-0.8421))
+  private val Osgb36S = 20.4894e-6
+  private val AiryA = 6377563.396
+  private val AiryInvF = 299.3249646
+
+  /** British National Grid (EPSG:27700): TM on Airy 1830 anchored at
+    * 49°N 2°W (k0 = 0.9996012717, FE 400 km, FN −100 km), on the OSGB36
+    * datum reached from the WGS84 hub by the published Helmert shift. */
+  val osgbGrid: TmSpec = TmSpec(AiryA, AiryInvF, -2.0, 0.9996012717,
+    400000.0, -100000.0, lat0Deg = 49.0)
+
+  private def wgs84ToOsgb(lon: Double, lat: Double): (Double, Double) = {
+    val (x, y, z) = toXyz(6378137.0, Wgs84InvF, lon, lat)
+    val (x2, y2, z2) = helmert(Osgb36T, Osgb36R, Osgb36S, x, y, z)
+    val (lon36, lat36) = toGeodetic(AiryA, AiryInvF, x2, y2, z2)
+    osgbGrid.forward(lon36, lat36)
+  }
+
+  private def osgbToWgs84(e: Double, n: Double): (Double, Double) = {
+    val (lon36, lat36) = osgbGrid.inverse(e, n)
+    val (x, y, z) = toXyz(AiryA, AiryInvF, lon36, lat36)
+    // inverse shift: negated parameters (standard first-order inverse,
+    // second-order residual ~0.1 mm at earth radius)
+    val (x2, y2, z2) = helmert(
+      (-Osgb36T._1, -Osgb36T._2, -Osgb36T._3),
+      (-Osgb36R._1, -Osgb36R._2, -Osgb36R._3), -Osgb36S, x, y, z)
+    toGeodetic(6378137.0, Wgs84InvF, x2, y2, z2)
+  }
 
   // --- Lambert Conformal Conic, 2 standard parallels (EPSG method 9802) ---
 

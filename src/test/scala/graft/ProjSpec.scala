@@ -152,6 +152,34 @@ class ProjSpec extends AnyFunSuite {
     }
   }
 
+  test("British National Grid (EPSG:27700): OS worked example, datum shift, round-trips") {
+    // the OS guide's worked example (OSGB36 geodetic → grid, datum-internal,
+    // so it pins the TM-on-Airy math exactly): 52°39'27.2531"N 1°43'4.5177"E
+    // → E 651409.903, N 313177.270
+    val (e, n) = Proj.osgbGrid.forward(
+      1 + 43 / 60.0 + 4.5177 / 3600.0, 52 + 39 / 60.0 + 27.2531 / 3600.0)
+    assert(math.abs(e - 651409.903) < 0.005, s"easting $e")
+    assert(math.abs(n - 313177.270) < 0.005, s"northing $n")
+    // WGS84 hub round-trip through the Helmert shift. The negated-parameter
+    // inverse is first-order (millimetre-scale residual: s·r cross terms on
+    // an earth radius) — far below the shift's own ~2 m accuracy vs OSTN
+    for ((lon, lat) <- Seq((-0.1276, 51.5072), (-3.19, 55.95), (-5.93, 54.60),
+        (1.3, 52.63))) {
+      val (x, y) = Proj.transform("EPSG:4326", "EPSG:27700", lon, lat)
+      val (lon2, lat2) = Proj.transform("EPSG:27700", "EPSG:4326", x, y)
+      val (x2, y2) = Proj.transform("EPSG:4326", "EPSG:27700", lon2, lat2)
+      assert(math.abs(x2 - x) < 0.01 && math.abs(y2 - y) < 0.01, s"($lon,$lat)")
+    }
+    // central London lands in the TQ square (~530 km E, ~180 km N)
+    val (xl, yl) = Proj.transform("EPSG:4326", "EPSG:27700", -0.1276, 51.5072)
+    assert(xl > 525000 && xl < 536000 && yl > 178000 && yl < 186000, s"($xl,$yl)")
+    // the datum shift is real: grid coords with and without the Helmert
+    // differ by the expected ~50-120 m over Britain
+    val (xNoShift, yNoShift) = Proj.osgbGrid.forward(-0.1276, 51.5072)
+    val d = math.hypot(xl - xNoShift, yl - yNoShift)
+    assert(d > 50 && d < 130, s"datum shift magnitude $d")
+  }
+
   test("ETRS89 UTM and WGS84 UTM agree to sub-millimetre (GRS80 vs WGS84)") {
     val (e1, n1) = Proj.transform("EPSG:4326", "EPSG:32632", 9.0, 54.0)
     val (e2, n2) = Proj.transform("EPSG:4326", "EPSG:25832", 9.0, 54.0)
