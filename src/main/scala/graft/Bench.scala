@@ -65,6 +65,7 @@ object Bench {
     // 2000-char tail window always contains one complete JSON object —
     // BENCH_r02/r03 both lost the long line's front to that window.
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
+    QueryLib.clearCaches()
     spark.stop()
   }
 }

@@ -71,6 +71,15 @@ object QueryLib {
         tbl(s, dir, "documents").filter(col("doc_id") < 40), "doc_id", "text", 3)
         .localCheckpoint())
 
+  /** Drop the per-dir memo frames. The localCheckpoint RDD behind the pair
+    * frame becomes unreachable and the ContextCleaner reclaims its blocks —
+    * harness sessions end anyway, but a long-lived application embedding
+    * the query inventory can release the storage explicitly. */
+  def clearCaches(): Unit = {
+    pairCache.clear()
+    gridCache.clear()
+  }
+
   def eventsRaster(dir: String, g: EventsGrid, valueExpr: String = "value",
       ndFilter: String = "event_type = 'error'", dtype: String = "float64"): TableRasterSource =
     TableRasterSource(s"$dir/events.parquet", "event_id", valueExpr,

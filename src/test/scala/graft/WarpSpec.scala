@@ -125,6 +125,22 @@ class WarpSpec extends SparkSpec {
     compare(req)
   }
 
+  test("Lambert-93 (EPSG:2154) request matches the MemorySource warp") {
+    val (x1, y1) = Proj.transform("EPSG:28992", "EPSG:2154", 0, 0)
+    val (x2, y2) = Proj.transform("EPSG:28992", "EPSG:2154", gw, gh)
+    val req = RasterRequest(Bbox(x1, y1, x2, y2), "EPSG:2154", 20, 12,
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0 + Hour)))
+    compare(req)
+  }
+
+  test("British National Grid (EPSG:27700) request matches the MemorySource warp") {
+    val (x1, y1) = Proj.transform("EPSG:28992", "EPSG:27700", 0, 0)
+    val (x2, y2) = Proj.transform("EPSG:28992", "EPSG:27700", gw, gh)
+    val req = RasterRequest(Bbox(x1, y1, x2, y2), "EPSG:27700", 10, 6,
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0 + Hour)))
+    compare(req)
+  }
+
   test("overlapping warped time sub-ranges reuse one cached gather") {
     FrameCache.clear()
     // off-grid window → warp path; two single-frame requests over the SAME
