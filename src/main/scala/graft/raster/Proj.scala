@@ -34,10 +34,18 @@ object Proj extends Serializable {
   private val Utm = """EPSG:32([67])(\d\d)""".r
   private val EtrsUtm = """EPSG:258(\d\d)""".r
 
+  private val UrnEpsg = """URN:OGC:DEF:CRS:EPSG:[^:]*:(\d+)""".r
+  private val DoubleColon = """EPSG::(\d+)""".r
+
   def normalize(code: String): String = code.trim.toUpperCase match {
     case "EPSG:4326" | "WGS84" => "EPSG:4326"
+    // RFC 7946 / OGC spellings of WGS84 lon/lat
+    case "CRS84" | "OGC:CRS84" | "URN:OGC:DEF:CRS:OGC:1.3:CRS84" => "EPSG:4326"
     case "EPSG:3857" | "EPSG:900913" => "EPSG:3857"
     case "EPSG:28992" => "EPSG:28992"
+    // OGC URN and double-colon authority forms collapse to EPSG:<code>
+    case UrnEpsg(c) => normalize(s"EPSG:$c")
+    case DoubleColon(c) => normalize(s"EPSG:$c")
     case other => other
   }
 

@@ -29,6 +29,19 @@ class ProjSpec extends AnyFunSuite {
 
   // ---- UTM / ellipsoidal Transverse Mercator ------------------------------
 
+  test("OGC URN and CRS84 spellings normalize to their EPSG codes") {
+    assert(Proj.normalize("urn:ogc:def:crs:EPSG::4326") == "EPSG:4326")
+    assert(Proj.normalize("urn:ogc:def:crs:EPSG:9.9:28992") == "EPSG:28992")
+    assert(Proj.normalize("urn:ogc:def:crs:OGC:1.3:CRS84") == "EPSG:4326")
+    assert(Proj.normalize("CRS84") == "EPSG:4326")
+    assert(Proj.normalize("EPSG::32631") == "EPSG:32631")
+    assert(Proj.supported("urn:ogc:def:crs:EPSG::32631"))
+    // composing through transform works with the URN spelling
+    val (x1, y1) = Proj.transform("urn:ogc:def:crs:EPSG::4326", "EPSG:3857", 5.0, 52.0)
+    val (x2, y2) = Proj.transform("EPSG:4326", "EPSG:3857", 5.0, 52.0)
+    assert(x1 == x2 && y1 == y2)
+  }
+
   test("UTM codes are recognized; junk zones are not") {
     for (c <- Seq("EPSG:32601", "EPSG:32631", "EPSG:32660", "EPSG:32717", "EPSG:25832"))
       assert(Proj.supported(c), c)
