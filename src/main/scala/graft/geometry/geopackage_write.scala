@@ -119,9 +119,19 @@ object SqliteWrite {
   }
 
   private class Alloc {
+    // the lock-byte page (at offset 2^30) may hold no data; files that large
+    // should use the distributed parquet sink instead. Checked here, per
+    // allocation, so an oversized export fails with this error while the
+    // buffer is still small — not after the heap has absorbed the whole file.
+    private val MaxPages = ((1L << 30) / PageSize).toInt - 1
     val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     pages += new Array[Byte](PageSize) // page 1 (header + master root)
-    def alloc(): Int = { pages += new Array[Byte](PageSize); pages.size }
+    def alloc(): Int = {
+      require(pages.size < MaxPages,
+        "SqliteWrite caps files at 1 GiB (lock-byte page); use the " +
+          "distributed parquet sink for larger exports")
+      pages += new Array[Byte](PageSize); pages.size
+    }
     def apply(n: Int): Array[Byte] = pages(n - 1)
   }
 

@@ -362,6 +362,15 @@ object Gml {
   def xsdPathFor(gmlPath: String): String =
     gmlPath.replaceAll("(?i)\\.gml$", "") + ".xsd"
 
+  /** fid columns arrive boxed as Long or Integer depending on the source
+    * schema (parquet int32 vs int64); accept both like the gpkg sink. */
+  def fidValue(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue
+    case i: java.lang.Integer => i.longValue
+    case other => throw new IllegalArgumentException(
+      s"fid must be integral, got ${other.getClass.getName}")
+  }
+
   def layerNameFor(gmlPath: String): String = {
     val base = new java.io.File(gmlPath).getName.replaceAll("(?i)\\.gml$", "")
     val clean = base.replaceAll("[^A-Za-z0-9_]", "_")
@@ -470,7 +479,7 @@ object GmlSink {
       val it = ordered.toLocalIterator()
       while (it.hasNext) {
         val r = it.next()
-        val fid = if (fidIdx >= 0 && !r.isNullAt(fidIdx)) r.getLong(fidIdx) else -1L
+        val fid = if (fidIdx >= 0 && !r.isNullAt(fidIdx)) Gml.fidValue(r.get(fidIdx)) else -1L
         val wkb = if (geomIdx >= 0) r.get(geomIdx).asInstanceOf[Array[Byte]] else null
         val g = if (wkb == null) null else GeomFunctions.readWkb(wkb)
         w.write(memberXml(layer, fid, g, proj, outNames, attrIdx.map(i => r.get(i))))
@@ -526,7 +535,7 @@ object GmlSink {
     sb.append(docHead(gmlPath,
       if (minX.isFinite) Some((minX, minY, maxX, maxY)) else None))
     rows.zip(geoms).foreach { case (r, g) =>
-      val fid = if (fidIdx >= 0 && !r.isNullAt(fidIdx)) r.getLong(fidIdx) else -1L
+      val fid = if (fidIdx >= 0 && !r.isNullAt(fidIdx)) Gml.fidValue(r.get(fidIdx)) else -1L
       sb.append(memberXml(layer, fid, g, srs, outNames, attrIdx.map(i => r.get(i))))
     }
     sb.append("</ogr:FeatureCollection>\n")
@@ -560,8 +569,10 @@ case class GmlSource(url: String, proj: String = "EPSG:28992") extends GeometryB
     else {
       val in = new java.io.FileInputStream(f)
       val head = try new String(in.readNBytes(256 << 10), "UTF-8") finally in.close()
+      // normalize never throws (unknown codes pass through unchanged), so
+      // gate on supported(): a garbage srsName must not override `proj`
       """srsName="([^"]+)"""".r.findFirstMatchIn(head).map(_.group(1))
-        .filter(s => scala.util.Try(graft.raster.Proj.normalize(s)).isSuccess)
+        .filter(graft.raster.Proj.supported)
         .map(graft.raster.Proj.normalize)
     }
   }

@@ -346,7 +346,11 @@ object Shapefile {
     private val env = new Envelope()
     private var shapeType = -1
     private var count = 0
-    private var offWords = 50
+    private var offWords = 50L
+    // the shapefile format stores record offsets as signed 32-bit counts of
+    // 16-bit words, capping .shp at 2 GiB (same ceiling OGR enforces); past
+    // it the back-patched offsets would silently wrap negative
+    private val MaxWords = (2L << 30) / 2
 
     // placeholder headers, patched in close()
     shp.write(new Array[Byte](100))
@@ -362,11 +366,15 @@ object Shapefile {
         env.expandToInclude(g.getEnvelopeInternal)
       }
       val c = encodeShape(g)
+      if (offWords + 4 + c.length / 2 > MaxWords)
+        throw new IllegalArgumentException(
+          s"shapefile format caps .shp at 2 GiB; record ${count + 1} would " +
+            "exceed it — use the geoparquet sink for exports this large")
       count += 1
       shp.writeInt(count) // record numbers are 1-based
       shp.writeInt(c.length / 2)
       shp.write(c)
-      shx.writeInt(offWords)
+      shx.writeInt(offWords.toInt)
       shx.writeInt(c.length / 2)
       offWords += 4 + c.length / 2
       writeDbfRecord(dbf, attrs, fields)
@@ -388,7 +396,7 @@ object Shapefile {
         b.putDouble(52, env.getMaxX).putDouble(60, env.getMaxY)
         b.array()
       }
-      patch(shpPath, 0, header(offWords))
+      patch(shpPath, 0, header(offWords.toInt))
       patch(base + ".shx", 0, header((100 + 8 * count) / 2))
       // .dbf record count lives at offset 4
       val cnt = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)

@@ -189,4 +189,29 @@ class GmlSpec extends SparkSpec {
     assert(GeomFunctions.readWkb(r4999.getAs[Array[Byte]]("geometry")).equalsExact(
       GeomFunctions.readWkt(GeometryFixtures.square(4999, 0, 5000, 1))))
   }
+
+  test("an IntegerType fid column exports without a cast error") {
+    val sp = spark
+    import sp.implicits._
+    // parquet written with int32 fids surfaces Integer boxes, not Long
+    val df = Seq((1, "POINT (1 2)"), (2, "POINT (3 4)")).toDF("fid", "wkt")
+      .select(col("fid").cast(org.apache.spark.sql.types.IntegerType),
+        GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+    val out = java.nio.file.Files.createTempDirectory("gml_intfid")
+      .resolve("intfid.gml").toString
+    GmlSink.writeStream(df, "EPSG:28992", out)(sp)
+    val back = GmlSource(out).frame(GeometryRequest())
+    assert(back.select("fid").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("a garbage srsName in the head does not override the proj fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("gml_badsrs")
+    val out = dir.resolve("bad.gml").toString
+    GmlSink.write(GeometryFixtures.features, out, GeometryRequest())
+    val doctored = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8")
+      .replaceFirst("srsName=\"[^\"]+\"", "srsName=\"urn:bogus:nothing\"")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), doctored.getBytes("UTF-8"))
+    assert(GmlSource(out, proj = "EPSG:4326").projection == "EPSG:4326")
+  }
 }
