@@ -51,7 +51,8 @@ object Proj extends Serializable {
 
   def supported(code: String): Boolean = normalize(code) match {
     case "EPSG:4326" | "EPSG:3857" | "EPSG:28992" | "EPSG:27700" => true
-    case u => utmSpec(u).isDefined || lccSpec(u).isDefined
+    case u => utmSpec(u).isDefined || lccSpec(u).isDefined ||
+      psSpec(u).isDefined || albersSpec(u).isDefined
   }
 
   /** Transform a point; (x, y) = (lon, lat) for 4326. */
@@ -71,6 +72,8 @@ object Proj extends Serializable {
     case "EPSG:27700" => osgbToWgs84(x, y)
     case other => utmSpec(other).map(_.inverse(x, y))
       .orElse(lccSpec(other).map(_.inverse(x, y)))
+      .orElse(psSpec(other).map(_.inverse(x, y)))
+      .orElse(albersSpec(other).map(_.inverse(x, y)))
       .getOrElse(throw new IllegalArgumentException(s"unsupported projection $other"))
   }
 
@@ -83,6 +86,8 @@ object Proj extends Serializable {
     case "EPSG:27700" => wgs84ToOsgb(lon, lat)
     case other => utmSpec(other).map(_.forward(lon, lat))
       .orElse(lccSpec(other).map(_.forward(lon, lat)))
+      .orElse(psSpec(other).map(_.forward(lon, lat)))
+      .orElse(albersSpec(other).map(_.forward(lon, lat)))
       .getOrElse(throw new IllegalArgumentException(s"unsupported projection $other"))
   }
 
@@ -345,6 +350,141 @@ object Proj extends Serializable {
 
   private val FrCc = """EPSG:(394[2-9]|3950)""".r
   private val lccCache = new java.util.concurrent.ConcurrentHashMap[String, Option[LccSpec]]()
+
+  // --- Polar Stereographic, variant B (EPSG method 9829, Snyder §21) ------
+
+  /** Ellipsoidal polar stereographic anchored by a standard parallel
+    * (latitude of true scale). The north-aspect closed forms are Snyder
+    * 21-33/34 with 15-9; the south aspect is the north aspect applied to
+    * (−φ, −Δλ) with both outputs negated (the standard symmetry). The
+    * inverse latitude iterates Snyder 7-9, converging quadratically. */
+  final case class PsSpec(a: Double, invF: Double, latTsDeg: Double,
+      lon0Deg: Double, falseE: Double, falseN: Double, south: Boolean) {
+    private val f = 1.0 / invF
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    // t (15-9) at the north-aspect equivalent of the standard parallel
+    private def tOf(phi: Double): Double =
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi)), e / 2)
+    private val phiTsN = math.toRadians(if (south) -latTsDeg else latTsDeg)
+    private val mC = math.cos(phiTsN) /
+      math.sqrt(1.0 - e2 * math.sin(phiTsN) * math.sin(phiTsN))
+    private val tC = tOf(phiTsN)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val sgn = if (south) -1.0 else 1.0
+      val phi = sgn * math.toRadians(latDeg)
+      val dLam = sgn * math.toRadians(lonDeg - lon0Deg)
+      val rho = a * mC * tOf(phi) / tC
+      (falseE + sgn * rho * math.sin(dLam), falseN - sgn * rho * math.cos(dLam))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val sgn = if (south) -1.0 else 1.0
+      val dx = sgn * (x - falseE)
+      val dy = sgn * (y - falseN)
+      val rho = math.hypot(dx, dy)
+      val t = rho * tC / (a * mC)
+      var phi = math.Pi / 2 - 2.0 * math.atan(t)
+      var i = 0
+      while (i < 8) {
+        phi = math.Pi / 2 - 2.0 * math.atan(t *
+          math.pow((1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi)), e / 2))
+        i += 1
+      }
+      val dLam = if (rho == 0.0) 0.0 else math.atan2(dx, -dy)
+      (lon0Deg + sgn * math.toDegrees(dLam), sgn * math.toDegrees(phi))
+    }
+  }
+
+  /** Polar codes: EPSG:3031 (WGS84 Antarctic Polar Stereographic,
+    * true scale 71°S, λ0 = 0) and EPSG:3413 (NSIDC Sea Ice Polar
+    * Stereographic North, true scale 70°N, λ0 = −45°). */
+  private def psSpec(code: String): Option[PsSpec] =
+    psCache.computeIfAbsent(code, {
+      case "EPSG:3031" => Some(PsSpec(6378137.0, Wgs84InvF, -71.0, 0.0,
+        0.0, 0.0, south = true))
+      case "EPSG:3413" => Some(PsSpec(6378137.0, Wgs84InvF, 70.0, -45.0,
+        0.0, 0.0, south = false))
+      case _ => None
+    })
+  private val psCache = new java.util.concurrent.ConcurrentHashMap[String, Option[PsSpec]]()
+
+  /** Test hook: a PsSpec with arbitrary parameters (EPSG guidance worked
+    * examples use non-EPSG-code parameter sets). */
+  def psSpecFor(a: Double, invF: Double, latTsDeg: Double, lon0Deg: Double,
+      falseE: Double, falseN: Double, south: Boolean): PsSpec =
+    PsSpec(a, invF, latTsDeg, lon0Deg, falseE, falseN, south)
+
+  // --- Albers Equal Area (EPSG method 9822, Snyder §14) -------------------
+
+  /** Snyder's ellipsoidal Albers: exact closed forms on the authalic
+    * latitude function q, inverse latitude via Snyder 3-16 iteration. */
+  final case class AlbersSpec(a: Double, invF: Double, phi1Deg: Double,
+      phi2Deg: Double, phi0Deg: Double, lon0Deg: Double,
+      falseE: Double, falseN: Double) {
+    private val f = 1.0 / invF
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private def m(phi: Double): Double =
+      math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) * math.sin(phi))
+    // Snyder 3-12
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - e2) * (s / (1.0 - e2 * s * s) -
+        (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+    private val phi1 = math.toRadians(phi1Deg)
+    private val phi2 = math.toRadians(phi2Deg)
+    private val m1 = m(phi1); private val m2 = m(phi2)
+    private val n = (m1 * m1 - m2 * m2) / (q(phi2) - q(phi1))
+    private val bigC = m1 * m1 + n * q(phi1)
+    private val rho0 = a * math.sqrt(bigC - n * q(math.toRadians(phi0Deg))) / n
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = a * math.sqrt(bigC - n * q(math.toRadians(latDeg))) / n
+      val th = n * math.toRadians(lonDeg - lon0Deg)
+      (falseE + rho * math.sin(th), falseN + rho0 - rho * math.cos(th))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - falseE
+      val dy = rho0 - (y - falseN)
+      val rho = math.hypot(dx, dy)
+      val qv = (bigC - rho * rho * n * n / (a * a)) / n
+      val th = math.atan2(math.signum(n) * dx, math.signum(n) * dy)
+      // Snyder 3-16 fixed-point for φ from q
+      var phi = math.asin(math.min(1.0, math.max(-1.0, qv / 2.0)))
+      var i = 0
+      while (i < 12) {
+        val s = math.sin(phi)
+        val d = 1.0 - e2 * s * s
+        phi += d * d / (2.0 * math.cos(phi)) * (qv / (1.0 - e2) -
+          s / d + (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+        i += 1
+      }
+      (math.toDegrees(math.toRadians(lon0Deg) + th / n), math.toDegrees(phi))
+    }
+  }
+
+  /** Albers codes: EPSG:5070 (NAD83 / Conus Albers — parallels
+    * 29.5°/45.5°, origin 23°N 96°W, GRS80). NAD83 rides the WGS84 hub
+    * (the datums agree to ~1-2 m, the same grid-free convention as
+    * RGF93/ETRS89). */
+  private def albersSpec(code: String): Option[AlbersSpec] =
+    albersCache.computeIfAbsent(code, {
+      case "EPSG:5070" => Some(AlbersSpec(6378137.0, Grs80InvF,
+        29.5, 45.5, 23.0, -96.0, 0.0, 0.0))
+      case _ => None
+    })
+  private val albersCache = new java.util.concurrent.ConcurrentHashMap[String, Option[AlbersSpec]]()
+
+  /** Test hook: an AlbersSpec with arbitrary parameters (Snyder's worked
+    * example is on Clarke 1866). */
+  def albersSpecFor(a: Double, invF: Double, phi1Deg: Double, phi2Deg: Double,
+      phi0Deg: Double, lon0Deg: Double, falseE: Double, falseN: Double): AlbersSpec =
+    AlbersSpec(a, invF, phi1Deg, phi2Deg, phi0Deg, lon0Deg, falseE, falseN)
 
   /** UTM family parser: EPSG:326zz/327zz (WGS84 N/S), EPSG:258zz (ETRS89 —
     * GRS80 ellipsoid, northern zones 28-38 in use). Zone zz ∈ 1..60; the

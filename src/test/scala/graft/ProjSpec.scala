@@ -246,4 +246,115 @@ class ReprojectionSpec extends SparkSpec {
     // ~68 m (lon) × ~111 m (lat) → ~7600 m²
     assert(a > 6000 && a < 9000, s"area $a")
   }
+
+  test("polar stereographic: EPSG guidance worked example, round-trips, true scale") {
+    // EPSG Guidance Note 7-2, Polar Stereographic variant B worked example
+    // (WGS84 / Australian Antarctic parameters: φ_ts 71°S, λ0 70°E,
+    // FE = FN = 6 000 000): 75°S 120°E → E 7 255 380.79, N 7 053 389.56
+    val aap = Proj.psSpecFor(6378137.0, 298.257223563, -71.0, 70.0,
+      6000000.0, 6000000.0, south = true)
+    val (ew, nw) = aap.forward(120.0, -75.0)
+    assert(math.abs(ew - 7255380.79) < 0.01, s"easting $ew")
+    assert(math.abs(nw - 7053389.56) < 0.01, s"northing $nw")
+    // and the guidance example's reverse direction
+    val (lonw, latw) = aap.inverse(7255380.79, 7053389.56)
+    assert(math.abs(lonw - 120.0) < 1e-7 && math.abs(latw - -75.0) < 1e-7)
+
+    // both aspects: the pole maps to the natural origin
+    val (px, py) = Proj.transform("EPSG:4326", "EPSG:3031", 33.0, -90.0)
+    assert(math.hypot(px, py) < 1e-6)
+    val (qx, qy) = Proj.transform("EPSG:4326", "EPSG:3413", 12.0, 90.0)
+    assert(math.hypot(qx, qy) < 1e-6)
+
+    // the DEFINING property: true scale on the standard parallel, checked
+    // against an independent parallel-radius formula (scale along a circle
+    // of latitude = mapped arc / (ν cosφ Δλ))
+    val ae = 6378137.0; val f = 1 / 298.257223563; val e2 = f * (2 - f)
+    for ((code, latTs) <- Seq(("EPSG:3031", -71.0), ("EPSG:3413", 70.0))) {
+      val d = 1e-6
+      val (x1, y1) = Proj.transform("EPSG:4326", code, 10.0 - d, latTs)
+      val (x2, y2) = Proj.transform("EPSG:4326", code, 10.0 + d, latTs)
+      val phi = math.toRadians(latTs)
+      val nu = ae / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      val truth = nu * math.cos(phi) * math.toRadians(2 * d)
+      assert(math.abs(math.hypot(x2 - x1, y2 - y1) / truth - 1.0) < 1e-6, code)
+    }
+
+    // round-trips over each hemisphere's working extent, |err| < 1e-6 m
+    for ((lon, lat) <- Seq((0.0, -71.0), (166.67, -77.85), (-68.1, -67.57),
+        (58.0, -89.9))) {
+      val (x, y) = Proj.transform("EPSG:4326", "EPSG:3031", lon, lat)
+      val (lon2, lat2) = Proj.transform("EPSG:3031", "EPSG:4326", x, y)
+      val (x2, y2) = Proj.transform("EPSG:4326", "EPSG:3031", lon2, lat2)
+      assert(math.abs(x2 - x) < 1e-6 && math.abs(y2 - y) < 1e-6, s"($lon,$lat)")
+    }
+    for ((lon, lat) <- Seq((-45.0, 70.0), (-18.8, 76.8), (156.0, 71.3),
+        (-110.0, 89.95))) {
+      val (x, y) = Proj.transform("EPSG:4326", "EPSG:3413", lon, lat)
+      val (lon2, lat2) = Proj.transform("EPSG:3413", "EPSG:4326", x, y)
+      val (x2, y2) = Proj.transform("EPSG:4326", "EPSG:3413", lon2, lat2)
+      assert(math.abs(x2 - x) < 1e-6 && math.abs(y2 - y) < 1e-6, s"($lon,$lat)")
+    }
+    // McMurdo Station lands in the right part of the 3031 plane
+    // (~166.7°E, 77.85°S → x ≈ +310 km, y ≈ −1310 km)
+    val (mx, my) = Proj.transform("EPSG:4326", "EPSG:3031", 166.67, -77.85)
+    assert(mx > 250000 && mx < 350000 && my < -1250000 && my > -1400000, s"($mx,$my)")
+  }
+
+  test("Albers (EPSG:5070): Snyder worked example, equal-area property, round-trips") {
+    // Snyder, "Map Projections — A Working Manual", §14 numerical example
+    // (Clarke 1866, parallels 29.5°/45.5°, origin 23°N 96°W):
+    // 35°N 75°W → x 1 885 472.7, y 1 535 925.0
+    val snyder = Proj.albersSpecFor(6378206.4, 294.978698214,
+      29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+    val (xs, ys) = snyder.forward(-75.0, 35.0)
+    assert(math.abs(xs - 1885472.7) < 0.5, s"x $xs")
+    assert(math.abs(ys - 1535925.0) < 0.5, s"y $ys")
+    val (lons, lats) = snyder.inverse(1885472.7, 1535925.0)
+    assert(math.abs(lons - -75.0) < 1e-5 && math.abs(lats - 35.0) < 1e-5)
+
+    // the DEFINING property: unit scale along both standard parallels,
+    // against the independent parallel-radius formula
+    val a = 6378137.0; val f = 1 / 298.257222101; val e2 = f * (2 - f)
+    for (lat <- Seq(29.5, 45.5)) {
+      val d = 1e-6
+      val (x1, y1) = Proj.transform("EPSG:4326", "EPSG:5070", -96.0 - d, lat)
+      val (x2, y2) = Proj.transform("EPSG:4326", "EPSG:5070", -96.0 + d, lat)
+      val phi = math.toRadians(lat)
+      val nu = a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      val truth = nu * math.cos(phi) * math.toRadians(2 * d)
+      assert(math.abs(math.hypot(x2 - x1, y2 - y1) / truth - 1.0) < 1e-6, s"scale at $lat")
+    }
+
+    // the EQUAL-AREA property everywhere: the Jacobian determinant of the
+    // map equals the ellipsoidal area element M ν cosφ (independent of the
+    // projection formulas) — checked at points far from the parallels
+    for ((lon, lat) <- Seq((-120.0, 49.0), (-75.0, 25.2), (-96.0, 37.0))) {
+      val d = 1e-5
+      def fw(lo: Double, la: Double) = Proj.transform("EPSG:4326", "EPSG:5070", lo, la)
+      val (x0, y0) = fw(lon - d, lat); val (x1, y1) = fw(lon + d, lat)
+      val (x2, y2) = fw(lon, lat - d); val (x3, y3) = fw(lon, lat + d)
+      val dxdl = (x1 - x0) / (2 * d); val dydl = (y1 - y0) / (2 * d)
+      val dxdp = (x3 - x2) / (2 * d); val dydp = (y3 - y2) / (2 * d)
+      val jac = math.abs(dxdl * dydp - dydl * dxdp) // per degree²
+      val phi = math.toRadians(lat)
+      val sin2 = math.sin(phi) * math.sin(phi)
+      val mRad = a * (1 - e2) / math.pow(1 - e2 * sin2, 1.5)
+      val nu = a / math.sqrt(1 - e2 * sin2)
+      val truth = mRad * nu * math.cos(phi) * math.toRadians(1.0) * math.toRadians(1.0)
+      assert(math.abs(jac / truth - 1.0) < 1e-5, s"area element at ($lon,$lat)")
+    }
+
+    // round-trips over CONUS, |err| < 1e-6 m
+    for ((lon, lat) <- Seq((-124.4, 48.4), (-66.9, 44.8), (-80.2, 25.8),
+        (-117.1, 32.7), (-96.0, 23.0))) {
+      val (x, y) = Proj.transform("EPSG:4326", "EPSG:5070", lon, lat)
+      val (lon2, lat2) = Proj.transform("EPSG:5070", "EPSG:4326", x, y)
+      val (x2, y2) = Proj.transform("EPSG:4326", "EPSG:5070", lon2, lat2)
+      assert(math.abs(x2 - x) < 1e-6 && math.abs(y2 - y) < 1e-6, s"($lon,$lat)")
+    }
+    // Denver lands where 5070 puts it (~ −787 km, 1.85 Mm)
+    val (dx, dy) = Proj.transform("EPSG:4326", "EPSG:5070", -104.99, 39.74)
+    assert(dx > -900000 && dx < -700000 && dy > 1750000 && dy < 1950000, s"($dx,$dy)")
+  }
 }

@@ -141,6 +141,26 @@ class WarpSpec extends SparkSpec {
     compare(req)
   }
 
+  test("polar stereographic (EPSG:3413) request matches the MemorySource warp") {
+    // the source raster sits in the Netherlands — inside 3413's northern
+    // hemisphere domain (the Antarctic 3031 cannot express it)
+    val (x1, y1) = Proj.transform("EPSG:28992", "EPSG:3413", 0, 0)
+    val (x2, y2) = Proj.transform("EPSG:28992", "EPSG:3413", gw, gh)
+    val req = RasterRequest(Bbox(x1, y1, x2, y2), "EPSG:3413", 10, 6,
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0 + Hour)))
+    compare(req)
+  }
+
+  test("Albers (EPSG:5070) request matches the MemorySource warp") {
+    // 5070 is defined for CONUS but the cone extends over Europe; the
+    // transform chain is exercised regardless of the designed-for extent
+    val (x1, y1) = Proj.transform("EPSG:28992", "EPSG:5070", 0, 0)
+    val (x2, y2) = Proj.transform("EPSG:28992", "EPSG:5070", gw, gh)
+    val req = RasterRequest(Bbox(x1, y1, x2, y2), "EPSG:5070", 10, 6,
+      Some(Instant.ofEpochMilli(T0)), Some(Instant.ofEpochMilli(T0 + Hour)))
+    compare(req)
+  }
+
   test("overlapping warped time sub-ranges reuse one cached gather") {
     FrameCache.clear()
     // off-grid window → warp path; two single-frame requests over the SAME
