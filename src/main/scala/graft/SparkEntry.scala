@@ -1049,6 +1049,33 @@ object SparkEntry {
       val back = GeometryFileSource(out)
       back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
         .select(col("fid"), col("p_size"), round(col("area"), 6).as("area"))
+    }),
+    "g19_wkt_prj" -> ((s, dir) => {
+      // an ArcGIS-authored shapefile: the .prj carries ESRI WKT (no
+      // AUTHORITY node), not an "EPSG:xxxx" string. The WKT resolver must
+      // identify WGS84 from the ellipsoid so the cross-CRS area (vertices
+      // WGS84 → RD, then planar area) transforms correctly. The oracle
+      // re-derives the WGS84→RD polynomials and the centered shoelace in
+      // SQL — fully independent of the resolver under test.
+      implicit val sp: SparkSession = s
+      val p = TableGeometrySource(s"$dir/part.parquet", "p_partkey",
+        Seq("p_size"),
+        geomWktExpr = Some(squareWkt(
+          "4.5 + (p_partkey % 50) * 0.001",
+          "51.9 + cast(p_partkey / 50 as int) * 0.0005",
+          "p_size * 0.00001")),
+        proj = "EPSG:4326")
+      val out = java.nio.file.Files.createTempDirectory("verify_wktprj")
+        .resolve("parts.shp").toString
+      GeometryToFile.toFile(p, out)
+      // replace the codec's "EPSG:4326" .prj with what ArcGIS writes
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        out.stripSuffix(".shp") + ".prj"),
+        """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val back = ShapefileSource(out)
+      back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
+        .select(col("fid"), col("p_size"), round(col("area"), 4).as("area"))
     })
   )
 
@@ -1142,7 +1169,45 @@ object SparkEntry {
     "g18_gml_roundtrip" ->
       """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
         | round((p_size / 10.0) * (p_size / 10.0), 6) AS area
-        |FROM part""".stripMargin
+        |FROM part""".stripMargin,
+    // the cross-CRS chain re-derived: WGS84 → RD via the published
+    // Schreutelkamp & Strang van Hees polynomials on each quad corner
+    // (same term order as the engine), then JTS's centered shoelace
+    // (Area.ofRing) re-expressed literally — independent of the WKT
+    // resolver and transform code under test
+    "g19_wkt_prj" ->
+      """WITH sq AS (
+        |  SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
+        |    4.5 + (p_partkey % 50) * 0.001 AS lon0,
+        |    51.9 + CAST(p_partkey // 50 AS INT) * 0.0005 AS lat0,
+        |    p_size * 0.00001 AS s
+        |  FROM part),
+        |corners AS (
+        |  SELECT fid, p_size, k,
+        |    CASE WHEN k IN (1, 2) THEN (lon0) + (s) ELSE lon0 END AS lon,
+        |    CASE WHEN k IN (2, 3) THEN (lat0) + (s) ELSE lat0 END AS lat
+        |  FROM sq, (SELECT unnest([0, 1, 2, 3]) AS k)),
+        |pl AS (SELECT fid, p_size, k,
+        |    0.36*(CAST(lat AS DOUBLE) - 52.15517440) AS P,
+        |    0.36*(CAST(lon AS DOUBLE) - 5.38720621) AS L
+        |  FROM corners),
+        |rd AS (SELECT fid, p_size, k,
+        |  155000 + 190094.945*L - 11832.228*P*L - 114.221*pow(P,2)*L - 32.391*pow(L,3)
+        |    - 0.705*P - 2.340*pow(P,3)*L - 0.608*P*pow(L,3) - 0.008*pow(L,2)
+        |    + 0.148*pow(P,2)*pow(L,3) AS x,
+        |  463000 + 309056.544*P + 3638.893*pow(L,2) + 73.077*pow(P,2) - 157.984*P*pow(L,2)
+        |    + 59.788*pow(P,3) + 0.433*L - 6.439*pow(P,2)*pow(L,2) - 0.032*P*L
+        |    + 0.092*pow(L,4) - 0.054*P*pow(L,4) AS y
+        |  FROM pl),
+        |w AS (SELECT fid, p_size,
+        |  max(CASE WHEN k = 0 THEN x END) AS x0, max(CASE WHEN k = 0 THEN y END) AS y0,
+        |  max(CASE WHEN k = 1 THEN x END) AS x1, max(CASE WHEN k = 1 THEN y END) AS y1,
+        |  max(CASE WHEN k = 2 THEN x END) AS x2, max(CASE WHEN k = 2 THEN y END) AS y2,
+        |  max(CASE WHEN k = 3 THEN x END) AS x3, max(CASE WHEN k = 3 THEN y END) AS y3
+        |  FROM rd GROUP BY fid, p_size)
+        |SELECT fid, p_size,
+        |  round(abs((x1-x0)*(y0-y2) + (x2-x0)*(y1-y3) + (x3-x0)*(y2-y0)) / 2, 4) AS area
+        |FROM w""".stripMargin
   )
 
   // ------------------------------------------------------------ pipeline

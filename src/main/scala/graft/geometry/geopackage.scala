@@ -381,6 +381,20 @@ case class GeoPackageSource(url: String, table: Option[String] = None)
     GeoPackage.srsString(url, ft.srsId)
   }
 
+  // fail fast: an unsupported declared SRS errors at source construction,
+  // naming the file — not from deep inside a warp/transform. The spec's
+  // "undefined" entries (srs_id 0 / -1, organization NONE) pass: absent is
+  // not unsupported, and planar reads never transform.
+  locally {
+    if (new java.io.File(url).isFile) {
+      val p = projection
+      val undefined = p.startsWith("NONE:") || p == "EPSG:0" || p == "EPSG:-1"
+      if (!undefined && !graft.raster.Proj.supported(p))
+        throw new IllegalArgumentException(
+          s"geopackage $url declares unsupported SRS '$p'")
+    }
+  }
+
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
     val (ft, row, decls, ipk) = meta
     val geomIdx = decls.map(_._1).indexOf(ft.geomColumn)

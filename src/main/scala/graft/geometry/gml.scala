@@ -558,6 +558,11 @@ object GmlSink {
   * the sidecar is missing). */
 case class GmlSource(url: String, proj: String = "EPSG:28992") extends GeometryBlock {
 
+  // fail fast on the caller's fallback CRS (the document's own srsName is
+  // validated separately and ignored when unsupported)
+  require(graft.raster.Proj.supported(proj),
+    s"GML source $url: unsupported fallback SRS '$proj'")
+
   /** The CRS the document itself declares — the `srsName` the sink rides on
     * the first geometry tag. Declared CRS wins over the caller's `proj`
     * fallback (like a shapefile's .prj); without it, a merge of tiles

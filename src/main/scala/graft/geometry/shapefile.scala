@@ -549,13 +549,29 @@ case class ShapefileSource(url: String, proj: String = "EPSG:28992")
 
   /** Stored projection: the .prj content if present, else the constructor
     * default. The codec writes "EPSG:xxxx" style strings; foreign WKT .prj
-    * content is kept verbatim for Proj to normalize as far as it can. */
+    * content (ArcGIS/QGIS) resolves through the Proj hub's WKT reader. */
   override lazy val projection: String = {
     val f = new java.io.File(url.stripSuffix(".shp") + ".prj")
     if (f.exists()) {
       val src = scala.io.Source.fromFile(f, "US-ASCII")
-      try src.mkString.trim finally src.close()
+      val raw = try src.mkString.trim finally src.close()
+      try graft.raster.Proj.normalize(raw)
+      catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"shapefile $url: .prj declares an unsupported SRS — ${e.getMessage}")
+      }
     } else proj
+  }
+
+  // fail fast: an unreadable or unsupported .prj errors here, at source
+  // construction, naming the file — not from deep inside a warp/transform
+  locally {
+    if (new java.io.File(url.stripSuffix(".shp") + ".prj").exists()) {
+      val decl = projection
+      if (!graft.raster.Proj.supported(decl))
+        throw new IllegalArgumentException(
+          s"shapefile $url: .prj declares unsupported SRS '$decl'")
+    }
   }
 
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {

@@ -37,23 +37,32 @@ object Proj extends Serializable {
   private val UrnEpsg = """URN:OGC:DEF:CRS:EPSG:[^:]*:(\d+)""".r
   private val DoubleColon = """EPSG::(\d+)""".r
 
-  def normalize(code: String): String = code.trim.toUpperCase match {
-    case "EPSG:4326" | "WGS84" => "EPSG:4326"
-    // RFC 7946 / OGC spellings of WGS84 lon/lat
-    case "CRS84" | "OGC:CRS84" | "URN:OGC:DEF:CRS:OGC:1.3:CRS84" => "EPSG:4326"
-    case "EPSG:3857" | "EPSG:900913" => "EPSG:3857"
-    case "EPSG:28992" => "EPSG:28992"
-    // OGC URN and double-colon authority forms collapse to EPSG:<code>
-    case UrnEpsg(c) => normalize(s"EPSG:$c")
-    case DoubleColon(c) => normalize(s"EPSG:$c")
-    case other => other
-  }
+  def normalize(code: String): String =
+    // WKT SRS text (ArcGIS/QGIS .prj files, gpkg definitions): resolve to
+    // an EPSG code or fail loudly — unlike unknown authority codes, WKT
+    // that doesn't resolve can never match anything downstream
+    if (WktSrs.looksLikeWkt(code)) WktSrs.toEpsg(code) match {
+      case Right(epsg) => normalize(epsg)
+      case Left(why) => throw new IllegalArgumentException(s"unsupported WKT SRS: $why")
+    } else code.trim.toUpperCase match {
+      case "EPSG:4326" | "WGS84" => "EPSG:4326"
+      // RFC 7946 / OGC spellings of WGS84 lon/lat
+      case "CRS84" | "OGC:CRS84" | "URN:OGC:DEF:CRS:OGC:1.3:CRS84" => "EPSG:4326"
+      case "EPSG:3857" | "EPSG:900913" => "EPSG:3857"
+      case "EPSG:28992" => "EPSG:28992"
+      // OGC URN and double-colon authority forms collapse to EPSG:<code>
+      case UrnEpsg(c) => normalize(s"EPSG:$c")
+      case DoubleColon(c) => normalize(s"EPSG:$c")
+      case other => other
+    }
 
-  def supported(code: String): Boolean = normalize(code) match {
-    case "EPSG:4326" | "EPSG:3857" | "EPSG:28992" | "EPSG:27700" => true
-    case u => utmSpec(u).isDefined || lccSpec(u).isDefined ||
-      psSpec(u).isDefined || albersSpec(u).isDefined
-  }
+  def supported(code: String): Boolean =
+    if (WktSrs.looksLikeWkt(code)) WktSrs.toEpsg(code).toOption.exists(supported)
+    else normalize(code) match {
+      case "EPSG:4326" | "EPSG:3857" | "EPSG:28992" | "EPSG:27700" => true
+      case u => utmSpec(u).isDefined || lccSpec(u).isDefined ||
+        psSpec(u).isDefined || albersSpec(u).isDefined
+    }
 
   /** Transform a point; (x, y) = (lon, lat) for 4326. */
   def transform(from: String, to: String, x: Double, y: Double): (Double, Double) = {

@@ -1,0 +1,337 @@
+package graft.raster
+
+/** WKT SRS strings → EPSG codes, without GDAL/OGR on the JVM.
+  *
+  * The reference accepts any SRS user input — WKT included — through OGR
+  * (`utils.py:397` `get_sr` / `GetUserInputAsWKT`, reached from e.g.
+  * `geometry/sources.py:183` when a shapefile carries a `.prj`). Real-world
+  * `.prj` files are WKT-1 in two dialects: OGC (carries
+  * `AUTHORITY["EPSG","xxxx"]` nodes) and ESRI (ArcGIS — no authority nodes,
+  * renamed projections and parameters). This resolver handles both, plus
+  * ISO WKT-2 (`PROJCRS`/`ID[...]`), by:
+  *
+  *   1. taking a root-level `AUTHORITY`/`ID` EPSG code when one is present
+  *      and the hub supports it, otherwise
+  *   2. matching ellipsoid + projection method + parameters onto the hub's
+  *      families (UTM/ETRS89-UTM, BNG, RD New, web mercator, Lambert-93 +
+  *      CC zones, polar stereographic, Conus Albers, plain geographic).
+  *
+  * Grammar (OGC 01-009 §7 / ISO 19162): `KEYWORD[arg, arg, ...]` where an
+  * arg is a quoted string (doubled-quote escape), a number, a bare keyword
+  * (e.g. axis directions), or a nested node; `(` `)` are accepted for
+  * `[` `]`.
+  */
+object WktSrs {
+
+  /** One parsed `KEYWORD[...]` node. Args are String (quoted or bare),
+    * java.lang.Double, or nested Node. */
+  final case class Node(name: String, args: Vector[Any]) {
+    def children(keyword: String*): Seq[Node] = {
+      val want = keyword.map(_.toUpperCase).toSet
+      args.collect { case n: Node if want.contains(n.name.toUpperCase) => n }
+    }
+    def child(keyword: String*): Option[Node] = children(keyword: _*).headOption
+    /** First quoted-string argument (conventionally the object name). */
+    def label: String = args.collectFirst { case s: String => s }.getOrElse("")
+    def numbers: Seq[Double] = args.collect { case d: java.lang.Double => d.doubleValue }
+    /** All nodes in this subtree, pre-order. */
+    def all: Seq[Node] = this +: args.collect { case n: Node => n.all }.flatten
+  }
+
+  /** True when the string looks like WKT rather than an authority code —
+    * authority codes ("EPSG:4326", OGC URNs) never contain brackets. */
+  def looksLikeWkt(s: String): Boolean = {
+    val t = s.trim
+    t.nonEmpty && Character.isLetter(t.charAt(0)) &&
+      (t.contains('[') || t.contains('('))
+  }
+
+  // resolution is called per projection string on hot paths (normalize);
+  // parse + match once per distinct WKT text per JVM
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Either[String, String]]()
+
+  /** Resolve WKT to a supported "EPSG:xxxx" code, or a human-readable
+    * reason why not. */
+  def toEpsg(wkt: String): Either[String, String] =
+    cache.computeIfAbsent(wkt, w =>
+      try resolve(parse(w))
+      catch { case e: IllegalArgumentException => Left(s"malformed WKT: ${e.getMessage}") })
+
+  // --- parser --------------------------------------------------------------
+
+  def parse(s: String): Node = {
+    val p = new P(s)
+    val n = p.node()
+    p.skipWs()
+    require(p.atEnd, s"trailing content at offset ${p.pos}")
+    n
+  }
+
+  private final class P(s: String) {
+    var pos = 0
+    def atEnd: Boolean = pos >= s.length
+    def skipWs(): Unit = while (!atEnd && Character.isWhitespace(s.charAt(pos))) pos += 1
+
+    def node(): Node = {
+      skipWs()
+      val name = bareWord()
+      skipWs()
+      require(!atEnd && (s.charAt(pos) == '[' || s.charAt(pos) == '('),
+        s"expected [ after $name")
+      val close = if (s.charAt(pos) == '[') ']' else ')'
+      pos += 1
+      val args = Vector.newBuilder[Any]
+      var first = true
+      skipWs()
+      while (!atEnd && s.charAt(pos) != close) {
+        if (!first) {
+          require(s.charAt(pos) == ',', s"expected , at offset $pos")
+          pos += 1; skipWs()
+        }
+        args += arg()
+        first = false
+        skipWs()
+      }
+      require(!atEnd, s"unterminated $name")
+      pos += 1 // consume close
+      Node(name, args.result())
+    }
+
+    private def arg(): Any = {
+      val c = s.charAt(pos)
+      if (c == '"') quoted()
+      else if (c == '-' || c == '+' || c == '.' || Character.isDigit(c)) number()
+      else {
+        // bare keyword (axis directions NORTH/EAST, WKT2 unit keywords);
+        // a following bracket makes it a nested node
+        val save = pos
+        val w = bareWord()
+        skipWs()
+        if (!atEnd && (s.charAt(pos) == '[' || s.charAt(pos) == '(')) {
+          pos = save; node()
+        } else w
+      }
+    }
+
+    private def bareWord(): String = {
+      val start = pos
+      while (!atEnd && (Character.isLetterOrDigit(s.charAt(pos)) ||
+        s.charAt(pos) == '_' || s.charAt(pos) == '.' || s.charAt(pos) == '-')) pos += 1
+      require(pos > start, s"expected identifier at offset $start")
+      s.substring(start, pos)
+    }
+
+    private def quoted(): String = {
+      pos += 1
+      val sb = new StringBuilder
+      var done = false
+      while (!done) {
+        require(!atEnd, "unterminated string")
+        val c = s.charAt(pos)
+        if (c == '"') {
+          if (pos + 1 < s.length && s.charAt(pos + 1) == '"') { sb += '"'; pos += 2 }
+          else { done = true; pos += 1 }
+        } else { sb += c; pos += 1 }
+      }
+      sb.toString
+    }
+
+    private def number(): java.lang.Double = {
+      val start = pos
+      if (s.charAt(pos) == '-' || s.charAt(pos) == '+') pos += 1
+      while (!atEnd && (Character.isDigit(s.charAt(pos)) || s.charAt(pos) == '.' ||
+        s.charAt(pos) == 'e' || s.charAt(pos) == 'E' ||
+        ((s.charAt(pos) == '-' || s.charAt(pos) == '+') &&
+          (s.charAt(pos - 1) == 'e' || s.charAt(pos - 1) == 'E')))) pos += 1
+      java.lang.Double.valueOf(s.substring(start, pos))
+    }
+  }
+
+  // --- resolution ----------------------------------------------------------
+
+  private def resolve(root: Node): Either[String, String] = {
+    // 1. explicit EPSG identity on the root: WKT-1 AUTHORITY (last arg by
+    //    convention) or WKT-2 ID, as a DIRECT child only — nested GEOGCS /
+    //    DATUM authorities describe components, not the CRS
+    val direct = root.child("AUTHORITY", "ID").flatMap(authorityCode)
+    direct match {
+      case Some(code) if Proj.supported(code) => return Right(code)
+      case _ => ()
+    }
+    // 2. family match on ellipsoid + method + parameters
+    val matched = root.name.toUpperCase match {
+      case "GEOGCS" | "GEOGCRS" | "GEODCRS" => matchGeographic(root)
+      case "PROJCS" | "PROJCRS" => matchProjected(root)
+      case other => Left(s"unsupported WKT root $other")
+    }
+    (matched, direct) match {
+      case (r @ Right(_), _) => r
+      case (Left(why), Some(code)) =>
+        Left(s"$why (declared authority $code is not a supported code)")
+      case (l, None) => l
+    }
+  }
+
+  private def authorityCode(n: Node): Option[String] = {
+    // AUTHORITY["EPSG","4326"] / ID["EPSG",4326[,…]]
+    val args = n.args
+    val org = args.collectFirst { case s: String => s }
+    val code = args.collect {
+      case s: String => s
+      case d: java.lang.Double => if (d.doubleValue.isValidInt) d.intValue.toString else d.toString
+    }.drop(1).headOption
+    (org, code) match {
+      case (Some(o), Some(c)) if o.equalsIgnoreCase("EPSG") && c.forall(_.isDigit) =>
+        Some(s"EPSG:$c")
+      case _ => None
+    }
+  }
+
+  /** (a, 1/f) from the SPHEROID/ELLIPSOID node anywhere in the tree. */
+  private def ellipsoid(root: Node): Option[(Double, Double)] =
+    root.all.find(n => n.name.equalsIgnoreCase("SPHEROID") ||
+      n.name.equalsIgnoreCase("ELLIPSOID")).flatMap { n =>
+      n.numbers match {
+        case Seq(a, invF, _*) => Some((a, invF))
+        case _ => None
+      }
+    }
+
+  /** Normalized parameter map: lowercased, non-alphanumerics stripped.
+    * Covers OGC WKT-1, ESRI WKT-1, and WKT-2 parameter spellings. */
+  private def params(root: Node): Map[String, Double] =
+    root.all.filter(_.name.equalsIgnoreCase("PARAMETER")).flatMap { n =>
+      val name = n.label
+      n.numbers.headOption.map(v => canon(name) -> v)
+    }.toMap
+
+  private def canon(s: String): String =
+    s.toLowerCase.filter(Character.isLetterOrDigit)
+
+  private def param(p: Map[String, Double], names: String*): Option[Double] =
+    names.iterator.map(canon).flatMap(p.get).nextOption()
+
+  private def near(a: Double, b: Double, tol: Double): Boolean = math.abs(a - b) <= tol
+
+  private val Wgs84InvF = 298.257223563
+  private val Grs80InvF = 298.257222101
+
+  private def matchGeographic(root: Node): Either[String, String] =
+    ellipsoid(root) match {
+      // WGS84, GRS80 (ETRS89/NAD83/RGF93) — all ride the hub's 4326
+      case Some((a, invF)) if near(a, 6378137.0, 0.01) &&
+        (near(invF, Wgs84InvF, 1e-6) || near(invF, Grs80InvF, 1e-6)) =>
+        Right("EPSG:4326")
+      case Some((a, invF)) =>
+        Left(f"unsupported geographic CRS '${root.label}' (ellipsoid a=$a%.3f 1/f=$invF%.9f)")
+      case None => Left(s"geographic CRS '${root.label}' has no SPHEROID/ELLIPSOID")
+    }
+
+  private def matchProjected(root: Node): Either[String, String] = {
+    // WKT-1: PROJECTION["name"]; WKT-2: CONVERSION[..., METHOD["name"[, ID]]]
+    val method = root.all.find(_.name.equalsIgnoreCase("PROJECTION"))
+      .orElse(root.all.find(_.name.equalsIgnoreCase("METHOD")))
+      .map(_.label).getOrElse("")
+    val m = canon(method)
+    val p = params(root)
+    val ell = ellipsoid(root)
+    val datum = root.all.find(n => n.name.equalsIgnoreCase("DATUM") ||
+      n.name.equalsIgnoreCase("BASEGEOGCRS")).map(_.label).getOrElse("")
+
+    def lon0 = param(p, "central_meridian", "longitude_of_natural_origin",
+      "longitude_of_center", "longitude_of_origin", "longitude_of_false_origin")
+    def lat0 = param(p, "latitude_of_origin", "latitude_of_natural_origin",
+      "latitude_of_center", "latitude_of_false_origin")
+    def k0 = param(p, "scale_factor", "scale_factor_at_natural_origin")
+    def fe = param(p, "false_easting", "easting_at_false_origin")
+    def fn = param(p, "false_northing", "northing_at_false_origin")
+    def sp1 = param(p, "standard_parallel_1", "latitude_of_1st_standard_parallel",
+      "latitude_of_standard_parallel", "standard_parallel")
+    def sp2 = param(p, "standard_parallel_2", "latitude_of_2nd_standard_parallel")
+
+    if (m.contains("transversemercator") || m.contains("gausskruger")) {
+      (ell, lon0, lat0, k0, fe, fn) match {
+        // UTM on WGS84 / GRS80: k0 0.9996, FE 500 km, lat0 0, λ0 = 6z−183
+        case (Some((a, invF)), Some(l0), Some(la0), Some(k), Some(e), Some(n))
+          if near(a, 6378137.0, 0.01) && near(k, 0.9996, 1e-9) &&
+            near(e, 500000.0, 1e-3) && near(la0, 0.0, 1e-9) &&
+            near((l0 + 183.0) / 6.0, math.round((l0 + 183.0) / 6.0).toDouble, 1e-9) &&
+            math.round((l0 + 183.0) / 6.0) >= 1 && math.round((l0 + 183.0) / 6.0) <= 60 =>
+          val zone = math.round((l0 + 183.0) / 6.0).toInt
+          if (near(invF, Wgs84InvF, 1e-6) && near(n, 0.0, 1e-3))
+            Right(f"EPSG:326$zone%02d")
+          else if (near(invF, Wgs84InvF, 1e-6) && near(n, 10000000.0, 1e-3))
+            Right(f"EPSG:327$zone%02d")
+          else if (near(invF, Grs80InvF, 1e-6) && near(n, 0.0, 1e-3))
+            Right(f"EPSG:258$zone%02d")
+          else Left(s"unsupported UTM variant in '${root.label}'")
+        // British National Grid on Airy 1830
+        case (Some((a, _)), Some(l0), Some(la0), Some(k), Some(e), Some(n))
+          if near(a, 6377563.396, 0.01) && near(l0, -2.0, 1e-9) &&
+            near(la0, 49.0, 1e-9) && near(k, 0.9996012717, 1e-10) &&
+            near(e, 400000.0, 1e-3) && near(n, -100000.0, 1e-3) =>
+          Right("EPSG:27700")
+        case _ => Left(s"unsupported Transverse Mercator CRS '${root.label}'")
+      }
+    } else if (m.contains("stereographic") && !m.contains("polar") &&
+      !m.contains("pole")) {
+      // RD New: double/oblique stereographic on Bessel 1841 at Amersfoort
+      (ell, lat0) match {
+        case (Some((a, _)), Some(la0))
+          if near(a, 6377397.155, 0.01) && near(la0, 52.15616055555555, 1e-6) =>
+          Right("EPSG:28992")
+        case _ => Left(s"unsupported stereographic CRS '${root.label}'")
+      }
+    } else if (m.contains("polar") || m.contains("pole")) {
+      // polar stereographic variant B; ESRI spells the aspect in the method
+      // name (Stereographic_South_Pole) and the true-scale latitude in
+      // standard_parallel_1 (signed)
+      val latTs = sp1.orElse(param(p, "latitude_of_origin")).getOrElse(Double.NaN)
+      if (near(latTs, -71.0, 1e-9) && lon0.exists(near(_, 0.0, 1e-9)) &&
+        fe.forall(near(_, 0.0, 1e-3)) && fn.forall(near(_, 0.0, 1e-3)))
+        Right("EPSG:3031")
+      else if (near(latTs, 70.0, 1e-9) && lon0.exists(near(_, -45.0, 1e-9)) &&
+        fe.forall(near(_, 0.0, 1e-3)) && fn.forall(near(_, 0.0, 1e-3)))
+        Right("EPSG:3413")
+      else Left(s"unsupported polar stereographic CRS '${root.label}'")
+    } else if (m.contains("mercator")) {
+      // web mercator: Mercator_1SP / Mercator_Auxiliary_Sphere /
+      // Popular_Visualisation_Pseudo_Mercator on the WGS84 semi-major
+      if (ell.exists { case (a, _) => near(a, 6378137.0, 0.01) })
+        Right("EPSG:3857")
+      else Left(s"unsupported Mercator CRS '${root.label}'")
+    } else if (m.contains("lambertconformalconic")) {
+      (sp1, sp2, lat0, lon0, fe, fn) match {
+        case (Some(p1), Some(p2), Some(la0), Some(l0), Some(e), Some(n))
+          if near(l0, 3.0, 1e-9) =>
+          if (near(p1, 44.0, 1e-9) && near(p2, 49.0, 1e-9) &&
+            near(la0, 46.5, 1e-9) && near(e, 700000.0, 1e-3) &&
+            near(n, 6600000.0, 1e-3)) Right("EPSG:2154")
+          else {
+            // CC zone z (42..50): parallels z∓0.75, origin z, FE 1700 km,
+            // FN (z−41)·1000 km + 200 km
+            val z = math.round(la0).toInt
+            if (z >= 42 && z <= 50 && near(la0, z.toDouble, 1e-9) &&
+              near(p1, z - 0.75, 1e-9) && near(p2, z + 0.75, 1e-9) &&
+              near(e, 1700000.0, 1e-3) && near(n, (z - 41) * 1000000.0 + 200000.0, 1e-3))
+              Right(s"EPSG:${3900 + z}")
+            else Left(s"unsupported Lambert Conformal Conic CRS '${root.label}'")
+          }
+        case _ => Left(s"unsupported Lambert Conformal Conic CRS '${root.label}'")
+      }
+    } else if (m.contains("albers")) {
+      (sp1, sp2, lat0, lon0) match {
+        case (Some(p1), Some(p2), Some(la0), Some(l0))
+          if near(p1, 29.5, 1e-9) && near(p2, 45.5, 1e-9) &&
+            near(la0, 23.0, 1e-9) && near(l0, -96.0, 1e-9) &&
+            fe.forall(near(_, 0.0, 1e-3)) && fn.forall(near(_, 0.0, 1e-3)) =>
+          Right("EPSG:5070")
+        case _ => Left(s"unsupported Albers CRS '${root.label}'")
+      }
+    } else if (m.isEmpty) {
+      Left(s"projected CRS '${root.label}' (datum '$datum') has no PROJECTION/METHOD node")
+    } else {
+      Left(s"unsupported projection method '$method' in CRS '${root.label}'")
+    }
+  }
+}

@@ -145,4 +145,29 @@ class ShapefileSpec extends SparkSpec {
     assert(df.map(_.getDouble(1)).toSeq == Seq(42.0, 7.5, -1.0))
     assert(math.abs(df(0).getDouble(3) - 1.0) < 1e-9)
   }
+
+  test("a WKT .prj (ArcGIS-authored) resolves to its EPSG code") {
+    val path = tmpShp("wktprj")
+    val fields = Seq(Shapefile.DbfField("fid", 'N', 18, 0))
+    val rows = Seq((wkt.read(GeometryFixtures.square(155000, 463000, 155010, 463010)),
+      Seq[Any](1L)))
+    // the writer records the proj verbatim; hand it ESRI WKT like ArcGIS does
+    val esriRd =
+      """PROJCS["RD_New",GEOGCS["GCS_Amersfoort",DATUM["D_Amersfoort",SPHEROID["Bessel_1841",6377397.155,299.1528128]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Double_Stereographic"],PARAMETER["False_Easting",155000.0],PARAMETER["False_Northing",463000.0],PARAMETER["Central_Meridian",5.38763888888889],PARAMETER["Scale_Factor",0.9999079],PARAMETER["Latitude_Of_Origin",52.1561605555556],UNIT["Meter",1.0]]"""
+    Shapefile.write(path, rows, fields, esriRd)
+    val src = ShapefileSource(path)
+    assert(src.projection == "EPSG:28992")
+    assert(src.frame(GeometryRequest()).count() == 1)
+  }
+
+  test("an unsupported .prj fails at source construction, naming the file") {
+    val path = tmpShp("badprj")
+    val fields = Seq(Shapefile.DbfField("fid", 'N', 18, 0))
+    val rows = Seq((wkt.read(GeometryFixtures.square(0, 0, 1, 1)), Seq[Any](1L)))
+    val krovak =
+      """PROJCS["S-JTSK / Krovak East North",GEOGCS["S-JTSK",DATUM["S_JTSK",SPHEROID["Bessel 1841",6377397.155,299.1528128]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Krovak"],PARAMETER["latitude_of_center",49.5],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1]]"""
+    Shapefile.write(path, rows, fields, krovak)
+    val e = intercept[IllegalArgumentException](ShapefileSource(path))
+    assert(e.getMessage.contains(path) && e.getMessage.contains("Krovak"))
+  }
 }
