@@ -31,20 +31,32 @@ object Bench {
     // Each query runs TWICE and reports the min: single-run timings on a
     // shared host are contention-contaminated (r4's recorded bench had
     // 30-90x outliers on sub-second plans), and min-of-two is the cheapest
-    // noise-immune estimator. A query that throws is recorded with an
-    // "err" marker instead of a fake timing — a broken query must not look
-    // like a fast one.
-    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Either[String, Double] = {
+    // noise-immune estimator. The two samples are DECORRELATED: the full
+    // query list runs as pass 1 then again as pass 2, so a query's samples
+    // land minutes apart and one host-contention window can no longer
+    // poison both (r5's recording had exactly that failure — both
+    // back-to-back samples of p12/r15 inside one slow window). A query
+    // that throws is recorded with an "err" marker instead of a fake
+    // timing — a broken query must not look like a fast one.
+    val names = SparkEntry.queries.keys.toSeq
+    def runPass(pass: Int): Map[String, Either[String, Double]] =
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           Left(e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("").take(120).replaceAll("[\"\\\\\n\r]", " "))
         }
-      }
-      val sec = (once(), once()) match {
+        val v = r.fold(_ => "\"err\"", s => s.toString)
+        println(s"""{"bench_pass":$pass,"query":"$name","sec":$v}""")
+        name -> r
+      }.toMap
+    val pass1 = runPass(1)
+    val pass2 = runPass(2)
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = names.map { name =>
+      val sec = (pass1(name), pass2(name)) match {
         case (Right(a), Right(b)) => math.min(a, b)
         case (Right(a), Left(_))  => a   // flaky second run: keep the timing
         case (Left(_), Right(b))  => b
@@ -53,18 +65,22 @@ object Bench {
       val errField = errs.get(name).map(e => s""","err":"$e"""").getOrElse("")
       println(s"""{"bench_query":"$name","sec":$sec$errField}""")
       name -> sec
-    }
+    }.to(scala.collection.immutable.ListMap)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val wall = (System.nanoTime() - wall0) / 1e9
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // frame-cache observability: full-suite misses ≈ distinct source-frame
+    // variants; a much larger number means the LRU is thrashing
+    val fcHits = graft.raster.FrameCache.hitCount.get()
+    val fcMisses = graft.raster.FrameCache.missCount.get()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // LAST line is a compact summary (no per-query map) so the driver's
     // 2000-char tail window always contains one complete JSON object —
     // BENCH_r02/r03 both lost the long line's front to that window.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
     QueryLib.clearCaches()
     spark.stop()
   }
