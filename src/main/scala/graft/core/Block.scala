@@ -156,7 +156,8 @@ object BlockRegistry {
       classOf[TemporalAggregate], classOf[Cumulative], classOf[Resample],
       classOf[Dilate], classOf[MovingMax], classOf[Smooth], classOf[HillShade],
       classOf[Place], classOf[RasterizeWKT], classOf[Rasterize],
-      classOf[TableRasterSource], classOf[RasterParquetSource], classOf[RasterTiler]
+      classOf[TableRasterSource], classOf[RasterParquetSource], classOf[RasterTiler],
+      classOf[GeoTiffSource]
     ).foreach(registerAuto)
     Seq[Class[_ <: Block]](
       classOf[graft.geometry.GetSeriesBlock], classOf[graft.geometry.SetSeriesBlock],
@@ -217,6 +218,108 @@ object BlockRegistry {
         args(7).toString)
     }
     graft.raster.MemorySource.ensureRegistered()
+
+    // --- reference-dialect aliases -------------------------------------
+    // A view serialized by the Python reference names every block by its
+    // import path (core/graphs.py:229-249 get_import_path), e.g.
+    // "dask_geomodeling.raster.elemwise.Add". Alias those spellings onto
+    // the engine factories so reference-emitted JSON constructs unchanged.
+    // Forwarding through construct() keeps late binding with the custom
+    // factories registered above.
+    def alias(refPath: String, cls: Class[_ <: Block]): Unit =
+      register(refPath)(args => construct(cls.getName, args))
+    def aliasAll(module: String, classes: Seq[Class[_ <: Block]]): Unit =
+      classes.foreach(c => alias(s"$module.${c.getSimpleName}", c))
+
+    aliasAll("dask_geomodeling.raster.elemwise", Seq(
+      classOf[Add], classOf[Subtract], classOf[Multiply], classOf[Divide],
+      classOf[Power], classOf[Equal], classOf[NotEqual], classOf[Greater],
+      classOf[GreaterEqual], classOf[Less], classOf[LessEqual], classOf[Invert],
+      classOf[And], classOf[Or], classOf[Xor], classOf[IsData],
+      classOf[IsNoData], classOf[Exp], classOf[Log], classOf[Log10],
+      classOf[FillNoData]))
+    aliasAll("dask_geomodeling.raster.misc", Seq(
+      classOf[Clip], classOf[Mask], classOf[MaskBelow], classOf[Step],
+      classOf[Classify], classOf[Reclassify], classOf[Rasterize],
+      classOf[RasterizeWKT]))
+    aliasAll("dask_geomodeling.raster.temporal", Seq(
+      classOf[Snap], classOf[Shift], classOf[TemporalSum],
+      classOf[TemporalAggregate], classOf[Cumulative], classOf[Resample]))
+    aliasAll("dask_geomodeling.raster.spatial", Seq(
+      classOf[Dilate], classOf[MovingMax], classOf[Smooth],
+      classOf[HillShade], classOf[Place]))
+    // the reference's combine.Group / reduction.Max serialize VARIADIC
+    // member blocks (BaseCombine.__init__(*args)); collect them into the
+    // engine's Seq parameter
+    register("dask_geomodeling.raster.combine.Group")(args =>
+      Group(args.map(_.asInstanceOf[RasterBlock])))
+    register("dask_geomodeling.raster.reduction.Max")(args =>
+      Max(args.map(_.asInstanceOf[RasterBlock])))
+    // RasterFileSource(url, time_first, time_delta) — urls arrive as the
+    // reference's safe_file_url "file://" form
+    register("dask_geomodeling.raster.sources.RasterFileSource") { args =>
+      GeoTiffSource(args.head.toString.stripPrefix("file://"),
+        args(1).toString.toDouble.toLong, args(2).toString.toDouble.toLong)
+    }
+
+    aliasAll("dask_geomodeling.geometry.field_operations", Seq(
+      classOf[graft.geometry.FieldOps.Add], classOf[graft.geometry.FieldOps.Subtract],
+      classOf[graft.geometry.FieldOps.Multiply], classOf[graft.geometry.FieldOps.Divide],
+      classOf[graft.geometry.FieldOps.FloorDivide], classOf[graft.geometry.FieldOps.Power],
+      classOf[graft.geometry.FieldOps.Modulo], classOf[graft.geometry.FieldOps.Equal],
+      classOf[graft.geometry.FieldOps.NotEqual], classOf[graft.geometry.FieldOps.Greater],
+      classOf[graft.geometry.FieldOps.GreaterEqual], classOf[graft.geometry.FieldOps.Less],
+      classOf[graft.geometry.FieldOps.LessEqual], classOf[graft.geometry.FieldOps.And],
+      classOf[graft.geometry.FieldOps.Or], classOf[graft.geometry.FieldOps.Xor],
+      classOf[graft.geometry.FieldOps.Invert], classOf[graft.geometry.FieldOps.Where],
+      classOf[graft.geometry.FieldOps.Mask], classOf[graft.geometry.FieldOps.Round],
+      classOf[graft.geometry.FieldOps.Classify],
+      classOf[graft.geometry.FieldOps.ClassifyFromColumns],
+      classOf[graft.geometry.FieldOps.Interp], classOf[graft.geometry.FieldOps.Choose]))
+    alias("dask_geomodeling.geometry.geom_operations.Area",
+      classOf[graft.geometry.Area])
+    alias("dask_geomodeling.geometry.set_operations.Difference",
+      classOf[graft.geometry.Difference])
+    alias("dask_geomodeling.geometry.set_operations.Intersection",
+      classOf[graft.geometry.Intersection])
+    alias("dask_geomodeling.geometry.constructive.Buffer",
+      classOf[graft.geometry.Buffer])
+    alias("dask_geomodeling.geometry.constructive.Simplify",
+      classOf[graft.geometry.Simplify])
+    alias("dask_geomodeling.geometry.text.ParseTextColumn",
+      classOf[graft.geometry.ParseTextColumn])
+    alias("dask_geomodeling.geometry.merge.MergeGeometryBlocks",
+      classOf[graft.geometry.MergeGeometryBlocks])
+    alias("dask_geomodeling.geometry.aggregate.AggregateRaster",
+      classOf[graft.geometry.AggregateRaster])
+    alias("dask_geomodeling.geometry.aggregate.AggregateRasterAboveThreshold",
+      classOf[graft.geometry.AggregateRasterAboveThreshold])
+    alias("dask_geomodeling.geometry.base.GetSeriesBlock",
+      classOf[graft.geometry.GetSeriesBlock])
+    // SetSeriesBlock serializes VARIADIC (column, value) pairs
+    // (geometry/base.py:240-300); fold them into a chain
+    register("dask_geomodeling.geometry.base.SetSeriesBlock") { args =>
+      args.tail.grouped(2).foldLeft(args.head.asInstanceOf[graft.geometry.GeometryBlock]) {
+        case (acc, Seq(name, value)) =>
+          graft.geometry.SetSeriesBlock(acc, name.toString, value)
+        case (_, other) => throw new IllegalArgumentException(
+          s"SetSeriesBlock: dangling column without a value: $other")
+      }
+    }
+    alias("dask_geomodeling.geometry.sources.GeometryWKTSource",
+      classOf[graft.geometry.GeometryWKTSource])
+    // GeometryFileSource(url, layer, id_field): the engine's codecs adopt
+    // the fid column natively, so id_field needs no mapping
+    register("dask_geomodeling.geometry.sources.GeometryFileSource") { args =>
+      val layer = args.lift(1) match {
+        case None | Some(null) | Some(None) => None
+        case Some(Some(v)) => Some(v.toString)
+        case Some(v) => Some(v.toString)
+      }
+      graft.geometry.GeometryFileSource(
+        args.head.toString.stripPrefix("file://"), layer, None)
+    }
+    alias("dask_geomodeling.core.graphs.DummyBlock", classOf[DummyBlock])
   }
 
   def construct(className: String, args: Seq[Any]): Block =
