@@ -1,0 +1,869 @@
+package graft.geometry
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory, LinearRing, Polygon}
+
+/** FlatGeobuf (.fgb) codec — the cloud-native single-file vector format the
+  * reference reads through OGR (`geometry/sources.py:18-159`). Pure-JVM
+  * implementation of the public spec (flatgeobuf.org; flatgeobuf GitHub
+  * `format.md`, `header.fbs`, `feature.fbs`):
+  *
+  *   magic(8) | size-prefixed Header flatbuffer | packed Hilbert R-tree |
+  *   size-prefixed Feature flatbuffers
+  *
+  * FlatBuffers are read and written directly as specified by the FlatBuffers
+  * binary format (google.github.io/flatbuffers/flatbuffers_internals.html):
+  * little-endian, tables behind vtables of u16 field offsets, vectors and
+  * strings as u32-length-prefixed payloads referenced by forward uoffsets.
+  * The writer lays each buffer out forward (vtable, table, payloads), which
+  * produces the same structures standard builders do.
+  *
+  * The spatial index is the spec's packed Hilbert R-tree (40-byte nodes:
+  * 4×f64 bbox + u64 offset; root level first, leaf items last), enabling
+  * real bbox pushdown: a spatial request touches only the intersecting
+  * feature byte ranges. Features are written in Hilbert order, so leaf
+  * offsets ascend and range sizes come from adjacent offsets.
+  *
+  * Scale: the write is the standard two-pass streaming single-file export
+  * (one distributed extent pass, then a Hilbert-ordered `toLocalIterator`
+  * append — driver memory is one Spark partition plus the 40 B/feature
+  * index skeleton). The read is distributed: the driver reads only header
+  * + index, executors read feature byte ranges positioned.
+  */
+object FlatGeobuf {
+
+  val Magic: Array[Byte] =
+    Array(0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x00).map(_.toByte)
+
+  val NodeSize = 16
+  val NodeBytes = 40
+
+  // GeometryType (header.fbs)
+  val GtUnknown = 0; val GtPoint = 1; val GtLineString = 2; val GtPolygon = 3
+  val GtMultiPoint = 4; val GtMultiLineString = 5; val GtMultiPolygon = 6
+
+  // ColumnType (header.fbs)
+  val CtBool = 2; val CtInt = 5; val CtLong = 7; val CtDouble = 10
+  val CtString = 11; val CtDateTime = 13; val CtBinary = 14
+
+  def sparkType(ct: Int): DataType = ct match {
+    case CtBool => BooleanType
+    case CtInt => IntegerType
+    case CtLong => LongType
+    case CtDouble => DoubleType
+    case CtBinary => BinaryType
+    case _ => StringType // String, Json, DateTime and the rest read as text
+  }
+
+  def columnType(dt: DataType): Int = dt match {
+    case BooleanType => CtBool
+    case IntegerType => CtInt
+    case LongType => CtLong
+    case DoubleType | FloatType => CtDouble
+    case BinaryType => CtBinary
+    case TimestampType => CtDateTime
+    case _ => CtString
+  }
+
+  // --- little-endian growable buffer --------------------------------------
+
+  final class Buf {
+    private var arr = new Array[Byte](1 << 12)
+    var pos = 0
+    private def ensure(n: Int): Unit = {
+      if (pos + n > arr.length) {
+        var cap = arr.length
+        while (cap < pos + n) cap <<= 1
+        arr = java.util.Arrays.copyOf(arr, cap)
+      }
+    }
+    def u8(v: Int): Unit = { ensure(1); arr(pos) = v.toByte; pos += 1 }
+    def u16(v: Int): Unit = { ensure(2); arr(pos) = v.toByte; arr(pos + 1) = (v >>> 8).toByte; pos += 2 }
+    def u32(v: Long): Unit = {
+      ensure(4)
+      arr(pos) = v.toByte; arr(pos + 1) = (v >>> 8).toByte
+      arr(pos + 2) = (v >>> 16).toByte; arr(pos + 3) = (v >>> 24).toByte
+      pos += 4
+    }
+    def u64(v: Long): Unit = { u32(v & 0xffffffffL); u32(v >>> 32) }
+    def f64(v: Double): Unit = u64(java.lang.Double.doubleToLongBits(v))
+    def bytes(b: Array[Byte]): Unit = { ensure(b.length); System.arraycopy(b, 0, arr, pos, b.length); pos += b.length }
+    def align(a: Int): Unit = while (pos % a != 0) u8(0)
+    /** Pad so that (pos + lead) is a-aligned (lead = bytes written before
+      * the aligned payload, e.g. a vector's u32 length). */
+    def alignFor(a: Int, lead: Int): Unit = while ((pos + lead) % a != 0) u8(0)
+    def patchU32(at: Int, v: Long): Unit = {
+      arr(at) = v.toByte; arr(at + 1) = (v >>> 8).toByte
+      arr(at + 2) = (v >>> 16).toByte; arr(at + 3) = (v >>> 24).toByte
+    }
+    def result(): Array[Byte] = java.util.Arrays.copyOf(arr, pos)
+  }
+
+  // --- flatbuffer table writer (forward layout) ---------------------------
+
+  sealed trait Slot
+  final case class U8S(v: Int) extends Slot
+  final case class U16S(v: Int) extends Slot
+  final case class I32S(v: Int) extends Slot
+  final case class U64S(v: Long) extends Slot
+  /** Referenced payload (string/vector/subtable): writes itself after the
+    * table and returns the absolute position the uoffset points at. */
+  final case class RefS(write: Buf => Int) extends Slot
+
+  private def slotSize(s: Slot): Int = s match {
+    case _: U8S => 1; case _: U16S => 2; case _: I32S | _: RefS => 4; case _: U64S => 8
+  }
+
+  /** Emit vtable + table + referenced payloads; returns the table position. */
+  def writeTable(b: Buf, slots: Seq[Option[Slot]]): Int = {
+    val n = slots.length
+    val vtSize = 4 + 2 * n
+    // relative field offsets (table-start-relative), fields in declaration
+    // order, each aligned to its size assuming an 8-aligned table start
+    val rel = new Array[Int](n)
+    var off = 4 // after the i32 soffset
+    for (i <- 0 until n) slots(i) match {
+      case Some(s) =>
+        val sz = slotSize(s)
+        off = ((off + sz - 1) / sz) * sz
+        rel(i) = off
+        off += sz
+      case None => rel(i) = 0
+    }
+    val tableBytes = off
+    // place: [pad][vtable][table 8-aligned]
+    b.alignFor(8, vtSize)
+    val vt = b.pos
+    b.u16(vtSize); b.u16(tableBytes)
+    for (i <- 0 until n) b.u16(rel(i))
+    val t = b.pos
+    b.i32Put(vtSize) // soffset: vtable = table - soffset
+    var cur = 4
+    val patches = scala.collection.mutable.ArrayBuffer[(Int, RefS)]()
+    for (i <- 0 until n) slots(i) match {
+      case Some(s) =>
+        while (cur < rel(i)) { b.u8(0); cur += 1 }
+        s match {
+          case U8S(v) => b.u8(v); cur += 1
+          case U16S(v) => b.u16(v); cur += 2
+          case I32S(v) => b.u32(v.toLong & 0xffffffffL); cur += 4
+          case U64S(v) => b.u64(v); cur += 8
+          case r: RefS => patches += ((b.pos, r)); b.u32(0); cur += 4
+        }
+      case None => ()
+    }
+    for ((fieldPos, r) <- patches) {
+      val target = r.write(b)
+      b.patchU32(fieldPos, (target - fieldPos).toLong)
+    }
+    t
+  }
+
+  implicit final class BufOps(private val b: Buf) extends AnyVal {
+    def i32Put(v: Int): Unit = b.u32(v.toLong & 0xffffffffL)
+  }
+
+  def stringRef(s: String): RefS = RefS { b =>
+    val utf = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    b.alignFor(4, 0)
+    val p = b.pos
+    b.u32(utf.length.toLong); b.bytes(utf); b.u8(0)
+    p
+  }
+
+  def f64VecRef(v: Array[Double]): RefS = RefS { b =>
+    b.alignFor(8, 4)
+    val p = b.pos
+    b.u32(v.length.toLong); v.foreach(b.f64)
+    p
+  }
+
+  def u32VecRef(v: Array[Long]): RefS = RefS { b =>
+    b.alignFor(4, 0)
+    val p = b.pos
+    b.u32(v.length.toLong); v.foreach(b.u32)
+    p
+  }
+
+  def byteVecRef(v: Array[Byte]): RefS = RefS { b =>
+    b.alignFor(4, 0)
+    val p = b.pos
+    b.u32(v.length.toLong); b.bytes(v)
+    p
+  }
+
+  /** Vector of tables: u32 count + one uoffset per element, elements after. */
+  def tableVecRef(writers: Seq[Buf => Int]): RefS = RefS { b =>
+    b.alignFor(4, 0)
+    val p = b.pos
+    b.u32(writers.length.toLong)
+    val slotPos = writers.map { _ => val q = b.pos; b.u32(0); q }
+    writers.zip(slotPos).foreach { case (w, sp) =>
+      val target = w(b)
+      b.patchU32(sp, (target - sp).toLong)
+    }
+    p
+  }
+
+  // --- flatbuffer reading --------------------------------------------------
+
+  object Fb {
+    def u8(a: Array[Byte], p: Int): Int = a(p) & 0xff
+    def u16(a: Array[Byte], p: Int): Int = (a(p) & 0xff) | ((a(p + 1) & 0xff) << 8)
+    def i32(a: Array[Byte], p: Int): Int =
+      (a(p) & 0xff) | ((a(p + 1) & 0xff) << 8) | ((a(p + 2) & 0xff) << 16) | ((a(p + 3) & 0xff) << 24)
+    def u32(a: Array[Byte], p: Int): Long = i32(a, p).toLong & 0xffffffffL
+    def u64(a: Array[Byte], p: Int): Long = u32(a, p) | (u32(a, p + 4) << 32)
+    def f64(a: Array[Byte], p: Int): Double = java.lang.Double.longBitsToDouble(u64(a, p))
+
+    /** Absolute position of field `idx` in the table at `t`, 0 if absent. */
+    def field(a: Array[Byte], t: Int, idx: Int): Int = {
+      val vt = t - i32(a, t)
+      val vtSize = u16(a, vt)
+      if (4 + 2 * idx >= vtSize) 0
+      else {
+        val rel = u16(a, vt + 4 + 2 * idx)
+        if (rel == 0) 0 else t + rel
+      }
+    }
+    def indirect(a: Array[Byte], p: Int): Int = p + i32(a, p)
+    def string(a: Array[Byte], fieldPos: Int): String = {
+      val v = indirect(a, fieldPos)
+      val len = i32(a, v)
+      new String(a, v + 4, len, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    /** (elementsPos, count) of the vector referenced from fieldPos. */
+    def vector(a: Array[Byte], fieldPos: Int): (Int, Int) = {
+      val v = indirect(a, fieldPos)
+      (v + 4, i32(a, v))
+    }
+  }
+
+  // --- geometry <-> flatbuffer Geometry table -----------------------------
+
+  private val gf = new GeometryFactory()
+
+  def geometryType(g: Geometry): Int = g match {
+    case null => GtUnknown
+    case _: org.locationtech.jts.geom.Point => GtPoint
+    case _: org.locationtech.jts.geom.LineString => GtLineString
+    case _: Polygon => GtPolygon
+    case _: org.locationtech.jts.geom.MultiPoint => GtMultiPoint
+    case _: org.locationtech.jts.geom.MultiLineString => GtMultiLineString
+    case _: org.locationtech.jts.geom.MultiPolygon => GtMultiPolygon
+    case _ => GtUnknown
+  }
+
+  private def flatXy(g: Geometry): Array[Double] = {
+    val cs = g.getCoordinates
+    val out = new Array[Double](cs.length * 2)
+    var i = 0
+    while (i < cs.length) { out(2 * i) = cs(i).x; out(2 * i + 1) = cs(i).y; i += 1 }
+    out
+  }
+
+  /** Geometry table slots: ends(0), xy(1), type(6), parts(7). `ends` holds
+    * cumulative coordinate-pair end indices per ring/part (the spec's flat
+    * multi-part encoding); MultiPolygon nests per-polygon parts. */
+  def geometryWriter(g: Geometry): Buf => Int = { b =>
+    def simple(xy: Array[Double], ends: Option[Array[Long]], gt: Int): Int = {
+      val slots = Seq[Option[Slot]](
+        ends.map(u32VecRef), // 0 ends
+        Some(f64VecRef(xy)), // 1 xy
+        None, None, None, None, // z m t tm
+        Some(U8S(gt)), // 6 type
+        None) // 7 parts
+      writeTable(b, slots)
+    }
+    g match {
+      case p: Polygon =>
+        val rings = ringsOf(p)
+        val ends = cumulativeEnds(rings.map(_.length / 2))
+        simple(rings.flatten.toArray,
+          if (rings.length > 1) Some(ends) else None, GtPolygon)
+      case ml: org.locationtech.jts.geom.MultiLineString =>
+        val parts = (0 until ml.getNumGeometries).map(i => flatXy(ml.getGeometryN(i)))
+        simple(parts.flatten.toArray, Some(cumulativeEnds(parts.map(_.length / 2))),
+          GtMultiLineString)
+      case mp: org.locationtech.jts.geom.MultiPolygon =>
+        val partWriters: Seq[Buf => Int] = (0 until mp.getNumGeometries).map { i =>
+          val poly = mp.getGeometryN(i).asInstanceOf[Polygon]
+          (bb: Buf) => {
+            val rings = ringsOf(poly)
+            val ends = cumulativeEnds(rings.map(_.length / 2))
+            writeTable(bb, Seq[Option[Slot]](
+              if (rings.length > 1) Some(u32VecRef(ends)) else None,
+              Some(f64VecRef(rings.flatten.toArray)),
+              None, None, None, None,
+              Some(U8S(GtPolygon)), None))
+          }
+        }
+        writeTable(b, Seq[Option[Slot]](
+          None, None, None, None, None, None,
+          Some(U8S(GtMultiPolygon)),
+          Some(tableVecRef(partWriters))))
+      case other =>
+        simple(flatXy(other), None, geometryType(other))
+    }
+  }
+
+  private def ringsOf(p: Polygon): Seq[Array[Double]] = {
+    val shell = flatXy(p.getExteriorRing)
+    val holes = (0 until p.getNumInteriorRing).map(i => flatXy(p.getInteriorRingN(i)))
+    shell +: holes
+  }
+
+  private def cumulativeEnds(sizes: Seq[Int]): Array[Long] = {
+    var acc = 0L
+    sizes.map { s => acc += s; acc }.toArray
+  }
+
+  /** Decode the Geometry table at `t` using the declared (or parent) type. */
+  def readGeometry(a: Array[Byte], t: Int, parentType: Int): Geometry = {
+    val tf = Fb.field(a, t, 6)
+    val gt = if (tf != 0) Fb.u8(a, tf) else parentType
+    val partsField = Fb.field(a, t, 7)
+    if (partsField != 0) {
+      val (elems, n) = Fb.vector(a, partsField)
+      val subs = (0 until n).map { i =>
+        readGeometry(a, Fb.indirect(a, elems + 4 * i),
+          if (gt == GtMultiPolygon) GtPolygon else GtUnknown)
+      }
+      return gt match {
+        case GtMultiPolygon => gf.createMultiPolygon(subs.map(_.asInstanceOf[Polygon]).toArray)
+        case _ => gf.createGeometryCollection(subs.toArray)
+      }
+    }
+    val xyField = Fb.field(a, t, 1)
+    val (xyPos, xyLen) =
+      if (xyField != 0) Fb.vector(a, xyField) else (0, 0)
+    def coord(i: Int) = new Coordinate(Fb.f64(a, xyPos + 16 * i), Fb.f64(a, xyPos + 16 * i + 8))
+    val nPts = xyLen / 2
+    val endsField = Fb.field(a, t, 0)
+    val ends: Seq[Int] =
+      if (endsField == 0) Seq(nPts)
+      else {
+        val (ep, en) = Fb.vector(a, endsField)
+        (0 until en).map(i => Fb.u32(a, ep + 4 * i).toInt)
+      }
+    def slice(from: Int, until: Int): Array[Coordinate] =
+      (from until until).map(coord).toArray
+    gt match {
+      case GtPoint =>
+        if (nPts == 0) gf.createPoint() else gf.createPoint(coord(0))
+      case GtMultiPoint =>
+        gf.createMultiPointFromCoords(slice(0, nPts))
+      case GtLineString =>
+        gf.createLineString(slice(0, nPts))
+      case GtMultiLineString =>
+        val parts = ends.foldLeft((Seq.empty[org.locationtech.jts.geom.LineString], 0)) {
+          case ((acc, from), end) => (acc :+ gf.createLineString(slice(from, end)), end)
+        }._1
+        gf.createMultiLineString(parts.toArray)
+      case GtPolygon =>
+        val rings = ends.foldLeft((Seq.empty[LinearRing], 0)) {
+          case ((acc, from), end) => (acc :+ gf.createLinearRing(slice(from, end)), end)
+        }._1
+        gf.createPolygon(rings.head, rings.tail.toArray)
+      case _ =>
+        if (nPts == 1) gf.createPoint(coord(0)) else gf.createLineString(slice(0, nPts))
+    }
+  }
+
+  // --- properties ----------------------------------------------------------
+
+  /** (u16 column index, value) pairs; strings/binary u32-length-prefixed. */
+  def encodeProperties(values: Seq[(Int, Int, Any)]): Array[Byte] = {
+    val b = new Buf
+    values.foreach { case (idx, ct, v0) =>
+      if (v0 != null) {
+        b.u16(idx)
+        (ct, v0) match {
+          case (CtBool, v: java.lang.Boolean) => b.u8(if (v) 1 else 0)
+          case (CtInt, v) => b.u32(v.toString.toDouble.toInt.toLong & 0xffffffffL)
+          case (CtLong, v) => b.u64(v.toString.toDouble.toLong)
+          case (CtDouble, v) => b.f64(v.toString.toDouble)
+          case (CtBinary, v: Array[Byte]) => b.u32(v.length.toLong); b.bytes(v)
+          case (_, v) =>
+            val s = v match {
+              case ts: java.sql.Timestamp => ts.toInstant.toString
+              case other => other.toString
+            }
+            val utf = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            b.u32(utf.length.toLong); b.bytes(utf)
+        }
+      }
+    }
+    b.result()
+  }
+
+  def decodeProperties(a: Array[Byte], from: Int, len: Int,
+      colTypes: Array[Int]): Array[Any] = {
+    val out = new Array[Any](colTypes.length)
+    var p = from
+    val end = from + len
+    while (p + 2 <= end) {
+      val idx = Fb.u16(a, p); p += 2
+      val ct = colTypes(idx)
+      ct match {
+        case CtBool => out(idx) = java.lang.Boolean.valueOf(a(p) != 0); p += 1
+        case CtInt => out(idx) = java.lang.Integer.valueOf(Fb.i32(a, p)); p += 4
+        case CtLong => out(idx) = java.lang.Long.valueOf(Fb.u64(a, p)); p += 8
+        case CtDouble => out(idx) = java.lang.Double.valueOf(Fb.f64(a, p)); p += 8
+        case CtBinary =>
+          val n = Fb.i32(a, p); p += 4
+          out(idx) = java.util.Arrays.copyOfRange(a, p, p + n); p += n
+        case _ =>
+          val n = Fb.i32(a, p); p += 4
+          out(idx) = new String(a, p, n, java.nio.charset.StandardCharsets.UTF_8); p += n
+      }
+    }
+    out
+  }
+
+  // --- packed Hilbert R-tree ----------------------------------------------
+
+  final case class Node(var minX: Double, var minY: Double,
+      var maxX: Double, var maxY: Double, var offset: Long)
+
+  /** Level sizes leaf→root and total node count. */
+  def levelSizes(numItems: Int, nodeSize: Int): Seq[Int] = {
+    require(numItems > 0)
+    var n = numItems
+    val levels = scala.collection.mutable.ArrayBuffer(n)
+    while (n != 1) { n = (n + nodeSize - 1) / nodeSize; levels += n }
+    levels.toSeq
+  }
+
+  /** Serialize the packed tree (root level first, items last) from leaf
+    * items already in Hilbert order. Item offsets = feature byte offsets. */
+  def buildIndex(items: Array[Node], nodeSize: Int): Array[Byte] = {
+    val sizes = levelSizes(items.length, nodeSize) // leaf→root
+    val numNodes = sizes.sum
+    // start index of each level in the serialized array, leaf level last
+    val starts = new Array[Int](sizes.length)
+    var acc = numNodes
+    for (i <- sizes.indices) { acc -= sizes(i); starts(i) = acc }
+    val nodes = new Array[Node](numNodes)
+    items.copyToArray(nodes, starts(0))
+    for (level <- 0 until sizes.length - 1) {
+      val childStart = starts(level)
+      val childEnd = childStart + sizes(level)
+      var parent = starts(level + 1)
+      var c = childStart
+      while (c < childEnd) {
+        val hi = math.min(c + nodeSize, childEnd)
+        val p = Node(Double.PositiveInfinity, Double.PositiveInfinity,
+          Double.NegativeInfinity, Double.NegativeInfinity, c.toLong * NodeBytes)
+        var k = c
+        while (k < hi) {
+          val ch = nodes(k)
+          if (ch.minX < p.minX) p.minX = ch.minX
+          if (ch.minY < p.minY) p.minY = ch.minY
+          if (ch.maxX > p.maxX) p.maxX = ch.maxX
+          if (ch.maxY > p.maxY) p.maxY = ch.maxY
+          k += 1
+        }
+        nodes(parent) = p
+        parent += 1
+        c = hi
+      }
+    }
+    val bb = ByteBuffer.allocate(numNodes * NodeBytes).order(ByteOrder.LITTLE_ENDIAN)
+    nodes.foreach { n =>
+      bb.putDouble(n.minX).putDouble(n.minY).putDouble(n.maxX).putDouble(n.maxY)
+      bb.putLong(n.offset)
+    }
+    bb.array()
+  }
+
+  def indexBytes(numItems: Int, nodeSize: Int): Long =
+    if (numItems == 0) 0L else levelSizes(numItems, nodeSize).map(_.toLong).sum * NodeBytes
+
+  /** Search the serialized tree: (featureOffset, itemIndex) of items whose
+    * bbox intersects the query window. */
+  def searchIndex(idx: Array[Byte], numItems: Int, nodeSize: Int,
+      minX: Double, minY: Double, maxX: Double, maxY: Double): Seq[(Long, Int)] = {
+    if (numItems == 0) return Seq.empty
+    val sizes = levelSizes(numItems, nodeSize)
+    val numNodes = sizes.sum
+    val starts = new Array[Int](sizes.length)
+    var acc = numNodes
+    for (i <- sizes.indices) { acc -= sizes(i); starts(i) = acc }
+    val leafStart = starts(0)
+    def nMinX(i: Int) = Fb.f64(idx, i * NodeBytes)
+    def nMinY(i: Int) = Fb.f64(idx, i * NodeBytes + 8)
+    def nMaxX(i: Int) = Fb.f64(idx, i * NodeBytes + 16)
+    def nMaxY(i: Int) = Fb.f64(idx, i * NodeBytes + 24)
+    def nOff(i: Int) = Fb.u64(idx, i * NodeBytes + 32)
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    // (first node index, level); levels indexed leaf=0 … root=sizes.len-1
+    val stack = scala.collection.mutable.Stack[(Int, Int)]((starts.last, sizes.length - 1))
+    while (stack.nonEmpty) {
+      val (first, level) = stack.pop()
+      val levelEnd = starts(level) + sizes(level)
+      val end = math.min(first + nodeSize, levelEnd)
+      var i = first
+      while (i < end) {
+        if (!(nMinX(i) > maxX || nMaxX(i) < minX || nMinY(i) > maxY || nMaxY(i) < minY)) {
+          if (i >= leafStart) hits += ((nOff(i), i - leafStart))
+          else stack.push(((nOff(i) / NodeBytes).toInt, level - 1))
+        }
+        i += 1
+      }
+    }
+    hits.toSeq
+  }
+
+  // --- Hilbert curve (order 16, standard rotation walk) --------------------
+
+  /** Hilbert distance of a point on the 2^16 grid. Only the ORDER matters
+    * (it fixes the on-disk feature layout); readers never recompute it. */
+  def hilbert(x: Int, y: Int): Long = {
+    var rx = 0; var ry = 0
+    var d = 0L
+    var s = 1 << 15
+    var px = x; var py = y
+    while (s > 0) {
+      rx = if ((px & s) > 0) 1 else 0
+      ry = if ((py & s) > 0) 1 else 0
+      d += s.toLong * s.toLong * ((3 * rx) ^ ry)
+      // rotate
+      if (ry == 0) {
+        if (rx == 1) { px = s - 1 - px; py = s - 1 - py }
+        val t = px; px = py; py = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** Streaming single-file FlatGeobuf export (the `.fgb` branch of the
+  * reference's `to_file`, sinks.py:224-284): one distributed extent pass,
+  * a Hilbert-ordered `toLocalIterator` append of feature buffers to a temp
+  * file, then header + packed R-tree + features concatenated. */
+object FlatGeobufSink {
+  import FlatGeobuf._
+
+  def writeStream(df0: DataFrame, proj: String, path: String)
+      (implicit spark: SparkSession): String = {
+    require(df0.columns.contains("geometry"), "fgb export needs a geometry column")
+    val attrCols = df0.columns.filter(_ != "geometry").toSeq
+    val schema = df0.schema
+    val colTypes = attrCols.map(c => columnType(schema(c).dataType))
+
+    // pass 1: dataset extent (drives the Hilbert grid)
+    val ext = df0.agg(
+      min(GeomFunctions.stEnvMinX(col("geometry"))), min(GeomFunctions.stEnvMinY(col("geometry"))),
+      max(GeomFunctions.stEnvMaxX(col("geometry"))), max(GeomFunctions.stEnvMaxY(col("geometry")))
+    ).head()
+    val (minX, minY, maxX, maxY) =
+      if (ext.isNullAt(0)) (0.0, 0.0, 0.0, 0.0)
+      else (ext.getDouble(0), ext.getDouble(1), ext.getDouble(2), ext.getDouble(3))
+    val w = math.max(maxX - minX, 1e-12); val h = math.max(maxY - minY, 1e-12)
+
+    // pass 2: distributed Hilbert sort, then stream features out in order
+    val hil = udf { (x0: Double, y0: Double, x1: Double, y1: Double) =>
+      val cx = (((x0 + x1) / 2 - minX) / w * 65535.0).toInt
+      val cy = (((y0 + y1) / 2 - minY) / h * 65535.0).toInt
+      hilbert(math.min(math.max(cx, 0), 65535), math.min(math.max(cy, 0), 65535))
+    }
+    val ordered = df0
+      .withColumn("__hil", when(col("geometry").isNull, Long.MaxValue).otherwise(
+        hil(GeomFunctions.stEnvMinX(col("geometry")), GeomFunctions.stEnvMinY(col("geometry")),
+          GeomFunctions.stEnvMaxX(col("geometry")), GeomFunctions.stEnvMaxY(col("geometry")))))
+      .orderBy(col("__hil"))
+    val geomIdx = ordered.columns.indexOf("geometry")
+    val attrIdx = attrCols.map(ordered.columns.indexOf(_))
+
+    val tmp = java.nio.file.Files.createTempFile("fgb_feat", ".bin")
+    val outFeat = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(tmp.toFile))
+    val items = scala.collection.mutable.ArrayBuffer[Node]()
+    var geomType = -1 // resolves to the uniform type or GtUnknown on mix
+    var featBytes = 0L
+    try {
+      val it = ordered.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val wkb = if (r.isNullAt(geomIdx)) null else r.get(geomIdx).asInstanceOf[Array[Byte]]
+        val g = if (wkb == null) null else GeomFunctions.readWkb(wkb)
+        if (g != null) {
+          val gt = geometryType(g)
+          geomType = if (geomType == -1 || geomType == gt) gt else GtUnknown
+        }
+        val props = encodeProperties(attrIdx.zipWithIndex.map { case (ci, i) =>
+          (i, colTypes(i), if (r.isNullAt(ci)) null else r.get(ci))
+        })
+        val b = new Buf
+        b.u32(0) // root uoffset placeholder
+        val t = writeTable(b, Seq[Option[Slot]](
+          if (g == null) None else Some(RefS(geometryWriter(g))),
+          if (props.isEmpty) None else Some(byteVecRef(props)),
+          None))
+        b.patchU32(0, t.toLong)
+        val body = b.result()
+        val env = if (g == null) null else g.getEnvelopeInternal
+        items += Node(
+          if (env == null) minX else env.getMinX,
+          if (env == null) minY else env.getMinY,
+          if (env == null) minX else env.getMaxX,
+          if (env == null) minY else env.getMaxY,
+          featBytes)
+        val lenPrefix = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(body.length).array()
+        outFeat.write(lenPrefix); outFeat.write(body)
+        featBytes += 4L + body.length
+      }
+    } finally outFeat.close()
+
+    // header buffer
+    val hb = new Buf
+    hb.u32(0)
+    val layer = new java.io.File(path).getName.replaceAll("(?i)\\.fgb$", "")
+    val norm = graft.raster.Proj.normalize(proj)
+    val epsgCode = "^EPSG:(\\d+)$".r.findFirstMatchIn(norm).map(_.group(1).toInt)
+    val crsWriter: Buf => Int = { bb =>
+      writeTable(bb, Seq[Option[Slot]](
+        Some(stringRef(if (epsgCode.isDefined) "EPSG" else "")), // org
+        Some(I32S(epsgCode.getOrElse(0))), // code
+        None, None, None,
+        if (epsgCode.isDefined) None else Some(stringRef(norm)))) // code_string
+    }
+    val colWriters: Seq[Buf => Int] = attrCols.zip(colTypes).map { case (c, ct) =>
+      (bb: Buf) => writeTable(bb, Seq[Option[Slot]](
+        Some(stringRef(c)), Some(U8S(ct))))
+    }
+    val nItems = items.length
+    val ht = writeTable(hb, Seq[Option[Slot]](
+      Some(stringRef(layer)), // 0 name
+      Some(f64VecRef(Array(minX, minY, maxX, maxY))), // 1 envelope
+      Some(U8S(if (geomType == -1) GtUnknown else geomType)), // 2 geometry_type
+      None, None, None, None, // has_z/m/t/tm
+      Some(tableVecRef(colWriters)), // 7 columns
+      Some(U64S(nItems.toLong)), // 8 features_count
+      Some(U16S(if (nItems > 0) NodeSize else 0)), // 9 index_node_size
+      Some(RefS(crsWriter)))) // 10 crs
+    hb.patchU32(0, ht.toLong)
+    val headerBody = hb.result()
+
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try {
+      out.write(Magic)
+      out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(headerBody.length).array())
+      out.write(headerBody)
+      if (nItems > 0) out.write(buildIndex(items.toArray, NodeSize))
+      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(tmp.toFile))
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    } finally {
+      out.close()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+    path
+  }
+}
+
+/** Distributed FlatGeobuf reader. The driver reads header + packed R-tree
+  * only; executors read feature byte ranges positioned. A spatial request
+  * searches the index and touches only intersecting features — real bbox
+  * pushdown, unlike the shapefile's full scan. */
+case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
+    extends GeometryBlock {
+  import FlatGeobuf._
+
+  /** (headerBytes, featureSectionStart, numItems, nodeSize, columns,
+    * declared crs, leaf offsets ascending). */
+  @transient private lazy val meta: (Array[Byte], Long, Int, Int,
+      Seq[(String, Int)], Option[String], Array[Long]) = {
+    val raf = new java.io.RandomAccessFile(url, "r")
+    try {
+      val magic = new Array[Byte](8)
+      raf.readFully(magic)
+      require(magic(0) == 'f' && magic(1) == 'g' && magic(2) == 'b' &&
+        magic(3) == 3 && magic(4) == 'f' && magic(5) == 'g' && magic(6) == 'b',
+        s"$url is not a FlatGeobuf (spec 3) file")
+      val szb = new Array[Byte](4)
+      raf.readFully(szb)
+      val hSize = ByteBuffer.wrap(szb).order(ByteOrder.LITTLE_ENDIAN).getInt
+      val header = new Array[Byte](hSize)
+      raf.readFully(header)
+      val root = Fb.i32(header, 0)
+      val countF = Fb.field(header, root, 8)
+      val numItems = if (countF == 0) 0 else Fb.u64(header, countF).toInt
+      val nsF = Fb.field(header, root, 9)
+      val nodeSize = if (nsF == 0) NodeSize else Fb.u16(header, nsF)
+      val colsF = Fb.field(header, root, 7)
+      val cols: Seq[(String, Int)] =
+        if (colsF == 0) Seq.empty
+        else {
+          val (elems, n) = Fb.vector(header, colsF)
+          (0 until n).map { i =>
+            val ct = Fb.indirect(header, elems + 4 * i)
+            val nameF = Fb.field(header, ct, 0)
+            val typeF = Fb.field(header, ct, 1)
+            (if (nameF == 0) s"col$i" else Fb.string(header, nameF),
+              if (typeF == 0) CtString else Fb.u8(header, typeF))
+          }
+        }
+      val crsF = Fb.field(header, root, 10)
+      val crs: Option[String] =
+        if (crsF == 0) None
+        else {
+          val ct = Fb.indirect(header, crsF)
+          val codeF = Fb.field(header, ct, 1)
+          val code = if (codeF == 0) 0 else Fb.i32(header, ct + (codeF - ct))
+          if (code > 0) Some(s"EPSG:$code")
+          else {
+            val csF = Fb.field(header, ct, 5)
+            val wktF = Fb.field(header, ct, 4)
+            if (csF != 0) Some(Fb.string(header, csF))
+            else if (wktF != 0) Some(Fb.string(header, wktF))
+            else None
+          }
+        }
+      val idxBytes = if (nodeSize > 0 && numItems > 0) indexBytes(numItems, nodeSize) else 0L
+      val idxStart = 8L + 4L + hSize
+      val featStart = idxStart + idxBytes
+      // leaf offsets: the last numItems nodes of the index
+      val offsets: Array[Long] =
+        if (idxBytes == 0) {
+          // no index: walk size prefixes sequentially once
+          val offs = scala.collection.mutable.ArrayBuffer[Long]()
+          var p = featStart
+          val end = raf.length()
+          val lenB = new Array[Byte](4)
+          while (p < end) {
+            offs += (p - featStart)
+            raf.seek(p); raf.readFully(lenB)
+            p += 4 + ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN).getInt
+          }
+          offs.toArray
+        } else {
+          val sizes = levelSizes(numItems, nodeSize)
+          val leafStart = idxStart + (sizes.sum - numItems).toLong * NodeBytes
+          val leafB = new Array[Byte](numItems * NodeBytes)
+          raf.seek(leafStart); raf.readFully(leafB)
+          Array.tabulate(numItems)(i => Fb.u64(leafB, i * NodeBytes + 32))
+        }
+      (header, featStart, offsets.length, nodeSize, cols, crs, offsets)
+    } finally raf.close()
+  }
+
+  override lazy val columns: Set[String] =
+    meta._5.map(_._1).toSet + "geometry" + "fid"
+
+  override lazy val projection: String = {
+    val declared = meta._6
+    declared.filter(graft.raster.Proj.supported)
+      .map(graft.raster.Proj.normalize).getOrElse(proj)
+  }
+
+  // fail fast, like the sibling sources: a declared-but-unsupported SRS
+  // errors at construction naming the file (absent crs falls back to proj)
+  locally {
+    if (new java.io.File(url).isFile) {
+      meta._6 match {
+        case Some(s) if !graft.raster.Proj.supported(s) =>
+          throw new IllegalArgumentException(
+            s"flatgeobuf $url declares unsupported SRS '$s'")
+        case _ => ()
+      }
+    }
+  }
+
+  override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
+    val (_, featStart, nItems, nodeSize, cols, _, offsets) = meta
+    val fileLen = new java.io.File(url).length()
+    val colTypes = cols.map(_._2).toArray
+    val fidCol = cols.indexWhere { case (n, t) => n == "fid" && t == CtLong }
+    val attrCols = cols.zipWithIndex.filter(_._2 != fidCol)
+    val schema = StructType(
+      StructField("fid", LongType, nullable = false) +:
+        attrCols.map { case ((n, t), _) =>
+          StructField(n, sparkType(t), nullable = true)
+        } :+
+        StructField("geometry", BinaryType, nullable = true))
+
+    // candidate (offset, index): bbox pushdown through the packed R-tree
+    val candidates: Array[(Long, Int)] = req.geometryWkt match {
+      case Some(wkt) if nItems > 0 && nodeSize > 0 =>
+        val env = GeomFunctions.readWkt(wkt).getEnvelopeInternal
+        val raf = new java.io.RandomAccessFile(url, "r")
+        val idx = try {
+          val ib = new Array[Byte](indexBytes(nItems, nodeSize).toInt)
+          raf.seek(8L + 4L + meta._1.length); raf.readFully(ib); ib
+        } finally raf.close()
+        searchIndex(idx, nItems, nodeSize, env.getMinX, env.getMinY,
+          env.getMaxX, env.getMaxY).toArray.sortBy(_._1)
+      case _ => Array.tabulate(nItems)(i => (offsets(i), i))
+    }
+    def sizeOf(off: Long, i: Int): Long = {
+      // features are laid out in leaf order; the next offset bounds this one
+      val next = if (i + 1 < offsets.length) offsets(i + 1) else fileLen - featStart
+      next - off
+    }
+    // ~32 MB of features per split
+    val target = 32L * 1024 * 1024
+    val groups = scala.collection.mutable.ArrayBuffer[Seq[(Long, Int)]]()
+    var cur = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    var curBytes = 0L
+    candidates.foreach { c =>
+      cur += c; curBytes += sizeOf(c._1, c._2)
+      if (curBytes >= target) { groups += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer(); curBytes = 0 }
+    }
+    if (cur.nonEmpty) groups += cur.toSeq
+
+    val path = url
+    val fStart = featStart
+    val fLen = fileLen
+    val allOffsets = offsets
+    val nAttr = attrCols.size
+    val attrPos = attrCols.map(_._2).toArray
+    val rdd = spark.sparkContext.parallelize(groups.toSeq, math.max(groups.size, 1))
+      .flatMap { group =>
+        val raf = new java.io.RandomAccessFile(path, "r")
+        try {
+          group.iterator.map { case (off, i) =>
+            val next = if (i + 1 < allOffsets.length) allOffsets(i + 1) else fLen - fStart
+            val buf = new Array[Byte]((next - off).toInt)
+            raf.seek(fStart + off)
+            raf.readFully(buf)
+            val root = Fb.i32(buf, 4) + 4
+            val geomF = Fb.field(buf, root, 0)
+            val g = if (geomF == 0) null
+              else readGeometry(buf, Fb.indirect(buf, geomF), GtUnknown)
+            val propsF = Fb.field(buf, root, 1)
+            val props: Array[Any] =
+              if (propsF == 0) new Array[Any](colTypes.length)
+              else {
+                val (pp, pn) = Fb.vector(buf, propsF)
+                decodeProperties(buf, pp, pn, colTypes)
+              }
+            val fid = if (fidCol >= 0 && props(fidCol) != null)
+              props(fidCol).asInstanceOf[Long] else i.toLong
+            Row.fromSeq(fid +: attrPos.toSeq.map(props(_)) :+
+              (if (g == null) null else GeomFunctions.writeWkb(g)))
+          }.toArray.toSeq
+        } finally raf.close()
+      }
+    var df = spark.createDataFrame(rdd, schema)
+    req.filters.foreach { case (k, v) => df = df.filter(col(k) === lit(v)) }
+    req.geometryWkt.foreach { wkt =>
+      df = df.filter(GeomFunctions.stFilter(col("geometry"), lit(wkt),
+        lit(if (req.mode == "centroid") "centroid" else "intersects")))
+    }
+    req.minSize.foreach(ms =>
+      df = df.filter(GeomFunctions.stSizeAtLeast(col("geometry"), lit(ms))))
+    req.limit.foreach(n => df = df.limit(n))
+    df
+  }
+}

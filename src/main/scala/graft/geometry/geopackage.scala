@@ -481,6 +481,7 @@ case class GeometryFileSource(url: String, layer: Option[String] = None,
     if (lower.endsWith(".shp")) ShapefileSource(url, fallback)
     else if (lower.endsWith(".gpkg")) GeoPackageSource(url, layer)
     else if (lower.endsWith(".gml")) GmlSource(url, fallback)
+    else if (lower.endsWith(".fgb")) FlatGeobufSource(url, fallback)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") ||
       lower.endsWith(".ndjson")) GeoJsonSource(url, proj.getOrElse("EPSG:4326"))
     else GeoParquetSource(url, fallback)

@@ -206,6 +206,8 @@ object GeometryToFile {
       GeoPackageSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".gml"))
       GmlSink.writeStream(frame, source.projection, url)
+    else if (lower.endsWith(".fgb"))
+      FlatGeobufSink.writeStream(frame, source.projection, url)
     else GeometryFileSink(source, url, format, fields)
       .write(GeometryRequest(mode = "centroid"))
   }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geometry._
+
+class FlatGeobufSpec extends SparkSpec {
+
+  private def tmpFgb(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"fgb_$tag").resolve(s"$tag.fgb").toString
+
+  test("magic, header and index round-trip the fixture features") {
+    val out = tmpFgb("basic")
+    FlatGeobufSink.writeStream(
+      GeometryFixtures.features.frame(GeometryRequest()), "EPSG:28992", out)
+    val head = {
+      val in = new java.io.FileInputStream(out)
+      try in.readNBytes(8) finally in.close()
+    }
+    assert(head(0) == 'f' && head(1) == 'g' && head(2) == 'b' && head(3) == 3)
+    val src = FlatGeobufSource(out)
+    assert(src.projection == "EPSG:28992")
+    assert(src.columns.contains("value") && src.columns.contains("name"))
+    val df = src.frame(GeometryRequest()).cache()
+    assert(df.count() == 3)
+    val r2 = df.filter(col("fid") === 2).head()
+    assert(r2.getAs[Double]("value") == 7.5)
+    assert(r2.getAs[String]("name") == "b")
+    assert(GeomFunctions.readWkb(r2.getAs[Array[Byte]]("geometry")).equalsExact(
+      GeomFunctions.readWkt(GeometryFixtures.square(135001, 455998, 135003, 456000))))
+    df.unpersist()
+  }
+
+  /** Every geometry family the codec claims, plus nulls and typed attrs. */
+  private case class MixedSource() extends GeometryBlock {
+    override def columns: Set[String] = Set("geometry", "n", "f", "flag", "note")
+    override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      Seq(
+        (1L, "POINT (1 2)", Some(7L), Some(1.25), Some(true), Some("""a<b>&"c' €""")),
+        (2L, "LINESTRING (0 0, 3 4, 5 5)", Some(-3L), None, Some(false), None),
+        (3L, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))", None, Some(2.5e-3), None, Some("plain")),
+        (4L, "MULTIPOINT ((1 1), (2 2))", Some(0L), Some(0.0), Some(true), Some("mp")),
+        (5L, "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))", Some(9L), None, None, None),
+        (6L, "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5), (5.5 5.5, 5.5 6, 6 6, 6 5.5, 5.5 5.5)))", Some(1L), Some(6.75), Some(false), Some("mpoly")),
+        (7L, null.asInstanceOf[String], Some(8L), Some(8.0), Some(true), Some("nogeom"))
+      ).toDF("fid", "wkt", "n", "f", "flag", "note")
+        .select(col("fid"), GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"),
+          col("n"), col("f"), col("flag"), col("note"))
+    }
+  }
+
+  test("all geometry families, nulls, and typed attrs round-trip exactly") {
+    val out = tmpFgb("mixed")
+    val sp = spark
+    FlatGeobufSink.writeStream(MixedSource().frame(GeometryRequest())(sp), "EPSG:28992", out)(sp)
+    val back = FlatGeobufSource(out).frame(GeometryRequest())(sp)
+      .orderBy("fid").collect()
+    assert(back.length == 7)
+    val wkts = Seq(
+      "POINT (1 2)",
+      "LINESTRING (0 0, 3 4, 5 5)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))",
+      "MULTIPOINT ((1 1), (2 2))",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))",
+      "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5), (5.5 5.5, 5.5 6, 6 6, 6 5.5, 5.5 5.5)))")
+    wkts.zipWithIndex.foreach { case (w, i) =>
+      val g = GeomFunctions.readWkb(back(i).getAs[Array[Byte]]("geometry"))
+      assert(g.equalsExact(GeomFunctions.readWkt(w)), s"fid ${i + 1}")
+    }
+    assert(back(6).isNullAt(back(6).fieldIndex("geometry")))
+    assert(back(0).getAs[Long]("n") == 7L)
+    assert(back(0).getAs[Double]("f") == 1.25)
+    assert(back(0).getAs[Boolean]("flag"))
+    assert(back(0).getAs[String]("note") == """a<b>&"c' €""")
+    assert(back(1).isNullAt(back(1).fieldIndex("f")))
+    assert(back(2).isNullAt(back(2).fieldIndex("n")))
+  }
+
+  test("bbox requests prune through the Hilbert R-tree and match a full scan") {
+    val sp = spark
+    import sp.implicits._
+    // 50×40 grid of unit squares, ids row-major — enough for a 3-level tree
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, GeometryFixtures.square(i % 50 * 2, i / 50 * 2, i % 50 * 2 + 1, i / 50 * 2 + 1), i * 0.5)
+    }
+    val out = tmpFgb("grid")
+    FlatGeobufSink.writeStream(
+      SeqGeometrySource(rows.map(r => (r._1, r._2, r._3, "x" + r._1)))
+        .frame(GeometryRequest())(sp), "EPSG:28992", out)(sp)
+    val src = FlatGeobufSource(out)
+    assert(src.frame(GeometryRequest())(sp).count() == 2000)
+    val box = GeometryFixtures.square(10.5, 8.5, 20.5, 16.5)
+    val boxed = src.frame(GeometryRequest(geometryWkt = Some(box)))(sp)
+    val expect = src.frame(GeometryRequest())(sp)
+      .filter(GeomFunctions.stFilter(col("geometry"), lit(box), lit("intersects")))
+    assert(boxed.count() == expect.count())
+    assert(boxed.select(sum("value")).head().getDouble(0) ==
+      expect.select(sum("value")).head().getDouble(0))
+    // filters + limit compose
+    assert(src.frame(GeometryRequest(filters = Map("name" -> "x77")))(sp)
+      .select("fid").collect().map(_.getLong(0)).toSeq == Seq(77L))
+    assert(src.frame(GeometryRequest(limit = Some(5)))(sp).count() == 5)
+  }
+
+  test("GeometryFileSource dispatches .fgb; to_file writes it; serde round-trips") {
+    val out = tmpFgb("dispatch")
+    GeometryToFile.toFile(GeometryFixtures.features, out)
+    val view = GeometryFileSource(out)
+    assert(view.projection == "EPSG:28992")
+    assert(view.frame(GeometryRequest()).count() == 3)
+    val back = graft.core.BlockRegistry.fromJson(view.toJson)
+    assert(back.token == view.token)
+    assert(back.asInstanceOf[GeometryBlock].frame(GeometryRequest()).count() == 3)
+  }
+
+  test("a 5k-feature file reads back distributed and complete") {
+    val sp = spark
+    val rows = (1 to 5000).map { i =>
+      (i.toLong, GeometryFixtures.square(i % 100, i / 100, i % 100 + 1, i / 100 + 1), i * 0.5, "n" + i)
+    }
+    val out = tmpFgb("big")
+    FlatGeobufSink.writeStream(SeqGeometrySource(rows).frame(GeometryRequest())(sp),
+      "EPSG:28992", out)(sp)
+    val df = FlatGeobufSource(out).frame(GeometryRequest())(sp)
+    assert(df.count() == 5000)
+    assert(df.select(sum("value")).head().getDouble(0) == (1 to 5000).map(_ * 0.5).sum)
+    val r4999 = df.filter(col("fid") === 4999).head()
+    assert(GeomFunctions.readWkb(r4999.getAs[Array[Byte]]("geometry")).equalsExact(
+      GeomFunctions.readWkt(GeometryFixtures.square(4999 % 100, 49, 4999 % 100 + 1, 50))))
+  }
+}
