@@ -1060,6 +1060,17 @@ object SparkEntry {
       back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
         .select(col("fid"), col("p_size"), round(col("area"), 6).as("area"))
     }),
+    "g21_csv_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val p = partSquares(dir)
+      val out = java.nio.file.Files.createTempDirectory("verify_csv")
+        .resolve("parts.csv").toString
+      GeometryToFile.toFile(p, out) // streaming export, WKT column
+      val back = GeometryFileSource(out, proj = Some("EPSG:28992"))
+      back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
+        .select(col("fid"), col("p_size").cast("long").as("p_size"),
+          round(col("area"), 6).as("area"))
+    }),
     "g19_wkt_prj" -> ((s, dir) => {
       // an ArcGIS-authored shapefile: the .prj carries ESRI WKT (no
       // AUTHORITY node), not an "EPSG:xxxx" string. The WKT resolver must
@@ -1181,6 +1192,10 @@ object SparkEntry {
         | round((p_size / 10.0) * (p_size / 10.0), 6) AS area
         |FROM part""".stripMargin,
     "g20_flatgeobuf" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
+        | round((p_size / 10.0) * (p_size / 10.0), 6) AS area
+        |FROM part""".stripMargin,
+    "g21_csv_roundtrip" ->
       """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
         | round((p_size / 10.0) * (p_size / 10.0), 6) AS area
         |FROM part""".stripMargin,

@@ -208,6 +208,8 @@ object GeometryToFile {
       GmlSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".fgb"))
       FlatGeobufSink.writeStream(frame, source.projection, url)
+    else if (lower.endsWith(".csv"))
+      CsvWktSink.writeStream(frame, source.projection, url)
     else GeometryFileSink(source, url, format, fields)
       .write(GeometryRequest(mode = "centroid"))
   }

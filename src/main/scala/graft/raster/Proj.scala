@@ -48,6 +48,10 @@ object Proj extends Serializable {
       case "EPSG:4326" | "WGS84" => "EPSG:4326"
       // RFC 7946 / OGC spellings of WGS84 lon/lat
       case "CRS84" | "OGC:CRS84" | "URN:OGC:DEF:CRS:OGC:1.3:CRS84" => "EPSG:4326"
+      // geographic CRSs whose datums coincide with WGS84 at the hub's
+      // grid-free accuracy (~1-2 m): ETRS89, RGF93, NAD83 — the same
+      // convention the projected hub families already use
+      case "EPSG:4258" | "EPSG:4171" | "EPSG:4269" => "EPSG:4326"
       case "EPSG:3857" | "EPSG:900913" => "EPSG:3857"
       case "EPSG:28992" => "EPSG:28992"
       // OGC URN and double-colon authority forms collapse to EPSG:<code>
@@ -407,14 +411,20 @@ object Proj extends Serializable {
     }
   }
 
-  /** Polar codes: EPSG:3031 (WGS84 Antarctic Polar Stereographic,
-    * true scale 71°S, λ0 = 0) and EPSG:3413 (NSIDC Sea Ice Polar
-    * Stereographic North, true scale 70°N, λ0 = −45°). */
+  /** Polar codes (all WGS84, FE = FN = 0): EPSG:3031 (Antarctic Polar
+    * Stereographic, true scale 71°S, λ0 = 0), EPSG:3413 (NSIDC Sea Ice
+    * Polar Stereographic North, 70°N, λ0 = −45°), EPSG:3976 (NSIDC Sea
+    * Ice Polar Stereographic South, 70°S, λ0 = 0), EPSG:3995 (Arctic
+    * Polar Stereographic, 71°N, λ0 = 0). */
   private def psSpec(code: String): Option[PsSpec] =
     psCache.computeIfAbsent(code, {
       case "EPSG:3031" => Some(PsSpec(6378137.0, Wgs84InvF, -71.0, 0.0,
         0.0, 0.0, south = true))
       case "EPSG:3413" => Some(PsSpec(6378137.0, Wgs84InvF, 70.0, -45.0,
+        0.0, 0.0, south = false))
+      case "EPSG:3976" => Some(PsSpec(6378137.0, Wgs84InvF, -70.0, 0.0,
+        0.0, 0.0, south = true))
+      case "EPSG:3995" => Some(PsSpec(6378137.0, Wgs84InvF, 71.0, 0.0,
         0.0, 0.0, south = false))
       case _ => None
     })

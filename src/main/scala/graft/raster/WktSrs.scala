@@ -287,12 +287,16 @@ object WktSrs {
       // name (Stereographic_South_Pole) and the true-scale latitude in
       // standard_parallel_1 (signed)
       val latTs = sp1.orElse(param(p, "latitude_of_origin")).getOrElse(Double.NaN)
-      if (near(latTs, -71.0, 1e-9) && lon0.exists(near(_, 0.0, 1e-9)) &&
-        fe.forall(near(_, 0.0, 1e-3)) && fn.forall(near(_, 0.0, 1e-3)))
+      val zeroFalse = fe.forall(near(_, 0.0, 1e-3)) && fn.forall(near(_, 0.0, 1e-3))
+      val l0 = lon0.getOrElse(Double.NaN)
+      if (zeroFalse && near(latTs, -71.0, 1e-9) && near(l0, 0.0, 1e-9))
         Right("EPSG:3031")
-      else if (near(latTs, 70.0, 1e-9) && lon0.exists(near(_, -45.0, 1e-9)) &&
-        fe.forall(near(_, 0.0, 1e-3)) && fn.forall(near(_, 0.0, 1e-3)))
+      else if (zeroFalse && near(latTs, 70.0, 1e-9) && near(l0, -45.0, 1e-9))
         Right("EPSG:3413")
+      else if (zeroFalse && near(latTs, -70.0, 1e-9) && near(l0, 0.0, 1e-9))
+        Right("EPSG:3976")
+      else if (zeroFalse && near(latTs, 71.0, 1e-9) && near(l0, 0.0, 1e-9))
+        Right("EPSG:3995")
       else Left(s"unsupported polar stereographic CRS '${root.label}'")
     } else if (m.contains("mercator")) {
       // web mercator: Mercator_1SP / Mercator_Auxiliary_Sphere /

@@ -197,6 +197,13 @@ class WmsServer(spark: SparkSession, port: Int = 0,
        |      <CRS>EPSG:28992</CRS>
        |      <CRS>EPSG:3857</CRS>
        |      <CRS>EPSG:4326</CRS>
+       |      <CRS>EPSG:27700</CRS>
+       |      <CRS>EPSG:2154</CRS>
+       |      <CRS>EPSG:5070</CRS>
+       |      <CRS>EPSG:3031</CRS>
+       |      <CRS>EPSG:3413</CRS>
+       |      <CRS>EPSG:25832</CRS>
+       |      <CRS>EPSG:32631</CRS>
        |    </Layer>
        |  </Capability>
        |</WMS_Capabilities>

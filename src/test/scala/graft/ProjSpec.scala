@@ -299,6 +299,35 @@ class ReprojectionSpec extends SparkSpec {
     // (~166.7°E, 77.85°S → x ≈ +310 km, y ≈ −1310 km)
     val (mx, my) = Proj.transform("EPSG:4326", "EPSG:3031", 166.67, -77.85)
     assert(mx > 250000 && mx < 350000 && my < -1250000 && my > -1400000, s"($mx,$my)")
+
+    // the NSIDC-south and Arctic variants: true scale on their parallels,
+    // round-trips; 3995 and 3031 differ only in the ts parallel, so their
+    // outputs agree in direction but not magnitude
+    for ((code, latTs, lon, lat) <- Seq(("EPSG:3976", -70.0, 100.0, -75.0),
+        ("EPSG:3995", 71.0, -30.0, 80.0))) {
+      val d = 1e-6
+      val (x1, y1) = Proj.transform("EPSG:4326", code, 10.0 - d, latTs)
+      val (x2, y2) = Proj.transform("EPSG:4326", code, 10.0 + d, latTs)
+      val phi = math.toRadians(latTs)
+      val nu = ae / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      val truth = nu * math.cos(phi) * math.toRadians(2 * d)
+      assert(math.abs(math.hypot(x2 - x1, y2 - y1) / truth - 1.0) < 1e-6, code)
+      val (x, y) = Proj.transform("EPSG:4326", code, lon, lat)
+      val (lon2, lat2) = Proj.transform(code, "EPSG:4326", x, y)
+      val (x3, y3) = Proj.transform("EPSG:4326", code, lon2, lat2)
+      assert(math.abs(x3 - x) < 1e-6 && math.abs(y3 - y) < 1e-6, code)
+    }
+  }
+
+  test("hub-coincident geographic datums normalize onto EPSG:4326") {
+    // ETRS89, RGF93, NAD83 lat/lon — all within the hub's grid-free
+    // accuracy of WGS84, same convention as the projected families
+    for (code <- Seq("EPSG:4258", "EPSG:4171", "EPSG:4269")) {
+      assert(Proj.normalize(code) == "EPSG:4326", code)
+      assert(Proj.supported(code), code)
+      val (x, y) = Proj.transform(code, "EPSG:28992", 5.38720621, 52.15517440)
+      assert(math.abs(x - 155000) < 1 && math.abs(y - 463000) < 1)
+    }
   }
 
   test("Albers (EPSG:5070): Snyder worked example, equal-area property, round-trips") {
