@@ -403,7 +403,10 @@ object GeoPackageSink {
           java.lang.Long.valueOf(4326L), Wgs84Wkt, null)))
       if (Set(-1L, 0L, 4326L).contains(srsId.toLong)) base
       else base :+ ((srsId.toLong, Seq[Any](proj, null, org,
-        java.lang.Long.valueOf(srsId.toLong), "undefined", null)))
+        java.lang.Long.valueOf(srsId.toLong),
+        // foreign tools take the CRS from `definition` WKT; fall back to
+        // the spec's "undefined" marker for non-hub codes
+        graft.raster.WktSrs.toWkt(proj).getOrElse("undefined"), null)))
     }
     val contentsRow: Seq[Any] = Seq[Any](tableName, "features", tableName, "",
       "2026-01-01T00:00:00.000Z",

@@ -402,8 +402,11 @@ object Shapefile {
       val cnt = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
         .putInt(count).array()
       patch(base + ".dbf", 4, cnt)
+      // foreign tools read .prj as WKT, not "EPSG:xxxx" — emit WKT for hub
+      // codes, keep anything unresolvable (already-WKT input) verbatim
+      val prjText = graft.raster.WktSrs.toWkt(proj).getOrElse(proj)
       val prj = new FileOutputStream(base + ".prj")
-      try prj.write(proj.getBytes(StandardCharsets.US_ASCII)) finally prj.close()
+      try prj.write(prjText.getBytes(StandardCharsets.US_ASCII)) finally prj.close()
     }
 
     private def patch(path: String, off: Long, bytes: Array[Byte]): Unit = {

@@ -338,4 +338,114 @@ object WktSrs {
       Left(s"unsupported projection method '$method' in CRS '${root.label}'")
     }
   }
+
+  // --- emission ------------------------------------------------------------
+
+  /** OGC WKT-1 text for a supported EPSG code — what the sinks put in
+    * `.prj` files and gpkg `definition` columns so foreign tools (QGIS,
+    * ArcGIS, OGR) recover the CRS. Emitted strings round-trip through
+    * [[toEpsg]] both via the AUTHORITY node and via parameter matching. */
+  def toWkt(code: String): Option[String] = {
+    val c = code.trim.toUpperCase
+    if (!c.startsWith("EPSG:")) return None
+
+    def geogcs(name: String, datum: String, sphName: String, a: Double,
+        invF: Double, towgs84: String = "", auth: String = ""): String =
+      s"""GEOGCS["$name",DATUM["$datum",SPHEROID["$sphName",$a,$invF]$towgs84],""" +
+        s"""PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]$auth]"""
+
+    val wgs84 = geogcs("WGS 84", "WGS_1984", "WGS 84", 6378137.0, 298.257223563)
+    val etrs89 = geogcs("ETRS89", "European_Terrestrial_Reference_System_1989",
+      "GRS 1980", 6378137.0, 298.257222101)
+    val rgf93 = geogcs("RGF93", "Reseau_Geodesique_Francais_1993",
+      "GRS 1980", 6378137.0, 298.257222101)
+    val nad83 = geogcs("NAD83", "North_American_Datum_1983",
+      "GRS 1980", 6378137.0, 298.257222101)
+    // TOWGS84 carries the published Helmert shifts so foreign tools apply
+    // the same datum transform the hub uses (position-vector, toward WGS84)
+    val osgb36 = geogcs("OSGB 1936", "OSGB_1936", "Airy 1830",
+      6377563.396, 299.3249646,
+      ",TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]")
+    val amersfoort = geogcs("Amersfoort", "Amersfoort", "Bessel 1841",
+      6377397.155, 299.1528128,
+      ",TOWGS84[565.417,50.3319,465.552,-0.398957,0.343988,-1.8774,4.0725]")
+
+    def projcs(name: String, base: String, projection: String,
+        params: Seq[(String, String)], epsg: Int): String =
+      s"""PROJCS["$name",$base,PROJECTION["$projection"],""" +
+        params.map { case (k, v) => s"""PARAMETER["$k",$v]""" }.mkString(",") +
+        s""",UNIT["metre",1,AUTHORITY["EPSG","9001"]],AUTHORITY["EPSG","$epsg"]]"""
+
+    val Utm = """EPSG:32([67])(\d\d)""".r
+    val EtrsUtm = """EPSG:258(\d\d)""".r
+    val FrCc = """EPSG:(394[2-9]|3950)""".r
+    def tmParams(lat0: String, cm: String, k0: String, fe: String, fn: String) = Seq(
+      "latitude_of_origin" -> lat0, "central_meridian" -> cm,
+      "scale_factor" -> k0, "false_easting" -> fe, "false_northing" -> fn)
+
+    c match {
+      case "EPSG:4326" =>
+        Some(geogcs("WGS 84", "WGS_1984", "WGS 84", 6378137.0, 298.257223563,
+          auth = """,AUTHORITY["EPSG","4326"]"""))
+      case "EPSG:3857" =>
+        Some(projcs("WGS 84 / Pseudo-Mercator", wgs84, "Mercator_1SP",
+          tmParams("0", "0", "1", "0", "0"), 3857))
+      case "EPSG:28992" =>
+        Some(projcs("Amersfoort / RD New", amersfoort, "Oblique_Stereographic",
+          tmParams("52.1561605555556", "5.38763888888889", "0.9999079",
+            "155000", "463000"), 28992))
+      case "EPSG:27700" =>
+        Some(projcs("OSGB 1936 / British National Grid", osgb36,
+          "Transverse_Mercator",
+          tmParams("49", "-2", "0.9996012717", "400000", "-100000"), 27700))
+      case Utm(hemi, zz) =>
+        val z = zz.toInt
+        if (z < 1 || z > 60) None
+        else {
+          val south = hemi == "7"
+          Some(projcs(s"WGS 84 / UTM zone $z${if (south) "S" else "N"}", wgs84,
+            "Transverse_Mercator",
+            tmParams("0", (6 * z - 183).toString, "0.9996", "500000",
+              if (south) "10000000" else "0"), c.stripPrefix("EPSG:").toInt))
+        }
+      case EtrsUtm(zz) =>
+        val z = zz.toInt
+        if (z < 1 || z > 60) None
+        else Some(projcs(s"ETRS89 / UTM zone ${z}N", etrs89,
+          "Transverse_Mercator",
+          tmParams("0", (6 * z - 183).toString, "0.9996", "500000", "0"),
+          25800 + z))
+      case "EPSG:2154" =>
+        Some(projcs("RGF93 / Lambert-93", rgf93, "Lambert_Conformal_Conic_2SP",
+          Seq("standard_parallel_1" -> "44", "standard_parallel_2" -> "49",
+            "latitude_of_origin" -> "46.5", "central_meridian" -> "3",
+            "false_easting" -> "700000", "false_northing" -> "6600000"), 2154))
+      case FrCc(code) =>
+        val z = code.toInt - 3900 // 42..50
+        Some(projcs(s"RGF93 / CC$z", rgf93, "Lambert_Conformal_Conic_2SP",
+          Seq("standard_parallel_1" -> (z - 0.75).toString,
+            "standard_parallel_2" -> (z + 0.75).toString,
+            "latitude_of_origin" -> z.toString, "central_meridian" -> "3",
+            "false_easting" -> "1700000",
+            "false_northing" -> ((z - 41) * 1000000 + 200000).toString),
+          code.toInt))
+      case "EPSG:5070" =>
+        Some(projcs("NAD83 / Conus Albers", nad83, "Albers_Conic_Equal_Area",
+          Seq("standard_parallel_1" -> "29.5", "standard_parallel_2" -> "45.5",
+            "latitude_of_center" -> "23", "longitude_of_center" -> "-96",
+            "false_easting" -> "0", "false_northing" -> "0"), 5070))
+      case "EPSG:3031" | "EPSG:3413" | "EPSG:3976" | "EPSG:3995" =>
+        val (name, latTs, cm) = c match {
+          case "EPSG:3031" => ("WGS 84 / Antarctic Polar Stereographic", "-71", "0")
+          case "EPSG:3413" => ("WGS 84 / NSIDC Sea Ice Polar Stereographic North", "70", "-45")
+          case "EPSG:3976" => ("WGS 84 / NSIDC Sea Ice Polar Stereographic South", "-70", "0")
+          case _ => ("WGS 84 / Arctic Polar Stereographic", "71", "0")
+        }
+        Some(projcs(name, wgs84, "Polar_Stereographic",
+          Seq("latitude_of_origin" -> latTs, "central_meridian" -> cm,
+            "scale_factor" -> "1", "false_easting" -> "0",
+            "false_northing" -> "0"), c.stripPrefix("EPSG:").toInt))
+      case _ => None
+    }
+  }
 }

@@ -160,6 +160,38 @@ class WktSrsSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("wkt"))
   }
 
+  test("emitted WKT round-trips for every hub family, with and without AUTHORITY") {
+    val codes = Seq("EPSG:4326", "EPSG:3857", "EPSG:28992", "EPSG:27700",
+      "EPSG:32631", "EPSG:32733", "EPSG:25832", "EPSG:2154", "EPSG:3946",
+      "EPSG:5070", "EPSG:3031", "EPSG:3413", "EPSG:3976", "EPSG:3995")
+    for (code <- codes) {
+      val wkt = WktSrs.toWkt(code).getOrElse(fail(s"no WKT emitted for $code"))
+      // authority fast-path
+      assert(Proj.normalize(wkt) == code, s"$code authority path")
+      // parameter-matching path: strip every AUTHORITY node — what an
+      // ESRI-flavored copy of the same CRS looks like
+      val noAuth = wkt.replaceAll(""",AUTHORITY\["EPSG","\d+"\]""", "")
+      assert(!noAuth.contains("AUTHORITY"))
+      assert(Proj.normalize(noAuth) == code, s"$code parameter path")
+    }
+    // unresolvable input emits nothing
+    assert(WktSrs.toWkt("EPSG:99999").isEmpty && WktSrs.toWkt("junk").isEmpty)
+  }
+
+  test("the shapefile sink writes WKT .prj foreign tools can read") {
+    val dir = java.nio.file.Files.createTempDirectory("prj_wkt")
+    val path = dir.resolve("t.shp").toString
+    graft.geometry.Shapefile.write(path,
+      Seq((graft.geometry.GeomFunctions.readWkt("POINT (155000 463000)"), Seq[Any](1L))),
+      Seq(graft.geometry.Shapefile.DbfField("fid", 'N', 18, 0)), "EPSG:28992")
+    val prj = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir.resolve("t.prj").toString)), "US-ASCII")
+    assert(prj.startsWith("PROJCS[\"Amersfoort / RD New\""))
+    assert(prj.contains("AUTHORITY[\"EPSG\",\"28992\"]"))
+    // and the engine's own reader still resolves it to the code
+    assert(graft.geometry.ShapefileSource(path).projection == "EPSG:28992")
+  }
+
   test("a NAD83 UTM .prj with a foreign authority resolves via parameters") {
     // authority declares 26915 (not a hub code) but the GRS80 TM parameters
     // are the ETRS89-UTM math — grid-free NAD83≈WGS84 convention
