@@ -1060,6 +1060,23 @@ object SparkEntry {
       back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
         .select(col("fid"), col("p_size"), round(col("area"), 6).as("area"))
     }),
+    "g22_fgb_bbox" -> ((s, dir) => {
+      // a SPATIAL request against the FlatGeobuf source: the packed
+      // Hilbert R-tree prunes feature ranges before the exact filter, so
+      // an index bug (missed leaves) would drop rows the oracle demands.
+      // Box bounds are non-commensurate with the 0.1-granular square
+      // edges — no boundary ties between JTS intersects and the oracle's
+      // closed inequalities.
+      implicit val sp: SparkSession = s
+      val p = partSquares(dir)
+      val out = java.nio.file.Files.createTempDirectory("verify_fgb_bbox")
+        .resolve("parts.fgb").toString
+      GeometryToFile.toFile(p, out)
+      val back = GeometryFileSource(out)
+      back.frame(GeometryRequest(geometryWkt =
+        Some("POLYGON ((10.23 6.37, 30.71 6.37, 30.71 14.93, 10.23 14.93, 10.23 6.37))")))(s)
+        .select(col("fid"), col("p_size"))
+    }),
     "g21_csv_roundtrip" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val p = partSquares(dir)
@@ -1199,6 +1216,15 @@ object SparkEntry {
       """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
         | round((p_size / 10.0) * (p_size / 10.0), 6) AS area
         |FROM part""".stripMargin,
+    // squares at (k%50, (k//50)*2) with side p_size/10 intersecting the
+    // request box, closed-boundary semantics like JTS intersects
+    "g22_fgb_bbox" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size
+        |FROM part
+        |WHERE (p_partkey % 50) <= 30.71
+        |  AND (p_partkey % 50) + p_size / 10.0 >= 10.23
+        |  AND (p_partkey // 50) * 2 <= 14.93
+        |  AND (p_partkey // 50) * 2 + p_size / 10.0 >= 6.37""".stripMargin,
     // the cross-CRS chain re-derived: WGS84 → RD via the published
     // Schreutelkamp & Strang van Hees polynomials on each quad corner
     // (same term order as the engine), then JTS's centered shoelace
@@ -1243,6 +1269,8 @@ object SparkEntry {
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")),
+    "p22_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(tbl(s, dir, "documents"), "doc_id", "text", 8)),
     "p02_token_count" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -1487,6 +1515,19 @@ object SparkEntry {
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.3""".stripMargin,
     "p01_dedup_exact" ->
       "SELECT min(doc_id) AS rep_id, count(*) AS n_copies FROM documents GROUP BY text",
+    // chunk-level first-occurrence dedup re-derived: same 8-word windows,
+    // same (doc_id, chunk_idx) global order
+    "p22_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |  array_to_string(w[(CAST(i AS BIGINT)*8+1):(CAST(i AS BIGINT)*8+8)], ' ') AS chunk
+        |  FROM d, UNNEST(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS t(i)),
+        |r AS (SELECT doc_id, chunk,
+        |  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM c)
+        |SELECT doc_id, count(*) AS total_chunks,
+        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS kept_chunks
+        |FROM r GROUP BY doc_id""".stripMargin,
     "p03_quality" ->
       s"""WITH t AS (SELECT doc_id, text,
          | list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws

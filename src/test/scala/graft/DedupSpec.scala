@@ -166,4 +166,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.embeddingNearDups(withZero, "doc_id", "embedding", -1.0, planes)
       .collect().forall(r => !r.getDouble(2).isNaN))
   }
+
+  test("chunkDedup keeps the global first occurrence of each chunk") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1: chunks "a b", "c d"; doc 2 repeats "a b" then adds "e f";
+    // doc 3 repeats its own first chunk within itself
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "g h g h")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq(
+      (1L, 2L, 2L),  // both chunks first
+      (2L, 2L, 1L),  // "a b" already seen in doc 1
+      (3L, 2L, 1L))) // repeats itself: second copy dropped
+    // a short tail chunk is its own unit, not merged or padded
+    val tail = Dedup.chunkDedup(Seq((1L, "x y z")).toDF("doc_id", "text"),
+      "doc_id", "text", 2).head()
+    assert(tail.getLong(1) == 2L && tail.getLong(2) == 2L)
+  }
 }
