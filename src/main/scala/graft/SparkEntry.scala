@@ -1088,6 +1088,27 @@ object SparkEntry {
         .select(col("fid"), col("p_size").cast("long").as("p_size"),
           round(col("area"), 6).as("area"))
     }),
+    "g23_kml_roundtrip" -> ((s, dir) => {
+      // KML is WGS84 by spec: author lon/lat squares, export (identity
+      // reprojection), read back through the XML text round-trip, then
+      // compute the cross-CRS area in RD — the same independent
+      // polynomial+shoelace oracle as g19 pins the whole chain
+      implicit val sp: SparkSession = s
+      val p = TableGeometrySource(s"$dir/part.parquet", "p_partkey",
+        Seq("p_size"),
+        geomWktExpr = Some(squareWkt(
+          "4.5 + (p_partkey % 50) * 0.001",
+          "51.9 + cast(p_partkey / 50 as int) * 0.0005",
+          "p_size * 0.00001")),
+        proj = "EPSG:4326")
+      val out = java.nio.file.Files.createTempDirectory("verify_kml")
+        .resolve("parts.kml").toString
+      GeometryToFile.toFile(p, out)
+      val back = GeometryFileSource(out)
+      back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
+        .select(col("fid"), col("p_size").cast("long").as("p_size"),
+          round(col("area"), 4).as("area"))
+    }),
     "g19_wkt_prj" -> ((s, dir) => {
       // an ArcGIS-authored shapefile: the .prj carries ESRI WKT (no
       // AUTHORITY node), not an "EPSG:xxxx" string. The WKT resolver must
@@ -1230,7 +1251,13 @@ object SparkEntry {
     // (same term order as the engine), then JTS's centered shoelace
     // (Area.ofRing) re-expressed literally — independent of the WKT
     // resolver and transform code under test
-    "g19_wkt_prj" ->
+    "g19_wkt_prj" -> wktPrjAreaOracle,
+    // the identical independent chain pins the KML round-trip (same
+    // lon/lat square literals, WGS84 → RD polynomials, shoelace)
+    "g23_kml_roundtrip" -> wktPrjAreaOracle
+  )
+
+  private def wktPrjAreaOracle: String =
       """WITH sq AS (
         |  SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
         |    4.5 + (p_partkey % 50) * 0.001 AS lon0,
@@ -1263,7 +1290,6 @@ object SparkEntry {
         |SELECT fid, p_size,
         |  round(abs((x1-x0)*(y0-y2) + (x2-x0)*(y1-y3) + (x3-x0)*(y2-y0)) / 2, 4) AS area
         |FROM w""".stripMargin
-  )
 
   // ------------------------------------------------------------ pipeline
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

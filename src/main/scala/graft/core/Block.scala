@@ -171,7 +171,7 @@ object BlockRegistry {
       classOf[graft.geometry.GeoJsonSource], classOf[graft.geometry.ShapefileSource],
       classOf[graft.geometry.GeoPackageSource], classOf[graft.geometry.GeometryFileSource],
       classOf[graft.geometry.GmlSource], classOf[graft.geometry.FlatGeobufSource],
-      classOf[graft.geometry.CsvWktSource]
+      classOf[graft.geometry.CsvWktSource], classOf[graft.geometry.KmlSource]
     ).foreach(registerAuto)
     Seq[Class[_ <: Block]](
       classOf[graft.geometry.FieldOps.Add], classOf[graft.geometry.FieldOps.Subtract],

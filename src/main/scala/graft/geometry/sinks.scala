@@ -210,6 +210,8 @@ object GeometryToFile {
       FlatGeobufSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".csv"))
       CsvWktSink.writeStream(frame, source.projection, url)
+    else if (lower.endsWith(".kml"))
+      KmlSink.writeStream(frame, source.projection, url)
     else GeometryFileSink(source, url, format, fields)
       .write(GeometryRequest(mode = "centroid"))
   }

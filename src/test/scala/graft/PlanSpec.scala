@@ -102,6 +102,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan parquet") || p.contains("FileScan"))
   }
 
+  test("chunk dedup is one explode + one hash exchange on the chunk key") {
+    val p = plan("p22_chunk_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the first-occurrence window partitions by chunk → exactly one
+    // hashpartitioning exchange on [chunk] before the window sort
+    assert(p.contains("hashpartitioning(chunk"))
+    assert(p.contains("Generate explode") || p.contains("Generate"))
+  }
+
   test("hot-bucket capped LSH joins stay equi-joins") {
     import graft.pipeline.Dedup
     import org.apache.spark.sql.functions.col
