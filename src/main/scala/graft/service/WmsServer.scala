@@ -153,6 +153,9 @@ class WmsServer(spark: SparkSession, port: Int = 0,
         case s: graft.geometry.GeoPackageSource    => check(s.url)
         case s: graft.geometry.GmlSource           => check(s.url)
         case s: graft.geometry.GeometryFileSource  => check(s.url)
+        case s: graft.geometry.FlatGeobufSource    => check(s.url)
+        case s: graft.geometry.CsvWktSource        => check(s.url)
+        case s: graft.geometry.KmlSource           => check(s.url)
         case _                                     =>
       }
       b.children.foreach(walk)
@@ -231,7 +234,8 @@ class WmsServer(spark: SparkSession, port: Int = 0,
       s"pixel ($i, $j) outside the ${w}x$h map")
     val px = x1 + (i + 0.5) * (x2 - x1) / w
     val py = y2 - (j + 0.5) * (y2 - y1) / h // row 0 is the top row
-    val proj = params.getOrElse("projection", view.projection)
+    val proj = params.get("projection").orElse(params.get("crs"))
+      .orElse(params.get("srs")).getOrElse(view.projection)
     val time = params.get("time").map(Instant.parse)
     val res = view.getData(RasterRequest(Bbox(px, py, px, py), proj, 1, 1, time, time))
     val value: Option[Double] = res.flatMap { r =>
@@ -284,7 +288,8 @@ class WmsServer(spark: SparkSession, port: Int = 0,
     val Array(x1, y1, x2, y2) = params("bbox").split(",").map(_.toDouble)
     val w = params.getOrElse("width", "256").toInt
     val h = params.getOrElse("height", "256").toInt
-    val proj = params.getOrElse("projection", view.projection)
+    val proj = params.get("projection").orElse(params.get("crs"))
+      .orElse(params.get("srs")).getOrElse(view.projection)
     val time = params.get("time").map(Instant.parse)
     val req = RasterRequest(Bbox(x1, y1, x2, y2), proj, w, h,
       time, time)

@@ -26,6 +26,19 @@ class WmsSpec extends SparkSpec {
       // frame at 01:00 has value 7 → ×10 = 70 → gray 70/255*255 = 70
       assert((img.getRGB(5, 5) & 0xff) == 70)
 
+      // standard WMS clients name the projection crs= (1.3.0) or srs=
+      // (1.1.1) — both alias onto projection
+      for (p <- Seq("crs", "srs")) {
+        val alias = new URL(s"http://127.0.0.1:${server.boundPort}/wms?layers=$layers" +
+          "&bbox=135000,455995,135005,456000&width=10&height=10" +
+          s"&$p=EPSG:28992&time=2000-01-01T01:00:00Z&vmin=0&vmax=255")
+          .openConnection().asInstanceOf[HttpURLConnection]
+        assert(alias.getResponseCode == 200, p)
+        val aimg = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(alias.getInputStream.readAllBytes()))
+        assert((aimg.getRGB(5, 5) & 0xff) == 70, p)
+      }
+
       // probe: an out-of-period time yields a clean 400, not a hang
       val bad = new URL(s"http://127.0.0.1:${server.boundPort}/wms?layers=$layers" +
         "&bbox=135000,455995,135005,456000&time=2015-01-01T00:00:00Z")
@@ -160,7 +173,10 @@ class WmsSpec extends SparkSpec {
         graft.geometry.ShapefileSource("/etc/secrets.shp"),
         graft.geometry.GeoPackageSource("/etc/secrets.gpkg"),
         graft.geometry.GmlSource("/etc/secrets.gml"),
-        graft.geometry.GeometryFileSource("/etc/secrets.gpkg"))) {
+        graft.geometry.GeometryFileSource("/etc/secrets.gpkg"),
+        graft.geometry.FlatGeobufSource("/etc/secrets.fgb"),
+        graft.geometry.CsvWktSource("/etc/secrets.csv"),
+        graft.geometry.KmlSource("/etc/secrets.kml"))) {
         // Rasterize makes the geometry source a child of a raster view, so
         // the path walk must descend into it before any evaluation
         val zl = URLEncoder.encode(graft.raster.Rasterize(bad).toJson, "UTF-8")
