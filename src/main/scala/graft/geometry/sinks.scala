@@ -13,14 +13,14 @@ import org.apache.spark.sql.functions._
   */
 case class GeometryFileSink(source: GeometryBlock, url: String,
     format: String = "geoparquet", fields: Option[Seq[String]] = None) {
-  require(Set("geoparquet", "geojson", "shp", "gpkg", "gml").contains(format),
-    s"unsupported format $format")
+  require(Set("geoparquet", "geojson", "shp", "gpkg", "gml", "fgb", "csv",
+    "kml").contains(format), s"unsupported format $format")
 
   def write(req: GeometryRequest)(implicit spark: SparkSession): String = {
     // single-file OGR-style formats follow the reference's tile contract:
     // one <requesthash>.<ext> file per request into the directory, merged
     // later by mergeFiles (sinks.py:116-169)
-    if (Set("shp", "gpkg", "gml").contains(format)) {
+    if (Set("shp", "gpkg", "gml", "fgb", "csv", "kml").contains(format)) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(url))
       val hash = java.security.MessageDigest.getInstance("MD5")
         .digest(req.toString.getBytes("UTF-8"))
@@ -33,7 +33,12 @@ case class GeometryFileSink(source: GeometryBlock, url: String,
       format match {
         case "shp"  => ShapefileSink.write(src, out, req)
         case "gpkg" => GeoPackageSink.write(src, out, req)
-        case _      => GmlSink.write(src, out, req)
+        case "gml"  => GmlSink.write(src, out, req)
+        // the newer codecs only have the streaming writers — strictly
+        // more capable than the guarded tile write
+        case "fgb"  => FlatGeobufSink.writeStream(src.frame(req), src.projection, out)
+        case "csv"  => CsvWktSink.writeStream(src.frame(req), src.projection, out)
+        case _      => KmlSink.writeStream(src.frame(req), src.projection, out)
       }
       return out
     }
@@ -124,8 +129,11 @@ object GeometryFileSink {
       case "shp"  => ShapefileSink.writeStream(merged, proj, target)
       case "gpkg" => GeoPackageSink.writeStream(merged, proj, target)
       case "gml"  => GmlSink.writeStream(merged, proj, target)
+      case "fgb"  => FlatGeobufSink.writeStream(merged, proj, target)
+      case "csv"  => CsvWktSink.writeStream(merged, proj, target)
+      case "kml"  => KmlSink.writeStream(merged, proj, target)
       case other  => throw new IllegalArgumentException(
-        s"mergeFiles supports shp/gpkg/gml targets, not .$other")
+        s"mergeFiles supports shp/gpkg/gml/fgb/csv/kml targets, not .$other")
     }
     if (removeSource) parts.foreach(_.delete())
     target

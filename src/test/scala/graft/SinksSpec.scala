@@ -117,6 +117,23 @@ class SinksSpec extends SparkSpec {
     assert(cols == Set("name", "geometry"), cols.toString)
   }
 
+  test("fgb and kml tiles write and mergeFiles combines them") {
+    import org.apache.spark.sql.functions.col
+    for (fmt <- Seq("fgb", "kml")) {
+      val dir = Files.createTempDirectory(s"sink_tiles_$fmt").toString
+      val sink = GeometryFileSink(GeometryFixtures.features, dir, fmt)
+      sink.write(GeometryRequest(mode = "centroid",
+        geometryWkt = Some(GeometryFixtures.square(134999, 455997, 135000.9, 456001))))
+      sink.write(GeometryRequest(mode = "centroid",
+        geometryWkt = Some(GeometryFixtures.square(135000.9, 455997, 135004, 456001))))
+      val merged = GeometryFileSink.mergeFiles(dir,
+        Files.createTempDirectory(s"sink_merge_$fmt").resolve(s"all.$fmt").toString)
+      val df = GeometryFileSource(merged).frame(GeometryRequest())
+      assert(df.count() == 3, fmt)
+      assert(df.filter(col("name") === "b").count() == 1, fmt)
+    }
+  }
+
   test("mergeFiles refuses an existing target (reference sinks.py:180)") {
     val dir = Files.createTempDirectory("merge_exists").toString
     GeometryFileSink(GeometryFixtures.features, dir, "gpkg")
