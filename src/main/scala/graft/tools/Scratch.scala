@@ -46,6 +46,17 @@ object Scratch {
     val gpkgView = GeometryFileSource("/tmp/scratch_export.gpkg")
     println(s"gpkg reopened rows: ${gpkgView.frame(GeometryRequest()).count()}")
 
+    // round-6 formats through the to_file dispatcher: FlatGeobuf (packed
+    // Hilbert R-tree + bbox pushdown), CSV-WKT, KML (reprojected to WGS84)
+    for (ext <- Seq("fgb", "csv", "kml")) {
+      val out = s"/tmp/scratch_export.$ext"
+      new java.io.File(out).delete()
+      GeometryToFile.toFile(gpkgView, out)
+      val v = GeometryFileSource(out)
+      println(s"$ext reopened rows: ${v.frame(GeometryRequest()).count()} " +
+        s"proj: ${v.projection}")
+    }
+
     spark.stop()
   }
 }

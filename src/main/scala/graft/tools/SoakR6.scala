@@ -33,7 +33,7 @@ object SoakR6 {
     val rt = Runtime.getRuntime
     val dir = java.nio.file.Files.createTempDirectory("soak_r6")
 
-    for (ext <- Seq("shp", "gpkg", "gml", "fgb")) {
+    for (ext <- Seq("shp", "gpkg", "gml", "fgb", "csv", "kml")) {
       val out = dir.resolve(s"parts200k.$ext").toString
       System.gc()
       val base = rt.totalMemory() - rt.freeMemory()
