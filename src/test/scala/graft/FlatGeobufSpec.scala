@@ -114,6 +114,66 @@ class FlatGeobufSpec extends SparkSpec {
     assert(back.asInstanceOf[GeometryBlock].frame(GeometryRequest()).count() == 3)
   }
 
+  test("an unindexed foreign file (index_node_size=0) reads via the size-prefix walk") {
+    import FlatGeobuf._
+    // hand-build a spec-legal file with NO spatial index, as foreign
+    // writers may produce: magic, header with index_node_size=0, features
+    val hb = new Buf
+    hb.u32(0)
+    val ht = writeTable(hb, Seq[Option[Slot]](
+      Some(stringRef("plain")), None, Some(U8S(GtPoint)),
+      None, None, None, None,
+      Some(tableVecRef(Seq(
+        (bb: Buf) => writeTable(bb, Seq[Option[Slot]](
+          Some(stringRef("tag")), Some(U8S(CtString))))))),
+      Some(U64S(2L)), Some(U16S(0)), // features_count=2, index_node_size=0
+      None))
+    hb.patchU32(0, ht.toLong)
+    val headerBody = hb.result()
+    val feats = Seq(("POINT (1 2)", "a"), ("POINT (3 4)", "b")).map { case (wkt, tag) =>
+      val fb = new Buf
+      fb.u32(0)
+      val g = GeomFunctions.readWkt(wkt)
+      val props = encodeProperties(Seq((0, CtString, tag)))
+      val t = writeTable(fb, Seq[Option[Slot]](
+        Some(RefS(geometryWriter(g))), Some(byteVecRef(props)), None))
+      fb.patchU32(0, t.toLong)
+      fb.result()
+    }
+    val out = java.nio.file.Files.createTempDirectory("fgb_noindex")
+      .resolve("plain.fgb")
+    val os = new java.io.FileOutputStream(out.toFile)
+    try {
+      os.write(Magic)
+      os.write(java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(headerBody.length).array())
+      os.write(headerBody)
+      feats.foreach { f =>
+        os.write(java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(f.length).array())
+        os.write(f)
+      }
+    } finally os.close()
+    val df = FlatGeobufSource(out.toString).frame(GeometryRequest())
+      .orderBy("fid").collect()
+    assert(df.length == 2)
+    assert(df.map(_.getAs[String]("tag")).toSeq == Seq("a", "b"))
+    assert(GeomFunctions.readWkb(df(1).getAs[Array[Byte]]("geometry")).equalsExact(
+      GeomFunctions.readWkt("POINT (3 4)")))
+  }
+
+  test("non-fgb and truncated files fail with clear errors, not hangs") {
+    val dir = java.nio.file.Files.createTempDirectory("fgb_bad")
+    val notFgb = dir.resolve("x.fgb")
+    java.nio.file.Files.write(notFgb, "PK definitely a zip".getBytes)
+    val e = intercept[IllegalArgumentException](
+      FlatGeobufSource(notFgb.toString).frame(GeometryRequest()))
+    assert(e.getMessage.contains("FlatGeobuf"))
+    val truncated = dir.resolve("t.fgb")
+    java.nio.file.Files.write(truncated, FlatGeobuf.Magic ++ Array[Byte](0x10, 0, 0, 0))
+    intercept[Exception](FlatGeobufSource(truncated.toString).frame(GeometryRequest()))
+  }
+
   test("a 5k-feature file reads back distributed and complete") {
     val sp = spark
     val rows = (1 to 5000).map { i =>
