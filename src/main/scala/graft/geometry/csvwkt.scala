@@ -61,6 +61,11 @@ object CsvWkt {
 case class CsvWktSource(url: String, proj: String = "EPSG:4326",
     geometryColumn: Option[String] = None) extends GeometryBlock {
 
+  // fail fast: CSV carries no CRS metadata, so the caller's proj IS the
+  // declaration — validate it at construction like the sibling sources
+  require(graft.raster.Proj.supported(proj),
+    s"csv source $url: unsupported SRS '$proj'")
+
   @transient private lazy val header: Seq[String] = CsvWkt.headerOf(url)
 
   private def geomCol: Option[String] = geometryColumn.orElse(

@@ -680,6 +680,10 @@ case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
     extends GeometryBlock {
   import FlatGeobuf._
 
+  // fail fast on the fallback CRS (used when the file declares none)
+  require(graft.raster.Proj.supported(proj),
+    s"flatgeobuf source $url: unsupported fallback SRS '$proj'")
+
   /** (headerBytes, featureSectionStart, numItems, nodeSize, columns,
     * declared crs, leaf offsets ascending). */
   @transient private lazy val meta: (Array[Byte], Long, Int, Int,
