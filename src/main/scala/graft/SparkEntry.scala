@@ -1552,7 +1552,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
         |  FROM c)
         |SELECT doc_id, count(*) AS total_chunks,
-        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS kept_chunks
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks
         |FROM r GROUP BY doc_id""".stripMargin,
     "p03_quality" ->
       s"""WITH t AS (SELECT doc_id, text,

@@ -2,9 +2,10 @@
 """Local stand-in for the driver's DuckDB-oracle compare: runs each
 oracle_sql.json query against the same parquet tables and diffs against the
 Verify parquet dumps (column-name-sorted, row-sorted, value compare)."""
-import sys, json, glob
+import sys, json, glob, warnings
 import duckdb
 import pandas as pd
+warnings.filterwarnings("ignore", category=RuntimeWarning)
 
 outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
@@ -22,6 +23,23 @@ for name in sorted(sqls):
         got = con.execute(
             f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
         want = con.execute(sql).df()
+        # Type gate calibrated to the driver's hasher (r6 evidence): int32 vs
+        # int64 hashes equal (9 such queries were driver-green), but a HUGEINT
+        # oracle column — which pandas lands as float64 — hashed red against
+        # Spark's int64 even with bit-identical values. So a *kind* divergence
+        # (int vs float/object) on either side is fatal here, before the
+        # normalization below collapses it.
+        oracle_desc = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+        type_bad = []
+        for c in sorted(set(got.columns) & set(want.columns)):
+            gk, wk = got[c].dtype, want[c].dtype
+            if (gk.kind in "iu" or wk.kind in "iu") and gk.kind != wk.kind:
+                type_bad.append(f"{c}: spark={gk} oracle={wk} (duckdb {oracle_desc.get(c)})")
+            elif str(oracle_desc.get(c, "")).startswith(("HUGEINT", "UHUGEINT")):
+                # pandas collapsed it to the same dtype, but warn: the driver
+                # may hash the arrow decimal128 differently — prefer a CAST.
+                print(f"WARN {name}.{c}: oracle DuckDB type {oracle_desc[c]} "
+                      f"(pandas {wk}) — consider an explicit CAST")
         def norm(df):
             df = df.reindex(sorted(df.columns), axis=1)
             for c in df.columns:
@@ -33,7 +51,10 @@ for name in sorted(sqls):
                     df[c] = df[c].astype("datetime64[us]")
             return df.sort_values(list(df.columns)).reset_index(drop=True)
         g, w = norm(got), norm(want)
-        if list(g.columns) != list(w.columns):
+        if type_bad:
+            print(f"MISMATCH-TYPE {name}: " + "; ".join(type_bad))
+            mis += 1
+        elif list(g.columns) != list(w.columns):
             print(f"MISMATCH-COLS {name}: got {list(g.columns)} want {list(w.columns)}")
             mis += 1
         elif len(g) != len(w):
