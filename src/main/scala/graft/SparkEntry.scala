@@ -1135,8 +1135,46 @@ object SparkEntry {
       val back = ShapefileSource(out)
       back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
         .select(col("fid"), col("p_size"), round(col("area"), 4).as("area"))
+    }),
+    "g24_param_crs" -> ((s, dir) => {
+      // an ArcGIS-authored state-plane shapefile: the .prj is NAD83 /
+      // California zone V in US survey FEET — a projection the hub has no
+      // EPSG code for, so the resolver must instantiate the Lambert
+      // Conformal Conic from the .prj's own parameters (reference:
+      // utils.py:397 get_sr accepts any OGR SRS). The cross-CRS area
+      // (LCC-feet vertices → WGS84 → web mercator, planar shoelace) pins
+      // the parameterized inverse projection, the survey-foot unit scaling
+      // and the hub composition; the oracle re-derives Snyder's LCC
+      // inverse and the spherical-mercator forward in SQL.
+      implicit val sp: SparkSession = s
+      val p = TableGeometrySource(s"$dir/part.parquet", "p_partkey",
+        Seq("p_size"),
+        geomWktExpr = Some(squareWkt(
+          "6561666.666666666 + (p_partkey % 50) * 2000.0",
+          "1640416.666666667 + cast(p_partkey / 50 as int) * 1000.0",
+          "p_size * 20.0")),
+        proj = CaStatePlanePrj)
+      val out = java.nio.file.Files.createTempDirectory("verify_paramcrs")
+        .resolve("parts.shp").toString
+      GeometryToFile.toFile(p, out)
+      // replace the sink's .prj with ArcGIS's own text for the zone
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        out.stripSuffix(".shp") + ".prj"),
+        CaStatePlanePrj.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val back = ShapefileSource(out)
+      // round(2), not (4): the 10-step transcendental chain (pow/atan/tan/
+      // ln on both sides) carries ~1e-8 of JVM-vs-libm ulp noise — 1e-2
+      // quantization puts the flip probability per row below 1e-6 while
+      // still pinning 4-7 significant digits of the LCC inverse
+      back.set("area", Area(back, "EPSG:3857")).frame(GeometryRequest())(s)
+        .select(col("fid"), col("p_size"), round(col("area"), 2).as("area"))
     })
   )
+
+  /** NAD83 / California zone V in US survey feet (EPSG:2229's definition
+    * as ArcGIS writes it — ESRI dialect, no AUTHORITY node). */
+  private val CaStatePlanePrj: String =
+    """PROJCS["NAD_1983_StatePlane_California_V_FIPS_0405_Feet",GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic"],PARAMETER["False_Easting",6561666.666666666],PARAMETER["False_Northing",1640416.666666667],PARAMETER["Central_Meridian",-118.0],PARAMETER["Standard_Parallel_1",34.03333333333333],PARAMETER["Standard_Parallel_2",35.46666666666667],PARAMETER["Latitude_Of_Origin",33.5],UNIT["Foot_US",0.3048006096012192]]"""
 
   /** side-(p_size/10) squares at (p_partkey%50, (p_partkey/50)*2). */
   private def squareWkt(x0: String, y0: String, side: String): String =
@@ -1254,7 +1292,74 @@ object SparkEntry {
     "g19_wkt_prj" -> wktPrjAreaOracle,
     // the identical independent chain pins the KML round-trip (same
     // lon/lat square literals, WGS84 → RD polynomials, shoelace)
-    "g23_kml_roundtrip" -> wktPrjAreaOracle
+    "g23_kml_roundtrip" -> wktPrjAreaOracle,
+    // state-plane .prj: Snyder's ellipsoidal LCC-2SP inverse (EPSG method
+    // 9802) re-derived in SQL from the zone constants — t/m/n/F/ρ0 computed
+    // FROM the parallels, the latitude fixed-point unrolled 8 deep exactly
+    // like the engine — then the spherical web-mercator forward and the
+    // centered shoelace. Independent of WktSrs/Proj end to end.
+    "g24_param_crs" ->
+      """WITH par AS (SELECT
+        |  0.3048006096012192 AS u, 6378137.0 AS aa,
+        |  1.0/298.257222101 AS ff, (-118.0/180.0)*pi() AS lam0,
+        |  (34.03333333333333/180.0)*pi() AS p1,
+        |  (35.46666666666667/180.0)*pi() AS p2,
+        |  (33.5/180.0)*pi() AS ph0),
+        |par2 AS (SELECT *, ff*(2-ff) AS ee2, sqrt(ff*(2-ff)) AS ecc FROM par),
+        |par3 AS (SELECT *,
+        |  cos(p1)/sqrt(1-ee2*sin(p1)*sin(p1)) AS m1,
+        |  cos(p2)/sqrt(1-ee2*sin(p2)*sin(p2)) AS m2,
+        |  tan(pi()/4-p1/2)/pow((1-ecc*sin(p1))/(1+ecc*sin(p1)), ecc/2) AS t1,
+        |  tan(pi()/4-p2/2)/pow((1-ecc*sin(p2))/(1+ecc*sin(p2)), ecc/2) AS t2,
+        |  tan(pi()/4-ph0/2)/pow((1-ecc*sin(ph0))/(1+ecc*sin(ph0)), ecc/2) AS t0
+        |  FROM par2),
+        |par4 AS (SELECT *, (ln(m1)-ln(m2))/(ln(t1)-ln(t2)) AS nn FROM par3),
+        |par5 AS (SELECT *, m1/(nn*pow(t1, nn)) AS bigf FROM par4),
+        |par6 AS (SELECT *, aa*bigf*pow(t0, nn) AS rho0,
+        |  6561666.666666666*u AS fem, 1640416.666666667*u AS fnm FROM par5),
+        |sq AS (
+        |  SELECT p_partkey AS fid, p_size,
+        |    6561666.666666666 + (p_partkey % 50) * 2000.0 AS x0,
+        |    1640416.666666667 + CAST(p_partkey // 50 AS INT) * 1000.0 AS y0,
+        |    p_size * 20.0 AS s
+        |  FROM part),
+        |corners AS (
+        |  SELECT fid, p_size, k,
+        |    CASE WHEN k IN (1, 2) THEN (x0) + (s) ELSE x0 END AS xft,
+        |    CASE WHEN k IN (2, 3) THEN (y0) + (s) ELSE y0 END AS yft
+        |  FROM sq, (SELECT unnest([0, 1, 2, 3]) AS k)),
+        |inv0 AS (SELECT fid, p_size, k, par6.*,
+        |    CAST(xft AS DOUBLE)*u - fem AS dx,
+        |    rho0 - (CAST(yft AS DOUBLE)*u - fnm) AS dy
+        |  FROM corners, par6),
+        |inv1 AS (SELECT *, sqrt(dx*dx + dy*dy) AS rho, atan2(dx, dy) AS th FROM inv0),
+        |inv2 AS (SELECT *, pow(rho/(aa*bigf), 1.0/nn) AS tp,
+        |    lam0 + th/nn AS lam FROM inv1),
+        |i0 AS (SELECT *, pi()/2 - 2*atan(tp) AS phi FROM inv2),
+        |i1 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp*pow((1-ecc*sin(phi))/(1+ecc*sin(phi)), ecc/2)) AS phi) FROM i0),
+        |i2 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp*pow((1-ecc*sin(phi))/(1+ecc*sin(phi)), ecc/2)) AS phi) FROM i1),
+        |i3 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp*pow((1-ecc*sin(phi))/(1+ecc*sin(phi)), ecc/2)) AS phi) FROM i2),
+        |i4 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp*pow((1-ecc*sin(phi))/(1+ecc*sin(phi)), ecc/2)) AS phi) FROM i3),
+        |i5 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp*pow((1-ecc*sin(phi))/(1+ecc*sin(phi)), ecc/2)) AS phi) FROM i4),
+        |i6 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp*pow((1-ecc*sin(phi))/(1+ecc*sin(phi)), ecc/2)) AS phi) FROM i5),
+        |i7 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp*pow((1-ecc*sin(phi))/(1+ecc*sin(phi)), ecc/2)) AS phi) FROM i6),
+        |i8 AS (SELECT * REPLACE (pi()/2 - 2*atan(tp*pow((1-ecc*sin(phi))/(1+ecc*sin(phi)), ecc/2)) AS phi) FROM i7),
+        |merc AS (SELECT fid, p_size, k,
+        |    -- the engine hands degrees between the LCC inverse and the
+        |    -- mercator forward; deg→rad is not an FP identity, so mirror
+        |    -- the exact toDegrees/toRadians orderings (x*180/π, x/180*π)
+        |    6378137.0 * (((lam*180.0/pi())/180.0)*pi()) AS x,
+        |    6378137.0 * ln(tan(pi()/4 + (((phi*180.0/pi())/180.0)*pi())/2)) AS y
+        |  FROM i8),
+        |w AS (SELECT fid, p_size,
+        |  max(CASE WHEN k = 0 THEN x END) AS x0, max(CASE WHEN k = 0 THEN y END) AS y0,
+        |  max(CASE WHEN k = 1 THEN x END) AS x1, max(CASE WHEN k = 1 THEN y END) AS y1,
+        |  max(CASE WHEN k = 2 THEN x END) AS x2, max(CASE WHEN k = 2 THEN y END) AS y2,
+        |  max(CASE WHEN k = 3 THEN x END) AS x3, max(CASE WHEN k = 3 THEN y END) AS y3
+        |  FROM merc GROUP BY fid, p_size)
+        |SELECT fid, p_size,
+        |  round(abs((x1-x0)*(y0-y2) + (x2-x0)*(y1-y3) + (x3-x0)*(y2-y0)) / 2, 2) AS area
+        |FROM w""".stripMargin
   )
 
   private def wktPrjAreaOracle: String =

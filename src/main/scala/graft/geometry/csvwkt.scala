@@ -79,8 +79,10 @@ case class CsvWktSource(url: String, proj: String = "EPSG:4326",
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
     val df0 = spark.read
       .option("header", "true").option("inferSchema", "true")
-      // RFC 4180 doubled-quote escapes (univocity defaults to backslash)
-      .option("escape", "\"")
+      // RFC 4180 doubled-quote escapes (univocity defaults to backslash);
+      // multiLine so quoted embedded newlines (which the sink emits) don't
+      // split one record into broken rows on read-back
+      .option("escape", "\"").option("multiLine", "true")
       .csv(url)
     val gc = geomCol
     val hasFid = df0.schema.fields.exists(f => f.name == "fid" &&

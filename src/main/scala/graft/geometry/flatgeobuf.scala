@@ -45,14 +45,28 @@ object FlatGeobuf {
   val GtUnknown = 0; val GtPoint = 1; val GtLineString = 2; val GtPolygon = 3
   val GtMultiPoint = 4; val GtMultiLineString = 5; val GtMultiPolygon = 6
 
-  // ColumnType (header.fbs)
-  val CtBool = 2; val CtInt = 5; val CtLong = 7; val CtDouble = 10
-  val CtString = 11; val CtDateTime = 13; val CtBinary = 14
+  // ColumnType (header.fbs) — the full enum; foreign writers (OGR) use all
+  // the fixed-width scalar codes, so the reader must know every width.
+  val CtByte = 0; val CtUByte = 1; val CtBool = 2; val CtShort = 3
+  val CtUShort = 4; val CtInt = 5; val CtUInt = 6; val CtLong = 7
+  val CtULong = 8; val CtFloat = 9; val CtDouble = 10
+  val CtString = 11; val CtJson = 12; val CtDateTime = 13; val CtBinary = 14
+
+  /** Is this ColumnType a fixed-width integer (usable as a fid column)? */
+  def integralType(ct: Int): Boolean = ct match {
+    case CtByte | CtUByte | CtShort | CtUShort | CtInt | CtUInt |
+         CtLong | CtULong => true
+    case _ => false
+  }
 
   def sparkType(ct: Int): DataType = ct match {
     case CtBool => BooleanType
-    case CtInt => IntegerType
-    case CtLong => LongType
+    case CtByte => ByteType
+    case CtUByte | CtShort => ShortType // uint8 fits in int16
+    case CtUShort | CtInt => IntegerType // uint16 fits in int32
+    case CtUInt | CtLong => LongType // uint32 fits in int64
+    case CtULong => LongType // uint64 wraps (no unsigned 64-bit in Spark)
+    case CtFloat => FloatType
     case CtDouble => DoubleType
     case CtBinary => BinaryType
     case _ => StringType // String, Json, DateTime and the rest read as text
@@ -408,10 +422,19 @@ object FlatGeobuf {
     while (p + 2 <= end) {
       val idx = Fb.u16(a, p); p += 2
       val ct = colTypes(idx)
+      // every spec scalar at its defined width (header.fbs ColumnType);
+      // only String/Json/DateTime/Binary are u32-length-prefixed
       ct match {
         case CtBool => out(idx) = java.lang.Boolean.valueOf(a(p) != 0); p += 1
+        case CtByte => out(idx) = java.lang.Byte.valueOf(a(p)); p += 1
+        case CtUByte => out(idx) = java.lang.Short.valueOf((a(p) & 0xff).toShort); p += 1
+        case CtShort => out(idx) = java.lang.Short.valueOf(Fb.u16(a, p).toShort); p += 2
+        case CtUShort => out(idx) = java.lang.Integer.valueOf(Fb.u16(a, p)); p += 2
         case CtInt => out(idx) = java.lang.Integer.valueOf(Fb.i32(a, p)); p += 4
-        case CtLong => out(idx) = java.lang.Long.valueOf(Fb.u64(a, p)); p += 8
+        case CtUInt => out(idx) = java.lang.Long.valueOf(Fb.i32(a, p).toLong & 0xffffffffL); p += 4
+        case CtLong | CtULong => out(idx) = java.lang.Long.valueOf(Fb.u64(a, p)); p += 8
+        case CtFloat => out(idx) = java.lang.Float.valueOf(
+          java.lang.Float.intBitsToFloat(Fb.i32(a, p))); p += 4
         case CtDouble => out(idx) = java.lang.Double.valueOf(Fb.f64(a, p)); p += 8
         case CtBinary =>
           val n = Fb.i32(a, p); p += 4
@@ -763,7 +786,9 @@ case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
   }
 
   override lazy val columns: Set[String] =
-    meta._5.map(_._1).toSet + "geometry" + "fid"
+    meta._5.map { case (n, t) =>
+      if (n == "fid" && !integralType(t)) "fid_attr" else n
+    }.toSet + "geometry" + "fid"
 
   override lazy val projection: String = {
     val declared = meta._6
@@ -788,12 +813,15 @@ case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
     val (_, featStart, nItems, nodeSize, cols, _, offsets) = meta
     val fileLen = new java.io.File(url).length()
     val colTypes = cols.map(_._2).toArray
-    val fidCol = cols.indexWhere { case (n, t) => n == "fid" && t == CtLong }
+    // adopt a file fid column of any integral width (foreign writers emit
+    // Int/Short fids); a non-integral column named "fid" can't be adopted —
+    // rename it so the synthesized fid doesn't produce a duplicate column
+    val fidCol = cols.indexWhere { case (n, t) => n == "fid" && integralType(t) }
     val attrCols = cols.zipWithIndex.filter(_._2 != fidCol)
     val schema = StructType(
       StructField("fid", LongType, nullable = false) +:
         attrCols.map { case ((n, t), _) =>
-          StructField(n, sparkType(t), nullable = true)
+          StructField(if (n == "fid") "fid_attr" else n, sparkType(t), nullable = true)
         } :+
         StructField("geometry", BinaryType, nullable = true))
 
@@ -853,7 +881,7 @@ case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
                 decodeProperties(buf, pp, pn, colTypes)
               }
             val fid = if (fidCol >= 0 && props(fidCol) != null)
-              props(fidCol).asInstanceOf[Long] else i.toLong
+              props(fidCol).asInstanceOf[Number].longValue else i.toLong
             Row.fromSeq(fid +: attrPos.toSeq.map(props(_)) :+
               (if (g == null) null else GeomFunctions.writeWkb(g)))
           }.toArray.toSeq

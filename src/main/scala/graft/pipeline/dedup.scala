@@ -53,7 +53,12 @@ object Dedup {
     val words = split(col(textCol), " ")
     val nChunks = ceil(size(words).cast("double") / chunkWords).cast("long")
     val chunks = df
+      // null text: size(split(null)) is -1, so nc would be 0 and
+      // sequence(0, -1) would fabricate a descending [0, -1] — two bogus
+      // null-chunk rows per null document. The oracle emits none; drop them.
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), words.as("w"), nChunks.as("nc"))
+      .filter(col("nc") > 0)
       .select(col(idCol), col("w"),
         explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
       .select(col(idCol), col("chunk_idx"),

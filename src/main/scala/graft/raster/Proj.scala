@@ -65,7 +65,7 @@ object Proj extends Serializable {
     else normalize(code) match {
       case "EPSG:4326" | "EPSG:3857" | "EPSG:28992" | "EPSG:27700" => true
       case u => utmSpec(u).isDefined || lccSpec(u).isDefined ||
-        psSpec(u).isDefined || albersSpec(u).isDefined
+        psSpec(u).isDefined || albersSpec(u).isDefined || paramSpec(u).isDefined
     }
 
   /** Transform a point; (x, y) = (lon, lat) for 4326. */
@@ -87,6 +87,7 @@ object Proj extends Serializable {
       .orElse(lccSpec(other).map(_.inverse(x, y)))
       .orElse(psSpec(other).map(_.inverse(x, y)))
       .orElse(albersSpec(other).map(_.inverse(x, y)))
+      .orElse(paramSpec(other).map(_.toWgs84(x, y)))
       .getOrElse(throw new IllegalArgumentException(s"unsupported projection $other"))
   }
 
@@ -101,6 +102,7 @@ object Proj extends Serializable {
       .orElse(lccSpec(other).map(_.forward(lon, lat)))
       .orElse(psSpec(other).map(_.forward(lon, lat)))
       .orElse(albersSpec(other).map(_.forward(lon, lat)))
+      .orElse(paramSpec(other).map(_.fromWgs84(lon, lat)))
       .getOrElse(throw new IllegalArgumentException(s"unsupported projection $other"))
   }
 
@@ -329,7 +331,10 @@ object Proj extends Serializable {
     def inverse(x: Double, y: Double): (Double, Double) = {
       val dx = x - falseE
       val dy = rho0 - (y - falseN)
-      val rho = math.signum(n) * math.hypot(dx, dy)
+      // sqrt of the naive sum, not Math.hypot: both are sub-ulp here (no
+      // overflow at map scale) but only this form is reproducible in SQL
+      // oracles — +, ×, sqrt are IEEE-exact, hypot's algorithm is not
+      val rho = math.signum(n) * math.sqrt(dx * dx + dy * dy)
       val tp = math.pow(rho / (a * bigF), 1.0 / n)
       val th = math.atan2(math.signum(n) * dx, math.signum(n) * dy)
       var phi = math.Pi / 2 - 2.0 * math.atan(tp)
@@ -372,7 +377,8 @@ object Proj extends Serializable {
     * (−φ, −Δλ) with both outputs negated (the standard symmetry). The
     * inverse latitude iterates Snyder 7-9, converging quadratically. */
   final case class PsSpec(a: Double, invF: Double, latTsDeg: Double,
-      lon0Deg: Double, falseE: Double, falseN: Double, south: Boolean) {
+      lon0Deg: Double, falseE: Double, falseN: Double, south: Boolean,
+      k0: Double = Double.NaN) {
     private val f = 1.0 / invF
     private val e2 = f * (2.0 - f)
     private val e = math.sqrt(e2)
@@ -381,15 +387,20 @@ object Proj extends Serializable {
       math.tan(math.Pi / 4 - phi / 2) /
         math.pow((1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi)), e / 2)
     private val phiTsN = math.toRadians(if (south) -latTsDeg else latTsDeg)
-    private val mC = math.cos(phiTsN) /
-      math.sqrt(1.0 - e2 * math.sin(phiTsN) * math.sin(phiTsN))
-    private val tC = tOf(phiTsN)
+    // ρ = a·rhoCoef·t(φ): variant B anchors at the standard parallel
+    // (rhoCoef = mC/tC, Snyder 21-34), variant A at the pole with a scale
+    // factor (rhoCoef = 2k0/√((1+e)^(1+e)(1−e)^(1−e)), Snyder 21-33)
+    private val rhoCoef =
+      if (!k0.isNaN) 2.0 * k0 /
+        math.sqrt(math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e))
+      else math.cos(phiTsN) /
+        math.sqrt(1.0 - e2 * math.sin(phiTsN) * math.sin(phiTsN)) / tOf(phiTsN)
 
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
       val sgn = if (south) -1.0 else 1.0
       val phi = sgn * math.toRadians(latDeg)
       val dLam = sgn * math.toRadians(lonDeg - lon0Deg)
-      val rho = a * mC * tOf(phi) / tC
+      val rho = a * rhoCoef * tOf(phi)
       (falseE + sgn * rho * math.sin(dLam), falseN - sgn * rho * math.cos(dLam))
     }
 
@@ -398,7 +409,7 @@ object Proj extends Serializable {
       val dx = sgn * (x - falseE)
       val dy = sgn * (y - falseN)
       val rho = math.hypot(dx, dy)
-      val t = rho * tC / (a * mC)
+      val t = rho / (a * rhoCoef)
       var phi = math.Pi / 2 - 2.0 * math.atan(t)
       var i = 0
       while (i < 8) {
@@ -522,6 +533,138 @@ object Proj extends Serializable {
           500000.0, 0.0))
       case _ => None
     })
+
+  // --- ellipsoidal Mercator (EPSG methods 9804/9805, Snyder §7) -----------
+
+  /** Ellipsoidal Mercator — 1SP (k0 given) or 2SP (k0 = m(φ1) computed by
+    * the caller). Distinct from the spherical web-mercator closed form:
+    * EPSG:3395 (WGS 84 / World Mercator) is this projection, and snapping
+    * it to 3857 is a km-scale error at mid latitudes. */
+  final case class MercSpec(a: Double, invF: Double, lon0Deg: Double,
+      k0: Double, falseE: Double, falseN: Double) {
+    private val f = 1.0 / invF
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val s = math.sin(phi)
+      val y = a * k0 * math.log(math.tan(math.Pi / 4 + phi / 2) *
+        math.pow((1.0 - e * s) / (1.0 + e * s), e / 2))
+      (falseE + a * k0 * math.toRadians(lonDeg - lon0Deg), falseN + y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val t = math.exp(-(y - falseN) / (a * k0))
+      var phi = math.Pi / 2 - 2.0 * math.atan(t)
+      var i = 0
+      while (i < 8) {
+        phi = math.Pi / 2 - 2.0 * math.atan(t *
+          math.pow((1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi)), e / 2))
+        i += 1
+      }
+      (lon0Deg + math.toDegrees((x - falseE) / (a * k0)), math.toDegrees(phi))
+    }
+  }
+
+  // --- parameterized CRS codes ("PARAM:FAM:K=V;K=V;...") -------------------
+  //
+  // Produced by WktSrs when a .prj's projection method is a supported
+  // family but its parameters match no hub EPSG code (a US state-plane
+  // zone, a custom-parallels Albers, World Mercator...). The reference
+  // accepts these through OGR (utils.py:397 SetFromUserInput); here the
+  // whole definition is carried in the code string itself, so any executor
+  // reconstructs the transform with no driver-shared state.
+  //
+  // Keys (canonical order, uppercase): A, INVF (ellipsoid), family
+  // parameters in degrees/metres (LON0, LAT0, SP1, SP2, K0, FE, FN),
+  // UNIT (metres per coordinate unit, when not 1 — US survey feet grids),
+  // DX..DS (TOWGS84 position-vector datum shift to WGS84: metres, arcsec,
+  // ppm). Families: TM, LCC, AEA, PS, MERC.
+
+  private[raster] final case class ParamCrs(a: Double, invF: Double,
+      fwdM: (Double, Double) => (Double, Double),
+      invM: (Double, Double) => (Double, Double),
+      unit: Double, shift: Option[Array[Double]]) {
+
+    def toWgs84(x: Double, y: Double): (Double, Double) = {
+      val (lonL, latL) = invM(x * unit, y * unit)
+      shift match {
+        case None => (lonL, latL)
+        case Some(s) =>
+          val (gx, gy, gz) = toXyz(a, invF, lonL, latL)
+          val (wx, wy, wz) = helmert((s(0), s(1), s(2)),
+            (arcsec(s(3)), arcsec(s(4)), arcsec(s(5))), s(6) * 1e-6, gx, gy, gz)
+          toGeodetic(6378137.0, Wgs84InvF, wx, wy, wz)
+      }
+    }
+
+    def fromWgs84(lon: Double, lat: Double): (Double, Double) = {
+      val (lonL, latL) = shift match {
+        case None => (lon, lat)
+        case Some(s) =>
+          val (wx, wy, wz) = toXyz(6378137.0, Wgs84InvF, lon, lat)
+          val (gx, gy, gz) = helmert((-s(0), -s(1), -s(2)),
+            (arcsec(-s(3)), arcsec(-s(4)), arcsec(-s(5))), -s(6) * 1e-6, wx, wy, wz)
+          toGeodetic(a, invF, gx, gy, gz)
+      }
+      val (x, y) = fwdM(lonL, latL)
+      (x / unit, y / unit)
+    }
+  }
+
+  private val paramCache = new java.util.concurrent.ConcurrentHashMap[String, Option[ParamCrs]]()
+
+  private[raster] def paramSpec(code: String): Option[ParamCrs] =
+    if (!code.startsWith("PARAM:")) None
+    else paramCache.computeIfAbsent(code, c => try {
+      val parts = c.split(":", 3)
+      val fam = parts(1).toUpperCase
+      val kv = parts(2).split(";").iterator.map(_.split("=", 2))
+        .map(a => a(0).toUpperCase -> a(1).toDouble).toMap
+      def opt(k: String, d: Double): Double = kv.getOrElse(k, d)
+      val a0 = kv("A"); val invF = kv("INVF")
+      val unit = opt("UNIT", 1.0)
+      val shift = if (kv.contains("DX"))
+        Some(Array(kv("DX"), kv("DY"), kv("DZ"), opt("RX", 0.0), opt("RY", 0.0),
+          opt("RZ", 0.0), opt("DS", 0.0)))
+      else None
+      val fwdInv: Option[((Double, Double) => (Double, Double), (Double, Double) => (Double, Double))] =
+        fam match {
+          case "TM" =>
+            val s = TmSpec(a0, invF, kv("LON0"), opt("K0", 1.0), opt("FE", 0.0),
+              opt("FN", 0.0), lat0Deg = opt("LAT0", 0.0))
+            Some((s.forward _, s.inverse _))
+          case "LCC" if kv.contains("SP1") && kv.contains("SP2") &&
+              kv("SP1") != kv("SP2") =>
+            val s = LccSpec(a0, invF, kv("SP1"), kv("SP2"),
+              opt("LAT0", kv("SP1")), kv("LON0"), opt("FE", 0.0), opt("FN", 0.0))
+            Some((s.forward _, s.inverse _))
+          case "AEA" if kv.contains("SP1") && kv.contains("SP2") =>
+            val s = AlbersSpec(a0, invF, kv("SP1"), kv("SP2"),
+              opt("LAT0", 0.0), kv("LON0"), opt("FE", 0.0), opt("FN", 0.0))
+            Some((s.forward _, s.inverse _))
+          case "PS" =>
+            val south = opt("SOUTH", 0.0) != 0.0
+            val s = if (kv.contains("K0")) // variant A: pole origin + scale
+              PsSpec(a0, invF, if (south) -90.0 else 90.0, kv("LON0"),
+                opt("FE", 0.0), opt("FN", 0.0), south, k0 = kv("K0"))
+            else PsSpec(a0, invF, kv("SP1"), kv("LON0"),
+              opt("FE", 0.0), opt("FN", 0.0), south)
+            Some((s.forward _, s.inverse _))
+          case "MERC" =>
+            // 2SP: k0 = m(φ1) (EPSG 9805); 1SP: explicit k0 (9804)
+            val k0 = if (kv.contains("SP1")) {
+              val f = 1.0 / invF; val e2 = f * (2.0 - f)
+              val p1 = math.toRadians(kv("SP1"))
+              math.cos(p1) / math.sqrt(1.0 - e2 * math.sin(p1) * math.sin(p1))
+            } else opt("K0", 1.0)
+            val s = MercSpec(a0, invF, opt("LON0", 0.0), k0, opt("FE", 0.0), opt("FN", 0.0))
+            Some((s.forward _, s.inverse _))
+          case _ => None
+        }
+      fwdInv.map { case (f0, i0) => ParamCrs(a0, invF, f0, i0, unit, shift) }
+    } catch { case _: RuntimeException => None })
 
   // --- RD New (Amersfoort) ↔ WGS84, approximation polynomials -------------
   private val (phi0, lam0) = (52.15517440, 5.38720621)

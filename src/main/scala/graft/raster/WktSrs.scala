@@ -158,10 +158,14 @@ object WktSrs {
       case Some(code) if Proj.supported(code) => return Right(code)
       case _ => ()
     }
-    // 2. family match on ellipsoid + method + parameters
+    // 2. family match on ellipsoid + method + parameters. A declared-but-
+    //    unsupported EPSG identity means the CRS is NOT one of the hub's
+    //    codes, so don't snap it onto a lookalike family (EPSG:3395 is one
+    //    "mercator" away from 3857 and kilometres apart at mid latitudes) —
+    //    instantiate from its own parameters instead.
     val matched = root.name.toUpperCase match {
       case "GEOGCS" | "GEOGCRS" | "GEODCRS" => matchGeographic(root)
-      case "PROJCS" | "PROJCRS" => matchProjected(root)
+      case "PROJCS" | "PROJCRS" => matchProjected(root, allowSnap = direct.isEmpty)
       case other => Left(s"unsupported WKT root $other")
     }
     (matched, direct) match {
@@ -227,7 +231,29 @@ object WktSrs {
       case None => Left(s"geographic CRS '${root.label}' has no SPHEROID/ELLIPSOID")
     }
 
-  private def matchProjected(root: Node): Either[String, String] = {
+  /** Metres per linear-coordinate unit: the UNIT node that is a DIRECT
+    * child of the PROJCS root (US state-plane grids are in survey feet). */
+  private def linearUnit(root: Node): Double =
+    root.child("UNIT", "LENGTHUNIT").flatMap(_.numbers.headOption).getOrElse(1.0)
+
+  /** Degrees per angular-parameter unit, from the base GEOGCS's UNIT node
+    * (legacy French grids express parallels in grads). Every WKT in the
+    * wild prints the degree factor truncated ("0.0174532925199433"), so a
+    * factor within truncation distance of π/180 (or π/200 for grads) snaps
+    * to the exact conversion — otherwise each parsed angle picks up an ulp
+    * of error the authoring tool never intended. */
+  private def angularUnitDeg(root: Node): Double =
+    root.child("GEOGCS", "GEOGCRS", "BASEGEOGCRS")
+      .flatMap(g => g.child("UNIT", "ANGLEUNIT"))
+      .flatMap(_.numbers.headOption)
+      .map { radPerUnit =>
+        if (near(radPerUnit, math.Pi / 180.0, 1e-12)) 1.0
+        else if (near(radPerUnit, math.Pi / 200.0, 1e-12)) 0.9
+        else radPerUnit * 180.0 / math.Pi
+      }
+      .getOrElse(1.0)
+
+  private def matchProjected(root: Node, allowSnap: Boolean): Either[String, String] = {
     // WKT-1: PROJECTION["name"]; WKT-2: CONVERSION[..., METHOD["name"[, ID]]]
     val method = root.all.find(_.name.equalsIgnoreCase("PROJECTION"))
       .orElse(root.all.find(_.name.equalsIgnoreCase("METHOD")))
@@ -237,45 +263,101 @@ object WktSrs {
     val ell = ellipsoid(root)
     val datum = root.all.find(n => n.name.equalsIgnoreCase("DATUM") ||
       n.name.equalsIgnoreCase("BASEGEOGCRS")).map(_.label).getOrElse("")
+    val angU = angularUnitDeg(root)
+    val linU = linearUnit(root)
+    val towgs = root.all.find(_.name.equalsIgnoreCase("TOWGS84")).map(_.numbers)
 
+    // angles in degrees, lengths in metres, whatever the file's units
     def lon0 = param(p, "central_meridian", "longitude_of_natural_origin",
       "longitude_of_center", "longitude_of_origin", "longitude_of_false_origin")
+      .map(_ * angU)
     def lat0 = param(p, "latitude_of_origin", "latitude_of_natural_origin",
-      "latitude_of_center", "latitude_of_false_origin")
+      "latitude_of_center", "latitude_of_false_origin").map(_ * angU)
     def k0 = param(p, "scale_factor", "scale_factor_at_natural_origin")
-    def fe = param(p, "false_easting", "easting_at_false_origin")
-    def fn = param(p, "false_northing", "northing_at_false_origin")
+    def fe = param(p, "false_easting", "easting_at_false_origin").map(_ * linU)
+    def fn = param(p, "false_northing", "northing_at_false_origin").map(_ * linU)
     def sp1 = param(p, "standard_parallel_1", "latitude_of_1st_standard_parallel",
-      "latitude_of_standard_parallel", "standard_parallel")
+      "latitude_of_standard_parallel", "standard_parallel").map(_ * angU)
     def sp2 = param(p, "standard_parallel_2", "latitude_of_2nd_standard_parallel")
+      .map(_ * angU)
+
+    // --- parameter instantiation: a method the hub implements, with
+    // parameters matching no known code, becomes a self-contained
+    // "PARAM:FAM:..." definition (reference behavior: utils.py:397 accepts
+    // any OGR SRS string). Datum must ride the WGS84 hub (WGS84/GRS80) or
+    // carry a TOWGS84 shift — anything else would be silently kilometres off.
+    def datumOk(a: Double, invF: Double): Either[String, Unit] =
+      if (towgs.exists(_.nonEmpty)) Right(())
+      else if (near(a, 6378137.0, 0.01) &&
+        (near(invF, Wgs84InvF, 1e-6) || near(invF, Grs80InvF, 1e-6))) Right(())
+      else Left(s"datum '$datum' of '${root.label}' has no TOWGS84 and is not " +
+        "WGS84/GRS80 — no transform to the hub")
+
+    def paramCode(fam: String, a: Double, invF: Double,
+        kv: Seq[(String, Double)]): Either[String, String] = {
+      val shift = towgs.filter(_.exists(_ != 0.0)).map { t =>
+        val t7 = t.padTo(7, 0.0)
+        Seq("DX" -> t7(0), "DY" -> t7(1), "DZ" -> t7(2),
+          "RX" -> t7(3), "RY" -> t7(4), "RZ" -> t7(5), "DS" -> t7(6))
+      }.getOrElse(Nil)
+      val unit = if (near(linU, 1.0, 1e-12)) Nil else Seq("UNIT" -> linU)
+      val code = s"PARAM:$fam:" + (Seq("A" -> a, "INVF" -> invF) ++ kv ++ unit ++ shift)
+        .map { case (k, v) => s"$k=$v" }.mkString(";")
+      if (Proj.paramSpec(code).isDefined) Right(code)
+      else Left(s"could not instantiate $fam projection for '${root.label}'")
+    }
+
+    def inst(fam: String, kv: Seq[(String, Option[Double])],
+        defaults: Map[String, Double] = Map.empty): Either[String, String] =
+      ell match {
+        case None => Left(s"projected CRS '${root.label}' has no SPHEROID/ELLIPSOID")
+        case Some((a, invF)) => datumOk(a, invF).flatMap { _ =>
+          val resolved = kv.map { case (k, v) =>
+            k -> v.orElse(defaults.get(k))
+          }
+          resolved.collectFirst { case (k, None) => k } match {
+            case Some(missing) =>
+              Left(s"'${root.label}': required parameter $missing is absent")
+            case None =>
+              paramCode(fam, a, invF, resolved.map { case (k, v) => k -> v.get })
+          }
+        }
+      }
 
     if (m.contains("transversemercator") || m.contains("gausskruger")) {
-      (ell, lon0, lat0, k0, fe, fn) match {
-        // UTM on WGS84 / GRS80: k0 0.9996, FE 500 km, lat0 0, λ0 = 6z−183
-        case (Some((a, invF)), Some(l0), Some(la0), Some(k), Some(e), Some(n))
-          if near(a, 6378137.0, 0.01) && near(k, 0.9996, 1e-9) &&
-            near(e, 500000.0, 1e-3) && near(la0, 0.0, 1e-9) &&
-            near((l0 + 183.0) / 6.0, math.round((l0 + 183.0) / 6.0).toDouble, 1e-9) &&
-            math.round((l0 + 183.0) / 6.0) >= 1 && math.round((l0 + 183.0) / 6.0) <= 60 =>
-          val zone = math.round((l0 + 183.0) / 6.0).toInt
-          if (near(invF, Wgs84InvF, 1e-6) && near(n, 0.0, 1e-3))
-            Right(f"EPSG:326$zone%02d")
-          else if (near(invF, Wgs84InvF, 1e-6) && near(n, 10000000.0, 1e-3))
-            Right(f"EPSG:327$zone%02d")
-          else if (near(invF, Grs80InvF, 1e-6) && near(n, 0.0, 1e-3))
-            Right(f"EPSG:258$zone%02d")
-          else Left(s"unsupported UTM variant in '${root.label}'")
-        // British National Grid on Airy 1830
-        case (Some((a, _)), Some(l0), Some(la0), Some(k), Some(e), Some(n))
-          if near(a, 6377563.396, 0.01) && near(l0, -2.0, 1e-9) &&
-            near(la0, 49.0, 1e-9) && near(k, 0.9996012717, 1e-10) &&
-            near(e, 400000.0, 1e-3) && near(n, -100000.0, 1e-3) =>
-          Right("EPSG:27700")
-        case _ => Left(s"unsupported Transverse Mercator CRS '${root.label}'")
-      }
+      val snapped: Option[String] = if (!allowSnap) None else
+        (ell, lon0, lat0, k0, fe, fn) match {
+          // UTM on WGS84 / GRS80: k0 0.9996, FE 500 km, lat0 0, λ0 = 6z−183
+          case (Some((a, invF)), Some(l0), Some(la0), Some(k), Some(e), Some(n))
+            if near(a, 6378137.0, 0.01) && near(k, 0.9996, 1e-9) &&
+              near(e, 500000.0, 1e-3) && near(la0, 0.0, 1e-9) &&
+              near((l0 + 183.0) / 6.0, math.round((l0 + 183.0) / 6.0).toDouble, 1e-9) &&
+              math.round((l0 + 183.0) / 6.0) >= 1 && math.round((l0 + 183.0) / 6.0) <= 60 =>
+            val zone = math.round((l0 + 183.0) / 6.0).toInt
+            if (near(invF, Wgs84InvF, 1e-6) && near(n, 0.0, 1e-3))
+              Some(f"EPSG:326$zone%02d")
+            else if (near(invF, Wgs84InvF, 1e-6) && near(n, 10000000.0, 1e-3))
+              Some(f"EPSG:327$zone%02d")
+            else if (near(invF, Grs80InvF, 1e-6) && near(n, 0.0, 1e-3))
+              Some(f"EPSG:258$zone%02d")
+            else None
+          // British National Grid on Airy 1830
+          case (Some((a, _)), Some(l0), Some(la0), Some(k), Some(e), Some(n))
+            if near(a, 6377563.396, 0.01) && near(l0, -2.0, 1e-9) &&
+              near(la0, 49.0, 1e-9) && near(k, 0.9996012717, 1e-10) &&
+              near(e, 400000.0, 1e-3) && near(n, -100000.0, 1e-3) =>
+            Some("EPSG:27700")
+          case _ => None
+        }
+      snapped.map(Right(_)).getOrElse(
+        inst("TM", Seq("LON0" -> lon0, "LAT0" -> lat0, "K0" -> k0,
+          "FE" -> fe, "FN" -> fn),
+          defaults = Map("LAT0" -> 0.0, "K0" -> 1.0, "FE" -> 0.0, "FN" -> 0.0)))
     } else if (m.contains("stereographic") && !m.contains("polar") &&
       !m.contains("pole")) {
-      // RD New: double/oblique stereographic on Bessel 1841 at Amersfoort
+      // RD New: double/oblique stereographic on Bessel 1841 at Amersfoort.
+      // (Arbitrary oblique stereographic needs the double-projection via the
+      // conformal sphere — not instantiated from parameters here.)
       (ell, lat0) match {
         case (Some((a, _)), Some(la0))
           if near(a, 6377397.155, 0.01) && near(la0, 52.15616055555555, 1e-6) =>
@@ -283,55 +365,97 @@ object WktSrs {
         case _ => Left(s"unsupported stereographic CRS '${root.label}'")
       }
     } else if (m.contains("polar") || m.contains("pole")) {
-      // polar stereographic variant B; ESRI spells the aspect in the method
-      // name (Stereographic_South_Pole) and the true-scale latitude in
+      // polar stereographic; ESRI spells the aspect in the method name
+      // (Stereographic_South_Pole) and the true-scale latitude in
       // standard_parallel_1 (signed)
-      val latTs = sp1.orElse(param(p, "latitude_of_origin")).getOrElse(Double.NaN)
-      val zeroFalse = fe.forall(near(_, 0.0, 1e-3)) && fn.forall(near(_, 0.0, 1e-3))
-      val l0 = lon0.getOrElse(Double.NaN)
-      if (zeroFalse && near(latTs, -71.0, 1e-9) && near(l0, 0.0, 1e-9))
-        Right("EPSG:3031")
-      else if (zeroFalse && near(latTs, 70.0, 1e-9) && near(l0, -45.0, 1e-9))
-        Right("EPSG:3413")
-      else if (zeroFalse && near(latTs, -70.0, 1e-9) && near(l0, 0.0, 1e-9))
-        Right("EPSG:3976")
-      else if (zeroFalse && near(latTs, 71.0, 1e-9) && near(l0, 0.0, 1e-9))
-        Right("EPSG:3995")
-      else Left(s"unsupported polar stereographic CRS '${root.label}'")
+      val latTs = sp1.orElse(lat0)
+      val south = latTs.exists(_ < 0) || m.contains("southpole")
+      val snapped: Option[String] = if (!allowSnap) None else {
+        val ts = latTs.getOrElse(Double.NaN)
+        val zeroFalse = fe.forall(near(_, 0.0, 1e-3)) && fn.forall(near(_, 0.0, 1e-3))
+        val l0 = lon0.getOrElse(Double.NaN)
+        if (zeroFalse && near(ts, -71.0, 1e-9) && near(l0, 0.0, 1e-9)) Some("EPSG:3031")
+        else if (zeroFalse && near(ts, 70.0, 1e-9) && near(l0, -45.0, 1e-9)) Some("EPSG:3413")
+        else if (zeroFalse && near(ts, -70.0, 1e-9) && near(l0, 0.0, 1e-9)) Some("EPSG:3976")
+        else if (zeroFalse && near(ts, 71.0, 1e-9) && near(l0, 0.0, 1e-9)) Some("EPSG:3995")
+        else None
+      }
+      snapped.map(Right(_)).getOrElse {
+        val southKv = Seq("SOUTH" -> Some(if (south) 1.0 else 0.0))
+        if (latTs.exists(t => !near(math.abs(t), 90.0, 1e-9)))
+          // variant B: a true-scale parallel off the pole
+          inst("PS", Seq("SP1" -> latTs, "LON0" -> lon0,
+            "FE" -> fe, "FN" -> fn) ++ southKv,
+            defaults = Map("FE" -> 0.0, "FN" -> 0.0))
+        else if (k0.isDefined)
+          // variant A: origin at the pole, explicit scale factor
+          inst("PS", Seq("K0" -> k0, "LON0" -> lon0,
+            "FE" -> fe, "FN" -> fn) ++ southKv,
+            defaults = Map("LON0" -> 0.0, "FE" -> 0.0, "FN" -> 0.0))
+        else Left(s"unsupported polar stereographic CRS '${root.label}'")
+      }
     } else if (m.contains("mercator")) {
-      // web mercator: Mercator_1SP / Mercator_Auxiliary_Sphere /
-      // Popular_Visualisation_Pseudo_Mercator on the WGS84 semi-major
-      if (ell.exists { case (a, _) => near(a, 6378137.0, 0.01) })
+      // Spherical web mercator ONLY when the method says so
+      // (Popular_Visualisation…, …_Auxiliary_Sphere) or the ellipsoid is an
+      // explicit sphere. Plain Mercator_1SP/2SP on an ellipsoid — e.g.
+      // EPSG:3395 World Mercator — is the ellipsoidal projection,
+      // kilometres away from 3857 at mid latitudes.
+      val spherical = m.contains("popularvisualisation") ||
+        m.contains("auxiliarysphere") || m.contains("pseudo") ||
+        ell.exists(_._2 == 0.0)
+      if (spherical && ell.exists { case (a, _) => near(a, 6378137.0, 0.01) })
         Right("EPSG:3857")
-      else Left(s"unsupported Mercator CRS '${root.label}'")
-    } else if (m.contains("lambertconformalconic")) {
-      (sp1, sp2, lat0, lon0, fe, fn) match {
-        case (Some(p1), Some(p2), Some(la0), Some(l0), Some(e), Some(n))
-          if near(l0, 3.0, 1e-9) =>
-          if (near(p1, 44.0, 1e-9) && near(p2, 49.0, 1e-9) &&
-            near(la0, 46.5, 1e-9) && near(e, 700000.0, 1e-3) &&
-            near(n, 6600000.0, 1e-3)) Right("EPSG:2154")
-          else {
-            // CC zone z (42..50): parallels z∓0.75, origin z, FE 1700 km,
-            // FN (z−41)·1000 km + 200 km
-            val z = math.round(la0).toInt
-            if (z >= 42 && z <= 50 && near(la0, z.toDouble, 1e-9) &&
-              near(p1, z - 0.75, 1e-9) && near(p2, z + 0.75, 1e-9) &&
-              near(e, 1700000.0, 1e-3) && near(n, (z - 41) * 1000000.0 + 200000.0, 1e-3))
-              Right(s"EPSG:${3900 + z}")
-            else Left(s"unsupported Lambert Conformal Conic CRS '${root.label}'")
-          }
-        case _ => Left(s"unsupported Lambert Conformal Conic CRS '${root.label}'")
+      else if (spherical)
+        Left(s"unsupported spherical Mercator CRS '${root.label}'")
+      else if (sp1.isDefined) // 2SP (EPSG 9805): scale from the parallel
+        inst("MERC", Seq("SP1" -> sp1, "LON0" -> lon0, "FE" -> fe, "FN" -> fn),
+          defaults = Map("LON0" -> 0.0, "FE" -> 0.0, "FN" -> 0.0))
+      else
+        inst("MERC", Seq("K0" -> k0, "LON0" -> lon0, "FE" -> fe, "FN" -> fn),
+          defaults = Map("K0" -> 1.0, "LON0" -> 0.0, "FE" -> 0.0, "FN" -> 0.0))
+    } else if (m.contains("lambertconformalconic") || m.contains("lambertconicconformal")) {
+      val snapped: Option[String] = if (!allowSnap) None else
+        (sp1, sp2, lat0, lon0, fe, fn) match {
+          case (Some(p1), Some(p2), Some(la0), Some(l0), Some(e), Some(n))
+            if near(l0, 3.0, 1e-9) =>
+            if (near(p1, 44.0, 1e-9) && near(p2, 49.0, 1e-9) &&
+              near(la0, 46.5, 1e-9) && near(e, 700000.0, 1e-3) &&
+              near(n, 6600000.0, 1e-3)) Some("EPSG:2154")
+            else {
+              // CC zone z (42..50): parallels z∓0.75, origin z, FE 1700 km,
+              // FN (z−41)·1000 km + 200 km
+              val z = math.round(la0).toInt
+              if (z >= 42 && z <= 50 && near(la0, z.toDouble, 1e-9) &&
+                near(p1, z - 0.75, 1e-9) && near(p2, z + 0.75, 1e-9) &&
+                near(e, 1700000.0, 1e-3) && near(n, (z - 41) * 1000000.0 + 200000.0, 1e-3))
+                Some(s"EPSG:${3900 + z}")
+              else None
+            }
+          case _ => None
+        }
+      snapped.map(Right(_)).getOrElse {
+        if (sp2.isEmpty || sp1 == sp2)
+          Left(s"Lambert Conformal Conic 1SP in '${root.label}' is not supported " +
+            "(only the 2SP form, EPSG method 9802)")
+        else
+          inst("LCC", Seq("SP1" -> sp1, "SP2" -> sp2, "LAT0" -> lat0.orElse(sp1),
+            "LON0" -> lon0, "FE" -> fe, "FN" -> fn),
+            defaults = Map("FE" -> 0.0, "FN" -> 0.0))
       }
     } else if (m.contains("albers")) {
-      (sp1, sp2, lat0, lon0) match {
-        case (Some(p1), Some(p2), Some(la0), Some(l0))
-          if near(p1, 29.5, 1e-9) && near(p2, 45.5, 1e-9) &&
-            near(la0, 23.0, 1e-9) && near(l0, -96.0, 1e-9) &&
-            fe.forall(near(_, 0.0, 1e-3)) && fn.forall(near(_, 0.0, 1e-3)) =>
-          Right("EPSG:5070")
-        case _ => Left(s"unsupported Albers CRS '${root.label}'")
-      }
+      val snapped: Option[String] = if (!allowSnap) None else
+        (sp1, sp2, lat0, lon0) match {
+          case (Some(p1), Some(p2), Some(la0), Some(l0))
+            if near(p1, 29.5, 1e-9) && near(p2, 45.5, 1e-9) &&
+              near(la0, 23.0, 1e-9) && near(l0, -96.0, 1e-9) &&
+              fe.forall(near(_, 0.0, 1e-3)) && fn.forall(near(_, 0.0, 1e-3)) =>
+            Some("EPSG:5070")
+          case _ => None
+        }
+      snapped.map(Right(_)).getOrElse(
+        inst("AEA", Seq("SP1" -> sp1, "SP2" -> sp2, "LAT0" -> lat0,
+          "LON0" -> lon0, "FE" -> fe, "FN" -> fn),
+          defaults = Map("LAT0" -> 0.0, "FE" -> 0.0, "FN" -> 0.0)))
     } else if (m.isEmpty) {
       Left(s"projected CRS '${root.label}' (datum '$datum') has no PROJECTION/METHOD node")
     } else {
@@ -347,6 +471,7 @@ object WktSrs {
     * [[toEpsg]] both via the AUTHORITY node and via parameter matching. */
   def toWkt(code: String): Option[String] = {
     val c = code.trim.toUpperCase
+    if (c.startsWith("PARAM:")) return paramWkt(c)
     if (!c.startsWith("EPSG:")) return None
 
     def geogcs(name: String, datum: String, sphName: String, a: Double,
@@ -388,7 +513,11 @@ object WktSrs {
         Some(geogcs("WGS 84", "WGS_1984", "WGS 84", 6378137.0, 298.257223563,
           auth = """,AUTHORITY["EPSG","4326"]"""))
       case "EPSG:3857" =>
-        Some(projcs("WGS 84 / Pseudo-Mercator", wgs84, "Mercator_1SP",
+        // EPSG method 1024's name, so the stripped-authority copy still
+        // reads as the SPHERICAL pseudo-mercator (plain Mercator_1SP on an
+        // ellipsoid is EPSG:3395 World Mercator, a different projection)
+        Some(projcs("WGS 84 / Pseudo-Mercator", wgs84,
+          "Popular_Visualisation_Pseudo_Mercator",
           tmParams("0", "0", "1", "0", "0"), 3857))
       case "EPSG:28992" =>
         Some(projcs("Amersfoort / RD New", amersfoort, "Oblique_Stereographic",
@@ -446,6 +575,73 @@ object WktSrs {
             "scale_factor" -> "1", "false_easting" -> "0",
             "false_northing" -> "0"), c.stripPrefix("EPSG:").toInt))
       case _ => None
+    }
+  }
+
+  /** WKT-1 for a parameterized code, so sinks can still write `.prj` /
+    * gpkg definitions for CRSs instantiated from foreign WKT. The output
+    * round-trips through [[toEpsg]] back to an equivalent PARAM code. */
+  private def paramWkt(code: String): Option[String] = {
+    if (Proj.paramSpec(code).isEmpty) return None
+    val parts = code.split(":", 3)
+    val fam = parts(1)
+    val kv = parts(2).split(";").iterator.map(_.split("=", 2))
+      .map(a => a(0) -> a(1).toDouble).toMap
+    val a = kv("A"); val invF = kv("INVF")
+    val u = kv.getOrElse("UNIT", 1.0)
+    def g(k: String, d: Double = 0.0): Double = kv.getOrElse(k, d)
+    val towgs = if (kv.contains("DX"))
+      s""",TOWGS84[${kv("DX")},${kv("DY")},${kv("DZ")},${g("RX")},${g("RY")},${g("RZ")},${g("DS")}]"""
+    else ""
+    val sphName =
+      if (near(invF, Wgs84InvF, 1e-6)) "WGS 84"
+      else if (near(invF, Grs80InvF, 1e-6)) "GRS 1980"
+      else "unknown"
+    val geogcs = s"""GEOGCS["GCS_unknown",DATUM["D_unknown",""" +
+      s"""SPHEROID["$sphName",$a,$invF]$towgs],PRIMEM["Greenwich",0],""" +
+      s"""UNIT["degree",0.0174532925199433]]"""
+    // FE/FN are metres in the PARAM code but expressed in the CRS's linear
+    // unit in WKT; angles are degrees in both
+    def feU = g("FE") / u
+    def fnU = g("FN") / u
+    val projAndParams: Option[(String, Seq[(String, Double)])] = fam match {
+      case "TM" => Some(("Transverse_Mercator", Seq(
+        "latitude_of_origin" -> g("LAT0"), "central_meridian" -> g("LON0"),
+        "scale_factor" -> g("K0", 1.0), "false_easting" -> feU,
+        "false_northing" -> fnU)))
+      case "LCC" => Some(("Lambert_Conformal_Conic_2SP", Seq(
+        "standard_parallel_1" -> kv("SP1"), "standard_parallel_2" -> kv("SP2"),
+        "latitude_of_origin" -> g("LAT0", kv("SP1")),
+        "central_meridian" -> g("LON0"),
+        "false_easting" -> feU, "false_northing" -> fnU)))
+      case "AEA" => Some(("Albers_Conic_Equal_Area", Seq(
+        "standard_parallel_1" -> kv("SP1"), "standard_parallel_2" -> kv("SP2"),
+        "latitude_of_center" -> g("LAT0"), "longitude_of_center" -> g("LON0"),
+        "false_easting" -> feU, "false_northing" -> fnU)))
+      case "PS" =>
+        val south = g("SOUTH") != 0.0
+        if (kv.contains("K0")) Some(("Polar_Stereographic", Seq(
+          "latitude_of_origin" -> (if (south) -90.0 else 90.0),
+          "central_meridian" -> g("LON0"), "scale_factor" -> kv("K0"),
+          "false_easting" -> feU, "false_northing" -> fnU)))
+        else Some(("Polar_Stereographic", Seq(
+          "latitude_of_origin" -> kv("SP1"), "central_meridian" -> g("LON0"),
+          "false_easting" -> feU, "false_northing" -> fnU)))
+      case "MERC" =>
+        if (kv.contains("SP1")) Some(("Mercator_2SP", Seq(
+          "standard_parallel_1" -> kv("SP1"), "central_meridian" -> g("LON0"),
+          "false_easting" -> feU, "false_northing" -> fnU)))
+        else Some(("Mercator_1SP", Seq(
+          "central_meridian" -> g("LON0"), "scale_factor" -> g("K0", 1.0),
+          "false_easting" -> feU, "false_northing" -> fnU)))
+      case _ => None
+    }
+    projAndParams.map { case (proj, ps) =>
+      val unitNode = if (near(u, 1.0, 1e-12)) """UNIT["metre",1]"""
+        else s"""UNIT["unit",$u]"""
+      s"""PROJCS["graft_param_$fam",$geogcs,PROJECTION["$proj"],""" +
+        ps.map { case (k, v) => s"""PARAMETER["$k",$v]""" }.mkString(",") +
+        s",$unitNode]"
     }
   }
 }

@@ -32,13 +32,17 @@ class CsvWktSpec extends SparkSpec {
     val sp = spark
     import sp.implicits._
     val df = Seq((1L, "POINT (1 2)", """he said "hi", twice"""),
-      (2L, "POINT (3 4)", "plain")).toDF("fid", "wkt", "note")
+      (2L, "POINT (3 4)", "plain"),
+      (3L, "POINT (5 6)", "line one\nline two")).toDF("fid", "wkt", "note")
       .select(col("fid"), GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"), col("note"))
     val out = tmpCsv("quotes")
     CsvWktSink.writeStream(df, "EPSG:4326", out)(sp)
     val back = CsvWktSource(out).frame(GeometryRequest())(sp).orderBy("fid").collect()
     assert(back(0).getAs[String]("note") == """he said "hi", twice""")
     assert(back(1).getAs[String]("note") == "plain")
+    // RFC 4180 quoted newline: the multiLine reader keeps it one record
+    assert(back.length == 3)
+    assert(back(2).getAs[String]("note") == "line one\nline two")
   }
 
   test("a foreign csv without fid gets sequential file-order fids") {

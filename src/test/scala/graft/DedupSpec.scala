@@ -187,4 +187,16 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", 2).head()
     assert(tail.getLong(1) == 2L && tail.getLong(2) == 2L)
   }
+
+  test("chunkDedup emits nothing for null or empty text (oracle parity)") {
+    val sp = spark
+    import sp.implicits._
+    // size(split(null)) is -1: without the guard, sequence(0, nc-1) would
+    // fabricate a descending [0, -1] = two bogus null-chunk rows per doc
+    val docs = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.head.getLong(1) == 2L && out.head.getLong(2) == 2L)
+  }
 }

@@ -162,6 +162,105 @@ class FlatGeobufSpec extends SparkSpec {
       GeomFunctions.readWkt("POINT (3 4)")))
   }
 
+  /** Hand-build an unindexed foreign file with the given columns and
+    * per-feature property bytes (spec-legal: magic, header with
+    * index_node_size=0, size-prefixed features). */
+  private def writeForeign(tag: String, cols: Seq[(String, Int)],
+      feats: Seq[(String, Array[Byte])]): String = {
+    import FlatGeobuf._
+    val hb = new Buf
+    hb.u32(0)
+    val ht = writeTable(hb, Seq[Option[Slot]](
+      Some(stringRef(tag)), None, Some(U8S(GtPoint)),
+      None, None, None, None,
+      Some(tableVecRef(cols.map { case (n, ct) =>
+        (bb: Buf) => writeTable(bb, Seq[Option[Slot]](
+          Some(stringRef(n)), Some(U8S(ct))))
+      })),
+      Some(U64S(feats.length.toLong)), Some(U16S(0)),
+      None))
+    hb.patchU32(0, ht.toLong)
+    val headerBody = hb.result()
+    val out = java.nio.file.Files.createTempDirectory(s"fgb_$tag")
+      .resolve(s"$tag.fgb")
+    val os = new java.io.FileOutputStream(out.toFile)
+    try {
+      os.write(Magic)
+      os.write(java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(headerBody.length).array())
+      os.write(headerBody)
+      feats.foreach { case (wkt, props) =>
+        val fb = new Buf
+        fb.u32(0)
+        val g = GeomFunctions.readWkt(wkt)
+        val t = writeTable(fb, Seq[Option[Slot]](
+          Some(RefS(geometryWriter(g))), Some(byteVecRef(props)), None))
+        fb.patchU32(0, t.toLong)
+        val f = fb.result()
+        os.write(java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(f.length).array())
+        os.write(f)
+      }
+    } finally os.close()
+    out.toString
+  }
+
+  test("foreign fixed-width scalar columns decode at spec widths") {
+    import FlatGeobuf._
+    // an OGR-style file: Int fid + Float + Short + UByte + String — the
+    // String after the scalars proves the property stream stays aligned
+    val cols = Seq(("fid", CtInt), ("f32", CtFloat), ("s16", CtShort),
+      ("u8", CtUByte), ("note", CtString))
+    def props(fid: Int, f: Float, s: Short, u: Int, note: String): Array[Byte] = {
+      val b = new Buf
+      b.u16(0); b.u32(fid.toLong & 0xffffffffL)
+      b.u16(1); b.u32(java.lang.Float.floatToIntBits(f).toLong & 0xffffffffL)
+      b.u16(2); b.u16(s & 0xffff)
+      b.u16(3); b.u8(u)
+      val utf = note.getBytes("UTF-8")
+      b.u16(4); b.u32(utf.length.toLong); b.bytes(utf)
+      b.result()
+    }
+    val path = writeForeign("scalars", cols, Seq(
+      ("POINT (1 2)", props(101, 2.5f, -7, 200, "alpha")),
+      ("POINT (3 4)", props(102, -0.125f, 300, 15, "beta"))))
+    val df = FlatGeobufSource(path).frame(GeometryRequest())
+      .orderBy("fid").collect()
+    assert(df.length == 2)
+    // the Int-typed fid column is adopted as the fid
+    assert(df.map(_.getLong(0)).toSeq == Seq(101L, 102L))
+    assert(df(0).getAs[Float]("f32") == 2.5f)
+    assert(df(1).getAs[Float]("f32") == -0.125f)
+    assert(df(0).getAs[Short]("s16") == (-7).toShort)
+    assert(df(1).getAs[Short]("s16") == 300.toShort)
+    assert(df(0).getAs[Short]("u8") == 200.toShort) // uint8 widens to int16
+    assert(df(0).getAs[String]("note") == "alpha")
+    assert(df(1).getAs[String]("note") == "beta")
+  }
+
+  test("a non-integral fid column is renamed, not duplicated") {
+    import FlatGeobuf._
+    val cols = Seq(("fid", CtDouble), ("name", CtString))
+    def props(v: Double, name: String): Array[Byte] = {
+      val b = new Buf
+      b.u16(0); b.f64(v)
+      val utf = name.getBytes("UTF-8")
+      b.u16(1); b.u32(utf.length.toLong); b.bytes(utf)
+      b.result()
+    }
+    val path = writeForeign("dblfid", cols, Seq(
+      ("POINT (1 2)", props(0.5, "a")), ("POINT (3 4)", props(1.5, "b"))))
+    val src = FlatGeobufSource(path)
+    assert(src.columns.contains("fid_attr"))
+    val df = src.frame(GeometryRequest())
+    assert(df.schema.fieldNames.count(_ == "fid") == 1)
+    val rows = df.orderBy("fid").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L)) // synthesized fids
+    assert(rows.map(_.getAs[Double]("fid_attr")).toSeq == Seq(0.5, 1.5))
+    // col("fid") filters resolve unambiguously
+    assert(df.filter(col("fid") === 1L).count() == 1)
+  }
+
   test("non-fgb and truncated files fail with clear errors, not hangs") {
     val dir = java.nio.file.Files.createTempDirectory("fgb_bad")
     val notFgb = dir.resolve("x.fgb")

@@ -386,4 +386,23 @@ class ReprojectionSpec extends SparkSpec {
     val (dx, dy) = Proj.transform("EPSG:4326", "EPSG:5070", -104.99, 39.74)
     assert(dx > -900000 && dx < -700000 && dy > 1750000 && dy < 1950000, s"($dx,$dy)")
   }
+
+  test("ellipsoidal Mercator matches the EPSG 9804 worked example") {
+    // EPSG Guidance 7-2 §3.2.1 (Makassar / NEIEZ, Bessel 1841):
+    // λ0 = 110°E, k0 = 0.997, FE = 3900000, FN = 900000;
+    // φ = 3°S, λ = 120°E → E = 5009726.58 m, N = 569150.82 m
+    val merc = Proj.MercSpec(6377397.155, 299.1528128, 110.0, 0.997,
+      3900000.0, 900000.0)
+    val (e, n) = merc.forward(120.0, -3.0)
+    assert(math.abs(e - 5009726.58) < 0.02, s"E $e")
+    assert(math.abs(n - 569150.82) < 0.02, s"N $n")
+    val (lon, lat) = merc.inverse(e, n)
+    assert(math.abs(lon - 120.0) < 1e-9 && math.abs(lat + 3.0) < 1e-9)
+    // the ellipsoidal form differs measurably from the sphere at latitude:
+    // EPSG:3395-style WGS84 Mercator vs EPSG:3857 at 60°N is ~37 km
+    val m3395 = Proj.MercSpec(6378137.0, 298.257223563, 0.0, 1.0, 0.0, 0.0)
+    val ySph = 6378137.0 * math.log(math.tan(math.Pi / 4 + math.toRadians(60.0) / 2))
+    val (_, yEll) = m3395.forward(0.0, 60.0)
+    assert(ySph - yEll > 30000.0 && ySph - yEll < 45000.0)
+  }
 }

@@ -192,11 +192,133 @@ class WktSrsSpec extends AnyFunSuite {
     assert(graft.geometry.ShapefileSource(path).projection == "EPSG:28992")
   }
 
-  test("a NAD83 UTM .prj with a foreign authority resolves via parameters") {
-    // authority declares 26915 (not a hub code) but the GRS80 TM parameters
-    // are the ETRS89-UTM math — grid-free NAD83≈WGS84 convention
+  test("a NAD83 UTM .prj with a foreign authority instantiates from parameters") {
+    // authority declares 26915 (not a hub code): snapping is disabled for
+    // foreign-authority WKT, so the GRS80 TM parameters instantiate a
+    // self-contained PARAM code — numerically identical to the ETRS89-UTM
+    // math (grid-free NAD83≈WGS84 convention)
     val nad83 =
       """PROJCS["NAD83 / UTM zone 15N",GEOGCS["NAD83",DATUM["North_American_Datum_1983",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",-93],PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],PARAMETER["false_northing",0],AUTHORITY["EPSG","26915"]]"""
-    assert(epsg(nad83) == "EPSG:25815")
+    val code = epsg(nad83)
+    assert(code.startsWith("PARAM:TM:"))
+    val (e1, n1) = Proj.transform("EPSG:4326", code, -93.5, 38.2)
+    val (e2, n2) = Proj.transform("EPSG:4326", "EPSG:25815", -93.5, 38.2)
+    assert(math.abs(e1 - e2) < 1e-9 && math.abs(n1 - n2) < 1e-9)
+  }
+
+  // --- parameterized CRS instantiation -------------------------------------
+
+  test("EPSG:3395 World Mercator is NOT snapped onto web mercator") {
+    // ellipsoidal Mercator_1SP on WGS84 with an explicit 3395 authority;
+    // at 60°N the spherical web-mercator northing is ~37 km away
+    val wkt3395 =
+      """PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3395"]]"""
+    val code = epsg(wkt3395)
+    assert(code.startsWith("PARAM:MERC:"), code)
+    val (x95, y95) = Proj.transform("EPSG:4326", code, 12.0, 60.0)
+    val (x57, y57) = Proj.transform("EPSG:4326", "EPSG:3857", 12.0, 60.0)
+    assert(math.abs(x95 - x57) < 1e-6) // same equatorial scale on x
+    assert(y57 - y95 > 30000.0, s"ellipsoidal vs spherical: $y95 vs $y57")
+    // round-trips
+    val (lon, lat) = Proj.transform(code, "EPSG:4326", x95, y95)
+    assert(math.abs(lon - 12.0) < 1e-9 && math.abs(lat - 60.0) < 1e-9)
+    // the same WKT without the authority node resolves identically
+    val noAuth = wkt3395.replaceAll(""",AUTHORITY\["EPSG","\d+"\]""", "")
+    val (x2, y2) = Proj.transform("EPSG:4326", epsg(noAuth), 12.0, 60.0)
+    assert(math.abs(x2 - x95) < 1e-9 && math.abs(y2 - y95) < 1e-9)
+  }
+
+  test("a US state-plane LCC .prj in survey feet instantiates from parameters") {
+    // NAD83 / California zone V in US survey feet (EPSG:2229's definition,
+    // as ArcGIS writes it — no authority node)
+    val caV =
+      """PROJCS["NAD_1983_StatePlane_California_V_FIPS_0405_Feet",GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic"],PARAMETER["False_Easting",6561666.666666666],PARAMETER["False_Northing",1640416.666666667],PARAMETER["Central_Meridian",-118.0],PARAMETER["Standard_Parallel_1",34.03333333333333],PARAMETER["Standard_Parallel_2",35.46666666666667],PARAMETER["Latitude_Of_Origin",33.5],UNIT["Foot_US",0.3048006096012192]]"""
+    val code = epsg(caV)
+    assert(code.startsWith("PARAM:LCC:"), code)
+    assert(code.contains("UNIT=0.3048006096012192"))
+    // the grid origin maps exactly to the false easting/northing, in feet
+    val (e0, n0) = Proj.transform("EPSG:4326", code, -118.0, 33.5)
+    assert(math.abs(e0 - 6561666.666666666) < 1e-3, s"origin easting $e0")
+    assert(math.abs(n0 - 1640416.666666667) < 1e-3, s"origin northing $n0")
+    // round-trips away from the origin
+    val (e1, n1) = Proj.transform("EPSG:4326", code, -118.8, 34.3)
+    val (lon, lat) = Proj.transform(code, "EPSG:4326", e1, n1)
+    assert(math.abs(lon + 118.8) < 1e-9 && math.abs(lat - 34.3) < 1e-9)
+    // sanity: one unit is a survey foot — a degree of latitude ≈ 364k ft
+    val (_, n2) = Proj.transform("EPSG:4326", code, -118.0, 34.5)
+    assert(math.abs((n2 - n0) / (364000.0 / 1.0)) > 0.9 &&
+      math.abs((n2 - n0) / 364000.0) < 1.1)
+  }
+
+  test("a custom-parallels Albers .prj instantiates and round-trips") {
+    val albers =
+      """PROJCS["Custom_Albers",GEOGCS["GCS_ETRS_1989",DATUM["D_ETRS_1989",SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Albers"],PARAMETER["False_Easting",4000000.0],PARAMETER["False_Northing",2800000.0],PARAMETER["Central_Meridian",10.0],PARAMETER["Standard_Parallel_1",20.0],PARAMETER["Standard_Parallel_2",60.0],PARAMETER["Latitude_Of_Origin",40.0],UNIT["Meter",1.0]]"""
+    val code = epsg(albers)
+    assert(code.startsWith("PARAM:AEA:"), code)
+    val (e0, n0) = Proj.transform("EPSG:4326", code, 10.0, 40.0)
+    assert(math.abs(e0 - 4000000.0) < 1e-6 && math.abs(n0 - 2800000.0) < 1e-6)
+    val (e1, n1) = Proj.transform("EPSG:4326", code, 24.5, 55.2)
+    val (lon, lat) = Proj.transform(code, "EPSG:4326", e1, n1)
+    assert(math.abs(lon - 24.5) < 1e-9 && math.abs(lat - 55.2) < 1e-9)
+  }
+
+  test("variant-A polar stereographic (UPS-style) instantiates via k0") {
+    val ups =
+      """PROJCS["UPS_North",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Polar_Stereographic"],PARAMETER["False_Easting",2000000.0],PARAMETER["False_Northing",2000000.0],PARAMETER["Central_Meridian",0.0],PARAMETER["Scale_Factor",0.994],PARAMETER["Latitude_Of_Origin",90.0],UNIT["Meter",1.0]]"""
+    val code = epsg(ups)
+    assert(code.startsWith("PARAM:PS:") && code.contains("K0=0.994"), code)
+    // the pole maps to the false origin
+    val (e0, n0) = Proj.transform("EPSG:4326", code, 0.0, 90.0)
+    assert(math.abs(e0 - 2000000.0) < 1e-6 && math.abs(n0 - 2000000.0) < 1e-6)
+    // EPSG Guidance 7-2, Polar Stereographic variant A worked example
+    // (UPS North): 73°N 44°E → E 3320416.75 m, N 632668.43 m
+    val (e1, n1) = Proj.transform("EPSG:4326", code, 44.0, 73.0)
+    assert(math.abs(e1 - 3320416.75) < 0.5, s"E $e1")
+    assert(math.abs(n1 - 632668.43) < 0.5, s"N $n1")
+    val (lon, lat) = Proj.transform(code, "EPSG:4326", e1, n1)
+    assert(math.abs(lon - 44.0) < 1e-9 && math.abs(lat - 73.0) < 1e-9)
+  }
+
+  test("a TM .prj with TOWGS84 applies the Helmert datum shift") {
+    // BNG's exact definition but with a 1 km larger false easting, so it
+    // cannot snap to EPSG:27700 — the PARAM path must reproduce the hub's
+    // own Airy-1830 + published-Helmert math, offset by exactly 1 km
+    val shifted =
+      """PROJCS["OSGB_shifted",GEOGCS["GCS_OSGB_1936",DATUM["D_OSGB_1936",SPHEROID["Airy_1830",6377563.396,299.3249646],TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["False_Easting",401000.0],PARAMETER["False_Northing",-100000.0],PARAMETER["Central_Meridian",-2.0],PARAMETER["Scale_Factor",0.9996012717],PARAMETER["Latitude_Of_Origin",49.0],UNIT["Meter",1.0]]"""
+    val code = epsg(shifted)
+    assert(code.startsWith("PARAM:TM:") && code.contains("DX=446.448"), code)
+    // the hub carries pre-negated WGS84→OSGB36 constants while the PARAM
+    // path inverts the declared TOWGS84 by negation (the standard EPSG
+    // first-order inverse) — they agree to the second-order residual,
+    // millimetres at earth radius, far inside the ~2 m Helmert accuracy
+    val (eP, nP) = Proj.transform("EPSG:4326", code, -1.5, 52.0)
+    val (eH, nH) = Proj.transform("EPSG:4326", "EPSG:27700", -1.5, 52.0)
+    assert(math.abs((eP - 1000.0) - eH) < 0.01, s"easting $eP vs $eH")
+    assert(math.abs(nP - nH) < 0.01, s"northing $nP vs $nH")
+    val (lon, lat) = Proj.transform(code, "EPSG:4326", eP, nP)
+    assert(math.abs(lon + 1.5) < 1e-6 && math.abs(lat - 52.0) < 1e-6)
+  }
+
+  test("a Clarke-1866 .prj without TOWGS84 fails loudly (no hub transform)") {
+    val nad27sp =
+      """PROJCS["NAD_1927_StatePlane_Texas_South_Central",GEOGCS["GCS_North_American_1927",DATUM["D_North_American_1927",SPHEROID["Clarke_1866",6378206.4,294.9786982]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic"],PARAMETER["False_Easting",2000000.0],PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",-99.0],PARAMETER["Standard_Parallel_1",28.38333333333333],PARAMETER["Standard_Parallel_2",30.28333333333334],PARAMETER["Latitude_Of_Origin",27.83333333333333],UNIT["Foot_US",0.3048006096012192]]"""
+    val e = intercept[IllegalArgumentException](Proj.normalize(nad27sp))
+    assert(e.getMessage.contains("TOWGS84"))
+  }
+
+  test("parameterized codes emit .prj WKT that round-trips") {
+    val caV =
+      """PROJCS["NAD_1983_StatePlane_California_V_FIPS_0405_Feet",GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic"],PARAMETER["False_Easting",6561666.666666666],PARAMETER["False_Northing",1640416.666666667],PARAMETER["Central_Meridian",-118.0],PARAMETER["Standard_Parallel_1",34.03333333333333],PARAMETER["Standard_Parallel_2",35.46666666666667],PARAMETER["Latitude_Of_Origin",33.5],UNIT["Foot_US",0.3048006096012192]]"""
+    for (code <- Seq(epsg(caV),
+      epsg(caV.replaceAll("""UNIT\["Foot_US",0.3048006096012192\]""", """UNIT["Meter",1.0]""")))) {
+      val wkt = WktSrs.toWkt(code).getOrElse(fail(s"no WKT for $code"))
+      val code2 = Proj.normalize(wkt)
+      assert(code2.startsWith("PARAM:LCC:"), code2)
+      val (e1, n1) = Proj.transform("EPSG:4326", code, -118.8, 34.3)
+      val (e2, n2) = Proj.transform("EPSG:4326", code2, -118.8, 34.3)
+      // FE round-trips through a divide-by-unit in the emitted WKT: allow
+      // double-formatting noise (nanometres), nothing more
+      assert(math.abs(e1 - e2) < 1e-6 && math.abs(n1 - n2) < 1e-6)
+    }
   }
 }
