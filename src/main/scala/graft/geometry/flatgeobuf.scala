@@ -462,7 +462,9 @@ object FlatGeobuf {
   }
 
   /** Serialize the packed tree (root level first, items last) from leaf
-    * items already in Hilbert order. Item offsets = feature byte offsets. */
+    * items already in Hilbert order. Item offsets = feature byte offsets.
+    * Kept for small in-memory builds and as the reference shape for
+    * [[buildIndexSpilled]] (the writer's O(1)-memory path). */
   def buildIndex(items: Array[Node], nodeSize: Int): Array[Byte] = {
     val sizes = levelSizes(items.length, nodeSize) // leaf→root
     val numNodes = sizes.sum
@@ -501,6 +503,78 @@ object FlatGeobuf {
       bb.putLong(n.offset)
     }
     bb.array()
+  }
+
+  /** Append a 40-byte serialized node record. */
+  def writeNodeRecord(out: java.io.OutputStream, minX: Double, minY: Double,
+      maxX: Double, maxY: Double, offset: Long): Unit = {
+    val bb = ByteBuffer.allocate(NodeBytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putDouble(minX).putDouble(minY).putDouble(maxX).putDouble(maxY)
+    bb.putLong(offset)
+    out.write(bb.array())
+  }
+
+  /** Build the packed tree from a temp file of leaf node records (Hilbert
+    * order) and stream it to `out` — byte-identical to [[buildIndex]] but
+    * with O(levels) driver memory instead of O(features): each upper level
+    * is derived by one sequential scan of the level below, spilled to its
+    * own temp file, then the levels are concatenated root-first. At 1G
+    * features the skeleton is 40 GB — on disk, not in the driver heap. */
+  def buildIndexSpilled(leafFile: java.nio.file.Path, numItems: Int,
+      nodeSize: Int, out: java.io.OutputStream): Unit = {
+    if (numItems == 0) return
+    val sizes = levelSizes(numItems, nodeSize) // leaf→root
+    val numNodes = sizes.map(_.toLong).sum
+    val starts = new Array[Long](sizes.length)
+    var acc = numNodes
+    for (i <- sizes.indices) { acc -= sizes(i); starts(i) = acc }
+    val levelFiles = scala.collection.mutable.ArrayBuffer[java.nio.file.Path](leafFile)
+    try {
+      for (level <- 0 until sizes.length - 1) {
+        val parentFile = java.nio.file.Files.createTempFile("fgb_idx", s".l${level + 1}")
+        levelFiles += parentFile
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(levelFiles(level))))
+        val pw = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(parentFile))
+        try {
+          val rec = new Array[Byte](NodeBytes)
+          var childIdx = 0
+          while (childIdx < sizes(level)) {
+            val hi = math.min(childIdx + nodeSize, sizes(level))
+            var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity
+            var maxX = Double.NegativeInfinity; var maxY = Double.NegativeInfinity
+            val firstChildAbs = starts(level) + childIdx
+            var k = childIdx
+            while (k < hi) {
+              in.readFully(rec)
+              val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+              val x0 = bb.getDouble; val y0 = bb.getDouble
+              val x1 = bb.getDouble; val y1 = bb.getDouble
+              if (x0 < minX) minX = x0
+              if (y0 < minY) minY = y0
+              if (x1 > maxX) maxX = x1
+              if (y1 > maxY) maxY = y1
+              k += 1
+            }
+            writeNodeRecord(pw, minX, minY, maxX, maxY, firstChildAbs * NodeBytes)
+            childIdx = hi
+          }
+        } finally { in.close(); pw.close() }
+      }
+      // serialized layout: root level first, leaves last
+      for (level <- sizes.length - 1 to 0 by -1) {
+        val in = new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(levelFiles(level)))
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+    } finally
+      // the caller owns the leaf file; upper levels are ours to delete
+      levelFiles.drop(1).foreach(java.nio.file.Files.deleteIfExists)
   }
 
   def indexBytes(numItems: Int, nodeSize: Int): Long =
@@ -606,7 +680,14 @@ object FlatGeobufSink {
     val tmp = java.nio.file.Files.createTempFile("fgb_feat", ".bin")
     val outFeat = new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(tmp.toFile))
-    val items = scala.collection.mutable.ArrayBuffer[Node]()
+    // the R-tree's leaf skeleton (40 B/feature) spills to a second temp
+    // file instead of the driver heap, so driver memory is O(1) in the
+    // feature count (8 MB in RAM vs on disk at 200k features was fine;
+    // 40 GB at 1G features is not)
+    val tmpLeaf = java.nio.file.Files.createTempFile("fgb_idx", ".l0")
+    val outLeaf = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(tmpLeaf.toFile))
+    var nItems = 0
     var geomType = -1 // resolves to the uniform type or GtUnknown on mix
     var featBytes = 0L
     try {
@@ -631,18 +712,19 @@ object FlatGeobufSink {
         b.patchU32(0, t.toLong)
         val body = b.result()
         val env = if (g == null) null else g.getEnvelopeInternal
-        items += Node(
+        writeNodeRecord(outLeaf,
           if (env == null) minX else env.getMinX,
           if (env == null) minY else env.getMinY,
           if (env == null) minX else env.getMaxX,
           if (env == null) minY else env.getMaxY,
           featBytes)
+        nItems += 1
         val lenPrefix = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
           .putInt(body.length).array()
         outFeat.write(lenPrefix); outFeat.write(body)
         featBytes += 4L + body.length
       }
-    } finally outFeat.close()
+    } finally { outFeat.close(); outLeaf.close() }
 
     // header buffer
     val hb = new Buf
@@ -661,7 +743,6 @@ object FlatGeobufSink {
       (bb: Buf) => writeTable(bb, Seq[Option[Slot]](
         Some(stringRef(c)), Some(U8S(ct))))
     }
-    val nItems = items.length
     val ht = writeTable(hb, Seq[Option[Slot]](
       Some(stringRef(layer)), // 0 name
       Some(f64VecRef(Array(minX, minY, maxX, maxY))), // 1 envelope
@@ -680,7 +761,7 @@ object FlatGeobufSink {
       out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
         .putInt(headerBody.length).array())
       out.write(headerBody)
-      if (nItems > 0) out.write(buildIndex(items.toArray, NodeSize))
+      if (nItems > 0) buildIndexSpilled(tmpLeaf, nItems, NodeSize, out)
       val in = new java.io.BufferedInputStream(new java.io.FileInputStream(tmp.toFile))
       try {
         val buf = new Array[Byte](1 << 16)
@@ -690,6 +771,7 @@ object FlatGeobufSink {
     } finally {
       out.close()
       java.nio.file.Files.deleteIfExists(tmp)
+      java.nio.file.Files.deleteIfExists(tmpLeaf)
     }
     path
   }

@@ -261,6 +261,26 @@ class FlatGeobufSpec extends SparkSpec {
     assert(df.filter(col("fid") === 1L).count() == 1)
   }
 
+  test("the spilled index build is byte-identical to the in-memory build") {
+    import FlatGeobuf._
+    // counts straddling node-size boundaries and level transitions
+    for (n <- Seq(1, 2, 15, 16, 17, 255, 256, 257, 4096, 5000)) {
+      val items = Array.tabulate(n)(i =>
+        Node(i * 1.0, i * 2.0, i * 1.0 + 1, i * 2.0 + 1, i * 100L))
+      val mem = buildIndex(items, NodeSize)
+      val leaf = java.nio.file.Files.createTempFile("fgb_leaf", ".bin")
+      val os = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(leaf))
+      items.foreach(nd =>
+        writeNodeRecord(os, nd.minX, nd.minY, nd.maxX, nd.maxY, nd.offset))
+      os.close()
+      val bos = new java.io.ByteArrayOutputStream()
+      buildIndexSpilled(leaf, n, NodeSize, bos)
+      assert(java.util.Arrays.equals(mem, bos.toByteArray), s"n=$n")
+      java.nio.file.Files.deleteIfExists(leaf)
+    }
+  }
+
   test("non-fgb and truncated files fail with clear errors, not hangs") {
     val dir = java.nio.file.Files.createTempDirectory("fgb_bad")
     val notFgb = dir.resolve("x.fgb")
