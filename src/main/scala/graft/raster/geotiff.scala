@@ -226,7 +226,7 @@ object GeoTiff {
       bbox: Bbox, epsg: Int, noData: Double, dtypeName: String = "float64",
       rowsPerStrip: Int = 256, compression: String = "none",
       tileSize: Int = 0, bigTiff: Boolean = false,
-      sparse: Boolean = false): Unit = {
+      sparse: Boolean = false, overviews: Boolean = false): Unit = {
     require(values.length.toLong == w.toLong * h, "value count must equal w*h")
     val (bits, sampleFormat) = SampleTypes.getOrElse(dtypeName,
       throw new IllegalArgumentException(
@@ -344,8 +344,10 @@ object GeoTiff {
       (segArrOff, Array(pixelScaleOff, tiepointOff, geoKeysOff, ndOff, dataOff) ++ segOffs,
         dataOff + segBytes.sum)
     }
-    // auto-upgrade: classic TIFF offsets are unsigned 32-bit
-    val big = bigTiff || layout(false)._3 > 0xfffffff0L
+    // auto-upgrade: classic TIFF offsets are unsigned 32-bit (overview
+    // levels append ~1/3 of the image again — account for them up front)
+    val big = bigTiff ||
+      layout(false)._3 + (if (overviews) layout(false)._3 / 2 else 0L) > 0xfffffff0L
     val (segArrOff, offs, total) = layout(big)
     val Array(pixelScaleOff, tiepointOff, geoKeysOff, ndOff, dataOff) = offs.take(5)
     val segOffs = offs.drop(5)
@@ -441,6 +443,152 @@ object GeoTiff {
         }
       } finally out.close()
     }
+    if (overviews) appendOverviews(path, values, w, h, noData, dtypeName)
+  }
+
+  /** Append COG-style reduced-resolution overview IFDs to a file written
+    * by [[write]] (little-endian): successive 2× nearest decimations
+    * (GDAL's top-left convention) until both dimensions fit in one tile,
+    * each a tiled uncompressed IFD tagged NewSubfileType=1 and chained
+    * behind the previous image. Geo tags stay on IFD 0 only; readers
+    * derive each level's grid from the base bbox. Returns (w, h) per
+    * appended level. */
+  def appendOverviews(path: String, values: Array[Double], w: Int, h: Int,
+      noData: Double, dtypeName: String, tileSize: Int = 256,
+      minDim: Int = 256): Seq[(Int, Int)] = {
+    val (bits, sampleFormat) = SampleTypes.getOrElse(dtypeName,
+      throw new IllegalArgumentException(s"unsupported GeoTIFF dtype '$dtypeName'"))
+    val bytesPer = bits / 8
+    val ndAscii = (noData.toString.padTo(8, ' ') + 0.toChar).getBytes("ASCII")
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try {
+      val head = new Array[Byte](8); raf.seek(0); raf.readFully(head)
+      require(head(0) == 'I' && head(1) == 'I', "appendOverviews needs a little-endian TIFF")
+      val version = (head(2) & 0xff) | ((head(3) & 0xff) << 8)
+      val big = version == 43
+      def u32At(off: Long): Long = { raf.seek(off); java.lang.Integer.reverseBytes(raf.readInt()).toLong & 0xffffffffL }
+      def i64At(off: Long): Long = { raf.seek(off); java.lang.Long.reverseBytes(raf.readLong()) }
+      def nAt(off: Long): Long =
+        if (big) i64At(off) else { raf.seek(off); java.lang.Short.reverseBytes(raf.readShort()).toLong & 0xffffL }
+      // walk to the chain tail's next-IFD pointer
+      var ifd = if (big) i64At(8) else u32At(4)
+      var nextPtrPos = 0L
+      var guard = 0
+      while (ifd != 0 && guard < 64) {
+        val n = nAt(ifd)
+        nextPtrPos = ifd + (if (big) 8 + n * 20 else 2 + n * 12)
+        ifd = if (big) i64At(nextPtrPos) else u32At(nextPtrPos)
+        guard += 1
+      }
+      require(nextPtrPos != 0, "corrupt TIFF: empty IFD chain")
+
+      def encode(vals: Array[Double]): Array[Byte] = {
+        val bb = ByteBuffer.allocate(vals.length * bytesPer).order(ByteOrder.LITTLE_ENDIAN)
+        val put: Double => Unit = (bits, sampleFormat) match {
+          case (64, 3) => v => { bb.putDouble(v); () }
+          case (32, 3) => v => { bb.putFloat(v.toFloat); () }
+          case (32, 2) => v => { bb.putInt(math.rint(v).toInt); () }
+          case (16, 2) => v => { bb.putShort(math.rint(v).toShort); () }
+          case (16, 1) => v => { bb.putShort((math.rint(v).toLong & 0xffffL).toShort); () }
+          case (8, 1)  => v => { bb.put((math.rint(v).toLong & 0xffL).toByte); () }
+          case _ => throw new IllegalStateException("unreachable")
+        }
+        vals.foreach(put)
+        bb.array()
+      }
+
+      val emitted = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      var prev = values; var pw = w; var ph = h
+      while (math.max(pw, ph) > minDim) {
+        val nw = (pw + 1) / 2; val nh = (ph + 1) / 2
+        val lv = new Array[Double](nw * nh)
+        var y = 0
+        while (y < nh) {
+          var x = 0
+          while (x < nw) {
+            lv(y * nw + x) = prev(math.min(2 * y, ph - 1) * pw + math.min(2 * x, pw - 1))
+            x += 1
+          }
+          y += 1
+        }
+        val tAcross = (nw + tileSize - 1) / tileSize
+        val tDown = (nh + tileSize - 1) / tileSize
+        val nSegs = tAcross * tDown
+        val segBytes = tileSize.toLong * tileSize * bytesPer
+        val nEntries = 13
+        val base = (raf.length() + 7) / 8 * 8 // 8-aligned append point
+        val ifdLen = (if (big) 8 + 8 else 2 + 4) + nEntries.toLong * (if (big) 20 else 12)
+        val offW = if (big) 8 else 4
+        val segArrays = nSegs > 1
+        var aux = base + ifdLen
+        val segArrOff = aux; aux += (if (segArrays) nSegs.toLong * offW * 2 else 0L)
+        val ndOff = aux; aux += ndAscii.length
+        val dataOff = (aux + 7) / 8 * 8
+        val segOffs = Array.tabulate(nSegs)(i => dataOff + i * segBytes)
+        require(big || dataOff + nSegs * segBytes <= 0xffffffffL,
+          "classic TIFF cannot exceed 4 GiB — write with bigTiff=true for overviews this large")
+
+        val hb = ByteBuffer.allocate((dataOff - base).toInt).order(ByteOrder.LITTLE_ENDIAN)
+        if (big) hb.putLong(nEntries.toLong) else hb.putShort(nEntries.toShort)
+        def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+          hb.putShort(tag.toShort).putShort(typ.toShort)
+          if (big) hb.putLong(count) else hb.putInt(count.toInt)
+          if (typ == 3 && count == 1) {
+            hb.putShort(value.toShort).putShort(0)
+            if (big) hb.putInt(0)
+          } else if (big) hb.putLong(value)
+          else hb.putInt(value.toInt)
+        }
+        val arrTyp = if (big) 16 else 4
+        entry(254, 4, 1, 1) // NewSubfileType: reduced-resolution image
+        entry(256, 3, 1, nw)
+        entry(257, 3, 1, nh)
+        entry(258, 3, 1, bits)
+        entry(259, 3, 1, 1)
+        entry(262, 3, 1, 1)
+        entry(277, 3, 1, 1)
+        entry(322, 3, 1, tileSize)
+        entry(323, 3, 1, tileSize)
+        if (segArrays) entry(324, arrTyp, nSegs, segArrOff)
+        else entry(324, arrTyp, 1, segOffs(0))
+        if (segArrays) entry(325, arrTyp, nSegs, segArrOff + nSegs.toLong * offW)
+        else entry(325, arrTyp, 1, segBytes)
+        entry(339, 3, 1, sampleFormat)
+        entry(42113, 2, ndAscii.length, ndOff)
+        if (big) hb.putLong(0L) else hb.putInt(0) // next IFD (chain tail)
+        if (segArrays) {
+          if (big) { segOffs.foreach(hb.putLong); (0 until nSegs).foreach(_ => hb.putLong(segBytes)) }
+          else { segOffs.foreach(o => hb.putInt(o.toInt)); (0 until nSegs).foreach(_ => hb.putInt(segBytes.toInt)) }
+        }
+        hb.put(ndAscii)
+        raf.seek(base); raf.write(hb.array())
+        // tile data, one tile buffered at a time
+        var ti = 0
+        while (ti < nSegs) {
+          val ty = ti / tAcross; val tx = ti % tAcross
+          val tvals = Array.fill(tileSize * tileSize)(noData)
+          var yy = 0
+          while (yy < tileSize && ty * tileSize + yy < nh) {
+            var xx = 0
+            while (xx < tileSize && tx * tileSize + xx < nw) {
+              tvals(yy * tileSize + xx) = lv((ty * tileSize + yy) * nw + tx * tileSize + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          raf.seek(segOffs(ti)); raf.write(encode(tvals))
+          ti += 1
+        }
+        // chain the new IFD behind the previous tail
+        raf.seek(nextPtrPos)
+        if (big) raf.writeLong(java.lang.Long.reverseBytes(base))
+        else raf.writeInt(java.lang.Integer.reverseBytes(base.toInt))
+        nextPtrPos = base + (if (big) 8 + nEntries.toLong * 20 else 2 + nEntries.toLong * 12)
+        prev = lv; pw = nw; ph = nh
+        emitted += ((nw, nh))
+      }
+      emitted.toSeq
+    } finally raf.close()
   }
 
   case class Tiff(values: Array[Double], w: Int, h: Int, bbox: Bbox,
@@ -478,10 +626,11 @@ object GeoTiff {
 
   def read(path: String): Tiff = {
     val in = new TiffIn(path)
-    try readFrom(in) finally in.close()
+    try readFrom(in, firstIfd(in)._2) finally in.close()
   }
 
-  private def readFrom(in: TiffIn): Tiff = {
+  /** Parse the header: (isBigTiff, first IFD offset). Sets `in.order`. */
+  private def firstIfd(in: TiffIn): (Boolean, Long) = {
     require(in.length >= 8, "truncated TIFF header")
     val mark = in.bytesAt(0, 2)
     val bigEndian = mark(0) == 'M' && mark(1) == 'M'
@@ -495,7 +644,107 @@ object GeoTiff {
     val big = version == 43
     if (big) require(in.u16(4) == 8 && in.u16(6) == 0,
       "malformed BigTIFF header")
-    val ifd = if (big) in.i64(8) else in.u32(4)
+    (big, if (big) in.i64(8) else in.u32(4))
+  }
+
+  /** Offsets of every IFD in the chain (full-resolution image first, then
+    * reduced-resolution overview levels, COG-style). */
+  private def ifdChain(in: TiffIn): Seq[Long] = {
+    val (big, first) = firstIfd(in)
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var off = first
+    while (off != 0 && out.length < 64) {
+      require(off > 0 && off < in.length, "corrupt TIFF: IFD offset outside the file")
+      out += off
+      val n = if (big) in.i64(off) else in.u16(off).toLong
+      require(n >= 0 && n < 65536, s"corrupt TIFF: $n IFD entries")
+      val nextPtr = off + (if (big) 8 + n * 20 else 2 + n * 12)
+      off = if (big) in.i64(nextPtr) else in.u32(nextPtr)
+    }
+    out.toSeq
+  }
+
+  /** (width, height) of each image in the file, full resolution first. */
+  def levelDims(path: String): Seq[(Int, Int)] = {
+    val in = new TiffIn(path)
+    try ifdChain(in).map { off =>
+      val t = parseTags(in, off)
+      (t.scalar(256), t.scalar(257))
+    } finally in.close()
+  }
+
+  /** Read one overview level entirely (0 = full resolution). Geo-metadata
+    * (bbox, CRS, nodata) lives only on IFD 0, COG-style; the level's bbox
+    * is the full image's. */
+  def readLevel(path: String, level: Int): Tiff = {
+    val in = new TiffIn(path)
+    try {
+      val chain = ifdChain(in)
+      require(level >= 0 && level < chain.length,
+        s"no overview level $level (file has ${chain.length})")
+      if (level == 0) readFrom(in, chain.head)
+      else {
+        val base = readMeta(in, chain.head)
+        readFrom(in, chain(level), Some(base))
+      }
+    } finally in.close()
+  }
+
+  /** Read only the tiles/strips of `level` that intersect `window` (in
+    * world coordinates). Returns a Tiff covering the segment-aligned
+    * enclosing region — the COG partial read: bytes touched are the
+    * header, the IFDs, and the intersecting segments of that level only. */
+  def readLevelWindow(path: String, level: Int, window: Bbox): Tiff = {
+    val in = new TiffIn(path)
+    try {
+      val chain = ifdChain(in)
+      require(level >= 0 && level < chain.length,
+        s"no overview level $level (file has ${chain.length})")
+      val base = readMeta(in, chain.head)
+      readFrom(in, chain(level), if (level == 0) None else Some(base),
+        Some(window))
+    } finally in.close()
+  }
+
+  /** Header-only metadata (no pixel bytes read): the full-resolution
+    * image's shape and geo tags. */
+  def readMeta(path: String): Tiff = {
+    val in = new TiffIn(path)
+    try readMeta(in, firstIfd(in)._2) finally in.close()
+  }
+
+  private def readMeta(in: TiffIn, ifdOff: Long): Tiff =
+    readFrom(in, ifdOff, None, None, metaOnly = true)
+
+  /** Resolved IFD tag table: tag -> (type, count, value offset). */
+  private final class TagTable(in: TiffIn, val tags: Map[Int, (Int, Int, Long)]) {
+    def scalar(tag: Int): Int = {
+      val (typ, _, off) = tags(tag)
+      typ match {
+        case 1      => in.u8(off)
+        case 3      => in.u16(off)
+        case 16     => in.i64(off).toInt
+        case _      => in.i32(off)
+      }
+    }
+    def scalarOpt(tag: Int): Option[Int] = tags.get(tag).map(_ => scalar(tag))
+    def contains(tag: Int): Boolean = tags.contains(tag)
+    def apply(tag: Int): (Int, Int, Long) = tags(tag)
+    def get(tag: Int): Option[(Int, Int, Long)] = tags.get(tag)
+    def longsOf(tag: Int): Array[Long] = {
+      val (typ, count, off) = tags(tag)
+      Array.tabulate(count) { i =>
+        typ match {
+          case 3  => in.u16(off + i * 2).toLong
+          case 16 => in.i64(off + i * 8)
+          case _  => in.u32(off + i * 4)
+        }
+      }
+    }
+  }
+
+  private def parseTags(in: TiffIn, ifd: Long): TagTable = {
+    val big = { val v = in.u16(2); v == 43 }
     require(ifd >= 0 && ifd < in.length, "corrupt TIFF: IFD offset outside the file")
     val n = (if (big) in.i64(ifd) else (in.u16(ifd).toLong: Long)).toInt
     require(n >= 0 && n < 65536, s"corrupt TIFF: $n IFD entries")
@@ -526,29 +775,26 @@ object GeoTiff {
         s"corrupt TIFF: tag $tag value offset outside the file")
       tags += tag -> ((typ, count, valueOff))
     }
-    // typed scalar read from the resolved value offset
-    def scalar(tag: Int): Int = {
-      val (typ, _, off) = tags(tag)
-      typ match {
-        case 1      => in.u8(off)
-        case 3      => in.u16(off)
-        case 16     => in.i64(off).toInt
-        case _      => in.i32(off)
-      }
-    }
-    def scalarOpt(tag: Int): Option[Int] = tags.get(tag).map(_ => scalar(tag))
-    val w = scalar(256); val h = scalar(257)
-    // single-request materialization cap, same limit the engine's request
-    // guards enforce — and the backstop against hostile dimension tags
-    require(w > 0 && h > 0 && w.toLong * h <= RequestGuards.rasterLimitPixels,
-      s"TIFF of $w x $h pixels exceeds the in-memory limit of " +
-        s"${RequestGuards.rasterLimitPixels} pixels")
-    val bits = scalar(258)
-    val sampleFormat = scalarOpt(339).getOrElse(1)
-    val comp = scalarOpt(259).getOrElse(1)
+    new TagTable(in, tags)
+  }
+
+  /** Read the image of one IFD. `base` supplies geo-metadata when this IFD
+    * is an overview level (geo tags live only on IFD 0, COG-style);
+    * `window` restricts decoding to the segments intersecting a world-
+    * coordinate bbox; `metaOnly` skips pixel decoding entirely. */
+  private def readFrom(in: TiffIn, ifdOff: Long, base: Option[Tiff] = None,
+      window: Option[Bbox] = None, metaOnly: Boolean = false): Tiff = {
+    val mark = in.bytesAt(0, 2)
+    val bigEndian = mark(0) == 'M' && mark(1) == 'M'
+    val t = parseTags(in, ifdOff)
+    val w = t.scalar(256); val h = t.scalar(257)
+    require(w > 0 && h > 0, s"corrupt TIFF: $w x $h image")
+    val bits = t.scalar(258)
+    val sampleFormat = t.scalarOpt(339).getOrElse(1)
+    val comp = t.scalarOpt(259).getOrElse(1)
     require(comp == 1 || comp == 5 || comp == 8 || comp == 32946 || comp == 32773,
       s"reader supports uncompressed, LZW, PackBits, or deflate TIFF only (compression=$comp)")
-    val predictor = scalarOpt(317).getOrElse(1)
+    val predictor = t.scalarOpt(317).getOrElse(1)
     val dtypeName = SampleTypes.collectFirst {
       case (name, (b, f)) if b == bits && f == sampleFormat => name
     }.getOrElse(throw new IllegalArgumentException(
@@ -559,19 +805,58 @@ object GeoTiff {
       (predictor == 3 && sampleFormat == 3),
       s"unsupported TIFF predictor $predictor for sample format $sampleFormat")
     val bytesPer = bits / 8
-    // offset arrays: SHORT, LONG, or (BigTIFF) LONG8 elements, read from
-    // the resolved value offset (inline and out-of-line look alike)
-    def longsOf(tag: Int): Array[Long] = {
-      val (typ, count, off) = tags(tag)
-      Array.tabulate(count) { i =>
-        typ match {
-          case 3  => in.u16(off + i * 2).toLong
-          case 16 => in.i64(off + i * 8)
-          case _  => in.u32(off + i * 4)
-        }
+    val tiled = t.contains(322)
+
+    // geo-metadata: this IFD's tags, or (overview levels) the base image's
+    val nd = t.get(42113).map { case (_, count, off) =>
+      new String(in.bytesAt(off, count), "ASCII").replace(0.toChar.toString, " ").trim.toDouble
+    }.orElse(base.map(_.noData)).getOrElse(Double.MaxValue)
+    val bbox = if (t.contains(33550) && t.contains(33922)) {
+      val psOff = t(33550)._3
+      val (sx, sy) = (in.f64(psOff), in.f64(psOff + 8))
+      val tpOff = t(33922)._3
+      val (ox, oy) = (in.f64(tpOff + 24), in.f64(tpOff + 32))
+      Bbox(ox, oy - sy * h, ox + sx * w, oy)
+    } else base.map(_.bbox).getOrElse(
+      throw new IllegalArgumentException("TIFF has no geo tags and no base image"))
+    val epsg = if (t.contains(34735)) {
+      val gkOff = t(34735)._3
+      val nKeys = in.u16(gkOff + 6)
+      var e = 0
+      for (k <- 0 until nKeys) {
+        val kOff = gkOff + 8 + k * 8
+        val keyId = in.u16(kOff)
+        if (keyId == 3072 || keyId == 2048) e = in.u16(kOff + 6)
       }
+      e
+    } else base.map(_.epsg).getOrElse(0)
+    if (metaOnly)
+      return Tiff(new Array[Double](0), w, h, bbox, epsg, nd, dtypeName)
+
+    // pixel window to decode: everything, or the segment-aligned region
+    // enclosing the requested world bbox on this level's grid
+    val sx = bbox.width / w; val sy = bbox.height / h
+    val (col0, row0, cols, rows) = window match {
+      case None => (0, 0, w, h)
+      case Some(win) =>
+        val c0 = math.max(0, math.min(w - 1, math.floor((win.x1 - bbox.x1) / sx).toInt))
+        val c1 = math.max(0, math.min(w - 1, math.ceil((win.x2 - bbox.x1) / sx).toInt - 1))
+        val r0 = math.max(0, math.min(h - 1, math.floor((bbox.y2 - win.y2) / sy).toInt))
+        val r1 = math.max(0, math.min(h - 1, math.ceil((bbox.y2 - win.y1) / sy).toInt - 1))
+        // align to segment boundaries so decode loops stay whole-segment
+        val segH = if (tiled) t.scalar(323) else t.scalarOpt(278).getOrElse(h)
+        val segW = if (tiled) t.scalar(322) else w
+        val ac0 = c0 / segW * segW
+        val ar0 = r0 / segH * segH
+        val ac1 = math.min(w - 1, (c1 / segW + 1) * segW - 1)
+        val ar1 = math.min(h - 1, (r1 / segH + 1) * segH - 1)
+        (ac0, ar0, ac1 - ac0 + 1, ar1 - ar0 + 1)
     }
-    val tiled = tags.contains(322)
+    // single-request materialization cap, same limit the engine's request
+    // guards enforce — and the backstop against hostile dimension tags
+    require(cols.toLong * rows <= RequestGuards.rasterLimitPixels,
+      s"TIFF window of $cols x $rows pixels exceeds the in-memory limit of " +
+        s"${RequestGuards.rasterLimitPixels} pixels")
     val decodeFrom: (ByteBuffer, Int) => Double = (bits, sampleFormat) match {
       case (64, 3) => (b, off) => b.getDouble(off)
       case (32, 3) => (b, off) => b.getFloat(off).toDouble
@@ -581,9 +866,6 @@ object GeoTiff {
       case (8, 1)  => (b, off) => (b.get(off) & 0xff).toDouble
       case _ => throw new IllegalStateException("unreachable")
     }
-    val nd = tags.get(42113).map { case (_, count, off) =>
-      new String(in.bytesAt(off, count), "ASCII").replace(0.toChar.toString, " ").trim.toDouble
-    }.getOrElse(Double.MaxValue)
     // one segment (strip or tile) as a decode-ready little-endian buffer;
     // `rowW` is the segment's row width in samples (predictor 2 is per-row)
     def segment(off: Long, count: Long, expected: Int, rowW: Int): ByteBuffer = {
@@ -604,20 +886,21 @@ object GeoTiff {
       ByteBuffer.wrap(decoded)
         .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     }
-    val values = new Array[Double](w * h)
+    val values = new Array[Double](cols * rows)
     if (!tiled) {
-      val stripOffs = longsOf(273)
-      val stripCnts = longsOf(279)
-      val rps = scalarOpt(278).getOrElse(h)
-      var strip = 0
-      while (strip * rps < h) {
-        val rows = math.min(rps, h - strip * rps)
-        val seg = segment(stripOffs(strip), stripCnts(strip), rows * w * bytesPer, w)
+      val stripOffs = t.longsOf(273)
+      val stripCnts = t.longsOf(279)
+      val rps = t.scalarOpt(278).getOrElse(h)
+      var strip = row0 / rps // window rows are strip-aligned
+      while (strip * rps < row0 + rows) {
+        val sRows = math.min(rps, h - strip * rps)
+        val seg = segment(stripOffs(strip), stripCnts(strip), sRows * w * bytesPer, w)
         var r = 0
-        while (r < rows) {
+        while (r < sRows && strip * rps + r < row0 + rows) {
           var j = 0
-          while (j < w) {
-            values((strip * rps + r) * w + j) = decodeFrom(seg, (r * w + j) * bytesPer)
+          while (j < cols) {
+            values((strip * rps + r - row0) * cols + j) =
+              decodeFrom(seg, (r * w + col0 + j) * bytesPer)
             j += 1
           }
           r += 1
@@ -625,55 +908,49 @@ object GeoTiff {
         strip += 1
       }
     } else {
-      val tw = scalar(322); val th = scalar(323)
-      val tileOffs = longsOf(324)
-      val tileCnts = longsOf(325)
+      val tw = t.scalar(322); val th = t.scalar(323)
+      val tileOffs = t.longsOf(324)
+      val tileCnts = t.longsOf(325)
       val tAcross = (w + tw - 1) / tw
-      val tDown = (h + th - 1) / th
-      var ti = 0
-      while (ti < tDown * tAcross) {
-        val ty = ti / tAcross; val tx = ti % tAcross
-        if (tileOffs(ti) == 0) {
-          // GDAL sparse-file convention: offset 0 marks an unwritten tile —
-          // it reads as nodata fill, never as bytes from the file start
-          var y = 0
-          while (y < th && ty * th + y < h) {
-            var x = 0
-            while (x < tw && tx * tw + x < w) {
-              values((ty * th + y) * w + tx * tw + x) = nd
-              x += 1
+      // window cols/rows are tile-aligned: visit only intersecting tiles
+      var ty = row0 / th
+      while (ty * th < row0 + rows) {
+        var tx = col0 / tw
+        while (tx * tw < col0 + cols) {
+          val ti = ty * tAcross + tx
+          if (tileOffs(ti) == 0) {
+            // GDAL sparse-file convention: offset 0 marks an unwritten
+            // tile — it reads as nodata fill, never bytes from file start
+            var y = 0
+            while (y < th && ty * th + y < h) {
+              var x = 0
+              while (x < tw && tx * tw + x < w) {
+                values((ty * th + y - row0) * cols + tx * tw + x - col0) = nd
+                x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-        } else {
-          val seg = segment(tileOffs(ti), tileCnts(ti), tw * th * bytesPer, tw)
-          var y = 0
-          while (y < th && ty * th + y < h) {
-            var x = 0
-            while (x < tw && tx * tw + x < w) {
-              values((ty * th + y) * w + tx * tw + x) = decodeFrom(seg, (y * tw + x) * bytesPer)
-              x += 1
+          } else {
+            val seg = segment(tileOffs(ti), tileCnts(ti), tw * th * bytesPer, tw)
+            var y = 0
+            while (y < th && ty * th + y < h) {
+              var x = 0
+              while (x < tw && tx * tw + x < w) {
+                values((ty * th + y - row0) * cols + tx * tw + x - col0) =
+                  decodeFrom(seg, (y * tw + x) * bytesPer)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
           }
+          tx += 1
         }
-        ti += 1
+        ty += 1
       }
     }
-    val psOff = tags(33550)._3
-    val (sx, sy) = (in.f64(psOff), in.f64(psOff + 8))
-    val tpOff = tags(33922)._3
-    val (ox, oy) = (in.f64(tpOff + 24), in.f64(tpOff + 32))
-    val bbox = Bbox(ox, oy - sy * h, ox + sx * w, oy)
-    val gkOff = tags(34735)._3
-    val nKeys = in.u16(gkOff + 6)
-    var epsg = 0
-    for (k <- 0 until nKeys) {
-      val kOff = gkOff + 8 + k * 8
-      val keyId = in.u16(kOff)
-      if (keyId == 3072 || keyId == 2048) epsg = in.u16(kOff + 6)
-    }
-    Tiff(values, w, h, bbox, epsg, nd, dtypeName)
+    val outBbox = Bbox(bbox.x1 + col0 * sx, bbox.y2 - (row0 + rows) * sy,
+      bbox.x1 + (col0 + cols) * sx, bbox.y2 - row0 * sy)
+    Tiff(values, cols, rows, outBbox, epsg, nd, dtypeName)
   }
 }
 
@@ -683,7 +960,8 @@ object GeoTiff {
   * RasterParquetSink). The file sample type follows the source dtype when
   * the codec supports it; everything else exports as float64. */
 case class GeoTiffSink(source: RasterBlock, url: String,
-    compression: String = "none", tileSize: Int = 0) {
+    compression: String = "none", tileSize: Int = 0,
+    overviews: Boolean = false) {
   def write(req: RasterRequest)(implicit spark: SparkSession): Seq[String] = {
     val res = source.getData(req).getOrElse(
       throw new IllegalArgumentException("empty result"))
@@ -695,7 +973,8 @@ case class GeoTiffSink(source: RasterBlock, url: String,
     val paths = res.times.zipWithIndex.map { case (t, i) =>
       val p = s"$url/frame_${t.toEpochMilli}.tif"
       GeoTiff.write(p, res.values(i), req.width, req.height, req.bbox, epsg,
-        res.noDataValue, dt, compression = compression, tileSize = tileSize)
+        res.noDataValue, dt, compression = compression, tileSize = tileSize,
+        overviews = overviews)
       p
     }
     val manifest = Map("type" -> "graft-geotiff-v1",
@@ -705,9 +984,16 @@ case class GeoTiffSink(source: RasterBlock, url: String,
   }
 }
 
-/** Re-open a GeoTIFF directory (or single file) as a raster source. Files
-  * are read driver-side at construction (they are bounded exports) and
-  * served like MemorySource frames. */
+/** Re-open a GeoTIFF directory (or single file) as a raster source.
+  *
+  * Metadata comes from a header-only parse — no pixel bytes are read at
+  * construction. For a single same-CRS file, each request is served COG-
+  * style: the coarsest overview level whose resolution still satisfies the
+  * request is chosen, and only the tiles of that level intersecting the
+  * request bbox are decoded (positioned range reads). A session that only
+  * ever asks for coarse zooms never touches full-resolution pixel bytes.
+  * Temporal directories (one file per frame) keep the eager MemorySource
+  * path — they are bounded exports. */
 case class GeoTiffSource(url: String, timeFirstMs: Long = 0L,
     timeDeltaMsArg: Long = 300000L) extends RasterBlock {
   private lazy val files: Seq[String] = {
@@ -718,6 +1004,9 @@ case class GeoTiffSource(url: String, timeFirstMs: Long = 0L,
         .filter(_.endsWith(".tif")).toSeq.sorted
     } else Seq(url)
   }
+  // header-only: shape, bbox, CRS, nodata, dtype + the overview pyramid
+  private lazy val meta0: GeoTiff.Tiff = GeoTiff.readMeta(files.head)
+  private lazy val levelDims: Seq[(Int, Int)] = GeoTiff.levelDims(files.head)
   private lazy val tiffs: Seq[GeoTiff.Tiff] = files.map(GeoTiff.read)
   private lazy val memory: MemorySource = {
     val t = tiffs.head
@@ -726,16 +1015,42 @@ case class GeoTiffSource(url: String, timeFirstMs: Long = 0L,
       timeFirstMs, if (tiffs.size > 1) Some(timeDeltaMsArg) else None,
       t.dtypeName)
   }
-  override def dtype: DType = DType.byName(tiffs.head.dtypeName)
-  override def projection: String = memory.projection
-  override def temporal: Boolean = memory.temporal
-  override def timeDeltaMs: Option[Long] = memory.timeDeltaMs
-  override def period: Option[(Instant, Instant)] = memory.period
-  override def extent: Option[Bbox] = memory.extent
-  override def cellSize: Option[Double] = memory.cellSize
-  override def allTimes: Seq[Instant] = memory.allTimes
+  override def dtype: DType = DType.byName(meta0.dtypeName)
+  override def projection: String = s"EPSG:${meta0.epsg}"
+  override def temporal: Boolean = files.size > 1
+  override def timeDeltaMs: Option[Long] =
+    if (files.size > 1) Some(timeDeltaMsArg) else None
+  override def period: Option[(Instant, Instant)] =
+    Some((Instant.ofEpochMilli(timeFirstMs), Instant.ofEpochMilli(
+      timeFirstMs + timeDeltaMs.getOrElse(0L) * (files.size - 1))))
+  override def extent: Option[Bbox] = Some(meta0.bbox)
+  override def cellSize: Option[Double] = Some(meta0.bbox.width / meta0.w)
+  override def allTimes: Seq[Instant] =
+    files.indices.map(i => Instant.ofEpochMilli(
+      timeFirstMs + timeDeltaMs.getOrElse(0L) * i))
   // the file's stored sentinel is remapped to the dtype-max convention by
   // the underlying MemorySource
-  override def frame(req: RasterRequest)(implicit spark: SparkSession) =
-    memory.frame(req)
+  override def frame(req: RasterRequest)(implicit spark: SparkSession) = {
+    val sameCrs = files.size == 1 &&
+      (try Proj.normalize(req.projection) == Proj.normalize(projection)
+       catch { case _: IllegalArgumentException => false })
+    if (!sameCrs) memory.frame(req)
+    else {
+      val fullCell = meta0.bbox.width / meta0.w
+      // coarsest level still at least as fine as the request's grid
+      val reqCell = req.cellW
+      val level = levelDims.indices.reverse.find { i =>
+        val c = meta0.bbox.width / levelDims(i)._1
+        c <= reqCell * (1 + 1e-9)
+      }.getOrElse(0)
+      val lvlCell = meta0.bbox.width / levelDims(level)._1
+      val pad = 2 * math.max(lvlCell, fullCell)
+      val win = Bbox(req.bbox.x1 - pad, req.bbox.y1 - pad,
+        req.bbox.x2 + pad, req.bbox.y2 + pad)
+      val t = GeoTiff.readLevelWindow(files.head, level, win)
+      MemorySource(Seq(t.values), t.w, t.h, t.noData, s"EPSG:${t.epsg}",
+        (t.bbox.x2 - t.bbox.x1) / t.w, t.bbox.x1, t.bbox.y2,
+        timeFirstMs, None, t.dtypeName).frame(req)
+    }
+  }
 }

@@ -271,4 +271,83 @@ class GeoTiffSpec extends SparkSpec {
       assert(t.values(y * 64 + x) == expect, s"($x,$y)")
     }
   }
+
+  test("overview IFDs round-trip: chained levels, nearest decimation") {
+    val dir = Files.createTempDirectory("graft_ovr").toString
+    val p = s"$dir/ovr.tif"
+    val w = 1000; val h = 800
+    val vals = Array.tabulate(w * h)(i => (i % 7919).toDouble)
+    GeoTiff.write(p, vals, w, h, Bbox(0, 0, 1000, 800), 28992, -9999.0,
+      tileSize = 256, overviews = true)
+    // 1000x800 → 500x400 → 250x200 (≤ minDim 256 stops the cascade)
+    assert(GeoTiff.levelDims(p) == Seq((1000, 800), (500, 400), (250, 200)))
+    // level 0 unchanged
+    assert(GeoTiff.read(p).values.toSeq == vals.toSeq)
+    // level 1: GDAL nearest convention — top-left of each 2x2
+    val l1 = GeoTiff.readLevel(p, 1)
+    assert(l1.w == 500 && l1.h == 400)
+    assert(l1.bbox == Bbox(0, 0, 1000, 800)) // geo derives from IFD 0
+    assert(l1.epsg == 28992 && l1.noData == -9999.0)
+    for (y <- Seq(0, 1, 123, 399); x <- Seq(0, 1, 321, 499))
+      assert(l1.values(y * 500 + x) == vals(2 * y * w + 2 * x), s"l1 ($x,$y)")
+    // level 2 decimates level 1
+    val l2 = GeoTiff.readLevel(p, 2)
+    assert(l2.w == 250 && l2.h == 200)
+    for (y <- Seq(0, 99, 199); x <- Seq(0, 127, 249))
+      assert(l2.values(y * 250 + x) == vals(4 * y * w + 4 * x), s"l2 ($x,$y)")
+  }
+
+  test("a coarse request reads only overview bytes (full-res clobber proof)") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_cog").toString
+    val p = s"$dir/cog.tif"
+    val w = 1024; val h = 1024
+    val vals = Array.tabulate(w * h)(i => (i % 9973).toDouble)
+    GeoTiff.write(p, vals, w, h, Bbox(0, 0, 1024, 1024), 28992, -9999.0,
+      tileSize = 256, overviews = true)
+    assert(GeoTiff.levelDims(p) == Seq((1024, 1024), (512, 512), (256, 256)))
+    // clobber every full-resolution pixel byte: find the first strip/tile's
+    // known byte pattern and overwrite the whole level-0 data region
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val first8 = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(vals(0)).array()
+    val second8 = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(vals(1)).array()
+    var dataOff = -1
+    var i = 0
+    while (dataOff < 0 && i < bytes.length - 16) {
+      if ((0 until 8).forall(k => bytes(i + k) == first8(k)) &&
+        (0 until 8).forall(k => bytes(i + 8 + k) == second8(k))) dataOff = i
+      i += 1
+    }
+    assert(dataOff > 0, "level-0 data region not found")
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try {
+      raf.seek(dataOff)
+      raf.write(Array.fill(w * h * 8)(0x5A.toByte)) // full-res pixels → garbage
+    } finally raf.close()
+    // full-resolution read now sees the clobber...
+    assert(GeoTiff.read(p).values(0) != vals(0))
+    // ...but a 1/16-scale request is served bit-exactly from the overview
+    // pyramid — proof it touched no full-resolution pixel byte
+    val req = RasterRequest(Bbox(0, 0, 1024, 1024), "EPSG:28992", 64, 64)
+    val res = GeoTiffSource(p).getData(req)(sp).get
+    // request cell = 16px ⇒ level 2 (cell 4px) serves; its pixel (x*?, ...)
+    // NN warp picks the level-2 sample containing each request center
+    for (ry <- Seq(0, 13, 63); rx <- Seq(0, 31, 63)) {
+      val cx = (rx + 0.5) * 16 // request center in world coords (= px)
+      val cy1 = 1024 - (ry + 0.5) * 16
+      val l2x = math.min(255, (cx / 4).toInt) // level-2 grid (cell 4px)
+      val l2y = math.min(255, ((1024 - cy1) / 4).toInt)
+      val expect = vals(math.min(2 * math.min(2 * l2y, 511), 1023) * w +
+        math.min(2 * math.min(2 * l2x, 511), 1023))
+      assert(res.values(0)(ry * 64 + rx) == expect, s"($rx,$ry)")
+    }
+    // a windowed coarse read touches a strict subset of the level
+    val winT = GeoTiff.readLevelWindow(p, 2, Bbox(10, 10, 50, 50))
+    assert(winT.w == 256 && winT.h == 256) // one 256-tile level → whole tile
+    val winT1 = GeoTiff.readLevelWindow(p, 1, Bbox(10, 900, 700, 1020))
+    assert(winT1.w == 512 && winT1.h == 256) // 2x1 of the 512-level's tiles
+    assert(winT1.bbox == Bbox(0, 512, 1024, 1024)) // anchored at the top
+  }
 }
