@@ -22,11 +22,21 @@ trait Block extends Product with Serializable {
   /** Constructor args in order: child Blocks and/or plain literals. */
   def args: Seq[Any] = productIterator.toSeq
 
-  final lazy val token: String = Token.of(getClass.getName, args)
+  /** A DummyBlock masquerades as the node it replaces: its token is the
+    * one embedded in its name and its graph key IS that name
+    * (core/graphs.py:293-308) — so a partial graph with dummy endpoints
+    * tokenizes identically to the full graph. */
+  final lazy val token: String = this match {
+    case DummyBlock(n) => n.split("_").lift(1).getOrElse(n)
+    case _ => Token.of(getClass.getName, args)
+  }
 
   /** Graph key, mirroring the reference's `name = "{Class}_{token}"`
     * (core/graphs.py:220-222). */
-  final def graphName: String = s"${getClass.getSimpleName}_$token"
+  final def graphName: String = this match {
+    case DummyBlock(n) => n
+    case _ => s"${getClass.getSimpleName}_$token"
+  }
 
   def children: Seq[Block] = args.flatMap {
     case b: Block  => Seq(b)
@@ -67,8 +77,36 @@ trait Block extends Product with Serializable {
 }
 
 /** Placeholder node with a user-supplied name for partial evaluation,
-  * after `DummyBlock` (core/graphs.py:293-308). */
-case class DummyBlock(dummyName: String) extends Block
+  * after `DummyBlock` (core/graphs.py:293-308). It stands in for a node of
+  * ANY kind — raster, geometry, or series — so reference-emitted partial
+  * graphs construct whatever the surrounding operators expect; computing
+  * through it fails loudly, same as the reference (a dummy has no data). */
+case class DummyBlock(dummyName: String) extends graft.raster.RasterBlock
+    with graft.geometry.GeometryBlock with graft.geometry.SeriesBlock {
+  private def unsupported: Nothing = throw new UnsupportedOperationException(
+    s"DummyBlock '$dummyName' is a token-computation placeholder and cannot compute")
+  override def args: Seq[Any] = Seq(dummyName)
+  // RasterBlock surface
+  override def period: Option[(java.time.Instant, java.time.Instant)] = unsupported
+  override def timeDeltaMs: Option[Long] = unsupported
+  override def extent: Option[graft.raster.Bbox] = unsupported
+  override def projection: String = unsupported
+  override def dtype: graft.raster.DType = unsupported
+  override def temporal: Boolean = unsupported
+  override def allTimes: Seq[java.time.Instant] = unsupported
+  override def frame(req: graft.raster.RasterRequest)(
+      implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    unsupported
+  // GeometryBlock surface
+  override def columns: Set[String] = unsupported
+  override def frame(req: graft.geometry.GeometryRequest)(
+      implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    unsupported
+  // SeriesBlock surface
+  override def root: graft.geometry.GeometryBlock = unsupported
+  override def column(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column =
+    unsupported
+}
 
 /** Registry of Block constructors for deserializing JSON v2 views
   * (the role of `construct` / `construct_multiple`, core/graphs.py:52-82).
@@ -248,7 +286,21 @@ object BlockRegistry {
       classOf[TemporalAggregate], classOf[Cumulative], classOf[Resample]))
     aliasAll("dask_geomodeling.raster.spatial", Seq(
       classOf[Dilate], classOf[MovingMax], classOf[Smooth],
-      classOf[HillShade], classOf[Place]))
+      classOf[HillShade]))
+    // the reference's Place serializes FIVE args — (store, projection,
+    // anchor tuple, coordinate tuples, statistic) — never the engine-only
+    // modeHint; registerAuto's strict arity would reject them
+    register("dask_geomodeling.raster.spatial.Place") { args =>
+      def pt(a: Any): (Double, Double) = a match {
+        case s: Seq[_] if s.size == 2 =>
+          (s.head.toString.toDouble, s(1).toString.toDouble)
+        case p: (_, _) => (p._1.toString.toDouble, p._2.toString.toDouble)
+        case other => throw new IllegalArgumentException(s"not a point: $other")
+      }
+      Place(args.head.asInstanceOf[RasterBlock], args(1).toString,
+        pt(args(2)), args(3).asInstanceOf[Seq[Any]].map(pt),
+        args.lift(4).map(_.toString).getOrElse("last"))
+    }
     // the reference's combine.Group / reduction.Max serialize VARIADIC
     // member blocks (BaseCombine.__init__(*args)); collect them into the
     // engine's Seq parameter
@@ -345,10 +397,16 @@ object BlockRegistry {
     val graph = doc("graph").asInstanceOf[Map[String, Any]]
     val endpoints = if (names.nonEmpty) names else Seq(doc("name").toString)
     val built = scala.collection.mutable.HashMap.empty[String, Block]
+    val inProgress = scala.collection.mutable.HashSet.empty[String]
     def build(key: String): Block = built.getOrElseUpdate(key, {
+      require(inProgress.add(key), s"view graph has a reference cycle through '$key'")
       val entry = graph(key).asInstanceOf[List[Any]]
       val cls = entry.head.toString
-      val rawArgs = entry.tail.map {
+      // a DummyBlock's argument is the masqueraded NAME — a literal string
+      // that typically coincides with its own graph key, never a reference
+      val isDummy = cls == classOf[DummyBlock].getName ||
+        cls == "dask_geomodeling.core.graphs.DummyBlock"
+      val rawArgs = if (isDummy) entry.tail else entry.tail.map {
         case s: String if graph.contains(s) => build(s)
         case l: List[_] => l.map {
           case s: String if graph.contains(s) => build(s)
@@ -356,6 +414,7 @@ object BlockRegistry {
         }
         case v => v
       }
+      inProgress.remove(key)
       BlockRegistry.construct(cls, rawArgs)
     })
     endpoints.map(build)

@@ -149,6 +149,55 @@ class GeometrySerdeSpec extends SparkSpec {
     assert(area.source.asInstanceOf[AnyRef] eq merge.asInstanceOf[AnyRef])
   }
 
+  test("reference-emitted Place view: tuple args, one source shared at three depths") {
+    val v = BlockRegistry.fromJson(referenceView("place_shared_depths.json"))
+    val grp = v.asInstanceOf[Group]
+    assert(grp.rasters.size == 3)
+    val src = grp.rasters.head.asInstanceOf[GeoTiffSource]
+    val shift = grp.rasters(1).asInstanceOf[Shift]
+    val place = grp.rasters(2).asInstanceOf[Place]
+    // the serialized tuple args land as real tuples, reference arity (5)
+    assert(place.anchor == ((135001.0, 455999.0)))
+    assert(place.coordinates == Seq((135002.0, 455999.0), (135003.5, 455998.5)))
+    assert(place.statistic == "max" && place.modeHint.isEmpty)
+    // ONE shared instance at depth 1 (Group member), 2 (Shift store) and
+    // 2-under-Place — construct_multiple's sharing at every depth
+    assert(shift.store.asInstanceOf[AnyRef] eq src.asInstanceOf[AnyRef])
+    assert(place.store.asInstanceOf[AnyRef] eq src.asInstanceOf[AnyRef])
+  }
+
+  test("DummyBlock masquerades as the node it replaces (test_core.py:61-73)") {
+    // tokenize_dummy: same name, same token as the real block
+    val real = RasterFixtures.source
+    val dummy = DummyBlock(real.graphName)
+    assert(dummy.token == real.token)
+    assert(dummy.graphName == real.graphName)
+    // tokenize_dummy_derived: a parent over the dummy tokenizes like the
+    // parent over the real block — partial graphs for token computation
+    val expected = Add(real, 2.5)
+    val actual = Add(dummy, 2.5)
+    assert(actual.token == expected.token)
+    assert(actual.graphName == expected.graphName)
+    // dummies stand in for geometry/series nodes too
+    val gDummy = DummyBlock("TableGeometrySource_feedfacefeedfacefeedfacefeedface")
+    assert(graft.geometry.Area(gDummy, "EPSG:28992").token ==
+      graft.geometry.Area(gDummy, "EPSG:28992").token)
+    assert(gDummy.token == "feedfacefeedfacefeedfacefeedface")
+    // computing through a dummy fails loudly, like the reference
+    intercept[UnsupportedOperationException](dummy.allTimes)
+    intercept[UnsupportedOperationException](gDummy.columns)
+  }
+
+  test("a view graph with a reference cycle fails loudly, not by overflow") {
+    val cyclic =
+      """{"version": 2, "graph": {
+        |"Add_aaaa": ["dask_geomodeling.raster.elemwise.Add", "Add_bbbb", 1.0],
+        |"Add_bbbb": ["dask_geomodeling.raster.elemwise.Add", "Add_aaaa", 2.0]
+        |}, "name": "Add_aaaa"}""".stripMargin
+    val e = intercept[IllegalArgumentException](BlockRegistry.fromJson(cyclic))
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("reference-emitted zonal+classify view constructs") {
     val v = BlockRegistry.fromJson(referenceView("zonal_classify.json"))
     val set = v.asInstanceOf[SetSeriesBlock]
