@@ -300,12 +300,14 @@ object Proj extends Serializable {
 
   // --- Lambert Conformal Conic, 2 standard parallels (EPSG method 9802) ---
 
-  /** Snyder's ellipsoidal LCC-2SP. Angles in degrees in the public API,
-    * radians internally. Exact closed forms except the inverse latitude,
-    * which converges quadratically in a few fixed-point rounds. */
+  /** Snyder's ellipsoidal LCC — 2SP (EPSG 9802) and, when the parallels
+    * coincide, 1SP (EPSG 9801: n = sin(φ1), scale factor k0). Angles in
+    * degrees in the public API, radians internally. Exact closed forms
+    * except the inverse latitude, which converges quadratically in a few
+    * fixed-point rounds. */
   final case class LccSpec(a: Double, invF: Double, phi1Deg: Double,
       phi2Deg: Double, phi0Deg: Double, lon0Deg: Double,
-      falseE: Double, falseN: Double) {
+      falseE: Double, falseN: Double, k0: Double = 1.0) {
     private val f = 1.0 / invF
     private val e2 = f * (2.0 - f)
     private val e = math.sqrt(e2)
@@ -317,9 +319,11 @@ object Proj extends Serializable {
     private val phi1 = math.toRadians(phi1Deg)
     private val phi2 = math.toRadians(phi2Deg)
     private val lon0 = math.toRadians(lon0Deg)
-    private val n = (math.log(m(phi1)) - math.log(m(phi2))) /
-      (math.log(tf(phi1)) - math.log(tf(phi2)))
-    private val bigF = m(phi1) / (n * math.pow(tf(phi1), n))
+    // coincident parallels are the 1SP limit of the 2SP cone constant
+    private val n = if (phi1Deg == phi2Deg) math.sin(phi1)
+      else (math.log(m(phi1)) - math.log(m(phi2))) /
+        (math.log(tf(phi1)) - math.log(tf(phi2)))
+    private val bigF = k0 * m(phi1) / (n * math.pow(tf(phi1), n))
     private val rho0 = a * bigF * math.pow(tf(math.toRadians(phi0Deg)), n)
 
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
@@ -635,10 +639,11 @@ object Proj extends Serializable {
             val s = TmSpec(a0, invF, kv("LON0"), opt("K0", 1.0), opt("FE", 0.0),
               opt("FN", 0.0), lat0Deg = opt("LAT0", 0.0))
             Some((s.forward _, s.inverse _))
-          case "LCC" if kv.contains("SP1") && kv.contains("SP2") &&
-              kv("SP1") != kv("SP2") =>
-            val s = LccSpec(a0, invF, kv("SP1"), kv("SP2"),
-              opt("LAT0", kv("SP1")), kv("LON0"), opt("FE", 0.0), opt("FN", 0.0))
+          case "LCC" if kv.contains("SP1") =>
+            // SP2 absent (or equal) is the 1SP form; K0 defaults to 1
+            val s = LccSpec(a0, invF, kv("SP1"), opt("SP2", kv("SP1")),
+              opt("LAT0", kv("SP1")), kv("LON0"), opt("FE", 0.0), opt("FN", 0.0),
+              opt("K0", 1.0))
             Some((s.forward _, s.inverse _))
           case "AEA" if kv.contains("SP1") && kv.contains("SP2") =>
             val s = AlbersSpec(a0, invF, kv("SP1"), kv("SP2"),

@@ -220,8 +220,18 @@ object WktSrs {
   private val Wgs84InvF = 298.257223563
   private val Grs80InvF = 298.257222101
 
+  /** Prime-meridian longitude in degrees east of Greenwich. Both GDAL and
+    * ESRI write the PRIMEM value in DEGREES regardless of the GEOGCS
+    * angular unit (the WKT-1 ambiguity resolved the conventional way). */
+  private def primeMeridianDeg(root: Node): Double =
+    root.all.find(_.name.equalsIgnoreCase("PRIMEM"))
+      .flatMap(_.numbers.headOption).getOrElse(0.0)
+
   private def matchGeographic(root: Node): Either[String, String] =
-    ellipsoid(root) match {
+    if (!near(primeMeridianDeg(root), 0.0, 1e-12))
+      Left(s"geographic CRS '${root.label}' has a non-Greenwich prime " +
+        "meridian — its coordinates are shifted and cannot snap to the hub")
+    else ellipsoid(root) match {
       // WGS84, GRS80 (ETRS89/NAD83/RGF93) — all ride the hub's 4326
       case Some((a, invF)) if near(a, 6378137.0, 0.01) &&
         (near(invF, Wgs84InvF, 1e-6) || near(invF, Grs80InvF, 1e-6)) =>
@@ -267,10 +277,12 @@ object WktSrs {
     val linU = linearUnit(root)
     val towgs = root.all.find(_.name.equalsIgnoreCase("TOWGS84")).map(_.numbers)
 
-    // angles in degrees, lengths in metres, whatever the file's units
+    // angles in degrees, lengths in metres, whatever the file's units;
+    // a non-Greenwich PRIMEM (NTF's Paris) shifts the central meridian
+    val pmDeg = primeMeridianDeg(root)
     def lon0 = param(p, "central_meridian", "longitude_of_natural_origin",
       "longitude_of_center", "longitude_of_origin", "longitude_of_false_origin")
-      .map(_ * angU)
+      .map(_ * angU + pmDeg)
     def lat0 = param(p, "latitude_of_origin", "latitude_of_natural_origin",
       "latitude_of_center", "latitude_of_false_origin").map(_ * angU)
     def k0 = param(p, "scale_factor", "scale_factor_at_natural_origin")
@@ -435,8 +447,12 @@ object WktSrs {
         }
       snapped.map(Right(_)).getOrElse {
         if (sp2.isEmpty || sp1 == sp2)
-          Left(s"Lambert Conformal Conic 1SP in '${root.label}' is not supported " +
-            "(only the 2SP form, EPSG method 9802)")
+          // 1SP (EPSG 9801): single parallel = grid origin, explicit k0.
+          // ESRI writes Standard_Parallel_1 + Scale_Factor; OGC 1SP .prj
+          // carries only latitude_of_origin + scale_factor.
+          inst("LCC", Seq("SP1" -> sp1.orElse(lat0), "LAT0" -> lat0.orElse(sp1),
+            "K0" -> k0, "LON0" -> lon0, "FE" -> fe, "FN" -> fn),
+            defaults = Map("K0" -> 1.0, "FE" -> 0.0, "FN" -> 0.0))
         else
           inst("LCC", Seq("SP1" -> sp1, "SP2" -> sp2, "LAT0" -> lat0.orElse(sp1),
             "LON0" -> lon0, "FE" -> fe, "FN" -> fn),
@@ -609,10 +625,15 @@ object WktSrs {
         "latitude_of_origin" -> g("LAT0"), "central_meridian" -> g("LON0"),
         "scale_factor" -> g("K0", 1.0), "false_easting" -> feU,
         "false_northing" -> fnU)))
-      case "LCC" => Some(("Lambert_Conformal_Conic_2SP", Seq(
+      case "LCC" if kv.contains("SP2") => Some(("Lambert_Conformal_Conic_2SP", Seq(
         "standard_parallel_1" -> kv("SP1"), "standard_parallel_2" -> kv("SP2"),
         "latitude_of_origin" -> g("LAT0", kv("SP1")),
         "central_meridian" -> g("LON0"),
+        "false_easting" -> feU, "false_northing" -> fnU)))
+      case "LCC" => Some(("Lambert_Conformal_Conic_1SP", Seq(
+        "standard_parallel_1" -> kv("SP1"),
+        "latitude_of_origin" -> g("LAT0", kv("SP1")),
+        "scale_factor" -> g("K0", 1.0), "central_meridian" -> g("LON0"),
         "false_easting" -> feU, "false_northing" -> fnU)))
       case "AEA" => Some(("Albers_Conic_Equal_Area", Seq(
         "standard_parallel_1" -> kv("SP1"), "standard_parallel_2" -> kv("SP2"),

@@ -591,8 +591,15 @@ object GeoTiff {
     } finally raf.close()
   }
 
+  /** `values` is band 1; `moreBands` the rest (chunky-interleaved
+    * multiband files — the reference maps bands onto the synthetic time
+    * axis, one band per frame, raster/sources.py:396-564). `bandCount` is
+    * populated by metadata-only reads without decoding pixels. */
   case class Tiff(values: Array[Double], w: Int, h: Int, bbox: Bbox,
-      epsg: Int, noData: Double, dtypeName: String = "float64")
+      epsg: Int, noData: Double, dtypeName: String = "float64",
+      moreBands: Seq[Array[Double]] = Nil, bandCount: Int = 1) {
+    def bands: Seq[Array[Double]] = values +: moreBands
+  }
 
   /** TIFF field-type byte widths (TIFF 6.0 §2 + BigTIFF LONG8/SLONG8/IFD8).
     * RATIONAL(5)/SRATIONAL(10) are two LONGs = 8 bytes — without them the
@@ -806,6 +813,17 @@ object GeoTiff {
       s"unsupported TIFF predictor $predictor for sample format $sampleFormat")
     val bytesPer = bits / 8
     val tiled = t.contains(322)
+    // multiband: chunky interleave only (PlanarConfiguration 1), no
+    // predictor (its differencing stride is per-component — fail loud
+    // rather than mis-decode a foreign file)
+    val spp = t.scalarOpt(277).getOrElse(1)
+    require(spp >= 1 && spp <= 1024, s"corrupt TIFF: $spp samples per pixel")
+    if (spp > 1) {
+      require(t.scalarOpt(284).forall(_ == 1),
+        "multiband TIFF requires chunky interleave (PlanarConfiguration=1)")
+      require(predictor == 1,
+        "multiband TIFF with a predictor is not supported")
+    }
 
     // geo-metadata: this IFD's tags, or (overview levels) the base image's
     val nd = t.get(42113).map { case (_, count, off) =>
@@ -831,7 +849,8 @@ object GeoTiff {
       e
     } else base.map(_.epsg).getOrElse(0)
     if (metaOnly)
-      return Tiff(new Array[Double](0), w, h, bbox, epsg, nd, dtypeName)
+      return Tiff(new Array[Double](0), w, h, bbox, epsg, nd, dtypeName,
+        bandCount = spp)
 
     // pixel window to decode: everything, or the segment-aligned region
     // enclosing the requested world bbox on this level's grid
@@ -854,9 +873,9 @@ object GeoTiff {
     }
     // single-request materialization cap, same limit the engine's request
     // guards enforce — and the backstop against hostile dimension tags
-    require(cols.toLong * rows <= RequestGuards.rasterLimitPixels,
-      s"TIFF window of $cols x $rows pixels exceeds the in-memory limit of " +
-        s"${RequestGuards.rasterLimitPixels} pixels")
+    require(cols.toLong * rows * spp <= RequestGuards.rasterLimitPixels,
+      s"TIFF window of $cols x $rows x $spp samples exceeds the in-memory " +
+        s"limit of ${RequestGuards.rasterLimitPixels} pixels")
     val decodeFrom: (ByteBuffer, Int) => Double = (bits, sampleFormat) match {
       case (64, 3) => (b, off) => b.getDouble(off)
       case (32, 3) => (b, off) => b.getFloat(off).toDouble
@@ -886,7 +905,7 @@ object GeoTiff {
       ByteBuffer.wrap(decoded)
         .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     }
-    val values = new Array[Double](cols * rows)
+    val bandVals = Array.fill(spp)(new Array[Double](cols * rows))
     if (!tiled) {
       val stripOffs = t.longsOf(273)
       val stripCnts = t.longsOf(279)
@@ -894,13 +913,18 @@ object GeoTiff {
       var strip = row0 / rps // window rows are strip-aligned
       while (strip * rps < row0 + rows) {
         val sRows = math.min(rps, h - strip * rps)
-        val seg = segment(stripOffs(strip), stripCnts(strip), sRows * w * bytesPer, w)
+        val seg = segment(stripOffs(strip), stripCnts(strip),
+          sRows * w * spp * bytesPer, w * spp)
         var r = 0
         while (r < sRows && strip * rps + r < row0 + rows) {
           var j = 0
           while (j < cols) {
-            values((strip * rps + r - row0) * cols + j) =
-              decodeFrom(seg, (r * w + col0 + j) * bytesPer)
+            var b = 0
+            while (b < spp) {
+              bandVals(b)((strip * rps + r - row0) * cols + j) =
+                decodeFrom(seg, ((r * w + col0 + j) * spp + b) * bytesPer)
+              b += 1
+            }
             j += 1
           }
           r += 1
@@ -925,19 +949,27 @@ object GeoTiff {
             while (y < th && ty * th + y < h) {
               var x = 0
               while (x < tw && tx * tw + x < w) {
-                values((ty * th + y - row0) * cols + tx * tw + x - col0) = nd
+                var b = 0
+                while (b < spp) {
+                  bandVals(b)((ty * th + y - row0) * cols + tx * tw + x - col0) = nd
+                  b += 1
+                }
                 x += 1
               }
               y += 1
             }
           } else {
-            val seg = segment(tileOffs(ti), tileCnts(ti), tw * th * bytesPer, tw)
+            val seg = segment(tileOffs(ti), tileCnts(ti), tw * th * spp * bytesPer, tw * spp)
             var y = 0
             while (y < th && ty * th + y < h) {
               var x = 0
               while (x < tw && tx * tw + x < w) {
-                values((ty * th + y - row0) * cols + tx * tw + x - col0) =
-                  decodeFrom(seg, (y * tw + x) * bytesPer)
+                var b = 0
+                while (b < spp) {
+                  bandVals(b)((ty * th + y - row0) * cols + tx * tw + x - col0) =
+                    decodeFrom(seg, ((y * tw + x) * spp + b) * bytesPer)
+                  b += 1
+                }
                 x += 1
               }
               y += 1
@@ -950,7 +982,8 @@ object GeoTiff {
     }
     val outBbox = Bbox(bbox.x1 + col0 * sx, bbox.y2 - (row0 + rows) * sy,
       bbox.x1 + (col0 + cols) * sx, bbox.y2 - row0 * sy)
-    Tiff(values, cols, rows, outBbox, epsg, nd, dtypeName)
+    Tiff(bandVals(0), cols, rows, outBbox, epsg, nd, dtypeName,
+      moreBands = bandVals.toSeq.drop(1), bandCount = spp)
   }
 }
 
@@ -1010,28 +1043,36 @@ case class GeoTiffSource(url: String, timeFirstMs: Long = 0L,
   private lazy val tiffs: Seq[GeoTiff.Tiff] = files.map(GeoTiff.read)
   private lazy val memory: MemorySource = {
     val t = tiffs.head
-    MemorySource(tiffs.map(_.values), t.w, t.h, t.noData,
+    // the reference maps bands onto the synthetic time axis — one band
+    // per frame (raster/sources.py:396-564). A single multiband file
+    // contributes one frame per band; directories (the sink's own
+    // exports, single-band by construction) one frame per file.
+    val frames = if (tiffs.size > 1) tiffs.map(_.values) else tiffs.head.bands
+    MemorySource(frames, t.w, t.h, t.noData,
       s"EPSG:${t.epsg}", (t.bbox.x2 - t.bbox.x1) / t.w, t.bbox.x1, t.bbox.y2,
-      timeFirstMs, if (tiffs.size > 1) Some(timeDeltaMsArg) else None,
+      timeFirstMs, if (frames.size > 1) Some(timeDeltaMsArg) else None,
       t.dtypeName)
   }
+  // frames = files × bands (single-file multiband = one frame per band)
+  private lazy val frameCount: Int =
+    if (files.size > 1) files.size else meta0.bandCount
   override def dtype: DType = DType.byName(meta0.dtypeName)
   override def projection: String = s"EPSG:${meta0.epsg}"
-  override def temporal: Boolean = files.size > 1
+  override def temporal: Boolean = frameCount > 1
   override def timeDeltaMs: Option[Long] =
-    if (files.size > 1) Some(timeDeltaMsArg) else None
+    if (frameCount > 1) Some(timeDeltaMsArg) else None
   override def period: Option[(Instant, Instant)] =
     Some((Instant.ofEpochMilli(timeFirstMs), Instant.ofEpochMilli(
-      timeFirstMs + timeDeltaMs.getOrElse(0L) * (files.size - 1))))
+      timeFirstMs + timeDeltaMs.getOrElse(0L) * (frameCount - 1))))
   override def extent: Option[Bbox] = Some(meta0.bbox)
   override def cellSize: Option[Double] = Some(meta0.bbox.width / meta0.w)
   override def allTimes: Seq[Instant] =
-    files.indices.map(i => Instant.ofEpochMilli(
+    (0 until frameCount).map(i => Instant.ofEpochMilli(
       timeFirstMs + timeDeltaMs.getOrElse(0L) * i))
   // the file's stored sentinel is remapped to the dtype-max convention by
   // the underlying MemorySource
   override def frame(req: RasterRequest)(implicit spark: SparkSession) = {
-    val sameCrs = files.size == 1 &&
+    val sameCrs = files.size == 1 && meta0.bandCount == 1 &&
       (try Proj.normalize(req.projection) == Proj.normalize(projection)
        catch { case _: IllegalArgumentException => false })
     if (!sameCrs) memory.frame(req)

@@ -272,6 +272,72 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("a foreign chunky multiband TIFF reads bands as time frames") {
+    // hand-rolled classic little-endian TIFF, 4x3, 2 bands interleaved
+    // per pixel (PlanarConfiguration=1), float64, one strip — written
+    // from the TIFF 6.0 spec independently of the codec's writer
+    val w = 4; val h = 3; val spp = 2
+    val entries = Seq[(Int, Int, Int, Long)](
+      (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 64), (259, 3, 1, 1),
+      (262, 3, 1, 1), (273, 4, 1, 0L /* patched */), (277, 3, 1, spp),
+      (278, 3, 1, h), (279, 4, 1, (w * h * spp * 8).toLong), (284, 3, 1, 1),
+      (339, 3, 1, 3),
+      (33550, 12, 3, 0L /* patched */), (33922, 12, 6, 0L /* patched */),
+      (34735, 3, 8, 0L /* patched */))
+    val n = entries.length
+    val ifdOff = 8
+    val ifdLen = 2 + n * 12 + 4
+    val psOff = ifdOff + ifdLen
+    val tpOff = psOff + 24
+    val gkOff = tpOff + 48
+    val dataOff = gkOff + 16
+    val total = dataOff + w * h * spp * 8
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    bb.putShort(n.toShort)
+    for ((tag, typ, cnt, v0) <- entries) {
+      val v = tag match {
+        case 273 => dataOff.toLong
+        case 33550 => psOff.toLong
+        case 33922 => tpOff.toLong
+        case 34735 => gkOff.toLong
+        case _ => v0
+      }
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3 && cnt == 1) { bb.putShort(v.toShort); bb.putShort(0) }
+      else bb.putInt(v.toInt)
+    }
+    bb.putInt(0) // next IFD
+    bb.putDouble(1.0).putDouble(1.0).putDouble(0.0) // pixel scale
+    bb.putDouble(0).putDouble(0).putDouble(0)
+      .putDouble(100.0).putDouble(203.0).putDouble(0) // tiepoint
+    Seq(1, 1, 0, 1, 3072, 0, 1, 28992).foreach(k => bb.putShort(k.toShort))
+    // band 1 = pixel index, band 2 = 1000 + index, interleaved
+    for (i <- 0 until w * h) { bb.putDouble(i.toDouble); bb.putDouble(1000.0 + i) }
+    val dir = Files.createTempDirectory("graft_mb").toString
+    val p = s"$dir/mb.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bb.array())
+
+    val t = GeoTiff.read(p)
+    assert(t.bandCount == 2 && t.moreBands.size == 1)
+    assert(t.values.toSeq == (0 until 12).map(_.toDouble))
+    assert(t.moreBands.head.toSeq == (0 until 12).map(1000.0 + _))
+    assert(t.bbox == Bbox(100, 200, 104, 203) && t.epsg == 28992)
+
+    // the source serves one frame per band, reference-style
+    val src = GeoTiffSource(p)
+    assert(src.temporal && src.allTimes.size == 2)
+    val sp = spark
+    val req = RasterRequest(Bbox(100, 200, 104, 203), "EPSG:28992", 4, 3,
+      start = Some(java.time.Instant.ofEpochMilli(0)),
+      stop = Some(java.time.Instant.ofEpochMilli(300000)))
+    val res = src.getData(req)(sp).get
+    assert(res.values.size == 2)
+    assert(res.values(0).toSeq == (0 until 12).map(_.toDouble))
+    assert(res.values(1).toSeq == (0 until 12).map(1000.0 + _))
+  }
+
   test("overview IFDs round-trip: chained levels, nearest decimation") {
     val dir = Files.createTempDirectory("graft_ovr").toString
     val p = s"$dir/ovr.tif"

@@ -387,6 +387,26 @@ class ReprojectionSpec extends SparkSpec {
     assert(dx > -900000 && dx < -700000 && dy > 1750000 && dy < 1950000, s"($dx,$dy)")
   }
 
+  test("LCC-1SP matches the EPSG 9801 worked example (Jamaica National Grid)") {
+    // EPSG Guidance 7-2 §3.2.2: Clarke 1866, φ0 = 18°N, λ0 = 77°W,
+    // k0 = 1.0, FE = 250000, FN = 150000; φ = 17°55'55.80"N,
+    // λ = 76°56'37.26"W → E = 255966.58, N = 142493.51
+    val lcc = Proj.LccSpec(6378206.4, 294.97869821, 18.0, 18.0, 18.0, -77.0,
+      250000.0, 150000.0, k0 = 1.0)
+    val lat = 17.0 + 55.0 / 60 + 55.80 / 3600
+    val lon = -(76.0 + 56.0 / 60 + 37.26 / 3600)
+    val (e, n) = lcc.forward(lon, lat)
+    assert(math.abs(e - 255966.58) < 0.05, s"E $e")
+    assert(math.abs(n - 142493.51) < 0.05, s"N $n")
+    val (lon2, lat2) = lcc.inverse(e, n)
+    assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+    // NTF Lambert zone II: the grid origin maps to the false origin
+    val ntf2 = Proj.LccSpec(6378249.2, 293.46602, 46.8, 46.8, 46.8,
+      2.337229166666667, 600000.0, 2200000.0, k0 = 0.99987742)
+    val (e0, n0) = ntf2.forward(2.337229166666667, 46.8)
+    assert(math.abs(e0 - 600000.0) < 1e-6 && math.abs(n0 - 2200000.0) < 1e-6)
+  }
+
   test("ellipsoidal Mercator matches the EPSG 9804 worked example") {
     // EPSG Guidance 7-2 §3.2.1 (Makassar / NEIEZ, Bessel 1841):
     // λ0 = 110°E, k0 = 0.997, FE = 3900000, FN = 900000;

@@ -306,6 +306,35 @@ class WktSrsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("TOWGS84"))
   }
 
+  test("NTF Lambert zone II: 1SP + grads + Paris meridian + TOWGS84") {
+    // the full legacy-France stack in one .prj: Clarke 1880 IGN, grads,
+    // Paris prime meridian (PRIMEM in degrees, the GDAL/ESRI convention),
+    // LCC-1SP with a scale factor, and the published NTF→WGS84 shift
+    val ntf2 =
+      """PROJCS["NTF_Lambert_Zone_II",GEOGCS["GCS_NTF_Paris",DATUM["D_NTF",SPHEROID["Clarke_1880_IGN",6378249.2,293.46602],TOWGS84[-168,-60,320,0,0,0,0]],PRIMEM["Paris",2.337229166666667],UNIT["Grad",0.01570796326794897]],PROJECTION["Lambert_Conformal_Conic"],PARAMETER["False_Easting",600000.0],PARAMETER["False_Northing",2200000.0],PARAMETER["Central_Meridian",0.0],PARAMETER["Standard_Parallel_1",52.0],PARAMETER["Scale_Factor",0.99987742],PARAMETER["Latitude_Of_Origin",52.0],UNIT["Meter",1.0]]"""
+    val code = epsg(ntf2)
+    assert(code.startsWith("PARAM:LCC:"), code)
+    assert(code.contains("SP1=46.8")) // 52 grads → 46.8°
+    assert(code.contains("K0=0.99987742"))
+    assert(code.contains("LON0=2.337229166666667")) // 0 grads east of Paris
+    assert(code.contains("DX=-168.0"))
+    // round-trips through the hub (Helmert both ways)
+    val (e, n) = Proj.transform("EPSG:4326", code, 2.3522, 48.8566) // Paris
+    val (lon, lat) = Proj.transform(code, "EPSG:4326", e, n)
+    assert(math.abs(lon - 2.3522) < 1e-6 && math.abs(lat - 48.8566) < 1e-6)
+    // Paris lands where Lambert II puts it (~600.9 km E, ~2428 km N —
+    // zone II étendu's well-known city anchor, ±2 km envelope covers the
+    // grid-free Helmert accuracy)
+    assert(math.abs(e - 601000) < 2000, s"E $e")
+    assert(math.abs(n - 2428000) < 2000, s"N $n")
+    // a geographic CRS on the Paris meridian fails loudly instead of
+    // silently snapping 2.3° west
+    val gcsParis =
+      """GEOGCS["GCS_NTF_Paris",DATUM["D_NTF",SPHEROID["Clarke_1880_IGN",6378249.2,293.46602]],PRIMEM["Paris",2.337229166666667],UNIT["Grad",0.01570796326794897]]"""
+    val err = intercept[IllegalArgumentException](Proj.normalize(gcsParis))
+    assert(err.getMessage.toLowerCase.contains("prime"))
+  }
+
   test("parameterized codes emit .prj WKT that round-trips") {
     val caV =
       """PROJCS["NAD_1983_StatePlane_California_V_FIPS_0405_Feet",GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic"],PARAMETER["False_Easting",6561666.666666666],PARAMETER["False_Northing",1640416.666666667],PARAMETER["Central_Meridian",-118.0],PARAMETER["Standard_Parallel_1",34.03333333333333],PARAMETER["Standard_Parallel_2",35.46666666666667],PARAMETER["Latitude_Of_Origin",33.5],UNIT["Foot_US",0.3048006096012192]]"""
