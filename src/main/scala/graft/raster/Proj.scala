@@ -571,6 +571,64 @@ object Proj extends Serializable {
     }
   }
 
+  // --- Swiss Oblique Mercator (EPSG method 9814, Rosenmund) ----------------
+
+  /** The Swiss double projection: ellipsoid → conformal sphere → oblique
+    * equatorial aspect → Mercator (Swisstopo's published exact formulas;
+    * EPSG 9814). CH1903/LV03 (EPSG:21781) and CH1903+/LV95 (EPSG:2056)
+    * differ only in the false origin. GDAL/ESRI spell it
+    * Hotine_Oblique_Mercator_Azimuth_Center with azimuth = rectified
+    * grid angle = 90°, to which 9814 is equivalent at these parameters. */
+  final case class SomercSpec(a: Double, invF: Double, lat0Deg: Double,
+      lon0Deg: Double, falseE: Double, falseN: Double) {
+    private val f = 1.0 / invF
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private val phi0 = math.toRadians(lat0Deg)
+    private val sin0 = math.sin(phi0)
+    // radius of the projection sphere and sphere↔ellipsoid constants
+    private val bigR = a * math.sqrt(1.0 - e2) / (1.0 - e2 * sin0 * sin0)
+    private val alpha = math.sqrt(1.0 + e2 / (1.0 - e2) * math.pow(math.cos(phi0), 4))
+    private val b0 = math.asin(sin0 / alpha)
+    private val bigK = math.log(math.tan(math.Pi / 4 + b0 / 2)) -
+      alpha * math.log(math.tan(math.Pi / 4 + phi0 / 2) *
+        math.pow((1.0 - e * sin0) / (1.0 + e * sin0), e / 2))
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val s = math.sin(phi)
+      val bigS = alpha * math.log(math.tan(math.Pi / 4 + phi / 2) *
+        math.pow((1.0 - e * s) / (1.0 + e * s), e / 2)) + bigK
+      val b = 2.0 * (math.atan(math.exp(bigS)) - math.Pi / 4)
+      val l = alpha * (math.toRadians(lonDeg) - math.toRadians(lon0Deg))
+      // rotate to the pseudo-equator through the projection center
+      val bBar = math.asin(math.cos(b0) * math.sin(b) -
+        math.sin(b0) * math.cos(b) * math.cos(l))
+      val lBar = math.asin(math.cos(b) * math.sin(l) / math.cos(bBar))
+      (falseE + bigR * lBar,
+        falseN + bigR * math.log(math.tan(math.Pi / 4 + bBar / 2)))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val lBar = (x - falseE) / bigR
+      val bBar = 2.0 * (math.atan(math.exp((y - falseN) / bigR)) - math.Pi / 4)
+      val b = math.asin(math.cos(b0) * math.sin(bBar) +
+        math.sin(b0) * math.cos(bBar) * math.cos(lBar))
+      val l = math.asin(math.cos(bBar) * math.sin(lBar) / math.cos(b))
+      val lonDeg = lon0Deg + math.toDegrees(l / alpha)
+      // invert the conformal-latitude mapping by fixed point on φ
+      val bigS = math.log(math.tan(math.Pi / 4 + b / 2))
+      var phi = b
+      var i = 0
+      while (i < 12) {
+        phi = 2.0 * math.atan(math.exp((bigS - bigK) / alpha +
+          e * atanh(e * math.sin(phi)))) - math.Pi / 2
+        i += 1
+      }
+      (lonDeg, math.toDegrees(phi))
+    }
+  }
+
   // --- parameterized CRS codes ("PARAM:FAM:K=V;K=V;...") -------------------
   //
   // Produced by WktSrs when a .prj's projection method is a supported
@@ -656,6 +714,10 @@ object Proj extends Serializable {
                 opt("FE", 0.0), opt("FN", 0.0), south, k0 = kv("K0"))
             else PsSpec(a0, invF, kv("SP1"), kv("LON0"),
               opt("FE", 0.0), opt("FN", 0.0), south)
+            Some((s.forward _, s.inverse _))
+          case "SOMERC" =>
+            val s = SomercSpec(a0, invF, kv("LAT0"), kv("LON0"),
+              opt("FE", 0.0), opt("FN", 0.0))
             Some((s.forward _, s.inverse _))
           case "MERC" =>
             // 2SP: k0 = m(φ1) (EPSG 9805); 1SP: explicit k0 (9804)

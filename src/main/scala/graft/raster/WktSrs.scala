@@ -406,6 +406,24 @@ object WktSrs {
             defaults = Map("LON0" -> 0.0, "FE" -> 0.0, "FN" -> 0.0))
         else Left(s"unsupported polar stereographic CRS '${root.label}'")
       }
+    } else if (m.contains("obliquemercator") || m.contains("swissoblique") ||
+      m.contains("obliquecylindrical")) {
+      // Swiss Oblique Mercator (EPSG 9814): GDAL/ESRI write CH1903 grids
+      // as Hotine_Oblique_Mercator_Azimuth_Center with azimuth =
+      // rectified grid angle = 90° and k0 = 1, to which 9814 is
+      // equivalent. The general (non-90°) Hotine is not implemented.
+      val az = param(p, "azimuth").map(_ * angU)
+      val rga = param(p, "rectified_grid_angle").map(_ * angU)
+      val swissLike = m.contains("swissoblique") || m.contains("obliquecylindrical") ||
+        (az.forall(near(_, 90.0, 1e-9)) && rga.forall(near(_, 90.0, 1e-9)) &&
+          k0.forall(near(_, 1.0, 1e-12)))
+      if (!swissLike)
+        Left(s"general Hotine Oblique Mercator in '${root.label}' is not " +
+          "supported (only the Swiss azimuth-90 form, EPSG method 9814)")
+      else
+        inst("SOMERC", Seq("LAT0" -> lat0, "LON0" -> lon0,
+          "FE" -> fe, "FN" -> fn),
+          defaults = Map("FE" -> 0.0, "FN" -> 0.0))
     } else if (m.contains("mercator")) {
       // Spherical web mercator ONLY when the method says so
       // (Popular_Visualisation…, …_Auxiliary_Sphere) or the ellipsoid is an
@@ -648,6 +666,10 @@ object WktSrs {
         else Some(("Polar_Stereographic", Seq(
           "latitude_of_origin" -> kv("SP1"), "central_meridian" -> g("LON0"),
           "false_easting" -> feU, "false_northing" -> fnU)))
+      case "SOMERC" => Some(("Hotine_Oblique_Mercator_Azimuth_Center", Seq(
+        "latitude_of_center" -> kv("LAT0"), "longitude_of_center" -> kv("LON0"),
+        "azimuth" -> 90.0, "rectified_grid_angle" -> 90.0, "scale_factor" -> 1.0,
+        "false_easting" -> feU, "false_northing" -> fnU)))
       case "MERC" =>
         if (kv.contains("SP1")) Some(("Mercator_2SP", Seq(
           "standard_parallel_1" -> kv("SP1"), "central_meridian" -> g("LON0"),

@@ -407,6 +407,20 @@ class ReprojectionSpec extends SparkSpec {
     assert(math.abs(e0 - 600000.0) < 1e-6 && math.abs(n0 - 2200000.0) < 1e-6)
   }
 
+  test("Swiss Oblique Mercator: origin exactness and sub-µm round-trips") {
+    // Bern origin (the LV03 definition): φ0/λ0 map to the false origin
+    // exactly — K is constructed so S(φ0) hits b0 on the sphere
+    val so = Proj.SomercSpec(6377397.155, 299.1528128,
+      46.95240555555556, 7.439583333333333, 600000.0, 200000.0)
+    val (e0, n0) = so.forward(7.439583333333333, 46.95240555555556)
+    assert(math.abs(e0 - 600000.0) < 1e-6 && math.abs(n0 - 200000.0) < 1e-6)
+    for ((lon, lat) <- Seq((6.1, 46.2), (8.54, 47.38), (9.83, 46.5), (7.0, 47.56))) {
+      val (x, y) = so.forward(lon, lat)
+      val (lon2, lat2) = so.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-12 && math.abs(lat2 - lat) < 1e-12, s"($lon,$lat)")
+    }
+  }
+
   test("ellipsoidal Mercator matches the EPSG 9804 worked example") {
     // EPSG Guidance 7-2 §3.2.1 (Makassar / NEIEZ, Bessel 1841):
     // λ0 = 110°E, k0 = 0.997, FE = 3900000, FN = 900000;

@@ -335,6 +335,39 @@ class WktSrsSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("prime"))
   }
 
+  test("CH1903 / LV03 (Swiss Oblique Mercator) instantiates from GDAL WKT") {
+    // GDAL spells EPSG 9814 as Hotine azimuth-center with azimuth = 90
+    val lv03 =
+      """PROJCS["CH1903 / LV03",GEOGCS["CH1903",DATUM["CH1903",SPHEROID["Bessel 1841",6377397.155,299.1528128],TOWGS84[674.374,15.056,405.346,0,0,0,0]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],PARAMETER["latitude_of_center",46.95240555555556],PARAMETER["longitude_of_center",7.439583333333333],PARAMETER["azimuth",90],PARAMETER["rectified_grid_angle",90],PARAMETER["scale_factor",1],PARAMETER["false_easting",600000],PARAMETER["false_northing",200000],UNIT["metre",1],AUTHORITY["EPSG","21781"]]"""
+    val code = epsg(lv03)
+    assert(code.startsWith("PARAM:SOMERC:"), code)
+    assert(code.contains("DX=674.374"))
+    // Zurich HB lands on its well-known LV03 coordinates (~683.2/248.1 km;
+    // the envelope covers the grid-free Helmert accuracy)
+    val (e, n) = Proj.transform("EPSG:4326", code, 8.540192, 47.378177)
+    assert(math.abs(e - 683212) < 1500, s"E $e")
+    assert(math.abs(n - 248100) < 1500, s"N $n")
+    val (lon, lat) = Proj.transform(code, "EPSG:4326", e, n)
+    assert(math.abs(lon - 8.540192) < 1e-6 && math.abs(lat - 47.378177) < 1e-6)
+    // LV95 is the same projection on a shifted false origin: coordinates
+    // differ by exactly (+2 000 000, +1 000 000)
+    val lv95 = lv03
+      .replace(""""false_easting",600000""", """"false_easting",2600000""")
+      .replace(""""false_northing",200000""", """"false_northing",1200000""")
+      .replace("21781", "2056")
+    val (e95, n95) = Proj.transform("EPSG:4326", epsg(lv95), 8.540192, 47.378177)
+    assert(math.abs((e95 - e) - 2000000.0) < 1e-6)
+    assert(math.abs((n95 - n) - 1000000.0) < 1e-6)
+    // the emitted .prj WKT round-trips to the same transform
+    val wkt2 = WktSrs.toWkt(code).getOrElse(fail("no WKT emitted"))
+    val (e2, n2) = Proj.transform("EPSG:4326", Proj.normalize(wkt2), 8.540192, 47.378177)
+    assert(math.abs(e2 - e) < 1e-9 && math.abs(n2 - n) < 1e-9)
+    // a general (non-90-azimuth) Hotine fails loudly
+    val general = lv03.replace(""""azimuth",90""", """"azimuth",53.3""")
+    val err = intercept[IllegalArgumentException](Proj.normalize(general))
+    assert(err.getMessage.contains("Hotine"))
+  }
+
   test("parameterized codes emit .prj WKT that round-trips") {
     val caV =
       """PROJCS["NAD_1983_StatePlane_California_V_FIPS_0405_Feet",GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic"],PARAMETER["False_Easting",6561666.666666666],PARAMETER["False_Northing",1640416.666666667],PARAMETER["Central_Meridian",-118.0],PARAMETER["Standard_Parallel_1",34.03333333333333],PARAMETER["Standard_Parallel_2",35.46666666666667],PARAMETER["Latitude_Of_Origin",33.5],UNIT["Foot_US",0.3048006096012192]]"""
