@@ -384,6 +384,33 @@ object SparkEntry {
         cells(stamped.frame(fullReq(g))(s), g)
           .select(col("t_idx"), col("cell_id"), round(col("v"), 4).as("v"))
       }),
+      "r37_cog_overview" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // frame 0 to a tiled GeoTIFF with a COG pyramid (floor-dim levels,
+        // nearest top-left decimation), then a half-resolution request:
+        // GeoTiffSource serves it from overview level 1 — the coarse grid
+        // equals the level-1 grid, so each output pixel is exactly the
+        // full-resolution sample at (2y, 2x). Oracle re-derives that
+        // subsampling over the events reshape in SQL.
+        val a = eventsRaster(dir, g)
+        val r0 = RasterRequest(Bbox(0, 0, g.w, g.h), "EPSG:28992", g.w, g.h,
+          Some(Instant.ofEpochMilli(0)), Some(Instant.ofEpochMilli(0)))
+        val res = a.getData(r0)(s).get
+        val out = java.nio.file.Files.createTempDirectory("verify_cog")
+          .resolve("cog.tif").toString
+        GeoTiff.write(out, res.values.head, g.w, g.h, Bbox(0, 0, g.w, g.h),
+          28992, res.noDataValue, tileSize = 16)
+        GeoTiff.appendOverviews(out, res.values.head, g.w, g.h,
+          res.noDataValue, "float64", tileSize = 16, minDim = 16)
+        val cw = g.w / 2; val ch = g.h / 2
+        val creq = RasterRequest(Bbox(0, g.h - ch * 2.0, g.w, g.h),
+          "EPSG:28992", cw, ch,
+          Some(Instant.ofEpochMilli(0)), Some(Instant.ofEpochMilli(0)))
+        val cres = GeoTiffSource(out).getData(creq)(s).get
+        import s.implicits._
+        cres.values.head.zipWithIndex.toSeq
+          .map { case (v, i) => (i.toLong, v) }.toDF("coarse_id", "v")
+      }),
       // self-check oracles: the two operators DuckDB cannot reproduce get a
       // hard signal from engine-internal equivalences instead
       "r34_place_modes" -> q((s, dir, g) => {
@@ -556,6 +583,19 @@ object SparkEntry {
     "r32_sink_roundtrip" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, CASE WHEN v = $NDSQL THEN v ELSE v * 2.0 END AS v
       |FROM cells""".stripMargin,
+    // COG half-resolution serving re-derived: coarse pixel (ry, rx) is the
+    // full-resolution frame-0 sample at cell (2·ry)·100 + 2·rx (nearest
+    // top-left decimation, level-1 grid == request grid); cells beyond the
+    // complete-cell count are the nodata sentinel
+    "r37_cog_overview" -> s"""${cellsSql()},
+      |dims AS (SELECT ((COUNT(*) // 4 + 99) // 100) // 2 AS ch FROM events),
+      |coarse AS (
+      |  SELECT ry * 50 + rx AS coarse_id, (2 * ry) * 100 + 2 * rx AS src_id
+      |  FROM (SELECT unnest(range(50)) AS rx),
+      |       (SELECT unnest(range((SELECT ch FROM dims))) AS ry))
+      |SELECT CAST(coarse_id AS BIGINT) AS coarse_id,
+      |  COALESCE(c.v, $NDSQL) AS v
+      |FROM coarse LEFT JOIN cells c ON c.cell_id = coarse.src_id AND c.t_idx = 0""".stripMargin,
     "r33_elemwise_suite" -> s"""WITH cells AS (
       |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
       |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v

@@ -499,14 +499,17 @@ object GeoTiff {
 
       val emitted = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
       var prev = values; var pw = w; var ph = h
-      while (math.max(pw, ph) > minDim) {
-        val nw = (pw + 1) / 2; val nh = (ph + 1) / 2
+      // FLOOR dims, not ceil: each level's cell is then exactly 2× the
+      // previous (the last odd row/column is cropped), so levels keep
+      // square pixels — the warp stage assumes a single pixel size
+      while (math.max(pw, ph) > minDim && pw >= 2 && ph >= 2) {
+        val nw = pw / 2; val nh = ph / 2
         val lv = new Array[Double](nw * nh)
         var y = 0
         while (y < nh) {
           var x = 0
           while (x < nw) {
-            lv(y * nw + x) = prev(math.min(2 * y, ph - 1) * pw + math.min(2 * x, pw - 1))
+            lv(y * nw + x) = prev(2 * y * pw + 2 * x)
             x += 1
           }
           y += 1
@@ -835,7 +838,19 @@ object GeoTiff {
       val tpOff = t(33922)._3
       val (ox, oy) = (in.f64(tpOff + 24), in.f64(tpOff + 32))
       Bbox(ox, oy - sy * h, ox + sx * w, oy)
-    } else base.map(_.bbox).getOrElse(
+    } else base.map { b =>
+      // overview level: infer the decimation factor. Floor-dim levels
+      // (ours) have cells exactly factor× the base and a bbox cropped at
+      // the bottom/right; ceil-dim levels (GDAL's convention) keep the
+      // full extent with slightly stretched cells.
+      val fx = math.max(1L, math.round(b.w.toDouble / w))
+      val cellX = b.bbox.width / b.w * fx
+      val cellY = b.bbox.height / b.h * fx
+      if (w * cellX <= b.bbox.width * (1 + 1e-9) &&
+        h * cellY <= b.bbox.height * (1 + 1e-9))
+        Bbox(b.bbox.x1, b.bbox.y2 - h * cellY, b.bbox.x1 + w * cellX, b.bbox.y2)
+      else b.bbox
+    }.getOrElse(
       throw new IllegalArgumentException("TIFF has no geo tags and no base image"))
     val epsg = if (t.contains(34735)) {
       val gkOff = t(34735)._3
@@ -1078,13 +1093,15 @@ case class GeoTiffSource(url: String, timeFirstMs: Long = 0L,
     if (!sameCrs) memory.frame(req)
     else {
       val fullCell = meta0.bbox.width / meta0.w
-      // coarsest level still at least as fine as the request's grid
+      // coarsest level still at least as fine as the request's grid;
+      // level cell = fullCell × decimation factor (robust to floor- and
+      // ceil-dim pyramids alike)
+      def cellOf(i: Int): Double =
+        fullCell * math.max(1L, math.round(meta0.w.toDouble / levelDims(i)._1))
       val reqCell = req.cellW
-      val level = levelDims.indices.reverse.find { i =>
-        val c = meta0.bbox.width / levelDims(i)._1
-        c <= reqCell * (1 + 1e-9)
-      }.getOrElse(0)
-      val lvlCell = meta0.bbox.width / levelDims(level)._1
+      val level = levelDims.indices.reverse.find(i =>
+        cellOf(i) <= reqCell * (1 + 1e-9)).getOrElse(0)
+      val lvlCell = cellOf(level)
       val pad = 2 * math.max(lvlCell, fullCell)
       val win = Bbox(req.bbox.x1 - pad, req.bbox.y1 - pad,
         req.bbox.x2 + pad, req.bbox.y2 + pad)
