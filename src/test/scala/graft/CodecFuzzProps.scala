@@ -205,6 +205,28 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
     try in.readAllBytes() finally in.close()
   }
 
+  private lazy val tifOverviews: Array[Byte] = {
+    val p = tmpRoot.resolve("ovr.tif").toString
+    GeoTiff.write(p, Array.tabulate(128 * 96)(_ * 0.25), 128, 96,
+      Bbox(0, 0, 128, 96), 28992, -9999.0, "float64", tileSize = 16)
+    GeoTiff.appendOverviews(p, Array.tabulate(128 * 96)(_ * 0.25), 128, 96,
+      -9999.0, "float64", tileSize = 16, minDim = 16)
+    Files.readAllBytes(Paths.get(p))
+  }
+
+  property("geotiff overview chain walk survives corrupt bytes") =
+    Prop.forAll(mutationGen(tifOverviews.length)) { case (kind, pos, value) =>
+      val bad = writeTmp("bad_ovr.tif", mutate(tifOverviews, kind, pos, value))
+      cleanOrFails(s"tif-ovr k=$kind p=$pos v=$value") {
+        // the chained-IFD surfaces: chain walk, per-level read, windowed
+        // read — corrupt next-IFD pointers and overview tags must fail
+        // cleanly, never loop or over-allocate
+        val dims = GeoTiff.levelDims(bad)
+        dims.indices.foreach(i => GeoTiff.readLevel(bad, i))
+        GeoTiff.readLevelWindow(bad, dims.length - 1, Bbox(10, 10, 50, 50))
+      }
+    }
+
   property("geotiff read survives corrupt BigTIFF bytes") =
     Prop.forAll(mutationGen(tifBigBe.length)) { case (kind, pos, value) =>
       val bad = writeTmp("bad_bigtiff.tif", mutate(tifBigBe, kind, pos, value))
