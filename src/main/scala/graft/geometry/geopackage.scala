@@ -478,7 +478,9 @@ case class GeometryFileSource(url: String, layer: Option[String] = None,
   @transient private lazy val delegate: GeometryBlock = {
     val lower = url.toLowerCase
     val fallback = proj.getOrElse("EPSG:28992")
-    if (lower.endsWith(".shp")) ShapefileSource(url, fallback)
+    if (lower.endsWith(".kmz") || lower.endsWith(".zip"))
+      GeometryFileSource(ZipVector.primaryFile(url), layer, proj)
+    else if (lower.endsWith(".shp")) ShapefileSource(url, fallback)
     else if (lower.endsWith(".gpkg")) GeoPackageSource(url, layer)
     else if (lower.endsWith(".gml")) GmlSource(url, fallback)
     else if (lower.endsWith(".fgb")) FlatGeobufSource(url, fallback)
