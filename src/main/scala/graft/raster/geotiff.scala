@@ -1049,7 +1049,8 @@ case class GeoTiffSource(url: String, timeFirstMs: Long = 0L,
     if (Files.isDirectory(p)) {
       import scala.jdk.CollectionConverters._
       Files.list(p).iterator().asScala.map(_.toString)
-        .filter(_.endsWith(".tif")).toSeq.sorted
+        .filter(f => { val l = f.toLowerCase; l.endsWith(".tif") || l.endsWith(".tiff") })
+        .toSeq.sorted
     } else Seq(url)
   }
   // header-only: shape, bbox, CRS, nodata, dtype + the overview pyramid
