@@ -387,6 +387,22 @@ class ReprojectionSpec extends SparkSpec {
     assert(dx > -900000 && dx < -700000 && dy > 1750000 && dy < 1950000, s"($dx,$dy)")
   }
 
+  test("LCC-2SP in survey feet matches the EPSG 9802 worked example") {
+    // EPSG Guidance 7-2: NAD27 / Texas South Central (Clarke 1866, US
+    // survey feet): φ0 = 27°50', λ0 = 99°W, parallels 28°23' / 30°17',
+    // FE = 2 000 000 ft, FN = 0; φ = 28°30'N, λ = 96°W →
+    // E = 2 963 503.91 ft, N = 254 759.80 ft
+    val u = 1200.0 / 3937.0 // US survey foot
+    val lcc = Proj.LccSpec(6378206.4, 294.97869821,
+      28.0 + 23.0 / 60, 30.0 + 17.0 / 60, 27.0 + 50.0 / 60, -99.0,
+      2000000.0 * u, 0.0)
+    val (em, nm) = lcc.forward(-96.0, 28.5)
+    assert(math.abs(em / u - 2963503.91) < 0.1, s"E ${em / u}")
+    assert(math.abs(nm / u - 254759.80) < 0.1, s"N ${nm / u}")
+    val (lon, lat) = lcc.inverse(em, nm)
+    assert(math.abs(lon + 96.0) < 1e-9 && math.abs(lat - 28.5) < 1e-9)
+  }
+
   test("LCC-1SP matches the EPSG 9801 worked example (Jamaica National Grid)") {
     // EPSG Guidance 7-2 §3.2.2: Clarke 1866, φ0 = 18°N, λ0 = 77°W,
     // k0 = 1.0, FE = 250000, FN = 150000; φ = 17°55'55.80"N,
