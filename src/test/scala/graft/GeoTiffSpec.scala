@@ -363,6 +363,42 @@ class GeoTiffSpec extends SparkSpec {
       assert(l2.values(y * 250 + x) == vals(4 * y * w + 4 * x), s"l2 ($x,$y)")
   }
 
+  test("sparse tiles and an overview pyramid compose") {
+    // the 100 TB mosaic shape: mostly-empty tiled raster written sparse
+    // (holes for nodata tiles) with a COG pyramid appended behind it
+    val dir = Files.createTempDirectory("graft_sparse_ovr").toString
+    val p = s"$dir/sc.tif"
+    val w = 512; val h = 512; val nd = -7.0
+    val vals = Array.fill(w * h)(nd)
+    // one populated 64x64 block at (128, 128)
+    for (y <- 128 until 192; x <- 128 until 192)
+      vals(y * w + x) = (y * w + x).toDouble
+    GeoTiff.write(p, vals, w, h, Bbox(0, 0, 512, 512), 28992, nd,
+      tileSize = 64, sparse = true)
+    val denseLen = new java.io.File(p).length()
+    GeoTiff.appendOverviews(p, vals, w, h, nd, "float64",
+      tileSize = 64, minDim = 64)
+    assert(GeoTiff.levelDims(p) == Seq((512, 512), (256, 256), (128, 128), (64, 64)))
+    assert(new java.io.File(p).length() > denseLen) // levels appended after
+    // level 0 sparse holes still read as nodata; data block intact
+    val t0 = GeoTiff.read(p)
+    assert(t0.values(0) == nd)
+    assert(t0.values(130 * w + 130) == (130 * w + 130).toDouble)
+    // level 2 decimates: populated block shrinks to (32..48)^2 at 4x stride
+    val l2 = GeoTiff.readLevel(p, 2)
+    assert(l2.w == 128)
+    assert(l2.values(0) == nd)
+    assert(l2.values(33 * 128 + 33) == (132 * w + 132).toDouble)
+    // a quarter-scale request over the data block serves from the pyramid
+    val sp = spark
+    val req = RasterRequest(Bbox(128, 320, 192, 384), "EPSG:28992", 16, 16)
+    val res = GeoTiffSource(p).getData(req)(sp).get
+    // request cell 4px → level 2; center of request pixel (0,0) is world
+    // (130, 382) → level-2 sample (32, 32) → full (128+?, ...)
+    assert(res.values(0).forall(v => v == nd || v >= 128.0))
+    assert(res.values(0).count(_ != nd) == 256) // the block fills the window
+  }
+
   test("a coarse request reads only overview bytes (full-res clobber proof)") {
     val sp = spark
     val dir = Files.createTempDirectory("graft_cog").toString
