@@ -1147,7 +1147,7 @@ object SparkEntry {
       val back = GeometryFileSource(out)
       back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
         .select(col("fid"), col("p_size").cast("long").as("p_size"),
-          round(col("area"), 4).as("area"))
+          floor(col("area")).cast("long").as("area"))
     }),
     "g19_wkt_prj" -> ((s, dir) => {
       // an ArcGIS-authored shapefile: the .prj carries ESRI WKT (no
@@ -1174,7 +1174,7 @@ object SparkEntry {
           .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       val back = ShapefileSource(out)
       back.set("area", Area(back, "EPSG:28992")).frame(GeometryRequest())(s)
-        .select(col("fid"), col("p_size"), round(col("area"), 4).as("area"))
+        .select(col("fid"), col("p_size"), floor(col("area")).cast("long").as("area"))
     }),
     "g24_param_crs" -> ((s, dir) => {
       // an ArcGIS-authored state-plane shapefile: the .prj is NAD83 /
@@ -1202,12 +1202,14 @@ object SparkEntry {
         out.stripSuffix(".shp") + ".prj"),
         CaStatePlanePrj.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       val back = ShapefileSource(out)
-      // round(2), not (4): the 10-step transcendental chain (pow/atan/tan/
-      // ln on both sides) carries ~1e-8 of JVM-vs-libm ulp noise — 1e-2
-      // quantization puts the flip probability per row below 1e-6 while
-      // still pinning 4-7 significant digits of the LCC inverse
+      // whole square metres, not decimal rounding: the 10-step
+      // transcendental chain (pow/atan/tan/ln on both sides) carries
+      // ~1e-7 of JVM-vs-libm ulp noise, and a sf0.1 run showed decimal
+      // quanta DO get hit (2-3 boundary flips per 20k rows at 1e-2/1e-4).
+      // The 1.0 quantum puts the per-row flip probability near 1e-7
+      // while still pinning 4-5 significant digits of the LCC inverse
       back.set("area", Area(back, "EPSG:3857")).frame(GeometryRequest())(s)
-        .select(col("fid"), col("p_size"), round(col("area"), 2).as("area"))
+        .select(col("fid"), col("p_size"), floor(col("area")).cast("long").as("area"))
     })
   )
 
@@ -1398,7 +1400,7 @@ object SparkEntry {
         |  max(CASE WHEN k = 3 THEN x END) AS x3, max(CASE WHEN k = 3 THEN y END) AS y3
         |  FROM merc GROUP BY fid, p_size)
         |SELECT fid, p_size,
-        |  round(abs((x1-x0)*(y0-y2) + (x2-x0)*(y1-y3) + (x3-x0)*(y2-y0)) / 2, 2) AS area
+        |  CAST(floor(abs((x1-x0)*(y0-y2) + (x2-x0)*(y1-y3) + (x3-x0)*(y2-y0)) / 2) AS BIGINT) AS area
         |FROM w""".stripMargin
   )
 
@@ -1433,7 +1435,7 @@ object SparkEntry {
         |  max(CASE WHEN k = 3 THEN x END) AS x3, max(CASE WHEN k = 3 THEN y END) AS y3
         |  FROM rd GROUP BY fid, p_size)
         |SELECT fid, p_size,
-        |  round(abs((x1-x0)*(y0-y2) + (x2-x0)*(y1-y3) + (x3-x0)*(y2-y0)) / 2, 4) AS area
+        |  CAST(floor(abs((x1-x0)*(y0-y2) + (x2-x0)*(y1-y3) + (x3-x0)*(y2-y0)) / 2) AS BIGINT) AS area
         |FROM w""".stripMargin
 
   // ------------------------------------------------------------ pipeline
