@@ -26,18 +26,25 @@ object QueryLib {
   val ND: Double = Double.MaxValue // float64 sentinel (dtype max)
   private val Hour = 3600000L
 
-  /** Read a table; the events table carries nanosecond timestamps which
-    * Spark only reads as raw longs (spark.sql.legacy.parquet.nanosAsLong) —
-    * normalize `ts` back to a microsecond timestamp. */
-  def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (df.schema.fields.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType))
+  /** Normalize an events-style `ts` column to TimestampType regardless of
+    * the generator's parquet encoding: nanosecond timestamps read as raw
+    * longs (spark.sql.legacy.parquet.nanosAsLong), micros without the UTC
+    * flag read as TIMESTAMP_NTZ, or a plain TIMESTAMP. Under a UTC session
+    * timezone the NTZ cast is wall-clock-exact, matching DuckDB's naive
+    * reading of the same file. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       // integer division: double division of ~1.7e18 ns exceeds the 53-bit
       // mantissa and rounds the microsecond up on some rows
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
-  }
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
 
   // ---------------------------------------------------------------- raster
   case class EventsGrid(n: Long, frames: Int, w: Int, h: Int) {

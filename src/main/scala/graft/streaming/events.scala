@@ -15,16 +15,14 @@ import graft.QueryLib
   */
 object EventStream {
 
-  /** The events table stores nanosecond timestamps; Spark reads them as raw
-    * longs (legacy.parquet.nanosAsLong) — the stream schema mirrors that and
-    * `normalize` converts back to a microsecond timestamp. */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  private def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** The file stream source needs a static schema; take it from a batch
+    * read of the same directory so the stream decodes whatever timestamp
+    * encoding the generator used (nanos-as-long, NTZ micros, or plain
+    * TIMESTAMP), then normalize `ts` exactly like the batch path. */
+  def eventSource(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema: StructType = spark.read.parquet(dir).schema
+    QueryLib.normalizeTs(spark.readStream.schema(fileSchema).parquet(dir))
+  }
 
   /** The shared transform: tumbling window per event_type. */
   def windowedAgg(df: DataFrame, windowLength: String): DataFrame =
@@ -39,9 +37,7 @@ object EventStream {
   /** Streaming form: file-source stream over a *directory* of events
     * parquet files, 10-minute watermark, windowed aggregation. */
   def streaming(spark: SparkSession, dir: String, windowLength: String = "1 hour"): DataFrame =
-    windowedAgg(
-      normalize(spark.readStream.schema(eventSchema).parquet(dir))
-        .withWatermark("ts", "10 minutes"),
+    windowedAgg(eventSource(spark, dir).withWatermark("ts", "10 minutes"),
       windowLength)
 }
 

@@ -27,10 +27,7 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val src = spark.readStream.schema(EventStream.eventSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val src = EventStream.eventSource(spark, streamDir.toString)
     val q = Sessionize.streaming(src, 30).toDF()
       .writeStream.outputMode("append")
       .format("memory").queryName("stream_sess").start()
