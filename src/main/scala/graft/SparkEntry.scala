@@ -411,6 +411,39 @@ object SparkEntry {
         cres.values.head.zipWithIndex.toSeq
           .map { case (v, i) => (i.toLong, v) }.toDF("coarse_id", "v")
       }),
+      "r38_ascii_roundtrip" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // all four frames through the ESRI ASCII grid codec: text
+        // round-trip is value-exact (Double.toString shortest digits) and
+        // the read-back must keep the numeric frame order
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_asc").toString
+        AsciiGridSink(a, out).write(fullReq(g))
+        cells(AsciiGridSource(out, 0L, Hour).frame(fullReq(g)), g)
+      }),
+      "r39_xyz_roundtrip" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // frame 0 through the XYZ point-grid codec (3 numbers per cell —
+        // one frame bounds the text size); the reader re-infers the grid
+        // from the cell-center coordinates
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_xyz").toString
+        XyzSink(a, out).write(fullReq(g, 1))
+        cells(XyzSource(out, 0L, Hour, noDataArg = QueryLib.ND)
+          .frame(fullReq(g, 1)), g)
+      }),
+      "r40_png_worldfile" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // a uint8 derivation of the events grid through the PNG + world
+        // file codec: floor(value) mod 200 with errors at the uint8
+        // sentinel 255 — lossless 8-bit gray round-trip
+        val a = eventsRaster(dir, g, "cast(floor(value) as bigint) % 200",
+          dtype = "uint8")
+        val out = java.nio.file.Files.createTempDirectory("verify_png").toString
+        PngSink(a, out).write(fullReq(g, 1))
+        cells(PngSource(out, 0L, Hour, noDataArg = 255.0)
+          .frame(fullReq(g, 1)), g)
+      }),
       // self-check oracles: the two operators DuckDB cannot reproduce get a
       // hard signal from engine-internal equivalences instead
       "r34_place_modes" -> q((s, dir, g) => {
@@ -596,6 +629,15 @@ object SparkEntry {
       |SELECT CAST(coarse_id AS BIGINT) AS coarse_id,
       |  COALESCE(c.v, $NDSQL) AS v
       |FROM coarse LEFT JOIN cells c ON c.cell_id = coarse.src_id AND c.t_idx = 0""".stripMargin,
+    "r38_ascii_roundtrip" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r39_xyz_roundtrip" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells WHERE t_idx = 0""".stripMargin,
+    "r40_png_worldfile" -> s"""${cellsSql(
+        "CAST(floor(value) AS BIGINT) % 200", "event_type = 'error'")}
+      |SELECT t_idx, cell_id,
+      |  CASE WHEN v = $NDSQL THEN 255.0 ELSE v END AS v
+      |FROM cells WHERE t_idx = 0""".stripMargin,
     "r33_elemwise_suite" -> s"""WITH cells AS (
       |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
       |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v

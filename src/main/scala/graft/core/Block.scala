@@ -195,7 +195,8 @@ object BlockRegistry {
       classOf[Dilate], classOf[MovingMax], classOf[Smooth], classOf[HillShade],
       classOf[Place], classOf[RasterizeWKT], classOf[Rasterize],
       classOf[TableRasterSource], classOf[RasterParquetSource], classOf[RasterTiler],
-      classOf[GeoTiffSource]
+      classOf[GeoTiffSource], classOf[AsciiGridSource], classOf[XyzSource],
+      classOf[PngSource]
     ).foreach(registerAuto)
     Seq[Class[_ <: Block]](
       classOf[graft.geometry.GetSeriesBlock], classOf[graft.geometry.SetSeriesBlock],
@@ -309,9 +310,10 @@ object BlockRegistry {
     register("dask_geomodeling.raster.reduction.Max")(args =>
       Max(args.map(_.asInstanceOf[RasterBlock])))
     // RasterFileSource(url, time_first, time_delta) — urls arrive as the
-    // reference's safe_file_url "file://" form
+    // reference's safe_file_url "file://" form; format dispatch by
+    // extension mirrors GDAL's driver autodetection (tif/asc/xyz/png)
     register("dask_geomodeling.raster.sources.RasterFileSource") { args =>
-      GeoTiffSource(args.head.toString.stripPrefix("file://"),
+      RasterFileSource(args.head.toString.stripPrefix("file://"),
         args(1).toString.toDouble.toLong, args(2).toString.toDouble.toLong)
     }
 

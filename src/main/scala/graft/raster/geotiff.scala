@@ -1048,9 +1048,11 @@ case class GeoTiffSource(url: String, timeFirstMs: Long = 0L,
     val p = Paths.get(url)
     if (Files.isDirectory(p)) {
       import scala.jdk.CollectionConverters._
-      Files.list(p).iterator().asScala.map(_.toString)
+      // numeric-aware order: the sink names frames frame_<epochMs>, and a
+      // lexicographic sort would put frame_10800000 before frame_3600000
+      GridFiles.numericSort(Files.list(p).iterator().asScala.map(_.toString)
         .filter(f => { val l = f.toLowerCase; l.endsWith(".tif") || l.endsWith(".tiff") })
-        .toSeq.sorted
+        .toSeq)
     } else Seq(url)
   }
   // header-only: shape, bbox, CRS, nodata, dtype + the overview pyramid

@@ -147,6 +147,9 @@ class WmsServer(spark: SparkSession, port: Int = 0,
         case t: graft.raster.TableRasterSource     => check(t.path)
         case r: graft.raster.RasterParquetSource   => check(r.url)
         case g: graft.raster.GeoTiffSource         => check(g.url)
+        case g: graft.raster.AsciiGridSource       => check(g.url)
+        case g: graft.raster.XyzSource             => check(g.url)
+        case g: graft.raster.PngSource             => check(g.url)
         case g: graft.geometry.GeoParquetSource    => check(g.url)
         case g: graft.geometry.GeoJsonSource       => check(g.url)
         case t: graft.geometry.TableGeometrySource => check(t.path)
