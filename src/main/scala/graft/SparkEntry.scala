@@ -1486,6 +1486,25 @@ object SparkEntry {
       Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")),
     "p22_chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedup(tbl(s, dir, "documents"), "doc_id", "text", 8)),
+    "p23_pii_scrub" -> ((s, dir) => {
+      // the corpus has no real PII, so deterministic fake PII is
+      // synthesized from doc_id (email, IPv4, 16-digit card, US phone) and
+      // the scrub chain must redact all of it — the oracle replays both
+      // the synthesis and the regex chain
+      val dirty = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@ex"), col("doc_id") % 7, lit(".org or 10.0."),
+          col("doc_id") % 256, lit("."), (col("doc_id") * 3) % 256,
+          lit(" card 411111111111"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" tel +1 (555) 123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("dirty"))
+      dirty.select(col("doc_id"),
+        TextAnalysis.piiScrub(col("dirty")).as("clean"))
+    }),
+    "p24_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(tbl(s, dir, "documents"), "doc_id", "text", 5)),
     "p02_token_count" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -1774,6 +1793,37 @@ object SparkEntry {
          |FROM scored WHERE rn = 1 AND quality >= 0.3
          | AND (${parts(1)}).l IN ('de', 'en', 'es', 'fr', 'zh')""".stripMargin
     },
+    "p23_pii_scrub" -> {
+      // generate the regexp_replace chain from the SAME pattern table the
+      // kernel folds over — order and pattern text provably identical
+      val scrubbed = graft.pipeline.TextAnalysis.piiPatterns
+        .foldLeft("dirty") { case (acc, (pat, repl)) =>
+          s"regexp_replace($acc, '$pat', '$repl', 'g')"
+        }
+      s"""WITH dirty AS (SELECT doc_id,
+         | text || ' contact user' || doc_id || '@ex' || (doc_id % 7)
+         |  || '.org or 10.0.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256)
+         |  || ' card 411111111111' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         |  || ' tel +1 (555) 123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         |  AS dirty
+         | FROM documents)
+         |SELECT doc_id, $scrubbed AS clean FROM dirty""".stripMargin
+    },
+    "p24_tfidf_topk" ->
+      """WITH w AS (SELECT doc_id,
+        | unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |   x -> len(x) > 0)) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, term, tf, df,
+        |  round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN dfx USING (term), n),
+        |ranked AS (SELECT *, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
     "p02_token_count" ->
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
         | ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,

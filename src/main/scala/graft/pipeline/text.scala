@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -156,6 +157,55 @@ object TextAnalysis {
       bestLang
     }
     f(text)
+  }
+
+  /** PII scrubbing patterns in APPLICATION ORDER (the order is load-
+    * bearing: IP before PHONE because dotted digit groups would otherwise
+    * parse as phone numbers; long digit runs (card/account numbers) before
+    * PHONE because a bare 13+-digit run matches the phone shape). Patterns
+    * are the RE2∩java.util.regex common subset — no backrefs, no
+    * lookaround — so the DuckDB oracle replays them verbatim. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{13,19}\\b" -> "<NUMBER>",
+    "(\\+?\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}" -> "<PHONE>")
+
+  /** Redact emails, IPv4 addresses, card/account digit runs and phone
+    * numbers — the standard pre-training scrub pass. A chain of codegen'd
+    * `regexp_replace` column expressions: stateless per row, so the same
+    * column works unchanged on a readStream frame, and at 100 TB it is a
+    * pure map stage (no shuffle). */
+  def piiScrub(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Corpus TF-IDF with the top-`k` terms per document: the classic
+    * two-exchange distributed text statistic. Plan shape at 100 TB:
+    *  - explode → groupBy(doc, term) — one hash exchange, map-side combined;
+    *  - document frequency = groupBy(term) over the (doc, term) pairs —
+    *    second exchange, orders of magnitude smaller (vocab × docs pairs);
+    *  - corpus size joins in as a broadcast single-row aggregate (no
+    *    separate driver action);
+    *  - per-doc top-k via row_number over (tfidf DESC, term ASC) — scores
+    *    rounded to 6 decimals so the rank order is reproducible across
+    *    engines (ties break on the term).
+    * idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style). */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val wordRows = docs.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("term"))
+    val tf = wordRows.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rnk"))
   }
 
   /** Rolling polynomial fingerprint over words, using only arithmetic +
