@@ -1505,6 +1505,15 @@ object SparkEntry {
     }),
     "p24_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(tbl(s, dir, "documents"), "doc_id", "text", 5)),
+    "p25_seq_pack" -> ((s, dir) =>
+      Packing.packSequences(tbl(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), 512)),
+    "p26_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedBalance(tbl(s, dir, "documents"), "lang", "text")
+        .select(col("doc_id"), col("lang"))),
+    "p27_trigram_familiarity" -> ((s, dir) =>
+      TextAnalysis.trigramFamiliarity(tbl(s, dir, "documents"),
+        "doc_id", "text", 5)),
     "p02_token_count" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -1824,6 +1833,52 @@ object SparkEntry {
         |  (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM scored)
         |SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
         |FROM ranked WHERE rnk <= 5""".stripMargin,
+    "p25_seq_pack" ->
+      // exclusive-prefix cumsum over the id-ordered token stream, windows
+      // of 512; DuckDB widens SUM(BIGINT) to HUGEINT → explicit casts
+      """WITH t AS (SELECT doc_id,
+        | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        | CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        | FROM t)
+        |SELECT doc_id, n_tokens, tok_start,
+        | tok_start // 512 AS first_seq,
+        | CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+        |  ELSE tok_start // 512 END AS last_seq,
+        | CASE WHEN n_tokens > 0
+        |  THEN (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1
+        |  ELSE CAST(0 AS BIGINT) END AS n_seqs
+        |FROM c""".stripMargin,
+    "p26_stratified_sample" ->
+      // per-stratum 2^32 hash cut re-derived from the counts; the smallest
+      // stratum (rate 1.0, 9-hex-digit cut) keeps every row explicitly
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |m AS (SELECT min(cnt) AS mn FROM c),
+        |thr AS (SELECT lang, cnt, mn,
+        |  lpad(lower(hex(CAST(floor(CAST(mn AS DOUBLE) / cnt * 4294967296.0)
+        |    AS BIGINT))), 8, '0') AS t
+        | FROM c, m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE thr.cnt = thr.mn OR substr(md5(d.text), 1, 8) < thr.t""".stripMargin,
+    "p27_trigram_familiarity" ->
+      // char trigrams of lower(text); familiarity = fraction occurring
+      // >= 5 times corpus-wide — integer counts + one IEEE division only
+      """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |   range(1, CASE WHEN length(lt) >= 3 THEN length(lt) - 1 ELSE 1 END),
+        |   i -> substr(lt, CAST(i AS INTEGER), 3))) AS tg
+        | FROM t),
+        |dfx AS (SELECT tg, count(*) AS c FROM g GROUP BY 1),
+        |j AS (SELECT doc_id, CASE WHEN c >= 5 THEN 1 ELSE 0 END AS common
+        | FROM g JOIN dfx USING (tg))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        | CAST(sum(common) AS BIGINT) AS n_common,
+        | round(CAST(sum(common) AS DOUBLE) / count(*), 6) AS familiarity
+        |FROM j GROUP BY 1""".stripMargin,
     "p02_token_count" ->
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
         | ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,

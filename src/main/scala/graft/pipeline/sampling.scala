@@ -40,4 +40,36 @@ object Sampling {
     val k = keep(col(textCol), holdoutRate)
     (df.filter(!k), df.filter(k))
   }
+
+  /** Deterministic stratified balancing: down-sample every stratum to the
+    * size of the smallest one, with the same content-keyed rule as
+    * [[deterministicSample]] so membership is reproducible across runs
+    * and engines (language-balancing a multilingual corpus is the
+    * canonical use).
+    *
+    * Per-stratum rate = min_count / count; a row is kept iff the first 8
+    * hex chars of md5(text) fall below the stratum's 2^32 cut. The cut is
+    * computed per stratum as an expression (`floor(min/cnt · 2^32)` → hex
+    * string), so the keep-decision is a broadcast join against the tiny
+    * per-stratum table plus one string compare — no rand(), no global
+    * sort. The smallest stratum (rate 1.0, whose cut would need 9 hex
+    * digits) keeps every row explicitly.
+    *
+    * Scale: one groupBy over the stratum column (map-side combinable) and
+    * one broadcast join; the stratum table is O(distinct strata).
+    */
+  def stratifiedBalance(df: DataFrame, stratumCol: String,
+      textCol: String): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("_cnt"))
+    val minDf = counts.agg(min("_cnt").as("_min"))
+    val cuts = counts.crossJoin(broadcast(minDf))
+      .withColumn("_thr", lpad(lower(hex(
+        floor(col("_min").cast("double") / col("_cnt") * 4294967296.0)
+          .cast("long"))), 8, "0"))
+      .select(col(stratumCol), col("_cnt"), col("_min"), col("_thr"))
+    df.join(broadcast(cuts), stratumCol)
+      .filter(col("_cnt") === col("_min") ||
+        substring(md5(col(textCol)), 1, 8) < col("_thr"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -208,6 +208,39 @@ object TextAnalysis {
         col("tfidf"), col("rnk"))
   }
 
+  /** Corpus-familiarity quality signal from character trigrams: the
+    * fraction of a document's char trigrams (over `lower(text)`) that
+    * occur at least `minDf` times corpus-wide. Low familiarity flags
+    * boilerplate-free gibberish, encoding damage and wrong-language
+    * fragments — an LM-perplexity stand-in built from integer counts and
+    * one IEEE division only, so an independent SQL engine reproduces it
+    * bit-for-bit (no transcendentals whose libm rounding could differ).
+    *
+    * Plan shape at 100 TB: explode trigrams → groupBy(trigram) builds the
+    * model table (bounded by the observed trigram alphabet, ≪ corpus, and
+    * map-side combined); the doc-side explode joins against it and groups
+    * back by document — two hash exchanges total, the same shape as
+    * TF-IDF. Documents shorter than 3 chars have no trigrams and drop out
+    * (mirrored by the oracle's inner join).
+    */
+  def trigramFamiliarity(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int): DataFrame = {
+    val lt = lower(col(textCol))
+    // sequence(1, n) with n < 1 would produce a descending range
+    // (the p22 lesson) — guard to an empty array, which explode drops
+    val tgs = when(length(lt) >= 3,
+      transform(sequence(lit(1), length(lt) - 2), i => lt.substr(i, lit(3))))
+      .otherwise(array())
+    val g = docs.select(col(idCol).as("doc_id"), explode(tgs).as("tg"))
+    val model = g.groupBy("tg").agg(count(lit(1)).as("c"))
+    g.join(model, "tg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("c") >= minDf, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("familiarity",
+        round(col("n_common").cast("double") / col("n_trigrams"), 6))
+  }
+
   /** Rolling polynomial fingerprint over words, using only arithmetic +
     * ascii/length primitives so an independent SQL engine can reproduce it
     * bit-for-bit: acc = (acc*31 + len(w)*7 + ascii(w[0])) mod 2^31-1. */

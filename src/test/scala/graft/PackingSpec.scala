@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Packing, Sampling, TextAnalysis}
+
+class PackingSpec extends SparkSpec {
+
+  test("packSequences maps documents onto fixed context windows") {
+    import spark.implicits._
+    // token counts 3, 5, 0, 6, 2 → stream offsets 0, 3, 8, 8, 14
+    val docs = Seq(
+      (0L, "a b c"), (1L, "d e f g h"), (2L, ""),
+      (3L, "i j k l m n"), (4L, "o p")).toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), ctx = 4, buckets = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 3L, 8L, 8L, 14L))
+    // doc 1: tokens 3..7 → seqs 0..1; doc 3: tokens 8..13 → seqs 2..3
+    assert(out(1).getLong(3) == 0L && out(1).getLong(4) == 1L &&
+      out(1).getLong(5) == 2L)
+    assert(out(3).getLong(3) == 2L && out(3).getLong(4) == 3L)
+    // the empty doc occupies its offset with zero sequences
+    assert(out(2).getLong(1) == 0L && out(2).getLong(5) == 0L)
+    // doc 4: tokens 14..15 stay inside seq 3
+    assert(out(4).getLong(3) == 3L && out(4).getLong(5) == 1L)
+  }
+
+  test("packSequences two-level prefix sum is bucket-count invariant") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, ("w " * (i % 7).toInt).trim))
+      .toDF("doc_id", "text")
+    def run(b: Int) = Packing.packSequences(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), ctx = 16, buckets = b)
+      .orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5))).toSeq
+    assert(run(1) == run(7) && run(7) == run(64))
+  }
+
+  test("stratifiedBalance keeps the smallest stratum whole and cuts by hash") {
+    import spark.implicits._
+    val docs = (0 until 300).map { i =>
+      val lang = if (i % 10 == 0) "nl" else if (i % 3 == 0) "en" else "fr"
+      (i.toLong, s"document body number $i", lang)
+    }.toDF("doc_id", "text", "lang")
+    val out = Sampling.stratifiedBalance(docs, "lang", "text")
+    val kept = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mn = counts.values.min
+    // smallest stratum intact
+    assert(kept.count(_._2 == "nl") == counts("nl") && mn == counts("nl"))
+    // membership is exactly the per-stratum md5 cut, row by row
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2)))
+    rows.foreach { case (id, text, lang) =>
+      val cut = math.floor(mn.toDouble / counts(lang) * 4294967296.0).toLong
+      val thr = f"$cut%08x"
+      val prefix = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .substring(0, 8)
+      val expectKeep = counts(lang) == mn || prefix < thr
+      assert(kept.contains(id) == expectKeep, s"doc $id lang $lang")
+    }
+    // schema passes through unchanged
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang"))
+  }
+
+  test("trigramFamiliarity scores corpus-common trigrams") {
+    import spark.implicits._
+    // "aaaa" x3 docs make trigram "aaa" common (count 6 >= 4); "xyzw"
+    // contributes rare trigrams only; "ab" has none and drops out
+    val docs = Seq((0L, "aaaa"), (1L, "aaaa"), (2L, "aaaa"),
+      (3L, "xyzw"), (4L, "ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramFamiliarity(docs, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 2 &&
+      out(0).getDouble(3) == 1.0)
+    assert(out(3).getLong(1) == 2 && out(3).getLong(2) == 0 &&
+      out(3).getDouble(3) == 0.0)
+  }
+}
