@@ -421,6 +421,15 @@ object SparkEntry {
         AsciiGridSink(a, out).write(fullReq(g))
         cells(AsciiGridSource(out, 0L, Hour).frame(fullReq(g)), g)
       }),
+      "r41_envi_roundtrip" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the whole 4-frame stack through ONE ENVI .dat/.hdr pair
+        // (bands = frames, bsq little-endian float64 — bit-exact binary)
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_envi").toString
+        EnviSink(a, s"$out/stack.dat").write(fullReq(g))
+        cells(EnviSource(s"$out/stack.dat", 0L, Hour).frame(fullReq(g)), g)
+      }),
       "r39_xyz_roundtrip" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // frame 0 through the XYZ point-grid codec (3 numbers per cell —
@@ -633,6 +642,8 @@ object SparkEntry {
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r39_xyz_roundtrip" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx = 0""".stripMargin,
+    "r41_envi_roundtrip" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r40_png_worldfile" -> s"""${cellsSql(
         "CAST(floor(value) AS BIGINT) % 200", "event_type = 'error'")}
       |SELECT t_idx, cell_id,

@@ -417,7 +417,8 @@ case class PngSource(url: String, timeFirstMs: Long = 0L,
   * (raster/sources.py:396-564): one constructor, format chosen by file
   * extension. Directories dispatch on their first matching file. */
 object RasterFileSource {
-  private val known = Seq(".tif", ".tiff", ".asc", ".xyz", ".png")
+  private val known =
+    Seq(".tif", ".tiff", ".asc", ".xyz", ".png", ".hdr", ".dat", ".img")
 
   def apply(url: String, timeFirstMs: Long = 0L,
       timeDeltaMs: Long = 300000L): RasterBlock = {
@@ -436,6 +437,9 @@ object RasterFileSource {
     else if (lower.endsWith(".asc")) AsciiGridSource(url, timeFirstMs, timeDeltaMs)
     else if (lower.endsWith(".xyz")) XyzSource(url, timeFirstMs, timeDeltaMs)
     else if (lower.endsWith(".png")) PngSource(url, timeFirstMs, timeDeltaMs)
+    else if (lower.endsWith(".hdr") || lower.endsWith(".dat") ||
+      lower.endsWith(".img"))
+      EnviSource(probe, timeFirstMs, timeDeltaMs)
     else throw new IllegalArgumentException(
       s"$url: unsupported raster format (${known.mkString(", ")})")
   }

@@ -274,6 +274,97 @@ class GridFilesSpec extends SparkSpec {
       vals(1 * 4 + 1), vals(1 * 4 + 3), vals(3 * 4 + 1), vals(3 * 4 + 3)))
   }
 
+  // ------------------------------------------------------------ ENVI
+
+  test("ENVI round-trips a multiband stack bit-exactly (bands = frames)") {
+    val dir = tmp("graft_envi")
+    val b0 = Array(1.5, -2.25, 3.0, ND, 5.0, 1e-17)
+    val b1 = Array(0.0, 7.5, -8.0, 9.0, ND, 11.0)
+    Envi.write(s"$dir/stack.dat", Seq(b0, b1), 3, 2, Bbox(10, 20, 13, 22),
+      ND, "EPSG:28992", "float64")
+    assert(Files.exists(Paths.get(s"$dir/stack.hdr")))
+    val (h, bands) = Envi.readBands(s"$dir/stack.dat")
+    assert(h.samples == 3 && h.lines == 2 && h.bands == 2)
+    assert(h.cellSize == 1.0 && h.originX == 10.0 && h.originY == 22.0)
+    assert(h.noData == ND && h.dtype == DType.F8)
+    assert(Proj.normalize(h.projection) == "EPSG:28992")
+    assert(bands(0).toSeq == b0.toSeq && bands(1).toSeq == b1.toSeq)
+    // the .hdr path and the data path open the same stack
+    assert(Envi.readBands(s"$dir/stack.hdr")._2(1).toSeq == b1.toSeq)
+    // source: band i = frame i on the synthetic time axis
+    val src = EnviSource(s"$dir/stack.dat", 0L, 3600000L)
+    assert(src.temporal && src.allTimes.size == 2 &&
+      src.allTimes(1) == Instant.ofEpochMilli(3600000L))
+    val req = RasterRequest(Bbox(10, 20, 13, 22), "EPSG:28992", 3, 2,
+      Some(Instant.ofEpochMilli(0)), Some(Instant.ofEpochMilli(3600000L)))
+    val res = src.getData(req)(spark).get
+    assert(res.values(0).toSeq == b0.toSeq && res.values(1).toSeq == b1.toSeq)
+  }
+
+  test("ENVI reads bil/bip interleaves, big endian, uint8 and ref-pixel offsets") {
+    val dir = tmp("graft_envi_var")
+    // 2x2, 2 bands; band values chosen to detect any interleave mix-up
+    val flat = Array[Byte](1, 2, 3, 4, 11, 12, 13, 14) // bsq order
+    def hdr(interleave: String, dt: Int, bo: Int, mapRef: String) =
+      s"""ENVI
+         |samples = 2
+         |lines = 2
+         |bands = 2
+         |header offset = 0
+         |data type = $dt
+         |interleave = $interleave
+         |byte order = $bo
+         |map info = {Arbitrary, $mapRef, 1.0, 1.0, units=Meters}
+         |""".stripMargin
+    // bil: line0 = b0row0, b1row0 → 1 2 11 12 3 4 13 14
+    Files.write(Paths.get(s"$dir/a.dat"),
+      Array[Byte](1, 2, 11, 12, 3, 4, 13, 14))
+    Files.writeString(Paths.get(s"$dir/a.hdr"), hdr("bil", 1, 0, "1, 1, 0.0, 2.0"))
+    val (_, bil) = Envi.readBands(s"$dir/a.dat", "EPSG:28992")
+    assert(bil(0).toSeq == Seq(1.0, 2.0, 3.0, 4.0) &&
+      bil(1).toSeq == Seq(11.0, 12.0, 13.0, 14.0))
+    // bip: per pixel all bands → 1 11 2 12 3 13 4 14
+    Files.write(Paths.get(s"$dir/b.dat"),
+      Array[Byte](1, 11, 2, 12, 3, 13, 4, 14))
+    Files.writeString(Paths.get(s"$dir/b.hdr"), hdr("bip", 1, 0, "1, 1, 0.0, 2.0"))
+    val (_, bip) = Envi.readBands(s"$dir/b.dat", "EPSG:28992")
+    assert(bip(0).toSeq == Seq(1.0, 2.0, 3.0, 4.0) &&
+      bip(1).toSeq == Seq(11.0, 12.0, 13.0, 14.0))
+    // big-endian int16 bsq
+    val be = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    Seq(256, -2, 3, 4, 11, 12, 13, 14).foreach(v => be.putShort(v.toShort))
+    Files.write(Paths.get(s"$dir/c.dat"), be.array())
+    Files.writeString(Paths.get(s"$dir/c.hdr"), hdr("bsq", 2, 1, "1, 1, 0.0, 2.0"))
+    val (ch, cb) = Envi.readBands(s"$dir/c.dat", "EPSG:28992")
+    assert(ch.dtype == DType.I2 && cb(0).toSeq == Seq(256.0, -2.0, 3.0, 4.0))
+    // fractional/offset reference pixel: tie at pixel (2, 3)'s UL corner
+    Files.write(Paths.get(s"$dir/d.dat"), flat.take(4))
+    Files.writeString(Paths.get(s"$dir/d.hdr"),
+      hdr("bsq", 1, 0, "2, 3, 100.0, 50.0").replace("bands = 2", "bands = 1"))
+    val dh = Envi.readHeader(s"$dir/d.dat", "EPSG:28992")
+    assert(dh.originX == 99.0 && dh.originY == 52.0)
+    // undersized data file fails loudly
+    Files.write(Paths.get(s"$dir/e.dat"), Array[Byte](1, 2, 3))
+    Files.writeString(Paths.get(s"$dir/e.hdr"), hdr("bsq", 1, 0, "1, 1, 0.0, 2.0"))
+    intercept[IllegalArgumentException] { Envi.readBands(s"$dir/e.dat", "EPSG:28992") }
+    // unknown data type fails loudly
+    Files.writeString(Paths.get(s"$dir/f.hdr"), hdr("bsq", 6, 0, "1, 1, 0.0, 2.0"))
+    Files.write(Paths.get(s"$dir/f.dat"), flat)
+    intercept[IllegalArgumentException] { Envi.readHeader(s"$dir/f.dat", "EPSG:28992") }
+  }
+
+  test("ENVI dispatches through RasterFileSource and the JSON view dialect") {
+    val dir = tmp("graft_envi_disp")
+    Envi.write(s"$dir/one.dat", Seq(Array(5.0)), 1, 1, Bbox(0, 0, 1, 1),
+      -1.0, "EPSG:28992")
+    assert(RasterFileSource(s"$dir/one.dat").isInstanceOf[EnviSource])
+    assert(RasterFileSource(s"$dir/one.hdr").isInstanceOf[EnviSource])
+    val src = Multiply(EnviSource(s"$dir/one.dat"), 2.0)
+    val back = graft.core.BlockRegistry.fromJson(src.toJson)
+    assert(back == src)
+  }
+
   test("grid-file sources register in the JSON view dialect") {
     val dir = tmp("graft_view_asc")
     AsciiGrid.write(s"$dir/v.asc", Array(5.0), 1, 1, Bbox(0, 0, 1, 1),
