@@ -1202,6 +1202,29 @@ object SparkEntry {
         .select(col("fid"), col("p_size").cast("long").as("p_size"),
           floor(col("area")).cast("long").as("area"))
     }),
+    "g25_gpx_roundtrip" -> ((s, dir) => {
+      // GPX is WGS84 by spec: author lon/lat waypoints with attributes,
+      // export (points → <wpt>, attrs → graft: extensions incl. the fid),
+      // read back through the XML text round-trip — coordinates and
+      // attribute values are bit-exact (shortest-digit printing both ways)
+      implicit val sp: SparkSession = s
+      val p = TableGeometrySource(s"$dir/part.parquet", "p_partkey",
+        Seq("p_size", "p_retailprice", "p_name"),
+        geomWktExpr = Some(
+          "concat('POINT (', 4.5 + (p_partkey % 50) * 0.001, ' ', " +
+            "51.9 + cast(p_partkey / 50 as int) * 0.0005, ')')"),
+        proj = "EPSG:4326")
+      val out = java.nio.file.Files.createTempDirectory("verify_gpx")
+        .resolve("parts.gpx").toString
+      GeometryToFile.toFile(p, out)
+      val back = GeometryFileSource(out)
+      back.frame(GeometryRequest())(s)
+        .select(col("fid"), col("p_size").cast("long").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"),
+          col("p_name"),
+          GeomFunctions.stCentroidX(col("geometry")).as("x"),
+          GeomFunctions.stCentroidY(col("geometry")).as("y"))
+    }),
     "g19_wkt_prj" -> ((s, dir) => {
       // an ArcGIS-authored shapefile: the .prj carries ESRI WKT (no
       // AUTHORITY node), not an "EPSG:xxxx" string. The WKT resolver must
@@ -1388,6 +1411,12 @@ object SparkEntry {
     // the identical independent chain pins the KML round-trip (same
     // lon/lat square literals, WGS84 → RD polynomials, shoelace)
     "g23_kml_roundtrip" -> wktPrjAreaOracle,
+    "g25_gpx_roundtrip" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
+        | p_retailprice, p_name,
+        | 4.5 + (p_partkey % 50) * 0.001 AS x,
+        | 51.9 + CAST(p_partkey // 50 AS INT) * 0.0005 AS y
+        |FROM part""".stripMargin,
     // state-plane .prj: Snyder's ellipsoidal LCC-2SP inverse (EPSG method
     // 9802) re-derived in SQL from the zone constants — t/m/n/F/ρ0 computed
     // FROM the parallels, the latitude fixed-point unrolled 8 deep exactly

@@ -220,6 +220,8 @@ object GeometryToFile {
       CsvWktSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".kml"))
       KmlSink.writeStream(frame, source.projection, url)
+    else if (lower.endsWith(".gpx"))
+      GpxSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".kmz")) {
       // OGC KML 2.2 §5.2: a kmz is a zip whose main document is doc.kml
       val tmp = java.nio.file.Files.createTempFile("graft_kmz", ".kml")

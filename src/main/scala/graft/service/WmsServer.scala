@@ -161,6 +161,7 @@ class WmsServer(spark: SparkSession, port: Int = 0,
         case s: graft.geometry.FlatGeobufSource    => check(s.url)
         case s: graft.geometry.CsvWktSource        => check(s.url)
         case s: graft.geometry.KmlSource           => check(s.url)
+        case s: graft.geometry.GpxSource           => check(s.url)
         case _                                     =>
       }
       b.children.foreach(walk)
