@@ -1554,6 +1554,17 @@ object SparkEntry {
     "p27_trigram_familiarity" -> ((s, dir) =>
       TextAnalysis.trigramFamiliarity(tbl(s, dir, "documents"),
         "doc_id", "text", 5)),
+    "p28_pca_norm" -> ((s, dir) => {
+      // full-rank PCA projection preserves centered squared norms
+      // (orthonormal W): the oracle re-derives ||x − μ||² directly in
+      // SQL, pinning the distributed Gram pass + Jacobi eigensolver
+      val e = tbl(s, dir, "embeddings")
+      val m = Pca.fit(e, "embedding", 64)
+      Pca.project(e, "embedding", m, "p")
+        .select(col("vec_id"),
+          round(aggregate(col("p"), lit(0.0), (a, x) => a + x * x), 3)
+            .as("norm2"))
+    }),
     "p02_token_count" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -1919,6 +1930,16 @@ object SparkEntry {
         | CAST(sum(common) AS BIGINT) AS n_common,
         | round(CAST(sum(common) AS DOUBLE) / count(*), 6) AS familiarity
         |FROM j GROUP BY 1""".stripMargin,
+    "p28_pca_norm" ->
+      // centered squared norm per vector — what an orthonormal full-rank
+      // projection must preserve (to Jacobi orthogonality error ~1e-13,
+      // absorbed by the 3-decimal rounding)
+      """WITH comp AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        | FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        |mu AS (SELECT i, avg(v) AS m FROM comp GROUP BY 1),
+        |cn AS (SELECT vec_id, sum((v - m) * (v - m)) AS n2
+        | FROM comp JOIN mu USING (i) GROUP BY 1)
+        |SELECT vec_id, round(n2, 3) AS norm2 FROM cn""".stripMargin,
     "p02_token_count" ->
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
         | ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
