@@ -222,6 +222,8 @@ object GeometryToFile {
       KmlSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".gpx"))
       GpxSink.writeStream(frame, source.projection, url)
+    else if (lower.endsWith(".geojson") || lower.endsWith(".json"))
+      GeoJsonSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".kmz")) {
       // OGC KML 2.2 §5.2: a kmz is a zip whose main document is doc.kml
       val tmp = java.nio.file.Files.createTempFile("graft_kmz", ".kml")
@@ -275,23 +277,81 @@ case class GeoJsonSource(url: String, proj: String = "EPSG:4326",
   @transient private lazy val fields: Seq[(String, String)] =
     if (fullSchema) fullFields else sampledFields
 
+  /** A single file whose head is a JSON object declaring
+    * `"type": "FeatureCollection"` is the standard RFC 7946 document every
+    * OGR/QGIS export produces (possibly pretty-printed — NOT one feature
+    * per line). Such a document cannot be split safely, so it parses as a
+    * bounded single-file codec on the driver — the same contract as the
+    * other single-file exchange formats; the cluster-scale layout remains
+    * newline features / geoparquet. */
+  @transient private lazy val fcFeatures: Option[Seq[Map[String, Any]]] = {
+    val f = new java.io.File(url)
+    if (!f.isFile) None
+    else {
+      val in = new java.io.FileInputStream(f)
+      val head = try new String(in.readNBytes(4096), "UTF-8") finally in.close()
+      val looksFc = head.dropWhile(_.isWhitespace).startsWith("{") &&
+        """"type"\s*:\s*"FeatureCollection"""".r.findFirstIn(head).isDefined
+      if (!looksFc) None
+      else {
+        val doc = graft.core.Json.parse(java.nio.file.Files.readString(f.toPath))
+          .asInstanceOf[Map[String, Any]]
+        Some(doc.getOrElse("features", Seq.empty) match {
+          case s: Seq[_] => s.collect { case m: Map[_, _] =>
+            m.asInstanceOf[Map[String, Any]] }
+          case _ => Seq.empty
+        })
+      }
+    }
+  }
+
+  /** Legacy `crs` member (OGR still writes it): CRS84/4326 urns stay
+    * WGS84; an EPSG urn/code overrides `proj`; anything else fails loudly
+    * rather than mislabeling coordinates. */
+  @transient private lazy val fcCrs: Option[String] = fcFeatures.flatMap { _ =>
+    val doc = graft.core.Json.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(url)))
+      .asInstanceOf[Map[String, Any]]
+    doc.get("crs").collect { case m: Map[_, _] =>
+      val name = m.asInstanceOf[Map[String, Any]].get("properties")
+        .collect { case p: Map[_, _] =>
+          p.asInstanceOf[Map[String, Any]].getOrElse("name", "").toString }
+        .getOrElse("")
+      if (name.contains("CRS84") || name.endsWith(":4326")) "EPSG:4326"
+      else """(?i)EPSG:+(\d+)""".r.findFirstMatchIn(name) match {
+        case Some(mm) => s"EPSG:${mm.group(1)}"
+        case None => throw new IllegalArgumentException(
+          s"$url: unsupported GeoJSON crs '$name'")
+      }
+    }
+  }
+
   @transient private lazy val sampledFields: Seq[(String, String)] = {
     val SampleLines = 100
-    val parts = Option(new java.io.File(url).listFiles).toSeq.flatten
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val self = new java.io.File(url)
     val typed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    parts.foreach { f =>
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines().filter(_.trim.nonEmpty).take(SampleLines).foreach { line =>
-        graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]
-          .get("properties").foreach {
-            case p: Map[_, _] => p.asInstanceOf[Map[String, Any]].foreach {
-              case (k, v) => typed(k) = widen(typed.get(k), typeName(v))
-            }
-            case _ =>
-          }
+    def noteProps(obj: Map[String, Any]): Unit =
+      obj.get("properties").foreach {
+        case p: Map[_, _] => p.asInstanceOf[Map[String, Any]].foreach {
+          case (k, v) => typed(k) = widen(typed.get(k), typeName(v))
+        }
+        case _ =>
       }
-      finally src.close()
+    fcFeatures match {
+      case Some(feats) => feats.foreach(noteProps) // full doc already parsed
+      case None =>
+        // a lone file is its own (ndjson) part; directories list part files
+        val parts =
+          if (self.isFile) Seq(self)
+          else Option(self.listFiles).toSeq.flatten
+            .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        parts.foreach { f =>
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.getLines().filter(_.trim.nonEmpty).take(SampleLines)
+            .foreach { line => noteProps(
+              graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]) }
+          finally src.close()
+        }
     }
     typed.toSeq
   }
@@ -321,32 +381,50 @@ case class GeoJsonSource(url: String, proj: String = "EPSG:4326",
   }
 
   override lazy val columns: Set[String] = fields.map(_._1).toSet + "geometry"
-  override def projection: String = proj
+  override def projection: String = fcCrs.getOrElse(proj)
+
+  /** One parsed feature object → (fid, wkb, attrs); `fallbackFid` is the
+    * OGR-style sequential FID for FeatureCollection features without an
+    * `id` member (line mode keeps -1: lines have no stable position). */
+  private def featureTuple(obj: Map[String, Any], fallbackFid: Long)
+      : (Long, Array[Byte], Map[String, String]) = {
+    val fid = obj.get("id").orElse(obj.get("fid")) match {
+      case Some(l: Long) => l
+      case Some(i: Int)  => i.toLong
+      case Some(d: Double) => d.toLong
+      case Some(s: String) => s.toLongOption.getOrElse(fallbackFid)
+      case _ => fallbackFid
+    }
+    val g = obj.get("geometry").map(GeoJson.fromGeoJson).orNull
+    val attrs = obj.get("properties") match {
+      case Some(p: Map[_, _]) => p.asInstanceOf[Map[String, Any]].collect {
+        case (k, v) if v != null => k -> v.toString
+      }
+      case _ => Map.empty[String, String]
+    }
+    (fid, if (g == null) null else GeomFunctions.writeWkb(g), attrs)
+  }
 
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
     val parse = udf { (line: String) =>
-      val obj = graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]
-      val fid = obj.get("id").orElse(obj.get("fid")) match {
-        case Some(l: Long) => l
-        case Some(i: Int)  => i.toLong
-        case Some(d: Double) => d.toLong
-        case Some(s: String) => s.toLongOption.getOrElse(-1L)
-        case _ => -1L
-      }
-      val g = obj.get("geometry").map(GeoJson.fromGeoJson).orNull
-      val attrs = obj.get("properties") match {
-        case Some(p: Map[_, _]) => p.asInstanceOf[Map[String, Any]].collect {
-          case (k, v) if v != null => k -> v.toString
-        }
-        case _ => Map.empty[String, String]
-      }
-      (fid, if (g == null) null else GeomFunctions.writeWkb(g), attrs)
+      featureTuple(graft.core.Json.parse(line)
+        .asInstanceOf[Map[String, Any]], -1L)
     }
-    var df = spark.read.text(url)
-      .filter(length(trim(col("value"))) > 0)
-      .select(parse(col("value")).as("f"))
-      .select((Seq(col("f._1").as("fid"), col("f._2").as("geometry")) ++
-        fields.map { case (n, t) => col("f._3")(n).cast(t).as(n) }): _*)
+    var df = fcFeatures match {
+      case Some(feats) =>
+        import spark.implicits._
+        feats.zipWithIndex
+          .map { case (obj, i) => featureTuple(obj, i.toLong) }
+          .toDF("_1", "_2", "_3").select(
+            (Seq(col("_1").as("fid"), col("_2").as("geometry")) ++
+              fields.map { case (n, t) => col("_3")(n).cast(t).as(n) }): _*)
+      case None =>
+        spark.read.text(url)
+          .filter(length(trim(col("value"))) > 0)
+          .select(parse(col("value")).as("f"))
+          .select((Seq(col("f._1").as("fid"), col("f._2").as("geometry")) ++
+            fields.map { case (n, t) => col("f._3")(n).cast(t).as(n) }): _*)
+    }
     req.geometryWkt.foreach { wkt =>
       df = df.filter(GeomFunctions.stFilter(col("geometry"), lit(wkt),
         lit(if (req.mode == "centroid") "centroid" else "intersects")))
@@ -354,6 +432,69 @@ case class GeoJsonSource(url: String, proj: String = "EPSG:4326",
     req.filters.foreach { case (k, v) => df = df.filter(col(k) === lit(v)) }
     req.limit.foreach(n => df = df.limit(n))
     df
+  }
+}
+
+/** Streaming single-file RFC 7946 FeatureCollection export — the document
+  * shape OGR/QGIS produce and consume (`ogr2ogr -f GeoJSON`). Reprojects
+  * to EPSG:4326 like the reference's OGR GeoJSON path (sinks.py:160-163);
+  * properties keep their JSON types; one fid-ordered `toLocalIterator`
+  * pass, driver memory bounded by one Spark partition. */
+object GeoJsonSink {
+
+  def writeStream(df0: DataFrame, proj: String, path: String)
+      (implicit spark: SparkSession): String = {
+    require(df0.columns.contains("geometry"),
+      "GeoJSON export needs a geometry column")
+    val attrCols = df0.columns.filterNot(c => c == "geometry" || c == "fid").toSeq
+    val fidIdx = df0.columns.indexOf("fid")
+    val geomIdx = df0.columns.indexOf("geometry")
+    val from = graft.raster.Proj.normalize(proj)
+    val ordered = if (fidIdx >= 0) df0.orderBy(col("fid")) else df0
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(path), "UTF-8"))
+    try {
+      val layer = new java.io.File(path).getName
+        .replaceAll("(?i)\\.(geo)?json$", "")
+      w.write(s"""{\n"type": "FeatureCollection",\n"name": ${
+        graft.core.Json.render(layer)},\n"features": [\n""")
+      val it = ordered.toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        val r = it.next()
+        val fid = if (fidIdx >= 0 && !r.isNullAt(fidIdx))
+          Gml.fidValue(r.get(fidIdx)) else -1L
+        val wkb = if (geomIdx >= 0 && !r.isNullAt(geomIdx))
+          r.get(geomIdx).asInstanceOf[Array[Byte]] else null
+        val g0 = if (wkb == null) null else GeomFunctions.readWkb(wkb)
+        val g = if (g0 == null || from == "EPSG:4326") g0 else {
+          val c = g0.copy()
+          c.apply(new org.locationtech.jts.geom.CoordinateFilter {
+            override def filter(cc: org.locationtech.jts.geom.Coordinate): Unit = {
+              val (nx, ny) = graft.raster.Proj.transform(from, "EPSG:4326", cc.x, cc.y)
+              cc.x = nx; cc.y = ny
+            }
+          })
+          c
+        }
+        val props: Map[String, Any] = attrCols.flatMap { c =>
+          val i = df0.columns.indexOf(c)
+          if (r.isNullAt(i)) None
+          else Some(c -> (r.get(i) match {
+            case ts: java.sql.Timestamp => ts.toInstant.toString
+            case v @ (_: Long | _: Int | _: Double | _: Float | _: Boolean) => v
+            case other => other.toString
+          }))
+        }.toMap
+        if (!first) w.write(",\n")
+        first = false
+        w.write(s"""{ "type": "Feature", "id": $fid, "properties": ${
+          graft.core.Json.render(props)}, "geometry": ${
+          if (g == null) "null" else GeoJson.toGeoJson(g)} }""")
+      }
+      w.write("\n]\n}\n")
+    } finally w.close()
+    path
   }
 }
 

@@ -169,6 +169,81 @@ class SinksSpec extends SparkSpec {
       .projection == "EPSG:28992")
   }
 
+  test("standard FeatureCollection documents (OGR/QGIS layout) parse") {
+    // pretty-printed, crs member, one feature without an id (→ sequential)
+    val f = Files.createTempDirectory("geojson_fc").resolve("doc.geojson")
+    Files.writeString(f,
+      """{
+        |  "type": "FeatureCollection",
+        |  "name": "parcels",
+        |  "crs": { "type": "name", "properties": {
+        |    "name": "urn:ogc:def:crs:OGC:1.3:CRS84" } },
+        |  "features": [
+        |    { "type": "Feature", "id": 7,
+        |      "properties": { "v": 1, "label": "a" },
+        |      "geometry": { "type": "Point", "coordinates": [ 5.0, 52.0 ] } },
+        |    { "type": "Feature",
+        |      "properties": { "v": 2.5, "label": "b" },
+        |      "geometry": { "type": "Point", "coordinates": [ 5.1, 52.1 ] } }
+        |  ]
+        |}
+        |""".stripMargin)
+    val src = GeometryFileSource(f.toString)
+    assert(src.projection == "EPSG:4326")
+    val rows = src.frame(GeometryRequest()).orderBy("fid").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("fid") == 1L) // no id → its array position
+    assert(rows(1).getAs[Long]("fid") == 7L)
+    assert(rows(1).getAs[String]("label") == "a")
+    // v widened long+double → double
+    assert(rows.map(_.getAs[Double]("v")).toSeq == Seq(2.5, 1.0))
+    // an EPSG-coded crs member overrides the WGS84 default
+    val g = Files.createTempDirectory("geojson_fc2").resolve("rd.geojson")
+    Files.writeString(g, """{"type":"FeatureCollection","crs":{"type":"name",
+      |"properties":{"name":"urn:ogc:def:crs:EPSG::28992"}},"features":[
+      |{"type":"Feature","id":1,"properties":{},
+      |"geometry":{"type":"Point","coordinates":[155000.0,463000.0]}}]}
+      |""".stripMargin)
+    assert(GeometryFileSource(g.toString).projection == "EPSG:28992")
+    // an unknown crs fails loudly instead of mislabeling coordinates
+    val b = Files.createTempDirectory("geojson_fc3").resolve("bad.geojson")
+    Files.writeString(b, """{"type":"FeatureCollection","crs":{"type":"name",
+      |"properties":{"name":"urn:x-proprietary:grid"}},"features":[]}
+      |""".stripMargin)
+    intercept[IllegalArgumentException] {
+      GeometryFileSource(b.toString).projection
+    }
+  }
+
+  test("to_file .geojson writes a FeatureCollection that OGR-style readers parse") {
+    val out = Files.createTempDirectory("geojson_fc_out")
+      .resolve("features.geojson").toString
+    GeometryToFile.toFile(GeometryFixtures.features, out)
+    val doc = graft.core.Json.parse(Files.readString(java.nio.file.Paths.get(out)))
+      .asInstanceOf[Map[String, Any]]
+    assert(doc("type") == "FeatureCollection" && doc("name") == "features")
+    assert(doc("features").asInstanceOf[Seq[_]].size == 3)
+    val back = GeometryFileSource(out)
+    assert(back.projection == "EPSG:4326") // reprojected on write, per RFC
+    val rows = back.frame(GeometryRequest()).orderBy("fid").collect()
+    assert(rows.map(_.getAs[Long]("fid")).toSeq == Seq(1L, 2L, 3L))
+    // RD fixture coordinates landed in lon/lat range
+    val p = GeomFunctions.readWkb(rows(0).getAs[Array[Byte]]("geometry"))
+    val c = p.getCoordinate
+    assert(c.x > 4 && c.x < 6 && c.y > 51 && c.y < 53)
+    // typed properties survive (double stays numeric)
+    assert(rows(1).getAs[Double]("value") == 7.5)
+  }
+
+  test("a single ndjson FILE (not directory) samples its own properties") {
+    val f = Files.createTempDirectory("geojson_one").resolve("one.ndjson")
+    Files.write(f, java.util.Arrays.asList(
+      """{"type":"Feature","id":3,"properties":{"v":9},"geometry":{"type":"Point","coordinates":[5.0,52.0]}}"""))
+    val src = GeoJsonSource(f.toString)
+    assert(src.columns.contains("v"))
+    assert(src.frame(GeometryRequest()).head.getAs[Long]("v") == 9L)
+  }
+
   test("geojson property types widen (never overwrite) on mixed-type rows") {
     val dir = Files.createTempDirectory("geojson_widen")
     val pt = """{"type":"Point","coordinates":[5.0,52.0]}"""

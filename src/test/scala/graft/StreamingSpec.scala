@@ -114,4 +114,44 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch && streamed.size == 500)
     } finally q.stop()
   }
+
+  test("trigram familiarity scores a stream against a batch-fit corpus model") {
+    import graft.pipeline.TextAnalysis
+    import org.apache.spark.sql.functions._
+    // the model table (trigram → corpus count) is fit in batch; scoring a
+    // live stream is then a stream-static join + per-row arithmetic —
+    // results must equal the all-batch operator row-for-row
+    val dir = "/root/testdata/sf0.001"
+    val docs = QueryLib.tbl(spark, dir, "documents")
+    val batch = TextAnalysis.trigramFamiliarity(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val lt = lower(col("text"))
+    val tgs = when(length(lt) >= 3,
+      transform(sequence(lit(1), length(lt) - 2), i => lt.substr(i, lit(3))))
+      .otherwise(array())
+    val model = docs.select(explode(tgs).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("c"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_tg_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val src = spark.readStream.schema(docs.schema).parquet(streamDir.toString)
+    val scored = src.select(col("doc_id"), explode(tgs).as("tg"))
+      .join(model, "tg") // stream-static equi-join
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("c") >= 5, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("familiarity",
+        round(col("n_common").cast("double") / col("n_trigrams"), 6))
+    val q = scored.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_tg").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_tg").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toMap
+      assert(streamed == batch && streamed.size == batch.size)
+    } finally q.stop()
+  }
 }
