@@ -120,4 +120,29 @@ class PlanSpec extends SparkSpec {
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("sequence packing never uses a global single-partition window") {
+    val p = plan("p25_seq_pack")
+    // the cumsum window partitions by the id-range bucket (two-level
+    // prefix sum); an empty partition spec would serialize the corpus
+    // through one task at 100 TB
+    assert(p.contains("hashpartitioning(_b"), p.linesIterator.filter(
+      _.contains("partitioning")).mkString("\n"))
+    assert(!p.contains("SinglePartition"))
+    // offsets join back as a broadcast (O(buckets) rows)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("stratified balancing is a broadcast join against the cut table") {
+    val p = plan("p26_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("trigram familiarity joins the bounded model table, never cartesian") {
+    val p = plan("p27_trigram_familiarity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Generate")) // the trigram explode
+  }
 }
