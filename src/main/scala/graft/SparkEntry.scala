@@ -1554,6 +1554,8 @@ object SparkEntry {
     "p27_trigram_familiarity" -> ((s, dir) =>
       TextAnalysis.trigramFamiliarity(tbl(s, dir, "documents"),
         "doc_id", "text", 5)),
+    "p29_gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(tbl(s, dir, "documents"), "doc_id", "text")),
     "p28_pca_norm" -> ((s, dir) => {
       // full-rank PCA projection preserves centered squared norms
       // (orthonormal W): the oracle re-derives ||x − μ||² directly in
@@ -1930,6 +1932,28 @@ object SparkEntry {
         | CAST(sum(common) AS BIGINT) AS n_common,
         | round(CAST(sum(common) AS DOUBLE) / count(*), 6) AS familiarity
         |FROM j GROUP BY 1""".stripMargin,
+    "p29_gopher_quality" ->
+      // Gopher-style shape statistics: integer counts + single divisions,
+      // gate evaluated on the ROUNDED values in both engines
+      """WITH t AS (SELECT doc_id,
+        | list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |   w -> len(w) > 0) AS ws,
+        | lower(text) AS lt
+        | FROM documents),
+        |s AS (SELECT doc_id,
+        | CAST(len(ws) AS BIGINT) AS n_words,
+        | CASE WHEN len(ws) > 0 THEN round(CAST(list_sum(list_transform(ws,
+        |   w -> CAST(len(w) AS BIGINT))) AS DOUBLE) / len(ws), 6) END AS mean_word_len,
+        | CASE WHEN len(ws) > 0 THEN round(CAST(len(list_distinct(ws)) AS DOUBLE)
+        |   / len(ws), 6) END AS frac_unique,
+        | CASE WHEN length(lt) > 0 THEN round(
+        |   CAST(length(regexp_replace(lt, '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+        |   / length(lt), 6) END AS symbol_frac
+        | FROM t)
+        |SELECT doc_id, n_words, mean_word_len, frac_unique, symbol_frac,
+        | (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0
+        |  AND mean_word_len <= 10.0 AND frac_unique >= 0.2) AS passes
+        |FROM s""".stripMargin,
     "p28_pca_norm" ->
       // centered squared norm per vector — what an orthonormal full-rank
       // projection must preserve (to Jacobi orthogonality error ~1e-13,

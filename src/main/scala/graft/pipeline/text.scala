@@ -241,6 +241,37 @@ object TextAnalysis {
         round(col("n_common").cast("double") / col("n_trigrams"), 6))
   }
 
+  /** Gopher-style document-quality rules (the repetition/shape filters of
+    * the Gopher/MassiveText cleaning recipe, re-expressed over this
+    * engine's tokenizer): word count, mean word length, distinct-word
+    * fraction, symbol ratio, and the composite pass/fail gate. Integer
+    * counts and single IEEE divisions only — no transcendentals — so an
+    * independent SQL engine reproduces every value bit-for-bit; the gate
+    * compares the ROUNDED statistics, keeping the boolean reproducible
+    * too. Stateless per-row projection: one map stage at 100 TB, works
+    * unchanged on a readStream frame. */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws).cast("long")
+    val meanLen = when(nWords > 0, round(
+      aggregate(transform(ws, w => length(w).cast("long")), lit(0L),
+        (a, x) => a + x).cast("double") / nWords, 6))
+    val fracUnique = when(nWords > 0,
+      round(size(array_distinct(ws)).cast("double") / nWords, 6))
+    val lt = lower(col(textCol))
+    val symbolFrac = when(length(lt) > 0, round(
+      length(regexp_replace(lt, "[a-z0-9\\s]", "")).cast("double") /
+        length(lt), 6))
+    docs.select(col(idCol).as("doc_id"), nWords.as("n_words"),
+      meanLen.as("mean_word_len"), fracUnique.as("frac_unique"),
+      symbolFrac.as("symbol_frac"))
+      .withColumn("passes",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("frac_unique") >= 0.2)
+  }
+
   /** Rolling polynomial fingerprint over words, using only arithmetic +
     * ascii/length primitives so an independent SQL engine can reproduce it
     * bit-for-bit: acc = (acc*31 + len(w)*7 + ascii(w[0])) mod 2^31-1. */

@@ -65,6 +65,27 @@ class PackingSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "text", "lang"))
   }
 
+  test("gopherQuality computes shape statistics and the composite gate") {
+    import spark.implicits._
+    val longDoc = (1 to 60).map(i => s"word$i").mkString(" ") // 60 unique words
+    val repDoc = Seq.fill(80)("spam").mkString(" ")           // 80 copies
+    val docs = Seq((0L, longDoc), (1L, repDoc), (2L, "!!! ???"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 0: 60 words, all unique, mean len in range → passes
+    assert(out(0).getLong(1) == 60 && out(0).getDouble(3) == 1.0 &&
+      out(0).getBoolean(5))
+    // doc 1: frac_unique = 1/80 → fails the repetition gate
+    assert(out(1).getLong(1) == 80 && out(1).getDouble(3) == 0.0125 &&
+      !out(1).getBoolean(5))
+    // doc 2: zero words, pure symbols; stats null where undefined
+    assert(out(2).getLong(1) == 0 && out(2).isNullAt(2))
+    assert(out(2).getDouble(4) > 0.7) // "!!! ???" is 6/7 symbols
+    // doc 3: empty text → everything null except n_words = 0
+    assert(out(3).getLong(1) == 0 && out(3).isNullAt(4))
+  }
+
   test("trigramFamiliarity scores corpus-common trigrams") {
     import spark.implicits._
     // "aaaa" x3 docs make trigram "aaa" common (count 6 >= 4); "xyzw"
