@@ -224,7 +224,7 @@ object TextAnalysis {
     * (mirrored by the oracle's inner join).
     */
   def trigramFamiliarity(docs: DataFrame, idCol: String, textCol: String,
-      minDf: Int): DataFrame = {
+      minDf: Int, broadcastLimit: Long = 2000000L): DataFrame = {
     val lt = lower(col(textCol))
     // sequence(1, n) with n < 1 would produce a descending range
     // (the p22 lesson) — guard to an empty array, which explode drops
@@ -233,12 +233,39 @@ object TextAnalysis {
       .otherwise(array())
     val g = docs.select(col(idCol).as("doc_id"), explode(tgs).as("tg"))
     val model = g.groupBy("tg").agg(count(lit(1)).as("c"))
-    g.join(model, "tg")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_trigrams"),
-        sum(when(col("c") >= minDf, 1L).otherwise(0L)).as("n_common"))
-      .withColumn("familiarity",
-        round(col("n_common").cast("double") / col("n_trigrams"), 6))
+    val common = model.filter(col("c") >= minDf).select("tg")
+    // Two physical strategies for the same result. The common-trigram set
+    // is bounded by the observed character alphabet cubed — in practice a
+    // few hundred thousand strings — so the fast path broadcasts it and
+    // scores each document in ONE map (re-deriving its trigrams beats
+    // exploding the corpus through a 2nd shuffle + join: 6× on the bench).
+    // A pathological corpus whose common set exceeds the limit falls back
+    // to the join shape, which scales regardless of model size.
+    val commonCount = common.count()
+    if (commonCount <= broadcastLimit) {
+      val bc = docs.sparkSession.sparkContext.broadcast(
+        common.collect().map(_.getString(0)).toSet)
+      // membership kernel only — the trigram column expression is the SAME
+      // `tgs` the model side used, so tokenization cannot diverge
+      val nCommon = udf { (a: Seq[String]) =>
+        var c = 0L
+        var i = 0
+        while (i < a.length) { if (bc.value.contains(a(i))) c += 1; i += 1 }
+        c
+      }
+      docs.select(col(idCol).as("doc_id"), tgs.as("tga"))
+        .where(size(col("tga")) > 0)
+        .select(col("doc_id"), size(col("tga")).cast("long").as("n_trigrams"),
+          nCommon(col("tga")).as("n_common"))
+        .withColumn("familiarity",
+          round(col("n_common").cast("double") / col("n_trigrams"), 6))
+    } else
+      g.join(model, "tg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(when(col("c") >= minDf, 1L).otherwise(0L)).as("n_common"))
+        .withColumn("familiarity",
+          round(col("n_common").cast("double") / col("n_trigrams"), 6))
   }
 
   /** Gopher-style document-quality rules (the repetition/shape filters of

@@ -99,5 +99,10 @@ class PackingSpec extends SparkSpec {
       out(0).getDouble(3) == 1.0)
     assert(out(3).getLong(1) == 2 && out(3).getLong(2) == 0 &&
       out(3).getDouble(3) == 0.0)
+    // the broadcast-kernel fast path and the join fallback are two
+    // physical strategies for one semantics — identical row for row
+    val viaJoin = TextAnalysis.trigramFamiliarity(docs, "doc_id", "text", 4,
+      broadcastLimit = 0).orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq == viaJoin.map(_.toSeq).toSeq)
   }
 }

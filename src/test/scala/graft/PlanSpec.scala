@@ -139,10 +139,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
-  test("trigram familiarity joins the bounded model table, never cartesian") {
+  test("trigram familiarity: broadcast-kernel fast path, equi-join fallback") {
     val p = plan("p27_trigram_familiarity")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
-    assert(p.contains("Generate")) // the trigram explode
+    // fast path scores in one map — no shuffle join in the scoring plan
+    assert(!p.contains("SortMergeJoin"))
+    // the fallback (forced via broadcastLimit = 0) stays an equi-join over
+    // the exploded trigrams
+    import graft.pipeline.TextAnalysis
+    val docs = QueryLib.tbl(spark, dir, "documents")
+    val pj = TextAnalysis.trigramFamiliarity(docs, "doc_id", "text", 5,
+        broadcastLimit = 0).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(pj.contains("Generate") && !pj.contains("CartesianProduct") &&
+      !pj.contains("BroadcastNestedLoopJoin"))
   }
 }
