@@ -223,49 +223,71 @@ object TextAnalysis {
     * TF-IDF. Documents shorter than 3 chars have no trigrams and drop out
     * (mirrored by the oracle's inner join).
     */
+  /** Char trigrams of the lowercased text (kernel-side; both p27 physical
+    * strategies derive trigrams through THIS function, so they cannot
+    * diverge on any input). */
+  private def trigramSeq(t: String): Array[String] =
+    if (t == null) Array.empty
+    else {
+      val s = t.toLowerCase(java.util.Locale.ROOT)
+      if (s.length < 3) Array.empty
+      else Array.tabulate(s.length - 2)(i => s.substring(i, i + 3))
+    }
+
   def trigramFamiliarity(docs: DataFrame, idCol: String, textCol: String,
       minDf: Int, broadcastLimit: Long = 2000000L): DataFrame = {
-    val lt = lower(col(textCol))
-    // sequence(1, n) with n < 1 would produce a descending range
-    // (the p22 lesson) — guard to an empty array, which explode drops
-    val tgs = when(length(lt) >= 3,
-      transform(sequence(lit(1), length(lt) - 2), i => lt.substr(i, lit(3))))
-      .otherwise(array())
-    val g = docs.select(col(idCol).as("doc_id"), explode(tgs).as("tg"))
-    val model = g.groupBy("tg").agg(count(lit(1)).as("c"))
-    val common = model.filter(col("c") >= minDf).select("tg")
+    // Model pass: per-partition hash combine (the word-count combiner
+    // pattern) — only each partition's DISTINCT trigrams reach the
+    // shuffle, not one row per corpus position. At 100 TB that is the
+    // difference between shuffling ~corpus-size rows and shuffling
+    // ~alphabet³-bounded partial counts.
+    val texts = docs.select(col(textCol)).rdd
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    val common = texts.mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long]()
+      it.foreach(t => trigramSeq(t).foreach(tg =>
+        m.merge(tg, 1L, (a, b) => a + b)))
+      import scala.jdk.CollectionConverters._
+      m.asScala.iterator
+    }.reduceByKey(_ + _).filter(_._2 >= minDf).map(_._1)
     // Two physical strategies for the same result. The common-trigram set
     // is bounded by the observed character alphabet cubed — in practice a
     // few hundred thousand strings — so the fast path broadcasts it and
-    // scores each document in ONE map (re-deriving its trigrams beats
-    // exploding the corpus through a 2nd shuffle + join: 6× on the bench).
-    // A pathological corpus whose common set exceeds the limit falls back
-    // to the join shape, which scales regardless of model size.
-    val commonCount = common.count()
-    if (commonCount <= broadcastLimit) {
-      val bc = docs.sparkSession.sparkContext.broadcast(
-        common.collect().map(_.getString(0)).toSet)
-      // membership kernel only — the trigram column expression is the SAME
-      // `tgs` the model side used, so tokenization cannot diverge
-      val nCommon = udf { (a: Seq[String]) =>
-        var c = 0L
-        var i = 0
-        while (i < a.length) { if (bc.value.contains(a(i))) c += 1; i += 1 }
-        c
+    // scores each document in ONE map. A pathological corpus whose common
+    // set exceeds the limit falls back to an explode + equi-join shape,
+    // which scales regardless of model size.
+    val probe = common.take(
+      ((broadcastLimit min (Int.MaxValue - 1).toLong) + 1).toInt)
+    if (probe.length <= broadcastLimit) {
+      val bc = docs.sparkSession.sparkContext.broadcast(probe.toSet)
+      val score = udf { (t: String) =>
+        val a = trigramSeq(t)
+        if (a.isEmpty) null
+        else {
+          var c = 0L
+          var i = 0
+          while (i < a.length) { if (bc.value.contains(a(i))) c += 1; i += 1 }
+          Array(a.length.toLong, c)
+        }
       }
-      docs.select(col(idCol).as("doc_id"), tgs.as("tga"))
-        .where(size(col("tga")) > 0)
-        .select(col("doc_id"), size(col("tga")).cast("long").as("n_trigrams"),
-          nCommon(col("tga")).as("n_common"))
+      docs.select(col(idCol).as("doc_id"), score(col(textCol)).as("nc"))
+        .where(col("nc").isNotNull)
+        .select(col("doc_id"), col("nc")(0).as("n_trigrams"),
+          col("nc")(1).as("n_common"))
         .withColumn("familiarity",
           round(col("n_common").cast("double") / col("n_trigrams"), 6))
-    } else
+    } else {
+      val tgUdf = udf(trigramSeq _)
+      val g = docs.select(col(idCol).as("doc_id"),
+        explode(tgUdf(col(textCol))).as("tg"))
+      val model = g.groupBy("tg").agg(count(lit(1)).as("c"))
       g.join(model, "tg")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_trigrams"),
           sum(when(col("c") >= minDf, 1L).otherwise(0L)).as("n_common"))
         .withColumn("familiarity",
           round(col("n_common").cast("double") / col("n_trigrams"), 6))
+    }
   }
 
   /** Gopher-style document-quality rules (the repetition/shape filters of
