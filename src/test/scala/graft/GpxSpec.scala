@@ -108,6 +108,32 @@ class GpxSpec extends SparkSpec {
     assert(t.length == 1 && t(0).getAs[String]("name") == "ride")
   }
 
+  test("gpx tiles write and mergeFiles appends them into one file") {
+    val pts = SeqGeometrySource(Seq(
+      (1L, "POINT (5.0 52.0)", 1.0, "a"),
+      (2L, "POINT (5.1 52.1)", 2.0, "b")), proj = "EPSG:4326")
+    val dir = tmp("graft_gpx_tiles")
+    // two requests → two <hash>.gpx tiles
+    GeometryFileSink(pts, dir, "gpx")
+      .write(GeometryRequest(mode = "centroid", filters = Map("name" -> "a")))
+    GeometryFileSink(pts, dir, "gpx")
+      .write(GeometryRequest(mode = "centroid", filters = Map("name" -> "b")))
+    val target = tmp("graft_gpx_merge") + "/all.gpx"
+    GeometryFileSink.mergeFiles(dir, target)
+    val back = GeometryFileSource(target).frame(GeometryRequest())(spark)
+      .orderBy("fid").collect()
+    assert(back.map(_.getAs[Long]("fid")).toSeq == Seq(1L, 2L))
+    assert(back.map(_.getAs[String]("name")).toSeq == Seq("a", "b"))
+    // FeatureCollection .geojson targets merge through the same API
+    val jdir = tmp("graft_fc_tiles")
+    GeometryToFile.toFile(pts, s"$jdir/a.geojson",
+      fields = Some(Seq("value", "name")))
+    val jtarget = tmp("graft_fc_merge") + "/all.geojson"
+    GeometryFileSink.mergeFiles(jdir, jtarget)
+    assert(GeometryFileSource(jtarget).frame(GeometryRequest())(spark)
+      .count() == 2)
+  }
+
   test("GPX dispatches through GeometryFileSource/to_file and the JSON view") {
     import spark.implicits._
     val df = Seq((3L, "POINT (5.0 52.0)")).toDF("fid", "wkt")
