@@ -245,4 +245,45 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       }
     }
   }
+
+  private lazy val enviFixture: (Array[Byte], Array[Byte]) = {
+    val base = tmpRoot.resolve("fuzz_envi.dat").toString
+    graft.raster.Envi.write(base,
+      Seq(Array.tabulate(64)(_ * 0.5), Array.tabulate(64)(_ * 2.0)),
+      8, 8, Bbox(0, 0, 8, 8), -9999.0, "EPSG:28992", "float64")
+    (Files.readAllBytes(Paths.get(tmpRoot.resolve("fuzz_envi.hdr").toString)),
+      Files.readAllBytes(Paths.get(base)))
+  }
+
+  property("envi read survives corrupt header and data bytes") =
+    Prop.forAll(mutationGen(1 << 10), Gen.oneOf(true, false)) {
+      case ((kind, pos, value), hitHeader) =>
+        val (hdr, dat) = enviFixture
+        val dir = Files.createTempDirectory(tmpRoot, "envi_case")
+        val h = if (hitHeader) mutate(hdr, kind, pos, value) else hdr
+        val d = if (hitHeader) dat else mutate(dat, kind, pos, value)
+        Files.write(dir.resolve("s.hdr"), h)
+        Files.write(dir.resolve("s.dat"), d)
+        cleanOrFails(s"envi k=$kind p=$pos v=$value h=$hitHeader") {
+          graft.raster.Envi.readBands(dir.resolve("s.dat").toString,
+            "EPSG:28992")
+        }
+    }
+
+  property("gpx element parse survives corrupt/truncated fragments") = {
+    val wpt =
+      """<wpt lat="52.05" lon="5.1"><ele>12.5</ele><name>home</name><extensions><graft:fid>3</graft:fid><graft:p>7</graft:p></extensions></wpt>"""
+    val trk =
+      """<trk><name>ride</name><extensions><graft:fid>4</graft:fid></extensions><trkseg><trkpt lat="52.0" lon="5.0"></trkpt><trkpt lat="52.1" lon="5.1"></trkpt></trkseg></trk>"""
+    Prop.forAll(mutationGen(trk.length), Gen.oneOf(true, false)) {
+      case ((kind, pos, value), isWpt) =>
+        val src = if (isWpt) wpt else trk
+        val bytes = mutate(src.getBytes("UTF-8"), kind, pos, value)
+        cleanOrFails(s"gpx k=$kind p=$pos v=$value w=$isWpt") {
+          val s = new String(bytes, "UTF-8")
+          if (isWpt) graft.geometry.Gpx.parseWpt(s)
+          else graft.geometry.Gpx.parseTrk(s)
+        }
+    }
+  }
 }
