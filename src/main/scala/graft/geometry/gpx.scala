@@ -58,28 +58,116 @@ object Gpx {
 
   // ---------------------------------------------------------------- read
 
-  /** Head sample → (name, spark type): standard children actually present
-    * plus `graft:`-style extension fields (strings), standard order first. */
-  def headFields(head: String, layer: String): Seq[(String, String)] = {
-    val scope = layer match {
-      case "tracks" => head
-      case _        => head
+  /** Standard children legal DIRECTLY under `<trk>` per the GPX 1.1 XSD
+    * (trkType: name, cmt, desc, src, link, number, type, extensions,
+    * trkseg). ele/time/sym are wpt-only; the sink routes them through
+    * `<extensions>` on tracks and the reader types them back. */
+  val TrkLegal: Set[String] = Set("name", "cmt", "desc", "src", "type")
+
+  /** Top-level child element local-names of an element body; nested
+    * subtrees (the Garmin/Strava extension norm) count only their root. */
+  private def topLevelNames(body: String): Seq[String] = {
+    val tag = """<(/?)(?:\w+:)?([\w.-]+)((?:"[^"]*"|'[^']*'|[^>"'])*)>""".r
+    var depth = 0
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    tag.findAllMatchIn(body).foreach { m =>
+      val closing = m.group(1) == "/"
+      val selfClosed = m.group(3).trim.endsWith("/")
+      if (closing) depth = math.max(0, depth - 1)
+      else {
+        if (depth == 0) out += m.group(2)
+        if (!selfClosed) depth += 1
+      }
     }
-    val present = stdOrder.filter(n => scope.contains(s"<$n>"))
-    val ext = """<(?:\w+:)?(\w+)>""".r.findAllMatchIn(
-      """(?s)<extensions>(.*?)</extensions>""".r.findAllMatchIn(scope)
-        .map(_.group(1)).mkString("\n")).map(_.group(1)).toSeq.distinct
-      .filterNot(n => n == "fid" || stdSet.contains(n))
+    out.toSeq.distinct
+  }
+
+  /** Head sample → (name, spark type): standard children actually present
+    * plus `graft:`-style extension fields (strings), standard order first.
+    * The sample is SCOPED to this layer's sections (waypoint children must
+    * not leak into the tracks schema and vice versa); track sections drop
+    * their `<trkseg>` runs first (per-point elements live there, not at
+    * track level), and standard names found under `<extensions>` (how the
+    * sink carries e.g. `ele` on tracks, where it is not XSD-legal) keep
+    * their standard type. */
+  def headFields(head: String, layer: String): Seq[(String, String)] = {
+    val tag = if (layer == "tracks") "trk" else "wpt"
+    val sections = s"""(?s)<$tag(?:\\s[^>]*)?(?<!/)>.*?</$tag>""".r
+      .findAllIn(head).mkString("\n")
+    val scope =
+      if (layer == "tracks")
+        """(?s)<trkseg(?:\s[^>]*)?>.*?</trkseg>""".r.replaceAllIn(sections, "")
+      else sections
+    val extBody = """(?s)<extensions>(.*?)</extensions>""".r
+      .findAllMatchIn(scope).map(_.group(1)).mkString("\n")
+    val extNames = topLevelNames(extBody).filterNot(_ == "fid")
+    val scopeNoExt =
+      """(?s)<extensions>.*?</extensions>""".r.replaceAllIn(scope, "")
+    val present = stdOrder.filter(n =>
+      scopeNoExt.contains(s"<$n>") || extNames.contains(n))
+    val ext = extNames.filterNot(stdSet.contains).distinct
     present.map(n => n -> StdFields.toMap.apply(n)) ++
       ext.sorted.map(n => n -> "string")
   }
 
-  /** One `<wpt>` chunk → Point feature. */
+  /** Fragments of a chunk, one per `<tag>` start element. Chunks normally
+    * hold exactly one element (the text scan splits on the end tag), but a
+    * legal self-closing element (`<wpt lat=".." lon=".."/>` — wpt needs
+    * only attributes) carries no terminator, so a chunk may hold several;
+    * each start tag yields its own well-formed fragment. */
+  private[geometry] def splitElems(chunk: String, tag: String): Seq[String] = {
+    val starts = s"<$tag(?=[\\s/>])".r.findAllMatchIn(chunk).map(_.start).toArray
+    starts.indices.map { i =>
+      val s = starts(i)
+      val e = if (i + 1 < starts.length) starts(i + 1) else chunk.length
+      val frag = chunk.substring(s, e)
+      val tagEnd = frag.indexOf('>')
+      val endTag = s"</$tag>"
+      if (tagEnd > 0 && frag.substring(0, tagEnd).trim.endsWith("/"))
+        frag.substring(0, tagEnd + 1) // self-closed: drop trailing bytes
+      else frag.indexOf(endTag) match {
+        case -1 => frag.trim + endTag // separator consumed the terminator
+        case k  => frag.substring(0, k + endTag.length)
+      }
+    }
+  }
+
+  /** Text of the current element with nested children flattened into their
+    * concatenated character data (`getElementText` throws on the first
+    * nested element — nested `<extensions>` trees are the Garmin/Strava
+    * norm). Consumes through the matching end element. */
+  private def flatText(r: XMLStreamReader): String = {
+    val sb = new StringBuilder
+    var depth = 1
+    while (depth > 0 && r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => depth += 1
+        case XMLStreamConstants.END_ELEMENT   => depth -= 1
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+          sb.append(r.getText)
+        case _ => ()
+      }
+    }
+    sb.toString.trim
+  }
+
+  /** Every `<wpt>` element in a chunk → Point features (a chunk may hold
+    * several when self-closing waypoints lack the `</wpt>` separator). */
+  def parseWpts(chunk: String): Seq[Gml.Feature] = {
+    val frags = splitElems(chunk, "wpt")
+    if (frags.isEmpty)
+      throw new IllegalArgumentException("chunk without a wpt")
+    frags.map(parseWpt)
+  }
+
+  /** One well-formed `<wpt>` fragment → Point feature. */
   def parseWpt(chunk: String): Gml.Feature = {
-    val start = "<wpt[\\s>]".r.findFirstMatchIn(chunk).map(_.start).getOrElse(
+    val start = "<wpt[\\s/>]".r.findFirstMatchIn(chunk).map(_.start).getOrElse(
       throw new IllegalArgumentException("chunk without a wpt"))
     val body = chunk.substring(start).trim
-    val xml = if (body.endsWith("</wpt>")) body else body + "</wpt>"
+    val xml =
+      if (body.endsWith("</wpt>") || body.endsWith("/>")) body
+      else body + "</wpt>"
     val r = inputFactory.get.createXMLStreamReader(new StringReader(xml))
     try {
       var fid = -1L
@@ -96,7 +184,7 @@ object Gpx {
                 geom = gf.createPoint(new Coordinate(lon, lat))
               case "extensions" => inExt = true
               case n if inExt =>
-                val v = r.getElementText
+                val v = flatText(r) // consumes the subtree, nested or flat
                 if (n == "fid") v.toLongOption.foreach(fid = _)
                 else attrs += n -> v
               case n if stdSet.contains(n) => attrs += n -> r.getElementText
@@ -112,13 +200,24 @@ object Gpx {
     } finally r.close()
   }
 
-  /** One `<trk>` chunk → LineString (single `<trkseg>`) or MultiLineString
-    * feature; track-level standard children + extensions as attrs. */
+  /** Every `<trk>` element in a chunk → track features. */
+  def parseTrks(chunk: String): Seq[Gml.Feature] = {
+    val frags = splitElems(chunk, "trk")
+    if (frags.isEmpty)
+      throw new IllegalArgumentException("chunk without a trk")
+    frags.map(parseTrk)
+  }
+
+  /** One well-formed `<trk>` fragment → LineString (single `<trkseg>`) or
+    * MultiLineString feature; track-level standard children + extensions as
+    * attrs. */
   def parseTrk(chunk: String): Gml.Feature = {
-    val start = "<trk[\\s>]".r.findFirstMatchIn(chunk).map(_.start).getOrElse(
+    val start = "<trk[\\s/>]".r.findFirstMatchIn(chunk).map(_.start).getOrElse(
       throw new IllegalArgumentException("chunk without a trk"))
     val body = chunk.substring(start).trim
-    val xml = if (body.endsWith("</trk>")) body else body + "</trk>"
+    val xml =
+      if (body.endsWith("</trk>") || body.endsWith("/>")) body
+      else body + "</trk>"
     val r = inputFactory.get.createXMLStreamReader(new StringReader(xml))
     try {
       var fid = -1L
@@ -138,7 +237,7 @@ object Gpx {
                   r.getAttributeValue(null, "lat").toDouble)
               case "extensions" if !inSeg => inExt = true
               case n if inExt =>
-                val v = r.getElementText
+                val v = flatText(r) // consumes the subtree, nested or flat
                 if (n == "fid") v.toLongOption.foreach(fid = _)
                 else attrs += n -> v
               case n if !inSeg && stdSet.contains(n) =>
@@ -192,16 +291,27 @@ object GpxSink {
         case other => other.toString
       })
     }
-    def childrenXml(r: org.apache.spark.sql.Row, fid: Long): String = {
+    /** Children for one element; `legal` is the std-child subset the XSD
+      * allows directly under this element kind (all eight for `<wpt>`,
+      * `Gpx.TrkLegal` for `<trk>` — ele/time/sym are not trk children and
+      * ride in `<extensions>` there, where the reader types them back). */
+    def childrenXml(r: org.apache.spark.sql.Row, fid: Long,
+        legal: Set[String]): String = {
       val sb = new StringBuilder
-      stdOrdered.foreach(c => valueOf(r, c).foreach(v =>
+      stdOrdered.filter(legal.contains).foreach(c => valueOf(r, c).foreach(v =>
         sb.append(s"<$c>${Gml.escape(v)}</$c>")))
       sb.append(s"<extensions><graft:fid>$fid</graft:fid>")
+      stdOrdered.filterNot(legal.contains).foreach(c => valueOf(r, c).foreach(v =>
+        sb.append(s"<graft:$c>${Gml.escape(v)}</graft:$c>")))
       extCols.foreach(c => valueOf(r, c).foreach(v =>
         sb.append(s"<graft:$c>${Gml.escape(v)}</graft:$c>")))
       sb.append("</extensions>")
       sb.toString
     }
+    val wptChildren = (r: org.apache.spark.sql.Row, fid: Long) =>
+      childrenXml(r, fid, Gpx.StdFields.map(_._1).toSet)
+    val trkChildren = (r: org.apache.spark.sql.Row, fid: Long) =>
+      childrenXml(r, fid, Gpx.TrkLegal)
     def tf(c: Coordinate): (Double, Double) =
       if (from == "EPSG:4326") (c.x, c.y)
       else graft.raster.Proj.transform(from, "EPSG:4326", c.x, c.y)
@@ -229,26 +339,32 @@ object GpxSink {
           case p: Point =>
             val (lon, lat) = tf(p.getCoordinate)
             w.write(s"""<wpt lat="${Gml.fmt(lat)}" lon="${Gml.fmt(lon)}">""" +
-              childrenXml(r, fid) + "</wpt>\n")
+              wptChildren(r, fid) + "</wpt>\n")
           case mp: MultiPoint =>
             // GPX has no multipoint: one wpt per part, shared attrs/fid
             (0 until mp.getNumGeometries).foreach { i =>
               val (lon, lat) = tf(mp.getGeometryN(i).asInstanceOf[Point].getCoordinate)
               w.write(s"""<wpt lat="${Gml.fmt(lat)}" lon="${Gml.fmt(lon)}">""" +
-                childrenXml(r, fid) + "</wpt>\n")
+                wptChildren(r, fid) + "</wpt>\n")
             }
-          case l: LineString => writeTrk(tw, Seq(l), r, fid, childrenXml, tf)
+          case l: LineString => writeTrk(tw, Seq(l), r, fid, trkChildren, tf)
           case ml: MultiLineString =>
             writeTrk(tw, (0 until ml.getNumGeometries)
               .map(ml.getGeometryN(_).asInstanceOf[LineString]), r, fid,
-              childrenXml, tf)
+              trkChildren, tf)
           case other => throw new IllegalArgumentException(
             s"GPX cannot represent ${other.getGeometryType} (fid $fid)")
         }
       }
       tw.flush(); tw.close()
-      val spooled = java.nio.file.Files.readString(trkSpool)
-      if (spooled.nonEmpty) w.write(spooled)
+      // stream-copy the spool: driver memory stays O(buffer), not O(bytes)
+      val rd = java.nio.file.Files.newBufferedReader(
+        trkSpool, java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        val buf = new Array[Char](64 << 10)
+        var n = rd.read(buf)
+        while (n >= 0) { if (n > 0) w.write(buf, 0, n); n = rd.read(buf) }
+      } finally rd.close()
       w.write("</gpx>\n")
     } finally {
       w.close()
@@ -300,15 +416,17 @@ case class GpxSource(url: String, layer: String = "waypoints")
 
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
     val isTracks = layer == "tracks"
+    // one chunk may hold several elements (self-closing wpt/trk have no
+    // end-tag separator) → parse returns all of them and the plan explodes
     val parse = udf { (chunk: String) =>
-      val f = if (isTracks) Gpx.parseTrk(chunk) else Gpx.parseWpt(chunk)
-      (f.fid, f.wkb, f.attrs)
+      val fs = if (isTracks) Gpx.parseTrks(chunk) else Gpx.parseWpts(chunk)
+      fs.map(f => (f.fid, f.wkb, f.attrs))
     }
     val (sep, marker) =
-      if (isTracks) ("</trk>", "<trk[\\s>]") else ("</wpt>", "<wpt[\\s>]")
+      if (isTracks) ("</trk>", "<trk[\\s/>]") else ("</wpt>", "<wpt[\\s/>]")
     var df = spark.read.option("lineSep", sep).text(url)
       .filter(regexp_like(col("value"), lit(marker)))
-      .select(parse(col("value")).as("f"))
+      .select(explode(parse(col("value"))).as("f"))
       .select((Seq(col("f._1").as("fid"), col("f._2").as("geometry")) ++
         fields.map { case (n, t) => col("f._3")(n).cast(t).as(n) }): _*)
     req.geometryWkt.foreach { wkt =>

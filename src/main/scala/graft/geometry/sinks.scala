@@ -359,7 +359,24 @@ case class GeoJsonSource(url: String, proj: String = "EPSG:4326",
     typed.toSeq
   }
 
-  @transient private lazy val fullFields: Seq[(String, String)] = {
+  @transient private lazy val fullFields: Seq[(String, String)] = fcFeatures match {
+    case Some(feats) =>
+      // A FeatureCollection document is already fully parsed (bounded
+      // single-file codec) — the "distributed line scan" would line-split a
+      // possibly pretty-printed JSON document and either throw or drop every
+      // property. Union key types over the in-memory features instead.
+      val typed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      feats.foreach(_.get("properties").foreach {
+        case p: Map[_, _] => p.asInstanceOf[Map[String, Any]].foreach {
+          case (k, v) => typed(k) = widen(typed.get(k), typeName(v))
+        }
+        case _ =>
+      })
+      typed.toSeq.sortBy(_._1)
+    case None => fullFieldsLineScan
+  }
+
+  private def fullFieldsLineScan: Seq[(String, String)] = {
     val spark = SparkSession.active
     import org.apache.spark.sql.functions.{col, collect_set, explode, length, trim, udf}
     val keyTypes = udf { (line: String) =>

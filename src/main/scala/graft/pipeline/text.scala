@@ -225,13 +225,16 @@ object TextAnalysis {
     */
   /** Char trigrams of the lowercased text (kernel-side; both p27 physical
     * strategies derive trigrams through THIS function, so they cannot
-    * diverge on any input). */
+    * diverge on any input). Iterates by CODE POINT, not UTF-16 unit: SQL
+    * engines' `length`/`substr` count codepoints, so a surrogate-pair
+    * character (emoji) must be one trigram position, not two. */
   private def trigramSeq(t: String): Array[String] =
     if (t == null) Array.empty
     else {
       val s = t.toLowerCase(java.util.Locale.ROOT)
-      if (s.length < 3) Array.empty
-      else Array.tabulate(s.length - 2)(i => s.substring(i, i + 3))
+      val cps = s.codePoints().toArray
+      if (cps.length < 3) Array.empty
+      else Array.tabulate(cps.length - 2)(i => new String(cps, i, 3))
     }
 
   def trigramFamiliarity(docs: DataFrame, idCol: String, textCol: String,
@@ -278,13 +281,17 @@ object TextAnalysis {
           round(col("n_common").cast("double") / col("n_trigrams"), 6))
     } else {
       val tgUdf = udf(trigramSeq _)
-      val g = docs.select(col(idCol).as("doc_id"),
-        explode(tgUdf(col(textCol))).as("tg"))
-      val model = g.groupBy("tg").agg(count(lit(1)).as("c"))
-      g.join(model, "tg")
+      // pre-aggregate to (doc_id, tg, cnt) BEFORE the model join: the join
+      // input shrinks by the per-document trigram repetition factor, and
+      // the model itself falls out of the same aggregate for free
+      val gAgg = docs.select(col(idCol).as("doc_id"),
+          explode(tgUdf(col(textCol))).as("tg"))
+        .groupBy("doc_id", "tg").agg(count(lit(1)).as("cnt"))
+      val model = gAgg.groupBy("tg").agg(sum(col("cnt")).as("c"))
+      gAgg.join(model, "tg")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_trigrams"),
-          sum(when(col("c") >= minDf, 1L).otherwise(0L)).as("n_common"))
+        .agg(sum(col("cnt")).as("n_trigrams"),
+          sum(when(col("c") >= minDf, col("cnt")).otherwise(0L)).as("n_common"))
         .withColumn("familiarity",
           round(col("n_common").cast("double") / col("n_trigrams"), 6))
     }

@@ -134,6 +134,89 @@ class GpxSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("self-closing waypoints parse one feature each, not a merged last-point") {
+    val dir = tmp("graft_gpx_selfclose")
+    // legal GPX: wpt needs only lat/lon attributes, so <wpt .../> is valid
+    // and carries no </wpt> separator — three of them plus a normal one
+    Files.writeString(Paths.get(s"$dir/sc.gpx"),
+      """<?xml version="1.0"?>
+        |<gpx version="1.1" creator="unit">
+        |  <wpt lat="52.0" lon="5.0"/>
+        |  <wpt lat="52.1" lon="5.1" />
+        |  <wpt lat="52.2" lon="5.2"><name>named</name></wpt>
+        |  <wpt lat="52.3" lon="5.3"/>
+        |</gpx>
+        |""".stripMargin)
+    val w = GpxSource(s"$dir/sc.gpx").frame(GeometryRequest())(spark)
+      .collect().map(r =>
+        GeomFunctions.readWkb(r.getAs[Array[Byte]]("geometry")).getCoordinate)
+    assert(w.length == 4)
+    assert(w.map(c => (c.x, c.y)).toSet ==
+      Set((5.0, 52.0), (5.1, 52.1), (5.2, 52.2), (5.3, 52.3)))
+  }
+
+  test("schema is layer-scoped and track std children are XSD-legal") {
+    import spark.implicits._
+    val dir = tmp("graft_gpx_scope")
+    // waypoint-only children (ele/time/sym) must not leak into the tracks
+    // schema of a mixed file...
+    Files.writeString(Paths.get(s"$dir/mixed.gpx"),
+      """<?xml version="1.0"?>
+        |<gpx version="1.1" creator="unit">
+        |  <wpt lat="52.0" lon="5.0"><ele>3.5</ele><sym>Flag</sym></wpt>
+        |  <trk><name>r</name><trkseg>
+        |    <trkpt lat="52.0" lon="5.0"><ele>1.0</ele></trkpt>
+        |  </trkseg></trk>
+        |</gpx>
+        |""".stripMargin)
+    val trkCols = GpxSource(s"$dir/mixed.gpx", "tracks")
+      .frame(GeometryRequest())(spark).columns.toSet
+    assert(!trkCols.contains("ele") && !trkCols.contains("sym"))
+    assert(trkCols.contains("name"))
+    val wptCols = GpxSource(s"$dir/mixed.gpx")
+      .frame(GeometryRequest())(spark).columns.toSet
+    assert(wptCols.contains("ele") && wptCols.contains("sym") &&
+      !wptCols.contains("name") /* name only appears on the trk here */)
+    // ...and a sink round-trip of tracks WITH ele/time/sym keeps the file
+    // XSD-legal (those ride in <extensions>) while values survive typed
+    val lines = Seq((0L, "LINESTRING (5.0 52.0, 5.1 52.1)", "t", 12.5, "Dot"))
+      .toDF("fid", "wkt", "name", "ele", "sym")
+      .select(col("fid"), GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"),
+        col("name"), col("ele"), col("sym"))
+    GpxSink.writeStream(lines, "EPSG:4326", s"$dir/t.gpx")(spark)
+    val xml = Files.readString(Paths.get(s"$dir/t.gpx"))
+    val trkBody = "(?s)<trk>.*</trk>".r.findFirstIn(xml).get
+    assert(!trkBody.contains("<ele>") && !trkBody.contains("<sym>"))
+    assert(trkBody.contains("<graft:ele>12.5</graft:ele>"))
+    assert(trkBody.contains("<name>t</name>")) // trk-legal stays direct
+    val back = GpxSource(s"$dir/t.gpx", "tracks").frame(GeometryRequest())(spark)
+    assert(back.schema("ele").dataType.typeName == "double")
+    val r = back.head
+    assert(r.getAs[Double]("ele") == 12.5 && r.getAs[String]("sym") == "Dot" &&
+      r.getAs[String]("name") == "t")
+  }
+
+  test("nested Garmin-style extension trees flatten instead of failing") {
+    val dir = tmp("graft_gpx_nested")
+    Files.writeString(Paths.get(s"$dir/n.gpx"),
+      """<?xml version="1.0"?>
+        |<gpx version="1.1" creator="unit">
+        |  <wpt lat="52.0" lon="5.0"><extensions>
+        |    <gpxx:WaypointExtension>
+        |      <gpxx:DisplayMode>SymbolAndName</gpxx:DisplayMode>
+        |    </gpxx:WaypointExtension>
+        |    <plain>7</plain>
+        |  </extensions></wpt>
+        |</gpx>
+        |""".stripMargin)
+    val df = GpxSource(s"$dir/n.gpx").frame(GeometryRequest())(spark)
+    val r = df.head
+    assert(r.getAs[String]("plain") == "7")
+    // nested subtree flattens into its top-level parent column
+    assert(r.getAs[String]("WaypointExtension").trim == "SymbolAndName")
+    assert(!df.columns.contains("DisplayMode"))
+  }
+
   test("GPX dispatches through GeometryFileSource/to_file and the JSON view") {
     import spark.implicits._
     val df = Seq((3L, "POINT (5.0 52.0)")).toDF("fid", "wkt")

@@ -105,4 +105,17 @@ class PackingSpec extends SparkSpec {
       broadcastLimit = 0).orderBy("doc_id").collect()
     assert(out.map(_.toSeq).toSeq == viaJoin.map(_.toSeq).toSeq)
   }
+
+  test("trigramFamiliarity counts codepoints, not UTF-16 units") {
+    import spark.implicits._
+    // "ab😀cd" is 5 codepoints but 6 UTF-16 units (the emoji is a
+    // surrogate PAIR) → exactly 3 trigram positions, matching SQL
+    // substr/length semantics; unit-indexed code would report 4
+    val docs = Seq((0L, "ab😀cd")).toDF("doc_id", "text")
+    Seq(2000000L, 0L).foreach { lim => // both physical strategies
+      val r = TextAnalysis.trigramFamiliarity(docs, "doc_id", "text", 1,
+        broadcastLimit = lim).head
+      assert(r.getLong(1) == 3 && r.getLong(2) == 3, s"limit=$lim: $r")
+    }
+  }
 }

@@ -149,10 +149,16 @@ class PlanSpec extends SparkSpec {
     // the exploded trigrams
     import graft.pipeline.TextAnalysis
     val docs = QueryLib.tbl(spark, dir, "documents")
-    val pj = TextAnalysis.trigramFamiliarity(docs, "doc_id", "text", 5,
-        broadcastLimit = 0).queryExecution
-      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val qe = TextAnalysis.trigramFamiliarity(docs, "doc_id", "text", 5,
+      broadcastLimit = 0).queryExecution
+    val pj = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(pj.contains("Generate") && !pj.contains("CartesianProduct") &&
       !pj.contains("BroadcastNestedLoopJoin"))
+    // the model join's BOTH inputs are pre-aggregated frames — one row per
+    // (doc, trigram) / per trigram, never one row per corpus position
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val join = qe.optimizedPlan.collectFirst { case j: Join => j }.get
+    assert(join.left.collect { case a: Aggregate => a }.nonEmpty)
+    assert(join.right.collect { case a: Aggregate => a }.nonEmpty)
   }
 }

@@ -278,6 +278,31 @@ class SinksSpec extends SparkSpec {
     assert(df.filter(col("fid") === 1L).head().isNullAt(df.columns.indexOf("late")))
   }
 
+  test("fullSchema on a pretty-printed FeatureCollection document works") {
+    // a pretty-printed FC cannot be line-parsed: fullSchema must route
+    // through the already-parsed document, not the distributed line scan
+    val f = Files.createTempDirectory("geojson_fc_full").resolve("doc.geojson")
+    Files.writeString(f,
+      """{
+        |  "type": "FeatureCollection",
+        |  "features": [
+        |    { "type": "Feature", "id": 1,
+        |      "properties": { "v": 1, "label": "a" },
+        |      "geometry": { "type": "Point", "coordinates": [ 5.0, 52.0 ] } },
+        |    { "type": "Feature", "id": 2,
+        |      "properties": { "v": 2.5, "late": true },
+        |      "geometry": { "type": "Point", "coordinates": [ 5.1, 52.1 ] } }
+        |  ]
+        |}
+        |""".stripMargin)
+    val full = GeoJsonSource(f.toString, fullSchema = true)
+    val df = full.frame(GeometryRequest())
+    assert(df.columns.toSet == Set("geometry", "fid", "v", "label", "late"))
+    assert(df.schema("v").dataType.simpleString == "double") // long+double widen
+    assert(df.orderBy("fid").collect().map(_.getAs[Double]("v")).toSeq ==
+      Seq(1.0, 2.5))
+  }
+
   test("streaming export moves 15k features through each single-file format") {
     // 15k > the 10k request guard: only the streaming toLocalIterator path
     // can export this as ONE file (reference: tiled to_file + merge_files)
