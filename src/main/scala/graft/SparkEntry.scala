@@ -430,6 +430,28 @@ object SparkEntry {
         EnviSink(a, s"$out/stack.dat").write(fullReq(g))
         cells(EnviSource(s"$out/stack.dat", 0L, Hour).frame(fullReq(g)), g)
       }),
+      "r42_netcdf_roundtrip" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the whole 4-frame stack through ONE CF-convention NetCDF file
+        // (CDF-2, time dimension = frames, spatial_ref WKT grid mapping);
+        // the read-back time axis comes from the in-file CF time variable
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_nc").toString
+        NetCdfSink(a, s"$out/stack.nc").write(fullReq(g))
+        cells(NetCdfSource(s"$out/stack.nc").frame(fullReq(g)), g)
+      }),
+      "r43_netcdf_slice" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // temporal slice of the stack: only frames 1-2 are requested from
+        // the file (frame instants resolved from the CF time variable)
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_ncs").toString
+        NetCdfSink(a, s"$out/stack.nc").write(fullReq(g))
+        val sliced = fullReq(g).copy(
+          start = Some(java.time.Instant.ofEpochMilli(Hour)),
+          stop = Some(java.time.Instant.ofEpochMilli(2 * Hour)))
+        cells(NetCdfSource(s"$out/stack.nc").frame(sliced), g)
+      }),
       "r39_xyz_roundtrip" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // frame 0 through the XYZ point-grid codec (3 numbers per cell —
@@ -644,6 +666,10 @@ object SparkEntry {
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx = 0""".stripMargin,
     "r41_envi_roundtrip" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r42_netcdf_roundtrip" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r43_netcdf_slice" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
     "r40_png_worldfile" -> s"""${cellsSql(
         "CAST(floor(value) AS BIGINT) % 200", "event_type = 'error'")}
       |SELECT t_idx, cell_id,

@@ -196,7 +196,7 @@ object BlockRegistry {
       classOf[Place], classOf[RasterizeWKT], classOf[Rasterize],
       classOf[TableRasterSource], classOf[RasterParquetSource], classOf[RasterTiler],
       classOf[GeoTiffSource], classOf[AsciiGridSource], classOf[XyzSource],
-      classOf[PngSource], classOf[EnviSource]
+      classOf[PngSource], classOf[EnviSource], classOf[NetCdfSource]
     ).foreach(registerAuto)
     Seq[Class[_ <: Block]](
       classOf[graft.geometry.GetSeriesBlock], classOf[graft.geometry.SetSeriesBlock],

@@ -418,7 +418,7 @@ case class PngSource(url: String, timeFirstMs: Long = 0L,
   * extension. Directories dispatch on their first matching file. */
 object RasterFileSource {
   private val known =
-    Seq(".tif", ".tiff", ".asc", ".xyz", ".png", ".hdr", ".dat", ".img")
+    Seq(".tif", ".tiff", ".asc", ".xyz", ".png", ".hdr", ".dat", ".img", ".nc")
 
   def apply(url: String, timeFirstMs: Long = 0L,
       timeDeltaMs: Long = 300000L): RasterBlock = {
@@ -440,6 +440,8 @@ object RasterFileSource {
     else if (lower.endsWith(".hdr") || lower.endsWith(".dat") ||
       lower.endsWith(".img"))
       EnviSource(probe, timeFirstMs, timeDeltaMs)
+    else if (lower.endsWith(".nc"))
+      NetCdfSource(probe) // time axis comes from the CF time variable
     else throw new IllegalArgumentException(
       s"$url: unsupported raster format (${known.mkString(", ")})")
   }

@@ -151,6 +151,7 @@ class WmsServer(spark: SparkSession, port: Int = 0,
         case g: graft.raster.XyzSource             => check(g.url)
         case g: graft.raster.PngSource             => check(g.url)
         case g: graft.raster.EnviSource            => check(g.url)
+        case g: graft.raster.NetCdfSource          => check(g.url)
         case g: graft.geometry.GeoParquetSource    => check(g.url)
         case g: graft.geometry.GeoJsonSource       => check(g.url)
         case t: graft.geometry.TableGeometrySource => check(t.path)

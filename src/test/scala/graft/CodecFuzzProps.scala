@@ -270,6 +270,31 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
         }
     }
 
+  private lazy val ncFixture: Array[Byte] = {
+    val p = tmpRoot.resolve("fuzz.nc").toString
+    graft.raster.NetCdf.write(p,
+      Seq(Array.tabulate(64)(_ * 0.5), Array.tabulate(64)(_ * 2.0)),
+      8, 8, Bbox(0, 0, 8, 8), -9999.0, "EPSG:28992",
+      Seq(0L, 3600000L), "float64")
+    Files.readAllBytes(Paths.get(p))
+  }
+
+  property("netcdf read survives corrupt header/coordinate/payload bytes") =
+    Prop.forAll(mutationGen(1 << 10)) { case (kind, pos, value) =>
+      val bytes = mutate(ncFixture, kind, pos, value)
+      val dir = Files.createTempDirectory(tmpRoot, "nc_case")
+      val f = dir.resolve("s.nc")
+      Files.write(f, bytes)
+      cleanOrFails(s"netcdf k=$kind p=$pos v=$value") {
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val m = graft.raster.NetCdf.readMeta(ch, f.toString, "EPSG:28992")
+          graft.raster.NetCdf.readBands(ch, m)
+        } finally ch.close()
+      }
+    }
+
   property("gpx element parse survives corrupt/truncated fragments") = {
     val wpt =
       """<wpt lat="52.05" lon="5.1"><ele>12.5</ele><name>home</name><extensions><graft:fid>3</graft:fid><graft:p>7</graft:p></extensions></wpt>"""
