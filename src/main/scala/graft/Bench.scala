@@ -1,8 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Fixed pure-CPU calibration workload — no I/O, no Spark, no code
+    * under test. Identical across rounds by construction, so its time
+    * measures the HOST, not the repo: cross-round per-query comparisons
+    * should be read against the calibration ratio (the r7 adjudication
+    * found identical code varying ×1.4-1.8 between recording windows on
+    * this shared host). Min of three runs after a JIT warm pass. */
+  private def calibrate(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= (x >>> 33)
+        i += 1
+      }
+      if (x == 42L) print("") // keep the loop observable (defeat DCE)
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // JIT warm
+    Seq(once(), once(), once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
+    val calibration = calibrate()
+    println(s"""{"bench_calibration_sec":$calibration}""")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -77,11 +102,11 @@ object Bench {
     // variants; a much larger number means the LRU is thrashing
     val fcHits = graft.raster.FrameCache.hitCount.get()
     val fcMisses = graft.raster.FrameCache.missCount.get()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"calibration":$calibration,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // LAST line is a compact summary (no per-query map) so the driver's
     // 2000-char tail window always contains one complete JSON object —
     // BENCH_r02/r03 both lost the long line's front to that window.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"calibration":$calibration,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
     QueryLib.clearCaches()
     spark.stop()
   }

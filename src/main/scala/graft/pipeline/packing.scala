@@ -29,20 +29,36 @@ object Packing {
     *
     * `tokens` is the per-document token count expression (e.g.
     * [[TextAnalysis.tokenCount]]).
+    *
+    * `buckets <= 0` (the default) auto-scales the bucket count to the
+    * input: ~[[RowsPerBucket]] rows per bucket with a floor of 64, so the
+    * per-bucket window sort state stays bounded at 10⁹+ documents instead
+    * of growing as rows/64. Any positive value pins the count; results
+    * are identical for every bucket count (asserted in PackingSpec).
     */
+  val RowsPerBucket: Long = 4000000L
+
+  /** Bucket count for `rows` input rows: explicit `buckets` if positive,
+    * else the rows-per-bucket target with a floor of 64. */
+  def autoBuckets(rows: Long, buckets: Int): Int =
+    if (buckets > 0) buckets
+    else math.max(64L, (rows + RowsPerBucket - 1) / RowsPerBucket)
+      .min(Int.MaxValue.toLong).toInt
+
   def packSequences(df: DataFrame, idCol: String, tokens: Column, ctx: Int,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 0): DataFrame = {
     require(ctx > 0, "ctx must be positive")
     val spark = df.sparkSession
     val base = df.select(col(idCol).cast("long").as("_id"),
       tokens.cast("long").as("n_tokens"))
 
-    // deterministic id-range buckets from the (tiny) global id span
-    val bounds = base.agg(min("_id"), max("_id")).head()
+    // deterministic id-range buckets from the (tiny) global id span; the
+    // same aggregate also counts rows for the bucket auto-scale
+    val bounds = base.agg(min("_id"), max("_id"), count(lit(1))).head()
     if (bounds.isNullAt(0)) return emptyResult(spark, idCol)
     val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(maxId - minId + 1, 1L)
-    val nB = math.max(1, buckets)
+    val nB = autoBuckets(bounds.getLong(2), buckets)
     val bucket = least(lit(nB - 1L), greatest(lit(0L),
       floor((col("_id") - minId).cast("double") * nB / span).cast("long")))
     val withB = base.withColumn("_b", bucket)

@@ -99,11 +99,16 @@ class GeometrySerdeSpec extends SparkSpec {
     * dialect the Python reference emits (core/graphs.py:270-276 serialize:
     * {"version": 2, "graph": {ClassName_token: [import_path, arg...]}},
     * with dask-tokenize names, "file://" safe urls, variadic Group and
-    * SetSeriesBlock args, null for None). The reference stack (gdal/dask)
-    * is not installable in this environment, so the fixtures are derived
-    * from the serializer's code rather than captured from a live run —
-    * any future divergence found against real reference output belongs in
-    * these files. */
+    * SetSeriesBlock args, null for None).
+    *
+    * Provenance: VALIDATED against the reference's own serialize() code
+    * running from the source tree (tools/capture_reference_views.py —
+    * gdal/dask C-extensions stubbed at import, dask.base.tokenize replaced
+    * by an md5 stand-in since the real stack is not installable here; the
+    * token SUFFIXES are therefore synthetic in both the capture and these
+    * fixtures, and the capture tool compares token-canonicalized
+    * structure). All five fixtures match the captured output structurally:
+    * same graph entries, import paths, argument encodings and root name. */
   private def referenceView(name: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       getClass.getResource(s"/reference_views/$name").toURI)), "UTF-8")

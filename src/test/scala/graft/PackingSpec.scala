@@ -34,6 +34,21 @@ class PackingSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r =>
         (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5))).toSeq
     assert(run(1) == run(7) && run(7) == run(64))
+    // the auto default (buckets <= 0) is just another bucket count
+    assert(run(0) == run(64))
+  }
+
+  test("packSequences bucket count auto-scales with input size") {
+    // floor of 64 below the rows-per-bucket target, then linear growth:
+    // per-bucket sort state stays ~RowsPerBucket at any corpus size
+    assert(Packing.autoBuckets(0L, 0) == 64)
+    assert(Packing.autoBuckets(1000L, 0) == 64)
+    assert(Packing.autoBuckets(64L * Packing.RowsPerBucket, 0) == 64)
+    assert(Packing.autoBuckets(65L * Packing.RowsPerBucket, 0) == 65)
+    assert(Packing.autoBuckets(1000000000L, 0) == 250)
+    assert(Packing.autoBuckets(1000000000000L, 0) == 250000)
+    // an explicit count always wins
+    assert(Packing.autoBuckets(1000000000L, 7) == 7)
   }
 
   test("stratifiedBalance keeps the smallest stratum whole and cuts by hash") {
