@@ -1251,6 +1251,30 @@ object SparkEntry {
           GeomFunctions.stCentroidX(col("geometry")).as("x"),
           GeomFunctions.stCentroidY(col("geometry")).as("y"))
     }),
+    "g26_mif_roundtrip" -> ((s, dir) => {
+      // MapInfo MIF/MID text interchange: author lon/lat points with typed
+      // attributes, export (.mif objects + .mid delimited rows, CoordSys
+      // Earth Projection 1, 104, fid as a leading Integer column), read
+      // back — coordinates and attribute values are bit-exact (shortest-
+      // digit printing both ways)
+      implicit val sp: SparkSession = s
+      val p = TableGeometrySource(s"$dir/part.parquet", "p_partkey",
+        Seq("p_size", "p_retailprice", "p_name"),
+        geomWktExpr = Some(
+          "concat('POINT (', 4.5 + (p_partkey % 50) * 0.001, ' ', " +
+            "51.9 + cast(p_partkey / 50 as int) * 0.0005, ')')"),
+        proj = "EPSG:4326")
+      val out = java.nio.file.Files.createTempDirectory("verify_mif")
+        .resolve("parts.mif").toString
+      GeometryToFile.toFile(p, out)
+      val back = GeometryFileSource(out)
+      back.frame(GeometryRequest())(s)
+        .select(col("fid"), col("p_size").cast("long").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"),
+          col("p_name"),
+          GeomFunctions.stCentroidX(col("geometry")).as("x"),
+          GeomFunctions.stCentroidY(col("geometry")).as("y"))
+    }),
     "g19_wkt_prj" -> ((s, dir) => {
       // an ArcGIS-authored shapefile: the .prj carries ESRI WKT (no
       // AUTHORITY node), not an "EPSG:xxxx" string. The WKT resolver must
@@ -1438,6 +1462,12 @@ object SparkEntry {
     // lon/lat square literals, WGS84 → RD polynomials, shoelace)
     "g23_kml_roundtrip" -> wktPrjAreaOracle,
     "g25_gpx_roundtrip" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
+        | p_retailprice, p_name,
+        | 4.5 + (p_partkey % 50) * 0.001 AS x,
+        | 51.9 + CAST(p_partkey // 50 AS INT) * 0.0005 AS y
+        |FROM part""".stripMargin,
+    "g26_mif_roundtrip" ->
       """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
         | p_retailprice, p_name,
         | 4.5 + (p_partkey % 50) * 0.001 AS x,

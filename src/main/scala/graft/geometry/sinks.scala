@@ -14,13 +14,13 @@ import org.apache.spark.sql.functions._
 case class GeometryFileSink(source: GeometryBlock, url: String,
     format: String = "geoparquet", fields: Option[Seq[String]] = None) {
   require(Set("geoparquet", "geojson", "shp", "gpkg", "gml", "fgb", "csv",
-    "kml", "gpx").contains(format), s"unsupported format $format")
+    "kml", "gpx", "mif").contains(format), s"unsupported format $format")
 
   def write(req: GeometryRequest)(implicit spark: SparkSession): String = {
     // single-file OGR-style formats follow the reference's tile contract:
     // one <requesthash>.<ext> file per request into the directory, merged
     // later by mergeFiles (sinks.py:116-169)
-    if (Set("shp", "gpkg", "gml", "fgb", "csv", "kml", "gpx").contains(format)) {
+    if (Set("shp", "gpkg", "gml", "fgb", "csv", "kml", "gpx", "mif").contains(format)) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(url))
       val hash = java.security.MessageDigest.getInstance("MD5")
         .digest(req.toString.getBytes("UTF-8"))
@@ -39,6 +39,7 @@ case class GeometryFileSink(source: GeometryBlock, url: String,
         case "fgb"  => FlatGeobufSink.writeStream(src.frame(req), src.projection, out)
         case "csv"  => CsvWktSink.writeStream(src.frame(req), src.projection, out)
         case "gpx"  => GpxSink.writeStream(src.frame(req), src.projection, out)
+        case "mif"  => MifSink.writeStream(src.frame(req), src.projection, out)
         case _      => KmlSink.writeStream(src.frame(req), src.projection, out)
       }
       return out
@@ -134,9 +135,10 @@ object GeometryFileSink {
       case "csv"  => CsvWktSink.writeStream(merged, proj, target)
       case "kml"  => KmlSink.writeStream(merged, proj, target)
       case "gpx"  => GpxSink.writeStream(merged, proj, target)
+      case "mif"  => MifSink.writeStream(merged, proj, target)
       case "geojson" | "json" => GeoJsonSink.writeStream(merged, proj, target)
       case other  => throw new IllegalArgumentException(
-        s"mergeFiles supports shp/gpkg/gml/fgb/csv/kml/gpx/geojson targets, not .$other")
+        s"mergeFiles supports shp/gpkg/gml/fgb/csv/kml/gpx/mif/geojson targets, not .$other")
     }
     if (removeSource) parts.foreach(_.delete())
     target
@@ -225,6 +227,8 @@ object GeometryToFile {
       KmlSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".gpx"))
       GpxSink.writeStream(frame, source.projection, url)
+    else if (lower.endsWith(".mif"))
+      MifSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json"))
       GeoJsonSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".kmz")) {

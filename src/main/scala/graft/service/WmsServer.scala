@@ -157,6 +157,7 @@ class WmsServer(spark: SparkSession, port: Int = 0,
         case t: graft.geometry.TableGeometrySource => check(t.path)
         case s: graft.geometry.ShapefileSource     => check(s.url)
         case s: graft.geometry.GeoPackageSource    => check(s.url)
+        case s: graft.geometry.MifSource           => check(s.url)
         case s: graft.geometry.GmlSource           => check(s.url)
         case s: graft.geometry.GeometryFileSource  => check(s.url)
         case s: graft.geometry.FlatGeobufSource    => check(s.url)

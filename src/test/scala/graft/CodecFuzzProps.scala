@@ -295,6 +295,50 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       }
     }
 
+  private lazy val mifFixture: (Array[Byte], Array[Byte]) = {
+    val mif =
+      """Version 300
+        |Delimiter ","
+        |CoordSys Earth Projection 1, 104
+        |Columns 2
+        |  name Char(20)
+        |  v Float
+        |Data
+        |Point 5.0 52.0
+        |Pline 3
+        |5.0 52.0
+        |5.1 52.1
+        |5.2 52.2
+        |Region 2
+        |  4
+        |0 0
+        |4 0
+        |4 4
+        |0 0
+        |  4
+        |1 1
+        |2 1
+        |2 2
+        |1 1
+        |""".stripMargin
+    val mid = "\"a\",1.5\n\"b\",2.5\n\"c\",3.5\n"
+    (mif.getBytes("UTF-8"), mid.getBytes("UTF-8"))
+  }
+
+  property("mif/mid read survives corrupt header/object/attribute bytes") =
+    Prop.forAll(mutationGen(1 << 9), Gen.oneOf(true, false)) {
+      case ((kind, pos, value), hitMif) =>
+        val (mif, mid) = mifFixture
+        val dir = Files.createTempDirectory(tmpRoot, "mif_case")
+        Files.write(dir.resolve("s.mif"),
+          if (hitMif) mutate(mif, kind, pos, value) else mif)
+        Files.write(dir.resolve("s.mid"),
+          if (hitMif) mid else mutate(mid, kind, pos, value))
+        cleanOrFails(s"mif k=$kind p=$pos v=$value m=$hitMif") {
+          graft.geometry.Mif.read(dir.resolve("s.mif").toString)
+        }
+    }
+
   property("gpx element parse survives corrupt/truncated fragments") = {
     val wpt =
       """<wpt lat="52.05" lon="5.1"><ele>12.5</ele><name>home</name><extensions><graft:fid>3</graft:fid><graft:p>7</graft:p></extensions></wpt>"""
