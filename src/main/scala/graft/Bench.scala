@@ -64,7 +64,12 @@ object Bench {
     // back-to-back samples of p12/r15 inside one slow window). A query
     // that throws is recorded with an "err" marker instead of a fake
     // timing — a broken query must not look like a fast one.
+    // optional subset run (regex on query names) — the scale soaks bench
+    // one query family (e.g. '^p') at a synthetic SF without paying for
+    // the whole suite
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => filter.forall(_.findFirstIn(n).isDefined))
     def runPass(pass: Int): Map[String, Either[String, Double]] =
       names.map { name =>
         val fn = SparkEntry.queries(name)
@@ -102,11 +107,18 @@ object Bench {
     // variants; a much larger number means the LRU is thrashing
     val fcHits = graft.raster.FrameCache.hitCount.get()
     val fcMisses = graft.raster.FrameCache.missCount.get()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"calibration":$calibration,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // peak heap over the whole run (all memory pools' high-water marks):
+    // the scale soaks read this as "would one executor of this size cope"
+    import scala.jdk.CollectionConverters._
+    val peakHeapMb = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"calibration":$calibration,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"peak_heap_mb":$peakHeapMb,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // LAST line is a compact summary (no per-query map) so the driver's
     // 2000-char tail window always contains one complete JSON object —
     // BENCH_r02/r03 both lost the long line's front to that window.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"calibration":$calibration,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"calibration":$calibration,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"peak_heap_mb":$peakHeapMb,"n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
     QueryLib.clearCaches()
     spark.stop()
   }

@@ -32,8 +32,10 @@ import pyarrow.parquet as pq
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-COPIES = 10
-OFF = 10_000_000
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# key offset per copy — must exceed the SOURCE's max key (chain soaks:
+# sf0.1->sf1 uses the 10M default, sf1->sf10 needs ~1e9)
+OFF = int(sys.argv[4]) if len(sys.argv) > 4 else 10_000_000
 
 KEY_COLUMNS = {
     "region": [],
