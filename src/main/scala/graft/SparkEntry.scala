@@ -1275,6 +1275,28 @@ object SparkEntry {
           GeomFunctions.stCentroidX(col("geometry")).as("x"),
           GeomFunctions.stCentroidY(col("geometry")).as("y"))
     }),
+    "g27_dxf_roundtrip" -> ((s, dir) => {
+      // AutoCAD DXF text interchange: POINT entities with fid + attrs as
+      // GRAFT XDATA, .prj sidecar CRS — coordinates and attribute values
+      // are bit-exact (shortest-digit printing both ways)
+      implicit val sp: SparkSession = s
+      val p = TableGeometrySource(s"$dir/part.parquet", "p_partkey",
+        Seq("p_size", "p_retailprice", "p_name"),
+        geomWktExpr = Some(
+          "concat('POINT (', 4.5 + (p_partkey % 50) * 0.001, ' ', " +
+            "51.9 + cast(p_partkey / 50 as int) * 0.0005, ')')"),
+        proj = "EPSG:4326")
+      val out = java.nio.file.Files.createTempDirectory("verify_dxf")
+        .resolve("parts.dxf").toString
+      GeometryToFile.toFile(p, out)
+      val back = GeometryFileSource(out)
+      back.frame(GeometryRequest())(s)
+        .select(col("fid"), col("p_size").cast("long").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"),
+          col("p_name"),
+          GeomFunctions.stCentroidX(col("geometry")).as("x"),
+          GeomFunctions.stCentroidY(col("geometry")).as("y"))
+    }),
     "g19_wkt_prj" -> ((s, dir) => {
       // an ArcGIS-authored shapefile: the .prj carries ESRI WKT (no
       // AUTHORITY node), not an "EPSG:xxxx" string. The WKT resolver must
@@ -1468,6 +1490,12 @@ object SparkEntry {
         | 51.9 + CAST(p_partkey // 50 AS INT) * 0.0005 AS y
         |FROM part""".stripMargin,
     "g26_mif_roundtrip" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
+        | p_retailprice, p_name,
+        | 4.5 + (p_partkey % 50) * 0.001 AS x,
+        | 51.9 + CAST(p_partkey // 50 AS INT) * 0.0005 AS y
+        |FROM part""".stripMargin,
+    "g27_dxf_roundtrip" ->
       """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
         | p_retailprice, p_name,
         | 4.5 + (p_partkey % 50) * 0.001 AS x,

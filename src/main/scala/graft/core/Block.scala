@@ -211,7 +211,8 @@ object BlockRegistry {
       classOf[graft.geometry.GeoPackageSource], classOf[graft.geometry.GeometryFileSource],
       classOf[graft.geometry.GmlSource], classOf[graft.geometry.FlatGeobufSource],
       classOf[graft.geometry.CsvWktSource], classOf[graft.geometry.KmlSource],
-      classOf[graft.geometry.GpxSource], classOf[graft.geometry.MifSource]
+      classOf[graft.geometry.GpxSource], classOf[graft.geometry.MifSource],
+      classOf[graft.geometry.DxfSource]
     ).foreach(registerAuto)
     Seq[Class[_ <: Block]](
       classOf[graft.geometry.FieldOps.Add], classOf[graft.geometry.FieldOps.Subtract],

@@ -158,6 +158,7 @@ class WmsServer(spark: SparkSession, port: Int = 0,
         case s: graft.geometry.ShapefileSource     => check(s.url)
         case s: graft.geometry.GeoPackageSource    => check(s.url)
         case s: graft.geometry.MifSource           => check(s.url)
+        case s: graft.geometry.DxfSource           => check(s.url)
         case s: graft.geometry.GmlSource           => check(s.url)
         case s: graft.geometry.GeometryFileSource  => check(s.url)
         case s: graft.geometry.FlatGeobufSource    => check(s.url)

@@ -339,6 +339,31 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
         }
     }
 
+  private lazy val dxfFixture: Array[Byte] =
+    Seq("0", "SECTION", "2", "ENTITIES",
+      "0", "POINT", "8", "0", "10", "5.0", "20", "52.0",
+      "1001", "GRAFT", "1000", "fid=1", "1000", "name=a",
+      "0", "POLYLINE", "8", "0", "66", "1", "70", "1",
+      "0", "VERTEX", "8", "0", "10", "0", "20", "0",
+      "0", "VERTEX", "8", "0", "10", "4", "20", "0",
+      "0", "VERTEX", "8", "0", "10", "4", "20", "4",
+      "0", "SEQEND",
+      "0", "LWPOLYLINE", "8", "0", "90", "2", "10", "1", "20", "1",
+      "10", "2", "20", "2",
+      "0", "CIRCLE", "8", "0", "10", "0", "20", "0", "40", "2",
+      "0", "ENDSEC", "0", "EOF").mkString("\n").getBytes("UTF-8")
+
+  property("dxf read survives corrupt/truncated drawing bytes") =
+    Prop.forAll(mutationGen(1 << 9)) { case (kind, pos, value) =>
+      val bytes = mutate(dxfFixture, kind, pos, value)
+      val dir = Files.createTempDirectory(tmpRoot, "dxf_case")
+      val f = dir.resolve("s.dxf")
+      Files.write(f, bytes)
+      cleanOrFails(s"dxf k=$kind p=$pos v=$value") {
+        graft.geometry.Dxf.read(f.toString)
+      }
+    }
+
   property("gpx element parse survives corrupt/truncated fragments") = {
     val wpt =
       """<wpt lat="52.05" lon="5.1"><ele>12.5</ele><name>home</name><extensions><graft:fid>3</graft:fid><graft:p>7</graft:p></extensions></wpt>"""
