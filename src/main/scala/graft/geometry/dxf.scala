@@ -40,7 +40,16 @@ object Dxf {
   case class Entity(geom: Geometry, layer: String, attrs: Map[String, String])
   case class Drawing(entities: Seq[Entity], skipped: Map[String, Int])
 
-  /** Parse the tagged pair stream of an ASCII DXF document. */
+  /** One BLOCK definition: base point + its entity pair-stream span. */
+  private case class BlockDef(baseX: Double, baseY: Double,
+      start: Int, end: Int)
+
+  /** Parse the tagged pair stream of an ASCII DXF document. BLOCK
+    * definitions are collected first so INSERT entities expand into their
+    * transformed member geometry (scale about the base point, rotate,
+    * translate — entities on layer "0" inherit the insert's layer, the
+    * CAD by-block rule). Nested INSERTs expand to depth [[MaxInsertDepth]]
+    * then fail loudly (cycle guard). */
   def read(path: String): Drawing = {
     val lines = Files.readAllLines(Paths.get(path)).toArray.map(_.toString)
     require(lines.length >= 2, s"$path: not a DXF (too short)")
@@ -64,101 +73,168 @@ object Dxf {
     }
     require(entStart >= 0, s"$path: no ENTITIES section")
 
-    val out = scala.collection.mutable.ArrayBuffer[Entity]()
+    // collect BLOCK definitions (BLOCKS section): name → base + body span
+    val blocks = scala.collection.mutable.Map.empty[String, BlockDef]
+    k = 0
+    var blkStart = -1
+    while (k < pairs.length - 1 && blkStart < 0) {
+      if (pairs(k) == ((0, "SECTION")) && pairs(k + 1) == ((2, "BLOCKS")))
+        blkStart = k + 2
+      k += 1
+    }
+    if (blkStart >= 0) {
+      var j = blkStart
+      while (j < pairs.length && pairs(j) != ((0, "ENDSEC"))) {
+        if (pairs(j) == ((0, "BLOCK"))) {
+          var h = j + 1
+          while (h < pairs.length && pairs(h)._1 != 0) h += 1
+          val head = pairs.slice(j + 1, h)
+          val name = head.find(_._1 == 2).map(_._2).getOrElse("")
+          val bx = head.find(_._1 == 10).flatMap(_._2.toDoubleOption).getOrElse(0.0)
+          val by = head.find(_._1 == 20).flatMap(_._2.toDoubleOption).getOrElse(0.0)
+          val bodyStart = h
+          while (h < pairs.length && pairs(h) != ((0, "ENDBLK"))) h += 1
+          if (name.nonEmpty) blocks(name) = BlockDef(bx, by, bodyStart, h)
+          j = h + 1
+        } else j += 1
+      }
+    }
+
     val skipped = scala.collection.mutable.Map.empty[String, Int]
-    k = entStart
     // group the pair stream into entities: each starts at a (0, TYPE)
     def entityEnd(from: Int): Int = {
       var j = from + 1
       while (j < pairs.length && pairs(j)._1 != 0) j += 1
       j
     }
-    while (k < pairs.length && pairs(k) != ((0, "ENDSEC"))) {
-      require(pairs(k)._1 == 0, s"$path: malformed entity stream at pair $k")
-      val etype = pairs(k)._2.toUpperCase
-      val end = entityEnd(k)
-      val body = pairs.slice(k + 1, end)
-      def d(code: Int): Option[Double] =
-        body.find(_._1 == code).flatMap(_._2.toDoubleOption)
-      def need(code: Int): Double = d(code).getOrElse(
-        throw new IllegalArgumentException(
-          s"$path: $etype missing group $code"))
-      val layer = body.find(_._1 == 8).map(_._2).getOrElse("0")
-      val attrs = xdata(body)
 
-      etype match {
-        case "POINT" =>
-          out += Entity(gf.createPoint(new Coordinate(need(10), need(20))),
-            layer, attrs)
-          k = end
-        case "LINE" =>
-          out += Entity(gf.createLineString(Array(
-            new Coordinate(need(10), need(20)),
-            new Coordinate(need(11), need(21)))), layer, attrs)
-          k = end
-        case "LWPOLYLINE" =>
-          val xs = body.filter(_._1 == 10).map(_._2.toDouble)
-          val ys = body.filter(_._1 == 20).map(_._2.toDouble)
-          require(xs.length == ys.length && xs.length >= 2,
-            s"$path: LWPOLYLINE with ${xs.length}/${ys.length} vertices")
-          val closed = body.find(_._1 == 70)
-            .exists(p => (p._2.toDoubleOption.getOrElse(0.0).toInt & 1) == 1)
-          out += Entity(polyOrLine(
-            xs.zip(ys).map { case (x, y) => new Coordinate(x, y) }, closed),
-            layer, attrs)
-          k = end
-        case "POLYLINE" =>
-          val closed = body.find(_._1 == 70)
-            .exists(p => (p._2.toDoubleOption.getOrElse(0.0).toInt & 1) == 1)
-          val cs = scala.collection.mutable.ArrayBuffer[Coordinate]()
-          var j = end
-          var done = false
-          while (j < pairs.length && !done) {
-            pairs(j)._2.toUpperCase match {
-              case "VERTEX" =>
-                val vend = entityEnd(j)
-                val vb = pairs.slice(j + 1, vend)
-                def vd(code: Int) = vb.find(_._1 == code).map(_._2.toDouble)
-                for (x <- vd(10); y <- vd(20)) cs += new Coordinate(x, y)
-                j = vend
-              case "SEQEND" => done = true; j = entityEnd(j)
-              case _ => done = true // malformed: next entity begins
+    // exponential-nesting guard: 16 levels of many-INSERT blocks could
+    // otherwise expand without bound
+    var expanded = 0L
+    def parseRange(from: Int, until: Int, depth: Int): Seq[Entity] = {
+      val out = scala.collection.mutable.ArrayBuffer[Entity]()
+      var k = from
+      while (k < until && pairs(k) != ((0, "ENDSEC"))) {
+        require(pairs(k)._1 == 0, s"$path: malformed entity stream at pair $k")
+        val etype = pairs(k)._2.toUpperCase
+        val end = entityEnd(k)
+        val body = pairs.slice(k + 1, end)
+        def d(code: Int): Option[Double] =
+          body.find(_._1 == code).flatMap(_._2.toDoubleOption)
+        def need(code: Int): Double = d(code).getOrElse(
+          throw new IllegalArgumentException(
+            s"$path: $etype missing group $code"))
+        val layer = body.find(_._1 == 8).map(_._2).getOrElse("0")
+        val attrs = xdata(body)
+
+        etype match {
+          case "POINT" =>
+            out += Entity(gf.createPoint(new Coordinate(need(10), need(20))),
+              layer, attrs)
+            k = end
+          case "LINE" =>
+            out += Entity(gf.createLineString(Array(
+              new Coordinate(need(10), need(20)),
+              new Coordinate(need(11), need(21)))), layer, attrs)
+            k = end
+          case "LWPOLYLINE" =>
+            val xs = body.filter(_._1 == 10).map(_._2.toDouble)
+            val ys = body.filter(_._1 == 20).map(_._2.toDouble)
+            require(xs.length == ys.length && xs.length >= 2,
+              s"$path: LWPOLYLINE with ${xs.length}/${ys.length} vertices")
+            val closed = body.find(_._1 == 70)
+              .exists(p => (p._2.toDoubleOption.getOrElse(0.0).toInt & 1) == 1)
+            out += Entity(polyOrLine(
+              xs.zip(ys).map { case (x, y) => new Coordinate(x, y) }, closed),
+              layer, attrs)
+            k = end
+          case "POLYLINE" =>
+            val closed = body.find(_._1 == 70)
+              .exists(p => (p._2.toDoubleOption.getOrElse(0.0).toInt & 1) == 1)
+            val cs = scala.collection.mutable.ArrayBuffer[Coordinate]()
+            var j = end
+            var done = false
+            while (j < pairs.length && !done) {
+              pairs(j)._2.toUpperCase match {
+                case "VERTEX" =>
+                  val vend = entityEnd(j)
+                  val vb = pairs.slice(j + 1, vend)
+                  def vd(code: Int) = vb.find(_._1 == code).map(_._2.toDouble)
+                  for (x <- vd(10); y <- vd(20)) cs += new Coordinate(x, y)
+                  j = vend
+                case "SEQEND" => done = true; j = entityEnd(j)
+                case _ => done = true // malformed: next entity begins
+              }
             }
-          }
-          require(cs.length >= 2, s"$path: POLYLINE with ${cs.length} vertices")
-          out += Entity(polyOrLine(cs.toSeq, closed), layer, attrs)
-          k = j
-        case "CIRCLE" =>
-          val (cx, cy, r) = (need(10), need(20), need(40))
-          require(r > 0, s"$path: CIRCLE with radius $r")
-          val ring = (0 to ArcSegments).map { s =>
-            val a = 2 * math.Pi * s / ArcSegments
-            new Coordinate(cx + r * math.cos(a), cy + r * math.sin(a))
-          }.toArray
-          ring(ring.length - 1) = new Coordinate(ring(0)) // exact closure
-          out += Entity(gf.createPolygon(ring), layer, attrs)
-          k = end
-        case "ARC" =>
-          val (cx, cy, r) = (need(10), need(20), need(40))
-          require(r > 0, s"$path: ARC with radius $r")
-          val a0 = math.toRadians(need(50))
-          var a1 = math.toRadians(need(51))
-          if (a1 <= a0) a1 += 2 * math.Pi // DXF arcs run counter-clockwise
-          val n = math.max(2,
-            math.ceil(ArcSegments * (a1 - a0) / (2 * math.Pi)).toInt)
-          val cs = (0 to n).map { s =>
-            val a = a0 + (a1 - a0) * s / n
-            new Coordinate(cx + r * math.cos(a), cy + r * math.sin(a))
-          }.toArray
-          out += Entity(gf.createLineString(cs), layer, attrs)
-          k = end
-        case other =>
-          skipped(other) = skipped.getOrElse(other, 0) + 1
-          k = end
+            require(cs.length >= 2, s"$path: POLYLINE with ${cs.length} vertices")
+            out += Entity(polyOrLine(cs.toSeq, closed), layer, attrs)
+            k = j
+          case "CIRCLE" =>
+            val (cx, cy, r) = (need(10), need(20), need(40))
+            require(r > 0, s"$path: CIRCLE with radius $r")
+            val ring = (0 to ArcSegments).map { s =>
+              val a = 2 * math.Pi * s / ArcSegments
+              new Coordinate(cx + r * math.cos(a), cy + r * math.sin(a))
+            }.toArray
+            ring(ring.length - 1) = new Coordinate(ring(0)) // exact closure
+            out += Entity(gf.createPolygon(ring), layer, attrs)
+            k = end
+          case "ARC" =>
+            val (cx, cy, r) = (need(10), need(20), need(40))
+            require(r > 0, s"$path: ARC with radius $r")
+            val a0 = math.toRadians(need(50))
+            var a1 = math.toRadians(need(51))
+            if (a1 <= a0) a1 += 2 * math.Pi // DXF arcs run counter-clockwise
+            val n = math.max(2,
+              math.ceil(ArcSegments * (a1 - a0) / (2 * math.Pi)).toInt)
+            val cs = (0 to n).map { s =>
+              val a = a0 + (a1 - a0) * s / n
+              new Coordinate(cx + r * math.cos(a), cy + r * math.sin(a))
+            }.toArray
+            out += Entity(gf.createLineString(cs), layer, attrs)
+            k = end
+          case "INSERT" =>
+            val name = body.find(_._1 == 2).map(_._2).getOrElse("")
+            blocks.get(name) match {
+              case Some(bd) =>
+                require(depth < MaxInsertDepth,
+                  s"$path: INSERT nesting deeper than $MaxInsertDepth " +
+                    s"(block '$name' — reference cycle?)")
+                val sx = d(41).getOrElse(1.0)
+                val sy = d(42).getOrElse(1.0)
+                val rot = math.toRadians(d(50).getOrElse(0.0))
+                val at = new org.locationtech.jts.geom.util.AffineTransformation()
+                  .translate(-bd.baseX, -bd.baseY)
+                  .scale(sx, sy)
+                  .rotate(rot)
+                  .translate(need(10), need(20))
+                val members = parseRange(bd.start, bd.end, depth + 1)
+                expanded += members.length
+                require(expanded <= 10000000L,
+                  s"$path: INSERT expansion exceeds 10M entities")
+                members.foreach { e =>
+                  // by-block rule: member entities on layer "0" take the
+                  // insert's layer; explicit layers stay
+                  out += Entity(at.transform(e.geom),
+                    if (e.layer == "0") layer else e.layer, e.attrs)
+                }
+              case None =>
+                skipped(s"INSERT($name)") =
+                  skipped.getOrElse(s"INSERT($name)", 0) + 1
+            }
+            k = end
+          case other =>
+            skipped(other) = skipped.getOrElse(other, 0) + 1
+            k = end
+        }
       }
+      out.toSeq
     }
-    Drawing(out.toSeq, skipped.toMap)
+    Drawing(parseRange(entStart, pairs.length, 0), skipped.toMap)
   }
+
+  /** Maximum INSERT nesting before a loud cycle failure. */
+  val MaxInsertDepth = 16
 
   private def polyOrLine(cs: scala.collection.Seq[Coordinate], closed: Boolean): Geometry =
     if (closed && cs.length >= 3) {

@@ -159,6 +159,49 @@ object Dedup {
     bandedCk.join(sizes.filter(col("_bsz") <= cap).drop("_bsz"), keyCols)
   }
 
+  /** Banding parameters `(numHashes, bands)` for a corpus of `n`
+    * documents targeting Jaccard `threshold`: rows-per-band grows until
+    * the expected FALSE candidate pairs from background-similarity
+    * collisions stay linear in n (≤ `budgetPairsPerDoc` per document),
+    * with the band count keeping the S-curve midpoint `(1/b)^(1/r)` near
+    * the threshold (the MMDS banding recipe). Fixed banding makes false
+    * candidates grow ~n² — measured in the r8 sf10 soak: ×145 candidate
+    * output for ×10 rows at the fixed (32, 8) default. `background` is
+    * the assumed Jaccard of unrelated documents; `minBands` floors recall
+    * (probability of catching a threshold pair is `1-(1-t^r)^b`). Pure
+    * arithmetic — deterministic and engine-reproducible. */
+  def autoBanding(n: Long, threshold: Double = 0.8, background: Double = 0.05,
+      budgetPairsPerDoc: Double = 10.0, minBands: Int = 4): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    require(background > 0 && background < threshold,
+      "background similarity must be below the threshold")
+    require(n >= 0 && budgetPairsPerDoc > 0 && minBands >= 1)
+    var r = 2
+    def bFor(rr: Int) =
+      math.max(minBands, math.round(math.pow(threshold, -rr)).toInt)
+    // expected false pairs ≈ (n²/2)·b·background^r ≤ n·budget
+    def ok(rr: Int) =
+      n.toDouble / 2 * bFor(rr) * math.pow(background, rr) <= budgetPairsPerDoc
+    while (!ok(r) && r < 64) r += 1
+    val b = bFor(r)
+    (b * r, b)
+  }
+
+  /** [[lshCandidatePairs]] with banding derived from the actual corpus
+    * size via [[autoBanding]] (one count job): at any scale the candidate
+    * output stays ~linear instead of quadratic. */
+  def lshCandidatePairsAuto(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3,
+      background: Double = 0.05, budgetPairsPerDoc: Double = 10.0,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val (numHashes, bands) = autoBanding(df.count(), threshold, background,
+      budgetPairsPerDoc)
+    log.info(s"lshCandidatePairsAuto: numHashes=$numHashes bands=$bands " +
+      s"(threshold=$threshold)")
+    lshCandidatePairs(df, idCol, textCol, numHashes, bands, shingleSize,
+      maxBucket)
+  }
+
   /** LSH candidate pairs: band the signatures, bucket-join on
     * (band, bandHash), emit unique candidate pairs. The join is an
     * equi-join on the band hash — the scale path for near-dup mining.

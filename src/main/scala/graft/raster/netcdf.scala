@@ -493,13 +493,30 @@ object NetCdf {
   private def isUnsigned(dt: DType): Boolean =
     dt == DType.U1 || dt == DType.U2 || dt == DType.U4 || dt == DType.Bool
 
+  /** Raw fill sentinel for a packed integer nc_type (the type minimum —
+    * the netCDF library's own default fill convention). */
+  private def packedFill(nct: Int): Double = nct match {
+    case NcByte  => Byte.MinValue.toDouble
+    case NcShort => Short.MinValue.toDouble
+    case NcInt   => Int.MinValue.toDouble
+    case other => throw new IllegalArgumentException(
+      s"packed NetCDF write needs an integer type, got nc_type $other")
+  }
+
   /** Write a CF-convention CDF-2 file: dims (time, y, x), double
     * coordinates (y descending, top row first), a `crs` grid-mapping
     * variable when the projection has a WKT form, and the band stack as
-    * `varName(time, y, x)` with `_FillValue`. */
+    * `varName(time, y, x)` with `_FillValue`.
+    *
+    * Non-identity `scaleFactor`/`addOffset` write a PACKED variable (the
+    * CF packing convention): `dtypeName` must then be an integer type,
+    * stored raw = rint((v − offset) / scale) with the type minimum as the
+    * raw fill; the reader decodes transparently. */
   def write(path: String, bands: Seq[Array[Double]], w: Int, h: Int,
       bbox: Bbox, noData: Double, projection: String, timesMs: Seq[Long],
-      dtypeName: String = "float64", varName: String = "band1"): Unit = {
+      dtypeName: String = "float64", varName: String = "band1",
+      pack: Boolean = false, scaleFactor: Double = 1.0,
+      addOffset: Double = 0.0): Unit = {
     require(bands.nonEmpty && bands.forall(_.length == w * h),
       "band size must equal w*h")
     require(timesMs.length == bands.length, "one time per band required")
@@ -508,6 +525,9 @@ object NetCdf {
       s"NetCDF written here requires square pixels (got $cx × $cy)")
     val dt = DType.byName(dtypeName)
     val nct = ncTypeOf(dt)
+    val packed = pack
+    require(!packed || scaleFactor != 0.0, "scale_factor must be nonzero")
+    val fillRaw = if (packed) packedFill(nct) else noData
     val geographic = projection == "EPSG:4326"
     val wkt = WktSrs.toWkt(projection)
 
@@ -517,8 +537,11 @@ object NetCdf {
     val yName = if (geographic) "latitude" else "projection_y_coordinate"
     val unit = if (geographic) "degrees_east" else "m"
     val unitY = if (geographic) "degrees_north" else "m"
-    val dataAtts = Seq(WAtt("_FillValue", nct, "", Array(noData))) ++
-      (if (isUnsigned(dt)) Seq(charAtt("_Unsigned", "true")) else Nil) ++
+    val dataAtts = Seq(WAtt("_FillValue", nct, "", Array(fillRaw))) ++
+      (if (packed) Seq(
+        WAtt("scale_factor", NcDouble, "", Array(scaleFactor)),
+        WAtt("add_offset", NcDouble, "", Array(addOffset))) else Nil) ++
+      (if (!packed && isUnsigned(dt)) Seq(charAtt("_Unsigned", "true")) else Nil) ++
       wkt.map(_ => charAtt("grid_mapping", "crs"))
     val wvars = Seq(
       WVar("time", Seq(0), Seq(
@@ -573,7 +596,13 @@ object NetCdf {
     (0 until w).foreach(col => b.putDouble(bbox.x1 + (col + 0.5) * cx))
     padData(w * 8L)
     wkt.foreach { _ => b.putInt(0); padData(4L) }
-    bands.foreach(_.foreach(v => putVal(b, nct, v)))
+    bands.foreach(_.foreach { v =>
+      val raw =
+        if (!packed) v
+        else if (v == noData || (v.isNaN && noData.isNaN)) fillRaw
+        else math.rint((v - addOffset) / scaleFactor)
+      putVal(b, nct, raw)
+    })
     padData(bands.length.toLong * w * h * typeSize(nct))
     require(b.position() == total, s"payload size mismatch ${b.position()} != $total")
 
@@ -637,16 +666,46 @@ case class NetCdfSource(url: String, projectionArg: String = "",
 }
 
 /** NetCDF sink: the WHOLE requested time stack goes into one `.nc` file
-  * (CF time dimension = frames), carrying the true frame instants. */
+  * (CF time dimension = frames), carrying the true frame instants.
+  *
+  * `packTo` (e.g. `Some("int16")`) writes the CF packed layout: the data
+  * range maps linearly onto the integer type (one code reserved for
+  * fill), with `scale_factor`/`add_offset` derived from the requested
+  * stack's min/max — a 4× size cut for float64 stacks at ~2⁻¹⁶ relative
+  * precision, the standard climate-data trade. */
 case class NetCdfSink(source: RasterBlock, url: String,
-    varName: String = "band1") {
+    varName: String = "band1", packTo: Option[String] = None) {
   def write(req: RasterRequest)(implicit spark: SparkSession): String = {
     val res = source.getData(req).getOrElse(
       throw new IllegalArgumentException("empty result"))
     val path = if (url.toLowerCase.endsWith(".nc")) url else s"$url/stack.nc"
-    NetCdf.write(path, res.values, req.width, req.height, req.bbox,
-      res.noDataValue, req.projection, res.times.map(_.toEpochMilli),
-      source.dtype.name, varName)
+    packTo match {
+      case None =>
+        NetCdf.write(path, res.values, req.width, req.height, req.bbox,
+          res.noDataValue, req.projection, res.times.map(_.toEpochMilli),
+          source.dtype.name, varName)
+      case Some(t) =>
+        val dt = DType.byName(t)
+        require(dt.kind == 'i', s"packTo must be a signed integer type, got $t")
+        val nd = res.noDataValue
+        var mn = Double.PositiveInfinity
+        var mx = Double.NegativeInfinity
+        res.values.foreach(_.foreach { v =>
+          if (v != nd && !(v.isNaN && nd.isNaN)) {
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
+        })
+        if (mn > mx) { mn = 0.0; mx = 0.0 } // all-nodata stack
+        // raw codes span [-(2^(bits-1)-1), 2^(bits-1)-1]; the minimum is
+        // the fill
+        val half = math.pow(2.0, dt.size * 8 - 1) - 1
+        val scale = if (mx > mn) (mx - mn) / (2 * half) else 1.0
+        val offset = (mx + mn) / 2
+        NetCdf.write(path, res.values, req.width, req.height, req.bbox,
+          nd, req.projection, res.times.map(_.toEpochMilli),
+          t, varName, pack = true, scaleFactor = scale, addOffset = offset)
+    }
     path
   }
 }

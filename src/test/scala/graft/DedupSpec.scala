@@ -167,6 +167,40 @@ class DedupSpec extends SparkSpec {
       .collect().forall(r => !r.getDouble(2).isNaN))
   }
 
+  test("autoBanding scales rows-per-band with corpus size; auto path matches") {
+    import spark.implicits._
+    // rows-per-band (numHashes/bands) must GROW with n to keep false
+    // candidates linear — the r8 sf10 soak measured x145 candidate output
+    // for x10 rows at fixed banding
+    def rOf(n: Long) = { val (h, b) = Dedup.autoBanding(n); h / b }
+    assert(rOf(1000) <= rOf(1000000))
+    assert(rOf(1000000) <= rOf(1000000000L))
+    assert(rOf(1000000000L) >= 6)
+    // the S-curve midpoint (1/b)^(1/r) stays near the threshold
+    Seq(0.5, 0.7, 0.9).foreach { t =>
+      val (h, b) = Dedup.autoBanding(100000000L, threshold = t)
+      val r = h / b
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(mid - t) < 0.25, s"t=$t mid=$mid (b=$b r=$r)")
+    }
+    // expected false pairs per doc stays within budget at every scale
+    Seq(1000L, 1000000L, 1000000000L).foreach { n =>
+      val (h, b) = Dedup.autoBanding(n)
+      val fp = n.toDouble / 2 * b * math.pow(0.05, h / b)
+      assert(fp <= 10.0, s"n=$n fp=$fp")
+    }
+    // the auto variant is exactly lshCandidatePairs with derived params
+    val docs = (0L until 40L)
+      .map(i => (i, s"alpha beta gamma delta epsilon zeta ${i % 5}"))
+      .toDF("doc_id", "text")
+    val (h, b) = Dedup.autoBanding(40)
+    val auto = Dedup.lshCandidatePairsAuto(docs, "doc_id", "text")
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val manual = Dedup.lshCandidatePairs(docs, "doc_id", "text", h, b)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(auto == manual && auto.nonEmpty)
+  }
+
   test("chunkDedup keeps the global first occurrence of each chunk") {
     val sp = spark
     import sp.implicits._

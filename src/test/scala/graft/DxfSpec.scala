@@ -88,6 +88,64 @@ class DxfSpec extends SparkSpec {
     assert(rows(3).getAs[String]("layer") == "survey")
   }
 
+  test("BLOCK/INSERT references expand with transform, by-block layers, nesting") {
+    val dir = tmp("graft_dxf_blocks")
+    // block "CHAIR": a point at base offset (1, 0) on layer 0 plus a line
+    // on its own layer; block "DESKSET" nests an INSERT of CHAIR
+    Files.writeString(Paths.get(s"$dir/office.dxf"),
+      Seq("0", "SECTION", "2", "BLOCKS",
+        "0", "BLOCK", "2", "CHAIR", "10", "0", "20", "0",
+        "0", "POINT", "8", "0", "10", "1", "20", "0",
+        "0", "LINE", "8", "legs", "10", "0", "20", "0", "11", "0", "21", "2",
+        "0", "ENDBLK",
+        "0", "BLOCK", "2", "DESKSET", "10", "0", "20", "0",
+        "0", "INSERT", "8", "0", "2", "CHAIR", "10", "10", "20", "0",
+        "0", "ENDBLK",
+        "0", "ENDSEC",
+        "0", "SECTION", "2", "ENTITIES",
+        // plain insert at (100, 50), scale 2, no rotation, layer "room1"
+        "0", "INSERT", "8", "room1", "2", "CHAIR",
+        "10", "100", "20", "50", "41", "2", "42", "2",
+        // rotated insert: 90 degrees about (0,0)
+        "0", "INSERT", "8", "room2", "2", "CHAIR",
+        "10", "0", "20", "0", "50", "90",
+        // nested: DESKSET contains CHAIR at (10,0)
+        "0", "INSERT", "8", "room3", "2", "DESKSET", "10", "0", "20", "100",
+        // unknown block: skipped and counted, not fatal
+        "0", "INSERT", "8", "x", "2", "GHOST", "10", "0", "20", "0",
+        "0", "ENDSEC", "0", "EOF").mkString("\n") + "\n")
+    val drawing = Dxf.read(s"$dir/office.dxf")
+    assert(drawing.skipped == Map("INSERT(GHOST)" -> 1))
+    val es = drawing.entities
+    assert(es.length == 6) // 3 inserts x (point + line)
+    // insert 1: point (1,0)*2 + (100,50) = (102, 50); layer-0 member takes
+    // the insert's layer, the explicit "legs" layer stays
+    val p1 = es(0)
+    assert(p1.geom.getGeometryType == "Point" && p1.layer == "room1")
+    assert(math.abs(p1.geom.getCoordinate.x - 102) < 1e-9 &&
+      math.abs(p1.geom.getCoordinate.y - 50) < 1e-9)
+    assert(es(1).layer == "legs")
+    val l1 = es(1).geom.getCoordinates
+    assert(math.abs(l1(1).x - 100) < 1e-9 && math.abs(l1(1).y - 54) < 1e-9)
+    // insert 2: rotation 90 deg maps (1,0) -> (0,1)
+    val p2 = es(2).geom.getCoordinate
+    assert(math.abs(p2.x) < 1e-9 && math.abs(p2.y - 1) < 1e-9)
+    // insert 3 (nested): CHAIR at (10,0) inside DESKSET at (0,100)
+    val p3 = es(4).geom.getCoordinate
+    assert(math.abs(p3.x - 11) < 1e-9 && math.abs(p3.y - 100) < 1e-9)
+    // a self-referencing block fails loudly instead of recursing forever
+    Files.writeString(Paths.get(s"$dir/cycle.dxf"),
+      Seq("0", "SECTION", "2", "BLOCKS",
+        "0", "BLOCK", "2", "LOOP", "10", "0", "20", "0",
+        "0", "INSERT", "2", "LOOP", "10", "1", "20", "1",
+        "0", "ENDBLK", "0", "ENDSEC",
+        "0", "SECTION", "2", "ENTITIES",
+        "0", "INSERT", "2", "LOOP", "10", "0", "20", "0",
+        "0", "ENDSEC", "0", "EOF").mkString("\n") + "\n")
+    val e = intercept[IllegalArgumentException] { Dxf.read(s"$dir/cycle.dxf") }
+    assert(e.getMessage.contains("nesting"))
+  }
+
   test("DXF dispatches through GeometryFileSource/to_file and the JSON view") {
     val pts = SeqGeometrySource(Seq(
       (1L, "POINT (5.0 52.0)", 1.0, "a"),

@@ -194,6 +194,44 @@ class NetCdfSpec extends SparkSpec {
     assert(res.values.head.toSeq == Seq(7.0, 8.0, 9.0, 10.0))
   }
 
+  test("packed int16 write: scale/offset derived, 4x smaller, ~2^-16 exact") {
+    val dir = tmp("graft_nc_pack")
+    val req = RasterFixtures.valsRequest
+    NetCdfSink(RasterFixtures.source, s"$dir/full.nc").write(req)(spark)
+    NetCdfSink(RasterFixtures.source, s"$dir/packed.nc",
+      packTo = Some("int16")).write(req)(spark)
+    // the packed variable stores int16 where the full one stores int16
+    // already (uint8 source) — use a float source for a real size check
+    val floatSrc = RasterFixtures.source.copy(
+      data = Seq(Array.tabulate(100)(_ * 0.37),
+        Array.tabulate(100)(i => 100.0 - i * 0.11),
+        RasterFixtures.frame(255)),
+      dtypeName = "float64")
+    NetCdfSink(floatSrc, s"$dir/f64.nc").write(req)(spark)
+    NetCdfSink(floatSrc, s"$dir/f64p.nc", packTo = Some("int16"))
+      .write(req)(spark)
+    val szFull = Files.size(Paths.get(s"$dir/f64.nc"))
+    val szPacked = Files.size(Paths.get(s"$dir/f64p.nc"))
+    // payload shrinks 8 → 2 bytes per value (72 values here; header +
+    // coordinate variables are shared fixed costs, and the packed header
+    // carries two extra attributes ~60 bytes)
+    assert(szFull - szPacked >= 72 * 6 - 80, s"$szPacked vs $szFull")
+    val back = NetCdfSource(s"$dir/f64p.nc")
+    assert(back.projection == "EPSG:28992")
+    val got = back.getData(req)(spark).get
+    val want = floatSrc.getData(req)(spark).get
+    // packing quantizes to (max-min)/2^16: values match within scale/2 and
+    // nodata cells stay exactly nodata (fill code reserved)
+    val mn = 0.0; val mx = 100.0
+    val tol = (mx - mn) / 65534.0 / 2 + 1e-12
+    got.values.zip(want.values).foreach { case (g, w) =>
+      g.zip(w).foreach { case (a, b) =>
+        if (b == want.noDataValue) assert(a == got.noDataValue)
+        else assert(math.abs(a - b) <= tol, s"$a vs $b")
+      }
+    }
+  }
+
   test("NetCDF dispatches through RasterFileSource and the JSON view") {
     val dir = tmp("graft_nc_disp")
     NetCdfSink(RasterFixtures.source, s"$dir/s.nc")
