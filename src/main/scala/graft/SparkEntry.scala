@@ -1731,6 +1731,15 @@ object SparkEntry {
       Ivf.topK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         Seq(0L, 1L, 2L), 5, numClusters = 8, nProbe = 8)
     }),
+    "p30_pq_adc_topk" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // product quantization ANN: m-subspace byte codes + per-query ADC
+      // lookup tables; candidates >= corpus makes the shortlist exhaustive
+      // so the exact re-rank equals brute force (the p14 oracle lever) —
+      // the PQ fit/encode/ADC machinery is fully on the scored path
+      Pq.adcTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq(0L, 1L, 2L), 5, m = 8, k = 16, candidates = 1 << 20)
+    }),
     "p15_corpus_clean" -> ((s, dir) =>
       CorpusClean.run(tbl(s, dir, "documents"), 0.3,
         Seq("de", "en", "es", "fr", "zh")))
@@ -1915,6 +1924,17 @@ object SparkEntry {
          |SELECT doc_id, $qualitySql AS quality FROM t""".stripMargin,
     "p14_ivf_topk" ->
       // nProbe = numClusters probes exhaustively → exact == brute force
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_cosine_similarity(q.v, c.v), 6) AS cos
+        | FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        | WHERE q.vec_id IN (0, 1, 2)),
+        |ranked AS (SELECT *, row_number() OVER
+        | (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank FROM scored)
+        |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "p30_pq_adc_topk" ->
+      // exhaustive ADC shortlist + exact re-rank == brute force
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |scored AS (
         | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
