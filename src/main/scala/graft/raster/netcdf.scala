@@ -32,14 +32,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object NetCdf {
 
-  // classic nc_type codes (public NetCDF classic format spec)
+  // classic nc_type codes (public NetCDF classic format spec); 7-11 are
+  // the CDF-5 (64-bit data) additions
   private val NcByte = 1; private val NcChar = 2; private val NcShort = 3
   private val NcInt = 4; private val NcFloat = 5; private val NcDouble = 6
+  private val NcUByte = 7; private val NcUShort = 8; private val NcUInt = 9
+  private val NcInt64 = 10; private val NcUInt64 = 11
   private def typeSize(t: Int): Int = t match {
-    case NcByte | NcChar => 1
-    case NcShort         => 2
-    case NcInt | NcFloat => 4
-    case NcDouble        => 8
+    case NcByte | NcChar | NcUByte  => 1
+    case NcShort | NcUShort         => 2
+    case NcInt | NcFloat | NcUInt   => 4
+    case NcDouble | NcInt64 | NcUInt64 => 8
     case other => throw new IllegalArgumentException(s"unknown nc_type $other")
   }
   private def dtypeName(t: Int): String = t match {
@@ -48,8 +51,29 @@ object NetCdf {
     case NcInt    => "int32"
     case NcFloat  => "float32"
     case NcDouble => "float64"
+    case NcUByte  => "uint8"
+    case NcUShort => "uint16"
+    case NcUInt   => "uint32"
+    case NcInt64  => "int64"
+    case NcUInt64 => "uint64"
     case other => throw new IllegalArgumentException(
       s"nc_type $other has no raster dtype")
+  }
+  /** Decode one value of `t` from a big-endian buffer as a double. */
+  private def decode(bb: ByteBuffer, t: Int): Double = t match {
+    case NcByte   => bb.get().toDouble
+    case NcChar | NcUByte => (bb.get() & 0xFF).toDouble
+    case NcShort  => bb.getShort().toDouble
+    case NcUShort => (bb.getShort() & 0xFFFF).toDouble
+    case NcInt    => bb.getInt().toDouble
+    case NcUInt   => (bb.getInt().toLong & 0xFFFFFFFFL).toDouble
+    case NcFloat  => bb.getFloat().toDouble
+    case NcDouble => bb.getDouble()
+    case NcInt64  => bb.getLong().toDouble
+    case NcUInt64 =>
+      val l = bb.getLong()
+      if (l >= 0) l.toDouble else l.toDouble + 1.8446744073709552e19
+    case other => throw new IllegalArgumentException(s"unknown nc_type $other")
   }
 
   /** Attribute value: text (NC_CHAR) or numbers (everything else). */
@@ -69,7 +93,8 @@ object NetCdf {
 
   /** Sequential big-endian reader over a channel (the header region),
     * with fuzz-hardened bounds checks. */
-  private final class HeadReader(ch: FileChannel, val fileLen: Long) {
+  private final class HeadReader(ch: FileChannel, val fileLen: Long,
+      val v5: Boolean) {
     private var pos = 0L
     def position: Long = pos
     private def pull(n: Int): ByteBuffer = {
@@ -88,6 +113,18 @@ object NetCdf {
     def i32(): Int = pull(4).getInt
     def u32(): Long = pull(4).getInt.toLong & 0xFFFFFFFFL
     def i64(): Long = pull(8).getLong
+    /** NON_NEG: 4-byte in CDF-1/2, 8-byte in CDF-5. */
+    def nonNeg(): Long = {
+      val v = if (v5) i64() else i32().toLong
+      require(v >= 0, s"netcdf: negative NON_NEG field $v")
+      v
+    }
+    /** nelems-style NON_NEG with an implausibility cap. */
+    def count(cap: Long, what: String): Int = {
+      val v = nonNeg()
+      require(v <= cap, s"netcdf: implausible $what $v")
+      v.toInt
+    }
     def bytes(n: Int): Array[Byte] = pull(n).array()
     def pad(): Unit = { val r = (4 - (pos % 4)) % 4; if (r > 0) pull(r.toInt) }
   }
@@ -107,9 +144,7 @@ object NetCdf {
   }
 
   private def readName(r: HeadReader): String = {
-    val n = r.i32()
-    require(n >= 0 && n <= 65536 && n <= r.fileLen,
-      s"netcdf: implausible name length $n")
+    val n = r.count(65536L.min(r.fileLen), "name length")
     val s = new String(r.bytes(n), "UTF-8")
     r.pad()
     s
@@ -117,31 +152,21 @@ object NetCdf {
 
   private def readAtts(r: HeadReader): Map[String, Att] = {
     val tag = r.i32()
-    val n = r.i32()
+    val n = r.count(65536, "att count")
     if (tag == 0) { require(n == 0, "netcdf: ABSENT att list with nelems"); Map.empty }
     else {
       require(tag == 0x0C, s"netcdf: expected NC_ATTRIBUTE tag, got $tag")
-      require(n >= 0 && n <= 65536, s"netcdf: implausible att count $n")
       (0 until n).map { _ =>
         val name = readName(r)
         val t = r.i32()
-        val ne = r.i32()
-        require(ne >= 0 && ne.toLong * typeSize(t) <= r.fileLen,
-          s"netcdf: implausible att size $ne")
+        val ne = r.count(r.fileLen / typeSize(t) max 1L, "att size")
         val raw = r.bytes(ne * typeSize(t))
         r.pad()
         val att =
           if (t == NcChar) Att(t, new String(raw, "UTF-8").takeWhile(_ != 0), Array.empty)
           else {
             val bb = ByteBuffer.wrap(raw)
-            val vals = Array.tabulate(ne)(_ => t match {
-              case NcByte   => bb.get().toDouble
-              case NcShort  => bb.getShort().toDouble
-              case NcInt    => bb.getInt().toDouble
-              case NcFloat  => bb.getFloat().toDouble
-              case NcDouble => bb.getDouble()
-            })
-            Att(t, "", vals)
+            Att(t, "", Array.tabulate(ne)(_ => decode(bb, t)))
           }
         name -> att
       }.toMap
@@ -151,53 +176,52 @@ object NetCdf {
   def readHeader(ch: FileChannel): Header = {
     val len = ch.size()
     require(len >= 8, "netcdf: file too small")
-    val r = new HeadReader(ch, len)
-    val magic = r.bytes(4)
-    require(magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F',
+    val magicBuf = readAt(ch, 0, 4).array()
+    require(magicBuf(0) == 'C' && magicBuf(1) == 'D' && magicBuf(2) == 'F',
       "netcdf: missing CDF magic")
-    val version = magic(3).toInt
-    require(version == 1 || version == 2,
+    val version = magicBuf(3).toInt
+    require(version == 1 || version == 2 || version == 5,
       s"netcdf: unsupported CDF version $version (HDF5-based NetCDF-4 files " +
         "need the netcdf-4 library; export as classic/64-bit-offset)")
-    val numrecs = r.u32()
-    require(numrecs != 0xFFFFFFFFL,
+    // CDF-5 (64-bit data): every NON_NEG field widens to 8 bytes
+    val r = new HeadReader(ch, len, version == 5)
+    r.bytes(4) // past the magic
+    val numrecs = if (version == 5) r.i64() else r.u32()
+    require(numrecs != 0xFFFFFFFFL && numrecs != -1L,
       "netcdf: STREAMING numrecs not supported")
+    require(numrecs >= 0, s"netcdf: negative numrecs $numrecs")
     // dim_list
-    val dimTag = r.i32(); val nDims = r.i32()
+    val dimTag = r.i32(); val nDims = r.count(1024, "dim count")
     val dims =
       if (dimTag == 0) { require(nDims == 0, "netcdf: ABSENT dims with nelems"); Seq.empty }
       else {
         require(dimTag == 0x0A, s"netcdf: expected NC_DIMENSION tag, got $dimTag")
-        require(nDims >= 0 && nDims <= 1024, s"netcdf: implausible dim count $nDims")
         (0 until nDims).map { _ =>
           val name = readName(r)
-          val dl = r.i32()
-          require(dl >= 0, s"netcdf: negative dimension $name")
+          val dl = r.count(Int.MaxValue, s"dimension $name")
           (name, dl)
         }
       }
     val recDim = dims.indexWhere(_._2 == 0)
     val gatts = readAtts(r)
     // var_list
-    val varTag = r.i32(); val nVars = r.i32()
+    val varTag = r.i32(); val nVars = r.count(4096, "var count")
     val vars =
       if (varTag == 0) { require(nVars == 0, "netcdf: ABSENT vars with nelems"); Seq.empty }
       else {
         require(varTag == 0x0B, s"netcdf: expected NC_VARIABLE tag, got $varTag")
-        require(nVars >= 0 && nVars <= 4096, s"netcdf: implausible var count $nVars")
         (0 until nVars).map { _ =>
           val name = readName(r)
-          val nd = r.i32()
-          require(nd >= 0 && nd <= 32, s"netcdf: implausible rank $nd for $name")
+          val nd = r.count(32, s"rank of $name")
           val dimIds = (0 until nd).map { _ =>
-            val id = r.i32()
+            val id = r.count(Int.MaxValue, "dimid").toInt
             require(id >= 0 && id < dims.length, s"netcdf: bad dimid $id in $name")
             id
           }
           val atts = readAtts(r)
           val t = r.i32()
           typeSize(t) // validates
-          val vsize = r.u32()
+          val vsize = r.nonNeg()
           val begin = if (version == 1) r.u32() else r.i64()
           require(begin >= 0 && begin <= len,
             s"netcdf: var $name begins past end of file")
@@ -232,14 +256,7 @@ object NetCdf {
       val bb = readAt(ch, at, per * sz)
       var i = 0
       while (i < per) {
-        out(s * per + i) = v.ncType match {
-          case NcByte   => bb.get().toDouble
-          case NcChar   => (bb.get() & 0xFF).toDouble
-          case NcShort  => bb.getShort().toDouble
-          case NcInt    => bb.getInt().toDouble
-          case NcFloat  => bb.getFloat().toDouble
-          case NcDouble => bb.getDouble()
-        }
+        out(s * per + i) = decode(bb, v.ncType)
         i += 1
       }
       s += 1

@@ -18,7 +18,8 @@ class NetCdfSpec extends SparkSpec {
   private val NcShort = 3; private val NcInt = 4
   private val NcFloat = 5; private val NcDouble = 6
   private def tSize(t: Int): Int = t match {
-    case 1 | 2 => 1; case 3 => 2; case 4 | 5 => 4; case 6 => 8
+    case 1 | 2 | 7 => 1; case 3 | 8 => 2; case 4 | 5 | 9 => 4
+    case 6 | 10 | 11 => 8
   }
   private case class TAtt(n: String, t: Int, text: String = "",
       nums: Seq[Double] = Nil)
@@ -34,9 +35,9 @@ class NetCdfSpec extends SparkSpec {
     (s.length until pad4(s.length)).foreach(_ => b.put(0.toByte))
   }
   private def putV(b: ByteBuffer, t: Int, v: Double): Unit = t match {
-    case 1 => b.put(v.toByte); case 3 => b.putShort(v.toShort)
-    case 4 => b.putInt(v.toInt); case 5 => b.putFloat(v.toFloat)
-    case 6 => b.putDouble(v)
+    case 1 | 7 => b.put(v.toByte); case 3 | 8 => b.putShort(v.toShort)
+    case 4 | 9 => b.putInt(v.toInt); case 5 => b.putFloat(v.toFloat)
+    case 6 => b.putDouble(v); case 10 | 11 => b.putLong(v.toLong)
   }
   private def putAtt(b: ByteBuffer, a: TAtt): Unit = {
     putNm(b, a.n); b.putInt(a.t)
@@ -51,18 +52,28 @@ class NetCdfSpec extends SparkSpec {
   }
 
   /** dims with length 0 = the record dimension; record vars are those
-    * whose first dim is the record dim. */
-  private def buildCdf1(dims: Seq[(String, Int)], vars: Seq[TVar],
-      numrecs: Int): Array[Byte] = {
+    * whose first dim is the record dim. `version` 1 or 5 — CDF-5 widens
+    * every NON_NEG field (counts, name lengths, dim lengths, ndims,
+    * dimids, vsize) to 8 bytes and the begin offsets to 8 bytes. */
+  private def buildCdf(dims: Seq[(String, Int)], vars: Seq[TVar],
+      numrecs: Int, version: Int = 1): Array[Byte] = {
+    val v5 = version == 5
+    val nnSz = if (v5) 8 else 4
+    val beginSz = if (v5) 8 else 4
     val recDim = dims.indexWhere(_._2 == 0)
     def isRec(v: TVar) = v.dims.headOption.contains(recDim)
     def sliceElems(v: TVar): Int =
       (if (isRec(v)) v.dims.tail else v.dims).map(dims(_)._2).product max 1
     def vsize(v: TVar): Int = pad4(sliceElems(v) * tSize(v.t))
-    val headSize = 8 +
-      (8 + dims.map { case (n, _) => nmSize(n) + 4 }.sum) + 8 /* no gatts */ +
-      (8 + vars.map(v => nmSize(v.n) + 4 + 4 * v.dims.length +
-        (if (v.atts.isEmpty) 8 else 8 + v.atts.map(attSize).sum) + 12).sum)
+    def nmSz(s: String): Int = nnSz + pad4(s.length)
+    def atSz(a: TAtt): Int = nmSz(a.n) + 4 + nnSz +
+      pad4((if (a.t == 2) a.text.length else a.nums.length) * tSize(a.t))
+    val headSize = 4 + nnSz +
+      (4 + nnSz + dims.map { case (n, _) => nmSz(n) + nnSz }.sum) +
+      (4 + nnSz) /* no gatts */ +
+      (4 + nnSz + vars.map(v => nmSz(v.n) + nnSz + nnSz * v.dims.length +
+        (if (v.atts.isEmpty) 4 + nnSz else 4 + nnSz + v.atts.map(atSz).sum) +
+        4 + nnSz + beginSz).sum)
     val fixed = vars.filterNot(isRec)
     val recs = vars.filter(isRec)
     val fixedBegins = fixed.map(vsize).scanLeft(headSize)(_ + _).init
@@ -72,18 +83,35 @@ class NetCdfSpec extends SparkSpec {
     val begins = (fixed.zip(fixedBegins) ++ recs.zip(recBegins)).toMap
     val total = recStart + recSize * numrecs
     val b = ByteBuffer.allocate(total)
-    b.put("CDF".getBytes); b.put(1.toByte)
-    b.putInt(numrecs)
-    b.putInt(0x0A); b.putInt(dims.length)
-    dims.foreach { case (n, l) => putNm(b, n); b.putInt(l) }
-    b.putInt(0); b.putInt(0) // no global atts
-    b.putInt(0x0B); b.putInt(vars.length)
+    def putNN(v: Long): Unit = if (v5) b.putLong(v) else b.putInt(v.toInt)
+    def putName(s: String): Unit = {
+      putNN(s.length); b.put(s.getBytes("UTF-8"))
+      (s.length until pad4(s.length)).foreach(_ => b.put(0.toByte))
+    }
+    def putA(a: TAtt): Unit = {
+      putName(a.n); b.putInt(a.t)
+      if (a.t == 2) {
+        putNN(a.text.length); b.put(a.text.getBytes("UTF-8"))
+        (a.text.length until pad4(a.text.length)).foreach(_ => b.put(0.toByte))
+      } else {
+        putNN(a.nums.length); a.nums.foreach(putV(b, a.t, _))
+        val sz = a.nums.length * tSize(a.t)
+        (sz until pad4(sz)).foreach(_ => b.put(0.toByte))
+      }
+    }
+    b.put("CDF".getBytes); b.put(version.toByte)
+    putNN(numrecs)
+    b.putInt(0x0A); putNN(dims.length)
+    dims.foreach { case (n, l) => putName(n); putNN(l) }
+    b.putInt(0); putNN(0) // no global atts
+    b.putInt(0x0B); putNN(vars.length)
     vars.foreach { v =>
-      putNm(b, v.n)
-      b.putInt(v.dims.length); v.dims.foreach(b.putInt(_))
-      if (v.atts.isEmpty) { b.putInt(0); b.putInt(0) }
-      else { b.putInt(0x0C); b.putInt(v.atts.length); v.atts.foreach(putAtt(b, _)) }
-      b.putInt(v.t); b.putInt(vsize(v)); b.putInt(begins(v))
+      putName(v.n)
+      putNN(v.dims.length); v.dims.foreach(d => putNN(d))
+      if (v.atts.isEmpty) { b.putInt(0); putNN(0) }
+      else { b.putInt(0x0C); putNN(v.atts.length); v.atts.foreach(putA) }
+      b.putInt(v.t); putNN(vsize(v))
+      if (v5) b.putLong(begins(v)) else b.putInt(begins(v))
     }
     assert(b.position() == headSize, s"${b.position()} != $headSize")
     fixed.foreach { v =>
@@ -102,6 +130,9 @@ class NetCdfSpec extends SparkSpec {
     assert(b.position() == total)
     b.array()
   }
+
+  private def buildCdf1(dims: Seq[(String, Int)], vars: Seq[TVar],
+      numrecs: Int): Array[Byte] = buildCdf(dims, vars, numrecs, 1)
 
   // --------------------------------------------------------------- tests
 
@@ -230,6 +261,38 @@ class NetCdfSpec extends SparkSpec {
         else assert(math.abs(a - b) <= tol, s"$a vs $b")
       }
     }
+  }
+
+  test("CDF-5 (64-bit data): wide NON_NEG fields and the unsigned/64-bit types") {
+    // NcUInt64 = 11 payload with a record time dim — every NON_NEG field
+    // in this file is 8 bytes wide
+    val bytes = buildCdf(
+      dims = Seq(("time", 0), ("y", 2), ("x", 2)),
+      vars = Seq(
+        TVar("time", Seq(0), Seq(
+          TAtt("units", 2, text = "seconds since 2000-01-01")),
+          NcDouble, Seq(0.0, 60.0)),
+        TVar("y", Seq(1), Seq(TAtt("units", 2, text = "m")),
+          NcDouble, Seq(456001.5, 456000.5)),
+        TVar("x", Seq(2), Seq(TAtt("units", 2, text = "m")),
+          NcDouble, Seq(135000.5, 135001.5)),
+        TVar("counts", Seq(0, 1, 2), Seq(TAtt("_FillValue", 11, nums = Seq(0.0))),
+          11, Seq(10, 20, 30, 40, 50, 60, 70, 0))),
+      numrecs = 2, version = 5)
+    val dir = tmp("graft_nc_cdf5")
+    Files.write(Paths.get(s"$dir/big.nc"), bytes)
+    val src = NetCdfSource(s"$dir/big.nc", projectionArg = "EPSG:28992")
+    assert(src.temporal && src.dtype == DType.U8)
+    assert(src.cellSize.contains(1.0))
+    val t0 = Instant.parse("2000-01-01T00:00:00Z")
+    assert(src.allTimes == Seq(t0, t0.plusMillis(60000L)))
+    val req = RasterRequest(Bbox(135000, 456000, 135002, 456002),
+      "EPSG:28992", 2, 2, Some(t0), Some(t0.plusMillis(60000L)))
+    val res = src.getData(req)(spark).get
+    assert(res.values(0).toSeq == Seq(10.0, 20.0, 30.0, 40.0))
+    // raw 0 is the fill → engine nodata sentinel
+    assert(res.values(1).toSeq.take(3) == Seq(50.0, 60.0, 70.0))
+    assert(res.values(1)(3) == res.noDataValue)
   }
 
   test("NetCDF dispatches through RasterFileSource and the JSON view") {
