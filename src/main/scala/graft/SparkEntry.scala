@@ -1740,6 +1740,19 @@ object SparkEntry {
       Pq.adcTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         Seq(0L, 1L, 2L), 5, m = 8, k = 16, candidates = 1 << 20)
     }),
+    "p31_bpe_invariants" -> ((s, dir) => {
+      // BPE subword tokenizer: distributed word-frequency dictionary →
+      // driver merge learning (incremental pair counts) → broadcast-rank
+      // encode. SQL cannot replay merges, so the oracle checks the
+      // SEGMENTATION INVARIANTS exactly: token concatenation is lossless
+      // (n_chars) and each word ends in one marker token (n_words); the
+      // merge semantics themselves are pinned by BpeSpec against the
+      // Sennrich paper's worked example
+      val docs = tbl(s, dir, "documents")
+      val model = Bpe.train(docs, "text", 200)
+      Bpe.invariants(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_words"), col("n_chars"))
+    }),
     "p15_corpus_clean" -> ((s, dir) =>
       CorpusClean.run(tbl(s, dir, "documents"), 0.3,
         Seq("de", "en", "es", "fr", "zh")))
@@ -1944,6 +1957,17 @@ object SparkEntry {
         |ranked AS (SELECT *, row_number() OVER
         | (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank FROM scored)
         |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "p31_bpe_invariants" ->
+      // the word layer recomputed independently: counts and character
+      // totals must match the BPE token stream's invariants exactly
+      """WITH t AS (SELECT doc_id,
+        | list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |   w -> len(w) > 0) AS ws
+        | FROM documents)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        | CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+        |   AS BIGINT) AS n_chars
+        |FROM t""".stripMargin,
     "p15_corpus_clean" -> {
       val parts = langIdSql.split("\\|")
       s"""WITH t AS (SELECT doc_id, text,
