@@ -1753,6 +1753,11 @@ object SparkEntry {
       Bpe.invariants(docs, "doc_id", "text", model)
         .select(col("doc_id"), col("n_words"), col("n_chars"))
     }),
+    "p32_temperature_mix" -> ((s, dir) =>
+      // T=2 temperature mixing: domain d keeps (n_min/n_d)^(1/2) of its
+      // rows by the content-keyed md5 cut — mixture weights ~ n_d^(1/2)
+      Sampling.temperatureMix(tbl(s, dir, "documents"), "lang", "text", 2.0)
+        .select(col("doc_id"), col("lang"))),
     "p15_corpus_clean" -> ((s, dir) =>
       CorpusClean.run(tbl(s, dir, "documents"), 0.3,
         Seq("de", "en", "es", "fr", "zh")))
@@ -1968,6 +1973,20 @@ object SparkEntry {
         | CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
         |   AS BIGINT) AS n_chars
         |FROM t""".stripMargin,
+    "p32_temperature_mix" ->
+      // per-domain cut re-derived: rate = (mn/cnt)^(1-1/T) with T=2; the
+      // smallest domain (rate 1.0, 9-hex cut) keeps every row explicitly
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |m AS (SELECT min(cnt) AS mn FROM c),
+        |thr AS (SELECT lang, cnt, mn,
+        |  CAST(floor(pow(CAST(mn AS DOUBLE) / cnt, 0.5)
+        |    * 4294967296.0) AS BIGINT) AS cut
+        | FROM c, m),
+        |thr2 AS (SELECT lang, cut,
+        |  lpad(lower(hex(cut)), 8, '0') AS t FROM thr)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN thr2 ON d.lang = thr2.lang
+        |WHERE thr2.cut >= 4294967296 OR substr(md5(d.text), 1, 8) < thr2.t""".stripMargin,
     "p15_corpus_clean" -> {
       val parts = langIdSql.split("\\|")
       s"""WITH t AS (SELECT doc_id, text,

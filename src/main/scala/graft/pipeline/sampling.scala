@@ -72,4 +72,32 @@ object Sampling {
         substring(md5(col(textCol)), 1, 8) < col("_thr"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Temperature-based domain mixing (the Pile/DoReMi-style resampling):
+    * domain d with n_d documents keeps rate (n_min/n_d)^(1−1/T), which
+    * realizes mixture weights ∝ n_d^(1/T) by pure downsampling — T=1 is
+    * the natural mixture (no-op), T→∞ is the uniform mixture (exactly
+    * [[stratifiedBalance]]). Membership is the same content-keyed md5 cut
+    * as the other samplers: deterministic, engine-reproducible, no
+    * rand(). Broadcast join against the O(domains) cut table — one
+    * map-side filter at any corpus size. */
+  def temperatureMix(df: DataFrame, domainCol: String, textCol: String,
+      temperature: Double): DataFrame = {
+    require(temperature >= 1.0, "temperature must be >= 1 (downsampling only)")
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("_cnt"))
+    val minDf = counts.agg(min("_cnt").as("_min"))
+    val expo = 1.0 - 1.0 / temperature
+    val cuts = counts.crossJoin(broadcast(minDf))
+      .withColumn("_cut",
+        floor(pow(col("_min").cast("double") / col("_cnt"), expo) *
+          4294967296.0).cast("long"))
+      .withColumn("_thr", lpad(lower(hex(col("_cut"))), 8, "0"))
+      .select(col(domainCol), col("_cut"), col("_thr"))
+    // rate 1.0 overflows the 8-hex cut (2^32 = 9 hex digits): keep those
+    // domains whole explicitly — at T=1 that is EVERY domain
+    df.join(broadcast(cuts), domainCol)
+      .filter(col("_cut") >= 4294967296L ||
+        substring(md5(col(textCol)), 1, 8) < col("_thr"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

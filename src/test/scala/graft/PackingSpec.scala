@@ -80,6 +80,35 @@ class PackingSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "text", "lang"))
   }
 
+  test("temperatureMix: T=1 no-op, T->inf equals stratifiedBalance, rates track") {
+    import spark.implicits._
+    val docs = (0 until 600).map { i =>
+      val lang = if (i % 20 == 0) "nl" else if (i % 3 == 0) "en" else "fr"
+      (i.toLong, s"document body number $i", lang)
+    }.toDF("doc_id", "text", "lang")
+    // T=1: natural mixture — every row kept
+    assert(Sampling.temperatureMix(docs, "lang", "text", 1.0).count() == 600)
+    // T -> infinity: uniform mixture == stratifiedBalance, row for row
+    val hot = Sampling.temperatureMix(docs, "lang", "text", 1e9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val balanced = Sampling.stratifiedBalance(docs, "lang", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hot == balanced)
+    // T=2: per-domain keep rate ~ sqrt(n_min/n_d), within md5 noise
+    val t2 = Sampling.temperatureMix(docs, "lang", "text", 2.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mn = n.values.min
+    assert(t2("nl") == n("nl")) // smallest domain intact
+    n.foreach { case (lang, cnt) =>
+      val expect = cnt * math.sqrt(mn.toDouble / cnt)
+      assert(math.abs(t2(lang) - expect) <= 4 * math.sqrt(expect) + 2,
+        s"$lang kept ${t2(lang)} expected ~$expect")
+    }
+  }
+
   test("gopherQuality computes shape statistics and the composite gate") {
     import spark.implicits._
     val longDoc = (1 to 60).map(i => s"word$i").mkString(" ") // 60 unique words
