@@ -139,6 +139,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("temperature mixing is a broadcast join against the cut table") {
+    val p = plan("p32_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("PQ ADC scan broadcasts the query side; no sort-merge anywhere") {
+    val p = plan("p30_pq_adc_topk")
+    // the corpus-side scan joins the broadcast-tiny query/LUT frame — the
+    // same shape as brute-force top-k; candidate + final ranking are
+    // per-query windows, never a corpus-wide global sort
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("BPE invariants run as one projection over the encoded map") {
+    val p = plan("p31_bpe_invariants")
+    // encode is a stateless per-row kernel: no join, no shuffle beyond the
+    // source scan in the SCORING path (training ran at plan-build time)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("Exchange SinglePartition"))
+  }
+
   test("trigram familiarity: broadcast-kernel fast path, equi-join fallback") {
     val p = plan("p27_trigram_familiarity")
     assert(!p.contains("CartesianProduct") &&
