@@ -1758,6 +1758,19 @@ object SparkEntry {
       // rows by the content-keyed md5 cut — mixture weights ~ n_d^(1/2)
       Sampling.temperatureMix(tbl(s, dir, "documents"), "lang", "text", 2.0)
         .select(col("doc_id"), col("lang"))),
+    "p33_bigram_perplexity" -> ((s, dir) =>
+      // corpus-trained add-one bigram LM (the CCNet perplexity-filter
+      // stage); integer micro-nat terms make the doc aggregate
+      // order-independent, so the sum is engine-reproducible bit-for-bit
+      Lm.bigramPerplexity(tbl(s, dir, "documents"), "doc_id", "text")),
+    "p34_semdedup" -> ((s, dir) =>
+      // SemDeDup with numClusters = 1: the cluster equi-join degrades to
+      // exact all-pairs, so the k-means + join machinery stays on the
+      // scored path while the answer equals the SQL brute force (the
+      // p14/p30 exhaustive lever)
+      Dedup.semDeDup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        0.35, numClusters = 1)
+        .select(col("id").as("vec_id"), col("max_cos"), col("kept"))),
     "p15_corpus_clean" -> ((s, dir) =>
       CorpusClean.run(tbl(s, dir, "documents"), 0.3,
         Seq("de", "en", "es", "fr", "zh")))
@@ -1987,6 +2000,42 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN thr2 ON d.lang = thr2.lang
         |WHERE thr2.cut >= 4294967296 OR substr(md5(d.text), 1, 8) < thr2.t""".stripMargin,
+    "p33_bigram_perplexity" ->
+      // full model replay: same BOS-prepended word layer, same add-one
+      // bigram smoother, same integer micro-nat terms; only the final
+      // avg_nll division touches floats (identical integer inputs)
+      """WITH t AS (SELECT doc_id,
+        | list_prepend('<s>', list_filter(string_split_regex(lower(text),
+        |   '[^a-z0-9]+'), w -> len(w) > 0)) AS ws
+        | FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_zip(list_slice(ws, 1, len(ws)-1),
+        |   list_slice(ws, 2, len(ws)))) AS p
+        | FROM t WHERE len(ws) >= 2),
+        |bg2 AS (SELECT doc_id, struct_extract(p, 1) AS w1,
+        |   struct_extract(p, 2) AS w2 FROM bg),
+        |g AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM bg2 GROUP BY 1,2,3),
+        |mb AS (SELECT w1, w2, sum(cnt) AS cb FROM g GROUP BY 1,2),
+        |mc AS (SELECT w1, sum(cb) AS cu FROM mb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS vv FROM mb),
+        |terms AS (SELECT g.doc_id, g.cnt,
+        |   CAST(floor(ln((CAST(mb.cb AS DOUBLE) + 1.0) /
+        |     (CAST(mc.cu AS DOUBLE) + CAST(v.vv AS DOUBLE)))
+        |     * 1000000.0) AS BIGINT) AS tm
+        | FROM g JOIN mb USING (w1, w2) JOIN mc USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(-sum(cnt * tm) AS BIGINT) AS nll_micro,
+        |  round(CAST(-sum(cnt * tm) AS DOUBLE) / 1000000.0 /
+        |    CAST(sum(cnt) AS DOUBLE), 6) AS avg_nll
+        |FROM terms GROUP BY 1""".stripMargin,
+    "p34_semdedup" ->
+      // all-pairs replay of the numClusters = 1 degenerate case: kept ⇔
+      // no smaller-id neighbour at/above the cosine threshold
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT b.vec_id AS id, max(list_cosine_similarity(a.v, b.v)) AS mc
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id GROUP BY 1)
+        |SELECT e.vec_id, round(m.mc, 6) AS max_cos,
+        |  (m.mc IS NULL OR m.mc < 0.35) AS kept
+        |FROM e LEFT JOIN m ON e.vec_id = m.id""".stripMargin,
     "p15_corpus_clean" -> {
       val parts = langIdSql.split("\\|")
       s"""WITH t AS (SELECT doc_id, text,

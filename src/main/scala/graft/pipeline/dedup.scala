@@ -408,23 +408,25 @@ object Dedup {
     * cast to double and unit-normalized ONCE on the row side — the
     * intra-bucket pair side then pays only a primitive dot product, not a
     * per-pair cast + two norm computations. */
+  /** Unit-normalize a double-array column; an all-zero vector has no
+    * direction and is left as-is (cosine with anything is then 0)
+    * instead of dividing by zero into NaNs. */
+  private[pipeline] val unit = udf { (v: Seq[Double]) =>
+    val a = v.toArray
+    var ss = 0.0; var i = 0
+    while (i < a.length) { ss += a(i) * a(i); i += 1 }
+    if (ss > 0.0) {
+      val inv = 1.0 / math.sqrt(ss)
+      i = 0
+      while (i < a.length) { a(i) *= inv; i += 1 }
+    }
+    a
+  }
+
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Seq[Array[Double]],
       maxBucket: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val unit = udf { (v: Seq[Double]) =>
-      val a = v.toArray
-      var ss = 0.0; var i = 0
-      while (i < a.length) { ss += a(i) * a(i); i += 1 }
-      // an all-zero vector has no direction: leave it as-is (cosine with
-      // anything is then 0) instead of dividing by zero into NaNs
-      if (ss > 0.0) {
-        val inv = 1.0 / math.sqrt(ss)
-        i = 0
-        while (i < a.length) { a(i) *= inv; i += 1 }
-      }
-      a
-    }
     val vecD = transform(col(vecCol), x => x.cast("double"))
     val sigCol = Similarity.hyperplaneSignature(col(vecCol), planes)
     val keyed0 = df.select(col(idCol).as("id"), unit(vecD).as("v"), sigCol.as("bucket"))
@@ -438,5 +440,45 @@ object Dedup {
         graft.functions.GraftFunctions.dot(col("l.v"), col("r.v")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication over an embedding column: k-means-cluster the
+    * embedding space, then inside each cluster drop every vector that has
+    * an above-threshold cosine neighbour with a smaller id
+    * (first-occurrence-wins, the same keep rule as exact dedup; the
+    * paper's "keep one per semantic duplicate group", made deterministic
+    * and engine-reproducible).
+    *
+    * Scale shape: the pairwise comparison is confined to per-cluster
+    * blocks by a shuffle equi-join on the cluster id — the quadratic term
+    * is (corpus/numClusters)² per cluster, so `numClusters` scales with
+    * the corpus exactly as in the paper (they use k = 11k clusters for
+    * LAION); centroids are a k·dim driver array broadcast with the
+    * assignment udf. `numClusters = 1` degrades to exact brute force —
+    * the oracle lever (the p14/p30 trick): the clustering machinery stays
+    * on the scored path while the result equals the SQL-replayable
+    * all-pairs answer.
+    *
+    * Output: one row per input vector — id, max_cos (highest cosine to a
+    * smaller-id same-cluster neighbour, null if none), kept. */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numClusters: Int, iters: Int = 3): DataFrame = {
+    implicit val spark: org.apache.spark.sql.SparkSession = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = Ivf.fit(df, idCol, vecCol, numClusters, iters)
+    val assignUdf = udf(Ivf.nearest(centroids) _)
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val keyed = df.select(col(idCol).as("id"), vecD.as("raw"))
+      .withColumn("cluster", assignUdf(col("raw")))
+      .select(col("id"), col("cluster"), unit(col("raw")).as("v"))
+    val mx = keyed.as("l").join(keyed.as("r"),
+        col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
+      .select(col("r.id").as("id"),
+        graft.functions.GraftFunctions.dot(col("l.v"), col("r.v")).as("cos"))
+      .groupBy("id").agg(max(col("cos")).as("mc"))
+    df.select(col(idCol).as("id")).join(mx, Seq("id"), "left")
+      .select(col("id"), round(col("mc"), 6).as("max_cos"),
+        (col("mc").isNull || col("mc") < threshold).as("kept"))
   }
 }

@@ -22,7 +22,7 @@ object Ivf {
     s
   }
 
-  private def nearest(centroids: Array[Array[Double]])(v: Seq[Double]): Int = {
+  private[pipeline] def nearest(centroids: Array[Array[Double]])(v: Seq[Double]): Int = {
     val arr = v.toArray
     var best = 0; var bd = Double.MaxValue; var c = 0
     while (c < centroids.length) {

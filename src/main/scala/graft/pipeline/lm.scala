@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus n-gram language-model scoring — the CCNet-style "perplexity
+  * filter" stage of a training-data pipeline (Wenzek et al. 2020 score
+  * documents with a KenLM 5-gram model; this engine trains the model on
+  * the corpus itself with a bounded, SQL-reproducible smoother so the
+  * whole stage stays inside the cluster and inside the oracle gate).
+  *
+  * Model: word-bigram LM with add-one (Laplace) smoothing and a BOS
+  * marker, P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V). Scores are exchanged as
+  * INTEGER micro-nats (floor(ln(p)*1e6)) so every aggregation is
+  * order-independent integer arithmetic — two engines summing in
+  * different orders still agree bit-for-bit; the single float division
+  * happens once, at the very end, on identical integers.
+  *
+  * Scale shape (100 TB lens): one explode feeding a per-(doc,bigram)
+  * hash aggregate (map-side combined, so the shuffle carries distinct
+  * bigrams per doc, not corpus positions); the bigram model and context
+  * totals are plain hash aggregates OF that frame (never broadcast — a
+  * web-scale bigram table has billions of rows); scoring is two shuffle
+  * equi-joins on (w1,w2)/(w1); the vocabulary size is a 1-row broadcast.
+  * No driver-side state of model size anywhere.
+  */
+object Lm {
+
+  private val BOS = "<s>"
+
+  /** Word list with the BOS marker prepended; null text behaves like an
+    * empty document on both engines (coalesce keeps Spark's null-array
+    * semantics aligned with DuckDB's list_prepend-on-NULL). */
+  private def bosWords(text: Column): Column =
+    concat(array(lit(BOS)), coalesce(TextAnalysis.words(text), array()))
+
+  /** Per-document bigram-LM negative log-likelihood and average NLL in
+    * nats (perplexity = exp(avg_nll)). Documents with no words are
+    * dropped (no bigram to score). Output: doc_id, n_bigrams,
+    * nll_micro (integer micro-nats), avg_nll. */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val withWs = docs
+      .select(col(idCol).as("doc_id"), bosWords(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= 2)
+    val bg = withWs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+        struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    // (doc, bigram) pre-aggregate: the one frame everything else derives
+    // from. Persisted because it feeds both the model build and the
+    // scoring join — MEMORY_AND_DISK so a 100 TB run spills instead of
+    // recomputing the explode.
+    val g = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mb = g.groupBy("w1", "w2").agg(sum("cnt").as("cb"))
+    val mc = mb.groupBy("w1").agg(sum("cb").as("cu"))
+    val v = mb.select(countDistinct("w2").as("vv"))
+    val terms = g.join(mb, Seq("w1", "w2")).join(mc, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("cnt"),
+        floor(log((col("cb").cast("double") + lit(1.0)) /
+          (col("cu").cast("double") + col("vv").cast("double"))) *
+          lit(1000000.0)).as("tm"))
+    terms.groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        (-sum(col("cnt") * col("tm"))).as("nll_micro"))
+      .withColumn("avg_nll",
+        round(col("nll_micro").cast("double") / lit(1000000.0) /
+          col("n_bigrams").cast("double"), 6))
+  }
+}

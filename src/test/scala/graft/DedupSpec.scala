@@ -233,4 +233,39 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
     assert(out.head.getLong(1) == 2L && out.head.getLong(2) == 2L)
   }
+
+  test("semDeDup keeps the first occurrence of each semantic duplicate") {
+    val sp = spark
+    import sp.implicits._
+    // 0 and 2 are near-identical directions (cos ≈ 1); 1 and 3 are
+    // orthogonal to them and to each other → only 2 is dropped
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semDeDup(vecs, "vec_id", "embedding", 0.9, 1)
+      .orderBy("id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getBoolean(2)).toSeq ==
+      Seq(0L -> true, 1L -> true, 2L -> false, 3L -> true))
+    // max_cos of 2 is its cosine to 0; id 0 has no smaller neighbour
+    assert(out(2).getDouble(1) > 0.99 && out(0).isNullAt(1))
+  }
+
+  test("semDeDup multi-cluster equals brute force on well-separated blobs") {
+    val sp = spark
+    import sp.implicits._
+    // two far-apart blobs: k-means with k = 2 must separate them, and no
+    // above-threshold pair crosses blobs → clustered result == k = 1 result
+    val vecs = (0L until 20L).map { i =>
+      val blob = if (i % 2 == 0) Array(10.0f, 0.0f) else Array(0.0f, 10.0f)
+      (i, Array(blob(0) + (i % 5) * 0.01f, blob(1) + (i % 3) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val brute = Dedup.semDeDup(vecs, "vec_id", "embedding", 0.999, 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    val clustered = Dedup.semDeDup(vecs, "vec_id", "embedding", 0.999, 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(brute.toSeq == clustered.toSeq)
+    assert(brute.count(!_._2) > 0 && brute.count(_._2) > 0)
+  }
 }
