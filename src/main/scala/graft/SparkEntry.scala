@@ -452,6 +452,28 @@ object SparkEntry {
           stop = Some(java.time.Instant.ofEpochMilli(2 * Hour)))
         cells(NetCdfSource(s"$out/stack.nc").frame(sliced), g)
       }),
+      "r44_zarr_roundtrip" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the whole 4-frame stack through ONE Zarr v2 group (time
+        // dimension = frames, zlib chunks, spatial_ref grid mapping);
+        // the read-back time axis comes from the CF time array
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_zarr").toString
+        ZarrSink(a, s"$out/stack.zarr", chunkH = 7, chunkW = 5).write(fullReq(g))
+        cells(ZarrSource(s"$out/stack.zarr").frame(fullReq(g)), g)
+      }),
+      "r45_zarr_slice" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // temporal slice: the chunk-pruned path decodes only frames 1-2's
+        // chunk objects (RasterFileSource dispatches the bare directory)
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_zarrs").toString
+        ZarrSink(a, s"$out/stack.zarr").write(fullReq(g))
+        val sliced = fullReq(g).copy(
+          start = Some(java.time.Instant.ofEpochMilli(Hour)),
+          stop = Some(java.time.Instant.ofEpochMilli(2 * Hour)))
+        cells(RasterFileSource(s"$out/stack.zarr").frame(sliced), g)
+      }),
       "r39_xyz_roundtrip" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // frame 0 through the XYZ point-grid codec (3 numbers per cell —
@@ -669,6 +691,10 @@ object SparkEntry {
     "r42_netcdf_roundtrip" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r43_netcdf_slice" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
+    "r44_zarr_roundtrip" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r45_zarr_slice" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
     "r40_png_worldfile" -> s"""${cellsSql(
         "CAST(floor(value) AS BIGINT) % 200", "event_type = 'error'")}

@@ -423,6 +423,11 @@ object RasterFileSource {
   def apply(url: String, timeFirstMs: Long = 0L,
       timeDeltaMs: Long = 300000L): RasterBlock = {
     val p = Paths.get(url)
+    // a Zarr store is a DIRECTORY (no file extension): dispatch on the
+    // .zgroup marker (or the conventional .zarr directory suffix)
+    if (url.toLowerCase.endsWith(".zarr") ||
+      (Files.isDirectory(p) && Files.exists(p.resolve(".zgroup"))))
+      return ZarrSource(url)
     val probe =
       if (Files.isDirectory(p)) {
         import scala.jdk.CollectionConverters._

@@ -1,0 +1,582 @@
+package graft.raster
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path, Paths}
+import java.time.Instant
+import java.util.zip.{Deflater, Inflater}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Json
+
+/** Zarr v2 raster codec (directory store): the cloud-native chunked array
+  * format of the xarray/dask ecosystem — exactly the producer/consumer
+  * family the reference serves through GDAL's format autodetection in
+  * `RasterFileSource` (dask_geomodeling/raster/sources.py:396-564).
+  * Implemented from the public Zarr v2 storage spec
+  * (zarr-specs v2: `.zgroup`/`.zarray`/`.zattrs` JSON + C-order chunk
+  * files) and the xarray `_ARRAY_DIMENSIONS` convention; CF attribute
+  * semantics (cell-center coordinates, `units` time axis, `_FillValue`,
+  * `scale_factor`/`add_offset`, `grid_mapping`) shared with the NetCDF
+  * codec.
+  *
+  * Read support: 2-D (y,x) and 3-D (time,y,x) arrays, both byte orders,
+  * all integer/float dtypes, `zlib` or no compressor, either dimension
+  * separator, either y orientation, missing chunks (= fill, the Zarr
+  * sparse contract), padded edge chunks. Anything else — blosc, filters,
+  * Fortran order — fails loudly rather than guessing.
+  *
+  * Scale story: Zarr IS the chunked-object-storage layout — metadata is a
+  * handful of tiny JSON reads, and each chunk is an independent object,
+  * so a 100 TB store serves frame/tile requests without touching
+  * unrelated bytes. This codec reads only the chunks that intersect the
+  * requested frames; the spatial tiling inside a frame mirrors the COG
+  * path.
+  */
+object Zarr {
+
+  // ------------------------------------------------------------ metadata
+
+  /** Parsed `.zarray` + `.zattrs` for one array. */
+  case class ArrayMeta(name: String, dir: Path, shape: Seq[Int],
+      chunks: Seq[Int], dtype: DType, bo: ByteOrder, fill: Double,
+      zlib: Boolean, sep: String, dims: Seq[String],
+      attrs: Map[String, Any]) {
+    def ndim: Int = shape.length
+  }
+
+  private def jsonMap(p: Path): Map[String, Any] =
+    if (!Files.exists(p)) Map.empty
+    else Json.parse(Files.readString(p)) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other => throw new IllegalArgumentException(
+        s"$p: expected a JSON object, got ${other.getClass.getSimpleName}")
+    }
+
+  private def asDouble(v: Any, what: String): Double = v match {
+    case d: Double => d
+    case l: Long   => l.toDouble
+    case i: Int    => i.toDouble
+    case "NaN"     => Double.NaN
+    case "Infinity" => Double.PositiveInfinity
+    case "-Infinity" => Double.NegativeInfinity
+    case other => throw new IllegalArgumentException(
+      s"zarr: cannot read $what from '$other'")
+  }
+
+  private def asIntSeq(v: Any, what: String): Seq[Int] = v match {
+    case l: List[_] => l.map(x => asDouble(x, what).toInt)
+    case other => throw new IllegalArgumentException(
+      s"zarr: $what must be a list, got '$other'")
+  }
+
+  /** `"<f8"`-style dtype string → (DType, ByteOrder). */
+  def parseDtype(s: String): (DType, ByteOrder) = {
+    require(s.length == 3, s"zarr: unsupported dtype '$s'")
+    val bo = s.charAt(0) match {
+      case '<' | '|' => ByteOrder.LITTLE_ENDIAN
+      case '>'       => ByteOrder.BIG_ENDIAN
+      case c => throw new IllegalArgumentException(
+        s"zarr: unknown byte-order prefix '$c' in dtype '$s'")
+    }
+    val dt = s.substring(1) match {
+      case "b1" => DType.Bool
+      case "i1" => DType.I1; case "i2" => DType.I2
+      case "i4" => DType.I4; case "i8" => DType.I8
+      case "u1" => DType.U1; case "u2" => DType.U2
+      case "u4" => DType.U4; case "u8" => DType.U8
+      case "f4" => DType.F4; case "f8" => DType.F8
+      case other => throw new IllegalArgumentException(
+        s"zarr: unsupported dtype '$s'")
+    }
+    (dt, bo)
+  }
+
+  private def dtypeStr(dt: DType): String = "<" + (dt.kind match {
+    case 'b' => "b"; case 'u' => "u"; case 'i' => "i"; case _ => "f"
+  }) + dt.size
+
+  def readArrayMeta(dir: Path): ArrayMeta = {
+    val za = jsonMap(dir.resolve(".zarray"))
+    require(za.nonEmpty, s"$dir: missing .zarray")
+    require(asDouble(za.getOrElse("zarr_format", 2L), "zarr_format") == 2,
+      s"$dir: only zarr v2 is supported")
+    val shape = asIntSeq(za.getOrElse("shape", Nil), "shape")
+    val chunks = asIntSeq(za.getOrElse("chunks", Nil), "chunks")
+    require(shape.nonEmpty && shape.length == chunks.length,
+      s"$dir: shape/chunks rank mismatch")
+    require(shape.forall(_ > 0) && chunks.forall(_ > 0),
+      s"$dir: non-positive shape or chunks")
+    // allocation guards: hostile metadata must fail loudly, not OOM
+    require(chunks.map(_.toLong).product <= (1L << 27),
+      s"$dir: chunk of ${chunks.mkString("×")} elements too large for " +
+        "this reader (2^27 max)")
+    require(shape.map(_.toLong).product <= (1L << 34),
+      s"$dir: array of ${shape.mkString("×")} elements too large")
+    val (dt, bo) = parseDtype(za.getOrElse("dtype", "")
+      .asInstanceOf[String])
+    require(za.getOrElse("order", "C") == "C",
+      s"$dir: Fortran chunk order not supported")
+    require(za.getOrElse("filters", null) == null,
+      s"$dir: zarr filters not supported")
+    val zlib = za.getOrElse("compressor", null) match {
+      case null => false
+      case m: Map[_, _] =>
+        val id = m.asInstanceOf[Map[String, Any]].getOrElse("id", "?")
+        require(id == "zlib",
+          s"$dir: unsupported compressor '$id' (zlib or none)")
+        true
+      case other => throw new IllegalArgumentException(
+        s"$dir: bad compressor '$other'")
+    }
+    val sep = za.getOrElse("dimension_separator", ".") match {
+      case s: String if s == "." || s == "/" => s
+      case other => throw new IllegalArgumentException(
+        s"$dir: bad dimension_separator '$other'")
+    }
+    val attrs = jsonMap(dir.resolve(".zattrs"))
+    val dims = attrs.get("_ARRAY_DIMENSIONS") match {
+      case Some(l: List[_]) => l.map(_.toString)
+      case _                => Nil
+    }
+    val fill = za.getOrElse("fill_value", null) match {
+      case null => dt.noDataValue
+      case v    => asDouble(v, "fill_value")
+    }
+    ArrayMeta(dir.getFileName.toString, dir, shape, chunks, dt, bo, fill,
+      zlib, sep, dims, attrs)
+  }
+
+  // ------------------------------------------------------------- chunks
+
+  private def inflate(raw: Array[Byte], cap: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(raw)
+    val out = new java.io.ByteArrayOutputStream(math.min(cap, 1 << 20))
+    val buf = new Array[Byte](65536)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput())
+          throw new IllegalArgumentException("zarr: truncated zlib chunk")
+        out.write(buf, 0, n)
+        if (out.size() > cap) // decompression bomb guard
+          throw new IllegalArgumentException(
+            s"zarr: chunk inflates past its ${cap}-byte shape")
+      }
+    } finally inf.end()
+    out.toByteArray
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(6)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](65536)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def decodeValue(bb: ByteBuffer, dt: DType): Double = dt match {
+    case DType.Bool | DType.I1 => bb.get().toDouble
+    case DType.U1 => (bb.get() & 0xFF).toDouble
+    case DType.I2 => bb.getShort().toDouble
+    case DType.U2 => (bb.getShort() & 0xFFFF).toDouble
+    case DType.I4 => bb.getInt().toDouble
+    case DType.U4 => (bb.getInt().toLong & 0xFFFFFFFFL).toDouble
+    case DType.I8 => bb.getLong().toDouble
+    case DType.U8 =>
+      val l = bb.getLong()
+      if (l >= 0) l.toDouble else l.toDouble + 1.8446744073709552e19
+    case DType.F4 => bb.getFloat().toDouble
+    case _        => bb.getDouble()
+  }
+
+  /** Decode one chunk file into doubles (full padded chunk size); a
+    * missing chunk is all-fill (the Zarr sparse-store contract). */
+  def readChunk(m: ArrayMeta, idx: Seq[Int]): Array[Double] = {
+    val n = m.chunks.product
+    val p = m.dir.resolve(idx.mkString(m.sep))
+    if (!Files.exists(p)) return Array.fill(n)(m.fill)
+    val raw0 = Files.readAllBytes(p)
+    val raw = if (m.zlib) inflate(raw0, n * m.dtype.size) else raw0
+    require(raw.length >= n * m.dtype.size,
+      s"$p: chunk has ${raw.length} bytes, needs ${n * m.dtype.size}")
+    val bb = ByteBuffer.wrap(raw).order(m.bo)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = decodeValue(bb, m.dtype); i += 1 }
+    out
+  }
+
+  /** Whole small array (coordinate variables) as doubles. */
+  def readWholeArray(m: ArrayMeta): Array[Double] = {
+    require(m.ndim == 1, s"${m.dir}: expected a 1-D array")
+    val out = new Array[Double](m.shape.head)
+    val nChunks = (m.shape.head + m.chunks.head - 1) / m.chunks.head
+    var c = 0
+    while (c < nChunks) {
+      val ch = readChunk(m, Seq(c))
+      val base = c * m.chunks.head
+      var i = 0
+      while (i < m.chunks.head && base + i < out.length) {
+        out(base + i) = ch(i); i += 1
+      }
+      c += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------- reader
+
+  /** Everything a RasterBlock needs; reads only the JSON documents and
+    * the 1-D coordinate arrays — no data chunk is touched. */
+  case class Meta(root: Path, data: ArrayMeta, w: Int, h: Int,
+      timesMs: Seq[Long], cellSize: Double, originX: Double, originY: Double,
+      yAscending: Boolean, noDataRaw: Double, scale: Double, offset: Double,
+      projection: String) {
+    def scaled: Boolean = scale != 1.0 || offset != 0.0
+    def noData: Double = if (scaled) DType.F8.noDataValue else noDataRaw
+    def outDtype: DType = if (scaled) DType.F8 else data.dtype
+    def nFrames: Int = timesMs.length
+  }
+
+  private def uniformStep(a: Array[Double], path: Path, what: String): Double = {
+    require(a.nonEmpty, s"$path: empty $what coordinates")
+    if (a.length == 1) 0.0
+    else {
+      val d = a(1) - a(0)
+      require(d != 0.0, s"$path: zero $what spacing")
+      var i = 2
+      while (i < a.length) {
+        require(math.abs((a(i) - a(i - 1)) - d) <= 1e-6 * math.abs(d),
+          s"$path: non-uniform $what spacing (regular grid required)")
+        i += 1
+      }
+      d
+    }
+  }
+
+  def readMeta(url: String, projectionArg: String = "",
+      varName: String = ""): Meta = {
+    val root = Paths.get(url)
+    require(Files.isDirectory(root), s"$url: not a zarr directory store")
+    require(Files.exists(root.resolve(".zgroup")),
+      s"$url: missing .zgroup (array-only stores are not supported — " +
+        "point at the group directory)")
+    import scala.jdk.CollectionConverters._
+    val arrays = Files.list(root).iterator().asScala
+      .filter(d => Files.isDirectory(d) && Files.exists(d.resolve(".zarray")))
+      .map(readArrayMeta).toSeq.sortBy(_.name)
+    require(arrays.nonEmpty, s"$url: no arrays in the group")
+    val byName = arrays.map(a => a.name -> a).toMap
+    def isCoord(a: ArrayMeta) = a.ndim == 1 && a.dims == Seq(a.name)
+    val data =
+      if (varName.nonEmpty) byName.getOrElse(varName,
+        throw new IllegalArgumentException(s"$url: no array '$varName'"))
+      else arrays.find(a => (a.ndim == 2 || a.ndim == 3) && !isCoord(a))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$url: no 2-D/3-D data array found"))
+    require(data.ndim == 2 || data.ndim == 3,
+      s"$url: array ${data.name} is not 2-D/3-D")
+    require(data.dims.length == data.ndim,
+      s"$url: array ${data.name} lacks the _ARRAY_DIMENSIONS attribute " +
+        "(xarray convention) naming its dimensions")
+    val Seq(yDim, xDim) = data.dims.takeRight(2)
+    def coord(dim: String, what: String): ArrayMeta =
+      byName.get(dim).filter(isCoord).getOrElse(
+        throw new IllegalArgumentException(
+          s"$url: no 1-D coordinate array '$dim' for the $what dimension"))
+    val xs = readWholeArray(coord(xDim, "x"))
+    val ys = readWholeArray(coord(yDim, "y"))
+    val w = data.shape(data.ndim - 1); val h = data.shape(data.ndim - 2)
+    require(xs.length == w && ys.length == h,
+      s"$url: coordinate length mismatch")
+    val dx = uniformStep(xs, root, "x"); val dyRaw = uniformStep(ys, root, "y")
+    require(w == 1 || dx > 0, s"$url: descending x axis not supported")
+    val cell = if (w > 1) dx else math.abs(dyRaw)
+    require(cell > 0, s"$url: cannot determine cell size from 1×1 grid")
+    val dy = if (h > 1) math.abs(dyRaw) else cell
+    require(math.abs(cell - dy) <= 1e-9 * math.max(cell, dy),
+      s"$url: non-square pixels $cell × $dy not supported")
+    val yAsc = h > 1 && dyRaw > 0
+    val originX = xs(0) - cell / 2 // CF coordinates are CELL CENTERS
+    val originY = (if (yAsc) ys(h - 1) else ys(0)) + cell / 2
+
+    val timesMs: Seq[Long] =
+      if (data.ndim == 3) {
+        val tc = coord(data.dims.head, "time")
+        val units = tc.attrs.get("units").map(_.toString).getOrElse(
+          throw new IllegalArgumentException(
+            s"$url: time array '${tc.name}' has no CF units attribute"))
+        NetCdf.parseCfTimes(units, readWholeArray(tc))
+      } else Seq(0L)
+    require(timesMs.length == (if (data.ndim == 3) data.shape.head else 1),
+      s"$url: time length mismatch")
+
+    val scale = data.attrs.get("scale_factor")
+      .map(asDouble(_, "scale_factor")).getOrElse(1.0)
+    val offset = data.attrs.get("add_offset")
+      .map(asDouble(_, "add_offset")).getOrElse(0.0)
+    val fill = data.attrs.get("_FillValue")
+      .map(asDouble(_, "_FillValue")).getOrElse(data.fill)
+    val projection = data.attrs.get("grid_mapping").map(_.toString)
+      .flatMap(gm => jsonMap(root.resolve(gm).resolve(".zattrs"))
+        .get("spatial_ref").orElse(
+          jsonMap(root.resolve(gm).resolve(".zattrs")).get("crs_wkt")))
+      .map(wkt => Proj.normalize(wkt.toString)) match {
+      case Some(p) => p
+      case None =>
+        val xUnits = byName.get(xDim).flatMap(_.attrs.get("units"))
+          .map(_.toString.toLowerCase).getOrElse("")
+        if (xUnits.startsWith("degree")) "EPSG:4326"
+        else GridFiles.resolveProjection(
+          root.resolve("x").toString, projectionArg)
+    }
+    Meta(root, data, w, h, timesMs, cell, originX, originY, yAsc,
+      fill, scale, offset, projection)
+  }
+
+  /** Decode the requested frames (top-row-first doubles), touching only
+    * the chunks that intersect them. `frames` indexes `timesMs`. */
+  def readFrames(m: Meta, frames: Seq[Int]): Seq[Array[Double]] = {
+    val d = m.data
+    require(m.w.toLong * m.h <= (1L << 27),
+      s"${m.root}: ${m.w}×${m.h} grid too large for a whole-frame read")
+    val (cT, cY, cX) =
+      if (d.ndim == 3) (d.chunks(0), d.chunks(1), d.chunks(2))
+      else (1, d.chunks(0), d.chunks(1))
+    val px = m.w * m.h
+    val out = frames.map(_ => new Array[Double](px)).toArray
+    val frameSet = frames.zipWithIndex.toMap
+    val tChunks = frames.map(_ / cT).distinct.sorted
+    val nCY = (m.h + cY - 1) / cY
+    val nCX = (m.w + cX - 1) / cX
+    for (tc <- tChunks; cy <- 0 until nCY; cx <- 0 until nCX) {
+      val idx = if (d.ndim == 3) Seq(tc, cy, cx) else Seq(cy, cx)
+      val chunk = readChunk(d, idx)
+      var tIn = 0
+      while (tIn < cT) {
+        val f = tc * cT + tIn
+        frameSet.get(f).foreach { oi =>
+          val band = out(oi)
+          var ry = 0
+          while (ry < cY) {
+            val srcY = cy * cY + ry // row index in FILE order
+            if (srcY < m.h) {
+              // file rows follow the y coordinate; engine rows are
+              // top-first, so an ascending-y file reads bottom-up
+              val dstY = if (m.yAscending) m.h - 1 - srcY else srcY
+              var rx = 0
+              while (rx < cX) {
+                val srcX = cx * cX + rx
+                if (srcX < m.w) {
+                  val v = chunk((tIn * cY + ry) * cX + rx)
+                  band(dstY * m.w + srcX) =
+                    if (v == m.noDataRaw || (v.isNaN && m.noDataRaw.isNaN))
+                      m.noData
+                    else if (m.scaled) v * m.scale + m.offset
+                    else v
+                }
+                rx += 1
+              }
+            }
+            ry += 1
+          }
+        }
+        tIn += 1
+      }
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------------------------- writer
+
+  private def encodeArray(vals: Array[Double], dt: DType,
+      bo: ByteOrder): Array[Byte] = {
+    val bb = ByteBuffer.allocate(vals.length * dt.size).order(bo)
+    var i = 0
+    while (i < vals.length) {
+      val v = vals(i)
+      dt match {
+        case DType.Bool | DType.I1 | DType.U1 =>
+          bb.put(math.rint(v).toInt.toByte)
+        case DType.I2 | DType.U2 => bb.putShort(math.rint(v).toInt.toShort)
+        case DType.I4 | DType.U4 => bb.putInt(math.rint(v).toLong.toInt)
+        case DType.I8 | DType.U8 => bb.putLong(math.rint(v).toLong)
+        case DType.F4            => bb.putFloat(v.toFloat)
+        case _                   => bb.putDouble(v)
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  private def writeArray(dir: Path, shape: Seq[Int], chunks: Seq[Int],
+      dt: DType, fill: Double, zlib: Boolean, dims: Seq[String],
+      extraAttrs: Map[String, Any],
+      chunkData: Seq[Int] => Array[Double]): Unit = {
+    Files.createDirectories(dir)
+    val fillJson: Any =
+      if (fill.isNaN) "NaN"
+      else if (dt.isInt || fill.isWhole && math.abs(fill) < 1e15) fill.toLong
+      else fill
+    val za = scala.collection.immutable.ListMap(
+      "zarr_format" -> 2L, "shape" -> shape, "chunks" -> chunks,
+      "dtype" -> dtypeStr(dt),
+      "compressor" -> (if (zlib)
+        scala.collection.immutable.ListMap("id" -> "zlib", "level" -> 6L)
+      else null),
+      "fill_value" -> fillJson, "order" -> "C", "filters" -> null)
+    Files.writeString(dir.resolve(".zarray"), Json.render(za))
+    Files.writeString(dir.resolve(".zattrs"), Json.render(
+      scala.collection.immutable.ListMap("_ARRAY_DIMENSIONS" -> dims) ++
+        extraAttrs))
+    val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    def rec(prefix: Seq[Int], d: Int): Unit =
+      if (d == grid.length) {
+        val raw = encodeArray(chunkData(prefix), dt, ByteOrder.LITTLE_ENDIAN)
+        Files.write(dir.resolve(prefix.mkString(".")),
+          if (zlib) deflate(raw) else raw)
+      } else (0 until grid(d)).foreach(i => rec(prefix :+ i, d + 1))
+    rec(Nil, 0)
+  }
+
+  /** Write a (time,y,x) stack as one Zarr v2 group: data variable with
+    * per-frame spatial chunking + zlib, cell-center x/y/time coordinate
+    * arrays, CRS as a `spatial_ref` grid-mapping member. y coordinates
+    * are written DESCENDING (top row first), matching the engine's row
+    * order, so chunk payloads need no flip on either side. */
+  def write(url: String, bands: Seq[Array[Double]], w: Int, h: Int,
+      bbox: Bbox, noData: Double, projection: String, timesMs: Seq[Long],
+      dtypeName: String = "float64", varName: String = "band1",
+      chunkH: Int = 256, chunkW: Int = 256, zlib: Boolean = true): Unit = {
+    require(bands.nonEmpty && bands.forall(_.length == w * h),
+      "band size must equal w*h")
+    require(timesMs.length == bands.length, "one time per frame required")
+    val dt = DType.byName(dtypeName)
+    val cx = bbox.width / w; val cy = bbox.height / h
+    require(math.abs(cx - cy) <= 1e-9 * math.max(cx.abs, cy.abs),
+      s"zarr written here requires square pixels (got $cx × $cy)")
+    val root = Paths.get(url)
+    Files.createDirectories(root)
+    Files.writeString(root.resolve(".zgroup"),
+      Json.render(Map("zarr_format" -> 2L)))
+    Files.writeString(root.resolve(".zattrs"), Json.render(
+      scala.collection.immutable.ListMap(
+        "Conventions" -> "CF-1.8", "source" -> "graft zarr export")))
+    val cH = math.min(chunkH, h); val cW = math.min(chunkW, w)
+    val nT = bands.length
+
+    writeArray(root.resolve("x"), Seq(w), Seq(w), DType.F8, Double.NaN,
+      zlib = false, Seq("x"), Map("standard_name" -> "projection_x_coordinate"),
+      _ => Array.tabulate(w)(i => bbox.x1 + (i + 0.5) * cx))
+    writeArray(root.resolve("y"), Seq(h), Seq(h), DType.F8, Double.NaN,
+      zlib = false, Seq("y"), Map("standard_name" -> "projection_y_coordinate"),
+      _ => Array.tabulate(h)(i => bbox.y2 - (i + 0.5) * cx))
+    writeArray(root.resolve("time"), Seq(nT), Seq(nT), DType.F8, Double.NaN,
+      zlib = false, Seq("time"), Map(
+        "units" -> "milliseconds since 1970-01-01T00:00",
+        "calendar" -> "standard"),
+      _ => timesMs.map(_.toDouble).toArray)
+    val wkt = WktSrs.toWkt(projection).getOrElse(projection)
+    writeArray(root.resolve("spatial_ref"), Seq(1), Seq(1), DType.I4, 0.0,
+      zlib = false, Seq("spatial_ref"), Map(
+        "spatial_ref" -> wkt, "crs_wkt" -> wkt),
+      _ => Array(0.0))
+    writeArray(root.resolve(varName), Seq(nT, h, w), Seq(1, cH, cW), dt,
+      noData, zlib, Seq("time", "y", "x"),
+      Map("grid_mapping" -> "spatial_ref"), {
+        case Seq(t, cyI, cxI) =>
+          val band = bands(t)
+          val out = new Array[Double](cH * cW)
+          var ry = 0
+          while (ry < cH) {
+            val sy = cyI * cH + ry
+            var rx = 0
+            while (rx < cW) {
+              val sx = cxI * cW + rx
+              out(ry * cW + rx) =
+                if (sy < h && sx < w) band(sy * w + sx) else noData
+              rx += 1
+            }
+            ry += 1
+          }
+          out
+        case other => throw new IllegalStateException(s"bad chunk $other")
+      })
+  }
+}
+
+/** Zarr v2 group source: the CF time coordinate IS the time axis (frame
+  * instants come from the store). Metadata costs a few small JSON +
+  * coordinate reads; data chunks wait until a frame is requested, and
+  * only the chunks of the REQUESTED frames are read (`readFrames`). */
+case class ZarrSource(url: String, projectionArg: String = "",
+    varNameArg: String = "") extends RasterBlock {
+
+  @transient private lazy val meta: Zarr.Meta =
+    Zarr.readMeta(url, projectionArg, varNameArg)
+
+  @transient private lazy val deltaMs: Option[Long] = {
+    val t = meta.timesMs
+    if (t.length <= 1) None
+    else {
+      val d = t(1) - t(0)
+      require(t.sliding(2).forall(p => p(1) - p(0) == d),
+        s"$url: non-equidistant time axis not supported")
+      Some(d)
+    }
+  }
+
+  @transient private lazy val memory: MemorySource = {
+    val bands = Zarr.readFrames(meta, 0 until meta.nFrames)
+    MemorySource(bands, meta.w, meta.h, meta.noData, meta.projection,
+      meta.cellSize, meta.originX, meta.originY, meta.timesMs.head,
+      deltaMs, meta.outDtype.name)
+  }
+
+  override def dtype: DType = meta.outDtype
+  override def projection: String = meta.projection
+  override def temporal: Boolean = meta.data.ndim == 3
+  override def timeDeltaMs: Option[Long] = deltaMs
+  override def period: Option[(Instant, Instant)] =
+    Some((Instant.ofEpochMilli(meta.timesMs.head),
+      Instant.ofEpochMilli(meta.timesMs.last)))
+  override def extent: Option[Bbox] = Some(Bbox(
+    meta.originX, meta.originY - meta.h * meta.cellSize,
+    meta.originX + meta.w * meta.cellSize, meta.originY))
+  override def cellSize: Option[Double] = Some(meta.cellSize)
+  override def allTimes: Seq[Instant] = meta.timesMs.map(Instant.ofEpochMilli)
+
+  /** Chunk-pruned read: a time-sliced request decodes ONLY the chunks of
+    * the selected frames (the Zarr scale story); a full-stack request
+    * uses the cached whole-store load. */
+  override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
+    val sel = timesIn(req.start, req.stop)
+    if (sel.isEmpty || sel.length == meta.nFrames) memory.frame(req)
+    else {
+      val idx = allTimes.zipWithIndex.toMap
+      val bands = Zarr.readFrames(meta, sel.map(idx))
+      MemorySource(bands, meta.w, meta.h, meta.noData, meta.projection,
+        meta.cellSize, meta.originX, meta.originY, sel.head.toEpochMilli,
+        if (temporal) deltaMs else None, meta.outDtype.name).frame(req)
+    }
+  }
+}
+
+/** Zarr sink: the WHOLE requested time stack goes into one group (time
+  * dimension = frames), carrying the true frame instants. */
+case class ZarrSink(source: RasterBlock, url: String,
+    varName: String = "band1", chunkH: Int = 256, chunkW: Int = 256,
+    compress: Boolean = true) {
+  def write(req: RasterRequest)(implicit spark: SparkSession): String = {
+    val res = source.getData(req).getOrElse(
+      throw new IllegalArgumentException("empty result"))
+    val root = if (url.toLowerCase.endsWith(".zarr")) url
+               else s"$url/stack.zarr"
+    Zarr.write(root, res.values, req.width, req.height, req.bbox,
+      res.noDataValue, req.projection, res.times.map(_.toEpochMilli),
+      source.dtype.name, varName, chunkH, chunkW, compress)
+    root
+  }
+}

@@ -364,6 +364,45 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       }
     }
 
+  private lazy val zarrFixture: java.nio.file.Path = {
+    val root = tmpRoot.resolve("fuzz.zarr")
+    graft.raster.Zarr.write(root.toString,
+      Seq(Array.tabulate(64)(_ * 0.5), Array.tabulate(64)(_ * 2.0)),
+      8, 8, Bbox(0, 0, 8, 8), -9999.0, "EPSG:28992",
+      Seq(0L, 3600000L), "float64", chunkH = 5, chunkW = 5)
+    root
+  }
+
+  /** Copy the pristine store, then corrupt ONE member file. */
+  private def corruptedZarr(member: String, kind: Int, pos: Int,
+      value: Int): String = {
+    val dst = Files.createTempDirectory(tmpRoot, "zarr_case")
+    import scala.jdk.CollectionConverters._
+    Files.walk(zarrFixture).iterator().asScala
+      .filter(Files.isRegularFile(_)).foreach { p =>
+        val rel = zarrFixture.relativize(p)
+        val to = dst.resolve(rel)
+        Files.createDirectories(to.getParent)
+        Files.copy(p, to, StandardCopyOption.REPLACE_EXISTING)
+      }
+    val target = dst.resolve(member)
+    Files.write(target, mutate(Files.readAllBytes(target), kind, pos, value))
+    dst.toString
+  }
+
+  property("zarr read survives corrupt metadata/chunk/coordinate bytes") = {
+    val members = Gen.oneOf("band1/.zarray", "band1/.zattrs", "band1/0.0.0",
+      "band1/0.1.1", "time/0", "x/.zattrs", ".zgroup")
+    Prop.forAll(mutationGen(1 << 9), members) {
+      case ((kind, pos, value), member) =>
+        val store = corruptedZarr(member, kind, pos, value)
+        cleanOrFails(s"zarr m=$member k=$kind p=$pos v=$value") {
+          val m = graft.raster.Zarr.readMeta(store, "EPSG:28992")
+          graft.raster.Zarr.readFrames(m, 0 until m.nFrames)
+        }
+    }
+  }
+
   property("gpx element parse survives corrupt/truncated fragments") = {
     val wpt =
       """<wpt lat="52.05" lon="5.1"><ele>12.5</ele><name>home</name><extensions><graft:fid>3</graft:fid><graft:p>7</graft:p></extensions></wpt>"""
