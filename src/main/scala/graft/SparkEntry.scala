@@ -474,6 +474,16 @@ object SparkEntry {
           stop = Some(java.time.Instant.ofEpochMilli(2 * Hour)))
         cells(RasterFileSource(s"$out/stack.zarr").frame(sliced), g)
       }),
+      "r46_hdf5_roundtrip" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the whole 4-frame stack through ONE NetCDF-4-shaped HDF5 file
+        // (v0 superblock, chunked+deflate data variable, CF attrs); the
+        // dispatcher routes the .nc by its HDF5 magic
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_h5").toString
+        Hdf5Sink(a, s"$out/stack.nc", chunkRows = 7).write(fullReq(g))
+        cells(RasterFileSource(s"$out/stack.nc").frame(fullReq(g)), g)
+      }),
       "r39_xyz_roundtrip" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // frame 0 through the XYZ point-grid codec (3 numbers per cell —
@@ -693,6 +703,8 @@ object SparkEntry {
     "r43_netcdf_slice" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
     "r44_zarr_roundtrip" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r46_hdf5_roundtrip" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r45_zarr_slice" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
@@ -1789,6 +1801,12 @@ object SparkEntry {
       // stage); integer micro-nat terms make the doc aggregate
       // order-independent, so the sum is engine-reproducible bit-for-bit
       Lm.bigramPerplexity(tbl(s, dir, "documents"), "doc_id", "text")),
+    "p35_dsir_weights" -> ((s, dir) =>
+      // DSIR hashed-bigram importance weights against the lang='en'
+      // target slice; 4096 power-of-two buckets make the fnv64 bucket a
+      // low-bits mask on both engines
+      Sampling.dsirWeights(tbl(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", 4096)),
     "p34_semdedup" -> ((s, dir) =>
       // SemDeDup with numClusters = 1: the cluster equi-join degrades to
       // exact all-pairs, so the k-means + join machinery stays on the
@@ -2053,6 +2071,39 @@ object SparkEntry {
         |  round(CAST(-sum(cnt * tm) AS DOUBLE) / 1000000.0 /
         |    CAST(sum(cnt) AS DOUBLE), 6) AS avg_nll
         |FROM terms GROUP BY 1""".stripMargin,
+    "p35_dsir_weights" ->
+      // full replay: same word layer, same fnv64 bucket mask, same
+      // add-one smoothed log-ratio in integer micro-nats
+      s"""WITH t AS (SELECT doc_id, lang,
+         | list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |   w -> len(w) > 0) AS ws
+         | FROM documents),
+         |bg AS (SELECT doc_id, lang,
+         |   unnest(list_zip(list_slice(ws, 1, len(ws)-1),
+         |     list_slice(ws, 2, len(ws)))) AS p
+         | FROM t WHERE len(ws) >= 2),
+         |bg2 AS (SELECT doc_id, lang,
+         |   struct_extract(p, 1) || ' ' || struct_extract(p, 2) AS s FROM bg),
+         |bk AS (SELECT doc_id, lang,
+         |   CAST(${fnv64Sql("s")} % 4096 AS BIGINT) AS b FROM bg2),
+         |g AS (SELECT doc_id, lang, b, count(*) AS cnt FROM bk GROUP BY 1,2,3),
+         |rbt AS (SELECT b, sum(cnt) AS rb FROM g GROUP BY 1),
+         |tbt AS (SELECT b, sum(cnt) AS tb FROM g WHERE lang = 'en' GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(rb) FROM rbt) AS tr,
+         |   (SELECT coalesce(sum(tb), 0) FROM tbt) AS tt),
+         |terms AS (SELECT g.doc_id, g.cnt,
+         |   CAST(floor(ln(
+         |     (CAST(coalesce(tbt.tb, 0) + 1 AS DOUBLE)
+         |       * CAST(tot.tr + 4096 AS DOUBLE)) /
+         |     (CAST(rbt.rb + 1 AS DOUBLE)
+         |       * CAST(tot.tt + 4096 AS DOUBLE)))
+         |     * 1000000.0) AS BIGINT) AS tm
+         | FROM g JOIN rbt USING (b) LEFT JOIN tbt USING (b) CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(cnt * tm) AS BIGINT) AS logw_micro,
+         |  round(CAST(sum(cnt * tm) AS DOUBLE) / 1000000.0 /
+         |    CAST(sum(cnt) AS DOUBLE), 6) AS avg_logw
+         |FROM terms GROUP BY 1""".stripMargin,
     "p34_semdedup" ->
       // all-pairs replay of the numClusters = 1 degenerate case: kept ⇔
       // no smaller-id neighbour at/above the cosine threshold

@@ -84,14 +84,14 @@ object Dedup {
   private val P = 2147483647L // 2^31-1
 
   /** FNV-1a 64-bit string hash — deterministic across sessions/JVMs. */
-  private def fnv64(s: String): Long = {
+  private[pipeline] def fnv64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
     h
   }
 
-  private def tokenizeWords(t: String): Array[String] =
+  private[pipeline] def tokenizeWords(t: String): Array[String] =
     if (t == null) Array.empty
     // Locale.ROOT: default-locale lowercasing diverges from SQL lower()
     // (Turkish dotless-i) and would break the fnv64-mirroring oracles

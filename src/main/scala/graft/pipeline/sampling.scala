@@ -100,4 +100,60 @@ object Sampling {
         substring(md5(col(textCol)), 1, 8) < col("_thr"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how target-like its hashed-bigram profile is.
+    * Bigrams hash into `buckets` (a power of two, so the bucket is the
+    * hash's low bits — identical for signed and unsigned arithmetic, the
+    * property the SQL oracle relies on); a bag-of-buckets model is
+    * fitted to the target slice (p̂) and the full corpus (q̂) with
+    * add-one smoothing, and the document's log importance weight is
+    * Σ_b c_b · (ln p̂_b − ln q̂_b).
+    *
+    * Engine-reproducible the same way as [[Lm.bigramPerplexity]]: each
+    * per-bucket log-ratio becomes an INTEGER micro-nat term, so the
+    * per-document sum is order-independent integer arithmetic; the one
+    * float division happens last on identical integers.
+    *
+    * Scale shape: one explode into a per-(doc,bucket) hash aggregate
+    * (map-side combined); BOTH models are ≤`buckets` rows by
+    * construction — the paper's point — so scoring is a broadcast join,
+    * never a shuffle of the corpus against a model. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetCond: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    val mask = (buckets - 1).toLong
+    val bUdf = udf { (t: String) =>
+      val ws = Dedup.tokenizeWords(t)
+      if (ws.length < 2) Array.empty[Long]
+      else Array.tabulate(ws.length - 1)(i =>
+        Dedup.fnv64(ws(i) + " " + ws(i + 1)) & mask)
+    }
+    val g = docs
+      .select(col(idCol).as("doc_id"), targetCond.as("is_target"),
+        explode(bUdf(col(textCol))).as("b"))
+      .groupBy("doc_id", "is_target", "b").agg(count(lit(1)).as("cnt"))
+    val rb = g.groupBy("b").agg(sum("cnt").as("rb"))
+    val tb = g.filter(col("is_target")).groupBy("b").agg(sum("cnt").as("tb"))
+    val model = rb.join(broadcast(tb), Seq("b"), "left")
+      .select(col("b"), col("rb"), coalesce(col("tb"), lit(0L)).as("tb"))
+    val totals = model.agg(sum("rb").as("tr"), sum("tb").as("tt"))
+    val terms = g.join(broadcast(model), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("cnt"),
+        floor(log(
+          ((col("tb") + 1L).cast("double") *
+            (col("tr") + buckets.toLong).cast("double")) /
+          ((col("rb") + 1L).cast("double") *
+            (col("tt") + buckets.toLong).cast("double"))) *
+          lit(1000000.0)).as("tm"))
+    terms.groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        sum(col("cnt") * col("tm")).as("logw_micro"))
+      .withColumn("avg_logw",
+        round(col("logw_micro").cast("double") / lit(1000000.0) /
+          col("n_bigrams").cast("double"), 6))
+  }
 }

@@ -418,7 +418,8 @@ case class PngSource(url: String, timeFirstMs: Long = 0L,
   * extension. Directories dispatch on their first matching file. */
 object RasterFileSource {
   private val known =
-    Seq(".tif", ".tiff", ".asc", ".xyz", ".png", ".hdr", ".dat", ".img", ".nc")
+    Seq(".tif", ".tiff", ".asc", ".xyz", ".png", ".hdr", ".dat", ".img",
+      ".nc", ".nc4", ".h5", ".hdf5")
 
   def apply(url: String, timeFirstMs: Long = 0L,
       timeDeltaMs: Long = 300000L): RasterBlock = {
@@ -445,8 +446,11 @@ object RasterFileSource {
     else if (lower.endsWith(".hdr") || lower.endsWith(".dat") ||
       lower.endsWith(".img"))
       EnviSource(probe, timeFirstMs, timeDeltaMs)
-    else if (lower.endsWith(".nc"))
-      NetCdfSource(probe) // time axis comes from the CF time variable
+    else if (lower.endsWith(".nc") || lower.endsWith(".nc4") ||
+      lower.endsWith(".h5") || lower.endsWith(".hdf5"))
+      // NetCDF-4 files ARE HDF5 containers behind the same extension:
+      // route on the magic bytes, not the name
+      (if (Hdf5.isHdf5(probe)) Hdf5Source(probe) else NetCdfSource(probe))
     else throw new IllegalArgumentException(
       s"$url: unsupported raster format (${known.mkString(", ")})")
   }

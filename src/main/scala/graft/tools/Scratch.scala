@@ -57,6 +57,16 @@ object Scratch {
     println(s"netcdf: proj=${nc.projection} times=${nc.allTimes.size} " +
       s"cell=${nc.cellSize.get} rows=${nc.frame(req).count()}")
 
+    // ---- NetCDF-4 (HDF5) and Zarr v2 through the same dispatch surface
+    Hdf5Sink(mem, s"$dir/stack4.nc", chunkRows = 3).write(req)
+    val h5 = RasterFileSource(s"$dir/stack4.nc")
+    println(s"hdf5: kind=${h5.getClass.getSimpleName} proj=${h5.projection} " +
+      s"times=${h5.allTimes.size} rows=${h5.frame(req).count()}")
+    ZarrSink(mem, s"$dir/stack.zarr", chunkH = 3, chunkW = 3).write(req)
+    val zr = RasterFileSource(s"$dir/stack.zarr")
+    println(s"zarr: kind=${zr.getClass.getSimpleName} proj=${zr.projection} " +
+      s"times=${zr.allTimes.size} rows=${zr.frame(req).count()}")
+
     spark.stop()
   }
 }

@@ -390,6 +390,31 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
     dst.toString
   }
 
+  private lazy val h5Fixture: Array[Byte] = {
+    val p = tmpRoot.resolve("fuzz.h5").toString
+    graft.raster.Hdf5Write.write(p,
+      Seq(Array.tabulate(64)(_ * 0.5), Array.tabulate(64)(_ * 2.0)),
+      8, 8, Bbox(0, 0, 8, 8), -9999.0, "EPSG:28992",
+      Seq(0L, 3600000L), "float64", chunkRows = 5)
+    Files.readAllBytes(Paths.get(p))
+  }
+
+  property("hdf5 read survives corrupt superblock/header/chunk bytes") =
+    Prop.forAll(mutationGen(1 << 10)) { case (kind, pos, value) =>
+      val bytes = mutate(h5Fixture, kind, pos, value)
+      val dir = Files.createTempDirectory(tmpRoot, "h5_case")
+      val f = dir.resolve("s.h5")
+      Files.write(f, bytes)
+      cleanOrFails(s"hdf5 k=$kind p=$pos v=$value") {
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val m = graft.raster.Hdf5.readMeta(ch, f.toString, "EPSG:28992")
+          graft.raster.Hdf5.readBands(ch, m)
+        } finally ch.close()
+      }
+    }
+
   property("zarr read survives corrupt metadata/chunk/coordinate bytes") = {
     val members = Gen.oneOf("band1/.zarray", "band1/.zattrs", "band1/0.0.0",
       "band1/0.1.1", "time/0", "x/.zattrs", ".zgroup")

@@ -1,0 +1,397 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import graft.raster._
+
+/** HDF5 / NetCDF-4 read tests against INDEPENDENTLY hand-assembled files:
+  * a from-scratch byte-level HDF5 serializer (v0 superblock, v1 object
+  * headers, old-style groups, contiguous + chunked/deflate/shuffle
+  * layouts, v1 attributes incl. a vlen string through a global heap)
+  * built from the public HDF5 File Format Specification — the reader
+  * never sees its own writer's output because there is no writer.
+  */
+class Hdf5Spec extends SparkSpec {
+
+  private val UNDEF = -1L
+
+  // ------------------------------------------------------- file builder
+
+  private class Builder {
+    private var buf = new Array[Byte](1 << 16)
+    private var len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length) {
+        val nb = new Array[Byte](math.max(buf.length * 2, len + n))
+        System.arraycopy(buf, 0, nb, 0, len); buf = nb
+      }
+    def pos: Long = len.toLong
+    def bytes(b: Array[Byte]): Long = {
+      ensure(b.length); val at = len
+      System.arraycopy(b, 0, buf, len, b.length); len += b.length
+      at.toLong
+    }
+    def u8(v: Int): Unit = { ensure(1); buf(len) = v.toByte; len += 1 }
+    def u16(v: Int): Unit =
+      bytes(ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN)
+        .putShort(v.toShort).array())
+    def u32(v: Int): Unit =
+      bytes(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(v).array())
+    def u64(v: Long): Unit =
+      bytes(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(v).array())
+    def patch64(at: Long, v: Long): Unit = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(v).array()
+      System.arraycopy(b, 0, buf, at.toInt, 8)
+    }
+    def pad(to: Int): Unit = while (len % to != 0) u8(0)
+    def result: Array[Byte] = buf.take(len)
+  }
+
+  // message payload builders ------------------------------------------
+
+  private def pad8(n: Int): Int = (n + 7) & ~7
+
+  private def msgBytes(typ: Int, body: Array[Byte]): Array[Byte] = {
+    val size = pad8(body.length)
+    val b = ByteBuffer.allocate(8 + size).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(typ.toShort); b.putShort(size.toShort)
+    b.put(0.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+    b.put(body)
+    b.array()
+  }
+
+  private def dataspace(dims: Seq[Long]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + dims.length * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(dims.length.toByte); b.put(0.toByte)
+    b.put(new Array[Byte](5))
+    dims.foreach(b.putLong)
+    b.array()
+  }
+
+  /** cls 0 fixed (signedness + width), cls 1 float, cls 3 string. */
+  private def datatype(cls: Int, size: Int, signed: Boolean = true,
+      bigEndian: Boolean = false): Array[Byte] = {
+    val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(((1 << 4) | cls).toByte)
+    var bits0 = 0
+    if (bigEndian) bits0 |= 1
+    if (cls == 0 && signed) bits0 |= 8
+    b.put(bits0.toByte); b.put(0.toByte); b.put(0.toByte)
+    b.putInt(size)
+    if (cls == 0) { b.putShort(0); b.putShort((size * 8).toShort) }
+    else if (cls == 1 && size == 8) {
+      b.putShort(0); b.putShort(64)
+      b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte)
+      // bias doesn't fit the 16-byte buffer head; extend
+      return b.array() ++ ByteBuffer.allocate(4)
+        .order(ByteOrder.LITTLE_ENDIAN).putInt(1023).array()
+    } else if (cls == 1 && size == 4) {
+      b.putShort(0); b.putShort(32)
+      b.put(23.toByte); b.put(8.toByte); b.put(0.toByte); b.put(23.toByte)
+      return b.array() ++ ByteBuffer.allocate(4)
+        .order(ByteOrder.LITTLE_ENDIAN).putInt(127).array()
+    }
+    b.array()
+  }
+
+  private def layoutContiguous(addr: Long, size: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(3.toByte); b.put(1.toByte); b.putLong(addr); b.putLong(size)
+    b.array()
+  }
+
+  private def layoutChunked(btree: Long, chunkDims: Seq[Int],
+      elemSize: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(11 + (chunkDims.length + 1) * 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(3.toByte); b.put(2.toByte)
+    b.put((chunkDims.length + 1).toByte)
+    b.putLong(btree)
+    chunkDims.foreach(b.putInt)
+    b.putInt(elemSize)
+    b.array()
+  }
+
+  private def filterDeflate(): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + 8 + 4 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(1.toByte); b.putShort(0); b.putInt(0)
+    b.putShort(1); b.putShort(0); b.putShort(0); b.putShort(1) // id, nm, fl, nv
+    b.putInt(6)  // level
+    b.putInt(0)  // odd nvals pad
+    b.array()
+  }
+
+  private def attr(name: String, dt: Array[Byte], ds: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val nm = name.getBytes("UTF-8") :+ 0.toByte
+    val b = ByteBuffer.allocate(8 + pad8(nm.length) + pad8(dt.length) +
+      pad8(ds.length) + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(0.toByte)
+    b.putShort(nm.length.toShort)
+    b.putShort(dt.length.toShort)
+    b.putShort(ds.length.toShort)
+    b.put(nm); b.put(new Array[Byte](pad8(nm.length) - nm.length))
+    b.put(dt); b.put(new Array[Byte](pad8(dt.length) - dt.length))
+    b.put(ds); b.put(new Array[Byte](pad8(ds.length) - ds.length))
+    b.put(data)
+    b.array()
+  }
+
+  private def strAttr(name: String, v: String): Array[Byte] = {
+    val s = v.getBytes("UTF-8") :+ 0.toByte
+    attr(name, datatype(3, s.length), dataspace(Nil), s)
+  }
+
+  private def dblAttr(name: String, v: Double): Array[Byte] =
+    attr(name, datatype(1, 8), dataspace(Nil),
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putDouble(v).array())
+
+  private def objectHeader(b: Builder, msgs: Seq[Array[Byte]]): Long = {
+    val at = b.pos
+    val total = msgs.map(_.length).sum
+    b.u8(1); b.u8(0); b.u16(msgs.length); b.u32(1); b.u32(total); b.u32(0)
+    msgs.foreach(b.bytes)
+    at
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](65536)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end(); out.toByteArray
+  }
+
+  private def doubles(vals: Seq[Double]): Array[Byte] = {
+    val b = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(b.putDouble); b.array()
+  }
+
+  /** Assemble a NetCDF-4-shaped HDF5 file: root group (old-style) with
+    * datasets x, y, time (contiguous f8) and `rain` (chunked int16 +
+    * deflate, scale/offset, fill, grid_mapping) + a `crs` dataset whose
+    * spatial_ref attribute is a VLEN string in a global heap. */
+  private def buildFile(path: String): Unit = {
+    val b = new Builder
+    // ---- superblock (patched later)
+    b.bytes(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+    b.u8(0); b.u8(0); b.u8(0); b.u8(0) // versions
+    b.u8(0); b.u8(8); b.u8(8); b.u8(0) // shared, offsets, lengths
+    b.u16(4); b.u16(16); b.u32(0)      // K values, flags
+    b.u64(0); b.u64(UNDEF)
+    val eofPatch = b.pos; b.u64(0)     // EOF
+    b.u64(UNDEF)
+    val rootEntry = b.pos
+    b.u64(0); b.u64(0) /*root OH patched*/ ; b.u32(0); b.u32(0)
+    b.bytes(new Array[Byte](16))
+
+    // ---- data payloads
+    // grid: 4 wide × 3 high, 0.5 m pixels, origin (100, 200); y DESCENDING
+    val xs = Seq(100.25, 100.75, 101.25, 101.75)
+    val ys = Seq(199.75, 199.25, 198.75)
+    val times = Seq(0.0, 1.0) // hours since 2000-01-01
+    val xAddr = b.bytes(doubles(xs))
+    val yAddr = b.bytes(doubles(ys))
+    val tAddr = b.bytes(doubles(times))
+    // rain: (2, 3, 4) int16 chunks of (1, 2, 4), raw = 2*true, fill -9
+    def raw(t: Int, r: Int, c: Int): Int = 2 * (100 * t + 10 * r + c)
+    def chunkBytes(t: Int, cy: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(2 * 4 * 2).order(ByteOrder.LITTLE_ENDIAN)
+      for (jy <- 0 until 2; jx <- 0 until 4) {
+        val rr = cy * 2 + jy
+        bb.putShort(if (rr >= 3) -9 else raw(t, rr, jx).toShort)
+      }
+      bb.array()
+    }
+    // chunk (t=1, cy=1) is MISSING → fill
+    val chunkAddrs = for (t <- 0 until 2; cy <- 0 until 2
+        if !(t == 1 && cy == 1)) yield {
+      val z = deflate(chunkBytes(t, cy))
+      (Seq(t.toLong, cy * 2L, 0L), b.bytes(z), z.length.toLong)
+    }
+    // chunk B-tree (single leaf)
+    b.pad(8)
+    val btreeAddr = b.pos
+    b.u32(0x45455254); b.u8(1); b.u8(0); b.u16(chunkAddrs.length)
+    b.u64(UNDEF); b.u64(UNDEF)
+    chunkAddrs.foreach { case (offs, addr, nbytes) =>
+      b.u32(nbytes.toInt); b.u32(0)
+      offs.foreach(b.u64); b.u64(0) // + elem-size 0 key
+      b.u64(addr)
+    }
+    // final key
+    b.u32(0); b.u32(0); (0 until 4).foreach(_ => b.u64(0))
+
+    // ---- global heap with the CRS WKT (vlen attr target)
+    val wkt = raster.WktSrs.toWkt("EPSG:28992").get
+    val wktB = wkt.getBytes("UTF-8")
+    b.pad(8)
+    val gcolAddr = b.pos
+    val objSpace = 16 + pad8(wktB.length) + 16
+    b.u32(0x4C4F4347); b.u8(1); b.u8(0); b.u16(0)
+    b.u64(16 + objSpace)
+    b.u16(1); b.u16(1); b.u32(0); b.u64(wktB.length)
+    b.bytes(wktB); b.pad(8)
+    b.bytes(new Array[Byte](16)) // free-space terminator
+
+    // ---- dataset object headers
+    val f8 = datatype(1, 8)
+    val xOH = objectHeader(b, Seq(
+      msgBytes(0x0001, dataspace(Seq(4))),
+      msgBytes(0x0003, f8),
+      msgBytes(0x0008, layoutContiguous(xAddr, 32)),
+      msgBytes(0x000C, strAttr("units", "m"))))
+    val yOH = objectHeader(b, Seq(
+      msgBytes(0x0001, dataspace(Seq(3))),
+      msgBytes(0x0003, f8),
+      msgBytes(0x0008, layoutContiguous(yAddr, 24))))
+    val tOH = objectHeader(b, Seq(
+      msgBytes(0x0001, dataspace(Seq(2))),
+      msgBytes(0x0003, f8),
+      msgBytes(0x0008, layoutContiguous(tAddr, 16)),
+      msgBytes(0x000C, strAttr("units", "hours since 2000-01-01"))))
+    // crs: 0-d int with a VLEN spatial_ref attribute via the global heap
+    val vlenDt = {
+      val d = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      d.put(((1 << 4) | 9).toByte); d.put(0.toByte); d.put(0.toByte)
+      d.put(0.toByte); d.putInt(16)
+      d.array()
+    }
+    val vlenData = {
+      val d = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      d.putInt(wktB.length); d.putLong(gcolAddr); d.putInt(1)
+      d.array()
+    }
+    val crsOH = objectHeader(b, Seq(
+      msgBytes(0x0001, dataspace(Nil)),
+      msgBytes(0x0003, datatype(0, 4)),
+      msgBytes(0x0008, layoutContiguous(UNDEF, 0)),
+      msgBytes(0x000C, attr("spatial_ref", vlenDt, dataspace(Nil), vlenData))))
+    val i2be = datatype(0, 2, signed = true)
+    val rainOH = objectHeader(b, Seq(
+      msgBytes(0x0001, dataspace(Seq(2, 3, 4))),
+      msgBytes(0x0003, i2be),
+      msgBytes(0x000B, filterDeflate()),
+      msgBytes(0x0008, layoutChunked(btreeAddr, Seq(1, 2, 4), 2)),
+      msgBytes(0x000C, dblAttr("_FillValue", -9.0)),
+      msgBytes(0x000C, dblAttr("scale_factor", 0.5)),
+      msgBytes(0x000C, dblAttr("add_offset", 0.0)),
+      msgBytes(0x000C, strAttr("grid_mapping", "crs"))))
+
+    // ---- root group: local heap + SNOD + B-tree + object header
+    b.pad(8)
+    val heapDataAddr = b.pos
+    val names = Seq("x", "y", "time", "crs", "rain")
+    val nameOffs = scala.collection.mutable.Map.empty[String, Long]
+    names.foreach { n =>
+      nameOffs(n) = b.pos - heapDataAddr
+      b.bytes(n.getBytes("UTF-8")); b.u8(0)
+    }
+    b.pad(8)
+    val heapDataSize = b.pos - heapDataAddr
+    val heapAddr = b.pos
+    b.u32(0x50414548); b.u32(0)
+    b.u64(heapDataSize); b.u64(1); b.u64(heapDataAddr)
+    val snodAddr = b.pos
+    b.u32(0x444F4E53); b.u8(1); b.u8(0)
+    // SNOD entries must be name-ordered
+    val ordered = names.sorted.map {
+      case "x" => ("x", xOH); case "y" => ("y", yOH)
+      case "time" => ("time", tOH); case "crs" => ("crs", crsOH)
+      case "rain" => ("rain", rainOH)
+    }
+    b.u16(ordered.length)
+    ordered.foreach { case (n, oh) =>
+      b.u64(nameOffs(n)); b.u64(oh); b.u32(0); b.u32(0)
+      b.bytes(new Array[Byte](16))
+    }
+    val btreeGroupAddr = b.pos
+    b.u32(0x45455254); b.u8(0); b.u8(0); b.u16(1)
+    b.u64(UNDEF); b.u64(UNDEF)
+    b.u64(0); b.u64(snodAddr); b.u64(0)
+    val rootOH = objectHeader(b, Seq(
+      msgBytes(0x0011, {
+        val s = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        s.putLong(btreeGroupAddr); s.putLong(heapAddr); s.array()
+      })))
+    b.patch64(rootEntry + 8, rootOH)
+    b.patch64(eofPatch, b.pos)
+    Files.write(Paths.get(path), b.result)
+  }
+
+  // ------------------------------------------------------------- tests
+
+  test("hand-assembled NetCDF-4 (HDF5) stack reads end to end") {
+    val dir = Files.createTempDirectory("graft_h5").toString
+    buildFile(s"$dir/rain.nc")
+    val src = Hdf5Source(s"$dir/rain.nc")
+    assert(src.projection == "EPSG:28992") // via the VLEN global-heap WKT
+    assert(src.cellSize.contains(0.5))
+    assert(src.extent.contains(Bbox(100.0, 198.5, 102.0, 200.0)))
+    assert(src.temporal && src.timeDeltaMs.contains(3600000L))
+    assert(src.allTimes == Seq("2000-01-01T00:00:00Z", "2000-01-01T01:00:00Z")
+      .map(java.time.Instant.parse))
+    val req = RasterRequest(Bbox(100.0, 198.5, 102.0, 200.0),
+      "EPSG:28992", 4, 3,
+      Some(java.time.Instant.parse("2000-01-01T00:00:00Z")),
+      Some(java.time.Instant.parse("2000-01-01T01:00:00Z")))
+    val res = src.getData(req)(spark).get
+    assert(res.values.length == 2)
+    val nd = res.noDataValue
+    // scale 0.5 over raw 2*true → true values; frame 1 rows 2.. missing
+    val f0 = res.values(0)
+    for (r <- 0 until 3; c <- 0 until 4)
+      assert(f0(r * 4 + c) == 10.0 * r + c, s"f0($r,$c)=${f0(r * 4 + c)}")
+    val f1 = res.values(1)
+    for (c <- 0 until 4) {
+      assert(f1(0 * 4 + c) == 100.0 + c)
+      assert(f1(1 * 4 + c) == 110.0 + c)
+      assert(f1(2 * 4 + c) == nd, s"f1(2,$c) should be fill")
+    }
+  }
+
+  test("RasterFileSource routes .nc by magic: CDF vs HDF5") {
+    val dir = Files.createTempDirectory("graft_h5d").toString
+    buildFile(s"$dir/stack.nc")
+    val viaDispatch = RasterFileSource(s"$dir/stack.nc")
+    assert(viaDispatch.isInstanceOf[Hdf5Source])
+    // and a classic file still routes to the classic codec
+    val req = RasterFixtures.valsRequest
+    NetCdfSink(RasterFixtures.source, s"$dir/classic.nc").write(req)(spark)
+    assert(RasterFileSource(s"$dir/classic.nc").isInstanceOf[NetCdfSource])
+  }
+
+  test("Hdf5Sink round-trips the whole stack through its own writer") {
+    val dir = Files.createTempDirectory("graft_h5w").toString
+    val req = RasterFixtures.valsRequest
+    Hdf5Sink(RasterFixtures.source, s"$dir/stack.nc", chunkRows = 4)
+      .write(req)(spark)
+    val back = RasterFileSource(s"$dir/stack.nc")
+    assert(back.isInstanceOf[Hdf5Source])
+    assert(back.projection == "EPSG:28992")
+    assert(back.temporal && back.timeDeltaMs.contains(RasterFixtures.Hour))
+    assert(back.cellSize.contains(0.5))
+    val res = back.getData(req)(spark).get
+    val want = RasterFixtures.source.getData(req)(spark).get
+    assert(res.times == want.times)
+    assert(res.values.map(_.toSeq).toSeq == want.values.map(_.toSeq).toSeq)
+    assert(res.noDataValue == want.noDataValue)
+  }
+
+  test("hdf5 failure modes are loud: dense links, bad filters, v2 trees") {
+    val dir = Files.createTempDirectory("graft_h5b").toString
+    // truncated file
+    Files.write(Paths.get(s"$dir/trunc.h5"),
+      Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n', 3))
+    val e = intercept[IllegalArgumentException] {
+      Hdf5Source(s"$dir/trunc.h5").projection
+    }
+    assert(e.getMessage.contains("hdf5"))
+  }
+}

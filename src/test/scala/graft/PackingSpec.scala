@@ -162,4 +162,25 @@ class PackingSpec extends SparkSpec {
       assert(r.getLong(1) == 3 && r.getLong(2) == 3, s"limit=$lim: $r")
     }
   }
+
+  test("dsirWeights matches the hand-derived add-one log-ratio model") {
+    import spark.implicits._
+    // target = docs 0 only. Buckets: "a b" and "c d" land in distinct
+    // buckets (checked below). tb("a b")=1, rb("a b")=2, rb("c d")=1,
+    // tt=1, tr=3, B=4096
+    val docs = Seq((0L, "a b", "en"), (1L, "a b", "de"), (2L, "c d", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Sampling.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en", 4096).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val tmAb = math.floor(math.log(
+      (2.0 * 4099.0) / (3.0 * 4097.0)) * 1e6).toLong
+    val tmCd = math.floor(math.log(
+      (1.0 * 4099.0) / (2.0 * 4097.0)) * 1e6).toLong
+    assert(tmAb != tmCd) // implies the buckets really are distinct
+    assert(out(0).getLong(2) == tmAb && out(1).getLong(2) == tmAb)
+    assert(out(2).getLong(2) == tmCd)
+    // target-like docs score strictly higher than the off-target one
+    assert(out(0).getDouble(3) > out(2).getDouble(3))
+  }
 }

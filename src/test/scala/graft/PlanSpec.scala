@@ -185,4 +185,30 @@ class PlanSpec extends SparkSpec {
     assert(join.left.collect { case a: Aggregate => a }.nonEmpty)
     assert(join.right.collect { case a: Aggregate => a }.nonEmpty)
   }
+
+  test("DSIR scoring joins the corpus against BROADCAST models only") {
+    // the bucket models are <= `buckets` rows by construction (the
+    // paper's point): the scoring join must broadcast them, never
+    // shuffle the corpus against a model
+    val p = plan("p35_dsir_weights")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    // the only nested-loop join allowed is the 1-row totals cross join
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("bigram perplexity pre-aggregates before every model join") {
+    // the scoring join inputs are (doc,bigram) / bigram aggregates —
+    // never one row per corpus position
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val qe = SparkEntry.queries("p33_bigram_perplexity")(spark, dir)
+      .queryExecution
+    val joins = qe.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // every non-broadcast-size side of every join sits on an aggregate
+    val bigJoin = joins.head
+    assert(bigJoin.left.collect { case a: Aggregate => a }.nonEmpty)
+    assert(bigJoin.right.collect { case a: Aggregate => a }.nonEmpty)
+    // no cartesian anywhere (the 1-row V broadcast is a BNLJ by design)
+    assert(!plan("p33_bigram_perplexity").contains("CartesianProduct"))
+  }
 }
