@@ -2046,8 +2046,9 @@ object SparkEntry {
         |WHERE thr2.cut >= 4294967296 OR substr(md5(d.text), 1, 8) < thr2.t""".stripMargin,
     "p33_bigram_perplexity" ->
       // full model replay: same BOS-prepended word layer, same add-one
-      // bigram smoother, same integer micro-nat terms; only the final
-      // avg_nll division touches floats (identical integer inputs)
+      // bigram smoother, same integer micro-nat terms; the average stays
+      // integer (floor of an IEEE division of identical integers) —
+      // round()ed floats would diverge on 7th-digit ties
       """WITH t AS (SELECT doc_id,
         | list_prepend('<s>', list_filter(string_split_regex(lower(text),
         |   '[^a-z0-9]+'), w -> len(w) > 0)) AS ws
@@ -2068,8 +2069,8 @@ object SparkEntry {
         | FROM g JOIN mb USING (w1, w2) JOIN mc USING (w1) CROSS JOIN v)
         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
         |  CAST(-sum(cnt * tm) AS BIGINT) AS nll_micro,
-        |  round(CAST(-sum(cnt * tm) AS DOUBLE) / 1000000.0 /
-        |    CAST(sum(cnt) AS DOUBLE), 6) AS avg_nll
+        |  CAST(floor(CAST(-sum(cnt * tm) AS DOUBLE) /
+        |    CAST(sum(cnt) AS DOUBLE)) AS BIGINT) AS avg_nll_micro
         |FROM terms GROUP BY 1""".stripMargin,
     "p35_dsir_weights" ->
       // full replay: same word layer, same fnv64 bucket mask, same
@@ -2101,8 +2102,8 @@ object SparkEntry {
          | FROM g JOIN rbt USING (b) LEFT JOIN tbt USING (b) CROSS JOIN tot)
          |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
          |  CAST(sum(cnt * tm) AS BIGINT) AS logw_micro,
-         |  round(CAST(sum(cnt * tm) AS DOUBLE) / 1000000.0 /
-         |    CAST(sum(cnt) AS DOUBLE), 6) AS avg_logw
+         |  CAST(floor(CAST(sum(cnt * tm) AS DOUBLE) /
+         |    CAST(sum(cnt) AS DOUBLE)) AS BIGINT) AS avg_logw_micro
          |FROM terms GROUP BY 1""".stripMargin,
     "p34_semdedup" ->
       // all-pairs replay of the numClusters = 1 degenerate case: kept ⇔

@@ -36,9 +36,13 @@ object Lm {
     concat(array(lit(BOS)), coalesce(TextAnalysis.words(text), array()))
 
   /** Per-document bigram-LM negative log-likelihood and average NLL in
-    * nats (perplexity = exp(avg_nll)). Documents with no words are
-    * dropped (no bigram to score). Output: doc_id, n_bigrams,
-    * nll_micro (integer micro-nats), avg_nll. */
+    * MICRO-nats (perplexity = exp(avg_nll_micro / 1e6)). Documents with
+    * no words are dropped (no bigram to score). Output: doc_id,
+    * n_bigrams, nll_micro, avg_nll_micro. The average stays integer
+    * (floor of an IEEE division of identical integers — bit-exact on any
+    * engine); a round()ed float average is NOT engine-reproducible:
+    * Spark rounds the shortest decimal rendering half-up while DuckDB
+    * rounds the binary double, so 7th-digit ties diverge. */
   def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val withWs = docs
@@ -67,8 +71,8 @@ object Lm {
     terms.groupBy("doc_id")
       .agg(sum("cnt").as("n_bigrams"),
         (-sum(col("cnt") * col("tm"))).as("nll_micro"))
-      .withColumn("avg_nll",
-        round(col("nll_micro").cast("double") / lit(1000000.0) /
-          col("n_bigrams").cast("double"), 6))
+      .withColumn("avg_nll_micro",
+        floor(col("nll_micro").cast("double") /
+          col("n_bigrams").cast("double")))
   }
 }

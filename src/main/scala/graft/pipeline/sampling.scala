@@ -152,8 +152,10 @@ object Sampling {
     terms.groupBy("doc_id")
       .agg(sum("cnt").as("n_bigrams"),
         sum(col("cnt") * col("tm")).as("logw_micro"))
-      .withColumn("avg_logw",
-        round(col("logw_micro").cast("double") / lit(1000000.0) /
-          col("n_bigrams").cast("double"), 6))
+      // integer micro-nat average: floor of an IEEE division of identical
+      // integers is bit-exact across engines; round()ed floats are not
+      .withColumn("avg_logw_micro",
+        floor(col("logw_micro").cast("double") /
+          col("n_bigrams").cast("double")))
   }
 }

@@ -94,8 +94,12 @@ object Zarr {
     case 'b' => "b"; case 'u' => "u"; case 'i' => "i"; case _ => "f"
   }) + dt.size
 
-  def readArrayMeta(dir: Path): ArrayMeta = {
-    val za = jsonMap(dir.resolve(".zarray"))
+  def readArrayMeta(dir: Path): ArrayMeta =
+    buildArrayMeta(dir, jsonMap(dir.resolve(".zarray")),
+      jsonMap(dir.resolve(".zattrs")))
+
+  private def buildArrayMeta(dir: Path, za: Map[String, Any],
+      attrs: Map[String, Any]): ArrayMeta = {
     require(za.nonEmpty, s"$dir: missing .zarray")
     require(asDouble(za.getOrElse("zarr_format", 2L), "zarr_format") == 2,
       s"$dir: only zarr v2 is supported")
@@ -132,7 +136,6 @@ object Zarr {
       case other => throw new IllegalArgumentException(
         s"$dir: bad dimension_separator '$other'")
     }
-    val attrs = jsonMap(dir.resolve(".zattrs"))
     val dims = attrs.get("_ARRAY_DIMENSIONS") match {
       case Some(l: List[_]) => l.map(_.toString)
       case _                => Nil
@@ -260,13 +263,44 @@ object Zarr {
       varName: String = ""): Meta = {
     val root = Paths.get(url)
     require(Files.isDirectory(root), s"$url: not a zarr directory store")
-    require(Files.exists(root.resolve(".zgroup")),
+    val zmeta = root.resolve(".zmetadata")
+    require(Files.exists(root.resolve(".zgroup")) || Files.exists(zmeta),
       s"$url: missing .zgroup (array-only stores are not supported — " +
         "point at the group directory)")
-    import scala.jdk.CollectionConverters._
-    val arrays = Files.list(root).iterator().asScala
-      .filter(d => Files.isDirectory(d) && Files.exists(d.resolve(".zarray")))
-      .map(readArrayMeta).toSeq.sortBy(_.name)
+    // consolidated metadata (the xarray convention): every .zarray/.zattrs
+    // rides in ONE .zmetadata document — one object read instead of 2N on
+    // an object store. Preferred when present; the per-array files remain
+    // the fallback.
+    val arrays: Seq[ArrayMeta] =
+      if (Files.exists(zmeta)) {
+        val doc = jsonMap(zmeta)
+        require(asDouble(doc.getOrElse("zarr_consolidated_format", 1L),
+          "zarr_consolidated_format") == 1,
+          s"$url: unsupported consolidated metadata format")
+        val md = doc.getOrElse("metadata", Map.empty) match {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          case _ => throw new IllegalArgumentException(
+            s"$url: .zmetadata has no metadata object")
+        }
+        def mdMap(k: String): Map[String, Any] = md.getOrElse(k, Map.empty) match {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+          case _ => Map.empty
+        }
+        val names = md.keys.collect {
+          case k if k.endsWith("/.zarray") =>
+            k.substring(0, k.length - "/.zarray".length)
+        }.toSeq.sorted
+        require(names.nonEmpty, s"$url: no arrays in consolidated metadata")
+        require(names.forall(n => !n.contains("/")),
+          s"$url: nested groups in consolidated metadata not supported")
+        names.map(n => buildArrayMeta(root.resolve(n),
+          mdMap(s"$n/.zarray"), mdMap(s"$n/.zattrs")))
+      } else {
+        import scala.jdk.CollectionConverters._
+        Files.list(root).iterator().asScala
+          .filter(d => Files.isDirectory(d) && Files.exists(d.resolve(".zarray")))
+          .map(readArrayMeta).toSeq.sortBy(_.name)
+      }
     require(arrays.nonEmpty, s"$url: no arrays in the group")
     val byName = arrays.map(a => a.name -> a).toMap
     def isCoord(a: ArrayMeta) = a.ndim == 1 && a.dims == Seq(a.name)
@@ -320,9 +354,9 @@ object Zarr {
     val fill = data.attrs.get("_FillValue")
       .map(asDouble(_, "_FillValue")).getOrElse(data.fill)
     val projection = data.attrs.get("grid_mapping").map(_.toString)
-      .flatMap(gm => jsonMap(root.resolve(gm).resolve(".zattrs"))
-        .get("spatial_ref").orElse(
-          jsonMap(root.resolve(gm).resolve(".zattrs")).get("crs_wkt")))
+      .flatMap(gm => byName.get(gm).map(_.attrs).orElse(
+          Some(jsonMap(root.resolve(gm).resolve(".zattrs")))))
+      .flatMap(a => a.get("spatial_ref").orElse(a.get("crs_wkt")))
       .map(wkt => Proj.normalize(wkt.toString)) match {
       case Some(p) => p
       case None =>
@@ -504,6 +538,20 @@ object Zarr {
           out
         case other => throw new IllegalStateException(s"bad chunk $other")
       })
+    // consolidated metadata: every JSON document in ONE .zmetadata object
+    // (the xarray convention) so cloud readers pay one metadata GET
+    val members = Seq("x", "y", "time", "spatial_ref", varName)
+    val mdb = scala.collection.immutable.ListMap.newBuilder[String, Any]
+    Seq(".zgroup", ".zattrs").foreach(f =>
+      mdb += (f -> Json.parse(Files.readString(root.resolve(f)))))
+    members.foreach { m =>
+      Seq(".zarray", ".zattrs").foreach(f =>
+        mdb += (s"$m/$f" ->
+          Json.parse(Files.readString(root.resolve(m).resolve(f)))))
+    }
+    Files.writeString(root.resolve(".zmetadata"), Json.render(
+      scala.collection.immutable.ListMap(
+        "metadata" -> mdb.result(), "zarr_consolidated_format" -> 1L)))
   }
 }
 

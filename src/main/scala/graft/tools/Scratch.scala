@@ -27,10 +27,10 @@ object Scratch {
     val ppl = graft.pipeline.Lm.bigramPerplexity(docs, "doc_id", "text")
     val stats = ppl.agg(
       org.apache.spark.sql.functions.count(col("doc_id")),
-      org.apache.spark.sql.functions.min(col("avg_nll")),
-      org.apache.spark.sql.functions.max(col("avg_nll"))).head
+      org.apache.spark.sql.functions.min(col("avg_nll_micro")),
+      org.apache.spark.sql.functions.max(col("avg_nll_micro"))).head
     println(s"perplexity: docs=${stats.getLong(0)} " +
-      s"avg_nll=[${stats.getDouble(1)}, ${stats.getDouble(2)}]")
+      s"avg_nll_micro=[${stats.getLong(1)}, ${stats.getLong(2)}]")
 
     // ---- SemDeDup: brute (k=1) vs clustered (k=8) keep decisions
     val brute = graft.pipeline.Dedup

@@ -19,8 +19,9 @@ class LmSpec extends SparkSpec {
     assert(out.length == 2)
     assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 1386297L)
     assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 980831L)
-    assert(math.abs(out(0).getDouble(3) - 1386297.0 / 1e6 / 3) < 1e-6)
-    assert(math.abs(out(1).getDouble(3) - 980831.0 / 1e6 / 2) < 1e-6)
+    // integer micro-nat averages: floor(1386297/3), floor(980831/2)
+    assert(out(0).getLong(3) == 462099L)
+    assert(out(1).getLong(3) == 490415L)
   }
 
   test("bigramPerplexity drops wordless and null documents") {
@@ -41,6 +42,6 @@ class LmSpec extends SparkSpec {
       (1L, "q w e r t z u i o p")).toDF("doc_id", "text")
     val m = Lm.bigramPerplexity(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
-    assert(m(0).getDouble(3) < m(1).getDouble(3))
+    assert(m(0).getLong(3) < m(1).getLong(3))
   }
 }

@@ -181,6 +181,6 @@ class PackingSpec extends SparkSpec {
     assert(out(0).getLong(2) == tmAb && out(1).getLong(2) == tmAb)
     assert(out(2).getLong(2) == tmCd)
     // target-like docs score strictly higher than the off-target one
-    assert(out(0).getDouble(3) > out(2).getDouble(3))
+    assert(out(0).getLong(3) > out(2).getLong(3))
   }
 }

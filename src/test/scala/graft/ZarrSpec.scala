@@ -153,6 +153,27 @@ class ZarrSpec extends SparkSpec {
       assert(f1(r * 5 + c) == 100.0 + 10 * r + c, s"f1($r,$c)")
   }
 
+  test("consolidated .zmetadata alone is enough to open the store") {
+    val dir = tmp("graft_zarr_cons")
+    val req = RasterFixtures.valsRequest
+    ZarrSink(RasterFixtures.source, s"$dir/stack.zarr").write(req)(spark)
+    // delete every per-array metadata document: a consolidated reader
+    // must resolve all arrays (incl. the grid-mapping CRS) from the ONE
+    // .zmetadata object
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(s"$dir/stack.zarr")).iterator().asScala
+      .filter(p => p.getFileName.toString == ".zarray" ||
+        (p.getFileName.toString == ".zattrs" && p.getParent.getFileName
+          .toString != "stack.zarr"))
+      .toList.foreach(Files.delete)
+    val back = ZarrSource(s"$dir/stack.zarr")
+    assert(back.projection == "EPSG:28992")
+    assert(back.allTimes.length == 3)
+    val res = back.getData(req)(spark).get
+    val want = RasterFixtures.source.getData(req)(spark).get
+    assert(res.values.map(_.toSeq).toSeq == want.values.map(_.toSeq).toSeq)
+  }
+
   test("RasterFileSource dispatches zarr directories; failures are loud") {
     val dir = tmp("graft_zarr_misc")
     val req = RasterFixtures.valsRequest
