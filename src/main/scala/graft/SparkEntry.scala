@@ -1807,6 +1807,21 @@ object SparkEntry {
       // low-bits mask on both engines
       Sampling.dsirWeights(tbl(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en", 4096)),
+    "p37_ivfpq_topk" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // IVF-PQ: residual product quantization inside probed inverted
+      // lists; nProbe = numClusters + exhaustive shortlist → the exact
+      // re-rank equals brute force (the compounded oracle lever) while
+      // the assignment/residual/LUT machinery stays on the scored path
+      IvfPq.topK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq(0L, 1L, 2L), 5, numClusters = 8, nProbe = 8, m = 8, k = 16,
+        candidates = 1 << 20)
+    }),
+    "p36_exact_quantiles" -> ((s, dir) =>
+      // exact per-language n_chars quantiles (quantile_disc semantics) —
+      // distinct-value compression + per-group window, no global sort
+      Stats.exactQuantiles(tbl(s, dir, "documents"), "n_chars", "lang",
+        Seq(0.1, 0.5, 0.9, 0.99))),
     "p34_semdedup" -> ((s, dir) =>
       // SemDeDup with numClusters = 1: the cluster equi-join degrades to
       // exact all-pairs, so the k-means + join machinery stays on the
@@ -2105,6 +2120,25 @@ object SparkEntry {
          |  CAST(floor(CAST(sum(cnt * tm) AS DOUBLE) /
          |    CAST(sum(cnt) AS DOUBLE)) AS BIGINT) AS avg_logw_micro
          |FROM terms GROUP BY 1""".stripMargin,
+    "p37_ivfpq_topk" ->
+      // exhaustive probes + exhaustive shortlist → exact == brute force
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_cosine_similarity(q.v, c.v), 6) AS cos
+        | FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        | WHERE q.vec_id IN (0, 1, 2)),
+        |ranked AS (SELECT *, row_number() OVER
+        | (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank FROM scored)
+        |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "p36_exact_quantiles" ->
+      // DuckDB's own exact quantile_disc as the oracle (list form +
+      // parallel unnest); rank rule max(1, ceil(q*n)) on both engines
+      """WITH t AS (SELECT lang,
+        |  [0.1, 0.5, 0.9, 0.99] AS ql,
+        |  quantile_disc(n_chars, [0.1, 0.5, 0.9, 0.99]) AS vl
+        | FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)
+        |SELECT lang, unnest(ql) AS q, unnest(vl) AS value FROM t""".stripMargin,
     "p34_semdedup" ->
       // all-pairs replay of the numClusters = 1 degenerate case: kept ⇔
       // no smaller-id neighbour at/above the cosine threshold

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+  private[pipeline] def dist2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s

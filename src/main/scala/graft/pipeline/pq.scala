@@ -35,7 +35,7 @@ object Pq {
     def subDim: Int = dim / m
   }
 
-  private def subDist2(v: Array[Double], off: Int, c: Array[Double]): Double = {
+  private[pipeline] def subDist2(v: Array[Double], off: Int, c: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < c.length) { val d = v(off + i) - c(i); s += d * d; i += 1 }
     s
@@ -167,6 +167,104 @@ object Pq {
       s
     }
     val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("adc", adcUdf(col("codes"), col("lut")))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("cand_id").asc)
+    val shortlist = scored.withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= candidates)
+    val exact = shortlist.select(col("query_id"), col("cand_id"),
+      round(Dedup.cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+}
+
+/** IVF-PQ composition (the FAISS `IVFPQ` index design, after Jégou et
+  * al. 2011 §IV): an IVF coarse quantizer partitions the corpus into
+  * inverted lists, and product quantization encodes each vector's
+  * RESIDUAL against its list's centroid — residuals concentrate near
+  * zero, so the same byte budget quantizes them far more precisely than
+  * raw vectors. Queries probe the `nProbe` nearest lists and score each
+  * list's codes against a PER-LIST ADC lookup table built from the
+  * query's residual to that list's centroid.
+  *
+  * The 100 TB shape: the corpus is touched by (a) one assignment +
+  * residual map, (b) the shared PQ fit/encode passes, and (c) a shuffle
+  * EQUI-JOIN on the cluster id against the exploded (query, probed
+  * cluster, LUT) broadcast — never a corpus×queries product (tighter
+  * than flat `Pq.adcTopK`, whose candidate scan is the whole corpus).
+  * `nProbe = numClusters` with `candidates >= corpus` makes the exact
+  * re-rank equal brute force — the compounded oracle lever.
+  */
+object IvfPq {
+
+  def topK(df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], topK: Int, numClusters: Int = 8, nProbe: Int = 2,
+      m: Int = 8, k: Int = 16, candidates: Int = 100, iters: Int = 3)
+      (implicit spark: SparkSession): DataFrame = {
+    require(candidates >= topK, "candidates must be >= topK")
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = Ivf.fit(df, idCol, vecCol, numClusters, iters)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf(Ivf.nearest(centroids) _)
+    val residUdf = udf { (v: Seq[Double], cl: Int) =>
+      val cc = bcCent.value(cl)
+      Array.tabulate(v.length)(i => v(i) - cc(i))
+    }
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val assigned = df.select(col(idCol).as("id"), vecD.as("v"))
+      .withColumn("cluster", assignUdf(col("v")))
+      .withColumn("res", residUdf(col("v"), col("cluster")))
+    // PQ model over residuals (shared across lists, the standard design)
+    val model = Pq.fit(assigned.select(col("id"), col("res")),
+      "id", "res", m, k, iters)
+    val corpus = Pq.encode(assigned.select(col("id"), col("res")),
+      "id", "res", model)
+      .select(col("id").as("cand_id"), col("codes"))
+      .join(assigned.select(col("id").as("cand_id"), col("cluster"),
+        col("v").as("cv")), Seq("cand_id"))
+    val probesUdf = udf { (qv: Seq[Double]) =>
+      val arr = qv.toArray
+      bcCent.value.zipWithIndex
+        .map { case (c, i) => (Ivf.dist2(arr, c), i) }
+        .sortBy(_._1).take(nProbe).map(_._2)
+    }
+    // per-(query, probed list) LUT over the query's residual to THAT
+    // list's centroid
+    val lutUdf = udf { (qv: Seq[Double], cl: Int) =>
+      val cc = bcCent.value(cl)
+      val arr = Array.tabulate(qv.length)(i => qv(i) - cc(i))
+      val lut = new Array[Double](model.m * model.k)
+      var sub = 0
+      while (sub < model.m) {
+        var c = 0
+        while (c < model.codebooks(sub).length) {
+          lut(sub * model.k + c) =
+            Pq.subDist2(arr, sub * model.subDim, model.codebooks(sub)(c))
+          c += 1
+        }
+        sub += 1
+      }
+      lut
+    }
+    val queries = df.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), vecD.as("qv"))
+      .withColumn("cluster", explode(probesUdf(col("qv"))))
+      .withColumn("lut", lutUdf(col("qv"), col("cluster")))
+    val kk = model.k
+    val adcUdf = udf { (codes: Array[Byte], lut: Seq[Double]) =>
+      var s = 0.0; var sub = 0
+      while (sub < codes.length) {
+        s += lut(sub * kk + (codes(sub) & 0xFF))
+        sub += 1
+      }
+      s
+    }
+    val scored = corpus.join(broadcast(queries), Seq("cluster"))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("adc", adcUdf(col("codes"), col("lut")))
     val wAdc = Window.partitionBy(col("query_id"))

@@ -183,4 +183,21 @@ class PackingSpec extends SparkSpec {
     // target-like docs score strictly higher than the off-target one
     assert(out(0).getLong(3) > out(2).getLong(3))
   }
+
+  test("exactQuantiles picks the value at rank max(1, ceil(q*n))") {
+    import spark.implicits._
+    // group a: [10,20,30,40,50]; the 0.21 case separates the ceil(q*n)
+    // rule (rank 2 → 20) from floor(q*(n-1))+1 (rank 1 → 10)
+    val df = (Seq(10, 20, 30, 40, 50).map(("a", _)) ++
+      Seq(7, 7, 9).map(("b", _))).toDF("grp", "x")
+    val out = graft.pipeline.Stats
+      .exactQuantiles(df, "x", "grp", Seq(0.0, 0.21, 0.5, 1.0))
+      .orderBy("grp", "q").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    assert(out.toSeq == Seq(
+      ("a", 0.0, 10), ("a", 0.21, 20), ("a", 0.5, 30), ("a", 1.0, 50),
+      // group b: duplicates compress into one (value, cnt) row; ranks
+      // 1, 1, 2, 3 → 7, 7, 7, 9
+      ("b", 0.0, 7), ("b", 0.21, 7), ("b", 0.5, 7), ("b", 1.0, 9)))
+  }
 }

@@ -51,4 +51,28 @@ class PqSpec extends SparkSpec {
     val recall = (approx & bruteSet).size.toDouble / bruteSet.size
     assert(recall >= 0.8, s"recall $recall")
   }
+
+  test("IVF-PQ: exhaustive probes+shortlist == brute force; probed recall") {
+    val df = clustered
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      Seq(0L, 1L, 2L), 5).orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    // nProbe = numClusters and candidates >= corpus: identical to brute
+    val exact = graft.pipeline.IvfPq.topK(df, "vec_id", "embedding",
+      Seq(0L, 1L, 2L), 5, numClusters = 3, nProbe = 3, m = 4, k = 8,
+      candidates = 100).orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(exact == brute)
+    // probing only the single nearest list on 3-blob data still finds
+    // every true neighbour (neighbours share the query's blob)
+    val probed = graft.pipeline.IvfPq.topK(df, "vec_id", "embedding",
+      Seq(0L, 1L, 2L), 5, numClusters = 3, nProbe = 1, m = 4, k = 8,
+      candidates = 10)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSet = brute.map(s => (s(0).asInstanceOf[Long],
+      s(1).asInstanceOf[Long])).toSet
+    val recall = (probed & bruteSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
 }
