@@ -1120,6 +1120,16 @@ object SparkEntry {
       ParseTextColumn(e, "kv", Seq(("k", "k_val", "double")), ",", ":")
         .frame(GeometryRequest())(s).select(col("fid"), col("k_val"))
     }),
+    "g28_spatial_join" -> ((s, dir) => {
+      // grid-bucketed distributed intersects join: part squares × supplier
+      // squares; candidate pairs meet in a hash equi-join on the 8-unit
+      // grid cell, JTS refines, report-once dedups (SpatialJoin scaladoc)
+      val a = partSquares(dir).frame(GeometryRequest())(s)
+      val b = TableGeometrySource(s"$dir/supplier.parquet", "s_suppkey", Seq(),
+        geomWktExpr = Some(squareWkt("s_suppkey % 47", "(s_suppkey * 3) % 60",
+          "4"))).frame(GeometryRequest())(s)
+      SpatialJoin.intersects(a, b, cellSize = 8.0)
+    }),
     "g08_area" -> ((s, dir) => {
       val p = partSquares(dir)
       p.set("area", Area(p, "EPSG:28992")).frame(GeometryRequest())(s)
@@ -1449,6 +1459,20 @@ object SparkEntry {
     "g08_area" ->
       """SELECT p_partkey AS fid, round((p_size / 10.0) * (p_size / 10.0), 6) AS area
         |FROM part""".stripMargin,
+    "g28_spatial_join" ->
+      // closed-interval box overlap == JTS intersects for axis-aligned
+      // squares (boundary contact counts on both sides)
+      """WITH a AS (SELECT p_partkey AS a_fid,
+        |  CAST(p_partkey % 50 AS DOUBLE) AS ax,
+        |  CAST((p_partkey // 50) * 2 AS DOUBLE) AS ay,
+        |  p_size / 10.0 AS aside FROM part),
+        |b AS (SELECT s_suppkey AS b_fid,
+        |  CAST(s_suppkey % 47 AS DOUBLE) AS bx,
+        |  CAST((s_suppkey * 3) % 60 AS DOUBLE) AS by2,
+        |  CAST(4 AS DOUBLE) AS bside FROM supplier)
+        |SELECT a_fid, b_fid FROM a JOIN b
+        |ON ax <= bx + bside AND bx <= ax + aside
+        | AND ay <= by2 + bside AND by2 <= ay + aside""".stripMargin,
     "g09_difference" ->
       """SELECT p_partkey AS fid, round((p_size / 10.0) * (p_size / 10.0)
         | - (p_size / 20.0) * (p_size / 20.0), 6) AS area FROM part""".stripMargin,
