@@ -365,6 +365,10 @@ object SparkEntry {
         cells(MovingMax(eventsRaster(dir, g), 3).frame(fullReq(g))(s), g)),
       "r27_hillshade" -> q((s, dir, g) =>
         cells(HillShade(eventsRaster(dir, g)).frame(fullReq(g))(s), g)),
+      "r47_slope" -> q((s, dir, g) =>
+        cells(Slope(eventsRaster(dir, g)).frame(fullReq(g))(s), g)),
+      "r48_aspect" -> q((s, dir, g) =>
+        cells(Aspect(eventsRaster(dir, g)).frame(fullReq(g))(s), g)),
       "r28_rasterize" -> q((s, dir, g) => {
         val feats = customerSquares(dir, g)
         val burned = Rasterize(feats, columnName = Some("c_acctbal"), dtypeName = "float64")
@@ -776,6 +780,59 @@ object SparkEntry {
       | floor(greatest(0.0, 255 * (sin(radians(45)) - cos(radians(45)) * 0.125
       |   * sqrt(gx*gx + gy*gy) * sin(atan2(gy, gx) - radians(315)))
       |   / sqrt(1 + 0.015625 * (gx*gx + gy*gy)))) AS v
+      |FROM grad""".stripMargin,
+    "r47_slope" -> s"""WITH params AS (
+      |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
+      |   count(*) // 4 AS n_cells FROM events),
+      |cells AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS v
+      |  FROM events),
+      |grid AS (SELECT t, cell_id FROM (SELECT unnest(range(4)) AS t),
+      |  (SELECT unnest(range((SELECT n_cells FROM params))) AS cell_id)),
+      |xy AS (SELECT g.t AS t_idx, g.cell_id, coalesce(c.v, 0.0) AS v,
+      |  CAST(g.cell_id % 100 AS BIGINT) AS x, CAST(g.cell_id // 100 AS BIGINT) AS y
+      |  FROM grid g LEFT JOIN cells c ON c.t_idx = g.t AND c.cell_id = g.cell_id),
+      |grad AS (
+      |  SELECT a.t_idx, a.cell_id,
+      |   (sum(CASE WHEN b.y = a.y - 1 THEN (CASE WHEN b.x = a.x THEN 2.0 ELSE 1.0 END) * b.v ELSE 0 END)
+      |    - sum(CASE WHEN b.y = a.y + 1 THEN (CASE WHEN b.x = a.x THEN 2.0 ELSE 1.0 END) * b.v ELSE 0 END)) / 8.0 AS gy,
+      |   (sum(CASE WHEN b.x = a.x - 1 THEN (CASE WHEN b.y = a.y THEN 2.0 ELSE 1.0 END) * b.v ELSE 0 END)
+      |    - sum(CASE WHEN b.x = a.x + 1 THEN (CASE WHEN b.y = a.y THEN 2.0 ELSE 1.0 END) * b.v ELSE 0 END)) / 8.0 AS gx
+      |  FROM xy a LEFT JOIN xy b ON b.t_idx = a.t_idx
+      |    AND b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
+      |    AND NOT (b.x = a.x AND b.y = a.y)
+      |  GROUP BY a.t_idx, a.cell_id)
+      |SELECT t_idx, cell_id,
+      | floor(10 * degrees(atan(sqrt(gx*gx + gy*gy))) + 0.5) AS v
+      |FROM grad""".stripMargin,
+    "r48_aspect" -> s"""WITH params AS (
+      |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
+      |   count(*) // 4 AS n_cells FROM events),
+      |cells AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS v
+      |  FROM events),
+      |grid AS (SELECT t, cell_id FROM (SELECT unnest(range(4)) AS t),
+      |  (SELECT unnest(range((SELECT n_cells FROM params))) AS cell_id)),
+      |xy AS (SELECT g.t AS t_idx, g.cell_id, coalesce(c.v, 0.0) AS v,
+      |  CAST(g.cell_id % 100 AS BIGINT) AS x, CAST(g.cell_id // 100 AS BIGINT) AS y
+      |  FROM grid g LEFT JOIN cells c ON c.t_idx = g.t AND c.cell_id = g.cell_id),
+      |grad AS (
+      |  SELECT a.t_idx, a.cell_id,
+      |   (sum(CASE WHEN b.y = a.y - 1 THEN (CASE WHEN b.x = a.x THEN 2.0 ELSE 1.0 END) * b.v ELSE 0 END)
+      |    - sum(CASE WHEN b.y = a.y + 1 THEN (CASE WHEN b.x = a.x THEN 2.0 ELSE 1.0 END) * b.v ELSE 0 END)) / 8.0 AS gy,
+      |   (sum(CASE WHEN b.x = a.x - 1 THEN (CASE WHEN b.y = a.y THEN 2.0 ELSE 1.0 END) * b.v ELSE 0 END)
+      |    - sum(CASE WHEN b.x = a.x + 1 THEN (CASE WHEN b.y = a.y THEN 2.0 ELSE 1.0 END) * b.v ELSE 0 END)) / 8.0 AS gx
+      |  FROM xy a LEFT JOIN xy b ON b.t_idx = a.t_idx
+      |    AND b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
+      |    AND NOT (b.x = a.x AND b.y = a.y)
+      |  GROUP BY a.t_idx, a.cell_id)
+      |SELECT t_idx, cell_id,
+      | CASE WHEN abs(gx) < 0.000001 AND abs(gy) < 0.000001 THEN -1.0
+      |  ELSE floor(10 * (CASE WHEN degrees(atan2(gy, gx)) < 0
+      |    THEN degrees(atan2(gy, gx)) + 360 ELSE degrees(atan2(gy, gx)) END) + 0.5)
+      | END AS v
       |FROM grad""".stripMargin,
     "r28_rasterize" -> s"""WITH params AS (
       |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,

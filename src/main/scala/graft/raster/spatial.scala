@@ -444,6 +444,88 @@ case class HillShade(store: RasterBlock, altitude: Double = 45,
   }
 }
 
+/** Slope steepness in DECI-DEGREES (gdaldem-family terrain derivative,
+  * Horn 1981 eight-neighbour gradient — the same Sobel sums as
+  * [[HillShade]]): v = floor(10·degrees(atan(√((gx/8dx)² + (gy/8dy)²)))
+  * + 0.5). The deci-degree integerization is deliberate: clean angles
+  * (0°, 45°, 90°) land mid-interval after the +0.5, so a 1-ulp
+  * transcendental difference between engines can never flip the
+  * reported value — the same robustness trick as HillShade's 0-255
+  * quantization. Nodata cells read as `fill` (HillShade's contract). */
+case class Slope(store: RasterBlock, zFactor: Double = 1.0,
+    fill: Double = 0) extends SpatialStencil {
+  override def dtype: DType = DType.F8
+  protected def marginPx(req: RasterRequest): (Int, Int) = (1, 1)
+  protected def kernel(patch: Array[Double], ow: Int, oh: Int, mx: Int, my: Int,
+      nd: Double, req: RasterRequest): Array[Double] = {
+    val pw = ow + 2 * mx
+    val xres = req.bbox.width / req.width
+    val yres = req.bbox.height / req.height
+    val a = patch.map(v => if (v == nd) fill else v)
+    val out = new Array[Double](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val cx = x + mx; val cy = y + my
+        def p(dx: Int, dy: Int): Double = a((cy + dy) * pw + (cx + dx))
+        val gy = (p(-1, -1) + 2 * p(0, -1) + p(1, -1)
+          - p(-1, 1) - 2 * p(0, 1) - p(1, 1)) / (8 * yres)
+        val gx = (p(-1, -1) + 2 * p(-1, 0) + p(-1, 1)
+          - p(1, -1) - 2 * p(1, 0) - p(1, 1)) / (8 * xres)
+        val deg = math.toDegrees(math.atan(
+          zFactor * math.sqrt(gx * gx + gy * gy)))
+        out(y * ow + x) = math.floor(10 * deg + 0.5)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
+/** Downslope direction in deci-degrees, math convention
+  * (atan2(gy, gx) mapped to [0, 360)); cells with gradient magnitude
+  * below `flatEps` report -1 (flat) — aspect is discontinuous at zero
+  * gradient, so an exact-zero test would let 1-ulp summation noise pick
+  * an arbitrary angle. Same deci-degree +0.5 integerization as
+  * [[Slope]]. */
+case class Aspect(store: RasterBlock, flatEps: Double = 1e-6,
+    fill: Double = 0) extends SpatialStencil {
+  override def dtype: DType = DType.F8
+  protected def marginPx(req: RasterRequest): (Int, Int) = (1, 1)
+  protected def kernel(patch: Array[Double], ow: Int, oh: Int, mx: Int, my: Int,
+      nd: Double, req: RasterRequest): Array[Double] = {
+    val pw = ow + 2 * mx
+    val xres = req.bbox.width / req.width
+    val yres = req.bbox.height / req.height
+    val a = patch.map(v => if (v == nd) fill else v)
+    val out = new Array[Double](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val cx = x + mx; val cy = y + my
+        def p(dx: Int, dy: Int): Double = a((cy + dy) * pw + (cx + dx))
+        val gy = (p(-1, -1) + 2 * p(0, -1) + p(1, -1)
+          - p(-1, 1) - 2 * p(0, 1) - p(1, 1)) / (8 * yres)
+        val gx = (p(-1, -1) + 2 * p(-1, 0) + p(-1, 1)
+          - p(1, -1) - 2 * p(1, 0) - p(1, 1)) / (8 * xres)
+        out(y * ow + x) =
+          if (math.abs(gx) < flatEps && math.abs(gy) < flatEps) -1.0
+          else {
+            var deg = math.toDegrees(math.atan2(gy, gx))
+            if (deg < 0) deg += 360.0
+            math.floor(10 * deg + 0.5)
+          }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
 /** Stamp the source at N anchor→coordinate placements; overlaps merged by
   * `statistic` (spatial.py:441-731). Reproduces the reference's cost-based
   * physical-mode switch (:578-601): when reading the full source extent at
