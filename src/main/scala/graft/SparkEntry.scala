@@ -499,6 +499,17 @@ object SparkEntry {
         cells(XyzSource(out, 0L, Hour, noDataArg = QueryLib.ND)
           .frame(fullReq(g, 1)), g)
       }),
+      "r49_gpkg_tiles" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // frame 0 through a GeoPackage tile pyramid (single-zoom 16-bit
+        // PNG tiles, 65535 = nodata, sparse tiles skipped); 13-px tiles
+        // force partial edge tiles on the 100-wide grid
+        val a = eventsRaster(dir, g, "cast(floor(value) as bigint) % 30000",
+          dtype = "uint16")
+        val out = java.nio.file.Files.createTempDirectory("verify_gpkgt").toString
+        GpkgRasterSink(a, s"$out/t.gpkg", tileSize = 13).write(fullReq(g, 1))
+        cells(GpkgRasterSource(s"$out/t.gpkg").frame(fullReq(g, 1)), g)
+      }),
       "r40_png_worldfile" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // a uint8 derivation of the events grid through the PNG + world
@@ -716,6 +727,11 @@ object SparkEntry {
         "CAST(floor(value) AS BIGINT) % 200", "event_type = 'error'")}
       |SELECT t_idx, cell_id,
       |  CASE WHEN v = $NDSQL THEN 255.0 ELSE v END AS v
+      |FROM cells WHERE t_idx = 0""".stripMargin,
+    "r49_gpkg_tiles" -> s"""${cellsSql(
+        "CAST(floor(value) AS BIGINT) % 30000", "event_type = 'error'")}
+      |SELECT t_idx, cell_id,
+      |  CASE WHEN v = $NDSQL THEN 65535.0 ELSE v END AS v
       |FROM cells WHERE t_idx = 0""".stripMargin,
     "r33_elemwise_suite" -> s"""WITH cells AS (
       |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,

@@ -419,7 +419,7 @@ case class PngSource(url: String, timeFirstMs: Long = 0L,
 object RasterFileSource {
   private val known =
     Seq(".tif", ".tiff", ".asc", ".xyz", ".png", ".hdr", ".dat", ".img",
-      ".nc", ".nc4", ".h5", ".hdf5")
+      ".nc", ".nc4", ".h5", ".hdf5", ".gpkg")
 
   def apply(url: String, timeFirstMs: Long = 0L,
       timeDeltaMs: Long = 300000L): RasterBlock = {
@@ -451,6 +451,8 @@ object RasterFileSource {
       // NetCDF-4 files ARE HDF5 containers behind the same extension:
       // route on the magic bytes, not the name
       (if (Hdf5.isHdf5(probe)) Hdf5Source(probe) else NetCdfSource(probe))
+    else if (lower.endsWith(".gpkg"))
+      GpkgRasterSource(probe) // tile pyramid (vector gpkg → GeometryFileSource)
     else throw new IllegalArgumentException(
       s"$url: unsupported raster format (${known.mkString(", ")})")
   }
