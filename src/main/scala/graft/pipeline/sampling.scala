@@ -120,17 +120,26 @@ object Sampling {
     * (map-side combined); BOTH models are ≤`buckets` rows by
     * construction — the paper's point — so scoring is a broadcast join,
     * never a shuffle of the corpus against a model. */
-  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-      targetCond: Column, buckets: Int = 4096): DataFrame = {
+  private[pipeline] def dsirBucketsUdf(buckets: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       "buckets must be a power of two")
     val mask = (buckets - 1).toLong
-    val bUdf = udf { (t: String) =>
+    udf { (t: String) =>
       val ws = Dedup.tokenizeWords(t)
       if (ws.length < 2) Array.empty[Long]
       else Array.tabulate(ws.length - 1)(i =>
         Dedup.fnv64(ws(i) + " " + ws(i + 1)) & mask)
     }
+  }
+
+  /** Fit the two hashed-bigram bucket models: one row per bucket with
+    * target count, raw count, and the (broadcastable) totals attached —
+    * everything [[dsirScore]] needs to score any frame, including a
+    * STREAM (the model is a static side of a stream-static join). */
+  def dsirModel(docs: DataFrame, idCol: String, textCol: String,
+      targetCond: Column, buckets: Int = 4096): DataFrame = {
+    val bUdf = dsirBucketsUdf(buckets)
     val g = docs
       .select(col(idCol).as("doc_id"), targetCond.as("is_target"),
         explode(bUdf(col(textCol))).as("b"))
@@ -139,10 +148,25 @@ object Sampling {
     val tb = g.filter(col("is_target")).groupBy("b").agg(sum("cnt").as("tb"))
     val model = rb.join(broadcast(tb), Seq("b"), "left")
       .select(col("b"), col("rb"), coalesce(col("tb"), lit(0L)).as("tb"))
-    val totals = model.agg(sum("rb").as("tr"), sum("tb").as("tt"))
-    val terms = g.join(broadcast(model), Seq("b"))
-      .crossJoin(broadcast(totals))
-      .select(col("doc_id"), col("cnt"),
+    model.crossJoin(broadcast(
+      model.agg(sum("rb").as("tr"), sum("tb").as("tt"))))
+  }
+
+  /** Score a document frame (batch OR stream) against a fitted model:
+    * broadcast join on the bucket, integer micro-nat terms, per-doc sum.
+    * On a stream this is a stream-static join + an update-mode
+    * aggregation keyed by document. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, buckets: Int = 4096): DataFrame = {
+    val bUdf = dsirBucketsUdf(buckets)
+    // per-position join against the BROADCAST model is map-side (no
+    // position ever crosses a shuffle) and the ONE aggregation keeps the
+    // plan legal for Structured Streaming (two chained stateful
+    // aggregations would trip the global-watermark correctness check)
+    val terms = docs
+      .select(col(idCol).as("doc_id"), explode(bUdf(col(textCol))).as("b"))
+      .join(broadcast(model), Seq("b"))
+      .select(col("doc_id"),
         floor(log(
           ((col("tb") + 1L).cast("double") *
             (col("tr") + buckets.toLong).cast("double")) /
@@ -150,12 +174,17 @@ object Sampling {
             (col("tt") + buckets.toLong).cast("double"))) *
           lit(1000000.0)).as("tm"))
     terms.groupBy("doc_id")
-      .agg(sum("cnt").as("n_bigrams"),
-        sum(col("cnt") * col("tm")).as("logw_micro"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("tm")).as("logw_micro"))
       // integer micro-nat average: floor of an IEEE division of identical
       // integers is bit-exact across engines; round()ed floats are not
       .withColumn("avg_logw_micro",
         floor(col("logw_micro").cast("double") /
           col("n_bigrams").cast("double")))
   }
+
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetCond: Column, buckets: Int = 4096): DataFrame =
+    dsirScore(docs, idCol, textCol,
+      dsirModel(docs, idCol, textCol, targetCond, buckets), buckets)
 }

@@ -154,4 +154,36 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch && streamed.size == batch.size)
     } finally q.stop()
   }
+
+  test("DSIR scores a stream against a batch-fit bucket model") {
+    import org.apache.spark.sql.functions._
+    // fit on the batch corpus, score the SAME corpus arriving as a
+    // stream: stream-static broadcast join + update aggregation must
+    // equal the all-batch operator row-for-row
+    val dir = "/root/testdata/sf0.001"
+    val docs = QueryLib.tbl(spark, dir, "documents")
+    val batch = graft.pipeline.Sampling
+      .dsirWeights(docs, "doc_id", "text", col("lang") === "en", 4096)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val model = graft.pipeline.Sampling
+      .dsirModel(docs, "doc_id", "text", col("lang") === "en", 4096)
+      .localCheckpoint() // freeze the static side for the streaming join
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dsir_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val src = spark.readStream.schema(docs.schema).parquet(streamDir.toString)
+    val scored = graft.pipeline.Sampling
+      .dsirScore(src, "doc_id", "text", model, 4096)
+    val q = scored.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_dsir").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_dsir").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(streamed == batch && streamed.size == batch.size)
+    } finally q.stop()
+  }
 }
