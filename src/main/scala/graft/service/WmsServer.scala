@@ -60,6 +60,29 @@ object WmsServer {
 
   def rampNames: Seq[String] = Ramps.keys.toSeq.sorted
 
+  /** Half the web-mercator world span (meters at the equator). */
+  val MercHalf = 20037508.342789244
+
+  /** `/tiles/{z}/{x}/{y}.png` → the GetMap params of that tile: the
+    * standard XYZ scheme (origin top-left, y growing south). */
+  private[service] def tileParams(path: String): Map[String, String] = {
+    val parts = path.split("/").filter(_.nonEmpty)
+    require(parts.length == 4 && parts(0) == "tiles",
+      s"tile path must be /tiles/{z}/{x}/{y}.png, got $path")
+    val z = parts(1).toInt
+    val x = parts(2).toInt
+    val y = parts(3).stripSuffix(".png").toInt
+    require(z >= 0 && z <= 30, s"zoom $z out of range")
+    val n = 1L << z
+    require(x >= 0 && x < n && y >= 0 && y < n,
+      s"tile ($x, $y) outside zoom $z")
+    val span = 2 * MercHalf / n
+    val x1 = -MercHalf + x * span
+    val y2 = MercHalf - y * span
+    Map("bbox" -> s"$x1,${y2 - span},${x1 + span},$y2",
+      "width" -> "256", "height" -> "256", "projection" -> "EPSG:3857")
+  }
+
   /** ARGB for normalized value `t` in [0, 1] under the named ramp. */
   def rampColor(name: String, t: Double): Int = {
     val stops = Ramps.getOrElse(name,
@@ -111,6 +134,28 @@ class WmsServer(spark: SparkSession, port: Int = 0,
             ex.sendResponseHeaders(200, png.length)
             ex.getResponseBody.write(png)
           }
+        } catch {
+          case e: Exception =>
+            val msg = s"error: ${e.getMessage}".getBytes("UTF-8")
+            ex.sendResponseHeaders(400, msg.length)
+            ex.getResponseBody.write(msg)
+        } finally ex.close()
+      }
+    })
+    // XYZ/slippy-map tile endpoint (the de-facto WMTS of web maps, the
+    // scheme ipyleaflet/leaflet consume): /tiles/{z}/{x}/{y}.png in
+    // EPSG:3857, query params (layers=<view json>, styles, vmin/vmax,
+    // time) as in GetMap. Same render path — a tile IS a GetMap with the
+    // tile's mercator bbox, so caching/clients compose freely.
+    server.createContext("/tiles", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        try {
+          val q = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+          val png = render(q ++ WmsServer.tileParams(
+            ex.getRequestURI.getPath))
+          ex.getResponseHeaders.set("Content-Type", "image/png")
+          ex.sendResponseHeaders(200, png.length)
+          ex.getResponseBody.write(png)
         } catch {
           case e: Exception =>
             val msg = s"error: ${e.getMessage}".getBytes("UTF-8")

@@ -200,4 +200,40 @@ class WmsSpec extends SparkSpec {
       assert(okConn.getResponseCode == 200)
     } finally server.stop()
   }
+
+  test("XYZ tile endpoint renders mercator tiles of a serialized view") {
+    val server = new WmsServer(spark).start()
+    try {
+      val view = Multiply(source, 10)
+      val layers = URLEncoder.encode(view.toJson, "UTF-8")
+      // the tile containing the fixture raster's center, at a zoom where
+      // the 5 m extent spans a couple of pixels
+      val (mx, my) = graft.raster.Proj.transform(
+        "EPSG:28992", "EPSG:3857", 135002.5, 455997.5)
+      val z = 17
+      val span = 2 * WmsServer.MercHalf / (1L << z)
+      val tx = math.floor((mx + WmsServer.MercHalf) / span).toLong
+      val ty = math.floor((WmsServer.MercHalf - my) / span).toLong
+      val url = new URL(s"http://127.0.0.1:${server.boundPort}" +
+        s"/tiles/$z/$tx/$ty.png?layers=$layers" +
+        "&time=2000-01-01T01:00:00Z&vmin=0&vmax=255")
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(conn.getInputStream.readAllBytes()))
+      assert(img.getWidth == 256 && img.getHeight == 256)
+      // the raster covers a couple of pixels: they must render gray 70
+      // (value 7 x 10) on a transparent background
+      val hits = for {
+        py <- 0 until 256; px <- 0 until 256
+        rgb = img.getRGB(px, py) if (rgb >>> 24) != 0
+      } yield rgb & 0xff
+      assert(hits.nonEmpty && hits.forall(_ == 70), s"hits=${hits.take(5)}")
+      // out-of-range tile index → clean 400
+      val bad = new URL(s"http://127.0.0.1:${server.boundPort}" +
+        s"/tiles/3/9/0.png?layers=$layers")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(bad.getResponseCode == 400)
+    } finally server.stop()
+  }
 }
