@@ -22,7 +22,8 @@ object SoakR8C {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val sfs = Seq("sf0.1" -> "/root/testdata/sf0.1", "sf1" -> "/tmp/sf1")
+    val sfs = Seq("sf0.1" -> "/root/testdata/sf0.1", "sf1" -> "/tmp/sf1",
+      "sf10" -> "/tmp/sf10")
       .filter(s => new java.io.File(s._2).exists())
     for ((sfName, dir) <- sfs) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
