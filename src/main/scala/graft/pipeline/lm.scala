@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Corpus n-gram language-model scoring — the CCNet-style "perplexity
   * filter" stage of a training-data pipeline (Wenzek et al. 2020 score
@@ -54,11 +53,12 @@ object Lm {
           element_at(col("ws"), i + 1).as("w2")))).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
     // (doc, bigram) pre-aggregate: the one frame everything else derives
-    // from. Persisted because it feeds both the model build and the
-    // scoring join — MEMORY_AND_DISK so a 100 TB run spills instead of
-    // recomputing the explode.
+    // from. NOT persisted: it is corpus-sized (~one row per distinct
+    // bigram per doc), so materializing it trades one extra map-side
+    // explode+aggregate scan for a corpus-sized cache spill — measured
+    // at sf10 (500k docs, ~50M rows) the spill made the whole query
+    // ×15.7 for ×10 rows; recomputing is the scalable trade.
     val g = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val mb = g.groupBy("w1", "w2").agg(sum("cnt").as("cb"))
     val mc = mb.groupBy("w1").agg(sum("cb").as("cu"))
     val v = mb.select(countDistinct("w2").as("vv"))
