@@ -467,7 +467,10 @@ object Dedup {
     implicit val spark: org.apache.spark.sql.SparkSession = df.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val centroids = Ivf.fit(df, idCol, vecCol, numClusters, iters)
-    val assignUdf = udf(Ivf.nearest(centroids) _)
+    // pruned two-level assignment: exact for small k, ~2√k distance
+    // evaluations per row for the large-k deployment shape (the sf10
+    // soak measured flat O(n·k) assignment as the dominant cost)
+    val assignUdf = udf(Ivf.prunedNearest(centroids))
     val vecD = transform(col(vecCol), x => x.cast("double"))
     val keyed = df.select(col(idCol).as("id"), vecD.as("raw"))
       .withColumn("cluster", assignUdf(col("raw")))
