@@ -369,6 +369,14 @@ object SparkEntry {
         cells(Slope(eventsRaster(dir, g)).frame(fullReq(g))(s), g)),
       "r48_aspect" -> q((s, dir, g) =>
         cells(Aspect(eventsRaster(dir, g)).frame(fullReq(g))(s), g)),
+      "r50_roughness" -> q((s, dir, g) =>
+        // max−min window: pure order-independent arithmetic, no
+        // quantization needed for engine parity
+        cells(Roughness(eventsRaster(dir, g)).frame(fullReq(g))(s), g)),
+      "r51_tpi" -> q((s, dir, g) =>
+        cells(Tpi(eventsRaster(dir, g)).frame(fullReq(g))(s), g)),
+      "r52_tri" -> q((s, dir, g) =>
+        cells(Tri(eventsRaster(dir, g)).frame(fullReq(g))(s), g)),
       "r28_rasterize" -> q((s, dir, g) => {
         val feats = customerSquares(dir, g)
         val burned = Rasterize(feats, columnName = Some("c_acctbal"), dtypeName = "float64")
@@ -797,6 +805,71 @@ object SparkEntry {
       |   * sqrt(gx*gx + gy*gy) * sin(atan2(gy, gx) - radians(315)))
       |   / sqrt(1 + 0.015625 * (gx*gx + gy*gy)))) AS v
       |FROM grad""".stripMargin,
+    "r50_roughness" -> s"""WITH params AS (
+      |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
+      |   count(*) // 4 AS n_cells FROM events),
+      |cells AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS v
+      |  FROM events),
+      |grid AS (SELECT t, cell_id FROM (SELECT unnest(range(4)) AS t),
+      |  (SELECT unnest(range((SELECT n_cells FROM params))) AS cell_id)),
+      |xy AS (SELECT g.t AS t_idx, g.cell_id, coalesce(c.v, 0.0) AS v,
+      |  CAST(g.cell_id % 100 AS BIGINT) AS x, CAST(g.cell_id // 100 AS BIGINT) AS y
+      |  FROM grid g LEFT JOIN cells c ON c.t_idx = g.t AND c.cell_id = g.cell_id),
+      |offs AS (SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx),
+      |  (SELECT unnest([-1, 0, 1]) AS dy) WHERE NOT (dx = 0 AND dy = 0)),
+      |nb AS (SELECT a.t_idx, a.cell_id, a.v AS cv, coalesce(b.v, 0.0) AS nv
+      |  FROM xy a CROSS JOIN offs o
+      |  LEFT JOIN xy b ON b.t_idx = a.t_idx
+      |    AND b.x = a.x + o.dx AND b.y = a.y + o.dy)
+      |SELECT t_idx, cell_id,
+      | greatest(max(nv), max(cv)) - least(min(nv), min(cv)) AS v
+      |FROM nb GROUP BY t_idx, cell_id""".stripMargin,
+    "r51_tpi" -> s"""WITH params AS (
+      |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
+      |   count(*) // 4 AS n_cells FROM events),
+      |cells AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS v
+      |  FROM events),
+      |grid AS (SELECT t, cell_id FROM (SELECT unnest(range(4)) AS t),
+      |  (SELECT unnest(range((SELECT n_cells FROM params))) AS cell_id)),
+      |xy AS (SELECT g.t AS t_idx, g.cell_id, coalesce(c.v, 0.0) AS v,
+      |  CAST(g.cell_id % 100 AS BIGINT) AS x, CAST(g.cell_id // 100 AS BIGINT) AS y
+      |  FROM grid g LEFT JOIN cells c ON c.t_idx = g.t AND c.cell_id = g.cell_id),
+      |offs AS (SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx),
+      |  (SELECT unnest([-1, 0, 1]) AS dy) WHERE NOT (dx = 0 AND dy = 0)),
+      |nb AS (SELECT a.t_idx, a.cell_id, a.v AS cv, coalesce(b.v, 0.0) AS nv
+      |  FROM xy a CROSS JOIN offs o
+      |  LEFT JOIN xy b ON b.t_idx = a.t_idx
+      |    AND b.x = a.x + o.dx AND b.y = a.y + o.dy)
+      |SELECT t_idx, cell_id,
+      | 8 * floor(max(cv) * 1000000.0 + 0.5)
+      |   - sum(floor(nv * 1000000.0 + 0.5)) AS v
+      |FROM nb GROUP BY t_idx, cell_id""".stripMargin,
+    "r52_tri" -> s"""WITH params AS (
+      |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
+      |   count(*) // 4 AS n_cells FROM events),
+      |cells AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS t_idx, CAST(event_id // 4 AS BIGINT) AS cell_id,
+      |    CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS v
+      |  FROM events),
+      |grid AS (SELECT t, cell_id FROM (SELECT unnest(range(4)) AS t),
+      |  (SELECT unnest(range((SELECT n_cells FROM params))) AS cell_id)),
+      |xy AS (SELECT g.t AS t_idx, g.cell_id, coalesce(c.v, 0.0) AS v,
+      |  CAST(g.cell_id % 100 AS BIGINT) AS x, CAST(g.cell_id // 100 AS BIGINT) AS y
+      |  FROM grid g LEFT JOIN cells c ON c.t_idx = g.t AND c.cell_id = g.cell_id),
+      |offs AS (SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx),
+      |  (SELECT unnest([-1, 0, 1]) AS dy) WHERE NOT (dx = 0 AND dy = 0)),
+      |nb AS (SELECT a.t_idx, a.cell_id, a.v AS cv, coalesce(b.v, 0.0) AS nv
+      |  FROM xy a CROSS JOIN offs o
+      |  LEFT JOIN xy b ON b.t_idx = a.t_idx
+      |    AND b.x = a.x + o.dx AND b.y = a.y + o.dy)
+      |SELECT t_idx, cell_id,
+      | sum(abs(floor(cv * 1000000.0 + 0.5)
+      |   - floor(nv * 1000000.0 + 0.5))) AS v
+      |FROM nb GROUP BY t_idx, cell_id""".stripMargin,
     "r47_slope" -> s"""WITH params AS (
       |  SELECT CAST(ceil((count(*) // 4 + (CASE WHEN count(*) % 4 > 0 THEN 1 ELSE 0 END)) / 100.0) AS BIGINT) AS h,
       |   count(*) // 4 AS n_cells FROM events),

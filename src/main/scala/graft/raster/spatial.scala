@@ -526,6 +526,101 @@ case class Aspect(store: RasterBlock, flatEps: Double = 1e-6,
   }
 }
 
+/** Shared 3×3 neighbourhood walk for the window-statistic terrain
+  * derivatives (gdaldem's roughness/TPI/TRI family): nodata reads as
+  * `fill` (the [[HillShade]] contract), out-of-extent margin likewise. */
+sealed abstract class WindowStat(fill: Double) extends SpatialStencil {
+  override def dtype: DType = DType.F8
+  protected def marginPx(req: RasterRequest): (Int, Int) = (1, 1)
+  /** (center, 8 neighbours in row-major order) → output value. */
+  protected def stat(center: Double, nb: Array[Double]): Double
+  protected def kernel(patch: Array[Double], ow: Int, oh: Int, mx: Int, my: Int,
+      nd: Double, req: RasterRequest): Array[Double] = {
+    val pw = ow + 2 * mx
+    val a = patch.map(v => if (v == nd) fill else v)
+    val out = new Array[Double](ow * oh)
+    val nb = new Array[Double](8)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val cx = x + mx; val cy = y + my
+        var i = 0
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            if (dx != 0 || dy != 0) {
+              nb(i) = a((cy + dy) * pw + (cx + dx)); i += 1
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        out(y * ow + x) = stat(a(cy * pw + cx), nb)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
+/** Roughness: max − min of the 3×3 window (gdaldem roughness). Pure
+  * max/min arithmetic — order-independent, so the value is bit-exact on
+  * any engine with no quantization needed. */
+case class Roughness(store: RasterBlock, fill: Double = 0)
+    extends WindowStat(fill) {
+  protected def stat(c: Double, nb: Array[Double]): Double = {
+    var mx = c; var mn = c; var i = 0
+    while (i < 8) {
+      if (nb(i) > mx) mx = nb(i)
+      if (nb(i) < mn) mn = nb(i)
+      i += 1
+    }
+    mx - mn
+  }
+}
+
+/** Micro-unit input quantization shared by [[Tpi]]/[[Tri]]: each cell
+  * value becomes the INTEGER floor(v·10⁶ + 0.5) BEFORE any sum, so the
+  * window statistic is order-independent integer arithmetic — two
+  * engines summing the 8 neighbours in different orders agree
+  * bit-for-bit. (Deci-quantizing the OUTPUT is not enough here: real
+  * data with few decimals lands the statistic exactly on quantization
+  * boundaries, where a 1-ulp summation difference flips the value —
+  * 22/10000 cells did at sf0.01.) */
+private object MicroQ {
+  def apply(v: Double): Double = math.floor(v * 1000000.0 + 0.5)
+}
+
+/** Topographic Position Index in micro-value·8 units:
+  * v = 8·q(center) − Σ q(neighbour) with q the micro-unit quantizer
+  * (divide by 8·10⁶ for the classic center-minus-mean TPI). Exact
+  * integer arithmetic end to end. */
+case class Tpi(store: RasterBlock, fill: Double = 0)
+    extends WindowStat(fill) {
+  protected def stat(c: Double, nb: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < 8) { s += MicroQ(nb(i)); i += 1 }
+    8 * MicroQ(c) - s
+  }
+}
+
+/** Terrain Ruggedness Index in micro-value·8 units:
+  * v = Σ |q(center) − q(neighbour)| (Riley et al. 1999 window, the
+  * gdaldem TRI default is this sum's mean — divide by 8·10⁶). Exact
+  * integer arithmetic end to end. */
+case class Tri(store: RasterBlock, fill: Double = 0)
+    extends WindowStat(fill) {
+  protected def stat(c: Double, nb: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val qc = MicroQ(c)
+    while (i < 8) { s += math.abs(qc - MicroQ(nb(i))); i += 1 }
+    s
+  }
+}
+
 /** Stamp the source at N anchor→coordinate placements; overlaps merged by
   * `statistic` (spatial.py:441-731). Reproduces the reference's cost-based
   * physical-mode switch (:578-601): when reading the full source extent at

@@ -116,6 +116,42 @@ class RasterSpatialSpec extends SparkSpec {
     val gm = mask.getData(fullReq.copy(start = None, stop = None)).get.values(0)
     assert(gm.forall(_ == 1.0))
   }
+
+  test("Slope and Aspect match the hand-derived plane gradients") {
+    // plane z = x, 1 m pixels: Horn gradient gx = -1 (z falls toward -x
+    // in the kernel's sign convention), gy = 0 -> slope 45.0 deg (450
+    // deci-deg), aspect atan2(0, -1) = 180 deg (1800)
+    val plane = MemorySource(
+      data = Seq(Array.tabulate(25)(i => (i % 5).toDouble)),
+      gridW = 5, gridH = 5, noDataIn = 255, projection = "EPSG:28992",
+      pixelSize = 1.0, originX = 0, originY = 5, dtypeName = "float64")
+    val req = RasterRequest(Bbox(0, 0, 5, 5), "EPSG:28992", 5, 5, None, None)
+    val sl = Slope(plane).getData(req).get.values(0)
+    val as = Aspect(plane).getData(req).get.values(0)
+    assert(sl(2 * 5 + 2) == 450.0)
+    assert(as(2 * 5 + 2) == 1800.0)
+    // flat plane: slope 0 everywhere, aspect flat marker -1
+    val flat = plane.copy(data = Seq(Array.fill(25)(3.0)))
+    val slF = Slope(flat).getData(req).get.values(0)
+    val asF = Aspect(flat).getData(req).get.values(0)
+    assert(slF(2 * 5 + 2) == 0.0 && asF(2 * 5 + 2) == -1.0)
+  }
+
+  test("Roughness/TPI/TRI match the hand-derived window statistics") {
+    val plane = MemorySource(
+      data = Seq(Array.tabulate(25)(i => (i % 5).toDouble)),
+      gridW = 5, gridH = 5, noDataIn = 255, projection = "EPSG:28992",
+      pixelSize = 1.0, originX = 0, originY = 5, dtypeName = "float64")
+    val req = RasterRequest(Bbox(0, 0, 5, 5), "EPSG:28992", 5, 5, None, None)
+    // plane z = x, interior cell (2,2): window values x ∈ {1,2,3}
+    val ro = Roughness(plane).getData(req).get.values(0)
+    assert(ro(2 * 5 + 2) == 2.0) // max 3 − min 1
+    val tp = Tpi(plane).getData(req).get.values(0)
+    assert(tp(2 * 5 + 2) == 0.0) // center 2 == neighbour mean 2
+    val tr = Tri(plane).getData(req).get.values(0)
+    // Σ|q(2) − q(nb)| = (3 + 0 + 3) · 10⁶ micro-units
+    assert(tr(2 * 5 + 2) == 6000000.0)
+  }
 }
 
 class SmoothZoomSpec extends SparkSpec {
@@ -198,25 +234,4 @@ class SmoothZoomSpec extends SparkSpec {
       val (lo, hi) = ranges(ct)
       assert(want == (lo to hi))
     }
-  }
-
-  test("Slope and Aspect match the hand-derived plane gradients") {
-    // plane z = x, 1 m pixels: Horn gradient gx = -1 (z falls toward -x
-    // in the kernel's sign convention), gy = 0 -> slope 45.0 deg (450
-    // deci-deg), aspect atan2(0, -1) = 180 deg (1800)
-    val plane = MemorySource(
-      data = Seq(Array.tabulate(25)(i => (i % 5).toDouble)),
-      gridW = 5, gridH = 5, noDataIn = 255, projection = "EPSG:28992",
-      pixelSize = 1.0, originX = 0, originY = 5, dtypeName = "float64")
-    val req = RasterRequest(Bbox(0, 0, 5, 5), "EPSG:28992", 5, 5, None, None)
-    val sl = Slope(plane).getData(req).get.values(0)
-    val as = Aspect(plane).getData(req).get.values(0)
-    assert(sl(2 * 5 + 2) == 450.0)
-    assert(as(2 * 5 + 2) == 1800.0)
-    // flat plane: slope 0 everywhere, aspect flat marker -1
-    val flat = plane.copy(data = Seq(Array.fill(25)(3.0)))
-    val slF = Slope(flat).getData(req).get.values(0)
-    val asF = Aspect(flat).getData(req).get.values(0)
-    assert(slF(2 * 5 + 2) == 0.0 && asF(2 * 5 + 2) == -1.0)
-  }
-}
+  }}
