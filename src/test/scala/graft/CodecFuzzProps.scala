@@ -428,6 +428,23 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
     }
   }
 
+  private lazy val gpkgTilesFixture: Array[Byte] = {
+    val p = tmpRoot.resolve("fuzz_tiles.gpkg").toString
+    graft.raster.GpkgTiles.write(p, Array.tabulate(64)(_ % 1000.0),
+      8, 8, Bbox(0, 0, 8, 8), 65535.0, "EPSG:28992", tileSize = 5)
+    Files.readAllBytes(Paths.get(p))
+  }
+
+  property("gpkg tile pyramid read survives corrupt database bytes") =
+    Prop.forAll(mutationGen(1 << 12)) { case (kind, pos, value) =>
+      val bytes = mutate(gpkgTilesFixture, kind, pos, value)
+      val f = writeTmp("bad_tiles.gpkg", bytes)
+      cleanOrFails(s"gpkg-tiles k=$kind p=$pos v=$value") {
+        val m = graft.raster.GpkgTiles.readMeta(f)
+        graft.raster.GpkgTiles.readBand(f, m)
+      }
+    }
+
   property("gpx element parse survives corrupt/truncated fragments") = {
     val wpt =
       """<wpt lat="52.05" lon="5.1"><ele>12.5</ele><name>home</name><extensions><graft:fid>3</graft:fid><graft:p>7</graft:p></extensions></wpt>"""
