@@ -1276,6 +1276,15 @@ object SparkEntry {
           "4"))).frame(GeometryRequest())(s)
       SpatialJoin.intersects(a, b, cellSize = 8.0)
     }),
+    "g29_spatial_within" -> ((s, dir) => {
+      // same candidate machinery as g28, 'within' refinement: part
+      // squares fully inside supplier squares (boundary contact allowed)
+      val a = partSquares(dir).frame(GeometryRequest())(s)
+      val b = TableGeometrySource(s"$dir/supplier.parquet", "s_suppkey", Seq(),
+        geomWktExpr = Some(squareWkt("s_suppkey % 47", "(s_suppkey * 3) % 60",
+          "4"))).frame(GeometryRequest())(s)
+      SpatialJoin.join(a, b, cellSize = 8.0, "within")
+    }),
     "g08_area" -> ((s, dir) => {
       val p = partSquares(dir)
       p.set("area", Area(p, "EPSG:28992")).frame(GeometryRequest())(s)
@@ -1605,6 +1614,20 @@ object SparkEntry {
     "g08_area" ->
       """SELECT p_partkey AS fid, round((p_size / 10.0) * (p_size / 10.0), 6) AS area
         |FROM part""".stripMargin,
+    "g29_spatial_within" ->
+      // closed-interval containment == JTS within for axis-aligned
+      // squares (edges may lie on the container's boundary)
+      """WITH a AS (SELECT p_partkey AS a_fid,
+        |  CAST(p_partkey % 50 AS DOUBLE) AS ax,
+        |  CAST((p_partkey // 50) * 2 AS DOUBLE) AS ay,
+        |  p_size / 10.0 AS aside FROM part),
+        |b AS (SELECT s_suppkey AS b_fid,
+        |  CAST(s_suppkey % 47 AS DOUBLE) AS bx,
+        |  CAST((s_suppkey * 3) % 60 AS DOUBLE) AS by2,
+        |  CAST(4 AS DOUBLE) AS bside FROM supplier)
+        |SELECT a_fid, b_fid FROM a JOIN b
+        |ON bx <= ax AND ax + aside <= bx + bside
+        | AND by2 <= ay AND ay + aside <= by2 + bside""".stripMargin,
     "g28_spatial_join" ->
       // closed-interval box overlap == JTS intersects for axis-aligned
       // squares (boundary contact counts on both sides)

@@ -29,8 +29,19 @@ object SpatialJoin {
     * counts, JTS semantics). Inputs are geometry frames (`fid` +
     * `geometry` WKB). */
   def intersects(left: DataFrame, right: DataFrame, cellSize: Double,
-      maxCellsPerGeom: Int = 4096): DataFrame = {
+      maxCellsPerGeom: Int = 4096): DataFrame =
+    join(left, right, cellSize, "intersects", maxCellsPerGeom)
+
+  /** Grid-bucketed join under a JTS predicate: "intersects",
+    * "within" (left within right) or "contains" (left contains right).
+    * All three imply envelope intersection, so the same candidate
+    * generation + report-once rule applies; only the refinement
+    * predicate changes. */
+  def join(left: DataFrame, right: DataFrame, cellSize: Double,
+      predicate: String, maxCellsPerGeom: Int = 4096): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
+    require(Seq("intersects", "within", "contains").contains(predicate),
+      s"unknown predicate '$predicate' (intersects, within, contains)")
     val cellsUdf = udf { (wkb: Array[Byte]) =>
       val e = GeomFunctions.readWkb(wkb).getEnvelopeInternal
       val cx0 = math.floor(e.getMinX / cellSize).toLong
@@ -61,7 +72,11 @@ object SpatialJoin {
         val ix = math.max(ea.getMinX, eb.getMinX)
         val iy = math.max(ea.getMinY, eb.getMinY)
         cellId(math.floor(ix / cellSize).toLong,
-          math.floor(iy / cellSize).toLong) == cell && a.intersects(b)
+          math.floor(iy / cellSize).toLong) == cell && (predicate match {
+          case "within"   => a.within(b)
+          case "contains" => a.contains(b)
+          case _          => a.intersects(b)
+        })
       }
     }
     l.join(r, "cell")
