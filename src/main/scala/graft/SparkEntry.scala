@@ -2015,6 +2015,10 @@ object SparkEntry {
       // distinct-value compression + per-group window, no global sort
       Stats.exactQuantiles(tbl(s, dir, "documents"), "n_chars", "lang",
         Seq(0.1, 0.5, 0.9, 0.99))),
+    "p38_trigram_perplexity" -> ((s, dir) =>
+      // Jelinek-Mercer interpolated trigram LM: four count tables from
+      // ONE trigram multiset, identical IEEE interpolation both engines
+      Lm.trigramPerplexity(tbl(s, dir, "documents"), "doc_id", "text")),
     "p34_semdedup" -> ((s, dir) =>
       // SemDeDup with numClusters = 1: the cluster equi-join degrades to
       // exact all-pairs, so the k-means + join machinery stays on the
@@ -2332,6 +2336,43 @@ object SparkEntry {
         |  quantile_disc(n_chars, [0.1, 0.5, 0.9, 0.99]) AS vl
         | FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)
         |SELECT lang, unnest(ql) AS q, unnest(vl) AS value FROM t""".stripMargin,
+    "p38_trigram_perplexity" ->
+      // full replay of the interpolated model as ONE WINDOW PASS over the
+      // trigram positions (count() OVER per n-gram slice) — the naive
+      // 6-way CTE join form made DuckDB's inlining planner explode; the
+      // windowed form computes identical counts in under a second.
+      // Addition order mirrors the engine's left-associative interpolation
+      """WITH t AS (SELECT doc_id,
+        | list_prepend('<s>', list_prepend('<s>',
+        |   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |     w -> len(w) > 0))) AS ws
+        | FROM documents),
+        |tg AS (SELECT doc_id, unnest(list_zip(
+        |   list_slice(ws, 1, len(ws)-2), list_slice(ws, 2, len(ws)-1),
+        |   list_slice(ws, 3, len(ws)))) AS p
+        | FROM t WHERE len(ws) >= 3),
+        |tg2 AS (SELECT doc_id, struct_extract(p, 1) AS w1,
+        |   struct_extract(p, 2) AS w2, struct_extract(p, 3) AS w3 FROM tg),
+        |w AS (SELECT doc_id,
+        |  count(*) OVER (PARTITION BY w1, w2, w3) AS c3,
+        |  count(*) OVER (PARTITION BY w1, w2) AS c2ctx,
+        |  count(*) OVER (PARTITION BY w2, w3) AS cbg,
+        |  count(*) OVER (PARTITION BY w2) AS c1ctx,
+        |  count(*) OVER (PARTITION BY w3) AS c1,
+        |  count(*) OVER () AS n
+        | FROM tg2),
+        |terms AS (SELECT doc_id, CAST(floor(ln(
+        |    0.5 * (CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
+        |  + 0.3 * (CAST(cbg AS DOUBLE) / CAST(c1ctx AS DOUBLE))
+        |  + 0.15 * (CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |  + 0.05 / CAST((SELECT count(DISTINCT w3) FROM tg2) AS DOUBLE))
+        |  * 1000000.0) AS BIGINT) AS tm
+        | FROM w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  CAST(-sum(tm) AS BIGINT) AS nll_micro,
+        |  CAST(floor(CAST(-sum(tm) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_nll_micro
+        |FROM terms GROUP BY 1""".stripMargin,
     "p34_semdedup" ->
       // all-pairs replay of the numClusters = 1 degenerate case: kept ⇔
       // no smaller-id neighbour at/above the cosine threshold

@@ -75,4 +75,59 @@ object Lm {
         floor(col("nll_micro").cast("double") /
           col("n_bigrams").cast("double")))
   }
+
+  /** Jelinek-Mercer interpolated TRIGRAM LM (the classic smoothed n-gram
+    * of Jelinek & Mercer 1980 / the KenLM family's simpler cousin):
+    * p(w3|w1w2) = λ₃·c(w1w2w3)/c(w1w2·) + λ₂·c(·w2w3)/c(·w2·) +
+    * λ₁·c(··w3)/N + λ₀/V, all counts derived from the ONE corpus
+    * trigram multiset (two BOS markers per document) so a SQL engine
+    * replays the whole model from a single base aggregate. Fixed
+    * weights λ = (0.5, 0.3, 0.15, 0.05).
+    *
+    * Reproducibility discipline as [[bigramPerplexity]]: every ratio is
+    * an identical IEEE division of identical integers on both engines;
+    * the per-token term becomes an integer micro-nat, sums are
+    * order-independent, and the final average is a floor of an integer
+    * division. Scale shape: hash aggregates of the trigram frame + four
+    * shuffle equi-joins against count tables that are never broadcast
+    * (web-scale trigram tables don't fit a node); totals/vocabulary are
+    * a 1-row broadcast. */
+  def trigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      l3: Double = 0.5, l2: Double = 0.3, l1: Double = 0.15,
+      l0: Double = 0.05): DataFrame = {
+    val withWs = docs
+      .select(col(idCol).as("doc_id"),
+        concat(array(lit(BOS), lit(BOS)),
+          coalesce(TextAnalysis.words(col(textCol)), array())).as("ws"))
+      .where(size(col("ws")) >= 3)
+    val g = withWs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("ws")) - 2), i =>
+        struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2"),
+          element_at(col("ws"), i + 2).as("w3")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"), col("p.w3"))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
+    val c3 = g.groupBy("w1", "w2", "w3").agg(sum("cnt").as("c3"))
+    val c2ctx = c3.groupBy("w1", "w2").agg(sum("c3").as("c2ctx"))
+    val cbg = c3.groupBy("w2", "w3").agg(sum("c3").as("cbg"))
+    val c1ctx = cbg.groupBy("w2").agg(sum("cbg").as("c1ctx"))
+    val cuni = cbg.groupBy("w3").agg(sum("cbg").as("c1"))
+    val tot = cuni.agg(sum("c1").as("n"), countDistinct("w3").as("vv"))
+    val terms = g
+      .join(c3, Seq("w1", "w2", "w3")).join(c2ctx, Seq("w1", "w2"))
+      .join(cbg, Seq("w2", "w3")).join(c1ctx, Seq("w2"))
+      .join(cuni, Seq("w3")).crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("cnt"),
+        floor(log(
+          lit(l3) * (col("c3").cast("double") / col("c2ctx").cast("double")) +
+          lit(l2) * (col("cbg").cast("double") / col("c1ctx").cast("double")) +
+          lit(l1) * (col("c1").cast("double") / col("n").cast("double")) +
+          lit(l0) / col("vv").cast("double")) * lit(1000000.0)).as("tm"))
+    terms.groupBy("doc_id")
+      .agg(sum("cnt").as("n_trigrams"),
+        (-sum(col("cnt") * col("tm"))).as("nll_micro"))
+      .withColumn("avg_nll_micro",
+        floor(col("nll_micro").cast("double") /
+          col("n_trigrams").cast("double")))
+  }
 }

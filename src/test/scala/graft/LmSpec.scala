@@ -44,4 +44,23 @@ class LmSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(m(0).getLong(3) < m(1).getLong(3))
   }
+
+  test("trigramPerplexity: interpolated probabilities sum the hand model") {
+    import spark.implicits._
+    // corpus: one doc "a b". trigrams (<s>,<s>,a), (<s>,a,b).
+    // all context counts are 1, N=2, V=2 → per-token
+    // p = 0.5·1 + 0.3·1 + 0.15·(1/2) + 0.05/2 = 0.9
+    val docs = Seq((0L, "a b")).toDF("doc_id", "text")
+    val out = Lm.trigramPerplexity(docs, "doc_id", "text").head()
+    assert(out.getLong(1) == 2L)
+    val tm = math.floor(math.log(
+      0.5 * 1.0 + 0.3 * 1.0 + 0.15 * 0.5 + 0.05 / 2.0) * 1e6).toLong
+    assert(out.getLong(2) == -2 * tm)
+    // repeated text scores as more predictable than novel text
+    val two = Seq((0L, "x y x y x y"), (1L, "q w e r t z"))
+      .toDF("doc_id", "text")
+    val m = Lm.trigramPerplexity(two, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(m(0).getLong(3) < m(1).getLong(3))
+  }
 }
