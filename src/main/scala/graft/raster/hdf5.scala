@@ -614,7 +614,8 @@ object Hdf5 {
   }
 
   private def readChunked(ch: FileChannel, d: Dataset, btree: Long,
-      chunkDims: Seq[Int]): Array[Double] = {
+      chunkDims: Seq[Int],
+      keep: Seq[Long] => Boolean = _ => true): Array[Double] = {
     require(chunkDims.length == d.rank,
       s"hdf5: chunk rank ${chunkDims.length} != dataset rank ${d.rank}")
     val n = d.dims.product.toInt
@@ -626,7 +627,7 @@ object Hdf5 {
     require(chunkElems <= (1L << 27), "hdf5: chunk too large")
     val expect = (chunkElems * d.t.size).toInt
     val strides = d.dims.scanRight(1L)(_ * _).tail // C-order strides
-    chunks.foreach { case (offs, addr, nbytes, filterMask) =>
+    chunks.filter(c => keep(c._1)).foreach { case (offs, addr, nbytes, filterMask) =>
       var raw = readAt(ch, addr, nbytes.toInt).array()
       d.filters.foreach { f =>
         if (f.deflate && (filterMask & 0x1) == 0) raw = inflate(raw, expect + 64)
@@ -781,6 +782,40 @@ object Hdf5 {
     }
     Meta(dataVar, w, hh, timesMs, cell, originX, originY, yAsc,
       fill, scale, offset, projection)
+  }
+
+  /** Decode ONLY the requested frames, touching only the chunks whose
+    * time range intersects them (chunked 3-D layouts; other layouts
+    * fall back to the full read). `frames` indexes `timesMs`. */
+  def readFrames(ch: FileChannel, m: Meta, frames: Seq[Int]): Seq[Array[Double]] = {
+    val d = m.dataVar
+    val sel = frames.toSet
+    val raw: Array[Double] = d.layout match {
+      case Chunked(btree, chunkDims) if d.rank == 3 =>
+        val cT = chunkDims.head
+        readChunked(ch, d, btree, chunkDims,
+          offs => (offs.head until offs.head + cT).exists(t => sel(t.toInt)))
+      case _ => readData(ch, d)
+    }
+    val px = m.w * m.h
+    frames.map { f =>
+      val band = new Array[Double](px)
+      var row = 0
+      while (row < m.h) {
+        val srcRow = if (m.yAscending) m.h - 1 - row else row
+        var cx = 0
+        while (cx < m.w) {
+          val v = raw(f * px + srcRow * m.w + cx)
+          band(row * m.w + cx) =
+            if (v == m.noDataRaw || (v.isNaN && m.noDataRaw.isNaN)) m.noData
+            else if (m.scaled) v * m.scale + m.offset
+            else v
+          cx += 1
+        }
+        row += 1
+      }
+      band
+    }
   }
 
   /** Decode the pixel payload into one top-row-first band per frame. */
@@ -1167,6 +1202,19 @@ case class Hdf5Source(url: String, projectionArg: String = "",
     meta.originX + meta.w * meta.cellSize, meta.originY))
   override def cellSize: Option[Double] = Some(meta.cellSize)
   override def allTimes: Seq[Instant] = meta.timesMs.map(Instant.ofEpochMilli)
-  override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame =
-    memory.frame(req)
+
+  /** Chunk-pruned read: a time-sliced request decodes only the selected
+    * frames' chunks (same contract as [[ZarrSource]]); full-stack
+    * requests use the cached whole-file load. */
+  override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
+    val sel = timesIn(req.start, req.stop)
+    if (sel.isEmpty || sel.length == meta.timesMs.length) memory.frame(req)
+    else {
+      val idx = allTimes.zipWithIndex.toMap
+      val bands = withChannel(ch => Hdf5.readFrames(ch, meta, sel.map(idx)))
+      MemorySource(bands, meta.w, meta.h, meta.noData, meta.projection,
+        meta.cellSize, meta.originX, meta.originY, sel.head.toEpochMilli,
+        if (temporal) deltaMs else None, meta.outDtype.name).frame(req)
+    }
+  }
 }

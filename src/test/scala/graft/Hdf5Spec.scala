@@ -384,6 +384,33 @@ class Hdf5Spec extends SparkSpec {
     assert(res.noDataValue == want.noDataValue)
   }
 
+  test("temporal slice decodes only the selected frames' chunks") {
+    val dir = Files.createTempDirectory("graft_h5s").toString
+    val req = RasterFixtures.valsRequest
+    Hdf5Sink(RasterFixtures.source, s"$dir/stack.nc").write(req)(spark)
+    // the writer lays chunks sequentially right after the coordinate
+    // payloads: superblock (96 B) + x/y/time doubles — clobber the FIRST
+    // chunk (frame 0); a correctly pruned single-frame read of frame 1
+    // must never touch it
+    val firstChunk = 96L + 8L * (req.width + req.height + 3)
+    val raf = new java.io.RandomAccessFile(s"$dir/stack.nc", "rw")
+    try {
+      raf.seek(firstChunk)
+      // only 4 bytes: a deflated 24-px frame is ~13 bytes, and a longer
+      // clobber would bleed into the NEXT chunk
+      raf.write(Array.fill[Byte](4)(0x7F))
+    } finally raf.close()
+    val back = Hdf5Source(s"$dir/stack.nc")
+    val one = back.getData(req.copy(
+      start = Some(RasterFixtures.T0.plusMillis(RasterFixtures.Hour)),
+      stop = Some(RasterFixtures.T0.plusMillis(RasterFixtures.Hour))))(spark).get
+    assert(one.times.length == 1 && one.values.head.forall(_ == 7.0))
+    // and the clobber is real: the full-stack read fails on frame 0
+    intercept[Exception] {
+      Hdf5Source(s"$dir/stack.nc").getData(req)(spark)
+    }
+  }
+
   test("hdf5 failure modes are loud: dense links, bad filters, v2 trees") {
     val dir = Files.createTempDirectory("graft_h5b").toString
     // truncated file
