@@ -264,6 +264,32 @@ object NetCdf {
     out
   }
 
+  /** Decode only the selected time slices of a 3-D variable: each frame
+    * is one contiguous byte range (a record slice for record variables;
+    * an outermost-dimension block for fixed ones), so a time-sliced
+    * request costs positioned reads of exactly the requested frames —
+    * the same pruned contract as the Zarr/HDF5 sources. */
+  def readVarFrames(ch: FileChannel, h: Header, v: Vari,
+      frames: Seq[Int]): Array[Double] = {
+    require(v.dimIds.length == 3, s"netcdf: ${v.name} is not 3-D")
+    val per = sliceElems(h, v).toInt // elems per frame (record OR fixed tail)
+    val perFrame =
+      if (v.isRecord(h)) per
+      else (h.dims(v.dimIds(1))._2.toLong * h.dims(v.dimIds(2))._2).toInt
+    val sz = typeSize(v.ncType)
+    val out = new Array[Double](perFrame * frames.length)
+    var o = 0
+    frames.foreach { f =>
+      val at = v.begin + (if (v.isRecord(h)) f.toLong * h.recSize
+        else f.toLong * perFrame * sz)
+      val bb = readAt(ch, at, perFrame * sz)
+      var i = 0
+      while (i < perFrame) { out(o * perFrame + i) = decode(bb, v.ncType); i += 1 }
+      o += 1
+    }
+    out
+  }
+
   /** CF time-units parser: `"<unit> since <epoch>"` → epoch millis per
     * value. Tolerates the common epoch spellings (date only, space or `T`
     * separator, fractional seconds, trailing zone). */
@@ -419,6 +445,33 @@ object NetCdf {
     }
     Meta(h, dataVar, w, hh, timesMs, cell, originX, originY, yAsc,
       fill, scale, offset, projection, dt, uBits)
+  }
+
+  /** Decode ONLY the requested frames (3-D variables; positioned reads
+    * of exactly those frames' byte ranges). `frames` indexes timesMs. */
+  def readFrames(ch: FileChannel, m: Meta, frames: Seq[Int]): Seq[Array[Double]] = {
+    val raw = readVarFrames(ch, m.header, m.dataVar, frames)
+    val px = m.w * m.h
+    frames.indices.map { o =>
+      val band = new Array[Double](px)
+      var row = 0
+      while (row < m.h) {
+        val srcRow = if (m.yAscending) m.h - 1 - row else row
+        var cx = 0
+        while (cx < m.w) {
+          val v0 = raw(o * px + srcRow * m.w + cx)
+          val v = if (m.unsignedBits > 0 && v0 < 0)
+            v0 + math.pow(2.0, m.unsignedBits) else v0
+          band(row * m.w + cx) =
+            if (v == m.noDataRaw || (v.isNaN && m.noDataRaw.isNaN)) m.noData
+            else if (m.scaled) v * m.scale + m.offset
+            else v
+          cx += 1
+        }
+        row += 1
+      }
+      band
+    }
   }
 
   /** Decode the pixel payload into one top-row-first band per frame. */
@@ -678,8 +731,22 @@ case class NetCdfSource(url: String, projectionArg: String = "",
     meta.originX + meta.w * meta.cellSize, meta.originY))
   override def cellSize: Option[Double] = Some(meta.cellSize)
   override def allTimes: Seq[Instant] = meta.timesMs.map(Instant.ofEpochMilli)
-  override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame =
-    memory.frame(req)
+
+  /** Frame-pruned read: a time-sliced request issues positioned reads of
+    * exactly the selected frames' byte ranges (same contract as the
+    * Zarr/HDF5 sources); full-stack requests use the cached load. */
+  override def frame(req: RasterRequest)(implicit spark: SparkSession): DataFrame = {
+    val sel = timesIn(req.start, req.stop)
+    if (sel.isEmpty || sel.length == meta.timesMs.length ||
+      meta.dataVar.dimIds.length != 3) memory.frame(req)
+    else {
+      val idx = allTimes.zipWithIndex.toMap
+      val bands = withChannel(ch => NetCdf.readFrames(ch, meta, sel.map(idx)))
+      MemorySource(bands, meta.w, meta.h, meta.noData, meta.projection,
+        meta.cellSize, meta.originX, meta.originY, sel.head.toEpochMilli,
+        if (temporal) deltaMs else None, meta.outDtype.name).frame(req)
+    }
+  }
 }
 
 /** NetCDF sink: the WHOLE requested time stack goes into one `.nc` file

@@ -162,6 +162,24 @@ class NetCdfSpec extends SparkSpec {
     assert(one.times.length == 1 && one.values.head.forall(_ == 7.0))
   }
 
+  test("temporal slice reads only the selected frames' byte ranges") {
+    val dir = tmp("graft_nc_prune")
+    val req = RasterFixtures.valsRequest
+    NetCdfSink(RasterFixtures.source, s"$dir/stack.nc").write(req)(spark)
+    // drop the final byte: the LAST frame's range is now short, so a
+    // whole-stack read must fail — but a frame-0 slice, whose bytes are
+    // intact, must succeed iff the read is positioned per frame
+    val raf = new java.io.RandomAccessFile(s"$dir/stack.nc", "rw")
+    try raf.setLength(raf.length() - 1) finally raf.close()
+    val back = NetCdfSource(s"$dir/stack.nc")
+    val one = back.getData(req.copy(
+      start = Some(RasterFixtures.T0), stop = Some(RasterFixtures.T0)))(spark).get
+    assert(one.times.length == 1 && one.values.head.forall(_ == 1.0))
+    intercept[Exception] {
+      NetCdfSource(s"$dir/stack.nc").getData(req)(spark)
+    }
+  }
+
   test("foreign CDF-1 file: record time, ascending y, scale/offset, degrees") {
     // hand-built bytes — record (unlimited) time dim, float payload with
     // scale_factor/add_offset/_FillValue, ascending latitude axis, and
