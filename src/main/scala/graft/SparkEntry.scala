@@ -2027,6 +2027,17 @@ object SparkEntry {
       Dedup.semDeDup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         0.35, numClusters = 1)
         .select(col("id").as("vec_id"), col("max_cos"), col("kept"))),
+    "p39_clean_with_lm" -> ((s, dir) => {
+      // composed flagship: exact dedup + quality floor + language filter
+      // (CorpusClean) JOINED with the corpus-trained bigram-LM score and
+      // cut at 3.4 nats/token — the CCNet-style perplexity gate on top of
+      // the cleaning pipeline, one Spark plan end to end
+      val docs = tbl(s, dir, "documents")
+      CorpusClean.run(docs, 0.3, Seq("de", "en", "es", "fr", "zh"))
+        .join(Lm.bigramPerplexity(docs, "doc_id", "text")
+          .select(col("doc_id"), col("avg_nll_micro")), "doc_id")
+        .filter(col("avg_nll_micro") <= 3400000L)
+    }),
     "p15_corpus_clean" -> ((s, dir) =>
       CorpusClean.run(tbl(s, dir, "documents"), 0.3,
         Seq("de", "en", "es", "fr", "zh")))
@@ -2382,6 +2393,49 @@ object SparkEntry {
         |SELECT e.vec_id, round(m.mc, 6) AS max_cos,
         |  (m.mc IS NULL OR m.mc < 0.35) AS kept
         |FROM e LEFT JOIN m ON e.vec_id = m.id""".stripMargin,
+    "p39_clean_with_lm" -> {
+      val parts = langIdSql.split("\\|")
+      val cleanSql = s"""WITH t AS (SELECT doc_id, text,
+         | list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws,
+         | row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         | FROM documents),
+         |scored AS (SELECT doc_id, text, ws, rn, ${parts(0)},
+         | $qualitySql AS quality,
+         | CASE WHEN length(trim(text)) = 0 THEN 0
+         |  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+         | FROM t)
+         |SELECT doc_id, (${parts(1)}).l AS lang_guess, n_tokens, quality
+         |FROM scored WHERE rn = 1 AND quality >= 0.3
+         | AND (${parts(1)}).l IN ('de', 'en', 'es', 'fr', 'zh')""".stripMargin
+      val pplSql = """WITH t AS (SELECT doc_id,
+        | list_prepend('<s>', list_filter(string_split_regex(lower(text),
+        |   '[^a-z0-9]+'), w -> len(w) > 0)) AS ws
+        | FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_zip(list_slice(ws, 1, len(ws)-1),
+        |   list_slice(ws, 2, len(ws)))) AS p
+        | FROM t WHERE len(ws) >= 2),
+        |bg2 AS (SELECT doc_id, struct_extract(p, 1) AS w1,
+        |   struct_extract(p, 2) AS w2 FROM bg),
+        |g AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM bg2 GROUP BY 1,2,3),
+        |mb AS (SELECT w1, w2, sum(cnt) AS cb FROM g GROUP BY 1,2),
+        |mc AS (SELECT w1, sum(cb) AS cu FROM mb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS vv FROM mb),
+        |terms AS (SELECT g.doc_id, g.cnt,
+        |   CAST(floor(ln((CAST(mb.cb AS DOUBLE) + 1.0) /
+        |     (CAST(mc.cu AS DOUBLE) + CAST(v.vv AS DOUBLE)))
+        |     * 1000000.0) AS BIGINT) AS tm
+        | FROM g JOIN mb USING (w1, w2) JOIN mc USING (w1) CROSS JOIN v)
+        |SELECT doc_id,
+        |  CAST(floor(CAST(-sum(cnt * tm) AS DOUBLE) /
+        |    CAST(sum(cnt) AS DOUBLE)) AS BIGINT) AS avg_nll_micro
+        |FROM terms GROUP BY 1""".stripMargin
+      s"""WITH clean AS ($cleanSql),
+         |ppl AS ($pplSql)
+         |SELECT c.doc_id, c.lang_guess, c.n_tokens, c.quality,
+         |  p.avg_nll_micro
+         |FROM clean c JOIN ppl p USING (doc_id)
+         |WHERE p.avg_nll_micro <= 3400000""".stripMargin
+    },
     "p15_corpus_clean" -> {
       val parts = langIdSql.split("\\|")
       s"""WITH t AS (SELECT doc_id, text,
