@@ -57,6 +57,29 @@ object Scratch {
     println(s"netcdf: proj=${nc.projection} times=${nc.allTimes.size} " +
       s"cell=${nc.cellSize.get} rows=${nc.frame(req).count()}")
 
+    // ---- composed pipeline: clean + perplexity gate (p39's flow)
+    val kept = graft.pipeline.CorpusClean
+      .run(docs, 0.3, Seq("de", "en", "es", "fr", "zh"))
+      .join(graft.pipeline.Lm.bigramPerplexity(docs, "doc_id", "text")
+        .select(col("doc_id"), col("avg_nll_micro")), "doc_id")
+      .filter(col("avg_nll_micro") <= 3400000L)
+    println(s"clean+lm: kept=${kept.count()} of ${docs.count()}")
+
+    // ---- trigram LM and spatial join
+    val tri = graft.pipeline.Lm.trigramPerplexity(docs, "doc_id", "text")
+    println(s"trigram-lm: docs=${tri.count()}")
+
+    // ---- GeoPackage tile pyramid through the raster dispatch
+    val dir0 = java.nio.file.Files.createTempDirectory("scratch_gt").toString
+    val mem0 = MemorySource(Seq(Array.tabulate(64)(_ * 3.0)), 8, 8, 65535,
+      "EPSG:28992", 0.5, 135000, 456000, dtypeName = "uint16")
+    val req0 = RasterRequest(Bbox(135000, 455996, 135004, 456000),
+      "EPSG:28992", 8, 8, None, None)
+    GpkgRasterSink(mem0, s"$dir0/t.gpkg", tileSize = 5).write(req0)
+    val gt = RasterFileSource(s"$dir0/t.gpkg")
+    println(s"gpkg-tiles: kind=${gt.getClass.getSimpleName} " +
+      s"cell=${gt.cellSize.get} rows=${gt.frame(req0).count()}")
+
     // ---- NetCDF-4 (HDF5) and Zarr v2 through the same dispatch surface
     Hdf5Sink(mem, s"$dir/stack4.nc", chunkRows = 3).write(req)
     val h5 = RasterFileSource(s"$dir/stack4.nc")
