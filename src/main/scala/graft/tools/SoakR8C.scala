@@ -50,6 +50,17 @@ object SoakR8C {
         Stats.exactQuantiles(docs, "n_chars", "lang",
           Seq(0.1, 0.5, 0.9, 0.99)).count()
       }
+      run("p38_trigram_perplexity") {
+        Lm.trigramPerplexity(docs, "doc_id", "text").count()
+      }
+      run("p39_clean_with_lm") {
+        CorpusClean.run(docs, 0.3, Seq("de", "en", "es", "fr", "zh"))
+          .join(Lm.bigramPerplexity(docs, "doc_id", "text")
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("avg_nll_micro")), "doc_id")
+          .filter(org.apache.spark.sql.functions
+            .col("avg_nll_micro") <= 3400000L).count()
+      }
       run("p37_ivfpq_probed") {
         IvfPq.topK(embs, "vec_id", "embedding", Seq(0L, 1L, 2L), 5,
           numClusters = 16, nProbe = 4, m = 8, k = 16,

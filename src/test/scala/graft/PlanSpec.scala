@@ -211,4 +211,20 @@ class PlanSpec extends SparkSpec {
     // no cartesian anywhere (the 1-row V broadcast is a BNLJ by design)
     assert(!plan("p33_bigram_perplexity").contains("CartesianProduct"))
   }
+
+  test("trigram LM and the composed pipeline never go cartesian") {
+    for (q <- Seq("p38_trigram_perplexity", "p39_clean_with_lm")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      // the only nested-loop joins are the 1-row totals broadcasts
+    }
+    // p38's scoring joins take aggregated count tables, never positions
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val qe = SparkEntry.queries("p38_trigram_perplexity")(spark, dir)
+      .queryExecution
+    val joins = qe.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    assert(joins.head.left.collect { case a: Aggregate => a }.nonEmpty)
+    assert(joins.head.right.collect { case a: Aggregate => a }.nonEmpty)
+  }
 }
