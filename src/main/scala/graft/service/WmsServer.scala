@@ -7,7 +7,7 @@ import java.time.Instant
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.SparkSession
 import graft.core.BlockRegistry
-import graft.raster.{Bbox, RasterBlock, RasterRequest}
+import graft.raster.{Bbox, Proj, RasterBlock, RasterRequest}
 
 /** WMS-style rendering endpoint over serialized views — the reference's
   * service entry point (its WMS handler takes `layers=<json>` query params,
@@ -65,13 +65,14 @@ object WmsServer {
 
   /** `/tiles/{z}/{x}/{y}.png` → the GetMap params of that tile: the
     * standard XYZ scheme (origin top-left, y growing south). */
-  private[service] def tileParams(path: String): Map[String, String] = {
+  private[service] def tileParams(path: String,
+      prefix: String = "tiles"): Map[String, String] = {
     val parts = path.split("/").filter(_.nonEmpty)
-    require(parts.length == 4 && parts(0) == "tiles",
-      s"tile path must be /tiles/{z}/{x}/{y}.png, got $path")
+    require(parts.length == 4 && parts(0) == prefix,
+      s"tile path must be /$prefix/{z}/{x}/{y}.<ext>, got $path")
     val z = parts(1).toInt
     val x = parts(2).toInt
-    val y = parts(3).stripSuffix(".png").toInt
+    val y = parts(3).replaceAll("\\.[A-Za-z0-9]+$", "").toInt
     require(z >= 0 && z <= 30, s"zoom $z out of range")
     val n = 1L << z
     require(x >= 0 && x < n && y >= 0 && y < n,
@@ -164,8 +165,54 @@ class WmsServer(spark: SparkSession, port: Int = 0,
         } finally ex.close()
       }
     })
+    // vector tiles: /features/{z}/{x}/{y}.json returns the features of a
+    // serialized GEOMETRY view intersecting the tile, as an RFC 7946
+    // FeatureCollection in EPSG:4326 — the layer a leaflet L.geoJSON
+    // client consumes directly
+    server.createContext("/features", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        try {
+          val q = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+          val body = featureTile(q ++ WmsServer.tileParams(
+            ex.getRequestURI.getPath, "features"))
+          ex.getResponseHeaders.set("Content-Type",
+            "application/geo+json; charset=UTF-8")
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body)
+        } catch {
+          case e: Exception =>
+            val msg = s"error: ${e.getMessage}".getBytes("UTF-8")
+            ex.sendResponseHeaders(400, msg.length)
+            ex.getResponseBody.write(msg)
+        } finally ex.close()
+      }
+    })
     server.start()
     this
+  }
+
+  private[service] def featureTile(params: Map[String, String]): Array[Byte] = {
+    val view = BlockRegistry.fromJson(params("layers"))
+      .asInstanceOf[graft.geometry.GeometryBlock]
+    validateSourcePaths(view)
+    val Array(x1, y1, x2, y2) = params("bbox").split(",").map(_.toDouble)
+    val vp = view.projection
+    // corner-transform the mercator tile into the view's CRS (axis-aligned
+    // envelope of the corners — the standard tile-request approximation)
+    val cs = Seq((x1, y1), (x1, y2), (x2, y1), (x2, y2))
+      .map { case (x, y) => Proj.transform("EPSG:3857", vp, x, y) }
+    val wkt = s"POLYGON ((${cs.map(_._1).min} ${cs.map(_._2).min}, " +
+      s"${cs.map(_._1).max} ${cs.map(_._2).min}, " +
+      s"${cs.map(_._1).max} ${cs.map(_._2).max}, " +
+      s"${cs.map(_._1).min} ${cs.map(_._2).max}, " +
+      s"${cs.map(_._1).min} ${cs.map(_._2).min}))"
+    val df = view.frame(graft.geometry.GeometryRequest(
+      mode = "intersects", geometryWkt = Some(wkt), projection = vp))
+    val tmp = java.nio.file.Files.createTempFile("vtile", ".json")
+    try {
+      graft.geometry.GeoJsonSink.writeStream(df, vp, tmp.toString)
+      java.nio.file.Files.readAllBytes(tmp)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   def stop(): Unit = server.stop(0)

@@ -236,4 +236,29 @@ class WmsSpec extends SparkSpec {
       assert(bad.getResponseCode == 400)
     } finally server.stop()
   }
+
+  test("vector-tile endpoint returns a 4326 FeatureCollection for a tile") {
+    val server = new WmsServer(spark).start()
+    try {
+      val view = graft.geometry.GeometryWKTSource(
+        "POLYGON ((135000 455995, 135005 455995, 135005 456000, " +
+          "135000 456000, 135000 455995))", "EPSG:28992")
+      val layers = URLEncoder.encode(view.toJson, "UTF-8")
+      val (mx, my) = graft.raster.Proj.transform(
+        "EPSG:28992", "EPSG:3857", 135002.5, 455997.5)
+      val z = 15
+      val span = 2 * WmsServer.MercHalf / (1L << z)
+      val tx = math.floor((mx + WmsServer.MercHalf) / span).toLong
+      val ty = math.floor((WmsServer.MercHalf - my) / span).toLong
+      val conn = new URL(s"http://127.0.0.1:${server.boundPort}" +
+        s"/features/$z/$tx/$ty.json?layers=$layers")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType.startsWith("application/geo+json"))
+      val doc = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(doc.contains("\"FeatureCollection\""))
+      // reprojected to 4326: Amersfoort-ish lon/lat appear in the coords
+      assert(doc.contains("\"type\": \"Feature\"") && doc.contains("5.09"))
+    } finally server.stop()
+  }
 }
