@@ -1910,6 +1910,16 @@ object SparkEntry {
       Decontaminate.overlap(docs, docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", 13)
     }),
+    "p40_near_dedup_keep" -> ((s, dir) => {
+      // composed near-dedup keep-list: the transitive duplicate clusters
+      // (p16's machinery) drive an anti-join — every cluster member that
+      // is not its cluster's representative is dropped from the corpus
+      val docs = tbl(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(QueryLib.jaccardPairFrame(s, dir))
+      val drop = clusters.filter(col("id") =!= col("rep"))
+        .select(col("id").as("doc_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti").select(col("doc_id"))
+    }),
     "p16_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(QueryLib.jaccardPairFrame(s, dir))
         .select(col("id").as("doc_id"), col("rep").as("rep_id"))),
@@ -2592,6 +2602,28 @@ object SparkEntry {
     "p18_deterministic_sample" ->
       s"""SELECT doc_id FROM documents
          |WHERE substr(md5(text), 1, 8) < '${graft.pipeline.Sampling.thresholdHex(0.25)}'""".stripMargin,
+    "p40_near_dedup_keep" ->
+      // p16's recursive closure + anti-join: keep representatives and
+      // everything outside any cluster
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        | list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+        | FROM documents WHERE doc_id < 40),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, greatest(len(ws) - 2, 1) + 1),
+        |  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s FROM d),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.s, b.s)) > 0),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |walk(id, rep) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.src, w.rep FROM edges e JOIN walk w ON w.id = e.dst),
+        |clusters AS (SELECT id AS doc_id, min(rep) AS rep_id FROM walk GROUP BY 1)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> rep_id)""".stripMargin,
     "p16_dup_clusters" ->
       // transitive closure of the >=0.5-Jaccard pairs via recursive CTE;
       // rep = min reachable id (the same fixpoint min-label propagation
