@@ -152,6 +152,23 @@ class WmsServer(spark: SparkSession, port: Int = 0,
       override def handle(ex: HttpExchange): Unit = {
         try {
           val q = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+          if (ex.getRequestURI.getPath.stripSuffix("/") == "/tiles") {
+            // TileJSON 2.2 descriptor (the public spec web clients use to
+            // wire an XYZ layer): echoes the tile URL template with the
+            // caller's query string
+            val qs = Option(ex.getRequestURI.getRawQuery)
+              .filter(_.nonEmpty).map("?" + _).getOrElse("")
+            val doc = graft.core.Json.render(
+              scala.collection.immutable.ListMap(
+                "tilejson" -> "2.2.0",
+                "tiles" -> Seq(s"http://127.0.0.1:$boundPort" +
+                  s"/tiles/{z}/{x}/{y}.png$qs"),
+                "minzoom" -> 0L, "maxzoom" -> 30L)).getBytes("UTF-8")
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(200, doc.length)
+            ex.getResponseBody.write(doc)
+            return
+          }
           val png = render(q ++ WmsServer.tileParams(
             ex.getRequestURI.getPath))
           ex.getResponseHeaders.set("Content-Type", "image/png")

@@ -234,6 +234,14 @@ class WmsSpec extends SparkSpec {
         s"/tiles/3/9/0.png?layers=$layers")
         .openConnection().asInstanceOf[HttpURLConnection]
       assert(bad.getResponseCode == 400)
+      // TileJSON descriptor wires the layer for web clients
+      val tj = new URL(s"http://127.0.0.1:${server.boundPort}" +
+        s"/tiles?layers=$layers")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(tj.getResponseCode == 200)
+      val tjDoc = new String(tj.getInputStream.readAllBytes(), "UTF-8")
+      assert(tjDoc.contains("\"tilejson\"") &&
+        tjDoc.contains("/tiles/{z}/{x}/{y}.png?layers="))
     } finally server.stop()
   }
 
