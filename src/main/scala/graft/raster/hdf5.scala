@@ -470,15 +470,23 @@ object Hdf5 {
     }
   }
 
-  case class Filters(deflate: Boolean, shuffleElem: Int,
-      fletcher: Boolean)
+  /** One pipeline entry, in message (= encode-application) order.
+    * id 1 = deflate, 2 = shuffle (clientData(0) = element size),
+    * 3 = fletcher32. */
+  case class FilterEntry(id: Int, clientData: Seq[Int])
+
+  /** Ordered filter pipeline. Encode applies entries 0..n-1 in order,
+    * so decode applies the inverse of entry n-1 first, down to entry 0.
+    * filterMask bit i (chunk B-tree key) marks the i-th PIPELINE entry
+    * as skipped for that chunk. */
+  case class Filters(entries: Seq[FilterEntry])
 
   private def parseFilters(b0: ByteBuffer, elemSize: Int): Filters = {
     val b = b0.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     val ver = b.get() & 0xFF
     val n = b.get() & 0xFF
     if (ver == 1) { b.getShort(); b.getInt }
-    var deflate = false; var shuffle = 0; var fletch = false
+    val entries = Seq.newBuilder[FilterEntry]
     for (_ <- 0 until n) {
       val id = b.getShort() & 0xFFFF
       val nameLen =
@@ -492,14 +500,57 @@ object Hdf5 {
       val vals = (0 until nVals).map(_ => b.getInt)
       if (ver == 1 && nVals % 2 == 1) b.getInt // pad
       id match {
-        case 1 => deflate = true
-        case 2 => shuffle = vals.headOption.getOrElse(elemSize)
-        case 3 => fletch = true
+        case 1 | 3 => entries += FilterEntry(id, vals)
+        case 2 =>
+          entries += FilterEntry(2,
+            Seq(vals.headOption.filter(_ > 0).getOrElse(elemSize)))
         case other => throw new IllegalArgumentException(
           s"hdf5: unsupported filter id $other (deflate/shuffle/fletcher32)")
       }
     }
-    Filters(deflate, shuffle, fletch)
+    Filters(entries.result())
+  }
+
+  /** HDF5 fletcher32 (H5_checksum_fletcher32): big-endian 16-bit word
+    * pairing, deferred 1's-complement reduction. */
+  private[raster] def fletcher32(data: Array[Byte], len: Int): Int = {
+    var sum1 = 0L; var sum2 = 0L
+    var i = 0
+    val pairs = len / 2
+    var left = pairs
+    while (left > 0) {
+      var tlen = math.min(left, 360)
+      left -= tlen
+      while (tlen > 0) {
+        sum1 += (((data(i) & 0xFF) << 8) | (data(i + 1) & 0xFF)).toLong
+        i += 2
+        sum2 += sum1
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xFFFF) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >>> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += ((data(i) & 0xFF) << 8).toLong
+      sum2 += sum1
+      sum1 = (sum1 & 0xFFFF) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >>> 16)
+    }
+    sum1 = (sum1 & 0xFFFF) + (sum1 >>> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >>> 16)
+    ((sum2 << 16) | sum1).toInt
+  }
+
+  /** Verify + strip the trailing 4-byte little-endian fletcher32. */
+  private def defletch(raw: Array[Byte]): Array[Byte] = {
+    require(raw.length >= 4, "hdf5: fletcher32 chunk shorter than checksum")
+    val n = raw.length - 4
+    val stored = (raw(n) & 0xFF) | ((raw(n + 1) & 0xFF) << 8) |
+      ((raw(n + 2) & 0xFF) << 16) | ((raw(n + 3) & 0xFF) << 24)
+    val computed = fletcher32(raw, n)
+    require(stored == computed,
+      f"hdf5: fletcher32 mismatch (stored 0x$stored%08x, computed 0x$computed%08x)")
+    java.util.Arrays.copyOf(raw, n)
   }
 
   // ------------------------------------------------------------- chunks
@@ -547,8 +598,12 @@ object Hdf5 {
   }
 
   private def unshuffle(raw: Array[Byte], elem: Int): Array[Byte] = {
-    if (elem <= 1 || raw.length % elem != 0) return raw
+    if (elem <= 1) return raw
+    // H5Zshuffle: only whole elements are shuffled; leftover tail bytes
+    // (e.g. a trailing fletcher32 when the checksum filter precedes
+    // shuffle in the pipeline) pass through unchanged
     val n = raw.length / elem
+    val body = n * elem
     val out = new Array[Byte](raw.length)
     var j = 0
     var k = 0
@@ -557,6 +612,7 @@ object Hdf5 {
       while (i < n) { out(i * elem + j) = raw(k); k += 1; i += 1 }
       j += 1
     }
+    System.arraycopy(raw, body, out, body, raw.length - body)
     out
   }
 
@@ -630,11 +686,17 @@ object Hdf5 {
     chunks.filter(c => keep(c._1)).foreach { case (offs, addr, nbytes, filterMask) =>
       var raw = readAt(ch, addr, nbytes.toInt).array()
       d.filters.foreach { f =>
-        if (f.deflate && (filterMask & 0x1) == 0) raw = inflate(raw, expect + 64)
-        if (f.fletcher && (filterMask & 0x4) == 0 && raw.length >= 4)
-          raw = raw.take(raw.length - 4)
-        if (f.shuffleElem > 0 && (filterMask & 0x2) == 0)
-          raw = unshuffle(raw, f.shuffleElem)
+        // inverse filters in reverse pipeline order; mask bit i skips
+        // the i-th pipeline entry for this chunk
+        for (i <- f.entries.indices.reverse if (filterMask & (1 << i)) == 0) {
+          f.entries(i) match {
+            case FilterEntry(1, _) => raw = inflate(raw, expect + 64)
+            case FilterEntry(2, cd) => raw = unshuffle(raw, cd.head)
+            case FilterEntry(3, _) => raw = defletch(raw)
+            case FilterEntry(id, _) => throw new IllegalArgumentException(
+              s"hdf5: unsupported filter id $id in pipeline")
+          }
+        }
       }
       require(raw.length >= expect,
         s"hdf5: chunk at $addr has ${raw.length} bytes, needs $expect")
@@ -681,9 +743,17 @@ object Hdf5 {
     def outDtype: DType = if (scaled) DType.F8 else dataVar.dtype
   }
 
-  private def isDimScale(d: Dataset): Boolean =
-    d.rank == 1 && (d.atts.get("CLASS").exists(_.text.startsWith("DIM_SCALE"))
-      || true) // any 1-D sibling can serve as a coordinate
+  private def isDimScaleTagged(d: Dataset): Boolean =
+    d.rank == 1 && d.atts.get("CLASS").exists(_.text.startsWith("DIM_SCALE"))
+
+  /** Coordinate candidates: datasets explicitly tagged with the HDF5
+    * dimension-scale convention (CLASS = "DIM_SCALE") when any exist —
+    * tagging disambiguates auxiliary 1-D variables — otherwise every
+    * 1-D sibling. */
+  private def coordCandidates(dsets: Seq[Dataset]): Seq[Dataset] = {
+    val tagged = dsets.filter(isDimScaleTagged)
+    if (tagged.nonEmpty) tagged else dsets.filter(_.rank == 1)
+  }
 
   /** Pick coordinate datasets for the data variable's axes: match by
     * LENGTH, break ties by name convention (x/lon/…, y/lat/…, time/t). */
@@ -708,7 +778,7 @@ object Hdf5 {
     val links = groupLinks(ch, root)
     require(links.nonEmpty, s"$path: empty HDF5 root group")
     val dsets = links.flatMap { case (nm, ad) => readDataset(ch, nm, ad) }
-    val coords = dsets.filter(isDimScale)
+    val coords = coordCandidates(dsets)
     val dataVar =
       if (varName.nonEmpty) dsets.find(_.name == varName).getOrElse(
         throw new IllegalArgumentException(s"$path: no dataset '$varName'"))

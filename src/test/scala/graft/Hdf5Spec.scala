@@ -176,8 +176,14 @@ class Hdf5Spec extends SparkSpec {
   /** Assemble a NetCDF-4-shaped HDF5 file: root group (old-style) with
     * datasets x, y, time (contiguous f8) and `rain` (chunked int16 +
     * deflate, scale/offset, fill, grid_mapping) + a `crs` dataset whose
-    * spatial_ref attribute is a VLEN string in a global heap. */
-  private def buildFile(path: String): Unit = {
+    * spatial_ref attribute is a VLEN string in a global heap.
+    *
+    * `xName` renames the x coordinate; `tagScales` adds the
+    * CLASS="DIM_SCALE" convention attribute to x/y/time; `withAux`
+    * adds an untagged auxiliary 1-D dataset whose length collides
+    * with the x axis. */
+  private def buildFile(path: String, xName: String = "x",
+      tagScales: Boolean = false, withAux: Boolean = false): Unit = {
     val b = new Builder
     // ---- superblock (patched later)
     b.bytes(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
@@ -199,6 +205,7 @@ class Hdf5Spec extends SparkSpec {
     val xAddr = b.bytes(doubles(xs))
     val yAddr = b.bytes(doubles(ys))
     val tAddr = b.bytes(doubles(times))
+    val auxAddr = if (withAux) b.bytes(doubles(Seq(7.0, 8.0, 9.0, 10.0))) else 0L
     // rain: (2, 3, 4) int16 chunks of (1, 2, 4), raw = 2*true, fill -9
     def raw(t: Int, r: Int, c: Int): Int = 2 * (100 * t + 10 * r + c)
     def chunkBytes(t: Int, cy: Int): Array[Byte] = {
@@ -242,20 +249,27 @@ class Hdf5Spec extends SparkSpec {
 
     // ---- dataset object headers
     val f8 = datatype(1, 8)
+    val tagMsg: Seq[Array[Byte]] =
+      if (tagScales) Seq(msgBytes(0x000C, strAttr("CLASS", "DIM_SCALE")))
+      else Nil
     val xOH = objectHeader(b, Seq(
       msgBytes(0x0001, dataspace(Seq(4))),
       msgBytes(0x0003, f8),
       msgBytes(0x0008, layoutContiguous(xAddr, 32)),
-      msgBytes(0x000C, strAttr("units", "m"))))
+      msgBytes(0x000C, strAttr("units", "m"))) ++ tagMsg)
     val yOH = objectHeader(b, Seq(
       msgBytes(0x0001, dataspace(Seq(3))),
       msgBytes(0x0003, f8),
-      msgBytes(0x0008, layoutContiguous(yAddr, 24))))
+      msgBytes(0x0008, layoutContiguous(yAddr, 24))) ++ tagMsg)
     val tOH = objectHeader(b, Seq(
       msgBytes(0x0001, dataspace(Seq(2))),
       msgBytes(0x0003, f8),
       msgBytes(0x0008, layoutContiguous(tAddr, 16)),
-      msgBytes(0x000C, strAttr("units", "hours since 2000-01-01"))))
+      msgBytes(0x000C, strAttr("units", "hours since 2000-01-01"))) ++ tagMsg)
+    val auxOH = if (withAux) objectHeader(b, Seq(
+      msgBytes(0x0001, dataspace(Seq(4))),
+      msgBytes(0x0003, f8),
+      msgBytes(0x0008, layoutContiguous(auxAddr, 32)))) else 0L
     // crs: 0-d int with a VLEN spatial_ref attribute via the global heap
     val vlenDt = {
       val d = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
@@ -287,7 +301,11 @@ class Hdf5Spec extends SparkSpec {
     // ---- root group: local heap + SNOD + B-tree + object header
     b.pad(8)
     val heapDataAddr = b.pos
-    val names = Seq("x", "y", "time", "crs", "rain")
+    val entryOHs: Seq[(String, Long)] =
+      Seq(xName -> xOH, "y" -> yOH, "time" -> tOH, "crs" -> crsOH,
+        "rain" -> rainOH) ++
+        (if (withAux) Seq("station_elev" -> auxOH) else Nil)
+    val names = entryOHs.map(_._1)
     val nameOffs = scala.collection.mutable.Map.empty[String, Long]
     names.foreach { n =>
       nameOffs(n) = b.pos - heapDataAddr
@@ -301,11 +319,7 @@ class Hdf5Spec extends SparkSpec {
     val snodAddr = b.pos
     b.u32(0x444F4E53); b.u8(1); b.u8(0)
     // SNOD entries must be name-ordered
-    val ordered = names.sorted.map {
-      case "x" => ("x", xOH); case "y" => ("y", yOH)
-      case "time" => ("time", tOH); case "crs" => ("crs", crsOH)
-      case "rain" => ("rain", rainOH)
-    }
+    val ordered = entryOHs.sortBy(_._1)
     b.u16(ordered.length)
     ordered.foreach { case (n, oh) =>
       b.u64(nameOffs(n)); b.u64(oh); b.u32(0); b.u32(0)
@@ -420,5 +434,208 @@ class Hdf5Spec extends SparkSpec {
       Hdf5Source(s"$dir/trunc.h5").projection
     }
     assert(e.getMessage.contains("hdf5"))
+  }
+
+  // ------------------------------ ordered filter pipelines (fletcher32)
+
+  /** v1 filter-pipeline message for an arbitrary ordered entry list:
+    * (id, clientValues). */
+  private def filterPipeline(entries: Seq[(Int, Seq[Int])]): Array[Byte] = {
+    val sz = 8 + entries.map { case (_, vs) =>
+      8 + 4 * vs.length + (if (vs.length % 2 == 1) 4 else 0)
+    }.sum
+    val b = ByteBuffer.allocate(sz).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(entries.length.toByte); b.putShort(0); b.putInt(0)
+    entries.foreach { case (id, vs) =>
+      b.putShort(id.toShort); b.putShort(0); b.putShort(0)
+      b.putShort(vs.length.toShort)
+      vs.foreach(b.putInt)
+      if (vs.length % 2 == 1) b.putInt(0)
+    }
+    b.array()
+  }
+
+  /** Forward shuffle (H5Zshuffle): whole elements byte-transposed,
+    * leftover tail copied through unchanged. */
+  private def shuffleFwd(raw: Array[Byte], elem: Int): Array[Byte] = {
+    val n = raw.length / elem
+    val out = new Array[Byte](raw.length)
+    var k = 0
+    for (j <- 0 until elem; i <- 0 until n) { out(k) = raw(i * elem + j); k += 1 }
+    System.arraycopy(raw, n * elem, out, n * elem, raw.length - n * elem)
+    out
+  }
+
+  /** HDF5 fletcher32 (big-endian 16-bit pairing), appended little-endian
+    * — independent re-implementation for the fixture side. */
+  private def fletchAppend(raw: Array[Byte]): Array[Byte] = {
+    var s1 = 0L; var s2 = 0L
+    var i = 0
+    while (i + 1 < raw.length) {
+      s1 += (((raw(i) & 0xFF) << 8) | (raw(i + 1) & 0xFF)).toLong
+      s2 += s1
+      s1 = (s1 & 0xFFFF) + (s1 >>> 16); s2 = (s2 & 0xFFFF) + (s2 >>> 16)
+      i += 2
+    }
+    if (raw.length % 2 == 1) {
+      s1 += ((raw(i) & 0xFF) << 8).toLong; s2 += s1
+      s1 = (s1 & 0xFFFF) + (s1 >>> 16); s2 = (s2 & 0xFFFF) + (s2 >>> 16)
+    }
+    s1 = (s1 & 0xFFFF) + (s1 >>> 16); s2 = (s2 & 0xFFFF) + (s2 >>> 16)
+    val sum = ((s2 << 16) | s1).toInt
+    val out = java.util.Arrays.copyOf(raw, raw.length + 4)
+    out(raw.length) = sum.toByte
+    out(raw.length + 1) = (sum >>> 8).toByte
+    out(raw.length + 2) = (sum >>> 16).toByte
+    out(raw.length + 3) = (sum >>> 24).toByte
+    out
+  }
+
+  /** Minimal one-dataset file: a 4×4 int16 grid `v`, chunks 2×4, with
+    * the given pipeline message and per-chunk (bytes, filterMask)
+    * produced by `encode`. */
+  private def buildFiltered(path: String, pipeline: Array[Byte],
+      encode: (Array[Byte], Int) => (Array[Byte], Int)): Unit = {
+    val b = new Builder
+    b.bytes(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+    b.u8(0); b.u8(0); b.u8(0); b.u8(0)
+    b.u8(0); b.u8(8); b.u8(8); b.u8(0)
+    b.u16(4); b.u16(16); b.u32(0)
+    b.u64(0); b.u64(UNDEF)
+    val eofPatch = b.pos; b.u64(0)
+    b.u64(UNDEF)
+    val rootEntry = b.pos
+    b.u64(0); b.u64(0); b.u32(0); b.u32(0)
+    b.bytes(new Array[Byte](16))
+
+    def chunkRaw(cy: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(2 * 4 * 2).order(ByteOrder.LITTLE_ENDIAN)
+      for (jy <- 0 until 2; jx <- 0 until 4)
+        bb.putShort((100 * (cy * 2 + jy) + jx).toShort)
+      bb.array()
+    }
+    val chunks = (0 until 2).map { cy =>
+      val (enc, mask) = encode(chunkRaw(cy), cy)
+      (Seq(cy * 2L, 0L), b.bytes(enc), enc.length.toLong, mask)
+    }
+    b.pad(8)
+    val btreeAddr = b.pos
+    b.u32(0x45455254); b.u8(1); b.u8(0); b.u16(chunks.length)
+    b.u64(UNDEF); b.u64(UNDEF)
+    chunks.foreach { case (offs, addr, nbytes, mask) =>
+      b.u32(nbytes.toInt); b.u32(mask)
+      offs.foreach(b.u64); b.u64(0)
+      b.u64(addr)
+    }
+    b.u32(0); b.u32(0); (0 until 3).foreach(_ => b.u64(0))
+
+    val vOH = objectHeader(b, Seq(
+      msgBytes(0x0001, dataspace(Seq(4, 4))),
+      msgBytes(0x0003, datatype(0, 2, signed = true)),
+      msgBytes(0x000B, pipeline),
+      msgBytes(0x0008, layoutChunked(btreeAddr, Seq(2, 4), 2))))
+
+    b.pad(8)
+    val heapDataAddr = b.pos
+    val nameOff = b.pos - heapDataAddr
+    b.bytes("v".getBytes("UTF-8")); b.u8(0)
+    b.pad(8)
+    val heapDataSize = b.pos - heapDataAddr
+    val heapAddr = b.pos
+    b.u32(0x50414548); b.u32(0)
+    b.u64(heapDataSize); b.u64(1); b.u64(heapDataAddr)
+    val snodAddr = b.pos
+    b.u32(0x444F4E53); b.u8(1); b.u8(0)
+    b.u16(1)
+    b.u64(nameOff); b.u64(vOH); b.u32(0); b.u32(0)
+    b.bytes(new Array[Byte](16))
+    val btreeGroupAddr = b.pos
+    b.u32(0x45455254); b.u8(0); b.u8(0); b.u16(1)
+    b.u64(UNDEF); b.u64(UNDEF)
+    b.u64(0); b.u64(snodAddr); b.u64(0)
+    val rootOH = objectHeader(b, Seq(
+      msgBytes(0x0011, {
+        val s = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        s.putLong(btreeGroupAddr); s.putLong(heapAddr); s.array()
+      })))
+    b.patch64(rootEntry + 8, rootOH)
+    b.patch64(eofPatch, b.pos)
+    Files.write(Paths.get(path), b.result)
+  }
+
+  private def readV(path: String): Array[Double] = {
+    val ch = java.nio.channels.FileChannel.open(Paths.get(path),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val links = Hdf5.groupLinks(ch, Hdf5.rootAddress(ch)).toMap
+      val ds = Hdf5.readDataset(ch, "v", links("v")).get
+      Hdf5.readData(ch, ds)
+    } finally ch.close()
+  }
+
+  private val wantV: Seq[Double] =
+    for (r <- 0 until 4; c <- 0 until 4) yield (100 * r + c).toDouble
+
+  test("h5py pipeline order decodes: shuffle -> deflate -> fletcher32") {
+    val dir = Files.createTempDirectory("graft_h5f1").toString
+    val p = s"$dir/a.h5"
+    buildFiltered(p, filterPipeline(Seq(2 -> Seq(2), 1 -> Seq(6), 3 -> Nil)),
+      (raw, _) => (fletchAppend(deflate(shuffleFwd(raw, 2))), 0))
+    assert(readV(p).toSeq == wantV)
+  }
+
+  test("libnetcdf pipeline order decodes: fletcher32 -> shuffle -> deflate") {
+    val dir = Files.createTempDirectory("graft_h5f2").toString
+    val p = s"$dir/b.h5"
+    // checksum applied FIRST: shuffle then runs over data+4 with a
+    // 4-byte leftover tail (H5Zshuffle passthrough)
+    buildFiltered(p, filterPipeline(Seq(3 -> Nil, 2 -> Seq(2), 1 -> Seq(6))),
+      (raw, _) => (deflate(shuffleFwd(fletchAppend(raw), 2)), 0))
+    assert(readV(p).toSeq == wantV)
+  }
+
+  test("fletcher32 verification is real: corrupted checksum fails loudly") {
+    val dir = Files.createTempDirectory("graft_h5f3").toString
+    val p = s"$dir/c.h5"
+    buildFiltered(p, filterPipeline(Seq(2 -> Seq(2), 1 -> Seq(6), 3 -> Nil)),
+      (raw, cy) => {
+        val enc = fletchAppend(deflate(shuffleFwd(raw, 2)))
+        if (cy == 1) enc(enc.length - 1) = (enc(enc.length - 1) ^ 0x55).toByte
+        (enc, 0)
+      })
+    val e = intercept[IllegalArgumentException] { readV(p) }
+    assert(e.getMessage.contains("fletcher32"))
+  }
+
+  test("DIM_SCALE tagging disambiguates aux 1-D variables as coordinates") {
+    val dir = Files.createTempDirectory("graft_h5ds").toString
+    // x coord has a NON-conventional name AND an untagged aux 1-D var
+    // shares its length — only the CLASS=DIM_SCALE tags on the real
+    // coordinates resolve the axis
+    buildFile(s"$dir/tagged.nc", xName = "projection_x",
+      tagScales = true, withAux = true)
+    val src = Hdf5Source(s"$dir/tagged.nc")
+    assert(src.cellSize.contains(0.5))
+    assert(src.extent.contains(Bbox(100.0, 198.5, 102.0, 200.0)))
+    // without tags the same layout is genuinely ambiguous -> loud
+    buildFile(s"$dir/untagged.nc", xName = "projection_x",
+      tagScales = false, withAux = true)
+    val e = intercept[IllegalArgumentException] {
+      Hdf5Source(s"$dir/untagged.nc").cellSize
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
+  test("filterMask bits index pipeline POSITION, not filter type") {
+    val dir = Files.createTempDirectory("graft_h5f4").toString
+    val p = s"$dir/d.h5"
+    // pipeline [shuffle, deflate]; chunk 1 stored shuffled-but-raw with
+    // mask bit 1 (the deflate POSITION) set — a type-keyed mask (deflate
+    // = bit 0) would inflate garbage or unshuffle twice
+    buildFiltered(p, filterPipeline(Seq(2 -> Seq(2), 1 -> Seq(6))),
+      (raw, cy) =>
+        if (cy == 0) (deflate(shuffleFwd(raw, 2)), 0)
+        else (shuffleFwd(raw, 2), 0x2))
+    assert(readV(p).toSeq == wantV)
   }
 }
