@@ -14,23 +14,41 @@ import org.apache.spark.sql.functions._
   * surviving pair is emitted exactly ONCE — at the cell containing the
   * min corner of the envelope intersection (the standard report-once
   * rule) — so no global dedup pass follows the join. At 100 TB this is
-  * one explode per side + one shuffle on the cell key; skewed cells can
-  * be salted exactly like any hot hash key. `cellSize` trades explode
-  * fan-out against candidate precision; a geometry whose envelope
-  * covers more than `maxCellsPerGeom` cells fails loudly (raise the
-  * cell size) instead of silently exploding the plan.
+  * one explode per side + one shuffle on the cell key.
+  *
+  * Skew hardening (real data is metro-dense): a cheap map-side-combined
+  * stats pass counts rows per (cell, side) on the already-materialized
+  * exploded frames. Cells whose population exceeds `saltAbove` on
+  * either side are SALTED — the right side hashes each row into one of
+  * `saltFactor` sub-keys, the left side replicates its rows in those
+  * cells across all sub-keys — so the join stays an equi-join on
+  * (cell, salt) and one hot cell spreads over `saltFactor` tasks
+  * instead of quadratically dominating one. A cell whose population
+  * exceeds `maxCellRows` on either side fails LOUDLY (mirror of the
+  * LSH `capBuckets` guard, but failure rather than drop: dropping
+  * spatial pairs would be silent wrong answers) — lower `cellSize`
+  * so the dense area spreads over more cells. `cellSize` also trades
+  * explode fan-out against candidate precision; a geometry whose
+  * envelope covers more than `maxCellsPerGeom` cells fails loudly
+  * (raise the cell size) instead of silently exploding the plan.
   */
 object SpatialJoin {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.geometry.SpatialJoin")
+
+  /** Two full 32-bit halves: injective for cell indices in
+    * [-2^31, 2^31) — indices outside fail loudly in the explode. */
   private def cellId(cx: Long, cy: Long): Long =
-    ((cx + (1L << 30)) << 31) | (cy + (1L << 30))
+    (cx << 32) | (cy & 0xFFFFFFFFL)
 
   /** Pairs (a_fid, b_fid) whose geometries intersect (boundary contact
     * counts, JTS semantics). Inputs are geometry frames (`fid` +
     * `geometry` WKB). */
   def intersects(left: DataFrame, right: DataFrame, cellSize: Double,
-      maxCellsPerGeom: Int = 4096): DataFrame =
-    join(left, right, cellSize, "intersects", maxCellsPerGeom)
+      maxCellsPerGeom: Int = 4096, saltAbove: Int = 100000,
+      saltFactor: Int = 16, maxCellRows: Long = 10000000L): DataFrame =
+    join(left, right, cellSize, "intersects", maxCellsPerGeom,
+      saltAbove, saltFactor, maxCellRows)
 
   /** Grid-bucketed join under a JTS predicate: "intersects",
     * "within" (left within right) or "contains" (left contains right).
@@ -38,16 +56,25 @@ object SpatialJoin {
     * generation + report-once rule applies; only the refinement
     * predicate changes. */
   def join(left: DataFrame, right: DataFrame, cellSize: Double,
-      predicate: String, maxCellsPerGeom: Int = 4096): DataFrame = {
+      predicate: String, maxCellsPerGeom: Int = 4096,
+      saltAbove: Int = 100000, saltFactor: Int = 16,
+      maxCellRows: Long = 10000000L): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
     require(Seq("intersects", "within", "contains").contains(predicate),
       s"unknown predicate '$predicate' (intersects, within, contains)")
+    require(saltFactor >= 2, "saltFactor must be at least 2")
+    require(saltAbove > 0 && saltAbove <= maxCellRows,
+      "need 0 < saltAbove <= maxCellRows")
     val cellsUdf = udf { (wkb: Array[Byte]) =>
       val e = GeomFunctions.readWkb(wkb).getEnvelopeInternal
       val cx0 = math.floor(e.getMinX / cellSize).toLong
       val cx1 = math.floor(e.getMaxX / cellSize).toLong
       val cy0 = math.floor(e.getMinY / cellSize).toLong
       val cy1 = math.floor(e.getMaxY / cellSize).toLong
+      require(cx0 >= Int.MinValue && cx1 <= Int.MaxValue &&
+        cy0 >= Int.MinValue && cy1 <= Int.MaxValue,
+        s"envelope cell indices ($cx0..$cx1, $cy0..$cy1) exceed the " +
+          "32-bit cell grid: raise cellSize")
       val n = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
       require(n <= maxCellsPerGeom,
         s"geometry envelope covers $n grid cells (> $maxCellsPerGeom): " +
@@ -55,12 +82,38 @@ object SpatialJoin {
       (for (cx <- cx0 to cx1; cy <- cy0 to cy1)
         yield cellId(cx, cy)).toArray
     }
+    // localCheckpoint (not cache): the stats job and the join both read
+    // the materialized explode instead of re-running WKB parsing, and
+    // the ContextCleaner reclaims it with the frame
     val l = left.select(col("fid").as("a_fid"),
         col("geometry").as("a_geom"))
       .withColumn("cell", explode(cellsUdf(col("a_geom"))))
+      .localCheckpoint()
     val r = right.select(col("fid").as("b_fid"),
         col("geometry").as("b_geom"))
       .withColumn("cell", explode(cellsUdf(col("b_geom"))))
+      .localCheckpoint()
+
+    // per-(cell, side) populations: output is one row per POPULATED
+    // cell — bounded by the explode size, combined map-side
+    val counts = l.select(col("cell"), lit(0).as("_side"))
+      .unionAll(r.select(col("cell"), lit(1).as("_side")))
+      .groupBy("cell", "_side").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > saltAbove)
+    val maxHotCells = 1 << 16
+    // bounded driver pull: only cells ABOVE the salt threshold come back
+    val hotRows = counts.limit(maxHotCells + 1).collect()
+    require(hotRows.length <= maxHotCells,
+      s"more than $maxHotCells grid cells exceed saltAbove=$saltAbove: " +
+        "lower cellSize (or raise saltAbove)")
+    hotRows.find(_.getLong(2) > maxCellRows).foreach { row =>
+      throw new IllegalArgumentException(
+        s"spatial join cell ${row.getLong(0)} holds ${row.getLong(2)} rows " +
+          s"on side ${row.getInt(1)} (> maxCellRows=$maxCellRows): lower " +
+          "cellSize so the dense area spreads over more cells")
+    }
+    val hotSet = hotRows.map(_.getLong(0)).toSet
+
     val refine = udf { (aw: Array[Byte], bw: Array[Byte], cell: Long) =>
       val a = GeomFunctions.readWkb(aw)
       val b = GeomFunctions.readWkb(bw)
@@ -79,7 +132,28 @@ object SpatialJoin {
         })
       }
     }
-    l.join(r, "cell")
+
+    val candidates =
+      if (hotSet.isEmpty) l.join(r, "cell")
+      else {
+        log.warn(s"spatial join: salting ${hotSet.size} hot cells " +
+          s"(> $saltAbove rows) across $saltFactor sub-keys")
+        val bc = left.sparkSession.sparkContext.broadcast(hotSet)
+        val isHot = udf { (c: Long) => bc.value.contains(c) }
+        // each right row lands in exactly ONE salt; left rows in hot
+        // cells replicate across all salts -> every in-cell pair still
+        // meets exactly once, and the join stays an equi-join
+        val salts = array((0 until saltFactor).map(i => lit(i.toLong)): _*)
+        val rS = r.withColumn("_salt",
+          when(isHot(col("cell")),
+            pmod(xxhash64(col("b_fid")), lit(saltFactor.toLong)))
+            .otherwise(lit(0L)))
+        val lS = l.withColumn("_salt",
+          explode(when(isHot(col("cell")), salts)
+            .otherwise(array(lit(0L)))))
+        lS.join(rS, Seq("cell", "_salt")).drop("_salt")
+      }
+    candidates
       .filter(refine(col("a_geom"), col("b_geom"), col("cell")))
       .select(col("a_fid"), col("b_fid"))
   }

@@ -235,4 +235,61 @@ class RasterMetaSpec extends SparkSpec {
     }
     assert(e.getMessage == null || true) // udf failure surfaces via SparkException
   }
+
+  test("SpatialJoin: hot cells salt into an equi-join with the same result") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    def squares(n: Int, y0: Double): org.apache.spark.sql.DataFrame =
+      (1 to n).map { i =>
+        val x0 = 0.01 * i
+        (i.toLong, s"POLYGON (($x0 $y0, ${x0 + 0.3} $y0, ${x0 + 0.3} " +
+          s"${y0 + 0.3}, $x0 ${y0 + 0.3}, $x0 $y0))")
+      }.toDF("fid", "wkt")
+        .select(col("fid"), GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+    // 40 vs 30 overlapping squares all inside ONE 1-unit grid cell
+    val a = squares(40, 0.40)
+    val b = squares(30, 0.55)
+    val plain = SpatialJoin.intersects(a, b, cellSize = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.nonEmpty)
+    val salted = SpatialJoin.intersects(a, b, cellSize = 1.0,
+      saltAbove = 10, saltFactor = 4)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"salted spatial join must stay an equi-join:\n$plan")
+    val got = salted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == plain)
+  }
+
+  test("SpatialJoin: per-cell population cap fails loudly on a dense cell") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    def pts(n: Int) = (1 to n).map(i => (i.toLong, s"POINT (0.5 0.5)"))
+      .toDF("fid", "wkt")
+      .select(col("fid"), GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+    val e = intercept[IllegalArgumentException] {
+      SpatialJoin.intersects(pts(40), pts(5), cellSize = 1.0,
+        saltAbove = 10, maxCellRows = 20)
+    }
+    assert(e.getMessage.contains("maxCellRows"))
+  }
+
+  test("SpatialJoin: cell indices beyond the 32-bit grid fail loudly") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val far = Seq((1L, "POINT (3000000000 0)")).toDF("fid", "wkt")
+      .select(col("fid"), GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+    val near = Seq((2L, "POINT (0.5 0.5)")).toDF("fid", "wkt")
+      .select(col("fid"), GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+    val e = intercept[Exception] {
+      SpatialJoin.intersects(far, near, cellSize = 1.0).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(e).contains("32-bit cell grid"))
+  }
 }
