@@ -423,17 +423,23 @@ object Dedup {
     a
   }
 
+  /** Default per-bucket population cap for [[embeddingNearDups]]: the
+    * skew guard is ON unless a caller explicitly passes `Int.MaxValue` —
+    * a degenerate all-one-bucket corpus (too few planes, boilerplate
+    * embeddings) otherwise lands |bucket|² pairs on a single task. */
+  val DefaultMaxBucket: Int = 100000
+
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Seq[Array[Double]],
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket > 0, "maxBucket must be positive")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val vecD = transform(col(vecCol), x => x.cast("double"))
     val sigCol = Similarity.hyperplaneSignature(col(vecCol), planes)
     val keyed0 = df.select(col(idCol).as("id"), unit(vecD).as("v"), sigCol.as("bucket"))
-    val keyed = maxBucket match {
-      case Some(cap) => capBuckets(keyed0, Seq("bucket"), cap, "embeddingNearDups")
-      case None      => keyed0
-    }
+    val keyed =
+      if (maxBucket == Int.MaxValue) keyed0
+      else capBuckets(keyed0, Seq("bucket"), maxBucket, "embeddingNearDups")
     keyed.as("l").join(keyed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),

@@ -159,19 +159,32 @@ object Sampling {
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, buckets: Int = 4096): DataFrame = {
     val bUdf = dsirBucketsUdf(buckets)
+    // the totals are corpus constants: one bounded 1-row driver pull
+    // from the STATIC model side (legal under streaming — `docs` may be
+    // a stream, the fitted model never is), so unseen buckets can carry
+    // them without depending on a matched model row
+    val tRow = model.select(col("tr"), col("tt")).take(1)
+    val (tr, tt) =
+      if (tRow.isEmpty) (0L, 0L)
+      else (tRow(0).getLong(0), tRow(0).getLong(1))
     // per-position join against the BROADCAST model is map-side (no
     // position ever crosses a shuffle) and the ONE aggregation keeps the
     // plan legal for Structured Streaming (two chained stateful
-    // aggregations would trip the global-watermark correctness check)
+    // aggregations would trip the global-watermark correctness check).
+    // LEFT join: a bucket absent from the model — possible exactly when
+    // scoring a stream or a new corpus — contributes the add-one
+    // smoothed term ln((0+1)(tr+B) / ((0+1)(tt+B))) instead of being
+    // silently dropped from n_bigrams.
     val terms = docs
       .select(col(idCol).as("doc_id"), explode(bUdf(col(textCol))).as("b"))
-      .join(broadcast(model), Seq("b"))
+      .join(broadcast(model.select(col("b"), col("rb"), col("tb"))),
+        Seq("b"), "left")
       .select(col("doc_id"),
         floor(log(
-          ((col("tb") + 1L).cast("double") *
-            (col("tr") + buckets.toLong).cast("double")) /
-          ((col("rb") + 1L).cast("double") *
-            (col("tt") + buckets.toLong).cast("double"))) *
+          ((coalesce(col("tb"), lit(0L)) + 1L).cast("double") *
+            lit((tr + buckets.toLong).toDouble)) /
+          ((coalesce(col("rb"), lit(0L)) + 1L).cast("double") *
+            lit((tt + buckets.toLong).toDouble))) *
           lit(1000000.0)).as("tm"))
     terms.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),

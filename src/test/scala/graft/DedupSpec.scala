@@ -156,10 +156,17 @@ class DedupSpec extends SparkSpec {
     val vecs = (0L until 50L).map(i => (i, Array(1.0f, 2.0f)))
       .toDF("doc_id", "embedding")
     val vecCapped = Dedup.embeddingNearDups(vecs, "doc_id", "embedding",
-      0.9, planes, maxBucket = Some(10))
+      0.9, planes, maxBucket = 10)
     assert(vecCapped.count() == 0)
-    val vecOpen = Dedup.embeddingNearDups(vecs, "doc_id", "embedding", 0.9, planes)
+    // explicit opt-out of the (default-on) guard keeps every pair
+    val vecOpen = Dedup.embeddingNearDups(vecs, "doc_id", "embedding", 0.9,
+      planes, maxBucket = Int.MaxValue)
     assert(vecOpen.count() == 50L * 49L / 2)
+    // the DEFAULT path carries the guard (cap >> this clique, so the
+    // same pairs survive) — no argument needed to be protected
+    assert(Dedup.DefaultMaxBucket < Int.MaxValue)
+    assert(Dedup.embeddingNearDups(vecs, "doc_id", "embedding", 0.9, planes)
+      .count() == 50L * 49L / 2)
     // zero vectors no longer NaN out the dot product
     val withZero = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)))
       .toDF("doc_id", "embedding")

@@ -184,6 +184,27 @@ class PackingSpec extends SparkSpec {
     assert(out(0).getLong(3) > out(2).getLong(3))
   }
 
+  test("dsirScore gives unseen buckets the add-one smoothed term") {
+    import spark.implicits._
+    // model fitted WITHOUT "e f": tr=3, tt=1 as above
+    val fit = Seq((0L, "a b", "en"), (1L, "a b", "de"), (2L, "c d", "de"))
+      .toDF("doc_id", "text", "lang")
+    val model = Sampling.dsirModel(fit, "doc_id", "text",
+      col("lang") === "en", 4096)
+    // scored corpus holds a bigram the model never saw; its bucket must
+    // contribute ln((0+1)(tr+B)/((0+1)(tt+B))) and COUNT in n_bigrams,
+    // not silently vanish from the inner join
+    val out = Sampling.dsirScore(
+      Seq((7L, "a b"), (8L, "e f")).toDF("doc_id", "text"),
+      "doc_id", "text", model, 4096).orderBy("doc_id").collect()
+    val tmAb = math.floor(math.log(
+      (2.0 * 4099.0) / (3.0 * 4097.0)) * 1e6).toLong
+    val tmUnseen = math.floor(math.log(
+      (1.0 * 4099.0) / (1.0 * 4097.0)) * 1e6).toLong
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((7L, 1L, tmAb), (8L, 1L, tmUnseen)))
+  }
+
   test("exactQuantiles picks the value at rank max(1, ceil(q*n))") {
     import spark.implicits._
     // group a: [10,20,30,40,50]; the 0.21 case separates the ceil(q*n)
