@@ -518,6 +518,37 @@ object SparkEntry {
         GpkgRasterSink(a, s"$out/t.gpkg", tileSize = 13).write(fullReq(g, 1))
         cells(GpkgRasterSource(s"$out/t.gpkg").frame(fullReq(g, 1)), g)
       }),
+      "r53_grib_roundtrip" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the whole 4-frame stack through GRIB2 (one message per frame,
+        // templates 3.0/4.0/5.0, simple packing — exact over
+        // integer-quantized values, bitmap rows = nodata); template 3.0
+        // is geographic-only, so the sink remaps the pixel grid onto a
+        // 0.05-deg graticule and the read-back request uses that extent
+        val a = eventsRaster(dir, g, "cast(floor(value) as double)")
+        val out = java.nio.file.Files.createTempDirectory("verify_grib").toString
+        val p = GribSink(a, s"$out/stack.grib2", degPerCell = 0.05)
+          .write(fullReq(g))
+        val src = RasterFileSource(p)
+        val back = RasterRequest(src.extent.get, "EPSG:4326", g.w, g.h,
+          Some(java.time.Instant.ofEpochMilli(0)),
+          Some(java.time.Instant.ofEpochMilli(Hour * (g.frames - 1))))
+        cells(src.frame(back), g)
+      }),
+      "r56_grib_slice" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // temporal slice: the field-pruned path decodes only frames 1-2's
+        // bitmap+data byte ranges (valid times from section 1 + forecast)
+        val a = eventsRaster(dir, g, "cast(floor(value) as double)")
+        val out = java.nio.file.Files.createTempDirectory("verify_gribs").toString
+        val p = GribSink(a, s"$out/stack.grib2", degPerCell = 0.05)
+          .write(fullReq(g))
+        val src = RasterFileSource(p)
+        val back = RasterRequest(src.extent.get, "EPSG:4326", g.w, g.h,
+          Some(java.time.Instant.ofEpochMilli(Hour)),
+          Some(java.time.Instant.ofEpochMilli(2 * Hour)))
+        cells(src.frame(back), g)
+      }),
       "r40_png_worldfile" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // a uint8 derivation of the events grid through the PNG + world
@@ -723,6 +754,10 @@ object SparkEntry {
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r42_netcdf_roundtrip" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r53_grib_roundtrip" -> s"""${cellsSql("FLOOR(value)")}
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r56_grib_slice" -> s"""${cellsSql("FLOOR(value)")}
+      |SELECT t_idx, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
     "r43_netcdf_slice" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
     "r44_zarr_roundtrip" -> s"""${cellsSql()}

@@ -419,7 +419,8 @@ case class PngSource(url: String, timeFirstMs: Long = 0L,
 object RasterFileSource {
   private val known =
     Seq(".tif", ".tiff", ".asc", ".xyz", ".png", ".hdr", ".dat", ".img",
-      ".nc", ".nc4", ".h5", ".hdf5", ".gpkg")
+      ".nc", ".nc4", ".h5", ".hdf5", ".gpkg", ".grib", ".grib2", ".grb",
+      ".grb2")
 
   def apply(url: String, timeFirstMs: Long = 0L,
       timeDeltaMs: Long = 300000L): RasterBlock = {
@@ -453,6 +454,9 @@ object RasterFileSource {
       (if (Hdf5.isHdf5(probe)) Hdf5Source(probe) else NetCdfSource(probe))
     else if (lower.endsWith(".gpkg"))
       GpkgRasterSource(probe) // tile pyramid (vector gpkg → GeometryFileSource)
+    else if (lower.endsWith(".grib") || lower.endsWith(".grib2") ||
+      lower.endsWith(".grb") || lower.endsWith(".grb2"))
+      GribSource(probe)
     else throw new IllegalArgumentException(
       s"$url: unsupported raster format (${known.mkString(", ")})")
   }

@@ -445,6 +445,68 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       }
     }
 
+  private lazy val gribFixture: Array[Byte] = {
+    val p = tmpRoot.resolve("fuzz_stack.grib2").toString
+    graft.raster.Grib.write(p,
+      Seq(Array.tabulate(12 * 8)(i => (i % 37).toDouble),
+        Array.tabulate(12 * 8)(i =>
+          if (i % 5 == 0) Double.MaxValue else (i % 23).toDouble)),
+      12, 8, Double.MaxValue, Seq(0L, 3600000L), 0.0, 0.0, 0.05)
+    Files.readAllBytes(Paths.get(p))
+  }
+
+  property("grib2 read survives corrupt section/bitmap/payload bytes") =
+    Prop.forAll(mutationGen(gribFixture.length)) { case (kind, pos, value) =>
+      val bytes = mutate(gribFixture, kind, pos, value)
+      val f = Files.createTempDirectory(tmpRoot, "grib_case")
+        .resolve("s.grib2")
+      Files.write(f, bytes)
+      cleanOrFails(s"grib k=$kind p=$pos v=$value") {
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val m = graft.raster.Grib.readMeta(ch, f.toString)
+          m.fields.foreach(fd =>
+            graft.raster.Grib.decode(ch, fd, Double.MaxValue))
+        } finally ch.close()
+      }
+    }
+
+  private val gribStackGen = for {
+    w <- Gen.choose(1, 17)
+    h <- Gen.choose(1, 13)
+    nf <- Gen.choose(1, 3)
+    base <- Gen.choose(-1000000, 1000000)
+    range <- Gen.choose(0, 5000)
+    seed <- Gen.choose(0L, Long.MaxValue)
+  } yield (w, h, nf, base, range, seed)
+
+  property("grib2 write/read round-trips random integral stacks exactly") =
+    Prop.forAll(gribStackGen) { case (w, h, nf, base, range, seed) =>
+      val nd = Double.MaxValue
+      var s = seed
+      def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+      val frames = Seq.fill(nf)(Array.fill(w * h) {
+        val r = next()
+        if (math.floorMod(r, 7) == 0L) nd
+        else (base + math.floorMod(r >>> 8, (range + 1).toLong)).toDouble
+      })
+      val times = Seq.tabulate(nf)(i => i * 3600000L)
+      val dir = Files.createTempDirectory(tmpRoot, "grib_rt")
+      val p = dir.resolve("rt.grib2").toString
+      graft.raster.Grib.write(p, frames, w, h, nd, times, 0.0, 0.0, 0.05)
+      val ch = java.nio.channels.FileChannel.open(Paths.get(p),
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val m = graft.raster.Grib.readMeta(ch, p)
+        val ok = m.w == w && m.h == h && m.timesMs == times &&
+          m.fields.indices.forall { i =>
+            graft.raster.Grib.decode(ch, m.fields(i), nd).sameElements(frames(i))
+          }
+        Prop(ok) :| s"w=$w h=$h nf=$nf base=$base range=$range"
+      } finally ch.close()
+    }
+
   property("gpx element parse survives corrupt/truncated fragments") = {
     val wpt =
       """<wpt lat="52.05" lon="5.1"><ele>12.5</ele><name>home</name><extensions><graft:fid>3</graft:fid><graft:p>7</graft:p></extensions></wpt>"""

@@ -1,0 +1,262 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.raster._
+
+/** GRIB2 read tests against INDEPENDENTLY hand-assembled messages: a
+  * from-scratch big-endian serializer built from the WMO FM 92 GRIB2
+  * section layouts (templates 3.0 / 4.0 / 5.0), exercising E/D scaling,
+  * sign-and-magnitude integers, bitmaps, and both scanning modes — the
+  * reader is never shown only its own writer's output. */
+class GribSpec extends SparkSpec {
+
+  // ------------------------------------------------------ byte builder
+
+  private class B {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >>> 16).toInt); u16(v.toInt) }
+    def u64(v: Long): Unit = { u32(v >>> 32); u32(v & 0xFFFFFFFFL) }
+    def sm32(v: Long): Unit = u32(if (v < 0) (1L << 31) | -v else v)
+    def sm16(v: Int): Unit = u16(if (v < 0) 0x8000 | -v else v)
+    def f32(v: Float): Unit =
+      u32(java.lang.Float.floatToIntBits(v) & 0xFFFFFFFFL)
+    def str(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def result(): Array[Byte] = out.toByteArray
+  }
+
+  /** One message: 4x3 grid of 12-or-fewer packed values.
+    * `xs` are the packed integers (row-major, N->S unless scan 0x40),
+    * `bitmap` marks present cells (None = no bitmap section 255). */
+  private def message(xs: Seq[Int], bitmap: Option[Seq[Boolean]],
+      hourOfDay: Int, r: Float = 1.5f, e: Int = -1, d: Int = 1,
+      nbits: Int = 4, scan: Int = 0, forecastHours: Int = 0,
+      w: Int = 4, h: Int = 3): Array[Byte] = {
+    val b = new B
+    val n = w * h
+    val bitmapBytes = if (bitmap.isDefined) (n + 7) / 8 else 0
+    val dataBytes = (xs.length * nbits + 7) / 8
+    val msgLen = 16L + 21 + 72 + 34 + 21 + (6 + bitmapBytes) +
+      (5 + dataBytes) + 4
+    b.str("GRIB"); b.u16(0); b.u8(0); b.u8(2); b.u64(msgLen)
+    // sec1: ref time 2020-03-01 hourOfDay:00:00
+    b.u32(21); b.u8(1); b.u16(98); b.u16(0); b.u8(2); b.u8(1); b.u8(0)
+    b.u16(2020); b.u8(3); b.u8(1); b.u8(hourOfDay); b.u8(0); b.u8(0)
+    b.u8(0); b.u8(0)
+    // sec3 template 3.0: 0.5-deg cells, first center (52.0N, 4.0E)
+    b.u32(72); b.u8(3); b.u8(0); b.u32(n.toLong); b.u8(0); b.u8(0); b.u16(0)
+    b.u8(6); b.u8(0); b.u32(0); b.u8(0); b.u32(0); b.u8(0); b.u32(0)
+    b.u32(w.toLong); b.u32(h.toLong); b.u32(0); b.u32(0)
+    val la1 = if ((scan & 0x40) != 0) 52000000L - (h - 1) * 500000L
+      else 52000000L
+    b.sm32(la1); b.sm32(4000000L)
+    b.u8(0x30)
+    b.sm32(0L); b.sm32(0L) // la2/lo2 (redundant, reader ignores)
+    b.u32(500000L); b.u32(500000L)
+    b.u8(scan)
+    // sec4 template 4.0: total precipitation, forecast at +forecastHours
+    b.u32(34); b.u8(4); b.u16(0); b.u16(0)
+    b.u8(1); b.u8(8); b.u8(2); b.u8(0); b.u8(0); b.u16(0); b.u8(0)
+    b.u8(1); b.u32(forecastHours.toLong)
+    b.u8(1); b.u8(0); b.u32(0); b.u8(255); b.u8(0); b.u32(0)
+    // sec5 template 5.0
+    b.u32(21); b.u8(5); b.u32(xs.length.toLong); b.u16(0)
+    b.f32(r); b.sm16(e); b.sm16(d); b.u8(nbits); b.u8(0)
+    // sec6
+    b.u32(6L + bitmapBytes); b.u8(6)
+    bitmap match {
+      case None => b.u8(255)
+      case Some(bits) =>
+        b.u8(0)
+        var acc = 0; var k = 0
+        bits.foreach { bit =>
+          acc = (acc << 1) | (if (bit) 1 else 0); k += 1
+          if (k == 8) { b.u8(acc); acc = 0; k = 0 }
+        }
+        if (k > 0) b.u8(acc << (8 - k))
+    }
+    // sec7
+    b.u32(5L + dataBytes); b.u8(7)
+    var acc = 0L; var nb = 0
+    xs.foreach { x =>
+      acc = (acc << nbits) | x; nb += nbits
+      while (nb >= 8) { b.u8(((acc >>> (nb - 8)) & 0xFF).toInt); nb -= 8 }
+    }
+    if (nb > 0) b.u8(((acc << (8 - nb)) & 0xFF).toInt)
+    b.str("7777")
+    b.result()
+  }
+
+  private def writeFile(path: String, msgs: Array[Byte]*): Unit =
+    Files.write(Paths.get(path), msgs.flatten.toArray)
+
+  private val T0 = java.time.Instant.parse("2020-03-01T06:00:00Z")
+
+  // -------------------------------------------------------------- tests
+
+  test("hand-assembled two-message stack decodes with E/D scaling") {
+    val dir = Files.createTempDirectory("graft_grib").toString
+    // frame 0 at 06:00 (analysis), frame 1 valid 07:00 via ref 06:00 +
+    // forecast 1h — valid-time, not ref-time, orders the axis
+    writeFile(s"$dir/rain.grib2",
+      message((0 until 12).toSeq, None, 6),
+      message((0 until 12).map(_ + 1), None, 6, forecastHours = 1))
+    val src = RasterFileSource(s"$dir/rain.grib2")
+    assert(src.isInstanceOf[GribSource])
+    assert(src.projection == "EPSG:4326")
+    assert(src.cellSize.contains(0.5))
+    // first center (52.0, 4.0), 0.5-deg cells: origin edges (3.75, 52.25)
+    val ext = src.extent.get
+    assert(math.abs(ext.x1 - 3.75) < 1e-9 && math.abs(ext.y2 - 52.25) < 1e-9)
+    assert(math.abs(ext.x2 - 5.75) < 1e-9 && math.abs(ext.y1 - 50.75) < 1e-9)
+    assert(src.allTimes == Seq(T0, T0.plusSeconds(3600)))
+    val req = RasterRequest(ext, "EPSG:4326", 4, 3,
+      Some(T0), Some(T0.plusSeconds(3600)))
+    val res = src.getData(req)(spark).get
+    // v = (1.5 + X * 2^-1) / 10^1
+    for (i <- 0 until 12) {
+      assert(math.abs(res.values(0)(i) - (1.5 + i * 0.5) / 10.0) < 1e-12)
+      assert(math.abs(res.values(1)(i) - (1.5 + (i + 1) * 0.5) / 10.0) < 1e-12)
+    }
+  }
+
+  test("bitmap cells come back as nodata; section-5 count is enforced") {
+    val dir = Files.createTempDirectory("graft_gribb").toString
+    val present = Seq(true, false, true, true, true, true, false, true,
+      true, true, true, false)
+    writeFile(s"$dir/b.grib2",
+      message((0 until 9).toSeq, Some(present), 6))
+    val src = GribSource(s"$dir/b.grib2")
+    val req = RasterRequest(src.extent.get, "EPSG:4326", 4, 3,
+      Some(T0), Some(T0))
+    val vals = src.getData(req)(spark).get.values(0)
+    val nd = Double.MaxValue
+    var k = 0
+    for (i <- 0 until 12) {
+      if (present(i)) {
+        assert(math.abs(vals(i) - (1.5 + k * 0.5) / 10.0) < 1e-12); k += 1
+      } else assert(vals(i) == nd, s"cell $i should be nodata")
+    }
+    // declared point count must match the bitmap
+    writeFile(s"$dir/bad.grib2",
+      message((0 until 8).toSeq, Some(present), 6))
+    val e = intercept[IllegalArgumentException] {
+      GribSource(s"$dir/bad.grib2").getData(req)(spark)
+    }
+    assert(e.getMessage.contains("bitmap"))
+  }
+
+  test("scan mode 0x40 (south-to-north rows) flips to the north-down grid") {
+    val dir = Files.createTempDirectory("graft_gribs").toString
+    // rows written S->N; reading back must give the same frame as the
+    // N->S message with rows pre-flipped
+    val northDown = (0 until 12).toSeq
+    val southUp = (2 to 0 by -1).flatMap(r => (0 until 4).map(c => r * 4 + c))
+    writeFile(s"$dir/n.grib2", message(northDown, None, 6))
+    writeFile(s"$dir/s.grib2", message(southUp, None, 6, scan = 0x40))
+    val a = GribSource(s"$dir/n.grib2")
+    val b = GribSource(s"$dir/s.grib2")
+    assert(a.extent == b.extent) // same physical graticule
+    val req = RasterRequest(a.extent.get, "EPSG:4326", 4, 3, Some(T0), Some(T0))
+    assert(a.getData(req)(spark).get.values(0).toSeq ==
+      b.getData(req)(spark).get.values(0).toSeq)
+  }
+
+  test("GribSink round-trips a stack; times and nodata survive") {
+    val dir = Files.createTempDirectory("graft_gribw").toString
+    val req = RasterFixtures.valsRequest
+    val path = GribSink(RasterFixtures.source, s"$dir/stack.grib2",
+      degPerCell = 0.05).write(req)(spark)
+    val back = RasterFileSource(path)
+    assert(back.isInstanceOf[GribSource])
+    assert(back.temporal &&
+      back.timeDeltaMs.contains(RasterFixtures.Hour))
+    val want = RasterFixtures.source.getData(req)(spark).get
+    // read on the grib's own graticule (the sink REMAPS the pixel grid
+    // onto lat/lon; values and times are what round-trip)
+    val ext = back.extent.get
+    val backReq = RasterRequest(ext, "EPSG:4326", req.width, req.height,
+      req.start, req.stop)
+    val res = back.getData(backReq)(spark).get
+    assert(res.times == want.times)
+    val nd = want.noDataValue
+    for (f <- want.values.indices; i <- want.values(f).indices) {
+      val w = want.values(f)(i)
+      val g = res.values(f)(i)
+      if (w == nd) assert(g == res.noDataValue) else assert(g == w,
+        s"frame $f cell $i: $g != $w")
+    }
+  }
+
+  test("temporal slice decodes only the selected fields' bytes") {
+    val dir = Files.createTempDirectory("graft_gribp").toString
+    val path = s"$dir/stack.grib2"
+    writeFile(path,
+      message((0 until 12).toSeq, None, 6),
+      message((0 until 12).map(_ + 1), None, 6, forecastHours = 1))
+    val src0 = GribSource(path)
+    val ext = src0.extent.get
+    val full = RasterRequest(ext, "EPSG:4326", 4, 3,
+      Some(T0), Some(T0.plusSeconds(3600)))
+    val slice = full.copy(start = Some(T0.plusSeconds(3600)))
+    val fullBefore = src0.getData(full)(spark).get
+    // zero frame 0's packed data payload (12 values x 4 bits = the 6
+    // bytes before the first "7777"): the message structure stays
+    // valid, so only a read that touches frame 0's DATA bytes changes
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val firstEnd = {
+      var i = 16; var at = -1
+      while (at < 0 && i < bytes.length - 4) {
+        if (bytes(i) == '7' && bytes(i + 1) == '7' && bytes(i + 2) == '7' &&
+          bytes(i + 3) == '7') at = i
+        i += 1
+      }
+      at
+    }
+    assert(firstEnd > 0)
+    for (i <- (firstEnd - 6) until firstEnd) bytes(i) = 0
+    Files.write(Paths.get(path), bytes)
+    val src = GribSource(path)
+    val one = src.getData(slice)(spark).get
+    assert(one.times == Seq(T0.plusSeconds(3600)))
+    assert(one.values(0).toSeq == fullBefore.values(1).toSeq)
+    // and the clobber is real: a full read decodes DIFFERENT frame-0
+    // values now (all X=0)
+    val fullAfter = src.getData(full)(spark).get
+    assert(fullAfter.values(0).toSeq != fullBefore.values(0).toSeq)
+    assert(fullAfter.values(0).forall(_ == 0.15))
+  }
+
+  test("failure modes are loud: edition 1, bad templates, truncation") {
+    val dir = Files.createTempDirectory("graft_gribf").toString
+    val good = message((0 until 12).toSeq, None, 6)
+    // edition 1
+    val ed1 = good.clone(); ed1(7) = 1
+    Files.write(Paths.get(s"$dir/ed1.grib2"), ed1)
+    val e1 = intercept[IllegalArgumentException] {
+      GribSource(s"$dir/ed1.grib2").extent
+    }
+    assert(e1.getMessage.contains("edition"))
+    // grid template 3.30 (Lambert) — offset: 16 (sec0) + 21 (sec1) +
+    // 12 bytes into sec3 -> template number at bytes 49-50
+    val lcc = good.clone(); lcc(50) = 30
+    Files.write(Paths.get(s"$dir/lcc.grib2"), lcc)
+    val e3 = intercept[IllegalArgumentException] {
+      GribSource(s"$dir/lcc.grib2").extent
+    }
+    assert(e3.getMessage.contains("3.30"))
+    // truncated mid-message
+    Files.write(Paths.get(s"$dir/trunc.grib2"), good.take(60))
+    val et = intercept[IllegalArgumentException] {
+      GribSource(s"$dir/trunc.grib2").extent
+    }
+    assert(et.getMessage.toLowerCase.contains("grib"))
+    // non-integral values refuse to pack rather than round
+    val ew = intercept[IllegalArgumentException] {
+      Grib.write(s"$dir/frac.grib2", Seq(Array(1.25, 2.0)), 2, 1,
+        Double.MaxValue, Seq(0L), 0.0, 0.0, 0.5)
+    }
+    assert(ew.getMessage.contains("non-integral"))
+  }
+}
