@@ -24,10 +24,42 @@ object Bench {
     Seq(once(), once(), once()).min
   }
 
+  /** Parallel calibration: the SAME LCG mix on every core at once.
+    * Single-threaded calibration normalizes CPU-frequency drift but is
+    * blind to MULTI-CORE contention — exactly what poisoned the r8
+    * recording window (×1.8-3.0 per-query outliers that vanished on
+    * re-run). Reported as `calibration_mt` (seconds for ONE thread's
+    * loop while all cores run); cross-round comparisons should divide
+    * by whichever calibration correlates with the drift. */
+  private def calibrateMt(): Double = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val threads = (0 until cores).map { k =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + k
+          var i = 0
+          while (i < 200000000) {
+            x = x * 6364136223846793005L + 1442695040888963407L
+            x ^= (x >>> 33)
+            i += 1
+          }
+          if (x == 42L) print("")
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm
+    Seq(once(), once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
     val calibration = calibrate()
-    println(s"""{"bench_calibration_sec":$calibration}""")
+    val calibrationMt = calibrateMt()
+    println(s"""{"bench_calibration_sec":$calibration,"bench_calibration_mt_sec":$calibrationMt}""")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -114,11 +146,11 @@ object Bench {
       .getMemoryPoolMXBeans.asScala
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
       .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"calibration":$calibration,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"peak_heap_mb":$peakHeapMb,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"calibration":$calibration,"calibration_mt":$calibrationMt,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"peak_heap_mb":$peakHeapMb,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // LAST line is a compact summary (no per-query map) so the driver's
     // 2000-char tail window always contains one complete JSON object —
     // BENCH_r02/r03 both lost the long line's front to that window.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"calibration":$calibration,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"peak_heap_mb":$peakHeapMb,"n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"calibration":$calibration,"calibration_mt":$calibrationMt,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"peak_heap_mb":$peakHeapMb,"n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
     QueryLib.clearCaches()
     spark.stop()
   }
