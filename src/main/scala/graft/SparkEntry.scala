@@ -549,6 +549,48 @@ object SparkEntry {
           Some(java.time.Instant.ofEpochMilli(2 * Hour)))
         cells(src.frame(back), g)
       }),
+      "r54_vrt_mosaic" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // frame 0 split into two GeoTIFF half-tiles re-assembled through
+        // a hand-written GDAL-style .vrt (SimpleSource + DstRect offsets)
+        // — the foreign-XML interop loop the JSON manifest stand-in
+        // could not close
+        val a = eventsRaster(dir, g)
+        val res = a.getData(fullReq(g, 1)).get
+        val vals = res.values(0)
+        val out = java.nio.file.Files.createTempDirectory("verify_vrt").toString
+        val w = g.w; val h = g.h; val half = w / 2
+        val left = Array.tabulate(half * h)(i =>
+          vals((i / half) * w + i % half))
+        val right = Array.tabulate((w - half) * h)(i =>
+          vals((i / (w - half)) * w + half + i % (w - half)))
+        GeoTiff.write(s"$out/left.tif", left, half, h,
+          Bbox(0, 0, half, h), 28992, res.noDataValue, "float64")
+        GeoTiff.write(s"$out/right.tif", right, w - half, h,
+          Bbox(half, 0, w, h), 28992, res.noDataValue, "float64")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/mosaic.vrt"),
+          s"""<VRTDataset rasterXSize="$w" rasterYSize="$h">
+             |  <SRS>EPSG:28992</SRS>
+             |  <GeoTransform>0, 1, 0, $h, 0, -1</GeoTransform>
+             |  <VRTRasterBand dataType="Float64" band="1">
+             |    <NoDataValue>${res.noDataValue}</NoDataValue>
+             |    <SimpleSource>
+             |      <SourceFilename relativeToVRT="1">left.tif</SourceFilename>
+             |      <SourceBand>1</SourceBand>
+             |      <SrcRect xOff="0" yOff="0" xSize="$half" ySize="$h"/>
+             |      <DstRect xOff="0" yOff="0" xSize="$half" ySize="$h"/>
+             |    </SimpleSource>
+             |    <SimpleSource>
+             |      <SourceFilename relativeToVRT="1">right.tif</SourceFilename>
+             |      <SourceBand>1</SourceBand>
+             |      <SrcRect xOff="0" yOff="0" xSize="${w - half}" ySize="$h"/>
+             |      <DstRect xOff="$half" yOff="0" xSize="${w - half}" ySize="$h"/>
+             |    </SimpleSource>
+             |  </VRTRasterBand>
+             |</VRTDataset>""".stripMargin)
+        cells(RasterFileSource(s"$out/mosaic.vrt").frame(fullReq(g, 1)), g)
+      }),
       "r40_png_worldfile" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // a uint8 derivation of the events grid through the PNG + world
@@ -758,6 +800,8 @@ object SparkEntry {
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r56_grib_slice" -> s"""${cellsSql("FLOOR(value)")}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
+    "r54_vrt_mosaic" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells WHERE t_idx = 0""".stripMargin,
     "r43_netcdf_slice" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
     "r44_zarr_roundtrip" -> s"""${cellsSql()}

@@ -420,7 +420,7 @@ object RasterFileSource {
   private val known =
     Seq(".tif", ".tiff", ".asc", ".xyz", ".png", ".hdr", ".dat", ".img",
       ".nc", ".nc4", ".h5", ".hdf5", ".gpkg", ".grib", ".grib2", ".grb",
-      ".grb2")
+      ".grb2", ".vrt")
 
   def apply(url: String, timeFirstMs: Long = 0L,
       timeDeltaMs: Long = 300000L): RasterBlock = {
@@ -457,6 +457,8 @@ object RasterFileSource {
     else if (lower.endsWith(".grib") || lower.endsWith(".grib2") ||
       lower.endsWith(".grb") || lower.endsWith(".grb2"))
       GribSource(probe)
+    else if (lower.endsWith(".vrt"))
+      VrtSource(probe, timeFirstMs, timeDeltaMs)
     else throw new IllegalArgumentException(
       s"$url: unsupported raster format (${known.mkString(", ")})")
   }

@@ -507,6 +507,42 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       } finally ch.close()
     }
 
+  private lazy val vrtFixture: Array[Byte] = {
+    val dir = Files.createTempDirectory(tmpRoot, "vrt_fix")
+    GeoTiff.write(dir.resolve("a.tif").toString,
+      Array.tabulate(16)(_ * 1.0), 4, 4, Bbox(0, 0, 2, 2), 28992,
+      -9999.0, "float64")
+    val vrt =
+      s"""<VRTDataset rasterXSize="4" rasterYSize="4">
+         |<SRS>EPSG:28992</SRS>
+         |<GeoTransform>0, 0.5, 0, 2.0, 0, -0.5</GeoTransform>
+         |<VRTRasterBand dataType="Float64" band="1">
+         |<NoDataValue>-9999</NoDataValue>
+         |<SimpleSource>
+         |<SourceFilename relativeToVRT="1">a.tif</SourceFilename>
+         |<SourceBand>1</SourceBand>
+         |<SrcRect xOff="0" yOff="0" xSize="4" ySize="4"/>
+         |<DstRect xOff="0" yOff="0" xSize="4" ySize="4"/>
+         |</SimpleSource>
+         |</VRTRasterBand>
+         |</VRTDataset>""".stripMargin
+    Files.write(dir.resolve("m.vrt"), vrt.getBytes("UTF-8"))
+    vrtFixtureDir = dir.toString
+    vrt.getBytes("UTF-8")
+  }
+  private var vrtFixtureDir: String = _
+
+  property("vrt mosaic read survives corrupt/truncated descriptor bytes") =
+    Prop.forAll(mutationGen(1 << 9)) { case (kind, pos, value) =>
+      val bytes = mutate(vrtFixture, kind, pos, value)
+      val f = Paths.get(vrtFixtureDir).resolve(s"bad_$kind$pos$value.vrt")
+      Files.write(f, bytes)
+      cleanOrFails(s"vrt k=$kind p=$pos v=$value") {
+        val m = graft.raster.Vrt.readMeta(f.toString)
+        m.bands.indices.foreach(b => graft.raster.Vrt.readBand(m, b))
+      }
+    }
+
   property("gpx element parse survives corrupt/truncated fragments") = {
     val wpt =
       """<wpt lat="52.05" lon="5.1"><ele>12.5</ele><name>home</name><extensions><graft:fid>3</graft:fid><graft:p>7</graft:p></extensions></wpt>"""
