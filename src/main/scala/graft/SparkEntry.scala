@@ -1557,6 +1557,31 @@ object SparkEntry {
           GeomFunctions.stCentroidX(col("geometry")).as("x"),
           GeomFunctions.stCentroidY(col("geometry")).as("y"))
     }),
+    "g30_tab_roundtrip" -> ((s, dir) => {
+      // MapInfo TAB binary quartet (.tab/.map/.dat/.id, the MITAB-profile
+      // codec): lon/lat points with typed attributes through the int32
+      // internal grid — coordinates compared in exact microdegrees
+      // (floor(v*1e6 + 0.5) both sides, the quantized-input oracle rule)
+      implicit val sp: SparkSession = s
+      val p = TableGeometrySource(s"$dir/part.parquet", "p_partkey",
+        Seq("p_size", "p_retailprice", "p_name"),
+        geomWktExpr = Some(
+          "concat('POINT (', 4.5 + (p_partkey % 50) * 0.001, ' ', " +
+            "51.9 + cast(p_partkey / 50 as int) * 0.0005, ')')"),
+        proj = "EPSG:4326")
+      val out = java.nio.file.Files.createTempDirectory("verify_tab")
+        .resolve("parts.tab").toString
+      GeometryToFile.toFile(p, out)
+      val back = GeometryFileSource(out)
+      back.frame(GeometryRequest())(s)
+        .select(col("fid"), col("p_size").cast("long").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"),
+          col("p_name"),
+          floor(GeomFunctions.stCentroidX(col("geometry")) * 1e6 + 0.5)
+            .cast("long").as("xm"),
+          floor(GeomFunctions.stCentroidY(col("geometry")) * 1e6 + 0.5)
+            .cast("long").as("ym"))
+    }),
     "g27_dxf_roundtrip" -> ((s, dir) => {
       // AutoCAD DXF text interchange: POINT entities with fid + attrs as
       // GRAFT XDATA, .prj sidecar CRS — coordinates and attribute values
@@ -1810,6 +1835,12 @@ object SparkEntry {
         | p_retailprice, p_name,
         | 4.5 + (p_partkey % 50) * 0.001 AS x,
         | 51.9 + CAST(p_partkey // 50 AS INT) * 0.0005 AS y
+        |FROM part""".stripMargin,
+    "g30_tab_roundtrip" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
+        | p_retailprice, p_name,
+        | CAST(FLOOR((4.5 + (p_partkey % 50) * 0.001) * 1000000 + 0.5) AS BIGINT) AS xm,
+        | CAST(FLOOR((51.9 + CAST(p_partkey // 50 AS INT) * 0.0005) * 1000000 + 0.5) AS BIGINT) AS ym
         |FROM part""".stripMargin,
     // state-plane .prj: Snyder's ellipsoidal LCC-2SP inverse (EPSG method
     // 9802) re-derived in SQL from the zone constants — t/m/n/F/ρ0 computed

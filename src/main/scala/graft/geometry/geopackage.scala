@@ -488,6 +488,7 @@ case class GeometryFileSource(url: String, layer: Option[String] = None,
     else if (lower.endsWith(".kml")) KmlSource(url)
     else if (lower.endsWith(".gpx")) GpxSource(url, layer.getOrElse("waypoints"))
     else if (lower.endsWith(".mif")) MifSource(url, proj.getOrElse(""))
+    else if (lower.endsWith(".tab")) TabSource(url, proj.getOrElse(""))
     else if (lower.endsWith(".dxf")) DxfSource(url, proj.getOrElse(""))
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") ||
       lower.endsWith(".ndjson")) GeoJsonSource(url, proj.getOrElse("EPSG:4326"))

@@ -232,7 +232,7 @@ object Mif {
   /** MITAB region rule: a ring inside an existing shell is that shell's
     * hole; otherwise it starts a new polygon (orientation carries no
     * meaning in MIF). */
-  private def assembleRegion(rings: Seq[LinearRing]): Geometry = {
+  private[geometry] def assembleRegion(rings: Seq[LinearRing]): Geometry = {
     if (rings.isEmpty) return gf.createPolygon()
     val shells = scala.collection.mutable.ArrayBuffer[
       (LinearRing, scala.collection.mutable.ArrayBuffer[LinearRing])]()

@@ -14,14 +14,14 @@ import org.apache.spark.sql.functions._
 case class GeometryFileSink(source: GeometryBlock, url: String,
     format: String = "geoparquet", fields: Option[Seq[String]] = None) {
   require(Set("geoparquet", "geojson", "shp", "gpkg", "gml", "fgb", "csv",
-    "kml", "gpx", "mif", "dxf").contains(format), s"unsupported format $format")
+    "kml", "gpx", "mif", "dxf", "tab").contains(format), s"unsupported format $format")
 
   def write(req: GeometryRequest)(implicit spark: SparkSession): String = {
     // single-file OGR-style formats follow the reference's tile contract:
     // one <requesthash>.<ext> file per request into the directory, merged
     // later by mergeFiles (sinks.py:116-169)
     if (Set("shp", "gpkg", "gml", "fgb", "csv", "kml", "gpx", "mif",
-        "dxf").contains(format)) {
+        "dxf", "tab").contains(format)) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(url))
       val hash = java.security.MessageDigest.getInstance("MD5")
         .digest(req.toString.getBytes("UTF-8"))
@@ -42,6 +42,7 @@ case class GeometryFileSink(source: GeometryBlock, url: String,
         case "gpx"  => GpxSink.writeStream(src.frame(req), src.projection, out)
         case "mif"  => MifSink.writeStream(src.frame(req), src.projection, out)
         case "dxf"  => DxfSink.writeStream(src.frame(req), src.projection, out)
+        case "tab"  => TabSink.writeStream(src.frame(req), src.projection, out)
         case _      => KmlSink.writeStream(src.frame(req), src.projection, out)
       }
       return out
@@ -139,9 +140,10 @@ object GeometryFileSink {
       case "gpx"  => GpxSink.writeStream(merged, proj, target)
       case "mif"  => MifSink.writeStream(merged, proj, target)
       case "dxf"  => DxfSink.writeStream(merged, proj, target)
+      case "tab"  => TabSink.writeStream(merged, proj, target)
       case "geojson" | "json" => GeoJsonSink.writeStream(merged, proj, target)
       case other  => throw new IllegalArgumentException(
-        s"mergeFiles supports shp/gpkg/gml/fgb/csv/kml/gpx/mif/dxf/geojson targets, not .$other")
+        s"mergeFiles supports shp/gpkg/gml/fgb/csv/kml/gpx/mif/dxf/tab/geojson targets, not .$other")
     }
     if (removeSource) parts.foreach(_.delete())
     target
@@ -234,6 +236,8 @@ object GeometryToFile {
       MifSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".dxf"))
       DxfSink.writeStream(frame, source.projection, url)
+    else if (lower.endsWith(".tab"))
+      TabSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json"))
       GeoJsonSink.writeStream(frame, source.projection, url)
     else if (lower.endsWith(".kmz")) {

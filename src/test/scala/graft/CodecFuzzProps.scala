@@ -543,6 +543,44 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       }
     }
 
+  private lazy val tabFixtureDir: String = {
+    val dir = Files.createTempDirectory(tmpRoot, "tab_fix")
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val rows = (0 until 20).map { i =>
+      val g: org.locationtech.jts.geom.Geometry =
+        if (i % 3 == 0) gf.createPoint(
+          new org.locationtech.jts.geom.Coordinate(4.5 + i * 0.01, 52.0))
+        else if (i % 3 == 1) gf.createLineString(Array(
+          new org.locationtech.jts.geom.Coordinate(4.0 + i * 0.01, 52.0),
+          new org.locationtech.jts.geom.Coordinate(4.1 + i * 0.01, 52.1)))
+        else gf.createPolygon(Array(
+          new org.locationtech.jts.geom.Coordinate(0 + i, 0),
+          new org.locationtech.jts.geom.Coordinate(1 + i, 0),
+          new org.locationtech.jts.geom.Coordinate(1 + i, 1),
+          new org.locationtech.jts.geom.Coordinate(0 + i, 0)))
+      (g, Seq(i.toString, s"row$i"))
+    }
+    graft.geometry.Tab.write(dir.resolve("f.tab").toString,
+      Seq("fid" -> "Integer", "name" -> "Char (12)"), rows, "EPSG:4326")
+    dir.toString
+  }
+
+  property("tab quartet read survives corrupt .map/.dat/.id bytes") = {
+    val members = Gen.oneOf("f.map", "f.dat", "f.id", "f.tab")
+    Prop.forAll(mutationGen(1 << 10), members) { case ((kind, pos, value), m) =>
+      val pristine = tabFixtureDir
+      val dir = Files.createTempDirectory(tmpRoot, "tab_case")
+      Seq("f.tab", "f.map", "f.dat", "f.id").foreach { f =>
+        Files.copy(Paths.get(pristine, f), dir.resolve(f))
+      }
+      val bytes = mutate(Files.readAllBytes(dir.resolve(m)), kind, pos, value)
+      Files.write(dir.resolve(m), bytes)
+      cleanOrFails(s"tab k=$kind p=$pos v=$value m=$m") {
+        graft.geometry.Tab.read(dir.resolve("f.tab").toString)
+      }
+    }
+  }
+
   property("gpx element parse survives corrupt/truncated fragments") = {
     val wpt =
       """<wpt lat="52.05" lon="5.1"><ele>12.5</ele><name>home</name><extensions><graft:fid>3</graft:fid><graft:p>7</graft:p></extensions></wpt>"""
