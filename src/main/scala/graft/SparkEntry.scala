@@ -474,6 +474,17 @@ object SparkEntry {
         ZarrSink(a, s"$out/stack.zarr", chunkH = 7, chunkW = 5).write(fullReq(g))
         cells(ZarrSource(s"$out/stack.zarr").frame(fullReq(g)), g)
       }),
+      "r55_zarr_v3" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the whole 4-frame stack through a Zarr v3 store (zarr.json
+        // documents, zstd codec chain, c/-prefixed chunk keys) — the
+        // dispatcher routes the directory by its root zarr.json
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_zarr3").toString
+        ZarrSink(a, s"$out/stack.zarr", chunkH = 7, chunkW = 5,
+          zarrVersion = 3).write(fullReq(g))
+        cells(RasterFileSource(s"$out/stack.zarr").frame(fullReq(g)), g)
+      }),
       "r45_zarr_slice" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // temporal slice: the chunk-pruned path decodes only frames 1-2's
@@ -805,6 +816,8 @@ object SparkEntry {
     "r43_netcdf_slice" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
     "r44_zarr_roundtrip" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r55_zarr_v3" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r46_hdf5_roundtrip" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,

@@ -428,7 +428,8 @@ object RasterFileSource {
     // a Zarr store is a DIRECTORY (no file extension): dispatch on the
     // .zgroup marker (or the conventional .zarr directory suffix)
     if (url.toLowerCase.endsWith(".zarr") ||
-      (Files.isDirectory(p) && Files.exists(p.resolve(".zgroup"))))
+      (Files.isDirectory(p) && (Files.exists(p.resolve(".zgroup")) ||
+        Files.exists(p.resolve("zarr.json")))))
       return ZarrSource(url)
     val probe =
       if (Files.isDirectory(p)) {

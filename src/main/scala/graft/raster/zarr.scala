@@ -35,12 +35,26 @@ object Zarr {
 
   // ------------------------------------------------------------ metadata
 
-  /** Parsed `.zarray` + `.zattrs` for one array. */
+  /** Compression of the chunk payload (v2 `compressor` / v3 codecs). */
+  sealed trait Compression
+  case object NoComp extends Compression
+  case object Zlib extends Compression   // v2 "zlib" (raw zlib stream)
+  case object Gzip extends Compression   // v3 "gzip" (gzip-framed)
+  case object Zstd extends Compression
+
+  /** Parsed array metadata — `.zarray`+`.zattrs` (v2) or `zarr.json`
+    * (v3). `v3DefaultKey` marks the v3 "default" chunk-key encoding
+    * (keys under a `c` prefix); the v3 "v2" encoding and all of v2
+    * itself use bare joined indices. */
   case class ArrayMeta(name: String, dir: Path, shape: Seq[Int],
       chunks: Seq[Int], dtype: DType, bo: ByteOrder, fill: Double,
-      zlib: Boolean, sep: String, dims: Seq[String],
-      attrs: Map[String, Any]) {
+      comp: Compression, sep: String, dims: Seq[String],
+      attrs: Map[String, Any], v3DefaultKey: Boolean = false) {
     def ndim: Int = shape.length
+    def chunkKey(idx: Seq[Int]): String = {
+      val body = if (idx.isEmpty) "0" else idx.mkString(sep)
+      if (v3DefaultKey) s"c$sep$body" else body
+    }
   }
 
   private def jsonMap(p: Path): Map[String, Any] =
@@ -95,8 +109,98 @@ object Zarr {
   }) + dt.size
 
   def readArrayMeta(dir: Path): ArrayMeta =
-    buildArrayMeta(dir, jsonMap(dir.resolve(".zarray")),
-      jsonMap(dir.resolve(".zattrs")))
+    if (Files.exists(dir.resolve("zarr.json")))
+      buildArrayMetaV3(dir, jsonMap(dir.resolve("zarr.json")))
+    else
+      buildArrayMeta(dir, jsonMap(dir.resolve(".zarray")),
+        jsonMap(dir.resolve(".zattrs")))
+
+  /** Zarr v3 array metadata (one `zarr.json` document per the v3 core
+    * spec): regular chunk grid, `default`/`v2` chunk-key encodings,
+    * codec chain `bytes` (+ optional `gzip` or `zstd` — zarr-python
+    * v3's default compressor), `dimension_names`. Sharding, transpose,
+    * crc32c, blosc, and extension nodes fail loudly by name. */
+  private def buildArrayMetaV3(dir: Path, doc: Map[String, Any]): ArrayMeta = {
+    require(doc.nonEmpty, s"$dir: missing zarr.json")
+    require(asDouble(doc.getOrElse("zarr_format", 0L), "zarr_format") == 3,
+      s"$dir: zarr.json is not format 3")
+    require(doc.getOrElse("node_type", "") == "array",
+      s"$dir: zarr.json node_type is not 'array'")
+    val shape = asIntSeq(doc.getOrElse("shape", Nil), "shape")
+    require(shape.nonEmpty && shape.forall(_ > 0), s"$dir: bad shape")
+    def nested(v: Any): Map[String, Any] = v match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty
+    }
+    val grid = nested(doc.getOrElse("chunk_grid", Map.empty))
+    require(grid.getOrElse("name", "") == "regular",
+      s"$dir: chunk_grid '${grid.getOrElse("name", "?")}' (only regular)")
+    val chunks = asIntSeq(nested(grid.getOrElse("configuration", Map.empty))
+      .getOrElse("chunk_shape", Nil), "chunk_shape")
+    require(chunks.length == shape.length && chunks.forall(_ > 0),
+      s"$dir: chunk_shape rank mismatch")
+    require(chunks.map(_.toLong).product <= (1L << 27),
+      s"$dir: chunk of ${chunks.mkString("×")} elements too large for " +
+        "this reader (2^27 max)")
+    require(shape.map(_.toLong).product <= (1L << 34),
+      s"$dir: array of ${shape.mkString("×")} elements too large")
+    val keyEnc = nested(doc.getOrElse("chunk_key_encoding",
+      Map("name" -> "default")))
+    val encName = keyEnc.getOrElse("name", "default")
+    require(encName == "default" || encName == "v2",
+      s"$dir: chunk_key_encoding '$encName'")
+    val sep = nested(keyEnc.getOrElse("configuration", Map.empty))
+      .getOrElse("separator", if (encName == "default") "/" else ".") match {
+      case s: String if s == "." || s == "/" => s
+      case other => throw new IllegalArgumentException(
+        s"$dir: bad separator '$other'")
+    }
+    val dtName = doc.getOrElse("data_type", "").toString
+    val dt = try DType.byName(dtName) catch {
+      case _: Exception => throw new IllegalArgumentException(
+        s"$dir: unsupported data_type '$dtName'")
+    }
+    val codecs = doc.getOrElse("codecs", Nil) match {
+      case l: List[_] => l.map(nested)
+      case _ => throw new IllegalArgumentException(s"$dir: codecs not a list")
+    }
+    require(codecs.nonEmpty && codecs.head.getOrElse("name", "") == "bytes",
+      s"$dir: first codec must be 'bytes' " +
+        s"(got '${codecs.headOption.flatMap(_.get("name")).getOrElse("?")}')")
+    val bo = nested(codecs.head.getOrElse("configuration", Map.empty))
+      .getOrElse("endian", "little") match {
+      case "little" => ByteOrder.LITTLE_ENDIAN
+      case "big"    => ByteOrder.BIG_ENDIAN
+      case other => throw new IllegalArgumentException(
+        s"$dir: bad endian '$other'")
+    }
+    val comp = codecs.tail match {
+      case Nil => NoComp
+      case one :: Nil => one.getOrElse("name", "?") match {
+        case "gzip" => Gzip
+        case "zstd" => Zstd
+        case other => throw new IllegalArgumentException(
+          s"$dir: unsupported codec '$other' (gzip/zstd/none)")
+      }
+      case more => throw new IllegalArgumentException(
+        s"$dir: codec chains beyond bytes+one compressor not supported " +
+          s"(${more.length + 1} codecs)")
+    }
+    val fill = doc.getOrElse("fill_value", null) match {
+      case null => dt.noDataValue
+      case v    => asDouble(v, "fill_value")
+    }
+    val attrs = nested(doc.getOrElse("attributes", Map.empty))
+    val dims = doc.get("dimension_names") match {
+      case Some(l: List[_]) => l.map(_.toString)
+      case _ => attrs.get("_ARRAY_DIMENSIONS") match {
+        case Some(l: List[_]) => l.map(_.toString)
+        case _                => Nil
+      }
+    }
+    ArrayMeta(dir.getFileName.toString, dir, shape, chunks, dt, bo, fill,
+      comp, sep, dims, attrs, v3DefaultKey = encName == "default")
+  }
 
   private def buildArrayMeta(dir: Path, za: Map[String, Any],
       attrs: Map[String, Any]): ArrayMeta = {
@@ -121,13 +225,13 @@ object Zarr {
       s"$dir: Fortran chunk order not supported")
     require(za.getOrElse("filters", null) == null,
       s"$dir: zarr filters not supported")
-    val zlib = za.getOrElse("compressor", null) match {
-      case null => false
+    val comp = za.getOrElse("compressor", null) match {
+      case null => NoComp
       case m: Map[_, _] =>
         val id = m.asInstanceOf[Map[String, Any]].getOrElse("id", "?")
-        require(id == "zlib",
-          s"$dir: unsupported compressor '$id' (zlib or none)")
-        true
+        require(id == "zlib" || id == "zstd",
+          s"$dir: unsupported compressor '$id' (zlib/zstd or none)")
+        if (id == "zlib") Zlib else Zstd
       case other => throw new IllegalArgumentException(
         s"$dir: bad compressor '$other'")
     }
@@ -145,7 +249,7 @@ object Zarr {
       case v    => asDouble(v, "fill_value")
     }
     ArrayMeta(dir.getFileName.toString, dir, shape, chunks, dt, bo, fill,
-      zlib, sep, dims, attrs)
+      comp, sep, dims, attrs)
   }
 
   // ------------------------------------------------------------- chunks
@@ -168,6 +272,49 @@ object Zarr {
     } finally inf.end()
     out.toByteArray
   }
+
+  /** Inverse of the chunk compression. `cap` bounds the inflated size
+    * (hostile input must fail loudly, never OOM). */
+  private def decompress(raw: Array[Byte], comp: Compression,
+      cap: Int): Array[Byte] = comp match {
+    case NoComp => raw
+    case Zlib => inflate(raw, cap)
+    case Gzip =>
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(raw), 65536)
+      try {
+        val out = new java.io.ByteArrayOutputStream(math.min(cap, 1 << 20))
+        val buf = new Array[Byte](65536)
+        var k = in.read(buf)
+        while (k >= 0) {
+          out.write(buf, 0, k)
+          require(out.size() <= cap,
+            s"zarr: gzip chunk inflates past its $cap-byte shape")
+          k = in.read(buf)
+        }
+        out.toByteArray
+      } finally in.close()
+    case Zstd =>
+      val sz = com.github.luben.zstd.Zstd.getFrameContentSize(raw)
+      require(sz >= 0 && sz <= cap,
+        s"zarr: zstd chunk declares $sz bytes (cap $cap)")
+      val out = new Array[Byte](sz.toInt)
+      val n = com.github.luben.zstd.Zstd.decompress(out, raw)
+      require(n == sz, s"zarr: zstd chunk decoded $n of $sz bytes")
+      out
+  }
+
+  private def compress(raw: Array[Byte], comp: Compression): Array[Byte] =
+    comp match {
+      case NoComp => raw
+      case Zlib => deflate(raw)
+      case Gzip =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(raw); gz.close()
+        bos.toByteArray
+      case Zstd => com.github.luben.zstd.Zstd.compress(raw, 3)
+    }
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new Deflater(6)
@@ -198,10 +345,10 @@ object Zarr {
     * missing chunk is all-fill (the Zarr sparse-store contract). */
   def readChunk(m: ArrayMeta, idx: Seq[Int]): Array[Double] = {
     val n = m.chunks.product
-    val p = m.dir.resolve(idx.mkString(m.sep))
+    val p = m.dir.resolve(m.chunkKey(idx))
     if (!Files.exists(p)) return Array.fill(n)(m.fill)
     val raw0 = Files.readAllBytes(p)
-    val raw = if (m.zlib) inflate(raw0, n * m.dtype.size) else raw0
+    val raw = decompress(raw0, m.comp, n * m.dtype.size)
     require(raw.length >= n * m.dtype.size,
       s"$p: chunk has ${raw.length} bytes, needs ${n * m.dtype.size}")
     val bb = ByteBuffer.wrap(raw).order(m.bo)
@@ -264,9 +411,19 @@ object Zarr {
     val root = Paths.get(url)
     require(Files.isDirectory(root), s"$url: not a zarr directory store")
     val zmeta = root.resolve(".zmetadata")
-    require(Files.exists(root.resolve(".zgroup")) || Files.exists(zmeta),
-      s"$url: missing .zgroup (array-only stores are not supported — " +
-        "point at the group directory)")
+    val v3Group = {
+      val zj = jsonMap(root.resolve("zarr.json"))
+      zj.nonEmpty && {
+        require(asDouble(zj.getOrElse("zarr_format", 0L), "zarr_format") == 3 &&
+          zj.getOrElse("node_type", "") == "group",
+          s"$url: root zarr.json is not a v3 group document")
+        true
+      }
+    }
+    require(v3Group || Files.exists(root.resolve(".zgroup")) ||
+      Files.exists(zmeta),
+      s"$url: missing .zgroup / zarr.json (array-only stores are not " +
+        "supported — point at the group directory)")
     // consolidated metadata (the xarray convention): every .zarray/.zattrs
     // rides in ONE .zmetadata document — one object read instead of 2N on
     // an object store. Preferred when present; the per-array files remain
@@ -298,7 +455,9 @@ object Zarr {
       } else {
         import scala.jdk.CollectionConverters._
         Files.list(root).iterator().asScala
-          .filter(d => Files.isDirectory(d) && Files.exists(d.resolve(".zarray")))
+          .filter(d => Files.isDirectory(d) &&
+            (Files.exists(d.resolve(".zarray")) ||
+              Files.exists(d.resolve("zarr.json"))))
           .map(readArrayMeta).toSeq.sortBy(_.name)
       }
     require(arrays.nonEmpty, s"$url: no arrays in the group")
@@ -445,32 +604,69 @@ object Zarr {
     bb.array()
   }
 
+  /** v3 data_type name of a DType. */
+  private def v3TypeName(dt: DType): String = (dt.kind match {
+    case 'b' => "uint"; case 'u' => "uint"; case 'i' => "int"; case _ => "float"
+  }) + (dt.size * 8)
+
   private def writeArray(dir: Path, shape: Seq[Int], chunks: Seq[Int],
-      dt: DType, fill: Double, zlib: Boolean, dims: Seq[String],
+      dt: DType, fill: Double, comp: Compression, dims: Seq[String],
       extraAttrs: Map[String, Any],
-      chunkData: Seq[Int] => Array[Double]): Unit = {
+      chunkData: Seq[Int] => Array[Double], v3: Boolean = false): Unit = {
     Files.createDirectories(dir)
     val fillJson: Any =
       if (fill.isNaN) "NaN"
       else if (dt.isInt || fill.isWhole && math.abs(fill) < 1e15) fill.toLong
       else fill
-    val za = scala.collection.immutable.ListMap(
-      "zarr_format" -> 2L, "shape" -> shape, "chunks" -> chunks,
-      "dtype" -> dtypeStr(dt),
-      "compressor" -> (if (zlib)
-        scala.collection.immutable.ListMap("id" -> "zlib", "level" -> 6L)
-      else null),
-      "fill_value" -> fillJson, "order" -> "C", "filters" -> null)
-    Files.writeString(dir.resolve(".zarray"), Json.render(za))
-    Files.writeString(dir.resolve(".zattrs"), Json.render(
-      scala.collection.immutable.ListMap("_ARRAY_DIMENSIONS" -> dims) ++
-        extraAttrs))
+    if (v3) {
+      val codecs: Seq[Any] =
+        Seq(scala.collection.immutable.ListMap("name" -> "bytes",
+          "configuration" -> Map("endian" -> "little"))) ++
+          (comp match {
+            case NoComp => Nil
+            case Zstd => Seq(scala.collection.immutable.ListMap(
+              "name" -> "zstd",
+              "configuration" -> scala.collection.immutable.ListMap(
+                "level" -> 3L, "checksum" -> false)))
+            case _ => Seq(scala.collection.immutable.ListMap(
+              "name" -> "gzip", "configuration" -> Map("level" -> 6L)))
+          })
+      val doc = scala.collection.immutable.ListMap(
+        "zarr_format" -> 3L, "node_type" -> "array",
+        "shape" -> shape, "data_type" -> v3TypeName(dt),
+        "chunk_grid" -> scala.collection.immutable.ListMap(
+          "name" -> "regular",
+          "configuration" -> Map("chunk_shape" -> chunks)),
+        "chunk_key_encoding" -> scala.collection.immutable.ListMap(
+          "name" -> "default", "configuration" -> Map("separator" -> "/")),
+        "fill_value" -> fillJson,
+        "codecs" -> codecs,
+        "attributes" -> (scala.collection.immutable.ListMap(
+          "_ARRAY_DIMENSIONS" -> dims) ++ extraAttrs),
+        "dimension_names" -> dims)
+      Files.writeString(dir.resolve("zarr.json"), Json.render(doc))
+    } else {
+      val za = scala.collection.immutable.ListMap(
+        "zarr_format" -> 2L, "shape" -> shape, "chunks" -> chunks,
+        "dtype" -> dtypeStr(dt),
+        "compressor" -> (if (comp != NoComp)
+          scala.collection.immutable.ListMap("id" -> "zlib", "level" -> 6L)
+        else null),
+        "fill_value" -> fillJson, "order" -> "C", "filters" -> null)
+      Files.writeString(dir.resolve(".zarray"), Json.render(za))
+      Files.writeString(dir.resolve(".zattrs"), Json.render(
+        scala.collection.immutable.ListMap("_ARRAY_DIMENSIONS" -> dims) ++
+          extraAttrs))
+    }
     val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def rec(prefix: Seq[Int], d: Int): Unit =
       if (d == grid.length) {
         val raw = encodeArray(chunkData(prefix), dt, ByteOrder.LITTLE_ENDIAN)
-        Files.write(dir.resolve(prefix.mkString(".")),
-          if (zlib) deflate(raw) else raw)
+        val key = if (v3) "c/" + prefix.mkString("/")
+          else prefix.mkString(".")
+        val target = dir.resolve(key)
+        Option(target.getParent).foreach(Files.createDirectories(_))
+        Files.write(target, compress(raw, comp))
       } else (0 until grid(d)).foreach(i => rec(prefix :+ i, d + 1))
     rec(Nil, 0)
   }
@@ -483,42 +679,57 @@ object Zarr {
   def write(url: String, bands: Seq[Array[Double]], w: Int, h: Int,
       bbox: Bbox, noData: Double, projection: String, timesMs: Seq[Long],
       dtypeName: String = "float64", varName: String = "band1",
-      chunkH: Int = 256, chunkW: Int = 256, zlib: Boolean = true): Unit = {
+      chunkH: Int = 256, chunkW: Int = 256, zlib: Boolean = true,
+      zarrVersion: Int = 2): Unit = {
     require(bands.nonEmpty && bands.forall(_.length == w * h),
       "band size must equal w*h")
     require(timesMs.length == bands.length, "one time per frame required")
+    require(zarrVersion == 2 || zarrVersion == 3,
+      s"zarrVersion must be 2 or 3, got $zarrVersion")
+    val v3 = zarrVersion == 3
+    // v2 compresses with zlib; v3 with zstd (the zarr-python v3 default)
+    val dataComp: Compression =
+      if (!zlib) NoComp else if (v3) Zstd else Zlib
     val dt = DType.byName(dtypeName)
     val cx = bbox.width / w; val cy = bbox.height / h
     require(math.abs(cx - cy) <= 1e-9 * math.max(cx.abs, cy.abs),
       s"zarr written here requires square pixels (got $cx × $cy)")
     val root = Paths.get(url)
     Files.createDirectories(root)
-    Files.writeString(root.resolve(".zgroup"),
-      Json.render(Map("zarr_format" -> 2L)))
-    Files.writeString(root.resolve(".zattrs"), Json.render(
-      scala.collection.immutable.ListMap(
-        "Conventions" -> "CF-1.8", "source" -> "graft zarr export")))
+    if (v3)
+      Files.writeString(root.resolve("zarr.json"), Json.render(
+        scala.collection.immutable.ListMap(
+          "zarr_format" -> 3L, "node_type" -> "group",
+          "attributes" -> scala.collection.immutable.ListMap(
+            "Conventions" -> "CF-1.8", "source" -> "graft zarr export"))))
+    else {
+      Files.writeString(root.resolve(".zgroup"),
+        Json.render(Map("zarr_format" -> 2L)))
+      Files.writeString(root.resolve(".zattrs"), Json.render(
+        scala.collection.immutable.ListMap(
+          "Conventions" -> "CF-1.8", "source" -> "graft zarr export")))
+    }
     val cH = math.min(chunkH, h); val cW = math.min(chunkW, w)
     val nT = bands.length
 
     writeArray(root.resolve("x"), Seq(w), Seq(w), DType.F8, Double.NaN,
-      zlib = false, Seq("x"), Map("standard_name" -> "projection_x_coordinate"),
-      _ => Array.tabulate(w)(i => bbox.x1 + (i + 0.5) * cx))
+      NoComp, Seq("x"), Map("standard_name" -> "projection_x_coordinate"),
+      _ => Array.tabulate(w)(i => bbox.x1 + (i + 0.5) * cx), v3 = v3)
     writeArray(root.resolve("y"), Seq(h), Seq(h), DType.F8, Double.NaN,
-      zlib = false, Seq("y"), Map("standard_name" -> "projection_y_coordinate"),
-      _ => Array.tabulate(h)(i => bbox.y2 - (i + 0.5) * cx))
+      NoComp, Seq("y"), Map("standard_name" -> "projection_y_coordinate"),
+      _ => Array.tabulate(h)(i => bbox.y2 - (i + 0.5) * cx), v3 = v3)
     writeArray(root.resolve("time"), Seq(nT), Seq(nT), DType.F8, Double.NaN,
-      zlib = false, Seq("time"), Map(
+      NoComp, Seq("time"), Map(
         "units" -> "milliseconds since 1970-01-01T00:00",
         "calendar" -> "standard"),
-      _ => timesMs.map(_.toDouble).toArray)
+      _ => timesMs.map(_.toDouble).toArray, v3 = v3)
     val wkt = WktSrs.toWkt(projection).getOrElse(projection)
     writeArray(root.resolve("spatial_ref"), Seq(1), Seq(1), DType.I4, 0.0,
-      zlib = false, Seq("spatial_ref"), Map(
+      NoComp, Seq("spatial_ref"), Map(
         "spatial_ref" -> wkt, "crs_wkt" -> wkt),
-      _ => Array(0.0))
+      _ => Array(0.0), v3 = v3)
     writeArray(root.resolve(varName), Seq(nT, h, w), Seq(1, cH, cW), dt,
-      noData, zlib, Seq("time", "y", "x"),
+      noData, dataComp, Seq("time", "y", "x"),
       Map("grid_mapping" -> "spatial_ref"), {
         case Seq(t, cyI, cxI) =>
           val band = bands(t)
@@ -537,21 +748,24 @@ object Zarr {
           }
           out
         case other => throw new IllegalStateException(s"bad chunk $other")
-      })
-    // consolidated metadata: every JSON document in ONE .zmetadata object
-    // (the xarray convention) so cloud readers pay one metadata GET
-    val members = Seq("x", "y", "time", "spatial_ref", varName)
-    val mdb = scala.collection.immutable.ListMap.newBuilder[String, Any]
-    Seq(".zgroup", ".zattrs").foreach(f =>
-      mdb += (f -> Json.parse(Files.readString(root.resolve(f)))))
-    members.foreach { m =>
-      Seq(".zarray", ".zattrs").foreach(f =>
-        mdb += (s"$m/$f" ->
-          Json.parse(Files.readString(root.resolve(m).resolve(f)))))
+      }, v3 = v3)
+    // consolidated metadata (v2 only): every JSON document in ONE
+    // .zmetadata object (the xarray convention) so cloud readers pay
+    // one metadata GET
+    if (!v3) {
+      val members = Seq("x", "y", "time", "spatial_ref", varName)
+      val mdb = scala.collection.immutable.ListMap.newBuilder[String, Any]
+      Seq(".zgroup", ".zattrs").foreach(f =>
+        mdb += (f -> Json.parse(Files.readString(root.resolve(f)))))
+      members.foreach { m =>
+        Seq(".zarray", ".zattrs").foreach(f =>
+          mdb += (s"$m/$f" ->
+            Json.parse(Files.readString(root.resolve(m).resolve(f)))))
+      }
+      Files.writeString(root.resolve(".zmetadata"), Json.render(
+        scala.collection.immutable.ListMap(
+          "metadata" -> mdb.result(), "zarr_consolidated_format" -> 1L)))
     }
-    Files.writeString(root.resolve(".zmetadata"), Json.render(
-      scala.collection.immutable.ListMap(
-        "metadata" -> mdb.result(), "zarr_consolidated_format" -> 1L)))
   }
 }
 
@@ -616,7 +830,7 @@ case class ZarrSource(url: String, projectionArg: String = "",
   * dimension = frames), carrying the true frame instants. */
 case class ZarrSink(source: RasterBlock, url: String,
     varName: String = "band1", chunkH: Int = 256, chunkW: Int = 256,
-    compress: Boolean = true) {
+    compress: Boolean = true, zarrVersion: Int = 2) {
   def write(req: RasterRequest)(implicit spark: SparkSession): String = {
     val res = source.getData(req).getOrElse(
       throw new IllegalArgumentException("empty result"))
@@ -624,7 +838,7 @@ case class ZarrSink(source: RasterBlock, url: String,
                else s"$url/stack.zarr"
     Zarr.write(root, res.values, req.width, req.height, req.bbox,
       res.noDataValue, req.projection, res.times.map(_.toEpochMilli),
-      source.dtype.name, varName, chunkH, chunkW, compress)
+      source.dtype.name, varName, chunkH, chunkW, compress, zarrVersion)
     root
   }
 }

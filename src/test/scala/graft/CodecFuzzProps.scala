@@ -428,6 +428,39 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
     }
   }
 
+  private lazy val zarr3Fixture: java.nio.file.Path = {
+    val root = tmpRoot.resolve("fuzz3.zarr")
+    graft.raster.Zarr.write(root.toString,
+      Seq(Array.tabulate(64)(_ * 0.5), Array.tabulate(64)(_ * 2.0)),
+      8, 8, Bbox(0, 0, 8, 8), -9999.0, "EPSG:28992",
+      Seq(0L, 3600000L), "float64", chunkH = 5, chunkW = 5, zarrVersion = 3)
+    root
+  }
+
+  property("zarr v3 read survives corrupt zarr.json/zstd-chunk bytes") = {
+    val members = Gen.oneOf("band1/zarr.json", "band1/c/0/0/0",
+      "band1/c/0/1/1", "time/c/0", "x/zarr.json", "zarr.json")
+    Prop.forAll(mutationGen(1 << 9), members) {
+      case ((kind, pos, value), member) =>
+        val dst = Files.createTempDirectory(tmpRoot, "zarr3_case")
+        import scala.jdk.CollectionConverters._
+        Files.walk(zarr3Fixture).iterator().asScala
+          .filter(Files.isRegularFile(_)).foreach { p =>
+            val rel = zarr3Fixture.relativize(p)
+            val to = dst.resolve(rel)
+            Files.createDirectories(to.getParent)
+            Files.copy(p, to, StandardCopyOption.REPLACE_EXISTING)
+          }
+        val target = dst.resolve(member)
+        Files.write(target,
+          mutate(Files.readAllBytes(target), kind, pos, value))
+        cleanOrFails(s"zarr3 m=$member k=$kind p=$pos v=$value") {
+          val m = graft.raster.Zarr.readMeta(dst.toString, "EPSG:28992")
+          graft.raster.Zarr.readFrames(m, 0 until m.nFrames)
+        }
+    }
+  }
+
   private lazy val gpkgTilesFixture: Array[Byte] = {
     val p = tmpRoot.resolve("fuzz_tiles.gpkg").toString
     graft.raster.GpkgTiles.write(p, Array.tabulate(64)(_ % 1000.0),

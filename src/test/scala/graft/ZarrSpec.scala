@@ -205,4 +205,105 @@ class ZarrSpec extends SparkSpec {
       .allTimes)
     assert(e2.getMessage.contains("Fortran"))
   }
+
+  // ------------------------------------------------------------ zarr v3
+
+  test("Zarr v3 sink round-trip: zstd codec, c/ chunk keys, group doc") {
+    val dir = tmp("graft_zarr3")
+    val req = RasterFixtures.valsRequest
+    ZarrSink(RasterFixtures.source, s"$dir/stack.zarr", chunkH = 7,
+      chunkW = 5, zarrVersion = 3).write(req)(spark)
+    // v3 layout on disk: one zarr.json per node, chunks under c/
+    assert(Files.exists(Paths.get(s"$dir/stack.zarr/zarr.json")))
+    assert(Files.exists(Paths.get(s"$dir/stack.zarr/band1/zarr.json")))
+    assert(!Files.exists(Paths.get(s"$dir/stack.zarr/band1/.zarray")))
+    assert(Files.exists(Paths.get(s"$dir/stack.zarr/band1/c/0/0/0")))
+    val back = RasterFileSource(s"$dir/stack.zarr")
+    assert(back.isInstanceOf[ZarrSource])
+    assert(back.projection == "EPSG:28992")
+    val res = back.getData(req)(spark).get
+    val want = RasterFixtures.source.getData(req)(spark).get
+    assert(res.times == want.times)
+    assert(res.values.map(_.toSeq).toSeq == want.values.map(_.toSeq).toSeq)
+  }
+
+  test("foreign v3 store: gzip, big-endian, v2-style chunk keys") {
+    val root = Paths.get(tmp("graft_zarr3f"), "s.zarr")
+    writeJson(root.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group", "attributes": {}}""")
+    def coord(name: String, vals: Seq[Double], units: String): Unit = {
+      writeJson(root.resolve(name).resolve("zarr.json"),
+        s"""{"zarr_format": 3, "node_type": "array",
+           | "shape": [${vals.length}], "data_type": "float64",
+           | "chunk_grid": {"name": "regular",
+           |   "configuration": {"chunk_shape": [${vals.length}]}},
+           | "chunk_key_encoding": {"name": "default",
+           |   "configuration": {"separator": "/"}},
+           | "fill_value": "NaN",
+           | "codecs": [{"name": "bytes",
+           |   "configuration": {"endian": "little"}}],
+           | "attributes": {"units": "$units"},
+           | "dimension_names": ["$name"]}""".stripMargin)
+      val d = root.resolve(name).resolve("c")
+      Files.createDirectories(d)
+      Files.write(d.resolve("0"), leDoubles(vals))
+    }
+    coord("lon", Seq(5.125, 5.375, 5.625), "degrees_east")
+    coord("lat", Seq(52.375, 52.125), "degrees_north")
+    // data 2x3 int16 BIG endian + gzip, v2-style keys "0.0"
+    writeJson(root.resolve("t2m").resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "array",
+        | "shape": [2, 3], "data_type": "int16",
+        | "chunk_grid": {"name": "regular",
+        |   "configuration": {"chunk_shape": [2, 3]}},
+        | "chunk_key_encoding": {"name": "v2",
+        |   "configuration": {"separator": "."}},
+        | "fill_value": -9,
+        | "codecs": [{"name": "bytes", "configuration": {"endian": "big"}},
+        |   {"name": "gzip", "configuration": {"level": 6}}],
+        | "attributes": {},
+        | "dimension_names": ["lat", "lon"]}""".stripMargin)
+    val raw = beShorts(Seq(11, 12, 13, 21, 22, 23))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    Files.write(root.resolve("t2m").resolve("0.0"), bos.toByteArray)
+    val src = ZarrSource(root.toString)
+    assert(src.projection == "EPSG:4326") // degree units, no grid_mapping
+    assert(src.cellSize.contains(0.25))
+    val req = RasterRequest(src.extent.get, "EPSG:4326", 3, 2, None, None)
+    // lat DESCENDING in file = top row first: row 0 = (11,12,13)
+    assert(src.getData(req)(spark).get.values(0).toSeq ==
+      Seq(11.0, 12.0, 13.0, 21.0, 22.0, 23.0))
+  }
+
+  test("v3 failure modes are loud: sharding codec, wrong node_type") {
+    val dir = tmp("graft_zarr3b")
+    val root = Paths.get(dir, "s.zarr")
+    writeJson(root.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group", "attributes": {}}""")
+    writeJson(root.resolve("v").resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [4, 4],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular",
+        |   "configuration": {"chunk_shape": [2, 2]}},
+        | "chunk_key_encoding": {"name": "default"},
+        | "fill_value": 0,
+        | "codecs": [{"name": "sharding_indexed",
+        |   "configuration": {}}]}""".stripMargin)
+    val e = intercept[IllegalArgumentException](ZarrSource(root.toString)
+      .allTimes)
+    assert(e.getMessage.contains("bytes"))
+    // array doc at the root is not a group
+    val arr = Paths.get(dir, "a.zarr")
+    writeJson(arr.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [1],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular",
+        |   "configuration": {"chunk_shape": [1]}},
+        | "fill_value": 0, "codecs": []}""".stripMargin)
+    val e2 = intercept[IllegalArgumentException](ZarrSource(arr.toString)
+      .allTimes)
+    assert(e2.getMessage.contains("group"))
+  }
 }
