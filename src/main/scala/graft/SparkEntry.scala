@@ -2043,6 +2043,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"))
       docs.join(drop, Seq("doc_id"), "left_anti").select(col("doc_id"))
     }),
+    "p41_line_boilerplate" -> ((s, dir) =>
+      // CCNet line-level boilerplate removal: lines shared by >= 2
+      // distinct documents drop, documents reassemble from survivors
+      // (exact-dup documents empty out — visible in clean_text)
+      Lines.dropBoilerplate(tbl(s, dir, "documents"), "doc_id", "text", 2)),
+    "p42_window_dedup" -> ((s, dir) =>
+      // exact-substring duplication stats (Lee et al. 2022): 40-char
+      // windows at stride 1, global first-occurrence ownership, merged
+      // duplicated-span coverage per document
+      Lines.windowDupStats(tbl(s, dir, "documents"), "doc_id", "text", 40, 1)),
+    "p43_source_cap" -> ((s, dir) =>
+      // FineWeb-style per-source cap: deterministic md5-order rank
+      // within each source, cap 20 — kept is a flag, not a filter
+      Sampling.sourceCap(tbl(s, dir, "documents"), "doc_id", "source", 20)
+        .select(col("doc_id"), col("source"), col("src_rank"), col("kept"))),
     "p16_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(QueryLib.jaccardPairFrame(s, dir))
         .select(col("id").as("doc_id"), col("rep").as("rep_id"))),
@@ -2725,6 +2740,59 @@ object SparkEntry {
     "p18_deterministic_sample" ->
       s"""SELECT doc_id FROM documents
          |WHERE substr(md5(text), 1, 8) < '${graft.pipeline.Sampling.thresholdHex(0.25)}'""".stripMargin,
+    "p41_line_boilerplate" ->
+      """WITH lines AS (
+        |  SELECT doc_id, unnest(range(1, len(parts) + 1)) AS pos,
+        |         unnest(parts) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+        |        FROM documents)),
+        |counts AS (
+        |  SELECT line, count(DISTINCT doc_id) AS ndocs
+        |  FROM lines GROUP BY line),
+        |m AS (SELECT l.doc_id, l.pos, l.line, c.ndocs
+        |      FROM lines l JOIN counts c USING (line))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN ndocs < 2 THEN line END,
+        |    chr(10) ORDER BY pos), '') AS clean_text,
+        |  count(CASE WHEN ndocs < 2 THEN 1 END) AS n_kept,
+        |  count(CASE WHEN ndocs >= 2 THEN 1 END) AS n_removed
+        |FROM m GROUP BY doc_id""".stripMargin,
+    "p42_window_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, p AS pos, md5(substr(text, p + 1, 40)) AS h
+        |  FROM documents,
+        |       unnest(range(0, greatest(length(text) - 39, 0))) AS t(p)),
+        |r AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |      FROM w),
+        |dup AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+        |f AS (SELECT doc_id, pos,
+        |        max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM dup),
+        |i AS (SELECT doc_id, pos,
+        |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+        |            THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |      FROM f),
+        |s AS (SELECT doc_id, island, max(pos) + 40 - min(pos) AS len,
+        |        count(*) AS nw
+        |      FROM i GROUP BY doc_id, island),
+        |pd AS (SELECT doc_id, sum(len) AS dup_chars, sum(nw) AS n_dup
+        |       FROM s GROUP BY doc_id),
+        |nw AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(nw.n_windows, 0) AS n_windows,
+        |  CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(coalesce(pd.dup_chars, 0) AS BIGINT) AS dup_chars
+        |FROM documents d
+        |LEFT JOIN nw USING (doc_id) LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "p43_source_cap" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS src_rank,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20 AS kept
+        |FROM documents""".stripMargin,
     "p40_near_dedup_keep" ->
       // p16's recursive closure + anti-join: keep representatives and
       // everything outside any cluster

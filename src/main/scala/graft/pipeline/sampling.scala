@@ -200,4 +200,27 @@ object Sampling {
       targetCond: Column, buckets: Int = 4096): DataFrame =
     dsirScore(docs, idCol, textCol,
       dsirModel(docs, idCol, textCol, targetCond, buckets), buckets)
+
+  /** Per-source document cap (the FineWeb-style host/dump balancing
+    * move): each source keeps at most `cap` documents, chosen by a
+    * deterministic content-free hash order (md5 of the id rendered as
+    * text — engine-reproducible, no float, no RNG state). Output:
+    * every input row plus `src_rank` (1-based position within its
+    * source) and `kept` — filtering on `kept` is the caller's move so
+    * the statistics of what a cap WOULD drop stay queryable.
+    *
+    * 100 TB: one shuffle on the source key; per-source windows only
+    * (state bounded by one source's rows, and a pathologically hot
+    * source is exactly what the cap is for). */
+  def sourceCap(docs: DataFrame, idCol: String, srcCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be at least 1")
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(md5(encode(col(idCol).cast("string"), "UTF-8")),
+        col(idCol))
+    docs.withColumn("src_rank",
+        org.apache.spark.sql.functions.row_number().over(rank).cast("long"))
+      .withColumn("kept", col("src_rank") <= cap)
+  }
 }

@@ -227,4 +227,29 @@ class PlanSpec extends SparkSpec {
     assert(joins.head.left.collect { case a: Aggregate => a }.nonEmpty)
     assert(joins.head.right.collect { case a: Aggregate => a }.nonEmpty)
   }
+
+  test("line/window dedup joins are equi-joins with no forced broadcast") {
+    // the line- and window-hash frequency tables are web-scale by
+    // construction: the code must not HINT a broadcast (Catalyst may
+    // still pick one from tiny sf0.001 stats — that is size-based and
+    // reverses at scale), and no join may degrade to cartesian
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (q <- Seq("p41_line_boilerplate", "p42_window_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), q)
+      val hints = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"$q carries a join hint")
+    }
+    // p42's window generation is pure built-ins (codegen), no UDF
+    assert(!plan("p42_window_dedup").contains("BatchEvalPython"))
+  }
+
+  test("sourceCap is one shuffle on the source key, no global sort") {
+    val p = plan("p43_source_cap")
+    assert(p.contains("hashpartitioning(source"), p)
+    // a SinglePartition window would serialize the corpus on one task
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
