@@ -1570,6 +1570,31 @@ object SparkEntry {
           GeomFunctions.stCentroidX(col("geometry")).as("x"),
           GeomFunctions.stCentroidY(col("geometry")).as("y"))
     }),
+    "g31_knn_join" -> ((s, dir) => {
+      // distance-bounded kNN join: part points against customer points,
+      // k=3 within 0.003 deg — every in-range pair meets exactly once
+      // (right side one cell, left side ring-exploded), ranked by
+      // (squared distance, b_fid); d2 is identical IEEE arithmetic on
+      // identical doubles in both engines
+      implicit val sp: SparkSession = s
+      // the lattice steps are EXACT binary fractions (2^-10, 2^-11,
+      // 2^-12): every coordinate, difference, and square is then an
+      // exact double in BOTH engines, so equidistant ties are true ties
+      // broken identically by b_fid — 0.001-style decimal steps diverge
+      // at the ulp and flip tie ranks (measured before this fix)
+      val a = TableGeometrySource(s"$dir/part.parquet", "p_partkey", Seq(),
+        geomWktExpr = Some(
+          "concat('POINT (', 4.5 + (p_partkey % 50) * 0.0009765625, ' ', " +
+            "51.9 + cast(p_partkey / 50 as int) * 0.00048828125, ')')"),
+        proj = "EPSG:4326")
+      val b = TableGeometrySource(s"$dir/customer.parquet", "c_custkey", Seq(),
+        geomWktExpr = Some(
+          "concat('POINT (', 4.5 + (c_custkey % 60) * 0.0009765625, ' ', " +
+            "51.9 + cast(c_custkey / 60 as int) * 0.000244140625, ')')"),
+        proj = "EPSG:4326")
+      SpatialJoin.nearestWithin(a.frame(GeometryRequest())(s),
+        b.frame(GeometryRequest())(s), 3, 0.0029296875, 0.0029296875)
+    }),
     "g30_tab_roundtrip" -> ((s, dir) => {
       // MapInfo TAB binary quartet (.tab/.map/.dat/.id, the MITAB-profile
       // codec): lon/lat points with typed attributes through the int32
@@ -1849,6 +1874,22 @@ object SparkEntry {
         | 4.5 + (p_partkey % 50) * 0.001 AS x,
         | 51.9 + CAST(p_partkey // 50 AS INT) * 0.0005 AS y
         |FROM part""".stripMargin,
+    "g31_knn_join" ->
+      """WITH a AS (SELECT p_partkey AS a_fid,
+        |    4.5 + (p_partkey % 50) * 0.0009765625 AS ax,
+        |    51.9 + CAST(p_partkey // 50 AS INT) * 0.00048828125 AS ay FROM part),
+        |b AS (SELECT c_custkey AS b_fid,
+        |    4.5 + (c_custkey % 60) * 0.0009765625 AS bx,
+        |    51.9 + CAST(c_custkey // 60 AS INT) * 0.000244140625 AS by FROM customer),
+        |pairs AS (
+        |  SELECT a_fid, b_fid,
+        |    (ax-bx)*(ax-bx)+(ay-by)*(ay-by) AS d2
+        |  FROM a, b
+        |  WHERE (ax-bx)*(ax-bx)+(ay-by)*(ay-by) <= 0.0029296875*0.0029296875),
+        |r AS (SELECT a_fid, b_fid, d2,
+        |    row_number() OVER (PARTITION BY a_fid ORDER BY d2, b_fid) AS nn_rank
+        |  FROM pairs)
+        |SELECT a_fid, b_fid, d2, nn_rank FROM r WHERE nn_rank <= 3""".stripMargin,
     "g30_tab_roundtrip" ->
       """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size,
         | p_retailprice, p_name,

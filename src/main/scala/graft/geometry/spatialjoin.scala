@@ -157,4 +157,66 @@ object SpatialJoin {
       .filter(refine(col("a_geom"), col("b_geom"), col("cell")))
       .select(col("a_fid"), col("b_fid"))
   }
+
+  /** Distance-bounded k-nearest-neighbour join by CENTROID distance:
+    * for each left feature, the `k` nearest right features within
+    * `maxDist`, ranked by (squared distance, b_fid) — the bound is what
+    * keeps the search single-pass and skew-safe at scale (unbounded kNN
+    * over a dense region degenerates; real pipelines want the radius
+    * anyway). Output: (a_fid, b_fid, d2, nn_rank).
+    *
+    * Shape: the right side lands in ONE grid cell per feature; the left
+    * side explodes to the (2R+1)² cells within R = ceil(maxDist/
+    * cellSize) rings, so every in-range pair meets EXACTLY once in a
+    * hash equi-join on the cell — no dedup pass, no cross join. The
+    * per-left ranking is a window partitioned by a_fid (state bounded
+    * by one feature's candidate list). Squared distance avoids sqrt:
+    * identical IEEE multiply/add on identical inputs is bit-exact
+    * across engines, which is what the oracle relies on. */
+  def nearestWithin(left: DataFrame, right: DataFrame, k: Int,
+      maxDist: Double, cellSize: Double,
+      maxCellsPerGeom: Int = 4096): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(maxDist > 0 && cellSize > 0, "maxDist and cellSize must be positive")
+    val rings = math.ceil(maxDist / cellSize).toInt
+    require((2L * rings + 1) * (2L * rings + 1) <= maxCellsPerGeom,
+      s"maxDist/$cellSize needs ${2 * rings + 1}² cells per left feature " +
+        s"(> $maxCellsPerGeom): raise cellSize")
+    def centroids(df: DataFrame, fid: String, x: String, y: String) =
+      df.select(col("fid").as(fid),
+        GeomFunctions.stCentroidX(col("geometry")).as(x),
+        GeomFunctions.stCentroidY(col("geometry")).as(y))
+    val cellOf = udf { (x: Double, y: Double) =>
+      val cx = math.floor(x / cellSize).toLong
+      val cy = math.floor(y / cellSize).toLong
+      require(cx >= Int.MinValue && cx <= Int.MaxValue &&
+        cy >= Int.MinValue && cy <= Int.MaxValue,
+        s"coordinates ($x, $y) exceed the 32-bit cell grid: raise cellSize")
+      cellId(cx, cy)
+    }
+    val ringCells = udf { (x: Double, y: Double) =>
+      val cx = math.floor(x / cellSize).toLong
+      val cy = math.floor(y / cellSize).toLong
+      require(cx - rings >= Int.MinValue && cx + rings <= Int.MaxValue &&
+        cy - rings >= Int.MinValue && cy + rings <= Int.MaxValue,
+        s"coordinates ($x, $y) exceed the 32-bit cell grid: raise cellSize")
+      (for (dx <- -rings to rings; dy <- -rings to rings)
+        yield cellId(cx + dx, cy + dy)).toArray
+    }
+    val l = centroids(left, "a_fid", "ax", "ay")
+      .withColumn("cell", explode(ringCells(col("ax"), col("ay"))))
+    val r = centroids(right, "b_fid", "bx", "by")
+      .withColumn("cell", cellOf(col("bx"), col("by")))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    val pairs = l.join(r, "cell")
+      .select(col("a_fid"), col("b_fid"), d2.as("d2"))
+      .filter(col("d2") <= lit(maxDist * maxDist))
+    pairs.withColumn("nn_rank",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("a_fid")).orderBy(col("d2"), col("b_fid")))
+          .cast("long"))
+      .filter(col("nn_rank") <= k)
+  }
 }

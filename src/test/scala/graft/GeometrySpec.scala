@@ -277,6 +277,41 @@ class RasterMetaSpec extends SparkSpec {
     assert(e.getMessage.contains("maxCellRows"))
   }
 
+  test("nearestWithin ranks by distance with fid tie-break, honors bound") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    def pts(rows: Seq[(Long, Double, Double)]) =
+      rows.toDF("fid", "x", "y").select(col("fid"),
+        GeomFunctions.stGeomFromWkt(
+          concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")")))
+          .as("geometry"))
+    val a = pts(Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0)))
+    val b = pts(Seq(
+      (10L, 0.1, 0.0),   // d=0.1
+      (11L, 0.0, 0.2),   // d=0.2
+      (12L, 0.2, 0.2),   // d~0.283
+      (13L, 0.0, 0.9),   // d=0.9 (in bound, rank 4 -> cut by k=3)
+      (14L, 5.0, 5.0)))  // out of bound for both
+    val out = SpatialJoin.nearestWithin(a, b, k = 3, maxDist = 1.0,
+      cellSize = 0.5)
+      .orderBy("a_fid", "nn_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // left 2 has no in-range neighbor at all
+    assert(out.toSeq == Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L)))
+    // ties broken by b_fid: two equidistant points rank deterministically
+    val bt = pts(Seq((20L, 0.3, 0.0), (21L, -0.3, 0.0)))
+    val tied = SpatialJoin.nearestWithin(pts(Seq((1L, 0.0, 0.0))), bt,
+      k = 2, maxDist = 1.0, cellSize = 0.5)
+      .orderBy("nn_rank").collect().map(_.getLong(1))
+    assert(tied.toSeq == Seq(20L, 21L))
+    // each in-range pair appears exactly once despite the ring explode
+    val cnt = SpatialJoin.nearestWithin(a, b, k = 10, maxDist = 1.0,
+      cellSize = 0.1).groupBy("a_fid", "b_fid").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(cnt == 1L)
+  }
+
   test("SpatialJoin: cell indices beyond the 32-bit grid fail loudly") {
     val sp = spark
     import sp.implicits._

@@ -246,6 +246,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan("p42_window_dedup").contains("BatchEvalPython"))
   }
 
+  test("kNN join is a cell equi-join with per-left windows only") {
+    val p = plan("g31_knn_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the rank is a per-a_fid window, never a global sort
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
   test("sourceCap is one shuffle on the source key, no global sort") {
     val p = plan("p43_source_cap")
     assert(p.contains("hashpartitioning(source"), p)
