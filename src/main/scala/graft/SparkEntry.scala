@@ -2094,6 +2094,11 @@ object SparkEntry {
       // windows at stride 1, global first-occurrence ownership, merged
       // duplicated-span coverage per document
       Lines.windowDupStats(tbl(s, dir, "documents"), "doc_id", "text", 40, 1)),
+    "p44_remove_dup_spans" -> ((s, dir) =>
+      // the cut completing Lee et al.'s loop: merged duplicated spans
+      // (40-char windows, stride 1, first occurrence exempt) removed and
+      // the survivors stitched back in order — exact text oracle
+      Lines.removeDupSpans(tbl(s, dir, "documents"), "doc_id", "text", 40, 1)),
     "p43_source_cap" -> ((s, dir) =>
       // FineWeb-style per-source cap: deterministic md5-order rank
       // within each source, cap 20 — kept is a flag, not a filter
@@ -2827,6 +2832,52 @@ object SparkEntry {
         |  CAST(coalesce(pd.dup_chars, 0) AS BIGINT) AS dup_chars
         |FROM documents d
         |LEFT JOIN nw USING (doc_id) LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "p44_remove_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, p AS pos, md5(substr(text, p + 1, 40)) AS h
+        |  FROM documents,
+        |       unnest(range(0, greatest(length(text) - 39, 0))) AS t(p)),
+        |r AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |      FROM w),
+        |dup AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+        |f AS (SELECT doc_id, pos,
+        |        max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM dup),
+        |i AS (SELECT doc_id, pos,
+        |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+        |            THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |      FROM f),
+        |isl AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 40 AS e
+        |        FROM i GROUP BY doc_id, island),
+        |bef AS (SELECT doc_id,
+        |          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
+        |          s AS ge
+        |        FROM isl),
+        |tl AS (SELECT isl.doc_id, max(isl.e) AS gs,
+        |         CAST(max(length(d.text)) AS BIGINT) AS ge
+        |       FROM isl JOIN documents d USING (doc_id) GROUP BY isl.doc_id),
+        |gaps AS (SELECT doc_id, gs, ge FROM bef
+        |         UNION ALL SELECT doc_id, gs, ge FROM tl),
+        |segs AS (SELECT g.doc_id, g.gs,
+        |           substr(d.text, CAST(g.gs AS INT) + 1,
+        |             CAST(g.ge - g.gs AS INT)) AS seg
+        |         FROM gaps g JOIN documents d USING (doc_id)
+        |         WHERE g.ge > g.gs),
+        |st AS (SELECT doc_id, string_agg(seg, '' ORDER BY gs) AS ct
+        |       FROM segs GROUP BY doc_id),
+        |hd AS (SELECT DISTINCT doc_id FROM isl)
+        |SELECT d.doc_id,
+        |  coalesce(st.ct,
+        |    CASE WHEN hd.doc_id IS NOT NULL THEN '' ELSE d.text END)
+        |    AS clean_text,
+        |  CAST(length(d.text) - length(coalesce(st.ct,
+        |    CASE WHEN hd.doc_id IS NOT NULL THEN '' ELSE d.text END))
+        |    AS BIGINT) AS removed_chars
+        |FROM documents d LEFT JOIN st USING (doc_id)
+        |LEFT JOIN hd USING (doc_id)""".stripMargin,
     "p43_source_cap" ->
       """SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source

@@ -73,8 +73,11 @@ object Lines {
     * row_number window on the hash partition; the span-merge is a
     * per-document window. No broadcast anywhere — the window-hash
     * table scales with the corpus. */
-  def windowDupStats(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 40, stride: Int = 1): DataFrame = {
+  /** Shared machinery: (base docs as (doc_id, t), all windows as
+    * (doc_id, pos, h), merged duplicated islands as (doc_id, island,
+    * start, end, nw)). */
+  private def dupIslands(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, stride: Int): (DataFrame, DataFrame, DataFrame) = {
     require(w >= 4, "window length must be at least 4")
     require(stride >= 1 && stride <= w, "need 1 <= stride <= w")
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("t"))
@@ -100,11 +103,19 @@ object Lines {
       .withColumn("island",
         sum(when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
           .otherwise(0L)).over(byDoc))
-    val spans = flagged.groupBy("doc_id", "island")
-      .agg((max(col("pos")) + w - min(col("pos"))).as("len"),
+    val islands = flagged.groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("start"),
+        (max(col("pos")) + w).as("end"),
         count(lit(1)).as("nw"))
-    val perDoc = spans.groupBy("doc_id")
-      .agg(sum("len").as("dup_chars"), sum("nw").as("n_dup_windows"))
+    (base, windows, islands)
+  }
+
+  def windowDupStats(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 40, stride: Int = 1): DataFrame = {
+    val (base, windows, islands) = dupIslands(docs, idCol, textCol, w, stride)
+    val perDoc = islands.groupBy("doc_id")
+      .agg(sum(col("end") - col("start")).as("dup_chars"),
+        sum("nw").as("n_dup_windows"))
     base.select(col("doc_id"))
       .join(windows.groupBy("doc_id").agg(count(lit(1)).as("n_windows")),
         Seq("doc_id"), "left")
@@ -113,5 +124,50 @@ object Lines {
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
+  /** The CUT that completes Lee et al.'s loop: remove every merged
+    * duplicated span (keeping each span's globally FIRST occurrence
+    * intact, since ownership exempts it from the dup set) and stitch
+    * the survivors back together. Output: `(doc_id, clean_text,
+    * removed_chars)`.
+    *
+    * The stitch is pure relational algebra: each island contributes
+    * the GAP before it (previous island's end → its start, via lag),
+    * one extra segment covers last-end → document length, and the
+    * ordered gap substrings concatenate per document — so the oracle
+    * replays it with the same window functions. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 40, stride: Int = 1): DataFrame = {
+    val (base, _, islands) = dupIslands(docs, idCol, textCol, w, stride)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val before = islands
+      .withColumn("gap_start", coalesce(lag(col("end"), 1).over(byDoc), lit(0L)))
+      .select(col("doc_id"), col("gap_start"), col("start").as("gap_end"))
+    val tail = islands.groupBy("doc_id")
+      .agg(max(col("end")).as("gap_start"))
+      .join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("gap_start"),
+        length(col("t")).cast("long").as("gap_end"))
+    val gaps = before.unionByName(tail)
+      .filter(col("gap_end") > col("gap_start"))
+    val stitched = gaps.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("gap_start"),
+        expr("substring(t, gap_start + 1, gap_end - gap_start)").as("seg"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("gap_start"), col("seg")))),
+        x => x.getField("seg")), "").as("clean_text"))
+    // a doc whose entire text is one island has NO gaps: it must come
+    // back empty, not untouched — distinguish via the dup-doc set
+    val dupDocs = islands.select(col("doc_id")).distinct()
+      .withColumn("_hasdup", lit(true))
+    base.join(stitched, Seq("doc_id"), "left")
+      .join(dupDocs, Seq("doc_id"), "left")
+      .withColumn("_clean", coalesce(col("clean_text"),
+        when(col("_hasdup"), lit("")).otherwise(col("t"))))
+      .select(col("doc_id"), col("_clean").as("clean_text"),
+        (length(col("t")) - length(col("_clean"))).cast("long")
+          .as("removed_chars"))
   }
 }

@@ -69,6 +69,42 @@ class LinesSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 2L, 8L)))
   }
 
+  test("removeDupSpans cuts merged spans, keeps the first occurrence") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "abcdefgh"),        // owner: untouched
+      (2L, "xxabcdyy"),        // loses "abcd" -> "xxyy"
+      (3L, "ppabcdefqq"),      // loses the merged "abcdef" -> "ppqq"
+      (4L, "abcd"),            // whole doc duplicated -> empty
+      (5L, "zz")               // shorter than w: untouched
+    ).toDF("doc_id", "text")
+    val out = Lines.removeDupSpans(docs, "doc_id", "text", w = 4, stride = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "abcdefgh", 0L),
+      (2L, "xxyy", 4L),
+      (3L, "ppqq", 6L),
+      (4L, "", 4L),
+      (5L, "zz", 0L)))
+  }
+
+  test("removeDupSpans stitches multiple disjoint gaps in order") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "abcd0000efgh1111"),
+      (2L, "abcd2222efgh3333")  // loses abcd AND efgh, keeps the rest
+    ).toDF("doc_id", "text")
+    val out = Lines.removeDupSpans(docs, "doc_id", "text", w = 4, stride = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "abcd0000efgh1111", 0L),
+      (2L, "22223333", 8L)))
+  }
+
   test("sourceCap ranks deterministically and caps per source") {
     val sp = spark
     import sp.implicits._
