@@ -2094,6 +2094,12 @@ object SparkEntry {
       // windows at stride 1, global first-occurrence ownership, merged
       // duplicated-span coverage per document
       Lines.windowDupStats(tbl(s, dir, "documents"), "doc_id", "text", 40, 1)),
+    "p45_wav_features" -> ((s, dir) =>
+      // multimodal audio: one REAL mono PCM-16 WAV payload per document
+      // (deterministic position-indexed samples), decoded back through
+      // the from-scratch RIFF codec into integer features
+      Audio.wavFeatures(Audio.syntheticWavTable(
+        tbl(s, dir, "documents").select(col("doc_id")), "doc_id", 160, 16000))),
     "p44_remove_dup_spans" -> ((s, dir) =>
       // the cut completing Lee et al.'s loop: merged duplicated spans
       // (40-char windows, stride 1, first occurrence exempt) removed and
@@ -2832,6 +2838,16 @@ object SparkEntry {
         |  CAST(coalesce(pd.dup_chars, 0) AS BIGINT) AS dup_chars
         |FROM documents d
         |LEFT JOIN nw USING (doc_id) LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "p45_wav_features" ->
+      """WITH s AS (SELECT doc_id, unnest(range(0, 160)) AS i FROM documents),
+        |v AS (SELECT doc_id,
+        |        ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS smp
+        |      FROM s)
+        |SELECT doc_id, count(*) AS n_samples,
+        |  CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(smp)) AS BIGINT) AS peak,
+        |  CAST(count(*) * 1000 // 16000 AS BIGINT) AS duration_ms
+        |FROM v GROUP BY doc_id""".stripMargin,
     "p44_remove_dup_spans" ->
       """WITH w AS (
         |  SELECT doc_id, p AS pos, md5(substr(text, p + 1, 40)) AS h

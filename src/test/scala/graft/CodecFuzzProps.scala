@@ -614,6 +614,18 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
     }
   }
 
+  private lazy val wavFixture: Array[Byte] =
+    graft.pipeline.Wav.encode(
+      Array.tabulate(500)(i => ((i * 977) % 65536 - 32768).toShort), 16000)
+
+  property("wav decode survives corrupt header/chunk/payload bytes") =
+    Prop.forAll(mutationGen(wavFixture.length)) { case (kind, pos, value) =>
+      val bytes = mutate(wavFixture, kind, pos, value)
+      cleanOrFails(s"wav k=$kind p=$pos v=$value") {
+        graft.pipeline.Wav.decode(bytes)
+      }
+    }
+
   property("gpx element parse survives corrupt/truncated fragments") = {
     val wpt =
       """<wpt lat="52.05" lon="5.1"><ele>12.5</ele><name>home</name><extensions><graft:fid>3</graft:fid><graft:p>7</graft:p></extensions></wpt>"""

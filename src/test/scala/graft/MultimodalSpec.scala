@@ -56,4 +56,58 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, 5, 2)
     assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) == 3))
   }
+
+  test("WAV codec round-trips PCM-16 exactly; chunk walk skips LIST") {
+    import graft.pipeline.Wav
+    val samples = Array.tabulate(300)(i =>
+      ((i * 977) % 65536 - 32768).toShort)
+    val bytes = Wav.encode(samples, 22050)
+    val (rate, back) = Wav.decode(bytes)
+    assert(rate == 22050 && back.sameElements(samples))
+    // splice an unknown LIST chunk between fmt and data: decode skips it
+    val head = bytes.take(36) // RIFF..fmt chunk end
+    val tail = bytes.drop(36) // data chunk
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++
+      Array[Byte](0) // odd size -> pad byte
+    val spliced = head ++ list ++ tail
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val (rate2, back2) = Wav.decode(spliced)
+    assert(rate2 == 22050 && back2.sameElements(samples))
+  }
+
+  test("WAV failure modes are loud: magic, stereo, truncation, bits") {
+    import graft.pipeline.Wav
+    val good = Wav.encode(Array.tabulate(16)(_.toShort), 8000)
+    val noMagic = good.clone(); noMagic(0) = 'X'
+    assert(intercept[IllegalArgumentException](Wav.decode(noMagic))
+      .getMessage.contains("RIFF"))
+    val stereo = good.clone(); stereo(22) = 2
+    assert(intercept[IllegalArgumentException](Wav.decode(stereo))
+      .getMessage.contains("channels"))
+    val bits8 = good.clone(); bits8(34) = 8
+    assert(intercept[IllegalArgumentException](Wav.decode(bits8))
+      .getMessage.contains("bits"))
+    assert(intercept[IllegalArgumentException](Wav.decode(good.take(30)))
+      .getMessage.contains("wav"))
+  }
+
+  test("wavFeatures computes integer stats through the binary column") {
+    import graft.pipeline.Audio
+    val sp = spark
+    import sp.implicits._
+    val out = Audio.wavFeatures(Audio.syntheticWavTable(
+        Seq(0L, 1L, 7L).toDF("doc_id"), "doc_id", 160, 16000))
+      .orderBy("doc_id").collect()
+    for (r <- out) {
+      val id = r.getLong(0)
+      val samples = Array.tabulate(160)(i => Audio.sample(id, i))
+      assert(r.getLong(1) == 160L)
+      assert(r.getLong(2) == samples.map(s => s.toLong * s.toLong).sum)
+      assert(r.getLong(3) == samples.map(s => math.abs(s.toLong)).max)
+      assert(r.getLong(4) == 10L) // 160 samples at 16 kHz
+    }
+  }
 }
