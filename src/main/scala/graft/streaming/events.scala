@@ -142,3 +142,41 @@ object Sessionize {
         updateUser(gapUs))
   }
 }
+
+/** Streaming per-source admission cap — the ingestion-time counterpart
+  * of `Sampling.sourceCap`: admit the first `cap` documents per source
+  * in ARRIVAL order, carrying the admission sequence number. Batch
+  * sourceCap ranks by a deterministic content hash (reproducible
+  * sampling); the stream cannot see future arrivals, so its contract
+  * is arrival-order admission with exact COUNT parity — per source,
+  * exactly min(cap, n) rows are ever emitted, across any number of
+  * micro-batches (the per-source admitted count is the only state,
+  * O(sources) total). */
+object StreamCap {
+
+  case class Admitted(doc_id: Long, source: String, src_seq: Long)
+
+  private def admit(cap: Int)(src: String, it: Iterator[(Long, String)],
+      state: GroupState[Long]): Iterator[Admitted] = {
+    var n = state.getOption.getOrElse(0L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Admitted]
+    it.foreach { case (id, _) =>
+      if (n < cap) { n += 1; out += Admitted(id, src, n) }
+    }
+    state.update(n)
+    out.iterator
+  }
+
+  /** Works on a static frame too (flatMapGroupsWithState on a batch
+    * Dataset runs the same state function once per group). */
+  def apply(docs: DataFrame, cap: Int)
+      (implicit spark: SparkSession): Dataset[Admitted] = {
+    import spark.implicits._
+    require(cap >= 1, "cap must be at least 1")
+    docs.select(col("doc_id").cast("long"), col("source"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        admit(cap))
+  }
+}

@@ -186,4 +186,39 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch && streamed.size == batch.size)
     } finally q.stop()
   }
+
+  test("streaming per-source cap admits exactly min(cap, n) per source") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = QueryLib.tbl(spark, dir, "documents")
+    val wantCounts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> math.min(20L, r.getLong(1))).toMap
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_cap_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val src = spark.readStream.schema(docs.schema).parquet(streamDir.toString)
+    val admitted = graft.streaming.StreamCap(src, 20)
+    val q = admitted.writeStream.outputMode("append")
+      .format("memory").queryName("stream_cap").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("stream_cap").collect()
+      val got = rows.groupBy(_.getString(1)).map { case (s, rs) =>
+        s -> rs.length.toLong
+      }
+      assert(got == wantCounts, s"admitted per source: $got")
+      // the admission sequence per source is a permutation of 1..count
+      rows.groupBy(_.getString(1)).foreach { case (s, rs) =>
+        assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length),
+          s"source $s sequence")
+      }
+      // no document admitted twice
+      assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    } finally q.stop()
+    // and the SAME state function runs on a static frame
+    val staticOut = graft.streaming.StreamCap(docs, 20)
+    assert(staticOut.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == wantCounts)
+  }
 }
