@@ -2094,6 +2094,14 @@ object SparkEntry {
       // windows at stride 1, global first-occurrence ownership, merged
       // duplicated-span coverage per document
       Lines.windowDupStats(tbl(s, dir, "documents"), "doc_id", "text", 40, 1)),
+    "p46_gif_frames" -> ((s, dir) => {
+      // multimodal video: one REAL 4-frame animated GIF per document
+      // (indexed 256-gray palette = lossless), decoded back frame by
+      // frame through ImageIO's sequence reader into integer stats
+      implicit val sp: SparkSession = s
+      Multimodal.videoFrameStats(Multimodal.syntheticGifTable(
+        tbl(s, dir, "documents").select(col("doc_id"))))
+    }),
     "p45_wav_features" -> ((s, dir) =>
       // multimodal audio: one REAL mono PCM-16 WAV payload per document
       // (deterministic position-indexed samples), decoded back through
@@ -2838,6 +2846,19 @@ object SparkEntry {
         |  CAST(coalesce(pd.dup_chars, 0) AS BIGINT) AS dup_chars
         |FROM documents d
         |LEFT JOIN nw USING (doc_id) LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "p46_gif_frames" ->
+      """WITH g AS (SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 12 + 8 AS h
+        |           FROM documents),
+        |p AS (SELECT doc_id, w, h, f,
+        |        sum((doc_id * 31 + x * 7 + y * 13 + f * 17) % 256) AS ps
+        |      FROM g, unnest(range(0, 4)) AS tf(f),
+        |           unnest(range(0, w)) AS tx(x),
+        |           unnest(range(0, h)) AS ty(y)
+        |      GROUP BY doc_id, w, h, f)
+        |SELECT doc_id, CAST(f AS INT) AS frame, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, CAST(ps AS BIGINT) AS pix_sum,
+        |  CAST(w * h AS BIGINT) AS n_pix
+        |FROM p""".stripMargin,
     "p45_wav_features" ->
       """WITH s AS (SELECT doc_id, unnest(range(0, 160)) AS i FROM documents),
         |v AS (SELECT doc_id,

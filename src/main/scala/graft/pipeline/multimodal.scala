@@ -177,4 +177,103 @@ object Multimodal {
       }
     }.toDF("doc_id", "frame", "chunk")
   }
+
+  // ------------------------------------------------- video (animated GIF)
+
+  /** REAL multi-frame video decode for one container: animated GIF via
+    * the JDK's ImageIO sequence reader (no native libraries). Returns
+    * per-frame integer statistics — pixel sum and count stay integers
+    * so an oracle replays them without a codec. */
+  private[pipeline] def decodeGifFrames(payload: Array[Byte])
+      : Seq[(Int, Int, Int, Long)] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val readers = javax.imageio.ImageIO.getImageReaders(in)
+    require(readers.hasNext, "gif: no reader for payload")
+    val reader = readers.next()
+    try {
+      reader.setInput(in)
+      val n = reader.getNumImages(true)
+      require(n >= 1 && n <= 4096, s"gif: $n frames")
+      (0 until n).map { f =>
+        val img = reader.read(f)
+        val w = img.getWidth; val h = img.getHeight
+        require(w.toLong * h <= (1L << 24), s"gif: frame $f is $w x $h")
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += (img.getRGB(x, y) & 0xFF) // gray rides in every channel
+            x += 1
+          }
+          y += 1
+        }
+        (f, w, h, sum)
+      }
+    } finally { reader.dispose(); in.close() }
+  }
+
+  /** Per-frame statistics of an animated-GIF video column:
+    * (doc_id, frame, width, height, pix_sum, n_pix). */
+  def videoFrameStats(media: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload")
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeGifFrames(payload).map { case (f, w, h, sum) =>
+            (id, f, w, h, sum, w.toLong * h)
+          }
+        }
+      }.toDF("doc_id", "frame", "width", "height", "pix_sum", "n_pix")
+  }
+
+  /** Deterministic synthetic videos, REALLY encoded: one 4-frame
+    * animated GIF per id, frames on an explicit 256-gray palette
+    * (TYPE_BYTE_INDEXED — GIF stores indices exactly, so the decode has
+    * the closed form pixel(x, y, f) = (id·31 + x·7 + y·13 + f·17) mod
+    * 256 with dimensions (id mod 16 + 8) × (id mod 12 + 8)). */
+  def syntheticGifTable(ids: DataFrame, idCol: String = "doc_id",
+      frames: Int = 4)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      val grays = Array.tabulate(256)(i => (i | (i << 8) | (i << 16)).toInt)
+      val palette = new java.awt.image.IndexColorModel(
+        8, 256, grays, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+      it.map { id =>
+        val w = (id % 16 + 8).toInt
+        val h = (id % 12 + 8).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        try {
+          writer.setOutput(out)
+          writer.prepareWriteSequence(null)
+          for (f <- 0 until frames) {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+            val r = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                r.setSample(x, y, 0,
+                  ((id * 31 + x * 7 + y * 13 + f * 17) % 256).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); out.close() }
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
 }

@@ -57,6 +57,24 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) == 3))
   }
 
+  test("animated GIF videos decode frame-exact against the closed form") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 23L)
+    val out = Multimodal.videoFrameStats(
+        Multimodal.syntheticGifTable(ids.toDF("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.size == ids.length * 4)
+    for (id <- ids; f <- 0 until 4) {
+      val w = (id % 16 + 8).toInt; val h = (id % 12 + 8).toInt
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y * 13 + f * 17) % 256).sum
+      val (gw, gh, ps, np) = out((id, f))
+      assert(gw == w && gh == h && np == w.toLong * h)
+      assert(ps == want, s"id=$id frame=$f: $ps != $want")
+    }
+  }
+
   test("WAV codec round-trips PCM-16 exactly; chunk walk skips LIST") {
     import graft.pipeline.Wav
     val samples = Array.tabulate(300)(i =>
