@@ -116,6 +116,10 @@ object Grib {
     val ni = u32(b); val nj = u32(b)
     require(ni > 0 && nj > 0 && ni <= Int.MaxValue && nj <= Int.MaxValue,
       s"$path: grid $ni x $nj")
+    // allocation guard: hostile dimensions must fail loudly, not OOM or
+    // wrap the int cell count (mirror of the zarr/hdf5 chunk caps)
+    require(ni * nj <= (1L << 27),
+      s"$path: grid of ${ni * nj} cells too large for this reader (2^27 max)")
     require(numPoints == ni * nj,
       s"$path: numPoints $numPoints != Ni*Nj ${ni * nj}")
     val basicAngle = u32(b); u32(b) // subdivisions
