@@ -191,6 +191,29 @@ object SparkEntry {
         .select(col("event_id"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
+    "q17_range_join" -> ((s, dir) => {
+      // time-range self-join via temporal bucketing — the classic
+      // interval-join-as-equi-join move: each event lands in ONE 12-hour
+      // bucket on the right, explodes to its 3 covering buckets on the
+      // left, so every in-range pair meets exactly once in a hash
+      // equi-join on (user, bucket); |Δt| refines in integer micros
+      val W = 43200000000L // 12 h
+      val e = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+      val r = e.select(col("user_id"), col("event_id").as("b_id"),
+        col("us").as("b_us"), expr(s"us DIV $W").as("bucket"))
+      val l = e.withColumn("bucket",
+        explode(array(expr(s"us DIV $W - 1"), expr(s"us DIV $W"),
+          expr(s"us DIV $W + 1"))))
+      val near = l.join(r, Seq("user_id", "bucket"))
+        .filter(col("b_id") =!= col("event_id") &&
+          abs(col("b_us") - col("us")) <= W)
+        .groupBy("event_id").agg(count(lit(1)).as("n_near"))
+      e.select(col("event_id")).join(near, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+    }),
     "q13_asof_ffill" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -206,6 +229,15 @@ object SparkEntry {
     "q11_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
         | round(sum(value), 4) AS total FROM events GROUP BY 1, 2""".stripMargin,
+    "q17_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |c AS (SELECT a.event_id, count(*) AS n_near
+        |      FROM e a JOIN e b ON a.user_id = b.user_id
+        |        AND b.event_id <> a.event_id
+        |        AND abs(b.us - a.us) <= 43200000000
+        |      GROUP BY a.event_id)
+        |SELECT e.event_id, CAST(coalesce(c.n_near, 0) AS BIGINT) AS n_near
+        |FROM e LEFT JOIN c USING (event_id)""".stripMargin,
     "q12_running_sum" ->
       """SELECT event_id, user_id, round(sum(value) OVER
         | (PARTITION BY user_id ORDER BY ts, event_id

@@ -254,6 +254,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p.take(2000))
   }
 
+  test("time-range self-join is a (user, bucket) equi-join, no cartesian") {
+    val p = plan("q17_range_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("sourceCap is one shuffle on the source key, no global sort") {
     val p = plan("p43_source_cap")
     assert(p.contains("hashpartitioning(source"), p)
