@@ -192,27 +192,21 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
     "q17_range_join" -> ((s, dir) => {
-      // time-range self-join via temporal bucketing — the classic
-      // interval-join-as-equi-join move: each event lands in ONE 12-hour
-      // bucket on the right, explodes to its 3 covering buckets on the
-      // left, so every in-range pair meets exactly once in a hash
-      // equi-join on (user, bucket); |Δt| refines in integer micros
-      val W = 43200000000L // 12 h
-      val e = tbl(s, dir, "events")
+      // same-user neighbor count within ±12 h as a value-based RANGE
+      // window: one shuffle on user_id, O(n log n) per user, zero pair
+      // materialization. The former bucketed pair-join was quadratic on
+      // a hot user (n events in one bucket → n² candidate rows on one
+      // (user, bucket) key); the window frame slides over the sorted
+      // timestamps instead, so a 10⁵-event user costs 10⁵ frame moves,
+      // not 10¹⁰ pairs. count includes self → subtract 1.
+      val W = 43200000000L // 12 h in micros
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-W, W)
+      tbl(s, dir, "events")
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("us"))
-      val r = e.select(col("user_id"), col("event_id").as("b_id"),
-        col("us").as("b_us"), expr(s"us DIV $W").as("bucket"))
-      val l = e.withColumn("bucket",
-        explode(array(expr(s"us DIV $W - 1"), expr(s"us DIV $W"),
-          expr(s"us DIV $W + 1"))))
-      val near = l.join(r, Seq("user_id", "bucket"))
-        .filter(col("b_id") =!= col("event_id") &&
-          abs(col("b_us") - col("us")) <= W)
-        .groupBy("event_id").agg(count(lit(1)).as("n_near"))
-      e.select(col("event_id")).join(near, Seq("event_id"), "left")
-        .select(col("event_id"),
-          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .withColumn("n_near", count(lit(1)).over(w) - 1)
+        .select(col("event_id"), col("n_near"))
     }),
     "q13_asof_ffill" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -517,6 +511,29 @@ object SparkEntry {
           zarrVersion = 3).write(fullReq(g))
         cells(RasterFileSource(s"$out/stack.zarr").frame(fullReq(g)), g)
       }),
+      "r58_zarr_sharded" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // Zarr v3 sharding_indexed: shard objects holding 2×2 inner
+        // chunks + a crc32c-protected (offset, nbytes) index footer —
+        // the cloud-scale v3 layout; the read is positioned byte
+        // ranges off the index, and a TEMPORAL slice proves the
+        // intra-shard pruning path (only intersecting inner chunks
+        // decode)
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_zarrsh").toString
+        // even chunk edges ≤ the grid so the 2×2 inner split divides
+        val cH = math.min(8, g.h) & ~1
+        val cW = math.min(6, g.w) & ~1
+        ZarrSink(a, s"$out/stack.zarr", chunkH = cH, chunkW = cW,
+          zarrVersion = 3, shardSplit = 2).write(fullReq(g))
+        val src = RasterFileSource(s"$out/stack.zarr")
+        val sliced = fullReq(g).copy(
+          start = Some(java.time.Instant.ofEpochMilli(Hour)),
+          stop = Some(java.time.Instant.ofEpochMilli(2 * Hour)))
+        cells(src.frame(fullReq(g)), g)
+          .unionAll(cells(src.frame(sliced), g)
+            .withColumn("t_idx", col("t_idx") + lit(100L)))
+      }),
       "r45_zarr_slice" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // temporal slice: the chunk-pruned path decodes only frames 1-2's
@@ -572,6 +589,23 @@ object SparkEntry {
         val out = java.nio.file.Files.createTempDirectory("verify_grib").toString
         val p = GribSink(a, s"$out/stack.grib2", degPerCell = 0.05)
           .write(fullReq(g))
+        val src = RasterFileSource(p)
+        val back = RasterRequest(src.extent.get, "EPSG:4326", g.w, g.h,
+          Some(java.time.Instant.ofEpochMilli(0)),
+          Some(java.time.Instant.ofEpochMilli(Hour * (g.frames - 1))))
+        cells(src.frame(back), g)
+      }),
+      "r57_grib_complex" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the whole stack through GRIB2 COMPLEX packing with 2nd-order
+        // spatial differencing (templates 5.3/7.3): general group
+        // splitting, per-group references/widths, sign-magnitude
+        // initial values + overall minimum — the packing real GFS/ECMWF
+        // products use; exact over integer-quantized values
+        val a = eventsRaster(dir, g, "cast(floor(value) as double)")
+        val out = java.nio.file.Files.createTempDirectory("verify_gribc").toString
+        val p = GribSink(a, s"$out/stack.grib2", degPerCell = 0.05,
+          template = 3, sdOrder = 2).write(fullReq(g))
         val src = RasterFileSource(p)
         val back = RasterRequest(src.extent.get, "EPSG:4326", g.w, g.h,
           Some(java.time.Instant.ofEpochMilli(0)),
@@ -843,6 +877,8 @@ object SparkEntry {
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r56_grib_slice" -> s"""${cellsSql("FLOOR(value)")}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
+    "r57_grib_complex" -> s"""${cellsSql("FLOOR(value)")}
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r54_vrt_mosaic" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx = 0""".stripMargin,
     "r43_netcdf_slice" -> s"""${cellsSql()}
@@ -851,6 +887,10 @@ object SparkEntry {
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r55_zarr_v3" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r58_zarr_sharded" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells
+      |UNION ALL
+      |SELECT t_idx + 100, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
     "r46_hdf5_roundtrip" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r45_zarr_slice" -> s"""${cellsSql()}

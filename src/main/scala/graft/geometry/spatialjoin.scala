@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * one explode per side + one shuffle on the cell key.
   *
   * Skew hardening (real data is metro-dense): a cheap map-side-combined
-  * stats pass counts rows per (cell, side) on the already-materialized
-  * exploded frames. Cells whose population exceeds `saltAbove` on
+  * stats pass counts rows per (cell, side) over a cells-only projection
+  * (re-running the envelope UDF rather than checkpointing the exploded
+  * frames, so the returned plan stays lazy and lineage-replayable on a
+  * real cluster). Cells whose population exceeds `saltAbove` on
   * either side are SALTED — the right side hashes each row into one of
   * `saltFactor` sub-keys, the left side replicates its rows in those
   * cells across all sub-keys — so the join stays an equi-join on
@@ -46,9 +48,67 @@ object SpatialJoin {
     * `geometry` WKB). */
   def intersects(left: DataFrame, right: DataFrame, cellSize: Double,
       maxCellsPerGeom: Int = 4096, saltAbove: Int = 100000,
-      saltFactor: Int = 16, maxCellRows: Long = 10000000L): DataFrame =
+      saltFactor: Int = 16, maxCellRows: Long = 10000000L,
+      skewGuard: Boolean = true): DataFrame =
     join(left, right, cellSize, "intersects", maxCellsPerGeom,
-      saltAbove, saltFactor, maxCellRows)
+      saltAbove, saltFactor, maxCellRows, skewGuard)
+
+  /** Stats pass shared by join() and nearestWithin(): per-(cell, side)
+    * populations, map-side combined, so output is one row per populated
+    * cell and only cells ABOVE `saltAbove` reach the driver (bounded by
+    * a loud 2^16 cap). Fails loudly when any cell exceeds `maxCellRows`
+    * on either side. The inputs are cells-only projections — the pass
+    * re-runs the envelope/centroid UDF rather than materializing the
+    * exploded frames, deliberately: a localCheckpoint here would be
+    * executor-local and non-replayable (an executor loss between
+    * materialization and the join kills the query on a real cluster),
+    * while one extra map-side scan of the geometry column is cheap,
+    * partition-parallel, and keeps the returned plan fully lazy and
+    * lineage-replayable. */
+  private def hotCells(lCells: DataFrame, rCells: DataFrame,
+      saltAbove: Int, maxCellRows: Long): Set[Long] = {
+    val counts = lCells.select(col("cell"), lit(0).as("_side"))
+      .unionAll(rCells.select(col("cell"), lit(1).as("_side")))
+      .groupBy("cell", "_side").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > saltAbove)
+    val maxHotCells = 1 << 16
+    val hotRows = counts.limit(maxHotCells + 1).collect()
+    require(hotRows.length <= maxHotCells,
+      s"more than $maxHotCells grid cells exceed saltAbove=$saltAbove: " +
+        "lower cellSize (or raise saltAbove)")
+    hotRows.find(_.getLong(2) > maxCellRows).foreach { row =>
+      throw new IllegalArgumentException(
+        s"spatial join cell ${row.getLong(0)} holds ${row.getLong(2)} rows " +
+          s"on side ${row.getInt(1)} (> maxCellRows=$maxCellRows): lower " +
+          "cellSize so the dense area spreads over more cells")
+    }
+    hotRows.map(_.getLong(0)).toSet
+  }
+
+  /** Equi-join on `cell`, salting the cells in `hotSet`: each right row
+    * lands in exactly ONE salt (hash of `rightHash`), left rows in hot
+    * cells replicate across all `saltFactor` salts — every in-cell pair
+    * still meets exactly once and the join stays an equi-join on
+    * (cell, _salt), so one hot cell spreads over saltFactor tasks. */
+  private def saltedCellJoin(l: DataFrame, r: DataFrame,
+      rightHash: org.apache.spark.sql.Column, hotSet: Set[Long],
+      saltFactor: Int): DataFrame =
+    if (hotSet.isEmpty) l.join(r, "cell")
+    else {
+      log.warn(s"spatial join: salting ${hotSet.size} hot cells " +
+        s"across $saltFactor sub-keys")
+      val bc = l.sparkSession.sparkContext.broadcast(hotSet)
+      val isHot = udf { (c: Long) => bc.value.contains(c) }
+      val salts = array((0 until saltFactor).map(i => lit(i.toLong)): _*)
+      val rS = r.withColumn("_salt",
+        when(isHot(col("cell")),
+          pmod(xxhash64(rightHash), lit(saltFactor.toLong)))
+          .otherwise(lit(0L)))
+      val lS = l.withColumn("_salt",
+        explode(when(isHot(col("cell")), salts)
+          .otherwise(array(lit(0L)))))
+      lS.join(rS, Seq("cell", "_salt")).drop("_salt")
+    }
 
   /** Grid-bucketed join under a JTS predicate: "intersects",
     * "within" (left within right) or "contains" (left contains right).
@@ -58,7 +118,7 @@ object SpatialJoin {
   def join(left: DataFrame, right: DataFrame, cellSize: Double,
       predicate: String, maxCellsPerGeom: Int = 4096,
       saltAbove: Int = 100000, saltFactor: Int = 16,
-      maxCellRows: Long = 10000000L): DataFrame = {
+      maxCellRows: Long = 10000000L, skewGuard: Boolean = true): DataFrame = {
     require(cellSize > 0, "cellSize must be positive")
     require(Seq("intersects", "within", "contains").contains(predicate),
       s"unknown predicate '$predicate' (intersects, within, contains)")
@@ -82,37 +142,20 @@ object SpatialJoin {
       (for (cx <- cx0 to cx1; cy <- cy0 to cy1)
         yield cellId(cx, cy)).toArray
     }
-    // localCheckpoint (not cache): the stats job and the join both read
-    // the materialized explode instead of re-running WKB parsing, and
-    // the ContextCleaner reclaims it with the frame
     val l = left.select(col("fid").as("a_fid"),
         col("geometry").as("a_geom"))
       .withColumn("cell", explode(cellsUdf(col("a_geom"))))
-      .localCheckpoint()
     val r = right.select(col("fid").as("b_fid"),
         col("geometry").as("b_geom"))
       .withColumn("cell", explode(cellsUdf(col("b_geom"))))
-      .localCheckpoint()
-
-    // per-(cell, side) populations: output is one row per POPULATED
-    // cell — bounded by the explode size, combined map-side
-    val counts = l.select(col("cell"), lit(0).as("_side"))
-      .unionAll(r.select(col("cell"), lit(1).as("_side")))
-      .groupBy("cell", "_side").agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > saltAbove)
-    val maxHotCells = 1 << 16
-    // bounded driver pull: only cells ABOVE the salt threshold come back
-    val hotRows = counts.limit(maxHotCells + 1).collect()
-    require(hotRows.length <= maxHotCells,
-      s"more than $maxHotCells grid cells exceed saltAbove=$saltAbove: " +
-        "lower cellSize (or raise saltAbove)")
-    hotRows.find(_.getLong(2) > maxCellRows).foreach { row =>
-      throw new IllegalArgumentException(
-        s"spatial join cell ${row.getLong(0)} holds ${row.getLong(2)} rows " +
-          s"on side ${row.getInt(1)} (> maxCellRows=$maxCellRows): lower " +
-          "cellSize so the dense area spreads over more cells")
-    }
-    val hotSet = hotRows.map(_.getLong(0)).toSet
+    // skewGuard=false skips the eager stats job entirely — for callers
+    // that only need the (unsalted) plan, or whose data is known uniform
+    val hotSet =
+      if (!skewGuard) Set.empty[Long]
+      else hotCells(
+        left.select(explode(cellsUdf(col("geometry"))).as("cell")),
+        right.select(explode(cellsUdf(col("geometry"))).as("cell")),
+        saltAbove, maxCellRows)
 
     val refine = udf { (aw: Array[Byte], bw: Array[Byte], cell: Long) =>
       val a = GeomFunctions.readWkb(aw)
@@ -133,27 +176,7 @@ object SpatialJoin {
       }
     }
 
-    val candidates =
-      if (hotSet.isEmpty) l.join(r, "cell")
-      else {
-        log.warn(s"spatial join: salting ${hotSet.size} hot cells " +
-          s"(> $saltAbove rows) across $saltFactor sub-keys")
-        val bc = left.sparkSession.sparkContext.broadcast(hotSet)
-        val isHot = udf { (c: Long) => bc.value.contains(c) }
-        // each right row lands in exactly ONE salt; left rows in hot
-        // cells replicate across all salts -> every in-cell pair still
-        // meets exactly once, and the join stays an equi-join
-        val salts = array((0 until saltFactor).map(i => lit(i.toLong)): _*)
-        val rS = r.withColumn("_salt",
-          when(isHot(col("cell")),
-            pmod(xxhash64(col("b_fid")), lit(saltFactor.toLong)))
-            .otherwise(lit(0L)))
-        val lS = l.withColumn("_salt",
-          explode(when(isHot(col("cell")), salts)
-            .otherwise(array(lit(0L)))))
-        lS.join(rS, Seq("cell", "_salt")).drop("_salt")
-      }
-    candidates
+    saltedCellJoin(l, r, col("b_fid"), hotSet, saltFactor)
       .filter(refine(col("a_geom"), col("b_geom"), col("cell")))
       .select(col("a_fid"), col("b_fid"))
   }
@@ -172,12 +195,24 @@ object SpatialJoin {
     * per-left ranking is a window partitioned by a_fid (state bounded
     * by one feature's candidate list). Squared distance avoids sqrt:
     * identical IEEE multiply/add on identical inputs is bit-exact
-    * across engines, which is what the oracle relies on. */
+    * across engines, which is what the oracle relies on.
+    *
+    * Skew hardening mirrors join(): a metro-dense right cell would
+    * otherwise concentrate the candidates of all (2R+1)² covering left
+    * rows on one cell key (the refinement runs AFTER the join, so the
+    * blowup happens before any filter). The same stats pass salts hot
+    * cells — right hashed by b_fid, ring-exploded left replicated
+    * across salts — and fails loudly above `maxCellRows`. */
   def nearestWithin(left: DataFrame, right: DataFrame, k: Int,
       maxDist: Double, cellSize: Double,
-      maxCellsPerGeom: Int = 4096): DataFrame = {
+      maxCellsPerGeom: Int = 4096, saltAbove: Int = 100000,
+      saltFactor: Int = 16, maxCellRows: Long = 10000000L,
+      skewGuard: Boolean = true): DataFrame = {
     require(k >= 1, "k must be at least 1")
     require(maxDist > 0 && cellSize > 0, "maxDist and cellSize must be positive")
+    require(saltFactor >= 2, "saltFactor must be at least 2")
+    require(saltAbove > 0 && saltAbove <= maxCellRows,
+      "need 0 < saltAbove <= maxCellRows")
     val rings = math.ceil(maxDist / cellSize).toInt
     require((2L * rings + 1) * (2L * rings + 1) <= maxCellsPerGeom,
       s"maxDist/$cellSize needs ${2 * rings + 1}² cells per left feature " +
@@ -207,9 +242,13 @@ object SpatialJoin {
       .withColumn("cell", explode(ringCells(col("ax"), col("ay"))))
     val r = centroids(right, "b_fid", "bx", "by")
       .withColumn("cell", cellOf(col("bx"), col("by")))
+    val hotSet =
+      if (!skewGuard) Set.empty[Long]
+      else hotCells(
+        l.select("cell"), r.select("cell"), saltAbove, maxCellRows)
     val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
       (col("ay") - col("by")) * (col("ay") - col("by"))
-    val pairs = l.join(r, "cell")
+    val pairs = saltedCellJoin(l, r, col("b_fid"), hotSet, saltFactor)
       .select(col("a_fid"), col("b_fid"), d2.as("d2"))
       .filter(col("d2") <= lit(maxDist * maxDist))
     pairs.withColumn("nn_rank",

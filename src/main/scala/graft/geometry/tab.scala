@@ -398,8 +398,17 @@ object Tab {
     dat.write(0x0D)
     rows.foreach { case (_, vals) =>
       dat.write(' ')
-      vals.zip(widths).foreach { case (v, (c, w, _)) =>
-        val s0 = if (v == null) "" else v
+      vals.zip(widths).foreach { case (v, (c, w, d)) =>
+        val s0 = if (v == null) "" else if (c == 'N' && d > 0 && v.nonEmpty) {
+          // dBASE N fields are fixed-point plain decimal: Double.toString
+          // scientific notation (1.0E-4) is unparseable to standard
+          // readers and would not match the declared (width, decimals)
+          // descriptor. HALF_UP at d decimals is the format's precision
+          // contract; values needing more integer digits than the width
+          // allows hit the loud width require below.
+          new java.math.BigDecimal(v.toDouble)
+            .setScale(d, java.math.RoundingMode.HALF_UP).toPlainString
+        } else v
         require(s0.getBytes(StandardCharsets.UTF_8).length <= w,
           s"value '$s0' exceeds field width $w")
         val b = s0.getBytes(StandardCharsets.UTF_8)

@@ -18,8 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    angle 0 (microdegree units), no quasi-regular row lists
   *  - product definition template 4.0 — analysis/forecast at a point
   *    in time; valid time = reference time + forecast offset
-  *  - data representation template 5.0 — simple packing
-  *    `v = (R + X·2^E) / 10^D`, X an unsigned big-endian bit field
+  *  - data representation templates 5.0 (simple packing
+  *    `v = (R + X·2^E) / 10^D`, X an unsigned big-endian bit field),
+  *    5.2 (complex packing: general group splitting, per-group
+  *    reference + width) and 5.3 (complex packing with spatial
+  *    differencing of order 1/2) — the packings real NOAA GFS / ECMWF
+  *    products actually use; 5.40 (JPEG2000) is rejected by name
+  *  - missing-value management 0 only (missing points ride bitmaps)
   *  - section 6 bitmaps (indicator 0 / 254 / 255)
   *  - scanning modes 0x00 (row-major, W→E, N→S) and 0x40 (S→N, rows
   *    flipped on decode)
@@ -66,7 +71,16 @@ object Grib {
   case class Grid(w: Int, h: Int, la1: Double, lo1: Double,
       di: Double, dj: Double, scan: Int)
 
-  case class Packing(numPoints: Long, r: Float, e: Int, d: Int, nbits: Int)
+  /** Complex-packing parameters (templates 5.2/5.3, WMO FM 92 §5):
+    * general group splitting — NG groups, each with its own reference
+    * value and bit width, plus (for 5.3) spatial differencing of order
+    * 1 or 2 whose initial values and overall minimum ride as
+    * `sdOctets`-byte sign-magnitude extras at the head of section 7. */
+  case class Cx(ng: Int, widthRef: Int, widthBits: Int, lenRef: Long,
+      lenInc: Int, lastLen: Long, lenBits: Int, sdOrder: Int, sdOctets: Int)
+
+  case class Packing(numPoints: Long, r: Float, e: Int, d: Int, nbits: Int,
+      template: Int = 0, cx: Cx = null)
 
   /** One decodable field: every byte range needed to decode it, so a
     * time-sliced read touches ONLY the selected frames' bytes. */
@@ -159,14 +173,52 @@ object Grib {
     b.position(5)
     val numPoints = u32(b)
     val template = u16(b)
-    require(template == 0,
-      s"$path: data representation template 5.$template (only 5.0 " +
-        "simple packing)")
+    require(template == 0 || template == 2 || template == 3,
+      s"$path: data representation template 5.$template (supported: 5.0 " +
+        "simple, 5.2 complex, 5.3 complex+spatial differencing; 5.40 " +
+        "JPEG2000 needs a codec this reader does not carry)")
     val r = b.getFloat()
     val e = s16(b); val d = s16(b)
     val nbits = u8(b)
     require(nbits <= 31, s"$path: $nbits-bit packing (max 31)")
-    Packing(numPoints, r, e, d, nbits)
+    if (template == 0) Packing(numPoints, r, e, d, nbits)
+    else {
+      u8(b) // octet 21: type of original field values (decode-identical)
+      val splitting = u8(b)
+      require(splitting == 1,
+        s"$path: group splitting method $splitting (only 1 = general)")
+      val missing = u8(b)
+      require(missing == 0,
+        s"$path: missing value management $missing (only 0 — missing " +
+          "points ride the section 6 bitmap)")
+      u32(b); u32(b) // primary/secondary missing substitutes (unused)
+      val ng = u32(b)
+      // allocation guard (mirror of the 2^27 grid cap): hostile NG must
+      // fail loudly before any Array.fill
+      require(ng >= 1 && ng <= numPoints.max(1) && ng <= (1L << 27),
+        s"$path: $ng groups for $numPoints points")
+      val widthRef = u8(b)
+      val widthBits = u8(b)
+      val lenRef = u32(b)
+      val lenInc = u8(b)
+      val lastLen = u32(b)
+      val lenBits = u8(b)
+      require(widthBits <= 31 && lenBits <= 31,
+        s"$path: group width/length fields $widthBits/$lenBits bits (max 31)")
+      val (sdOrder, sdOctets) =
+        if (template == 2) (0, 0)
+        else {
+          val o = u8(b); val oct = u8(b)
+          require(o == 1 || o == 2,
+            s"$path: spatial differencing order $o (only 1 or 2)")
+          require(oct >= 1 && oct <= 7,
+            s"$path: $oct-octet differencing descriptors (1-7)")
+          (o, oct)
+        }
+      Packing(numPoints, r, e, d, nbits, template,
+        Cx(ng.toInt, widthRef, widthBits, lenRef, lenInc, lastLen, lenBits,
+          sdOrder, sdOctets))
+    }
   }
 
   /** Walk every message and section; returns one [[Field]] per data
@@ -261,6 +313,90 @@ object Grib {
     out
   }
 
+  /** MSB-first bit cursor with the octet-boundary alignment the
+    * complex-packing vectors require (regulation 92.6.5: each of the
+    * reference/width/length vectors is zero-padded to a whole octet). */
+  private final class BitRdr(bytes: Array[Byte]) {
+    private var bit = 0
+    def read(nbits: Int): Long = {
+      if (nbits == 0) return 0L
+      require(bit + nbits <= bytes.length * 8,
+        s"grib: data section exhausted at bit $bit (wanted $nbits more)")
+      var v = 0L; var k = 0
+      while (k < nbits) {
+        v = (v << 1) | ((bytes(bit >>> 3) >> (7 - (bit & 7))) & 1)
+        bit += 1; k += 1
+      }
+      v
+    }
+    def align(): Unit = bit = (bit + 7) & ~7
+  }
+
+  /** Unpack a complex-packed (template 5.2/5.3) data section to the
+    * scaled integer field X of the decoding formula. Layout (section
+    * 7.2/7.3): [5.3 only: order-many initial values + the overall
+    * minimum of the differences, each `sdOctets` sign-magnitude bytes]
+    * then NG group references (nbits each), NG group widths
+    * (widthBits each, + widthRef), NG scaled group lengths (lenBits
+    * each, ·lenInc + lenRef; the LAST group's true length comes from
+    * section 5), each vector octet-aligned, then the per-group value
+    * streams. 5.3 reconstruction follows regulation 92.6.6: add the
+    * overall minimum to every difference, then integrate once or twice
+    * with the transmitted initial value(s). */
+  private def unpackComplex(bytes: Array[Byte], p: Packing,
+      numPresent: Int): Array[Long] = {
+    val c = p.cx
+    val rdr = new BitRdr(bytes)
+    var ival1 = 0L; var ival2 = 0L; var minsd = 0L
+    if (p.template == 3) {
+      def sd(): Long = {
+        val raw = rdr.read(c.sdOctets * 8)
+        val sign = 1L << (c.sdOctets * 8 - 1)
+        if ((raw & sign) != 0) -(raw & (sign - 1)) else raw
+      }
+      ival1 = sd()
+      if (c.sdOrder == 2) ival2 = sd()
+      minsd = sd()
+    }
+    val ng = c.ng
+    val refs = Array.fill(ng)(rdr.read(p.nbits))
+    rdr.align()
+    val widths = Array.fill(ng) {
+      val w = c.widthRef + rdr.read(c.widthBits).toInt
+      require(w <= 62, s"grib: group width $w bits (max 62)")
+      w
+    }
+    rdr.align()
+    val lens = Array.fill(ng)(c.lenRef + rdr.read(c.lenBits) * c.lenInc)
+    lens(ng - 1) = c.lastLen
+    rdr.align()
+    val total = lens.sum
+    require(total == numPresent,
+      s"grib: groups cover $total points, bitmap/section 5 expect $numPresent")
+    val out = new Array[Long](numPresent)
+    var i = 0; var j = 0
+    while (j < ng) {
+      val wd = widths(j); val ref = refs(j); var k = 0L
+      while (k < lens(j)) { out(i) = ref + rdr.read(wd); i += 1; k += 1 }
+      j += 1
+    }
+    if (p.template == 3 && numPresent > 0) {
+      if (c.sdOrder == 1) {
+        out(0) = ival1
+        var t = 1
+        while (t < numPresent) { out(t) += minsd + out(t - 1); t += 1 }
+      } else {
+        out(0) = ival1
+        if (numPresent > 1) out(1) = ival2
+        var t = 2
+        while (t < numPresent) {
+          out(t) += minsd + 2 * out(t - 1) - out(t - 2); t += 1
+        }
+      }
+    }
+    out
+  }
+
   /** Decode ONE field to a north-to-south row-major frame. Reads only
     * this field's bitmap + data byte ranges. */
   def decode(ch: FileChannel, f: Field, noData: Double): Array[Double] = {
@@ -278,12 +414,17 @@ object Grib {
     val scale = math.pow(2, f.packing.e) / math.pow(10, f.packing.d)
     val base = f.packing.r / math.pow(10, f.packing.d)
     val vals = new Array[Double](n)
-    if (f.packing.nbits == 0) {
+    if (f.packing.template == 0 && f.packing.nbits == 0) {
       var i = 0
       while (i < n) { vals(i) = if (present(i)) base else noData; i += 1 }
     } else {
-      val xs = unpackBits(readAt(ch, f.dataOffset, f.dataLen).array(),
-        numPresent, f.packing.nbits)
+      val xs =
+        if (f.packing.template == 0)
+          unpackBits(readAt(ch, f.dataOffset, f.dataLen).array(),
+            numPresent, f.packing.nbits)
+        else
+          unpackComplex(readAt(ch, f.dataOffset, f.dataLen).array(),
+            f.packing, numPresent)
       var i = 0; var k = 0
       while (i < n) {
         if (present(i)) { vals(i) = base + xs(k) * scale; k += 1 }
@@ -351,12 +492,23 @@ object Grib {
   def write(path: String, frames: Seq[Array[Double]], w: Int, h: Int,
       noData: Double, timesMs: Seq[Long], laSouth: Double, loWest: Double,
       degPerCell: Double, discipline: Int = 0, category: Int = 1,
-      number: Int = 8): Unit = {
+      number: Int = 8, template: Int = 0, sdOrder: Int = 2): Unit = {
     require(frames.nonEmpty && frames.length == timesMs.length,
       "grib: frames and times must align")
+    require(template == 0 || template == 2 || template == 3,
+      s"grib: write template 5.$template (0 simple, 2 complex, 3 complex+sd)")
+    require(sdOrder == 1 || sdOrder == 2,
+      s"grib: spatial differencing order $sdOrder (1 or 2)")
     require(degPerCell > 0 && degPerCell * 1e6 == math.rint(degPerCell * 1e6),
       s"grib: degPerCell $degPerCell must be a whole microdegree multiple")
     val diMicro = math.rint(degPerCell * 1e6).toLong
+    // centers sit half a pitch inside the edges; an ODD microdegree
+    // pitch would put them on half-microdegree positions that template
+    // 3.0's integer La1/Lo1/La2/Lo2 cannot represent (integer /2 would
+    // silently shift the graticule by 5e-7 deg)
+    require(diMicro % 2 == 0,
+      s"grib: degPerCell $degPerCell is an odd number of microdegrees; " +
+        "cell centers would not be representable — use an even pitch")
     require(laSouth + h * degPerCell <= 90.0 + 1e-9 &&
       laSouth >= -90.0 && loWest >= -180.0 &&
       loWest + w * degPerCell <= 360.0 + 1e-9,
@@ -366,19 +518,133 @@ object Grib {
     frames.zip(timesMs).foreach { case (vals, tMs) =>
       require(vals.length == w * h, "grib: frame size mismatch")
       writeMessage(b, vals, w, h, noData, tMs, laSouth, loWest, diMicro,
-        discipline, category, number)
+        discipline, category, number, template, sdOrder)
     }
     Files.write(Paths.get(path), b.result())
   }
 
+  private def bitsFor(v: Long): Int =
+    if (v <= 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+
+  /** MSB-first bit emitter over a [[Bld]], with the octet alignment the
+    * complex-packing vectors require. */
+  private final class BitWr(b: Bld) {
+    private var acc = 0L
+    private var nb = 0
+    def put(v: Long, nbits: Int): Unit = {
+      var k = nbits - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((v >>> k) & 1L)
+        nb += 1
+        if (nb == 8) { b.u8(acc.toInt & 0xFF); acc = 0L; nb = 0 }
+        k -= 1
+      }
+    }
+    /** Sign-magnitude in `nbits` (regulation 92.1.5). */
+    def putSm(v: Long, nbits: Int): Unit = {
+      val sign = 1L << (nbits - 1)
+      require(math.abs(v) < sign, s"grib: $v overflows $nbits-bit sign-magnitude")
+      put(if (v < 0) sign | -v else v, nbits)
+    }
+    def align(): Unit =
+      if (nb > 0) { b.u8(((acc << (8 - nb)) & 0xFF).toInt); acc = 0L; nb = 0 }
+  }
+
+  /** Complex-packing parameters + section 7 payload for one frame's
+    * live values, scaled to X (v - R, E=D=0). Fixed 32-value groups
+    * (general group splitting): per-group reference = min, per-group
+    * width = bits of the in-group range — the standard trade that beats
+    * simple packing whenever the field has spatial structure. For
+    * template 5.3 the X stream is differenced (order 1/2) first and the
+    * initial value(s) + overall minimum ride ahead of the groups. */
+  private def packComplex(xs: Array[Long], template: Int,
+      od: Int): (Cx, Int, Array[Byte]) = {
+    val nl = xs.length
+    var ival1 = 0L; var ival2 = 0L; var minsd = 0L
+    val packVals =
+      if (template == 2) xs
+      else {
+        val v = new Array[Long](nl)
+        if (od == 1) {
+          var i = 1; while (i < nl) { v(i) = xs(i) - xs(i - 1); i += 1 }
+        } else {
+          var i = 2
+          while (i < nl) { v(i) = xs(i) - 2 * xs(i - 1) + xs(i - 2); i += 1 }
+        }
+        ival1 = if (nl > 0) xs(0) else 0L
+        ival2 = if (od == 2 && nl > 1) xs(1) else 0L
+        minsd = if (nl > od) v.drop(od).min else 0L
+        var i = od; while (i < nl) { v(i) -= minsd; i += 1 }
+        // the decoder overrides the first `od` values with the initial
+        // values, so their packed slots carry zeros
+        var z = 0; while (z < od && z < nl) { v(z) = 0L; z += 1 }
+        v
+      }
+    val G = 32
+    val ng = math.max(1, (nl + G - 1) / G)
+    val refs = new Array[Long](ng)
+    val ws = new Array[Int](ng)
+    val lens = new Array[Int](ng)
+    var j = 0
+    while (j < ng) {
+      val s = j * G; val e = math.min(nl, s + G)
+      lens(j) = e - s
+      if (e > s) {
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var i = s
+        while (i < e) {
+          val v = packVals(i)
+          if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        refs(j) = mn; ws(j) = bitsFor(mx - mn)
+      }
+      j += 1
+    }
+    val refBits = bitsFor(refs.max)
+    require(refBits <= 31,
+      s"grib: complex-packing references need $refBits bits (max 31) — " +
+        "the differenced range overflows; use template 5.0 or 5.2")
+    val widthRef = ws.min
+    val widthBits = bitsFor((ws.max - widthRef).toLong)
+    val sdMax = math.max(math.abs(ival1), math.max(math.abs(ival2),
+      math.abs(minsd)))
+    val sdOctets =
+      if (template == 2) 0 else math.max(1, (bitsFor(sdMax) + 1 + 7) / 8)
+    val p7 = new Bld
+    val bw = new BitWr(p7)
+    if (template == 3) {
+      bw.putSm(ival1, sdOctets * 8)
+      if (od == 2) bw.putSm(ival2, sdOctets * 8)
+      bw.putSm(minsd, sdOctets * 8)
+    }
+    j = 0; while (j < ng) { bw.put(refs(j), refBits); j += 1 }
+    bw.align()
+    j = 0
+    while (j < ng) { bw.put((ws(j) - widthRef).toLong, widthBits); j += 1 }
+    bw.align()
+    // group lengths: lenBits = 0 — every group reads as lenRef = G and
+    // the last group's true length rides in section 5
+    j = 0
+    while (j < ng) {
+      val s = j * G; var i = s
+      while (i < s + lens(j)) { bw.put(packVals(i) - refs(j), ws(j)); i += 1 }
+      j += 1
+    }
+    bw.align()
+    (Cx(ng, widthRef, widthBits, G.toLong, 1, lens(ng - 1).toLong, 0,
+      if (template == 3) od else 0, sdOctets), refBits, p7.result())
+  }
+
   private def writeMessage(b: Bld, vals: Array[Double], w: Int, h: Int,
       noData: Double, tMs: Long, laSouth: Double, loWest: Double,
-      diMicro: Long, discipline: Int, category: Int, number: Int): Unit = {
+      diMicro: Long, discipline: Int, category: Int, number: Int,
+      template: Int, sdOrder: Int): Unit = {
     val n = w * h
     def isND(v: Double) = v == noData || (v.isNaN && noData.isNaN)
     val live = vals.filterNot(isND)
     live.foreach(v => require(v == math.rint(v) && math.abs(v) < (1L << 52),
-      s"grib: non-integral value $v — simple packing with E=D=0 is exact " +
+      s"grib: non-integral value $v — packing with E=D=0 is exact " +
         "only for integers (quantize the input first)"))
     val rMin = if (live.isEmpty) 0.0 else live.min
     require(rMin.toFloat.toDouble == rMin,
@@ -392,9 +658,21 @@ object Grib {
     val t = Instant.ofEpochMilli(tMs).atOffset(ZoneOffset.UTC)
     require(tMs % 1000 == 0, "grib: sub-second reference times unsupported")
 
-    val dataBytes = (live.length.toLong * nbits + 7) / 8
+    // complex packing builds its payload up front (group geometry
+    // depends on the data); simple packing streams below
+    val complex: Option[(Cx, Int, Array[Byte])] =
+      if (template == 0) None
+      else Some(packComplex(live.map(v => (v - rMin).toLong), template,
+        sdOrder))
+    val sec5Len = template match {
+      case 0 => 21L; case 2 => 47L; case _ => 49L
+    }
+    val dataBytes = complex match {
+      case Some((_, _, payload)) => payload.length.toLong
+      case None => (live.length.toLong * nbits + 7) / 8
+    }
     val bitmapBytes = if (hasBitmap) (n + 7) / 8 else 0
-    val msgLen = 16L + 21 + 72 + 34 + 21 + (6 + bitmapBytes) +
+    val msgLen = 16L + 21 + 72 + 34 + sec5Len + (6 + bitmapBytes) +
       (5 + dataBytes) + 4
 
     // section 0
@@ -439,14 +717,28 @@ object Grib {
     b.u32(0)           // forecast time 0
     b.u8(1); b.u8(0); b.u32(0) // first surface: ground
     b.u8(255); b.u8(0); b.u32(0) // second surface: missing
-    // section 5, template 5.0
-    b.u32(21); b.u8(5)
+    // section 5
+    b.u32(sec5Len); b.u8(5)
     b.u32(live.length.toLong)
-    b.u16(0)           // template 5.0
+    b.u16(template)
     b.f32(rMin.toFloat)
     b.u16(0); b.u16(0) // E, D
-    b.u8(nbits)
-    b.u8(0)            // original type: float
+    complex match {
+      case None =>
+        b.u8(nbits)
+        b.u8(0)        // original type: float
+      case Some((cx, refBits, _)) =>
+        b.u8(refBits)
+        b.u8(0)        // original type: float
+        b.u8(1)        // group splitting: general
+        b.u8(0)        // missing value management: none (bitmap carries it)
+        b.u32(0); b.u32(0) // missing substitutes (unused)
+        b.u32(cx.ng.toLong)
+        b.u8(cx.widthRef); b.u8(cx.widthBits)
+        b.u32(cx.lenRef); b.u8(cx.lenInc)
+        b.u32(cx.lastLen); b.u8(cx.lenBits)
+        if (template == 3) { b.u8(cx.sdOrder); b.u8(cx.sdOctets) }
+    }
     // section 6
     b.u32(6L + bitmapBytes); b.u8(6)
     if (hasBitmap) {
@@ -461,15 +753,19 @@ object Grib {
     } else b.u8(255)
     // section 7
     b.u32(5L + dataBytes); b.u8(7)
-    var acc = 0L; var nb = 0
-    vals.foreach { v =>
-      if (!isND(v)) {
-        acc = (acc << nbits) | (v - rMin).toLong
-        nb += nbits
-        while (nb >= 8) { b.u8(((acc >>> (nb - 8)) & 0xFF).toInt); nb -= 8 }
-      }
+    complex match {
+      case Some((_, _, payload)) => b.bytes(payload)
+      case None =>
+        var acc = 0L; var nb = 0
+        vals.foreach { v =>
+          if (!isND(v)) {
+            acc = (acc << nbits) | (v - rMin).toLong
+            nb += nbits
+            while (nb >= 8) { b.u8(((acc >>> (nb - 8)) & 0xFF).toInt); nb -= 8 }
+          }
+        }
+        if (nb > 0) b.u8(((acc << (8 - nb)) & 0xFF).toInt)
     }
-    if (nb > 0) b.u8(((acc << (8 - nb)) & 0xFF).toInt)
     // section 8
     b.bytes("7777".getBytes("US-ASCII"))
   }
@@ -544,7 +840,8 @@ case class GribSource(url: String, noDataArg: Double = Double.MaxValue)
   * with `degPerCell` pitch — values and frame times are preserved
   * exactly (integral values required; quantize first). */
 case class GribSink(source: RasterBlock, url: String,
-    degPerCell: Double = 0.05, laSouth: Double = 0.0, loWest: Double = 0.0) {
+    degPerCell: Double = 0.05, laSouth: Double = 0.0, loWest: Double = 0.0,
+    template: Int = 0, sdOrder: Int = 2) {
   def write(req: RasterRequest)(implicit spark: SparkSession): String = {
     val res = source.getData(req).getOrElse(
       throw new IllegalArgumentException("empty result"))
@@ -553,7 +850,8 @@ case class GribSink(source: RasterBlock, url: String,
         url.toLowerCase.endsWith(".grb2")) url
       else s"$url/stack.grib2"
     Grib.write(path, res.values, req.width, req.height, res.noDataValue,
-      res.times.map(_.toEpochMilli), laSouth, loWest, degPerCell)
+      res.times.map(_.toEpochMilli), laSouth, loWest, degPerCell,
+      template = template, sdOrder = sdOrder)
     path
   }
 }

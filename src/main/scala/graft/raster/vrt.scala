@@ -66,7 +66,14 @@ object Vrt {
       def a(n: String): Int = {
         val v = rd.getAttributeValue(null, n)
         require(v != null, s"$path: <${rd.getLocalName}> missing $n")
-        math.round(v.trim.toDouble).toInt
+        val d = v.trim.toDouble
+        // GDAL allows fractional (sub-pixel resampling) rects; this
+        // codec's whole-pixel subset must reject them loudly rather
+        // than silently snap by up to half a pixel
+        require(d == math.rint(d),
+          s"$path: <${rd.getLocalName}> $n=$v is fractional — " +
+            "sub-pixel SrcRect/DstRect windows are not supported")
+        d.toInt
       }
       RectAttrs(a("xOff"), a("yOff"), a("xSize"), a("ySize"))
     }

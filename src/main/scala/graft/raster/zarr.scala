@@ -1,7 +1,8 @@
 package graft.raster
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Path, Paths}
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.time.Instant
 import java.util.zip.{Deflater, Inflater}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -42,14 +43,25 @@ object Zarr {
   case object Gzip extends Compression   // v3 "gzip" (gzip-framed)
   case object Zstd extends Compression
 
+  /** v3 `sharding_indexed` layout: each chunk-grid cell is a SHARD file
+    * holding a sub-grid of inner chunks plus a fixed-size index of
+    * (offset, nbytes) u64-LE pairs in inner C order — at the file tail
+    * by default — optionally protected by a crc32c. The missing-chunk
+    * sentinel is both words 2^64-1. Read-only here: the index footer
+    * maps straight onto positioned byte-range reads, so a windowed
+    * request touches only the inner chunks it needs. */
+  case class Shard(inner: Seq[Int], indexAtEnd: Boolean, indexCrc: Boolean)
+
   /** Parsed array metadata — `.zarray`+`.zattrs` (v2) or `zarr.json`
     * (v3). `v3DefaultKey` marks the v3 "default" chunk-key encoding
     * (keys under a `c` prefix); the v3 "v2" encoding and all of v2
-    * itself use bare joined indices. */
+    * itself use bare joined indices. When `shard` is set, `chunks` is
+    * the SHARD shape and `bo`/`comp` describe the INNER chunk codecs. */
   case class ArrayMeta(name: String, dir: Path, shape: Seq[Int],
       chunks: Seq[Int], dtype: DType, bo: ByteOrder, fill: Double,
       comp: Compression, sep: String, dims: Seq[String],
-      attrs: Map[String, Any], v3DefaultKey: Boolean = false) {
+      attrs: Map[String, Any], v3DefaultKey: Boolean = false,
+      shard: Option[Shard] = None) {
     def ndim: Int = shape.length
     def chunkKey(idx: Seq[Int]): String = {
       val body = if (idx.isEmpty) "0" else idx.mkString(sep)
@@ -69,6 +81,7 @@ object Zarr {
     case d: Double => d
     case l: Long   => l.toDouble
     case i: Int    => i.toDouble
+    case b: Boolean => if (b) 1.0 else 0.0 // v3 bool fill_value
     case "NaN"     => Double.NaN
     case "Infinity" => Double.PositiveInfinity
     case "-Infinity" => Double.NegativeInfinity
@@ -118,8 +131,9 @@ object Zarr {
   /** Zarr v3 array metadata (one `zarr.json` document per the v3 core
     * spec): regular chunk grid, `default`/`v2` chunk-key encodings,
     * codec chain `bytes` (+ optional `gzip` or `zstd` — zarr-python
-    * v3's default compressor), `dimension_names`. Sharding, transpose,
-    * crc32c, blosc, and extension nodes fail loudly by name. */
+    * v3's default compressor), `sharding_indexed` (read path),
+    * `dimension_names`. Transpose, crc32c-on-data, blosc, and
+    * extension nodes fail loudly by name. */
   private def buildArrayMetaV3(dir: Path, doc: Map[String, Any]): ArrayMeta = {
     require(doc.nonEmpty, s"$dir: missing zarr.json")
     require(asDouble(doc.getOrElse("zarr_format", 0L), "zarr_format") == 3,
@@ -164,28 +178,78 @@ object Zarr {
       case l: List[_] => l.map(nested)
       case _ => throw new IllegalArgumentException(s"$dir: codecs not a list")
     }
-    require(codecs.nonEmpty && codecs.head.getOrElse("name", "") == "bytes",
-      s"$dir: first codec must be 'bytes' " +
-        s"(got '${codecs.headOption.flatMap(_.get("name")).getOrElse("?")}')")
-    val bo = nested(codecs.head.getOrElse("configuration", Map.empty))
-      .getOrElse("endian", "little") match {
-      case "little" => ByteOrder.LITTLE_ENDIAN
-      case "big"    => ByteOrder.BIG_ENDIAN
-      case other => throw new IllegalArgumentException(
-        s"$dir: bad endian '$other'")
-    }
-    val comp = codecs.tail match {
-      case Nil => NoComp
-      case one :: Nil => one.getOrElse("name", "?") match {
-        case "gzip" => Gzip
-        case "zstd" => Zstd
+    def parseChain(chain: Seq[Map[String, Any]],
+        what: String): (ByteOrder, Compression) = {
+      require(chain.nonEmpty && chain.head.getOrElse("name", "") == "bytes",
+        s"$dir: first $what codec must be 'bytes' " +
+          s"(got '${chain.headOption.flatMap(_.get("name")).getOrElse("?")}')")
+      val bo = nested(chain.head.getOrElse("configuration", Map.empty))
+        .getOrElse("endian", "little") match {
+        case "little" => ByteOrder.LITTLE_ENDIAN
+        case "big"    => ByteOrder.BIG_ENDIAN
         case other => throw new IllegalArgumentException(
-          s"$dir: unsupported codec '$other' (gzip/zstd/none)")
+          s"$dir: bad endian '$other'")
       }
-      case more => throw new IllegalArgumentException(
-        s"$dir: codec chains beyond bytes+one compressor not supported " +
-          s"(${more.length + 1} codecs)")
+      val comp = chain.tail match {
+        case Nil => NoComp
+        case one :: Nil => one.getOrElse("name", "?") match {
+          case "gzip" => Gzip
+          case "zstd" => Zstd
+          case other => throw new IllegalArgumentException(
+            s"$dir: unsupported codec '$other' (gzip/zstd/none)")
+        }
+        case more => throw new IllegalArgumentException(
+          s"$dir: codec chains beyond bytes+one compressor not supported " +
+            s"(${more.length + 1} codecs)")
+      }
+      (bo, comp)
     }
+    val (bo, comp, shard) =
+      if (codecs.nonEmpty &&
+        codecs.head.getOrElse("name", "") == "sharding_indexed") {
+        require(codecs.length == 1,
+          s"$dir: sharding_indexed must be the only top-level codec")
+        val cfg = nested(codecs.head.getOrElse("configuration", Map.empty))
+        val inner = asIntSeq(cfg.getOrElse("chunk_shape", Nil),
+          "shard chunk_shape")
+        require(inner.length == chunks.length && inner.forall(_ > 0),
+          s"$dir: shard inner chunk_shape rank mismatch")
+        require(chunks.zip(inner).forall { case (c, i) => c % i == 0 },
+          s"$dir: inner chunk shape ${inner.mkString("×")} must divide " +
+            s"the shard shape ${chunks.mkString("×")} (v3 sharding spec)")
+        val nInner = chunks.zip(inner)
+          .map { case (c, i) => (c / i).toLong }.product
+        require(nInner <= (1L << 20),
+          s"$dir: $nInner inner chunks per shard too many (2^20 max)")
+        val innerChain = cfg.getOrElse("codecs", Nil) match {
+          case l: List[_] => l.map(nested)
+          case _ => throw new IllegalArgumentException(
+            s"$dir: shard codecs not a list")
+        }
+        val (ibo, icomp) = parseChain(innerChain, "shard inner")
+        val idxChain = (cfg.getOrElse("index_codecs", Nil) match {
+          case l: List[_] => l.map(nested)
+          case _ => throw new IllegalArgumentException(
+            s"$dir: index_codecs not a list")
+        }).map(_.getOrElse("name", "?"))
+        val idxCrc = idxChain match {
+          case Seq("bytes")           => false
+          case Seq("bytes", "crc32c") => true
+          case other => throw new IllegalArgumentException(
+            s"$dir: index_codecs ${other.mkString("[", ",", "]")} " +
+              "(only [bytes] or [bytes, crc32c])")
+        }
+        val atEnd = cfg.getOrElse("index_location", "end") match {
+          case "end"   => true
+          case "start" => false
+          case other => throw new IllegalArgumentException(
+            s"$dir: index_location '$other'")
+        }
+        (ibo, icomp, Some(Shard(inner, atEnd, idxCrc)))
+      } else {
+        val (b0, c0) = parseChain(codecs, "")
+        (b0, c0, None)
+      }
     val fill = doc.getOrElse("fill_value", null) match {
       case null => dt.noDataValue
       case v    => asDouble(v, "fill_value")
@@ -199,7 +263,8 @@ object Zarr {
       }
     }
     ArrayMeta(dir.getFileName.toString, dir, shape, chunks, dt, bo, fill,
-      comp, sep, dims, attrs, v3DefaultKey = encName == "default")
+      comp, sep, dims, attrs, v3DefaultKey = encName == "default",
+      shard = shard)
   }
 
   private def buildArrayMeta(dir: Path, za: Map[String, Any],
@@ -342,19 +407,118 @@ object Zarr {
   }
 
   /** Decode one chunk file into doubles (full padded chunk size); a
-    * missing chunk is all-fill (the Zarr sparse-store contract). */
-  def readChunk(m: ArrayMeta, idx: Seq[Int]): Array[Double] = {
-    val n = m.chunks.product
-    val p = m.dir.resolve(m.chunkKey(idx))
-    if (!Files.exists(p)) return Array.fill(n)(m.fill)
-    val raw0 = Files.readAllBytes(p)
-    val raw = decompress(raw0, m.comp, n * m.dtype.size)
-    require(raw.length >= n * m.dtype.size,
-      s"$p: chunk has ${raw.length} bytes, needs ${n * m.dtype.size}")
-    val bb = ByteBuffer.wrap(raw).order(m.bo)
-    val out = new Array[Double](n)
+    * missing chunk is all-fill (the Zarr sparse-store contract). For a
+    * sharded array the "chunk" is a shard and every inner chunk is
+    * materialized. */
+  def readChunk(m: ArrayMeta, idx: Seq[Int]): Array[Double] =
+    m.shard match {
+      case Some(sh) => readShard(m, sh, idx, _ => true)
+      case None =>
+        val n = m.chunks.product
+        val p = m.dir.resolve(m.chunkKey(idx))
+        if (!Files.exists(p)) return Array.fill(n)(m.fill)
+        val raw0 = Files.readAllBytes(p)
+        val raw = decompress(raw0, m.comp, n * m.dtype.size)
+        require(raw.length >= n * m.dtype.size,
+          s"$p: chunk has ${raw.length} bytes, needs ${n * m.dtype.size}")
+        val bb = ByteBuffer.wrap(raw).order(m.bo)
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) { out(i) = decodeValue(bb, m.dtype); i += 1 }
+        out
+    }
+
+  /** Copy an inner-chunk block into (or out of) a padded outer-chunk
+    * array, C order, any rank — runs along the contiguous last dim. */
+  private def copyBlock(outerArr: Array[Double], outerShape: Seq[Int],
+      innerArr: Array[Double], innerShape: Seq[Int], blockIdx: Seq[Int],
+      toOuter: Boolean): Unit = {
+    val nd = outerShape.length
+    val oStr = new Array[Int](nd); val iStr = new Array[Int](nd)
+    var s = 1
+    var d = nd - 1
+    while (d >= 0) { oStr(d) = s; s *= outerShape(d); d -= 1 }
+    s = 1; d = nd - 1
+    while (d >= 0) { iStr(d) = s; s *= innerShape(d); d -= 1 }
+    var base = 0
+    d = 0
+    while (d < nd) { base += blockIdx(d) * innerShape(d) * oStr(d); d += 1 }
+    val n = innerShape.product
+    val lastLen = innerShape(nd - 1)
     var i = 0
-    while (i < n) { out(i) = decodeValue(bb, m.dtype); i += 1 }
+    while (i < n) {
+      var rem = i; var off = base; var k = 0
+      while (k < nd - 1) {
+        val c = rem / iStr(k); rem -= c * iStr(k); off += c * oStr(k); k += 1
+      }
+      if (toOuter) System.arraycopy(innerArr, i, outerArr, off, lastLen)
+      else System.arraycopy(outerArr, off, innerArr, i, lastLen)
+      i += lastLen
+    }
+  }
+
+  /** Assemble one shard into a padded outer-chunk array, reading ONLY
+    * the inner chunks `want` accepts (plus the fixed-size index): the
+    * index footer gives each inner chunk's byte range, so this is a
+    * handful of positioned reads — never the whole shard object. */
+  def readShard(m: ArrayMeta, sh: Shard, idx: Seq[Int],
+      want: Seq[Int] => Boolean): Array[Double] = {
+    val n = m.chunks.product
+    val out = Array.fill(n)(m.fill)
+    val p = m.dir.resolve(m.chunkKey(idx))
+    if (!Files.exists(p)) return out
+    val innerGrid = m.chunks.zip(sh.inner).map { case (c, i) => c / i }
+    val nInner = innerGrid.product
+    val idxLen = nInner * 16 + (if (sh.indexCrc) 4 else 0)
+    val fileLen = Files.size(p)
+    require(fileLen >= idxLen,
+      s"$p: shard of $fileLen bytes smaller than its $idxLen-byte index")
+    val innerN = sh.inner.product
+    val ch = FileChannel.open(p, StandardOpenOption.READ)
+    try {
+      val idxBuf = Grib.readAt(ch,
+        if (sh.indexAtEnd) fileLen - idxLen else 0L, idxLen)
+      val idxBytes = idxBuf.array()
+      if (sh.indexCrc) {
+        val crc = new java.util.zip.CRC32C
+        crc.update(idxBytes, 0, nInner * 16)
+        val stored = ByteBuffer.wrap(idxBytes, nInner * 16, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt & 0xFFFFFFFFL
+        require(stored == crc.getValue,
+          s"$p: shard index crc32c mismatch (index corrupt)")
+      }
+      val ib = ByteBuffer.wrap(idxBytes, 0, nInner * 16)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      var ii = 0
+      while (ii < nInner) {
+        val off = ib.getLong(ii * 16)
+        val len = ib.getLong(ii * 16 + 8)
+        if (off != -1L || len != -1L) { // not the missing sentinel
+          // decompose ii into the inner-chunk grid index (C order)
+          var rem = ii; val bi = new Array[Int](innerGrid.length)
+          var d = innerGrid.length - 1
+          while (d >= 0) { bi(d) = rem % innerGrid(d); rem /= innerGrid(d); d -= 1 }
+          val biSeq = bi.toSeq
+          if (want(biSeq)) {
+            require(off >= 0 && len >= 0 && len <= Int.MaxValue &&
+              off + len <= fileLen,
+              s"$p: inner chunk $ii byte range ($off, $len) leaves the shard")
+            val raw = decompress(
+              Grib.readAt(ch, off, len.toInt).array(), m.comp,
+              innerN * m.dtype.size)
+            require(raw.length >= innerN * m.dtype.size,
+              s"$p: inner chunk $ii has ${raw.length} bytes, " +
+                s"needs ${innerN * m.dtype.size}")
+            val bb = ByteBuffer.wrap(raw).order(m.bo)
+            val vals = new Array[Double](innerN)
+            var i = 0
+            while (i < innerN) { vals(i) = decodeValue(bb, m.dtype); i += 1 }
+            copyBlock(out, m.chunks, vals, sh.inner, biSeq, toOuter = true)
+          }
+        }
+        ii += 1
+      }
+    } finally ch.close()
     out
   }
 
@@ -546,7 +710,18 @@ object Zarr {
     val nCX = (m.w + cX - 1) / cX
     for (tc <- tChunks; cy <- 0 until nCY; cx <- 0 until nCX) {
       val idx = if (d.ndim == 3) Seq(tc, cy, cx) else Seq(cy, cx)
-      val chunk = readChunk(d, idx)
+      val chunk = d.shard match {
+        case Some(sh) if d.ndim == 3 =>
+          // intra-shard pruning: decode only the inner chunks whose
+          // time slab intersects the requested frames
+          val innerCT = sh.inner.head
+          readShard(d, sh, idx, inner => {
+            val f0 = tc * cT + inner.head * innerCT
+            frames.exists(f => f >= f0 && f < f0 + innerCT)
+          })
+        case Some(sh) => readShard(d, sh, idx, _ => true)
+        case None => readChunk(d, idx)
+      }
       var tIn = 0
       while (tIn < cT) {
         val f = tc * cT + tIn
@@ -604,22 +779,34 @@ object Zarr {
     bb.array()
   }
 
-  /** v3 data_type name of a DType. */
-  private def v3TypeName(dt: DType): String = (dt.kind match {
-    case 'b' => "uint"; case 'u' => "uint"; case 'i' => "int"; case _ => "float"
-  }) + (dt.size * 8)
+  /** v3 data_type name of a DType. The spec names booleans "bool"
+    * (one byte on the wire), not a uint alias. */
+  private def v3TypeName(dt: DType): String =
+    if (dt.kind == 'b') "bool"
+    else (dt.kind match {
+      case 'u' => "uint"; case 'i' => "int"; case _ => "float"
+    }) + (dt.size * 8)
 
   private def writeArray(dir: Path, shape: Seq[Int], chunks: Seq[Int],
       dt: DType, fill: Double, comp: Compression, dims: Seq[String],
       extraAttrs: Map[String, Any],
-      chunkData: Seq[Int] => Array[Double], v3: Boolean = false): Unit = {
+      chunkData: Seq[Int] => Array[Double], v3: Boolean = false,
+      shardInner: Option[Seq[Int]] = None): Unit = {
+    require(shardInner.isEmpty || v3, "sharding is a v3-only layout")
+    shardInner.foreach { inner =>
+      require(inner.length == chunks.length && inner.forall(_ > 0) &&
+        chunks.zip(inner).forall { case (c, i) => c % i == 0 },
+        s"inner chunk shape ${inner.mkString("×")} must divide the " +
+          s"shard shape ${chunks.mkString("×")}")
+    }
     Files.createDirectories(dir)
     val fillJson: Any =
-      if (fill.isNaN) "NaN"
+      if (dt.kind == 'b') fill != 0.0 // v3 spec: bool fill is a JSON bool
+      else if (fill.isNaN) "NaN"
       else if (dt.isInt || fill.isWhole && math.abs(fill) < 1e15) fill.toLong
       else fill
     if (v3) {
-      val codecs: Seq[Any] =
+      val innerCodecs: Seq[Any] =
         Seq(scala.collection.immutable.ListMap("name" -> "bytes",
           "configuration" -> Map("endian" -> "little"))) ++
           (comp match {
@@ -631,6 +818,19 @@ object Zarr {
             case _ => Seq(scala.collection.immutable.ListMap(
               "name" -> "gzip", "configuration" -> Map("level" -> 6L)))
           })
+      val codecs: Seq[Any] = shardInner match {
+        case None => innerCodecs
+        case Some(inner) => Seq(scala.collection.immutable.ListMap(
+          "name" -> "sharding_indexed",
+          "configuration" -> scala.collection.immutable.ListMap(
+            "chunk_shape" -> inner,
+            "codecs" -> innerCodecs,
+            "index_codecs" -> Seq(
+              scala.collection.immutable.ListMap("name" -> "bytes",
+                "configuration" -> Map("endian" -> "little")),
+              Map("name" -> "crc32c")),
+            "index_location" -> "end")))
+      }
       val doc = scala.collection.immutable.ListMap(
         "zarr_format" -> 3L, "node_type" -> "array",
         "shape" -> shape, "data_type" -> v3TypeName(dt),
@@ -659,14 +859,47 @@ object Zarr {
           extraAttrs))
     }
     val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    def shardBytes(outer: Array[Double], inner: Seq[Int]): Array[Byte] = {
+      val innerGrid = chunks.zip(inner).map { case (c, i) => c / i }
+      val nInner = innerGrid.product
+      val innerN = inner.product
+      val payload = new java.io.ByteArrayOutputStream()
+      val index = ByteBuffer.allocate(nInner * 16)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      var off = 0L
+      var ii = 0
+      while (ii < nInner) {
+        var rem = ii; val bi = new Array[Int](innerGrid.length)
+        var d = innerGrid.length - 1
+        while (d >= 0) { bi(d) = rem % innerGrid(d); rem /= innerGrid(d); d -= 1 }
+        val vals = new Array[Double](innerN)
+        copyBlock(outer, chunks, vals, inner, bi.toSeq, toOuter = false)
+        val bytes = compress(
+          encodeArray(vals, dt, ByteOrder.LITTLE_ENDIAN), comp)
+        index.putLong(off); index.putLong(bytes.length.toLong)
+        payload.write(bytes); off += bytes.length
+        ii += 1
+      }
+      val crc = new java.util.zip.CRC32C
+      crc.update(index.array(), 0, nInner * 16)
+      payload.write(index.array())
+      val crcBuf = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      crcBuf.putInt(crc.getValue.toInt)
+      payload.write(crcBuf.array())
+      payload.toByteArray
+    }
     def rec(prefix: Seq[Int], d: Int): Unit =
       if (d == grid.length) {
-        val raw = encodeArray(chunkData(prefix), dt, ByteOrder.LITTLE_ENDIAN)
+        val bytes = shardInner match {
+          case Some(inner) => shardBytes(chunkData(prefix), inner)
+          case None => compress(
+            encodeArray(chunkData(prefix), dt, ByteOrder.LITTLE_ENDIAN), comp)
+        }
         val key = if (v3) "c/" + prefix.mkString("/")
           else prefix.mkString(".")
         val target = dir.resolve(key)
         Option(target.getParent).foreach(Files.createDirectories(_))
-        Files.write(target, compress(raw, comp))
+        Files.write(target, bytes)
       } else (0 until grid(d)).foreach(i => rec(prefix :+ i, d + 1))
     rec(Nil, 0)
   }
@@ -680,12 +913,14 @@ object Zarr {
       bbox: Bbox, noData: Double, projection: String, timesMs: Seq[Long],
       dtypeName: String = "float64", varName: String = "band1",
       chunkH: Int = 256, chunkW: Int = 256, zlib: Boolean = true,
-      zarrVersion: Int = 2): Unit = {
+      zarrVersion: Int = 2, shardSplit: Int = 0): Unit = {
     require(bands.nonEmpty && bands.forall(_.length == w * h),
       "band size must equal w*h")
     require(timesMs.length == bands.length, "one time per frame required")
     require(zarrVersion == 2 || zarrVersion == 3,
       s"zarrVersion must be 2 or 3, got $zarrVersion")
+    require(shardSplit == 0 || zarrVersion == 3,
+      "shardSplit needs zarrVersion = 3 (sharding_indexed is a v3 codec)")
     val v3 = zarrVersion == 3
     // v2 compresses with zlib; v3 with zstd (the zarr-python v3 default)
     val dataComp: Compression =
@@ -728,6 +963,13 @@ object Zarr {
       NoComp, Seq("spatial_ref"), Map(
         "spatial_ref" -> wkt, "crs_wkt" -> wkt),
       _ => Array(0.0), v3 = v3)
+    val shardInner =
+      if (shardSplit <= 0) None
+      else {
+        require(cH % shardSplit == 0 && cW % shardSplit == 0,
+          s"shardSplit $shardSplit must divide the chunk $cH×$cW")
+        Some(Seq(1, cH / shardSplit, cW / shardSplit))
+      }
     writeArray(root.resolve(varName), Seq(nT, h, w), Seq(1, cH, cW), dt,
       noData, dataComp, Seq("time", "y", "x"),
       Map("grid_mapping" -> "spatial_ref"), {
@@ -748,7 +990,7 @@ object Zarr {
           }
           out
         case other => throw new IllegalStateException(s"bad chunk $other")
-      }, v3 = v3)
+      }, v3 = v3, shardInner = shardInner)
     // consolidated metadata (v2 only): every JSON document in ONE
     // .zmetadata object (the xarray convention) so cloud readers pay
     // one metadata GET
@@ -830,7 +1072,7 @@ case class ZarrSource(url: String, projectionArg: String = "",
   * dimension = frames), carrying the true frame instants. */
 case class ZarrSink(source: RasterBlock, url: String,
     varName: String = "band1", chunkH: Int = 256, chunkW: Int = 256,
-    compress: Boolean = true, zarrVersion: Int = 2) {
+    compress: Boolean = true, zarrVersion: Int = 2, shardSplit: Int = 0) {
   def write(req: RasterRequest)(implicit spark: SparkSession): String = {
     val res = source.getData(req).getOrElse(
       throw new IllegalArgumentException("empty result"))
@@ -838,7 +1080,8 @@ case class ZarrSink(source: RasterBlock, url: String,
                else s"$url/stack.zarr"
     Zarr.write(root, res.values, req.width, req.height, req.bbox,
       res.noDataValue, req.projection, res.times.map(_.toEpochMilli),
-      source.dtype.name, varName, chunkH, chunkW, compress, zarrVersion)
+      source.dtype.name, varName, chunkH, chunkW, compress, zarrVersion,
+      shardSplit)
     root
   }
 }

@@ -461,6 +461,40 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
     }
   }
 
+  private lazy val zarr3ShardFixture: java.nio.file.Path = {
+    val root = tmpRoot.resolve("fuzz3s.zarr")
+    graft.raster.Zarr.write(root.toString,
+      Seq(Array.tabulate(64)(_ * 0.5), Array.tabulate(64)(_ * 2.0)),
+      8, 8, Bbox(0, 0, 8, 8), -9999.0, "EPSG:28992",
+      Seq(0L, 3600000L), "float64", chunkH = 4, chunkW = 4,
+      zarrVersion = 3, shardSplit = 2)
+    root
+  }
+
+  property("zarr v3 sharded read survives corrupt shard/index bytes") = {
+    val members = Gen.oneOf("band1/zarr.json", "band1/c/0/0/0",
+      "band1/c/1/1/1", "band1/c/0/1/0")
+    Prop.forAll(mutationGen(1 << 9), members) {
+      case ((kind, pos, value), member) =>
+        val dst = Files.createTempDirectory(tmpRoot, "zarr3s_case")
+        import scala.jdk.CollectionConverters._
+        Files.walk(zarr3ShardFixture).iterator().asScala
+          .filter(Files.isRegularFile(_)).foreach { p =>
+            val rel = zarr3ShardFixture.relativize(p)
+            val to = dst.resolve(rel)
+            Files.createDirectories(to.getParent)
+            Files.copy(p, to, StandardCopyOption.REPLACE_EXISTING)
+          }
+        val target = dst.resolve(member)
+        Files.write(target,
+          mutate(Files.readAllBytes(target), kind, pos, value))
+        cleanOrFails(s"zarr3s m=$member k=$kind p=$pos v=$value") {
+          val m = graft.raster.Zarr.readMeta(dst.toString, "EPSG:28992")
+          graft.raster.Zarr.readFrames(m, 0 until m.nFrames)
+        }
+    }
+  }
+
   private lazy val gpkgTilesFixture: Array[Byte] = {
     val p = tmpRoot.resolve("fuzz_tiles.gpkg").toString
     graft.raster.GpkgTiles.write(p, Array.tabulate(64)(_ % 1000.0),
@@ -537,6 +571,67 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
             graft.raster.Grib.decode(ch, m.fields(i), nd).sameElements(frames(i))
           }
         Prop(ok) :| s"w=$w h=$h nf=$nf base=$base range=$range"
+      } finally ch.close()
+    }
+
+  private lazy val gribComplexFixture: Array[Byte] = {
+    val p = tmpRoot.resolve("fuzz_cx.grib2").toString
+    graft.raster.Grib.write(p,
+      Seq(Array.tabulate(12 * 8)(i => (i % 37).toDouble),
+        Array.tabulate(12 * 8)(i =>
+          if (i % 5 == 0) Double.MaxValue else (i % 23).toDouble)),
+      12, 8, Double.MaxValue, Seq(0L, 3600000L), 0.0, 0.0, 0.05,
+      template = 3, sdOrder = 2)
+    Files.readAllBytes(Paths.get(p))
+  }
+
+  property("grib2 complex-packed read survives corrupt bytes") =
+    Prop.forAll(mutationGen(gribComplexFixture.length)) { case (kind, pos, value) =>
+      val bytes = mutate(gribComplexFixture, kind, pos, value)
+      val f = Files.createTempDirectory(tmpRoot, "grib_cxm")
+        .resolve("s.grib2")
+      Files.write(f, bytes)
+      cleanOrFails(s"grib-cx k=$kind p=$pos v=$value") {
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val m = graft.raster.Grib.readMeta(ch, f.toString)
+          m.fields.foreach(fd =>
+            graft.raster.Grib.decode(ch, fd, Double.MaxValue))
+        } finally ch.close()
+      }
+    }
+
+  private val gribComplexGen = for {
+    t <- gribStackGen
+    tpl <- Gen.oneOf(2, 3)
+    od <- Gen.oneOf(1, 2)
+  } yield (t, tpl, od)
+
+  property("grib2 complex packing (5.2/5.3) round-trips exactly") =
+    Prop.forAll(gribComplexGen) { case ((w, h, nf, base, range, seed), tpl, od) =>
+      val nd = Double.MaxValue
+      var s = seed
+      def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+      val frames = Seq.fill(nf)(Array.fill(w * h) {
+        val r = next()
+        if (math.floorMod(r, 7) == 0L) nd
+        else (base + math.floorMod(r >>> 8, (range + 1).toLong)).toDouble
+      })
+      val times = Seq.tabulate(nf)(i => i * 3600000L)
+      val dir = Files.createTempDirectory(tmpRoot, "grib_cx")
+      val p = dir.resolve("cx.grib2").toString
+      graft.raster.Grib.write(p, frames, w, h, nd, times, 0.0, 0.0, 0.05,
+        template = tpl, sdOrder = od)
+      val ch = java.nio.channels.FileChannel.open(Paths.get(p),
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val m = graft.raster.Grib.readMeta(ch, p)
+        val ok = m.w == w && m.h == h && m.timesMs == times &&
+          m.fields.indices.forall { i =>
+            graft.raster.Grib.decode(ch, m.fields(i), nd).sameElements(frames(i))
+          }
+        Prop(ok) :| s"w=$w h=$h nf=$nf base=$base range=$range tpl=$tpl od=$od"
       } finally ch.close()
     }
 

@@ -312,6 +312,49 @@ class RasterMetaSpec extends SparkSpec {
     assert(cnt == 1L)
   }
 
+  test("nearestWithin: hot cells salt into an equi-join with the same result") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    def pts(rows: Seq[(Long, Double, Double)]) =
+      rows.toDF("fid", "x", "y").select(col("fid"),
+        GeomFunctions.stGeomFromWkt(
+          concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")")))
+          .as("geometry"))
+    // 30 right points packed in one 1-unit cell; 8 lefts around them
+    val dense = pts((1 to 30).map(i => (100L + i, 0.5 + i * 0.001, 0.5)))
+    val lefts = pts((1 to 8).map(i => (i.toLong, 0.4 + i * 0.02, 0.45)))
+    val plain = SpatialJoin.nearestWithin(lefts, dense, k = 5,
+      maxDist = 0.5, cellSize = 1.0, skewGuard = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(plain.nonEmpty)
+    val salted = SpatialJoin.nearestWithin(lefts, dense, k = 5,
+      maxDist = 0.5, cellSize = 1.0, saltAbove = 10, saltFactor = 4)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"salted kNN join must stay an equi-join:\n$plan")
+    val got = salted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == plain)
+  }
+
+  test("nearestWithin: per-cell population cap fails loudly on a dense cell") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    def pts(n: Int) = (1 to n).map(i => (i.toLong, 0.5, 0.5))
+      .toDF("fid", "x", "y").select(col("fid"),
+        GeomFunctions.stGeomFromWkt(
+          concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")")))
+          .as("geometry"))
+    val e = intercept[IllegalArgumentException] {
+      SpatialJoin.nearestWithin(pts(5), pts(40), k = 1, maxDist = 0.5,
+        cellSize = 1.0, saltAbove = 10, maxCellRows = 20)
+    }
+    assert(e.getMessage.contains("maxCellRows"))
+  }
+
   test("SpatialJoin: cell indices beyond the 32-bit grid fail loudly") {
     val sp = spark
     import sp.implicits._

@@ -91,6 +91,58 @@ class GribSpec extends SparkSpec {
   private def writeFile(path: String, msgs: Array[Byte]*): Unit =
     Files.write(Paths.get(path), msgs.flatten.toArray)
 
+  /** One message with a caller-supplied section 5 tail (octets 12+:
+    * R/E/D + template params) and raw section 7 payload — for the
+    * complex-packing (5.2/5.3) layouts the fixed 5.0 helper can't
+    * express. Grid/product sections mirror `message()`. */
+  private def complexMsg(w: Int, h: Int, template: Int, numPoints: Int,
+      sec5Tail: B => Unit, payload: Array[Byte],
+      bitmap: Option[Seq[Boolean]] = None,
+      hourOfDay: Int = 6): Array[Byte] = {
+    val tail = new B; sec5Tail(tail)
+    val tailBytes = tail.result()
+    val sec5Len = 11 + tailBytes.length
+    val n = w * h
+    val bitmapBytes = if (bitmap.isDefined) (n + 7) / 8 else 0
+    val msgLen = 16L + 21 + 72 + 34 + sec5Len + (6 + bitmapBytes) +
+      (5 + payload.length) + 4
+    val b = new B
+    b.str("GRIB"); b.u16(0); b.u8(0); b.u8(2); b.u64(msgLen)
+    b.u32(21); b.u8(1); b.u16(98); b.u16(0); b.u8(2); b.u8(1); b.u8(0)
+    b.u16(2020); b.u8(3); b.u8(1); b.u8(hourOfDay); b.u8(0); b.u8(0)
+    b.u8(0); b.u8(0)
+    b.u32(72); b.u8(3); b.u8(0); b.u32(n.toLong); b.u8(0); b.u8(0); b.u16(0)
+    b.u8(6); b.u8(0); b.u32(0); b.u8(0); b.u32(0); b.u8(0); b.u32(0)
+    b.u32(w.toLong); b.u32(h.toLong); b.u32(0); b.u32(0)
+    b.sm32(52000000L); b.sm32(4000000L)
+    b.u8(0x30)
+    b.sm32(0L); b.sm32(0L)
+    b.u32(500000L); b.u32(500000L)
+    b.u8(0)
+    b.u32(34); b.u8(4); b.u16(0); b.u16(0)
+    b.u8(1); b.u8(8); b.u8(2); b.u8(0); b.u8(0); b.u16(0); b.u8(0)
+    b.u8(1); b.u32(0L)
+    b.u8(1); b.u8(0); b.u32(0); b.u8(255); b.u8(0); b.u32(0)
+    b.u32(sec5Len.toLong); b.u8(5); b.u32(numPoints.toLong); b.u16(template)
+    b.out.write(tailBytes)
+    b.u32(6L + bitmapBytes); b.u8(6)
+    bitmap match {
+      case None => b.u8(255)
+      case Some(bits) =>
+        b.u8(0)
+        var acc = 0; var k = 0
+        bits.foreach { bit =>
+          acc = (acc << 1) | (if (bit) 1 else 0); k += 1
+          if (k == 8) { b.u8(acc); acc = 0; k = 0 }
+        }
+        if (k > 0) b.u8(acc << (8 - k))
+    }
+    b.u32(5L + payload.length); b.u8(7)
+    b.out.write(payload)
+    b.str("7777")
+    b.result()
+  }
+
   private val T0 = java.time.Instant.parse("2020-03-01T06:00:00Z")
 
   // -------------------------------------------------------------- tests
@@ -258,5 +310,167 @@ class GribSpec extends SparkSpec {
         Double.MaxValue, Seq(0L), 0.0, 0.0, 0.5)
     }
     assert(ew.getMessage.contains("non-integral"))
+    // odd-microdegree pitch: centers would fall on half-microdegree
+    // positions that integer La1/Lo1 fields cannot carry
+    val eo = intercept[IllegalArgumentException] {
+      Grib.write(s"$dir/odd.grib2", Seq(Array(1.0, 2.0)), 2, 1,
+        Double.MaxValue, Seq(0L), 0.0, 0.0, 0.000003)
+    }
+    assert(eo.getMessage.contains("odd"))
+  }
+
+  test("hand-assembled 5.2 complex packing: groups, refs, widths, E/D") {
+    // 12 points in 3 groups: X = [3,4,5,6,3 | 7,0,5,2 | 10,10,10]
+    // refs [3,0,10] (4 bits), widths [2,3,0] (widthRef 0, 2 bits),
+    // lengths [5,4,3] as lenRef 3 + scaled*1, last true length 3
+    val sec5: B => Unit = { b =>
+      b.f32(1.5f); b.sm16(-1); b.sm16(1) // R, E, D
+      b.u8(4)  // ref bits
+      b.u8(0)  // original type
+      b.u8(1)  // general group splitting
+      b.u8(0)  // no missing mgmt
+      b.u32(0); b.u32(0)
+      b.u32(3) // NG
+      b.u8(0); b.u8(2)  // widthRef, widthBits
+      b.u32(3); b.u8(1) // lenRef, lenInc
+      b.u32(3)          // true last length
+      b.u8(2)           // lenBits
+    }
+    val payload = Array[Byte](
+      0x30, 0xA0.toByte,        // refs 3,0,10 @4b + pad
+      0xB0.toByte,              // widths 2,3,0 @2b + pad
+      0x90.toByte,              // scaled lens 2,1,0 @2b + pad
+      0x1B, 0x38, 0xA8.toByte)  // 0,1,2,3,0 @2b; 7,0,5,2 @3b; (w=0) + pad
+    val dir = Files.createTempDirectory("graft_grib52").toString
+    writeFile(s"$dir/c.grib2", complexMsg(4, 3, 2, 12, sec5, payload))
+    val ch = java.nio.channels.FileChannel.open(Paths.get(s"$dir/c.grib2"),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m = Grib.readMeta(ch, s"$dir/c.grib2")
+      val got = Grib.decode(ch, m.fields.head, Double.MaxValue)
+      val expX = Seq(3, 4, 5, 6, 3, 7, 0, 5, 2, 10, 10, 10)
+      // decoder formula shape: R/10^D + X * (2^E/10^D)
+      val want = expX.map(x => 1.5 / 10.0 + x * (0.5 / 10.0))
+      assert(got.toSeq == want, got.toSeq)
+    } finally ch.close()
+  }
+
+  test("hand-assembled 5.3 spatial differencing reconstructs exactly") {
+    // order 2, 2-octet descriptors: X = [10,12,15,19,24,30] — second
+    // differences are all 1, so minsd=1 and every packed value is 0
+    // (NG=1, 0-bit refs and widths: the whole field rides in the
+    // initial values + minimum)
+    val sec52: B => Unit = { b =>
+      b.f32(0f); b.sm16(0); b.sm16(0)
+      b.u8(0)  // ref bits: none
+      b.u8(0); b.u8(1); b.u8(0); b.u32(0); b.u32(0)
+      b.u32(1) // NG
+      b.u8(0); b.u8(0)  // widthRef 0, widthBits 0
+      b.u32(6); b.u8(1); b.u32(6); b.u8(0)
+      b.u8(2); b.u8(2)  // order 2, 2 octets
+    }
+    val pay2 = Array[Byte](0, 10, 0, 12, 0, 1) // ival1=10, ival2=12, min=1
+    val dir = Files.createTempDirectory("graft_grib53").toString
+    writeFile(s"$dir/o2.grib2", complexMsg(3, 2, 3, 6, sec52, pay2))
+    val ch2 = java.nio.channels.FileChannel.open(Paths.get(s"$dir/o2.grib2"),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m = Grib.readMeta(ch2, s"$dir/o2.grib2")
+      val got = Grib.decode(ch2, m.fields.head, Double.MaxValue)
+      assert(got.toSeq == Seq(10.0, 12.0, 15.0, 19.0, 24.0, 30.0), got.toSeq)
+    } finally ch2.close()
+
+    // order 1 with a NEGATIVE minimum (sign-magnitude byte 0x82):
+    // X = [5,3,2,4], diffs [-2,-1,2], minsd=-2, packed [0,0,1,4] @3b
+    val sec51: B => Unit = { b =>
+      b.f32(0f); b.sm16(0); b.sm16(0)
+      b.u8(2)  // ref bits (one ref = 0)
+      b.u8(0); b.u8(1); b.u8(0); b.u32(0); b.u32(0)
+      b.u32(1)
+      b.u8(3); b.u8(0)  // widthRef 3, widthBits 0
+      b.u32(4); b.u8(1); b.u32(4); b.u8(0)
+      b.u8(1); b.u8(1)  // order 1, 1 octet
+    }
+    val pay1 = Array[Byte](0x05, 0x82.toByte, // ival1=5, minsd=-2
+      0x00,                                   // ref 0 @2b + pad
+      0x00, 0xC0.toByte)                      // 0,0,1,4 @3b + pad
+    writeFile(s"$dir/o1.grib2", complexMsg(4, 1, 3, 4, sec51, pay1))
+    val ch1 = java.nio.channels.FileChannel.open(Paths.get(s"$dir/o1.grib2"),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m = Grib.readMeta(ch1, s"$dir/o1.grib2")
+      val got = Grib.decode(ch1, m.fields.head, Double.MaxValue)
+      assert(got.toSeq == Seq(5.0, 3.0, 2.0, 4.0), got.toSeq)
+    } finally ch1.close()
+  }
+
+  test("complex-packed write/read round-trips with bitmaps and slicing") {
+    val nd = Double.MaxValue
+    val dir = Files.createTempDirectory("graft_gribc").toString
+    val w = 7; val h = 5
+    // spatially-smooth field + nodata holes — the complex-packing
+    // sweet spot (small second differences)
+    def frame(t: Int): Array[Double] = Array.tabulate(w * h) { i =>
+      val r = i / w; val c = i % w
+      if ((r + c + t) % 9 == 0) nd
+      else 100.0 + 3 * r + 2 * c + t + (r * c % 4)
+    }
+    val frames = Seq(frame(0), frame(1), frame(2))
+    val times = Seq(0L, 3600000L, 7200000L)
+    for ((tpl, od) <- Seq((2, 2), (3, 1), (3, 2))) {
+      val p = s"$dir/t${tpl}o$od.grib2"
+      Grib.write(p, frames, w, h, nd, times, 0.0, 0.0, 0.05,
+        template = tpl, sdOrder = od)
+      val ch = java.nio.channels.FileChannel.open(Paths.get(p),
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val m = Grib.readMeta(ch, p)
+        assert(m.timesMs == times)
+        for (i <- frames.indices)
+          assert(Grib.decode(ch, m.fields(i), nd).sameElements(frames(i)),
+            s"template $tpl order $od frame $i")
+      } finally ch.close()
+    }
+    // the field-pruned temporal slice decodes a complex-packed frame
+    val p3 = s"$dir/t3o2.grib2"
+    val src = GribSource(p3)
+    val req = RasterRequest(src.extent.get, "EPSG:4326", w, h,
+      Some(java.time.Instant.ofEpochMilli(3600000L)),
+      Some(java.time.Instant.ofEpochMilli(3600000L)))
+    val res = src.getData(req).get
+    assert(res.values.length == 1)
+    assert(res.values.head.sameElements(frame(1)))
+  }
+
+  test("complex-packing failure modes are loud and named") {
+    // template 5.40 names the JPEG2000 gap; bad splitting/missing too
+    val base = complexMsg(3, 2, 3, 6, { b =>
+      b.f32(0f); b.sm16(0); b.sm16(0)
+      b.u8(0); b.u8(0); b.u8(1); b.u8(0); b.u32(0); b.u32(0)
+      b.u32(1); b.u8(0); b.u8(0); b.u32(6); b.u8(1); b.u32(6); b.u8(0)
+      b.u8(2); b.u8(2)
+    }, Array[Byte](0, 10, 0, 12, 0, 1))
+    val dir = Files.createTempDirectory("graft_gribcf").toString
+    // section 5 starts at 16+21+72+34 = 143; its template u16 is at
+    // 152-153, splitting method octet 22 at 164, missing mgmt at 165,
+    // sd order octet 48 at 143+47 = 190
+    def mutated(at: Int, v: Int): Array[Byte] = {
+      val c = base.clone(); c(at) = v.toByte; c
+    }
+    def expectFail(name: String, bytes: Array[Byte], needle: String): Unit = {
+      Files.write(Paths.get(s"$dir/$name.grib2"), bytes)
+      val e = intercept[IllegalArgumentException] {
+        GribSource(s"$dir/$name.grib2").extent
+      }
+      assert(e.getMessage.contains(needle), s"$name: ${e.getMessage}")
+    }
+    assert(base(153) == 3) // template byte where we expect it
+    expectFail("jp2", mutated(153, 40), "JPEG2000")
+    assert(base(164) == 1)
+    expectFail("split", mutated(164, 2), "group splitting")
+    assert(base(165) == 0)
+    expectFail("missing", mutated(165, 1), "missing value management")
+    assert(base(190) == 2)
+    expectFail("order", mutated(190, 3), "differencing order")
   }
 }

@@ -254,10 +254,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p.take(2000))
   }
 
-  test("time-range self-join is a (user, bucket) equi-join, no cartesian") {
+  test("time-range neighbor count is a RANGE window, no self-join at all") {
     val p = plan("q17_range_join")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the pair-materializing bucket join is gone: no join operator of
+    // any kind may appear — the whole query is scan → window
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    // one hash shuffle on user_id, never a global sort on one task
+    assert(!p.contains("SinglePartition"), p.take(2000))
   }
 
   test("sourceCap is one shuffle on the source key, no global sort") {

@@ -177,5 +177,12 @@ class VrtSpec extends SparkSpec {
          |<SrcRect xOff="0" yOff="0" xSize="2" ySize="2"/>
          |<DstRect xOff="0" yOff="0" xSize="1" ySize="1"/>
          |</SimpleSource></VRTRasterBand>""".stripMargin), "resampling")
+    // sub-pixel rects would be silently snapped by up to half a pixel
+    expectFail("fractional", vrtWith(
+      s"""<VRTRasterBand band="1"><SimpleSource>
+         |<SourceFilename>$dir/t.tif</SourceFilename>
+         |<SrcRect xOff="0.5" yOff="0" xSize="2" ySize="2"/>
+         |<DstRect xOff="0.5" yOff="0" xSize="2" ySize="2"/>
+         |</SimpleSource></VRTRasterBand>""".stripMargin), "fractional")
   }
 }

@@ -225,6 +225,18 @@ class ZarrSpec extends SparkSpec {
     val want = RasterFixtures.source.getData(req)(spark).get
     assert(res.times == want.times)
     assert(res.values.map(_.toSeq).toSeq == want.values.map(_.toSeq).toSeq)
+    // bool rasters carry the spec data_type "bool" (not a uint alias)
+    // with a JSON-boolean fill, and read back through our own parser
+    val bv = graft.raster.IsData(RasterFixtures.source)
+    ZarrSink(bv, s"$dir/mask.zarr", chunkH = 7, chunkW = 5,
+      zarrVersion = 3).write(req)(spark)
+    val meta = Files.readString(
+      Paths.get(s"$dir/mask.zarr/band1/zarr.json"))
+    assert(meta.contains("\"data_type\":\"bool\""), meta)
+    assert(!meta.contains("uint8"), meta)
+    val bres = RasterFileSource(s"$dir/mask.zarr").getData(req)(spark).get
+    assert(bres.values.map(_.toSeq).toSeq ==
+      bv.getData(req)(spark).get.values.map(_.toSeq).toSeq)
   }
 
   test("foreign v3 store: gzip, big-endian, v2-style chunk keys") {
@@ -277,11 +289,141 @@ class ZarrSpec extends SparkSpec {
       Seq(11.0, 12.0, 13.0, 21.0, 22.0, 23.0))
   }
 
-  test("v3 failure modes are loud: sharding codec, wrong node_type") {
+  test("v3 sharded sink round-trip: index footer, crc32c, inner zstd") {
+    val dir = tmp("graft_zarr3s")
+    val req = RasterFixtures.valsRequest
+    ZarrSink(RasterFixtures.source, s"$dir/stack.zarr", chunkH = 6,
+      chunkW = 4, zarrVersion = 3, shardSplit = 2).write(req)(spark)
+    val meta = Files.readString(
+      Paths.get(s"$dir/stack.zarr/band1/zarr.json"))
+    assert(meta.contains("sharding_indexed") && meta.contains("crc32c"),
+      meta)
+    // one shard file per (frame, whole plane): chunk grid is 3×1×1
+    assert(Files.exists(Paths.get(s"$dir/stack.zarr/band1/c/0/0/0")))
+    assert(Files.exists(Paths.get(s"$dir/stack.zarr/band1/c/2/0/0")))
+    val back = RasterFileSource(s"$dir/stack.zarr")
+    val res = back.getData(req)(spark).get
+    val want = RasterFixtures.source.getData(req)(spark).get
+    assert(res.times == want.times)
+    assert(res.values.map(_.toSeq).toSeq == want.values.map(_.toSeq).toSeq)
+    // intra-shard pruning path: single-frame slice still exact
+    val req1 = req.copy(start = Some(RasterFixtures.T0.plusMillis(3600000L)),
+      stop = Some(RasterFixtures.T0.plusMillis(3600000L)))
+    val r1 = back.getData(req1)(spark).get
+    assert(r1.values.length == 1 &&
+      r1.values.head.sameElements(want.values(1)))
+  }
+
+  test("foreign hand-built sharded store: missing inner chunk, " +
+      "index at start, crc verified") {
+    val root = Paths.get(tmp("graft_zarr3sh"), "s.zarr")
+    writeJson(root.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group", "attributes": {}}""")
+    def coord(name: String, vals: Seq[Double], units: String): Unit = {
+      writeJson(root.resolve(name).resolve("zarr.json"),
+        s"""{"zarr_format": 3, "node_type": "array",
+           | "shape": [${vals.length}], "data_type": "float64",
+           | "chunk_grid": {"name": "regular",
+           |   "configuration": {"chunk_shape": [${vals.length}]}},
+           | "chunk_key_encoding": {"name": "default"},
+           | "fill_value": "NaN",
+           | "codecs": [{"name": "bytes",
+           |   "configuration": {"endian": "little"}}],
+           | "attributes": {"units": "$units"},
+           | "dimension_names": ["$name"]}""".stripMargin)
+      val d = root.resolve(name).resolve("c")
+      Files.createDirectories(d)
+      Files.write(d.resolve("0"), leDoubles(vals))
+    }
+    coord("lon", Seq(5.125, 5.375, 5.625, 5.875, 6.125, 6.375),
+      "degrees_east")
+    coord("lat", Seq(52.875, 52.625, 52.375, 52.125), "degrees_north")
+    // 4×6 float64, shards of [2,6] with [2,3] inner chunks, index AT
+    // THE START of the shard, [bytes, crc32c] index codecs
+    writeJson(root.resolve("t2m").resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "array",
+        | "shape": [4, 6], "data_type": "float64",
+        | "chunk_grid": {"name": "regular",
+        |   "configuration": {"chunk_shape": [2, 6]}},
+        | "chunk_key_encoding": {"name": "default"},
+        | "fill_value": -9,
+        | "codecs": [{"name": "sharding_indexed",
+        |   "configuration": {"chunk_shape": [2, 3],
+        |     "codecs": [{"name": "bytes",
+        |       "configuration": {"endian": "little"}}],
+        |     "index_codecs": [{"name": "bytes",
+        |       "configuration": {"endian": "little"}},
+        |       {"name": "crc32c"}],
+        |     "index_location": "start"}}],
+        | "dimension_names": ["lat", "lon"]}""".stripMargin)
+    def shardFile(chunks: Seq[Option[Array[Byte]]]): Array[Byte] = {
+      val idxLen = chunks.length * 16 + 4
+      val idx = java.nio.ByteBuffer.allocate(chunks.length * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val payload = new java.io.ByteArrayOutputStream()
+      var off = idxLen.toLong // offsets are absolute within the shard
+      chunks.foreach {
+        case None => idx.putLong(-1L); idx.putLong(-1L)
+        case Some(b) =>
+          idx.putLong(off); idx.putLong(b.length.toLong)
+          payload.write(b); off += b.length
+      }
+      val crc = new java.util.zip.CRC32C
+      crc.update(idx.array())
+      val crcB = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(crc.getValue.toInt).array()
+      idx.array() ++ crcB ++ payload.toByteArray
+    }
+    val cDir = root.resolve("t2m").resolve("c").resolve("0")
+    Files.createDirectories(cDir)
+    Files.createDirectories(root.resolve("t2m").resolve("c").resolve("1"))
+    // shard 0 (rows 0-1): left inner present, RIGHT INNER MISSING
+    Files.write(cDir.resolve("0"), shardFile(Seq(
+      Some(leDoubles(Seq(11, 12, 13, 21, 22, 23))), None)))
+    // shard 1 (rows 2-3): both inner chunks present
+    Files.write(root.resolve("t2m").resolve("c").resolve("1").resolve("0"),
+      shardFile(Seq(
+        Some(leDoubles(Seq(31, 32, 33, 41, 42, 43))),
+        Some(leDoubles(Seq(34, 35, 36, 44, 45, 46))))))
+    val src = ZarrSource(root.toString)
+    val req = RasterRequest(src.extent.get, "EPSG:4326", 6, 4, None, None)
+    val res = src.getData(req)(spark).get
+    val nd = res.noDataValue // fill -9 maps to the engine nodata mark
+    val vals = res.values(0)
+    assert(vals.toSeq == Seq(
+      11, 12, 13, nd, nd, nd,
+      21, 22, 23, nd, nd, nd,
+      31, 32, 33, 34, 35, 36,
+      41, 42, 43, 44, 45, 46).map(_.toDouble), vals.toSeq)
+    // a corrupted index fails the crc loudly
+    val s1 = root.resolve("t2m").resolve("c").resolve("1").resolve("0")
+    val bytes = Files.readAllBytes(s1)
+    bytes(3) = (bytes(3) ^ 0x55).toByte
+    Files.write(s1, bytes)
+    val e = intercept[IllegalArgumentException](
+      ZarrSource(root.toString).getData(req)(spark))
+    assert(e.getMessage.contains("crc32c"), e.getMessage)
+  }
+
+  test("v3 failure modes are loud: bad shard config, wrong node_type") {
     val dir = tmp("graft_zarr3b")
     val root = Paths.get(dir, "s.zarr")
     writeJson(root.resolve("zarr.json"),
       """{"zarr_format": 3, "node_type": "group", "attributes": {}}""")
+    def shardDoc(inner: String, idxCodecs: String): String =
+      s"""{"zarr_format": 3, "node_type": "array", "shape": [4, 4],
+         | "data_type": "float64",
+         | "chunk_grid": {"name": "regular",
+         |   "configuration": {"chunk_shape": [2, 2]}},
+         | "chunk_key_encoding": {"name": "default"},
+         | "fill_value": 0,
+         | "codecs": [{"name": "sharding_indexed",
+         |   "configuration": {"chunk_shape": $inner,
+         |     "codecs": [{"name": "bytes",
+         |       "configuration": {"endian": "little"}}],
+         |     "index_codecs": $idxCodecs}}]}""".stripMargin
+    // empty shard configuration: missing inner chunk_shape
     writeJson(root.resolve("v").resolve("zarr.json"),
       """{"zarr_format": 3, "node_type": "array", "shape": [4, 4],
         | "data_type": "float64",
@@ -293,7 +435,19 @@ class ZarrSpec extends SparkSpec {
         |   "configuration": {}}]}""".stripMargin)
     val e = intercept[IllegalArgumentException](ZarrSource(root.toString)
       .allTimes)
-    assert(e.getMessage.contains("bytes"))
+    assert(e.getMessage.contains("chunk_shape"))
+    // inner shape that does not divide the shard shape
+    writeJson(root.resolve("v").resolve("zarr.json"),
+      shardDoc("[2, 3]", """[{"name": "bytes"}]"""))
+    val ed = intercept[IllegalArgumentException](ZarrSource(root.toString)
+      .allTimes)
+    assert(ed.getMessage.contains("divide"))
+    // unsupported index codec chain
+    writeJson(root.resolve("v").resolve("zarr.json"),
+      shardDoc("[1, 2]", """[{"name": "crc32c"}]"""))
+    val ei = intercept[IllegalArgumentException](ZarrSource(root.toString)
+      .allTimes)
+    assert(ei.getMessage.contains("index_codecs"))
     // array doc at the root is not a group
     val arr = Paths.get(dir, "a.zarr")
     writeJson(arr.resolve("zarr.json"),
