@@ -208,6 +208,28 @@ object SparkEntry {
         .withColumn("n_near", count(lit(1)).over(w) - 1)
         .select(col("event_id"), col("n_near"))
     }),
+    "q18_interval_join" -> ((s, dir) => {
+      // TWO-TABLE point-in-interval join — the bucketed
+      // interval-join-as-equi-join pattern q17's self-join rewrite
+      // vacated, kept where it is genuinely the right plan (a RANGE
+      // window cannot span two tables). Intervals are derived from
+      // orders with deterministic integer-hour arithmetic shifted into
+      // the events' 2024 window: start = 2024-01-01 + (orderkey % 720)h,
+      // length = (1 + orderkey % 73)h, key = custkey % 150 (user range).
+      val H = 3600000000L
+      val base = 1704067200000000L // 2024-01-01T00:00:00Z micros
+      val e = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+      val o = tbl(s, dir, "orders").select(
+        (col("o_custkey") % 150).as("k"),
+        (lit(base) + col("o_orderkey") % 720 * H).as("s_us"),
+        (lit(base) + col("o_orderkey") % 720 * H +
+          (lit(1L) + col("o_orderkey") % 73) * H).as("e_us"))
+      IntervalJoin.countContaining(e, "event_id", "user_id", "us",
+          o, "k", "s_us", "e_us", bucketUs = 24L * H)
+        .select(col("event_id"), col("n_active"))
+    }),
     "q13_asof_ffill" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -223,6 +245,19 @@ object SparkEntry {
     "q11_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
         | round(sum(value), 4) AS total FROM events GROUP BY 1, 2""".stripMargin,
+    "q18_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |o AS (SELECT o_custkey % 150 AS k,
+        |        1704067200000000 + (o_orderkey % 720) * 3600000000 AS s_us,
+        |        1704067200000000 + (o_orderkey % 720) * 3600000000
+        |          + (1 + o_orderkey % 73) * 3600000000 AS e_us
+        |      FROM orders),
+        |c AS (SELECT e.event_id, count(*) AS n_active
+        |      FROM e JOIN o ON e.user_id = o.k
+        |        AND e.us >= o.s_us AND e.us <= o.e_us
+        |      GROUP BY 1)
+        |SELECT e.event_id, CAST(coalesce(c.n_active, 0) AS BIGINT) AS n_active
+        |FROM e LEFT JOIN c USING (event_id)""".stripMargin,
     "q17_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
         |c AS (SELECT a.event_id, count(*) AS n_near
@@ -612,6 +647,22 @@ object SparkEntry {
           Some(java.time.Instant.ofEpochMilli(Hour * (g.frames - 1))))
         cells(src.frame(back), g)
       }),
+      "r59_dsv2_read" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the DataSource V2 connector (spark.read.format("graft-raster"))
+        // over a complex-packed GRIB stack: metadata planned on the
+        // driver, every data byte decoded in EXECUTOR partition readers
+        // (one per frame) — the multi-file 100 TB raster path; tile
+        // schema matches the engine's frame shape so the same reshape
+        // applies
+        val a = eventsRaster(dir, g, "cast(floor(value) as double)")
+        val out = java.nio.file.Files.createTempDirectory("verify_dsv2").toString
+        val p = GribSink(a, s"$out/stack.grib2", degPerCell = 0.05,
+          template = 2).write(fullReq(g))
+        val df = s.read.format("graft-raster").load(p)
+          .select(col("t"), col("ty"), col("tx"), col("values"))
+        cells(df, g)
+      }),
       "r56_grib_slice" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // temporal slice: the field-pruned path decodes only frames 1-2's
@@ -878,6 +929,8 @@ object SparkEntry {
     "r56_grib_slice" -> s"""${cellsSql("FLOOR(value)")}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
     "r57_grib_complex" -> s"""${cellsSql("FLOOR(value)")}
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r59_dsv2_read" -> s"""${cellsSql("FLOOR(value)")}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r54_vrt_mosaic" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx = 0""".stripMargin,

@@ -16,8 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Subset (everything else fails LOUDLY, never misdecodes):
   *  - grid definition template 3.0 — regular latitude/longitude, basic
   *    angle 0 (microdegree units), no quasi-regular row lists
-  *  - product definition template 4.0 — analysis/forecast at a point
-  *    in time; valid time = reference time + forecast offset
+  *  - product definition templates 4.0 (analysis/forecast at a point
+  *    in time; valid time = reference time + forecast offset) and 4.8
+  *    (statistical/accumulation interval — GFS total precipitation;
+  *    valid time = the transmitted END of the overall interval)
   *  - data representation templates 5.0 (simple packing
   *    `v = (R + X·2^E) / 10^D`, X an unsigned big-endian bit field),
   *    5.2 (complex packing: general group splitting, per-group
@@ -153,20 +155,40 @@ object Grib {
     Grid(ni.toInt, nj.toInt, la1, lo1, di, dj, scan)
   }
 
-  private case class Prod(validOffsetMs: Long, category: Int, number: Int)
+  private case class Prod(validOffsetMs: Long, category: Int, number: Int,
+      validAbsMs: Option[Long] = None)
 
   private def parseSec4(b: ByteBuffer, path: String): Prod = {
     b.position(5)
     val numCoords = u16(b)
     require(numCoords == 0, s"$path: coordinate values not supported")
     val template = u16(b)
-    require(template == 0,
-      s"$path: product template 4.$template (only 4.0)")
+    require(template == 0 || template == 8,
+      s"$path: product template 4.$template (supported: 4.0 instant, " +
+        "4.8 statistical/accumulation interval)")
     val category = u8(b); val number = u8(b)
     b.position(17) // octet 18: time unit
     val unit = u8(b)
     val forecast = s32(b)
-    Prod(forecast * unitMs(unit), category, number)
+    if (template == 0) Prod(forecast * unitMs(unit), category, number)
+    else {
+      // 4.8: octets 10-34 mirror 4.0; the field's valid time is the END
+      // of the overall statistical interval, transmitted ABSOLUTELY in
+      // octets 35-41 (regulation: accumulation/average products are
+      // stamped at interval end — what GFS total-precip carries)
+      b.position(34)
+      val year = u16(b); val month = u8(b); val day = u8(b)
+      val hour = u8(b); val minute = u8(b); val second = u8(b)
+      val endMs = LocalDateTime.of(year, month, day, hour, minute, second)
+        .toInstant(ZoneOffset.UTC).toEpochMilli
+      val nRanges = u8(b)
+      require(nRanges >= 1,
+        s"$path: 4.8 with $nRanges time range specifications")
+      // the n×12-byte range specs describe HOW the statistic was built
+      // (process, increments) — they do not affect decoding and ride
+      // as metadata; the missing-values count (octets 43-46) likewise
+      Prod(0L, category, number, validAbsMs = Some(endMs))
+    }
   }
 
   private def parseSec5(b: ByteBuffer, path: String): Packing = {
@@ -274,7 +296,8 @@ object Grib {
             require(refTimeMs != Long.MinValue && grid != null &&
               prod != null && packing != null,
               s"$path: data section at $p before sections 1/3/4/5")
-            out += Field(refTimeMs, refTimeMs + prod.validOffsetMs, grid,
+            out += Field(refTimeMs,
+              prod.validAbsMs.getOrElse(refTimeMs + prod.validOffsetMs), grid,
               packing, bitmapOff, p + 5, secLen.toInt - 5,
               discipline, prod.category, prod.number)
           case other => throw new IllegalArgumentException(

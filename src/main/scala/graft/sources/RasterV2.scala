@@ -1,0 +1,248 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.raster.{Grib, TileLayout, Zarr}
+
+/** DataSource V2 connector `graft-raster`: EXECUTOR-side decode of the
+  * cloud-scale raster formats (GRIB2 and Zarr v2/v3, the two codecs
+  * with pure-JVM frame APIs). The block API (`RasterFileSource`)
+  * decodes a file on the driver and broadcasts — right for one mosaic
+  * tile, wrong for a directory of 10,000 GFS files. This connector
+  * plans ONE InputPartition PER (file, frame): metadata (headers only)
+  * is read at planning time on the driver, every data byte is decoded
+  * in the executors, so a 100 TB archive scales with the cluster, not
+  * the driver.
+  *
+  * Schema: (path string, t long epoch-ms, ty int, tx int, values
+  * array<double>) — the engine's tile-frame shape (TileLayout.TILE)
+  * plus the source path, so downstream reshapes match `RasterFrames`.
+  *
+  * Pushdown: temporal predicates on `t` (=, <, <=, >, >=) prune whole
+  * (file, frame) partitions at planning time — the DSv2 rendering of
+  * the codecs' field/chunk pruning (`.explain` shows the pushed range;
+  * unreferenced frames never open their byte ranges).
+  *
+  * Usage: `spark.read.format("graft-raster").load(paths...)` — each
+  * path a .grib2/.grb2 file, a Zarr store directory, or a directory
+  * scanned (non-recursively) for GRIB files / Zarr stores. Unknown
+  * layouts fail loudly by name.
+  */
+class GraftRasterSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-raster"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftRasterTable.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftRasterTable(GraftRasterTable.resolvePaths(properties))
+}
+
+object GraftRasterTable {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("t", LongType, nullable = false),
+    StructField("ty", IntegerType, nullable = false),
+    StructField("tx", IntegerType, nullable = false),
+    StructField("values", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  /** `load(...)` paths arrive as the `paths` JSON list (multi) or the
+    * `path` entry (single). */
+  def resolvePaths(properties: JMap[String, String]): Seq[String] = {
+    val m = properties.asScala
+    val multi = m.get("paths").map { js =>
+      graft.core.Json.parse(js) match {
+        case l: List[_] => l.map(_.toString)
+        case other => throw new IllegalArgumentException(
+          s"graft-raster: bad paths option '$other'")
+      }
+    }.getOrElse(Nil)
+    val single = m.get("path").toSeq
+    val all = (multi ++ single).distinct
+    require(all.nonEmpty, "graft-raster: no path given")
+    all
+  }
+
+  private def isZarrStore(dir: java.nio.file.Path): Boolean =
+    java.nio.file.Files.exists(dir.resolve("zarr.json")) ||
+      java.nio.file.Files.exists(dir.resolve(".zgroup")) ||
+      java.nio.file.Files.exists(dir.resolve(".zmetadata"))
+
+  private def isGrib(p: java.nio.file.Path): Boolean = {
+    val n = p.getFileName.toString.toLowerCase
+    n.endsWith(".grib2") || n.endsWith(".grb2")
+  }
+
+  /** Expand user paths to concrete (kind, path) datasets. A plain
+    * directory expands one level to its GRIB files and Zarr stores. */
+  def datasets(paths: Seq[String]): Seq[(String, String)] = paths.flatMap { s =>
+    val p = java.nio.file.Paths.get(s)
+    require(java.nio.file.Files.exists(p), s"graft-raster: $s does not exist")
+    if (java.nio.file.Files.isDirectory(p)) {
+      if (isZarrStore(p)) Seq(("zarr", s))
+      else {
+        val members = java.nio.file.Files.list(p).iterator().asScala.toSeq
+        val found = members.filter(isGrib).sortBy(_.toString)
+          .map(f => ("grib", f.toString)) ++
+          members.filter(d => java.nio.file.Files.isDirectory(d) &&
+            isZarrStore(d)).sortBy(_.toString).map(d => ("zarr", d.toString))
+        require(found.nonEmpty,
+          s"graft-raster: directory $s holds no GRIB files or Zarr stores")
+        found
+      }
+    } else {
+      require(isGrib(p),
+        s"graft-raster: $s is not a .grib2/.grb2 file or Zarr store " +
+          "(supported: GRIB2, Zarr v2/v3)")
+      Seq(("grib", s))
+    }
+  }
+}
+
+class GraftRasterTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"graft-raster(${paths.mkString(",")})"
+  override def schema(): StructType = GraftRasterTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(paths)
+}
+
+class GraftScanBuilder(paths: Seq[String]) extends ScanBuilder
+    with SupportsPushDownFilters {
+  private var tMin = Long.MinValue
+  private var tMax = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("t", _: Long) => true
+      case GreaterThanOrEqual("t", _: Long) => true
+      case LessThanOrEqual("t", _: Long) => true
+      case GreaterThan("t", _: Long) => true
+      case LessThan("t", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("t", v: Long) =>
+        tMin = math.max(tMin, v); tMax = math.min(tMax, v)
+      case GreaterThanOrEqual("t", v: Long) => tMin = math.max(tMin, v)
+      case LessThanOrEqual("t", v: Long)    => tMax = math.min(tMax, v)
+      case GreaterThan("t", v: Long) => tMin = math.max(tMin, v + 1)
+      case LessThan("t", v: Long)    => tMax = math.min(tMax, v - 1)
+      case _ =>
+    }
+    pushed = accepted
+    // t-filters are fully enforced by partition pruning, but returning
+    // them as residual is harmless and keeps semantics obvious
+    residual ++ accepted
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new GraftScan(paths, tMin, tMax)
+}
+
+/** One frame of one dataset — everything the executor needs. */
+case class GraftFramePartition(kind: String, path: String, frameIdx: Int,
+    tMs: Long, w: Int, h: Int) extends InputPartition
+
+class GraftScan(paths: Seq[String], tMin: Long, tMax: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = GraftRasterTable.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-raster pushed t in [$tMin, $tMax]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // planning reads ONLY headers/metadata per dataset (GRIB section
+    // heads, Zarr JSON + coordinate arrays) — no data payload bytes
+    GraftRasterTable.datasets(paths).flatMap {
+      case ("grib", p) =>
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(p),
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val m = Grib.readMeta(ch, p)
+          m.timesMs.zipWithIndex.collect {
+            case (t, i) if t >= tMin && t <= tMax =>
+              GraftFramePartition("grib", p, i, t, m.w, m.h)
+          }
+        } finally ch.close()
+      case ("zarr", p) =>
+        val m = Zarr.readMeta(p)
+        m.timesMs.zipWithIndex.collect {
+          case (t, i) if t >= tMin && t <= tMax =>
+            GraftFramePartition("zarr", p, i, t, m.w, m.h)
+        }
+      case (k, p) => throw new IllegalArgumentException(
+        s"graft-raster: unknown dataset kind $k for $p")
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory
+}
+
+class GraftReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftFramePartition])
+}
+
+/** Executor-side: decode ONE frame (only its byte ranges — GRIB fields
+  * and Zarr chunks are independently addressable) and emit its tiles. */
+class GraftPartitionReader(p: GraftFramePartition)
+    extends PartitionReader[InternalRow] {
+
+  private lazy val frame: Array[Double] = p.kind match {
+    case "grib" =>
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(p.path),
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val m = Grib.readMeta(ch, p.path)
+        Grib.decode(ch, m.fields(p.frameIdx), Double.MaxValue)
+      } finally ch.close()
+    case _ =>
+      val m = Zarr.readMeta(p.path)
+      Zarr.readFrames(m, Seq(p.frameIdx)).head
+  }
+
+  private val nTx = TileLayout.tilesX(p.w)
+  private val nTiles = TileLayout.numTiles(p.w, p.h)
+  private var tile = -1
+  private val pathU = UTF8String.fromString(p.path)
+
+  override def next(): Boolean = { tile += 1; tile < nTiles }
+
+  override def get(): InternalRow = {
+    val ty = tile / nTx
+    val tx = tile % nTx
+    val tw = TileLayout.tileW(p.w, tx)
+    val th = TileLayout.tileH(p.h, ty)
+    val out = new Array[Double](tw * th)
+    var i = 0
+    while (i < th) {
+      System.arraycopy(frame, (ty * TileLayout.TILE + i) * p.w +
+        tx * TileLayout.TILE, out, i * tw, tw)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](pathU, p.tMs, ty, tx,
+      ArrayData.toArrayData(out)))
+  }
+
+  override def close(): Unit = ()
+}

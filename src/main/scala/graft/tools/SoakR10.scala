@@ -136,7 +136,11 @@ object SoakR10 {
               if (zipf) floor(exp(h % 1000000 / 1000000.0 *
                 math.log(10000))).cast("long")
               else (h % 10000).cast("long")
-            concat(lit("line body number "), rank)
+            // 60% of lines unique to their doc (survive the filter),
+            // 40% drawn from the shared vocabulary (the hot join keys)
+            when(i % 5 < 3,
+              concat(lit("unique to "), col("id"), lit(" line "), i))
+              .otherwise(concat(lit("line body number "), rank))
           }), "\n").as("text"))
       for (z <- Seq(false, true)) {
         val label = if (z) "zipf" else "uniform"

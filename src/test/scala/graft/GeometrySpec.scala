@@ -339,6 +339,39 @@ class RasterMetaSpec extends SparkSpec {
     assert(got == plain)
   }
 
+  test("SpatialJoin with skewGuard=false is fully lazy (no Spark jobs)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def pts(n: Int) = (1 to n).map(i => (i.toLong, i * 0.1, 0.5))
+      .toDF("fid", "x", "y").select(col("fid"),
+        GeomFunctions.stGeomFromWkt(
+          concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")")))
+          .as("geometry"))
+    sp.sparkContext.addSparkListener(listener)
+    try {
+      // plan construction must submit NO job: a caller that only needs
+      // the plan (or runs on a cluster where an eager localCheckpoint
+      // would be non-replayable) pays nothing until the action
+      val j1 = SpatialJoin.intersects(pts(5), pts(5), cellSize = 1.0,
+        skewGuard = false)
+      val j2 = SpatialJoin.nearestWithin(pts(5), pts(5), k = 2,
+        maxDist = 0.5, cellSize = 1.0, skewGuard = false)
+      // listener events are async; a submitted job's start event lands
+      // within well under a second — poll briefly before asserting
+      Thread.sleep(500)
+      assert(jobs.get() == 0, s"plan construction submitted ${jobs.get()} jobs")
+      // and the lazy plans still compute correctly on action
+      assert(j1.count() > 0 && j2.count() > 0)
+    } finally sp.sparkContext.removeSparkListener(listener)
+  }
+
   test("nearestWithin: per-cell population cap fails loudly on a dense cell") {
     val sp = spark
     import sp.implicits._

@@ -442,6 +442,66 @@ class GribSpec extends SparkSpec {
     assert(res.values.head.sameElements(frame(1)))
   }
 
+  test("product template 4.8: valid time is the interval END (absolute)") {
+    // one message, 2x1 grid, simple packing, product 4.8 whose overall
+    // time interval ends 2020-03-02T09:00Z (reference 2020-03-01T06:00Z)
+    val b = new B
+    val n = 2
+    val sec4Len = 58L // 34 common + 7 end-time + 1 nRanges + 4 missing + 12
+    val dataBytes = 1L // 2 values at 4 bits
+    val msgLen = 16L + 21 + 72 + sec4Len + 21 + 6 + (5 + dataBytes) + 4
+    b.str("GRIB"); b.u16(0); b.u8(0); b.u8(2); b.u64(msgLen)
+    b.u32(21); b.u8(1); b.u16(98); b.u16(0); b.u8(2); b.u8(1); b.u8(0)
+    b.u16(2020); b.u8(3); b.u8(1); b.u8(6); b.u8(0); b.u8(0)
+    b.u8(0); b.u8(0)
+    b.u32(72); b.u8(3); b.u8(0); b.u32(n.toLong); b.u8(0); b.u8(0); b.u16(0)
+    b.u8(6); b.u8(0); b.u32(0); b.u8(0); b.u32(0); b.u8(0); b.u32(0)
+    b.u32(2L); b.u32(1L); b.u32(0); b.u32(0)
+    b.sm32(52000000L); b.sm32(4000000L)
+    b.u8(0x30); b.sm32(0L); b.sm32(0L)
+    b.u32(500000L); b.u32(500000L); b.u8(0)
+    // section 4, template 4.8
+    b.u32(sec4Len); b.u8(4); b.u16(0); b.u16(8)
+    b.u8(1); b.u8(8)          // category, number (total precip)
+    b.u8(2); b.u8(0); b.u8(0) // process ids
+    b.u16(0); b.u8(0)         // cutoff
+    b.u8(1); b.u32(24L)       // forecast +24 h (start of interval)
+    b.u8(1); b.u8(0); b.u32(0); b.u8(255); b.u8(0); b.u32(0) // surfaces
+    b.u16(2020); b.u8(3); b.u8(2); b.u8(9); b.u8(0); b.u8(0) // interval END
+    b.u8(1)                   // one time range specification
+    b.u32(0)                  // no missing values
+    b.u8(1); b.u8(2); b.u8(1); b.u32(3L); b.u8(255); b.u32(0) // accum, 3 h
+    // section 5/6/7: X = [3, 7] at 4 bits, R=0 E=0 D=0
+    b.u32(21); b.u8(5); b.u32(2); b.u16(0)
+    b.f32(0f); b.sm16(0); b.sm16(0); b.u8(4); b.u8(0)
+    b.u32(6); b.u8(6); b.u8(255)
+    b.u32(6); b.u8(7); b.u8(0x37)
+    b.str("7777")
+    val dir = Files.createTempDirectory("graft_grib48").toString
+    writeFile(s"$dir/acc.grib2", b.result())
+    val ch = java.nio.channels.FileChannel.open(Paths.get(s"$dir/acc.grib2"),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m = Grib.readMeta(ch, s"$dir/acc.grib2")
+      // NOT refTime+forecast (2020-03-02T06:00) — the transmitted end
+      assert(m.timesMs == Seq(
+        java.time.Instant.parse("2020-03-02T09:00:00Z").toEpochMilli))
+      assert(Grib.decode(ch, m.fields.head, Double.MaxValue).toSeq ==
+        Seq(3.0, 7.0))
+    } finally ch.close()
+    // an unknown product template stays loud
+    val bad = b.result().clone()
+    // sec4 template u16 at offset 16+21+72+7+2 = 118? sec4 starts at
+    // 109; len(4) num(1) coords(2) -> template at 116-117
+    assert(bad(117) == 8)
+    bad(117) = 9
+    Files.write(Paths.get(s"$dir/bad.grib2"), bad)
+    val e = intercept[IllegalArgumentException] {
+      GribSource(s"$dir/bad.grib2").extent
+    }
+    assert(e.getMessage.contains("4.9"))
+  }
+
   test("complex-packing failure modes are loud and named") {
     // template 5.40 names the JPEG2000 gap; bad splitting/missing too
     val base = complexMsg(3, 2, 3, 6, { b =>

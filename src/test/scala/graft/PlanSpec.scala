@@ -264,6 +264,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p.take(2000))
   }
 
+  test("two-table interval join is a (key, bucket) equi-join, no cartesian") {
+    val p = plan("q18_interval_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Generate"), p.take(2000)) // the bounded explode
+  }
+
   test("sourceCap is one shuffle on the source key, no global sort") {
     val p = plan("p43_source_cap")
     assert(p.contains("hashpartitioning(source"), p)
