@@ -15,11 +15,11 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.raster.{Grib, TileLayout, Zarr}
+import graft.raster.{GeoTiff, Grib, TileLayout, Zarr}
 
 /** DataSource V2 connector `graft-raster`: EXECUTOR-side decode of the
-  * cloud-scale raster formats (GRIB2 and Zarr v2/v3, the two codecs
-  * with pure-JVM frame APIs). The block API (`RasterFileSource`)
+  * cloud-scale raster formats (GRIB2, GeoTIFF and Zarr v2/v3 — the
+  * codecs with pure-JVM frame APIs). The block API (`RasterFileSource`)
   * decodes a file on the driver and broadcasts — right for one mosaic
   * tile, wrong for a directory of 10,000 GFS files. This connector
   * plans ONE InputPartition PER (file, frame): metadata (headers only)
@@ -88,6 +88,11 @@ object GraftRasterTable {
     n.endsWith(".grib2") || n.endsWith(".grb2")
   }
 
+  private def isTif(p: java.nio.file.Path): Boolean = {
+    val n = p.getFileName.toString.toLowerCase
+    n.endsWith(".tif") || n.endsWith(".tiff")
+  }
+
   /** Expand user paths to concrete (kind, path) datasets. A plain
     * directory expands one level to its GRIB files and Zarr stores. */
   def datasets(paths: Seq[String]): Seq[(String, String)] = paths.flatMap { s =>
@@ -97,20 +102,20 @@ object GraftRasterTable {
       if (isZarrStore(p)) Seq(("zarr", s))
       else {
         val members = java.nio.file.Files.list(p).iterator().asScala.toSeq
-        val found = members.filter(isGrib).sortBy(_.toString)
-          .map(f => ("grib", f.toString)) ++
+        val found = (members.filter(isGrib).map(f => ("grib", f.toString)) ++
+          members.filter(isTif).map(f => ("tif", f.toString)) ++
           members.filter(d => java.nio.file.Files.isDirectory(d) &&
-            isZarrStore(d)).sortBy(_.toString).map(d => ("zarr", d.toString))
+            isZarrStore(d)).map(d => ("zarr", d.toString))).sortBy(_._2)
         require(found.nonEmpty,
-          s"graft-raster: directory $s holds no GRIB files or Zarr stores")
+          s"graft-raster: directory $s holds no GRIB files, GeoTIFFs or " +
+            "Zarr stores")
         found
       }
-    } else {
-      require(isGrib(p),
-        s"graft-raster: $s is not a .grib2/.grb2 file or Zarr store " +
-          "(supported: GRIB2, Zarr v2/v3)")
-      Seq(("grib", s))
-    }
+    } else if (isGrib(p)) Seq(("grib", s))
+    else if (isTif(p)) Seq(("tif", s))
+    else throw new IllegalArgumentException(
+      s"graft-raster: $s is not a .grib2/.grb2/.tif file or Zarr store " +
+        "(supported: GRIB2, GeoTIFF, Zarr v2/v3)")
   }
 }
 
@@ -120,14 +125,21 @@ class GraftRasterTable(paths: Seq[String]) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(paths)
+    new GraftScanBuilder(paths,
+      Option(options.get("time_first")).map(_.toLong).getOrElse(0L),
+      Option(options.get("time_delta")).map(_.toLong).getOrElse(3600000L))
 }
 
-class GraftScanBuilder(paths: Seq[String]) extends ScanBuilder
-    with SupportsPushDownFilters {
+class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var tMin = Long.MinValue
   private var tMax = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = GraftRasterTable.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
@@ -153,19 +165,28 @@ class GraftScanBuilder(paths: Seq[String]) extends ScanBuilder
     residual ++ accepted
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new GraftScan(paths, tMin, tMax)
+  override def build(): Scan =
+    new GraftScan(paths, tMin, tMax, required, timeFirst, timeDelta)
 }
 
 /** One frame of one dataset — everything the executor needs. */
 case class GraftFramePartition(kind: String, path: String, frameIdx: Int,
     tMs: Long, w: Int, h: Int) extends InputPartition
 
-class GraftScan(paths: Seq[String], tMin: Long, tMax: Long)
+/** One GeoTIFF FILE (all surviving bands): bands share one decode, so
+  * the partition unit is the file — parallelism comes from the archive
+  * having many files, which is the multi-file scale case anyway. */
+case class GraftTifPartition(path: String, frames: Array[Int],
+    times: Array[Long], w: Int, h: Int) extends InputPartition
+
+class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
+    required: StructType, timeFirst: Long, timeDelta: Long)
     extends Scan with Batch {
-  override def readSchema(): StructType = GraftRasterTable.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-raster pushed t in [$tMin, $tMax]"
+    s"graft-raster pushed t in [$tMin, $tMax], " +
+      s"columns [${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // planning reads ONLY headers/metadata per dataset (GRIB section
@@ -188,23 +209,86 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long)
           case (t, i) if t >= tMin && t <= tMax =>
             GraftFramePartition("zarr", p, i, t, m.w, m.h)
         }
+      case ("tif", p) =>
+        // header-only: IFD tag tables, no tile payload (GeoTIFF has no
+        // embedded time axis — bands map to the time_first/time_delta
+        // options, the RasterFileSource convention)
+        val m = GeoTiff.readMeta(p)
+        val sel = (0 until m.bandCount)
+          .map(i => (i, timeFirst + i * timeDelta))
+          .filter { case (_, t) => t >= tMin && t <= tMax }
+        if (sel.isEmpty) Nil
+        else Seq(GraftTifPartition(p, sel.map(_._1).toArray,
+          sel.map(_._2).toArray, m.w, m.h))
       case (k, p) => throw new IllegalArgumentException(
         s"graft-raster: unknown dataset kind $k for $p")
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory
+    new GraftReaderFactory(required.fieldNames)
 }
 
-class GraftReaderFactory extends PartitionReaderFactory {
+class GraftReaderFactory(columns: Array[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftFramePartition])
+    partition match {
+      case p: GraftFramePartition => new GraftPartitionReader(p, columns)
+      case p: GraftTifPartition   => new GraftTifReader(p, columns)
+      case other => throw new IllegalArgumentException(
+        s"graft-raster: unknown partition $other")
+    }
+}
+
+/** Executor-side GeoTIFF reader: one decode serves every surviving
+  * band; tiles stream out per (band, tile). */
+class GraftTifReader(p: GraftTifPartition, columns: Array[String])
+    extends PartitionReader[InternalRow] {
+  private lazy val bands: Seq[Array[Double]] = GeoTiff.read(p.path).bands
+  private val nTx = TileLayout.tilesX(p.w)
+  private val nTiles = TileLayout.numTiles(p.w, p.h)
+  private val total = nTiles * p.frames.length
+  private var i = -1
+  private val pathU = UTF8String.fromString(p.path)
+
+  override def next(): Boolean = { i += 1; i < total }
+
+  override def get(): InternalRow = {
+    val f = i / nTiles
+    val tile = i % nTiles
+    val ty = tile / nTx
+    val tx = tile % nTx
+    new GenericInternalRow(columns.map[Any] {
+      case "path" => pathU
+      case "t"    => p.times(f)
+      case "ty"   => ty
+      case "tx"   => tx
+      case "values" =>
+        val frame = bands(p.frames(f))
+        val tw = TileLayout.tileW(p.w, tx)
+        val th = TileLayout.tileH(p.h, ty)
+        val out = new Array[Double](tw * th)
+        var r = 0
+        while (r < th) {
+          System.arraycopy(frame, (ty * TileLayout.TILE + r) * p.w +
+            tx * TileLayout.TILE, out, r * tw, tw)
+          r += 1
+        }
+        ArrayData.toArrayData(out)
+      case other => throw new IllegalArgumentException(
+        s"graft-raster: unknown column $other")
+    })
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Executor-side: decode ONE frame (only its byte ranges — GRIB fields
-  * and Zarr chunks are independently addressable) and emit its tiles. */
-class GraftPartitionReader(p: GraftFramePartition)
+  * and Zarr chunks are independently addressable) and emit its tiles.
+  * Column pruning reaches the payload: when `values` is not required
+  * (a count, a time listing), NO data byte of the file is read — only
+  * the per-frame tile geometry from the planned metadata. */
+class GraftPartitionReader(p: GraftFramePartition, columns: Array[String])
     extends PartitionReader[InternalRow] {
 
   private lazy val frame: Array[Double] = p.kind match {
@@ -231,17 +315,25 @@ class GraftPartitionReader(p: GraftFramePartition)
   override def get(): InternalRow = {
     val ty = tile / nTx
     val tx = tile % nTx
-    val tw = TileLayout.tileW(p.w, tx)
-    val th = TileLayout.tileH(p.h, ty)
-    val out = new Array[Double](tw * th)
-    var i = 0
-    while (i < th) {
-      System.arraycopy(frame, (ty * TileLayout.TILE + i) * p.w +
-        tx * TileLayout.TILE, out, i * tw, tw)
-      i += 1
-    }
-    new GenericInternalRow(Array[Any](pathU, p.tMs, ty, tx,
-      ArrayData.toArrayData(out)))
+    new GenericInternalRow(columns.map[Any] {
+      case "path" => pathU
+      case "t"    => p.tMs
+      case "ty"   => ty
+      case "tx"   => tx
+      case "values" =>
+        val tw = TileLayout.tileW(p.w, tx)
+        val th = TileLayout.tileH(p.h, ty)
+        val out = new Array[Double](tw * th)
+        var i = 0
+        while (i < th) {
+          System.arraycopy(frame, (ty * TileLayout.TILE + i) * p.w +
+            tx * TileLayout.TILE, out, i * tw, tw)
+          i += 1
+        }
+        ArrayData.toArrayData(out)
+      case other => throw new IllegalArgumentException(
+        s"graft-raster: unknown column $other")
+    })
   }
 
   override def close(): Unit = ()

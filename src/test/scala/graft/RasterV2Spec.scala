@@ -61,6 +61,46 @@ class RasterV2Spec extends SparkSpec {
     assert(df.select(countDistinct(col("path"))).collect()(0).getLong(0) == 3)
   }
 
+  test("GeoTIFF files read through the connector (bands -> frames)") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_dsv2t").toString
+    graft.raster.GeoTiff.write(s"$dir/a.tif",
+      Array.tabulate(6)(_ * 1.0), 3, 2, Bbox(0, 0, 3, 2), 28992, -9999.0)
+    graft.raster.GeoTiff.write(s"$dir/b.tif",
+      Array.tabulate(6)(_ * 10.0), 3, 2, Bbox(0, 0, 3, 2), 28992, -9999.0)
+    val df = sp.read.format("graft-raster").option("time_first", "5000")
+      .load(s"$dir/a.tif", s"$dir/b.tif")
+    val rows = df.orderBy("path").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getLong(1) == 5000L)) // time_first honored
+    assert(rows(0).getSeq[Double](4) == Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0))
+    assert(rows(1).getSeq[Double](4).map(_ / 10) ==
+      Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0))
+    // a directory mixing formats picks the tifs up too
+    val all = sp.read.format("graft-raster").load(dir)
+    assert(all.count() == 2)
+  }
+
+  test("column pruning reaches the payload: no values, no data bytes") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_dsv2c").toString
+    Zarr.write(s"$dir/s.zarr", Seq(Array.tabulate(4)(_ * 1.0)), 2, 2,
+      Bbox(0, 0, 2, 2), -9.0, "EPSG:28992", Seq(0L), zarrVersion = 3)
+    // corrupt the data chunk: any decode of it must now throw
+    val chunk = Paths.get(s"$dir/s.zarr/band1/c/0/0/0")
+    Files.write(chunk, Array.fill[Byte](16)(0x5A))
+    val df = sp.read.format("graft-raster").load(s"$dir/s.zarr")
+    // planning reads zarr.json + coordinates only; a query without
+    // `values` never opens the chunk — count and time listing succeed
+    assert(df.count() == 1)
+    assert(df.select("path", "t", "ty", "tx").collect().length == 1)
+    // and the pruned schema shows in the scan description
+    val plan = df.select("t").queryExecution.executedPlan.toString
+    assert(plan.contains("columns [t]"), plan)
+    // the moment values are required, the corrupt chunk fails loudly
+    intercept[Exception] { df.select("values").collect() }
+  }
+
   test("unknown layouts fail loudly by name") {
     val sp = spark
     val dir = Files.createTempDirectory("graft_dsv2f").toString
@@ -76,6 +116,6 @@ class RasterV2Spec extends SparkSpec {
       sp.read.format("graft-raster")
         .load(Files.createTempDirectory("graft_dsv2e").toString).collect()
     }
-    assert(msgs(e2).exists(_.contains("no GRIB files or Zarr stores")))
+    assert(msgs(e2).exists(_.contains("no GRIB files, GeoTIFFs or")))
   }
 }
