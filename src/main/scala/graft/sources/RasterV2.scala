@@ -169,9 +169,14 @@ class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long)
     new GraftScan(paths, tMin, tMax, required, timeFirst, timeDelta)
 }
 
-/** One frame of one dataset — everything the executor needs. */
+/** One frame of one dataset — everything the executor needs. For GRIB
+  * the planned [[Grib.Field]] (all byte coordinates) rides along, so
+  * the reader seeks straight to its bitmap + data ranges instead of
+  * re-scanning the file's section heads per partition (which would be
+  * O(frames²) per file across an archive's readers). */
 case class GraftFramePartition(kind: String, path: String, frameIdx: Int,
-    tMs: Long, w: Int, h: Int) extends InputPartition
+    tMs: Long, w: Int, h: Int, gribField: Grib.Field = null)
+    extends InputPartition
 
 /** One GeoTIFF FILE (all surviving bands): bands share one decode, so
   * the partition unit is the file — parallelism comes from the archive
@@ -200,7 +205,7 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
           val m = Grib.readMeta(ch, p)
           m.timesMs.zipWithIndex.collect {
             case (t, i) if t >= tMin && t <= tMax =>
-              GraftFramePartition("grib", p, i, t, m.w, m.h)
+              GraftFramePartition("grib", p, i, t, m.w, m.h, m.fields(i))
           }
         } finally ch.close()
       case ("zarr", p) =>
@@ -296,10 +301,10 @@ class GraftPartitionReader(p: GraftFramePartition, columns: Array[String])
       val ch = java.nio.channels.FileChannel.open(
         java.nio.file.Paths.get(p.path),
         java.nio.file.StandardOpenOption.READ)
-      try {
-        val m = Grib.readMeta(ch, p.path)
-        Grib.decode(ch, m.fields(p.frameIdx), Double.MaxValue)
-      } finally ch.close()
+      // the planned Field carries every byte coordinate: no metadata
+      // re-scan, straight to this frame's bitmap + data ranges
+      try Grib.decode(ch, p.gribField, Double.MaxValue)
+      finally ch.close()
     case _ =>
       val m = Zarr.readMeta(p.path)
       Zarr.readFrames(m, Seq(p.frameIdx)).head

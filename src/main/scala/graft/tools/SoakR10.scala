@@ -119,6 +119,54 @@ object SoakR10 {
       }
     }
 
+    // ------------------------------------------------ DSv2 archive probe
+    if (which == "all" || which == "dsv2") {
+      // a directory of many GRIB files: the multi-file archive case the
+      // connector exists for. Compare executor-parallel connector read
+      // against the driver-side block API loop over the same files.
+      val dir = java.nio.file.Files.createTempDirectory("soak_dsv2").toString
+      val nFiles = 64; val nf = 4
+      val w = if (args.length > 1) args(1).toInt else 200
+      val h = if (args.length > 2) args(2).toInt else 150
+      for (f <- 0 until nFiles) {
+        val frames = Seq.tabulate(nf)(t =>
+          Array.tabulate(w * h)(i => ((i + t + f) % 1000).toDouble))
+        graft.raster.Grib.write(s"$dir/f$f.grib2", frames, w, h,
+          Double.MaxValue, Seq.tabulate(nf)(_ * 3600000L), 0.0, 0.0, 0.0001,
+          template = 3)
+      }
+      // run twice: the first read pays session/codegen fixed costs
+      for (round <- 1 to 2) {
+        val (sumV2, secV2) = time {
+          spark.read.format("graft-raster").load(dir)
+            .agg(sum(expr("aggregate(values, 0D, (a, x) -> a + x)")))
+            .collect()(0).getDouble(0)
+        }
+        println(f"""{"soak":"dsv2_archive","round":$round,"files":$nFiles,"sec":$secV2%.3f,"sum":$sumV2%.1f}""")
+      }
+      val (sumDrv, secDrv) = time {
+        var s = 0.0
+        for (f <- 0 until nFiles) {
+          val p = s"$dir/f$f.grib2"
+          val ch = java.nio.channels.FileChannel.open(
+            java.nio.file.Paths.get(p),
+            java.nio.file.StandardOpenOption.READ)
+          try {
+            val m = graft.raster.Grib.readMeta(ch, p)
+            m.fields.foreach(fd =>
+              s += graft.raster.Grib.decode(ch, fd, Double.MaxValue).sum)
+          } finally ch.close()
+        }
+        s
+      }
+      println(f"""{"soak":"dsv2_driver_loop","files":$nFiles,"sec":$secDrv%.3f,"sum":$sumDrv%.1f}""")
+      // metadata-only query: column pruning must keep this near-free
+      val (cnt, secCnt) = time {
+        spark.read.format("graft-raster").load(dir).count()
+      }
+      println(f"""{"soak":"dsv2_count_pruned","files":$nFiles,"sec":$secCnt%.3f,"rows":$cnt}""")
+    }
+
     // ------------------------------------------------ Zipfian line probe
     if (which == "all" || which == "zipf") {
       spark.conf.set("spark.sql.shuffle.partitions", "64")
