@@ -2248,6 +2248,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("rep").as("rep_id"))),
     "p07_minhash_lsh" -> ((s, dir) =>
       Dedup.lshCandidatePairs(tbl(s, dir, "documents"), "doc_id", "text", 32, 8, 3)),
+    "p47_stream_neardedup" -> ((s, dir) => {
+      // online LSH admission, batch replay (one micro-batch): a doc is
+      // admitted iff it is the lowest doc_id in EVERY one of its band
+      // buckets — the state functions that run on the ingest stream run
+      // identically on the static frame
+      implicit val sp: SparkSession = s
+      graft.streaming.StreamNearDedup(tbl(s, dir, "documents"))
+        .toDF().select(col("doc_id"), col("admitted"))
+    }),
     "p08_simhash" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"),
         Dedup.simhash(col("text")).as("sig"))),
@@ -2493,6 +2502,30 @@ object SparkEntry {
          |banded AS (SELECT doc_id, b.b, sg[b.b*4+1:b.b*4+4] AS sl FROM sigl, range(0,8) b(b))
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM banded a JOIN banded b ON a.b = b.b AND a.sl = b.sl AND a.doc_id < b.doc_id""".stripMargin,
+    "p47_stream_neardedup" ->
+      // the p07 signature/banding re-derivation, then: admitted = the
+      // doc is the bucket MINIMUM in every band (band-content equality
+      // ≡ the engine's xxhash64 buckets, collision-free at this scale)
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+         |  FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |   range(1, greatest(len(ws) - 2, 1) + 1),
+         |   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shs FROM t),
+         |shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+         |hsu AS (SELECT doc_id, ${fnv64Sql("s")} AS u FROM shx),
+         |hs AS (SELECT doc_id, CAST(
+         |  ((CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+         |     ELSE u END) % 2147483647 + 2147483647) % 2147483647
+         |  AS BIGINT) AS h FROM hsu),
+         |sig AS (SELECT doc_id, k.k, MIN(((2*k.k+1)*h + 31*k.k+7) % 2147483647) AS mh
+         |  FROM hs, range(0,32) k(k) GROUP BY 1,2),
+         |sigl AS (SELECT doc_id, list(mh ORDER BY k) AS sg FROM sig GROUP BY 1),
+         |banded AS (SELECT doc_id, b.b, sg[b.b*4+1:b.b*4+4] AS sl FROM sigl, range(0,8) b(b)),
+         |wins AS (SELECT b, sl, MIN(doc_id) AS w FROM banded GROUP BY 1, 2)
+         |SELECT banded.doc_id, bool_and(banded.doc_id = wins.w) AS admitted
+         |FROM banded JOIN wins ON banded.b = wins.b AND banded.sl = wins.sl
+         |GROUP BY 1""".stripMargin,
     "p08_simhash" ->
       // per-word fnv64, per-bit occurrence-weighted majority vote, signed
       // 64-bit reassembly — mirrors Dedup.simhash exactly

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate ADMISSION — online MinHash+LSH dedup at
+  * ingestion time: a document is admitted iff NONE of its band buckets
+  * was claimed by any earlier document (across all previous
+  * micro-batches, or by a lower doc_id inside its own batch). Buckets
+  * are claimed by REJECTED documents too, mirroring the transitive
+  * batch clustering (`Dedup.duplicateClusters`): once any member of a
+  * near-dup chain passes, everything chained to it is held back.
+  *
+  * Shape: signatures/banding identical to `Dedup.lshCandidatePairs`
+  * (32 affine min-hashes over 3-shingles, xxhash64 band buckets), then
+  * ONE `flatMapGroupsWithState` keyed by (band, bucket) — state is a
+  * single claimed flag per touched bucket, O(bands × admitted-chain
+  * heads) entries in the state store, which is what lets this run
+  * indefinitely on an ingest stream. The per-document AND-reduction is
+  * STATELESS (every probe of a document lives in its one micro-batch):
+  * `mapGroups` on a static frame, `decide(batch)` inside
+  * `foreachBatch` on a stream — a second stateful stage after
+  * flatMapGroupsWithState is not legal in a streaming plan, and none
+  * is needed.
+  *
+  * Within one micro-batch the claim is deterministic: the LOWEST
+  * doc_id probing a fresh bucket wins it (arrival order inside a
+  * micro-batch is not meaningful; the tie-break must be reproducible
+  * for the batch oracle).
+  */
+object StreamNearDedup {
+
+  case class Verdict(doc_id: Long, band: Int, collided: Boolean)
+  case class Decision(doc_id: Long, admitted: Boolean)
+
+  private def resolve(key: (Int, Long), it: Iterator[(Long, Int, Long)],
+      state: GroupState[Boolean]): Iterator[Verdict] = {
+    val docs = it.map(_._1).toArray.sorted
+    val claimed = state.getOption.getOrElse(false)
+    state.update(true)
+    docs.iterator.zipWithIndex.map { case (d, i) =>
+      Verdict(d, key._1, claimed || i > 0)
+    }
+  }
+
+  /** (doc_id, band, bucket) probes — the exact banding of
+    * `Dedup.lshCandidatePairs`. */
+  def probes(docs: DataFrame, numHashes: Int, bands: Int, shingleSize: Int)
+      (implicit spark: SparkSession): Dataset[(Long, Int, Long)] = {
+    import spark.implicits._
+    require(bands >= 1 && numHashes % bands == 0,
+      "numHashes must be a positive multiple of bands")
+    val rows = numHashes / bands
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        graft.pipeline.Dedup.minhashSignature(col("text"), numHashes,
+          shingleSize).as("sig"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1,
+          lit(rows))), b))).as(Seq("band", "bh")))
+      .select(col("doc_id"), col("band").cast("int"), col("bh"))
+      .as[(Long, Int, Long)]
+  }
+
+  /** The stateful stage alone (streaming-legal): per-probe collision
+    * verdicts against everything claimed so far. */
+  def verdicts(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      shingleSize: Int = 3)(implicit spark: SparkSession): Dataset[Verdict] = {
+    import spark.implicits._
+    probes(docs, numHashes, bands, shingleSize)
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(resolve)
+  }
+
+  /** Stateless per-micro-batch reduction: one (doc_id, admitted) row
+    * per document of the batch. Use inside `foreachBatch`. */
+  def decide(batch: Dataset[Verdict]): DataFrame =
+    batch.groupBy("doc_id")
+      .agg((sum(col("collided").cast("int")) === 0).as("admitted"))
+
+  /** Whole-frame (static) admission — the same state functions run
+    * once per group, so this is the one-micro-batch semantics: a doc
+    * is admitted iff it is the lowest doc_id in EVERY one of its band
+    * buckets. */
+  def apply(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      shingleSize: Int = 3)(implicit spark: SparkSession): Dataset[Decision] = {
+    import spark.implicits._
+    verdicts(docs, numHashes, bands, shingleSize)
+      .groupByKey(_.doc_id)
+      .mapGroups((d, it) => Decision(d, !it.exists(_.collided)))
+  }
+}

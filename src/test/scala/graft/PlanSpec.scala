@@ -271,6 +271,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p.take(2000)) // the bounded explode
   }
 
+  test("stream near-dedup is bucket-keyed state + doc reduce, no join") {
+    val p = plan("p47_stream_neardedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"), p.take(2000))
+    // the batch lowering of flatMapGroupsWithState + the doc reduce:
+    // two MapGroups over hash exchanges, nothing else
+    assert("MapGroups".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
   test("sourceCap is one shuffle on the source key, no global sort") {
     val p = plan("p43_source_cap")
     assert(p.contains("hashpartitioning(source"), p)

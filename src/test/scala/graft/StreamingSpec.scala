@@ -221,4 +221,69 @@ class StreamingSpec extends SparkSpec {
     assert(staticOut.groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap == wantCounts)
   }
+
+  test("streaming near-dup admission: state spans micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamNearDedup
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the band plays a very long tune about nothing at all"
+    val other = "completely different subject matter entirely disjoint " +
+      "vocabulary speaking of ships and sealing wax and cabbages and kings"
+    val batches = Seq(
+      Seq((1L, base), (2L, other), (3L, "short odd one out entirely")),
+      Seq((4L, base),                 // exact dup of batch-1 doc 1
+        (5L, other + " extra"),       // near-dup of batch-1 doc 2
+        (6L, "fresh unrelated text about mountains rivers and glaciers"),
+        (7L, "fresh unrelated text about mountains rivers and glaciers")))
+    // reference: sequential claim-always simulation over the SAME probes
+    val probesByDoc = StreamNearDedup.probes(
+        batches.flatten.toDF("doc_id", "text"), 32, 8, 3)(sp)
+      .collect().groupBy(_._1)
+      .map { case (d, ps) => d -> ps.map(p => (p._2, p._3)).toSet }
+    val claimed = scala.collection.mutable.Set.empty[(Int, Long)]
+    val want = scala.collection.mutable.Map.empty[Long, Boolean]
+    for (batch <- batches) {
+      val perBucket = batch.map(_._1).sorted
+        .flatMap(d => probesByDoc(d).toSeq.map(b => (b, d)))
+        .groupBy(_._1)
+      val verdicts = perBucket.toSeq.flatMap { case (b, probes) =>
+        val ds = probes.map(_._2).distinct.sorted
+        val pre = claimed.contains(b)
+        claimed += b
+        ds.zipWithIndex.map { case (d, i) => d -> (pre || i > 0) }
+      }
+      batch.foreach { case (d, _) =>
+        want(d) = !verdicts.exists(v => v._1 == d && v._2)
+      }
+    }
+    // sanity on the fixture: dups rejected, originals + fresh admitted
+    assert(want(1L) && want(2L) && want(3L) && want(6L))
+    assert(!want(4L) && !want(5L) && !want(7L))
+
+    val stream = MemoryStream[(Long, String)](sp)
+    val got = scala.collection.mutable.Map.empty[Long, Boolean]
+    val q = StreamNearDedup.verdicts(
+        stream.toDF().toDF("doc_id", "text"))(sp)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamNearDedup.Verdict],
+          _: Long) =>
+        StreamNearDedup.decide(b).collect().foreach(r =>
+          got(r.getLong(0)) = r.getBoolean(1))
+        ()
+      }.start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    assert(got.toMap == want.toMap, s"got $got want $want")
+
+    // the static (one-batch) path agrees with the one-batch simulation
+    val allAtOnce = StreamNearDedup(batches.flatten.toDF("doc_id", "text"))(sp)
+      .collect().map(d => d.doc_id -> d.admitted).toMap
+    // doc 4 duplicates doc 1 exactly -> only the lower id survives;
+    // docs 6/7 are identical -> 6 survives
+    assert(allAtOnce(1L) && !allAtOnce(4L) && allAtOnce(6L) && !allAtOnce(7L))
+  }
 }
