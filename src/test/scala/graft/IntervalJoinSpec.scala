@@ -42,6 +42,29 @@ class IntervalJoinSpec extends SparkSpec {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("random sweep: bucketed join matches the brute-force reference") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (bucketUs <- Seq(7L, 64L, 1000L)) {
+      val points = Seq.tabulate(200)(i =>
+        (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(10000).toLong))
+      val intervals = Seq.fill(120) {
+        val s = rnd.nextInt(10000).toLong
+        (rnd.nextInt(8).toLong, s, s + rnd.nextInt(500).toLong)
+      }
+      val want = points.map { case (pid, k, us) =>
+        pid -> intervals.count(iv =>
+          iv._1 == k && us >= iv._2 && us <= iv._3).toLong
+      }.toMap
+      val got = IntervalJoin.countContaining(
+          points.toDF("pid", "k", "us"), "pid", "k", "us",
+          intervals.toDF("k", "s", "e"), "k", "s", "e", bucketUs)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_active")).toMap
+      assert(got == want, s"bucketUs=$bucketUs")
+    }
+  }
+
   test("degenerate interval fan-out fails loudly in the executors") {
     val sp = spark
     import sp.implicits._
