@@ -119,6 +119,30 @@ object SoakR10 {
       }
     }
 
+    // ---------------------------------------- late-round newcomers (q18, p47)
+    if (which == "sf2") {
+      val sfs = Seq("sf0.1" -> "/root/testdata/sf0.1", "sf1" -> "/tmp/sf1",
+        "sf10" -> "/tmp/sf10").filter(s => new java.io.File(s._2).exists())
+      for ((sfName, dir) <- sfs) {
+        val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+        val parts = math.max(32, (nDocs / 1500).toInt)
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        def run(name: String)(f: => Long): Unit = {
+          val (rows, sec) = time(f)
+          println(f"""{"soak":"$name","partitions":$parts,"sf":"$sfName","sec":$sec%.3f,"agg":$rows}""")
+        }
+        run("q18_interval_join") {
+          graft.SparkEntry.queries("q18_interval_join")(spark, dir)
+            .agg(sum(col("n_active"))).collect()(0).getLong(0)
+        }
+        run("p47_stream_neardedup") {
+          graft.SparkEntry.queries("p47_stream_neardedup")(spark, dir)
+            .agg(sum(when(col("admitted"), 1L).otherwise(0L)), count(lit(1)))
+            .collect()(0).getLong(0)
+        }
+      }
+    }
+
     // ------------------------------------------------ DSv2 archive probe
     if (which == "all" || which == "dsv2") {
       // a directory of many GRIB files: the multi-file archive case the
