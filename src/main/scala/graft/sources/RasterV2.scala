@@ -306,6 +306,11 @@ class GraftPartitionReader(p: GraftFramePartition, columns: Array[String])
       try Grib.decode(ch, p.gribField, Double.MaxValue)
       finally ch.close()
     case _ =>
+      // zarr metadata (a few KB of JSON + 1-D coordinate arrays) is
+      // re-read per partition: ArrayMeta carries filesystem Paths and
+      // does not serialize, and the read is milliseconds against a
+      // frame decode — unlike the GRIB case there is no per-frame
+      // byte-coordinate table to ship
       val m = Zarr.readMeta(p.path)
       Zarr.readFrames(m, Seq(p.frameIdx)).head
   }

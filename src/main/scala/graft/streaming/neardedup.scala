@@ -34,9 +34,21 @@ object StreamNearDedup {
   case class Verdict(doc_id: Long, band: Int, collided: Boolean)
   case class Decision(doc_id: Long, admitted: Boolean)
 
+  /** A degenerate bucket (boilerplate-heavy corpus, identical empty
+    * docs) must fail loudly, not buffer without bound: the group
+    * resolution holds the bucket's doc_ids in memory to find the
+    * in-batch minimum (mirror of the batch `capBuckets` guard — a
+    * bucket this large signals exact duplication better served by
+    * `Dedup.exactStreaming` first). */
+  val MaxBucketDocs: Int = 1 << 22
+
   private def resolve(key: (Int, Long), it: Iterator[(Long, Int, Long)],
       state: GroupState[Boolean]): Iterator[Verdict] = {
-    val docs = it.map(_._1).toArray.sorted
+    val docs = it.map(_._1).take(MaxBucketDocs + 1).toArray.sorted
+    require(docs.length <= MaxBucketDocs,
+      s"StreamNearDedup: band bucket ${key._1}/${key._2} holds more than " +
+        s"$MaxBucketDocs documents in one micro-batch — run exact dedup " +
+        "ahead of the near-dup admission")
     val claimed = state.getOption.getOrElse(false)
     state.update(true)
     docs.iterator.zipWithIndex.map { case (d, i) =>
