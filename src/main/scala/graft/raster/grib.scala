@@ -14,8 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the reference's home domain).
   *
   * Subset (everything else fails LOUDLY, never misdecodes):
-  *  - grid definition template 3.0 — regular latitude/longitude, basic
-  *    angle 0 (microdegree units), no quasi-regular row lists
+  *  - grid definition templates 3.0 (regular latitude/longitude, basic
+  *    angle 0 microdegree units, no quasi-regular row lists) and 3.30
+  *    (Lambert conformal — the NCEP HRRR/NAM regional grids: native
+  *    LCC-plane metres via a parameterized hub CRS, spherical and
+  *    ellipsoidal earth shapes, cross-CRS requests through the shared
+  *    warp stage)
   *  - product definition templates 4.0 (analysis/forecast at a point
   *    in time; valid time = reference time + forecast offset) and 4.8
   *    (statistical/accumulation interval — GFS total precipitation;
@@ -70,8 +74,11 @@ object Grib {
 
   // ------------------------------------------------------------ model
 
+  /** For geographic grids (3.0) `la1`/`lo1`/`di`/`dj` are degrees; for
+    * projected grids (3.30) they are the first point and pitch in the
+    * projection plane's metres, with `proj` the parameterized CRS. */
   case class Grid(w: Int, h: Int, la1: Double, lo1: Double,
-      di: Double, dj: Double, scan: Int)
+      di: Double, dj: Double, scan: Int, proj: String = "EPSG:4326")
 
   /** Complex-packing parameters (templates 5.2/5.3, WMO FM 92 §5):
     * general group splitting — NG groups, each with its own reference
@@ -117,6 +124,28 @@ object Grib {
       .toInstant(ZoneOffset.UTC).toEpochMilli
   }
 
+  /** GRIB earth-shape code → (semi-major, inverse flattening). Spheres
+    * carry an effectively-zero flattening (1/10^12 — micrometer-scale
+    * error against a true sphere at Earth radius). */
+  private def earthShape(b: ByteBuffer, path: String): (Double, Double) = {
+    val Sphere = 1e12
+    val shape = u8(b)
+    val scaleF = u8(b); val scaled = u32(b) // custom-sphere radius fields
+    shape match {
+      case 0 => (6367470.0, Sphere)
+      case 1 =>
+        val r = scaled / math.pow(10, scaleF)
+        require(r > 6e6 && r < 7e6, s"$path: custom sphere radius $r")
+        (r, Sphere)
+      case 2 => (6378160.0, 297.0)           // IAU 1965
+      case 4 => (6378137.0, 298.257222101)   // GRS80
+      case 5 => (6378137.0, 298.257223563)   // WGS84
+      case 6 => (6371229.0, Sphere)
+      case other => throw new IllegalArgumentException(
+        s"$path: earth shape $other not supported (0/1/2/4/5/6)")
+    }
+  }
+
   private def parseSec3(b: ByteBuffer, path: String): Grid = {
     b.position(5)
     val source = u8(b)
@@ -126,9 +155,15 @@ object Grib {
     require(optOctets == 0,
       s"$path: quasi-regular grids (optional point lists) not supported")
     val template = u16(b)
-    require(template == 0,
-      s"$path: grid template 3.$template (only 3.0 lat/lon)")
-    b.position(30) // octet 31: Ni
+    require(template == 0 || template == 30,
+      s"$path: grid template 3.$template (supported: 3.0 lat/lon, " +
+        "3.30 Lambert conformal)")
+    require(b.limit() >= (if (template == 30) 81 else 72),
+      s"$path: section 3 too short (${b.limit()} octets) for " +
+        s"template 3.$template")
+    b.position(14) // octet 15: shape of earth
+    val (a, invF) = earthShape(b, path)
+    b.position(30) // octet 31: Ni/Nx
     val ni = u32(b); val nj = u32(b)
     require(ni > 0 && nj > 0 && ni <= Int.MaxValue && nj <= Int.MaxValue,
       s"$path: grid $ni x $nj")
@@ -138,21 +173,58 @@ object Grib {
       s"$path: grid of ${ni * nj} cells too large for this reader (2^27 max)")
     require(numPoints == ni * nj,
       s"$path: numPoints $numPoints != Ni*Nj ${ni * nj}")
-    val basicAngle = u32(b); u32(b) // subdivisions
-    require(basicAngle == 0,
-      s"$path: basic angle $basicAngle (only 0 = microdegrees)")
-    val la1 = s32(b) / 1e6
-    val lo1 = s32(b) / 1e6
-    u8(b) // resolution/component flags
-    s32(b); s32(b) // la2, lo2 (redundant with la1 + (Nj-1)*Dj)
-    val di = u32(b) / 1e6
-    val dj = u32(b) / 1e6
-    val scan = u8(b)
-    require((scan & 0xB0) == 0,
-      f"$path%s: scanning mode 0x$scan%02x (only +i row-major; flags " +
-        "-i/j-consecutive/boustrophedon unsupported)")
-    require(di > 0 && dj > 0, s"$path: zero grid increment")
-    Grid(ni.toInt, nj.toInt, la1, lo1, di, dj, scan)
+    if (template == 0) {
+      val basicAngle = u32(b); u32(b) // subdivisions
+      require(basicAngle == 0,
+        s"$path: basic angle $basicAngle (only 0 = microdegrees)")
+      val la1 = s32(b) / 1e6
+      val lo1 = s32(b) / 1e6
+      u8(b) // resolution/component flags
+      s32(b); s32(b) // la2, lo2 (redundant with la1 + (Nj-1)*Dj)
+      val di = u32(b) / 1e6
+      val dj = u32(b) / 1e6
+      val scan = u8(b)
+      require((scan & 0xB0) == 0,
+        f"$path%s: scanning mode 0x$scan%02x (only +i row-major; flags " +
+          "-i/j-consecutive/boustrophedon unsupported)")
+      require(di > 0 && dj > 0, s"$path: zero grid increment")
+      Grid(ni.toInt, nj.toInt, la1, lo1, di, dj, scan)
+    } else {
+      // template 3.30 (Lambert conformal — NCEP HRRR/NAM regional
+      // grids): equidistant in the LCC plane, Dx/Dy in millimetres,
+      // first point transmitted geographically. The projection maps
+      // onto the hub's parameterized LCC (lat_0 = LaD, parallels =
+      // Latin1/Latin2, lon_0 = LoV — the GDAL reading), so the grid
+      // stays in native projected metres and cross-CRS requests ride
+      // the shared warp stage.
+      val la1 = s32(b) / 1e6
+      val lo1raw = s32(b) / 1e6
+      u8(b) // resolution/component flags
+      val laD = s32(b) / 1e6
+      val loVraw = s32(b) / 1e6
+      val dx = u32(b) / 1e3 // millimetres → metres
+      val dy = u32(b) / 1e3
+      val centre = u8(b)
+      require((centre & 0x80) == 0,
+        s"$path: south-pole Lambert projections not supported")
+      require((centre & 0x40) == 0,
+        s"$path: bi-polar Lambert projections not supported")
+      val scan = u8(b)
+      require((scan & 0xB0) == 0,
+        f"$path%s: scanning mode 0x$scan%02x (only +i row-major)")
+      val latin1 = s32(b) / 1e6
+      val latin2 = s32(b) / 1e6
+      require(dx > 0 && dy > 0, s"$path: zero grid increment")
+      require(latin1 > 0 && latin2 > 0,
+        s"$path: non-northern standard parallels $latin1/$latin2")
+      val loV = if (loVraw > 180) loVraw - 360 else loVraw
+      val lo1 = if (lo1raw > 180) lo1raw - 360 else lo1raw
+      val proj = s"PARAM:LCC:A=$a;INVF=$invF;SP1=$latin1;SP2=$latin2;" +
+        s"LAT0=$laD;LON0=$loV"
+      val (x1, y1) = Proj.transform("EPSG:4326", proj, lo1, la1)
+      // for projected grids la1/lo1 carry the FIRST POINT in metres
+      Grid(ni.toInt, nj.toInt, y1, x1, dx, dy, scan, proj)
+    }
   }
 
   private case class Prod(validOffsetMs: Long, category: Int, number: Int,
@@ -481,12 +553,14 @@ object Grib {
     val times = fields.map(_.validTimeMs)
     require(times.distinct.length == times.length,
       s"$path: duplicate valid times")
-    // first-point centers -> edges; normalize 0..360 longitudes
-    val lo1 = if (g.lo1 > 180) g.lo1 - 360 else g.lo1
+    // first-point centers -> edges; normalize 0..360 longitudes on
+    // geographic grids (projected grids carry metres, no wraparound)
+    val lo1 =
+      if (g.proj == "EPSG:4326" && g.lo1 > 180) g.lo1 - 360 else g.lo1
     val laNorthCenter =
       if ((g.scan & 0x40) != 0) g.la1 + (g.h - 1) * g.dj else g.la1
     Meta(fields, g.w, g.h, g.di, lo1 - g.di / 2,
-      laNorthCenter + g.dj / 2, times, "EPSG:4326")
+      laNorthCenter + g.dj / 2, times, g.proj)
   }
 
   // ------------------------------------------------------------ write

@@ -290,14 +290,21 @@ class GribSpec extends SparkSpec {
       GribSource(s"$dir/ed1.grib2").extent
     }
     assert(e1.getMessage.contains("edition"))
-    // grid template 3.30 (Lambert) — offset: 16 (sec0) + 21 (sec1) +
-    // 12 bytes into sec3 -> template number at bytes 49-50
-    val lcc = good.clone(); lcc(50) = 30
-    Files.write(Paths.get(s"$dir/lcc.grib2"), lcc)
+    // grid template 3.90 (space view, unsupported) — offset: 16 (sec0)
+    // + 21 (sec1) + 12 bytes into sec3 -> template number at bytes 49-50
+    val sv = good.clone(); sv(50) = 90
+    Files.write(Paths.get(s"$dir/sv.grib2"), sv)
     val e3 = intercept[IllegalArgumentException] {
-      GribSource(s"$dir/lcc.grib2").extent
+      GribSource(s"$dir/sv.grib2").extent
     }
-    assert(e3.getMessage.contains("3.30"))
+    assert(e3.getMessage.contains("3.90"))
+    // a 3.30 template in a too-short (3.0-sized) section is loud too
+    val lcc = good.clone(); lcc(50) = 30
+    Files.write(Paths.get(s"$dir/lcc_short.grib2"), lcc)
+    val e3s = intercept[IllegalArgumentException] {
+      GribSource(s"$dir/lcc_short.grib2").extent
+    }
+    assert(e3s.getMessage.contains("too short"), e3s.getMessage)
     // truncated mid-message
     Files.write(Paths.get(s"$dir/trunc.grib2"), good.take(60))
     val et = intercept[IllegalArgumentException] {
@@ -500,6 +507,85 @@ class GribSpec extends SparkSpec {
       GribSource(s"$dir/bad.grib2").extent
     }
     assert(e.getMessage.contains("4.9"))
+  }
+
+  test("spherical PARAM:LCC matches Snyder's published worked example") {
+    // Snyder 1987 (USGS PP 1395), spherical LCC numerical example:
+    // R=1, parallels 33/45, origin (23N, 96W); (35N, 75W) ->
+    // x=0.2966785, y=0.2462112
+    val code = "PARAM:LCC:A=1;INVF=1000000000000;SP1=33;SP2=45;" +
+      "LAT0=23;LON0=-96"
+    val (x, y) = Proj.transform("EPSG:4326", code, -75.0, 35.0)
+    assert(math.abs(x - 0.2966785) < 2e-6 &&
+      math.abs(y - 0.2462112) < 2e-6, s"($x, $y)")
+    val (lon, lat) = Proj.transform(code, "EPSG:4326", x, y)
+    assert(math.abs(lon + 75) < 1e-7 && math.abs(lat - 35) < 1e-7)
+  }
+
+  test("grid template 3.30: Lambert grid in native metres + warped read") {
+    // hand-assembled HRRR-style message: sphere 6371229, parallels
+    // 38.5/38.5, LoV 262.5, 3 km cells, 3x2 grid, first point NW
+    val b = new B
+    val n = 6
+    val msgLen = 16L + 21 + 81 + 34 + 21 + 6 + (5 + 3) + 4
+    b.str("GRIB"); b.u16(0); b.u8(0); b.u8(2); b.u64(msgLen)
+    b.u32(21); b.u8(1); b.u16(98); b.u16(0); b.u8(2); b.u8(1); b.u8(0)
+    b.u16(2020); b.u8(3); b.u8(1); b.u8(6); b.u8(0); b.u8(0)
+    b.u8(0); b.u8(0)
+    // section 3, template 3.30 (81 octets)
+    b.u32(81); b.u8(3); b.u8(0); b.u32(n.toLong); b.u8(0); b.u8(0)
+    b.u16(30)
+    b.u8(6)                        // shape: sphere 6371229
+    b.u8(0); b.u32(0); b.u8(0); b.u32(0); b.u8(0); b.u32(0)
+    b.u32(3); b.u32(2)             // Nx, Ny
+    b.sm32(38000000L)              // La1 38.0
+    b.sm32(262000000L)             // Lo1 262.0 (= -98)
+    b.u8(0x08)                     // resolution/component flags
+    b.sm32(38500000L)              // LaD
+    b.sm32(262500000L)             // LoV (= -97.5)
+    b.u32(3000000L); b.u32(3000000L) // Dx, Dy mm
+    b.u8(0)                        // projection centre: north pole
+    b.u8(0)                        // scan: +i, -j (first row north)
+    b.sm32(38500000L); b.sm32(38500000L) // Latin1, Latin2
+    b.sm32(0L); b.sm32(0L)         // southern pole (unused)
+    // section 4 (4.0), 5 (5.0, X=0..5 @4 bits), 6, 7, 8
+    b.u32(34); b.u8(4); b.u16(0); b.u16(0)
+    b.u8(1); b.u8(8); b.u8(2); b.u8(0); b.u8(0); b.u16(0); b.u8(0)
+    b.u8(1); b.u32(0L)
+    b.u8(1); b.u8(0); b.u32(0); b.u8(255); b.u8(0); b.u32(0)
+    b.u32(21); b.u8(5); b.u32(n.toLong); b.u16(0)
+    b.f32(0f); b.sm16(0); b.sm16(0); b.u8(4); b.u8(0)
+    b.u32(6); b.u8(6); b.u8(255)
+    b.u32(8); b.u8(7); b.u8(0x01); b.u8(0x23); b.u8(0x45)
+    b.str("7777")
+    val dir = Files.createTempDirectory("graft_grib330").toString
+    writeFile(s"$dir/lcc.grib2", b.result())
+    val src = GribSource(s"$dir/lcc.grib2")
+    val proj = src.projection
+    assert(proj.startsWith("PARAM:LCC:") && proj.contains("SP1=38.5") &&
+      proj.contains("LON0=-97.5"), proj)
+    assert(src.cellSize.contains(3000.0))
+    // extent derives from the PROJECTED first point (cell centers ->
+    // edges in metres)
+    val (x1, y1) = Proj.transform("EPSG:4326", proj, -98.0, 38.0)
+    val ext = src.extent.get
+    assert(math.abs(ext.x1 - (x1 - 1500)) < 1e-6 &&
+      math.abs(ext.y2 - (y1 + 1500)) < 1e-6, ext)
+    // native full read decodes the packed values in row-major order
+    val ch = java.nio.channels.FileChannel.open(Paths.get(s"$dir/lcc.grib2"),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m = Grib.readMeta(ch, s"$dir/lcc.grib2")
+      assert(Grib.decode(ch, m.fields.head, Double.MaxValue).toSeq ==
+        Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0))
+    } finally ch.close()
+    // cross-CRS: a 1x1 EPSG:4326 point request at cell (0,1)'s center
+    // warps through the shared NN stage onto the Lambert grid
+    val (clon, clat) = Proj.transform(proj, "EPSG:4326", x1 + 3000, y1)
+    val req = RasterRequest(Bbox(clon, clat, clon, clat), "EPSG:4326", 1, 1,
+      None, None)
+    val got = src.getData(req)(spark).get.values(0)
+    assert(got.toSeq == Seq(1.0), got.toSeq)
   }
 
   test("complex-packing failure modes are loud and named") {
