@@ -15,11 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Subset (everything else fails LOUDLY, never misdecodes):
   *  - grid definition templates 3.0 (regular latitude/longitude, basic
-  *    angle 0 microdegree units, no quasi-regular row lists) and 3.30
-  *    (Lambert conformal — the NCEP HRRR/NAM regional grids: native
-  *    LCC-plane metres via a parameterized hub CRS, spherical and
-  *    ellipsoidal earth shapes, cross-CRS requests through the shared
-  *    warp stage)
+  *    angle 0 microdegree units, no quasi-regular row lists), 3.20
+  *    (polar stereographic — NCEP Arctic/Alaska grids, both poles) and
+  *    3.30 (Lambert conformal — the NCEP HRRR/NAM regional grids);
+  *    projected grids stay in native plane metres via parameterized
+  *    hub CRSs (spherical and ellipsoidal earth shapes), cross-CRS
+  *    requests through the shared warp stage
   *  - product definition templates 4.0 (analysis/forecast at a point
   *    in time; valid time = reference time + forecast offset) and 4.8
   *    (statistical/accumulation interval — GFS total precipitation;
@@ -155,10 +156,13 @@ object Grib {
     require(optOctets == 0,
       s"$path: quasi-regular grids (optional point lists) not supported")
     val template = u16(b)
-    require(template == 0 || template == 30,
+    require(template == 0 || template == 20 || template == 30,
       s"$path: grid template 3.$template (supported: 3.0 lat/lon, " +
-        "3.30 Lambert conformal)")
-    require(b.limit() >= (if (template == 30) 81 else 72),
+        "3.20 polar stereographic, 3.30 Lambert conformal)")
+    val minLen = template match {
+      case 30 => 81; case 20 => 65; case _ => 72
+    }
+    require(b.limit() >= minLen,
       s"$path: section 3 too short (${b.limit()} octets) for " +
         s"template 3.$template")
     b.position(14) // octet 15: shape of earth
@@ -189,6 +193,33 @@ object Grib {
           "-i/j-consecutive/boustrophedon unsupported)")
       require(di > 0 && dj > 0, s"$path: zero grid increment")
       Grid(ni.toInt, nj.toInt, la1, lo1, di, dj, scan)
+    } else if (template == 20) {
+      // template 3.20 (polar stereographic — NCEP Arctic/Alaska
+      // grids): equidistant in the PS plane, Dx/Dy in millimetres,
+      // LaD the true-scale latitude, LoV the orientation longitude,
+      // centre-flag bit 7 selecting the south-pole variant — the hub's
+      // parameterized PS family verbatim.
+      val la1 = s32(b) / 1e6
+      val lo1raw = s32(b) / 1e6
+      u8(b) // resolution/component flags
+      val laD = s32(b) / 1e6
+      val loVraw = s32(b) / 1e6
+      val dx = u32(b) / 1e3
+      val dy = u32(b) / 1e3
+      val centre = u8(b)
+      val south = (centre & 0x80) != 0
+      val scan = u8(b)
+      require((scan & 0xB0) == 0,
+        f"$path%s: scanning mode 0x$scan%02x (only +i row-major)")
+      require(dx > 0 && dy > 0, s"$path: zero grid increment")
+      require(if (south) laD < 0 else laD > 0,
+        s"$path: LaD $laD contradicts the projection-centre flag")
+      val loV = if (loVraw > 180) loVraw - 360 else loVraw
+      val lo1 = if (lo1raw > 180) lo1raw - 360 else lo1raw
+      val proj = s"PARAM:PS:A=$a;INVF=$invF;SP1=$laD;LON0=$loV" +
+        (if (south) ";SOUTH=1" else "")
+      val (x1, y1) = Proj.transform("EPSG:4326", proj, lo1, la1)
+      Grid(ni.toInt, nj.toInt, y1, x1, dx, dy, scan, proj)
     } else {
       // template 3.30 (Lambert conformal — NCEP HRRR/NAM regional
       // grids): equidistant in the LCC plane, Dx/Dy in millimetres,

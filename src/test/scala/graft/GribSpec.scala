@@ -588,6 +588,64 @@ class GribSpec extends SparkSpec {
     assert(got.toSeq == Seq(1.0), got.toSeq)
   }
 
+  test("grid template 3.20: polar stereographic grid + warped read") {
+    // NCEP Alaska-style: sphere 6371229, true scale 60N, LoV 210
+    // (= -150), 5 km cells, 3x2, first point NW, scan 0
+    def msg(centre: Int, laD: Long): Array[Byte] = {
+      val b = new B
+      val n = 6
+      val msgLen = 16L + 21 + 65 + 34 + 21 + 6 + (5 + 3) + 4
+      b.str("GRIB"); b.u16(0); b.u8(0); b.u8(2); b.u64(msgLen)
+      b.u32(21); b.u8(1); b.u16(98); b.u16(0); b.u8(2); b.u8(1); b.u8(0)
+      b.u16(2020); b.u8(3); b.u8(1); b.u8(6); b.u8(0); b.u8(0)
+      b.u8(0); b.u8(0)
+      b.u32(65); b.u8(3); b.u8(0); b.u32(n.toLong); b.u8(0); b.u8(0)
+      b.u16(20)
+      b.u8(6); b.u8(0); b.u32(0); b.u8(0); b.u32(0); b.u8(0); b.u32(0)
+      b.u32(3); b.u32(2)
+      b.sm32(64000000L)   // La1 64.0
+      b.sm32(205000000L)  // Lo1 205.0 (= -155)
+      b.u8(0x08)
+      b.sm32(laD)         // LaD
+      b.sm32(210000000L)  // LoV (= -150)
+      b.u32(5000000L); b.u32(5000000L)
+      b.u8(centre); b.u8(0)
+      b.u32(34); b.u8(4); b.u16(0); b.u16(0)
+      b.u8(1); b.u8(8); b.u8(2); b.u8(0); b.u8(0); b.u16(0); b.u8(0)
+      b.u8(1); b.u32(0L)
+      b.u8(1); b.u8(0); b.u32(0); b.u8(255); b.u8(0); b.u32(0)
+      b.u32(21); b.u8(5); b.u32(n.toLong); b.u16(0)
+      b.f32(0f); b.sm16(0); b.sm16(0); b.u8(4); b.u8(0)
+      b.u32(6); b.u8(6); b.u8(255)
+      b.u32(8); b.u8(7); b.u8(0x01); b.u8(0x23); b.u8(0x45)
+      b.str("7777")
+      b.result()
+    }
+    val dir = Files.createTempDirectory("graft_grib320").toString
+    writeFile(s"$dir/ps.grib2", msg(0, 60000000L))
+    val src = GribSource(s"$dir/ps.grib2")
+    val proj = src.projection
+    assert(proj.startsWith("PARAM:PS:") && proj.contains("SP1=60") &&
+      proj.contains("LON0=-150") && !proj.contains("SOUTH"), proj)
+    assert(src.cellSize.contains(5000.0))
+    val (x1, y1) = Proj.transform("EPSG:4326", proj, -155.0, 64.0)
+    val ext = src.extent.get
+    assert(math.abs(ext.x1 - (x1 - 2500)) < 1e-6 &&
+      math.abs(ext.y2 - (y1 + 2500)) < 1e-6, ext)
+    // warped point read at cell (1,2)'s center -> value 5
+    val (clon, clat) =
+      Proj.transform(proj, "EPSG:4326", x1 + 2 * 5000, y1 - 5000)
+    val req = RasterRequest(Bbox(clon, clat, clon, clat), "EPSG:4326", 1, 1,
+      None, None)
+    assert(src.getData(req)(spark).get.values(0).toSeq == Seq(5.0))
+    // a south-pole flag contradicting a northern LaD is loud
+    writeFile(s"$dir/bad.grib2", msg(0x80, 60000000L))
+    val e = intercept[IllegalArgumentException] {
+      GribSource(s"$dir/bad.grib2").extent
+    }
+    assert(e.getMessage.contains("contradicts"), e.getMessage)
+  }
+
   test("complex-packing failure modes are loud and named") {
     // template 5.40 names the JPEG2000 gap; bad splitting/missing too
     val base = complexMsg(3, 2, 3, 6, { b =>
