@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Subset (everything else fails LOUDLY, never misdecodes):
   *  - grid definition templates 3.0 (regular latitude/longitude, basic
-  *    angle 0 microdegree units, no quasi-regular row lists), 3.20
+  *    angle 0 microdegree units, no quasi-regular row lists), 3.10
+  *    (Mercator at a true-scale parallel — NCEP tropical grids), 3.20
   *    (polar stereographic — NCEP Arctic/Alaska grids, both poles) and
   *    3.30 (Lambert conformal — the NCEP HRRR/NAM regional grids);
   *    projected grids stay in native plane metres via parameterized
@@ -156,9 +157,10 @@ object Grib {
     require(optOctets == 0,
       s"$path: quasi-regular grids (optional point lists) not supported")
     val template = u16(b)
-    require(template == 0 || template == 20 || template == 30,
+    require(template == 0 || template == 10 || template == 20 ||
+      template == 30,
       s"$path: grid template 3.$template (supported: 3.0 lat/lon, " +
-        "3.20 polar stereographic, 3.30 Lambert conformal)")
+        "3.10 Mercator, 3.20 polar stereographic, 3.30 Lambert conformal)")
     val minLen = template match {
       case 30 => 81; case 20 => 65; case _ => 72
     }
@@ -193,6 +195,32 @@ object Grib {
           "-i/j-consecutive/boustrophedon unsupported)")
       require(di > 0 && dj > 0, s"$path: zero grid increment")
       Grid(ni.toInt, nj.toInt, la1, lo1, di, dj, scan)
+    } else if (template == 10) {
+      // template 3.10 (Mercator — NCEP tropical/Hawaii grids):
+      // equidistant in the Mercator plane at true-scale latitude LaD,
+      // Di/Dj in millimetres. The hub's 2SP Mercator (SP1 = LaD) is
+      // the same definition; the central meridian is pinned to the
+      // FIRST POINT's longitude so grids near the antimeridian never
+      // straddle the projection's ±180 cut.
+      val la1 = s32(b) / 1e6
+      val lo1raw = s32(b) / 1e6
+      u8(b) // resolution/component flags
+      val laD = s32(b) / 1e6
+      s32(b); s32(b) // la2, lo2 (redundant with the increments)
+      val scan = u8(b)
+      require((scan & 0xB0) == 0,
+        f"$path%s: scanning mode 0x$scan%02x (only +i row-major)")
+      val orientation = u32(b)
+      require(orientation == 0,
+        s"$path: rotated Mercator grids (orientation $orientation) " +
+          "not supported")
+      val di = u32(b) / 1e3
+      val dj = u32(b) / 1e3
+      require(di > 0 && dj > 0, s"$path: zero grid increment")
+      val lo1 = if (lo1raw > 180) lo1raw - 360 else lo1raw
+      val proj = s"PARAM:MERC:A=$a;INVF=$invF;SP1=$laD;LON0=$lo1"
+      val (x1, y1) = Proj.transform("EPSG:4326", proj, lo1, la1)
+      Grid(ni.toInt, nj.toInt, y1, x1, di, dj, scan, proj)
     } else if (template == 20) {
       // template 3.20 (polar stereographic — NCEP Arctic/Alaska
       // grids): equidistant in the PS plane, Dx/Dy in millimetres,

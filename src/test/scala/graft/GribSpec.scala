@@ -588,6 +588,56 @@ class GribSpec extends SparkSpec {
     assert(got.toSeq == Seq(1.0), got.toSeq)
   }
 
+  test("grid template 3.10: Mercator grid + warped read") {
+    // Hawaii-style: sphere 6371229, true scale 20N, 2.5 km cells,
+    // 3x2, first point (22N, 200E = -160), scan 0
+    val b = new B
+    val n = 6
+    val msgLen = 16L + 21 + 72 + 34 + 21 + 6 + (5 + 3) + 4
+    b.str("GRIB"); b.u16(0); b.u8(0); b.u8(2); b.u64(msgLen)
+    b.u32(21); b.u8(1); b.u16(98); b.u16(0); b.u8(2); b.u8(1); b.u8(0)
+    b.u16(2020); b.u8(3); b.u8(1); b.u8(6); b.u8(0); b.u8(0)
+    b.u8(0); b.u8(0)
+    b.u32(72); b.u8(3); b.u8(0); b.u32(n.toLong); b.u8(0); b.u8(0)
+    b.u16(10)
+    b.u8(6); b.u8(0); b.u32(0); b.u8(0); b.u32(0); b.u8(0); b.u32(0)
+    b.u32(3); b.u32(2)
+    b.sm32(22000000L)   // La1 22.0
+    b.sm32(200000000L)  // Lo1 200.0 (= -160)
+    b.u8(0x08)
+    b.sm32(20000000L)   // LaD 20.0
+    b.sm32(0L); b.sm32(0L) // la2/lo2 (reader ignores)
+    b.u8(0)             // scan
+    b.u32(0)            // orientation
+    b.u32(2500000L); b.u32(2500000L) // Di, Dj mm
+    b.u32(34); b.u8(4); b.u16(0); b.u16(0)
+    b.u8(1); b.u8(8); b.u8(2); b.u8(0); b.u8(0); b.u16(0); b.u8(0)
+    b.u8(1); b.u32(0L)
+    b.u8(1); b.u8(0); b.u32(0); b.u8(255); b.u8(0); b.u32(0)
+    b.u32(21); b.u8(5); b.u32(n.toLong); b.u16(0)
+    b.f32(0f); b.sm16(0); b.sm16(0); b.u8(4); b.u8(0)
+    b.u32(6); b.u8(6); b.u8(255)
+    b.u32(8); b.u8(7); b.u8(0x01); b.u8(0x23); b.u8(0x45)
+    b.str("7777")
+    val dir = Files.createTempDirectory("graft_grib310").toString
+    writeFile(s"$dir/merc.grib2", b.result())
+    val src = GribSource(s"$dir/merc.grib2")
+    val proj = src.projection
+    assert(proj.startsWith("PARAM:MERC:") && proj.contains("SP1=20") &&
+      proj.contains("LON0=-160"), proj)
+    assert(src.cellSize.contains(2500.0))
+    val (x1, y1) = Proj.transform("EPSG:4326", proj, -160.0, 22.0)
+    assert(math.abs(x1) < 1e-6) // central meridian pinned to Lo1
+    val ext = src.extent.get
+    assert(math.abs(ext.x1 - (x1 - 1250)) < 1e-6 &&
+      math.abs(ext.y2 - (y1 + 1250)) < 1e-6, ext)
+    // warped point read at cell (1,0)'s center -> value 3
+    val (clon, clat) = Proj.transform(proj, "EPSG:4326", x1, y1 - 2500)
+    val req = RasterRequest(Bbox(clon, clat, clon, clat), "EPSG:4326", 1, 1,
+      None, None)
+    assert(src.getData(req)(spark).get.values(0).toSeq == Seq(3.0))
+  }
+
   test("grid template 3.20: polar stereographic grid + warped read") {
     // NCEP Alaska-style: sphere 6371229, true scale 60N, LoV 210
     // (= -150), 5 km cells, 3x2, first point NW, scan 0
