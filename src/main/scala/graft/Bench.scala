@@ -55,6 +55,29 @@ object Bench {
     Seq(once(), once()).min
   }
 
+  /** Steady-lane rep runner: times `reps` executions of `body`; the
+    * FIRST throw aborts the lane for this query and is returned as an
+    * error marker (class + truncated message) so the caller reports an
+    * error, never a timing built from the failure's fast path.
+    * Completed reps' timings are still returned for the reps array. */
+  private[graft] def steadyReps(reps: Int)(body: => Unit)
+      : (Seq[Double], Option[String]) = {
+    val ts = scala.collection.mutable.ArrayBuffer[Double]()
+    var err: Option[String] = None
+    var i = 0
+    while (i < reps && err.isEmpty) {
+      val t0 = System.nanoTime()
+      try { body; ts += (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        err = Some(e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").take(120)
+            .replaceAll("[\"\\\\\n\r]", " "))
+      }
+      i += 1
+    }
+    (ts.toSeq, err)
+  }
+
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
     val calibration = calibrate()
@@ -135,18 +158,23 @@ object Bench {
     // cross-round sub-second comparisons stop depending on window
     // calibration (r9 saw ST calibration swing ±18% between two
     // same-hour windows). Reported as its own JSON line.
+    // Queries that errored in the main pass carry sec = -1 and are
+    // excluded up front; a rep that throws INSIDE the lane marks the
+    // query errored ("sec":-1 plus an err field) instead of letting its
+    // fast failure path masquerade as a legitimate steady time (the r10
+    // ADVICE finding: `catch { case _: Throwable => }` silently
+    // corrupted cross-round comparisons).
     val top10 = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
     val steady = top10.map { case (name, _) =>
       val fn = SparkEntry.queries(name)
-      val ts = (1 to 10).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+      val (ts, errOpt) = steadyReps(10) { fn(spark, sfDir).count(); () }
+      val v = errOpt match {
+        case Some(_) => -1.0
+        case None    => ts.takeRight(5).min
       }
-      val v = ts.takeRight(5).min
+      val errField = errOpt.map(e => s""","err":"$e"""").getOrElse("")
       println(s"""{"bench_steady":"$name","sec":$v,"reps":[${
-        ts.map(t => f"$t%.3f").mkString(",")}]}""")
+        ts.map(t => f"$t%.3f").mkString(",")}]$errField""")
       name -> v
     }
     val steadyJson = steady.map { case (k, v) => s"\"" + k + "\":" + v }

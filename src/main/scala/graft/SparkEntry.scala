@@ -556,9 +556,14 @@ object SparkEntry {
         // decode)
         val a = eventsRaster(dir, g)
         val out = java.nio.file.Files.createTempDirectory("verify_zarrsh").toString
-        // even chunk edges ≤ the grid so the 2×2 inner split divides
-        val cH = math.min(8, g.h) & ~1
-        val cW = math.min(6, g.w) & ~1
+        // even chunk edges so the 2×2 inner split divides; `& ~1` alone
+        // yields an invalid 0-sized chunk if a future gate grid has an
+        // edge of 1 — fail with a clear message instead (r10 ADVICE)
+        require(g.h >= 2 && g.w >= 2,
+          s"r58_zarr_sharded needs a grid of at least 2x2 for the 2x2 " +
+            s"shard split (got ${g.h}x${g.w})")
+        val cH = math.max(2, math.min(8, g.h) & ~1)
+        val cW = math.max(2, math.min(6, g.w) & ~1)
         ZarrSink(a, s"$out/stack.zarr", chunkH = cH, chunkW = cW,
           zarrVersion = 3, shardSplit = 2).write(fullReq(g))
         val src = RasterFileSource(s"$out/stack.zarr")

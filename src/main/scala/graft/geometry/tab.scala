@@ -406,7 +406,11 @@ object Tab {
           // descriptor. HALF_UP at d decimals is the format's precision
           // contract; values needing more integer digits than the width
           // allows hit the loud width require below.
-          new java.math.BigDecimal(v.toDouble)
+          // construct from the ORIGINAL string, not the parsed double:
+          // BigDecimal-of-double double-rounds HALF_UP ties ("0.145" at
+          // 2 decimals is binary 0.14499... and would write 0.14, not
+          // the 0.15 the caller's decimal means)
+          new java.math.BigDecimal(v)
             .setScale(d, java.math.RoundingMode.HALF_UP).toPlainString
         } else v
         require(s0.getBytes(StandardCharsets.UTF_8).length <= w,

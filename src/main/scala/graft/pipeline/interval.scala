@@ -29,6 +29,23 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Working-column names that cannot collide with either input's
+    * schema (Spark's default resolution is case-insensitive, so the
+    * check is too). `withColumn` on a name the caller already uses
+    * silently replaces their column — the r10 ADVICE finding. */
+  private def freshNames(taken0: Iterable[String], bases: String*)
+      : Seq[String] = {
+    val taken = scala.collection.mutable.Set(taken0.map(_.toLowerCase).toSeq: _*)
+    bases.map { base =>
+      val name =
+        if (!taken(base.toLowerCase)) base
+        else Iterator.from(0).map(i => s"${base}_$i")
+          .find(n => !taken(n.toLowerCase)).get
+      taken += name.toLowerCase
+      name
+    }
+  }
+
   /** For each point row: `n_active` = number of intervals of the same
     * key containing the point's instant (inclusive bounds), zero
     * included via a left join back onto the points.
@@ -43,33 +60,38 @@ object IntervalJoin {
       maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
     require(maxBucketsPerInterval >= 2, "maxBucketsPerInterval too small")
-    val p = points.withColumn("_bucket", expr(s"$pUs DIV $bucketUs"))
+    require(!points.columns.exists(_.equalsIgnoreCase("n_active")),
+      "points already carries a column named n_active (the output column)")
+    val Seq(bk, kC, sC, eC, nbC, pidC, nC) = freshNames(
+      points.columns ++ intervals.columns,
+      "_bucket", "_k", "_s", "_e", "_nb", "_pid", "_n_active")
+    val p = points.withColumn(bk, expr(s"$pUs DIV $bucketUs"))
     val iv = intervals
-      .select(col(iKey).as("_k"), col(iStart).as("_s"), col(iEnd).as("_e"))
-      .filter(col("_e") >= col("_s"))
-      .withColumn("_nb",
-        expr(s"_e DIV $bucketUs") - expr(s"_s DIV $bucketUs") + 1)
+      .select(col(iKey).as(kC), col(iStart).as(sC), col(iEnd).as(eC))
+      .filter(col(eC) >= col(sC))
+      .withColumn(nbC,
+        expr(s"$eC DIV $bucketUs") - expr(s"$sC DIV $bucketUs") + 1)
     // executor-side loud fan-out guard: the explode multiplier is the
     // plan's cost model, so an interval wider than the cap must throw,
     // not fan out
-    val endB = when(col("_nb") <= maxBucketsPerInterval,
-      expr(s"_e DIV $bucketUs"))
+    val endB = when(col(nbC) <= maxBucketsPerInterval,
+      expr(s"$eC DIV $bucketUs"))
       .otherwise(raise_error(concat(
         lit(s"interval spans more than $maxBucketsPerInterval buckets of " +
-          s"$bucketUs us (key="), col("_k").cast("string"),
+          s"$bucketUs us (key="), col(kC).cast("string"),
         lit("): raise bucketUs"))).cast("long"))
-    val exploded = iv.withColumn("_bucket",
-        explode(sequence(expr(s"_s DIV $bucketUs"), endB)))
-      .select(col("_k"), col("_s"), col("_e"), col("_bucket"))
+    val exploded = iv.withColumn(bk,
+        explode(sequence(expr(s"$sC DIV $bucketUs"), endB)))
+      .select(col(kC), col(sC), col(eC), col(bk))
     val hits = p.join(exploded,
-        p(pKey) === exploded("_k") && p("_bucket") === exploded("_bucket"))
-      .filter(col(pUs) >= col("_s") && col(pUs) <= col("_e"))
-      .groupBy(col(pId).as("_pid"))
-      .agg(count(lit(1)).as("_n_active"))
-    points.join(hits, points(pId) === hits("_pid"), "left")
-      .drop("_pid")
-      .withColumn("n_active", coalesce(col("_n_active"), lit(0L)))
-      .drop("_n_active")
+        p(pKey) === exploded(kC) && p(bk) === exploded(bk))
+      .filter(col(pUs) >= col(sC) && col(pUs) <= col(eC))
+      .groupBy(col(pId).as(pidC))
+      .agg(count(lit(1)).as(nC))
+    points.join(hits, points(pId) === hits(pidC), "left")
+      .drop(hits(pidC))
+      .withColumn("n_active", coalesce(col(nC), lit(0L)))
+      .drop(nC)
   }
 
   /** The matching pairs themselves (point id, interval key, interval

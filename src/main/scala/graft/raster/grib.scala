@@ -474,6 +474,11 @@ object Grib {
     private var bit = 0
     def read(nbits: Int): Long = {
       if (nbits == 0) return 0L
+      // crafted headers can declare widths beyond a Long: the shift
+      // loop would wrap silently — fail loudly instead (the codec's
+      // contract is "never misdecodes")
+      require(nbits > 0 && nbits <= 63,
+        s"grib: $nbits-bit field (supported range 1..63)")
       require(bit + nbits <= bytes.length * 8,
         s"grib: data section exhausted at bit $bit (wanted $nbits more)")
       var v = 0L; var k = 0
@@ -497,7 +502,7 @@ object Grib {
     * streams. 5.3 reconstruction follows regulation 92.6.6: add the
     * overall minimum to every difference, then integrate once or twice
     * with the transmitted initial value(s). */
-  private def unpackComplex(bytes: Array[Byte], p: Packing,
+  private[graft] def unpackComplex(bytes: Array[Byte], p: Packing,
       numPresent: Int): Array[Long] = {
     val c = p.cx
     val rdr = new BitRdr(bytes)
@@ -517,34 +522,49 @@ object Grib {
     rdr.align()
     val widths = Array.fill(ng) {
       val w = c.widthRef + rdr.read(c.widthBits).toInt
-      require(w <= 62, s"grib: group width $w bits (max 62)")
+      require(w >= 0 && w <= 62, s"grib: group width $w bits (range 0..62)")
       w
     }
     rdr.align()
-    val lens = Array.fill(ng)(c.lenRef + rdr.read(c.lenBits) * c.lenInc)
+    // lenRef/lenInc come off the wire (u32/u8): exact arithmetic so a
+    // crafted header overflows LOUDLY instead of yielding garbage counts
+    val lens = Array.fill(ng)(Math.addExact(c.lenRef,
+      Math.multiplyExact(rdr.read(c.lenBits), c.lenInc.toLong)))
     lens(ng - 1) = c.lastLen
     rdr.align()
-    val total = lens.sum
+    val total = lens.foldLeft(0L)(Math.addExact)
     require(total == numPresent,
       s"grib: groups cover $total points, bitmap/section 5 expect $numPresent")
     val out = new Array[Long](numPresent)
     var i = 0; var j = 0
     while (j < ng) {
       val wd = widths(j); val ref = refs(j); var k = 0L
-      while (k < lens(j)) { out(i) = ref + rdr.read(wd); i += 1; k += 1 }
+      while (k < lens(j)) {
+        out(i) = Math.addExact(ref, rdr.read(wd)); i += 1; k += 1
+      }
       j += 1
     }
+    // spatial-difference integration is a running sum over file-supplied
+    // values: crafted refs/minima can walk it past 2^63, so every step
+    // is exact arithmetic — overflow throws instead of wrapping into
+    // plausible-looking garbage (r10 ADVICE finding)
     if (p.template == 3 && numPresent > 0) {
       if (c.sdOrder == 1) {
         out(0) = ival1
         var t = 1
-        while (t < numPresent) { out(t) += minsd + out(t - 1); t += 1 }
+        while (t < numPresent) {
+          out(t) = Math.addExact(out(t), Math.addExact(minsd, out(t - 1)))
+          t += 1
+        }
       } else {
         out(0) = ival1
         if (numPresent > 1) out(1) = ival2
         var t = 2
         while (t < numPresent) {
-          out(t) += minsd + 2 * out(t - 1) - out(t - 2); t += 1
+          out(t) = Math.addExact(out(t), Math.subtractExact(
+            Math.addExact(minsd, Math.multiplyExact(2L, out(t - 1))),
+            out(t - 2)))
+          t += 1
         }
       }
     }

@@ -218,4 +218,18 @@ class GeometrySerdeSpec extends SparkSpec {
     assert(agg.raster.asInstanceOf[GeoTiffSource].url == "/data/dem.tif")
     assert(agg.source.asInstanceOf[GeometryWKTSource].proj == "EPSG:28992")
   }
+
+  test("bench steady lane: a throwing query yields an error marker, " +
+      "never a timing (r10 ADVICE)") {
+    val (tsOk, errOk) = Bench.steadyReps(5) { () }
+    assert(errOk.isEmpty && tsOk.length == 5)
+    var n = 0
+    val (tsBad, errBad) = Bench.steadyReps(5) {
+      n += 1
+      if (n >= 3) throw new IllegalStateException("deliberate rep failure")
+    }
+    // two completed reps, then the throw aborts the lane with a marker
+    assert(tsBad.length == 2)
+    assert(errBad.exists(_.contains("deliberate rep failure")), errBad)
+  }
 }

@@ -727,4 +727,27 @@ class GribSpec extends SparkSpec {
     assert(base(190) == 2)
     expectFail("order", mutated(190, 3), "differencing order")
   }
+
+  test("unpackComplex fails loudly on crafted overflow, never garbage") {
+    import graft.raster.Grib
+    // (a) width-field int overflow: widthBits=31 all-ones makes
+    // widthRef + 2^31-1 wrap negative — must hit the loud range check,
+    // not silently read 0-bit values
+    val pNegW = Grib.Packing(4, 0f, 0, 0, nbits = 0, template = 2,
+      cx = Grib.Cx(ng = 1, widthRef = 255, widthBits = 31, lenRef = 0,
+        lenInc = 0, lastLen = 4, lenBits = 0, sdOrder = 0, sdOctets = 0))
+    val e1 = intercept[IllegalArgumentException] {
+      Grib.unpackComplex(Array.fill[Byte](64)(0xFF.toByte), pNegW, 4)
+    }
+    assert(e1.getMessage.contains("group width"), e1.getMessage)
+    // (b) order-2 spatial-difference integration on max-width all-ones
+    // values walks past 2^63 within a few steps: exact arithmetic must
+    // throw, not wrap into plausible-looking values
+    val pOvf = Grib.Packing(8, 0f, 0, 0, nbits = 0, template = 3,
+      cx = Grib.Cx(ng = 1, widthRef = 62, widthBits = 0, lenRef = 0,
+        lenInc = 0, lastLen = 8, lenBits = 0, sdOrder = 2, sdOctets = 7))
+    intercept[ArithmeticException] {
+      Grib.unpackComplex(Array.fill[Byte](128)(0xFF.toByte), pOvf, 8)
+    }
+  }
 }

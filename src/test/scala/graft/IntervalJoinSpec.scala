@@ -80,4 +80,34 @@ class IntervalJoinSpec extends SparkSpec {
         Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("raise bucketUs")), e.getMessage)
   }
+
+  test("working columns never collide with caller columns (r10 ADVICE)") {
+    val sp = spark
+    import sp.implicits._
+    // points already carry every internal working name the old code
+    // hardcoded: counts must still be exact and the caller's columns
+    // must survive untouched
+    val points = Seq(
+      (1L, 10L, 100L, "a", 7L, 8L, 9L, 11L),
+      (2L, 10L, 999L, "b", 7L, 8L, 9L, 11L))
+      .toDF("pid", "k", "us", "_pid", "_bucket", "_k", "_s", "_n_active")
+    val intervals = Seq((10L, 50L, 150L)).toDF("k", "s", "e")
+    val out = IntervalJoin.countContaining(points, "pid", "k", "us",
+      intervals, "k", "s", "e", bucketUs = 100L)
+    val rows = out.orderBy("pid").collect()
+    assert(rows.map(r => (r.getAs[Long]("pid"), r.getAs[Long]("n_active")))
+      .toSeq == Seq((1L, 1L), (2L, 0L)))
+    // caller columns preserved, values intact
+    assert(rows(0).getAs[String]("_pid") == "a")
+    assert(rows(0).getAs[Long]("_bucket") == 7L)
+    assert(rows(0).getAs[Long]("_k") == 8L)
+    assert(rows(0).getAs[Long]("_n_active") == 11L)
+    // the documented OUTPUT name colliding is a loud contract error
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.countContaining(
+        points.withColumnRenamed("_s", "n_active"), "pid", "k", "us",
+        intervals, "k", "s", "e", bucketUs = 100L)
+    }
+    assert(e.getMessage.contains("n_active"), e.getMessage)
+  }
 }

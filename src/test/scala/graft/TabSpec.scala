@@ -172,4 +172,20 @@ class TabSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException] { Tab.read(s"$dir/pts.tab") }
     assert(e3.getMessage.contains("fields"))
   }
+
+  test("dBASE N rounding applies to the DECIMAL value, not the double") {
+    // "0.1234565" as a double is 0.12345649999... — rounding the binary
+    // value at 6 decimals writes 0.123456; the decimal the caller wrote
+    // is an exact HALF_UP tie and must write 0.123457 (r10 ADVICE:
+    // BigDecimal-of-double double-rounds ties)
+    val dir = Files.createTempDirectory("graft_tabr").toString
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val pt = gf.createPoint(new org.locationtech.jts.geom.Coordinate(4.5, 52.0))
+    Tab.write(s"$dir/t.tab", Seq("v" -> "Float"),
+      Seq((pt, Seq("0.1234565"))), "EPSG:4326")
+    val dat = new String(Files.readAllBytes(Paths.get(s"$dir/t.dat")),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    assert(dat.contains("0.123457"), dat.takeRight(40))
+    assert(!dat.contains("0.123456"), dat.takeRight(40))
+  }
 }
