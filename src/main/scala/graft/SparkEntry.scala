@@ -652,6 +652,29 @@ object SparkEntry {
           Some(java.time.Instant.ofEpochMilli(Hour * (g.frames - 1))))
         cells(src.frame(back), g)
       }),
+      "r60_grib1_roundtrip" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // GRIB EDITION 1 (WMO FM 92-VIII — the ERA5/reanalysis
+        // container): regular lat/lon GDS in millidegrees, simple
+        // packing with an IBM hex-float reference value, bitmap rows
+        // for nodata. Full-stack read-back plus a temporal slice
+        // (fields 1-2 only — GRIB1 headers carry per-field byte ranges
+        // for the same header-only pruning as edition 2)
+        val a = eventsRaster(dir, g, "cast(floor(value) as double)")
+        val out = java.nio.file.Files.createTempDirectory("verify_grib1").toString
+        val p = GribSink(a, s"$out/stack.grib", degPerCell = 0.05,
+          edition = 1).write(fullReq(g))
+        val src = RasterFileSource(p)
+        val back = RasterRequest(src.extent.get, "EPSG:4326", g.w, g.h,
+          Some(java.time.Instant.ofEpochMilli(0)),
+          Some(java.time.Instant.ofEpochMilli(Hour * (g.frames - 1))))
+        val sliced = back.copy(
+          start = Some(java.time.Instant.ofEpochMilli(Hour)),
+          stop = Some(java.time.Instant.ofEpochMilli(2 * Hour)))
+        cells(src.frame(back), g)
+          .unionAll(cells(src.frame(sliced), g)
+            .withColumn("t_idx", col("t_idx") + lit(100L)))
+      }),
       "r59_dsv2_read" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // the DataSource V2 connector (spark.read.format("graft-raster"))
@@ -667,6 +690,22 @@ object SparkEntry {
         val df = s.read.format("graft-raster").load(p)
           .select(col("t"), col("ty"), col("tx"), col("values"))
         cells(df, g)
+      }),
+      "r61_dsv2_nc" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the connector's NetCDF dataset kind: per-frame partitions
+        // planned off the CF header (time variable + 1-D coordinates
+        // only), frame payloads decoded in executors via positioned
+        // record reads; the union's second leg reads through a pushed
+        // t-range that prunes whole partitions at planning time
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_dsv2nc").toString
+        NetCdfSink(a, s"$out/stack.nc").write(fullReq(g))
+        val df0 = s.read.format("graft-raster").load(s"$out/stack.nc")
+          .select(col("t"), col("ty"), col("tx"), col("values"))
+        cells(df0, g)
+          .unionAll(cells(df0.filter(col("t") >= Hour && col("t") <= 2 * Hour), g)
+            .withColumn("t_idx", col("t_idx") + lit(100L)))
       }),
       "r56_grib_slice" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
@@ -937,6 +976,14 @@ object SparkEntry {
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r59_dsv2_read" -> s"""${cellsSql("FLOOR(value)")}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r60_grib1_roundtrip" -> s"""${cellsSql("FLOOR(value)")}
+      |SELECT t_idx, cell_id, v FROM cells
+      |UNION ALL
+      |SELECT t_idx + 100, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
+    "r61_dsv2_nc" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells
+      |UNION ALL
+      |SELECT t_idx + 100, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
     "r54_vrt_mosaic" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx = 0""".stripMargin,
     "r43_netcdf_slice" -> s"""${cellsSql()}

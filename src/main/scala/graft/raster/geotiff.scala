@@ -639,6 +639,20 @@ object GeoTiff {
     try readFrom(in, firstIfd(in)._2) finally in.close()
   }
 
+  /** Read only the selected bands (0-based, any order; the result's
+    * band order follows `bands`). Chunky interleave means the pruned
+    * bands' BYTES still stream through the segment codec — that is the
+    * format's layout — but their samples are never decoded and their
+    * frame arrays never allocated, and the in-memory pixel guard is
+    * sized by the bands actually materialized. This is the decode the
+    * DSv2 connector's pushed time filter maps to (a time-sliced read of
+    * a 100-band stack must not pay for 100 bands). */
+  def read(path: String, bands: Seq[Int]): Tiff = {
+    val in = new TiffIn(path)
+    try readFrom(in, firstIfd(in)._2, bandSel = Some(bands.toArray))
+    finally in.close()
+  }
+
   /** Parse the header: (isBigTiff, first IFD offset). Sets `in.order`. */
   private def firstIfd(in: TiffIn): (Boolean, Long) = {
     require(in.length >= 8, "truncated TIFF header")
@@ -793,7 +807,8 @@ object GeoTiff {
     * `window` restricts decoding to the segments intersecting a world-
     * coordinate bbox; `metaOnly` skips pixel decoding entirely. */
   private def readFrom(in: TiffIn, ifdOff: Long, base: Option[Tiff] = None,
-      window: Option[Bbox] = None, metaOnly: Boolean = false): Tiff = {
+      window: Option[Bbox] = None, metaOnly: Boolean = false,
+      bandSel: Option[Array[Int]] = None): Tiff = {
     val mark = in.bytesAt(0, 2)
     val bigEndian = mark(0) == 'M' && mark(1) == 'M'
     val t = parseTags(in, ifdOff)
@@ -886,11 +901,20 @@ object GeoTiff {
         val ar1 = math.min(h - 1, (r1 / segH + 1) * segH - 1)
         (ac0, ar0, ac1 - ac0 + 1, ar1 - ar0 + 1)
     }
+    // bands to materialize: all, or the caller's selection (the DSv2
+    // time-filter pushdown); order of the output follows the selection
+    val sel: Array[Int] = bandSel.getOrElse(Array.range(0, spp))
+    require(sel.nonEmpty, "TIFF band selection is empty")
+    sel.foreach(b => require(b >= 0 && b < spp,
+      s"TIFF band $b out of range (file has $spp)"))
     // single-request materialization cap, same limit the engine's request
-    // guards enforce — and the backstop against hostile dimension tags
-    require(cols.toLong * rows * spp <= RequestGuards.rasterLimitPixels,
-      s"TIFF window of $cols x $rows x $spp samples exceeds the in-memory " +
-        s"limit of ${RequestGuards.rasterLimitPixels} pixels")
+    // guards enforce — and the backstop against hostile dimension tags.
+    // Sized by the bands DECODED, not the file's band count: that is the
+    // memory this call materializes
+    require(cols.toLong * rows * sel.length <= RequestGuards.rasterLimitPixels,
+      s"TIFF window of $cols x $rows x ${sel.length} decoded samples " +
+        s"exceeds the in-memory limit of ${RequestGuards.rasterLimitPixels} " +
+        "pixels")
     val decodeFrom: (ByteBuffer, Int) => Double = (bits, sampleFormat) match {
       case (64, 3) => (b, off) => b.getDouble(off)
       case (32, 3) => (b, off) => b.getFloat(off).toDouble
@@ -920,7 +944,7 @@ object GeoTiff {
       ByteBuffer.wrap(decoded)
         .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     }
-    val bandVals = Array.fill(spp)(new Array[Double](cols * rows))
+    val bandVals = Array.fill(sel.length)(new Array[Double](cols * rows))
     if (!tiled) {
       val stripOffs = t.longsOf(273)
       val stripCnts = t.longsOf(279)
@@ -935,9 +959,9 @@ object GeoTiff {
           var j = 0
           while (j < cols) {
             var b = 0
-            while (b < spp) {
+            while (b < sel.length) {
               bandVals(b)((strip * rps + r - row0) * cols + j) =
-                decodeFrom(seg, ((r * w + col0 + j) * spp + b) * bytesPer)
+                decodeFrom(seg, ((r * w + col0 + j) * spp + sel(b)) * bytesPer)
               b += 1
             }
             j += 1
@@ -965,7 +989,7 @@ object GeoTiff {
               var x = 0
               while (x < tw && tx * tw + x < w) {
                 var b = 0
-                while (b < spp) {
+                while (b < sel.length) {
                   bandVals(b)((ty * th + y - row0) * cols + tx * tw + x - col0) = nd
                   b += 1
                 }
@@ -980,9 +1004,9 @@ object GeoTiff {
               var x = 0
               while (x < tw && tx * tw + x < w) {
                 var b = 0
-                while (b < spp) {
+                while (b < sel.length) {
                   bandVals(b)((ty * th + y - row0) * cols + tx * tw + x - col0) =
-                    decodeFrom(seg, ((y * tw + x) * spp + b) * bytesPer)
+                    decodeFrom(seg, ((y * tw + x) * spp + sel(b)) * bytesPer)
                   b += 1
                 }
                 x += 1
@@ -998,7 +1022,7 @@ object GeoTiff {
     val outBbox = Bbox(bbox.x1 + col0 * sx, bbox.y2 - (row0 + rows) * sy,
       bbox.x1 + (col0 + cols) * sx, bbox.y2 - row0 * sy)
     Tiff(bandVals(0), cols, rows, outBbox, epsg, nd, dtypeName,
-      moreBands = bandVals.toSeq.drop(1), bandCount = spp)
+      moreBands = bandVals.toSeq.drop(1), bandCount = sel.length)
   }
 }
 

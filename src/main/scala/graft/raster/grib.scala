@@ -68,6 +68,39 @@ object Grib {
     if ((raw & 0x8000) != 0) -(raw & 0x7FFF) else raw
   }
 
+  private def u24(b: ByteBuffer): Int = (u8(b) << 16) | (u8(b) << 8) | u8(b)
+
+  /** GRIB sign-and-magnitude 24-bit integer (GRIB1 coordinates). */
+  private def s24(b: ByteBuffer): Int = {
+    val raw = u24(b)
+    if ((raw & 0x800000) != 0) -(raw & 0x7FFFFF) else raw
+  }
+
+  /** IBM System/360 32-bit hex float (GRIB1 reference values):
+    * sign(1) | excess-64 base-16 exponent(7) | fraction(24), value =
+    * (-1)^s * (frac / 2^24) * 16^(e-64). Exact in a double: the
+    * fraction is 24 bits and the scaling is a power of two. */
+  private[raster] def ibm32ToDouble(raw: Long): Double = {
+    val frac = (raw & 0xFFFFFF).toDouble
+    if (frac == 0.0) return 0.0
+    val e = ((raw >>> 24) & 0x7F).toInt - 64
+    val v = frac * math.pow(2.0, 4 * e - 24)
+    if ((raw & 0x80000000L) != 0) -v else v
+  }
+
+  /** Exact IBM float encoding of an integer |m| < 2^24 (the writer's
+    * reference values are integral so the round trip is bit-exact). */
+  private[raster] def intToIbm32(m: Long): Long = {
+    require(math.abs(m) < (1L << 24),
+      s"grib: reference value $m not exactly IBM-float representable")
+    if (m == 0L) return 0L
+    val mag = math.abs(m)
+    var e = 0
+    while ((1L << (4 * e)) <= mag) e += 1 // smallest e with 16^e > mag
+    val frac = mag << (24 - 4 * e)
+    (if (m < 0) 0x80000000L else 0L) | ((e + 64).toLong << 24) | frac
+  }
+
   /** GRIB sign-and-magnitude 32-bit integer. */
   private def s32(b: ByteBuffer): Long = {
     val raw = u32(b)
@@ -90,7 +123,7 @@ object Grib {
   case class Cx(ng: Int, widthRef: Int, widthBits: Int, lenRef: Long,
       lenInc: Int, lastLen: Long, lenBits: Int, sdOrder: Int, sdOctets: Int)
 
-  case class Packing(numPoints: Long, r: Float, e: Int, d: Int, nbits: Int,
+  case class Packing(numPoints: Long, r: Double, e: Int, d: Int, nbits: Int,
       template: Int = 0, cx: Cx = null)
 
   /** One decodable field: every byte range needed to decode it, so a
@@ -330,7 +363,8 @@ object Grib {
       s"$path: data representation template 5.$template (supported: 5.0 " +
         "simple, 5.2 complex, 5.3 complex+spatial differencing; 5.40 " +
         "JPEG2000 needs a codec this reader does not carry)")
-    val r = b.getFloat()
+    // exact widening: every IEEE float32 is a double
+    val r = b.getFloat().toDouble
     val e = s16(b); val d = s16(b)
     val nbits = u8(b)
     require(nbits <= 31, s"$path: $nbits-bit packing (max 31)")
@@ -374,6 +408,156 @@ object Grib {
     }
   }
 
+  /** GRIB edition 1 message (WMO FM 92-VIII): positional sections
+    * IS(8) PDS [GDS] [BMS] BDS "7777". Read subset — regular
+    * latitude/longitude grids with explicit direction increments,
+    * simple grid-point packing, optional bitmap, time-range indicators
+    * 0/1/10 — the ERA5/reanalysis shape; everything else fails loudly
+    * by name. Same header-only discipline as the edition-2 walk: the
+    * bitmap and data payloads are located, never loaded. The decode
+    * formula is edition-identical (`v = (R + X·2^E) / 10^D`) except R
+    * is an IBM hex float, converted exactly to a double here.
+    * Reference anchor: raster/sources.py:396-564 (GDAL reads both
+    * editions through one driver; so does this codec's Field model).
+    * Returns the message length; appends one Field per message. */
+  private def parseEd1Message(ch: FileChannel, pos: Long, size: Long,
+      path: String,
+      out: scala.collection.mutable.Builder[Field, Seq[Field]]): Long = {
+    val is = readAt(ch, pos, 8)
+    is.position(4)
+    val msgLen = u24(is)
+    require(msgLen >= 8 + 28 + 11 + 4 && pos + msgLen <= size,
+      s"$path: GRIB1 message at $pos runs past EOF ($msgLen bytes)")
+    var p = pos + 8
+    // ---- PDS (indicator octets 1-28; longer tables ride as opaque)
+    val pds = readAt(ch, p, 28)
+    val pdsLen = u24(pds)
+    require(pdsLen >= 28, s"$path: GRIB1 PDS of $pdsLen octets (min 28)")
+    val tableVersion = u8(pds)
+    u8(pds); u8(pds); u8(pds) // centre, generating process, grid id
+    val flags = u8(pds)
+    val hasGds = (flags & 0x80) != 0
+    val hasBms = (flags & 0x40) != 0
+    require(hasGds,
+      s"$path: GRIB1 predefined grids (no GDS) not supported")
+    val param = u8(pds)
+    u8(pds); u16(pds) // level type + value (metadata, not decoded here)
+    val yoc = u8(pds); val month = u8(pds); val day = u8(pds)
+    val hour = u8(pds); val minute = u8(pds)
+    val unit = u8(pds)
+    val p1 = u8(pds); val p2 = u8(pds)
+    val tri = u8(pds)
+    u16(pds); u8(pds) // number in average, number missing
+    val century = u8(pds)
+    u8(pds) // sub-centre
+    val dVal = s16(pds)
+    // year-of-century runs 1..100: year 2000 is century 20, yoc 100
+    val refTimeMs = LocalDateTime.of((century - 1) * 100 + yoc, month, day,
+      hour, minute, 0).toInstant(ZoneOffset.UTC).toEpochMilli
+    val validTimeMs = tri match {
+      case 0  => refTimeMs + p1 * unitMs(unit)
+      case 1  => refTimeMs
+      case 10 => refTimeMs + (p1 * 256 + p2).toLong * unitMs(unit)
+      case other => throw new IllegalArgumentException(
+        s"$path: GRIB1 time range indicator $other (supported: 0, 1, 10)")
+    }
+    p += pdsLen
+    // ---- GDS
+    val gds = readAt(ch, p, 32)
+    val gdsLen = u24(gds)
+    require(gdsLen >= 32, s"$path: GRIB1 GDS of $gdsLen octets (min 32)")
+    u8(gds) // NV
+    val pv = u8(gds)
+    require(pv == 255,
+      s"$path: GRIB1 vertical-coordinate / quasi-regular point lists " +
+        s"(PV=$pv) not supported")
+    val drt = u8(gds)
+    require(drt == 0,
+      s"$path: GRIB1 data representation type $drt (only 0 = " +
+        "latitude/longitude)")
+    val ni = u16(gds); val nj = u16(gds)
+    require(ni != 0xFFFF,
+      s"$path: GRIB1 quasi-regular grid (Ni missing) not supported")
+    require(ni > 0 && nj > 0 && ni.toLong * nj <= (1L << 27),
+      s"$path: GRIB1 grid $ni x $nj")
+    val la1 = s24(gds) / 1e3
+    val lo1 = s24(gds) / 1e3
+    val res = u8(gds)
+    require((res & 0x80) != 0,
+      s"$path: GRIB1 grid without explicit direction increments " +
+        "not supported")
+    s24(gds); s24(gds) // La2, Lo2 (redundant with first point + pitch)
+    val di = u16(gds); val dj = u16(gds)
+    require(di != 0xFFFF && dj != 0xFFFF && di > 0 && dj > 0,
+      s"$path: GRIB1 grid increments $di x $dj millidegrees")
+    val scan = u8(gds)
+    require((scan & 0xB0) == 0,
+      f"$path%s: GRIB1 scanning mode 0x$scan%02x (only +i row-major)")
+    val grid = Grid(ni, nj, la1, lo1, di / 1e3, dj / 1e3, scan)
+    p += gdsLen
+    // ---- BMS (optional)
+    var bitmapOff = -1L
+    if (hasBms) {
+      val bms = readAt(ch, p, 6)
+      val bmsLen = u24(bms)
+      u8(bms) // unused trailing bits (the bitmap is sized by the grid)
+      val tableRef = u16(bms)
+      require(tableRef == 0,
+        s"$path: GRIB1 predefined bitmap $tableRef not supported")
+      require(bmsLen >= 6 + (ni.toLong * nj + 7) / 8,
+        s"$path: GRIB1 bitmap section of $bmsLen octets too short for " +
+          s"$ni x $nj points")
+      bitmapOff = p + 6
+      p += bmsLen
+    }
+    // ---- BDS
+    val bds = readAt(ch, p, 11)
+    val bdsLen = u24(bds)
+    require(bdsLen >= 11, s"$path: GRIB1 BDS of $bdsLen octets (min 11)")
+    val flagsUnused = u8(bds)
+    val bdsFlags = (flagsUnused >>> 4) & 0xF
+    val unusedBits = flagsUnused & 0xF
+    require((bdsFlags & 0x8) == 0,
+      s"$path: GRIB1 spherical-harmonic coefficients not supported")
+    require((bdsFlags & 0x4) == 0,
+      s"$path: GRIB1 complex (second-order) packing not supported")
+    require((bdsFlags & 0x1) == 0,
+      s"$path: GRIB1 additional BDS flags (octet 14) not supported")
+    val eVal = s16(bds)
+    val r = ibm32ToDouble(u32(bds))
+    val nbits = u8(bds)
+    require(nbits <= 31, s"$path: GRIB1 $nbits-bit packing (max 31)")
+    // the present-point count is derived WITHOUT reading the bitmap
+    // (header-only planning): the BDS carries exactly
+    // numPresent*nbits + unusedBits bits of payload
+    val dataBits = (bdsLen - 11).toLong * 8 - unusedBits
+    val numPresent =
+      if (nbits == 0) {
+        require(!hasBms,
+          s"$path: GRIB1 constant field with a bitmap not supported")
+        ni.toLong * nj
+      } else {
+        require(dataBits >= 0 && dataBits % nbits == 0,
+          s"$path: GRIB1 BDS payload of $dataBits bits not divisible " +
+            s"by $nbits-bit values")
+        dataBits / nbits
+      }
+    require(numPresent <= ni.toLong * nj &&
+      (hasBms || numPresent == ni.toLong * nj),
+      s"$path: GRIB1 BDS holds $numPresent values for ${ni.toLong * nj} " +
+        "grid points")
+    out += Field(refTimeMs, validTimeMs, grid,
+      Packing(numPresent, r, eVal, dVal, nbits), bitmapOff, p + 11,
+      (bdsLen - 11).toInt, 255, tableVersion, param)
+    p += bdsLen
+    require(readAt(ch, p, 4).getInt == 0x37373737, // "7777"
+      s"$path: GRIB1 message at $pos missing 7777 end section")
+    require(p + 4 == pos + msgLen,
+      s"$path: GRIB1 message length $msgLen does not match its sections " +
+        s"(${p + 4 - pos})")
+    msgLen.toLong
+  }
+
   /** Walk every message and section; returns one [[Field]] per data
     * section. Only section HEADS and the small 1/3/4/5 bodies are read
     * — bitmap and data payloads are located, not loaded. */
@@ -388,57 +572,61 @@ object Grib {
       ind.getShort() // reserved
       val discipline = u8(ind)
       val edition = u8(ind)
-      require(edition == 2, s"$path: GRIB edition $edition (only 2)")
-      val msgLen = ind.getLong
-      require(msgLen >= 20 && pos + msgLen <= size,
-        s"$path: message at $pos runs past EOF ($msgLen bytes)")
-      var p = pos + 16
-      var refTimeMs = Long.MinValue
-      var grid: Grid = null
-      var prod: Prod = null
-      var packing: Packing = null
-      var bitmapOff = -1L
-      var lastBitmapOff = -1L
-      while (p < pos + msgLen - 4) {
-        val head = readAt(ch, p, 5)
-        val secLen = u32(head)
-        val secNum = u8(head)
-        require(secLen >= 5 && p + secLen <= pos + msgLen - 4,
-          s"$path: section $secNum at $p overruns its message")
-        secNum match {
-          case 1 => refTimeMs = parseSec1(readAt(ch, p, secLen.toInt))
-          case 2 => // local use: skip
-          case 3 => grid = parseSec3(readAt(ch, p, secLen.toInt), path)
-          case 4 => prod = parseSec4(readAt(ch, p, secLen.toInt), path)
-          case 5 => packing = parseSec5(readAt(ch, p, secLen.toInt), path)
-          case 6 =>
-            val indByte = u8(readAt(ch, p + 5, 1))
-            indByte match {
-              case 255 => bitmapOff = -1L
-              case 0   => bitmapOff = p + 6; lastBitmapOff = bitmapOff
-              case 254 =>
-                require(lastBitmapOff != -1L,
-                  s"$path: bitmap indicator 254 with no previous bitmap")
-                bitmapOff = lastBitmapOff
-              case other => throw new IllegalArgumentException(
-                s"$path: bitmap indicator $other (0/254/255)")
-            }
-          case 7 =>
-            require(refTimeMs != Long.MinValue && grid != null &&
-              prod != null && packing != null,
-              s"$path: data section at $p before sections 1/3/4/5")
-            out += Field(refTimeMs,
-              prod.validAbsMs.getOrElse(refTimeMs + prod.validOffsetMs), grid,
-              packing, bitmapOff, p + 5, secLen.toInt - 5,
-              discipline, prod.category, prod.number)
-          case other => throw new IllegalArgumentException(
-            s"$path: unknown section $other at $p")
+      if (edition == 1) {
+        pos += parseEd1Message(ch, pos, size, path, out)
+      } else {
+        require(edition == 2, s"$path: GRIB edition $edition (only 1 or 2)")
+        val msgLen = ind.getLong
+        require(msgLen >= 20 && pos + msgLen <= size,
+          s"$path: message at $pos runs past EOF ($msgLen bytes)")
+        var p = pos + 16
+        var refTimeMs = Long.MinValue
+        var grid: Grid = null
+        var prod: Prod = null
+        var packing: Packing = null
+        var bitmapOff = -1L
+        var lastBitmapOff = -1L
+        while (p < pos + msgLen - 4) {
+          val head = readAt(ch, p, 5)
+          val secLen = u32(head)
+          val secNum = u8(head)
+          require(secLen >= 5 && p + secLen <= pos + msgLen - 4,
+            s"$path: section $secNum at $p overruns its message")
+          secNum match {
+            case 1 => refTimeMs = parseSec1(readAt(ch, p, secLen.toInt))
+            case 2 => // local use: skip
+            case 3 => grid = parseSec3(readAt(ch, p, secLen.toInt), path)
+            case 4 => prod = parseSec4(readAt(ch, p, secLen.toInt), path)
+            case 5 => packing = parseSec5(readAt(ch, p, secLen.toInt), path)
+            case 6 =>
+              val indByte = u8(readAt(ch, p + 5, 1))
+              indByte match {
+                case 255 => bitmapOff = -1L
+                case 0   => bitmapOff = p + 6; lastBitmapOff = bitmapOff
+                case 254 =>
+                  require(lastBitmapOff != -1L,
+                    s"$path: bitmap indicator 254 with no previous bitmap")
+                  bitmapOff = lastBitmapOff
+                case other => throw new IllegalArgumentException(
+                  s"$path: bitmap indicator $other (0/254/255)")
+              }
+            case 7 =>
+              require(refTimeMs != Long.MinValue && grid != null &&
+                prod != null && packing != null,
+                s"$path: data section at $p before sections 1/3/4/5")
+              out += Field(refTimeMs,
+                prod.validAbsMs.getOrElse(refTimeMs + prod.validOffsetMs), grid,
+                packing, bitmapOff, p + 5, secLen.toInt - 5,
+                discipline, prod.category, prod.number)
+            case other => throw new IllegalArgumentException(
+              s"$path: unknown section $other at $p")
+          }
+          p += secLen
         }
-        p += secLen
+        require(readAt(ch, pos + msgLen - 4, 4).getInt == 0x37373737, // "7777"
+          s"$path: message at $pos missing 7777 end section")
+        pos += msgLen
       }
-      require(readAt(ch, pos + msgLen - 4, 4).getInt == 0x37373737, // "7777"
-        s"$path: message at $pos missing 7777 end section")
-      pos += msgLen
     }
     out.result()
   }
@@ -655,6 +843,11 @@ object Grib {
       u32(if (v < 0) (1L << 31) | -v else v)
     }
     def f32(v: Float): Unit = u32(java.lang.Float.floatToIntBits(v) & 0xFFFFFFFFL)
+    def u24(v: Int): Unit = { u8(v >>> 16); u8(v >>> 8); u8(v) }
+    def s24sm(v: Long): Unit = { // sign-and-magnitude (GRIB1 coordinates)
+      require(math.abs(v) <= 0x7FFFFFL, s"grib: value $v overflows s24")
+      u24((if (v < 0) 0x800000L | -v else v).toInt)
+    }
     def bytes(b: Array[Byte]): Unit = out.write(b)
     def result(): Array[Byte] = out.toByteArray
   }
@@ -810,6 +1003,153 @@ object Grib {
     bw.align()
     (Cx(ng, widthRef, widthBits, G.toLong, 1, lens(ng - 1).toLong, 0,
       if (template == 3) od else 0, sdOctets), refBits, p7.result())
+  }
+
+  /** Write GRIB edition 1 messages (one per frame): regular lat/lon
+    * GDS, simple grid-point packing, optional bitmap — the read
+    * subset's own shape, so fixtures round-trip bit-exactly. E = D = 0
+    * and R = the (integral) frame minimum, which the IBM hex-float
+    * encoding represents exactly below 2^24. `timesMs` are VALID times;
+    * with `forecastHours` > 0 the reference time is shifted back and
+    * the message carries time-range indicator 0 (forecast), else 1
+    * (initialized analysis) — both read paths. */
+  def writeEdition1(path: String, frames: Seq[Array[Double]], w: Int,
+      h: Int, noData: Double, timesMs: Seq[Long], laSouth: Double,
+      loWest: Double, degPerCell: Double, param: Int = 11,
+      tableVersion: Int = 2, forecastHours: Int = 0): Unit = {
+    require(frames.nonEmpty && frames.length == timesMs.length,
+      "grib: frames and times must align")
+    require(degPerCell > 0 && degPerCell * 1e3 == math.rint(degPerCell * 1e3),
+      s"grib: degPerCell $degPerCell must be a whole millidegree multiple " +
+        "(GRIB1 coordinates are millidegrees)")
+    val diMilli = math.rint(degPerCell * 1e3).toLong
+    require(diMilli % 2 == 0,
+      s"grib: degPerCell $degPerCell is an odd number of millidegrees; " +
+        "cell centers would not be representable — use an even pitch")
+    require(forecastHours >= 0 && forecastHours <= 255,
+      s"grib: forecastHours $forecastHours must fit P1's octet")
+    require(laSouth + h * degPerCell <= 90.0 + 1e-9 && laSouth >= -90.0 &&
+      loWest >= -180.0 && loWest + w * degPerCell <= 360.0 + 1e-9,
+      s"grib: ${w}x$h cells of $degPerCell deg from ($laSouth, $loWest) " +
+        "leave the globe — shrink degPerCell")
+    val b = new Bld
+    frames.zip(timesMs).foreach { case (vals, tMs) =>
+      require(vals.length == w * h, "grib: frame size mismatch")
+      writeMessage1(b, vals, w, h, noData, tMs, laSouth, loWest, diMilli,
+        param, tableVersion, forecastHours)
+    }
+    Files.write(Paths.get(path), b.result())
+  }
+
+  private def writeMessage1(b: Bld, vals: Array[Double], w: Int, h: Int,
+      noData: Double, validMs: Long, laSouth: Double, loWest: Double,
+      diMilli: Long, param: Int, tableVersion: Int,
+      forecastHours: Int): Unit = {
+    val n = w * h
+    def isND(v: Double) = v == noData || (v.isNaN && noData.isNaN)
+    val live = vals.filterNot(isND)
+    live.foreach(v => require(v == math.rint(v) && math.abs(v) < (1L << 52),
+      s"grib: non-integral value $v — packing with E=D=0 is exact " +
+        "only for integers (quantize the input first)"))
+    val rMin = if (live.isEmpty) 0.0 else live.min
+    require(math.abs(rMin) < (1L << 24),
+      s"grib: GRIB1 reference value $rMin not exactly IBM-representable " +
+        "(|R| must stay below 2^24)")
+    val range = if (live.isEmpty) 0L else (live.max - rMin).toLong
+    require(range <= 0x7FFFFFFFL, s"grib: value range $range overflows packing")
+    val nbits =
+      if (range == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(range)
+    val hasBitmap = live.length != n
+    require(nbits > 0 || !hasBitmap,
+      "grib: GRIB1 constant field with a bitmap not supported")
+
+    val refMs = validMs - forecastHours.toLong * 3600000L
+    require(refMs % 60000 == 0, "grib: sub-minute GRIB1 times unsupported")
+    val t = Instant.ofEpochMilli(refMs).atOffset(ZoneOffset.UTC)
+    val century = (t.getYear + 99) / 100
+    val yoc = t.getYear - (century - 1) * 100 // 1..100: 2000 = C20 y100
+
+    // sections are padded to even octet counts (WMO regulation); the
+    // pad bits ride in the unused-bits fields
+    val dataBytes0 = (live.length.toLong * nbits + 7) / 8
+    val bdsPad = (11 + dataBytes0) % 2
+    val dataBytes = dataBytes0 + bdsPad
+    val unusedBits = dataBytes * 8 - live.length.toLong * nbits
+    require(unusedBits <= 15, s"grib: BDS unused bits $unusedBits")
+    val bitmapBytes0 = if (hasBitmap) (n.toLong + 7) / 8 else 0L
+    val bmsPad = if (hasBitmap) (6 + bitmapBytes0) % 2 else 0L
+    val bitmapBytes = bitmapBytes0 + bmsPad
+    val msgLen = 8L + 28 + 32 + (if (hasBitmap) 6 + bitmapBytes else 0) +
+      (11 + dataBytes) + 4
+    require(msgLen <= 0xFFFFFFL, s"grib: GRIB1 message of $msgLen bytes " +
+      "overflows the 24-bit length (use edition 2)")
+
+    // ---- IS
+    b.bytes("GRIB".getBytes("US-ASCII"))
+    b.u24(msgLen.toInt); b.u8(1)
+    // ---- PDS
+    b.u24(28); b.u8(tableVersion)
+    b.u8(0); b.u8(0); b.u8(255) // centre, process, grid id (255 = none)
+    b.u8(if (hasBitmap) 0xC0 else 0x80) // GDS present [+ BMS]
+    b.u8(param)
+    b.u8(1); b.u16(0) // level: ground surface
+    b.u8(yoc); b.u8(t.getMonthValue); b.u8(t.getDayOfMonth)
+    b.u8(t.getHour); b.u8(t.getMinute)
+    b.u8(1) // unit: hour
+    if (forecastHours > 0) { b.u8(forecastHours); b.u8(0); b.u8(0) }
+    else { b.u8(0); b.u8(0); b.u8(1) } // P1, P2, time range indicator
+    b.u16(0); b.u8(0) // number in average, missing
+    b.u8(century); b.u8(0) // century, sub-centre
+    b.u16(0) // decimal scale factor D = 0
+    // ---- GDS (32 octets, lat/lon)
+    b.u24(32); b.u8(0); b.u8(255) // NV = 0, PV = 255 (none)
+    b.u8(0) // data representation: latitude/longitude
+    b.u16(w); b.u16(h)
+    val laSouthMilli = math.rint(laSouth * 1e3).toLong
+    val loWestMilli = math.rint(loWest * 1e3).toLong
+    // first point CENTER, northernmost row first (scan mode 0)
+    b.s24sm(laSouthMilli + h * diMilli - diMilli / 2) // La1
+    b.s24sm(loWestMilli + diMilli / 2)                // Lo1
+    b.u8(0x80) // resolution flags: direction increments given
+    b.s24sm(laSouthMilli + diMilli / 2)               // La2
+    b.s24sm(loWestMilli + w * diMilli - diMilli / 2)  // Lo2
+    b.u16(diMilli.toInt); b.u16(diMilli.toInt)
+    b.u8(0) // scanning mode: +i, -j, row-major
+    b.u24(0); b.u8(0) // reserved octets 29-32
+    // ---- BMS
+    if (hasBitmap) {
+      b.u24((6 + bitmapBytes).toInt)
+      b.u8(((bitmapBytes * 8) - n).toInt) // unused trailing bits
+      b.u16(0) // bitmap follows
+      var acc = 0; var nb = 0
+      vals.foreach { v =>
+        acc = (acc << 1) | (if (isND(v)) 0 else 1)
+        nb += 1
+        if (nb == 8) { b.u8(acc); acc = 0; nb = 0 }
+      }
+      if (nb > 0) b.u8(acc << (8 - nb))
+      var padB = bmsPad
+      while (padB > 0) { b.u8(0); padB -= 1 }
+    }
+    // ---- BDS
+    b.u24((11 + dataBytes).toInt)
+    b.u8(unusedBits.toInt) // flags 0000 (grid, simple, float, no extras)
+    b.u16(0) // binary scale factor E = 0
+    b.u32(intToIbm32(rMin.toLong))
+    b.u8(nbits)
+    var acc = 0L; var nb = 0
+    vals.foreach { v =>
+      if (!isND(v) && nbits > 0) {
+        acc = (acc << nbits) | (v - rMin).toLong
+        nb += nbits
+        while (nb >= 8) { b.u8(((acc >>> (nb - 8)) & 0xFF).toInt); nb -= 8 }
+      }
+    }
+    if (nb > 0) b.u8(((acc << (8 - nb)) & 0xFF).toInt)
+    var padD = dataBytes - dataBytes0
+    while (padD > 0) { b.u8(0); padD -= 1 }
+    // ---- end section
+    b.bytes("7777".getBytes("US-ASCII"))
   }
 
   private def writeMessage(b: Bld, vals: Array[Double], w: Int, h: Int,
@@ -1017,17 +1357,27 @@ case class GribSource(url: String, noDataArg: Double = Double.MaxValue)
   * exactly (integral values required; quantize first). */
 case class GribSink(source: RasterBlock, url: String,
     degPerCell: Double = 0.05, laSouth: Double = 0.0, loWest: Double = 0.0,
-    template: Int = 0, sdOrder: Int = 2) {
+    template: Int = 0, sdOrder: Int = 2, edition: Int = 2) {
   def write(req: RasterRequest)(implicit spark: SparkSession): String = {
+    require(edition == 1 || edition == 2, s"grib: edition $edition")
+    require(edition == 2 || template == 0,
+      "grib: edition 1 writes simple packing only")
     val res = source.getData(req).getOrElse(
       throw new IllegalArgumentException("empty result"))
+    val lower = url.toLowerCase
     val path =
-      if (url.toLowerCase.endsWith(".grib2") ||
-        url.toLowerCase.endsWith(".grb2")) url
+      if (lower.endsWith(".grib2") || lower.endsWith(".grb2") ||
+        lower.endsWith(".grib") || lower.endsWith(".grb")) url
+      else if (edition == 1) s"$url/stack.grib"
       else s"$url/stack.grib2"
-    Grib.write(path, res.values, req.width, req.height, res.noDataValue,
-      res.times.map(_.toEpochMilli), laSouth, loWest, degPerCell,
-      template = template, sdOrder = sdOrder)
+    if (edition == 1)
+      Grib.writeEdition1(path, res.values, req.width, req.height,
+        res.noDataValue, res.times.map(_.toEpochMilli), laSouth, loWest,
+        degPerCell)
+    else
+      Grib.write(path, res.values, req.width, req.height, res.noDataValue,
+        res.times.map(_.toEpochMilli), laSouth, loWest, degPerCell,
+        template = template, sdOrder = sdOrder)
     path
   }
 }

@@ -15,11 +15,12 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.raster.{GeoTiff, Grib, TileLayout, Zarr}
+import graft.raster.{GeoTiff, Grib, Hdf5, NetCdf, TileLayout, Zarr}
 
 /** DataSource V2 connector `graft-raster`: EXECUTOR-side decode of the
-  * cloud-scale raster formats (GRIB2, GeoTIFF and Zarr v2/v3 — the
-  * codecs with pure-JVM frame APIs). The block API (`RasterFileSource`)
+  * cloud-scale raster formats (GRIB editions 1/2, GeoTIFF, NetCDF,
+  * HDF5 and Zarr v2/v3 — the codecs with pure-JVM frame APIs). The
+  * block API (`RasterFileSource`)
   * decodes a file on the driver and broadcasts — right for one mosaic
   * tile, wrong for a directory of 10,000 GFS files. This connector
   * plans ONE InputPartition PER (file, frame): metadata (headers only)
@@ -37,8 +38,9 @@ import graft.raster.{GeoTiff, Grib, TileLayout, Zarr}
   * unreferenced frames never open their byte ranges).
   *
   * Usage: `spark.read.format("graft-raster").load(paths...)` — each
-  * path a .grib2/.grb2 file, a Zarr store directory, or a directory
-  * scanned (non-recursively) for GRIB files / Zarr stores. Unknown
+  * path a .grib/.grib2 file, a .tif, a .nc/.h5 container (NetCDF-4
+  * routed to the HDF5 codec by magic bytes), a Zarr store directory,
+  * or a directory scanned (non-recursively) for any of those. Unknown
   * layouts fail loudly by name.
   */
 class GraftRasterSource extends TableProvider
@@ -85,7 +87,8 @@ object GraftRasterTable {
 
   private def isGrib(p: java.nio.file.Path): Boolean = {
     val n = p.getFileName.toString.toLowerCase
-    n.endsWith(".grib2") || n.endsWith(".grb2")
+    n.endsWith(".grib2") || n.endsWith(".grb2") ||
+      n.endsWith(".grib") || n.endsWith(".grb") // editions 1 and 2
   }
 
   private def isTif(p: java.nio.file.Path): Boolean = {
@@ -93,8 +96,20 @@ object GraftRasterTable {
     n.endsWith(".tif") || n.endsWith(".tiff")
   }
 
+  private def isNcOrH5(p: java.nio.file.Path): Boolean = {
+    val n = p.getFileName.toString.toLowerCase
+    n.endsWith(".nc") || n.endsWith(".nc4") || n.endsWith(".h5") ||
+      n.endsWith(".hdf5")
+  }
+
+  /** NetCDF-4 files ARE HDF5 containers behind the same extension:
+    * route on the magic bytes, not the name (the block API's rule). */
+  private def ncKind(path: String): String =
+    if (graft.raster.Hdf5.isHdf5(path)) "h5" else "nc"
+
   /** Expand user paths to concrete (kind, path) datasets. A plain
-    * directory expands one level to its GRIB files and Zarr stores. */
+    * directory expands one level to its GRIB/GeoTIFF/NetCDF/HDF5 files
+    * and Zarr stores. */
   def datasets(paths: Seq[String]): Seq[(String, String)] = paths.flatMap { s =>
     val p = java.nio.file.Paths.get(s)
     require(java.nio.file.Files.exists(p), s"graft-raster: $s does not exist")
@@ -104,18 +119,21 @@ object GraftRasterTable {
         val members = java.nio.file.Files.list(p).iterator().asScala.toSeq
         val found = (members.filter(isGrib).map(f => ("grib", f.toString)) ++
           members.filter(isTif).map(f => ("tif", f.toString)) ++
+          members.filter(f => !java.nio.file.Files.isDirectory(f) &&
+            isNcOrH5(f)).map(f => (ncKind(f.toString), f.toString)) ++
           members.filter(d => java.nio.file.Files.isDirectory(d) &&
             isZarrStore(d)).map(d => ("zarr", d.toString))).sortBy(_._2)
         require(found.nonEmpty,
-          s"graft-raster: directory $s holds no GRIB files, GeoTIFFs or " +
-            "Zarr stores")
+          s"graft-raster: directory $s holds no GRIB files, GeoTIFFs, " +
+            "NetCDF/HDF5 files or Zarr stores")
         found
       }
     } else if (isGrib(p)) Seq(("grib", s))
     else if (isTif(p)) Seq(("tif", s))
+    else if (isNcOrH5(p)) Seq((ncKind(s), s))
     else throw new IllegalArgumentException(
-      s"graft-raster: $s is not a .grib2/.grb2/.tif file or Zarr store " +
-        "(supported: GRIB2, GeoTIFF, Zarr v2/v3)")
+      s"graft-raster: $s is not a .grib/.grib2/.tif/.nc/.h5 file or Zarr " +
+        "store (supported: GRIB 1/2, GeoTIFF, NetCDF, HDF5, Zarr v2/v3)")
   }
 }
 
@@ -184,6 +202,18 @@ case class GraftFramePartition(kind: String, path: String, frameIdx: Int,
 case class GraftTifPartition(path: String, frames: Array[Int],
     times: Array[Long], w: Int, h: Int) extends InputPartition
 
+object GraftScan {
+  /** Bounded planning fan-out: enough to hide per-file metadata latency
+    * (the object-storage case this connector exists for), small enough
+    * not to stampede a driver-side connection pool. Overridable via
+    * -Dgraft.raster.planParallelism (1 = the serial baseline). */
+  def PlanParallelism: Int = {
+    val p = Integer.getInteger("graft.raster.planParallelism", 32).intValue()
+    require(p >= 1, s"graft.raster.planParallelism must be >= 1 (got $p)")
+    p
+  }
+}
+
 class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
     required: StructType, timeFirst: Long, timeDelta: Long)
     extends Scan with Batch {
@@ -193,11 +223,12 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
     s"graft-raster pushed t in [$tMin, $tMax], " +
       s"columns [${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // planning reads ONLY headers/metadata per dataset (GRIB section
-    // heads, Zarr JSON + coordinate arrays) — no data payload bytes
-    GraftRasterTable.datasets(paths).flatMap {
-      case ("grib", p) =>
+  /** Plan one dataset: reads ONLY headers/metadata (GRIB section heads,
+    * Zarr JSON + coordinate arrays, TIFF IFD tag tables) — no data
+    * payload bytes. */
+  private def planDataset(kind: String, p: String): Seq[InputPartition] =
+    kind match {
+      case "grib" =>
         val ch = java.nio.channels.FileChannel.open(
           java.nio.file.Paths.get(p),
           java.nio.file.StandardOpenOption.READ)
@@ -208,16 +239,34 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
               GraftFramePartition("grib", p, i, t, m.w, m.h, m.fields(i))
           }
         } finally ch.close()
-      case ("zarr", p) =>
+      case "zarr" =>
         val m = Zarr.readMeta(p)
         m.timesMs.zipWithIndex.collect {
           case (t, i) if t >= tMin && t <= tMax =>
             GraftFramePartition("zarr", p, i, t, m.w, m.h)
         }
-      case ("tif", p) =>
-        // header-only: IFD tag tables, no tile payload (GeoTIFF has no
-        // embedded time axis — bands map to the time_first/time_delta
-        // options, the RasterFileSource convention)
+      case "nc" | "h5" =>
+        // header + 1-D coordinate arrays only; per-frame partitions on
+        // the codecs' positioned-read APIs (readFrames seeks straight
+        // to the selected frame's records/chunks)
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(p),
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val (times, w, h) =
+            if (kind == "nc") {
+              val m = NetCdf.readMeta(ch, p); (m.timesMs, m.w, m.h)
+            } else {
+              val m = Hdf5.readMeta(ch, p); (m.timesMs, m.w, m.h)
+            }
+          times.zipWithIndex.collect {
+            case (t, i) if t >= tMin && t <= tMax =>
+              GraftFramePartition(kind, p, i, t, w, h)
+          }
+        } finally ch.close()
+      case "tif" =>
+        // GeoTIFF has no embedded time axis — bands map to the
+        // time_first/time_delta options, the RasterFileSource convention
         val m = GeoTiff.readMeta(p)
         val sel = (0 until m.bandCount)
           .map(i => (i, timeFirst + i * timeDelta))
@@ -225,9 +274,42 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
         if (sel.isEmpty) Nil
         else Seq(GraftTifPartition(p, sel.map(_._1).toArray,
           sel.map(_._2).toArray, m.w, m.h))
-      case (k, p) => throw new IllegalArgumentException(
+      case k => throw new IllegalArgumentException(
         s"graft-raster: unknown dataset kind $k for $p")
-    }.toArray
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // header reads are independent per dataset and latency-bound (on
+    // object storage each is 1-2 round trips): a 100k-file archive
+    // planned serially is minutes of driver RTTs before the first task.
+    // A bounded pool overlaps them; partition order stays deterministic
+    // (futures are collected in dataset order). Planning still reads
+    // only header/metadata bytes — pinned by the corrupt-data spec.
+    val ds = GraftRasterTable.datasets(paths)
+    val par = math.min(GraftScan.PlanParallelism, ds.length)
+    if (par <= 1) ds.flatMap { case (k, p) => planDataset(k, p) }.toArray
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-raster-plan")
+          t.setDaemon(true); t
+        })
+      try {
+        val futs = ds.map { case (k, p) =>
+          pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
+            override def call(): Seq[InputPartition] = planDataset(k, p)
+          })
+        }
+        futs.flatMap { f =>
+          try f.get()
+          catch {
+            // unwrap so the codecs' loud messages surface unchanged
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }.toArray
+      } finally pool.shutdownNow()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -246,10 +328,14 @@ class GraftReaderFactory(columns: Array[String])
 }
 
 /** Executor-side GeoTIFF reader: one decode serves every surviving
-  * band; tiles stream out per (band, tile). */
+  * band; tiles stream out per (band, tile). The decode is BAND-PRUNED:
+  * only the frames the pushed time filter kept are materialized — a
+  * time-sliced read of a wide band stack pays for its slice, not the
+  * file's band count (and never touches the pruned bands' samples). */
 class GraftTifReader(p: GraftTifPartition, columns: Array[String])
     extends PartitionReader[InternalRow] {
-  private lazy val bands: Seq[Array[Double]] = GeoTiff.read(p.path).bands
+  private lazy val bands: Seq[Array[Double]] =
+    GeoTiff.read(p.path, p.frames.toSeq).bands
   private val nTx = TileLayout.tilesX(p.w)
   private val nTiles = TileLayout.numTiles(p.w, p.h)
   private val total = nTiles * p.frames.length
@@ -269,7 +355,8 @@ class GraftTifReader(p: GraftTifPartition, columns: Array[String])
       case "ty"   => ty
       case "tx"   => tx
       case "values" =>
-        val frame = bands(p.frames(f))
+        // the pruned decode returns exactly p.frames' bands, in order
+        val frame = bands(f)
         val tw = TileLayout.tileW(p.w, tx)
         val th = TileLayout.tileH(p.h, ty)
         val out = new Array[Double](tw * th)
@@ -305,7 +392,23 @@ class GraftPartitionReader(p: GraftFramePartition, columns: Array[String])
       // re-scan, straight to this frame's bitmap + data ranges
       try Grib.decode(ch, p.gribField, Double.MaxValue)
       finally ch.close()
-    case _ =>
+    case "nc" | "h5" =>
+      // header metadata is re-read per partition (small, and the Meta
+      // types carry parse state that does not serialize); readFrames
+      // then seeks only this frame's records/chunks
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(p.path),
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        if (p.kind == "nc") {
+          val m = NetCdf.readMeta(ch, p.path)
+          NetCdf.readFrames(ch, m, Seq(p.frameIdx)).head
+        } else {
+          val m = Hdf5.readMeta(ch, p.path)
+          Hdf5.readFrames(ch, m, Seq(p.frameIdx)).head
+        }
+      } finally ch.close()
+    case "zarr" =>
       // zarr metadata (a few KB of JSON + 1-D coordinate arrays) is
       // re-read per partition: ArrayMeta carries filesystem Paths and
       // does not serialize, and the read is milliseconds against a
@@ -313,6 +416,8 @@ class GraftPartitionReader(p: GraftFramePartition, columns: Array[String])
       // byte-coordinate table to ship
       val m = Zarr.readMeta(p.path)
       Zarr.readFrames(m, Seq(p.frameIdx)).head
+    case other => throw new IllegalArgumentException(
+      s"graft-raster: unknown partition kind $other")
   }
 
   private val nTx = TileLayout.tilesX(p.w)

@@ -191,6 +191,45 @@ object SoakR10 {
       println(f"""{"soak":"dsv2_count_pruned","files":$nFiles,"sec":$secCnt%.3f,"rows":$cnt}""")
     }
 
+    // --------------------------------------- archive-scale plan probe
+    // ≥1000 files × 4 frames: planning wall-time serial vs pooled (the
+    // r10 verdict's DSv2 scale item), task count, warm read. Planning
+    // is isolated via rdd.getNumPartitions (runs planInputPartitions,
+    // reads no data); local NVMe header reads are ~0.1 ms so the pool's
+    // win here bounds below the object-storage case (1-2 RTTs/file).
+    if (which == "dsv2plan") {
+      val dir = java.nio.file.Files.createTempDirectory("soak_plan").toString
+      val nFiles = if (args.length > 1) args(1).toInt else 1000
+      val nf = 4; val w = 40; val h = 30
+      for (f <- 0 until nFiles) {
+        val frames = Seq.tabulate(nf)(t =>
+          Array.tabulate(w * h)(i => ((i + t + f) % 1000).toDouble))
+        graft.raster.Grib.write(s"$dir/f$f.grib2", frames, w, h,
+          Double.MaxValue, Seq.tabulate(nf)(_ * 3600000L), 0.0, 0.0, 0.0001,
+          template = 3)
+      }
+      for (par <- Seq(1, 32); round <- 1 to 3) {
+        System.setProperty("graft.raster.planParallelism", par.toString)
+        val (nParts, secPlan) = time {
+          spark.read.format("graft-raster").load(dir).rdd.getNumPartitions
+        }
+        println(f"""{"soak":"dsv2_plan","par":$par,"round":$round,"files":$nFiles,"partitions":$nParts,"sec":$secPlan%.3f}""")
+      }
+      System.clearProperty("graft.raster.planParallelism")
+      val (cnt, secCnt) = time {
+        spark.read.format("graft-raster").load(dir).count()
+      }
+      println(f"""{"soak":"dsv2_plan_count","files":$nFiles,"rows":$cnt,"sec":$secCnt%.3f}""")
+      for (round <- 1 to 2) {
+        val (sumV, secRead) = time {
+          spark.read.format("graft-raster").load(dir)
+            .agg(sum(expr("aggregate(values, 0D, (a, x) -> a + x)")))
+            .collect()(0).getDouble(0)
+        }
+        println(f"""{"soak":"dsv2_plan_read","round":$round,"files":$nFiles,"sec":$secRead%.3f,"sum":$sumV%.1f}""")
+      }
+    }
+
     // ------------------------------------------------ Zipfian line probe
     if (which == "all" || which == "zipf") {
       spark.conf.set("spark.sql.shuffle.partitions", "64")

@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-12 probes.
+  *
+  * `neardedup`: the StreamNearDedup long-run state measurement the r10
+  * verdict asked for — ≥50 micro-batches through `verdicts`, recording
+  * the state store's row count against the admitted-chain count per
+  * batch. The claim under test: state grows O(bands × chain heads)
+  * (each admitted head claims ≤ `bands` buckets; rejected near-dups
+  * mostly re-touch their head's buckets), NOT with total probes — the
+  * property that lets the admission stage run indefinitely on an
+  * ingest stream. One JSON line per batch; fix only if superlinear.
+  */
+object SoakR12 {
+  def main(args: Array[String]): Unit = {
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val which = if (args.nonEmpty) args(0) else "neardedup"
+
+    if (which == "neardedup") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamNearDedup
+      val nBatches = if (args.length > 1) args(1).toInt else 60
+      val docsPerBatch = if (args.length > 2) args(2).toInt else 300
+      val dupFrac = 0.4 // 40% of each batch near-duplicates an earlier doc
+      val vocab = Array.tabulate(4096)(i => f"tok$i%04x")
+      var s = 0x9E3779B97F4A7C15L
+      def next(): Long = {
+        s = s * 6364136223846793005L + 1442695040888963407L; s
+      }
+      def freshDoc(): String =
+        Seq.fill(40)(vocab(math.floorMod(next(), vocab.length).toInt))
+          .mkString(" ")
+      val originals = scala.collection.mutable.ArrayBuffer[String]()
+      var nextId = 0L
+      def batch(): Seq[(Long, String)] = Seq.fill(docsPerBatch) {
+        val id = nextId; nextId += 1
+        val isDup = originals.nonEmpty &&
+          math.floorMod(next(), 1000) < (dupFrac * 1000).toInt
+        val text =
+          if (isDup) {
+            // near-dup: one token swapped in a random earlier original
+            val base = originals(math.floorMod(next(), originals.length).toInt)
+            val toks = base.split(" ")
+            toks(math.floorMod(next(), toks.length).toInt) =
+              vocab(math.floorMod(next(), vocab.length).toInt)
+            toks.mkString(" ")
+          } else { val d = freshDoc(); originals += d; d }
+        (id, text)
+      }
+      val stream = MemoryStream[(Long, String)](spark)
+      var admittedTotal = 0L
+      val q = StreamNearDedup.verdicts(
+          stream.toDF().toDF("doc_id", "text"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamNearDedup.Verdict],
+            _: Long) =>
+          val admitted = StreamNearDedup.decide(b)
+            .filter("admitted").count()
+          admittedTotal += admitted
+          ()
+        }.start()
+      try {
+        for (i <- 1 to nBatches) {
+          stream.addData(batch())
+          q.processAllAvailable()
+          val st = Option(q.lastProgress)
+            .flatMap(p => p.stateOperators.headOption)
+          val rows = st.map(_.numRowsTotal).getOrElse(-1L)
+          val mb = st.map(_.memoryUsedBytes).getOrElse(-1L)
+          if (i <= 5 || i % 10 == 0 || i == nBatches) {
+            val perHead =
+              if (admittedTotal > 0) rows.toDouble / admittedTotal else -1.0
+            println(f"""{"soak":"neardedup_state","batch":$i,"docs":${i.toLong * docsPerBatch},"admitted":$admittedTotal,"state_rows":$rows,"rows_per_admitted":$perHead%.2f,"state_mb":${mb / 1048576.0}%.1f}""")
+          }
+        }
+      } finally q.stop()
+    }
+  }
+}

@@ -574,6 +574,72 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       } finally ch.close()
     }
 
+  private lazy val grib1Fixture: Array[Byte] = {
+    val p = tmpRoot.resolve("fuzz_stack.grib").toString
+    graft.raster.Grib.writeEdition1(p,
+      Seq(Array.tabulate(12 * 8)(i => (i % 37).toDouble),
+        Array.tabulate(12 * 8)(i =>
+          if (i % 5 == 0) Double.MaxValue else (i % 23).toDouble)),
+      12, 8, Double.MaxValue, Seq(0L, 3600000L), 0.0, 0.0, 0.05)
+    Files.readAllBytes(Paths.get(p))
+  }
+
+  property("grib1 read survives corrupt section/bitmap/payload bytes") =
+    Prop.forAll(mutationGen(grib1Fixture.length)) { case (kind, pos, value) =>
+      val bytes = mutate(grib1Fixture, kind, pos, value)
+      val f = Files.createTempDirectory(tmpRoot, "grib1_case")
+        .resolve("s.grib")
+      Files.write(f, bytes)
+      cleanOrFails(s"grib1 k=$kind p=$pos v=$value") {
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val m = graft.raster.Grib.readMeta(ch, f.toString)
+          m.fields.foreach(fd =>
+            graft.raster.Grib.decode(ch, fd, Double.MaxValue))
+        } finally ch.close()
+      }
+    }
+
+  property("grib1 write/read round-trips random integral stacks exactly") =
+    Prop.forAll(gribStackGen, Gen.choose(0, 5)) {
+      case ((w, h, nf, base, range, seed), fh) =>
+        val nd = Double.MaxValue
+        var s = seed
+        def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+        val frames = Seq.fill(nf)(Array.fill(w * h) {
+          val r = next()
+          if (math.floorMod(r, 7) == 0L) nd
+          else (base + math.floorMod(r >>> 8, (range + 1).toLong)).toDouble
+        })
+        // a GRIB1 constant (nbits=0) field cannot carry a bitmap:
+        // densify frames whose live values would pack to zero bits
+        val dense = frames.map { f =>
+          val live = f.filter(_ != nd)
+          if (live.length == f.length) f
+          else if (live.isEmpty) Array.fill(f.length)(base.toDouble)
+          else if (live.distinct.length == 1)
+            f.map(v => if (v == nd) live.head else v)
+          else f
+        }
+        val times = Seq.tabulate(nf)(i => (fh + i) * 3600000L)
+        val dir = Files.createTempDirectory(tmpRoot, "grib1_rt")
+        val p = dir.resolve("rt.grib").toString
+        graft.raster.Grib.writeEdition1(p, dense, w, h, nd, times, 0.0,
+          0.0, 0.05, forecastHours = fh)
+        val ch = java.nio.channels.FileChannel.open(Paths.get(p),
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val m = graft.raster.Grib.readMeta(ch, p)
+          val ok = m.w == w && m.h == h && m.timesMs == times &&
+            m.fields.indices.forall { i =>
+              graft.raster.Grib.decode(ch, m.fields(i), nd)
+                .sameElements(dense(i))
+            }
+          Prop(ok) :| s"w=$w h=$h nf=$nf base=$base range=$range fh=$fh"
+        } finally ch.close()
+    }
+
   private lazy val gribComplexFixture: Array[Byte] = {
     val p = tmpRoot.resolve("fuzz_cx.grib2").toString
     graft.raster.Grib.write(p,

@@ -272,6 +272,38 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("band-selected read materializes only the requested bands") {
+    val dir = Files.createTempDirectory("graft_mbsel").toString
+    val w = 5; val h = 4
+    val bands = Seq.tabulate(4)(b => Array.tabulate(w * h)(i => b * 100.0 + i))
+    RasterFixtures.writeChunkyMultibandTiff(s"$dir/mb.tif", bands, w, h)
+    // selection order is respected, out-of-order included
+    val t = GeoTiff.read(s"$dir/mb.tif", Seq(2, 0))
+    assert(t.bandCount == 2 && t.moreBands.size == 1)
+    assert(t.values.toSeq == bands(2).toSeq)
+    assert(t.moreBands.head.toSeq == bands(0).toSeq)
+    // the in-memory guard is sized by bands DECODED, not the file's
+    // band count: a full read over a lowered limit fails loudly while
+    // the selective read of the same file succeeds
+    val prev = RequestGuards.rasterLimitPixels
+    RequestGuards.rasterLimitPixels = w.toLong * h * 2
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GeoTiff.read(s"$dir/mb.tif")
+      }
+      assert(e.getMessage.contains("in-memory limit"), e.getMessage)
+      assert(GeoTiff.read(s"$dir/mb.tif", Seq(3)).values.toSeq ==
+        bands(3).toSeq)
+    } finally RequestGuards.rasterLimitPixels = prev
+    // bad selections are loud
+    intercept[IllegalArgumentException] {
+      GeoTiff.read(s"$dir/mb.tif", Seq(4))
+    }
+    intercept[IllegalArgumentException] {
+      GeoTiff.read(s"$dir/mb.tif", Seq.empty[Int])
+    }
+  }
+
   test("a foreign chunky multiband TIFF reads bands as time frames") {
     // hand-rolled classic little-endian TIFF, 4x3, 2 bands interleaved
     // per pixel (PlanarConfiguration=1), float64, one strip — written

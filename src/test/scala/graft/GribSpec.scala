@@ -280,16 +280,24 @@ class GribSpec extends SparkSpec {
     assert(fullAfter.values(0).forall(_ == 0.15))
   }
 
-  test("failure modes are loud: edition 1, bad templates, truncation") {
+  test("failure modes are loud: edition 3, bad templates, truncation") {
     val dir = Files.createTempDirectory("graft_gribf").toString
     val good = message((0 until 12).toSeq, None, 6)
-    // edition 1
-    val ed1 = good.clone(); ed1(7) = 1
-    Files.write(Paths.get(s"$dir/ed1.grib2"), ed1)
+    // unknown edition (1 and 2 both read now; 3 does not exist)
+    val ed3 = good.clone(); ed3(7) = 3
+    Files.write(Paths.get(s"$dir/ed3.grib2"), ed3)
     val e1 = intercept[IllegalArgumentException] {
-      GribSource(s"$dir/ed1.grib2").extent
+      GribSource(s"$dir/ed3.grib2").extent
     }
     assert(e1.getMessage.contains("edition"))
+    // an edition-1 flag on GRIB2 bytes reparses the header as the
+    // edition-1 layout and fails loudly on its nonsense lengths
+    val ed1 = good.clone(); ed1(7) = 1
+    Files.write(Paths.get(s"$dir/ed1.grib2"), ed1)
+    val e1b = intercept[IllegalArgumentException] {
+      GribSource(s"$dir/ed1.grib2").extent
+    }
+    assert(e1b.getMessage.contains("GRIB1"), e1b.getMessage)
     // grid template 3.90 (space view, unsupported) — offset: 16 (sec0)
     // + 21 (sec1) + 12 bytes into sec3 -> template number at bytes 49-50
     val sv = good.clone(); sv(50) = 90
@@ -726,6 +734,98 @@ class GribSpec extends SparkSpec {
     expectFail("missing", mutated(165, 1), "missing value management")
     assert(base(190) == 2)
     expectFail("order", mutated(190, 3), "differencing order")
+  }
+
+  test("GRIB edition 1 round-trips values, bitmap and times exactly") {
+    val dir = Files.createTempDirectory("graft_g1").toString
+    val p = s"$dir/stack.grib"
+    val w = 7; val h = 5; val nd = Double.MaxValue
+    val frames = Seq(
+      Array.tabulate(w * h)(i => (i % 13).toDouble),
+      Array.tabulate(w * h)(i => if (i % 4 == 0) nd else (100 + i).toDouble),
+      Array.fill(w * h)(42.0)) // constant frame: nbits = 0
+    val times = Seq(0L, 3600000L, 7200000L)
+    Grib.writeEdition1(p, frames, w, h, nd, times, laSouth = 50.0,
+      loWest = 4.0, degPerCell = 0.05)
+    val ch = java.nio.channels.FileChannel.open(Paths.get(p),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m = Grib.readMeta(ch, p)
+      assert(m.w == w && m.h == h && m.timesMs == times)
+      assert(m.cellSize == 0.05 && m.projection == "EPSG:4326")
+      for (i <- frames.indices)
+        assert(Grib.decode(ch, m.fields(i), nd).toSeq == frames(i).toSeq,
+          s"frame $i")
+      // time semantics ride the PDS: analysis (TRI 1) means valid == ref
+      assert(m.fields.forall(f => f.refTimeMs == f.validTimeMs))
+    } finally ch.close()
+    // forecast variant: valid = ref + P1 hours under TRI 0
+    val p2 = s"$dir/fc.grib"
+    Grib.writeEdition1(p2, frames.take(1), w, h, nd, Seq(7200000L), 50.0,
+      4.0, 0.05, forecastHours = 2)
+    val ch2 = java.nio.channels.FileChannel.open(Paths.get(p2),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m2 = Grib.readMeta(ch2, p2)
+      assert(m2.timesMs == Seq(7200000L))
+      assert(m2.fields.head.refTimeMs == 0L)
+      assert(Grib.decode(ch2, m2.fields.head, nd).toSeq == frames(0).toSeq)
+    } finally ch2.close()
+  }
+
+  test("mixed edition 1 + 2 archives read as one stack") {
+    val dir = Files.createTempDirectory("graft_g1mix").toString
+    val w = 6; val h = 4; val nd = Double.MaxValue
+    val f0 = Array.tabulate(w * h)(i => (i * 3 % 17).toDouble)
+    val f1 = Array.tabulate(w * h)(i => (i * 5 % 19).toDouble)
+    Grib.write(s"$dir/a.grib2", Seq(f0), w, h, nd, Seq(0L), 50.0, 4.0, 0.05)
+    Grib.writeEdition1(s"$dir/b.grib", Seq(f1), w, h, nd, Seq(3600000L),
+      50.0, 4.0, 0.05)
+    val both = Files.readAllBytes(Paths.get(s"$dir/a.grib2")) ++
+      Files.readAllBytes(Paths.get(s"$dir/b.grib"))
+    val p = s"$dir/mixed.grib2"
+    Files.write(Paths.get(p), both)
+    val ch = java.nio.channels.FileChannel.open(Paths.get(p),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m = Grib.readMeta(ch, p)
+      assert(m.timesMs == Seq(0L, 3600000L))
+      assert(Grib.decode(ch, m.fields(0), nd).toSeq == f0.toSeq)
+      assert(Grib.decode(ch, m.fields(1), nd).toSeq == f1.toSeq)
+    } finally ch.close()
+  }
+
+  test("GRIB1 rejects the unsupported by name") {
+    val dir = Files.createTempDirectory("graft_g1f").toString
+    val base0 = s"$dir/base.grib"
+    Grib.writeEdition1(base0, Seq(Array.tabulate(12)(_.toDouble)), 4, 3,
+      Double.MaxValue, Seq(0L), 50.0, 4.0, 0.05)
+    val base = Files.readAllBytes(Paths.get(base0))
+    def expectFail(name: String, at: Int, v: Int, needle: String): Unit = {
+      val c = base.clone(); c(at) = v.toByte
+      Files.write(Paths.get(s"$dir/$name.grib"), c)
+      val e = intercept[IllegalArgumentException] {
+        GribSource(s"$dir/$name.grib").extent
+      }
+      assert(e.getMessage.contains(needle), s"$name: ${e.getMessage}")
+    }
+    // layout with no bitmap: IS 8 | PDS 28 @8 | GDS 32 @36 | BDS @68
+    expectFail("edition", 7, 3, "edition 3")
+    expectFail("nogds", 15, 0x00, "predefined grids")
+    expectFail("tri", 28, 3, "time range indicator")
+    expectFail("pv", 40, 0, "vertical-coordinate")
+    expectFail("drt", 41, 5, "data representation type")
+    val ni = base.clone(); ni(42) = 0xFF.toByte; ni(43) = 0xFF.toByte
+    Files.write(Paths.get(s"$dir/ni.grib"), ni)
+    val eNi = intercept[IllegalArgumentException] {
+      GribSource(s"$dir/ni.grib").extent
+    }
+    assert(eNi.getMessage.contains("quasi-regular"), eNi.getMessage)
+    expectFail("incr", 52, 0x00, "direction increments")
+    expectFail("scan", 63, 0x80, "scanning mode")
+    expectFail("sh", 71, 0x80 | base(71), "spherical-harmonic")
+    expectFail("cx", 71, 0x40 | base(71), "complex")
+    expectFail("extra", 71, 0x10 | base(71), "additional BDS flags")
   }
 
   test("unpackComplex fails loudly on crafted overflow, never garbage") {

@@ -44,4 +44,53 @@ object RasterFixtures {
   val valsRequestNone: RasterRequest = valsRequest.copy(
     start = Some(Instant.parse("2001-01-01T00:00:00Z")),
     stop = Some(Instant.parse("2001-01-01T03:00:00Z")))
+
+  /** Hand-rolled classic little-endian chunky-interleave multiband TIFF
+    * (PlanarConfiguration=1, float64, one strip), written from the TIFF
+    * 6.0 spec independently of the codec's writer — the foreign-file
+    * shape the band-pruned decode must handle. Bbox (100, 203-h) to
+    * (100+w, 203), EPSG:28992, 1 m pixels. */
+  def writeChunkyMultibandTiff(path: String, bands: Seq[Array[Double]],
+      w: Int, h: Int): Unit = {
+    val spp = bands.length
+    require(spp >= 1 && bands.forall(_.length == w * h))
+    val entries = Seq[(Int, Int, Int, Long)](
+      (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 64), (259, 3, 1, 1),
+      (262, 3, 1, 1), (273, 4, 1, 0L /* patched */), (277, 3, 1, spp),
+      (278, 3, 1, h), (279, 4, 1, (w.toLong * h * spp * 8)), (284, 3, 1, 1),
+      (339, 3, 1, 3),
+      (33550, 12, 3, 0L /* patched */), (33922, 12, 6, 0L /* patched */),
+      (34735, 3, 8, 0L /* patched */))
+    val n = entries.length
+    val ifdOff = 8
+    val ifdLen = 2 + n * 12 + 4
+    val psOff = ifdOff + ifdLen
+    val tpOff = psOff + 24
+    val gkOff = tpOff + 48
+    val dataOff = gkOff + 16
+    val total = dataOff + w * h * spp * 8
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    bb.putShort(n.toShort)
+    for ((tag, typ, cnt, v0) <- entries) {
+      val v = tag match {
+        case 273 => dataOff.toLong
+        case 33550 => psOff.toLong
+        case 33922 => tpOff.toLong
+        case 34735 => gkOff.toLong
+        case _ => v0
+      }
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3 && cnt == 1) { bb.putShort(v.toShort); bb.putShort(0) }
+      else bb.putInt(v.toInt)
+    }
+    bb.putInt(0) // next IFD
+    bb.putDouble(1.0).putDouble(1.0).putDouble(0.0) // pixel scale
+    bb.putDouble(0).putDouble(0).putDouble(0)
+      .putDouble(100.0).putDouble(203.0).putDouble(0) // tiepoint
+    Seq(1, 1, 0, 1, 3072, 0, 1, 28992).foreach(k => bb.putShort(k.toShort))
+    for (i <- 0 until w * h; b <- 0 until spp) bb.putDouble(bands(b)(i))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bb.array())
+  }
 }

@@ -101,6 +101,88 @@ class RasterV2Spec extends SparkSpec {
     intercept[Exception] { df.select("values").collect() }
   }
 
+  test("pooled planning over many files stays header-only and exact") {
+    val sp = spark
+    // 40 datasets > the 32-way planning pool: every store's DATA chunk
+    // is corrupted, so any planning-time (or metadata-query-time) data
+    // read fails loudly — count, time listing and pruning must all
+    // succeed off headers alone, in deterministic order
+    val dir = Files.createTempDirectory("graft_dsv2pool").toString
+    for (i <- 0 until 40) {
+      Zarr.write(s"$dir/s$i.zarr", Seq.tabulate(2)(t =>
+        Array.fill(4)(i * 10.0 + t)), 2, 2,
+        Bbox(0, 0, 2, 2), -9.0, "EPSG:28992", Seq(0L, 3600000L),
+        zarrVersion = 3)
+      for (t <- 0 until 2)
+        Files.write(Paths.get(s"$dir/s$i.zarr/band1/c/$t/0/0"),
+          Array.fill[Byte](16)(0x5A))
+    }
+    val df = sp.read.format("graft-raster").load(dir)
+    assert(df.count() == 80)
+    assert(df.rdd.getNumPartitions == 80)
+    val ts = df.select("path", "t").collect()
+    assert(ts.length == 80 && ts.map(_.getLong(1)).count(_ == 0L) == 40)
+    // temporal pushdown prunes at (pooled) planning time
+    assert(df.filter(col("t") === 0L).rdd.getNumPartitions == 40)
+    // data bytes are genuinely corrupt: values fail loudly
+    intercept[Exception] { df.select("values").collect() }
+  }
+
+  test("NetCDF and HDF5 dataset kinds: exact values, pruned partitions") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_dsv2nc").toString
+    val w = 5; val h = 4
+    val frames = Seq.tabulate(3)(t =>
+      Array.tabulate(w * h)(i => t * 100.0 + i))
+    val times = Seq(0L, 3600000L, 7200000L)
+    graft.raster.NetCdf.write(s"$dir/a.nc", frames, w, h, Bbox(0, 0, w, h),
+      -9999.0, "EPSG:28992", times)
+    // an HDF5 container behind the .nc extension: kind is routed on the
+    // magic bytes, not the name (the NetCDF-4 reality)
+    graft.raster.Hdf5Write.write(s"$dir/b.nc", frames.map(_.map(_ + 1000)),
+      w, h, Bbox(0, 0, w, h), -9999.0, "EPSG:28992", times)
+    val df = sp.read.format("graft-raster").load(s"$dir/a.nc", s"$dir/b.nc")
+    assert(df.rdd.getNumPartitions == 6) // one per (file, frame)
+    val rows = df.orderBy("path", "t").collect()
+    assert(rows.length == 6)
+    assert(rows(1).getSeq[Double](4) == frames(1).toSeq)
+    assert(rows(4).getSeq[Double](4) == frames(1).map(_ + 1000).toSeq)
+    // temporal pushdown prunes whole (file, frame) partitions
+    val sliced = df.filter(col("t") === 3600000L)
+    assert(sliced.rdd.getNumPartitions == 2,
+      sliced.queryExecution.executedPlan.toString)
+    assert(sliced.count() == 2)
+    // directory expansion finds both files
+    assert(sp.read.format("graft-raster").load(dir).count() == 6)
+  }
+
+  test("pushed time filter band-prunes the GeoTIFF decode") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_dsv2bp").toString
+    val w = 4; val h = 3
+    val bands = Seq.tabulate(4)(b =>
+      Array.tabulate(w * h)(i => b * 1000.0 + i))
+    RasterFixtures.writeChunkyMultibandTiff(s"$dir/mb.tif", bands, w, h)
+    val df = sp.read.format("graft-raster").load(s"$dir/mb.tif")
+    // lower the materialization guard to 2 bands' worth: a full decode
+    // (4 bands) must fail loudly, a time-sliced read (2 surviving
+    // bands) must succeed — proof the pushed filter reached the decode
+    val prev = graft.raster.RequestGuards.rasterLimitPixels
+    graft.raster.RequestGuards.rasterLimitPixels = w.toLong * h * 2
+    try {
+      val e = intercept[Exception] { df.select("values").collect() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("in-memory limit")), e.getMessage)
+      val sliced = df.filter(col("t") >= 3600000L && col("t") <= 7200000L)
+        .orderBy("t").collect()
+      assert(sliced.length == 2)
+      assert(sliced(0).getSeq[Double](4) == bands(1).toSeq)
+      assert(sliced(1).getSeq[Double](4) == bands(2).toSeq)
+    } finally graft.raster.RequestGuards.rasterLimitPixels = prev
+  }
+
   test("unknown layouts fail loudly by name") {
     val sp = spark
     val dir = Files.createTempDirectory("graft_dsv2f").toString
@@ -116,6 +198,6 @@ class RasterV2Spec extends SparkSpec {
       sp.read.format("graft-raster")
         .load(Files.createTempDirectory("graft_dsv2e").toString).collect()
     }
-    assert(msgs(e2).exists(_.contains("no GRIB files, GeoTIFFs or")))
+    assert(msgs(e2).exists(_.contains("no GRIB files, GeoTIFFs,")))
   }
 }
