@@ -675,6 +675,22 @@ object SparkEntry {
           .unionAll(cells(src.frame(sliced), g)
             .withColumn("t_idx", col("t_idx") + lit(100L)))
       }),
+      "r62_grib_png" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the whole stack through GRIB2 PNG packing (templates
+        // 5.41/7.41 — NCEP MRMS's container): section 7 is a PNG
+        // stream whose samples are the packed X values; exact over
+        // integer-quantized values, bitmap rows for nodata
+        val a = eventsRaster(dir, g, "cast(floor(value) as double)")
+        val out = java.nio.file.Files.createTempDirectory("verify_grib41").toString
+        val p = GribSink(a, s"$out/stack.grib2", degPerCell = 0.05,
+          template = 41).write(fullReq(g))
+        val src = RasterFileSource(p)
+        val back = RasterRequest(src.extent.get, "EPSG:4326", g.w, g.h,
+          Some(java.time.Instant.ofEpochMilli(0)),
+          Some(java.time.Instant.ofEpochMilli(Hour * (g.frames - 1))))
+        cells(src.frame(back), g)
+      }),
       "r59_dsv2_read" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // the DataSource V2 connector (spark.read.format("graft-raster"))
@@ -975,6 +991,8 @@ object SparkEntry {
     "r57_grib_complex" -> s"""${cellsSql("FLOOR(value)")}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r59_dsv2_read" -> s"""${cellsSql("FLOOR(value)")}
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r62_grib_png" -> s"""${cellsSql("FLOOR(value)")}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     "r60_grib1_roundtrip" -> s"""${cellsSql("FLOOR(value)")}
       |SELECT t_idx, cell_id, v FROM cells

@@ -359,16 +359,26 @@ object Grib {
     b.position(5)
     val numPoints = u32(b)
     val template = u16(b)
-    require(template == 0 || template == 2 || template == 3,
+    require(template == 0 || template == 2 || template == 3 ||
+        template == 41,
       s"$path: data representation template 5.$template (supported: 5.0 " +
-        "simple, 5.2 complex, 5.3 complex+spatial differencing; 5.40 " +
-        "JPEG2000 needs a codec this reader does not carry)")
+        "simple, 5.2 complex, 5.3 complex+spatial differencing, 5.41 " +
+        "PNG; 5.40 JPEG2000 needs a codec this reader does not carry)")
     // exact widening: every IEEE float32 is a double
     val r = b.getFloat().toDouble
     val e = s16(b); val d = s16(b)
     val nbits = u8(b)
-    require(nbits <= 31, s"$path: $nbits-bit packing (max 31)")
-    if (template == 0) Packing(numPoints, r, e, d, nbits)
+    if (template == 41)
+      // octet 20 carries the PNG bit depth; the image itself is
+      // authoritative at decode (octet 21, original field type, is
+      // decode-identical as in 5.2)
+      require(nbits == 0 || nbits == 1 || nbits == 2 || nbits == 4 ||
+          nbits == 8 || nbits == 16 || nbits == 24,
+        s"$path: 5.41 PNG depth $nbits (supported: 1/2/4/8/16 grayscale, " +
+          "24 RGB; 32-bit RGBA not carried)")
+    else require(nbits <= 31, s"$path: $nbits-bit packing (max 31)")
+    if (template == 0 || template == 41)
+      Packing(numPoints, r, e, d, nbits, template)
     else {
       u8(b) // octet 21: type of original field values (decode-identical)
       val splitting = u8(b)
@@ -655,6 +665,48 @@ object Grib {
     out
   }
 
+  /** Template 5.41 payload: section 7 IS a PNG stream whose samples are
+    * the packed X values, row-major. NCEP practice (g2clib pngpack):
+    * the image is Ni x Nj without a bitmap, numPresent x 1 with one —
+    * this decoder only requires width*height == numPresent, covering
+    * both. Grayscale depths 1/2/4/8/16 carry X directly; 24-bit RGB
+    * carries X = (R<<16)|(G<<8)|B (the file's big-endian byte order).
+    * The JDK's ImageIO PNG reader does the inflate + unfilter; it
+    * rejects corrupt streams with IOException, surfaced loudly here. */
+  private def unpackPng(bytes: Array[Byte], nvals: Int): Array[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"grib: 5.41 data section is not a decodable PNG: ${e.getMessage}")
+      }
+    require(img != null, "grib: 5.41 data section is not a PNG stream")
+    val w = img.getWidth; val h = img.getHeight
+    require(w.toLong * h == nvals,
+      s"grib: 5.41 PNG is ${w}x$h = ${w.toLong * h} samples, section 5 " +
+        s"declares $nvals points")
+    val raster = img.getRaster
+    val nb = raster.getNumBands
+    require(nb == 1 || nb == 3,
+      s"grib: 5.41 PNG with $nb bands (1 grayscale or 3 RGB)")
+    val out = new Array[Long](nvals)
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(i) =
+          if (nb == 1) raster.getSample(x, y, 0).toLong & 0xFFFFL
+          else ((raster.getSample(x, y, 0).toLong & 0xFFL) << 16) |
+            ((raster.getSample(x, y, 1).toLong & 0xFFL) << 8) |
+            (raster.getSample(x, y, 2).toLong & 0xFFL)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** MSB-first bit cursor with the octet-boundary alignment the
     * complex-packing vectors require (regulation 92.6.5: each of the
     * reference/width/length vectors is zero-padded to a whole octet). */
@@ -776,7 +828,8 @@ object Grib {
     val scale = math.pow(2, f.packing.e) / math.pow(10, f.packing.d)
     val base = f.packing.r / math.pow(10, f.packing.d)
     val vals = new Array[Double](n)
-    if (f.packing.template == 0 && f.packing.nbits == 0) {
+    if ((f.packing.template == 0 || f.packing.template == 41) &&
+        f.packing.nbits == 0) {
       var i = 0
       while (i < n) { vals(i) = if (present(i)) base else noData; i += 1 }
     } else {
@@ -784,6 +837,8 @@ object Grib {
         if (f.packing.template == 0)
           unpackBits(readAt(ch, f.dataOffset, f.dataLen).array(),
             numPresent, f.packing.nbits)
+        else if (f.packing.template == 41)
+          unpackPng(readAt(ch, f.dataOffset, f.dataLen).array(), numPresent)
         else
           unpackComplex(readAt(ch, f.dataOffset, f.dataLen).array(),
             f.packing, numPresent)
@@ -864,8 +919,10 @@ object Grib {
       number: Int = 8, template: Int = 0, sdOrder: Int = 2): Unit = {
     require(frames.nonEmpty && frames.length == timesMs.length,
       "grib: frames and times must align")
-    require(template == 0 || template == 2 || template == 3,
-      s"grib: write template 5.$template (0 simple, 2 complex, 3 complex+sd)")
+    require(template == 0 || template == 2 || template == 3 ||
+        template == 41,
+      s"grib: write template 5.$template (0 simple, 2 complex, " +
+        "3 complex+sd, 41 PNG)")
     require(sdOrder == 1 || sdOrder == 2,
       s"grib: spatial differencing order $sdOrder (1 or 2)")
     require(degPerCell > 0 && degPerCell * 1e6 == math.rint(degPerCell * 1e6),
@@ -917,6 +974,42 @@ object Grib {
     }
     def align(): Unit =
       if (nb > 0) { b.u8(((acc << (8 - nb)) & 0xFF).toInt); acc = 0L; nb = 0 }
+  }
+
+  /** Template 5.41 section 7 payload: the X values as a PNG image of
+    * the stated depth (8/16 grayscale, 24 RGB), row-major — the exact
+    * shapes [[unpackPng]] reads back. ImageIO's PNG writer emits the
+    * deflate stream; sample depths map 1:1 onto the BufferedImage
+    * types, so the round trip is bit-exact. */
+  private def encodePngX(xs: Array[Long], pw: Int, ph: Int,
+      depth: Int): Array[Byte] = {
+    require(pw.toLong * ph == xs.length,
+      s"grib: PNG shape ${pw}x$ph for ${xs.length} values")
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(pw, ph, depth match {
+      case 8 => BufferedImage.TYPE_BYTE_GRAY
+      case 16 => BufferedImage.TYPE_USHORT_GRAY
+      case 24 => BufferedImage.TYPE_INT_RGB
+      case d => throw new IllegalArgumentException(s"grib: PNG depth $d")
+    })
+    val raster = img.getRaster
+    var y = 0; var i = 0
+    while (y < ph) {
+      var x = 0
+      while (x < pw) {
+        val v = xs(i)
+        if (depth == 24) {
+          raster.setSample(x, y, 0, ((v >>> 16) & 0xFF).toInt)
+          raster.setSample(x, y, 1, ((v >>> 8) & 0xFF).toInt)
+          raster.setSample(x, y, 2, (v & 0xFF).toInt)
+        } else raster.setSample(x, y, 0, v.toInt)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Complex-packing parameters + section 7 payload for one frame's
@@ -1174,18 +1267,41 @@ object Grib {
     val t = Instant.ofEpochMilli(tMs).atOffset(ZoneOffset.UTC)
     require(tMs % 1000 == 0, "grib: sub-second reference times unsupported")
 
-    // complex packing builds its payload up front (group geometry
-    // depends on the data); simple packing streams below
+    // complex and PNG packing build their payloads up front (group
+    // geometry / the PNG stream depend on the data); simple packing
+    // streams below
     val complex: Option[(Cx, Int, Array[Byte])] =
-      if (template == 0) None
-      else Some(packComplex(live.map(v => (v - rMin).toLong), template,
-        sdOrder))
+      if (template == 2 || template == 3)
+        Some(packComplex(live.map(v => (v - rMin).toLong), template,
+          sdOrder))
+      else None
+    // PNG depth: the narrowest of the format's grayscale/RGB shapes
+    // that holds the range; constant fields ride depth 0 + empty
+    // section 7, the 5.0 convention
+    val pngDepth =
+      if (template != 41 || range == 0L) 0
+      else if (range < (1L << 8)) 8
+      else if (range < (1L << 16)) 16
+      else if (range < (1L << 24)) 24
+      else throw new IllegalArgumentException(
+        s"grib: value range $range overflows 5.41's 24-bit RGB — " +
+          "use template 5.0")
+    val png: Option[Array[Byte]] =
+      if (template != 41 || range == 0L) None
+      else {
+        // NCEP practice (g2clib pngpack): grid-shaped image without a
+        // bitmap, a 1-row strip of the present points with one
+        val (pw, ph) = if (hasBitmap) (live.length, 1) else (w, h)
+        Some(encodePngX(live.map(v => (v - rMin).toLong), pw, ph, pngDepth))
+      }
     val sec5Len = template match {
-      case 0 => 21L; case 2 => 47L; case _ => 49L
+      case 0 | 41 => 21L; case 2 => 47L; case _ => 49L
     }
-    val dataBytes = complex match {
-      case Some((_, _, payload)) => payload.length.toLong
-      case None => (live.length.toLong * nbits + 7) / 8
+    val dataBytes = (complex, png) match {
+      case (Some((_, _, payload)), _) => payload.length.toLong
+      case (_, Some(payload)) => payload.length.toLong
+      case _ if template == 41 => 0L // constant field: empty section 7
+      case _ => (live.length.toLong * nbits + 7) / 8
     }
     val bitmapBytes = if (hasBitmap) (n + 7) / 8 else 0
     val msgLen = 16L + 21 + 72 + 34 + sec5Len + (6 + bitmapBytes) +
@@ -1241,7 +1357,7 @@ object Grib {
     b.u16(0); b.u16(0) // E, D
     complex match {
       case None =>
-        b.u8(nbits)
+        b.u8(if (template == 41) pngDepth else nbits)
         b.u8(0)        // original type: float
       case Some((cx, refBits, _)) =>
         b.u8(refBits)
@@ -1269,9 +1385,11 @@ object Grib {
     } else b.u8(255)
     // section 7
     b.u32(5L + dataBytes); b.u8(7)
-    complex match {
-      case Some((_, _, payload)) => b.bytes(payload)
-      case None =>
+    (complex, png) match {
+      case (Some((_, _, payload)), _) => b.bytes(payload)
+      case (_, Some(payload)) => b.bytes(payload)
+      case _ if template == 41 => () // constant field: empty section 7
+      case _ =>
         var acc = 0L; var nb = 0
         vals.foreach { v =>
           if (!isND(v)) {

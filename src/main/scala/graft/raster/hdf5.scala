@@ -449,23 +449,73 @@ object Hdf5 {
   case class Contiguous(addr: Long, size: Long) extends Layout
   case class Chunked(btree: Long, chunkDims: Seq[Int]) extends Layout
   case class Compact(data: Array[Byte]) extends Layout
+  /** Layout v4 (HDF5 1.10+) single-chunk index: the whole dataset is
+    * one chunk at `addr`; `nbytes` >= 0 iff the filtered variant
+    * (flag 0x02) carried an explicit size + mask. */
+  case class ChunkedSingle(addr: Long, chunkDims: Seq[Int], nbytes: Long,
+      filterMask: Int) extends Layout
+  /** Layout v4 implicit index: unfiltered chunks laid out back-to-back
+    * at `addr` in row-major chunk-grid order (early allocation). */
+  case class ChunkedImplicit(addr: Long, chunkDims: Seq[Int]) extends Layout
+  /** Layout v4 Fixed Array index (the HDF5 1.10 default for datasets
+    * with fixed maximum dimensions): `addr` points at a FAHD header. */
+  case class ChunkedFArray(addr: Long, chunkDims: Seq[Int],
+      pageBits: Int) extends Layout
 
   private def parseLayout(b0: ByteBuffer): Layout = {
     val b = b0.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     val ver = b.get() & 0xFF
-    require(ver == 3, s"hdf5: data layout version $ver (v3 only)")
+    require(ver == 3 || ver == 4, s"hdf5: data layout version $ver (v3/v4)")
     (b.get() & 0xFF) match {
       case 0 =>
         val sz = b.getShort() & 0xFFFF
         val d = new Array[Byte](sz); b.get(d)
         Compact(d)
       case 1 => Contiguous(b.getLong, b.getLong)
-      case 2 =>
+      case 2 if ver == 3 =>
         val dim = b.get() & 0xFF
         val btree = b.getLong
         // dims include the trailing element-size dimension
         val ds = (0 until dim).map(_ => b.getInt)
         Chunked(btree, ds.init)
+      case 2 =>
+        // version 4 chunked (HDF5 1.10+): variable-width dims + one of
+        // five chunk index types replacing the v1 B-tree
+        val flags = b.get() & 0xFF
+        val dim = b.get() & 0xFF
+        val encLen = b.get() & 0xFF
+        require(encLen >= 1 && encLen <= 8,
+          s"hdf5: layout v4 dim field width $encLen")
+        require(dim >= 2 && dim <= 33, s"hdf5: layout v4 dimensionality $dim")
+        val ds = (0 until dim).map { _ =>
+          var v = 0L
+          for (k <- 0 until encLen)
+            v |= (b.get() & 0xFFL) << (8 * k) // little-endian, variable width
+          require(v >= 1 && v <= Int.MaxValue, s"hdf5: chunk dim $v")
+          v.toInt
+        }
+        // dims include the trailing element-size dimension (as in v3)
+        val cd = ds.init
+        (b.get() & 0xFF) match {
+          case 1 =>
+            val (sz, mask) =
+              if ((flags & 0x02) != 0) (b.getLong, b.getInt) else (-1L, 0)
+            ChunkedSingle(b.getLong, cd, sz, mask)
+          case 2 => ChunkedImplicit(b.getLong, cd)
+          case 3 =>
+            val pageBits = b.get() & 0xFF
+            require(pageBits >= 1 && pageBits <= 62,
+              s"hdf5: fixed-array page bits $pageBits")
+            ChunkedFArray(b.getLong, cd, pageBits)
+          case 4 => throw new IllegalArgumentException(
+            "hdf5: extensible-array chunk index (extensible datasets) " +
+              "not supported")
+          case 5 => throw new IllegalArgumentException(
+            "hdf5: v2 B-tree chunk index (unlimited dimensions) " +
+              "not supported")
+          case t => throw new IllegalArgumentException(
+            s"hdf5: chunk index type $t")
+        }
       case c => throw new IllegalArgumentException(s"hdf5: layout class $c")
     }
   }
@@ -652,8 +702,8 @@ object Hdf5 {
         if (addr == Undef) // never written: fill
           return Array.fill(elems)(fillOf(d))
         readAt(ch, addr, size.toInt).array()
-      case Chunked(btree, chunkDims) =>
-        return readChunked(ch, d, btree, chunkDims)
+      case l if chunkDimsOf(l).isDefined =>
+        return readChunked(ch, d, l)
     }
     require(raw.length >= elems * d.t.size,
       s"hdf5: dataset ${d.name} has ${raw.length} bytes, needs ${elems * d.t.size}")
@@ -669,16 +719,175 @@ object Hdf5 {
     Array.fill(n)(decodeNum(bb, t))
   }
 
-  private def readChunked(ch: FileChannel, d: Dataset, btree: Long,
-      chunkDims: Seq[Int],
+  /** Chunk dims of any chunked layout (None for non-chunked). */
+  private def chunkDimsOf(l: Layout): Option[Seq[Int]] = l match {
+    case Chunked(_, cd) => Some(cd)
+    case ChunkedSingle(_, cd, _, _) => Some(cd)
+    case ChunkedImplicit(_, cd) => Some(cd)
+    case ChunkedFArray(_, cd, _) => Some(cd)
+    case _ => None
+  }
+
+  /** Row-major chunk-grid geometry: per-axis chunk counts and the
+    * dataset offsets of the linear chunk index `i` (the order every
+    * v4 index stores its entries in — H5VM_chunk_index). */
+  private def chunkGrid(dims: Seq[Long], cd: Seq[Int]): Array[Long] =
+    dims.zip(cd).map { case (n, c) => (n + c - 1) / c }.toArray
+
+  private def chunkOffsets(grid: Array[Long], cd: Seq[Int],
+      idx: Long): Seq[Long] = {
+    val offs = new Array[Long](grid.length)
+    var r = idx
+    var k = grid.length - 1
+    while (k >= 0) { offs(k) = (r % grid(k)) * cd(k); r /= grid(k); k -= 1 }
+    require(r == 0, s"hdf5: chunk index $idx outside the grid")
+    offs.toSeq
+  }
+
+  /** Every allocated chunk of a chunked layout as
+    * (dataset offsets, file address, stored bytes, filter mask) —
+    * index-metadata reads only, no chunk payload is touched. */
+  private def enumerateChunks(ch: FileChannel, d: Dataset,
+      layout: Layout): Seq[(Seq[Long], Long, Long, Int)] = layout match {
+    case Chunked(btree, _) =>
+      val chunks = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[Long], Long, Long, Int)]
+      walkChunkBtree(ch, btree, d.rank, chunks)
+      chunks.toSeq
+    case ChunkedSingle(addr, cd, sz, mask) =>
+      if (addr == Undef) Seq.empty
+      else {
+        val grid = chunkGrid(d.dims, cd)
+        require(grid.forall(_ == 1L),
+          s"hdf5: single-chunk index but the grid is ${grid.mkString("x")}")
+        val nbytes = if (sz >= 0) sz else cd.map(_.toLong).product * d.t.size
+        Seq((Seq.fill(d.rank)(0L), addr, nbytes, mask))
+      }
+    case ChunkedImplicit(addr, cd) =>
+      require(d.filters.isEmpty,
+        "hdf5: implicit chunk index cannot carry filtered chunks")
+      if (addr == Undef) Seq.empty
+      else {
+        val grid = chunkGrid(d.dims, cd)
+        val n = grid.product
+        require(n <= (1L << 24), s"hdf5: $n implicit chunks")
+        val nbytes = cd.map(_.toLong).product * d.t.size
+        (0L until n).map(i =>
+          (chunkOffsets(grid, cd, i), addr + i * nbytes, nbytes, 0))
+      }
+    case ChunkedFArray(addr, cd, _) => readFixedArray(ch, d, addr, cd)
+    case l => throw new IllegalArgumentException(s"hdf5: not chunked: $l")
+  }
+
+  /** Fixed Array chunk index (HDF5 1.10+, fixed maximum dimensions):
+    * FAHD header -> FADB data block (paged above 2^pageBits entries),
+    * elements in row-major chunk-grid order. Client 0 elements are bare
+    * chunk addresses; client 1 (filtered) adds the stored size and
+    * filter mask. Checksums ride at the documented positions and are
+    * not verified (consistent with the superblock handling). */
+  private def readFixedArray(ch: FileChannel, d: Dataset, addr: Long,
+      cd: Seq[Int]): Seq[(Seq[Long], Long, Long, Int)] = {
+    if (addr == Undef) return Seq.empty
+    // FAHD: sig(4) version(1) client(1) entrySize(1) pageBits(1)
+    //       maxEntries(8) dblkAddr(8) checksum(4)
+    val hb = readAt(ch, addr, 28)
+    val sig = new Array[Byte](4); hb.get(sig)
+    require(sig.sameElements("FAHD".getBytes("US-ASCII")),
+      s"hdf5: fixed-array header at $addr has no FAHD signature")
+    val ver = hb.get() & 0xFF
+    require(ver == 0, s"hdf5: fixed-array header version $ver")
+    val client = hb.get() & 0xFF
+    require(client == 0 || client == 1,
+      s"hdf5: fixed-array client $client (0 chunks, 1 filtered chunks)")
+    require((client == 1) == d.filters.nonEmpty,
+      s"hdf5: fixed-array client $client disagrees with the dataset's " +
+        "filter pipeline")
+    val entrySize = hb.get() & 0xFF
+    val pageBits = hb.get() & 0xFF
+    require(pageBits >= 1 && pageBits <= 62,
+      s"hdf5: fixed-array page bits $pageBits")
+    val nelmts = hb.getLong
+    val dblkAddr = hb.getLong
+    val grid = chunkGrid(d.dims, cd)
+    require(nelmts == grid.product,
+      s"hdf5: fixed array holds $nelmts entries, the chunk grid " +
+        s"${grid.mkString("x")} needs ${grid.product}")
+    if (dblkAddr == Undef) return Seq.empty
+    require(nelmts <= (1L << 24), s"hdf5: $nelmts fixed-array entries")
+    val sizeLen = entrySize - 12
+    if (client == 0) require(entrySize == 8,
+      s"hdf5: fixed-array entry size $entrySize for bare addresses")
+    else require(sizeLen >= 1 && sizeLen <= 8,
+      s"hdf5: fixed-array entry size $entrySize for filtered chunks")
+    val unfilteredBytes = cd.map(_.toLong).product * d.t.size
+
+    def parse(eb: ByteBuffer, fromIdx: Long, count: Int,
+        out: scala.collection.mutable.ArrayBuffer[(Seq[Long], Long, Long, Int)])
+        : Unit = {
+      var j = 0
+      while (j < count) {
+        val a = eb.getLong
+        val (nbytes, mask) =
+          if (client == 0) (unfilteredBytes, 0)
+          else {
+            var v = 0L
+            for (k <- 0 until sizeLen)
+              v |= (eb.get() & 0xFFL) << (8 * k)
+            (v, eb.getInt)
+          }
+        if (a != Undef)
+          out += ((chunkOffsets(grid, cd, fromIdx + j), a, nbytes, mask))
+        j += 1
+      }
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[Long], Long, Long, Int)]
+    val pageElems = 1L << math.min(pageBits, 62)
+    // FADB prefix: sig(4) version(1) client(1) headerAddr(8)
+    val pb = readAt(ch, dblkAddr, 14)
+    val dsig = new Array[Byte](4); pb.get(dsig)
+    require(dsig.sameElements("FADB".getBytes("US-ASCII")),
+      s"hdf5: fixed-array data block at $dblkAddr has no FADB signature")
+    require((pb.get() & 0xFF) == 0, "hdf5: fixed-array data block version")
+    require((pb.get() & 0xFF) == client,
+      "hdf5: data block client disagrees with the header")
+    require(pb.getLong == addr,
+      "hdf5: data block does not point back at its header")
+    if (nelmts <= pageElems) {
+      val eb = readAt(ch, dblkAddr + 14, (nelmts * entrySize).toInt)
+      parse(eb, 0L, nelmts.toInt, out)
+    } else {
+      // paged: bitmap of initialized pages + checksum, then pages of
+      // pageElems entries (last truncated), each with its own checksum
+      val npages = (nelmts + pageElems - 1) / pageElems
+      val bitmapBytes = ((npages + 7) / 8).toInt
+      val bm = readAt(ch, dblkAddr + 14, bitmapBytes).array()
+      var pageAt = dblkAddr + 14 + bitmapBytes + 4
+      var p = 0L
+      while (p < npages) {
+        val count = math.min(pageElems, nelmts - p * pageElems).toInt
+        val init = (bm((p / 8).toInt) >> (p % 8).toInt & 1) != 0
+        if (init) {
+          val eb = readAt(ch, pageAt, count * entrySize)
+          parse(eb, p * pageElems, count, out)
+        }
+        pageAt += count.toLong * entrySize + 4
+        p += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def readChunked(ch: FileChannel, d: Dataset, layout: Layout,
       keep: Seq[Long] => Boolean = _ => true): Array[Double] = {
+    val chunkDims = chunkDimsOf(layout).getOrElse(
+      throw new IllegalArgumentException(s"hdf5: not a chunked layout"))
     require(chunkDims.length == d.rank,
       s"hdf5: chunk rank ${chunkDims.length} != dataset rank ${d.rank}")
     val n = d.dims.product.toInt
     val out = Array.fill(n)(fillOf(d))
-    val chunks = scala.collection.mutable.ArrayBuffer
-      .empty[(Seq[Long], Long, Long, Int)]
-    walkChunkBtree(ch, btree, d.rank, chunks)
+    val chunks = enumerateChunks(ch, d, layout)
     val chunkElems = chunkDims.map(_.toLong).product
     require(chunkElems <= (1L << 27), "hdf5: chunk too large")
     val expect = (chunkElems * d.t.size).toInt
@@ -861,9 +1070,9 @@ object Hdf5 {
     val d = m.dataVar
     val sel = frames.toSet
     val raw: Array[Double] = d.layout match {
-      case Chunked(btree, chunkDims) if d.rank == 3 =>
-        val cT = chunkDims.head
-        readChunked(ch, d, btree, chunkDims,
+      case l if chunkDimsOf(l).isDefined && d.rank == 3 =>
+        val cT = chunkDimsOf(l).get.head
+        readChunked(ch, d, l,
           offs => (offs.head until offs.head + cT).exists(t => sel(t.toInt)))
       case _ => readData(ch, d)
     }
@@ -1060,10 +1269,21 @@ object Hdf5Write {
     }
 
   /** Write a (time,y,x) stack as one NetCDF-4-shaped HDF5 file. */
+  /** `chunkIndex` selects the data variable's chunk index encoding:
+    * "btree1" (v3 layout + v1 chunk B-tree, the pre-1.10 shape) or
+    * "farray" (v4 layout + Fixed Array, what HDF5 1.10+ emits for
+    * fixed-size datasets); `faPageBits` is the Fixed Array page size
+    * exponent (1.10's default 10; small values force the paged data
+    * block shape). */
   def write(path: String, bands: Seq[Array[Double]], w: Int, h: Int,
       bbox: Bbox, noData: Double, projection: String, timesMs: Seq[Long],
       dtypeName: String = "float64", varName: String = "band1",
-      chunkRows: Int = 256): Unit = {
+      chunkRows: Int = 256, chunkIndex: String = "btree1",
+      faPageBits: Int = 10): Unit = {
+    require(chunkIndex == "btree1" || chunkIndex == "farray",
+      s"hdf5: chunk index '$chunkIndex' (btree1 or farray)")
+    require(faPageBits >= 1 && faPageBits <= 20,
+      s"hdf5: faPageBits $faPageBits")
     require(bands.nonEmpty && bands.forall(_.length == w * h),
       "band size must equal w*h")
     require(timesMs.length == bands.length, "one time per frame required")
@@ -1112,15 +1332,52 @@ object Hdf5Write {
       (Seq(t.toLong, cyI.toLong * cR, 0L), b.bytes(z), z.length.toLong)
     }
     b.pad(8)
-    val btreeAddr = b.pos
-    b.u32(0x45455254); b.u8(1); b.u8(0); b.u16(chunkEntries.length)
-    b.u64(Undef); b.u64(Undef)
-    chunkEntries.foreach { case (offs, addr, nbytes) =>
-      b.u32(nbytes.toInt); b.u32(0)
-      offs.foreach(b.u64); b.u64(0)
-      b.u64(addr)
+    val idxAddr = b.pos
+    val faSizeLen = {
+      val chunkBytes = cR.toLong * w * dt.size
+      // H5Dfarray.c: 1 + (floor(log2(chunk size)) + 8) / 8, capped at 8
+      math.min(8, 1 + ((63 - java.lang.Long.numberOfLeadingZeros(
+        chunkBytes)) + 8) / 8)
     }
-    b.u32(0); b.u32(0); (0 to 3).foreach(_ => b.u64(0))
+    if (chunkIndex == "btree1") {
+      b.u32(0x45455254); b.u8(1); b.u8(0); b.u16(chunkEntries.length)
+      b.u64(Undef); b.u64(Undef)
+      chunkEntries.foreach { case (offs, addr, nbytes) =>
+        b.u32(nbytes.toInt); b.u32(0)
+        offs.foreach(b.u64); b.u64(0)
+        b.u64(addr)
+      }
+      b.u32(0); b.u32(0); (0 to 3).foreach(_ => b.u64(0))
+    } else {
+      // Fixed Array index, client 1 (filtered chunks): FAHD + FADB in
+      // the 1.10 on-disk shape; checksums ride as zeros (unverified by
+      // the reader, as elsewhere)
+      val nelmts = chunkEntries.length
+      val entrySize = 8 + faSizeLen + 4
+      b.bytes("FAHD".getBytes("US-ASCII"))
+      b.u8(0); b.u8(1); b.u8(entrySize); b.u8(faPageBits)
+      b.u64(nelmts.toLong); b.u64(idxAddr + 28); b.u32(0)
+      b.bytes("FADB".getBytes("US-ASCII"))
+      b.u8(0); b.u8(1); b.u64(idxAddr)
+      def element(addr: Long, nb: Long): Unit = {
+        b.u64(addr)
+        for (k <- 0 until faSizeLen) b.u8(((nb >> (8 * k)) & 0xFF).toInt)
+        b.u32(0) // filter mask
+      }
+      val pageElems = 1 << faPageBits
+      if (nelmts <= pageElems) {
+        chunkEntries.foreach { case (_, addr, nbytes) => element(addr, nbytes) }
+        b.u32(0) // data block checksum
+      } else {
+        val npages = (nelmts + pageElems - 1) / pageElems
+        for (_ <- 0 until (npages + 7) / 8) b.u8(0xFF) // all pages live
+        b.u32(0) // data block checksum
+        chunkEntries.grouped(pageElems).foreach { page =>
+          page.foreach { case (_, addr, nbytes) => element(addr, nbytes) }
+          b.u32(0) // per-page checksum
+        }
+      }
+    }
 
     // object headers
     val xOH = objectHeader(b, Seq(
@@ -1162,11 +1419,20 @@ object Hdf5Write {
         l.putShort(1); l.putShort(0); l.putShort(0); l.putShort(1)
         l.putInt(6); l.putInt(0)
       }),
-      msg(0x0008, le(11 + 4 * 4) { l =>
-        l.put(3.toByte); l.put(2.toByte); l.put(4.toByte)
-        l.putLong(btreeAddr)
-        l.putInt(1); l.putInt(cR); l.putInt(w); l.putInt(dt.size)
-      }),
+      if (chunkIndex == "btree1")
+        msg(0x0008, le(11 + 4 * 4) { l =>
+          l.put(3.toByte); l.put(2.toByte); l.put(4.toByte)
+          l.putLong(idxAddr)
+          l.putInt(1); l.putInt(cR); l.putInt(w); l.putInt(dt.size)
+        })
+      else
+        msg(0x0008, le(5 + 4 * 4 + 2 + 8) { l => // layout v4 + fixed array
+          l.put(4.toByte); l.put(2.toByte); l.put(0.toByte)
+          l.put(4.toByte); l.put(4.toByte) // dimensionality, dim width
+          l.putInt(1); l.putInt(cR); l.putInt(w); l.putInt(dt.size)
+          l.put(3.toByte); l.put(faPageBits.toByte)
+          l.putLong(idxAddr)
+        }),
       msg(0x000C, dblAttr("_FillValue", noData)),
       msg(0x000C, strAttr("grid_mapping", "crs"))))
 

@@ -15,9 +15,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Shape: signatures/banding identical to `Dedup.lshCandidatePairs`
   * (32 affine min-hashes over 3-shingles, xxhash64 band buckets), then
   * ONE `flatMapGroupsWithState` keyed by (band, bucket) — state is a
-  * single claimed flag per touched bucket, O(bands × admitted-chain
-  * heads) entries in the state store, which is what lets this run
-  * indefinitely on an ingest stream. The per-document AND-reduction is
+  * single claimed flag per DISTINCT BUCKET EVER PROBED. That is
+  * O(bands × chain heads) only while near-dups re-touch their head's
+  * buckets; measured on a 40%-near-dup stream (SoakR12) each rejected
+  * variant perturbs ~1.5 fresh buckets, so unbounded-retention state
+  * grows linearly with stream length. For indefinite ingest pass
+  * `ttlMs`: buckets not re-probed within the window expire (the
+  * `dropDuplicatesWithinWatermark` trade — admission dedups against
+  * the trailing window, state is bounded by the window's distinct
+  * buckets). The per-document AND-reduction is
   * STATELESS (every probe of a document lives in its one micro-batch):
   * `mapGroups` on a static frame, `decide(batch)` inside
   * `foreachBatch` on a stream — a second stateful stage after
@@ -42,15 +48,37 @@ object StreamNearDedup {
     * `Dedup.exactStreaming` first). */
   val MaxBucketDocs: Int = 1 << 22
 
-  private def resolve(key: (Int, Long), it: Iterator[(Long, Int, Long)],
-      state: GroupState[Boolean]): Iterator[Verdict] = {
+  /** State per bucket = last-touch processing time. The timeout
+    * callback only fires for groups with NO data in a batch, so a
+    * bucket probed again after its TTL lapsed would still see its
+    * stale claim — the timestamp check below is what makes expiry
+    * exact on the data path; the timer merely garbage-collects
+    * never-again-probed buckets. */
+  private def resolve(ttlMs: Long)(key: (Int, Long),
+      it: Iterator[(Long, Int, Long)],
+      state: GroupState[Long]): Iterator[Verdict] = {
+    if (state.hasTimedOut) {
+      // bucket idle past the TTL: forget the claim (trailing-window
+      // semantics) — no probes ride a timed-out invocation
+      state.remove()
+      return Iterator.empty
+    }
     val docs = it.map(_._1).take(MaxBucketDocs + 1).toArray.sorted
     require(docs.length <= MaxBucketDocs,
       s"StreamNearDedup: band bucket ${key._1}/${key._2} holds more than " +
         s"$MaxBucketDocs documents in one micro-batch — run exact dedup " +
         "ahead of the near-dup admission")
-    val claimed = state.getOption.getOrElse(false)
-    state.update(true)
+    val claimed =
+      if (ttlMs == 0) state.exists
+      else {
+        val now = state.getCurrentProcessingTimeMs()
+        state.getOption.exists(last => now - last <= ttlMs)
+      }
+    if (ttlMs == 0) state.update(0L)
+    else {
+      state.update(state.getCurrentProcessingTimeMs())
+      state.setTimeoutDuration(ttlMs) // re-arm on every touch
+    }
     docs.iterator.zipWithIndex.map { case (d, i) =>
       Verdict(d, key._1, claimed || i > 0)
     }
@@ -76,14 +104,20 @@ object StreamNearDedup {
   }
 
   /** The stateful stage alone (streaming-legal): per-probe collision
-    * verdicts against everything claimed so far. */
+    * verdicts against everything claimed so far. `ttlMs` > 0 bounds
+    * the state store: a bucket not re-probed for that long is
+    * forgotten (processing-time timeout), so admission dedups against
+    * the trailing window instead of all history. */
   def verdicts(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-      shingleSize: Int = 3)(implicit spark: SparkSession): Dataset[Verdict] = {
+      shingleSize: Int = 3, ttlMs: Long = 0L)
+      (implicit spark: SparkSession): Dataset[Verdict] = {
     import spark.implicits._
+    require(ttlMs >= 0, s"StreamNearDedup: negative ttlMs $ttlMs")
     probes(docs, numHashes, bands, shingleSize)
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(resolve)
+        if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(resolve(ttlMs))
   }
 
   /** Stateless per-micro-batch reduction: one (doc_id, admitted) row

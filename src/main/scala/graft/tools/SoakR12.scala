@@ -26,7 +26,7 @@ object SoakR12 {
 
     val which = if (args.nonEmpty) args(0) else "neardedup"
 
-    if (which == "neardedup") {
+    if (which == "neardedup" || which == "neardedupttl") {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.StreamNearDedup
       val nBatches = if (args.length > 1) args(1).toInt else 60
@@ -57,30 +57,49 @@ object SoakR12 {
           } else { val d = freshDoc(); originals += d; d }
         (id, text)
       }
+      // ttl lane: buckets idle >2s expire; batches are paced so ~every
+      // 3rd batch's claims lapse — state should PLATEAU instead of
+      // growing with stream length
+      val ttlMs = if (which == "neardedupttl") 2000L else 0L
       val stream = MemoryStream[(Long, String)](spark)
       var admittedTotal = 0L
+      @volatile var batchesDone = 0L
+      @volatile var lastRows = -1L
+      @volatile var lastMb = -1L
       val q = StreamNearDedup.verdicts(
-          stream.toDF().toDF("doc_id", "text"))
+          stream.toDF().toDF("doc_id", "text"), ttlMs = ttlMs)
         .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
         .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamNearDedup.Verdict],
             _: Long) =>
           val admitted = StreamNearDedup.decide(b)
             .filter("admitted").count()
           admittedTotal += admitted
+          if (admitted > 0) batchesDone += 1
           ()
         }.start()
+      // with ProcessingTimeTimeout armed the engine never signals
+      // noNewData (every batch re-arms timers), so processAllAvailable
+      // would hang — wait for the foreachBatch counter instead
+      def awaitBatch(n: Long): Unit = {
+        val t0 = System.nanoTime
+        while (batchesDone < n && System.nanoTime - t0 < 120e9.toLong)
+          Thread.sleep(20)
+        require(batchesDone >= n, s"batch $n not processed within 120s")
+      }
       try {
         for (i <- 1 to nBatches) {
           stream.addData(batch())
-          q.processAllAvailable()
+          if (ttlMs > 0) awaitBatch(i) else q.processAllAvailable()
           val st = Option(q.lastProgress)
             .flatMap(p => p.stateOperators.headOption)
-          val rows = st.map(_.numRowsTotal).getOrElse(-1L)
-          val mb = st.map(_.memoryUsedBytes).getOrElse(-1L)
+          val rows = st.map(_.numRowsTotal).getOrElse(lastRows)
+          val mb = st.map(_.memoryUsedBytes).getOrElse(lastMb)
+          lastRows = rows; lastMb = mb
           if (i <= 5 || i % 10 == 0 || i == nBatches) {
             val perHead =
               if (admittedTotal > 0) rows.toDouble / admittedTotal else -1.0
-            println(f"""{"soak":"neardedup_state","batch":$i,"docs":${i.toLong * docsPerBatch},"admitted":$admittedTotal,"state_rows":$rows,"rows_per_admitted":$perHead%.2f,"state_mb":${mb / 1048576.0}%.1f}""")
+            println(f"""{"soak":"neardedup_state","ttl_ms":$ttlMs,"batch":$i,"docs":${i.toLong * docsPerBatch},"admitted":$admittedTotal,"state_rows":$rows,"rows_per_admitted":$perHead%.2f,"state_mb":${mb / 1048576.0}%.1f}""")
           }
         }
       } finally q.stop()

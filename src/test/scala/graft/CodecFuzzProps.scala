@@ -574,6 +574,68 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       } finally ch.close()
     }
 
+  property("grib2 5.41 PNG write/read round-trips random stacks exactly") =
+    Prop.forAll(gribStackGen, Gen.oneOf(1, 1, 3000)) {
+      case ((w, h, nf, base, range, seed), mult) =>
+        // mult widens the X range into the 16/24-bit PNG shapes
+        // (1.5e7 < 2^24 keeps the writer's depth election in bounds)
+        val nd = Double.MaxValue
+        var s = seed
+        def next(): Long = {
+          s = s * 6364136223846793005L + 1442695040888963407L; s
+        }
+        val frames = Seq.fill(nf)(Array.fill(w * h) {
+          val r = next()
+          if (math.floorMod(r, 7) == 0L) nd
+          else (base + mult * math.floorMod(r >>> 8, (range + 1).toLong))
+            .toDouble
+        })
+        val times = Seq.tabulate(nf)(i => i * 3600000L)
+        val dir = Files.createTempDirectory(tmpRoot, "grib41_rt")
+        val p = dir.resolve("rt.grib2").toString
+        graft.raster.Grib.write(p, frames, w, h, nd, times, 0.0, 0.0, 0.05,
+          template = 41)
+        val ch = java.nio.channels.FileChannel.open(Paths.get(p),
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val m = graft.raster.Grib.readMeta(ch, p)
+          val ok = m.w == w && m.h == h && m.timesMs == times &&
+            m.fields.indices.forall { i =>
+              graft.raster.Grib.decode(ch, m.fields(i), nd)
+                .sameElements(frames(i))
+            }
+          Prop(ok) :| s"w=$w h=$h nf=$nf base=$base range=$range mult=$mult"
+        } finally ch.close()
+    }
+
+  private lazy val grib41Fixture: Array[Byte] = {
+    val p = tmpRoot.resolve("fuzz_541.grib2").toString
+    graft.raster.Grib.write(p,
+      Seq(Array.tabulate(12 * 8)(i => (i % 300 * 77).toDouble),
+        Array.tabulate(12 * 8)(i =>
+          if (i % 5 == 0) Double.MaxValue else (i % 23).toDouble)),
+      12, 8, Double.MaxValue, Seq(0L, 3600000L), 0.0, 0.0, 0.05,
+      template = 41)
+    Files.readAllBytes(Paths.get(p))
+  }
+
+  property("grib2 5.41 PNG read survives corrupt section/payload bytes") =
+    Prop.forAll(mutationGen(grib41Fixture.length)) { case (kind, pos, value) =>
+      val bytes = mutate(grib41Fixture, kind, pos, value)
+      val f = Files.createTempDirectory(tmpRoot, "grib41_case")
+        .resolve("s.grib2")
+      Files.write(f, bytes)
+      cleanOrFails(s"grib41 k=$kind p=$pos v=$value") {
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val m = graft.raster.Grib.readMeta(ch, f.toString)
+          m.fields.foreach(fd =>
+            graft.raster.Grib.decode(ch, fd, Double.MaxValue))
+        } finally ch.close()
+      }
+    }
+
   private lazy val grib1Fixture: Array[Byte] = {
     val p = tmpRoot.resolve("fuzz_stack.grib").toString
     graft.raster.Grib.writeEdition1(p,

@@ -850,4 +850,175 @@ class GribSpec extends SparkSpec {
       Grib.unpackComplex(Array.fill[Byte](128)(0xFF.toByte), pOvf, 8)
     }
   }
+
+  // ------------------------------------------------- 5.41 PNG packing
+
+  /** PNG bytes built directly from BufferedImage — independent of the
+    * writer's `encodePngX` path. */
+  private def pngBytes(xs: Seq[Long], pw: Int, ph: Int,
+      imgType: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(pw, ph, imgType)
+    val ra = img.getRaster
+    for (y <- 0 until ph; x <- 0 until pw) {
+      val v = xs(y * pw + x)
+      if (ra.getNumBands == 3) {
+        ra.setSample(x, y, 0, ((v >>> 16) & 0xFF).toInt)
+        ra.setSample(x, y, 1, ((v >>> 8) & 0xFF).toInt)
+        ra.setSample(x, y, 2, (v & 0xFF).toInt)
+      } else ra.setSample(x, y, 0, v.toInt)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("hand-assembled 5.41 PNG message: E/D scaling, bitmap strip") {
+    import java.awt.image.BufferedImage
+    val dir = Files.createTempDirectory("graft_grib41h").toString
+    // 4x3 grid, depth 8, R=1.5 E=-1 D=1: v = (1.5 + X/2) / 10
+    val xs = Seq[Long](3, 0, 200, 7, 11, 255, 0, 1, 2, 90, 180, 64)
+    val p1 = s"$dir/full.grib2"
+    writeFile(p1, complexMsg(4, 3, 41, 12,
+      t => { t.f32(1.5f); t.sm16(-1); t.sm16(1); t.u8(8); t.u8(0) },
+      pngBytes(xs, 4, 3, BufferedImage.TYPE_BYTE_GRAY)))
+    val ch1 = java.nio.channels.FileChannel.open(Paths.get(p1),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m = Grib.readMeta(ch1, p1)
+      assert(m.fields.head.packing.template == 41)
+      val got = Grib.decode(ch1, m.fields.head, Double.NaN)
+      val want = xs.map(x => (1.5 + x * 0.5) / 10.0)
+      got.toSeq.zip(want).foreach { case (g, x) =>
+        assert(math.abs(g - x) < 1e-12, s"got $g want $x")
+      }
+    } finally ch1.close()
+    // bitmap variant: 8 present points ride a 8x1 PNG strip (the NCEP
+    // bitmap shape); 16-bit depth
+    val present = Seq(true, false, true, true, false, true, true, false,
+      true, true, false, true)
+    val xsB = Seq[Long](700, 0, 65535, 12, 40000, 1, 2, 3)
+    val p2 = s"$dir/bm.grib2"
+    writeFile(p2, complexMsg(4, 3, 41, 8,
+      t => { t.f32(2f); t.sm16(0); t.sm16(0); t.u8(16); t.u8(0) },
+      pngBytes(xsB, 8, 1, BufferedImage.TYPE_USHORT_GRAY),
+      bitmap = Some(present)))
+    val ch2 = java.nio.channels.FileChannel.open(Paths.get(p2),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m = Grib.readMeta(ch2, p2)
+      val got = Grib.decode(ch2, m.fields.head, Double.NaN)
+      var k = 0
+      present.zipWithIndex.foreach { case (pr, i) =>
+        if (pr) { assert(got(i) == 2.0 + xsB(k)); k += 1 }
+        else assert(got(i).isNaN, s"cell $i")
+      }
+    } finally ch2.close()
+    // 24-bit RGB carries X = (R<<16)|(G<<8)|B
+    val xs24 = Seq[Long](0, 1, 255, 256, 65535, 65536, (1L << 24) - 1,
+      0xABCDEFL, 42, 7, 1000000, 16777000)
+    val p3 = s"$dir/rgb.grib2"
+    writeFile(p3, complexMsg(4, 3, 41, 12,
+      t => { t.f32(0f); t.sm16(0); t.sm16(0); t.u8(24); t.u8(0) },
+      pngBytes(xs24, 4, 3, BufferedImage.TYPE_INT_RGB)))
+    val ch3 = java.nio.channels.FileChannel.open(Paths.get(p3),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m = Grib.readMeta(ch3, p3)
+      val got = Grib.decode(ch3, m.fields.head, Double.NaN)
+      assert(got.toSeq == xs24.map(_.toDouble))
+    } finally ch3.close()
+  }
+
+  test("5.41 failure modes: depth 32, dims mismatch, corrupt PNG") {
+    import java.awt.image.BufferedImage
+    val dir = Files.createTempDirectory("graft_grib41f").toString
+    def tail(depth: Int): B => Unit =
+      t => { t.f32(0f); t.sm16(0); t.sm16(0); t.u8(depth); t.u8(0) }
+    // depth 32 (RGBA) rejected by name at header parse
+    val p1 = s"$dir/d32.grib2"
+    writeFile(p1, complexMsg(4, 3, 41, 12, tail(32),
+      pngBytes(Seq.fill(12)(1L), 4, 3, BufferedImage.TYPE_BYTE_GRAY)))
+    val e1 = intercept[IllegalArgumentException] {
+      val ch = java.nio.channels.FileChannel.open(Paths.get(p1),
+        java.nio.file.StandardOpenOption.READ)
+      try Grib.readMeta(ch, p1) finally ch.close()
+    }
+    assert(e1.getMessage.contains("RGBA"), e1.getMessage)
+    // PNG dims disagree with the section-5 point count
+    val p2 = s"$dir/dims.grib2"
+    writeFile(p2, complexMsg(4, 3, 41, 12, tail(8),
+      pngBytes(Seq.fill(8)(1L), 4, 2, BufferedImage.TYPE_BYTE_GRAY)))
+    val e2 = intercept[IllegalArgumentException] {
+      val ch = java.nio.channels.FileChannel.open(Paths.get(p2),
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val m = Grib.readMeta(ch, p2)
+        Grib.decode(ch, m.fields.head, Double.NaN)
+      } finally ch.close()
+    }
+    assert(e2.getMessage.contains("section 5 declares"), e2.getMessage)
+    // garbage payload is not silently zeros
+    val p3 = s"$dir/garbage.grib2"
+    writeFile(p3, complexMsg(4, 3, 41, 12, tail(8),
+      Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)))
+    val e3 = intercept[IllegalArgumentException] {
+      val ch = java.nio.channels.FileChannel.open(Paths.get(p3),
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val m = Grib.readMeta(ch, p3)
+        Grib.decode(ch, m.fields.head, Double.NaN)
+      } finally ch.close()
+    }
+    assert(e3.getMessage.contains("PNG"), e3.getMessage)
+  }
+
+  test("template 5.41 write/read round-trips all depths, nodata, slicing") {
+    val nd = Double.MaxValue
+    val dir = Files.createTempDirectory("graft_grib41w").toString
+    val w = 9; val h = 6
+    // value multipliers spanning the three PNG shapes the writer elects:
+    // 8-bit gray, 16-bit gray, 24-bit RGB
+    for ((mult, name) <- Seq((1.0, "d8"), (300.0, "d16"), (70000.0, "d24"))) {
+      def frame(t: Int): Array[Double] = Array.tabulate(w * h) { i =>
+        if ((i + t) % 11 == 0) nd else 5.0 + mult * ((i * 7 + t * 13) % 200)
+      }
+      val frames = Seq(frame(0), frame(1), frame(2))
+      val times = Seq(0L, 3600000L, 7200000L)
+      val p = s"$dir/$name.grib2"
+      Grib.write(p, frames, w, h, nd, times, 0.0, 0.0, 0.05, template = 41)
+      val ch = java.nio.channels.FileChannel.open(Paths.get(p),
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val m = Grib.readMeta(ch, p)
+        assert(m.timesMs == times)
+        m.fields.foreach(f => assert(f.packing.template == 41))
+        for (i <- frames.indices)
+          assert(Grib.decode(ch, m.fields(i), nd).sameElements(frames(i)),
+            s"$name frame $i")
+      } finally ch.close()
+    }
+    // constant frame: depth 0, empty section 7 (the 5.0 convention)
+    val pc = s"$dir/const.grib2"
+    Grib.write(pc, Seq(Array.fill(w * h)(42.0)), w, h, nd, Seq(0L),
+      0.0, 0.0, 0.05, template = 41)
+    val chc = java.nio.channels.FileChannel.open(Paths.get(pc),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m = Grib.readMeta(chc, pc)
+      assert(m.fields.head.packing.nbits == 0 &&
+        m.fields.head.dataLen == 0)
+      assert(Grib.decode(chc, m.fields.head, nd).forall(_ == 42.0))
+    } finally chc.close()
+    // the field-pruned temporal slice decodes a PNG-packed frame
+    val src = GribSource(s"$dir/d16.grib2")
+    val req = RasterRequest(src.extent.get, "EPSG:4326", w, h,
+      Some(java.time.Instant.ofEpochMilli(3600000L)),
+      Some(java.time.Instant.ofEpochMilli(3600000L)))
+    val res = src.getData(req).get
+    assert(res.values.length == 1)
+    assert(res.values.head.zipWithIndex.forall { case (v, i) =>
+      if ((i + 1) % 11 == 0) v.isNaN || v == nd
+      else v == 5.0 + 300.0 * ((i * 7 + 13) % 200)
+    })
+  }
 }

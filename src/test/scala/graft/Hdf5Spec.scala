@@ -425,6 +425,76 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("layout v4 Fixed Array chunk index reads, prunes, and pages") {
+    val dir = Files.createTempDirectory("graft_h5fa").toString
+    val req = RasterFixtures.valsRequest
+    val want = RasterFixtures.source.getData(req)(spark).get
+    val bands = want.values.map(_.clone())
+    val timesMs = want.times.map(_.toEpochMilli)
+    // 4x6 px, chunkRows 2 -> 3 chunks/frame x 3 frames = 9 chunks
+    for ((pageBits, name) <- Seq((10, "unpaged"), (2, "paged"))) {
+      // pageBits 2 -> pages of 4 elements -> 9 chunks span 3 pages
+      val p = s"$dir/$name.nc"
+      Hdf5Write.write(p, bands, req.width, req.height, req.bbox,
+        want.noDataValue, "EPSG:28992", timesMs, dtypeName = "uint8",
+        chunkRows = 2, chunkIndex = "farray", faPageBits = pageBits)
+      val back = Hdf5Source(p)
+      assert(back.temporal && back.allTimes == want.times, name)
+      val res = back.getData(req)(spark).get
+      assert(res.values.map(_.toSeq).toSeq ==
+        want.values.map(_.toSeq).toSeq, name)
+    }
+    // header-only pruning holds for the FA index: clobber the first
+    // chunk (frame 0); a frame-1 slice must never touch it
+    val p = s"$dir/unpaged.nc"
+    val firstChunk = 96L + 8L * (req.width + req.height + 3)
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try { raf.seek(firstChunk); raf.write(Array.fill[Byte](4)(0x7F)) }
+    finally raf.close()
+    val one = Hdf5Source(p).getData(req.copy(
+      start = Some(RasterFixtures.T0.plusMillis(RasterFixtures.Hour)),
+      stop = Some(RasterFixtures.T0.plusMillis(RasterFixtures.Hour))))(spark).get
+    assert(one.times.length == 1 && one.values.head.forall(_ == 7.0))
+    intercept[Exception] { Hdf5Source(p).getData(req)(spark) }
+  }
+
+  test("v4 chunk indexes this reader does not carry fail loudly by name") {
+    val dir = Files.createTempDirectory("graft_h5fx").toString
+    val req = RasterFixtures.valsRequest
+    val want = RasterFixtures.source.getData(req)(spark).get
+    val p0 = s"$dir/base.nc"
+    Hdf5Write.write(p0, want.values, req.width, req.height, req.bbox,
+      want.noDataValue, "EPSG:28992", want.times.map(_.toEpochMilli),
+      chunkRows = 2, chunkIndex = "farray")
+    val base = Files.readAllBytes(Paths.get(p0))
+    // locate the v4 layout message: version 4, class 2, flags 0,
+    // dimensionality 4, dim width 4, then 16 dim bytes, then index type
+    val sig = Array[Byte](4, 2, 0, 4, 4)
+    val at = base.indices.find(i => i + 22 <= base.length &&
+      sig.indices.forall(k => base(i + k) == sig(k)) &&
+      base(i + 21) == 3).getOrElse(fail("layout v4 message not found"))
+    for ((t, needle) <- Seq(4 -> "extensible-array", 5 -> "v2 B-tree")) {
+      val mut = base.clone(); mut(at + 21) = t.toByte
+      val p = s"$dir/idx$t.nc"
+      Files.write(Paths.get(p), mut)
+      val e = intercept[IllegalArgumentException] {
+        Hdf5Source(p).getData(req)(spark)
+      }
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    // a corrupted FAHD signature is loud, not garbage
+    val faAt = base.indices.find(i => i + 4 <= base.length &&
+      base(i) == 'F' && base(i + 1) == 'A' && base(i + 2) == 'H' &&
+      base(i + 3) == 'D').getOrElse(fail("FAHD not found"))
+    val mut = base.clone(); mut(faAt) = 'X'
+    val p = s"$dir/badsig.nc"
+    Files.write(Paths.get(p), mut)
+    val e = intercept[IllegalArgumentException] {
+      Hdf5Source(p).getData(req)(spark)
+    }
+    assert(e.getMessage.contains("FAHD"), e.getMessage)
+  }
+
   test("hdf5 failure modes are loud: dense links, bad filters, v2 trees") {
     val dir = Files.createTempDirectory("graft_h5b").toString
     // truncated file

@@ -286,4 +286,51 @@ class StreamingSpec extends SparkSpec {
     // docs 6/7 are identical -> 6 survives
     assert(allAtOnce(1L) && !allAtOnce(4L) && allAtOnce(6L) && !allAtOnce(7L))
   }
+
+  test("near-dup admission TTL: claims expire, in-window dups still rejected") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamNearDedup
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the band plays a very long tune about nothing at all"
+    val stream = MemoryStream[(Long, String)](sp)
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+    val ttlMs = 1000L
+    // NOTE: with ProcessingTimeTimeout armed every batch "requires
+    // another batch" to fire future timers, so the engine never signals
+    // noNewData and processAllAvailable would HANG — poll the sink map
+    // with a deadline instead (the documented caveat for timed state)
+    val q = StreamNearDedup.verdicts(
+        stream.toDF().toDF("doc_id", "text"), ttlMs = ttlMs)(sp)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamNearDedup.Verdict],
+          _: Long) =>
+        StreamNearDedup.decide(b).collect().foreach(r =>
+          got.put(r.getLong(0), r.getBoolean(1)))
+        ()
+      }.start()
+    def awaitDoc(id: Long): Unit = {
+      val t0 = System.nanoTime
+      while (!got.containsKey(id) && System.nanoTime - t0 < 60e9.toLong)
+        Thread.sleep(50)
+      assert(got.containsKey(id), s"doc $id not decided within 60s")
+    }
+    try {
+      // doc 1 claims; doc 2 probes the same buckets inside the window
+      stream.addData(Seq((1L, base))); awaitDoc(1L)
+      stream.addData(Seq((2L, base))); awaitDoc(2L)
+      // past the TTL the claim is stale even though the bucket groups
+      // RECEIVE data this batch (the timestamp check, not the timer,
+      // carries the semantics here)
+      Thread.sleep(ttlMs + 700)
+      stream.addData(Seq((3L, base))); awaitDoc(3L)
+      // and doc 3's fresh claim rejects an immediate follower again
+      stream.addData(Seq((4L, base))); awaitDoc(4L)
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toMap == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false), got)
+  }
 }
