@@ -78,6 +78,18 @@ object Bench {
     (ts.toSeq, err)
   }
 
+  /** Peak heap across all heap pools since the last reset — the r11
+    * verdict's watch item (driver captures near 14 GB vs an 8.6 GB
+    * quiet run) needs per-lane attribution, not a process-wide max. */
+  private def heapPools = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+  }
+  private def resetHeapPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+  private def lanePeakMb: Long =
+    heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
     val calibration = calibrate()
@@ -138,8 +150,11 @@ object Bench {
         println(s"""{"bench_pass":$pass,"query":"$name","sec":$v}""")
         name -> r
       }.toMap
+    val warmupPeakMb = lanePeakMb // since JVM start: calibration + warmup
+    resetHeapPeaks()
     val pass1 = runPass(1)
     val pass2 = runPass(2)
+    val mainPeakMb = lanePeakMb
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       val sec = (pass1(name), pass2(name)) match {
@@ -165,6 +180,7 @@ object Bench {
     // ADVICE finding: `catch { case _: Throwable => }` silently
     // corrupted cross-round comparisons).
     val top10 = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
+    resetHeapPeaks()
     val steady = top10.map { case (name, _) =>
       val fn = SparkEntry.queries(name)
       val (ts, errOpt) = steadyReps(10) { fn(spark, sfDir).count(); () }
@@ -174,12 +190,14 @@ object Bench {
       }
       val errField = errOpt.map(e => s""","err":"$e"""").getOrElse("")
       println(s"""{"bench_steady":"$name","sec":$v,"reps":[${
-        ts.map(t => f"$t%.3f").mkString(",")}]$errField""")
+        ts.map(t => f"$t%.3f").mkString(",")}]$errField}""")
       name -> v
     }
+    val steadyPeakMb = lanePeakMb
+    println(s"""{"bench_heap":{"warmup_peak_mb":$warmupPeakMb,"main_peak_mb":$mainPeakMb,"steady_peak_mb":$steadyPeakMb,"max_mb":${Runtime.getRuntime.maxMemory >> 20}}}""")
     val steadyJson = steady.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"steady","unit":"sec","reps_per_query":10,"estimator":"min_of_last_5","calibration":$calibration,"calibration_mt":$calibrationMt,"queries":$steadyJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"steady","unit":"sec","reps_per_query":10,"estimator":"min_of_last_5","calibration":$calibration,"calibration_mt":$calibrationMt,"main_peak_mb":$mainPeakMb,"steady_peak_mb":$steadyPeakMb,"queries":$steadyJson,"sf":"$sfDir"}""")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
@@ -190,13 +208,11 @@ object Bench {
     // variants; a much larger number means the LRU is thrashing
     val fcHits = graft.raster.FrameCache.hitCount.get()
     val fcMisses = graft.raster.FrameCache.missCount.get()
-    // peak heap over the whole run (all memory pools' high-water marks):
-    // the scale soaks read this as "would one executor of this size cope"
-    import scala.jdk.CollectionConverters._
-    val peakHeapMb = java.lang.management.ManagementFactory
-      .getMemoryPoolMXBeans.asScala
-      .filter(_.getType == java.lang.management.MemoryType.HEAP)
-      .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+    // peak heap over the whole run ("would one executor of this size
+    // cope") — the max of the per-lane peaks now that lanes reset the
+    // pool high-water marks to attribute usage (the r11 watch item)
+    val peakHeapMb =
+      math.max(warmupPeakMb, math.max(mainPeakMb, steadyPeakMb))
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"calibration":$calibration,"calibration_mt":$calibrationMt,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"peak_heap_mb":$peakHeapMb,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // LAST line is a compact summary (no per-query map) so the driver's
     // 2000-char tail window always contains one complete JSON object —
