@@ -730,6 +730,36 @@ object GeoTiff {
     } finally in.close()
   }
 
+  /** Band-selected, window-pruned read in PIXEL coordinates (rows
+    * [y0, y1), cols [x0, x1), half-open, on the full-resolution grid).
+    * Returns the segment-aligned enclosing region plus its (col0, row0)
+    * offset on the full grid — the DSv2 spatial pushdown's decode:
+    * bytes touched are the header, the IFDs, and the intersecting
+    * strips/tiles only. */
+  def readWindowPx(path: String, bands: Seq[Int], y0: Int, y1: Int,
+      x0: Int, x1: Int): (Tiff, Int, Int) = {
+    val in = new TiffIn(path)
+    try {
+      val off = firstIfd(in)._2
+      val meta = readFrom(in, off, metaOnly = true)
+      require(y0 >= 0 && y0 < y1 && y1 <= meta.h &&
+        x0 >= 0 && x0 < x1 && x1 <= meta.w,
+        s"TIFF window rows [$y0,$y1) cols [$x0,$x1) outside " +
+          s"${meta.w} x ${meta.h}")
+      val sx = meta.bbox.width / meta.w; val sy = meta.bbox.height / meta.h
+      // half-cell inset so the world-window floor/ceil recovers exactly
+      // this pixel range before segment alignment
+      val win = Bbox(meta.bbox.x1 + (x0 + 0.5) * sx,
+        meta.bbox.y2 - (y1 - 0.5) * sy,
+        meta.bbox.x1 + (x1 - 0.5) * sx,
+        meta.bbox.y2 - (y0 + 0.5) * sy)
+      val t = readFrom(in, off, None, Some(win), bandSel = Some(bands.toArray))
+      val col0 = math.round((t.bbox.x1 - meta.bbox.x1) / sx).toInt
+      val row0 = math.round((meta.bbox.y2 - t.bbox.y2) / sy).toInt
+      (t, col0, row0)
+    } finally in.close()
+  }
+
   /** Header-only metadata (no pixel bytes read): the full-resolution
     * image's shape and geo tags. */
   def readMeta(path: String): Tiff = {

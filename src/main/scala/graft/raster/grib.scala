@@ -112,8 +112,57 @@ object Grib {
   /** For geographic grids (3.0) `la1`/`lo1`/`di`/`dj` are degrees; for
     * projected grids (3.30) they are the first point and pitch in the
     * projection plane's metres, with `proj` the parameterized CRS. */
+  /** `rowCounts` marks a QUASI-REGULAR (reduced) grid: per-row point
+    * counts from section 3's optional list; `w` is then the longest
+    * row and decode expands the others to it by nearest-neighbor
+    * longitude mapping (the GDAL/ecCodes reduced→regular convention).
+    *
+    * `storedLats` marks a GAUSSIAN grid (template 3.40): the stored
+    * rows sit on those latitudes (in stored order); `h`/`dj` describe
+    * the SQUARE uniform target grid (pitch = the zonal pitch) that
+    * decode resamples onto by nearest-neighbor row mapping, and `la1`
+    * is the northmost row center (the scan-order flip is absorbed by
+    * the resample, so `scan`'s 0x40 bit is consumed at parse). */
   case class Grid(w: Int, h: Int, la1: Double, lo1: Double,
-      di: Double, dj: Double, scan: Int, proj: String = "EPSG:4326")
+      di: Double, dj: Double, scan: Int, proj: String = "EPSG:4326",
+      rowCounts: Option[Seq[Int]] = None,
+      storedLats: Option[Seq[Double]] = None)
+
+  /** Latitudes (degrees, north→south) of the 2N Gaussian parallels:
+    * arcsin of the roots of the Legendre polynomial P_2N, by Newton
+    * iteration from the standard cos((i+3/4)π/(n+1/2)) start (the
+    * gauleg scheme; converges quadratically, |Δ| < 1e-15 in ≤ 6
+    * steps for every n used in practice). */
+  private[graft] def gaussianLatitudes(nParallels: Int): Array[Double] = {
+    val n = nParallels
+    require(n >= 2 && n % 2 == 0 && n <= (1 << 16),
+      s"grib: $n Gaussian parallels")
+    val lats = new Array[Double](n)
+    var i = 0
+    while (i < n / 2) { // roots come in ± pairs; solve the positive half
+      var x = math.cos(math.Pi * (i + 0.75) / (n + 0.5))
+      var steps = 0
+      var done = false
+      while (!done && steps < 100) {
+        var p0 = 1.0; var p1 = x
+        var k = 2
+        while (k <= n) {
+          val pk = ((2 * k - 1) * x * p1 - (k - 1) * p0) / k
+          p0 = p1; p1 = pk; k += 1
+        }
+        val dp = n * (x * p1 - p0) / (x * x - 1)
+        val dx = p1 / dp
+        x -= dx
+        if (math.abs(dx) < 1e-15) done = true
+        steps += 1
+      }
+      val lat = math.toDegrees(math.asin(x))
+      lats(i) = lat
+      lats(n - 1 - i) = -lat
+      i += 1
+    }
+    lats
+  }
 
   /** Complex-packing parameters (templates 5.2/5.3, WMO FM 92 §5):
     * general group splitting — NG groups, each with its own reference
@@ -186,14 +235,21 @@ object Grib {
     val source = u8(b)
     require(source == 0, s"$path: grid definition source $source (only 0)")
     val numPoints = u32(b)
-    val optOctets = u8(b); u8(b) // interpretation
-    require(optOctets == 0,
-      s"$path: quasi-regular grids (optional point lists) not supported")
+    val optOctets = u8(b); val interpretation = u8(b)
     val template = u16(b)
+    require(optOctets == 0 || template == 0 || template == 40,
+      s"$path: quasi-regular grids carried only for templates 3.0/3.40 " +
+        s"(per-row point lists), not 3.$template")
+    require(optOctets == 0 || interpretation == 1,
+      s"$path: optional-list interpretation $interpretation (only 1 = " +
+        "points per row)")
+    require(optOctets == 0 || optOctets == 1 || optOctets == 2 ||
+      optOctets == 4, s"$path: $optOctets-octet point-list entries")
     require(template == 0 || template == 10 || template == 20 ||
-      template == 30,
+      template == 30 || template == 40,
       s"$path: grid template 3.$template (supported: 3.0 lat/lon, " +
-        "3.10 Mercator, 3.20 polar stereographic, 3.30 Lambert conformal)")
+        "3.10 Mercator, 3.20 polar stereographic, 3.30 Lambert " +
+        "conformal, 3.40 Gaussian)")
     val minLen = template match {
       case 30 => 81; case 20 => 65; case _ => 72
     }
@@ -204,30 +260,105 @@ object Grib {
     val (a, invF) = earthShape(b, path)
     b.position(30) // octet 31: Ni/Nx
     val ni = u32(b); val nj = u32(b)
-    require(ni > 0 && nj > 0 && ni <= Int.MaxValue && nj <= Int.MaxValue,
-      s"$path: grid $ni x $nj")
+    val reduced = optOctets > 0
+    require(reduced || (ni > 0 && ni <= Int.MaxValue),
+      s"$path: grid width $ni")
+    require(!reduced || ni == 0xFFFFFFFFL,
+      s"$path: quasi-regular grid must mark Ni missing (got $ni)")
+    require(nj > 0 && nj <= Int.MaxValue, s"$path: grid height $nj")
     // allocation guard: hostile dimensions must fail loudly, not OOM or
     // wrap the int cell count (mirror of the zarr/hdf5 chunk caps)
-    require(ni * nj <= (1L << 27),
-      s"$path: grid of ${ni * nj} cells too large for this reader (2^27 max)")
-    require(numPoints == ni * nj,
+    require(nj <= (1L << 27) && (reduced || ni * nj <= (1L << 27)),
+      s"$path: grid of ${if (reduced) s"$nj rows" else s"${ni * nj} cells"} " +
+        "too large for this reader (2^27 max)")
+    require(reduced || numPoints == ni * nj,
       s"$path: numPoints $numPoints != Ni*Nj ${ni * nj}")
-    if (template == 0) {
+    val rowCounts: Option[Seq[Int]] =
+      if (!reduced) None
+      else {
+        // the list rides at the END of the template body (octet 73 for
+        // 3.0), Nj entries of optOctets bytes each
+        require(b.limit() >= 72 + nj * optOctets,
+          s"$path: section 3 too short for $nj point-list entries")
+        b.position(72)
+        val counts = Array.fill(nj.toInt) {
+          val v = optOctets match {
+            case 1 => u8(b).toLong
+            case 2 => u16(b).toLong
+            case _ => u32(b)
+          }
+          require(v >= 1 && v <= (1L << 24), s"$path: row of $v points")
+          v.toInt
+        }
+        require(counts.map(_.toLong).sum == numPoints,
+          s"$path: point list sums to ${counts.map(_.toLong).sum}, " +
+            s"section 3 declares $numPoints")
+        require(counts.max.toLong * nj <= (1L << 27),
+          s"$path: expanded grid ${counts.max} x $nj too large (2^27 max)")
+        Some(counts.toSeq)
+      }
+    if (template == 0 || template == 40) {
+      b.position(38) // the point-list read above may have moved us
       val basicAngle = u32(b); u32(b) // subdivisions
       require(basicAngle == 0,
         s"$path: basic angle $basicAngle (only 0 = microdegrees)")
       val la1 = s32(b) / 1e6
       val lo1 = s32(b) / 1e6
       u8(b) // resolution/component flags
-      s32(b); s32(b) // la2, lo2 (redundant with la1 + (Nj-1)*Dj)
-      val di = u32(b) / 1e6
-      val dj = u32(b) / 1e6
+      val la2 = s32(b) / 1e6
+      val lo2 = s32(b) / 1e6 // la2/lo2 size Gaussian/reduced targets
+      val diRaw = u32(b)
+      // octets 68-71: Dj for 3.0, N (parallels pole→equator) for 3.40
+      val djOrN = u32(b)
       val scan = u8(b)
       require((scan & 0xB0) == 0,
         f"$path%s: scanning mode 0x$scan%02x (only +i row-major; flags " +
           "-i/j-consecutive/boustrophedon unsupported)")
-      require(di > 0 && dj > 0, s"$path: zero grid increment")
-      Grid(ni.toInt, nj.toInt, la1, lo1, di, dj, scan)
+      // the regular zonal pitch, or the longest reduced row's pitch
+      val (w, di) = rowCounts match {
+        case None =>
+          val d = diRaw / 1e6
+          require(d > 0, s"$path: zero grid increment")
+          (ni.toInt, d)
+        case Some(counts) =>
+          require(diRaw == 0xFFFFFFFFL,
+            s"$path: quasi-regular grid must mark Di missing (got $diRaw)")
+          val wMax = counts.max
+          require(wMax >= 2, s"$path: reduced grid with $wMax-point longest row")
+          val span = lo2 - lo1
+          require(span > 0,
+            s"$path: reduced grid longitude span $span (lo1 $lo1, lo2 $lo2)")
+          (wMax, span / (wMax - 1))
+      }
+      if (template == 0) {
+        val dj = djOrN / 1e6
+        require(dj > 0, s"$path: zero grid increment")
+        Grid(w, nj.toInt, la1, lo1, di, dj, scan, rowCounts = rowCounts)
+      } else {
+        // 3.40 Gaussian: rows sit on the Gaussian parallels between
+        // la1 and la2 — validate against the computed Legendre roots,
+        // then target a SQUARE uniform grid at the zonal pitch
+        require(djOrN >= 1 && djOrN <= (1 << 15),
+          s"$path: $djOrN Gaussian parallels pole-to-equator")
+        val all = gaussianLatitudes(2 * djOrN.toInt) // north→south
+        val (latN, latS) = (math.max(la1, la2), math.min(la1, la2))
+        val sel = all.filter(l => l >= latS - 1e-3 && l <= latN + 1e-3)
+        require(sel.length == nj,
+          s"$path: $nj rows but ${sel.length} Gaussian parallels of " +
+            s"N=$djOrN lie in [$latS, $latN]")
+        require(math.abs(sel.head - latN) < 2e-3 &&
+          math.abs(sel.last - latS) < 2e-3,
+          s"$path: la1/la2 ($la1/$la2) do not sit on N=$djOrN Gaussian " +
+            s"parallels (nearest ${sel.head}/${sel.last})")
+        // stored order: north→south under scan 0, south→north under
+        // 0x40 — the resample consumes the flip, so scan is cleared
+        val stored = if ((scan & 0x40) != 0) sel.reverse else sel
+        val hOut = math.rint((latN - latS) / di).toInt + 1
+        require(hOut >= 1 && w.toLong * hOut <= (1L << 27),
+          s"$path: Gaussian target grid $w x $hOut too large (2^27 max)")
+        Grid(w, hOut, latN, lo1, di, di, scan & ~0x40,
+          rowCounts = rowCounts, storedLats = Some(stored.toSeq))
+      }
     } else if (template == 10) {
       // template 3.10 (Mercator — NCEP tropical/Hawaii grids):
       // equidistant in the Mercator plane at true-scale latitude LaD,
@@ -814,7 +945,12 @@ object Grib {
   /** Decode ONE field to a north-to-south row-major frame. Reads only
     * this field's bitmap + data byte ranges. */
   def decode(ch: FileChannel, f: Field, noData: Double): Array[Double] = {
-    val n = f.grid.w * f.grid.h
+    // bitmap, packing, and the data stream all cover the STORED points:
+    // the reduced count for a quasi-regular grid, w × stored-rows for a
+    // Gaussian grid (whose uniform target height differs), w*h otherwise
+    val storedRows = f.grid.storedLats.map(_.length).getOrElse(f.grid.h)
+    val n = f.grid.rowCounts.map(_.map(_.toLong).sum.toInt)
+      .getOrElse(f.grid.w * storedRows)
     val present: Array[Boolean] =
       if (f.bitmapOffset < 0) Array.fill(n)(true)
       else {
@@ -849,18 +985,64 @@ object Grib {
         i += 1
       }
     }
-    if ((f.grid.scan & 0x40) != 0) {
-      // rows were written south-to-north: flip to the engine's
-      // north-down convention
-      val w = f.grid.w; val h = f.grid.h
-      val flipped = new Array[Double](n)
-      var r = 0
-      while (r < h) {
-        System.arraycopy(vals, r * w, flipped, (h - 1 - r) * w, w)
-        r += 1
-      }
-      flipped
-    } else vals
+    // quasi-regular rows expand to the longest row by nearest-neighbor
+    // longitude mapping (each reduced row spans the same first→last
+    // longitude range as the full row, GDAL/ecCodes convention); nodata
+    // cells map through unchanged
+    val full = f.grid.rowCounts match {
+      case None => vals
+      case Some(rc) =>
+        val w = f.grid.w
+        val out = new Array[Double](w * storedRows)
+        var base = 0; var r = 0
+        while (r < storedRows) {
+          val c = rc(r)
+          var x = 0
+          while (x < w) {
+            val src =
+              if (c == 1) 0
+              else math.round(x.toDouble * (c - 1) / (w - 1)).toInt
+            out(r * w + x) = vals(base + src)
+            x += 1
+          }
+          base += c; r += 1
+        }
+        out
+    }
+    f.grid.storedLats match {
+      case Some(lats) =>
+        // Gaussian rows → the square uniform target: each output row
+        // takes the stored row whose latitude is nearest (absorbs the
+        // scan-order flip — `lats` ride in stored order)
+        val w = f.grid.w; val hOut = f.grid.h
+        val out = new Array[Double](w * hOut)
+        var r = 0
+        while (r < hOut) {
+          val target = f.grid.la1 - r * f.grid.dj
+          var best = 0; var bestD = Double.MaxValue; var s = 0
+          while (s < storedRows) {
+            val d = math.abs(lats(s) - target)
+            if (d < bestD) { bestD = d; best = s }
+            s += 1
+          }
+          System.arraycopy(full, best * w, out, r * w, w)
+          r += 1
+        }
+        out
+      case None =>
+        if ((f.grid.scan & 0x40) != 0) {
+          // rows were written south-to-north: flip to the engine's
+          // north-down convention
+          val w = f.grid.w; val h = f.grid.h
+          val flipped = new Array[Double](w * h)
+          var r = 0
+          while (r < h) {
+            System.arraycopy(full, r * w, flipped, (h - 1 - r) * w, w)
+            r += 1
+          }
+          flipped
+        } else full
+    }
   }
 
   def readMeta(ch: FileChannel, path: String): Meta = {

@@ -1065,15 +1065,32 @@ object Hdf5 {
 
   /** Decode ONLY the requested frames, touching only the chunks whose
     * time range intersects them (chunked 3-D layouts; other layouts
-    * fall back to the full read). `frames` indexes `timesMs`. */
-  def readFrames(ch: FileChannel, m: Meta, frames: Seq[Int]): Seq[Array[Double]] = {
+    * fall back to the full read). `frames` indexes `timesMs`.
+    * `window` — (y0, y1, x0, x1), half-open, ENGINE pixel coordinates —
+    * additionally prunes to the chunks intersecting that region (the
+    * DSv2 spatial pushdown); pixels outside it are left unfilled and
+    * must not be consumed. */
+  def readFrames(ch: FileChannel, m: Meta, frames: Seq[Int],
+      window: Option[(Int, Int, Int, Int)] = None): Seq[Array[Double]] = {
     val d = m.dataVar
     val sel = frames.toSet
     val raw: Array[Double] = d.layout match {
       case l if chunkDimsOf(l).isDefined && d.rank == 3 =>
-        val cT = chunkDimsOf(l).get.head
+        val cd = chunkDimsOf(l).get
+        val cT = cd.head
+        val keepYx: Seq[Long] => Boolean = window match {
+          case None => _ => true
+          case Some((y0, y1, x0, x1)) =>
+            // engine window -> FILE row range (ascending-y files store
+            // the engine's top rows last)
+            val (fy0, fy1) =
+              if (m.yAscending) (m.h - y1, m.h - y0) else (y0, y1)
+            offs => offs(1) < fy1 && offs(1) + cd(1) > fy0 &&
+              offs(2) < x1 && offs(2) + cd(2) > x0
+        }
         readChunked(ch, d, l,
-          offs => (offs.head until offs.head + cT).exists(t => sel(t.toInt)))
+          offs => (offs.head until offs.head + cT).exists(t => sel(t.toInt)) &&
+            keepYx(offs))
       case _ => readData(ch, d)
     }
     val px = m.w * m.h

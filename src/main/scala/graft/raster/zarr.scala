@@ -694,8 +694,14 @@ object Zarr {
   }
 
   /** Decode the requested frames (top-row-first doubles), touching only
-    * the chunks that intersect them. `frames` indexes `timesMs`. */
-  def readFrames(m: Meta, frames: Seq[Int]): Seq[Array[Double]] = {
+    * the chunks that intersect them. `frames` indexes `timesMs`.
+    * `window` — (y0, y1, x0, x1), half-open, ENGINE pixel coordinates
+    * (top row first) — additionally prunes to the chunks intersecting
+    * that region: the DSv2 spatial pushdown (an AOI read of a large
+    * store opens only its chunks' objects). Pixels outside the window
+    * are left unfilled in the result and must not be consumed. */
+  def readFrames(m: Meta, frames: Seq[Int],
+      window: Option[(Int, Int, Int, Int)] = None): Seq[Array[Double]] = {
     val d = m.data
     require(m.w.toLong * m.h <= (1L << 27),
       s"${m.root}: ${m.w}×${m.h} grid too large for a whole-frame read")
@@ -708,7 +714,19 @@ object Zarr {
     val tChunks = frames.map(_ / cT).distinct.sorted
     val nCY = (m.h + cY - 1) / cY
     val nCX = (m.w + cX - 1) / cX
-    for (tc <- tChunks; cy <- 0 until nCY; cx <- 0 until nCX) {
+    // engine window -> FILE row range (ascending-y files store the
+    // engine's top rows last)
+    val keepChunk: (Int, Int) => Boolean = window match {
+      case None => (_, _) => true
+      case Some((y0, y1, x0, x1)) =>
+        val (fy0, fy1) =
+          if (m.yAscending) (m.h - y1, m.h - y0) else (y0, y1)
+        (cy, cx) =>
+          cy * cY < fy1 && (cy + 1) * cY > fy0 &&
+            cx * cX < x1 && (cx + 1) * cX > x0
+    }
+    for (tc <- tChunks; cy <- 0 until nCY; cx <- 0 until nCX
+         if keepChunk(cy, cx)) {
       val idx = if (d.ndim == 3) Seq(tc, cy, cx) else Seq(cy, cx)
       val chunk = d.shard match {
         case Some(sh) if d.ndim == 3 =>

@@ -35,7 +35,15 @@ import graft.raster.{GeoTiff, Grib, Hdf5, NetCdf, TileLayout, Zarr}
   * Pushdown: temporal predicates on `t` (=, <, <=, >, >=) prune whole
   * (file, frame) partitions at planning time — the DSv2 rendering of
   * the codecs' field/chunk pruning (`.explain` shows the pushed range;
-  * unreferenced frames never open their byte ranges).
+  * unreferenced frames never open their byte ranges). Spatial
+  * predicates on `ty`/`tx` (same operators) prune the tile iteration
+  * in every reader AND reach the byte level where the format is
+  * independently addressable: Zarr opens only the intersecting chunk
+  * objects, HDF5 reads only the intersecting chunks, GeoTIFF decodes
+  * only the intersecting strips/tiles — an AOI read of a continental
+  * archive pays for its area, not the archive's. GRIB fields and
+  * classic-NetCDF records are single contiguous payloads, so their
+  * window pruning is emission-only (documented per reader).
   *
   * Usage: `spark.read.format("graft-raster").load(paths...)` — each
   * path a .grib/.grib2 file, a .tif, a .nc/.h5 container (NetCDF-4
@@ -148,11 +156,21 @@ class GraftRasterTable(paths: Seq[String]) extends Table with SupportsRead {
       Option(options.get("time_delta")).map(_.toLong).getOrElse(3600000L))
 }
 
+/** Pushed tile-coordinate window, half-open bounds resolved at read
+  * time against each dataset's tile grid. */
+case class TileWindow(tyMin: Int, tyMax: Int, txMin: Int, txMax: Int) {
+  def isAll: Boolean = tyMin == Int.MinValue && tyMax == Int.MaxValue &&
+    txMin == Int.MinValue && txMax == Int.MaxValue
+}
+object TileWindow { val All = TileWindow(Int.MinValue, Int.MaxValue,
+  Int.MinValue, Int.MaxValue) }
+
 class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var tMin = Long.MinValue
   private var tMax = Long.MaxValue
+  private var win = TileWindow.All
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftRasterTable.schema
 
@@ -160,12 +178,18 @@ class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long)
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val spatial = Set("ty", "tx")
     val (accepted, residual) = filters.partition {
       case EqualTo("t", _: Long) => true
       case GreaterThanOrEqual("t", _: Long) => true
       case LessThanOrEqual("t", _: Long) => true
       case GreaterThan("t", _: Long) => true
       case LessThan("t", _: Long) => true
+      case EqualTo(c, _: Int) if spatial(c) => true
+      case GreaterThanOrEqual(c, _: Int) if spatial(c) => true
+      case LessThanOrEqual(c, _: Int) if spatial(c) => true
+      case GreaterThan(c, _: Int) if spatial(c) => true
+      case LessThan(c, _: Int) if spatial(c) => true
       case _ => false
     }
     accepted.foreach {
@@ -175,16 +199,37 @@ class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long)
       case LessThanOrEqual("t", v: Long)    => tMax = math.min(tMax, v)
       case GreaterThan("t", v: Long) => tMin = math.max(tMin, v + 1)
       case LessThan("t", v: Long)    => tMax = math.min(tMax, v - 1)
+      case EqualTo("ty", v: Int) => win = win.copy(
+        tyMin = math.max(win.tyMin, v), tyMax = math.min(win.tyMax, v))
+      case GreaterThanOrEqual("ty", v: Int) =>
+        win = win.copy(tyMin = math.max(win.tyMin, v))
+      case LessThanOrEqual("ty", v: Int) =>
+        win = win.copy(tyMax = math.min(win.tyMax, v))
+      case GreaterThan("ty", v: Int) =>
+        win = win.copy(tyMin = math.max(win.tyMin, v + 1))
+      case LessThan("ty", v: Int) =>
+        win = win.copy(tyMax = math.min(win.tyMax, v - 1))
+      case EqualTo("tx", v: Int) => win = win.copy(
+        txMin = math.max(win.txMin, v), txMax = math.min(win.txMax, v))
+      case GreaterThanOrEqual("tx", v: Int) =>
+        win = win.copy(txMin = math.max(win.txMin, v))
+      case LessThanOrEqual("tx", v: Int) =>
+        win = win.copy(txMax = math.min(win.txMax, v))
+      case GreaterThan("tx", v: Int) =>
+        win = win.copy(txMin = math.max(win.txMin, v + 1))
+      case LessThan("tx", v: Int) =>
+        win = win.copy(txMax = math.min(win.txMax, v - 1))
       case _ =>
     }
     pushed = accepted
-    // t-filters are fully enforced by partition pruning, but returning
+    // pushed filters are fully enforced (partition pruning for t, tile
+    // iteration + chunk/segment-pruned decode for ty/tx), but returning
     // them as residual is harmless and keeps semantics obvious
     residual ++ accepted
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new GraftScan(paths, tMin, tMax, required, timeFirst, timeDelta)
+    new GraftScan(paths, tMin, tMax, required, timeFirst, timeDelta, win)
 }
 
 /** One frame of one dataset — everything the executor needs. For GRIB
@@ -215,12 +260,15 @@ object GraftScan {
 }
 
 class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
-    required: StructType, timeFirst: Long, timeDelta: Long)
+    required: StructType, timeFirst: Long, timeDelta: Long,
+    win: TileWindow = TileWindow.All)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-raster pushed t in [$tMin, $tMax], " +
+      (if (win.isAll) "" else s"tiles ty [${win.tyMin}, ${win.tyMax}] " +
+        s"tx [${win.txMin}, ${win.txMax}], ") +
       s"columns [${required.fieldNames.mkString(",")}]"
 
   /** Plan one dataset: reads ONLY headers/metadata (GRIB section heads,
@@ -313,18 +361,38 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required.fieldNames)
+    new GraftReaderFactory(required.fieldNames, win)
 }
 
-class GraftReaderFactory(columns: Array[String])
+class GraftReaderFactory(columns: Array[String], win: TileWindow)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case p: GraftFramePartition => new GraftPartitionReader(p, columns)
-      case p: GraftTifPartition   => new GraftTifReader(p, columns)
+      case p: GraftFramePartition => new GraftPartitionReader(p, columns, win)
+      case p: GraftTifPartition   => new GraftTifReader(p, columns, win)
       case other => throw new IllegalArgumentException(
         s"graft-raster: unknown partition $other")
     }
+}
+
+/** Resolved tile iteration bounds for one dataset's grid. */
+private[sources] case class TileBounds(tyLo: Int, tyHi: Int, txLo: Int,
+    txHi: Int) {
+  def count: Int = math.max(0, tyHi - tyLo + 1) * math.max(0, txHi - txLo + 1)
+  def nonEmpty: Boolean = tyHi >= tyLo && txHi >= txLo
+  /** Half-open pixel window (y0, y1, x0, x1) on a w x h grid. */
+  def pixelWindow(w: Int, h: Int): (Int, Int, Int, Int) =
+    (tyLo * TileLayout.TILE, math.min(h, (tyHi + 1) * TileLayout.TILE),
+      txLo * TileLayout.TILE, math.min(w, (txHi + 1) * TileLayout.TILE))
+}
+
+private[sources] object TileBounds {
+  def resolve(win: TileWindow, w: Int, h: Int): TileBounds = {
+    val nTx = TileLayout.tilesX(w)
+    val nTy = (TileLayout.numTiles(w, h) + nTx - 1) / nTx
+    TileBounds(math.max(0, win.tyMin), math.min(nTy - 1, win.tyMax),
+      math.max(0, win.txMin), math.min(nTx - 1, win.txMax))
+  }
 }
 
 /** Executor-side GeoTIFF reader: one decode serves every surviving
@@ -332,23 +400,32 @@ class GraftReaderFactory(columns: Array[String])
   * only the frames the pushed time filter kept are materialized — a
   * time-sliced read of a wide band stack pays for its slice, not the
   * file's band count (and never touches the pruned bands' samples). */
-class GraftTifReader(p: GraftTifPartition, columns: Array[String])
-    extends PartitionReader[InternalRow] {
-  private lazy val bands: Seq[Array[Double]] =
-    GeoTiff.read(p.path, p.frames.toSeq).bands
-  private val nTx = TileLayout.tilesX(p.w)
-  private val nTiles = TileLayout.numTiles(p.w, p.h)
-  private val total = nTiles * p.frames.length
+class GraftTifReader(p: GraftTifPartition, columns: Array[String],
+    win: TileWindow) extends PartitionReader[InternalRow] {
+  private val tb = TileBounds.resolve(win, p.w, p.h)
+  /** (bands of the decoded region, region width, col0, row0). With a
+    * pushed tile window only the intersecting strips/tiles of the file
+    * are read and decoded (`readWindowPx`); otherwise the full frame. */
+  private lazy val region: (Seq[Array[Double]], Int, Int, Int) =
+    if (win.isAll) (GeoTiff.read(p.path, p.frames.toSeq).bands, p.w, 0, 0)
+    else {
+      val (y0, y1, x0, x1) = tb.pixelWindow(p.w, p.h)
+      val (t, col0, row0) = GeoTiff.readWindowPx(p.path, p.frames.toSeq,
+        y0, y1, x0, x1)
+      (t.bands, t.w, col0, row0)
+    }
+  private val nTxb = math.max(0, tb.txHi - tb.txLo + 1)
+  private val total = tb.count * p.frames.length
   private var i = -1
   private val pathU = UTF8String.fromString(p.path)
 
   override def next(): Boolean = { i += 1; i < total }
 
   override def get(): InternalRow = {
-    val f = i / nTiles
-    val tile = i % nTiles
-    val ty = tile / nTx
-    val tx = tile % nTx
+    val f = i / tb.count
+    val tile = i % tb.count
+    val ty = tb.tyLo + tile / nTxb
+    val tx = tb.txLo + tile % nTxb
     new GenericInternalRow(columns.map[Any] {
       case "path" => pathU
       case "t"    => p.times(f)
@@ -356,14 +433,16 @@ class GraftTifReader(p: GraftTifPartition, columns: Array[String])
       case "tx"   => tx
       case "values" =>
         // the pruned decode returns exactly p.frames' bands, in order
+        val (bands, rw, col0, row0) = region
         val frame = bands(f)
         val tw = TileLayout.tileW(p.w, tx)
         val th = TileLayout.tileH(p.h, ty)
         val out = new Array[Double](tw * th)
         var r = 0
         while (r < th) {
-          System.arraycopy(frame, (ty * TileLayout.TILE + r) * p.w +
-            tx * TileLayout.TILE, out, r * tw, tw)
+          System.arraycopy(frame,
+            (ty * TileLayout.TILE + r - row0) * rw +
+              tx * TileLayout.TILE - col0, out, r * tw, tw)
           r += 1
         }
         ArrayData.toArrayData(out)
@@ -380,8 +459,10 @@ class GraftTifReader(p: GraftTifPartition, columns: Array[String])
   * Column pruning reaches the payload: when `values` is not required
   * (a count, a time listing), NO data byte of the file is read — only
   * the per-frame tile geometry from the planned metadata. */
-class GraftPartitionReader(p: GraftFramePartition, columns: Array[String])
-    extends PartitionReader[InternalRow] {
+class GraftPartitionReader(p: GraftFramePartition, columns: Array[String],
+    win: TileWindow) extends PartitionReader[InternalRow] {
+
+  private val tb = TileBounds.resolve(win, p.w, p.h)
 
   private lazy val frame: Array[Double] = p.kind match {
     case "grib" =>
@@ -389,23 +470,29 @@ class GraftPartitionReader(p: GraftFramePartition, columns: Array[String])
         java.nio.file.Paths.get(p.path),
         java.nio.file.StandardOpenOption.READ)
       // the planned Field carries every byte coordinate: no metadata
-      // re-scan, straight to this frame's bitmap + data ranges
+      // re-scan, straight to this frame's bitmap + data ranges.
+      // A pushed tile window prunes EMISSION only: the field payload
+      // is one bit-packed stream, not independently addressable
       try Grib.decode(ch, p.gribField, Double.MaxValue)
       finally ch.close()
     case "nc" | "h5" =>
       // header metadata is re-read per partition (small, and the Meta
       // types carry parse state that does not serialize); readFrames
-      // then seeks only this frame's records/chunks
+      // then seeks only this frame's records/chunks — and, for HDF5,
+      // only the chunks intersecting the pushed tile window
       val ch = java.nio.channels.FileChannel.open(
         java.nio.file.Paths.get(p.path),
         java.nio.file.StandardOpenOption.READ)
       try {
         if (p.kind == "nc") {
+          // classic NetCDF frames are one contiguous record each:
+          // window pruning is emission-only, as for GRIB
           val m = NetCdf.readMeta(ch, p.path)
           NetCdf.readFrames(ch, m, Seq(p.frameIdx)).head
         } else {
           val m = Hdf5.readMeta(ch, p.path)
-          Hdf5.readFrames(ch, m, Seq(p.frameIdx)).head
+          Hdf5.readFrames(ch, m, Seq(p.frameIdx),
+            if (win.isAll) None else Some(tb.pixelWindow(p.w, p.h))).head
         }
       } finally ch.close()
     case "zarr" =>
@@ -413,23 +500,24 @@ class GraftPartitionReader(p: GraftFramePartition, columns: Array[String])
       // re-read per partition: ArrayMeta carries filesystem Paths and
       // does not serialize, and the read is milliseconds against a
       // frame decode — unlike the GRIB case there is no per-frame
-      // byte-coordinate table to ship
+      // byte-coordinate table to ship. A pushed tile window opens only
+      // the intersecting chunk objects (the object-storage AOI case)
       val m = Zarr.readMeta(p.path)
-      Zarr.readFrames(m, Seq(p.frameIdx)).head
+      Zarr.readFrames(m, Seq(p.frameIdx),
+        if (win.isAll) None else Some(tb.pixelWindow(p.w, p.h))).head
     case other => throw new IllegalArgumentException(
       s"graft-raster: unknown partition kind $other")
   }
 
-  private val nTx = TileLayout.tilesX(p.w)
-  private val nTiles = TileLayout.numTiles(p.w, p.h)
+  private val nTxb = math.max(0, tb.txHi - tb.txLo + 1)
   private var tile = -1
   private val pathU = UTF8String.fromString(p.path)
 
-  override def next(): Boolean = { tile += 1; tile < nTiles }
+  override def next(): Boolean = { tile += 1; tile < tb.count }
 
   override def get(): InternalRow = {
-    val ty = tile / nTx
-    val tx = tile % nTx
+    val ty = tb.tyLo + tile / nTxb
+    val tx = tb.txLo + tile % nTxb
     new GenericInternalRow(columns.map[Any] {
       case "path" => pathU
       case "t"    => p.tMs

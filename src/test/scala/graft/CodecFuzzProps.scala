@@ -636,6 +636,64 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       }
     }
 
+  /** Reduced lat/lon (quasi-regular) fixture: 3.0 with a 2-octet
+    * per-row point list, rows of 5/3/4/5 points, simple 8-bit packing —
+    * byte-built here so mutations hit the list-parsing path. */
+  private lazy val gribReducedFixture: Array[Byte] = {
+    val rows = Seq(5, 3, 4, 5)
+    val vals = rows.zipWithIndex.flatMap { case (c, r) =>
+      (0 until c).map(i => r * 40 + i) }
+    val nj = rows.length
+    val sec3Len = 72 + nj * 2
+    val msgLen = 16 + 21 + sec3Len + 34 + 21 + 6 + (5 + vals.length) + 4
+    val o = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = o.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >>> 16).toInt); u16(v.toInt) }
+    o.write("GRIB".getBytes("US-ASCII")); u16(0); u8(0); u8(2)
+    u32(0); u32(msgLen.toLong)
+    u32(21); u8(1); u16(98); u16(0); u8(2); u8(1); u8(0)
+    u16(2020); u8(3); u8(1); u8(6); u8(0); u8(0); u8(0); u8(0)
+    u32(sec3Len.toLong); u8(3); u8(0); u32(vals.length.toLong)
+    u8(2); u8(1); u16(0)
+    u8(6); u8(0); u32(0); u8(0); u32(0); u8(0); u32(0)
+    u32(0xFFFFFFFFL); u32(nj.toLong)
+    u32(0); u32(0)
+    u32(52000000L); u32(4000000L)
+    u8(0x30)
+    u32(0L); u32(6000000L)
+    u32(0xFFFFFFFFL); u32(500000L); u8(0)
+    rows.foreach(u16)
+    u32(34); u8(4); u16(0); u16(0)
+    u8(1); u8(8); u8(2); u8(0); u8(0); u16(0); u8(0)
+    u8(1); u32(0L)
+    u8(1); u8(0); u32(0); u8(255); u8(0); u32(0)
+    u32(21); u8(5); u32(vals.length.toLong); u16(0)
+    u32(0L); u16(0); u16(0); u8(8); u8(0) // R=0f, E, D, bits, type
+    u32(6L); u8(6); u8(255)
+    u32(5L + vals.length); u8(7); vals.foreach(u8)
+    o.write("7777".getBytes("US-ASCII"))
+    o.toByteArray
+  }
+
+  property("grib2 reduced-grid read survives corrupt point-list bytes") =
+    Prop.forAll(mutationGen(gribReducedFixture.length)) {
+      case (kind, pos, value) =>
+        val bytes = mutate(gribReducedFixture, kind, pos, value)
+        val f = Files.createTempDirectory(tmpRoot, "gribred_case")
+          .resolve("s.grib2")
+        Files.write(f, bytes)
+        cleanOrFails(s"gribred k=$kind p=$pos v=$value") {
+          val ch = java.nio.channels.FileChannel.open(f,
+            java.nio.file.StandardOpenOption.READ)
+          try {
+            val m = graft.raster.Grib.readMeta(ch, f.toString)
+            m.fields.foreach(fd =>
+              graft.raster.Grib.decode(ch, fd, Double.MaxValue))
+          } finally ch.close()
+        }
+      }
+
   private lazy val grib1Fixture: Array[Byte] = {
     val p = tmpRoot.resolve("fuzz_stack.grib").toString
     graft.raster.Grib.writeEdition1(p,

@@ -851,6 +851,280 @@ class GribSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------- quasi-regular (reduced) grids
+
+  /** One message on a REDUCED lat/lon grid: template 3.0 with Ni/Di
+    * marked missing and a 2-octet per-row point list; simple packing
+    * (R=0, E=D=0, 8 bits). `rows` are the per-row point values. */
+  private def reducedMsg(rows: Seq[Seq[Int]], bitmap: Option[Seq[Boolean]],
+      la1: Double = 52.0, lo1: Double = 4.0, lo2: Double = 5.5,
+      dj: Double = 0.5, scan: Int = 0, interpretation: Int = 1,
+      diRaw: Long = 0xFFFFFFFFL, listSumDelta: Int = 0): Array[Byte] = {
+    val nj = rows.length
+    val numPoints = rows.map(_.length).sum + listSumDelta
+    val xs = rows.flatten
+    val stored = bitmap.map(bm => xs.zip(bm).filter(_._2).map(_._1))
+      .getOrElse(xs)
+    val sec3Len = 72 + nj * 2
+    val bitmapBytes = if (bitmap.isDefined) (numPoints + 7) / 8 else 0
+    val dataBytes = stored.length // 8 bits each
+    val msgLen = 16L + 21 + sec3Len + 34 + 21 + (6 + bitmapBytes) +
+      (5 + dataBytes) + 4
+    val b = new B
+    b.str("GRIB"); b.u16(0); b.u8(0); b.u8(2); b.u64(msgLen)
+    b.u32(21); b.u8(1); b.u16(98); b.u16(0); b.u8(2); b.u8(1); b.u8(0)
+    b.u16(2020); b.u8(3); b.u8(1); b.u8(6); b.u8(0); b.u8(0)
+    b.u8(0); b.u8(0)
+    // section 3: optOctets 2, interpretation 1 (points per row)
+    b.u32(sec3Len.toLong); b.u8(3); b.u8(0); b.u32(numPoints.toLong)
+    b.u8(2); b.u8(interpretation); b.u16(0) // template 3.0
+    b.u8(6); b.u8(0); b.u32(0); b.u8(0); b.u32(0); b.u8(0); b.u32(0)
+    b.u32(0xFFFFFFFFL) // Ni missing
+    b.u32(nj.toLong)
+    b.u32(0); b.u32(0) // basic angle, subdivisions
+    b.sm32(math.rint(la1 * 1e6).toLong); b.sm32(math.rint(lo1 * 1e6).toLong)
+    b.u8(0x30)
+    b.sm32(0L); b.sm32(math.rint(lo2 * 1e6).toLong) // la2 (ignored), lo2
+    b.u32(diRaw) // Di missing for reduced
+    b.u32(math.rint(dj * 1e6).toLong)
+    b.u8(scan)
+    rows.foreach(r => b.u16(r.length)) // the per-row point list
+    // section 4 template 4.0
+    b.u32(34); b.u8(4); b.u16(0); b.u16(0)
+    b.u8(1); b.u8(8); b.u8(2); b.u8(0); b.u8(0); b.u16(0); b.u8(0)
+    b.u8(1); b.u32(0L)
+    b.u8(1); b.u8(0); b.u32(0); b.u8(255); b.u8(0); b.u32(0)
+    // section 5 template 5.0: R=0 E=0 D=0, 8 bits
+    b.u32(21); b.u8(5); b.u32(stored.length.toLong); b.u16(0)
+    b.f32(0f); b.sm16(0); b.sm16(0); b.u8(8); b.u8(0)
+    // section 6
+    b.u32(6L + bitmapBytes); b.u8(6)
+    bitmap match {
+      case None => b.u8(255)
+      case Some(bits) =>
+        b.u8(0)
+        var acc = 0; var k = 0
+        bits.foreach { bit =>
+          acc = (acc << 1) | (if (bit) 1 else 0); k += 1
+          if (k == 8) { b.u8(acc); acc = 0; k = 0 }
+        }
+        if (k > 0) b.u8(acc << (8 - k))
+    }
+    // section 7
+    b.u32(5L + dataBytes); b.u8(7)
+    stored.foreach(b.u8)
+    b.str("7777")
+    b.result()
+  }
+
+  test("reduced lat/lon grid expands rows by nearest-neighbor longitude") {
+    val dir = Files.createTempDirectory("graft_gribred").toString
+    val rows = Seq(Seq(10, 11, 12, 13), Seq(20, 21), Seq(30, 31, 32),
+      Seq(40, 41, 42, 43))
+    val p = s"$dir/red.grib2"
+    writeFile(p, reducedMsg(rows, None))
+    val src = RasterFileSource(p)
+    // longest row is 4 wide: di = (5.5-4.0)/3 = 0.5 = dj
+    assert(src.cellSize.contains(0.5))
+    val ext = src.extent.get
+    assert(math.abs(ext.x1 - 3.75) < 1e-9 && math.abs(ext.x2 - 5.75) < 1e-9)
+    val req = RasterRequest(ext, "EPSG:4326", 4, 4, Some(T0), Some(T0))
+    val got = src.getData(req)(spark).get.values.head.toSeq
+    assert(got == Seq[Double](
+      10, 11, 12, 13,   // full row: identity
+      20, 20, 21, 21,   // 2 -> 4: src round(x/3)
+      30, 31, 31, 32,   // 3 -> 4: src round(2x/3)
+      40, 41, 42, 43), got)
+  }
+
+  test("reduced grid bitmap covers the STORED points; nodata expands too") {
+    val dir = Files.createTempDirectory("graft_gribredb").toString
+    val rows = Seq(Seq(10, 11, 12, 13), Seq(20, 21), Seq(30, 31, 32))
+    // mark row 1's second stored point (value 21) missing: 9 points,
+    // bit 5 clear
+    val present = Seq(true, true, true, true, true, false, true, true, true)
+    val p = s"$dir/redbm.grib2"
+    writeFile(p, reducedMsg(rows, Some(present)))
+    val ch = java.nio.channels.FileChannel.open(Paths.get(p),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m = Grib.readMeta(ch, p)
+      val got = Grib.decode(ch, m.fields.head, Double.NaN).toSeq
+      assert(got.take(4) == Seq[Double](10, 11, 12, 13))
+      assert(got(4) == 20 && got(5) == 20 && got(6).isNaN && got(7).isNaN)
+      assert(got.drop(8) == Seq[Double](30, 31, 31, 32))
+    } finally ch.close()
+  }
+
+  test("reduced-grid failure modes are loud and named") {
+    val dir = Files.createTempDirectory("graft_gribredf").toString
+    val rows = Seq(Seq(1, 2, 3), Seq(4, 5))
+    def readBack(p: String): Unit = {
+      val ch = java.nio.channels.FileChannel.open(Paths.get(p),
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val m = Grib.readMeta(ch, p)
+        m.fields.foreach(f => Grib.decode(ch, f, Double.NaN))
+      } finally ch.close()
+    }
+    // interpretation other than points-per-row
+    val p1 = s"$dir/interp.grib2"
+    writeFile(p1, reducedMsg(rows, None, interpretation = 3))
+    val e1 = intercept[IllegalArgumentException] { readBack(p1) }
+    assert(e1.getMessage.contains("interpretation"), e1.getMessage)
+    // Di present contradicts the reduced marking
+    val p2 = s"$dir/di.grib2"
+    writeFile(p2, reducedMsg(rows, None, diRaw = 500000L))
+    val e2 = intercept[IllegalArgumentException] { readBack(p2) }
+    assert(e2.getMessage.contains("Di missing"), e2.getMessage)
+    // list sum disagreeing with section 3's point count
+    val p3 = s"$dir/sum.grib2"
+    writeFile(p3, reducedMsg(rows, None, listSumDelta = 2))
+    val e3 = intercept[IllegalArgumentException] { readBack(p3) }
+    assert(e3.getMessage.contains("point list sums"), e3.getMessage)
+  }
+
+  // --------------------------------------- Gaussian grids (template 3.40)
+
+  /** One message on a Gaussian grid: template 3.40, N parallels
+    * pole→equator at octets 68-71; `rows` as in [[reducedMsg]] (all
+    * equal length = regular; varying + `reduced=true` = reduced
+    * Gaussian with Ni/Di missing + 2-octet point list). */
+  private def gaussMsg(rows: Seq[Seq[Int]], nPar: Int, la1: Double,
+      la2: Double, lo1: Double, lo2: Double, reduced: Boolean,
+      diMicro: Long = 500000L, scan: Int = 0): Array[Byte] = {
+    val nj = rows.length
+    val numPoints = rows.map(_.length).sum
+    val xs = rows.flatten
+    val listBytes = if (reduced) nj * 2 else 0
+    val sec3Len = 72 + listBytes
+    val dataBytes = xs.length
+    val msgLen = 16L + 21 + sec3Len + 34 + 21 + 6 + (5 + dataBytes) + 4
+    val b = new B
+    b.str("GRIB"); b.u16(0); b.u8(0); b.u8(2); b.u64(msgLen)
+    b.u32(21); b.u8(1); b.u16(98); b.u16(0); b.u8(2); b.u8(1); b.u8(0)
+    b.u16(2020); b.u8(3); b.u8(1); b.u8(6); b.u8(0); b.u8(0)
+    b.u8(0); b.u8(0)
+    b.u32(sec3Len.toLong); b.u8(3); b.u8(0); b.u32(numPoints.toLong)
+    b.u8(if (reduced) 2 else 0); b.u8(if (reduced) 1 else 0)
+    b.u16(40) // template 3.40
+    b.u8(6); b.u8(0); b.u32(0); b.u8(0); b.u32(0); b.u8(0); b.u32(0)
+    b.u32(if (reduced) 0xFFFFFFFFL else rows.head.length.toLong)
+    b.u32(nj.toLong)
+    b.u32(0); b.u32(0)
+    b.sm32(math.rint(la1 * 1e6).toLong); b.sm32(math.rint(lo1 * 1e6).toLong)
+    b.u8(0x30)
+    b.sm32(math.rint(la2 * 1e6).toLong); b.sm32(math.rint(lo2 * 1e6).toLong)
+    b.u32(if (reduced) 0xFFFFFFFFL else diMicro)
+    b.u32(nPar.toLong) // N
+    b.u8(scan)
+    if (reduced) rows.foreach(r => b.u16(r.length))
+    b.u32(34); b.u8(4); b.u16(0); b.u16(0)
+    b.u8(1); b.u8(8); b.u8(2); b.u8(0); b.u8(0); b.u16(0); b.u8(0)
+    b.u8(1); b.u32(0L)
+    b.u8(1); b.u8(0); b.u32(0); b.u8(255); b.u8(0); b.u32(0)
+    b.u32(21); b.u8(5); b.u32(xs.length.toLong); b.u16(0)
+    b.f32(0f); b.sm16(0); b.sm16(0); b.u8(8); b.u8(0)
+    b.u32(6L); b.u8(6); b.u8(255)
+    b.u32(5L + dataBytes); b.u8(7); xs.foreach(b.u8)
+    b.str("7777")
+    b.result()
+  }
+
+  /** Literature 4-point Gauss-Legendre abscissae (P4 roots) — the
+    * independent source the reader's Newton iteration is checked
+    * against. */
+  private val P4Lats: Seq[Double] =
+    Seq(0.861136311594053, 0.339981043584856, -0.339981043584856,
+      -0.861136311594053).map(x => math.toDegrees(math.asin(x)))
+
+  test("Gaussian latitudes match the literature Legendre roots") {
+    val got = Grib.gaussianLatitudes(4)
+    P4Lats.zip(got).foreach { case (want, g) =>
+      assert(math.abs(g - want) < 1e-9, s"got $g want $want")
+    }
+    // N=16 sanity: antisymmetric, strictly decreasing, inside ±90
+    val g32 = Grib.gaussianLatitudes(32)
+    assert(g32.length == 32)
+    g32.zip(g32.reverse).foreach { case (a, b) =>
+      assert(math.abs(a + b) < 1e-9) }
+    g32.sliding(2).foreach(p => assert(p(0) > p(1)))
+  }
+
+  test("regular Gaussian grid (3.40) resamples rows onto a square grid") {
+    val dir = Files.createTempDirectory("graft_gribga").toString
+    // N=2: 4 parallels at +-59.4406, +-19.8757; stored row r carries
+    // (r+1)*50 + x (8-bit packing: stay under 256)
+    val rows = (0 until 4).map(r => (0 until 4).map(x => (r + 1) * 50 + x))
+    val latN = P4Lats.head
+    val p = s"$dir/gauss.grib2"
+    writeFile(p, gaussMsg(rows, 2, latN, -latN, 4.0, 5.5, reduced = false))
+    val src = RasterFileSource(p)
+    assert(src.cellSize.contains(0.5))
+    val ch = java.nio.channels.FileChannel.open(Paths.get(p),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m = Grib.readMeta(ch, p)
+      // square target: 0.5-deg pitch over 2*59.4406 -> 239 rows
+      assert(m.w == 4 && m.h == 239, s"${m.w} x ${m.h}")
+      val got = Grib.decode(ch, m.fields.head, Double.NaN)
+      assert(got.length == 4 * 239)
+      // nearest-parallel row mapping (midpoints 39.66, 0, -39.66):
+      // sampled safely inside each band
+      def rowVals(r: Int) = got.slice(r * 4, r * 4 + 4).toSeq
+      assert(rowVals(5) == rows(0).map(_.toDouble))
+      assert(rowVals(50) == rows(1).map(_.toDouble))
+      assert(rowVals(150) == rows(2).map(_.toDouble))
+      assert(rowVals(230) == rows(3).map(_.toDouble))
+    } finally ch.close()
+  }
+
+  test("reduced Gaussian grid: row expansion and latitude resample compose") {
+    val dir = Files.createTempDirectory("graft_gribgr").toString
+    // ERA5's native shape in miniature: varying points per parallel
+    val rows = Seq(Seq(10, 11, 12, 13), Seq(20, 21), Seq(30, 31),
+      Seq(40, 41, 42, 43))
+    val latN = P4Lats.head
+    val p = s"$dir/redgauss.grib2"
+    writeFile(p, gaussMsg(rows, 2, latN, -latN, 4.0, 5.5, reduced = true))
+    val ch = java.nio.channels.FileChannel.open(Paths.get(p),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val m = Grib.readMeta(ch, p)
+      assert(m.w == 4 && m.h == 239)
+      val got = Grib.decode(ch, m.fields.head, Double.NaN)
+      def rowVals(r: Int) = got.slice(r * 4, r * 4 + 4).toSeq
+      assert(rowVals(5) == Seq[Double](10, 11, 12, 13))
+      assert(rowVals(50) == Seq[Double](20, 20, 21, 21)) // 2 -> 4 expand
+      assert(rowVals(150) == Seq[Double](30, 30, 31, 31))
+      assert(rowVals(230) == Seq[Double](40, 41, 42, 43))
+    } finally ch.close()
+  }
+
+  test("Gaussian grid failure modes are loud and named") {
+    val dir = Files.createTempDirectory("graft_gribgf").toString
+    val rows = (0 until 4).map(r => (0 until 4).map(x => r * 10 + x))
+    // la1 off every N=2 parallel
+    val p1 = s"$dir/offgrid.grib2"
+    writeFile(p1, gaussMsg(rows, 2, 50.0, -50.0, 4.0, 5.5, reduced = false))
+    val e1 = intercept[IllegalArgumentException] {
+      val ch = java.nio.channels.FileChannel.open(Paths.get(p1),
+        java.nio.file.StandardOpenOption.READ)
+      try Grib.readMeta(ch, p1) finally ch.close()
+    }
+    assert(e1.getMessage.contains("Gaussian parallels"), e1.getMessage)
+    // nj disagreeing with the parallels inside [la2, la1]
+    val p2 = s"$dir/njbad.grib2"
+    writeFile(p2, gaussMsg(rows.take(3), 2, P4Lats.head, -P4Lats.head,
+      4.0, 5.5, reduced = false))
+    val e2 = intercept[IllegalArgumentException] {
+      val ch = java.nio.channels.FileChannel.open(Paths.get(p2),
+        java.nio.file.StandardOpenOption.READ)
+      try Grib.readMeta(ch, p2) finally ch.close()
+    }
+    assert(e2.getMessage.contains("lie in"), e2.getMessage)
+  }
+
   // ------------------------------------------------- 5.41 PNG packing
 
   /** PNG bytes built directly from BufferedImage — independent of the
