@@ -26,6 +26,38 @@ object SoakR12 {
 
     val which = if (args.nonEmpty) args(0) else "neardedup"
 
+    if (which == "aoi") {
+      // spatial-pushdown probe: a 4096x4096 x 4-frame Zarr store
+      // (16x16 chunk grid per frame, 1024 chunk objects) read through
+      // the connector — full scan vs a one-tile AOI. The AOI read
+      // should open ~4 chunk objects instead of 1024.
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("soak_aoi").toString
+      val w = 4096; val h = 4096; val nf = 4
+      val frames = Seq.tabulate(nf)(t =>
+        Array.tabulate(w * h)(i => ((i + t) % 1000).toDouble))
+      graft.raster.Zarr.write(s"$dir/s.zarr", frames, w, h,
+        graft.raster.Bbox(0, 0, 409.6, 409.6), Double.MaxValue,
+        "EPSG:28992", Seq.tabulate(nf)(_ * 3600000L))
+      def time[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val df = spark.read.format("graft-raster").load(s"$dir/s.zarr")
+      for (round <- 1 to 2) {
+        val (sumFull, secFull) = time {
+          df.agg(sum(expr("aggregate(values, 0D, (a, x) -> a + x)")))
+            .collect()(0).getDouble(0)
+        }
+        val (sumAoi, secAoi) = time {
+          df.filter(col("ty") === 7 && col("tx") === 9)
+            .agg(sum(expr("aggregate(values, 0D, (a, x) -> a + x)")))
+            .collect()(0).getDouble(0)
+        }
+        println(f"""{"soak":"aoi_zarr","round":$round,"chunks":${16 * 16 * nf},"sec_full":$secFull%.3f,"sum_full":$sumFull%.1f,"sec_aoi":$secAoi%.3f,"sum_aoi":$sumAoi%.1f}""")
+      }
+    }
+
     if (which == "neardedup" || which == "neardedupttl") {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.StreamNearDedup
