@@ -461,6 +461,18 @@ object Hdf5 {
     * with fixed maximum dimensions): `addr` points at a FAHD header. */
   case class ChunkedFArray(addr: Long, chunkDims: Seq[Int],
       pageBits: Int) extends Layout
+  /** Layout v4 Extensible Array index (the HDF5 1.10 default for ONE
+    * unlimited dimension — netCDF-4's unlimited-time shape under
+    * libver 1.10 bounds): `addr` points at an EAHD header; the five
+    * creation parameters ride in the message and must agree with the
+    * header's own copy. */
+  case class ChunkedEArray(addr: Long, chunkDims: Seq[Int],
+      maxNelmtsBits: Int, idxBlkElmts: Int, supMinPtrs: Int,
+      minElmts: Int, pageBits: Int) extends Layout
+  /** Layout v4 version-2 B-tree index (HDF5 1.10+, more than one
+    * unlimited dimension): `addr` points at a BTHD header. */
+  case class ChunkedBtree2(addr: Long, chunkDims: Seq[Int],
+      nodeSize: Int) extends Layout
 
   private def parseLayout(b0: ByteBuffer): Layout = {
     val b = b0.duplicate().order(ByteOrder.LITTLE_ENDIAN)
@@ -507,12 +519,25 @@ object Hdf5 {
             require(pageBits >= 1 && pageBits <= 62,
               s"hdf5: fixed-array page bits $pageBits")
             ChunkedFArray(b.getLong, cd, pageBits)
-          case 4 => throw new IllegalArgumentException(
-            "hdf5: extensible-array chunk index (extensible datasets) " +
-              "not supported")
-          case 5 => throw new IllegalArgumentException(
-            "hdf5: v2 B-tree chunk index (unlimited dimensions) " +
-              "not supported")
+          case 4 =>
+            // Extensible Array creation parameters, in the layout
+            // message's documented order: Max Bits, Index Elements,
+            // Min POINTERS, Min Elements, Page Bits (note the header
+            // block stores min-elements before min-pointers — the
+            // reader cross-checks both copies field by field)
+            val maxBits = b.get() & 0xFF
+            val idxElmts = b.get() & 0xFF
+            val minPtrs = b.get() & 0xFF
+            val minElmts = b.get() & 0xFF
+            val pageBits = b.get() & 0xFF
+            ChunkedEArray(b.getLong, cd, maxBits, idxElmts, minPtrs,
+              minElmts, pageBits)
+          case 5 =>
+            // v2 B-tree creation parameters: node size, split percent,
+            // merge percent, then the BTHD header address
+            val nodeSize = b.getInt
+            b.get(); b.get() // split / merge percents (not needed to read)
+            ChunkedBtree2(b.getLong, cd, nodeSize)
           case t => throw new IllegalArgumentException(
             s"hdf5: chunk index type $t")
         }
@@ -725,6 +750,8 @@ object Hdf5 {
     case ChunkedSingle(_, cd, _, _) => Some(cd)
     case ChunkedImplicit(_, cd) => Some(cd)
     case ChunkedFArray(_, cd, _) => Some(cd)
+    case l: ChunkedEArray => Some(l.chunkDims)
+    case l: ChunkedBtree2 => Some(l.chunkDims)
     case _ => None
   }
 
@@ -776,6 +803,8 @@ object Hdf5 {
           (chunkOffsets(grid, cd, i), addr + i * nbytes, nbytes, 0))
       }
     case ChunkedFArray(addr, cd, _) => readFixedArray(ch, d, addr, cd)
+    case l: ChunkedEArray => readExtensibleArray(ch, d, l)
+    case l: ChunkedBtree2 => readBtree2(ch, d, l)
     case l => throw new IllegalArgumentException(s"hdf5: not chunked: $l")
   }
 
@@ -876,6 +905,386 @@ object Hdf5 {
         p += 1
       }
     }
+    out.toSeq
+  }
+
+  // ---------------- Extensible Array chunk index (1 unlimited dim) ----
+
+  /** Super-block geometry of an Extensible Array — H5EA's doubling
+    * pattern: super block u holds 2^(u/2) data blocks of
+    * minElmts·2^((u+1)/2) elements each; `startIdx` is the element
+    * offset of the super block's first element RELATIVE to the first
+    * data-block element (the index block's inline elements come before
+    * all of these). */
+  private[raster] case class EaSblk(ndblks: Long, dblkNelmts: Long,
+      startIdx: Long, startDblk: Long)
+
+  private[raster] def log2Exact(v: Int, what: String): Int = {
+    require(v >= 1 && Integer.bitCount(v) == 1,
+      s"hdf5: $what $v is not a power of two")
+    Integer.numberOfTrailingZeros(v)
+  }
+
+  private[raster] def eaSblkInfo(maxBits: Int, minElmts: Int): Array[EaSblk] = {
+    val nsblks = 1 + (maxBits - log2Exact(minElmts,
+      "extensible-array data block min elements"))
+    require(nsblks >= 1 && nsblks <= 64,
+      s"hdf5: $nsblks extensible-array super blocks")
+    var startIdx = 0L; var startDblk = 0L
+    Array.tabulate(nsblks) { u =>
+      val s = EaSblk(1L << (u / 2), minElmts.toLong << ((u + 1) / 2),
+        startIdx, startDblk)
+      startIdx += s.ndblks * s.dblkNelmts; startDblk += s.ndblks
+      s
+    }
+  }
+
+  /** Extensible Array chunk index (HDF5 1.10+, one unlimited
+    * dimension): EAHD header -> EAIB index block (inline elements +
+    * direct data-block pointers + super-block pointers) -> EASB super
+    * blocks -> EADB data blocks (paged above 2^pageBits elements, the
+    * page-init bitmap riding in the owning super block). Elements are
+    * in row-major chunk-grid order, exactly as the Fixed Array stores
+    * them; client 0 = bare chunk addresses, client 1 = filtered
+    * (address + stored size + filter mask). Checksums ride at the
+    * documented positions and are not verified, consistent with the
+    * superblock handling. Block offsets are validated as GLOBAL element
+    * indexes (inline elements included) and every block carries a
+    * back-pointer to the header — a foreign file that disagrees with
+    * either convention fails loudly rather than misdecoding. */
+  private def readExtensibleArray(ch: FileChannel, d: Dataset,
+      lm: ChunkedEArray): Seq[(Seq[Long], Long, Long, Int)] = {
+    if (lm.addr == Undef) return Seq.empty
+    val cd = lm.chunkDims
+    val grid = chunkGrid(d.dims, cd)
+    val need = grid.product
+    require(need <= (1L << 24), s"hdf5: $need extensible-array chunks")
+    // EAHD: sig(4) version(1) client(1) elemSize(1) maxNelmtsBits(1)
+    //   idxBlkElmts(1) dataBlkMinElmts(1) supBlkMinDataPtrs(1)
+    //   maxDblkPageNelmtsBits(1) | six 8-byte statistics | iblkAddr(8)
+    //   checksum(4). The header stores min-ELEMENTS before
+    //   min-POINTERS (the layout message is the other way around);
+    //   the equality check below turns a misread of either order into
+    //   a loud failure.
+    val hb = readAt(ch, lm.addr, 72)
+    val sig = new Array[Byte](4); hb.get(sig)
+    require(sig.sameElements("EAHD".getBytes("US-ASCII")),
+      s"hdf5: extensible-array header at ${lm.addr} has no EAHD signature")
+    require((hb.get() & 0xFF) == 0, "hdf5: extensible-array header version")
+    val client = hb.get() & 0xFF
+    require(client == 0 || client == 1,
+      s"hdf5: extensible-array client $client (0 chunks, 1 filtered chunks)")
+    require((client == 1) == d.filters.nonEmpty,
+      s"hdf5: extensible-array client $client disagrees with the " +
+        "dataset's filter pipeline")
+    val elemSize = hb.get() & 0xFF
+    val maxBits = hb.get() & 0xFF
+    val idxElmts = hb.get() & 0xFF
+    val minElmts = hb.get() & 0xFF
+    val minPtrs = hb.get() & 0xFF
+    val pageBits = hb.get() & 0xFF
+    require(maxBits == lm.maxNelmtsBits && idxElmts == lm.idxBlkElmts &&
+      minPtrs == lm.supMinPtrs && minElmts == lm.minElmts &&
+      pageBits == lm.pageBits,
+      s"hdf5: extensible-array header parameters ($maxBits, $idxElmts, " +
+        s"$minPtrs, $minElmts, $pageBits) disagree with the layout " +
+        s"message (${lm.maxNelmtsBits}, ${lm.idxBlkElmts}, " +
+        s"${lm.supMinPtrs}, ${lm.minElmts}, ${lm.pageBits})")
+    require(maxBits >= 1 && maxBits <= 64,
+      s"hdf5: extensible-array max element bits $maxBits")
+    hb.position(hb.position() + 48) // block/element statistics
+    val iblkAddr = hb.getLong
+    if (iblkAddr == Undef) return Seq.empty
+
+    val sizeLen = elemSize - 12
+    if (client == 0) require(elemSize == 8,
+      s"hdf5: extensible-array element size $elemSize for bare addresses")
+    else require(sizeLen >= 1 && sizeLen <= 8,
+      s"hdf5: extensible-array element size $elemSize for filtered chunks")
+    val unfilteredBytes = cd.map(_.toLong).product * d.t.size
+    val arrOffSize = (maxBits + 7) / 8
+    val pageNelmts = 1L << math.min(pageBits, 62)
+    val sblks = eaSblkInfo(maxBits, minElmts)
+    val nsblksDirect = 2 * log2Exact(minPtrs,
+      "extensible-array super block min data pointers")
+    require(nsblksDirect <= sblks.length,
+      s"hdf5: extensible-array geometry holds ${sblks.length} super " +
+        s"blocks, fewer than the $nsblksDirect covered by the index block")
+    val nDirDblks = sblks.take(nsblksDirect).map(_.ndblks).sum.toInt
+    require(nDirDblks == 2 * (minPtrs - 1),
+      s"hdf5: extensible-array index block holds $nDirDblks direct data " +
+        s"blocks, expected ${2 * (minPtrs - 1)}")
+    val nsblkAddrs = sblks.length - nsblksDirect
+
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[Long], Long, Long, Int)]
+    def element(eb: ByteBuffer): (Long, Long, Int) = {
+      val a = eb.getLong
+      if (client == 0) (a, unfilteredBytes, 0)
+      else {
+        var v = 0L
+        for (k <- 0 until sizeLen) v |= (eb.get() & 0xFFL) << (8 * k)
+        (a, v, eb.getInt)
+      }
+    }
+    def emit(globalIdx: Long, a: Long, nb: Long, mask: Int): Unit =
+      if (globalIdx < need)
+        { if (a != Undef) out += ((chunkOffsets(grid, cd, globalIdx), a, nb, mask)) }
+      else require(a == Undef,
+        s"hdf5: extensible-array element $globalIdx outside the " +
+          s"${grid.mkString("x")} chunk grid is allocated")
+    def offField(bb: ByteBuffer): Long = {
+      var v = 0L
+      for (k <- 0 until arrOffSize) v |= (bb.get() & 0xFFL) << (8 * k)
+      v
+    }
+
+    /** One data block holding `nelmts` element slots whose first slot
+      * is global element `startElem`; `pageInit(p)` gates paged reads. */
+    def readDblk(at: Long, startElem: Long, nelmts: Long,
+        pageInit: Int => Boolean): Unit = {
+      val pre = readAt(ch, at, 14 + arrOffSize)
+      val s4 = new Array[Byte](4); pre.get(s4)
+      require(s4.sameElements("EADB".getBytes("US-ASCII")),
+        s"hdf5: extensible-array data block at $at has no EADB signature")
+      require((pre.get() & 0xFF) == 0,
+        "hdf5: extensible-array data block version")
+      require((pre.get() & 0xFF) == client,
+        "hdf5: data block client disagrees with the header")
+      require(pre.getLong == lm.addr,
+        "hdf5: data block does not point back at its header")
+      val boff = offField(pre)
+      require(boff == startElem,
+        s"hdf5: data block at $at has block offset $boff, expected $startElem")
+      if (nelmts <= pageNelmts) {
+        val eb = readAt(ch, at + 14 + arrOffSize, (nelmts * elemSize).toInt)
+        var j = 0L
+        while (j < nelmts) {
+          val (a, nb, m) = element(eb); emit(startElem + j, a, nb, m); j += 1
+        }
+      } else {
+        require(nelmts % pageNelmts == 0,
+          s"hdf5: paged data block of $nelmts elements does not divide " +
+            s"into $pageNelmts-element pages")
+        val npages = (nelmts / pageNelmts).toInt
+        // paged shape: prefix + its checksum, then fixed-size pages of
+        // pageNelmts elements + per-page checksum (uninitialized pages
+        // occupy their slot but are never read)
+        var pageAt = at + 14 + arrOffSize + 4
+        for (p <- 0 until npages) {
+          if (pageInit(p)) {
+            val eb = readAt(ch, pageAt, (pageNelmts * elemSize).toInt)
+            var j = 0L
+            while (j < pageNelmts) {
+              val (a, nb, m) = element(eb)
+              emit(startElem + p * pageNelmts + j, a, nb, m); j += 1
+            }
+          }
+          pageAt += pageNelmts * elemSize + 4
+        }
+      }
+    }
+
+    // EAIB: sig(4) version(1) client(1) headerAddr(8), idxElmts inline
+    // element slots, nDirDblks data-block addresses, nsblkAddrs super-
+    // block addresses, checksum(4) — fixed size, Undef where unset
+    val iblkSize = 14 + idxElmts * elemSize + (nDirDblks + nsblkAddrs) * 8 + 4
+    val ib = readAt(ch, iblkAddr, iblkSize)
+    val is4 = new Array[Byte](4); ib.get(is4)
+    require(is4.sameElements("EAIB".getBytes("US-ASCII")),
+      s"hdf5: extensible-array index block at $iblkAddr has no EAIB signature")
+    require((ib.get() & 0xFF) == 0, "hdf5: extensible-array index block version")
+    require((ib.get() & 0xFF) == client,
+      "hdf5: index block client disagrees with the header")
+    require(ib.getLong == lm.addr,
+      "hdf5: index block does not point back at its header")
+    for (j <- 0 until idxElmts) {
+      val (a, nb, m) = element(ib); emit(j.toLong, a, nb, m)
+    }
+    val dirDblkAddrs = Array.fill(nDirDblks)(ib.getLong)
+    val sblkAddrs = Array.fill(nsblkAddrs)(ib.getLong)
+
+    for (g <- 0 until nDirDblks; if dirDblkAddrs(g) != Undef) {
+      val s = sblks(sblks.lastIndexWhere(_.startDblk <= g))
+      require(s.dblkNelmts <= pageNelmts,
+        "hdf5: paged data block pointed directly from the index block " +
+          "not supported")
+      readDblk(dirDblkAddrs(g),
+        idxElmts + s.startIdx + (g - s.startDblk) * s.dblkNelmts,
+        s.dblkNelmts, _ => true)
+    }
+
+    // EASB: sig(4) version(1) client(1) headerAddr(8)
+    //   blockOffset(arrOffSize) [page-init bitmap when its data blocks
+    //   are paged] ndblks data-block addresses, checksum(4)
+    for (k <- 0 until nsblkAddrs; if sblkAddrs(k) != Undef) {
+      val s = sblks(nsblksDirect + k)
+      val paged = s.dblkNelmts > pageNelmts
+      val npgs = if (paged) {
+        require(s.dblkNelmts % pageNelmts == 0,
+          s"hdf5: paged data block of ${s.dblkNelmts} elements does not " +
+            s"divide into $pageNelmts-element pages")
+        (s.dblkNelmts / pageNelmts).toInt
+      } else 0
+      val bmBytes = if (paged) ((s.ndblks * npgs + 7) / 8).toInt else 0
+      val sbSize = 14 + arrOffSize + bmBytes + s.ndblks.toInt * 8 + 4
+      val sb = readAt(ch, sblkAddrs(k), sbSize)
+      val ss4 = new Array[Byte](4); sb.get(ss4)
+      require(ss4.sameElements("EASB".getBytes("US-ASCII")),
+        s"hdf5: extensible-array super block at ${sblkAddrs(k)} has no " +
+          "EASB signature")
+      require((sb.get() & 0xFF) == 0,
+        "hdf5: extensible-array super block version")
+      require((sb.get() & 0xFF) == client,
+        "hdf5: super block client disagrees with the header")
+      require(sb.getLong == lm.addr,
+        "hdf5: super block does not point back at its header")
+      val boff = offField(sb)
+      require(boff == idxElmts + s.startIdx,
+        s"hdf5: super block at ${sblkAddrs(k)} has block offset $boff, " +
+          s"expected ${idxElmts + s.startIdx}")
+      val bm = new Array[Byte](bmBytes); sb.get(bm)
+      val dblkAddrs = Array.fill(s.ndblks.toInt)(sb.getLong)
+      for (j <- dblkAddrs.indices; if dblkAddrs(j) != Undef)
+        readDblk(dblkAddrs(j),
+          idxElmts + s.startIdx + j * s.dblkNelmts, s.dblkNelmts,
+          p => (bm((j * npgs + p) / 8) >> ((j * npgs + p) % 8) & 1) != 0)
+    }
+    out.toSeq
+  }
+
+  // ---------------- v2 B-tree chunk index (>1 unlimited dim) ---------
+
+  /** Bytes needed to encode values up to `limit` (H5VM_limit_enc_size:
+    * floor(log2(limit))/8 + 1). */
+  private def limitEncSize(limit: Long): Int = {
+    require(limit >= 1, s"hdf5: v2 B-tree record capacity $limit")
+    (63 - java.lang.Long.numberOfLeadingZeros(limit)) / 8 + 1
+  }
+
+  /** v2 B-tree chunk index (HDF5 1.10+, more than one unlimited
+    * dimension): BTHD header -> BTLF leaf (depth 0) or one BTIN
+    * internal level over leaves (depth 1; deeper trees fail loudly by
+    * name). Record type 10 = unfiltered chunks (address + SCALED
+    * offsets, i.e. chunk-grid coordinates), type 11 = filtered
+    * (+ stored size + filter mask). Internal nodes store all records
+    * first, then the child node pointers (address + record count in
+    * the minimal byte width for a leaf's capacity). The total-record
+    * count in the header must equal the records walked — a structural
+    * mismatch is loud. */
+  private def readBtree2(ch: FileChannel, d: Dataset,
+      lm: ChunkedBtree2): Seq[(Seq[Long], Long, Long, Int)] = {
+    if (lm.addr == Undef) return Seq.empty
+    val cd = lm.chunkDims
+    val grid = chunkGrid(d.dims, cd)
+    // BTHD: sig(4) version(1) type(1) nodeSize(4) recordSize(2)
+    //   depth(2) splitPercent(1) mergePercent(1) rootAddr(8)
+    //   rootNrec(2) totalNrec(8) checksum(4)
+    val hb = readAt(ch, lm.addr, 38)
+    val sig = new Array[Byte](4); hb.get(sig)
+    require(sig.sameElements("BTHD".getBytes("US-ASCII")),
+      s"hdf5: v2 B-tree header at ${lm.addr} has no BTHD signature")
+    require((hb.get() & 0xFF) == 0, "hdf5: v2 B-tree header version")
+    val rtype = hb.get() & 0xFF
+    require(rtype == 10 || rtype == 11,
+      s"hdf5: v2 B-tree record type $rtype (10 unfiltered / 11 filtered " +
+        "dataset chunks)")
+    require((rtype == 11) == d.filters.nonEmpty,
+      s"hdf5: v2 B-tree record type $rtype disagrees with the dataset's " +
+        "filter pipeline")
+    val nodeSize = hb.getInt
+    require(nodeSize == lm.nodeSize,
+      s"hdf5: v2 B-tree node size $nodeSize disagrees with the layout " +
+        s"message (${lm.nodeSize})")
+    val recSize = hb.getShort & 0xFFFF
+    val depth = hb.getShort & 0xFFFF
+    hb.get(); hb.get() // split / merge percents
+    val rootAddr = hb.getLong
+    val rootNrec = hb.getShort & 0xFFFF
+    val totalNrec = hb.getLong
+    if (rootAddr == Undef) return Seq.empty
+    require(depth <= 1,
+      s"hdf5: v2 B-tree depth $depth not supported (root leaf or one " +
+        "internal level)")
+    val rank = d.rank
+    val sizeLen = recSize - 12 - 8 * rank
+    if (rtype == 10) require(recSize == 8 + 8 * rank,
+      s"hdf5: v2 B-tree record size $recSize for rank-$rank unfiltered chunks")
+    else require(sizeLen >= 1 && sizeLen <= 8,
+      s"hdf5: v2 B-tree record size $recSize for rank-$rank filtered chunks")
+    val unfilteredBytes = cd.map(_.toLong).product * d.t.size
+    val leafCap = (nodeSize - 10) / recSize
+    require(leafCap >= 1, s"hdf5: v2 B-tree node size $nodeSize holds no " +
+      s"$recSize-byte records")
+    val nrecWidth = limitEncSize(leafCap)
+    require(totalNrec <= (1L << 24), s"hdf5: $totalNrec v2 B-tree records")
+
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[Long], Long, Long, Int)]
+    def record(bb: ByteBuffer): Unit = {
+      val a = bb.getLong
+      require(a != Undef, "hdf5: v2 B-tree chunk record with an " +
+        "undefined address")
+      val (nb, mask) =
+        if (rtype == 10) (unfilteredBytes, 0)
+        else {
+          var v = 0L
+          for (k <- 0 until sizeLen) v |= (bb.get() & 0xFFL) << (8 * k)
+          (v, bb.getInt)
+        }
+      val offs = Seq.tabulate(rank) { k =>
+        val scaled = bb.getLong
+        require(scaled >= 0 && scaled < grid(k),
+          s"hdf5: v2 B-tree chunk at scaled offset $scaled outside axis " +
+            s"$k of the ${grid.mkString("x")} chunk grid")
+        scaled * cd(k)
+      }
+      out += ((offs, a, nb, mask))
+    }
+    def leaf(at: Long, nrec: Int): Unit = {
+      val bb = readAt(ch, at, 6 + nrec * recSize + 4)
+      val s4 = new Array[Byte](4); bb.get(s4)
+      require(s4.sameElements("BTLF".getBytes("US-ASCII")),
+        s"hdf5: v2 B-tree leaf at $at has no BTLF signature")
+      require((bb.get() & 0xFF) == 0, "hdf5: v2 B-tree leaf version")
+      require((bb.get() & 0xFF) == rtype,
+        "hdf5: leaf record type disagrees with the header")
+      for (_ <- 0 until nrec) record(bb)
+    }
+    if (depth == 0) leaf(rootAddr, rootNrec)
+    else {
+      // BTIN: sig(4) version(1) type(1), rootNrec records, then
+      // rootNrec+1 child pointers (address + record count), checksum
+      val sz = 6 + rootNrec * recSize + (rootNrec + 1) * (8 + nrecWidth) + 4
+      val bb = readAt(ch, rootAddr, sz)
+      val s4 = new Array[Byte](4); bb.get(s4)
+      require(s4.sameElements("BTIN".getBytes("US-ASCII")),
+        s"hdf5: v2 B-tree internal node at $rootAddr has no BTIN signature")
+      require((bb.get() & 0xFF) == 0, "hdf5: v2 B-tree internal version")
+      require((bb.get() & 0xFF) == rtype,
+        "hdf5: internal record type disagrees with the header")
+      val sepAt = out.length
+      for (_ <- 0 until rootNrec) record(bb)
+      val seps = out.slice(sepAt, sepAt + rootNrec).toList
+      out.remove(sepAt, rootNrec)
+      val children = Seq.fill(rootNrec + 1) {
+        val a = bb.getLong
+        var nrec = 0L
+        for (k <- 0 until nrecWidth) nrec |= (bb.get() & 0xFFL) << (8 * k)
+        (a, nrec.toInt)
+      }
+      children.zipWithIndex.foreach { case ((a, nrec), i) =>
+        require(a != Undef, "hdf5: v2 B-tree child pointer with an " +
+          "undefined address")
+        require(nrec >= 1 && nrec <= leafCap,
+          s"hdf5: v2 B-tree child holds $nrec records (leaf capacity $leafCap)")
+        leaf(a, nrec)
+        if (i < seps.length) out += seps(i)
+      }
+    }
+    require(out.length.toLong == totalNrec,
+      s"hdf5: v2 B-tree walked ${out.length} records, the header " +
+        s"promises $totalNrec")
     out.toSeq
   }
 
@@ -1287,20 +1696,32 @@ object Hdf5Write {
 
   /** Write a (time,y,x) stack as one NetCDF-4-shaped HDF5 file. */
   /** `chunkIndex` selects the data variable's chunk index encoding:
-    * "btree1" (v3 layout + v1 chunk B-tree, the pre-1.10 shape) or
+    * "btree1" (v3 layout + v1 chunk B-tree, the pre-1.10 shape),
     * "farray" (v4 layout + Fixed Array, what HDF5 1.10+ emits for
-    * fixed-size datasets); `faPageBits` is the Fixed Array page size
-    * exponent (1.10's default 10; small values force the paged data
-    * block shape). */
+    * fixed-size datasets), "earray" (v4 + Extensible Array, the 1.10
+    * shape for one unlimited dimension), or "btree2" (v4 + version-2
+    * B-tree, >1 unlimited dimension). `faPageBits` is the Fixed Array
+    * page size exponent (1.10's default 10; small values force the
+    * paged data block shape); the `ea*` parameters are the Extensible
+    * Array creation parameters (defaults are HDF5 1.10's; small values
+    * force super blocks and paged data blocks); `b2NodeSize` is the v2
+    * B-tree node size (small values force an internal level). */
   def write(path: String, bands: Seq[Array[Double]], w: Int, h: Int,
       bbox: Bbox, noData: Double, projection: String, timesMs: Seq[Long],
       dtypeName: String = "float64", varName: String = "band1",
       chunkRows: Int = 256, chunkIndex: String = "btree1",
-      faPageBits: Int = 10): Unit = {
-    require(chunkIndex == "btree1" || chunkIndex == "farray",
-      s"hdf5: chunk index '$chunkIndex' (btree1 or farray)")
+      faPageBits: Int = 10, eaIdxBlkElmts: Int = 4, eaMinElmts: Int = 16,
+      eaSupMinPtrs: Int = 4, eaPageBits: Int = 10,
+      b2NodeSize: Int = 512): Unit = {
+    require(Seq("btree1", "farray", "earray", "btree2").contains(chunkIndex),
+      s"hdf5: chunk index '$chunkIndex' (btree1, farray, earray or btree2)")
     require(faPageBits >= 1 && faPageBits <= 20,
       s"hdf5: faPageBits $faPageBits")
+    require(eaIdxBlkElmts >= 1 && eaIdxBlkElmts <= 255 &&
+      eaPageBits >= 1 && eaPageBits <= 20,
+      s"hdf5: extensible-array parameters ($eaIdxBlkElmts, $eaPageBits)")
+    require(b2NodeSize >= 64 && b2NodeSize <= (1 << 20),
+      s"hdf5: b2NodeSize $b2NodeSize")
     require(bands.nonEmpty && bands.forall(_.length == w * h),
       "band size must equal w*h")
     require(timesMs.length == bands.length, "one time per frame required")
@@ -1356,7 +1777,8 @@ object Hdf5Write {
       math.min(8, 1 + ((63 - java.lang.Long.numberOfLeadingZeros(
         chunkBytes)) + 8) / 8)
     }
-    if (chunkIndex == "btree1") {
+    chunkIndex match {
+    case "btree1" =>
       b.u32(0x45455254); b.u8(1); b.u8(0); b.u16(chunkEntries.length)
       b.u64(Undef); b.u64(Undef)
       chunkEntries.foreach { case (offs, addr, nbytes) =>
@@ -1365,7 +1787,179 @@ object Hdf5Write {
         b.u64(addr)
       }
       b.u32(0); b.u32(0); (0 to 3).foreach(_ => b.u64(0))
-    } else {
+    case "earray" =>
+      // Extensible Array, client 1 (filtered chunks): EAHD first (the
+      // layout message points at it), then data blocks, super blocks
+      // and the index block — children before parents so addresses are
+      // known when referenced; the header's index-block address is
+      // patched last. Element i is chunk i in row-major chunk-grid
+      // order (= the emission order above). Checksums ride as zeros
+      // (unverified by the reader, as elsewhere).
+      val n = chunkEntries.length
+      val maxBits = 32
+      val elemSize = 8 + faSizeLen + 4
+      val arrOffSize = (maxBits + 7) / 8
+      val pageNelmts = 1L << eaPageBits
+      val sblks = Hdf5.eaSblkInfo(maxBits, eaMinElmts)
+      val nsblksDirect = 2 * Hdf5.log2Exact(eaSupMinPtrs,
+        "extensible-array super block min data pointers")
+      val nDirDblks = sblks.take(nsblksDirect).map(_.ndblks).sum.toInt
+      val nsblkAddrs = sblks.length - nsblksDirect
+      def elemSlot(idx: Long): Unit =
+        if (idx < n) {
+          val (_, addr, nb) = chunkEntries(idx.toInt)
+          b.u64(addr)
+          for (k <- 0 until faSizeLen) b.u8(((nb >> (8 * k)) & 0xFF).toInt)
+          b.u32(0) // filter mask
+        } else {
+          b.u64(Undef)
+          for (_ <- 0 until faSizeLen) b.u8(0)
+          b.u32(0)
+        }
+      def sblkOf(g: Long): Hdf5.EaSblk =
+        sblks(sblks.lastIndexWhere(_.startDblk <= g))
+      def dblkStart(g: Long): Long = {
+        val s = sblkOf(g)
+        eaIdxBlkElmts + s.startIdx + (g - s.startDblk) * s.dblkNelmts
+      }
+      val usedDblks =
+        (0L until sblks.map(_.ndblks).sum).takeWhile(dblkStart(_) < n)
+      // EAHD (header min-ELEMENTS before min-POINTERS; the layout
+      // message swaps them — the reader cross-checks both copies)
+      b.bytes("EAHD".getBytes("US-ASCII"))
+      b.u8(0); b.u8(1); b.u8(elemSize); b.u8(maxBits)
+      b.u8(eaIdxBlkElmts); b.u8(eaMinElmts); b.u8(eaSupMinPtrs)
+      b.u8(eaPageBits)
+      // statistics (not load-bearing for the reader): super blocks,
+      // super block bytes, data blocks, data block bytes, max index
+      // set, elements realized
+      b.u64(0); b.u64(0); b.u64(usedDblks.length.toLong); b.u64(0)
+      b.u64(n.toLong); b.u64(n.toLong)
+      val iblkPatch = b.pos; b.u64(0); b.u32(0)
+      val dblkAddr = scala.collection.mutable.Map.empty[Long, Long]
+      for (g <- usedDblks) {
+        val s = sblkOf(g)
+        val start = dblkStart(g)
+        if (g < nDirDblks) require(s.dblkNelmts <= pageNelmts,
+          "hdf5: a data block pointed directly from the index block " +
+            "must not be paged (raise eaPageBits)")
+        dblkAddr(g) = b.pos
+        b.bytes("EADB".getBytes("US-ASCII"))
+        b.u8(0); b.u8(1); b.u64(idxAddr)
+        for (k <- 0 until arrOffSize) b.u8(((start >> (8 * k)) & 0xFF).toInt)
+        if (s.dblkNelmts <= pageNelmts) {
+          for (j <- 0L until s.dblkNelmts) elemSlot(start + j)
+          b.u32(0)
+        } else {
+          require(s.dblkNelmts % pageNelmts == 0,
+            "hdf5: page size must divide the data block")
+          b.u32(0) // prefix checksum; fixed-size pages follow
+          for (p <- 0L until s.dblkNelmts / pageNelmts) {
+            for (j <- 0L until pageNelmts) elemSlot(start + p * pageNelmts + j)
+            b.u32(0)
+          }
+        }
+      }
+      val sblkAddrOf = scala.collection.mutable.Map.empty[Int, Long]
+      for (u <- nsblksDirect until sblks.length) {
+        val s = sblks(u)
+        if ((0L until s.ndblks).exists(j => dblkAddr.contains(s.startDblk + j))) {
+          sblkAddrOf(u) = b.pos
+          b.bytes("EASB".getBytes("US-ASCII"))
+          b.u8(0); b.u8(1); b.u64(idxAddr)
+          val boff = eaIdxBlkElmts + s.startIdx
+          for (k <- 0 until arrOffSize) b.u8(((boff >> (8 * k)) & 0xFF).toInt)
+          if (s.dblkNelmts > pageNelmts) {
+            // page-init bitmap: every page of an allocated data block
+            val npgs = (s.dblkNelmts / pageNelmts).toInt
+            val bm = new Array[Byte]((s.ndblks.toInt * npgs + 7) / 8)
+            for (j <- 0 until s.ndblks.toInt
+                 if dblkAddr.contains(s.startDblk + j); p <- 0 until npgs) {
+              val bit = j * npgs + p
+              bm(bit / 8) = (bm(bit / 8) | (1 << (bit % 8))).toByte
+            }
+            b.bytes(bm)
+          }
+          for (j <- 0 until s.ndblks.toInt)
+            b.u64(dblkAddr.getOrElse(s.startDblk + j, Undef))
+          b.u32(0)
+        }
+      }
+      val iblkAt = b.pos
+      b.bytes("EAIB".getBytes("US-ASCII"))
+      b.u8(0); b.u8(1); b.u64(idxAddr)
+      for (j <- 0 until eaIdxBlkElmts) elemSlot(j.toLong)
+      for (g <- 0 until nDirDblks) b.u64(dblkAddr.getOrElse(g.toLong, Undef))
+      for (k <- 0 until nsblkAddrs)
+        b.u64(sblkAddrOf.getOrElse(nsblksDirect + k, Undef))
+      b.u32(0)
+      b.patch64(iblkPatch, iblkAt)
+    case "btree2" =>
+      // v2 B-tree, record type 11 (filtered chunks): BTHD first (the
+      // layout message points at it; the root address is patched),
+      // then leaves, then the internal root when one leaf cannot hold
+      // every record. Records are (address, stored size, filter mask,
+      // SCALED offsets) in row-major chunk-grid order; internal nodes
+      // store all records first, then the child pointers.
+      val n = chunkEntries.length
+      val cdims = Seq(1, cR, w)
+      val recSize = 8 + faSizeLen + 4 + 8 * cdims.length
+      val leafCap = (b2NodeSize - 10) / recSize
+      require(leafCap >= 2, s"hdf5: v2 B-tree node size $b2NodeSize holds " +
+        s"$leafCap $recSize-byte records; need at least 2")
+      val nrecWidth =
+        (63 - java.lang.Long.numberOfLeadingZeros(leafCap.toLong)) / 8 + 1
+      def record(i: Int): Unit = {
+        val (offs, addr, nb) = chunkEntries(i)
+        b.u64(addr)
+        for (k <- 0 until faSizeLen) b.u8(((nb >> (8 * k)) & 0xFF).toInt)
+        b.u32(0)
+        offs.zip(cdims).foreach { case (o, c) => b.u64(o / c) }
+      }
+      val depth = if (n <= leafCap) 0 else 1
+      val nleaves = if (depth == 0) 1 else (n + 1 + leafCap) / (leafCap + 1)
+      val rootNrec = if (depth == 0) n else nleaves - 1
+      b.bytes("BTHD".getBytes("US-ASCII"))
+      b.u8(0); b.u8(11); b.u32(b2NodeSize); b.u16(recSize)
+      b.u16(depth); b.u8(100); b.u8(40) // split / merge percents
+      val rootPatch = b.pos; b.u64(0)
+      b.u16(rootNrec); b.u64(n.toLong); b.u32(0)
+      if (depth == 0) {
+        val at = b.pos
+        b.bytes("BTLF".getBytes("US-ASCII")); b.u8(0); b.u8(11)
+        for (i <- 0 until n) record(i)
+        b.u32(0)
+        b.patch64(rootPatch, at)
+      } else {
+        require(6 + rootNrec * recSize + nleaves * (8 + nrecWidth) + 4
+          <= b2NodeSize,
+          "hdf5: chunk count needs a deeper v2 B-tree than this writer " +
+            "emits (raise b2NodeSize)")
+        val leafRecs = n - (nleaves - 1)
+        val base = leafRecs / nleaves; val extra = leafRecs % nleaves
+        var cursor = 0
+        val seps = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val leaves = (0 until nleaves).map { l =>
+          val cnt = base + (if (l < extra) 1 else 0)
+          val at = b.pos
+          b.bytes("BTLF".getBytes("US-ASCII")); b.u8(0); b.u8(11)
+          for (_ <- 0 until cnt) { record(cursor); cursor += 1 }
+          b.u32(0)
+          if (l < nleaves - 1) { seps += cursor; cursor += 1 }
+          (at, cnt)
+        }
+        require(cursor == n, "hdf5: v2 B-tree record distribution bug")
+        val rootAt = b.pos
+        b.bytes("BTIN".getBytes("US-ASCII")); b.u8(0); b.u8(11)
+        seps.foreach(record)
+        leaves.foreach { case (at, cnt) =>
+          b.u64(at)
+          for (k <- 0 until nrecWidth) b.u8((cnt >> (8 * k)) & 0xFF)
+        }
+        b.u32(0)
+        b.patch64(rootPatch, rootAt)
+      }
+    case _ =>
       // Fixed Array index, client 1 (filtered chunks): FAHD + FADB in
       // the 1.10 on-disk shape; checksums ride as zeros (unverified by
       // the reader, as elsewhere)
@@ -1436,20 +2030,45 @@ object Hdf5Write {
         l.putShort(1); l.putShort(0); l.putShort(0); l.putShort(1)
         l.putInt(6); l.putInt(0)
       }),
-      if (chunkIndex == "btree1")
-        msg(0x0008, le(11 + 4 * 4) { l =>
-          l.put(3.toByte); l.put(2.toByte); l.put(4.toByte)
-          l.putLong(idxAddr)
-          l.putInt(1); l.putInt(cR); l.putInt(w); l.putInt(dt.size)
-        })
-      else
-        msg(0x0008, le(5 + 4 * 4 + 2 + 8) { l => // layout v4 + fixed array
-          l.put(4.toByte); l.put(2.toByte); l.put(0.toByte)
-          l.put(4.toByte); l.put(4.toByte) // dimensionality, dim width
-          l.putInt(1); l.putInt(cR); l.putInt(w); l.putInt(dt.size)
-          l.put(3.toByte); l.put(faPageBits.toByte)
-          l.putLong(idxAddr)
-        }),
+      chunkIndex match {
+        case "btree1" =>
+          msg(0x0008, le(11 + 4 * 4) { l =>
+            l.put(3.toByte); l.put(2.toByte); l.put(4.toByte)
+            l.putLong(idxAddr)
+            l.putInt(1); l.putInt(cR); l.putInt(w); l.putInt(dt.size)
+          })
+        case "farray" =>
+          msg(0x0008, le(5 + 4 * 4 + 2 + 8) { l => // layout v4 + fixed array
+            l.put(4.toByte); l.put(2.toByte); l.put(0.toByte)
+            l.put(4.toByte); l.put(4.toByte) // dimensionality, dim width
+            l.putInt(1); l.putInt(cR); l.putInt(w); l.putInt(dt.size)
+            l.put(3.toByte); l.put(faPageBits.toByte)
+            l.putLong(idxAddr)
+          })
+        case "earray" =>
+          // layout v4 + extensible array: Max Bits, Index Elements,
+          // Min POINTERS, Min Elements, Page Bits (the EAHD block
+          // stores min-elements first — the reader checks both copies)
+          msg(0x0008, le(5 + 4 * 4 + 6 + 8) { l =>
+            l.put(4.toByte); l.put(2.toByte); l.put(0.toByte)
+            l.put(4.toByte); l.put(4.toByte)
+            l.putInt(1); l.putInt(cR); l.putInt(w); l.putInt(dt.size)
+            l.put(4.toByte); l.put(32.toByte); l.put(eaIdxBlkElmts.toByte)
+            l.put(eaSupMinPtrs.toByte); l.put(eaMinElmts.toByte)
+            l.put(eaPageBits.toByte)
+            l.putLong(idxAddr)
+          })
+        case _ =>
+          // layout v4 + v2 B-tree: node size, split/merge percents
+          msg(0x0008, le(5 + 4 * 4 + 7 + 8) { l =>
+            l.put(4.toByte); l.put(2.toByte); l.put(0.toByte)
+            l.put(4.toByte); l.put(4.toByte)
+            l.putInt(1); l.putInt(cR); l.putInt(w); l.putInt(dt.size)
+            l.put(5.toByte); l.putInt(b2NodeSize)
+            l.put(100.toByte); l.put(40.toByte)
+            l.putLong(idxAddr)
+          })
+      },
       msg(0x000C, dblAttr("_FillValue", noData)),
       msg(0x000C, strAttr("grid_mapping", "crs"))))
 

@@ -90,6 +90,30 @@ object Scratch {
     println(s"zarr: kind=${zr.getClass.getSimpleName} proj=${zr.projection} " +
       s"times=${zr.allTimes.size} rows=${zr.frame(req).count()}")
 
+    // ---- round 12: HDF5 1.10 Extensible Array / v2 B-tree chunk
+    // indexes, end-to-end through the public source + DSv2 connector
+    val dirIdx = java.nio.file.Files.createTempDirectory("scratch_idx").toString
+    val bands3 = Seq(Array.tabulate(64)(_ * 1.0),
+      Array.tabulate(64)(_ * 2.0), Array.tabulate(64)(i => (i % 7).toDouble))
+    for (ci <- Seq("btree1", "farray", "earray", "btree2")) {
+      val p = s"$dirIdx/$ci.nc"
+      Hdf5Write.write(p, bands3, 8, 8, Bbox(135000, 455996, 135004, 456000),
+        255, "EPSG:28992", Seq(0L, 3600000L, 7200000L), "float64",
+        chunkRows = 1, chunkIndex = ci,
+        eaIdxBlkElmts = 1, eaMinElmts = 2, eaSupMinPtrs = 2, eaPageBits = 2)
+      val src = Hdf5Source(p)
+      val res = src.getData(req.copy(stop = Some(
+        java.time.Instant.ofEpochMilli(7200000L)))).get
+      val sums = res.values.map(_.sum).mkString(",")
+      val df = spark.read.format("graft-raster").load(p)
+        .filter(col("t") === 3600000L)
+        .select(org.apache.spark.sql.functions.explode(col("values"))
+          .as("value"))
+        .agg(org.apache.spark.sql.functions.sum(col("value")))
+      println(s"h5-index[$ci]: frames=${res.values.length} sums=[$sums] " +
+        s"dsv2_t1_sum=${df.head.getDouble(0)}")
+    }
+
     spark.stop()
   }
 }

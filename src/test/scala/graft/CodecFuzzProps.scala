@@ -415,6 +415,50 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       }
     }
 
+  /** Small creation parameters force the full block graph (index /
+    * super / paged data blocks; an internal B-tree level), so the
+    * mutation sweep actually lands in the new structures. */
+  private lazy val h5EaFixture: Array[Byte] = {
+    val p = tmpRoot.resolve("fuzz_ea.h5").toString
+    graft.raster.Hdf5Write.write(p,
+      Seq(Array.tabulate(64)(_ * 0.5), Array.tabulate(64)(_ * 2.0),
+        Array.tabulate(64)(i => (i % 7).toDouble)),
+      8, 8, Bbox(0, 0, 8, 8), -9999.0, "EPSG:28992",
+      Seq(0L, 3600000L, 7200000L), "float64", chunkRows = 1,
+      chunkIndex = "earray", eaIdxBlkElmts = 1, eaMinElmts = 2,
+      eaSupMinPtrs = 2, eaPageBits = 2)
+    Files.readAllBytes(Paths.get(p))
+  }
+
+  private lazy val h5B2Fixture: Array[Byte] = {
+    val p = tmpRoot.resolve("fuzz_b2.h5").toString
+    graft.raster.Hdf5Write.write(p,
+      Seq(Array.tabulate(64)(_ * 0.5), Array.tabulate(64)(_ * 2.0),
+        Array.tabulate(64)(i => (i % 7).toDouble)),
+      8, 8, Bbox(0, 0, 8, 8), -9999.0, "EPSG:28992",
+      Seq(0L, 3600000L, 7200000L), "float64", chunkRows = 1,
+      chunkIndex = "btree2", b2NodeSize = 512)
+    Files.readAllBytes(Paths.get(p))
+  }
+
+  property("hdf5 1.10 chunk-index read survives corrupt EA/B-tree bytes") =
+    Prop.forAll(mutationGen(math.max(h5EaFixture.length, h5B2Fixture.length)),
+      Gen.oneOf(true, false)) { case ((kind, pos, value), ea) =>
+      val fixture = if (ea) h5EaFixture else h5B2Fixture
+      val bytes = mutate(fixture, kind, pos, value)
+      val dir = Files.createTempDirectory(tmpRoot, "h5idx_case")
+      val f = dir.resolve("s.h5")
+      Files.write(f, bytes)
+      cleanOrFails(s"hdf5idx ea=$ea k=$kind p=$pos v=$value") {
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val m = graft.raster.Hdf5.readMeta(ch, f.toString, "EPSG:28992")
+          graft.raster.Hdf5.readBands(ch, m)
+        } finally ch.close()
+      }
+    }
+
   property("zarr read survives corrupt metadata/chunk/coordinate bytes") = {
     val members = Gen.oneOf("band1/.zarray", "band1/.zattrs", "band1/0.0.0",
       "band1/0.1.1", "time/0", "x/.zattrs", ".zgroup")

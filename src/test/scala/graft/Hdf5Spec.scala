@@ -458,6 +458,98 @@ class Hdf5Spec extends SparkSpec {
     intercept[Exception] { Hdf5Source(p).getData(req)(spark) }
   }
 
+  test("layout v4 Extensible Array chunk index: index/data/super blocks") {
+    val dir = Files.createTempDirectory("graft_h5ea").toString
+    val req = RasterFixtures.valsRequest
+    val want = RasterFixtures.source.getData(req)(spark).get
+    val timesMs = want.times.map(_.toEpochMilli)
+    // small creation parameters walk every block shape: 18 chunks
+    // (chunkRows 1 -> 6/frame x 3) = 1 inline element + direct data
+    // blocks g0 (2 elmts) / g1 (4), super block 2's unpaged blocks
+    // g2/g3 (4 each, g3 all-undefined past the grid), super block 3's
+    // PAGED block g4 (8 elmts in 4-element pages, page 1 all-undefined)
+    val shapes = Seq(
+      ("small", 1, Seq(1, 2, 2, 2)), // idxBlkElmts, minElmts, minPtrs, pageBits
+      ("defaults", 2, Seq(4, 16, 4, 10))) // 1.10 defaults: inline + g0 only
+    for ((name, chunkRows, Seq(ie, me, mp, pb)) <- shapes) {
+      val p = s"$dir/$name.nc"
+      Hdf5Write.write(p, want.values, req.width, req.height, req.bbox,
+        want.noDataValue, "EPSG:28992", timesMs, dtypeName = "uint8",
+        chunkRows = chunkRows, chunkIndex = "earray", eaIdxBlkElmts = ie,
+        eaMinElmts = me, eaSupMinPtrs = mp, eaPageBits = pb)
+      val bytes = Files.readAllBytes(Paths.get(p))
+      def has(sig: String) = bytes.sliding(4).exists(_.sameElements(
+        sig.getBytes("US-ASCII")))
+      assert(has("EAHD") && has("EAIB") && has("EADB"), name)
+      assert(has("EASB") == (name == "small"), name) // defaults never grow past g0
+      val back = Hdf5Source(p)
+      assert(back.temporal && back.allTimes == want.times, name)
+      assert(back.getData(req)(spark).get.values.map(_.toSeq).toSeq ==
+        want.values.map(_.toSeq).toSeq, name)
+    }
+    // header-only pruning holds for the EA index: clobber the first
+    // chunk (frame 0); a frame-1 slice must never touch it
+    val p = s"$dir/small.nc"
+    val firstChunk = 96L + 8L * (req.width + req.height + 3)
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try { raf.seek(firstChunk); raf.write(Array.fill[Byte](4)(0x7F)) }
+    finally raf.close()
+    val one = Hdf5Source(p).getData(req.copy(
+      start = Some(RasterFixtures.T0.plusMillis(RasterFixtures.Hour)),
+      stop = Some(RasterFixtures.T0.plusMillis(RasterFixtures.Hour))))(spark).get
+    assert(one.times.length == 1 && one.values.head.forall(_ == 7.0))
+    intercept[Exception] { Hdf5Source(p).getData(req)(spark) }
+  }
+
+  test("layout v4 v2 B-tree chunk index: root leaf and one internal level") {
+    val dir = Files.createTempDirectory("graft_h5b2").toString
+    val req = RasterFixtures.valsRequest
+    val want = RasterFixtures.source.getData(req)(spark).get
+    val timesMs = want.times.map(_.toEpochMilli)
+    // node size 512 holds 13 records of this width: 9 chunks
+    // (chunkRows 2) -> a root BTLF; 18 chunks (chunkRows 1) -> one
+    // BTIN level over leaves with separator records in the root
+    for ((name, chunkRows, wantSig) <- Seq(("leaf", 2, "BTLF"),
+        ("internal", 1, "BTIN"))) {
+      val p = s"$dir/$name.nc"
+      Hdf5Write.write(p, want.values, req.width, req.height, req.bbox,
+        want.noDataValue, "EPSG:28992", timesMs, dtypeName = "uint8",
+        chunkRows = chunkRows, chunkIndex = "btree2")
+      val bytes = Files.readAllBytes(Paths.get(p))
+      def has(sig: String) = bytes.sliding(4).exists(_.sameElements(
+        sig.getBytes("US-ASCII")))
+      assert(has("BTHD") && has(wantSig), name)
+      assert(has("BTIN") == (name == "internal"), name)
+      val back = Hdf5Source(p)
+      assert(back.temporal && back.allTimes == want.times, name)
+      assert(back.getData(req)(spark).get.values.map(_.toSeq).toSeq ==
+        want.values.map(_.toSeq).toSeq, name)
+    }
+    // header-only pruning holds for the v2 B-tree index too
+    val p = s"$dir/internal.nc"
+    val firstChunk = 96L + 8L * (req.width + req.height + 3)
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try { raf.seek(firstChunk); raf.write(Array.fill[Byte](4)(0x7F)) }
+    finally raf.close()
+    val one = Hdf5Source(p).getData(req.copy(
+      start = Some(RasterFixtures.T0.plusMillis(RasterFixtures.Hour)),
+      stop = Some(RasterFixtures.T0.plusMillis(RasterFixtures.Hour))))(spark).get
+    assert(one.times.length == 1 && one.values.head.forall(_ == 7.0))
+    intercept[Exception] { Hdf5Source(p).getData(req)(spark) }
+    // a deeper tree than the reader carries is loud by name: flip the
+    // BTHD depth field (sig+ver+type+nodeSize+recSize = offset 12)
+    val base = Files.readAllBytes(Paths.get(s"$dir/leaf.nc"))
+    val at = base.indices.find(i => i + 4 <= base.length &&
+      base(i) == 'B' && base(i + 1) == 'T' && base(i + 2) == 'H' &&
+      base(i + 3) == 'D').getOrElse(fail("BTHD not found"))
+    val mut = base.clone(); mut(at + 12) = 2
+    Files.write(Paths.get(s"$dir/deep.nc"), mut)
+    val e = intercept[IllegalArgumentException] {
+      Hdf5Source(s"$dir/deep.nc").getData(req)(spark)
+    }
+    assert(e.getMessage.contains("depth 2"), e.getMessage)
+  }
+
   test("v4 chunk indexes this reader does not carry fail loudly by name") {
     val dir = Files.createTempDirectory("graft_h5fx").toString
     val req = RasterFixtures.valsRequest
@@ -473,26 +565,33 @@ class Hdf5Spec extends SparkSpec {
     val at = base.indices.find(i => i + 22 <= base.length &&
       sig.indices.forall(k => base(i + k) == sig(k)) &&
       base(i + 21) == 3).getOrElse(fail("layout v4 message not found"))
-    for ((t, needle) <- Seq(4 -> "extensible-array", 5 -> "v2 B-tree")) {
-      val mut = base.clone(); mut(at + 21) = t.toByte
-      val p = s"$dir/idx$t.nc"
+    val mut0 = base.clone(); mut0(at + 21) = 6.toByte
+    Files.write(Paths.get(s"$dir/idx6.nc"), mut0)
+    val e0 = intercept[IllegalArgumentException] {
+      Hdf5Source(s"$dir/idx6.nc").getData(req)(spark)
+    }
+    assert(e0.getMessage.contains("chunk index type 6"), e0.getMessage)
+    // a corrupted index header signature is loud, not garbage — for
+    // every v4 index family this reader carries
+    for ((ci, sig) <- Seq("farray" -> "FAHD", "earray" -> "EAHD",
+        "btree2" -> "BTHD")) {
+      val p0 = s"$dir/sig_$ci.nc"
+      Hdf5Write.write(p0, want.values, req.width, req.height, req.bbox,
+        want.noDataValue, "EPSG:28992", want.times.map(_.toEpochMilli),
+        chunkRows = 2, chunkIndex = ci)
+      val by = Files.readAllBytes(Paths.get(p0))
+      val sb = sig.getBytes("US-ASCII")
+      val sAt = by.indices.find(i => i + 4 <= by.length &&
+        sb.indices.forall(k => by(i + k) == sb(k)))
+        .getOrElse(fail(s"$sig not found"))
+      val mut = by.clone(); mut(sAt) = 'X'
+      val p = s"$dir/bad_$ci.nc"
       Files.write(Paths.get(p), mut)
       val e = intercept[IllegalArgumentException] {
         Hdf5Source(p).getData(req)(spark)
       }
-      assert(e.getMessage.contains(needle), e.getMessage)
+      assert(e.getMessage.contains(sig), e.getMessage)
     }
-    // a corrupted FAHD signature is loud, not garbage
-    val faAt = base.indices.find(i => i + 4 <= base.length &&
-      base(i) == 'F' && base(i + 1) == 'A' && base(i + 2) == 'H' &&
-      base(i + 3) == 'D').getOrElse(fail("FAHD not found"))
-    val mut = base.clone(); mut(faAt) = 'X'
-    val p = s"$dir/badsig.nc"
-    Files.write(Paths.get(p), mut)
-    val e = intercept[IllegalArgumentException] {
-      Hdf5Source(p).getData(req)(spark)
-    }
-    assert(e.getMessage.contains("FAHD"), e.getMessage)
   }
 
   test("hdf5 failure modes are loud: dense links, bad filters, v2 trees") {
