@@ -596,6 +596,39 @@ object SparkEntry {
         Hdf5Sink(a, s"$out/stack.nc", chunkRows = 7).write(fullReq(g))
         cells(RasterFileSource(s"$out/stack.nc").frame(fullReq(g)), g)
       }),
+      "r63_hdf5_idx" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the stack through BOTH HDF5 1.10 chunk indexes: an
+        // Extensible Array with deliberately small creation parameters
+        // (inline elements, direct data blocks, super blocks, paged
+        // data blocks as the grid grows) and a v2 B-tree whose node
+        // size forces one internal level at sf0.01+; the second leg
+        // reads the EA file through a temporal slice — frame-pruned
+        // positioned reads over the v4 index
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_h5idx").toString
+        val res = a.getData(fullReq(g)).get
+        val times = res.times.map(_.toEpochMilli)
+        Hdf5Write.write(s"$out/ea.nc", res.values, g.w, g.h,
+          fullReq(g).bbox, res.noDataValue, "EPSG:28992", times,
+          "float64", chunkRows = 2, chunkIndex = "earray",
+          eaIdxBlkElmts = 1, eaMinElmts = 2, eaSupMinPtrs = 2,
+          eaPageBits = 2)
+        Hdf5Write.write(s"$out/b2.nc", res.values, g.w, g.h,
+          fullReq(g).bbox, res.noDataValue, "EPSG:28992", times,
+          "float64", chunkRows = 2, chunkIndex = "btree2",
+          b2NodeSize = 1024)
+        val ea = RasterFileSource(s"$out/ea.nc")
+        val b2 = RasterFileSource(s"$out/b2.nc")
+        val sliced = fullReq(g).copy(
+          start = Some(java.time.Instant.ofEpochMilli(Hour)),
+          stop = Some(java.time.Instant.ofEpochMilli(2 * Hour)))
+        cells(ea.frame(fullReq(g)), g)
+          .unionAll(cells(ea.frame(sliced), g)
+            .withColumn("t_idx", col("t_idx") + lit(100L)))
+          .unionAll(cells(b2.frame(fullReq(g)), g)
+            .withColumn("t_idx", col("t_idx") + lit(200L)))
+      }),
       "r39_xyz_roundtrip" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // frame 0 through the XYZ point-grid codec (3 numbers per cell —
@@ -1016,6 +1049,12 @@ object SparkEntry {
       |SELECT t_idx + 100, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
     "r46_hdf5_roundtrip" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    "r63_hdf5_idx" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells
+      |UNION ALL
+      |SELECT t_idx + 100, cell_id, v FROM cells WHERE t_idx IN (1, 2)
+      |UNION ALL
+      |SELECT t_idx + 200, cell_id, v FROM cells""".stripMargin,
     "r45_zarr_slice" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
     "r40_png_worldfile" -> s"""${cellsSql(
@@ -2269,6 +2308,16 @@ object SparkEntry {
       Decontaminate.overlap(docs, docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", 13)
     }),
+    "p48_decontaminate_bloom" -> ((s, dir) => {
+      // Bloom-prefiltered decontamination: corpus n-grams are gated
+      // map-side by a broadcast sketch of the eval grams, the exact
+      // verify join removes the fpp sliver — bit-identical to p20's
+      // exact path, but the corpus side never shuffles wholesale when
+      // the eval set outgrows a string broadcast
+      val docs = tbl(s, dir, "documents")
+      Decontaminate.overlapBloom(docs,
+        docs.filter(col("doc_id") % 61 === 1), "doc_id", "text", 13, 0.01)
+    }),
     "p40_near_dedup_keep" -> ((s, dir) => {
       // composed near-dedup keep-list: the transitive duplicate clusters
       // (p16's machinery) drive an anti-join — every cluster member that
@@ -2514,6 +2563,22 @@ object SparkEntry {
          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
          |  range(1, greatest(len(ws) - 12, 1) + 1), i -> $gram13))) AS gram FROM t),
          |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |sh AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+         |  FROM g JOIN ev USING (gram) GROUP BY 1)
+         |SELECT t.doc_id, coalesce(sh.n_shared, 0) AS n_shared,
+         |  coalesce(sh.n_shared, 0) > 0 AS contaminated
+         |FROM t LEFT JOIN sh ON t.doc_id = sh.doc_id""".stripMargin
+    },
+    "p48_decontaminate_bloom" -> {
+      // identical semantics to p20 (the Bloom gate never changes the
+      // answer), over the doc_id % 61 == 1 eval slice
+      val gram13 = (0 until 13).map(k => s"ws[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  range(1, greatest(len(ws) - 12, 1) + 1), i -> $gram13))) AS gram FROM t),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 61 = 1),
          |sh AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
          |  FROM g JOIN ev USING (gram) GROUP BY 1)
          |SELECT t.doc_id, coalesce(sh.n_shared, 0) AS n_shared,

@@ -105,6 +105,36 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("bloom-prefiltered decontamination is exact for any fpp") {
+    import spark.implicits._
+    import graft.pipeline.Decontaminate
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon and more trailing words here"),
+      (3L, "completely different text again"),
+      (4L, "")).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon"),
+      (101L, "iota kappa lambda mu nu")).toDF("doc_id", "text")
+    val want = Decontaminate.overlap(docs, eval, "doc_id", "text", 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2)))
+      .toMap
+    // a sloppy filter (fpp 0.5) admits false positives into the
+    // candidate set; the exact verify join must still remove them all
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = Decontaminate
+        .overlapBloom(docs, eval, "doc_id", "text", 3, fpp)
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2)))
+        .toMap
+      assert(got == want, s"fpp=$fpp")
+    }
+    // the prefilter sits below the only shuffle: the corpus-gram side
+    // reaches the verify join already gated by the UDF
+    val plan = Decontaminate.overlapBloom(docs, eval, "doc_id", "text", 3)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("mightContain") || plan.contains("UDF"), plan)
+  }
+
   test("repetition stats flag repetitious text and stay zero on clean text") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
