@@ -40,6 +40,17 @@ object StreamNearDedup {
   case class Verdict(doc_id: Long, band: Int, collided: Boolean)
   case class Decision(doc_id: Long, admitted: Boolean)
 
+  /** Explicit opt-in to UNBOUNDED state retention: admission is exact
+    * against ALL history, and the state store grows linearly with the
+    * distinct buckets ever probed (~1.5 fresh buckets per rejected
+    * near-dup variant measured on the SoakR12 40%-near-dup stream:
+    * ~27k state rows at 18k docs, vs a 1.9–3.4k plateau with a TTL).
+    * Suitable for finite backfills and the static one-batch path; an
+    * indefinite ingest pipeline must pass a positive `ttlMs` instead
+    * (trailing-window admission, state bounded by the window's
+    * distinct buckets). */
+  val HistoryExact: Long = 0L
+
   /** A degenerate bucket (boilerplate-heavy corpus, identical empty
     * docs) must fail loudly, not buffer without bound: the group
     * resolution holds the bucket's doc_ids in memory to find the
@@ -104,12 +115,14 @@ object StreamNearDedup {
   }
 
   /** The stateful stage alone (streaming-legal): per-probe collision
-    * verdicts against everything claimed so far. `ttlMs` > 0 bounds
-    * the state store: a bucket not re-probed for that long is
-    * forgotten (processing-time timeout), so admission dedups against
-    * the trailing window instead of all history. */
+    * verdicts against everything claimed so far. The state contract is
+    * EXPLICIT — `ttlMs` has no default: pass a positive TTL to bound
+    * the state store (a bucket not re-probed for that long is
+    * forgotten via processing-time timeout, so admission dedups
+    * against the trailing window), or pass [[HistoryExact]] to accept
+    * unbounded, history-exact retention (see its warning). */
   def verdicts(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-      shingleSize: Int = 3, ttlMs: Long = 0L)
+      shingleSize: Int = 3, ttlMs: Long)
       (implicit spark: SparkSession): Dataset[Verdict] = {
     import spark.implicits._
     require(ttlMs >= 0, s"StreamNearDedup: negative ttlMs $ttlMs")
@@ -133,7 +146,7 @@ object StreamNearDedup {
   def apply(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       shingleSize: Int = 3)(implicit spark: SparkSession): Dataset[Decision] = {
     import spark.implicits._
-    verdicts(docs, numHashes, bands, shingleSize)
+    verdicts(docs, numHashes, bands, shingleSize, ttlMs = HistoryExact)
       .groupByKey(_.doc_id)
       .mapGroups((d, it) => Decision(d, !it.exists(_.collided)))
   }

@@ -266,7 +266,8 @@ class StreamingSpec extends SparkSpec {
     val stream = MemoryStream[(Long, String)](sp)
     val got = scala.collection.mutable.Map.empty[Long, Boolean]
     val q = StreamNearDedup.verdicts(
-        stream.toDF().toDF("doc_id", "text"))(sp)
+        stream.toDF().toDF("doc_id", "text"),
+        ttlMs = StreamNearDedup.HistoryExact)(sp)
       .writeStream.outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamNearDedup.Verdict],
           _: Long) =>
@@ -332,5 +333,26 @@ class StreamingSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(got.asScala.toMap == Map(1L -> true, 2L -> false, 3L -> true,
       4L -> false), got)
+  }
+
+  test("near-dup admission state contract: ttlMs is explicit, " +
+      "HistoryExact opts into unbounded retention, negatives rejected") {
+    val sp = spark
+    import sp.implicits._
+    import graft.streaming.StreamNearDedup
+    // HistoryExact is the only sanctioned spelling of "keep all
+    // history" — it must stay 0 so checkpointed streams written before
+    // the contract change resume with identical state semantics.
+    assert(StreamNearDedup.HistoryExact == 0L)
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      StreamNearDedup.verdicts(docs, ttlMs = -1L)(sp)
+    }
+    assert(ex.getMessage.contains("ttlMs"))
+    // the explicit opt-in builds a NoTimeout plan and still resolves
+    val v = StreamNearDedup.verdicts(docs,
+      ttlMs = StreamNearDedup.HistoryExact)(sp)
+    assert(v.collect().forall(!_.collided))
   }
 }
