@@ -617,21 +617,29 @@ object GeoTiff {
     * instead of materializing the file, so BigTIFF inputs past 2 GB read
     * with heap bounded by one segment. */
   private final class TiffIn(path: String) extends AutoCloseable {
-    private val raf = new java.io.RandomAccessFile(path, "r")
-    val length: Long = raf.length()
+    private val rd = graft.io.PositionedReader.open(path)
+    val length: Long = rd.size()
     var order: ByteOrder = ByteOrder.LITTLE_ENDIAN
     def bytesAt(off: Long, len: Int): Array[Byte] = {
-      val a = new Array[Byte](len); raf.seek(off); raf.readFully(a); a
+      val a = new Array[Byte](len)
+      val b = ByteBuffer.wrap(a)
+      var read = 0
+      while (read < len) {
+        val k = rd.read(b, off + read)
+        require(k > 0, s"$path: unexpected EOF at byte ${off + read}")
+        read += k
+      }
+      a
     }
     private def bb(off: Long, len: Int): ByteBuffer =
       ByteBuffer.wrap(bytesAt(off, len)).order(order)
-    def u8(off: Long): Int = { raf.seek(off); raf.readUnsignedByte() }
+    def u8(off: Long): Int = bytesAt(off, 1)(0) & 0xff
     def u16(off: Long): Int = bb(off, 2).getShort() & 0xffff
     def i32(off: Long): Int = bb(off, 4).getInt()
     def u32(off: Long): Long = bb(off, 4).getInt().toLong & 0xffffffffL
     def i64(off: Long): Long = bb(off, 8).getLong()
     def f64(off: Long): Double = bb(off, 8).getDouble()
-    override def close(): Unit = raf.close()
+    override def close(): Unit = rd.close()
   }
 
   def read(path: String): Tiff = {

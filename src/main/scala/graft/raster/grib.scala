@@ -1,7 +1,7 @@
 package graft.raster
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.channels.FileChannel
+import graft.io.PositionedReader
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.time.{Instant, LocalDateTime, ZoneOffset}
 
@@ -45,7 +45,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Grib {
 
-  private[raster] def readAt(ch: FileChannel, at: Long, n: Int): ByteBuffer = {
+  private[raster] def readAt(ch: PositionedReader, at: Long, n: Int): ByteBuffer = {
     val b = ByteBuffer.allocate(n)
     var off = 0
     while (off < n) {
@@ -561,7 +561,7 @@ object Grib {
     * Reference anchor: raster/sources.py:396-564 (GDAL reads both
     * editions through one driver; so does this codec's Field model).
     * Returns the message length; appends one Field per message. */
-  private def parseEd1Message(ch: FileChannel, pos: Long, size: Long,
+  private def parseEd1Message(ch: PositionedReader, pos: Long, size: Long,
       path: String,
       out: scala.collection.mutable.Builder[Field, Seq[Field]]): Long = {
     val is = readAt(ch, pos, 8)
@@ -702,7 +702,7 @@ object Grib {
   /** Walk every message and section; returns one [[Field]] per data
     * section. Only section HEADS and the small 1/3/4/5 bodies are read
     * — bitmap and data payloads are located, not loaded. */
-  def scanFields(ch: FileChannel, path: String): Seq[Field] = {
+  def scanFields(ch: PositionedReader, path: String): Seq[Field] = {
     val size = ch.size()
     val out = Seq.newBuilder[Field]
     var pos = 0L
@@ -944,7 +944,7 @@ object Grib {
 
   /** Decode ONE field to a north-to-south row-major frame. Reads only
     * this field's bitmap + data byte ranges. */
-  def decode(ch: FileChannel, f: Field, noData: Double): Array[Double] = {
+  def decode(ch: PositionedReader, f: Field, noData: Double): Array[Double] = {
     // bitmap, packing, and the data stream all cover the STORED points:
     // the reduced count for a quasi-regular grid, w × stored-rows for a
     // Gaussian grid (whose uniform target height differs), w*h otherwise
@@ -1045,7 +1045,7 @@ object Grib {
     }
   }
 
-  def readMeta(ch: FileChannel, path: String): Meta = {
+  def readMeta(ch: PositionedReader, path: String): Meta = {
     val fields0 = scanFields(ch, path)
     require(fields0.nonEmpty, s"$path: no GRIB fields")
     val g = fields0.head.grid
@@ -1592,8 +1592,8 @@ object Grib {
 case class GribSource(url: String, noDataArg: Double = Double.MaxValue)
     extends RasterBlock {
 
-  private def withChannel[A](f: FileChannel => A): A = {
-    val ch = FileChannel.open(Paths.get(url), StandardOpenOption.READ)
+  private def withChannel[A](f: PositionedReader => A): A = {
+    val ch = PositionedReader.open(url)
     try f(ch) finally ch.close()
   }
 

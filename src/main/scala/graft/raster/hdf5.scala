@@ -1,7 +1,7 @@
 package graft.raster
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.channels.FileChannel
+import graft.io.PositionedReader
 import java.nio.file.{Paths, StandardOpenOption}
 import java.time.Instant
 import java.util.zip.Inflater
@@ -39,7 +39,7 @@ object Hdf5 {
     0x1A, '\n')
 
   def isHdf5(path: String): Boolean = {
-    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    val ch = PositionedReader.open(path)
     try {
       if (ch.size() < 8) false
       else {
@@ -52,7 +52,7 @@ object Hdf5 {
 
   private val Undef = -1L // 0xFFFFFFFFFFFFFFFF address
 
-  private def readAt(ch: FileChannel, at: Long, n: Int): ByteBuffer = {
+  private def readAt(ch: PositionedReader, at: Long, n: Int): ByteBuffer = {
     require(at >= 0 && n >= 0 && at + n <= ch.size(),
       s"hdf5: read [$at, ${at + n}) outside file of ${ch.size()} bytes")
     val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
@@ -69,7 +69,7 @@ object Hdf5 {
   // --------------------------------------------------------- superblock
 
   /** Root group object header address. */
-  def rootAddress(ch: FileChannel): Long = {
+  def rootAddress(ch: PositionedReader): Long = {
     val head = readAt(ch, 0, 64)
     val sig = new Array[Byte](8); head.get(sig)
     require(sig.sameElements(Magic), "hdf5: bad signature (not an HDF5 file)")
@@ -105,13 +105,13 @@ object Hdf5 {
 
   /** All header messages of an object (v1 and v2 headers, following
     * continuation blocks). */
-  def readMessages(ch: FileChannel, addr: Long): Seq[Msg] = {
+  def readMessages(ch: PositionedReader, addr: Long): Seq[Msg] = {
     val peek = readAt(ch, addr, 4).getInt
     if (peek == 0x5244484F) readMessagesV2(ch, addr) // "OHDR" LE
     else readMessagesV1(ch, addr)
   }
 
-  private def readMessagesV1(ch: FileChannel, addr: Long): Seq[Msg] = {
+  private def readMessagesV1(ch: PositionedReader, addr: Long): Seq[Msg] = {
     val head = readAt(ch, addr, 16)
     val version = head.get() & 0xFF
     require(version == 1, s"hdf5: object header version $version at $addr")
@@ -149,7 +149,7 @@ object Hdf5 {
     msgs.toSeq
   }
 
-  private def readMessagesV2(ch: FileChannel, addr: Long): Seq[Msg] = {
+  private def readMessagesV2(ch: PositionedReader, addr: Long): Seq[Msg] = {
     val head = readAt(ch, addr, 16)
     head.getInt // OHDR
     val version = head.get() & 0xFF
@@ -203,7 +203,7 @@ object Hdf5 {
   // ------------------------------------------------------------ groups
 
   /** (name, objectHeaderAddress) pairs of a group's children. */
-  def groupLinks(ch: FileChannel, addr: Long): Seq[(String, Long)] = {
+  def groupLinks(ch: PositionedReader, addr: Long): Seq[(String, Long)] = {
     val msgs = readMessages(ch, addr)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     msgs.find(_.typ == 0x0011).foreach { st => // old-style symbol table
@@ -240,7 +240,7 @@ object Hdf5 {
     out.toSeq
   }
 
-  private def localHeapData(ch: FileChannel, addr: Long): ByteBuffer = {
+  private def localHeapData(ch: PositionedReader, addr: Long): ByteBuffer = {
     val h = readAt(ch, addr, 32)
     require(h.getInt == 0x50414548, s"hdf5: bad local heap at $addr") // HEAP
     h.getInt // version + reserved
@@ -260,7 +260,7 @@ object Hdf5 {
     sb.toString
   }
 
-  private def walkGroupBtree(ch: FileChannel, addr: Long, heap: ByteBuffer,
+  private def walkGroupBtree(ch: PositionedReader, addr: Long, heap: ByteBuffer,
       out: scala.collection.mutable.ArrayBuffer[(String, Long)],
       depth: Int = 0): Unit = {
     require(depth < 32, "hdf5: group B-tree too deep")
@@ -348,7 +348,7 @@ object Hdf5 {
     def num: Double = { require(nums.nonEmpty, "empty numeric attr"); nums(0) }
   }
 
-  def readAttributes(ch: FileChannel, msgs: Seq[Msg]): Map[String, AttVal] =
+  def readAttributes(ch: PositionedReader, msgs: Seq[Msg]): Map[String, AttVal] =
     msgs.filter(_.typ == 0x000C).flatMap { m =>
       try Some(parseAttribute(ch, m.data)) catch {
         case _: IllegalArgumentException => None // skip exotic attr types
@@ -357,7 +357,7 @@ object Hdf5 {
 
   private def pad8(n: Int): Int = (n + 7) & ~7
 
-  private def parseAttribute(ch: FileChannel, b0: ByteBuffer): (String, AttVal) = {
+  private def parseAttribute(ch: PositionedReader, b0: ByteBuffer): (String, AttVal) = {
     val b = b0.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     val ver = b.get() & 0xFF
     require(ver >= 1 && ver <= 3, s"hdf5: attribute version $ver")
@@ -420,7 +420,7 @@ object Hdf5 {
     }
   }
 
-  private def globalHeapObject(ch: FileChannel, addr: Long, idx: Int): Array[Byte] = {
+  private def globalHeapObject(ch: PositionedReader, addr: Long, idx: Int): Array[Byte] = {
     val h = readAt(ch, addr, 16)
     require(h.getInt == 0x4C4F4347, s"hdf5: bad GCOL at $addr") // "GCOL"
     h.getInt // version + reserved
@@ -630,7 +630,7 @@ object Hdf5 {
 
   // ------------------------------------------------------------- chunks
 
-  private def walkChunkBtree(ch: FileChannel, addr: Long, rank: Int,
+  private def walkChunkBtree(ch: PositionedReader, addr: Long, rank: Int,
       out: scala.collection.mutable.ArrayBuffer[(Seq[Long], Long, Long, Int)],
       depth: Int = 0): Unit = {
     require(depth < 32, "hdf5: chunk B-tree too deep")
@@ -700,7 +700,7 @@ object Hdf5 {
     def dtype: DType = dtypeOf(t)
   }
 
-  def readDataset(ch: FileChannel, name: String, addr: Long): Option[Dataset] = {
+  def readDataset(ch: PositionedReader, name: String, addr: Long): Option[Dataset] = {
     val msgs = readMessages(ch, addr)
     val dtM = msgs.find(_.typ == 0x0003)
     val dsM = msgs.find(_.typ == 0x0001)
@@ -717,7 +717,7 @@ object Hdf5 {
   }
 
   /** Whole dataset decoded to doubles in C order. */
-  def readData(ch: FileChannel, d: Dataset): Array[Double] = {
+  def readData(ch: PositionedReader, d: Dataset): Array[Double] = {
     val n = d.dims.product
     require(n <= (1L << 27), s"hdf5: dataset ${d.name} too large ($n elems)")
     val elems = n.toInt
@@ -774,7 +774,7 @@ object Hdf5 {
   /** Every allocated chunk of a chunked layout as
     * (dataset offsets, file address, stored bytes, filter mask) —
     * index-metadata reads only, no chunk payload is touched. */
-  private def enumerateChunks(ch: FileChannel, d: Dataset,
+  private def enumerateChunks(ch: PositionedReader, d: Dataset,
       layout: Layout): Seq[(Seq[Long], Long, Long, Int)] = layout match {
     case Chunked(btree, _) =>
       val chunks = scala.collection.mutable.ArrayBuffer
@@ -814,7 +814,7 @@ object Hdf5 {
     * chunk addresses; client 1 (filtered) adds the stored size and
     * filter mask. Checksums ride at the documented positions and are
     * not verified (consistent with the superblock handling). */
-  private def readFixedArray(ch: FileChannel, d: Dataset, addr: Long,
+  private def readFixedArray(ch: PositionedReader, d: Dataset, addr: Long,
       cd: Seq[Int]): Seq[(Seq[Long], Long, Long, Int)] = {
     if (addr == Undef) return Seq.empty
     // FAHD: sig(4) version(1) client(1) entrySize(1) pageBits(1)
@@ -952,7 +952,7 @@ object Hdf5 {
     * indexes (inline elements included) and every block carries a
     * back-pointer to the header — a foreign file that disagrees with
     * either convention fails loudly rather than misdecoding. */
-  private def readExtensibleArray(ch: FileChannel, d: Dataset,
+  private def readExtensibleArray(ch: PositionedReader, d: Dataset,
       lm: ChunkedEArray): Seq[(Seq[Long], Long, Long, Int)] = {
     if (lm.addr == Undef) return Seq.empty
     val cd = lm.chunkDims
@@ -1172,7 +1172,7 @@ object Hdf5 {
     * the minimal byte width for a leaf's capacity). The total-record
     * count in the header must equal the records walked — a structural
     * mismatch is loud. */
-  private def readBtree2(ch: FileChannel, d: Dataset,
+  private def readBtree2(ch: PositionedReader, d: Dataset,
       lm: ChunkedBtree2): Seq[(Seq[Long], Long, Long, Int)] = {
     if (lm.addr == Undef) return Seq.empty
     val cd = lm.chunkDims
@@ -1288,7 +1288,7 @@ object Hdf5 {
     out.toSeq
   }
 
-  private def readChunked(ch: FileChannel, d: Dataset, layout: Layout,
+  private def readChunked(ch: PositionedReader, d: Dataset, layout: Layout,
       keep: Seq[Long] => Boolean = _ => true): Array[Double] = {
     val chunkDims = chunkDimsOf(layout).getOrElse(
       throw new IllegalArgumentException(s"hdf5: not a chunked layout"))
@@ -1390,7 +1390,7 @@ object Hdf5 {
   private val yNames = Seq("y", "lat", "latitude", "northing")
   private val tNames = Seq("time", "t", "date")
 
-  def readMeta(ch: FileChannel, path: String, projectionArg: String = "",
+  def readMeta(ch: PositionedReader, path: String, projectionArg: String = "",
       varName: String = ""): Meta = {
     val root = rootAddress(ch)
     val links = groupLinks(ch, root)
@@ -1479,7 +1479,7 @@ object Hdf5 {
     * additionally prunes to the chunks intersecting that region (the
     * DSv2 spatial pushdown); pixels outside it are left unfilled and
     * must not be consumed. */
-  def readFrames(ch: FileChannel, m: Meta, frames: Seq[Int],
+  def readFrames(ch: PositionedReader, m: Meta, frames: Seq[Int],
       window: Option[(Int, Int, Int, Int)] = None): Seq[Array[Double]] = {
     val d = m.dataVar
     val sel = frames.toSet
@@ -1524,7 +1524,7 @@ object Hdf5 {
   }
 
   /** Decode the pixel payload into one top-row-first band per frame. */
-  def readBands(ch: FileChannel, m: Meta): Seq[Array[Double]] = {
+  def readBands(ch: PositionedReader, m: Meta): Seq[Array[Double]] = {
     val raw = readData(ch, m.dataVar)
     val px = m.w * m.h
     val nFrames = m.timesMs.length
@@ -2136,8 +2136,8 @@ case class Hdf5Sink(source: RasterBlock, url: String,
 case class Hdf5Source(url: String, projectionArg: String = "",
     varNameArg: String = "") extends RasterBlock {
 
-  private def withChannel[A](f: FileChannel => A): A = {
-    val ch = FileChannel.open(Paths.get(url), StandardOpenOption.READ)
+  private def withChannel[A](f: PositionedReader => A): A = {
+    val ch = PositionedReader.open(url)
     try f(ch) finally ch.close()
   }
 

@@ -1,7 +1,7 @@
 package graft.raster
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.channels.FileChannel
+import graft.io.PositionedReader
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.time.Instant
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -93,7 +93,7 @@ object NetCdf {
 
   /** Sequential big-endian reader over a channel (the header region),
     * with fuzz-hardened bounds checks. */
-  private final class HeadReader(ch: FileChannel, val fileLen: Long,
+  private final class HeadReader(ch: PositionedReader, val fileLen: Long,
       val v5: Boolean) {
     private var pos = 0L
     def position: Long = pos
@@ -130,7 +130,7 @@ object NetCdf {
   }
 
   /** Positioned read of `n` bytes at `at`. */
-  private def readAt(ch: FileChannel, at: Long, n: Int): ByteBuffer = {
+  private def readAt(ch: PositionedReader, at: Long, n: Int): ByteBuffer = {
     require(at >= 0 && n >= 0 && at + n <= ch.size(),
       s"netcdf: data beyond end of file (offset $at + $n > ${ch.size()})")
     val b = ByteBuffer.allocate(n)
@@ -173,7 +173,7 @@ object NetCdf {
     }
   }
 
-  def readHeader(ch: FileChannel): Header = {
+  def readHeader(ch: PositionedReader): Header = {
     val len = ch.size()
     require(len >= 8, "netcdf: file too small")
     val magicBuf = readAt(ch, 0, 4).array()
@@ -241,7 +241,7 @@ object NetCdf {
   }
 
   /** Decode a whole variable (record-aware) to doubles in storage order. */
-  def readVarData(ch: FileChannel, h: Header, v: Vari): Array[Double] = {
+  def readVarData(ch: PositionedReader, h: Header, v: Vari): Array[Double] = {
     val per = sliceElems(h, v).toInt
     val nSlices = if (v.isRecord(h)) {
       require(h.numrecs <= Int.MaxValue / 8 / per.max(1),
@@ -269,7 +269,7 @@ object NetCdf {
     * an outermost-dimension block for fixed ones), so a time-sliced
     * request costs positioned reads of exactly the requested frames —
     * the same pruned contract as the Zarr/HDF5 sources. */
-  def readVarFrames(ch: FileChannel, h: Header, v: Vari,
+  def readVarFrames(ch: PositionedReader, h: Header, v: Vari,
       frames: Seq[Int]): Array[Double] = {
     require(v.dimIds.length == 3, s"netcdf: ${v.name} is not 3-D")
     val per = sliceElems(h, v).toInt // elems per frame (record OR fixed tail)
@@ -341,7 +341,7 @@ object NetCdf {
     def outDtype: DType = if (scaled) DType.F8 else dtype
   }
 
-  def readMeta(ch: FileChannel, path: String, projectionArg: String = "",
+  def readMeta(ch: PositionedReader, path: String, projectionArg: String = "",
       varName: String = ""): Meta = {
     val h = readHeader(ch)
     val byName = h.vars.map(v => v.name -> v).toMap
@@ -449,7 +449,7 @@ object NetCdf {
 
   /** Decode ONLY the requested frames (3-D variables; positioned reads
     * of exactly those frames' byte ranges). `frames` indexes timesMs. */
-  def readFrames(ch: FileChannel, m: Meta, frames: Seq[Int]): Seq[Array[Double]] = {
+  def readFrames(ch: PositionedReader, m: Meta, frames: Seq[Int]): Seq[Array[Double]] = {
     val raw = readVarFrames(ch, m.header, m.dataVar, frames)
     val px = m.w * m.h
     frames.indices.map { o =>
@@ -475,7 +475,7 @@ object NetCdf {
   }
 
   /** Decode the pixel payload into one top-row-first band per frame. */
-  def readBands(ch: FileChannel, m: Meta): Seq[Array[Double]] = {
+  def readBands(ch: PositionedReader, m: Meta): Seq[Array[Double]] = {
     val raw = readVarData(ch, m.header, m.dataVar)
     val px = m.w * m.h
     val nFrames = m.timesMs.length
@@ -691,8 +691,8 @@ object NetCdf {
 case class NetCdfSource(url: String, projectionArg: String = "",
     varNameArg: String = "") extends RasterBlock {
 
-  private def withChannel[A](f: FileChannel => A): A = {
-    val ch = FileChannel.open(Paths.get(url), StandardOpenOption.READ)
+  private def withChannel[A](f: PositionedReader => A): A = {
+    val ch = PositionedReader.open(url)
     try f(ch) finally ch.close()
   }
 

@@ -1,7 +1,7 @@
 package graft.raster
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.channels.FileChannel
+import graft.io.{FileIO, PositionedReader}
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.time.Instant
 import java.util.zip.{Deflater, Inflater}
@@ -57,7 +57,7 @@ object Zarr {
     * (keys under a `c` prefix); the v3 "v2" encoding and all of v2
     * itself use bare joined indices. When `shard` is set, `chunks` is
     * the SHARD shape and `bo`/`comp` describe the INNER chunk codecs. */
-  case class ArrayMeta(name: String, dir: Path, shape: Seq[Int],
+  case class ArrayMeta(name: String, dir: String, shape: Seq[Int],
       chunks: Seq[Int], dtype: DType, bo: ByteOrder, fill: Double,
       comp: Compression, sep: String, dims: Seq[String],
       attrs: Map[String, Any], v3DefaultKey: Boolean = false,
@@ -69,9 +69,9 @@ object Zarr {
     }
   }
 
-  private def jsonMap(p: Path): Map[String, Any] =
-    if (!Files.exists(p)) Map.empty
-    else Json.parse(Files.readString(p)) match {
+  private def jsonMap(p: String): Map[String, Any] =
+    if (!FileIO.exists(p)) Map.empty
+    else Json.parse(FileIO.readString(p)) match {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
       case other => throw new IllegalArgumentException(
         s"$p: expected a JSON object, got ${other.getClass.getSimpleName}")
@@ -121,12 +121,12 @@ object Zarr {
     case 'b' => "b"; case 'u' => "u"; case 'i' => "i"; case _ => "f"
   }) + dt.size
 
-  def readArrayMeta(dir: Path): ArrayMeta =
-    if (Files.exists(dir.resolve("zarr.json")))
-      buildArrayMetaV3(dir, jsonMap(dir.resolve("zarr.json")))
+  def readArrayMeta(dir: String): ArrayMeta =
+    if (FileIO.exists(FileIO.child(dir, "zarr.json")))
+      buildArrayMetaV3(dir, jsonMap(FileIO.child(dir, "zarr.json")))
     else
-      buildArrayMeta(dir, jsonMap(dir.resolve(".zarray")),
-        jsonMap(dir.resolve(".zattrs")))
+      buildArrayMeta(dir, jsonMap(FileIO.child(dir, ".zarray")),
+        jsonMap(FileIO.child(dir, ".zattrs")))
 
   /** Zarr v3 array metadata (one `zarr.json` document per the v3 core
     * spec): regular chunk grid, `default`/`v2` chunk-key encodings,
@@ -134,7 +134,7 @@ object Zarr {
     * v3's default compressor), `sharding_indexed` (read path),
     * `dimension_names`. Transpose, crc32c-on-data, blosc, and
     * extension nodes fail loudly by name. */
-  private def buildArrayMetaV3(dir: Path, doc: Map[String, Any]): ArrayMeta = {
+  private def buildArrayMetaV3(dir: String, doc: Map[String, Any]): ArrayMeta = {
     require(doc.nonEmpty, s"$dir: missing zarr.json")
     require(asDouble(doc.getOrElse("zarr_format", 0L), "zarr_format") == 3,
       s"$dir: zarr.json is not format 3")
@@ -262,12 +262,12 @@ object Zarr {
         case _                => Nil
       }
     }
-    ArrayMeta(dir.getFileName.toString, dir, shape, chunks, dt, bo, fill,
+    ArrayMeta(FileIO.name(dir), dir, shape, chunks, dt, bo, fill,
       comp, sep, dims, attrs, v3DefaultKey = encName == "default",
       shard = shard)
   }
 
-  private def buildArrayMeta(dir: Path, za: Map[String, Any],
+  private def buildArrayMeta(dir: String, za: Map[String, Any],
       attrs: Map[String, Any]): ArrayMeta = {
     require(za.nonEmpty, s"$dir: missing .zarray")
     require(asDouble(za.getOrElse("zarr_format", 2L), "zarr_format") == 2,
@@ -313,7 +313,7 @@ object Zarr {
       case null => dt.noDataValue
       case v    => asDouble(v, "fill_value")
     }
-    ArrayMeta(dir.getFileName.toString, dir, shape, chunks, dt, bo, fill,
+    ArrayMeta(FileIO.name(dir), dir, shape, chunks, dt, bo, fill,
       comp, sep, dims, attrs)
   }
 
@@ -415,9 +415,9 @@ object Zarr {
       case Some(sh) => readShard(m, sh, idx, _ => true)
       case None =>
         val n = m.chunks.product
-        val p = m.dir.resolve(m.chunkKey(idx))
-        if (!Files.exists(p)) return Array.fill(n)(m.fill)
-        val raw0 = Files.readAllBytes(p)
+        val p = FileIO.child(m.dir, m.chunkKey(idx))
+        if (!FileIO.exists(p)) return Array.fill(n)(m.fill)
+        val raw0 = FileIO.readAllBytes(p)
         val raw = decompress(raw0, m.comp, n * m.dtype.size)
         require(raw.length >= n * m.dtype.size,
           s"$p: chunk has ${raw.length} bytes, needs ${n * m.dtype.size}")
@@ -465,16 +465,16 @@ object Zarr {
       want: Seq[Int] => Boolean): Array[Double] = {
     val n = m.chunks.product
     val out = Array.fill(n)(m.fill)
-    val p = m.dir.resolve(m.chunkKey(idx))
-    if (!Files.exists(p)) return out
+    val p = FileIO.child(m.dir, m.chunkKey(idx))
+    if (!FileIO.exists(p)) return out
     val innerGrid = m.chunks.zip(sh.inner).map { case (c, i) => c / i }
     val nInner = innerGrid.product
     val idxLen = nInner * 16 + (if (sh.indexCrc) 4 else 0)
-    val fileLen = Files.size(p)
+    val fileLen = FileIO.size(p)
     require(fileLen >= idxLen,
       s"$p: shard of $fileLen bytes smaller than its $idxLen-byte index")
     val innerN = sh.inner.product
-    val ch = FileChannel.open(p, StandardOpenOption.READ)
+    val ch = PositionedReader.open(p)
     try {
       val idxBuf = Grib.readAt(ch,
         if (sh.indexAtEnd) fileLen - idxLen else 0L, idxLen)
@@ -544,7 +544,7 @@ object Zarr {
 
   /** Everything a RasterBlock needs; reads only the JSON documents and
     * the 1-D coordinate arrays — no data chunk is touched. */
-  case class Meta(root: Path, data: ArrayMeta, w: Int, h: Int,
+  case class Meta(root: String, data: ArrayMeta, w: Int, h: Int,
       timesMs: Seq[Long], cellSize: Double, originX: Double, originY: Double,
       yAscending: Boolean, noDataRaw: Double, scale: Double, offset: Double,
       projection: String) {
@@ -554,7 +554,7 @@ object Zarr {
     def nFrames: Int = timesMs.length
   }
 
-  private def uniformStep(a: Array[Double], path: Path, what: String): Double = {
+  private def uniformStep(a: Array[Double], path: String, what: String): Double = {
     require(a.nonEmpty, s"$path: empty $what coordinates")
     if (a.length == 1) 0.0
     else {
@@ -572,11 +572,11 @@ object Zarr {
 
   def readMeta(url: String, projectionArg: String = "",
       varName: String = ""): Meta = {
-    val root = Paths.get(url)
-    require(Files.isDirectory(root), s"$url: not a zarr directory store")
-    val zmeta = root.resolve(".zmetadata")
+    val root = url
+    require(FileIO.isDirectory(root), s"$url: not a zarr directory store")
+    val zmeta = FileIO.child(root, ".zmetadata")
     val v3Group = {
-      val zj = jsonMap(root.resolve("zarr.json"))
+      val zj = jsonMap(FileIO.child(root, "zarr.json"))
       zj.nonEmpty && {
         require(asDouble(zj.getOrElse("zarr_format", 0L), "zarr_format") == 3 &&
           zj.getOrElse("node_type", "") == "group",
@@ -584,8 +584,8 @@ object Zarr {
         true
       }
     }
-    require(v3Group || Files.exists(root.resolve(".zgroup")) ||
-      Files.exists(zmeta),
+    require(v3Group || FileIO.exists(FileIO.child(root, ".zgroup")) ||
+      FileIO.exists(zmeta),
       s"$url: missing .zgroup / zarr.json (array-only stores are not " +
         "supported — point at the group directory)")
     // consolidated metadata (the xarray convention): every .zarray/.zattrs
@@ -593,7 +593,7 @@ object Zarr {
     // an object store. Preferred when present; the per-array files remain
     // the fallback.
     val arrays: Seq[ArrayMeta] =
-      if (Files.exists(zmeta)) {
+      if (FileIO.exists(zmeta)) {
         val doc = jsonMap(zmeta)
         require(asDouble(doc.getOrElse("zarr_consolidated_format", 1L),
           "zarr_consolidated_format") == 1,
@@ -614,15 +614,14 @@ object Zarr {
         require(names.nonEmpty, s"$url: no arrays in consolidated metadata")
         require(names.forall(n => !n.contains("/")),
           s"$url: nested groups in consolidated metadata not supported")
-        names.map(n => buildArrayMeta(root.resolve(n),
+        names.map(n => buildArrayMeta(FileIO.child(root, n),
           mdMap(s"$n/.zarray"), mdMap(s"$n/.zattrs")))
       } else {
-        import scala.jdk.CollectionConverters._
-        Files.list(root).iterator().asScala
-          .filter(d => Files.isDirectory(d) &&
-            (Files.exists(d.resolve(".zarray")) ||
-              Files.exists(d.resolve("zarr.json"))))
-          .map(readArrayMeta).toSeq.sortBy(_.name)
+        FileIO.list(root)
+          .filter(d => FileIO.isDirectory(d) &&
+            (FileIO.exists(FileIO.child(d, ".zarray")) ||
+              FileIO.exists(FileIO.child(d, "zarr.json"))))
+          .map(readArrayMeta).sortBy(_.name)
       }
     require(arrays.nonEmpty, s"$url: no arrays in the group")
     val byName = arrays.map(a => a.name -> a).toMap
@@ -678,7 +677,7 @@ object Zarr {
       .map(asDouble(_, "_FillValue")).getOrElse(data.fill)
     val projection = data.attrs.get("grid_mapping").map(_.toString)
       .flatMap(gm => byName.get(gm).map(_.attrs).orElse(
-          Some(jsonMap(root.resolve(gm).resolve(".zattrs")))))
+          Some(jsonMap(FileIO.child(FileIO.child(root, gm), ".zattrs")))))
       .flatMap(a => a.get("spatial_ref").orElse(a.get("crs_wkt")))
       .map(wkt => Proj.normalize(wkt.toString)) match {
       case Some(p) => p
@@ -687,7 +686,7 @@ object Zarr {
           .map(_.toString.toLowerCase).getOrElse("")
         if (xUnits.startsWith("degree")) "EPSG:4326"
         else GridFiles.resolveProjection(
-          root.resolve("x").toString, projectionArg)
+          FileIO.child(root, "x"), projectionArg)
     }
     Meta(root, data, w, h, timesMs, cell, originX, originY, yAsc,
       fill, scale, offset, projection)

@@ -88,24 +88,24 @@ object GraftRasterTable {
     all
   }
 
-  private def isZarrStore(dir: java.nio.file.Path): Boolean =
-    java.nio.file.Files.exists(dir.resolve("zarr.json")) ||
-      java.nio.file.Files.exists(dir.resolve(".zgroup")) ||
-      java.nio.file.Files.exists(dir.resolve(".zmetadata"))
+  private def isZarrStore(dir: String): Boolean =
+    graft.io.FileIO.exists(graft.io.FileIO.child(dir, "zarr.json")) ||
+      graft.io.FileIO.exists(graft.io.FileIO.child(dir, ".zgroup")) ||
+      graft.io.FileIO.exists(graft.io.FileIO.child(dir, ".zmetadata"))
 
-  private def isGrib(p: java.nio.file.Path): Boolean = {
-    val n = p.getFileName.toString.toLowerCase
+  private def isGrib(p: String): Boolean = {
+    val n = graft.io.FileIO.name(p).toLowerCase
     n.endsWith(".grib2") || n.endsWith(".grb2") ||
       n.endsWith(".grib") || n.endsWith(".grb") // editions 1 and 2
   }
 
-  private def isTif(p: java.nio.file.Path): Boolean = {
-    val n = p.getFileName.toString.toLowerCase
+  private def isTif(p: String): Boolean = {
+    val n = graft.io.FileIO.name(p).toLowerCase
     n.endsWith(".tif") || n.endsWith(".tiff")
   }
 
-  private def isNcOrH5(p: java.nio.file.Path): Boolean = {
-    val n = p.getFileName.toString.toLowerCase
+  private def isNcOrH5(p: String): Boolean = {
+    val n = graft.io.FileIO.name(p).toLowerCase
     n.endsWith(".nc") || n.endsWith(".nc4") || n.endsWith(".h5") ||
       n.endsWith(".hdf5")
   }
@@ -119,26 +119,26 @@ object GraftRasterTable {
     * directory expands one level to its GRIB/GeoTIFF/NetCDF/HDF5 files
     * and Zarr stores. */
   def datasets(paths: Seq[String]): Seq[(String, String)] = paths.flatMap { s =>
-    val p = java.nio.file.Paths.get(s)
-    require(java.nio.file.Files.exists(p), s"graft-raster: $s does not exist")
-    if (java.nio.file.Files.isDirectory(p)) {
-      if (isZarrStore(p)) Seq(("zarr", s))
+    import graft.io.FileIO
+    require(FileIO.exists(s), s"graft-raster: $s does not exist")
+    if (FileIO.isDirectory(s)) {
+      if (isZarrStore(s)) Seq(("zarr", s))
       else {
-        val members = java.nio.file.Files.list(p).iterator().asScala.toSeq
-        val found = (members.filter(isGrib).map(f => ("grib", f.toString)) ++
-          members.filter(isTif).map(f => ("tif", f.toString)) ++
-          members.filter(f => !java.nio.file.Files.isDirectory(f) &&
-            isNcOrH5(f)).map(f => (ncKind(f.toString), f.toString)) ++
-          members.filter(d => java.nio.file.Files.isDirectory(d) &&
-            isZarrStore(d)).map(d => ("zarr", d.toString))).sortBy(_._2)
+        val members = FileIO.list(s)
+        val found = (members.filter(isGrib).map(f => ("grib", f)) ++
+          members.filter(isTif).map(f => ("tif", f)) ++
+          members.filter(f => !FileIO.isDirectory(f) &&
+            isNcOrH5(f)).map(f => (ncKind(f), f)) ++
+          members.filter(d => FileIO.isDirectory(d) &&
+            isZarrStore(d)).map(d => ("zarr", d))).sortBy(_._2)
         require(found.nonEmpty,
           s"graft-raster: directory $s holds no GRIB files, GeoTIFFs, " +
             "NetCDF/HDF5 files or Zarr stores")
         found
       }
-    } else if (isGrib(p)) Seq(("grib", s))
-    else if (isTif(p)) Seq(("tif", s))
-    else if (isNcOrH5(p)) Seq((ncKind(s), s))
+    } else if (isGrib(s)) Seq(("grib", s))
+    else if (isTif(s)) Seq(("tif", s))
+    else if (isNcOrH5(s)) Seq((ncKind(s), s))
     else throw new IllegalArgumentException(
       s"graft-raster: $s is not a .grib/.grib2/.tif/.nc/.h5 file or Zarr " +
         "store (supported: GRIB 1/2, GeoTIFF, NetCDF, HDF5, Zarr v2/v3)")
@@ -277,9 +277,7 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
   private def planDataset(kind: String, p: String): Seq[InputPartition] =
     kind match {
       case "grib" =>
-        val ch = java.nio.channels.FileChannel.open(
-          java.nio.file.Paths.get(p),
-          java.nio.file.StandardOpenOption.READ)
+        val ch = graft.io.PositionedReader.open(p)
         try {
           val m = Grib.readMeta(ch, p)
           m.timesMs.zipWithIndex.collect {
@@ -297,9 +295,7 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
         // header + 1-D coordinate arrays only; per-frame partitions on
         // the codecs' positioned-read APIs (readFrames seeks straight
         // to the selected frame's records/chunks)
-        val ch = java.nio.channels.FileChannel.open(
-          java.nio.file.Paths.get(p),
-          java.nio.file.StandardOpenOption.READ)
+        val ch = graft.io.PositionedReader.open(p)
         try {
           val (times, w, h) =
             if (kind == "nc") {
@@ -466,9 +462,7 @@ class GraftPartitionReader(p: GraftFramePartition, columns: Array[String],
 
   private lazy val frame: Array[Double] = p.kind match {
     case "grib" =>
-      val ch = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(p.path),
-        java.nio.file.StandardOpenOption.READ)
+      val ch = graft.io.PositionedReader.open(p.path)
       // the planned Field carries every byte coordinate: no metadata
       // re-scan, straight to this frame's bitmap + data ranges.
       // A pushed tile window prunes EMISSION only: the field payload
@@ -480,9 +474,7 @@ class GraftPartitionReader(p: GraftFramePartition, columns: Array[String],
       // types carry parse state that does not serialize); readFrames
       // then seeks only this frame's records/chunks — and, for HDF5,
       // only the chunks intersecting the pushed tile window
-      val ch = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(p.path),
-        java.nio.file.StandardOpenOption.READ)
+      val ch = graft.io.PositionedReader.open(p.path)
       try {
         if (p.kind == "nc") {
           // classic NetCDF frames are one contiguous record each:

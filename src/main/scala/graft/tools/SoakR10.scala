@@ -172,9 +172,7 @@ object SoakR10 {
         var s = 0.0
         for (f <- 0 until nFiles) {
           val p = s"$dir/f$f.grib2"
-          val ch = java.nio.channels.FileChannel.open(
-            java.nio.file.Paths.get(p),
-            java.nio.file.StandardOpenOption.READ)
+          val ch = graft.io.PositionedReader.open(p)
           try {
             val m = graft.raster.Grib.readMeta(ch, p)
             m.fields.foreach(fd =>

@@ -286,8 +286,7 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       val f = dir.resolve("s.nc")
       Files.write(f, bytes)
       cleanOrFails(s"netcdf k=$kind p=$pos v=$value") {
-        val ch = java.nio.channels.FileChannel.open(f,
-          java.nio.file.StandardOpenOption.READ)
+        val ch = graft.io.PositionedReader.open(f.toString)
         try {
           val m = graft.raster.NetCdf.readMeta(ch, f.toString, "EPSG:28992")
           graft.raster.NetCdf.readBands(ch, m)
@@ -406,8 +405,7 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       val f = dir.resolve("s.h5")
       Files.write(f, bytes)
       cleanOrFails(s"hdf5 k=$kind p=$pos v=$value") {
-        val ch = java.nio.channels.FileChannel.open(f,
-          java.nio.file.StandardOpenOption.READ)
+        val ch = graft.io.PositionedReader.open(f.toString)
         try {
           val m = graft.raster.Hdf5.readMeta(ch, f.toString, "EPSG:28992")
           graft.raster.Hdf5.readBands(ch, m)
@@ -450,8 +448,7 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       val f = dir.resolve("s.h5")
       Files.write(f, bytes)
       cleanOrFails(s"hdf5idx ea=$ea k=$kind p=$pos v=$value") {
-        val ch = java.nio.channels.FileChannel.open(f,
-          java.nio.file.StandardOpenOption.READ)
+        val ch = graft.io.PositionedReader.open(f.toString)
         try {
           val m = graft.raster.Hdf5.readMeta(ch, f.toString, "EPSG:28992")
           graft.raster.Hdf5.readBands(ch, m)
@@ -573,8 +570,7 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
         .resolve("s.grib2")
       Files.write(f, bytes)
       cleanOrFails(s"grib k=$kind p=$pos v=$value") {
-        val ch = java.nio.channels.FileChannel.open(f,
-          java.nio.file.StandardOpenOption.READ)
+        val ch = graft.io.PositionedReader.open(f.toString)
         try {
           val m = graft.raster.Grib.readMeta(ch, f.toString)
           m.fields.foreach(fd =>
@@ -606,8 +602,7 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       val dir = Files.createTempDirectory(tmpRoot, "grib_rt")
       val p = dir.resolve("rt.grib2").toString
       graft.raster.Grib.write(p, frames, w, h, nd, times, 0.0, 0.0, 0.05)
-      val ch = java.nio.channels.FileChannel.open(Paths.get(p),
-        java.nio.file.StandardOpenOption.READ)
+      val ch = graft.io.PositionedReader.open(p)
       try {
         val m = graft.raster.Grib.readMeta(ch, p)
         val ok = m.w == w && m.h == h && m.timesMs == times &&
@@ -639,8 +634,7 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
         val p = dir.resolve("rt.grib2").toString
         graft.raster.Grib.write(p, frames, w, h, nd, times, 0.0, 0.0, 0.05,
           template = 41)
-        val ch = java.nio.channels.FileChannel.open(Paths.get(p),
-          java.nio.file.StandardOpenOption.READ)
+        val ch = graft.io.PositionedReader.open(p)
         try {
           val m = graft.raster.Grib.readMeta(ch, p)
           val ok = m.w == w && m.h == h && m.timesMs == times &&
@@ -670,8 +664,7 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
         .resolve("s.grib2")
       Files.write(f, bytes)
       cleanOrFails(s"grib41 k=$kind p=$pos v=$value") {
-        val ch = java.nio.channels.FileChannel.open(f,
-          java.nio.file.StandardOpenOption.READ)
+        val ch = graft.io.PositionedReader.open(f.toString)
         try {
           val m = graft.raster.Grib.readMeta(ch, f.toString)
           m.fields.foreach(fd =>
@@ -728,8 +721,7 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
           .resolve("s.grib2")
         Files.write(f, bytes)
         cleanOrFails(s"gribred k=$kind p=$pos v=$value") {
-          val ch = java.nio.channels.FileChannel.open(f,
-            java.nio.file.StandardOpenOption.READ)
+          val ch = graft.io.PositionedReader.open(f.toString)
           try {
             val m = graft.raster.Grib.readMeta(ch, f.toString)
             m.fields.foreach(fd =>
@@ -755,8 +747,7 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
         .resolve("s.grib")
       Files.write(f, bytes)
       cleanOrFails(s"grib1 k=$kind p=$pos v=$value") {
-        val ch = java.nio.channels.FileChannel.open(f,
-          java.nio.file.StandardOpenOption.READ)
+        val ch = graft.io.PositionedReader.open(f.toString)
         try {
           val m = graft.raster.Grib.readMeta(ch, f.toString)
           m.fields.foreach(fd =>
@@ -791,8 +782,7 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
         val p = dir.resolve("rt.grib").toString
         graft.raster.Grib.writeEdition1(p, dense, w, h, nd, times, 0.0,
           0.0, 0.05, forecastHours = fh)
-        val ch = java.nio.channels.FileChannel.open(Paths.get(p),
-          java.nio.file.StandardOpenOption.READ)
+        val ch = graft.io.PositionedReader.open(p)
         try {
           val m = graft.raster.Grib.readMeta(ch, p)
           val ok = m.w == w && m.h == h && m.timesMs == times &&
@@ -822,8 +812,7 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
         .resolve("s.grib2")
       Files.write(f, bytes)
       cleanOrFails(s"grib-cx k=$kind p=$pos v=$value") {
-        val ch = java.nio.channels.FileChannel.open(f,
-          java.nio.file.StandardOpenOption.READ)
+        val ch = graft.io.PositionedReader.open(f.toString)
         try {
           val m = graft.raster.Grib.readMeta(ch, f.toString)
           m.fields.foreach(fd =>
@@ -853,8 +842,7 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       val p = dir.resolve("cx.grib2").toString
       graft.raster.Grib.write(p, frames, w, h, nd, times, 0.0, 0.0, 0.05,
         template = tpl, sdOrder = od)
-      val ch = java.nio.channels.FileChannel.open(Paths.get(p),
-        java.nio.file.StandardOpenOption.READ)
+      val ch = graft.io.PositionedReader.open(p)
       try {
         val m = graft.raster.Grib.readMeta(ch, p)
         val ok = m.w == w && m.h == h && m.timesMs == times &&

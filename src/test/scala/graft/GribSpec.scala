@@ -358,8 +358,7 @@ class GribSpec extends SparkSpec {
       0x1B, 0x38, 0xA8.toByte)  // 0,1,2,3,0 @2b; 7,0,5,2 @3b; (w=0) + pad
     val dir = Files.createTempDirectory("graft_grib52").toString
     writeFile(s"$dir/c.grib2", complexMsg(4, 3, 2, 12, sec5, payload))
-    val ch = java.nio.channels.FileChannel.open(Paths.get(s"$dir/c.grib2"),
-      java.nio.file.StandardOpenOption.READ)
+    val ch = graft.io.PositionedReader.open(s"$dir/c.grib2")
     try {
       val m = Grib.readMeta(ch, s"$dir/c.grib2")
       val got = Grib.decode(ch, m.fields.head, Double.MaxValue)
@@ -387,8 +386,7 @@ class GribSpec extends SparkSpec {
     val pay2 = Array[Byte](0, 10, 0, 12, 0, 1) // ival1=10, ival2=12, min=1
     val dir = Files.createTempDirectory("graft_grib53").toString
     writeFile(s"$dir/o2.grib2", complexMsg(3, 2, 3, 6, sec52, pay2))
-    val ch2 = java.nio.channels.FileChannel.open(Paths.get(s"$dir/o2.grib2"),
-      java.nio.file.StandardOpenOption.READ)
+    val ch2 = graft.io.PositionedReader.open(s"$dir/o2.grib2")
     try {
       val m = Grib.readMeta(ch2, s"$dir/o2.grib2")
       val got = Grib.decode(ch2, m.fields.head, Double.MaxValue)
@@ -410,8 +408,7 @@ class GribSpec extends SparkSpec {
       0x00,                                   // ref 0 @2b + pad
       0x00, 0xC0.toByte)                      // 0,0,1,4 @3b + pad
     writeFile(s"$dir/o1.grib2", complexMsg(4, 1, 3, 4, sec51, pay1))
-    val ch1 = java.nio.channels.FileChannel.open(Paths.get(s"$dir/o1.grib2"),
-      java.nio.file.StandardOpenOption.READ)
+    val ch1 = graft.io.PositionedReader.open(s"$dir/o1.grib2")
     try {
       val m = Grib.readMeta(ch1, s"$dir/o1.grib2")
       val got = Grib.decode(ch1, m.fields.head, Double.MaxValue)
@@ -436,8 +433,7 @@ class GribSpec extends SparkSpec {
       val p = s"$dir/t${tpl}o$od.grib2"
       Grib.write(p, frames, w, h, nd, times, 0.0, 0.0, 0.05,
         template = tpl, sdOrder = od)
-      val ch = java.nio.channels.FileChannel.open(Paths.get(p),
-        java.nio.file.StandardOpenOption.READ)
+      val ch = graft.io.PositionedReader.open(p)
       try {
         val m = Grib.readMeta(ch, p)
         assert(m.timesMs == times)
@@ -494,8 +490,7 @@ class GribSpec extends SparkSpec {
     b.str("7777")
     val dir = Files.createTempDirectory("graft_grib48").toString
     writeFile(s"$dir/acc.grib2", b.result())
-    val ch = java.nio.channels.FileChannel.open(Paths.get(s"$dir/acc.grib2"),
-      java.nio.file.StandardOpenOption.READ)
+    val ch = graft.io.PositionedReader.open(s"$dir/acc.grib2")
     try {
       val m = Grib.readMeta(ch, s"$dir/acc.grib2")
       // NOT refTime+forecast (2020-03-02T06:00) — the transmitted end
@@ -580,8 +575,7 @@ class GribSpec extends SparkSpec {
     assert(math.abs(ext.x1 - (x1 - 1500)) < 1e-6 &&
       math.abs(ext.y2 - (y1 + 1500)) < 1e-6, ext)
     // native full read decodes the packed values in row-major order
-    val ch = java.nio.channels.FileChannel.open(Paths.get(s"$dir/lcc.grib2"),
-      java.nio.file.StandardOpenOption.READ)
+    val ch = graft.io.PositionedReader.open(s"$dir/lcc.grib2")
     try {
       val m = Grib.readMeta(ch, s"$dir/lcc.grib2")
       assert(Grib.decode(ch, m.fields.head, Double.MaxValue).toSeq ==
@@ -747,8 +741,7 @@ class GribSpec extends SparkSpec {
     val times = Seq(0L, 3600000L, 7200000L)
     Grib.writeEdition1(p, frames, w, h, nd, times, laSouth = 50.0,
       loWest = 4.0, degPerCell = 0.05)
-    val ch = java.nio.channels.FileChannel.open(Paths.get(p),
-      java.nio.file.StandardOpenOption.READ)
+    val ch = graft.io.PositionedReader.open(p)
     try {
       val m = Grib.readMeta(ch, p)
       assert(m.w == w && m.h == h && m.timesMs == times)
@@ -763,8 +756,7 @@ class GribSpec extends SparkSpec {
     val p2 = s"$dir/fc.grib"
     Grib.writeEdition1(p2, frames.take(1), w, h, nd, Seq(7200000L), 50.0,
       4.0, 0.05, forecastHours = 2)
-    val ch2 = java.nio.channels.FileChannel.open(Paths.get(p2),
-      java.nio.file.StandardOpenOption.READ)
+    val ch2 = graft.io.PositionedReader.open(p2)
     try {
       val m2 = Grib.readMeta(ch2, p2)
       assert(m2.timesMs == Seq(7200000L))
@@ -785,8 +777,7 @@ class GribSpec extends SparkSpec {
       Files.readAllBytes(Paths.get(s"$dir/b.grib"))
     val p = s"$dir/mixed.grib2"
     Files.write(Paths.get(p), both)
-    val ch = java.nio.channels.FileChannel.open(Paths.get(p),
-      java.nio.file.StandardOpenOption.READ)
+    val ch = graft.io.PositionedReader.open(p)
     try {
       val m = Grib.readMeta(ch, p)
       assert(m.timesMs == Seq(0L, 3600000L))
@@ -945,8 +936,7 @@ class GribSpec extends SparkSpec {
     val present = Seq(true, true, true, true, true, false, true, true, true)
     val p = s"$dir/redbm.grib2"
     writeFile(p, reducedMsg(rows, Some(present)))
-    val ch = java.nio.channels.FileChannel.open(Paths.get(p),
-      java.nio.file.StandardOpenOption.READ)
+    val ch = graft.io.PositionedReader.open(p)
     try {
       val m = Grib.readMeta(ch, p)
       val got = Grib.decode(ch, m.fields.head, Double.NaN).toSeq
@@ -960,8 +950,7 @@ class GribSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_gribredf").toString
     val rows = Seq(Seq(1, 2, 3), Seq(4, 5))
     def readBack(p: String): Unit = {
-      val ch = java.nio.channels.FileChannel.open(Paths.get(p),
-        java.nio.file.StandardOpenOption.READ)
+      val ch = graft.io.PositionedReader.open(p)
       try {
         val m = Grib.readMeta(ch, p)
         m.fields.foreach(f => Grib.decode(ch, f, Double.NaN))
@@ -1061,8 +1050,7 @@ class GribSpec extends SparkSpec {
     writeFile(p, gaussMsg(rows, 2, latN, -latN, 4.0, 5.5, reduced = false))
     val src = RasterFileSource(p)
     assert(src.cellSize.contains(0.5))
-    val ch = java.nio.channels.FileChannel.open(Paths.get(p),
-      java.nio.file.StandardOpenOption.READ)
+    val ch = graft.io.PositionedReader.open(p)
     try {
       val m = Grib.readMeta(ch, p)
       // square target: 0.5-deg pitch over 2*59.4406 -> 239 rows
@@ -1087,8 +1075,7 @@ class GribSpec extends SparkSpec {
     val latN = P4Lats.head
     val p = s"$dir/redgauss.grib2"
     writeFile(p, gaussMsg(rows, 2, latN, -latN, 4.0, 5.5, reduced = true))
-    val ch = java.nio.channels.FileChannel.open(Paths.get(p),
-      java.nio.file.StandardOpenOption.READ)
+    val ch = graft.io.PositionedReader.open(p)
     try {
       val m = Grib.readMeta(ch, p)
       assert(m.w == 4 && m.h == 239)
@@ -1108,8 +1095,7 @@ class GribSpec extends SparkSpec {
     val p1 = s"$dir/offgrid.grib2"
     writeFile(p1, gaussMsg(rows, 2, 50.0, -50.0, 4.0, 5.5, reduced = false))
     val e1 = intercept[IllegalArgumentException] {
-      val ch = java.nio.channels.FileChannel.open(Paths.get(p1),
-        java.nio.file.StandardOpenOption.READ)
+      val ch = graft.io.PositionedReader.open(p1)
       try Grib.readMeta(ch, p1) finally ch.close()
     }
     assert(e1.getMessage.contains("Gaussian parallels"), e1.getMessage)
@@ -1118,8 +1104,7 @@ class GribSpec extends SparkSpec {
     writeFile(p2, gaussMsg(rows.take(3), 2, P4Lats.head, -P4Lats.head,
       4.0, 5.5, reduced = false))
     val e2 = intercept[IllegalArgumentException] {
-      val ch = java.nio.channels.FileChannel.open(Paths.get(p2),
-        java.nio.file.StandardOpenOption.READ)
+      val ch = graft.io.PositionedReader.open(p2)
       try Grib.readMeta(ch, p2) finally ch.close()
     }
     assert(e2.getMessage.contains("lie in"), e2.getMessage)
@@ -1155,8 +1140,7 @@ class GribSpec extends SparkSpec {
     writeFile(p1, complexMsg(4, 3, 41, 12,
       t => { t.f32(1.5f); t.sm16(-1); t.sm16(1); t.u8(8); t.u8(0) },
       pngBytes(xs, 4, 3, BufferedImage.TYPE_BYTE_GRAY)))
-    val ch1 = java.nio.channels.FileChannel.open(Paths.get(p1),
-      java.nio.file.StandardOpenOption.READ)
+    val ch1 = graft.io.PositionedReader.open(p1)
     try {
       val m = Grib.readMeta(ch1, p1)
       assert(m.fields.head.packing.template == 41)
@@ -1176,8 +1160,7 @@ class GribSpec extends SparkSpec {
       t => { t.f32(2f); t.sm16(0); t.sm16(0); t.u8(16); t.u8(0) },
       pngBytes(xsB, 8, 1, BufferedImage.TYPE_USHORT_GRAY),
       bitmap = Some(present)))
-    val ch2 = java.nio.channels.FileChannel.open(Paths.get(p2),
-      java.nio.file.StandardOpenOption.READ)
+    val ch2 = graft.io.PositionedReader.open(p2)
     try {
       val m = Grib.readMeta(ch2, p2)
       val got = Grib.decode(ch2, m.fields.head, Double.NaN)
@@ -1194,8 +1177,7 @@ class GribSpec extends SparkSpec {
     writeFile(p3, complexMsg(4, 3, 41, 12,
       t => { t.f32(0f); t.sm16(0); t.sm16(0); t.u8(24); t.u8(0) },
       pngBytes(xs24, 4, 3, BufferedImage.TYPE_INT_RGB)))
-    val ch3 = java.nio.channels.FileChannel.open(Paths.get(p3),
-      java.nio.file.StandardOpenOption.READ)
+    val ch3 = graft.io.PositionedReader.open(p3)
     try {
       val m = Grib.readMeta(ch3, p3)
       val got = Grib.decode(ch3, m.fields.head, Double.NaN)
@@ -1213,8 +1195,7 @@ class GribSpec extends SparkSpec {
     writeFile(p1, complexMsg(4, 3, 41, 12, tail(32),
       pngBytes(Seq.fill(12)(1L), 4, 3, BufferedImage.TYPE_BYTE_GRAY)))
     val e1 = intercept[IllegalArgumentException] {
-      val ch = java.nio.channels.FileChannel.open(Paths.get(p1),
-        java.nio.file.StandardOpenOption.READ)
+      val ch = graft.io.PositionedReader.open(p1)
       try Grib.readMeta(ch, p1) finally ch.close()
     }
     assert(e1.getMessage.contains("RGBA"), e1.getMessage)
@@ -1223,8 +1204,7 @@ class GribSpec extends SparkSpec {
     writeFile(p2, complexMsg(4, 3, 41, 12, tail(8),
       pngBytes(Seq.fill(8)(1L), 4, 2, BufferedImage.TYPE_BYTE_GRAY)))
     val e2 = intercept[IllegalArgumentException] {
-      val ch = java.nio.channels.FileChannel.open(Paths.get(p2),
-        java.nio.file.StandardOpenOption.READ)
+      val ch = graft.io.PositionedReader.open(p2)
       try {
         val m = Grib.readMeta(ch, p2)
         Grib.decode(ch, m.fields.head, Double.NaN)
@@ -1236,8 +1216,7 @@ class GribSpec extends SparkSpec {
     writeFile(p3, complexMsg(4, 3, 41, 12, tail(8),
       Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)))
     val e3 = intercept[IllegalArgumentException] {
-      val ch = java.nio.channels.FileChannel.open(Paths.get(p3),
-        java.nio.file.StandardOpenOption.READ)
+      val ch = graft.io.PositionedReader.open(p3)
       try {
         val m = Grib.readMeta(ch, p3)
         Grib.decode(ch, m.fields.head, Double.NaN)
@@ -1260,8 +1239,7 @@ class GribSpec extends SparkSpec {
       val times = Seq(0L, 3600000L, 7200000L)
       val p = s"$dir/$name.grib2"
       Grib.write(p, frames, w, h, nd, times, 0.0, 0.0, 0.05, template = 41)
-      val ch = java.nio.channels.FileChannel.open(Paths.get(p),
-        java.nio.file.StandardOpenOption.READ)
+      val ch = graft.io.PositionedReader.open(p)
       try {
         val m = Grib.readMeta(ch, p)
         assert(m.timesMs == times)
@@ -1275,8 +1253,7 @@ class GribSpec extends SparkSpec {
     val pc = s"$dir/const.grib2"
     Grib.write(pc, Seq(Array.fill(w * h)(42.0)), w, h, nd, Seq(0L),
       0.0, 0.0, 0.05, template = 41)
-    val chc = java.nio.channels.FileChannel.open(Paths.get(pc),
-      java.nio.file.StandardOpenOption.READ)
+    val chc = graft.io.PositionedReader.open(pc)
     try {
       val m = Grib.readMeta(chc, pc)
       assert(m.fields.head.packing.nbits == 0 &&

@@ -733,8 +733,7 @@ class Hdf5Spec extends SparkSpec {
   }
 
   private def readV(path: String): Array[Double] = {
-    val ch = java.nio.channels.FileChannel.open(Paths.get(path),
-      java.nio.file.StandardOpenOption.READ)
+    val ch = graft.io.PositionedReader.open(path)
     try {
       val links = Hdf5.groupLinks(ch, Hdf5.rootAddress(ch)).toMap
       val ds = Hdf5.readDataset(ch, "v", links("v")).get

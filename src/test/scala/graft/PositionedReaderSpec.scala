@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.ByteBuffer
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{FileIO, PositionedReader}
+import graft.raster.{Bbox, Grib, Hdf5, Hdf5Write, Zarr}
+
+/** The positioned-read I/O layer: local `FileChannel` vs Hadoop
+  * `FSDataInputStream` backends must be byte-identical AND issue the
+  * identical read sequences — that identity is what carries every
+  * byte-range-pruning claim (header-only planning, chunk-pruned AOI
+  * reads) onto object storage unchanged. */
+class PositionedReaderSpec extends SparkSpec {
+
+  /** Wraps a reader, recording every (position, bytesRequested). */
+  private final class Recording(under: PositionedReader)
+      extends PositionedReader {
+    val reads = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    override def size(): Long = under.size()
+    override def read(dst: ByteBuffer, position: Long): Int = {
+      reads += ((position, dst.remaining()))
+      under.read(dst, position)
+    }
+    override def close(): Unit = under.close()
+  }
+
+  test("scheme detection: URLs route to Hadoop, bare paths stay local") {
+    assert(FileIO.hasScheme("file:///tmp/x.nc"))
+    assert(FileIO.hasScheme("file:/tmp/x.nc"))
+    assert(FileIO.hasScheme("hdfs://nn:8020/data/a.grib2"))
+    assert(FileIO.hasScheme("s3a://bucket/key/stack.zarr"))
+    assert(!FileIO.hasScheme("/tmp/x.nc"))
+    assert(!FileIO.hasScheme("relative/path.tif"))
+    assert(!FileIO.hasScheme("weird:name/with:colons")) // no slash after :
+  }
+
+  test("local and file:// backends read identical bytes, same EOF rule") {
+    val p = Files.createTempFile("pr_bytes", ".bin")
+    val data = Array.tabulate[Byte](70000)(i => (i * 31 + 7).toByte)
+    Files.write(p, data)
+    val local = PositionedReader.open(p.toString)
+    val hadoop = PositionedReader.open(s"file://$p")
+    try {
+      assert(local.size() == data.length && hadoop.size() == data.length)
+      for ((off, len) <- Seq((0L, 16), (65521L, 4000), (69999L, 16),
+          (1234L, 1), (0L, 70000))) {
+        val a = ByteBuffer.allocate(len); val b = ByteBuffer.allocate(len)
+        val na = local.read(a, off); val nb = hadoop.read(b, off)
+        // the Hadoop side may fill fully where FileChannel short-reads;
+        // both must agree on the bytes that ARE read from each offset
+        val got = math.min(na, nb)
+        assert(got > 0, s"read at $off returned $na/$nb")
+        assert(a.array().take(got).toSeq == b.array().take(got).toSeq,
+          s"byte mismatch at offset $off")
+      }
+      // at/past EOF both return -1 (the FileChannel contract)
+      val e = ByteBuffer.allocate(8)
+      assert(local.read(e, 70000L) == -1 && hadoop.read(e, 70000L) == -1)
+      assert(local.read(e, 99999L) == -1 && hadoop.read(e, 99999L) == -1)
+    } finally { local.close(); hadoop.close() }
+  }
+
+  test("HDF5 header walk + windowed chunk read issue the SAME " +
+      "positioned reads through both backends") {
+    val dir = Files.createTempDirectory("pr_h5").toString
+    val p = s"$dir/stack.nc"
+    val w = 64; val h = 64
+    val bands = Seq.tabulate(2)(t =>
+      Array.tabulate(w * h)(i => (t * 1000 + i).toDouble))
+    Hdf5Write.write(p, bands, w, h, Bbox(0, 0, 8, 8), 255.0,
+      "EPSG:28992", Seq(0L, 3600000L), "float64", chunkRows = 16)
+    def drive(url: String): (Seq[(Long, Int)], Seq[(Long, Int)], Array[Double]) = {
+      val meta = new Recording(PositionedReader.open(url))
+      val m = try Hdf5.readMeta(meta, url) finally meta.close()
+      val data = new Recording(PositionedReader.open(url))
+      // AOI window: top-left quarter -> only its chunks' byte ranges
+      val frame = try Hdf5.readFrames(data, m, Seq(1),
+        Some((0, 32, 0, 32))).head finally data.close()
+      (meta.reads.toSeq, data.reads.toSeq, frame)
+    }
+    val (mLocal, dLocal, fLocal) = drive(p)
+    val (mHadoop, dHadoop, fHadoop) = drive(s"file://$p")
+    assert(mLocal == mHadoop, "metadata read sequences diverge")
+    assert(dLocal == dHadoop, "windowed data read sequences diverge")
+    // header-only planning: the metadata walk reads a small prefix of
+    // the file's bytes, never the chunk payloads
+    val fileLen = Files.size(Paths.get(p))
+    val metaBytes = mLocal.map(_._2.toLong).sum
+    assert(metaBytes < fileLen / 4,
+      s"metadata walk read $metaBytes of $fileLen bytes")
+    // the windowed read decodes the requested quarter identically
+    for (r <- 0 until 32; c <- 0 until 32)
+      assert(fLocal(r * w + c) == fHadoop(r * w + c))
+    assert(fLocal(0) == 1000.0)
+  }
+
+  test("DSv2 connector: r59-shape GRIB read through a file:// Hadoop " +
+      "path matches the local-path read") {
+    val sp = spark
+    val dir = Files.createTempDirectory("pr_dsv2").toString
+    val w = 7; val h = 5
+    val frames = Seq.tabulate(3)(t =>
+      Array.tabulate(w * h)(i => (t * 1000 + i).toDouble))
+    Grib.write(s"$dir/s.grib2", frames, w, h, Double.MaxValue,
+      frames.indices.map(_ * 3600000L), 0.0, 0.0, 0.05)
+    def readAll(url: String): Seq[(Long, Int, Int, Seq[Double])] =
+      sp.read.format("graft-raster").load(url)
+        .select(col("t"), col("ty"), col("tx"), col("values"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getSeq[Double](3))).toSeq.sortBy(x => (x._1, x._2, x._3))
+    val viaLocal = readAll(s"$dir/s.grib2")
+    val viaHadoop = readAll(s"file://$dir/s.grib2")
+    assert(viaLocal.nonEmpty && viaLocal == viaHadoop)
+    // directory expansion (planner listing) through the Hadoop backend
+    val viaHadoopDir = readAll(s"file://$dir")
+    assert(viaHadoopDir == viaLocal)
+  }
+
+  test("DSv2 connector: r61-shape temporal pushdown and a Zarr store " +
+      "through file:// prune exactly as locally") {
+    val sp = spark
+    val dir = Files.createTempDirectory("pr_dsv2z").toString
+    Grib.write(s"$dir/s.grib2",
+      Seq.tabulate(4)(t => Array.fill(4)(t.toDouble)), 2, 2,
+      Double.MaxValue, (0 until 4).map(_ * 3600000L), 0.0, 0.0, 0.05)
+    val sliced = sp.read.format("graft-raster").load(s"file://$dir/s.grib2")
+      .filter(col("t") >= 3600000L && col("t") <= 7200000L)
+    // planning-time partition pruning works identically over Hadoop
+    assert(sliced.rdd.getNumPartitions == 2,
+      sliced.queryExecution.executedPlan.toString)
+    assert(sliced.select(sum(element_at(col("values"), 1)))
+      .collect()(0).getDouble(0) == 3.0)
+
+    val zdir = s"$dir/c.zarr"
+    Zarr.write(zdir, Seq(Array.tabulate(4)(_.toDouble)), 2, 2,
+      Bbox(0, 0, 2, 2), -9.0, "EPSG:28992", Seq(0L))
+    val z = sp.read.format("graft-raster").load(s"file://$zdir")
+      .select(col("t"), col("ty"), col("tx"), col("values")).collect()
+    assert(z.length == 1 && z(0).getSeq[Double](3) == Seq(0.0, 1.0, 2.0, 3.0))
+  }
+}
