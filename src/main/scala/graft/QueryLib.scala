@@ -99,15 +99,18 @@ object QueryLib {
   }
 
   /** Explode a tile frame to (t_idx, cell_id, v) rows, keeping only
-    * complete cell groups. */
-  def cells(frame: DataFrame, g: EventsGrid): DataFrame = {
+    * complete cell groups. `rowOffset` shifts local tile rows to GLOBAL
+    * grid rows when the frame covers a horizontal band of the grid (the
+    * banded-archive queries). */
+  def cells(frame: DataFrame, g: EventsGrid, rowOffset: Int = 0): DataFrame = {
     val tile = TileLayout.TILE
     frame
       .select((col("t") / Hour).cast("long").as("t_idx"), col("ty"), col("tx"),
         posexplode(col("values")).as(Seq("pos", "v")))
       .withColumn("tw", least(lit(tile), lit(g.w) - col("tx") * tile))
       .withColumn("x", col("tx") * tile + col("pos") % col("tw"))
-      .withColumn("y", col("ty") * tile + (col("pos") / col("tw")).cast("int"))
+      .withColumn("y", col("ty") * tile + (col("pos") / col("tw")).cast("int")
+        + lit(rowOffset))
       .withColumn("cell_id", (col("y").cast("long") * g.w + col("x")))
       .filter(col("cell_id") < g.completeCells)
       .select(col("t_idx"), col("cell_id"), col("v"))

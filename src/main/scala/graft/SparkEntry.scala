@@ -756,6 +756,27 @@ object SparkEntry {
           .unionAll(cells(df0.filter(col("t") >= Hour && col("t") <= 2 * Hour), g)
             .withColumn("t_idx", col("t_idx") + lit(100L)))
       }),
+      "r64_dsv2_bbox" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // world-bbox AOI pushdown: the archive is two latitude BANDS of
+        // the events grid written as separate NetCDF files; the `bbox`
+        // read option resolves against each dataset's grid geometry at
+        // planning time, pruning EVERY partition of the band that does
+        // not intersect — the object-storage AOI case where a
+        // continental query must not even open the other files
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_dsv2bb").toString
+        val h1 = g.h / 2 // top band = global rows [0, h1)
+        NetCdfSink(a, s"$out/top.nc").write(fullReq(g).copy(
+          bbox = Bbox(0, g.h - h1, g.w, g.h), height = h1))
+        NetCdfSink(a, s"$out/bot.nc").write(fullReq(g).copy(
+          bbox = Bbox(0, 0, g.w, g.h - h1), height = g.h - h1))
+        val df = s.read.format("graft-raster")
+          .option("bbox", s"0,0,${g.w},${g.h - h1}") // bottom band only
+          .load(out)
+          .select(col("t"), col("ty"), col("tx"), col("values"))
+        cells(df, g, rowOffset = h1)
+      }),
       "r56_grib_slice" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // temporal slice: the field-pruned path decodes only frames 1-2's
@@ -1035,6 +1056,12 @@ object SparkEntry {
       |SELECT t_idx, cell_id, v FROM cells
       |UNION ALL
       |SELECT t_idx + 100, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
+    // grid height from the events table itself (h = ceil(ceil(n/4)/100),
+    // top band = h//2 rows): only the bottom band's cells survive the bbox
+    "r64_dsv2_bbox" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells
+      |WHERE cell_id >= (SELECT (((COUNT(*) + 3) // 4 + 99) // 100) // 2 * 100
+      |                  FROM events)""".stripMargin,
     "r54_vrt_mosaic" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells WHERE t_idx = 0""".stripMargin,
     "r43_netcdf_slice" -> s"""${cellsSql()}

@@ -153,7 +153,13 @@ class GraftRasterTable(paths: Seq[String]) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(paths,
       Option(options.get("time_first")).map(_.toLong).getOrElse(0L),
-      Option(options.get("time_delta")).map(_.toLong).getOrElse(3600000L))
+      Option(options.get("time_delta")).map(_.toLong).getOrElse(3600000L),
+      Option(options.get("bbox")).map { s =>
+        val parts = s.split(",").map(_.trim.toDouble)
+        require(parts.length == 4,
+          s"graft-raster: bbox option must be 'x0,y0,x1,y1' (got '$s')")
+        (parts(0), parts(1), parts(2), parts(3))
+      })
 }
 
 /** Pushed tile-coordinate window, half-open bounds resolved at read
@@ -161,11 +167,49 @@ class GraftRasterTable(paths: Seq[String]) extends Table with SupportsRead {
 case class TileWindow(tyMin: Int, tyMax: Int, txMin: Int, txMax: Int) {
   def isAll: Boolean = tyMin == Int.MinValue && tyMax == Int.MaxValue &&
     txMin == Int.MinValue && txMax == Int.MaxValue
+  def intersect(o: TileWindow): TileWindow =
+    if (isAll) o else if (o.isAll) this
+    else TileWindow(math.max(tyMin, o.tyMin), math.min(tyMax, o.tyMax),
+      math.max(txMin, o.txMin), math.min(txMax, o.txMax))
 }
-object TileWindow { val All = TileWindow(Int.MinValue, Int.MaxValue,
-  Int.MinValue, Int.MaxValue) }
+object TileWindow {
+  val All = TileWindow(Int.MinValue, Int.MaxValue,
+    Int.MinValue, Int.MaxValue)
 
-class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long)
+  /** Empty sentinel (no tile survives). */
+  val Empty = TileWindow(1, 0, 1, 0)
+
+  /** Resolve a WORLD bbox (x0, y0, x1, y1 — west, south, east, north
+    * in the dataset's CRS) against one dataset's grid geometry
+    * (`originX`/`originY` = west/NORTH edge, top row first, square
+    * cells) to the window of tiles whose pixel rectangles overlap the
+    * bbox with POSITIVE area — edge-touching tiles are excluded, so
+    * two band files that share a boundary line resolve disjointly. */
+  def fromBbox(x0: Double, y0: Double, x1: Double, y1: Double,
+      originX: Double, originY: Double, cell: Double,
+      w: Int, h: Int): TileWindow = {
+    require(cell > 0, s"fromBbox: non-positive cell size $cell")
+    if (x1 <= x0 || y1 <= y0) return Empty
+    // pixel column c spans [originX + c*cell, originX + (c+1)*cell]
+    var cLo = math.floor((x0 - originX) / cell).toInt
+    if (originX + (cLo + 1).toDouble * cell <= x0) cLo += 1
+    var cHi = math.floor((x1 - originX) / cell).toInt
+    if (originX + cHi.toDouble * cell >= x1) cHi -= 1
+    // pixel row r spans world y [originY - (r+1)*cell, originY - r*cell]
+    var rLo = math.floor((originY - y1) / cell).toInt
+    if (originY - (rLo + 1).toDouble * cell >= y1) rLo += 1
+    var rHi = math.floor((originY - y0) / cell).toInt
+    if (originY - rHi.toDouble * cell <= y0) rHi -= 1
+    cLo = math.max(0, cLo); cHi = math.min(w - 1, cHi)
+    rLo = math.max(0, rLo); rHi = math.min(h - 1, rHi)
+    if (cLo > cHi || rLo > rHi) Empty
+    else TileWindow(rLo / TileLayout.TILE, rHi / TileLayout.TILE,
+      cLo / TileLayout.TILE, cHi / TileLayout.TILE)
+  }
+}
+
+class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long,
+    bbox: Option[(Double, Double, Double, Double)] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var tMin = Long.MinValue
@@ -229,7 +273,8 @@ class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new GraftScan(paths, tMin, tMax, required, timeFirst, timeDelta, win)
+    new GraftScan(paths, tMin, tMax, required, timeFirst, timeDelta, win,
+      bbox)
 }
 
 /** One frame of one dataset — everything the executor needs. For GRIB
@@ -238,14 +283,16 @@ class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long)
   * re-scanning the file's section heads per partition (which would be
   * O(frames²) per file across an archive's readers). */
 case class GraftFramePartition(kind: String, path: String, frameIdx: Int,
-    tMs: Long, w: Int, h: Int, gribField: Grib.Field = null)
+    tMs: Long, w: Int, h: Int, gribField: Grib.Field = null,
+    dsWin: TileWindow = TileWindow.All)
     extends InputPartition
 
 /** One GeoTIFF FILE (all surviving bands): bands share one decode, so
   * the partition unit is the file — parallelism comes from the archive
   * having many files, which is the multi-file scale case anyway. */
 case class GraftTifPartition(path: String, frames: Array[Int],
-    times: Array[Long], w: Int, h: Int) extends InputPartition
+    times: Array[Long], w: Int, h: Int,
+    dsWin: TileWindow = TileWindow.All) extends InputPartition
 
 object GraftScan {
   /** Bounded planning fan-out: enough to hide per-file metadata latency
@@ -261,63 +308,102 @@ object GraftScan {
 
 class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
     required: StructType, timeFirst: Long, timeDelta: Long,
-    win: TileWindow = TileWindow.All)
+    win: TileWindow = TileWindow.All,
+    bbox: Option[(Double, Double, Double, Double)] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** Per-dataset windows resolved from `bbox` at planning time, for
+    * the explain output ("<path> -> pruned" / tile window). */
+  @volatile private var resolvedDesc: String = ""
   override def description(): String =
     s"graft-raster pushed t in [$tMin, $tMax], " +
       (if (win.isAll) "" else s"tiles ty [${win.tyMin}, ${win.tyMax}] " +
         s"tx [${win.txMin}, ${win.txMax}], ") +
+      bbox.map { case (x0, y0, x1, y1) =>
+        s"bbox [$x0, $y0, $x1, $y1]$resolvedDesc, " }.getOrElse("") +
       s"columns [${required.fieldNames.mkString(",")}]"
 
   /** Plan one dataset: reads ONLY headers/metadata (GRIB section heads,
     * Zarr JSON + coordinate arrays, TIFF IFD tag tables) — no data
     * payload bytes. */
+  /** The pushed world bbox resolved against ONE dataset's grid
+    * geometry; `None` = the dataset does not intersect (all its
+    * partitions are pruned at planning). */
+  private def dsWindow(p: String, originX: Double, originY: Double,
+      cell: Double, w: Int, h: Int): Option[TileWindow] = bbox match {
+    case None => Some(TileWindow.All)
+    case Some((x0, y0, x1, y1)) =>
+      val dw = TileWindow.fromBbox(x0, y0, x1, y1, originX, originY,
+        cell, w, h)
+      val eff = dw.intersect(win)
+      if (TileBounds.resolve(eff, w, h).nonEmpty) {
+        resolvedDesc += s"; ${graft.io.FileIO.name(p)} -> ty " +
+          s"[${dw.tyMin}, ${dw.tyMax}] tx [${dw.txMin}, ${dw.txMax}]"
+        Some(dw)
+      } else { resolvedDesc += s"; ${graft.io.FileIO.name(p)} -> pruned"
+        None }
+  }
+
   private def planDataset(kind: String, p: String): Seq[InputPartition] =
     kind match {
       case "grib" =>
         val ch = graft.io.PositionedReader.open(p)
         try {
           val m = Grib.readMeta(ch, p)
-          m.timesMs.zipWithIndex.collect {
-            case (t, i) if t >= tMin && t <= tMax =>
-              GraftFramePartition("grib", p, i, t, m.w, m.h, m.fields(i))
-          }
+          dsWindow(p, m.originX, m.originY, m.cellSize, m.w, m.h).toSeq
+            .flatMap { dw =>
+              m.timesMs.zipWithIndex.collect {
+                case (t, i) if t >= tMin && t <= tMax =>
+                  GraftFramePartition("grib", p, i, t, m.w, m.h,
+                    m.fields(i), dw)
+              }
+            }
         } finally ch.close()
       case "zarr" =>
         val m = Zarr.readMeta(p)
-        m.timesMs.zipWithIndex.collect {
-          case (t, i) if t >= tMin && t <= tMax =>
-            GraftFramePartition("zarr", p, i, t, m.w, m.h)
-        }
+        dsWindow(p, m.originX, m.originY, m.cellSize, m.w, m.h).toSeq
+          .flatMap { dw =>
+            m.timesMs.zipWithIndex.collect {
+              case (t, i) if t >= tMin && t <= tMax =>
+                GraftFramePartition("zarr", p, i, t, m.w, m.h, null, dw)
+            }
+          }
       case "nc" | "h5" =>
         // header + 1-D coordinate arrays only; per-frame partitions on
         // the codecs' positioned-read APIs (readFrames seeks straight
         // to the selected frame's records/chunks)
         val ch = graft.io.PositionedReader.open(p)
         try {
-          val (times, w, h) =
+          val (times, w, h, ox, oy, cell) =
             if (kind == "nc") {
-              val m = NetCdf.readMeta(ch, p); (m.timesMs, m.w, m.h)
+              val m = NetCdf.readMeta(ch, p)
+              (m.timesMs, m.w, m.h, m.originX, m.originY, m.cellSize)
             } else {
-              val m = Hdf5.readMeta(ch, p); (m.timesMs, m.w, m.h)
+              val m = Hdf5.readMeta(ch, p)
+              (m.timesMs, m.w, m.h, m.originX, m.originY, m.cellSize)
             }
-          times.zipWithIndex.collect {
-            case (t, i) if t >= tMin && t <= tMax =>
-              GraftFramePartition(kind, p, i, t, w, h)
+          dsWindow(p, ox, oy, cell, w, h).toSeq.flatMap { dw =>
+            times.zipWithIndex.collect {
+              case (t, i) if t >= tMin && t <= tMax =>
+                GraftFramePartition(kind, p, i, t, w, h, null, dw)
+            }
           }
         } finally ch.close()
       case "tif" =>
         // GeoTIFF has no embedded time axis — bands map to the
         // time_first/time_delta options, the RasterFileSource convention
         val m = GeoTiff.readMeta(p)
-        val sel = (0 until m.bandCount)
-          .map(i => (i, timeFirst + i * timeDelta))
-          .filter { case (_, t) => t >= tMin && t <= tMax }
-        if (sel.isEmpty) Nil
-        else Seq(GraftTifPartition(p, sel.map(_._1).toArray,
-          sel.map(_._2).toArray, m.w, m.h))
+        val cell = (m.bbox.x2 - m.bbox.x1) / m.w
+        dsWindow(p, m.bbox.x1, m.bbox.y2, cell, m.w, m.h).toSeq.flatMap {
+          dw =>
+            val sel = (0 until m.bandCount)
+              .map(i => (i, timeFirst + i * timeDelta))
+              .filter { case (_, t) => t >= tMin && t <= tMax }
+            if (sel.isEmpty) Nil
+            else Seq(GraftTifPartition(p, sel.map(_._1).toArray,
+              sel.map(_._2).toArray, m.w, m.h, dw))
+        }
       case k => throw new IllegalArgumentException(
         s"graft-raster: unknown dataset kind $k for $p")
     }
@@ -397,7 +483,8 @@ private[sources] object TileBounds {
   * time-sliced read of a wide band stack pays for its slice, not the
   * file's band count (and never touches the pruned bands' samples). */
 class GraftTifReader(p: GraftTifPartition, columns: Array[String],
-    win: TileWindow) extends PartitionReader[InternalRow] {
+    win0: TileWindow) extends PartitionReader[InternalRow] {
+  private val win = win0.intersect(p.dsWin)
   private val tb = TileBounds.resolve(win, p.w, p.h)
   /** (bands of the decoded region, region width, col0, row0). With a
     * pushed tile window only the intersecting strips/tiles of the file
@@ -456,8 +543,9 @@ class GraftTifReader(p: GraftTifPartition, columns: Array[String],
   * (a count, a time listing), NO data byte of the file is read — only
   * the per-frame tile geometry from the planned metadata. */
 class GraftPartitionReader(p: GraftFramePartition, columns: Array[String],
-    win: TileWindow) extends PartitionReader[InternalRow] {
+    win0: TileWindow) extends PartitionReader[InternalRow] {
 
+  private val win = win0.intersect(p.dsWin)
   private val tb = TileBounds.resolve(win, p.w, p.h)
 
   private lazy val frame: Array[Double] = p.kind match {

@@ -286,6 +286,76 @@ class RasterV2Spec extends SparkSpec {
     } finally graft.raster.RequestGuards.rasterLimitPixels = prev
   }
 
+  test("bbox resolution: strict-overlap tiles, edge-touch excluded") {
+    import graft.sources.TileWindow
+    // 600x520 px grid, cell 1.0, origin (0, 520): world y 0..520
+    def f(x0: Double, y0: Double, x1: Double, y1: Double) =
+      TileWindow.fromBbox(x0, y0, x1, y1, 0.0, 520.0, 1.0, 600, 520)
+    // interior box: cols 100..299 -> tx 0..1; rows 220..419 -> ty 0..1
+    assert(f(100, 100, 300, 300) == TileWindow(0, 1, 0, 1))
+    // tile-aligned box: cols 256..511 exactly -> tx 1 only (edges touch
+    // cols 255/512 with zero area and are excluded)
+    assert(f(256, 0, 512, 520) == TileWindow(0, 2, 1, 1))
+    // fully outside -> empty
+    assert(f(700, 0, 800, 10) == TileWindow.Empty)
+    assert(f(0, 600, 10, 700) == TileWindow.Empty)
+    // degenerate (zero-area) bbox -> empty
+    assert(f(10, 10, 10, 300) == TileWindow.Empty)
+  }
+
+  test("bbox option prunes non-intersecting band files at planning") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_dsv2bb").toString
+    val w = 5
+    val times = Seq(0L, 3600000L, 7200000L)
+    // two latitude bands of one logical 5x4 grid: top = world y [2, 4),
+    // bottom = world y [0, 2)
+    val top = Seq.tabulate(3)(t => Array.tabulate(w * 2)(i => t * 100.0 + i))
+    val bot = Seq.tabulate(3)(t =>
+      Array.tabulate(w * 2)(i => t * 100.0 + 10 + i))
+    graft.raster.NetCdf.write(s"$dir/top.nc", top, w, 2, Bbox(0, 2, w, 4),
+      -9999.0, "EPSG:28992", times)
+    graft.raster.NetCdf.write(s"$dir/bot.nc", bot, w, 2, Bbox(0, 0, w, 2),
+      -9999.0, "EPSG:28992", times)
+    val df = sp.read.format("graft-raster").option("bbox", s"0,0,$w,2")
+      .load(dir)
+    val qe = df.queryExecution
+    val rows = df.collect()
+    // only the bottom band's 3 (file, frame) partitions were planned
+    assert(df.rdd.getNumPartitions == 3)
+    assert(rows.length == 3)
+    assert(rows.forall(_.getString(0).endsWith("bot.nc")))
+    assert(rows.map(r => r.getLong(1) -> r.getSeq[Double](4)).toMap ==
+      times.zip(bot.map(_.toSeq)).toMap)
+    // the pushed bbox and the per-dataset resolution show in explain
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("bbox [0.0, 0.0, 5.0, 2.0]"), plan)
+    assert(plan.contains("top.nc -> pruned"), plan)
+    assert(plan.contains("bot.nc -> ty [0, 0] tx [0, 0]"), plan)
+  }
+
+  test("bbox window composes with the tile iteration on a tiled grid") {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2bw").toString
+    val w = 600; val h = 520 // 3x3 tiles, world (0,0)-(30,26), cell 0.05
+    val frames = Seq.tabulate(2)(t =>
+      Array.tabulate(w * h)(i => ((t * 3 + i) % 500).toDouble))
+    writeGrib(s"$dir/s.grib2", frames, w, h)
+    val base = sp.read.format("graft-raster").load(s"$dir/s.grib2")
+    val want = base.filter($"tx" === 2).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(3)) ->
+        r.getSeq[Double](4)).toMap
+    // GRIB written with degPerCell 0.05 at origin (0,0)-(30,26): a bbox
+    // strictly inside tile column 2 (world x > 512*0.05 = 25.6)
+    val got = sp.read.format("graft-raster")
+      .option("bbox", "25.65,0,29.0,26.0").load(s"$dir/s.grib2")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3)) ->
+        r.getSeq[Double](4)).toMap
+    assert(got.keySet == want.keySet) // 2 frames x 3 ty x tx=2
+    assert(got == want)
+  }
+
   test("unknown layouts fail loudly by name") {
     val sp = spark
     val dir = Files.createTempDirectory("graft_dsv2f").toString
