@@ -172,8 +172,25 @@ object Grib {
   case class Cx(ng: Int, widthRef: Int, widthBits: Int, lenRef: Long,
       lenInc: Int, lastLen: Long, lenBits: Int, sdOrder: Int, sdOctets: Int)
 
+  /** GRIB1 second-order packing (WMO FM 92-VIII, BDS octet-4 flag bit
+    * 2 + Code Table 11 extended flags at octet 14): `p1` groups, each
+    * with a first-order reference packed at `foWidth` bits starting at
+    * 1-based BDS octet `n1`; per-point second-order deviations at
+    * octet `n2`, with one width octet per group (octets 22..) when
+    * `diffWidths`, a single shared width octet otherwise. Group
+    * membership: the secondary bit-map (one bit per present point, set
+    * = a new first-order value applies) when `hasSbmp`; otherwise the
+    * WMO row-by-row convention (`p1` = grid rows, one group per row).
+    * `v = (R + (FO[g] + SO[k])·2^E) / 10^D`. */
+  case class Cx1(p1: Int, p2: Int, foWidth: Int, diffWidths: Boolean,
+      hasSbmp: Boolean, n1: Int, n2: Int, bdsLen: Int)
+
+  /** Internal template marker for GRIB1 second-order packing (GRIB2
+    * DRS template numbers 0/2/3/41 keep their WMO values). */
+  val Ed1Complex: Int = -2
+
   case class Packing(numPoints: Long, r: Double, e: Int, d: Int, nbits: Int,
-      template: Int = 0, cx: Cx = null)
+      template: Int = 0, cx: Cx = null, cx1: Cx1 = null)
 
   /** One decodable field: every byte range needed to decode it, so a
     * time-sliced read touches ONLY the selected frames' bytes. */
@@ -494,7 +511,11 @@ object Grib {
         template == 41,
       s"$path: data representation template 5.$template (supported: 5.0 " +
         "simple, 5.2 complex, 5.3 complex+spatial differencing, 5.41 " +
-        "PNG; 5.40 JPEG2000 needs a codec this reader does not carry)")
+        "PNG; 5.40 JPEG2000 is permanently out of scope for this " +
+        "pure-JVM reader — an EBCOT/MQ decoder cannot be independently " +
+        "validated in this environment; transcode upstream to " +
+        "5.2/5.3/5.41, e.g. `wgrib2 in.grib2 -set_grib_type c2 -grib_out " +
+        "out.grib2`, before ingest)")
     // exact widening: every IEEE float32 is a double
     val r = b.getFloat().toDouble
     val e = s16(b); val d = s16(b)
@@ -660,14 +681,69 @@ object Grib {
     val unusedBits = flagsUnused & 0xF
     require((bdsFlags & 0x8) == 0,
       s"$path: GRIB1 spherical-harmonic coefficients not supported")
-    require((bdsFlags & 0x4) == 0,
-      s"$path: GRIB1 complex (second-order) packing not supported")
-    require((bdsFlags & 0x1) == 0,
-      s"$path: GRIB1 additional BDS flags (octet 14) not supported")
+    val secondOrder = (bdsFlags & 0x4) != 0
+    require(secondOrder || (bdsFlags & 0x1) == 0,
+      s"$path: GRIB1 additional BDS flags (octet 14) without " +
+        "second-order packing not supported")
     val eVal = s16(bds)
     val r = ibm32ToDouble(u32(bds))
     val nbits = u8(bds)
     require(nbits <= 31, s"$path: GRIB1 $nbits-bit packing (max 31)")
+    if (secondOrder) {
+      // ---- second-order (complex) packing: octets 12-21 carry the
+      // section pointers and group counts (WMO Code Table 11 flags)
+      require((bdsFlags & 0x1) != 0,
+        s"$path: GRIB1 second-order packing without the octet-14 " +
+          "extended-flags octet (flag bit 4) is malformed")
+      require(bdsLen >= 22,
+        s"$path: GRIB1 second-order BDS of $bdsLen octets (min 22)")
+      val ext = readAt(ch, p + 11, 10)
+      val n1 = u16(ext)
+      val extFlags = u8(ext)
+      val n2 = u16(ext)
+      val p1 = u16(ext)
+      val p2 = u16(ext)
+      u8(ext) // octet 21 reserved
+      require((extFlags & 0x80) == 0,
+        s"$path: GRIB1 matrix-of-values second-order packing not " +
+          "supported")
+      require((extFlags & 0x1F) == 0,
+        f"$path%s: GRIB1 octet-14 flags 0x$extFlags%02x use reserved " +
+          "bits 4-8 (ECMWF general-extended / boustrophedonic local " +
+          "extensions not carried)")
+      val hasSbmp = (extFlags & 0x40) != 0
+      val diffWidths = (extFlags & 0x20) != 0
+      require(p1 >= 1, s"$path: GRIB1 second-order packing with $p1 groups")
+      require(hasSbmp || !hasBms,
+        s"$path: GRIB1 second-order packing with a primary bitmap " +
+          "requires a secondary bit-map to delimit groups")
+      require(hasSbmp || p1 == nj,
+        s"$path: GRIB1 row-by-row second-order packing declares $p1 " +
+          s"groups for $nj rows")
+      val numPresent2 =
+        if (hasBms) p2.toLong
+        else {
+          require(p2.toLong == ni.toLong * nj,
+            s"$path: GRIB1 second-order P2=$p2 for ${ni.toLong * nj} " +
+              "grid points without a primary bitmap")
+          p2.toLong
+        }
+      val widthOctets = if (diffWidths) p1 else 1
+      val sbmpBytes = if (hasSbmp) (numPresent2 + 7) / 8 else 0L
+      require(21 + widthOctets + sbmpBytes <= n1 - 1 && n1 <= n2 &&
+        n2 <= bdsLen + 1,
+        s"$path: GRIB1 second-order pointers N1=$n1 N2=$n2 overlap the " +
+          s"$widthOctets width octets + $sbmpBytes secondary-bitmap " +
+          s"bytes (BDS $bdsLen octets)")
+      require((n2 - n1).toLong * 8 >= p1.toLong * nbits,
+        s"$path: GRIB1 second-order first-order span [$n1, $n2) too " +
+          s"small for $p1 values of $nbits bits")
+      out += Field(refTimeMs, validTimeMs, grid,
+        Packing(numPresent2, r, eVal, dVal, nbits, Ed1Complex,
+          cx1 = Cx1(p1, p2, nbits, diffWidths, hasSbmp, n1, n2,
+            bdsLen)),
+        bitmapOff, p, bdsLen, 255, tableVersion, param)
+    } else {
     // the present-point count is derived WITHOUT reading the bitmap
     // (header-only planning): the BDS carries exactly
     // numPresent*nbits + unusedBits bits of payload
@@ -690,6 +766,7 @@ object Grib {
     out += Field(refTimeMs, validTimeMs, grid,
       Packing(numPresent, r, eVal, dVal, nbits), bitmapOff, p + 11,
       (bdsLen - 11).toInt, 255, tableVersion, param)
+    }
     p += bdsLen
     require(readAt(ch, p, 4).getInt == 0x37373737, // "7777"
       s"$path: GRIB1 message at $pos missing 7777 end section")
@@ -775,6 +852,96 @@ object Grib {
   // ----------------------------------------------------------- decode
 
   /** Unsigned big-endian bit fields, `nbits` each, MSB first. */
+  /** GRIB1 second-order payload: `bytes` is the WHOLE BDS. Reads the
+    * per-group width octets (octets 22..), the optional secondary
+    * bit-map, the `p1` first-order references at `nbits` (octet 11)
+    * starting at octet `n1`, then the per-point second-order
+    * deviations starting at octet `n2`; returns FO[group] + SO[point]
+    * per present point. */
+  private[graft] def unpackComplex1(bytes: Array[Byte], p: Packing,
+      numPresent: Int): Array[Long] = {
+    val c = p.cx1
+    require(bytes.length >= c.bdsLen,
+      s"grib: second-order BDS truncated (${bytes.length} of ${c.bdsLen})")
+    val widths: Array[Int] =
+      if (c.diffWidths) Array.tabulate(c.p1)(i => bytes(21 + i) & 0xFF)
+      else Array.fill(c.p1)(bytes(21) & 0xFF)
+    widths.foreach(wd => require(wd <= 31,
+      s"grib: second-order group width $wd bits (max 31)"))
+    val widthOctets = if (c.diffWidths) c.p1 else 1
+    // group of each present point: secondary-bitmap runs, or rows
+    val group = new Array[Int](numPresent)
+    if (c.hasSbmp) {
+      val s0 = 21 + widthOctets
+      require(s0 + (numPresent + 7) / 8 <= c.n1 - 1,
+        "grib: secondary bit-map overruns the first-order pointer")
+      require(((bytes(s0) >> 7) & 1) == 1,
+        "grib: secondary bit-map does not open a group at point 0")
+      var g = -1
+      var k = 0
+      while (k < numPresent) {
+        val bit = (bytes(s0 + (k >>> 3)) >> (7 - (k & 7))) & 1
+        if (bit == 1) g += 1
+        require(g < c.p1,
+          s"grib: secondary bit-map opens more than ${c.p1} groups")
+        group(k) = g
+        k += 1
+      }
+      require(g == c.p1 - 1,
+        s"grib: secondary bit-map opened ${g + 1} of ${c.p1} groups")
+    } else {
+      require(numPresent % c.p1 == 0,
+        s"grib: $numPresent points do not divide into ${c.p1} rows")
+      val rowLen = numPresent / c.p1
+      var k = 0
+      while (k < numPresent) { group(k) = k / rowLen; k += 1 }
+    }
+    val fo = unpackBitsAt(bytes, (c.n1 - 1).toLong * 8, c.p1, p.nbits)
+    val out = new Array[Long](numPresent)
+    var bit = (c.n2 - 1).toLong * 8
+    val endBit = c.bdsLen.toLong * 8
+    var k = 0
+    while (k < numPresent) {
+      val wd = widths(group(k))
+      require(bit + wd <= endBit,
+        "grib: second-order data stream overruns the BDS")
+      var v = 0L
+      var j = 0
+      while (j < wd) {
+        v = (v << 1) |
+          ((bytes((bit >>> 3).toInt) >> (7 - (bit & 7).toInt)) & 1)
+        bit += 1; j += 1
+      }
+      out(k) = fo(group(k)) + v
+      k += 1
+    }
+    out
+  }
+
+  /** `unpackBits` from an arbitrary BIT offset (second-order streams
+    * are not byte-aligned to the section start). */
+  private def unpackBitsAt(bytes: Array[Byte], startBit: Long, nvals: Int,
+      nbits: Int): Array[Long] = {
+    require(startBit + nvals.toLong * nbits <= bytes.length.toLong * 8,
+      s"grib: bit stream at $startBit holds fewer than " +
+        s"${nvals.toLong * nbits} bits")
+    val out = new Array[Long](nvals)
+    var bit = startBit
+    var i = 0
+    while (i < nvals) {
+      var v = 0L
+      var k = 0
+      while (k < nbits) {
+        v = (v << 1) |
+          ((bytes((bit >>> 3).toInt) >> (7 - (bit & 7).toInt)) & 1)
+        bit += 1; k += 1
+      }
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
   private def unpackBits(bytes: Array[Byte], nvals: Int, nbits: Int): Array[Long] = {
     require(nvals.toLong * nbits <= bytes.length.toLong * 8,
       s"grib: data section holds ${bytes.length * 8} bits, " +
@@ -975,6 +1142,11 @@ object Grib {
             numPresent, f.packing.nbits)
         else if (f.packing.template == 41)
           unpackPng(readAt(ch, f.dataOffset, f.dataLen).array(), numPresent)
+        else if (f.packing.template == Ed1Complex)
+          // the block is the WHOLE BDS: widths / secondary bitmap /
+          // first- and second-order streams are located by its pointers
+          unpackComplex1(readAt(ch, f.dataOffset, f.dataLen).array(),
+            f.packing, numPresent)
         else
           unpackComplex(readAt(ch, f.dataOffset, f.dataLen).array(),
             f.packing, numPresent)
@@ -1291,7 +1463,8 @@ object Grib {
   def writeEdition1(path: String, frames: Seq[Array[Double]], w: Int,
       h: Int, noData: Double, timesMs: Seq[Long], laSouth: Double,
       loWest: Double, degPerCell: Double, param: Int = 11,
-      tableVersion: Int = 2, forecastHours: Int = 0): Unit = {
+      tableVersion: Int = 2, forecastHours: Int = 0,
+      secondOrder: Boolean = false): Unit = {
     require(frames.nonEmpty && frames.length == timesMs.length,
       "grib: frames and times must align")
     require(degPerCell > 0 && degPerCell * 1e3 == math.rint(degPerCell * 1e3),
@@ -1311,7 +1484,7 @@ object Grib {
     frames.zip(timesMs).foreach { case (vals, tMs) =>
       require(vals.length == w * h, "grib: frame size mismatch")
       writeMessage1(b, vals, w, h, noData, tMs, laSouth, loWest, diMilli,
-        param, tableVersion, forecastHours)
+        param, tableVersion, forecastHours, secondOrder)
     }
     Files.write(Paths.get(path), b.result())
   }
@@ -1319,7 +1492,7 @@ object Grib {
   private def writeMessage1(b: Bld, vals: Array[Double], w: Int, h: Int,
       noData: Double, validMs: Long, laSouth: Double, loWest: Double,
       diMilli: Long, param: Int, tableVersion: Int,
-      forecastHours: Int): Unit = {
+      forecastHours: Int, secondOrder: Boolean = false): Unit = {
     val n = w * h
     def isND(v: Double) = v == noData || (v.isNaN && noData.isNaN)
     val live = vals.filterNot(isND)
@@ -1338,6 +1511,35 @@ object Grib {
     require(nbits > 0 || !hasBitmap,
       "grib: GRIB1 constant field with a bitmap not supported")
 
+    // ---- second-order layout: one group per row of PRESENT points,
+    // secondary bit-map delimited, per-group widths (the WMO Code
+    // Table 11 shape this codec reads back)
+    def bits(x: Long): Int =
+      if (x == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x)
+    case class Grp(fo: Long, width: Int, sos: Array[Long])
+    val groups: Seq[Grp] =
+      if (!secondOrder) Nil
+      else (0 until h).flatMap { row =>
+        val rowVals = (0 until w).map(x => vals(row * w + x))
+          .filterNot(isND)
+        if (rowVals.isEmpty) None
+        else {
+          val m = rowVals.min
+          Some(Grp((m - rMin).toLong,
+            bits((rowVals.max - m).toLong),
+            rowVals.map(v => (v - m).toLong).toArray))
+        }
+      }
+    val foWidth = if (groups.isEmpty) 0 else bits(groups.map(_.fo).max)
+    val p2v = live.length
+    val p1v = groups.length
+    val so = secondOrder && {
+      require(p2v <= 0xFFFF && p1v >= 1,
+        s"grib: GRIB1 second-order packing holds at most 65535 points " +
+          s"(got $p2v) in at least one group")
+      true
+    }
+
     val refMs = validMs - forecastHours.toLong * 3600000L
     require(refMs % 60000 == 0, "grib: sub-minute GRIB1 times unsupported")
     val t = Instant.ofEpochMilli(refMs).atOffset(ZoneOffset.UTC)
@@ -1351,11 +1553,28 @@ object Grib {
     val dataBytes = dataBytes0 + bdsPad
     val unusedBits = dataBytes * 8 - live.length.toLong * nbits
     require(unusedBits <= 15, s"grib: BDS unused bits $unusedBits")
+    // second-order geometry (pointers are 1-based BDS octet numbers)
+    val sbmpBytes = if (so) (p2v.toLong + 7) / 8 else 0L
+    val n1 = 22 + p1v + sbmpBytes
+    val foBytes = (p1v.toLong * foWidth + 7) / 8
+    val n2 = n1 + foBytes
+    val soBits = if (so) groups.map(g => g.width.toLong * g.sos.length).sum
+      else 0L
+    val soBytes = (soBits + 7) / 8
+    val bdsTotal =
+      if (!so) 11 + dataBytes
+      else {
+        val t0 = (n2 - 1) + soBytes
+        require(n2 <= 0xFFFF,
+          s"grib: second-order pointer N2=$n2 overflows its two octets")
+        t0 + (t0 % 2)
+      }
+    val soUnused = if (so) bdsTotal * 8 - ((n2 - 1) * 8 + soBits) else 0L
     val bitmapBytes0 = if (hasBitmap) (n.toLong + 7) / 8 else 0L
     val bmsPad = if (hasBitmap) (6 + bitmapBytes0) % 2 else 0L
     val bitmapBytes = bitmapBytes0 + bmsPad
     val msgLen = 8L + 28 + 32 + (if (hasBitmap) 6 + bitmapBytes else 0) +
-      (11 + dataBytes) + 4
+      bdsTotal + 4
     require(msgLen <= 0xFFFFFFL, s"grib: GRIB1 message of $msgLen bytes " +
       "overflows the 24-bit length (use edition 2)")
 
@@ -1407,6 +1626,48 @@ object Grib {
       while (padB > 0) { b.u8(0); padB -= 1 }
     }
     // ---- BDS
+    if (so) {
+      // second-order: header + width octets + secondary bit-map +
+      // first-order references + second-order deviations
+      b.u24(bdsTotal.toInt)
+      b.u8(0x50 | soUnused.toInt) // flags 0101: second-order + octet 14
+      b.u16(0) // binary scale factor E = 0
+      b.u32(intToIbm32(rMin.toLong))
+      b.u8(foWidth)
+      b.u16(n1.toInt)
+      b.u8(0x60) // secondary bit-map present + different widths
+      b.u16(n2.toInt)
+      b.u16(p1v); b.u16(p2v)
+      b.u8(0) // octet 21 reserved
+      groups.foreach(g => b.u8(g.width))
+      // secondary bit-map: one bit per present point, set at each
+      // group's first point
+      var acc = 0; var nb = 0
+      def putBit(x: Int): Unit = {
+        acc = (acc << 1) | x; nb += 1
+        if (nb == 8) { b.u8(acc); acc = 0; nb = 0 }
+      }
+      groups.foreach(g => g.sos.indices.foreach(i =>
+        putBit(if (i == 0) 1 else 0)))
+      if (nb > 0) { b.u8(acc << (8 - nb)); acc = 0; nb = 0 }
+      // first-order references, byte-padded so N2 lands on an octet
+      var accL = 0L; var nbL = 0
+      def putBits(v: Long, wd: Int): Unit = {
+        var k = wd - 1
+        while (k >= 0) {
+          accL = (accL << 1) | ((v >>> k) & 1L); nbL += 1
+          if (nbL == 8) { b.u8(accL.toInt & 0xFF); accL = 0; nbL = 0 }
+          k -= 1
+        }
+      }
+      groups.foreach(g => putBits(g.fo, foWidth))
+      if (nbL > 0) { b.u8(((accL << (8 - nbL)) & 0xFF).toInt); accL = 0; nbL = 0 }
+      // second-order deviations (continuous bit stream)
+      groups.foreach(g => g.sos.foreach(sv => putBits(sv, g.width)))
+      if (nbL > 0) { b.u8(((accL << (8 - nbL)) & 0xFF).toInt); accL = 0; nbL = 0 }
+      var padS = bdsTotal - ((n2 - 1) + soBytes)
+      while (padS > 0) { b.u8(0); padS -= 1 }
+    } else {
     b.u24((11 + dataBytes).toInt)
     b.u8(unusedBits.toInt) // flags 0000 (grid, simple, float, no extras)
     b.u16(0) // binary scale factor E = 0
@@ -1423,6 +1684,7 @@ object Grib {
     if (nb > 0) b.u8(((acc << (8 - nb)) & 0xFF).toInt)
     var padD = dataBytes - dataBytes0
     while (padD > 0) { b.u8(0); padD -= 1 }
+    }
     // ---- end section
     b.bytes("7777".getBytes("US-ASCII"))
   }
@@ -1660,8 +1922,8 @@ case class GribSink(source: RasterBlock, url: String,
     template: Int = 0, sdOrder: Int = 2, edition: Int = 2) {
   def write(req: RasterRequest)(implicit spark: SparkSession): String = {
     require(edition == 1 || edition == 2, s"grib: edition $edition")
-    require(edition == 2 || template == 0,
-      "grib: edition 1 writes simple packing only")
+    require(edition == 2 || template == 0 || template == 2,
+      "grib: edition 1 writes simple (0) or second-order (2) packing")
     val res = source.getData(req).getOrElse(
       throw new IllegalArgumentException("empty result"))
     val lower = url.toLowerCase
@@ -1673,7 +1935,7 @@ case class GribSink(source: RasterBlock, url: String,
     if (edition == 1)
       Grib.writeEdition1(path, res.values, req.width, req.height,
         res.noDataValue, res.times.map(_.toEpochMilli), laSouth, loWest,
-        degPerCell)
+        degPerCell, secondOrder = template == 2)
     else
       Grib.write(path, res.values, req.width, req.height, res.noDataValue,
         res.times.map(_.toEpochMilli), laSouth, loWest, degPerCell,

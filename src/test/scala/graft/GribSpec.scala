@@ -815,7 +815,9 @@ class GribSpec extends SparkSpec {
     expectFail("incr", 52, 0x00, "direction increments")
     expectFail("scan", 63, 0x80, "scanning mode")
     expectFail("sh", 71, 0x80 | base(71), "spherical-harmonic")
-    expectFail("cx", 71, 0x40 | base(71), "complex")
+    // second-order flag WITHOUT the octet-14 extension octet: still a
+    // named loud failure (the supported second-order path needs it)
+    expectFail("cx", 71, 0x40 | base(71), "extended-flags octet")
     expectFail("extra", 71, 0x10 | base(71), "additional BDS flags")
   }
 
@@ -1271,5 +1273,180 @@ class GribSpec extends SparkSpec {
       if ((i + 1) % 11 == 0) v.isNaN || v == nd
       else v == 5.0 + 300.0 * ((i * 7 + 13) % 200)
     })
+  }
+
+  /** Hand-assembled GRIB1 SECOND-ORDER message (independent of the
+    * writer): row-by-row groups, NO secondary bit-map, constant
+    * second-order width — the minimal WMO Code Table 11 shape. The
+    * overrides poke specific octets for the clobber tests. */
+  private def grib1SecondOrderMsg(w: Int, h: Int, ibmR: Long,
+      foWidth: Int, fos: Seq[Long], soWidth: Int, sos: Seq[Long],
+      extFlags: Int = 0x00, flagNibble: Int = 0x5,
+      n1Override: Int = -1, n2Override: Int = -1,
+      p1Override: Int = -1): Array[Byte] = {
+    require(fos.length == h && sos.length == w * h)
+    val b = new B
+    val widthOctets = 1
+    // physical layout from the REAL pointers; overrides poke only the
+    // declared header octets (so a bad pointer cannot resize the BDS)
+    val n1r = 22 + widthOctets
+    val foBytes = (h * foWidth + 7) / 8
+    val n2r = n1r + foBytes
+    val n1 = if (n1Override > 0) n1Override else n1r
+    val n2 = if (n2Override > 0) n2Override else n2r
+    val soBits = sos.length * soWidth
+    val soBytes = (soBits + 7) / 8
+    val bds0 = (n2r - 1) + soBytes
+    val bdsLen = bds0 + (bds0 % 2)
+    val unused = bdsLen * 8 - ((n2r - 1) * 8 + soBits)
+    val msgLen = 8 + 28 + 32 + bdsLen + 4
+    b.str("GRIB"); b.u8((msgLen >>> 16) & 0xFF); b.u16(msgLen & 0xFFFF)
+    b.u8(1)
+    // PDS: 2020-01-02 03:04 analysis (TRI 1)
+    b.u8(0); b.u16(28); b.u8(2); b.u8(0); b.u8(0); b.u8(255); b.u8(0x80)
+    b.u8(11); b.u8(1); b.u16(0)
+    b.u8(20); b.u8(1); b.u8(2); b.u8(3); b.u8(4); b.u8(1)
+    b.u8(0); b.u8(0); b.u8(1); b.u16(0); b.u8(0); b.u8(21); b.u8(0)
+    b.u16(0) // D = 0
+    // GDS: w x h at 1-deg pitch from (0, 0), scan 0 (north first)
+    b.u8(0); b.u16(32); b.u8(0); b.u8(255); b.u8(0)
+    b.u16(w); b.u16(h)
+    def s24(v: Long): Unit = { b.u8(((v >>> 16) & 0xFF).toInt)
+      b.u16((v & 0xFFFF).toInt) }
+    s24(h * 1000L - 500); s24(500)     // La1, Lo1 (centers)
+    b.u8(0x80)
+    s24(500); s24(w * 1000L - 500)     // La2, Lo2
+    b.u16(1000); b.u16(1000); b.u8(0)
+    b.u8(0); b.u16(0); b.u8(0)         // reserved 29-32
+    // BDS second-order
+    b.u8((bdsLen >>> 16) & 0xFF); b.u16(bdsLen & 0xFFFF)
+    b.u8((flagNibble << 4) | unused)
+    b.u16(0) // E = 0
+    b.u32(ibmR)
+    b.u8(foWidth)
+    b.u16(n1); b.u8(extFlags); b.u16(n2)
+    b.u16(if (p1Override >= 0) p1Override else h); b.u16(w * h)
+    b.u8(0)   // octet 21 reserved
+    b.u8(soWidth) // single width octet (constant widths)
+    var acc = 0L; var nb = 0
+    def putBits(v: Long, wd: Int): Unit = {
+      var k = wd - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((v >>> k) & 1L); nb += 1
+        if (nb == 8) { b.u8((acc & 0xFF).toInt); acc = 0; nb = 0 }
+        k -= 1
+      }
+    }
+    fos.foreach(putBits(_, foWidth))
+    if (nb > 0) { b.u8(((acc << (8 - nb)) & 0xFF).toInt); acc = 0; nb = 0 }
+    sos.foreach(putBits(_, soWidth))
+    if (nb > 0) { b.u8(((acc << (8 - nb)) & 0xFF).toInt); acc = 0; nb = 0 }
+    var pad = bdsLen - bds0
+    while (pad > 0) { b.u8(0); pad -= 1 }
+    b.str("7777")
+    b.result()
+  }
+
+  test("hand-assembled GRIB1 second-order message: row groups, " +
+      "first+second order sum, E/D scaling") {
+    val dir = Files.createTempDirectory("graft_g1so").toString
+    val w = 4; val h = 3
+    val fos = Seq(0L, 10L, 3L)
+    val sos = Seq(1L, 2L, 3L, 4L, 0L, 7L, 5L, 2L, 6L, 1L, 0L, 4L)
+    // R = 5.0 as an IBM-360 hex float: 0x41500000
+    val msg = grib1SecondOrderMsg(w, h, 0x41500000L, 4, fos, 3, sos)
+    val p = s"$dir/so.grib"
+    Files.write(Paths.get(p), msg)
+    val ch = graft.io.PositionedReader.open(p)
+    try {
+      val m = Grib.readMeta(ch, p)
+      assert(m.w == w && m.h == h && m.fields.length == 1)
+      val got = Grib.decode(ch, m.fields.head, Double.MaxValue)
+      val want = (0 until h).flatMap(r => (0 until w).map(c =>
+        5.0 + fos(r) + sos(r * w + c)))
+      assert(got.toSeq == want, got.toSeq)
+    } finally ch.close()
+  }
+
+  test("GRIB1 second-order round-trips values, bitmap and slicing " +
+      "through the writer (secondary bit-map, per-group widths)") {
+    val dir = Files.createTempDirectory("graft_g1sorw").toString
+    val p = s"$dir/stack.grib"
+    val w = 9; val h = 6; val nd = Double.MaxValue
+    val frames = Seq(
+      Array.tabulate(w * h)(i => ((i % 13) * (i / w + 1)).toDouble),
+      Array.tabulate(w * h)(i =>
+        if (i % 5 == 0) nd else (1000 + i * 7 % 90).toDouble),
+      Array.fill(w * h)(42.0))
+    val times = Seq(0L, 3600000L, 7200000L)
+    Grib.writeEdition1(p, frames, w, h, nd, times, laSouth = 50.0,
+      loWest = 4.0, degPerCell = 0.05, secondOrder = true)
+    val ch = graft.io.PositionedReader.open(p)
+    try {
+      val m = Grib.readMeta(ch, p)
+      assert(m.timesMs == times)
+      for (i <- frames.indices)
+        assert(Grib.decode(ch, m.fields(i), nd).toSeq == frames(i).toSeq,
+          s"frame $i")
+      // header-only slicing still holds: decode only field 1's ranges
+      assert(m.fields(1).dataOffset > m.fields(0).dataOffset)
+    } finally ch.close()
+    // the whole stack through the block API
+    val src = GribSource(p)
+    assert(src.allTimes.map(_.toEpochMilli) == times)
+  }
+
+  test("template 5.40 JPEG2000: the permanent deferral is loud, names " +
+      "the template and the transcode workaround") {
+    // a structurally valid message whose DRS declares 5.40: a real
+    // NCEP JPEG2000 product must fail HERE, at planning, by name —
+    // never by silently misdecoding. The message also carries the
+    // nearest workaround (upstream transcode to a carried template).
+    val dir = Files.createTempDirectory("graft_g540").toString
+    val sec5: B => Unit = { b =>
+      b.f32(0.0f); b.sm16(0); b.sm16(0) // R, E, D
+      b.u8(8)  // depth
+      b.u8(0)  // original type
+      b.u8(0); b.u8(255) // compression type / target ratio (lossless)
+    }
+    val p = s"$dir/j2k.grib2"
+    writeFile(p, complexMsg(4, 3, 40, 12, sec5,
+      Array.fill[Byte](32)(0x33)))
+    val e = intercept[IllegalArgumentException] { GribSource(p).extent }
+    assert(e.getMessage.contains("5.40"), e.getMessage)
+    assert(e.getMessage.contains("JPEG2000"), e.getMessage)
+    assert(e.getMessage.contains("transcode"), e.getMessage)
+    assert(e.getMessage.contains("wgrib2"), e.getMessage)
+  }
+
+  test("GRIB1 second-order failure modes are loud and named") {
+    val dir = Files.createTempDirectory("graft_g1sof").toString
+    val w = 4; val h = 3
+    val fos = Seq(0L, 10L, 3L)
+    val sos = Seq(1L, 2L, 3L, 4L, 0L, 7L, 5L, 2L, 6L, 1L, 0L, 4L)
+    def expect(name: String, needle: String)(msg: Array[Byte]): Unit = {
+      val p = s"$dir/$name.grib"
+      Files.write(Paths.get(p), msg)
+      val e = intercept[IllegalArgumentException] {
+        val ch = graft.io.PositionedReader.open(p)
+        try {
+          val m = Grib.readMeta(ch, p)
+          Grib.decode(ch, m.fields.head, Double.MaxValue)
+        } finally ch.close()
+      }
+      assert(e.getMessage.contains(needle), s"$name: ${e.getMessage}")
+    }
+    expect("matrix", "matrix-of-values")(grib1SecondOrderMsg(w, h,
+      0x41500000L, 4, fos, 3, sos, extFlags = 0x80))
+    expect("reserved", "reserved")(grib1SecondOrderMsg(w, h,
+      0x41500000L, 4, fos, 3, sos, extFlags = 0x10))
+    expect("noext", "extended-flags octet")(grib1SecondOrderMsg(w, h,
+      0x41500000L, 4, fos, 3, sos, flagNibble = 0x4))
+    expect("rows", "groups for")(grib1SecondOrderMsg(w, h,
+      0x41500000L, 4, fos, 3, sos, p1Override = 2))
+    expect("overlap", "overlap")(grib1SecondOrderMsg(w, h,
+      0x41500000L, 4, fos, 3, sos, n1Override = 10))
+    expect("overrun", "overruns the BDS")(grib1SecondOrderMsg(w, h,
+      0x41500000L, 4, fos, 3, sos, n2Override = 29))
   }
 }
