@@ -154,6 +154,26 @@ object FileIO {
   def readString(url: String): String =
     new String(readAllBytes(url), java.nio.charset.StandardCharsets.UTF_8)
 
+  /** Create/overwrite a file or object with `bytes` (parent
+    * directories created; one PUT on object stores). */
+  def writeAll(url: String, bytes: Array[Byte]): Unit =
+    if (hasScheme(url)) {
+      val (fs, p) = fsPath(url)
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    } else {
+      val p = Paths.get(url)
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      Files.write(p, bytes)
+    }
+
+  /** Best-effort delete of a file/object (true if it existed). */
+  def delete(url: String): Boolean =
+    if (hasScheme(url)) {
+      val (fs, p) = fsPath(url)
+      fs.delete(p, false)
+    } else Files.deleteIfExists(Paths.get(url))
+
   /** Join a directory URL/path and a child name (slash-normalized). */
   def child(dirUrl: String, name: String): String =
     if (dirUrl.endsWith("/")) dirUrl + name else s"$dirUrl/$name"

@@ -808,7 +808,8 @@ object Zarr {
       dt: DType, fill: Double, comp: Compression, dims: Seq[String],
       extraAttrs: Map[String, Any],
       chunkData: Seq[Int] => Array[Double], v3: Boolean = false,
-      shardInner: Option[Seq[Int]] = None): Unit = {
+      shardInner: Option[Seq[Int]] = None,
+      writeChunks: Boolean = true): Unit = {
     require(shardInner.isEmpty || v3, "sharding is a v3-only layout")
     shardInner.foreach { inner =>
       require(inner.length == chunks.length && inner.forall(_ > 0) &&
@@ -876,39 +877,11 @@ object Zarr {
           extraAttrs))
     }
     val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
-    def shardBytes(outer: Array[Double], inner: Seq[Int]): Array[Byte] = {
-      val innerGrid = chunks.zip(inner).map { case (c, i) => c / i }
-      val nInner = innerGrid.product
-      val innerN = inner.product
-      val payload = new java.io.ByteArrayOutputStream()
-      val index = ByteBuffer.allocate(nInner * 16)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      var off = 0L
-      var ii = 0
-      while (ii < nInner) {
-        var rem = ii; val bi = new Array[Int](innerGrid.length)
-        var d = innerGrid.length - 1
-        while (d >= 0) { bi(d) = rem % innerGrid(d); rem /= innerGrid(d); d -= 1 }
-        val vals = new Array[Double](innerN)
-        copyBlock(outer, chunks, vals, inner, bi.toSeq, toOuter = false)
-        val bytes = compress(
-          encodeArray(vals, dt, ByteOrder.LITTLE_ENDIAN), comp)
-        index.putLong(off); index.putLong(bytes.length.toLong)
-        payload.write(bytes); off += bytes.length
-        ii += 1
-      }
-      val crc = new java.util.zip.CRC32C
-      crc.update(index.array(), 0, nInner * 16)
-      payload.write(index.array())
-      val crcBuf = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-      crcBuf.putInt(crc.getValue.toInt)
-      payload.write(crcBuf.array())
-      payload.toByteArray
-    }
     def rec(prefix: Seq[Int], d: Int): Unit =
       if (d == grid.length) {
         val bytes = shardInner match {
-          case Some(inner) => shardBytes(chunkData(prefix), inner)
+          case Some(inner) =>
+            shardObjectBytes(chunkData(prefix), chunks, inner, dt, comp)
           case None => compress(
             encodeArray(chunkData(prefix), dt, ByteOrder.LITTLE_ENDIAN), comp)
         }
@@ -918,7 +891,51 @@ object Zarr {
         Option(target.getParent).foreach(Files.createDirectories(_))
         Files.write(target, bytes)
       } else (0 until grid(d)).foreach(i => rec(prefix :+ i, d + 1))
-    rec(Nil, 0)
+    if (writeChunks) rec(Nil, 0)
+  }
+
+  /** Assemble ONE v3 `sharding_indexed` chunk object: the shard's
+    * inner-chunk payloads in C order, then the (offset, nbytes)
+    * u64-LE index protected by crc32c, index at the object's END —
+    * exactly the layout [[readShard]] reads back with positioned
+    * byte-range requests. `outer` is the padded shard array of shape
+    * `chunks`; `inner` must divide it. Pure bytes-in/bytes-out so a
+    * DISTRIBUTED writer (one executor task per shard) can emit shard
+    * objects without any driver involvement. */
+  def shardObjectBytes(outer: Array[Double], chunks: Seq[Int],
+      inner: Seq[Int], dt: DType, comp: Compression): Array[Byte] = {
+    require(inner.length == chunks.length && inner.forall(_ > 0) &&
+      chunks.zip(inner).forall { case (c, i) => c % i == 0 },
+      s"inner chunk shape ${inner.mkString("x")} must divide the " +
+        s"shard shape ${chunks.mkString("x")}")
+    require(outer.length == chunks.product, "shard array size mismatch")
+    val innerGrid = chunks.zip(inner).map { case (c, i) => c / i }
+    val nInner = innerGrid.product
+    val innerN = inner.product
+    val payload = new java.io.ByteArrayOutputStream()
+    val index = ByteBuffer.allocate(nInner * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var off = 0L
+    var ii = 0
+    while (ii < nInner) {
+      var rem = ii; val bi = new Array[Int](innerGrid.length)
+      var d = innerGrid.length - 1
+      while (d >= 0) { bi(d) = rem % innerGrid(d); rem /= innerGrid(d); d -= 1 }
+      val vals = new Array[Double](innerN)
+      copyBlock(outer, chunks, vals, inner, bi.toSeq, toOuter = false)
+      val bytes = compress(
+        encodeArray(vals, dt, ByteOrder.LITTLE_ENDIAN), comp)
+      index.putLong(off); index.putLong(bytes.length.toLong)
+      payload.write(bytes); off += bytes.length
+      ii += 1
+    }
+    val crc = new java.util.zip.CRC32C
+    crc.update(index.array(), 0, nInner * 16)
+    payload.write(index.array())
+    val crcBuf = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    crcBuf.putInt(crc.getValue.toInt)
+    payload.write(crcBuf.array())
+    payload.toByteArray
   }
 
   /** Write a (time,y,x) stack as one Zarr v2 group: data variable with
@@ -1026,6 +1043,66 @@ object Zarr {
           "metadata" -> mdb.result(), "zarr_consolidated_format" -> 1L)))
     }
   }
+
+  /** Metadata-only skeleton of a v3 SHARDED (time,y,x) store for the
+    * DISTRIBUTED write path: group document, x/y/time/spatial_ref
+    * coordinate arrays and the data array's `zarr.json` declaring one
+    * SHARD PER FRAME (shard shape (1, padH, padW), inner chunks
+    * (1, chunkH, chunkW), crc32c index at the end). Data shard
+    * objects `band1/c/<t>/0/0` are written by executor tasks via
+    * [[shardObjectBytes]] — the driver never touches a data byte. A
+    * frame never written stays a missing chunk = fill (the Zarr
+    * sparse-store contract). */
+  def writeStackMeta(url: String, w: Int, h: Int, bbox: Bbox,
+      noData: Double, projection: String, timesMs: Seq[Long],
+      dtypeName: String = "float64", varName: String = "band1",
+      chunkH: Int = 256, chunkW: Int = 256,
+      compress: Boolean = true): Unit = {
+    require(timesMs.nonEmpty, "zarr: at least one frame time required")
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 27),
+      s"zarr: ${w}x$h frame too large for one shard (2^27 elements)")
+    val dt = DType.byName(dtypeName)
+    val cx = bbox.width / w; val cy = bbox.height / h
+    require(math.abs(cx - cy) <= 1e-9 * math.max(cx.abs, cy.abs),
+      s"zarr written here requires square pixels (got $cx x $cy)")
+    val root = Paths.get(url)
+    Files.createDirectories(root)
+    Files.writeString(root.resolve("zarr.json"), Json.render(
+      scala.collection.immutable.ListMap(
+        "zarr_format" -> 3L, "node_type" -> "group",
+        "attributes" -> scala.collection.immutable.ListMap(
+          "Conventions" -> "CF-1.8", "source" -> "graft zarr export"))))
+    writeArray(root.resolve("x"), Seq(w), Seq(w), DType.F8, Double.NaN,
+      NoComp, Seq("x"), Map("standard_name" -> "projection_x_coordinate"),
+      _ => Array.tabulate(w)(i => bbox.x1 + (i + 0.5) * cx), v3 = true)
+    writeArray(root.resolve("y"), Seq(h), Seq(h), DType.F8, Double.NaN,
+      NoComp, Seq("y"), Map("standard_name" -> "projection_y_coordinate"),
+      _ => Array.tabulate(h)(i => bbox.y2 - (i + 0.5) * cx), v3 = true)
+    writeArray(root.resolve("time"), Seq(timesMs.length),
+      Seq(timesMs.length), DType.F8, Double.NaN, NoComp, Seq("time"),
+      Map("units" -> "milliseconds since 1970-01-01T00:00",
+        "calendar" -> "standard"),
+      _ => timesMs.map(_.toDouble).toArray, v3 = true)
+    val wkt = WktSrs.toWkt(projection).getOrElse(projection)
+    writeArray(root.resolve("spatial_ref"), Seq(1), Seq(1), DType.I4, 0.0,
+      NoComp, Seq("spatial_ref"),
+      Map("spatial_ref" -> wkt, "crs_wkt" -> wkt),
+      _ => Array(0.0), v3 = true)
+    val (cH, cW) = (math.min(chunkH, h), math.min(chunkW, w))
+    writeArray(root.resolve(varName),
+      Seq(timesMs.length, h, w), frameShardShape(w, h, cH, cW), dt,
+      noData, if (compress) Zstd else NoComp, Seq("time", "y", "x"),
+      Map("grid_mapping" -> "spatial_ref"),
+      _ => sys.error("metadata-only write"), v3 = true,
+      shardInner = Some(Seq(1, cH, cW)), writeChunks = false)
+  }
+
+  /** The shard (outer chunk) shape of a one-shard-per-frame store:
+    * frame-sized, padded UP to whole inner chunks so the inner shape
+    * divides it (the v3 sharding requirement). */
+  def frameShardShape(w: Int, h: Int, chunkH: Int, chunkW: Int): Seq[Int] =
+    Seq(1, (h + chunkH - 1) / chunkH * chunkH,
+      (w + chunkW - 1) / chunkW * chunkW)
 }
 
 /** Zarr v2 group source: the CF time coordinate IS the time axis (frame

@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -145,11 +146,25 @@ object GraftRasterTable {
   }
 }
 
-class GraftRasterTable(paths: Seq[String]) extends Table with SupportsRead {
+class GraftRasterTable(paths: Seq[String]) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-raster(${paths.mkString(",")})"
   override def schema(): StructType = GraftRasterTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
+
+  /** `df.write.format("graft-raster").options(...).mode("append")
+    * .save(dir)` — tile frames to a sharded Zarr v3 store, one
+    * executor task per frame shard (see [[GraftRasterWrite]]). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.length == 1,
+      s"graft-raster write: exactly one target directory (got $paths)")
+    new GraftWriteBuilder(
+      GraftRasterWrite.config(paths.head,
+        info.options().asCaseSensitiveMap().asScala.toMap),
+      info.schema())
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(paths,
       Option(options.get("time_first")).map(_.toLong).getOrElse(0L),

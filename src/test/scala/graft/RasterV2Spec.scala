@@ -356,6 +356,90 @@ class RasterV2Spec extends SparkSpec {
     assert(got == want)
   }
 
+  test("DSv2 write path: tile frames -> one shard per frame, " +
+      "read-back exact, driver writes only metadata") {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2w").toString
+    val w = 600; val h = 520 // 3x3 tiles per frame
+    val frames = Seq.tabulate(3)(t =>
+      Array.tabulate(w * h)(i => ((t * 11 + i) % 997).toDouble))
+    writeGrib(s"$dir/s.grib2", frames, w, h)
+    val src = sp.read.format("graft-raster").load(s"$dir/s.grib2")
+    val out = s"$dir/out.zarr"
+    src.write.format("graft-raster").mode("append")
+      .option("width", w.toString).option("height", h.toString)
+      .option("x0", "0").option("y0", "0").option("cell", "0.05")
+      .option("projection", "EPSG:4326").option("chunk", "256")
+      .save(out)
+    // the store IS a sharded v3 store: one shard object per frame,
+    // sharding_indexed metadata, no other data objects
+    val meta = Files.readString(Paths.get(s"$out/band1/zarr.json"))
+    assert(meta.contains("sharding_indexed") && meta.contains("crc32c"),
+      meta)
+    for (t <- 0 until 3)
+      assert(Files.exists(Paths.get(s"$out/band1/c/$t/0/0")), s"shard $t")
+    // read-back through the connector: byte-exact tile frames
+    val back = sp.read.format("graft-raster").load(out)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getInt(2), r.getInt(3))
+    val want = src.collect().map(r => key(r) -> r.getSeq[Double](4)).toMap
+    val got = back.collect().map(r => key(r) -> r.getSeq[Double](4)).toMap
+    assert(got == want)
+    // and the AOI path over the written store still prunes + matches
+    val aoi = back.filter($"ty" === 1 && $"tx" === 2).collect()
+    assert(aoi.length == 3)
+    aoi.foreach(r => assert(r.getSeq[Double](4) == want(key(r))))
+  }
+
+  test("DSv2 write path failure modes: missing options, bad tile, " +
+      "off-grid time are loud") {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft_dsv2wf").toString
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val tiles = Seq((0L, 0, 0, Seq.fill(4)(1.0)))
+      .toDF("t", "ty", "tx", "values")
+      .withColumn("path", org.apache.spark.sql.functions.lit("x"))
+      .select("path", "t", "ty", "tx", "values")
+    val e1 = intercept[Exception] {
+      tiles.write.format("graft-raster").mode("append")
+        .option("width", "2").save(s"$dir/a.zarr")
+    }
+    assert(msgs(e1).exists(_.contains("missing required option")),
+      e1.getMessage)
+    def opts(df: org.apache.spark.sql.DataFrame) =
+      df.write.format("graft-raster").mode("append")
+        .option("width", "2").option("height", "2").option("x0", "0")
+        .option("y0", "0").option("cell", "1")
+        .option("projection", "EPSG:28992")
+    val e2 = intercept[Exception] { // wrong tile size for a 2x2 grid
+      opts(Seq((0L, 0, 0, Seq.fill(9)(1.0)))
+        .toDF("t", "ty", "tx", "values")
+        .withColumn("path", org.apache.spark.sql.functions.lit("x"))
+        .select("path", "t", "ty", "tx", "values")).save(s"$dir/b.zarr")
+    }
+    assert(msgs(e2).exists(_.contains("holds 9 values")), e2.getMessage)
+    val e3 = intercept[Exception] { // t off the time grid
+      opts(Seq((1234L, 0, 0, Seq.fill(4)(1.0)))
+        .toDF("t", "ty", "tx", "values")
+        .withColumn("path", org.apache.spark.sql.functions.lit("x"))
+        .select("path", "t", "ty", "tx", "values")).save(s"$dir/c.zarr")
+    }
+    assert(msgs(e3).exists(_.contains("time_first")), e3.getMessage)
+    // a minimal valid frame round-trips (2x2 grid = one tile)
+    opts(Seq((0L, 0, 0, Seq(1.0, 2.0, 3.0, 4.0)))
+      .toDF("t", "ty", "tx", "values")
+      .withColumn("path", org.apache.spark.sql.functions.lit("x"))
+      .select("path", "t", "ty", "tx", "values")).save(s"$dir/d.zarr")
+    val back = sp.read.format("graft-raster").load(s"$dir/d.zarr")
+      .collect()
+    assert(back.length == 1 &&
+      back(0).getSeq[Double](4) == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
   test("unknown layouts fail loudly by name") {
     val sp = spark
     val dir = Files.createTempDirectory("graft_dsv2f").toString
