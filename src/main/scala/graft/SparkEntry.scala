@@ -305,6 +305,12 @@ object SparkEntry {
     def q(f: (SparkSession, String, EventsGrid) => DataFrame)
         : (SparkSession, String) => DataFrame =
       (s, dir) => { val g = eventsGrid(s, dir); f(s, dir, g) }
+    // GRIB graticules must fit the globe at every SF: the pitch scales
+    // DOWN as the events grid grows (even millidegrees, the edition-1
+    // writer requirement). Values and the per-cell oracle are pitch-
+    // independent, so small-SF runs keep the historical 0.05.
+    def gribDpc(g: EventsGrid): Double =
+      math.max(2, math.min(50, 88000 / math.max(g.w, g.h)) / 2 * 2) / 1000.0
     Map(
       "r01_add" -> q((s, dir, g) =>
         cells(Add(eventsRaster(dir, g), 10.0).frame(fullReq(g))(s), g)),
@@ -611,12 +617,12 @@ object SparkEntry {
         val times = res.times.map(_.toEpochMilli)
         Hdf5Write.write(s"$out/ea.nc", res.values, g.w, g.h,
           fullReq(g).bbox, res.noDataValue, "EPSG:28992", times,
-          "float64", chunkRows = 2, chunkIndex = "earray",
+          "float64", chunkRows = math.max(2, g.h / 64), chunkIndex = "earray",
           eaIdxBlkElmts = 1, eaMinElmts = 2, eaSupMinPtrs = 2,
           eaPageBits = 2)
         Hdf5Write.write(s"$out/b2.nc", res.values, g.w, g.h,
           fullReq(g).bbox, res.noDataValue, "EPSG:28992", times,
-          "float64", chunkRows = 2, chunkIndex = "btree2",
+          "float64", chunkRows = math.max(2, g.h / 64), chunkIndex = "btree2",
           b2NodeSize = 1024)
         val ea = RasterFileSource(s"$out/ea.nc")
         val b2 = RasterFileSource(s"$out/b2.nc")
@@ -660,7 +666,7 @@ object SparkEntry {
         // 0.05-deg graticule and the read-back request uses that extent
         val a = eventsRaster(dir, g, "cast(floor(value) as double)")
         val out = java.nio.file.Files.createTempDirectory("verify_grib").toString
-        val p = GribSink(a, s"$out/stack.grib2", degPerCell = 0.05)
+        val p = GribSink(a, s"$out/stack.grib2", degPerCell = gribDpc(g))
           .write(fullReq(g))
         val src = RasterFileSource(p)
         val back = RasterRequest(src.extent.get, "EPSG:4326", g.w, g.h,
@@ -677,7 +683,7 @@ object SparkEntry {
         // products use; exact over integer-quantized values
         val a = eventsRaster(dir, g, "cast(floor(value) as double)")
         val out = java.nio.file.Files.createTempDirectory("verify_gribc").toString
-        val p = GribSink(a, s"$out/stack.grib2", degPerCell = 0.05,
+        val p = GribSink(a, s"$out/stack.grib2", degPerCell = gribDpc(g),
           template = 3, sdOrder = 2).write(fullReq(g))
         val src = RasterFileSource(p)
         val back = RasterRequest(src.extent.get, "EPSG:4326", g.w, g.h,
@@ -695,7 +701,7 @@ object SparkEntry {
         // for the same header-only pruning as edition 2)
         val a = eventsRaster(dir, g, "cast(floor(value) as double)")
         val out = java.nio.file.Files.createTempDirectory("verify_grib1").toString
-        val p = GribSink(a, s"$out/stack.grib", degPerCell = 0.05,
+        val p = GribSink(a, s"$out/stack.grib", degPerCell = gribDpc(g),
           edition = 1).write(fullReq(g))
         val src = RasterFileSource(p)
         val back = RasterRequest(src.extent.get, "EPSG:4326", g.w, g.h,
@@ -716,7 +722,7 @@ object SparkEntry {
         // integer-quantized values, bitmap rows for nodata
         val a = eventsRaster(dir, g, "cast(floor(value) as double)")
         val out = java.nio.file.Files.createTempDirectory("verify_grib41").toString
-        val p = GribSink(a, s"$out/stack.grib2", degPerCell = 0.05,
+        val p = GribSink(a, s"$out/stack.grib2", degPerCell = gribDpc(g),
           template = 41).write(fullReq(g))
         val src = RasterFileSource(p)
         val back = RasterRequest(src.extent.get, "EPSG:4326", g.w, g.h,
@@ -734,7 +740,7 @@ object SparkEntry {
         // applies
         val a = eventsRaster(dir, g, "cast(floor(value) as double)")
         val out = java.nio.file.Files.createTempDirectory("verify_dsv2").toString
-        val p = GribSink(a, s"$out/stack.grib2", degPerCell = 0.05,
+        val p = GribSink(a, s"$out/stack.grib2", degPerCell = gribDpc(g),
           template = 2).write(fullReq(g))
         val df = s.read.format("graft-raster").load(p)
           .select(col("t"), col("ty"), col("tx"), col("values"))
@@ -777,13 +783,33 @@ object SparkEntry {
           .select(col("t"), col("ty"), col("tx"), col("values"))
         cells(df, g, rowOffset = h1)
       }),
+      "r65_dsv2_write" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the connector's WRITE path closes the archive round-trip:
+        // events grid -> NetCDF -> DSv2 read (tile frames) ->
+        // df.write.format("graft-raster") -> ONE Zarr v3 shard object
+        // per frame written BY EXECUTOR TASKS (clustered+sorted by t,
+        // driver commits only the metadata JSON) -> DSv2 read again
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_dsv2w").toString
+        NetCdfSink(a, s"$out/stack.nc").write(fullReq(g))
+        s.read.format("graft-raster").load(s"$out/stack.nc")
+          .write.format("graft-raster").mode("append")
+          .option("width", g.w.toString).option("height", g.h.toString)
+          .option("x0", "0").option("y0", "0").option("cell", "1")
+          .option("projection", "EPSG:28992")
+          .option("nodata", QueryLib.ND.toString)
+          .save(s"$out/out.zarr")
+        cells(s.read.format("graft-raster").load(s"$out/out.zarr")
+          .select(col("t"), col("ty"), col("tx"), col("values")), g)
+      }),
       "r56_grib_slice" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // temporal slice: the field-pruned path decodes only frames 1-2's
         // bitmap+data byte ranges (valid times from section 1 + forecast)
         val a = eventsRaster(dir, g, "cast(floor(value) as double)")
         val out = java.nio.file.Files.createTempDirectory("verify_gribs").toString
-        val p = GribSink(a, s"$out/stack.grib2", degPerCell = 0.05)
+        val p = GribSink(a, s"$out/stack.grib2", degPerCell = gribDpc(g))
           .write(fullReq(g))
         val src = RasterFileSource(p)
         val back = RasterRequest(src.extent.get, "EPSG:4326", g.w, g.h,
@@ -1056,6 +1082,8 @@ object SparkEntry {
       |SELECT t_idx, cell_id, v FROM cells
       |UNION ALL
       |SELECT t_idx + 100, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
+    "r65_dsv2_write" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     // grid height from the events table itself (h = ceil(ceil(n/4)/100),
     // top band = h//2 rows): only the bottom band's cells survive the bbox
     "r64_dsv2_bbox" -> s"""${cellsSql()}
