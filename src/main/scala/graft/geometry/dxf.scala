@@ -402,7 +402,11 @@ case class DxfSource(url: String, projectionArg: String = "")
         else gf.createMultiPolygon(polys.toArray)
       } else gf.createGeometryCollection(gs.toArray)
 
-    val es = drawing.entities
+    // entities arrive as an immutable Seq (List): index it once —
+    // es(k)/es.length inside the regroup loop were O(n) on the List,
+    // turning the whole pass quadratic (the sf1 soak measured 360 s
+    // on 200k points; indexed it is linear)
+    val es = drawing.entities.toIndexedSeq
     val out = scala.collection.mutable.ArrayBuffer[
       (Long, Geometry, String, Map[String, String])]()
     var k = 0

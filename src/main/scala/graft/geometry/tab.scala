@@ -477,8 +477,11 @@ case class TabSource(url: String, projectionArg: String = "")
 
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // rows is an immutable Seq (List): positional lookup per feature
+    // was O(k) each -> quadratic over the dataset; index it once
+    val rowsIdx = ds.rows.toIndexedSeq
     val tuples = ds.geoms.zipWithIndex.map { case (g, k) =>
-      val row = if (ds.rows.isDefinedAt(k)) ds.rows(k) else Seq.empty
+      val row = if (rowsIdx.isDefinedAt(k)) rowsIdx(k) else Seq.empty
       val fid = fidCol.flatMap(j => row.lift(j).flatMap(_.trim.toLongOption))
         .getOrElse(k.toLong)
       val attrs = ds.tabDef.fields.zipWithIndex.collect {

@@ -107,7 +107,16 @@ object Lm {
           element_at(col("ws"), i + 2).as("w3")))).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"), col("p.w3"))
       .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
+    // the corpus trigram table is read by FIVE derived aggregates and
+    // the final join; left lazy, every branch of that tree recomputes
+    // the whole explode+aggregate from the raw text (the sf1 soak
+    // measured x69 on x10 data, 19 GB of duplicated shuffles).
+    // Materialize it once: c3 is MODEL-sized (distinct trigrams), not
+    // corpus-sized like `g`, so this is the spill-safe table to pin —
+    // the same trade jaccardPairFrame makes (ContextCleaner reclaims
+    // the blocks when the frame becomes unreachable).
     val c3 = g.groupBy("w1", "w2", "w3").agg(sum("cnt").as("c3"))
+      .localCheckpoint()
     val c2ctx = c3.groupBy("w1", "w2").agg(sum("c3").as("c2ctx"))
     val cbg = c3.groupBy("w2", "w3").agg(sum("c3").as("cbg"))
     val c1ctx = cbg.groupBy("w2").agg(sum("cbg").as("c1ctx"))
