@@ -579,6 +579,12 @@ object Hdf5 {
         case 2 =>
           entries += FilterEntry(2,
             Seq(vals.headOption.filter(_ > 0).getOrElse(elemSize)))
+        case 4 => throw new IllegalArgumentException(
+          "hdf5: szip (filter 4) is permanently out of scope for this " +
+            "pure-JVM reader — a CCSDS-121 Rice decoder cannot be " +
+            "independently validated in this environment; repack " +
+            "upstream, e.g. `h5repack -f GZIP=6 in.h5 out.h5`, before " +
+            "ingest")
         case other => throw new IllegalArgumentException(
           s"hdf5: unsupported filter id $other (deflate/shuffle/fletcher32)")
       }
@@ -1203,9 +1209,9 @@ object Hdf5 {
     val rootNrec = hb.getShort & 0xFFFF
     val totalNrec = hb.getLong
     if (rootAddr == Undef) return Seq.empty
-    require(depth <= 1,
-      s"hdf5: v2 B-tree depth $depth not supported (root leaf or one " +
-        "internal level)")
+    require(depth <= 16,
+      s"hdf5: v2 B-tree depth $depth (a sane tree of 2^24 records " +
+        "never exceeds a handful of levels)")
     val rank = d.rank
     val sizeLen = recSize - 12 - 8 * rank
     if (rtype == 10) require(recSize == 8 + 8 * rank,
@@ -1216,8 +1222,28 @@ object Hdf5 {
     val leafCap = (nodeSize - 10) / recSize
     require(leafCap >= 1, s"hdf5: v2 B-tree node size $nodeSize holds no " +
       s"$recSize-byte records")
-    val nrecWidth = limitEncSize(leafCap)
     require(totalNrec <= (1L << 24), s"hdf5: $totalNrec v2 B-tree records")
+    // per-level node geometry (H5B2 header math): a pointer to a child
+    // at level L-1 is (address, child nrec, and — when the child is
+    // itself internal — the child's cumulative subtree record count),
+    // with the two counters encoded in exactly enough bytes for their
+    // level's maxima. These widths are what make depth >= 2 walkable:
+    // they change per level, so a fixed leaf-width reader cannot
+    // descend further than one internal level.
+    val maxNrec = new Array[Long](depth + 1)
+    val cumMax = new Array[Long](depth + 1)
+    maxNrec(0) = leafCap; cumMax(0) = leafCap
+    def ptrWidth(childLevel: Int): Int =
+      8 + limitEncSize(maxNrec(childLevel)) +
+        (if (childLevel > 0) limitEncSize(cumMax(childLevel)) else 0)
+    for (lvl <- 1 to depth) {
+      val pw = ptrWidth(lvl - 1)
+      maxNrec(lvl) = (nodeSize - 10 - pw).toLong / (recSize + pw)
+      require(maxNrec(lvl) >= 1,
+        s"hdf5: v2 B-tree node size $nodeSize holds no records at " +
+          s"level $lvl")
+      cumMax(lvl) = (maxNrec(lvl) + 1) * cumMax(lvl - 1) + maxNrec(lvl)
+    }
 
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Seq[Long], Long, Long, Int)]
@@ -1251,37 +1277,53 @@ object Hdf5 {
         "hdf5: leaf record type disagrees with the header")
       for (_ <- 0 until nrec) record(bb)
     }
-    if (depth == 0) leaf(rootAddr, rootNrec)
-    else {
-      // BTIN: sig(4) version(1) type(1), rootNrec records, then
-      // rootNrec+1 child pointers (address + record count), checksum
-      val sz = 6 + rootNrec * recSize + (rootNrec + 1) * (8 + nrecWidth) + 4
-      val bb = readAt(ch, rootAddr, sz)
-      val s4 = new Array[Byte](4); bb.get(s4)
-      require(s4.sameElements("BTIN".getBytes("US-ASCII")),
-        s"hdf5: v2 B-tree internal node at $rootAddr has no BTIN signature")
-      require((bb.get() & 0xFF) == 0, "hdf5: v2 B-tree internal version")
-      require((bb.get() & 0xFF) == rtype,
-        "hdf5: internal record type disagrees with the header")
-      val sepAt = out.length
-      for (_ <- 0 until rootNrec) record(bb)
-      val seps = out.slice(sepAt, sepAt + rootNrec).toList
-      out.remove(sepAt, rootNrec)
-      val children = Seq.fill(rootNrec + 1) {
-        val a = bb.getLong
-        var nrec = 0L
-        for (k <- 0 until nrecWidth) nrec |= (bb.get() & 0xFFL) << (8 * k)
-        (a, nrec.toInt)
+    def walk(at: Long, nrec: Int, level: Int): Unit =
+      if (level == 0) leaf(at, nrec)
+      else {
+        // BTIN: sig(4) version(1) type(1), nrec records, then nrec+1
+        // child pointers (address, child nrec [, child subtree total
+        // when the child is internal]), checksum
+        val pw = ptrWidth(level - 1)
+        val nrecW = limitEncSize(maxNrec(level - 1))
+        val totW = if (level - 1 > 0) limitEncSize(cumMax(level - 1)) else 0
+        val sz = 6 + nrec * recSize + (nrec + 1) * pw + 4
+        val bb = readAt(ch, at, sz)
+        val s4 = new Array[Byte](4); bb.get(s4)
+        require(s4.sameElements("BTIN".getBytes("US-ASCII")),
+          s"hdf5: v2 B-tree internal node at $at has no BTIN signature")
+        require((bb.get() & 0xFF) == 0, "hdf5: v2 B-tree internal version")
+        require((bb.get() & 0xFF) == rtype,
+          "hdf5: internal record type disagrees with the header")
+        val sepAt = out.length
+        for (_ <- 0 until nrec) record(bb)
+        val seps = out.slice(sepAt, sepAt + nrec).toList
+        out.remove(sepAt, nrec)
+        val children = Seq.fill(nrec + 1) {
+          val a = bb.getLong
+          var cn = 0L
+          for (k <- 0 until nrecW) cn |= (bb.get() & 0xFFL) << (8 * k)
+          var tot = 0L
+          for (k <- 0 until totW) tot |= (bb.get() & 0xFFL) << (8 * k)
+          (a, cn.toInt, tot)
+        }
+        children.zipWithIndex.foreach { case ((a, cn, tot), i) =>
+          require(a != Undef, "hdf5: v2 B-tree child pointer with an " +
+            "undefined address")
+          require(cn >= 1 && cn <= maxNrec(level - 1),
+            s"hdf5: v2 B-tree child holds $cn records (level " +
+              s"${level - 1} capacity ${maxNrec(level - 1)})")
+          require(totW == 0 || (tot >= cn && tot <= cumMax(level - 1)),
+            s"hdf5: v2 B-tree child subtree of $tot records exceeds its " +
+              s"level's ${cumMax(level - 1)} capacity")
+          val before = out.length
+          walk(a, cn, level - 1)
+          require(totW == 0 || out.length - before == tot,
+            s"hdf5: v2 B-tree child subtree walked ${out.length - before} " +
+              s"records, its pointer promises $tot")
+          if (i < seps.length) out += seps(i)
+        }
       }
-      children.zipWithIndex.foreach { case ((a, nrec), i) =>
-        require(a != Undef, "hdf5: v2 B-tree child pointer with an " +
-          "undefined address")
-        require(nrec >= 1 && nrec <= leafCap,
-          s"hdf5: v2 B-tree child holds $nrec records (leaf capacity $leafCap)")
-        leaf(a, nrec)
-        if (i < seps.length) out += seps(i)
-      }
-    }
+    walk(rootAddr, rootNrec, depth)
     require(out.length.toLong == totalNrec,
       s"hdf5: v2 B-tree walked ${out.length} records, the header " +
         s"promises $totalNrec")
@@ -1584,6 +1626,8 @@ object Hdf5Write {
     def u64(v: Long): Unit = bytes(le(8)(_.putLong(v)))
     def patch64(at: Long, v: Long): Unit =
       System.arraycopy(le(8)(_.putLong(v)), 0, arr, at.toInt, 8)
+    def patch16(at: Long, v: Int): Unit =
+      System.arraycopy(le(2)(_.putShort(v.toShort)), 0, arr, at.toInt, 2)
     def pad(to: Int): Unit = while (len % to != 0) u8(0)
     def result: Array[Byte] = arr.take(len)
   }
@@ -1907,8 +1951,24 @@ object Hdf5Write {
       val leafCap = (b2NodeSize - 10) / recSize
       require(leafCap >= 2, s"hdf5: v2 B-tree node size $b2NodeSize holds " +
         s"$leafCap $recSize-byte records; need at least 2")
-      val nrecWidth =
-        (63 - java.lang.Long.numberOfLeadingZeros(leafCap.toLong)) / 8 + 1
+      def encW(limit: Long): Int =
+        (63 - java.lang.Long.numberOfLeadingZeros(limit)) / 8 + 1
+      // per-level capacities (the reader's H5B2 header math, mirrored)
+      val maxNrec = scala.collection.mutable.ArrayBuffer[Long](leafCap)
+      val cumMax = scala.collection.mutable.ArrayBuffer[Long](leafCap)
+      def ptrW(childLevel: Int): Int =
+        8 + encW(maxNrec(childLevel)) +
+          (if (childLevel > 0) encW(cumMax(childLevel)) else 0)
+      var depth = 0
+      while (cumMax(depth) < n) {
+        val pw = ptrW(depth)
+        val m = (b2NodeSize - 10 - pw).toLong / (recSize + pw)
+        require(m >= 2, s"hdf5: v2 B-tree node size $b2NodeSize holds " +
+          s"$m records at level ${depth + 1}; raise b2NodeSize")
+        maxNrec += m
+        cumMax += (m + 1) * cumMax(depth) + m
+        depth += 1
+      }
       def record(i: Int): Unit = {
         val (offs, addr, nb) = chunkEntries(i)
         b.u64(addr)
@@ -1916,49 +1976,63 @@ object Hdf5Write {
         b.u32(0)
         offs.zip(cdims).foreach { case (o, c) => b.u64(o / c) }
       }
-      val depth = if (n <= leafCap) 0 else 1
-      val nleaves = if (depth == 0) 1 else (n + 1 + leafCap) / (leafCap + 1)
-      val rootNrec = if (depth == 0) n else nleaves - 1
       b.bytes("BTHD".getBytes("US-ASCII"))
       b.u8(0); b.u8(11); b.u32(b2NodeSize); b.u16(recSize)
       b.u16(depth); b.u8(100); b.u8(40) // split / merge percents
       val rootPatch = b.pos; b.u64(0)
-      b.u16(rootNrec); b.u64(n.toLong); b.u32(0)
-      if (depth == 0) {
-        val at = b.pos
-        b.bytes("BTLF".getBytes("US-ASCII")); b.u8(0); b.u8(11)
-        for (i <- 0 until n) record(i)
-        b.u32(0)
-        b.patch64(rootPatch, at)
-      } else {
-        require(6 + rootNrec * recSize + nleaves * (8 + nrecWidth) + 4
-          <= b2NodeSize,
-          "hdf5: chunk count needs a deeper v2 B-tree than this writer " +
-            "emits (raise b2NodeSize)")
-        val leafRecs = n - (nleaves - 1)
-        val base = leafRecs / nleaves; val extra = leafRecs % nleaves
-        var cursor = 0
-        val seps = scala.collection.mutable.ArrayBuffer.empty[Int]
-        val leaves = (0 until nleaves).map { l =>
-          val cnt = base + (if (l < extra) 1 else 0)
+      val rootNrecPatch = b.pos; b.u16(0)
+      b.u64(n.toLong); b.u32(0)
+      /** Emit the subtree over records [lo, hi) at `level`, children
+        * first (their addresses feed the parent's pointers); returns
+        * (node address, node record count). */
+      def build(lo: Int, hi: Int, level: Int): (Long, Int) = {
+        val size = hi - lo
+        if (level == 0) {
+          require(size >= 1 && size <= leafCap,
+            s"hdf5: v2 B-tree leaf of $size records (cap $leafCap)")
           val at = b.pos
           b.bytes("BTLF".getBytes("US-ASCII")); b.u8(0); b.u8(11)
-          for (_ <- 0 until cnt) { record(cursor); cursor += 1 }
+          for (i <- lo until hi) record(i)
           b.u32(0)
-          if (l < nleaves - 1) { seps += cursor; cursor += 1 }
-          (at, cnt)
+          (at, size)
+        } else {
+          val below = cumMax(level - 1)
+          // smallest child count whose subtrees + separators cover size,
+          // bounded so every child keeps >= 1 record
+          val c0 = ((size + 1).toLong + below) / (below + 1)
+          val c = math.max(2L, math.min(c0, ((size + 1) / 2).toLong)).toInt
+          require(c - 1 <= maxNrec(level),
+            s"hdf5: v2 B-tree internal node needs ${c - 1} records " +
+              s"(level-$level cap ${maxNrec(level)})")
+          val recs = size - (c - 1)
+          val base = recs / c; val extra = recs % c
+          var cursor = lo
+          val seps = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val children = (0 until c).map { ci =>
+            val cnt = base + (if (ci < extra) 1 else 0)
+            val (at, nrec) = build(cursor, cursor + cnt, level - 1)
+            cursor += cnt
+            if (ci < c - 1) { seps += cursor; cursor += 1 }
+            (at, nrec, cnt)
+          }
+          require(cursor == hi, "hdf5: v2 B-tree record distribution bug")
+          val at = b.pos
+          b.bytes("BTIN".getBytes("US-ASCII")); b.u8(0); b.u8(11)
+          seps.foreach(record)
+          val nrecW = encW(maxNrec(level - 1))
+          val totW = if (level - 1 > 0) encW(cumMax(level - 1)) else 0
+          children.foreach { case (cat, cnrec, ctot) =>
+            b.u64(cat)
+            for (k <- 0 until nrecW) b.u8((cnrec >> (8 * k)) & 0xFF)
+            for (k <- 0 until totW) b.u8((ctot >> (8 * k)) & 0xFF)
+          }
+          b.u32(0)
+          (at, c - 1)
         }
-        require(cursor == n, "hdf5: v2 B-tree record distribution bug")
-        val rootAt = b.pos
-        b.bytes("BTIN".getBytes("US-ASCII")); b.u8(0); b.u8(11)
-        seps.foreach(record)
-        leaves.foreach { case (at, cnt) =>
-          b.u64(at)
-          for (k <- 0 until nrecWidth) b.u8((cnt >> (8 * k)) & 0xFF)
-        }
-        b.u32(0)
-        b.patch64(rootPatch, rootAt)
       }
+      val (rootAt, rootNrec) = build(0, n, depth)
+      b.patch64(rootPatch, rootAt)
+      b.patch16(rootNrecPatch, rootNrec)
     case _ =>
       // Fixed Array index, client 1 (filtered chunks): FAHD + FADB in
       // the 1.10 on-disk shape; checksums ride as zeros (unverified by

@@ -536,8 +536,9 @@ class Hdf5Spec extends SparkSpec {
       stop = Some(RasterFixtures.T0.plusMillis(RasterFixtures.Hour))))(spark).get
     assert(one.times.length == 1 && one.values.head.forall(_ == 7.0))
     intercept[Exception] { Hdf5Source(p).getData(req)(spark) }
-    // a deeper tree than the reader carries is loud by name: flip the
-    // BTHD depth field (sig+ver+type+nodeSize+recSize = offset 12)
+    // a LYING depth field is corruption, not garbage: flipping the BTHD
+    // depth to 2 over a root leaf makes the walker expect a BTIN where
+    // a BTLF sits (sig+ver+type+nodeSize+recSize = offset 12)
     val base = Files.readAllBytes(Paths.get(s"$dir/leaf.nc"))
     val at = base.indices.find(i => i + 4 <= base.length &&
       base(i) == 'B' && base(i + 1) == 'T' && base(i + 2) == 'H' &&
@@ -547,7 +548,70 @@ class Hdf5Spec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Hdf5Source(s"$dir/deep.nc").getData(req)(spark)
     }
-    assert(e.getMessage.contains("depth 2"), e.getMessage)
+    assert(e.getMessage.contains("BTIN signature"), e.getMessage)
+    // an absurd depth is loud before any node is read
+    val mut17 = base.clone(); mut17(at + 12) = 17
+    Files.write(Paths.get(s"$dir/deep17.nc"), mut17)
+    val e17 = intercept[IllegalArgumentException] {
+      Hdf5Source(s"$dir/deep17.nc").getData(req)(spark)
+    }
+    assert(e17.getMessage.contains("depth 17"), e17.getMessage)
+  }
+
+  test("layout v4 v2 B-tree chunk index: depth >= 2 (multi-level " +
+      "internal walk with per-level pointer widths)") {
+    val dir = Files.createTempDirectory("graft_h5b2d").toString
+    val req = RasterFixtures.valsRequest
+    val want = RasterFixtures.source.getData(req)(spark).get
+    val timesMs = want.times.map(_.toEpochMilli)
+    val p = s"$dir/deep2.nc"
+    // node size 128 / one-row uint8 chunks: leafCap 3, level-1 cap 2,
+    // level-2 cap 2 -> 18 chunk records need depth 2 (cum capacities
+    // 3 / 11 / 35)
+    Hdf5Write.write(p, want.values, req.width, req.height, req.bbox,
+      want.noDataValue, "EPSG:28992", timesMs, dtypeName = "uint8",
+      chunkRows = 1, chunkIndex = "btree2", b2NodeSize = 128)
+    val bytes = Files.readAllBytes(Paths.get(p))
+    val at = bytes.indices.find(i => i + 4 <= bytes.length &&
+      bytes(i) == 'B' && bytes(i + 1) == 'T' && bytes(i + 2) == 'H' &&
+      bytes(i + 3) == 'D').getOrElse(fail("BTHD not found"))
+    val depth = ((bytes(at + 12) & 0xFF) | ((bytes(at + 13) & 0xFF) << 8))
+    assert(depth == 2, s"fixture emitted depth $depth, wanted 2")
+    val back = Hdf5Source(p)
+    assert(back.temporal && back.allTimes == want.times)
+    assert(back.getData(req)(spark).get.values.map(_.toSeq).toSeq ==
+      want.values.map(_.toSeq).toSeq)
+    // frame pruning still walks only the needed chunks' byte ranges:
+    // clobber frame 0's first chunk, slice frame 1 cleanly
+    val firstChunk = 96L + 8L * (req.width + req.height + 3)
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try { raf.seek(firstChunk); raf.write(Array.fill[Byte](4)(0x7F)) }
+    finally raf.close()
+    val one = Hdf5Source(p).getData(req.copy(
+      start = Some(RasterFixtures.T0.plusMillis(RasterFixtures.Hour)),
+      stop = Some(RasterFixtures.T0.plusMillis(RasterFixtures.Hour))))(spark).get
+    assert(one.times.length == 1 && one.values.head.forall(_ == 7.0))
+    intercept[Exception] { Hdf5Source(p).getData(req)(spark) }
+    // corrupting bytes inside the first internal node (a separator
+    // record or a child pointer) is LOUD — capacity check, signature
+    // check or a failed chunk decode — never silent truncation
+    val byIdx = Files.readAllBytes(Paths.get(s"$dir/deep2.nc"))
+    val btin = byIdx.indices.find(i => i + 4 <= byIdx.length &&
+      byIdx(i) == 'B' && byIdx(i + 1) == 'T' && byIdx(i + 2) == 'I' &&
+      byIdx(i + 3) == 'N').getOrElse(fail("BTIN not found"))
+    for (off <- Seq(6 + 37 + 8, 6, 6 + 37)) {
+      val mutp = byIdx.clone(); mutp(btin + off) = 0
+      Files.write(Paths.get(s"$dir/badptr.nc"), mutp)
+      val got = Hdf5Source(s"$dir/badptr.nc")
+      val r = try { Right(got.getData(req)(spark).get.values.map(_.toSeq)) }
+        catch { case e: Exception => Left(e) }
+      r match {
+        case Left(_) => // loud — good
+        case Right(vals) => // a benign byte: the data must be UNCHANGED
+          assert(vals.toSeq == want.values.map(_.toSeq).toSeq,
+            s"offset $off silently changed the decode")
+      }
+    }
   }
 
   test("v4 chunk indexes this reader does not carry fail loudly by name") {
@@ -760,6 +824,23 @@ class Hdf5Spec extends SparkSpec {
     buildFiltered(p, filterPipeline(Seq(3 -> Nil, 2 -> Seq(2), 1 -> Seq(6))),
       (raw, _) => (deflate(shuffleFwd(fletchAppend(raw), 2)), 0))
     assert(readV(p).toSeq == wantV)
+  }
+
+  test("szip (filter 4) is a loud PERMANENT deferral naming the " +
+      "repack workaround") {
+    // a NASA EOS-shaped pipeline (szip with H5Zszip client data) must
+    // fail at the filter parse — by name, with the h5repack pointer —
+    // never by silently misdecoding a CCSDS-121 stream this reader
+    // cannot independently validate
+    val dir = Files.createTempDirectory("graft_h5sz").toString
+    val p = s"$dir/szip.h5"
+    buildFiltered(p,
+      filterPipeline(Seq(4 -> Seq(0x15, 16, 16, 4))),
+      (raw, _) => (raw, 0))
+    val e = intercept[IllegalArgumentException] { readV(p) }
+    assert(e.getMessage.contains("szip"), e.getMessage)
+    assert(e.getMessage.contains("CCSDS"), e.getMessage)
+    assert(e.getMessage.contains("h5repack"), e.getMessage)
   }
 
   test("fletcher32 verification is real: corrupted checksum fails loudly") {
