@@ -154,6 +154,12 @@ object FileIO {
   def readString(url: String): String =
     new String(readAllBytes(url), java.nio.charset.StandardCharsets.UTF_8)
 
+  /** Sequential read stream (text-grid formats, sidecar files). */
+  def openStream(url: String): java.io.InputStream =
+    if (hasScheme(url)) { val (fs, p) = fsPath(url); fs.open(p) }
+    else new java.io.BufferedInputStream(
+      new java.io.FileInputStream(url))
+
   /** Create/overwrite a file or object with `bytes` (parent
     * directories created; one PUT on object stores). */
   def writeAll(url: String, bytes: Array[Byte]): Unit =

@@ -40,21 +40,22 @@ object Envi {
       noData: Double, projection: String)
 
   /** `(headerPath, dataPath)` from a url naming either file. */
-  def resolvePaths(url: String): (Path, Path) = {
-    val p = Paths.get(url)
-    def firstExisting(cands: Seq[Path], what: String): Path =
-      cands.find(Files.exists(_)).getOrElse(throw new IllegalArgumentException(
-        s"$url: no $what found (tried ${cands.mkString(", ")})"))
+  def resolvePaths(url: String): (String, String) = {
+    def firstExisting(cands: Seq[String], what: String): String =
+      cands.find(graft.io.FileIO.exists).getOrElse(
+        throw new IllegalArgumentException(
+          s"$url: no $what found (tried ${cands.mkString(", ")})"))
     if (url.toLowerCase.endsWith(".hdr")) {
       val stem = GridFiles.stemOf(url)
       val data = firstExisting(
         Seq(stem, stem + ".dat", stem + ".img", stem + ".bsq", stem + ".raw")
-          .map(Paths.get(_)).filterNot(_ == p), "ENVI data file")
-      (p, data)
+          .filterNot(_ == url), "ENVI data file")
+      (url, data)
     } else {
-      val hdr = firstExisting(Seq(GridFiles.stemOf(url) + ".hdr", url + ".hdr")
-        .map(Paths.get(_)), "ENVI .hdr sidecar")
-      (hdr, p)
+      val hdr = firstExisting(
+        Seq(GridFiles.stemOf(url) + ".hdr", url + ".hdr"),
+        "ENVI .hdr sidecar")
+      (hdr, url)
     }
   }
 
@@ -62,7 +63,7 @@ object Envi {
     * brace-enclosed, comma-separated (possibly multi-line) list. */
   def readHeader(url: String, projectionArg: String = ""): Header = {
     val (hdrPath, dataPath) = resolvePaths(url)
-    val text = Files.readString(hdrPath)
+    val text = graft.io.FileIO.readString(hdrPath)
     require(text.linesIterator.hasNext &&
       text.linesIterator.next().trim.equalsIgnoreCase("ENVI"),
       s"$hdrPath: not an ENVI header (missing ENVI magic line)")
@@ -133,11 +134,11 @@ object Envi {
     val (_, dataPath) = resolvePaths(url)
     val n = h.samples.toLong * h.lines * h.bands
     val needBytes = h.headerOffset + n * h.dtype.size
-    val fileLen = Files.size(dataPath)
+    val fileLen = graft.io.FileIO.size(dataPath)
     require(fileLen >= needBytes,
       s"$dataPath: ${fileLen} bytes < $needBytes required by the header")
     require(n <= Int.MaxValue / 8, s"$dataPath: stack too large for one read")
-    val raw = Files.readAllBytes(dataPath)
+    val raw = graft.io.FileIO.readAllBytes(dataPath)
     val buf = ByteBuffer.wrap(raw, h.headerOffset.toInt, (n * h.dtype.size).toInt)
       .order(if (h.byteOrder == 0) ByteOrder.LITTLE_ENDIAN
              else ByteOrder.BIG_ENDIAN)

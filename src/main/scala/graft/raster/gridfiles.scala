@@ -43,8 +43,9 @@ object GridFiles {
   /** Sidecar `.prj` beats the argument (GDAL precedence); no georeference
     * source at all fails loudly. */
   private[raster] def resolveProjection(path: String, arg: String): String = {
-    val prj = Paths.get(stemOf(path) + ".prj")
-    if (Files.exists(prj)) Proj.normalize(Files.readString(prj).trim)
+    val prj = stemOf(path) + ".prj"
+    if (graft.io.FileIO.exists(prj))
+      Proj.normalize(graft.io.FileIO.readString(prj).trim)
     else if (arg.nonEmpty) arg
     else throw new IllegalArgumentException(
       s"$path: no .prj sidecar and no projection argument")
@@ -79,7 +80,7 @@ object AsciiGrid {
   import GridFiles._
 
   def read(path: String, projectionArg: String = ""): GridData = {
-    val text = Files.readString(Paths.get(path))
+    val text = graft.io.FileIO.readString(path)
     val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
     val header = scala.collection.mutable.Map.empty[String, Double]
     val data = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -172,7 +173,9 @@ object Xyz {
       noDataArg: Double = Double.NaN): GridData = {
     val sep = "[,;\\s]+"
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, String)]
-    val it = Files.lines(Paths.get(path))
+    val in = graft.io.FileIO.openStream(path)
+    val it = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8")).lines()
     try it.forEach { raw =>
       val line = raw.trim
       if (line.nonEmpty && !line.startsWith("#")) {
@@ -282,10 +285,12 @@ object PngWorld {
     val bits = img.getColorModel.getPixelSize
     require(bits == 8 || bits == 16, s"$path: unsupported bit depth $bits")
     val w = img.getWidth; val h = img.getHeight
-    val wf = Seq(".pgw", ".wld").map(e => Paths.get(stemOf(path) + e))
-      .find(Files.exists(_)).getOrElse(throw new IllegalArgumentException(
-        s"$path: no world file (.pgw/.wld) sidecar"))
-    val nums = Files.readString(wf).trim.split("\\s+").map(_.toDouble)
+    val wf = Seq(".pgw", ".wld").map(e => stemOf(path) + e)
+      .find(graft.io.FileIO.exists).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path: no world file (.pgw/.wld) sidecar"))
+    val nums = graft.io.FileIO.readString(wf).trim.split("\\s+")
+      .map(_.toDouble)
     require(nums.length >= 6, s"$wf: world file needs 6 lines")
     val Array(a, d, b, e, c, f) = nums.take(6)
     require(b == 0 && d == 0, s"$wf: rotated world files not supported")
@@ -348,12 +353,9 @@ sealed trait GridFileRasterSource extends RasterBlock {
   protected def decode(path: String): GridFiles.GridData
 
   @transient private lazy val files: Seq[String] = {
-    val p = Paths.get(url)
-    if (Files.isDirectory(p)) {
-      import scala.jdk.CollectionConverters._
-      val fs = GridFiles.numericSort(
-        Files.list(p).iterator().asScala.map(_.toString)
-          .filter(f => extensions.exists(f.toLowerCase.endsWith(_))).toSeq)
+    if (graft.io.FileIO.isDirectory(url)) {
+      val fs = GridFiles.numericSort(graft.io.FileIO.list(url)
+        .filter(f => extensions.exists(f.toLowerCase.endsWith(_))))
       require(fs.nonEmpty, s"$url: no ${extensions.mkString("/")} files")
       fs
     } else Seq(url)
@@ -424,17 +426,17 @@ object RasterFileSource {
 
   def apply(url: String, timeFirstMs: Long = 0L,
       timeDeltaMs: Long = 300000L): RasterBlock = {
-    val p = Paths.get(url)
+    import graft.io.FileIO
     // a Zarr store is a DIRECTORY (no file extension): dispatch on the
     // .zgroup marker (or the conventional .zarr directory suffix)
     if (url.toLowerCase.endsWith(".zarr") ||
-      (Files.isDirectory(p) && (Files.exists(p.resolve(".zgroup")) ||
-        Files.exists(p.resolve("zarr.json")))))
+      (FileIO.isDirectory(url) &&
+        (FileIO.exists(FileIO.child(url, ".zgroup")) ||
+          FileIO.exists(FileIO.child(url, "zarr.json")))))
       return ZarrSource(url)
     val probe =
-      if (Files.isDirectory(p)) {
-        import scala.jdk.CollectionConverters._
-        Files.list(p).iterator().asScala.map(_.toString)
+      if (FileIO.isDirectory(url)) {
+        FileIO.list(url)
           .find(f => known.exists(f.toLowerCase.endsWith))
           .getOrElse(throw new IllegalArgumentException(
             s"$url: no raster files (${known.mkString(", ")})"))

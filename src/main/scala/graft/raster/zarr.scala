@@ -804,7 +804,7 @@ object Zarr {
       case 'u' => "uint"; case 'i' => "int"; case _ => "float"
     }) + (dt.size * 8)
 
-  private def writeArray(dir: Path, shape: Seq[Int], chunks: Seq[Int],
+  private def writeArray(dir: String, shape: Seq[Int], chunks: Seq[Int],
       dt: DType, fill: Double, comp: Compression, dims: Seq[String],
       extraAttrs: Map[String, Any],
       chunkData: Seq[Int] => Array[Double], v3: Boolean = false,
@@ -817,8 +817,7 @@ object Zarr {
         s"inner chunk shape ${inner.mkString("×")} must divide the " +
           s"shard shape ${chunks.mkString("×")}")
     }
-    Files.createDirectories(dir)
-    val fillJson: Any =
+    val fillJson: Any = // parent dirs are created per object write
       if (dt.kind == 'b') fill != 0.0 // v3 spec: bool fill is a JSON bool
       else if (fill.isNaN) "NaN"
       else if (dt.isInt || fill.isWhole && math.abs(fill) < 1e15) fill.toLong
@@ -862,7 +861,8 @@ object Zarr {
         "attributes" -> (scala.collection.immutable.ListMap(
           "_ARRAY_DIMENSIONS" -> dims) ++ extraAttrs),
         "dimension_names" -> dims)
-      Files.writeString(dir.resolve("zarr.json"), Json.render(doc))
+      FileIO.writeAll(FileIO.child(dir, "zarr.json"),
+        Json.render(doc).getBytes("UTF-8"))
     } else {
       val za = scala.collection.immutable.ListMap(
         "zarr_format" -> 2L, "shape" -> shape, "chunks" -> chunks,
@@ -871,10 +871,11 @@ object Zarr {
           scala.collection.immutable.ListMap("id" -> "zlib", "level" -> 6L)
         else null),
         "fill_value" -> fillJson, "order" -> "C", "filters" -> null)
-      Files.writeString(dir.resolve(".zarray"), Json.render(za))
-      Files.writeString(dir.resolve(".zattrs"), Json.render(
+      FileIO.writeAll(FileIO.child(dir, ".zarray"),
+        Json.render(za).getBytes("UTF-8"))
+      FileIO.writeAll(FileIO.child(dir, ".zattrs"), Json.render(
         scala.collection.immutable.ListMap("_ARRAY_DIMENSIONS" -> dims) ++
-          extraAttrs))
+          extraAttrs).getBytes("UTF-8"))
     }
     val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def rec(prefix: Seq[Int], d: Int): Unit =
@@ -887,9 +888,7 @@ object Zarr {
         }
         val key = if (v3) "c/" + prefix.mkString("/")
           else prefix.mkString(".")
-        val target = dir.resolve(key)
-        Option(target.getParent).foreach(Files.createDirectories(_))
-        Files.write(target, bytes)
+        FileIO.writeAll(FileIO.child(dir, key), bytes)
       } else (0 until grid(d)).foreach(i => rec(prefix :+ i, d + 1))
     if (writeChunks) rec(Nil, 0)
   }
@@ -963,37 +962,38 @@ object Zarr {
     val cx = bbox.width / w; val cy = bbox.height / h
     require(math.abs(cx - cy) <= 1e-9 * math.max(cx.abs, cy.abs),
       s"zarr written here requires square pixels (got $cx × $cy)")
-    val root = Paths.get(url)
-    Files.createDirectories(root)
+    val root = url
     if (v3)
-      Files.writeString(root.resolve("zarr.json"), Json.render(
+      FileIO.writeAll(FileIO.child(root, "zarr.json"), Json.render(
         scala.collection.immutable.ListMap(
           "zarr_format" -> 3L, "node_type" -> "group",
           "attributes" -> scala.collection.immutable.ListMap(
-            "Conventions" -> "CF-1.8", "source" -> "graft zarr export"))))
+            "Conventions" -> "CF-1.8",
+            "source" -> "graft zarr export"))).getBytes("UTF-8"))
     else {
-      Files.writeString(root.resolve(".zgroup"),
-        Json.render(Map("zarr_format" -> 2L)))
-      Files.writeString(root.resolve(".zattrs"), Json.render(
+      FileIO.writeAll(FileIO.child(root, ".zgroup"),
+        Json.render(Map("zarr_format" -> 2L)).getBytes("UTF-8"))
+      FileIO.writeAll(FileIO.child(root, ".zattrs"), Json.render(
         scala.collection.immutable.ListMap(
-          "Conventions" -> "CF-1.8", "source" -> "graft zarr export")))
+          "Conventions" -> "CF-1.8",
+          "source" -> "graft zarr export")).getBytes("UTF-8"))
     }
     val cH = math.min(chunkH, h); val cW = math.min(chunkW, w)
     val nT = bands.length
 
-    writeArray(root.resolve("x"), Seq(w), Seq(w), DType.F8, Double.NaN,
+    writeArray(FileIO.child(root, "x"), Seq(w), Seq(w), DType.F8, Double.NaN,
       NoComp, Seq("x"), Map("standard_name" -> "projection_x_coordinate"),
       _ => Array.tabulate(w)(i => bbox.x1 + (i + 0.5) * cx), v3 = v3)
-    writeArray(root.resolve("y"), Seq(h), Seq(h), DType.F8, Double.NaN,
+    writeArray(FileIO.child(root, "y"), Seq(h), Seq(h), DType.F8, Double.NaN,
       NoComp, Seq("y"), Map("standard_name" -> "projection_y_coordinate"),
       _ => Array.tabulate(h)(i => bbox.y2 - (i + 0.5) * cx), v3 = v3)
-    writeArray(root.resolve("time"), Seq(nT), Seq(nT), DType.F8, Double.NaN,
+    writeArray(FileIO.child(root, "time"), Seq(nT), Seq(nT), DType.F8, Double.NaN,
       NoComp, Seq("time"), Map(
         "units" -> "milliseconds since 1970-01-01T00:00",
         "calendar" -> "standard"),
       _ => timesMs.map(_.toDouble).toArray, v3 = v3)
     val wkt = WktSrs.toWkt(projection).getOrElse(projection)
-    writeArray(root.resolve("spatial_ref"), Seq(1), Seq(1), DType.I4, 0.0,
+    writeArray(FileIO.child(root, "spatial_ref"), Seq(1), Seq(1), DType.I4, 0.0,
       NoComp, Seq("spatial_ref"), Map(
         "spatial_ref" -> wkt, "crs_wkt" -> wkt),
       _ => Array(0.0), v3 = v3)
@@ -1004,7 +1004,7 @@ object Zarr {
           s"shardSplit $shardSplit must divide the chunk $cH×$cW")
         Some(Seq(1, cH / shardSplit, cW / shardSplit))
       }
-    writeArray(root.resolve(varName), Seq(nT, h, w), Seq(1, cH, cW), dt,
+    writeArray(FileIO.child(root, varName), Seq(nT, h, w), Seq(1, cH, cW), dt,
       noData, dataComp, Seq("time", "y", "x"),
       Map("grid_mapping" -> "spatial_ref"), {
         case Seq(t, cyI, cxI) =>
@@ -1032,15 +1032,16 @@ object Zarr {
       val members = Seq("x", "y", "time", "spatial_ref", varName)
       val mdb = scala.collection.immutable.ListMap.newBuilder[String, Any]
       Seq(".zgroup", ".zattrs").foreach(f =>
-        mdb += (f -> Json.parse(Files.readString(root.resolve(f)))))
+        mdb += (f -> Json.parse(FileIO.readString(FileIO.child(root, f)))))
       members.foreach { m =>
         Seq(".zarray", ".zattrs").foreach(f =>
-          mdb += (s"$m/$f" ->
-            Json.parse(Files.readString(root.resolve(m).resolve(f)))))
+          mdb += (s"$m/$f" -> Json.parse(
+            FileIO.readString(FileIO.child(FileIO.child(root, m), f)))))
       }
-      Files.writeString(root.resolve(".zmetadata"), Json.render(
+      FileIO.writeAll(FileIO.child(root, ".zmetadata"), Json.render(
         scala.collection.immutable.ListMap(
-          "metadata" -> mdb.result(), "zarr_consolidated_format" -> 1L)))
+          "metadata" -> mdb.result(),
+          "zarr_consolidated_format" -> 1L)).getBytes("UTF-8"))
     }
   }
 
@@ -1065,31 +1066,31 @@ object Zarr {
     val cx = bbox.width / w; val cy = bbox.height / h
     require(math.abs(cx - cy) <= 1e-9 * math.max(cx.abs, cy.abs),
       s"zarr written here requires square pixels (got $cx x $cy)")
-    val root = Paths.get(url)
-    Files.createDirectories(root)
-    Files.writeString(root.resolve("zarr.json"), Json.render(
+    val root = url
+    FileIO.writeAll(FileIO.child(root, "zarr.json"), Json.render(
       scala.collection.immutable.ListMap(
         "zarr_format" -> 3L, "node_type" -> "group",
         "attributes" -> scala.collection.immutable.ListMap(
-          "Conventions" -> "CF-1.8", "source" -> "graft zarr export"))))
-    writeArray(root.resolve("x"), Seq(w), Seq(w), DType.F8, Double.NaN,
+          "Conventions" -> "CF-1.8",
+          "source" -> "graft zarr export"))).getBytes("UTF-8"))
+    writeArray(FileIO.child(root, "x"), Seq(w), Seq(w), DType.F8, Double.NaN,
       NoComp, Seq("x"), Map("standard_name" -> "projection_x_coordinate"),
       _ => Array.tabulate(w)(i => bbox.x1 + (i + 0.5) * cx), v3 = true)
-    writeArray(root.resolve("y"), Seq(h), Seq(h), DType.F8, Double.NaN,
+    writeArray(FileIO.child(root, "y"), Seq(h), Seq(h), DType.F8, Double.NaN,
       NoComp, Seq("y"), Map("standard_name" -> "projection_y_coordinate"),
       _ => Array.tabulate(h)(i => bbox.y2 - (i + 0.5) * cx), v3 = true)
-    writeArray(root.resolve("time"), Seq(timesMs.length),
+    writeArray(FileIO.child(root, "time"), Seq(timesMs.length),
       Seq(timesMs.length), DType.F8, Double.NaN, NoComp, Seq("time"),
       Map("units" -> "milliseconds since 1970-01-01T00:00",
         "calendar" -> "standard"),
       _ => timesMs.map(_.toDouble).toArray, v3 = true)
     val wkt = WktSrs.toWkt(projection).getOrElse(projection)
-    writeArray(root.resolve("spatial_ref"), Seq(1), Seq(1), DType.I4, 0.0,
+    writeArray(FileIO.child(root, "spatial_ref"), Seq(1), Seq(1), DType.I4, 0.0,
       NoComp, Seq("spatial_ref"),
       Map("spatial_ref" -> wkt, "crs_wkt" -> wkt),
       _ => Array(0.0), v3 = true)
     val (cH, cW) = (math.min(chunkH, h), math.min(chunkW, w))
-    writeArray(root.resolve(varName),
+    writeArray(FileIO.child(root, varName),
       Seq(timesMs.length, h, w), frameShardShape(w, h, cH, cW), dt,
       noData, if (compress) Zstd else NoComp, Seq("time", "y", "x"),
       Map("grid_mapping" -> "spatial_ref"),

@@ -130,7 +130,7 @@ class GraftBatchWrite(cfg: GraftRasterWrite.Config, schema: StructType)
         .mkString(",")} written by more than one task (the clustered " +
         "distribution contract was violated)")
     val nT = tis.max + 1
-    Zarr.writeStackMeta(cfg.localDir, cfg.w, cfg.h, cfg.bbox, cfg.noData,
+    Zarr.writeStackMeta(cfg.dir, cfg.w, cfg.h, cfg.bbox, cfg.noData,
       cfg.projection,
       (0 until nT).map(i => cfg.timeFirst + i.toLong * cfg.timeDelta),
       varName = cfg.varName, chunkH = cfg.chunk, chunkW = cfg.chunk,

@@ -119,6 +119,39 @@ class PositionedReaderSpec extends SparkSpec {
     assert(viaHadoopDir == viaLocal)
   }
 
+  test("block API: RasterFileSource dispatches and decodes file:// " +
+      "URLs for every format family") {
+    val sp = spark
+    val dir = Files.createTempDirectory("pr_block").toString
+    val w = 6; val h = 4
+    val vals = Array.tabulate(w * h)(_ * 1.0)
+    import graft.raster._
+    // GRIB2, GeoTIFF, NetCDF, HDF5, Zarr store, ASCII grid (+ .prj)
+    Grib.write(s"$dir/s.grib2", Seq(vals), w, h, Double.MaxValue,
+      Seq(0L), 0.0, 0.0, 0.05)
+    GeoTiff.write(s"$dir/s.tif", vals, w, h, Bbox(0, 0, 6, 4), 28992,
+      -9999.0)
+    NetCdf.write(s"$dir/s.nc", Seq(vals), w, h, Bbox(0, 0, 6, 4),
+      -9999.0, "EPSG:28992", Seq(0L))
+    Hdf5Write.write(s"$dir/s4.nc", Seq(vals), w, h, Bbox(0, 0, 6, 4),
+      -9999.0, "EPSG:28992", Seq(0L))
+    Zarr.write(s"$dir/s.zarr", Seq(vals), w, h, Bbox(0, 0, 6, 4),
+      -9999.0, "EPSG:28992", Seq(0L))
+    AsciiGrid.write(s"$dir/s.asc", vals, w, h, Bbox(0, 0, 6, 4),
+      -9999.0, "EPSG:28992")
+    val req = RasterRequest(Bbox(0, 0, 6, 4), "EPSG:28992", w, h,
+      None, None)
+    val reqLl = RasterRequest(Bbox(0.0, 0.0, 0.3, 0.2), "EPSG:4326",
+      w, h, None, None)
+    for (name <- Seq("s.grib2", "s.tif", "s.nc", "s4.nc", "s.zarr",
+        "s.asc")) {
+      val src = RasterFileSource(s"file://$dir/$name")
+      val r = if (name == "s.grib2") reqLl else req
+      val got = src.getData(r)(sp).get.values.head
+      assert(got.toSeq == vals.toSeq, name)
+    }
+  }
+
   test("DSv2 connector: r61-shape temporal pushdown and a Zarr store " +
       "through file:// prune exactly as locally") {
     val sp = spark

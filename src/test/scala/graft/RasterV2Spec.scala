@@ -438,6 +438,17 @@ class RasterV2Spec extends SparkSpec {
       .collect()
     assert(back.length == 1 &&
       back(0).getSeq[Double](4) == Seq(1.0, 2.0, 3.0, 4.0))
+    // and a file:// target writes shard objects AND metadata through
+    // the Hadoop-capable I/O layer
+    opts(Seq((0L, 0, 0, Seq(5.0, 6.0, 7.0, 8.0)))
+      .toDF("t", "ty", "tx", "values")
+      .withColumn("path", org.apache.spark.sql.functions.lit("x"))
+      .select("path", "t", "ty", "tx", "values"))
+      .save(s"file://$dir/e.zarr")
+    val backE = sp.read.format("graft-raster").load(s"$dir/e.zarr")
+      .collect()
+    assert(backE.length == 1 &&
+      backE(0).getSeq[Double](4) == Seq(5.0, 6.0, 7.0, 8.0))
   }
 
   test("unknown layouts fail loudly by name") {
