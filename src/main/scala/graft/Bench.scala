@@ -218,6 +218,13 @@ object Bench {
     // 2000-char tail window always contains one complete JSON object —
     // BENCH_r02/r03 both lost the long line's front to that window.
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"calibration":$calibration,"calibration_mt":$calibrationMt,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"peak_heap_mb":$peakHeapMb,"n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
+    // the full per-query record ALSO lands on disk: the driver's
+    // log-tail window keeps only ~50 of the per-query lines, so
+    // cross-round per-query comparison needs a durable artifact
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full_last_run.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibration_mt":$calibrationMt,"reshape_warmup":$warmupSec,"wall":$wall,"peak_heap_mb":$peakHeapMb,"queries":$qs,"steady":$steadyJson,"errors":$errJson,"sf":"$sfDir"}""")
+    catch { case _: Exception => } // read-only cwd must not fail the bench
     QueryLib.clearCaches()
     spark.stop()
   }
