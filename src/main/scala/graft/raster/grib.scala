@@ -1508,7 +1508,9 @@ object Grib {
     val nbits =
       if (range == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(range)
     val hasBitmap = live.length != n
-    require(nbits > 0 || !hasBitmap,
+    // (simple packing only: second-order carries per-group references,
+    // so a constant field under a bitmap packs fine there)
+    require(secondOrder || nbits > 0 || !hasBitmap,
       "grib: GRIB1 constant field with a bitmap not supported")
 
     // ---- second-order layout: one group per row of PRESENT points,

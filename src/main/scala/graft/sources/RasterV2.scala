@@ -205,16 +205,20 @@ object TileWindow {
       w: Int, h: Int): TileWindow = {
     require(cell > 0, s"fromBbox: non-positive cell size $cell")
     if (x1 <= x0 || y1 <= y0) return Empty
+    // a sliver below 1e-6 of a cell is boundary noise, not overlap:
+    // without it, inexact pitches (0.05 deg) make edge-sharing band
+    // files "overlap" by one float-rounding row
+    val eps = 1e-6 * cell
     // pixel column c spans [originX + c*cell, originX + (c+1)*cell]
     var cLo = math.floor((x0 - originX) / cell).toInt
-    if (originX + (cLo + 1).toDouble * cell <= x0) cLo += 1
+    if (originX + (cLo + 1).toDouble * cell <= x0 + eps) cLo += 1
     var cHi = math.floor((x1 - originX) / cell).toInt
-    if (originX + cHi.toDouble * cell >= x1) cHi -= 1
+    if (originX + cHi.toDouble * cell >= x1 - eps) cHi -= 1
     // pixel row r spans world y [originY - (r+1)*cell, originY - r*cell]
     var rLo = math.floor((originY - y1) / cell).toInt
-    if (originY - (rLo + 1).toDouble * cell >= y1) rLo += 1
+    if (originY - (rLo + 1).toDouble * cell >= y1 - eps) rLo += 1
     var rHi = math.floor((originY - y0) / cell).toInt
-    if (originY - rHi.toDouble * cell <= y0) rHi -= 1
+    if (originY - rHi.toDouble * cell <= y0 + eps) rHi -= 1
     cLo = math.max(0, cLo); cHi = math.min(w - 1, cHi)
     rLo = math.max(0, rLo); rHi = math.min(h - 1, rHi)
     if (cLo > cHi || rLo > rHi) Empty
@@ -329,8 +333,15 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   /** Per-dataset windows resolved from `bbox` at planning time, for
-    * the explain output ("<path> -> pruned" / tile window). */
-  @volatile private var resolvedDesc: String = ""
+    * the explain output ("<path> -> pruned" / tile window). Planning
+    * runs on a pool, so entries collect in a concurrent queue and
+    * render sorted (deterministic explain text). */
+  private val resolvedEntries =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def resolvedDesc: String = {
+    import scala.jdk.CollectionConverters._
+    resolvedEntries.asScala.toSeq.distinct.sorted.map("; " + _).mkString
+  }
   override def description(): String =
     s"graft-raster pushed t in [$tMin, $tMax], " +
       (if (win.isAll) "" else s"tiles ty [${win.tyMin}, ${win.tyMax}] " +
@@ -353,11 +364,13 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
         cell, w, h)
       val eff = dw.intersect(win)
       if (TileBounds.resolve(eff, w, h).nonEmpty) {
-        resolvedDesc += s"; ${graft.io.FileIO.name(p)} -> ty " +
-          s"[${dw.tyMin}, ${dw.tyMax}] tx [${dw.txMin}, ${dw.txMax}]"
+        resolvedEntries.add(s"${graft.io.FileIO.name(p)} -> ty " +
+          s"[${dw.tyMin}, ${dw.tyMax}] tx [${dw.txMin}, ${dw.txMax}]")
         Some(dw)
-      } else { resolvedDesc += s"; ${graft.io.FileIO.name(p)} -> pruned"
-        None }
+      } else {
+        resolvedEntries.add(s"${graft.io.FileIO.name(p)} -> pruned")
+        None
+      }
   }
 
   private def planDataset(kind: String, p: String): Seq[InputPartition] =

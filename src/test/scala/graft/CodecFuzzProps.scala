@@ -613,6 +613,63 @@ object CodecFuzzProps extends Properties("codec-fuzz") {
       } finally ch.close()
     }
 
+  private lazy val grib1SoFixture: Array[Byte] = {
+    val p = tmpRoot.resolve("fuzz_so.grib").toString
+    graft.raster.Grib.writeEdition1(p,
+      Seq(Array.tabulate(12 * 8)(i => (i % 37 * (i / 12 + 1)).toDouble),
+        Array.tabulate(12 * 8)(i =>
+          if (i % 5 == 0) Double.MaxValue else (i % 23).toDouble)),
+      12, 8, Double.MaxValue, Seq(0L, 3600000L), 0.0, 0.0, 0.05,
+      secondOrder = true)
+    Files.readAllBytes(Paths.get(p))
+  }
+
+  property("grib1 second-order read survives corrupt pointer/width/" +
+      "bitmap bytes") =
+    Prop.forAll(mutationGen(grib1SoFixture.length)) { case (kind, pos, value) =>
+      val bytes = mutate(grib1SoFixture, kind, pos, value)
+      val f = Files.createTempDirectory(tmpRoot, "grib1so_case")
+        .resolve("s.grib")
+      Files.write(f, bytes)
+      cleanOrFails(s"grib1so k=$kind p=$pos v=$value") {
+        val ch = graft.io.PositionedReader.open(f.toString)
+        try {
+          val m = graft.raster.Grib.readMeta(ch, f.toString)
+          m.fields.foreach(fd =>
+            graft.raster.Grib.decode(ch, fd, Double.MaxValue))
+        } finally ch.close()
+      }
+    }
+
+  property("grib1 second-order write/read round-trips random integral " +
+      "stacks exactly") =
+    Prop.forAll(gribStackGen) { case (w, h, nf, base, range, seed) =>
+      val nd = Double.MaxValue
+      var s = seed
+      def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+      // second-order packing cannot express an ALL-nodata frame (no
+      // group has a first-order reference): keep sample 0 live
+      val frames = Seq.fill(nf)(Array.tabulate(w * h) { j =>
+        val r = next()
+        if (j != 0 && math.floorMod(r, 7) == 0L) nd
+        else (base + math.floorMod(r >>> 8, (range + 1).toLong)).toDouble
+      })
+      val times = Seq.tabulate(nf)(i => i * 3600000L)
+      val dir = Files.createTempDirectory(tmpRoot, "grib1so_rt")
+      val p = dir.resolve("rt.grib").toString
+      graft.raster.Grib.writeEdition1(p, frames, w, h, nd, times,
+        0.0, 0.0, 0.05, secondOrder = true)
+      val ch = graft.io.PositionedReader.open(p)
+      try {
+        val m = graft.raster.Grib.readMeta(ch, p)
+        m.timesMs == times && frames.indices.forall { i =>
+          graft.raster.Grib.decode(ch, m.fields(i), nd).toSeq ==
+            frames(i).toSeq
+        }
+      } finally ch.close()
+    }
+
+
   property("grib2 5.41 PNG write/read round-trips random stacks exactly") =
     Prop.forAll(gribStackGen, Gen.oneOf(1, 1, 3000)) {
       case ((w, h, nf, base, range, seed), mult) =>

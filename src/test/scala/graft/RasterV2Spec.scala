@@ -301,6 +301,15 @@ class RasterV2Spec extends SparkSpec {
     assert(f(0, 600, 10, 700) == TileWindow.Empty)
     // degenerate (zero-area) bbox -> empty
     assert(f(10, 10, 10, 300) == TileWindow.Empty)
+    // FLOAT boundaries: with an inexact pitch (0.05), a band file whose
+    // extent ENDS at the bbox edge must still resolve empty — 13/0.05
+    // floors to 259.99..., which read as a one-row overlap before the
+    // epsilon guard
+    val g = TileWindow.fromBbox(0, 0, 30, 13, 0.0, 26.0, 0.05, 600, 260)
+    assert(g == TileWindow.Empty, g)
+    // and a bbox genuinely half a cell past the edge is NOT empty
+    assert(TileWindow.fromBbox(0, 0, 30, 13.025, 0.0, 26.0, 0.05,
+      600, 260) != TileWindow.Empty)
   }
 
   test("bbox option prunes non-intersecting band files at planning") {
