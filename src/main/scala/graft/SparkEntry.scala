@@ -714,6 +714,26 @@ object SparkEntry {
           .unionAll(cells(src.frame(sliced), g)
             .withColumn("t_idx", col("t_idx") + lit(100L)))
       }),
+      "r66_grib1_complex" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // GRIB1 SECOND-ORDER (complex) packing — the older-ECMWF
+        // container shape: per-row groups behind a secondary bit-map,
+        // per-group widths, first+second order streams. P2 is 16-bit,
+        // so the fixture is the grid's TOP BAND of at most 655 rows
+        // (65535 / 100 columns) — the full grid at correctness SF
+        val a = eventsRaster(dir, g, "cast(floor(value) as double)")
+        val out = java.nio.file.Files.createTempDirectory("verify_g1so").toString
+        val hCap = math.min(g.h, 65535 / g.w)
+        val band = fullReq(g).copy(
+          bbox = Bbox(0, g.h - hCap, g.w, g.h), height = hCap)
+        val p = GribSink(a, s"$out/stack.grib", degPerCell = gribDpc(g),
+          edition = 1, template = 2).write(band)
+        val src = RasterFileSource(p)
+        val back = RasterRequest(src.extent.get, "EPSG:4326", g.w, hCap,
+          Some(java.time.Instant.ofEpochMilli(0)),
+          Some(java.time.Instant.ofEpochMilli(Hour * (g.frames - 1))))
+        cells(src.frame(back), g)
+      }),
       "r62_grib_png" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // the whole stack through GRIB2 PNG packing (templates
@@ -1078,6 +1098,11 @@ object SparkEntry {
       |SELECT t_idx, cell_id, v FROM cells
       |UNION ALL
       |SELECT t_idx + 100, cell_id, v FROM cells WHERE t_idx IN (1, 2)""".stripMargin,
+    // top band of min(h, 655) rows (the GRIB1 16-bit P2 cap at 100 cols)
+    "r66_grib1_complex" -> s"""${cellsSql("FLOOR(value)")}
+      |SELECT t_idx, cell_id, v FROM cells
+      |WHERE cell_id < (SELECT LEAST((((COUNT(*) + 3) // 4 + 99) // 100),
+      |                              655) * 100 FROM events)""".stripMargin,
     "r61_dsv2_nc" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells
       |UNION ALL

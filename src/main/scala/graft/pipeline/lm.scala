@@ -59,7 +59,12 @@ object Lm {
     // at sf10 (500k docs, ~50M rows) the spill made the whole query
     // ×15.7 for ×10 rows; recomputing is the scalable trade.
     val g = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    // model-sized corpus bigram table, read by THREE consumers (mc, v,
+    // the terms join): materialized once so each branch stops re-running
+    // the corpus explode+aggregate — the trigram lesson (NOTES_r14)
+    // applied to the same shape here
     val mb = g.groupBy("w1", "w2").agg(sum("cnt").as("cb"))
+      .localCheckpoint()
     val mc = mb.groupBy("w1").agg(sum("cb").as("cu"))
     val v = mb.select(countDistinct("w2").as("vv"))
     val terms = g.join(mb, Seq("w1", "w2")).join(mc, Seq("w1"))
