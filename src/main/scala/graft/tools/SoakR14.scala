@@ -56,7 +56,7 @@ object SoakR14 {
     }.reduce(_ unionAll _)
 
   def gen(spark: SparkSession, srcDir: String, outDir: String,
-      copies: Int): Unit = {
+      copies: Int, perturbDocs: Boolean = false): Unit = {
     def rd(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     def off(t: String, key: String): Long =
       rd(t).agg(max(col(key))).head.getLong(0) + 1L
@@ -78,7 +78,22 @@ object SoakR14 {
     for ((t, shifts) <- plan) {
       val out =
         if (shifts.isEmpty) rd(t) // dimension lookups stay single-copy
-        else replicate(rd(t), shifts, copies)
+        else if (t == "documents" && perturbDocs) {
+          // near-dup-REALISTIC replication: copy 0 is the base corpus,
+          // copy k > 0 drops every (k+4)th word — deterministic true
+          // near-duplicates, so MinHash/SimHash/stream-admission lanes
+          // see a realistic dup/near-dup mix instead of byte-exact
+          // clones
+          val o = off("documents", "doc_id")
+          (0 until copies).map { k =>
+            val shifted = rd(t)
+              .withColumn("doc_id", col("doc_id") + lit(k * o))
+            if (k == 0) shifted
+            else shifted.withColumn("text", expr(
+              s"array_join(filter(split(text, ' '), " +
+                s"(w, i) -> i % ${k + 4} != 0), ' ')"))
+          }.reduce(_ unionAll _)
+        } else replicate(rd(t), shifts, copies)
       out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"""{"soak_gen":"$t","rows":${
         spark.read.parquet(s"$outDir/$t.parquet").count()}}""")
@@ -132,7 +147,8 @@ object SoakR14 {
     args.toList match {
       case "gen" :: out :: rest =>
         val copies = rest.headOption.map(_.toInt).getOrElse(10)
-        gen(spark, "/root/testdata/sf0.1", out, copies)
+        gen(spark, "/root/testdata/sf0.1", out, copies,
+          perturbDocs = rest.contains("neardup"))
       case "sweep" :: dir :: _ => sweep(spark, dir)
       case other => sys.error(s"usage: gen <outDir> [copies] | sweep <sfDir> (got $other)")
     }
