@@ -2398,6 +2398,18 @@ object SparkEntry {
       Decontaminate.overlapBloom(docs,
         docs.filter(col("doc_id") % 61 === 1), "doc_id", "text", 13, 0.01)
     }),
+    "p49_stream_decontaminate" -> ((s, dir) => {
+      // ingest-time decontamination as a REAL streaming plan: parquet
+      // file-stream source → broadcast-exact-set stateless flag →
+      // memory sink, run to completion with AvailableNow. The eval set
+      // (doc_id % 89 == 0 slice) is static; the per-row check is
+      // map-only, so append mode needs no watermark and the drained
+      // result equals batch Decontaminate.overlap bit-for-bit
+      val docs = tbl(s, dir, "documents")
+      graft.streaming.StreamDecontaminate.runAvailableNow(s,
+        dir + "/documents.parquet", docs.schema, "doc_id", "text", 13,
+        docs.filter(col("doc_id") % 89 === 0))
+    }),
     "p40_near_dedup_keep" -> ((s, dir) => {
       // composed near-dedup keep-list: the transitive duplicate clusters
       // (p16's machinery) drive an anti-join — every cluster member that
@@ -2659,6 +2671,22 @@ object SparkEntry {
          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
          |  range(1, greatest(len(ws) - 12, 1) + 1), i -> $gram13))) AS gram FROM t),
          |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 61 = 1),
+         |sh AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+         |  FROM g JOIN ev USING (gram) GROUP BY 1)
+         |SELECT t.doc_id, coalesce(sh.n_shared, 0) AS n_shared,
+         |  coalesce(sh.n_shared, 0) > 0 AS contaminated
+         |FROM t LEFT JOIN sh ON t.doc_id = sh.doc_id""".stripMargin
+    },
+    "p49_stream_decontaminate" -> {
+      // identical semantics to p20 (the streaming flag counts the same
+      // distinct shared grams), over the doc_id % 89 == 0 eval slice
+      val gram13 = (0 until 13).map(k => s"ws[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> len(w) > 0) AS ws
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  range(1, greatest(len(ws) - 12, 1) + 1), i -> $gram13))) AS gram FROM t),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 89 = 0),
          |sh AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
          |  FROM g JOIN ev USING (gram) GROUP BY 1)
          |SELECT t.doc_id, coalesce(sh.n_shared, 0) AS n_shared,

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+
+/** Streaming test-set decontamination — the ingest-time form of
+  * `graft.pipeline.Decontaminate` (reference leakage guard; see
+  * Brown et al. 2020 §C for the 13-gram rule): every incoming
+  * document is flagged with the number of distinct word n-grams it
+  * shares with a FIXED evaluation set.
+  *
+  * Shape for streams: the evaluation side is small by construction
+  * (benchmarks, not corpora), so its distinct n-grams are collected
+  * ONCE on the driver and broadcast as an exact set; the per-document
+  * check is then a stateless map — no shuffle, no watermark, no state
+  * store — which makes the SAME transform legal on a static frame and
+  * on any streaming plan in append mode. Admission pipelines chain it
+  * in front of [[StreamNearDedup]].
+  *
+  * Bit-identical to `Decontaminate.overlap(docs, evalDocs, …)` for the
+  * same evaluation frame: both count DISTINCT shared n-grams per
+  * document over `Dedup.shingles` tokenization (the shingle array is
+  * already distinct per document, so the row-side count is a plain
+  * membership count).
+  */
+object StreamDecontaminate {
+
+  /** Refusal ceiling for the driver-side evaluation-gram collect. At
+    * ~14 bytes/gram of entropy plus JVM string overhead, 10M grams is
+    * roughly a gigabyte of driver heap — past that the exact-set
+    * broadcast is the wrong tool and the batch Bloom-gated path
+    * (`Decontaminate.overlapBloom`) is the right one, so the guard
+    * fails loudly instead of OOMing the driver. */
+  val MaxEvalGrams: Int = 10000000
+
+  /** Distinct word `n`-grams of `evalDocs.textCol`, collected to the
+    * driver and broadcast. One distinct-aggregate job; the probe is
+    * `limit(max+1)` so exceeding the cap is proven by one extra row,
+    * not by materializing an unbounded collect. */
+  def evalGrams(evalDocs: DataFrame, textCol: String, n: Int,
+      maxGrams: Int = MaxEvalGrams): Broadcast[Set[String]] = {
+    val spark = evalDocs.sparkSession
+    val grams = evalDocs
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+      .limit(maxGrams + 1)
+      .select(col("gram")).as[String](Encoders.STRING)
+      .collect()
+    require(grams.length <= maxGrams,
+      s"StreamDecontaminate: evaluation set exceeds $maxGrams distinct " +
+        s"$n-grams — an eval side this large cannot broadcast as an exact " +
+        "set; run batch Decontaminate.overlapBloom instead")
+    spark.sparkContext.broadcast(grams.toSet)
+  }
+
+  /** Flag `docs` (static OR streaming) against a broadcast evaluation
+    * gram set: `(doc_id, n_shared, contaminated)`, one output row per
+    * input row, stateless. */
+  def flag(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      grams: Broadcast[Set[String]]): DataFrame = {
+    val shared = udf { (gs: Seq[String]) =>
+      if (gs == null) 0L
+      else {
+        val set = grams.value
+        var c = 0L
+        gs.foreach(g => if (set.contains(g)) c += 1L)
+        c
+      }
+    }
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        shared(Dedup.shingles(col(textCol), n)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
+  /** End-to-end convenience for the one-shot (backfill) case: run the
+    * REAL streaming plan — parquet file-stream source over `docsPath`,
+    * [[flag]], memory sink, `Trigger.AvailableNow` — to completion and
+    * return the drained result. The eval set comes from a STATIC frame
+    * (the fixed benchmark corpus). */
+  def runAvailableNow(spark: SparkSession, docsPath: String,
+      schema: org.apache.spark.sql.types.StructType, idCol: String,
+      textCol: String, n: Int, evalDocs: DataFrame): DataFrame = {
+    val bc = evalGrams(evalDocs, textCol, n)
+    // Spark's file-stream source requires a DIRECTORY; a single local
+    // parquet file (the test-fixture shape) is exposed through a
+    // symlinked temp dir. Real deployments pass the landing directory.
+    val srcDir =
+      if (new java.io.File(docsPath).isFile) {
+        val d = java.nio.file.Files.createTempDirectory("graft_decon_src")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(new java.io.File(docsPath).getName),
+          java.nio.file.Paths.get(docsPath))
+        d.toString
+      } else docsPath
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val name = s"graft_stream_decon_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = flag(stream, idCol, textCol, n, bc)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // detach the result from the transient memory sink table
+    val out = spark.table(name).localCheckpoint()
+    q.stop()
+    spark.catalog.dropTempView(name)
+    out
+  }
+}

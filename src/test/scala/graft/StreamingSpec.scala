@@ -297,7 +297,10 @@ class StreamingSpec extends SparkSpec {
       "again while the band plays a very long tune about nothing at all"
     val stream = MemoryStream[(Long, String)](sp)
     val got = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
-    val ttlMs = 1000L
+    // the in-window docs (1→2, 3→4) must be PROCESSED within one TTL of
+    // each other; under a loaded test host micro-batch latency alone
+    // has exceeded 1s, so the window carries real scheduling headroom
+    val ttlMs = 8000L
     // NOTE: with ProcessingTimeTimeout armed every batch "requires
     // another batch" to fire future timers, so the engine never signals
     // noNewData and processAllAvailable would HANG — poll the sink map
@@ -354,5 +357,40 @@ class StreamingSpec extends SparkSpec {
     val v = StreamNearDedup.verdicts(docs,
       ttlMs = StreamNearDedup.HistoryExact)(sp)
     assert(v.collect().forall(!_.collided))
+  }
+
+  test("streaming decontamination: real stream equals batch overlap") {
+    import graft.streaming.StreamDecontaminate
+    val dir = "/root/testdata/sf0.001"
+    val docs = QueryLib.tbl(spark, dir, "documents")
+    val evalDocs = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 89 === 0)
+    val batch = graft.pipeline.Decontaminate
+      .overlap(docs, evalDocs, "doc_id", "text", 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val streamed = StreamDecontaminate.runAvailableNow(spark,
+        s"$dir/documents.parquet", docs.schema, "doc_id", "text", 13, evalDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(streamed == batch)
+    // the fixture must actually exercise both branches
+    assert(streamed.exists(_._3) && streamed.exists(!_._3))
+  }
+
+  test("streaming decontamination: static flag is bit-identical to overlap," +
+      " oversized eval sets refuse loudly") {
+    import graft.streaming.StreamDecontaminate
+    val dir = "/root/testdata/sf0.001"
+    val docs = QueryLib.tbl(spark, dir, "documents")
+    val evalDocs = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 89 === 0)
+    val bc = StreamDecontaminate.evalGrams(evalDocs, "text", 13)
+    val viaFlag = StreamDecontaminate.flag(docs, "doc_id", "text", 13, bc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaOverlap = graft.pipeline.Decontaminate
+      .overlap(docs, evalDocs, "doc_id", "text", 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaFlag == viaOverlap)
+    val ex = intercept[IllegalArgumentException] {
+      StreamDecontaminate.evalGrams(evalDocs, "text", 13, maxGrams = 1)
+    }
+    assert(ex.getMessage.contains("overlapBloom"))
   }
 }
