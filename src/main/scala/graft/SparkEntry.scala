@@ -1805,6 +1805,21 @@ object SparkEntry {
         Some("POLYGON ((10.23 6.37, 30.71 6.37, 30.71 14.93, 10.23 14.93, 10.23 6.37))")))(s)
         .select(col("fid"), col("p_size"))
     }),
+    "g32_dsv2_fgb_bbox" -> ((s, dir) => {
+      // the same spatial request through the `graft-fgb` DSv2 connector:
+      // the world bbox resolves per FILE at planning (header envelope,
+      // then the packed R-tree's per-feature leaf envelopes), so the hit
+      // set is exact for the closed-interval envelope semantics the
+      // oracle's inequalities express — no residual filter runs
+      implicit val sp: SparkSession = s
+      val p = partSquares(dir)
+      val out = java.nio.file.Files.createTempDirectory("verify_fgb_dsv2")
+        .resolve("parts.fgb").toString
+      GeometryToFile.toFile(p, out)
+      s.read.format("graft-fgb").option("bbox", "10.23,6.37,30.71,14.93")
+        .load(out)
+        .select(col("fid"), col("p_size"))
+    }),
     "g21_csv_roundtrip" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val p = partSquares(dir)
@@ -2155,6 +2170,16 @@ object SparkEntry {
     // squares at (k%50, (k//50)*2) with side p_size/10 intersecting the
     // request box, closed-boundary semantics like JTS intersects
     "g22_fgb_bbox" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size
+        |FROM part
+        |WHERE (p_partkey % 50) <= 30.71
+        |  AND (p_partkey % 50) + p_size / 10.0 >= 10.23
+        |  AND (p_partkey // 50) * 2 <= 14.93
+        |  AND (p_partkey // 50) * 2 + p_size / 10.0 >= 6.37""".stripMargin,
+    // the DSv2 connector's bbox is CLOSED-interval feature-ENVELOPE
+    // intersection — for axis-aligned squares identical to g22's JTS
+    // intersects, so the same inequalities pin it
+    "g32_dsv2_fgb_bbox" ->
       """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size
         |FROM part
         |WHERE (p_partkey % 50) <= 30.71

@@ -777,34 +777,47 @@ object FlatGeobufSink {
   }
 }
 
-/** Distributed FlatGeobuf reader. The driver reads header + packed R-tree
-  * only; executors read feature byte ranges positioned. A spatial request
-  * searches the index and touches only intersecting features — real bbox
-  * pushdown, unlike the shapefile's full scan. */
-case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
-    extends GeometryBlock {
+/** Parsed FlatGeobuf container metadata + positioned feature access —
+  * the layer shared by the block-API [[FlatGeobufSource]] and the
+  * `graft-fgb` DSv2 connector. All byte access goes through
+  * [[graft.io.PositionedReader]], so `file://`/`hdfs://`/`s3a://`
+  * archives plan (header + index reads) and decode (feature byte
+  * ranges) through the SAME positioned reads as local paths. */
+object FgbMeta {
   import FlatGeobuf._
 
-  // fail fast on the fallback CRS (used when the file declares none)
-  require(graft.raster.Proj.supported(proj),
-    s"flatgeobuf source $url: unsupported fallback SRS '$proj'")
+  /** Everything the planner needs, from header + leaf level only:
+    * `featStart` is the absolute byte offset of the feature section;
+    * `offsets` the ascending RELATIVE feature offsets (leaf order);
+    * `envelope` the header's dataset extent when written. */
+  final case class Meta(header: Array[Byte], featStart: Long,
+      fileLen: Long, numItems: Int, nodeSize: Int,
+      cols: Seq[(String, Int)], crs: Option[String],
+      envelope: Option[(Double, Double, Double, Double)],
+      offsets: Array[Long])
 
-  /** (headerBytes, featureSectionStart, numItems, nodeSize, columns,
-    * declared crs, leaf offsets ascending). */
-  @transient private lazy val meta: (Array[Byte], Long, Int, Int,
-      Seq[(String, Int)], Option[String], Array[Long]) = {
-    val raf = new java.io.RandomAccessFile(url, "r")
+  def readAt(r: graft.io.PositionedReader, pos: Long,
+      n: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(n)
+    var p = pos
+    while (b.hasRemaining) {
+      val k = r.read(b, p)
+      require(k > 0, s"flatgeobuf: unexpected EOF at byte $p")
+      p += k
+    }
+    b.array()
+  }
+
+  def read(url: String): Meta = {
+    val r = graft.io.PositionedReader.open(url)
     try {
-      val magic = new Array[Byte](8)
-      raf.readFully(magic)
+      val fileLen = r.size()
+      val magic = readAt(r, 0L, 8)
       require(magic(0) == 'f' && magic(1) == 'g' && magic(2) == 'b' &&
         magic(3) == 3 && magic(4) == 'f' && magic(5) == 'g' && magic(6) == 'b',
         s"$url is not a FlatGeobuf (spec 3) file")
-      val szb = new Array[Byte](4)
-      raf.readFully(szb)
-      val hSize = ByteBuffer.wrap(szb).order(ByteOrder.LITTLE_ENDIAN).getInt
-      val header = new Array[Byte](hSize)
-      raf.readFully(header)
+      val hSize = Fb.i32(readAt(r, 8L, 4), 0)
+      val header = readAt(r, 12L, hSize)
       val root = Fb.i32(header, 0)
       val countF = Fb.field(header, root, 8)
       val numItems = if (countF == 0) 0 else Fb.u64(header, countF).toInt
@@ -823,6 +836,15 @@ case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
               if (typeF == 0) CtString else Fb.u8(header, typeF))
           }
         }
+      val envF = Fb.field(header, root, 1)
+      val envelope: Option[(Double, Double, Double, Double)] =
+        if (envF == 0) None
+        else {
+          val (pos, n) = Fb.vector(header, envF)
+          if (n < 4) None
+          else Some((Fb.f64(header, pos), Fb.f64(header, pos + 8),
+            Fb.f64(header, pos + 16), Fb.f64(header, pos + 24)))
+        }
       val crsF = Fb.field(header, root, 10)
       val crs: Option[String] =
         if (crsF == 0) None
@@ -839,41 +861,109 @@ case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
             else None
           }
         }
-      val idxBytes = if (nodeSize > 0 && numItems > 0) indexBytes(numItems, nodeSize) else 0L
+      val idxBytes = if (nodeSize > 0 && numItems > 0)
+        FlatGeobuf.indexBytes(numItems, nodeSize) else 0L
       val idxStart = 8L + 4L + hSize
       val featStart = idxStart + idxBytes
-      // leaf offsets: the last numItems nodes of the index
       val offsets: Array[Long] =
         if (idxBytes == 0) {
           // no index: walk size prefixes sequentially once
           val offs = scala.collection.mutable.ArrayBuffer[Long]()
           var p = featStart
-          val end = raf.length()
-          val lenB = new Array[Byte](4)
-          while (p < end) {
+          while (p < fileLen) {
             offs += (p - featStart)
-            raf.seek(p); raf.readFully(lenB)
-            p += 4 + ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN).getInt
+            p += 4 + Fb.i32(readAt(r, p, 4), 0)
           }
           offs.toArray
         } else {
           val sizes = levelSizes(numItems, nodeSize)
           val leafStart = idxStart + (sizes.sum - numItems).toLong * NodeBytes
-          val leafB = new Array[Byte](numItems * NodeBytes)
-          raf.seek(leafStart); raf.readFully(leafB)
+          val leafB = readAt(r, leafStart, numItems * NodeBytes)
           Array.tabulate(numItems)(i => Fb.u64(leafB, i * NodeBytes + 32))
         }
-      (header, featStart, offsets.length, nodeSize, cols, crs, offsets)
-    } finally raf.close()
+      Meta(header, featStart, fileLen, offsets.length, nodeSize, cols, crs,
+        envelope, offsets)
+    } finally r.close()
   }
 
+  /** Candidate (relative offset, item index) pairs for a closed-bbox
+    * envelope-intersection query, ascending by offset: the packed
+    * R-tree's leaf level holds per-FEATURE envelopes, so the hit set is
+    * EXACT for envelope semantics, not a superset. `None` = all items. */
+  def candidates(url: String, m: Meta,
+      bbox: Option[(Double, Double, Double, Double)]): Array[(Long, Int)] =
+    bbox match {
+      case Some((x0, y0, x1, y1)) if m.numItems > 0 =>
+        require(m.nodeSize > 0,
+          s"flatgeobuf $url was written without the packed R-tree index; " +
+            "a bbox read requires it (rewrite the file with an index)")
+        // header envelope disjoint → zero candidates without an index read
+        val disjoint = m.envelope.exists { case (ex0, ey0, ex1, ey1) =>
+          ex0 > x1 || ex1 < x0 || ey0 > y1 || ey1 < y0
+        }
+        if (disjoint) Array.empty
+        else {
+          val r = graft.io.PositionedReader.open(url)
+          val idx = try readAt(r, 8L + 4L + m.header.length,
+            FlatGeobuf.indexBytes(m.numItems, m.nodeSize).toInt)
+          finally r.close()
+          searchIndex(idx, m.numItems, m.nodeSize, x0, y0, x1, y1)
+            .toArray.sortBy(_._1)
+        }
+      case _ => Array.tabulate(m.numItems)(i => (m.offsets(i), i))
+    }
+
+  /** Byte length of the feature at leaf position `i` (features are laid
+    * out in leaf order; the next offset bounds this one). */
+  def featureLen(m: Meta, off: Long, i: Int): Long = {
+    val next = if (i + 1 < m.offsets.length) m.offsets(i + 1)
+      else m.fileLen - m.featStart
+    next - off
+  }
+
+  /** Decode one size-prefixed feature record. Geometry decode is skipped
+    * (null) when `wantGeometry` is false — column pruning reaches the
+    * dominant per-feature cost. */
+  def decodeFeature(buf: Array[Byte], colTypes: Array[Int],
+      wantGeometry: Boolean): (Geometry, Array[Any]) = {
+    val root = Fb.i32(buf, 4) + 4
+    val geomF = if (wantGeometry) Fb.field(buf, root, 0) else 0
+    val g = if (geomF == 0) null
+      else readGeometry(buf, Fb.indirect(buf, geomF), GtUnknown)
+    val propsF = Fb.field(buf, root, 1)
+    val props: Array[Any] =
+      if (propsF == 0) new Array[Any](colTypes.length)
+      else {
+        val (pp, pn) = Fb.vector(buf, propsF)
+        decodeProperties(buf, pp, pn, colTypes)
+      }
+    (g, props)
+  }
+}
+
+/** Distributed FlatGeobuf reader. The driver reads header + packed R-tree
+  * only; executors read feature byte ranges positioned. A spatial request
+  * searches the index and touches only intersecting features — real bbox
+  * pushdown, unlike the shapefile's full scan. */
+case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
+    extends GeometryBlock {
+  import FlatGeobuf._
+
+  // fail fast on the fallback CRS (used when the file declares none)
+  require(graft.raster.Proj.supported(proj),
+    s"flatgeobuf source $url: unsupported fallback SRS '$proj'")
+
+  /** Header + leaf-offset metadata, via [[FgbMeta]] (positioned reads —
+    * local paths and Hadoop schemes alike). */
+  @transient private lazy val meta: FgbMeta.Meta = FgbMeta.read(url)
+
   override lazy val columns: Set[String] =
-    meta._5.map { case (n, t) =>
+    meta.cols.map { case (n, t) =>
       if (n == "fid" && !integralType(t)) "fid_attr" else n
     }.toSet + "geometry" + "fid"
 
   override lazy val projection: String = {
-    val declared = meta._6
+    val declared = meta.crs
     declared.filter(graft.raster.Proj.supported)
       .map(graft.raster.Proj.normalize).getOrElse(proj)
   }
@@ -881,8 +971,8 @@ case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
   // fail fast, like the sibling sources: a declared-but-unsupported SRS
   // errors at construction naming the file (absent crs falls back to proj)
   locally {
-    if (new java.io.File(url).isFile) {
-      meta._6 match {
+    if (graft.io.FileIO.exists(url) && !graft.io.FileIO.isDirectory(url)) {
+      meta.crs match {
         case Some(s) if !graft.raster.Proj.supported(s) =>
           throw new IllegalArgumentException(
             s"flatgeobuf $url declares unsupported SRS '$s'")
@@ -892,8 +982,10 @@ case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
   }
 
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
-    val (_, featStart, nItems, nodeSize, cols, _, offsets) = meta
-    val fileLen = new java.io.File(url).length()
+    val m = meta
+    val (featStart, nItems, cols, offsets) =
+      (m.featStart, m.numItems, m.cols, m.offsets)
+    val fileLen = m.fileLen
     val colTypes = cols.map(_._2).toArray
     // adopt a file fid column of any integral width (foreign writers emit
     // Int/Short fids); a non-integral column named "fid" can't be adopted —
@@ -909,22 +1001,13 @@ case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
 
     // candidate (offset, index): bbox pushdown through the packed R-tree
     val candidates: Array[(Long, Int)] = req.geometryWkt match {
-      case Some(wkt) if nItems > 0 && nodeSize > 0 =>
+      case Some(wkt) if nItems > 0 && m.nodeSize > 0 =>
         val env = GeomFunctions.readWkt(wkt).getEnvelopeInternal
-        val raf = new java.io.RandomAccessFile(url, "r")
-        val idx = try {
-          val ib = new Array[Byte](indexBytes(nItems, nodeSize).toInt)
-          raf.seek(8L + 4L + meta._1.length); raf.readFully(ib); ib
-        } finally raf.close()
-        searchIndex(idx, nItems, nodeSize, env.getMinX, env.getMinY,
-          env.getMaxX, env.getMaxY).toArray.sortBy(_._1)
+        FgbMeta.candidates(url, m,
+          Some((env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)))
       case _ => Array.tabulate(nItems)(i => (offsets(i), i))
     }
-    def sizeOf(off: Long, i: Int): Long = {
-      // features are laid out in leaf order; the next offset bounds this one
-      val next = if (i + 1 < offsets.length) offsets(i + 1) else fileLen - featStart
-      next - off
-    }
+    def sizeOf(off: Long, i: Int): Long = FgbMeta.featureLen(m, off, i)
     // ~32 MB of features per split
     val target = 32L * 1024 * 1024
     val groups = scala.collection.mutable.ArrayBuffer[Seq[(Long, Int)]]()
@@ -944,30 +1027,19 @@ case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
     val attrPos = attrCols.map(_._2).toArray
     val rdd = spark.sparkContext.parallelize(groups.toSeq, math.max(groups.size, 1))
       .flatMap { group =>
-        val raf = new java.io.RandomAccessFile(path, "r")
+        val rdr = graft.io.PositionedReader.open(path)
         try {
           group.iterator.map { case (off, i) =>
             val next = if (i + 1 < allOffsets.length) allOffsets(i + 1) else fLen - fStart
-            val buf = new Array[Byte]((next - off).toInt)
-            raf.seek(fStart + off)
-            raf.readFully(buf)
-            val root = Fb.i32(buf, 4) + 4
-            val geomF = Fb.field(buf, root, 0)
-            val g = if (geomF == 0) null
-              else readGeometry(buf, Fb.indirect(buf, geomF), GtUnknown)
-            val propsF = Fb.field(buf, root, 1)
-            val props: Array[Any] =
-              if (propsF == 0) new Array[Any](colTypes.length)
-              else {
-                val (pp, pn) = Fb.vector(buf, propsF)
-                decodeProperties(buf, pp, pn, colTypes)
-              }
+            val buf = FgbMeta.readAt(rdr, fStart + off, (next - off).toInt)
+            val (g, props) = FgbMeta.decodeFeature(buf, colTypes,
+              wantGeometry = true)
             val fid = if (fidCol >= 0 && props(fidCol) != null)
               props(fidCol).asInstanceOf[Number].longValue else i.toLong
             Row.fromSeq(fid +: attrPos.toSeq.map(props(_)) :+
               (if (g == null) null else GeomFunctions.writeWkb(g)))
           }.toArray.toSeq
-        } finally raf.close()
+        } finally rdr.close()
       }
     var df = spark.createDataFrame(rdd, schema)
     req.filters.foreach { case (k, v) => df = df.filter(col(k) === lit(v)) }

@@ -1,0 +1,286 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.geometry.{FgbMeta, FlatGeobuf, GeomFunctions}
+
+/** DataSource V2 connector `graft-fgb`: executor-side decode of
+  * FlatGeobuf archives — the vector sibling of `graft-raster`. The
+  * block API (`FlatGeobufSource`) serves the engine's request model;
+  * this connector serves plain DataFrame readers over MANY files:
+  * `spark.read.format("graft-fgb").load(paths...)`.
+  *
+  * Schema (from the first file's header; every file must agree):
+  * `(path string, fid long, <property columns...>, geometry binary
+  * WKB)`. A non-integral property named `fid` surfaces as `fid_attr`,
+  * the block source's rule.
+  *
+  * Pushdown:
+  *   - `option("bbox", "x0,y0,x1,y1")` — closed-interval FEATURE
+  *     ENVELOPE intersection, resolved per file at planning: the
+  *     header envelope prunes non-intersecting FILES with one header
+  *     read (no index bytes), survivors search the packed Hilbert
+  *     R-tree whose leaf level holds per-feature envelopes — the hit
+  *     set is exact for envelope semantics, so readers apply no
+  *     residual filter. Features are Hilbert-ordered on disk, so hits
+  *     cluster into few contiguous byte ranges (the HTTP-range-read
+  *     layout the format was designed for).
+  *   - column pruning reaches the payload: an unrequested `geometry`
+  *     is never decoded (the dominant per-feature cost), and property
+  *     bytes are skipped wholesale when only `path`/`fid` survive.
+  *
+  * All byte access goes through [[graft.io.PositionedReader]] —
+  * planning reads header (+ index for bbox survivors) only, executors
+  * read feature byte ranges positioned; `file://`/`hdfs://`/`s3a://`
+  * archives behave identically to local paths.
+  */
+class GraftFgbSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-fgb"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftFgbTable.schemaFor(
+      GraftFgbTable.files(GraftRasterTable.resolvePaths(options)))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftFgbTable(GraftRasterTable.resolvePaths(properties))
+}
+
+object GraftFgbTable {
+
+  /** Expand user paths: a directory contributes its `*.fgb` members
+    * (one level, sorted); a file is taken as-is. */
+  def files(paths: Seq[String]): Seq[String] = paths.flatMap { p =>
+    import graft.io.FileIO
+    require(FileIO.exists(p), s"graft-fgb: $p does not exist")
+    if (FileIO.isDirectory(p)) {
+      val members = FileIO.list(p)
+        .filter(_.toLowerCase.endsWith(".fgb")).sorted
+      require(members.nonEmpty, s"graft-fgb: directory $p holds no .fgb files")
+      members
+    } else Seq(p)
+  }
+
+  /** The connector schema from the FIRST file's header — `path` +
+    * `fid` + the property columns + `geometry` WKB. */
+  def schemaFor(fs: Seq[String]): StructType = {
+    require(fs.nonEmpty, "graft-fgb: no path given")
+    val m = FgbMeta.read(fs.head)
+    StructType(
+      StructField("path", StringType, nullable = false) +:
+        StructField("fid", LongType, nullable = false) +:
+        attrFields(m.cols) :+
+        StructField("geometry", BinaryType, nullable = true))
+  }
+
+  /** Property columns (file order), excluding an adopted integral
+    * `fid`; a non-integral `fid` property renames to `fid_attr` (the
+    * block source's rule, so the two surfaces agree). */
+  def attrFields(cols: Seq[(String, Int)]): Seq[StructField] = {
+    val fidCol = adoptedFidCol(cols)
+    cols.zipWithIndex.filter(_._2 != fidCol).map { case ((n, t), _) =>
+      StructField(if (n == "fid") "fid_attr" else n,
+        FlatGeobuf.sparkType(t), nullable = true)
+    }
+  }
+
+  /** Index of the integral property column named `fid`, or -1. */
+  def adoptedFidCol(cols: Seq[(String, Int)]): Int =
+    cols.indexWhere { case (n, t) => n == "fid" && FlatGeobuf.integralType(t) }
+}
+
+class GraftFgbTable(paths: Seq[String]) extends Table with SupportsRead {
+  private lazy val fs = GraftFgbTable.files(paths)
+  override def name(): String = s"graft-fgb(${paths.mkString(",")})"
+  override def schema(): StructType = GraftFgbTable.schemaFor(fs)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftFgbScanBuilder(fs, schema(),
+      Option(options.get("bbox")).map { s =>
+        val parts = s.split(",").map(_.trim.toDouble)
+        require(parts.length == 4,
+          s"graft-fgb: bbox option must be 'x0,y0,x1,y1' (got '$s')")
+        (parts(0), parts(1), parts(2), parts(3))
+      })
+}
+
+class GraftFgbScanBuilder(fs: Seq[String], full: StructType,
+    bbox: Option[(Double, Double, Double, Double)])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftFgbScan(fs, full, required, bbox)
+}
+
+/** One group of contiguous-ish feature byte ranges of one file.
+  * `offs` are ABSOLUTE byte offsets, `lens` record lengths, `items`
+  * the leaf positions (the synthesized fid when no file fid exists).
+  * `colTypes`/`fidCol` carry the file's property layout and
+  * `attrNames`/`attrPos` the schema-name → property-position mapping,
+  * so the reader decodes without re-reading the header. */
+case class GraftFgbPartition(path: String, offs: Array[Long],
+    lens: Array[Int], items: Array[Int], colTypes: Array[Int],
+    fidCol: Int, attrNames: Array[String], attrPos: Array[Int])
+    extends InputPartition
+
+class GraftFgbScan(fs: Seq[String], full: StructType,
+    required: StructType, bbox: Option[(Double, Double, Double, Double)])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private val resolvedEntries =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def resolvedDesc: String = {
+    import scala.jdk.CollectionConverters._
+    resolvedEntries.asScala.toSeq.distinct.sorted.map("; " + _).mkString
+  }
+  override def description(): String =
+    "graft-fgb " +
+      bbox.map { case (x0, y0, x1, y1) =>
+        s"pushed bbox [$x0, $y0, $x1, $y1]$resolvedDesc, " }.getOrElse("") +
+      s"columns [${required.fieldNames.mkString(",")}]"
+
+  /** ~32 MB of feature bytes per partition (the block source's split
+    * target). */
+  private val SplitBytes = 32L * 1024 * 1024
+
+  private def planFile(p: String): Seq[InputPartition] = {
+    val m = FgbMeta.read(p)
+    // schema agreement: an archive with drifting property layouts
+    // must fail loudly at planning, not decode garbage per row
+    val want = GraftFgbTable.attrFields(m.cols)
+    val have = full.fields.toSeq
+      .filterNot(f => f.name == "path" || f.name == "fid" || f.name == "geometry")
+    require(want.map(f => (f.name, f.dataType)) ==
+        have.map(f => (f.name, f.dataType)),
+      s"graft-fgb: $p property columns ${want.map(_.name).mkString(",")} " +
+        s"do not match the archive schema ${have.map(_.name).mkString(",")}")
+    val cand = FgbMeta.candidates(p, m, bbox)
+    if (bbox.isDefined)
+      resolvedEntries.add(graft.io.FileIO.name(p) +
+        (if (cand.isEmpty) " -> pruned" else s" -> ${cand.length} features"))
+    if (cand.isEmpty) return Nil
+    val fidCol = GraftFgbTable.adoptedFidCol(m.cols)
+    val attrPos = m.cols.indices.filter(_ != fidCol).toArray
+    val attrNames = attrPos.map { pos =>
+      val n = m.cols(pos)._1
+      if (n == "fid") "fid_attr" else n
+    }
+    val colTypes = m.cols.map(_._2).toArray
+    val groups = scala.collection.mutable.ArrayBuffer[Seq[(Long, Int)]]()
+    var cur = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    var curBytes = 0L
+    cand.foreach { c =>
+      cur += c; curBytes += FgbMeta.featureLen(m, c._1, c._2)
+      if (curBytes >= SplitBytes) {
+        groups += cur.toSeq
+        cur = scala.collection.mutable.ArrayBuffer(); curBytes = 0
+      }
+    }
+    if (cur.nonEmpty) groups += cur.toSeq
+    groups.toSeq.map { g =>
+      GraftFgbPartition(p,
+        g.map(c => m.featStart + c._1).toArray,
+        g.map(c => FgbMeta.featureLen(m, c._1, c._2).toInt).toArray,
+        g.map(_._2).toArray, colTypes, fidCol, attrNames, attrPos)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // header/index reads are independent per file and latency-bound on
+    // object storage: the same bounded planning pool as graft-raster
+    val par = math.min(GraftScan.PlanParallelism, fs.length)
+    if (par <= 1) fs.flatMap(planFile).toArray
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-fgb-plan")
+          t.setDaemon(true); t
+        })
+      try {
+        val futs = fs.map { p =>
+          pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
+            override def call(): Seq[InputPartition] = planFile(p)
+          })
+        }
+        futs.flatMap { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        }.toArray
+      } finally pool.shutdownNow()
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftFgbReaderFactory(required.fieldNames)
+}
+
+class GraftFgbReaderFactory(columns: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftFgbReader(partition.asInstanceOf[GraftFgbPartition], columns)
+}
+
+/** Executor-side: positioned-read each feature record of the group and
+  * decode ONLY the required columns — geometry (WKB) and property
+  * decode are both skipped when unrequested. */
+class GraftFgbReader(p: GraftFgbPartition, columns: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val wantGeometry = columns.contains("geometry")
+  // property decode is needed for any attr column, or for fid when the
+  // file carries an adopted fid property
+  private val wantProps = columns.exists(c =>
+    c != "path" && c != "geometry" && (c != "fid" || p.fidCol >= 0))
+  private val rdr = graft.io.PositionedReader.open(p.path)
+  private val pathU = UTF8String.fromString(p.path)
+  private val posByName: Map[String, Int] =
+    p.attrNames.zip(p.attrPos).toMap
+  private var i = -1
+
+  override def next(): Boolean = { i += 1; i < p.offs.length }
+
+  override def get(): InternalRow = {
+    val (g, props) =
+      if (wantGeometry || wantProps) {
+        val buf = FgbMeta.readAt(rdr, p.offs(i), p.lens(i))
+        FgbMeta.decodeFeature(buf, p.colTypes, wantGeometry)
+      } else (null, null)
+    new GenericInternalRow(columns.map[Any] {
+      case "path" => pathU
+      case "fid" =>
+        if (p.fidCol >= 0 && props != null && props(p.fidCol) != null)
+          props(p.fidCol).asInstanceOf[Number].longValue
+        else p.items(i).toLong
+      case "geometry" =>
+        if (g == null) null else GeomFunctions.writeWkb(g)
+      case attr => posByName.get(attr) match {
+        case Some(pos) => toCatalyst(props(pos))
+        case None => throw new IllegalArgumentException(
+          s"graft-fgb: unknown column $attr")
+      }
+    })
+  }
+
+  /** Property values → catalyst representation (only strings differ;
+    * scalars and byte arrays pass through boxed). */
+  private def toCatalyst(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+
+  override def close(): Unit = rdr.close()
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geometry._
+
+/** The `graft-fgb` DSv2 connector: schema, bbox planning (file prune +
+  * R-tree exactness), column pruning, Hadoop-scheme paths, and
+  * agreement with the block-API FlatGeobufSource. */
+class GeometryV2Spec extends SparkSpec {
+
+  /** Two square layers: `near` around the origin, `far` translated by
+    * +1000 in x — disjoint extents, same property layout. */
+  private lazy val archive: (String, String, String) = {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fgb_v2").toString
+    def squares(shift: Double): DataFrame =
+      (0 until 40).map { i =>
+        val x = shift + (i % 8) * 3.0
+        val y = (i / 8) * 3.0
+        (i.toLong, s"sq$i", i * 1.5,
+          s"POLYGON (($x $y, ${x + 2} $y, ${x + 2} ${y + 2}, $x ${y + 2}, $x $y))")
+      }.toDF("fid", "name", "score", "wkt")
+        .select(col("fid"), col("name"), col("score"),
+          GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+    val near = s"$dir/near.fgb"
+    val far = s"$dir/far.fgb"
+    FlatGeobufSink.writeStream(squares(0.0), "EPSG:28992", near)(sp)
+    FlatGeobufSink.writeStream(squares(1000.0), "EPSG:28992", far)(sp)
+    (dir, near, far)
+  }
+
+  test("schema and full-archive read match the block source") {
+    val (dir, near, _) = archive
+    val df = spark.read.format("graft-fgb").load(dir)
+    assert(df.columns.toSeq ==
+      Seq("path", "fid", "name", "score", "geometry"))
+    assert(df.count() == 80)
+    // one file, against the block source row-for-row
+    val v2 = spark.read.format("graft-fgb").load(near)
+      .select("fid", "name", "score", "geometry")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        GeomFunctions.readWkb(r.getAs[Array[Byte]](3)).toText))
+      .sortBy(_._1)
+    val block = FlatGeobufSource(near).frame(GeometryRequest())(spark)
+      .select("fid", "name", "score", "geometry")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        GeomFunctions.readWkb(r.getAs[Array[Byte]](3)).toText))
+      .sortBy(_._1)
+    assert(v2.toSeq == block.toSeq)
+  }
+
+  test("bbox prunes non-intersecting files at planning and hits exactly " +
+      "the envelope-intersecting features") {
+    val (dir, _, _) = archive
+    // covers near's squares with 0 <= x0 of envelope <= 7 (cols 0..2 at
+    // x 0,3,6 → envelopes [0,2],[3,5],[6,8] all intersect [1.1, 6.9])
+    val df = spark.read.format("graft-fgb")
+      .option("bbox", "1.1,0.5,6.9,3.7").load(dir)
+      .select("fid")
+    val full = spark.read.format("graft-fgb").load(dir)
+    // the far file plans ZERO partitions under the bbox
+    assert(df.rdd.getNumPartitions < full.rdd.getNumPartitions)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("far.fgb -> pruned"), plan)
+    assert(plan.contains("near.fgb -> "), plan)
+    // envelope semantics, closed intervals: rows 0 (y 0..2) and 1
+    // (y 3..5) intersect y-window [0.5, 3.7]; columns at x 0,3,6
+    val want = Seq(0L, 1L, 2L, 8L, 9L, 10L)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == want)
+  }
+
+  test("column pruning reaches the scan and geometry decode is skipped") {
+    val (_, near, _) = archive
+    val df = spark.read.format("graft-fgb").load(near).select("fid", "score")
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("columns [fid,score]"), scanDesc)
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).length == 40)
+    // count(*) prunes everything — still 40 rows
+    assert(spark.read.format("graft-fgb").load(near).count() == 40)
+  }
+
+  test("file:// scheme paths plan and decode identically to local") {
+    val (_, near, _) = archive
+    val local = spark.read.format("graft-fgb").load(near)
+      .select("fid", "name").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val viaScheme = spark.read.format("graft-fgb").load(s"file://$near")
+      .select("fid", "name").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(viaScheme.toSeq == local.toSeq)
+  }
+
+  test("an archive with drifting property layouts fails loudly at planning") {
+    val sp = spark
+    import sp.implicits._
+    val (dir, _, _) = archive
+    val drifted = s"$dir/drift.fgb"
+    FlatGeobufSink.writeStream(
+      Seq((1L, 2.0, "POINT (0 0)")).toDF("fid", "other", "wkt")
+        .select(col("fid"), col("other"),
+          GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry")),
+      "EPSG:28992", drifted)(sp)
+    try {
+      val ex = intercept[Exception] {
+        spark.read.format("graft-fgb").load(dir).count()
+      }
+      assert(ex.getMessage.contains("do not match the archive schema"),
+        ex.getMessage)
+    } finally java.nio.file.Files.delete(java.nio.file.Paths.get(drifted))
+  }
+}
