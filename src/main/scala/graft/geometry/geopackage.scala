@@ -1,6 +1,5 @@
 package graft.geometry
 
-import java.io.RandomAccessFile
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -29,7 +28,7 @@ object Sqlite {
   case class DbInfo(pageSize: Int, usableSize: Int, textEncoding: Int)
 
   def open(path: String): DbInfo = {
-    val raf = new RandomAccessFile(path, "r")
+    val raf = graft.io.PositionedCursor.open(path)
     try {
       val head = new Array[Byte](100)
       raf.readFully(head)
@@ -60,7 +59,7 @@ object Sqlite {
     ((v << 8) | (b(off + 8) & 0xff), 9)
   }
 
-  private def readPage(raf: RandomAccessFile, info: DbInfo, page: Int): Array[Byte] = {
+  private def readPage(raf: graft.io.PositionedCursor, info: DbInfo, page: Int): Array[Byte] = {
     val buf = new Array[Byte](info.pageSize)
     raf.seek((page - 1).toLong * info.pageSize)
     raf.readFully(buf)
@@ -71,7 +70,7 @@ object Sqlite {
     * order. Only interior pages are materialized here. */
   def leafPages(path: String, root: Int): Seq[Int] = {
     val info = open(path)
-    val raf = new RandomAccessFile(path, "r")
+    val raf = graft.io.PositionedCursor.open(path)
     try {
       val out = Seq.newBuilder[Int]
       // a corrupt b-tree can cycle or point at itself; a page is visited
@@ -104,7 +103,7 @@ object Sqlite {
 
   /** Decode the cells of one leaf page into (rowid, columnValues) pairs,
     * following overflow chains through `raf` when a payload spills. */
-  def leafRows(raf: RandomAccessFile, info: DbInfo, page: Int): Seq[(Long, Array[Any])] = {
+  def leafRows(raf: graft.io.PositionedCursor, info: DbInfo, page: Int): Seq[(Long, Array[Any])] = {
     val buf = readPage(raf, info, page)
     val hdr = if (page == 1) 100 else 0
     require((buf(hdr) & 0xff) == 0x0d, s"page $page is not a table leaf")
@@ -203,7 +202,7 @@ object Sqlite {
   /** Scan a whole table (driver-side; for the small metadata tables). */
   def scanTable(path: String, root: Int): Seq[(Long, Array[Any])] = {
     val info = open(path)
-    val raf = new RandomAccessFile(path, "r")
+    val raf = graft.io.PositionedCursor.open(path)
     try leafPages(path, root).flatMap(p => leafRows(raf, info, p))
     finally raf.close()
   }
@@ -386,7 +385,7 @@ case class GeoPackageSource(url: String, table: Option[String] = None)
   // "undefined" entries (srs_id 0 / -1, organization NONE) pass: absent is
   // not unsupported, and planar reads never transform.
   locally {
-    if (new java.io.File(url).isFile) {
+    if (graft.io.FileIO.exists(url) && !graft.io.FileIO.isDirectory(url)) {
       val p = projection
       val undefined = p.startsWith("NONE:") || p == "EPSG:0" || p == "EPSG:-1"
       if (!undefined && !graft.raster.Proj.supported(p))
@@ -428,7 +427,7 @@ case class GeoPackageSource(url: String, table: Option[String] = None)
 
     val rdd = spark.sparkContext.parallelize(groups, math.max(groups.size, 1))
       .flatMap { pages =>
-        val raf = new RandomAccessFile(path, "r")
+        val raf = graft.io.PositionedCursor.open(path)
         val rows = try pages.flatMap(p => Sqlite.leafRows(raf, info, p))
         finally raf.close()
         rows.iterator.map { case (rowid, vals) =>

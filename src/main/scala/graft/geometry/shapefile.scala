@@ -1,6 +1,7 @@
 package graft.geometry
 
 import java.io.{DataOutputStream, FileOutputStream, BufferedOutputStream, RandomAccessFile}
+import graft.io.PositionedCursor
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -45,7 +46,7 @@ object Shapefile {
   // ------------------------------------------------------------------ .dbf
 
   def readDbfHeader(path: String): DbfHeader = {
-    val raf = new RandomAccessFile(path, "r")
+    val raf = PositionedCursor.open(path)
     try {
       val head = new Array[Byte](32)
       raf.readFully(head)
@@ -271,7 +272,7 @@ object Shapefile {
     val n = hi - lo
 
     // .shx slice -> (offsetWords, lengthWords) per record
-    val shx = new RandomAccessFile(base + ".shx", "r")
+    val shx = PositionedCursor.open(base + ".shx")
     val idx = try {
       require(100L + 8L * hi <= shx.length(),
         s"corrupt shapefile index: record $hi past ${shx.length()} .shx bytes")
@@ -285,7 +286,7 @@ object Shapefile {
     // contiguous .shp span covering the range
     val spanStart = 2L * idx.head._1
     val spanEnd = 2L * idx.last._1 + 8L + 2L * idx.last._2
-    val shp = new RandomAccessFile(shpPath, "r")
+    val shp = PositionedCursor.open(shpPath)
     val span = try {
       // index words are untrusted: the span they describe must lie inside
       // the .shp file before it sizes an allocation
@@ -299,8 +300,8 @@ object Shapefile {
 
     // contiguous .dbf span
     val dbfPath = base + ".dbf"
-    val dbf = if (new java.io.File(dbfPath).exists() && header.fields.nonEmpty) {
-      val raf = new RandomAccessFile(dbfPath, "r")
+    val dbf = if (graft.io.FileIO.exists(dbfPath) && header.fields.nonEmpty) {
+      val raf = PositionedCursor.open(dbfPath)
       try {
         val raw = new Array[Byte](header.recordSize * n)
         raf.seek(header.headerSize.toLong + header.recordSize.toLong * lo)
@@ -554,10 +555,9 @@ case class ShapefileSource(url: String, proj: String = "EPSG:28992")
     * default. The codec writes "EPSG:xxxx" style strings; foreign WKT .prj
     * content (ArcGIS/QGIS) resolves through the Proj hub's WKT reader. */
   override lazy val projection: String = {
-    val f = new java.io.File(url.stripSuffix(".shp") + ".prj")
-    if (f.exists()) {
-      val src = scala.io.Source.fromFile(f, "US-ASCII")
-      val raw = try src.mkString.trim finally src.close()
+    val f = url.stripSuffix(".shp") + ".prj"
+    if (graft.io.FileIO.exists(f)) {
+      val raw = graft.io.FileIO.readString(f).trim
       try graft.raster.Proj.normalize(raw)
       catch {
         case e: IllegalArgumentException => throw new IllegalArgumentException(
@@ -569,7 +569,7 @@ case class ShapefileSource(url: String, proj: String = "EPSG:28992")
   // fail fast: an unreadable or unsupported .prj errors here, at source
   // construction, naming the file — not from deep inside a warp/transform
   locally {
-    if (new java.io.File(url.stripSuffix(".shp") + ".prj").exists()) {
+    if (graft.io.FileIO.exists(url.stripSuffix(".shp") + ".prj")) {
       val decl = projection
       if (!graft.raster.Proj.supported(decl))
         throw new IllegalArgumentException(
@@ -579,7 +579,7 @@ case class ShapefileSource(url: String, proj: String = "EPSG:28992")
 
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
     val h = header
-    val shpBytes = new java.io.File(url).length()
+    val shpBytes = graft.io.FileIO.size(url)
     val nRec = h.numRecords
     // a long-typed DBF field named "fid" IS the feature id (round-tripped
     // exports keep their ids); otherwise the record index serves

@@ -1,6 +1,5 @@
 package graft.geometry
 
-import java.io.RandomAccessFile
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
@@ -66,7 +65,7 @@ object Tab {
   def sparkTypeOf(t: String): String = Mif.sparkTypeOf(t)
 
   def readTabDef(path: String): TabDef = {
-    val lines = Files.readAllLines(Paths.get(path)).toArray(Array.empty[String])
+    val lines = graft.io.FileIO.readString(path).split("\r?\n")
     require(lines.exists(_.trim.equalsIgnoreCase("!table")),
       s"$path: not a MapInfo .tab (missing !table)")
     var datFile = ""
@@ -79,8 +78,13 @@ object Tab {
       if (lower.startsWith("file ")) {
         val m = "\"([^\"]+)\"".r.findFirstMatchIn(t)
         require(m.isDefined, s"$path: unquoted File clause '$t'")
-        datFile = Paths.get(path).toAbsolutePath.getParent
-          .resolve(m.get.group(1)).toString
+        // sibling resolution must respect a scheme-qualified .tab URL
+        // (Paths.get would glue the URL onto the working directory)
+        datFile =
+          if (graft.io.FileIO.hasScheme(path))
+            path.substring(0, path.lastIndexOf('/') + 1) + m.get.group(1)
+          else Paths.get(path).toAbsolutePath.getParent
+            .resolve(m.get.group(1)).toString
       } else if (lower.startsWith("coordsys")) {
         coordSys = Some(t)
       } else if (lower.startsWith("fields ")) {
@@ -107,7 +111,7 @@ object Tab {
   case class MapHeader(version: Int, xScale: Double, yScale: Double,
       xDispl: Double, yDispl: Double, nObjects: Int)
 
-  def readMapHeader(raf: RandomAccessFile, path: String): MapHeader = {
+  def readMapHeader(raf: graft.io.PositionedCursor, path: String): MapHeader = {
     require(raf.length() >= BlockSize,
       s"$path: .map shorter than one $BlockSize-byte block")
     val b = new Array[Byte](BlockSize)
@@ -132,7 +136,7 @@ object Tab {
   private def ground(h: MapHeader, x: Int, y: Int): Coordinate =
     new Coordinate(x / h.xScale + h.xDispl, y / h.yScale + h.yDispl)
 
-  private def readCoords(raf: RandomAccessFile, at: Long, n: Int,
+  private def readCoords(raf: graft.io.PositionedCursor, at: Long, n: Int,
       h: MapHeader, path: String): Array[Coordinate] = {
     require(n >= 0 && n <= 10000000, s"$path: coordinate run of $n points")
     require(at >= 0 && at + 8L * n <= raf.length(),
@@ -144,7 +148,7 @@ object Tab {
   }
 
   /** Decode the object record at `off` (an `.id` entry). */
-  def readObject(raf: RandomAccessFile, off: Long, h: MapHeader,
+  def readObject(raf: graft.io.PositionedCursor, off: Long, h: MapHeader,
       path: String): Geometry = {
     require(off >= 0 && off + 5 <= raf.length(),
       s"$path: object offset $off outside the .map")
@@ -196,7 +200,7 @@ object Tab {
   // ------------------------------------------------------- .id / .dat
 
   def readIdOffsets(path: String): Array[Long] = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+    val bytes = graft.io.FileIO.readAllBytes(path)
     require(bytes.length % 4 == 0, s"$path: .id length not 4-aligned")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     Array.fill(bytes.length / 4)(bb.getInt.toLong & 0xFFFFFFFFL)
@@ -204,7 +208,7 @@ object Tab {
 
   private def parseDat(path: String): (Shapefile.DbfHeader, Seq[Seq[String]]) = {
     val h = Shapefile.readDbfHeader(path)
-    val raf = new RandomAccessFile(path, "r")
+    val raf = graft.io.PositionedCursor.open(path)
     try {
       val sumLen = h.fields.map(_.length).sum
       // MapInfo .dat files follow the dBASE record shape; tolerate both
@@ -243,7 +247,7 @@ object Tab {
     val ids = readIdOffsets(s"$base.id")
     require(ids.length == datHeader.numRecords,
       s"$url: ${ids.length} .id entries vs ${datHeader.numRecords} records")
-    val raf = new RandomAccessFile(s"$base.map", "r")
+    val raf = graft.io.PositionedCursor.open(s"$base.map")
     val geoms = try {
       val h = readMapHeader(raf, s"$base.map")
       ids.map(off => if (off == 0L) null else readObject(raf, off, h, url))

@@ -84,6 +84,37 @@ object PositionedReader {
   }
 }
 
+/** `RandomAccessFile`-shaped READ cursor over a [[PositionedReader]] —
+  * lets the positional geometry codecs (GeoPackage SQLite pages,
+  * shapefile .shx/.shp/.dbf records, MapInfo .map objects) keep their
+  * seek/readFully structure while every byte goes through the
+  * scheme-aware reader, so `file://`/`hdfs://`/`s3a://` work the same
+  * as bare paths. Read-only: the codecs' writers stay on local
+  * `RandomAccessFile` (single-file sinks are driver-local by the
+  * format contract, then uploadable via [[FileIO.writeAll]]). */
+final class PositionedCursor(r: PositionedReader) extends AutoCloseable {
+  private var pos = 0L
+  def seek(p: Long): Unit = { pos = p }
+  def getFilePointer: Long = pos
+  def length(): Long = r.size()
+  def readFully(dst: Array[Byte]): Unit = readFully(dst, 0, dst.length)
+  def readFully(dst: Array[Byte], off: Int, len: Int): Unit = {
+    val b = ByteBuffer.wrap(dst, off, len)
+    while (b.hasRemaining) {
+      val k = r.read(b, pos)
+      if (k < 0) throw new java.io.EOFException(
+        s"unexpected EOF at byte $pos")
+      pos += k
+    }
+  }
+  def close(): Unit = r.close()
+}
+
+object PositionedCursor {
+  def open(url: String): PositionedCursor =
+    new PositionedCursor(PositionedReader.open(url))
+}
+
 /** Store-level operations (existence, listing, whole-object reads) over
   * the same two backends as [[PositionedReader]]: bare paths use
   * `java.nio`, scheme-qualified URLs the Hadoop `FileSystem` for their

@@ -174,4 +174,21 @@ class PositionedReaderSpec extends SparkSpec {
       .select(col("t"), col("ty"), col("tx"), col("values")).collect()
     assert(z.length == 1 && z(0).getSeq[Double](3) == Seq(0.0, 1.0, 2.0, 3.0))
   }
+
+  test("positional geometry codecs (shapefile, GeoPackage, MapInfo TAB) " +
+      "decode file:// URLs identically to local paths") {
+    val sp = spark
+    import graft.geometry._
+    val dir = Files.createTempDirectory("pr_geom").toString
+    val src = GeometryFixtures.features
+    def rows(url: String): Seq[(Long, String)] =
+      GeometryFileSource(url).frame(GeometryRequest())(sp)
+        .select(col("fid"),
+          GeomFunctions.stAsWkt(col("geometry")).as("wkt"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    for (name <- Seq("f.shp", "f.gpkg", "f.tab")) {
+      GeometryToFile.toFile(src, s"$dir/$name")
+      assert(rows(s"file://$dir/$name") == rows(s"$dir/$name"), name)
+    }
+  }
 }
