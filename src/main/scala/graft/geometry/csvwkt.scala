@@ -19,7 +19,8 @@ object CsvWkt {
     * pattern as the shapefile's dbf header read). Minimal RFC 4180:
     * quoted fields may contain commas and doubled quotes. */
   def headerOf(path: String): Seq[String] = {
-    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val src = scala.io.Source.fromInputStream(
+      graft.io.FileIO.openStream(path), "UTF-8")
     try {
       val line = src.getLines().nextOption().getOrElse("")
       splitLine(line)

@@ -569,10 +569,9 @@ case class GmlSource(url: String, proj: String = "EPSG:28992") extends GeometryB
     * written from a non-default-CRS source would silently relabel the data
     * EPSG:28992. Bounded head read. */
   @transient private lazy val declaredSrs: Option[String] = {
-    val f = new java.io.File(url)
-    if (!f.isFile) None
+    if (!graft.io.FileIO.exists(url) || graft.io.FileIO.isDirectory(url)) None
     else {
-      val in = new java.io.FileInputStream(f)
+      val in = graft.io.FileIO.openStream(url)
       val head = try new String(in.readNBytes(256 << 10), "UTF-8") finally in.close()
       // normalize never throws (unknown codes pass through unchanged), so
       // gate on supported(): a garbage srsName must not override `proj`
@@ -584,16 +583,15 @@ case class GmlSource(url: String, proj: String = "EPSG:28992") extends GeometryB
 
   /** (name, spark type) in declaration order. */
   @transient private lazy val fields: Seq[(String, String)] = {
-    val xsd = new java.io.File(Gml.xsdPathFor(url))
-    if (xsd.isFile) {
-      Gml.parseXsdFields(new String(
-        java.nio.file.Files.readAllBytes(xsd.toPath), "UTF-8"))
+    val xsd = Gml.xsdPathFor(url)
+    if (graft.io.FileIO.exists(xsd) && !graft.io.FileIO.isDirectory(xsd)) {
+      Gml.parseXsdFields(graft.io.FileIO.readString(xsd))
         .map { case (n, t) => (n, Gml.xsdToSpark(t)) }
     } else {
       // sample the first member for attribute names (all strings) from a
       // bounded head read — never the whole document on the driver
       val HeadBytes = 4 << 20
-      val in = new java.io.FileInputStream(url)
+      val in = graft.io.FileIO.openStream(url)
       val text = try new String(in.readNBytes(HeadBytes), "UTF-8") finally in.close()
       val start = text.indexOf("<gml:featureMember")
       val end = text.indexOf("</gml:featureMember>")

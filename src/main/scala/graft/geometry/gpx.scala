@@ -400,10 +400,9 @@ case class GpxSource(url: String, layer: String = "waypoints")
     s"GPX layer must be waypoints or tracks, got '$layer'")
 
   @transient private lazy val fields: Seq[(String, String)] = {
-    val f = new java.io.File(url)
-    if (!f.isFile) Seq.empty
+    if (!graft.io.FileIO.exists(url) || graft.io.FileIO.isDirectory(url)) Seq.empty
     else {
-      val in = new java.io.FileInputStream(f)
+      val in = graft.io.FileIO.openStream(url)
       val head = try new String(in.readNBytes(256 << 10), "UTF-8") finally in.close()
       Gpx.headFields(head, layer)
     }

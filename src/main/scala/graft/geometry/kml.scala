@@ -308,10 +308,9 @@ object KmlSink {
 case class KmlSource(url: String) extends GeometryBlock {
 
   @transient private lazy val fields: Seq[(String, String)] = {
-    val f = new java.io.File(url)
-    if (!f.isFile) Seq.empty
+    if (!graft.io.FileIO.exists(url) || graft.io.FileIO.isDirectory(url)) Seq.empty
     else {
-      val in = new java.io.FileInputStream(f)
+      val in = graft.io.FileIO.openStream(url)
       val head = try new String(in.readNBytes(256 << 10), "UTF-8") finally in.close()
       Kml.parseSchema(head).map { case (n, t) => (n, Kml.sparkType(t)) }
     }

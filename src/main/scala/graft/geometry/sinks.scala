@@ -301,16 +301,15 @@ case class GeoJsonSource(url: String, proj: String = "EPSG:4326",
     * other single-file exchange formats; the cluster-scale layout remains
     * newline features / geoparquet. */
   @transient private lazy val fcFeatures: Option[Seq[Map[String, Any]]] = {
-    val f = new java.io.File(url)
-    if (!f.isFile) None
+    if (!graft.io.FileIO.exists(url) || graft.io.FileIO.isDirectory(url)) None
     else {
-      val in = new java.io.FileInputStream(f)
+      val in = graft.io.FileIO.openStream(url)
       val head = try new String(in.readNBytes(4096), "UTF-8") finally in.close()
       val looksFc = head.dropWhile(_.isWhitespace).startsWith("{") &&
         """"type"\s*:\s*"FeatureCollection"""".r.findFirstIn(head).isDefined
       if (!looksFc) None
       else {
-        val doc = graft.core.Json.parse(java.nio.file.Files.readString(f.toPath))
+        val doc = graft.core.Json.parse(graft.io.FileIO.readString(url))
           .asInstanceOf[Map[String, Any]]
         Some(doc.getOrElse("features", Seq.empty) match {
           case s: Seq[_] => s.collect { case m: Map[_, _] =>
@@ -325,8 +324,7 @@ case class GeoJsonSource(url: String, proj: String = "EPSG:4326",
     * WGS84; an EPSG urn/code overrides `proj`; anything else fails loudly
     * rather than mislabeling coordinates. */
   @transient private lazy val fcCrs: Option[String] = fcFeatures.flatMap { _ =>
-    val doc = graft.core.Json.parse(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(url)))
+    val doc = graft.core.Json.parse(graft.io.FileIO.readString(url))
       .asInstanceOf[Map[String, Any]]
     doc.get("crs").collect { case m: Map[_, _] =>
       val name = m.asInstanceOf[Map[String, Any]].get("properties")
@@ -344,7 +342,6 @@ case class GeoJsonSource(url: String, proj: String = "EPSG:4326",
 
   @transient private lazy val sampledFields: Seq[(String, String)] = {
     val SampleLines = 100
-    val self = new java.io.File(url)
     val typed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def noteProps(obj: Map[String, Any]): Unit =
       obj.get("properties").foreach {
@@ -357,12 +354,13 @@ case class GeoJsonSource(url: String, proj: String = "EPSG:4326",
       case Some(feats) => feats.foreach(noteProps) // full doc already parsed
       case None =>
         // a lone file is its own (ndjson) part; directories list part files
-        val parts =
-          if (self.isFile) Seq(self)
-          else Option(self.listFiles).toSeq.flatten
-            .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        val parts: Seq[String] =
+          if (!graft.io.FileIO.isDirectory(url)) Seq(url)
+          else graft.io.FileIO.list(url)
+            .filter(p => graft.io.FileIO.name(p).startsWith("part-")).sorted
         parts.foreach { f =>
-          val src = scala.io.Source.fromFile(f, "UTF-8")
+          val src = scala.io.Source.fromInputStream(
+            graft.io.FileIO.openStream(f), "UTF-8")
           try src.getLines().filter(_.trim.nonEmpty).take(SampleLines)
             .foreach { line => noteProps(
               graft.core.Json.parse(line).asInstanceOf[Map[String, Any]]) }

@@ -48,7 +48,19 @@ object ZipVector {
 
   private def extract(url: String): Path = {
     val root = Files.createTempDirectory("graft_zip")
-    val zf = new ZipFile(url)
+    // ZipFile needs random access on a LOCAL file: a scheme-qualified
+    // archive is fetched once into a temp copy (zipped containers are
+    // bounded by the single-file exchange contract)
+    val localZip =
+      if (graft.io.FileIO.hasScheme(url)) {
+        val t = Files.createTempFile("graft_zip_src", ".zip")
+        val in = graft.io.FileIO.openStream(url)
+        try Files.copy(in, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        t.toString
+      } else url
+    val zf = new ZipFile(localZip)
     try {
       var total = 0L
       val entries = zf.entries()

@@ -186,7 +186,8 @@ class PositionedReaderSpec extends SparkSpec {
         .select(col("fid"),
           GeomFunctions.stAsWkt(col("geometry")).as("wkt"))
         .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
-    for (name <- Seq("f.shp", "f.gpkg", "f.tab")) {
+    for (name <- Seq("f.shp", "f.gpkg", "f.tab", "f.geojson", "f.gml",
+        "f.csv", "f.kml")) {
       GeometryToFile.toFile(src, s"$dir/$name")
       assert(rows(s"file://$dir/$name") == rows(s"$dir/$name"), name)
     }
