@@ -1820,6 +1820,23 @@ object SparkEntry {
         .load(out)
         .select(col("fid"), col("p_size"))
     }),
+    "g33_dsv2_fgb_write" -> ((s, dir) => {
+      // archive-scale write → read round-trip: one internally-indexed
+      // .fgb per executor task (no driver funnel, unlike the single-file
+      // FlatGeobufSink), read back through the connector with the same
+      // bbox pushdown the single-file path gets
+      implicit val sp: SparkSession = s
+      val p = partSquares(dir)
+      val out = java.nio.file.Files.createTempDirectory("verify_fgb_w").toString
+      p.frame(GeometryRequest())(s)
+        .select(col("fid"), col("p_size"), col("geometry"))
+        .repartitionByRange(4, col("fid"))
+        .write.format("graft-fgb").option("srs", "EPSG:28992")
+        .mode("append").save(out)
+      s.read.format("graft-fgb").option("bbox", "10.23,6.37,30.71,14.93")
+        .load(out)
+        .select(col("fid"), col("p_size"))
+    }),
     "g21_csv_roundtrip" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val p = partSquares(dir)
@@ -2180,6 +2197,15 @@ object SparkEntry {
     // intersection — for axis-aligned squares identical to g22's JTS
     // intersects, so the same inequalities pin it
     "g32_dsv2_fgb_bbox" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size
+        |FROM part
+        |WHERE (p_partkey % 50) <= 30.71
+        |  AND (p_partkey % 50) + p_size / 10.0 >= 10.23
+        |  AND (p_partkey // 50) * 2 <= 14.93
+        |  AND (p_partkey // 50) * 2 + p_size / 10.0 >= 6.37""".stripMargin,
+    // the per-task write must not change a single answer: same bbox,
+    // same inequalities, now against the connector-written archive
+    "g33_dsv2_fgb_write" ->
       """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size
         |FROM part
         |WHERE (p_partkey % 50) <= 30.71

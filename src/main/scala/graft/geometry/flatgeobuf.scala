@@ -700,17 +700,9 @@ object FlatGeobufSink {
           val gt = geometryType(g)
           geomType = if (geomType == -1 || geomType == gt) gt else GtUnknown
         }
-        val props = encodeProperties(attrIdx.zipWithIndex.map { case (ci, i) =>
+        val body = encodeFeatureBody(g, attrIdx.zipWithIndex.map { case (ci, i) =>
           (i, colTypes(i), if (r.isNullAt(ci)) null else r.get(ci))
         })
-        val b = new Buf
-        b.u32(0) // root uoffset placeholder
-        val t = writeTable(b, Seq[Option[Slot]](
-          if (g == null) None else Some(RefS(geometryWriter(g))),
-          if (props.isEmpty) None else Some(byteVecRef(props)),
-          None))
-        b.patchU32(0, t.toLong)
-        val body = b.result()
         val env = if (g == null) null else g.getEnvelopeInternal
         writeNodeRecord(outLeaf,
           if (env == null) minX else env.getMinX,
@@ -726,10 +718,50 @@ object FlatGeobufSink {
       }
     } finally { outFeat.close(); outLeaf.close() }
 
-    // header buffer
+    val out = new java.io.BufferedOutputStream(
+      graft.io.FileIO.createStream(path))
+    try assemble(out, layerNameOf(path), proj, attrCols, colTypes,
+      geomType, nItems, (minX, minY, maxX, maxY), tmpLeaf, tmp)
+    finally {
+      out.close()
+      java.nio.file.Files.deleteIfExists(tmp)
+      java.nio.file.Files.deleteIfExists(tmpLeaf)
+    }
+    path
+  }
+
+  def layerNameOf(path: String): String =
+    graft.io.FileIO.name(path).replaceAll("(?i)\\.fgb$", "")
+
+  /** One feature's FlatBuffer body (no length prefix). `propVals` are
+    * (column index, ColumnType, value) triples. The body is
+    * extent-independent — only feature ORDER and the packed index
+    * depend on the dataset extent, which is what lets the DSv2 task
+    * writer spill bodies before the extent is known. */
+  def encodeFeatureBody(g: Geometry, propVals: Seq[(Int, Int, Any)]): Array[Byte] = {
+    val props = encodeProperties(propVals)
+    val b = new Buf
+    b.u32(0) // root uoffset placeholder
+    val t = writeTable(b, Seq[Option[Slot]](
+      if (g == null) None else Some(RefS(geometryWriter(g))),
+      if (props.isEmpty) None else Some(byteVecRef(props)),
+      None))
+    b.patchU32(0, t.toLong)
+    b.result()
+  }
+
+  /** Assemble a complete container onto `out`: magic | header | packed
+    * Hilbert R-tree (from the leaf-record spill, Hilbert order) |
+    * feature stream (the size-prefixed body spill, same order). Shared
+    * by [[writeStream]] (driver funnel) and the `graft-fgb` DSv2 task
+    * writer (one file per task). */
+  def assemble(out: java.io.OutputStream, layer: String, proj: String,
+      attrCols: Seq[String], colTypes: Seq[Int], geomType: Int,
+      nItems: Int, extent: (Double, Double, Double, Double),
+      tmpLeaf: java.nio.file.Path, tmpFeat: java.nio.file.Path): Unit = {
+    val (minX, minY, maxX, maxY) = extent
     val hb = new Buf
     hb.u32(0)
-    val layer = new java.io.File(path).getName.replaceAll("(?i)\\.fgb$", "")
     val norm = graft.raster.Proj.normalize(proj)
     val epsgCode = "^EPSG:(\\d+)$".r.findFirstMatchIn(norm).map(_.group(1).toInt)
     val crsWriter: Buf => Int = { bb =>
@@ -754,26 +786,18 @@ object FlatGeobufSink {
       Some(RefS(crsWriter)))) // 10 crs
     hb.patchU32(0, ht.toLong)
     val headerBody = hb.result()
-
-    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    out.write(Magic)
+    out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(headerBody.length).array())
+    out.write(headerBody)
+    if (nItems > 0) buildIndexSpilled(tmpLeaf, nItems, NodeSize, out)
+    val in = new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(tmpFeat))
     try {
-      out.write(Magic)
-      out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-        .putInt(headerBody.length).array())
-      out.write(headerBody)
-      if (nItems > 0) buildIndexSpilled(tmpLeaf, nItems, NodeSize, out)
-      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(tmp.toFile))
-      try {
-        val buf = new Array[Byte](1 << 16)
-        var n = in.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-      } finally in.close()
-    } finally {
-      out.close()
-      java.nio.file.Files.deleteIfExists(tmp)
-      java.nio.file.Files.deleteIfExists(tmpLeaf)
-    }
-    path
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
   }
 }
 

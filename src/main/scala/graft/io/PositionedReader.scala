@@ -191,6 +191,29 @@ object FileIO {
     else new java.io.BufferedInputStream(
       new java.io.FileInputStream(url))
 
+  /** Create/overwrite a file or object as a STREAM (parent directories
+    * created) — for single-file writers whose output is assembled
+    * sequentially and can exceed memory. */
+  def createStream(url: String): java.io.OutputStream =
+    if (hasScheme(url)) { val (fs, p) = fsPath(url); fs.create(p, true) }
+    else {
+      val p = Paths.get(url)
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      new java.io.FileOutputStream(url)
+    }
+
+  /** Atomic-ish rename within one store (the task-commit publish step).
+    * Overwrites nothing: fails if `dst` exists. */
+  def rename(src: String, dst: String): Unit =
+    if (hasScheme(src) || hasScheme(dst)) {
+      val (fs, sp) = fsPath(src)
+      val dp = new org.apache.hadoop.fs.Path(dst)
+      require(!fs.exists(dp), s"rename target $dst already exists")
+      require(fs.rename(sp, dp), s"rename $src -> $dst failed")
+    } else {
+      Files.move(Paths.get(src), Paths.get(dst))
+    }
+
   /** Create/overwrite a file or object with `bytes` (parent
     * directories created; one PUT on object stores). */
   def writeAll(url: String, bytes: Array[Byte]): Unit =

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -46,13 +48,17 @@ import graft.geometry.{FgbMeta, FlatGeobuf, GeomFunctions}
 class GraftFgbSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-fgb"
-  override def supportsExternalMetadata(): Boolean = false
+  // true so the WRITE path hands the frame's schema through getTable —
+  // property columns are data-dependent, unlike graft-raster's fixed
+  // tile schema
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftFgbTable.schemaFor(
       GraftFgbTable.files(GraftRasterTable.resolvePaths(options)))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new GraftFgbTable(GraftRasterTable.resolvePaths(properties))
+    new GraftFgbTable(GraftRasterTable.resolvePaths(properties),
+      Option(schema))
 }
 
 object GraftFgbTable {
@@ -98,12 +104,32 @@ object GraftFgbTable {
     cols.indexWhere { case (n, t) => n == "fid" && FlatGeobuf.integralType(t) }
 }
 
-class GraftFgbTable(paths: Seq[String]) extends Table with SupportsRead {
+class GraftFgbTable(paths: Seq[String],
+    provided: Option[StructType] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private lazy val fs = GraftFgbTable.files(paths)
   override def name(): String = s"graft-fgb(${paths.mkString(",")})"
-  override def schema(): StructType = GraftFgbTable.schemaFor(fs)
+  override def schema(): StructType =
+    provided.getOrElse(GraftFgbTable.schemaFor(fs))
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
+
+  /** `df.write.format("graft-fgb").option("srs", ...).mode("append")
+    * .save(dir)` — one internally-indexed .fgb part per task (see
+    * [[GraftFgbWrite]]). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(paths.length == 1,
+      s"graft-fgb write: exactly one target directory (got $paths)")
+    new GraftFgbWriteBuilder(
+      GraftFgbWrite.config(paths.head,
+        info.options().asCaseSensitiveMap().asScala.toMap),
+      info.schema())
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftFgbScanBuilder(fs, schema(),
       Option(options.get("bbox")).map { s =>

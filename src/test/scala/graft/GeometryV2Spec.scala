@@ -90,6 +90,52 @@ class GeometryV2Spec extends SparkSpec {
     assert(viaScheme.toSeq == local.toSeq)
   }
 
+  test("DSv2 write: one indexed .fgb per task, round-trips through the " +
+      "connector read, empty tasks write nothing") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fgb_v2_write").toString
+    val df = (0 until 60).map { i =>
+      val x = (i % 10) * 5.0; val y = (i / 10) * 5.0
+      (i.toLong, s"w$i", i * 0.5,
+        s"POLYGON (($x $y, ${x + 3} $y, ${x + 3} ${y + 3}, $x ${y + 3}, $x $y))")
+    }.toDF("fid", "name", "score", "wkt")
+      .select(col("fid"), col("name"), col("score"),
+        GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+    // range-partition on fid so parts are spatially coherent-ish; 8
+    // partitions over 60 rows exercises multiple files
+    df.repartitionByRange(8, col("fid"))
+      .write.format("graft-fgb").option("srs", "EPSG:28992")
+      .mode("append").save(dir)
+    val parts = new java.io.File(dir).listFiles.map(_.getName).sorted
+    assert(parts.forall(n => n.startsWith("part-") && n.endsWith(".fgb")),
+      parts.mkString(","))
+    assert(parts.length >= 2 && parts.length <= 8)
+    val back = spark.read.format("graft-fgb").load(dir)
+    // adopted fid + properties + geometry round-trip
+    val got = back.select("fid", "name", "score", "geometry")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        GeomFunctions.readWkb(r.getAs[Array[Byte]](3)).toText)).sortBy(_._1)
+    val want = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2),
+      GeomFunctions.readWkb(r.getAs[Array[Byte]](3)).toText)).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // every part carries its own R-tree: a bbox read over the written
+    // archive uses the index (exact envelope hits, no residual filter)
+    val hit = spark.read.format("graft-fgb")
+      .option("bbox", "0.5,0.5,4.5,4.5").load(dir)
+      .select("fid").collect().map(_.getLong(0)).sorted
+    assert(hit.toSeq == Seq(0L), hit.mkString(","))
+    // empty tasks must not leave empty or temp files
+    val dir2 = java.nio.file.Files.createTempDirectory("fgb_v2_w2").toString
+    df.limit(2).repartition(6)
+      .write.format("graft-fgb").option("srs", "EPSG:28992")
+      .mode("append").save(dir2)
+    val parts2 = new java.io.File(dir2).listFiles.map(_.getName)
+    assert(parts2.forall(n => n.startsWith("part-") && n.endsWith(".fgb")))
+    assert(spark.read.format("graft-fgb").load(dir2).count() == 2)
+  }
+
   test("an archive with drifting property layouts fails loudly at planning") {
     val sp = spark
     import sp.implicits._
