@@ -1820,6 +1820,21 @@ object SparkEntry {
         .load(out)
         .select(col("fid"), col("p_size"))
     }),
+    "g34_dsv2_fgb_envfilter" -> ((s, dir) => {
+      // the same spatial request expressed as CATALYST predicates on the
+      // connector's virtual envelope columns — pushFilters resolves the
+      // four inequalities to the identical R-tree window (explain shows
+      // the pushed bbox) and the residual filter re-applies them exactly
+      implicit val sp: SparkSession = s
+      val p = partSquares(dir)
+      val out = java.nio.file.Files.createTempDirectory("verify_fgb_env")
+        .resolve("parts.fgb").toString
+      GeometryToFile.toFile(p, out)
+      s.read.format("graft-fgb").load(out)
+        .filter(col("env_maxx") >= 10.23 && col("env_minx") <= 30.71 &&
+          col("env_maxy") >= 6.37 && col("env_miny") <= 14.93)
+        .select(col("fid"), col("p_size"))
+    }),
     "g33_dsv2_fgb_write" -> ((s, dir) => {
       // archive-scale write → read round-trip: one internally-indexed
       // .fgb per executor task (no driver funnel, unlike the single-file
@@ -2197,6 +2212,15 @@ object SparkEntry {
     // intersection — for axis-aligned squares identical to g22's JTS
     // intersects, so the same inequalities pin it
     "g32_dsv2_fgb_bbox" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size
+        |FROM part
+        |WHERE (p_partkey % 50) <= 30.71
+        |  AND (p_partkey % 50) + p_size / 10.0 >= 10.23
+        |  AND (p_partkey // 50) * 2 <= 14.93
+        |  AND (p_partkey // 50) * 2 + p_size / 10.0 >= 6.37""".stripMargin,
+    // Catalyst envelope-predicate pushdown: identical semantics again —
+    // the residual filter is the same closed inequalities
+    "g34_dsv2_fgb_envfilter" ->
       """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size
         |FROM part
         |WHERE (p_partkey % 50) <= 30.71

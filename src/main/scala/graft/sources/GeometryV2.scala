@@ -82,11 +82,21 @@ object GraftFgbTable {
     require(fs.nonEmpty, "graft-fgb: no path given")
     val m = FgbMeta.read(fs.head)
     StructType(
-      StructField("path", StringType, nullable = false) +:
+      (StructField("path", StringType, nullable = false) +:
         StructField("fid", LongType, nullable = false) +:
+        EnvCols.map(StructField(_, DoubleType, nullable = true))) ++
         attrFields(m.cols) :+
         StructField("geometry", BinaryType, nullable = true))
   }
+
+  /** Virtual FEATURE-ENVELOPE columns (computed from the decoded
+    * geometry, null for null geometries). Their purpose is Catalyst
+    * filter pushdown: >=/<=/</> predicates on them reach
+    * [[GraftFgbScanBuilder.pushFilters]] and prune through the packed
+    * R-tree exactly like the `bbox` option — `.explain` shows them
+    * under PushedFilters. */
+  val EnvCols: Seq[String] =
+    Seq("env_minx", "env_miny", "env_maxx", "env_maxy")
 
   /** Property columns (file order), excluding an adopted integral
     * `fid`; a non-integral `fid` property renames to `fid_attr` (the
@@ -142,11 +152,60 @@ class GraftFgbTable(paths: Seq[String],
 
 class GraftFgbScanBuilder(fs: Seq[String], full: StructType,
     bbox: Option[(Double, Double, Double, Double)])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftFgbScan(fs, full, required, bbox)
+
+  // the intersects-box the envelope predicates describe:
+  // env_maxx >= x0, env_minx <= x1, env_maxy >= y0, env_miny <= y1
+  private var qx0 = -Double.MaxValue; private var qy0 = -Double.MaxValue
+  private var qx1 = Double.MaxValue; private var qy1 = Double.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = filters.filter {
+      case GreaterThanOrEqual(c, _: Double) => c == "env_maxx" || c == "env_maxy"
+      case GreaterThan(c, _: Double)        => c == "env_maxx" || c == "env_maxy"
+      case LessThanOrEqual(c, _: Double)    => c == "env_minx" || c == "env_miny"
+      case LessThan(c, _: Double)           => c == "env_minx" || c == "env_miny"
+      case _ => false
+    }
+    accepted.foreach {
+      // strict bounds prune as their closed counterparts — the R-tree
+      // window is a (tie-only) superset and EVERY filter stays residual
+      // below, so Catalyst re-applies the exact predicate
+      case GreaterThanOrEqual("env_maxx", v: Double) => qx0 = math.max(qx0, v)
+      case GreaterThan("env_maxx", v: Double)        => qx0 = math.max(qx0, v)
+      case GreaterThanOrEqual("env_maxy", v: Double) => qy0 = math.max(qy0, v)
+      case GreaterThan("env_maxy", v: Double)        => qy0 = math.max(qy0, v)
+      case LessThanOrEqual("env_minx", v: Double)    => qx1 = math.min(qx1, v)
+      case LessThan("env_minx", v: Double)           => qx1 = math.min(qx1, v)
+      case LessThanOrEqual("env_miny", v: Double)    => qy1 = math.min(qy1, v)
+      case LessThan("env_miny", v: Double)           => qy1 = math.min(qy1, v)
+      case _ => ()
+    }
+    pushed = accepted
+    filters // all residual: strict-vs-closed ties resolve above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val filterBox =
+      if (qx0 == -Double.MaxValue && qy0 == -Double.MaxValue &&
+        qx1 == Double.MaxValue && qy1 == Double.MaxValue) None
+      else Some((qx0, qy0, qx1, qy1))
+    // intersect the option box with the predicate box
+    val eff = (bbox, filterBox) match {
+      case (Some((a0, b0, a1, b1)), Some((c0, d0, c1, d1))) =>
+        Some((math.max(a0, c0), math.max(b0, d0),
+          math.min(a1, c1), math.min(b1, d1)))
+      case (a, b) => a.orElse(b)
+    }
+    new GraftFgbScan(fs, full, required, eff)
+  }
 }
 
 /** One group of contiguous-ish feature byte ranges of one file.
@@ -188,7 +247,8 @@ class GraftFgbScan(fs: Seq[String], full: StructType,
     // must fail loudly at planning, not decode garbage per row
     val want = GraftFgbTable.attrFields(m.cols)
     val have = full.fields.toSeq
-      .filterNot(f => f.name == "path" || f.name == "fid" || f.name == "geometry")
+      .filterNot(f => f.name == "path" || f.name == "fid" ||
+        f.name == "geometry" || GraftFgbTable.EnvCols.contains(f.name))
     require(want.map(f => (f.name, f.dataType)) ==
         have.map(f => (f.name, f.dataType)),
       s"graft-fgb: $p property columns ${want.map(_.name).mkString(",")} " +
@@ -266,11 +326,14 @@ class GraftFgbReaderFactory(columns: Array[String])
   * decode are both skipped when unrequested. */
 class GraftFgbReader(p: GraftFgbPartition, columns: Array[String])
     extends PartitionReader[InternalRow] {
-  private val wantGeometry = columns.contains("geometry")
+  // envelope columns need the decoded geometry too
+  private val wantGeometry = columns.contains("geometry") ||
+    columns.exists(GraftFgbTable.EnvCols.contains)
   // property decode is needed for any attr column, or for fid when the
   // file carries an adopted fid property
   private val wantProps = columns.exists(c =>
-    c != "path" && c != "geometry" && (c != "fid" || p.fidCol >= 0))
+    c != "path" && c != "geometry" &&
+      !GraftFgbTable.EnvCols.contains(c) && (c != "fid" || p.fidCol >= 0))
   private val rdr = graft.io.PositionedReader.open(p.path)
   private val pathU = UTF8String.fromString(p.path)
   private val posByName: Map[String, Int] =
@@ -293,6 +356,14 @@ class GraftFgbReader(p: GraftFgbPartition, columns: Array[String])
         else p.items(i).toLong
       case "geometry" =>
         if (g == null) null else GeomFunctions.writeWkb(g)
+      case "env_minx" =>
+        if (g == null) null else g.getEnvelopeInternal.getMinX
+      case "env_miny" =>
+        if (g == null) null else g.getEnvelopeInternal.getMinY
+      case "env_maxx" =>
+        if (g == null) null else g.getEnvelopeInternal.getMaxX
+      case "env_maxy" =>
+        if (g == null) null else g.getEnvelopeInternal.getMaxY
       case attr => posByName.get(attr) match {
         case Some(pos) => toCatalyst(props(pos))
         case None => throw new IllegalArgumentException(

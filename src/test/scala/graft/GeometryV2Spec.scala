@@ -35,7 +35,8 @@ class GeometryV2Spec extends SparkSpec {
     val (dir, near, _) = archive
     val df = spark.read.format("graft-fgb").load(dir)
     assert(df.columns.toSeq ==
-      Seq("path", "fid", "name", "score", "geometry"))
+      Seq("path", "fid", "env_minx", "env_miny", "env_maxx", "env_maxy",
+        "name", "score", "geometry"))
     assert(df.count() == 80)
     // one file, against the block source row-for-row
     val v2 = spark.read.format("graft-fgb").load(near)
@@ -134,6 +135,36 @@ class GeometryV2Spec extends SparkSpec {
     val parts2 = new java.io.File(dir2).listFiles.map(_.getName)
     assert(parts2.forall(n => n.startsWith("part-") && n.endsWith(".fgb")))
     assert(spark.read.format("graft-fgb").load(dir2).count() == 2)
+  }
+
+  test("envelope-column predicates push down to the R-tree like the " +
+      "bbox option, visible in PushedFilters") {
+    val (dir, _, _) = archive
+    val viaFilter = spark.read.format("graft-fgb").load(dir)
+      .filter(col("env_maxx") >= 1.1 && col("env_minx") <= 6.9 &&
+        col("env_maxy") >= 0.5 && col("env_miny") <= 3.7)
+      .select("fid")
+    val plan = viaFilter.queryExecution.executedPlan.toString
+    assert(plan.contains("far.fgb -> pruned"), plan)
+    // the four predicates resolved to one pushed window in the scan
+    assert(plan.contains("pushed bbox [1.1, 0.5, 6.9, 3.7]"), plan)
+    val viaOption = spark.read.format("graft-fgb")
+      .option("bbox", "1.1,0.5,6.9,3.7").load(dir).select("fid")
+    assert(viaFilter.collect().map(_.getLong(0)).sorted.toSeq ==
+      viaOption.collect().map(_.getLong(0)).sorted.toSeq)
+    // the filter prune plans the same number of partitions
+    assert(viaFilter.rdd.getNumPartitions == viaOption.rdd.getNumPartitions)
+    // strict bounds stay exact: the window prunes closed, the residual
+    // filter above the scan resolves the tie
+    val strict = spark.read.format("graft-fgb").load(dir)
+      .filter(col("env_maxx") > 0.0 && col("env_minx") < 2.0)
+      .select("fid").collect().map(_.getLong(0)).sorted
+    assert(strict.nonEmpty)
+    // env columns read as data too (null-safe would need null geoms)
+    val env = spark.read.format("graft-fgb").load(dir)
+      .filter(col("fid") === 0 && !col("path").contains("far"))
+      .select("env_minx", "env_maxy").head()
+    assert(env.getDouble(0) == 0.0 && env.getDouble(1) == 2.0)
   }
 
   test("an archive with drifting property layouts fails loudly at planning") {
