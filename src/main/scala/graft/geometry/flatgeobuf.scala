@@ -927,15 +927,72 @@ object FgbMeta {
         }
         if (disjoint) Array.empty
         else {
+          val idxStart = 8L + 4L + m.header.length
+          val idxBytes = FlatGeobuf.indexBytes(m.numItems, m.nodeSize)
           val r = graft.io.PositionedReader.open(url)
-          val idx = try readAt(r, 8L + 4L + m.header.length,
-            FlatGeobuf.indexBytes(m.numItems, m.nodeSize).toInt)
-          finally r.close()
-          searchIndex(idx, m.numItems, m.nodeSize, x0, y0, x1, y1)
-            .toArray.sortBy(_._1)
+          try {
+            // cost switch: a small index is ONE ranged read; a large one
+            // (a million-feature file is ~40 MB of tree) walks node
+            // groups positioned, paying only for the visited path — the
+            // format's HTTP-range design, and what keeps planning cost
+            // proportional to the query, not the archive
+            if (idxBytes <= WholeIndexReadBytes) {
+              val idx = readAt(r, idxStart, idxBytes.toInt)
+              searchIndex(idx, m.numItems, m.nodeSize, x0, y0, x1, y1)
+                .toArray.sortBy(_._1)
+            } else
+              searchIndexPositioned(r, idxStart, m.numItems, m.nodeSize,
+                x0, y0, x1, y1).toArray.sortBy(_._1)
+          } finally r.close()
         }
       case _ => Array.tabulate(m.numItems)(i => (m.offsets(i), i))
     }
+
+  /** Whole-index read threshold for [[candidates]]: at or below this
+    * the tree is fetched in one ranged read (fewer round trips win);
+    * above it the walk reads visited node groups positioned. 1 MB =
+    * ~26k features at the default node size. */
+  val WholeIndexReadBytes: Long = 1L << 20
+
+  /** [[FlatGeobuf.searchIndex]] over POSITIONED reads: identical walk
+    * and hit set, but each visited node group (nodeSize × 40 B) is one
+    * ranged read — planning touches O(visited path) bytes of a tree
+    * that may be tens of MB. */
+  def searchIndexPositioned(r: graft.io.PositionedReader, idxStart: Long,
+      numItems: Int, nodeSize: Int, minX: Double, minY: Double,
+      maxX: Double, maxY: Double): Seq[(Long, Int)] = {
+    import FlatGeobuf._
+    if (numItems == 0) return Seq.empty
+    val sizes = levelSizes(numItems, nodeSize)
+    val numNodes = sizes.sum
+    val starts = new Array[Int](sizes.length)
+    var acc = numNodes
+    for (i <- sizes.indices) { acc -= sizes(i); starts(i) = acc }
+    val leafStart = starts(0)
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    val stack = scala.collection.mutable.Stack[(Int, Int)](
+      (starts.last, sizes.length - 1))
+    while (stack.nonEmpty) {
+      val (first, level) = stack.pop()
+      val levelEnd = starts(level) + sizes(level)
+      val end = math.min(first + nodeSize, levelEnd)
+      val block = readAt(r, idxStart + first.toLong * NodeBytes,
+        (end - first) * NodeBytes)
+      var i = first
+      while (i < end) {
+        val p = (i - first) * NodeBytes
+        val nMinX = Fb.f64(block, p); val nMinY = Fb.f64(block, p + 8)
+        val nMaxX = Fb.f64(block, p + 16); val nMaxY = Fb.f64(block, p + 24)
+        if (!(nMinX > maxX || nMaxX < minX || nMinY > maxY || nMaxY < minY)) {
+          val off = Fb.u64(block, p + 32)
+          if (i >= leafStart) hits += ((off, i - leafStart))
+          else stack.push(((off / NodeBytes).toInt, level - 1))
+        }
+        i += 1
+      }
+    }
+    hits.toSeq
+  }
 
   /** Byte length of the feature at leaf position `i` (features are laid
     * out in leaf order; the next offset bounds this one). */

@@ -308,4 +308,49 @@ class FlatGeobufSpec extends SparkSpec {
     assert(GeomFunctions.readWkb(r4999.getAs[Array[Byte]]("geometry")).equalsExact(
       GeomFunctions.readWkt(GeometryFixtures.square(4999 % 100, 49, 4999 % 100 + 1, 50))))
   }
+
+  test("positioned R-tree walk = in-memory search, touching only the " +
+      "visited path's bytes") {
+    val sp = spark
+    import sp.implicits._
+    val out = tmpFgb("idxwalk")
+    // 1200 unit squares on a 40-column grid -> a 4-level packed tree
+    val df = (0 until 1200).map { i =>
+      val x = (i % 40) * 2.0; val y = (i / 40) * 2.0
+      (i.toLong,
+        s"POLYGON (($x $y, ${x + 1} $y, ${x + 1} ${y + 1}, $x ${y + 1}, $x $y))")
+    }.toDF("fid", "wkt")
+      .select(col("fid"), GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+    FlatGeobufSink.writeStream(df, "EPSG:28992", out)(sp)
+    val m = FgbMeta.read(out)
+    val idxStart = 12L + m.header.length
+    val idxBytes = FlatGeobuf.indexBytes(m.numItems, m.nodeSize)
+    val full = {
+      val r = graft.io.PositionedReader.open(out)
+      try FgbMeta.readAt(r, idxStart, idxBytes.toInt) finally r.close()
+    }
+    final class Rec(under: graft.io.PositionedReader)
+        extends graft.io.PositionedReader {
+      var bytes = 0L
+      override def size(): Long = under.size()
+      override def read(dst: java.nio.ByteBuffer, position: Long): Int = {
+        bytes += dst.remaining(); under.read(dst, position)
+      }
+      override def close(): Unit = under.close()
+    }
+    for (box <- Seq((10.1, 10.1, 14.9, 14.9), (0.0, 0.0, 80.0, 60.0),
+        (79.5, 59.5, 81.0, 61.0), (-5.0, -5.0, -1.0, -1.0))) {
+      val (x0, y0, x1, y1) = box
+      val whole = FlatGeobuf.searchIndex(full, m.numItems, m.nodeSize,
+        x0, y0, x1, y1).toSet
+      val rec = new Rec(graft.io.PositionedReader.open(out))
+      val walked = try FgbMeta.searchIndexPositioned(rec, idxStart,
+        m.numItems, m.nodeSize, x0, y0, x1, y1).toSet finally rec.close()
+      assert(walked == whole, s"box $box")
+      // a selective box must touch a small fraction of the tree
+      if (whole.size <= 10)
+        assert(rec.bytes < idxBytes / 4,
+          s"box $box read ${rec.bytes} of $idxBytes index bytes")
+    }
+  }
 }
