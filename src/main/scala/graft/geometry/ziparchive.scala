@@ -27,9 +27,14 @@ object ZipVector {
     * inside: `.kmz` → the first `.kml` (conventionally doc.kml); `.zip` →
     * the first `.shp`, else the first file with a known vector extension. */
   def primaryFile(url: String): String = {
-    val f = new java.io.File(url)
-    require(f.isFile, s"no such archive: $url")
-    val key = s"$url|${f.lastModified}|${f.length}"
+    import graft.io.FileIO
+    require(FileIO.exists(url) && !FileIO.isDirectory(url),
+      s"no such archive: $url")
+    // memo key: size stands in for mtime on object stores (immutable
+    // objects by convention; local files also carry lastModified)
+    val mtime = if (FileIO.hasScheme(url)) 0L
+      else new java.io.File(url).lastModified
+    val key = s"$url|$mtime|${FileIO.size(url)}"
     val dir = extracted.computeIfAbsent(key, _ => extract(url))
     val names = Files.list(dir).iterator()
     val all = new scala.collection.mutable.ArrayBuffer[Path]()

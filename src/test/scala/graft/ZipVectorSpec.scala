@@ -53,6 +53,30 @@ class ZipVectorSpec extends SparkSpec {
     assert(GeometryFileSource(zip).frame(GeometryRequest()).count() == 3)
   }
 
+  test("a scheme-qualified zip is fetched once and reads like a local one") {
+    val dir = java.nio.file.Files.createTempDirectory("zipscheme")
+    val shp = dir.resolve("parcels.shp").toString
+    GeometryToFile.toFile(GeometryFixtures.features, shp)
+    val zip = dir.resolve("parcels.zip").toString
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(zip))
+    try {
+      for (ext <- Seq("shp", "shx", "dbf", "prj")) {
+        val f = dir.resolve(s"parcels.$ext")
+        if (java.nio.file.Files.exists(f)) {
+          zout.putNextEntry(new java.util.zip.ZipEntry(s"parcels.$ext"))
+          zout.write(java.nio.file.Files.readAllBytes(f))
+          zout.closeEntry()
+        }
+      }
+    } finally zout.close()
+    val local = GeometryFileSource(zip).frame(GeometryRequest())
+      .orderBy("fid").collect().map(_.getLong(0)).toSeq
+    val viaScheme = GeometryFileSource(s"file://$zip").frame(GeometryRequest())
+      .orderBy("fid").collect().map(_.getLong(0)).toSeq
+    assert(viaScheme == local && local.nonEmpty)
+  }
+
   test("non-zip bytes and vector-less archives fail loudly") {
     val notZip = tmp("badzip", "x.zip")
     java.nio.file.Files.write(java.nio.file.Paths.get(notZip),
