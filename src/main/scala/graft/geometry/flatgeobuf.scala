@@ -1002,6 +1002,37 @@ object FgbMeta {
     next - off
   }
 
+  /** Iterate `(ordinal, featureBytes)` over absolute `offs`/`lens`,
+    * reading CONTIGUOUS runs (up to `maxRun` bytes) in single
+    * positioned reads — on object storage a run is one ranged GET where
+    * per-feature reads are thousands. */
+  def readRuns(rdr: graft.io.PositionedReader, offs: Array[Long],
+      lens: Array[Int], maxRun: Int = 8 << 20): Iterator[(Int, Array[Byte])] =
+    new Iterator[(Int, Array[Byte])] {
+      private var i = 0
+      private var runBuf: Array[Byte] = null
+      private var runFrom = 0
+      private var runUntil = 0
+      override def hasNext: Boolean = i < offs.length
+      override def next(): (Int, Array[Byte]) = {
+        if (i >= runUntil) {
+          var j = i
+          var total = lens(i).toLong
+          while (j + 1 < offs.length &&
+              offs(j + 1) == offs(j) + lens(j) &&
+              total + lens(j + 1) <= maxRun) {
+            j += 1; total += lens(j)
+          }
+          runBuf = readAt(rdr, offs(i), total.toInt)
+          runFrom = i; runUntil = j + 1
+        }
+        val rel = (offs(i) - offs(runFrom)).toInt
+        val out = (i, java.util.Arrays.copyOfRange(runBuf, rel, rel + lens(i)))
+        i += 1
+        out
+      }
+    }
+
   /** Decode one size-prefixed feature record. Geometry decode is skipped
     * (null) when `wantGeometry` is false — column pruning reaches the
     * dominant per-feature cost. */
@@ -1110,9 +1141,16 @@ case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
       .flatMap { group =>
         val rdr = graft.io.PositionedReader.open(path)
         try {
-          group.iterator.map { case (off, i) =>
-            val next = if (i + 1 < allOffsets.length) allOffsets(i + 1) else fLen - fStart
-            val buf = FgbMeta.readAt(rdr, fStart + off, (next - off).toInt)
+          val offs = group.map { case (off, _) => fStart + off }.toArray
+          val lens = group.map { case (off, i) =>
+            val next = if (i + 1 < allOffsets.length) allOffsets(i + 1)
+              else fLen - fStart
+            (next - off).toInt
+          }.toArray
+          // contiguous features (the Hilbert layout) read as coalesced
+          // runs — a handful of ranged reads per group, not one per row
+          FgbMeta.readRuns(rdr, offs, lens).map { case (k, buf) =>
+            val i = group(k)._2
             val (g, props) = FgbMeta.decodeFeature(buf, colTypes,
               wantGeometry = true)
             val fid = if (fidCol >= 0 && props(fidCol) != null)

@@ -342,12 +342,36 @@ class GraftFgbReader(p: GraftFgbPartition, columns: Array[String])
 
   override def next(): Boolean = { i += 1; i < p.offs.length }
 
+  // COALESCED run reads: Hilbert layout makes candidate features
+  // contiguous on disk, so instead of one ranged read per feature the
+  // reader pulls each contiguous run (up to MaxRunBytes) in a single
+  // positioned read and serves features from the buffer — on object
+  // storage that is the difference between thousands of GETs and a few
+  private val MaxRunBytes = 8 << 20
+  private var runBuf: Array[Byte] = null
+  private var runFrom = 0      // first feature index covered by runBuf
+  private var runUntil = 0     // exclusive
+  private def featureBytes(idx: Int): Array[Byte] = {
+    if (idx >= runUntil) {
+      var j = idx
+      var total = p.lens(idx).toLong
+      while (j + 1 < p.offs.length &&
+          p.offs(j + 1) == p.offs(j) + p.lens(j) &&
+          total + p.lens(j + 1) <= MaxRunBytes) {
+        j += 1; total += p.lens(j)
+      }
+      runBuf = FgbMeta.readAt(rdr, p.offs(idx), total.toInt)
+      runFrom = idx; runUntil = j + 1
+    }
+    val rel = (p.offs(idx) - p.offs(runFrom)).toInt
+    java.util.Arrays.copyOfRange(runBuf, rel, rel + p.lens(idx))
+  }
+
   override def get(): InternalRow = {
     val (g, props) =
-      if (wantGeometry || wantProps) {
-        val buf = FgbMeta.readAt(rdr, p.offs(i), p.lens(i))
-        FgbMeta.decodeFeature(buf, p.colTypes, wantGeometry)
-      } else (null, null)
+      if (wantGeometry || wantProps)
+        FgbMeta.decodeFeature(featureBytes(i), p.colTypes, wantGeometry)
+      else (null, null)
     new GenericInternalRow(columns.map[Any] {
       case "path" => pathU
       case "fid" =>
