@@ -309,6 +309,37 @@ class FlatGeobufSpec extends SparkSpec {
       GeomFunctions.readWkt(GeometryFixtures.square(4999 % 100, 49, 4999 % 100 + 1, 50))))
   }
 
+  test("readRuns coalesces contiguous features into few ranged reads") {
+    val data = Array.tabulate[Byte](1000)(i => (i * 7).toByte)
+    final class Mem extends graft.io.PositionedReader {
+      var calls = 0
+      override def size(): Long = data.length
+      override def read(dst: java.nio.ByteBuffer, position: Long): Int = {
+        calls += 1
+        if (position >= data.length) return -1
+        val n = math.min(dst.remaining(), data.length - position.toInt)
+        dst.put(data, position.toInt, n); n
+      }
+      override def close(): Unit = ()
+    }
+    // 10 contiguous features of 20 B at 100, then a gap, then 3 at 700
+    val offs = Array.tabulate(10)(k => 100L + 20 * k) ++
+      Array.tabulate(3)(k => 700L + 20 * k)
+    val lens = Array.fill(13)(20)
+    val r = new Mem
+    val out = FgbMeta.readRuns(r, offs, lens).toSeq
+    assert(out.length == 13)
+    // 13 features, 2 contiguous runs -> 2 reads, not 13
+    assert(r.calls == 2, s"${r.calls} reads")
+    out.foreach { case (k, b) =>
+      assert(b.toSeq == data.slice(offs(k).toInt, offs(k).toInt + 20).toSeq, s"feature $k")
+    }
+    // a run larger than maxRun splits
+    val r2 = new Mem
+    val big = FgbMeta.readRuns(r2, offs.take(10), lens.take(10), maxRun = 50).toSeq
+    assert(big.length == 10 && r2.calls == 5) // 2 features of 20 B per 50 B run
+  }
+
   test("positioned R-tree walk = in-memory search, touching only the " +
       "visited path's bytes") {
     val sp = spark
