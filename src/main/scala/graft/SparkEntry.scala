@@ -803,6 +803,26 @@ object SparkEntry {
           .select(col("t"), col("ty"), col("tx"), col("values"))
         cells(df, g, rowOffset = h1)
       }),
+      "r67_dsv2_envfilter" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the SAME band archive selected by CATALYST predicates on the
+        // connector's virtual tile-envelope columns: y1 <= band boundary
+        // keeps exactly the bottom file's tiles (its topmost tile's
+        // north edge IS the boundary, closed), the pushed box prunes at
+        // planning with a one-cell pad, and the residual filter makes
+        // the answer exact — no bespoke read option in sight
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_dsv2env").toString
+        val h1 = g.h / 2
+        NetCdfSink(a, s"$out/top.nc").write(fullReq(g).copy(
+          bbox = Bbox(0, g.h - h1, g.w, g.h), height = h1))
+        NetCdfSink(a, s"$out/bot.nc").write(fullReq(g).copy(
+          bbox = Bbox(0, 0, g.w, g.h - h1), height = g.h - h1))
+        val df = s.read.format("graft-raster").load(out)
+          .filter(col("y1") <= (g.h - h1).toDouble)
+          .select(col("t"), col("ty"), col("tx"), col("values"))
+        cells(df, g, rowOffset = h1)
+      }),
       "r65_dsv2_write" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // the connector's WRITE path closes the archive round-trip:
@@ -1112,6 +1132,11 @@ object SparkEntry {
     // grid height from the events table itself (h = ceil(ceil(n/4)/100),
     // top band = h//2 rows): only the bottom band's cells survive the bbox
     "r64_dsv2_bbox" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells
+      |WHERE cell_id >= (SELECT (((COUNT(*) + 3) // 4 + 99) // 100) // 2 * 100
+      |                  FROM events)""".stripMargin,
+    // identical selection via the virtual-envelope Catalyst predicates
+    "r67_dsv2_envfilter" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells
       |WHERE cell_id >= (SELECT (((COUNT(*) + 3) // 4 + 99) // 100) // 2 * 100
       |                  FROM events)""".stripMargin,

@@ -55,12 +55,16 @@ import graft.raster.{GeoTiff, Grib, Hdf5, NetCdf, TileLayout, Zarr}
 class GraftRasterSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-raster"
-  override def supportsExternalMetadata(): Boolean = false
+  // true so the WRITE path presents the frame's own schema (the write
+  // contract is the five tile columns; the virtual x0/y0/x1/y1 read
+  // columns are not write inputs)
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftRasterTable.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new GraftRasterTable(GraftRasterTable.resolvePaths(properties))
+    new GraftRasterTable(GraftRasterTable.resolvePaths(properties),
+      Option(schema))
 }
 
 object GraftRasterTable {
@@ -70,7 +74,19 @@ object GraftRasterTable {
     StructField("ty", IntegerType, nullable = false),
     StructField("tx", IntegerType, nullable = false),
     StructField("values", ArrayType(DoubleType, containsNull = false),
-      nullable = false)))
+      nullable = false),
+    // virtual per-TILE world envelope (dataset CRS): west/south/east/
+    // north pixel edges, LAST so positional consumers of the original
+    // five columns stay valid. Their purpose is Catalyst AOI pushdown —
+    // >=/<= predicates on them resolve to the same per-dataset tile
+    // window as option("bbox") — plus provenance on read
+    StructField("x0", DoubleType, nullable = false),
+    StructField("y0", DoubleType, nullable = false),
+    StructField("x1", DoubleType, nullable = false),
+    StructField("y1", DoubleType, nullable = false)))
+
+  /** The virtual envelope column names. */
+  val EnvCols: Set[String] = Set("x0", "y0", "x1", "y1")
 
   /** `load(...)` paths arrive as the `paths` JSON list (multi) or the
     * `path` entry (single). */
@@ -146,10 +162,12 @@ object GraftRasterTable {
   }
 }
 
-class GraftRasterTable(paths: Seq[String]) extends Table
+class GraftRasterTable(paths: Seq[String],
+    provided: Option[StructType] = None) extends Table
     with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-raster(${paths.mkString(",")})"
-  override def schema(): StructType = GraftRasterTable.schema
+  override def schema(): StructType =
+    provided.getOrElse(GraftRasterTable.schema)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE)
@@ -240,8 +258,19 @@ class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // world box accumulated from envelope-column predicates; resolved
+  // per dataset PADDED by one cell (see GraftScan.dsWindow) so closed
+  // predicates never lose an edge-touching tile to the option bbox's
+  // strict-overlap rule — every filter stays residual, so the pad
+  // costs a boundary tile of decode, never a wrong row
+  private var fx0 = -Double.MaxValue
+  private var fy0 = -Double.MaxValue
+  private var fx1 = Double.MaxValue
+  private var fy1 = Double.MaxValue
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val spatial = Set("ty", "tx")
+    val envX = Set("x0", "x1"); val envY = Set("y0", "y1")
     val (accepted, residual) = filters.partition {
       case EqualTo("t", _: Long) => true
       case GreaterThanOrEqual("t", _: Long) => true
@@ -253,6 +282,13 @@ class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long,
       case LessThanOrEqual(c, _: Int) if spatial(c) => true
       case GreaterThan(c, _: Int) if spatial(c) => true
       case LessThan(c, _: Int) if spatial(c) => true
+      // envelope predicates: any bound on x0/x1 (y0/y1) implies the
+      // same bound on the tile's x-range (x0 <= x1), so each maps to a
+      // superset world-box edge — exactness comes from the residual
+      case GreaterThanOrEqual(c, _: Double) if envX(c) || envY(c) => true
+      case GreaterThan(c, _: Double) if envX(c) || envY(c) => true
+      case LessThanOrEqual(c, _: Double) if envX(c) || envY(c) => true
+      case LessThan(c, _: Double) if envX(c) || envY(c) => true
       case _ => false
     }
     accepted.foreach {
@@ -282,6 +318,22 @@ class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long,
         win = win.copy(txMin = math.max(win.txMin, v + 1))
       case LessThan("tx", v: Int) =>
         win = win.copy(txMax = math.min(win.txMax, v - 1))
+      case GreaterThanOrEqual(c, v: Double) if c == "x0" || c == "x1" =>
+        fx0 = math.max(fx0, v)
+      case GreaterThan(c, v: Double) if c == "x0" || c == "x1" =>
+        fx0 = math.max(fx0, v)
+      case LessThanOrEqual(c, v: Double) if c == "x0" || c == "x1" =>
+        fx1 = math.min(fx1, v)
+      case LessThan(c, v: Double) if c == "x0" || c == "x1" =>
+        fx1 = math.min(fx1, v)
+      case GreaterThanOrEqual(c, v: Double) if c == "y0" || c == "y1" =>
+        fy0 = math.max(fy0, v)
+      case GreaterThan(c, v: Double) if c == "y0" || c == "y1" =>
+        fy0 = math.max(fy0, v)
+      case LessThanOrEqual(c, v: Double) if c == "y0" || c == "y1" =>
+        fy1 = math.min(fy1, v)
+      case LessThan(c, v: Double) if c == "y0" || c == "y1" =>
+        fy1 = math.min(fy1, v)
       case _ =>
     }
     pushed = accepted
@@ -291,9 +343,14 @@ class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long,
     residual ++ accepted
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan =
+  override def build(): Scan = {
+    val filterBox =
+      if (fx0 == -Double.MaxValue && fy0 == -Double.MaxValue &&
+        fx1 == Double.MaxValue && fy1 == Double.MaxValue) None
+      else Some((fx0, fy0, fx1, fy1))
     new GraftScan(paths, tMin, tMax, required, timeFirst, timeDelta, win,
-      bbox)
+      bbox, filterBox)
+  }
 }
 
 /** One frame of one dataset — everything the executor needs. For GRIB
@@ -303,7 +360,8 @@ class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long,
   * O(frames²) per file across an archive's readers). */
 case class GraftFramePartition(kind: String, path: String, frameIdx: Int,
     tMs: Long, w: Int, h: Int, gribField: Grib.Field = null,
-    dsWin: TileWindow = TileWindow.All)
+    dsWin: TileWindow = TileWindow.All,
+    originX: Double = 0.0, originY: Double = 0.0, cell: Double = 0.0)
     extends InputPartition
 
 /** One GeoTIFF FILE (all surviving bands): bands share one decode, so
@@ -311,7 +369,9 @@ case class GraftFramePartition(kind: String, path: String, frameIdx: Int,
   * having many files, which is the multi-file scale case anyway. */
 case class GraftTifPartition(path: String, frames: Array[Int],
     times: Array[Long], w: Int, h: Int,
-    dsWin: TileWindow = TileWindow.All) extends InputPartition
+    dsWin: TileWindow = TileWindow.All,
+    originX: Double = 0.0, originY: Double = 0.0, cell: Double = 0.0)
+    extends InputPartition
 
 object GraftScan {
   /** Bounded planning fan-out: enough to hide per-file metadata latency
@@ -328,7 +388,8 @@ object GraftScan {
 class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
     required: StructType, timeFirst: Long, timeDelta: Long,
     win: TileWindow = TileWindow.All,
-    bbox: Option[(Double, Double, Double, Double)] = None)
+    bbox: Option[(Double, Double, Double, Double)] = None,
+    filterBox: Option[(Double, Double, Double, Double)] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -347,7 +408,11 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
       (if (win.isAll) "" else s"tiles ty [${win.tyMin}, ${win.tyMax}] " +
         s"tx [${win.txMin}, ${win.txMax}], ") +
       bbox.map { case (x0, y0, x1, y1) =>
-        s"bbox [$x0, $y0, $x1, $y1]$resolvedDesc, " }.getOrElse("") +
+        s"bbox [$x0, $y0, $x1, $y1]" }.toSeq.mkString +
+      filterBox.map { case (x0, y0, x1, y1) =>
+        s"${if (bbox.isDefined) " ∩ " else ""}env filters [$x0, $y0, $x1, $y1]"
+      }.toSeq.mkString +
+      (if (bbox.isDefined || filterBox.isDefined) s"$resolvedDesc, " else "") +
       s"columns [${required.fieldNames.mkString(",")}]"
 
   /** Plan one dataset: reads ONLY headers/metadata (GRIB section heads,
@@ -357,20 +422,29 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
     * geometry; `None` = the dataset does not intersect (all its
     * partitions are pruned at planning). */
   private def dsWindow(p: String, originX: Double, originY: Double,
-      cell: Double, w: Int, h: Int): Option[TileWindow] = bbox match {
-    case None => Some(TileWindow.All)
-    case Some((x0, y0, x1, y1)) =>
-      val dw = TileWindow.fromBbox(x0, y0, x1, y1, originX, originY,
-        cell, w, h)
-      val eff = dw.intersect(win)
-      if (TileBounds.resolve(eff, w, h).nonEmpty) {
-        resolvedEntries.add(s"${graft.io.FileIO.name(p)} -> ty " +
-          s"[${dw.tyMin}, ${dw.tyMax}] tx [${dw.txMin}, ${dw.txMax}]")
-        Some(dw)
-      } else {
-        resolvedEntries.add(s"${graft.io.FileIO.name(p)} -> pruned")
-        None
-      }
+      cell: Double, w: Int, h: Int): Option[TileWindow] = {
+    if (bbox.isEmpty && filterBox.isEmpty) return Some(TileWindow.All)
+    // option bbox: strict positive-area overlap (the documented
+    // contract). Filter-derived box: PADDED one cell each side before
+    // resolving — closed predicates keep edge-touching tiles, and the
+    // residual filter above the scan restores exactness
+    val optWin = bbox.map { case (x0, y0, x1, y1) =>
+      TileWindow.fromBbox(x0, y0, x1, y1, originX, originY, cell, w, h)
+    }.getOrElse(TileWindow.All)
+    val filtWin = filterBox.map { case (x0, y0, x1, y1) =>
+      TileWindow.fromBbox(x0 - cell, y0 - cell, x1 + cell, y1 + cell,
+        originX, originY, cell, w, h)
+    }.getOrElse(TileWindow.All)
+    val dw = optWin.intersect(filtWin)
+    val eff = dw.intersect(win)
+    if (TileBounds.resolve(eff, w, h).nonEmpty) {
+      resolvedEntries.add(s"${graft.io.FileIO.name(p)} -> ty " +
+        s"[${dw.tyMin}, ${dw.tyMax}] tx [${dw.txMin}, ${dw.txMax}]")
+      Some(dw)
+    } else {
+      resolvedEntries.add(s"${graft.io.FileIO.name(p)} -> pruned")
+      None
+    }
   }
 
   private def planDataset(kind: String, p: String): Seq[InputPartition] =
@@ -384,7 +458,7 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
               m.timesMs.zipWithIndex.collect {
                 case (t, i) if t >= tMin && t <= tMax =>
                   GraftFramePartition("grib", p, i, t, m.w, m.h,
-                    m.fields(i), dw)
+                    m.fields(i), dw, m.originX, m.originY, m.cellSize)
               }
             }
         } finally ch.close()
@@ -394,7 +468,8 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
           .flatMap { dw =>
             m.timesMs.zipWithIndex.collect {
               case (t, i) if t >= tMin && t <= tMax =>
-                GraftFramePartition("zarr", p, i, t, m.w, m.h, null, dw)
+                GraftFramePartition("zarr", p, i, t, m.w, m.h, null, dw,
+                  m.originX, m.originY, m.cellSize)
             }
           }
       case "nc" | "h5" =>
@@ -414,7 +489,8 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
           dsWindow(p, ox, oy, cell, w, h).toSeq.flatMap { dw =>
             times.zipWithIndex.collect {
               case (t, i) if t >= tMin && t <= tMax =>
-                GraftFramePartition(kind, p, i, t, w, h, null, dw)
+                GraftFramePartition(kind, p, i, t, w, h, null, dw,
+                  ox, oy, cell)
             }
           }
         } finally ch.close()
@@ -430,7 +506,8 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
               .filter { case (_, t) => t >= tMin && t <= tMax }
             if (sel.isEmpty) Nil
             else Seq(GraftTifPartition(p, sel.map(_._1).toArray,
-              sel.map(_._2).toArray, m.w, m.h, dw))
+              sel.map(_._2).toArray, m.w, m.h, dw,
+              m.bbox.x1, m.bbox.y2, cell))
         }
       case k => throw new IllegalArgumentException(
         s"graft-raster: unknown dataset kind $k for $p")
@@ -542,6 +619,12 @@ class GraftTifReader(p: GraftTifPartition, columns: Array[String],
       case "t"    => p.times(f)
       case "ty"   => ty
       case "tx"   => tx
+      case "x0" => p.originX + tx.toLong * TileLayout.TILE * p.cell
+      case "x1" => p.originX +
+        math.min(p.w.toLong, (tx + 1).toLong * TileLayout.TILE) * p.cell
+      case "y1" => p.originY - ty.toLong * TileLayout.TILE * p.cell
+      case "y0" => p.originY -
+        math.min(p.h.toLong, (ty + 1).toLong * TileLayout.TILE) * p.cell
       case "values" =>
         // the pruned decode returns exactly p.frames' bands, in order
         val (bands, rw, col0, row0) = region
@@ -631,6 +714,12 @@ class GraftPartitionReader(p: GraftFramePartition, columns: Array[String],
       case "t"    => p.tMs
       case "ty"   => ty
       case "tx"   => tx
+      case "x0" => p.originX + tx.toLong * TileLayout.TILE * p.cell
+      case "x1" => p.originX +
+        math.min(p.w.toLong, (tx + 1).toLong * TileLayout.TILE) * p.cell
+      case "y1" => p.originY - ty.toLong * TileLayout.TILE * p.cell
+      case "y0" => p.originY -
+        math.min(p.h.toLong, (ty + 1).toLong * TileLayout.TILE) * p.cell
       case "values" =>
         val tw = TileLayout.tileW(p.w, tx)
         val th = TileLayout.tileH(p.h, ty)
