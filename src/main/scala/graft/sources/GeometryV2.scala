@@ -63,17 +63,23 @@ class GraftFgbSource extends TableProvider
 
 object GraftFgbTable {
 
-  /** Expand user paths: a directory contributes its `*.fgb` members
+  /** Expand user paths: a directory contributes its `.fgb` members
     * (one level, sorted); a file is taken as-is. */
-  def files(paths: Seq[String]): Seq[String] = paths.flatMap { p =>
+  def files(paths: Seq[String]): Seq[String] = {
+    val out = filesLenient(paths)
+    require(out.nonEmpty,
+      s"graft-fgb: ${paths.mkString(",")} holds no .fgb files")
+    out
+  }
+
+  /** [[files]] tolerating an empty directory — the STREAMING watch case,
+    * where parts have not landed yet. */
+  def filesLenient(paths: Seq[String]): Seq[String] = paths.flatMap { p =>
     import graft.io.FileIO
     require(FileIO.exists(p), s"graft-fgb: $p does not exist")
-    if (FileIO.isDirectory(p)) {
-      val members = FileIO.list(p)
-        .filter(_.toLowerCase.endsWith(".fgb")).sorted
-      require(members.nonEmpty, s"graft-fgb: directory $p holds no .fgb files")
-      members
-    } else Seq(p)
+    if (FileIO.isDirectory(p))
+      FileIO.list(p).filter(_.toLowerCase.endsWith(".fgb")).sorted
+    else Seq(p)
   }
 
   /** The connector schema from the FIRST file's header — `path` +
@@ -124,7 +130,7 @@ class GraftFgbTable(paths: Seq[String],
     provided.getOrElse(GraftFgbTable.schemaFor(fs))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
 
   /** `df.write.format("graft-fgb").option("srs", ...).mode("append")
     * .save(dir)` — one internally-indexed .fgb part per task (see
@@ -141,7 +147,7 @@ class GraftFgbTable(paths: Seq[String],
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftFgbScanBuilder(fs, schema(),
+    new GraftFgbScanBuilder(fs, paths, schema(),
       Option(options.get("bbox")).map { s =>
         val parts = s.split(",").map(_.trim.toDouble)
         require(parts.length == 4,
@@ -150,7 +156,8 @@ class GraftFgbTable(paths: Seq[String],
       })
 }
 
-class GraftFgbScanBuilder(fs: Seq[String], full: StructType,
+class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
+    full: StructType,
     bbox: Option[(Double, Double, Double, Double)])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -204,7 +211,7 @@ class GraftFgbScanBuilder(fs: Seq[String], full: StructType,
           math.min(a1, c1), math.min(b1, d1)))
       case (a, b) => a.orElse(b)
     }
-    new GraftFgbScan(fs, full, required, eff)
+    new GraftFgbScan(fs, rawPaths, full, required, eff)
   }
 }
 
@@ -219,11 +226,33 @@ case class GraftFgbPartition(path: String, offs: Array[Long],
     fidCol: Int, attrNames: Array[String], attrPos: Array[Int])
     extends InputPartition
 
-class GraftFgbScan(fs: Seq[String], full: StructType,
+class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
+    full: StructType,
     required: StructType, bbox: Option[(Double, Double, Double, Double)])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** STREAMING read: watch the archive directory for new `.fgb` parts —
+    * each micro-batch plans exactly the files that appeared since the
+    * last offset, through the same per-file planner (bbox pushdown,
+    * column pruning, coalesced runs included). The offset is the SET of
+    * processed file names (JSON), so replay after restart is exact and
+    * arrival order never matters. Files must be published ATOMICALLY
+    * (write to a temp name, rename in — what the graft-fgb writer and
+    * every HDFS/S3 committer do); a file visible in a listing is taken
+    * as complete. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftFgbMicroBatchStream(this)
+
+  /** Current `.fgb` members of the watched paths (planner listing;
+    * empty directories are fine — parts may not have landed yet). */
+  private[sources] def listNow(): Seq[String] =
+    GraftFgbTable.filesLenient(rawPaths)
+
+  private[sources] def planOne(p: String): Seq[InputPartition] = planFile(p)
+  private[sources] def requiredCols: Array[String] = required.fieldNames
 
   private val resolvedEntries =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -404,4 +433,56 @@ class GraftFgbReader(p: GraftFgbPartition, columns: Array[String])
   }
 
   override def close(): Unit = rdr.close()
+}
+
+
+/** Streaming offset: the SET of `.fgb` part files already processed,
+  * JSON-encoded. Set difference (not a numeric watermark) makes replay
+  * exact under out-of-order arrival and idempotent under re-listing. */
+case class GraftFgbOffset(files: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.toSeq.sorted.map(f => "\"" + f.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\"").mkString("[", ",", "]")
+}
+
+object GraftFgbOffset {
+  def fromJson(j: String): GraftFgbOffset =
+    graft.core.Json.parse(j) match {
+      case l: List[_] => GraftFgbOffset(l.map(_.toString).toSet)
+      case other => throw new IllegalArgumentException(
+        s"graft-fgb: bad stream offset '$other'")
+    }
+}
+
+/** Micro-batch file-watcher over a FlatGeobuf archive directory: each
+  * batch plans exactly the parts that appeared since the last offset,
+  * through the SAME per-file planner as the batch scan — bbox/envelope
+  * pushdown, column pruning and coalesced run reads included. Parts
+  * must be published atomically (temp-name + rename — what the
+  * graft-fgb writer does); a listed file is taken as complete. */
+class GraftFgbMicroBatchStream(scan: GraftFgbScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftFgbOffset(Set.empty)
+  override def latestOffset(): Offset = GraftFgbOffset(scan.listNow().toSet)
+  override def deserializeOffset(json: String): Offset =
+    GraftFgbOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GraftFgbOffset].files
+    val s1 = end.asInstanceOf[GraftFgbOffset].files
+    (s1 -- s0).toSeq.sorted.flatMap(scan.planOne).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftFgbReaderFactory(scan.requiredCols)
 }

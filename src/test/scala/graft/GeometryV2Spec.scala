@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.geometry._
+import graft.sources.GraftFgbOffset
 
 /** The `graft-fgb` DSv2 connector: schema, bbox planning (file prune +
   * R-tree exactness), column pruning, Hadoop-scheme paths, and
@@ -165,6 +166,49 @@ class GeometryV2Spec extends SparkSpec {
       .filter(col("fid") === 0 && !col("path").contains("far"))
       .select("env_minx", "env_maxy").head()
     assert(env.getDouble(0) == 0.0 && env.getDouble(1) == 2.0)
+  }
+
+  test("streaming read: newly landed .fgb parts flow through " +
+      "micro-batches exactly once") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fgb_stream").toString
+    def part(tag: String, base: Long): String = {
+      val out = s"$dir/$tag.fgb"
+      val df = (0 until 5).map { k =>
+        val x = k * 3.0
+        (base + k, s"$tag$k",
+          s"POLYGON (($x 0, ${x + 2} 0, ${x + 2} 2, $x 2, $x 0))")
+      }.toDF("fid", "name", "wkt")
+        .select(col("fid"), col("name"),
+          GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+      FlatGeobufSink.writeStream(df, "EPSG:28992", out)(sp)
+      out
+    }
+    part("a", 0L)
+    val schema = spark.read.format("graft-fgb").load(dir).schema
+    val q = spark.readStream.format("graft-fgb").schema(schema).load(dir)
+      .select("fid", "name")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fgb_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("fgb_stream_test").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(first.length == 5 && first.head == (0L, "a0"))
+      // a second part lands AFTER the stream started: next batch emits
+      // exactly its rows, nothing re-read
+      part("b", 100L)
+      q.processAllAvailable()
+      val all = spark.table("fgb_stream_test").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(all.length == 10, all.mkString(","))
+      assert(all.count(_._2.startsWith("a")) == 5 &&
+        all.count(_._2.startsWith("b")) == 5)
+    } finally q.stop()
+    // offset round-trips through its JSON encoding
+    val off = GraftFgbOffset(Set(s"$dir/a.fgb", s"$dir/b.fgb"))
+    assert(GraftFgbOffset.fromJson(off.json()) == off)
   }
 
   test("an archive with drifting property layouts fails loudly at planning") {
