@@ -1860,6 +1860,32 @@ object SparkEntry {
           col("env_maxy") >= 6.37 && col("env_miny") <= 14.93)
         .select(col("fid"), col("p_size"))
     }),
+    "g35_dsv2_fgb_stream" -> ((s, dir) => {
+      // the STREAMING read path against the oracle: the per-task write
+      // lands four indexed parts, the micro-batch watcher drains them
+      // with AvailableNow through the same per-file planner, and every
+      // feature must come out exactly once
+      implicit val sp: SparkSession = s
+      val p = partSquares(dir)
+      val out = java.nio.file.Files.createTempDirectory("verify_fgb_s").toString
+      p.frame(GeometryRequest())(s)
+        .select(col("fid"), col("p_size"), col("geometry"))
+        .repartitionByRange(4, col("fid"))
+        .write.format("graft-fgb").option("srs", "EPSG:28992")
+        .mode("append").save(out)
+      val schema = s.read.format("graft-fgb").load(out).schema
+      val name = s"g35_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("graft-fgb").schema(schema).load(out)
+        .select(col("fid"), col("p_size"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val res = s.table(name).localCheckpoint()
+      q.stop()
+      s.catalog.dropTempView(name)
+      res
+    }),
     "g33_dsv2_fgb_write" -> ((s, dir) => {
       // archive-scale write → read round-trip: one internally-indexed
       // .fgb per executor task (no driver funnel, unlike the single-file
@@ -2252,6 +2278,10 @@ object SparkEntry {
         |  AND (p_partkey % 50) + p_size / 10.0 >= 10.23
         |  AND (p_partkey // 50) * 2 <= 14.93
         |  AND (p_partkey // 50) * 2 + p_size / 10.0 >= 6.37""".stripMargin,
+    // streaming drain of the written archive: every feature exactly once
+    "g35_dsv2_fgb_stream" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size
+        |FROM part""".stripMargin,
     // the per-task write must not change a single answer: same bbox,
     // same inequalities, now against the connector-written archive
     "g33_dsv2_fgb_write" ->
