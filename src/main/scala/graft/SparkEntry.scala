@@ -803,6 +803,27 @@ object SparkEntry {
           .select(col("t"), col("ty"), col("tx"), col("values"))
         cells(df, g, rowOffset = h1)
       }),
+      "r68_dsv2_stream" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the STREAMING watcher drains a landed archive exactly once:
+        // NetCDF stack -> readStream (AvailableNow) through the same
+        // planner -> memory sink -> the standard cells compare
+        val a = eventsRaster(dir, g)
+        val out = java.nio.file.Files.createTempDirectory("verify_dsv2s").toString
+        NetCdfSink(a, s"$out/stack.nc").write(fullReq(g))
+        val name = s"r68_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q0 = s.readStream.format("graft-raster")
+          .schema(graft.sources.GraftRasterTable.schema).load(out)
+          .select(col("t"), col("ty"), col("tx"), col("values"))
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q0.awaitTermination()
+        val drained = s.table(name).localCheckpoint()
+        q0.stop()
+        s.catalog.dropTempView(name)
+        cells(drained, g)
+      }),
       "r67_dsv2_envfilter" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // the SAME band archive selected by CATALYST predicates on the
@@ -1135,6 +1156,9 @@ object SparkEntry {
       |SELECT t_idx, cell_id, v FROM cells
       |WHERE cell_id >= (SELECT (((COUNT(*) + 3) // 4 + 99) // 100) // 2 * 100
       |                  FROM events)""".stripMargin,
+    // streaming drain of the stack: all cells, exactly once
+    "r68_dsv2_stream" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     // identical selection via the virtual-envelope Catalyst predicates
     "r67_dsv2_envfilter" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells

@@ -135,7 +135,12 @@ object GraftRasterTable {
   /** Expand user paths to concrete (kind, path) datasets. A plain
     * directory expands one level to its GRIB/GeoTIFF/NetCDF/HDF5 files
     * and Zarr stores. */
-  def datasets(paths: Seq[String]): Seq[(String, String)] = paths.flatMap { s =>
+  def datasets(paths: Seq[String]): Seq[(String, String)] =
+    datasets(paths, lenient = false)
+
+  /** `lenient = true` (the STREAMING watch case) lets a directory be
+    * empty — parts may not have landed yet. */
+  def datasets(paths: Seq[String], lenient: Boolean): Seq[(String, String)] = paths.flatMap { s =>
     import graft.io.FileIO
     require(FileIO.exists(s), s"graft-raster: $s does not exist")
     if (FileIO.isDirectory(s)) {
@@ -148,7 +153,7 @@ object GraftRasterTable {
             isNcOrH5(f)).map(f => (ncKind(f), f)) ++
           members.filter(d => FileIO.isDirectory(d) &&
             isZarrStore(d)).map(d => ("zarr", d))).sortBy(_._2)
-        require(found.nonEmpty,
+        require(lenient || found.nonEmpty,
           s"graft-raster: directory $s holds no GRIB files, GeoTIFFs, " +
             "NetCDF/HDF5 files or Zarr stores")
         found
@@ -170,7 +175,7 @@ class GraftRasterTable(paths: Seq[String],
     provided.getOrElse(GraftRasterTable.schema)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
 
   /** `df.write.format("graft-raster").options(...).mode("append")
     * .save(dir)` — tile frames to a sharded Zarr v3 store, one
@@ -549,6 +554,75 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required.fieldNames, win)
+
+  /** STREAMING read: watch the archive for new dataset files (GRIB,
+    * GeoTIFF, NetCDF/HDF5, Zarr store directories) — each micro-batch
+    * plans exactly the datasets that appeared since the last offset,
+    * through the same planner (temporal/bbox/envelope pushdown, pooled
+    * metadata reads). The offset is the SET of processed dataset paths;
+    * files must be published atomically (temp-name + rename). The
+    * operational-feed case: a forecast cycle lands, the stream emits
+    * its frames once. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftRasterMicroBatchStream(this)
+
+  /** Current concrete (kind, path) datasets of the watched paths. */
+  private[sources] def listNow(): Seq[(String, String)] =
+    GraftRasterTable.datasets(paths, lenient = true)
+
+  private[sources] def planOne(kind: String, p: String): Seq[InputPartition] =
+    planDataset(kind, p)
+  private[sources] def requiredCols: Array[String] = required.fieldNames
+  private[sources] def pushedWin: TileWindow = win
+}
+
+/** Streaming offset for the raster watcher: the set of processed
+  * dataset paths, JSON-encoded (same exact-replay contract as
+  * [[GraftFgbOffset]]). */
+case class GraftRasterOffset(paths: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    paths.toSeq.sorted.map(f => "\"" + f.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\"").mkString("[", ",", "]")
+}
+
+object GraftRasterOffset {
+  def fromJson(j: String): GraftRasterOffset =
+    graft.core.Json.parse(j) match {
+      case l: List[_] => GraftRasterOffset(l.map(_.toString).toSet)
+      case other => throw new IllegalArgumentException(
+        s"graft-raster: bad stream offset '$other'")
+    }
+}
+
+class GraftRasterMicroBatchStream(scan: GraftScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftRasterOffset(Set.empty)
+  override def latestOffset(): Offset =
+    GraftRasterOffset(scan.listNow().map(_._2).toSet)
+  override def deserializeOffset(json: String): Offset =
+    GraftRasterOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GraftRasterOffset].paths
+    val s1 = end.asInstanceOf[GraftRasterOffset].paths
+    val fresh = s1 -- s0
+    scan.listNow().filter(d => fresh.contains(d._2)).sortBy(_._2)
+      .flatMap { case (k, p) => scan.planOne(k, p) }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(scan.requiredCols, scan.pushedWin)
 }
 
 class GraftReaderFactory(columns: Array[String], win: TileWindow)

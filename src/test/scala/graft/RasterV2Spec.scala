@@ -386,6 +386,41 @@ class RasterV2Spec extends SparkSpec {
       .contains("top.nc -> pruned"))
   }
 
+  test("streaming read: a dataset landing mid-stream emits its frames " +
+      "exactly once") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_dsv2_stream").toString
+    val w = 4; val h = 2
+    def land(name: String, base: Double): Unit =
+      graft.raster.Grib.write(s"$dir/$name", Seq.tabulate(2)(t =>
+        Array.tabulate(w * h)(i => base + t * 100.0 + i)), w, h,
+        Double.MaxValue, Seq(0L, 3600000L), 0.0, 0.0, 0.05)
+    land("a.grib2", 0.0)
+    val q = sp.readStream.format("graft-raster")
+      .schema(graft.sources.GraftRasterTable.schema).load(dir)
+      .select(col("path"), col("t"), col("values"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("raster_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val first = sp.table("raster_stream_test").collect()
+      assert(first.length == 2 && first.forall(_.getString(0).endsWith("a.grib2")))
+      land("b.grib2", 1000.0)
+      q.processAllAvailable()
+      val all = sp.table("raster_stream_test").collect()
+      assert(all.length == 4, all.length)
+      assert(all.count(_.getString(0).endsWith("a.grib2")) == 2 &&
+        all.count(_.getString(0).endsWith("b.grib2")) == 2)
+      // values decode identically to the batch read
+      val bVals = all.filter(r => r.getString(0).endsWith("b.grib2") &&
+        r.getLong(1) == 0L).head.getSeq[Double](2)
+      assert(bVals == Seq.tabulate(w * h)(i => 1000.0 + i))
+    } finally q.stop()
+    // offset JSON round-trip
+    val off = graft.sources.GraftRasterOffset(Set(s"$dir/a.grib2"))
+    assert(graft.sources.GraftRasterOffset.fromJson(off.json()) == off)
+  }
+
   test("bbox window composes with the tile iteration on a tiled grid") {
     val sp = spark
     import sp.implicits._
