@@ -130,7 +130,8 @@ class GraftFgbTable(paths: Seq[String],
     provided.getOrElse(GraftFgbTable.schemaFor(fs))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   /** `df.write.format("graft-fgb").option("srs", ...).mode("append")
     * .save(dir)` — one internally-indexed .fgb part per task (see

@@ -37,7 +37,53 @@ class GraftFgbWriteBuilder(cfg: GraftFgbWrite.Config, schema: StructType)
     extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftFgbBatchWrite(cfg, schema)
+    /** `df.writeStream.format("graft-fgb")` — each micro-batch epoch
+      * publishes its own indexed parts (`part-<epoch>-<partition>.fgb`),
+      * rename-committed per epoch, so a concurrent batch or streaming
+      * reader only ever lists complete containers. Append mode only
+      * (containers are immutable once published). */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftFgbStreamingWrite(cfg, schema)
   }
+}
+
+class GraftFgbStreamingWrite(cfg: GraftFgbWrite.Config, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val geomIdx = schema.fieldNames.indexOf("geometry")
+  require(geomIdx >= 0 &&
+    schema.fields(geomIdx).dataType == BinaryType,
+    "graft-fgb write: the frame needs a binary `geometry` column (WKB)")
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    GraftFgbStreamingWriterFactory(cfg, schema)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftFgbPartWritten(tmp, fin) if tmp.nonEmpty =>
+        graft.io.FileIO.rename(tmp, fin)
+      case _ => ()
+    }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftFgbPartWritten(tmp, _) if tmp.nonEmpty =>
+        try graft.io.FileIO.delete(tmp) catch { case _: Exception => () }
+      case _ => ()
+    }
+}
+
+case class GraftFgbStreamingWriterFactory(cfg: GraftFgbWrite.Config,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftFgbPartWriter(cfg, schema, partitionId, taskId,
+      f"part-$epochId%06d-$partitionId%05d")
 }
 
 case class GraftFgbPartWritten(tmp: String, fin: String)
@@ -80,7 +126,10 @@ class GraftFgbWriterFactory(cfg: GraftFgbWrite.Config, schema: StructType)
 }
 
 class GraftFgbPartWriter(cfg: GraftFgbWrite.Config, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, stem: String = null)
+    extends DataWriter[InternalRow] {
+  private val nameStem =
+    if (stem != null) stem else f"part-$partitionId%05d"
   import FlatGeobuf._
 
   private val geomIdx = schema.fieldNames.indexOf("geometry")
@@ -195,9 +244,8 @@ class GraftFgbPartWriter(cfg: GraftFgbWrite.Config, schema: StructType,
       }
     } finally { raw.close(); leafOut.close(); featOut.close() }
 
-    val fin = graft.io.FileIO.child(cfg.dir, f"part-$partitionId%05d.fgb")
-    val tmp = graft.io.FileIO.child(cfg.dir,
-      f"_tmp_part-$partitionId%05d-$taskId.fgb")
+    val fin = graft.io.FileIO.child(cfg.dir, s"$nameStem.fgb")
+    val tmp = graft.io.FileIO.child(cfg.dir, s"_tmp_$nameStem-$taskId.tmp")
     val out = new java.io.BufferedOutputStream(
       graft.io.FileIO.createStream(tmp))
     try FlatGeobufSink.assemble(out, FlatGeobufSink.layerNameOf(fin),

@@ -211,6 +211,49 @@ class GeometryV2Spec extends SparkSpec {
     assert(GraftFgbOffset.fromJson(off.json()) == off)
   }
 
+  test("end-to-end streaming pipeline: fgb watcher -> transform -> " +
+      "streaming fgb write, epochs publish immutable parts") {
+    val sp = spark
+    import sp.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("fgb_pipe_src").toString
+    val dstDir = java.nio.file.Files.createTempDirectory("fgb_pipe_dst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fgb_pipe_ck").toString
+    def land(tag: String, base: Long): Unit = {
+      val df = (0 until 4).map { k =>
+        val x = k * 2.0
+        (base + k, s"$tag$k",
+          s"POLYGON (($x 0, ${x + 1} 0, ${x + 1} 1, $x 1, $x 0))")
+      }.toDF("fid", "name", "wkt")
+        .select(col("fid"), col("name"),
+          GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+      FlatGeobufSink.writeStream(df, "EPSG:28992", s"$srcDir/$tag.fgb")(sp)
+    }
+    land("a", 0L)
+    val schema = spark.read.format("graft-fgb").load(srcDir).schema
+    val q = spark.readStream.format("graft-fgb").schema(schema).load(srcDir)
+      .select(col("fid"), upper(col("name")).as("name"), col("geometry"))
+      .writeStream.outputMode("append").format("graft-fgb")
+      .option("srs", "EPSG:28992")
+      .option("checkpointLocation", ckpt)
+      .start(dstDir)
+    try {
+      q.processAllAvailable()
+      land("b", 100L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.format("graft-fgb").load(dstDir)
+      .select("fid", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(out.length == 8, out.mkString(","))
+    assert(out.count(_._2.startsWith("A")) == 4 &&
+      out.count(_._2.startsWith("B")) == 4)
+    // parts are per-epoch, no temp leftovers
+    val names = new java.io.File(dstDir).listFiles.map(_.getName)
+      .filterNot(_.startsWith(".")) // spark checkpoint markers, if any
+    assert(names.forall(n => n.startsWith("part-") && n.endsWith(".fgb")),
+      names.mkString(","))
+  }
+
   test("an archive with drifting property layouts fails loudly at planning") {
     val sp = spark
     import sp.implicits._
