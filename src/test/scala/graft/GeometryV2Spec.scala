@@ -209,6 +209,21 @@ class GeometryV2Spec extends SparkSpec {
     // offset round-trips through its JSON encoding
     val off = GraftFgbOffset(Set(s"$dir/a.fgb", s"$dir/b.fgb"))
     assert(GraftFgbOffset.fromJson(off.json()) == off)
+    // pushdown applies to the STREAM too: the same ScanBuilder plans
+    // micro-batches, so a bbox option prunes features in new parts
+    val schema2 = spark.read.format("graft-fgb").load(dir).schema
+    val q2 = spark.readStream.format("graft-fgb").schema(schema2)
+      .option("bbox", "0.5,0.5,2.5,1.5") // only the k=0 square of each part
+      .load(dir)
+      .select("fid")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fgb_stream_bbox").start()
+    try {
+      q2.processAllAvailable()
+      val hit = spark.table("fgb_stream_bbox").collect()
+        .map(_.getLong(0)).sorted
+      assert(hit.toSeq == Seq(0L, 100L), hit.mkString(","))
+    } finally q2.stop()
   }
 
   test("end-to-end streaming pipeline: fgb watcher -> transform -> " +
