@@ -824,6 +824,34 @@ object SparkEntry {
         s.catalog.dropTempView(name)
         cells(drained, g)
       }),
+      "r69_dsv2_pipeline" -> q((s, dir, g) => {
+        implicit val sp: SparkSession = s
+        // the full streaming loop: NetCDF stack lands -> the watcher
+        // source drains it (AvailableNow) -> the STREAMING Zarr write
+        // shards each epoch's frames and extends the time axis at
+        // commit -> the batch connector reads the result. Shard paths
+        // derive from absolute t, so epoch replays are idempotent
+        val a = eventsRaster(dir, g)
+        val src = java.nio.file.Files.createTempDirectory("verify_pipe_src").toString
+        val dst = java.nio.file.Files.createTempDirectory("verify_pipe_dst").toString + "/out.zarr"
+        val ckpt = java.nio.file.Files.createTempDirectory("verify_pipe_ck").toString
+        NetCdfSink(a, s"$src/stack.nc").write(fullReq(g))
+        val q0 = s.readStream.format("graft-raster")
+          .schema(graft.sources.GraftRasterTable.schema).load(src)
+          .select(col("path"), col("t"), col("ty"), col("tx"), col("values"))
+          .writeStream.outputMode("append").format("graft-raster")
+          .option("width", g.w.toString).option("height", g.h.toString)
+          .option("x0", "0").option("y0", "0").option("cell", "1")
+          .option("projection", "EPSG:28992")
+          .option("nodata", QueryLib.ND.toString)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q0.awaitTermination()
+        q0.stop()
+        cells(s.read.format("graft-raster").load(dst)
+          .select(col("t"), col("ty"), col("tx"), col("values")), g)
+      }),
       "r67_dsv2_envfilter" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
         // the SAME band archive selected by CATALYST predicates on the
@@ -1158,6 +1186,9 @@ object SparkEntry {
       |                  FROM events)""".stripMargin,
     // streaming drain of the stack: all cells, exactly once
     "r68_dsv2_stream" -> s"""${cellsSql()}
+      |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
+    // watcher -> streaming Zarr write -> batch read: identical cells
+    "r69_dsv2_pipeline" -> s"""${cellsSql()}
       |SELECT t_idx, cell_id, v FROM cells""".stripMargin,
     // identical selection via the virtual-envelope Catalyst predicates
     "r67_dsv2_envfilter" -> s"""${cellsSql()}

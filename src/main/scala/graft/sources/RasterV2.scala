@@ -175,7 +175,8 @@ class GraftRasterTable(paths: Seq[String],
     provided.getOrElse(GraftRasterTable.schema)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   /** `df.write.format("graft-raster").options(...).mode("append")
     * .save(dir)` — tile frames to a sharded Zarr v3 store, one

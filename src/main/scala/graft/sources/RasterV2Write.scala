@@ -103,6 +103,71 @@ class GraftWrite(cfg: GraftRasterWrite.Config, schema: StructType)
     Array(Expressions.sort(Expressions.identity("t"),
       SortDirection.ASCENDING))
   override def toBatch: BatchWrite = new GraftBatchWrite(cfg, schema)
+
+  /** `df.writeStream.format("graft-raster")` — each micro-batch epoch
+    * lands its frames as shard objects and the commit EXTENDS the
+    * store's time axis to cover them. Shard paths derive from the
+    * ABSOLUTE time index, so an epoch replay after failure rewrites
+    * the same objects — idempotent, exactly-once by construction. */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftZarrStreamingWrite(cfg, schema)
+}
+
+class GraftZarrStreamingWrite(cfg: GraftRasterWrite.Config,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val idx = GraftRasterWrite.writableColumns.map { c =>
+      c -> schema.fieldIndex(c)
+    }.toMap
+    GraftZarrStreamingWriterFactory(cfg, idx("t"), idx("ty"), idx("tx"),
+      idx("values"))
+  }
+
+  /** Per-epoch metadata commit: the time axis becomes the union of the
+    * store's existing span and this epoch's frames (a few KB of JSON —
+    * the ONLY driver-side write). Readers between commits see the
+    * previous consistent axis; the new shard objects are invisible
+    * until the axis covers them. */
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val tis = messages.collect { case GraftFramesWritten(t) => t }.flatten
+    if (tis.isEmpty) return // an idle micro-batch commits nothing
+    require(tis.distinct.length == tis.length,
+      s"graft-raster stream write: frame(s) ${tis.diff(tis.distinct)
+        .distinct.mkString(",")} written by more than one task in " +
+        s"epoch $epochId (the clustered distribution contract was violated)")
+    val existingT =
+      if (FileIO.exists(FileIO.child(cfg.dir, "zarr.json")))
+        Zarr.readMeta(cfg.dir).timesMs.length
+      else 0
+    val nT = math.max(existingT, tis.max + 1)
+    Zarr.writeStackMeta(cfg.dir, cfg.w, cfg.h, cfg.bbox, cfg.noData,
+      cfg.projection,
+      (0 until nT).map(i => cfg.timeFirst + i.toLong * cfg.timeDelta),
+      varName = cfg.varName, chunkH = cfg.chunk, chunkW = cfg.chunk,
+      compress = cfg.compress)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case GraftFramesWritten(t) => t }.flatten
+      .foreach { ti =>
+        FileIO.delete(FileIO.child(cfg.dir, s"${cfg.varName}/c/$ti/0/0"))
+        ()
+      }
+}
+
+case class GraftZarrStreamingWriterFactory(cfg: GraftRasterWrite.Config,
+    tIdx: Int, tyIdx: Int, txIdx: Int, valuesIdx: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftShardWriter(cfg, tIdx, tyIdx, txIdx, valuesIdx)
 }
 
 case class GraftFramesWritten(tis: Seq[Int]) extends WriterCommitMessage

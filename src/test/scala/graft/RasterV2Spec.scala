@@ -421,6 +421,46 @@ class RasterV2Spec extends SparkSpec {
     assert(graft.sources.GraftRasterOffset.fromJson(off.json()) == off)
   }
 
+  test("end-to-end streaming pipeline: raster watcher -> streaming Zarr " +
+      "write, each epoch extends the time axis") {
+    val sp = spark
+    val src = Files.createTempDirectory("graft_rs_src").toString
+    val dst = Files.createTempDirectory("graft_rs_dst").toString + "/out.zarr"
+    val ckpt = Files.createTempDirectory("graft_rs_ck").toString
+    val w = 4; val h = 2
+    def land(name: String, t0: Int): Unit =
+      graft.raster.NetCdf.write(s"$src/$name",
+        Seq.tabulate(2)(k => Array.tabulate(w * h)(i => (t0 + k) * 100.0 + i)),
+        w, h, Bbox(0, 0, w, h), -9999.0, "EPSG:28992",
+        Seq.tabulate(2)(k => (t0 + k) * 3600000L))
+    land("a.nc", 0)
+    val q = sp.readStream.format("graft-raster")
+      .schema(graft.sources.GraftRasterTable.schema).load(src)
+      .select("path", "t", "ty", "tx", "values")
+      .writeStream.outputMode("append").format("graft-raster")
+      .option("width", w.toString).option("height", h.toString)
+      .option("x0", "0").option("y0", "0").option("cell", "1")
+      .option("projection", "EPSG:28992").option("nodata", "-9999.0")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    try {
+      q.processAllAvailable()
+      // first epoch: 2 frames readable through the batch connector
+      val r1 = sp.read.format("graft-raster").load(dst)
+        .select("t", "values").collect()
+      assert(r1.length == 2)
+      land("b.nc", 2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val r2 = sp.read.format("graft-raster").load(dst)
+      .select("t", "values").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(r2.size == 4, r2.keys.toSeq.sorted.mkString(","))
+    for (k <- 0 until 4)
+      assert(r2(k * 3600000L) ==
+        Seq.tabulate(w * h)(i => k * 100.0 + i), s"frame $k")
+  }
+
   test("bbox window composes with the tile iteration on a tiled grid") {
     val sp = spark
     import sp.implicits._
