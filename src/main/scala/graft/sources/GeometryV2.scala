@@ -161,11 +161,23 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
     full: StructType,
     bbox: Option[(Double, Double, Double, Double)])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
   private var required: StructType = full
+  private var limit: Int = Int.MaxValue
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT n caps the PLANNED candidate features: any n features
+    * satisfy a limit, so planning stops scheduling byte ranges once n
+    * are covered — a `limit(5)` over a continental archive plans a
+    * handful of reads, not the archive. Partial: Spark still applies
+    * the exact limit above the scan. */
+  override def pushLimit(n: Int): Boolean = {
+    limit = n
+    false // partial push: the scan may emit up to `n` rows PER split
+  }
 
   // the intersects-box the envelope predicates describe:
   // env_maxx >= x0, env_minx <= x1, env_maxy >= y0, env_miny <= y1
@@ -212,7 +224,7 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
           math.min(a1, c1), math.min(b1, d1)))
       case (a, b) => a.orElse(b)
     }
-    new GraftFgbScan(fs, rawPaths, full, required, eff)
+    new GraftFgbScan(fs, rawPaths, full, required, eff, limit)
   }
 }
 
@@ -229,10 +241,30 @@ case class GraftFgbPartition(path: String, offs: Array[Long],
 
 class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
     full: StructType,
-    required: StructType, bbox: Option[(Double, Double, Double, Double)])
-    extends Scan with Batch {
+    required: StructType, bbox: Option[(Double, Double, Double, Double)],
+    limit: Int = Int.MaxValue)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Planning-time statistics for Catalyst: candidate feature count
+    * and byte size after bbox prune and limit truncation — a small (or
+    * sharply pruned) archive joined to a big table broadcasts
+    * automatically instead of shuffling both sides. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val (rows, bytes) = plannedParts.foldLeft((0L, 0L)) { case ((r, b), p0) =>
+      val p = p0.asInstanceOf[GraftFgbPartition]
+      (r + p.offs.length, b + p.lens.map(_.toLong).sum)
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   /** STREAMING read: watch the archive directory for new `.fgb` parts —
     * each micro-batch plans exactly the files that appeared since the
@@ -314,32 +346,56 @@ class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Memoized plan: statistics estimation and execution share one
+    * planning pass (header + index reads happen once per scan). */
+  private lazy val plannedParts: Array[InputPartition] = {
     // header/index reads are independent per file and latency-bound on
     // object storage: the same bounded planning pool as graft-raster
     val par = math.min(GraftScan.PlanParallelism, fs.length)
-    if (par <= 1) fs.flatMap(planFile).toArray
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(par,
-        (r: Runnable) => {
-          val t = new Thread(r, "graft-fgb-plan")
-          t.setDaemon(true); t
-        })
-      try {
-        val futs = fs.map { p =>
-          pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
-            override def call(): Seq[InputPartition] = planFile(p)
+    val all =
+      if (par <= 1) fs.flatMap(planFile).toArray[InputPartition]
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(par,
+          (r: Runnable) => {
+            val t = new Thread(r, "graft-fgb-plan")
+            t.setDaemon(true); t
           })
-        }
-        futs.flatMap { f =>
-          try f.get()
-          catch {
-            case e: java.util.concurrent.ExecutionException => throw e.getCause
+        try {
+          val futs = fs.map { p =>
+            pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
+              override def call(): Seq[InputPartition] = planFile(p)
+            })
           }
-        }.toArray
-      } finally pool.shutdownNow()
+          futs.flatMap { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException => throw e.getCause
+            }
+          }.toArray[InputPartition]
+        } finally pool.shutdownNow()
+      }
+    if (limit == Int.MaxValue) all
+    else {
+      // a pushed LIMIT caps the scheduled byte ranges: keep whole
+      // partitions until the cap is covered, truncate the last
+      val out = scala.collection.mutable.ArrayBuffer[InputPartition]()
+      var left = limit.toLong
+      val it = all.iterator
+      while (left > 0 && it.hasNext) {
+        val p = it.next().asInstanceOf[GraftFgbPartition]
+        if (p.offs.length <= left) { out += p; left -= p.offs.length }
+        else {
+          val n = left.toInt
+          out += p.copy(offs = p.offs.take(n), lens = p.lens.take(n),
+            items = p.items.take(n))
+          left = 0
+        }
+      }
+      out.toArray
     }
   }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedParts
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftFgbReaderFactory(required.fieldNames)

@@ -396,7 +396,8 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
     win: TileWindow = TileWindow.All,
     bbox: Option[(Double, Double, Double, Double)] = None,
     filterBox: Option[(Double, Double, Double, Double)] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   /** Per-dataset windows resolved from `bbox` at planning time, for
@@ -519,7 +520,38 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
         s"graft-raster: unknown dataset kind $k for $p")
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] = plannedParts
+
+  /** Planning-time statistics for Catalyst: planned tile-row count and
+    * payload bytes (post temporal/bbox/window pruning) — a sharply
+    * pruned AOI read sizes like the AOI, not the archive, so joins
+    * against it can broadcast. Shares the memoized planning pass. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    def tileBytes(w: Int, h: Int, dsWin: TileWindow): (Long, Long) = {
+      val tb = TileBounds.resolve(win.intersect(dsWin), w, h)
+      if (!tb.nonEmpty) return (0L, 0L)
+      val sumW = (tb.txLo to tb.txHi).map(TileLayout.tileW(w, _).toLong).sum
+      val sumH = (tb.tyLo to tb.tyHi).map(TileLayout.tileH(h, _).toLong).sum
+      (tb.count.toLong, sumW * sumH * 8L)
+    }
+    val (rows, bytes) = plannedParts.foldLeft((0L, 0L)) {
+      case ((r, b), p: GraftFramePartition) =>
+        val (tr, tb) = tileBytes(p.w, p.h, p.dsWin); (r + tr, b + tb)
+      case ((r, b), p: GraftTifPartition) =>
+        val (tr, tb) = tileBytes(p.w, p.h, p.dsWin)
+        (r + tr * p.frames.length, b + tb * p.frames.length)
+      case (acc, _) => acc
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  private lazy val plannedParts: Array[InputPartition] = {
     // header reads are independent per dataset and latency-bound (on
     // object storage each is 1-2 round trips): a 100k-file archive
     // planned serially is minutes of driver RTTs before the first task.

@@ -269,6 +269,32 @@ class GeometryV2Spec extends SparkSpec {
       names.mkString(","))
   }
 
+  test("limit pushdown caps planned byte ranges; reported statistics " +
+      "let a small archive broadcast in joins") {
+    val sp = spark
+    import sp.implicits._
+    val (dir, _, _) = archive
+    // LIMIT 3 schedules at most 3 candidate features
+    val lim = spark.read.format("graft-fgb").load(dir).limit(3)
+    assert(lim.collect().length == 3)
+    val scanExec = lim.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val planned = scanExec.inputPartitions.map(
+      _.asInstanceOf[graft.sources.GraftFgbPartition].offs.length).sum
+    assert(planned == 3, s"planned $planned candidate features")
+    // Catalyst sees the scan's true size: optimizer stats are tiny
+    val df = spark.read.format("graft-fgb").load(dir)
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(size > 0 && size < 10L * 1024 * 1024, s"sizeInBytes $size")
+    // ...so a join against a big side picks a broadcast of the archive
+    val big = spark.range(100000).select(col("id").as("fid"),
+      (col("id") % 7).as("grp"))
+    val joined = df.select("fid", "name").join(big, "fid")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("an archive with drifting property layouts fails loudly at planning") {
     val sp = spark
     import sp.implicits._
