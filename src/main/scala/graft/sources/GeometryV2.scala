@@ -244,9 +244,33 @@ class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
     required: StructType, bbox: Option[(Double, Double, Double, Double)],
     limit: Int = Int.MaxValue)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** RUNTIME (DPP-style) filtering: a selective join on `path` prunes
+    * whole archive files at execution start — the dynamic counterpart
+    * of the planning-time bbox prune. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns surviving pruning: DPP resolves these against the
+    // scan's (pruned) output and fails on absent names
+    if (required.fieldNames.contains("path"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("path"))
+    else Array.empty
+
+  @volatile private var runtimePaths: Option[Set[String]] = None
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    filters.foreach {
+      case org.apache.spark.sql.sources.In("path", vs) =>
+        val keep = vs.map(String.valueOf(_)).toSet
+        runtimePaths = Some(runtimePaths.fold(keep)(_ intersect keep))
+      case org.apache.spark.sql.sources.EqualTo("path", v) =>
+        val keep = Set(String.valueOf(v))
+        runtimePaths = Some(runtimePaths.fold(keep)(_ intersect keep))
+      case _ => () // unsupported runtime filters are advisory
+    }
 
   /** Planning-time statistics for Catalyst: candidate feature count
     * and byte size after bbox prune and limit truncation — a small (or
@@ -395,7 +419,12 @@ class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = plannedParts
+  override def planInputPartitions(): Array[InputPartition] =
+    runtimePaths match {
+      case Some(keep) => plannedParts.filter(p =>
+        keep.contains(p.asInstanceOf[GraftFgbPartition].path))
+      case None => plannedParts
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftFgbReaderFactory(required.fieldNames)

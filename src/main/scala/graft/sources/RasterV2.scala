@@ -397,7 +397,49 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
     bbox: Option[(Double, Double, Double, Double)] = None,
     filterBox: Option[(Double, Double, Double, Double)] = None)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** RUNTIME (DPP-style) filtering on `path` and `t`: a selective join
+    * against a file list or a time dimension prunes whole (file,
+    * frame) partitions at execution start. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns surviving pruning: DPP resolves these against the
+    // scan's (pruned) output and fails on absent names
+    Seq("path", "t").filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray[org.apache.spark.sql.connector.expressions.NamedReference]
+
+  @volatile private var runtimePaths: Option[Set[String]] = None
+  @volatile private var runtimeTs: Option[Set[Long]] = None
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    filters.foreach {
+      case org.apache.spark.sql.sources.In("path", vs) =>
+        val keep = vs.map(String.valueOf(_)).toSet
+        runtimePaths = Some(runtimePaths.fold(keep)(_ intersect keep))
+      case org.apache.spark.sql.sources.EqualTo("path", v) =>
+        val keep = Set(String.valueOf(v))
+        runtimePaths = Some(runtimePaths.fold(keep)(_ intersect keep))
+      case org.apache.spark.sql.sources.In("t", vs) =>
+        val keep = vs.collect { case l: java.lang.Long => l.longValue }.toSet
+        runtimeTs = Some(runtimeTs.fold(keep)(_ intersect keep))
+      case org.apache.spark.sql.sources.EqualTo("t", v: java.lang.Long) =>
+        val keep = Set(v.longValue)
+        runtimeTs = Some(runtimeTs.fold(keep)(_ intersect keep))
+      case _ => () // unsupported runtime filters are advisory
+    }
+
+  private def runtimeKeep(p: InputPartition): Boolean = p match {
+    case fp: GraftFramePartition =>
+      runtimePaths.forall(_.contains(fp.path)) &&
+        runtimeTs.forall(_.contains(fp.tMs))
+    case tp: GraftTifPartition =>
+      runtimePaths.forall(_.contains(tp.path)) &&
+        runtimeTs.forall(ts => tp.times.exists(ts.contains))
+    case _ => true
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   /** Per-dataset windows resolved from `bbox` at planning time, for
@@ -520,7 +562,9 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
         s"graft-raster: unknown dataset kind $k for $p")
     }
 
-  override def planInputPartitions(): Array[InputPartition] = plannedParts
+  override def planInputPartitions(): Array[InputPartition] =
+    if (runtimePaths.isEmpty && runtimeTs.isEmpty) plannedParts
+    else plannedParts.filter(runtimeKeep)
 
   /** Planning-time statistics for Catalyst: planned tile-row count and
     * payload bytes (post temporal/bbox/window pruning) — a sharply

@@ -295,6 +295,25 @@ class GeometryV2Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("runtime filtering on path prunes archive files at execution") {
+    val (dir, near, far) = archive
+    val df = spark.read.format("graft-fgb").load(dir)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.get.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("path"))
+    val before = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("path", Array(near))))
+    val after = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions()
+    assert(after.length < before || before == 1)
+    assert(after.forall(p =>
+      p.asInstanceOf[graft.sources.GraftFgbPartition].path == near), far)
+  }
+
   test("an archive with drifting property layouts fails loudly at planning") {
     val sp = spark
     import sp.implicits._

@@ -461,6 +461,32 @@ class RasterV2Spec extends SparkSpec {
         Seq.tabulate(w * h)(i => k * 100.0 + i), s"frame $k")
   }
 
+  test("runtime filtering on path and t prunes (file, frame) partitions") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_dsv2rt").toString
+    for (n <- Seq("a", "b"))
+      graft.raster.Grib.write(s"$dir/$n.grib2", Seq.tabulate(3)(t =>
+        Array.fill(4)(t.toDouble)), 2, 2, Double.MaxValue,
+        (0 until 3).map(_ * 3600000L), 0.0, 0.0, 0.05)
+    val df = sp.read.format("graft-raster").load(dir)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.get.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(scan.filterAttributes().map(_.describe()).toSeq ==
+      Seq("path", "t"))
+    val batch = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+    assert(batch.planInputPartitions().length == 6) // 2 files x 3 frames
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("path", Array(s"$dir/a.grib2")),
+      org.apache.spark.sql.sources.In("t",
+        Array(java.lang.Long.valueOf(3600000L)))))
+    val kept = batch.planInputPartitions()
+    assert(kept.length == 1)
+    val p = kept.head.asInstanceOf[graft.sources.GraftFramePartition]
+    assert(p.path.endsWith("a.grib2") && p.tMs == 3600000L)
+  }
+
   test("bbox window composes with the tile iteration on a tiled grid") {
     val sp = spark
     import sp.implicits._
