@@ -254,7 +254,8 @@ object TileWindow {
 class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long,
     bbox: Option[(Double, Double, Double, Double)] = None)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var tMin = Long.MinValue
   private var tMax = Long.MaxValue
   private var win = TileWindow.All
@@ -349,15 +350,102 @@ class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long,
     residual ++ accepted
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** COMPLETE pushdown of ungrouped COUNT(*) / MIN(t) / MAX(t): the
+    * answers are pure planning metadata (tile geometry and frame
+    * times), so a "how many tiles / what time range" query over a
+    * 100k-file archive costs its header reads, not a 30M-row scan. */
+  private var aggSpec: Option[Seq[String]] = None
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = aggKinds(agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    aggKinds(agg) match {
+      case some @ Some(_) => aggSpec = some; true
+      case None => false
+    }
+  private def aggKinds(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[String]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def isT(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("t"))
+        case _ => false
+      }
+    if (agg.groupByExpressions().nonEmpty) return None
+    val kinds = agg.aggregateExpressions().map {
+      case _: CountStar => "count"
+      case m: Min if isT(m.column) => "min_t"
+      case m: Max if isT(m.column) => "max_t"
+      case _ => return None
+    }
+    if (kinds.isEmpty) None else Some(kinds.toSeq)
+  }
+
   override def build(): Scan = {
     val filterBox =
       if (fx0 == -Double.MaxValue && fy0 == -Double.MaxValue &&
         fx1 == Double.MaxValue && fy1 == Double.MaxValue) None
       else Some((fx0, fy0, fx1, fy1))
-    new GraftScan(paths, tMin, tMax, required, timeFirst, timeDelta, win,
-      bbox, filterBox)
+    val base = new GraftScan(paths, tMin, tMax, required, timeFirst,
+      timeDelta, win, bbox, filterBox)
+    aggSpec match {
+      case Some(kinds) => new GraftAggScan(base, kinds)
+      case None => base
+    }
   }
 }
+
+/** COMPLETE aggregate scan: one partition, one row, values computed
+  * from the base scan's planned metadata (the same pass statistics
+  * estimation uses). */
+class GraftAggScan(base: GraftScan, kinds: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    kinds.zipWithIndex.map { case (k, i) =>
+      StructField(s"agg_$i", LongType, nullable = k != "count")
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-raster complete agg [${kinds.mkString(",")}] over " +
+      base.description()
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = base.planInputPartitions()
+    val rows = base.plannedRowCount(parts)
+    val ts = parts.flatMap {
+      case p: GraftFramePartition => Seq(p.tMs)
+      case p: GraftTifPartition => p.times.toSeq
+      case _ => Nil
+    }
+    val values: Array[Any] = kinds.map {
+      case "count" => rows
+      case "min_t" => if (ts.isEmpty) null else ts.min
+      case "max_t" => if (ts.isEmpty) null else ts.max
+    }.toArray
+    Array(GraftAggPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val vs = partition.asInstanceOf[GraftAggPartition].values
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = { val r = !done; done = true; r }
+          override def get(): InternalRow = new GenericInternalRow(vs)
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
 /** One frame of one dataset — everything the executor needs. For GRIB
   * the planned [[Grib.Field]] (all byte coordinates) rides along, so
@@ -570,6 +658,18 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
     * payload bytes (post temporal/bbox/window pruning) — a sharply
     * pruned AOI read sizes like the AOI, not the archive, so joins
     * against it can broadcast. Shares the memoized planning pass. */
+  /** Exact planned tile-row count of a partition set (shared by
+    * statistics and the complete-aggregate scan). */
+  private[sources] def plannedRowCount(parts: Array[InputPartition]): Long =
+    parts.foldLeft(0L) {
+      case (r, p: GraftFramePartition) =>
+        r + TileBounds.resolve(win.intersect(p.dsWin), p.w, p.h).count
+      case (r, p: GraftTifPartition) =>
+        r + TileBounds.resolve(win.intersect(p.dsWin), p.w, p.h).count.toLong *
+          p.frames.length
+      case (r, _) => r
+    }
+
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     def tileBytes(w: Int, h: Int, dsWin: TileWindow): (Long, Long) = {

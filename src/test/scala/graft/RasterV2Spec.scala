@@ -461,6 +461,44 @@ class RasterV2Spec extends SparkSpec {
         Seq.tabulate(w * h)(i => k * 100.0 + i), s"frame $k")
   }
 
+  test("complete aggregate pushdown: count/min(t)/max(t) from planning " +
+      "metadata, zero data bytes") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_dsv2agg").toString
+    // corrupt every data chunk: any data read fails loudly, so a green
+    // aggregate PROVES it was answered from planning metadata
+    for (i <- 0 until 3) {
+      Zarr.write(s"$dir/s$i.zarr", Seq.tabulate(2)(t =>
+        Array.fill(4)(i * 10.0 + t)), 2, 2,
+        Bbox(0, 0, 2, 2), -9.0, "EPSG:28992",
+        Seq(i * 3600000L, (i + 1) * 3600000L), zarrVersion = 3)
+      for (t <- 0 until 2)
+        Files.write(Paths.get(s"$dir/s$i.zarr/band1/c/$t/0/0"),
+          Array.fill[Byte](16)(0x5A))
+    }
+    val df = sp.read.format("graft-raster").load(dir)
+    val agg = df.agg(count(lit(1)).as("n"), min("t").as("lo"),
+      max("t").as("hi"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("complete agg"), plan)
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 6 && r.getLong(1) == 0L &&
+      r.getLong(2) == 3L * 3600000L, r.toString)
+    // count() alone takes the same path
+    assert(df.count() == 6)
+    // a temporal filter composes: the pushed range shrinks the answer
+    // (stores overlap in time: frames at >= 1h are s0's 1h, s1's 1h+2h,
+    // s2's 2h+3h)
+    val f = df.filter(col("t") >= 3600000L)
+    assert(f.count() == 5)
+    assert(f.agg(min("t")).collect()(0).getLong(0) == 3600000L)
+    // grouped aggregates are NOT pushed (fall back to the row scan,
+    // which here fails loudly on the corrupt chunks only if it needs
+    // values — a group by path count still runs on metadata rows)
+    val grouped = df.groupBy("path").count().collect()
+    assert(grouped.length == 3 && grouped.forall(_.getLong(1) == 2))
+  }
+
   test("runtime filtering on path and t prunes (file, frame) partitions") {
     val sp = spark
     val dir = Files.createTempDirectory("graft_dsv2rt").toString
