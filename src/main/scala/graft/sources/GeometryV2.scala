@@ -162,7 +162,8 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
     bbox: Option[(Double, Double, Double, Double)])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
   private var required: StructType = full
   private var limit: Int = Int.MaxValue
@@ -212,6 +213,26 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** COMPLETE pushdown of an ungrouped COUNT(*): the R-tree hit set is
+    * exact for the pushed window (per-feature leaf envelopes), so the
+    * count IS the planned candidate total — no feature byte is read.
+    * Spark only asks when no residual filter remains, so the
+    * envelope-predicate path (always residual) never takes this. */
+  private var countOnly = false
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    countOnly = true
+    true
+  }
+
   override def build(): Scan = {
     val filterBox =
       if (qx0 == -Double.MaxValue && qy0 == -Double.MaxValue &&
@@ -224,9 +245,41 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
           math.min(a1, c1), math.min(b1, d1)))
       case (a, b) => a.orElse(b)
     }
-    new GraftFgbScan(fs, rawPaths, full, required, eff, limit)
+    val base = new GraftFgbScan(fs, rawPaths, full, required, eff, limit)
+    if (countOnly) new GraftFgbCountScan(base) else base
   }
 }
+
+/** COMPLETE COUNT(*) scan: one partition, one row, the planned
+  * candidate-feature total. */
+class GraftFgbCountScan(base: GraftFgbScan) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-fgb complete agg [count] over ${base.description()}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = base.planInputPartitions().foldLeft(0L)((r, p) =>
+      r + p.asInstanceOf[GraftFgbPartition].offs.length)
+    Array(GraftFgbCountPartition(n))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val n = partition.asInstanceOf[GraftFgbCountPartition].n
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = { val r = !done; done = true; r }
+          override def get(): InternalRow =
+            new GenericInternalRow(Array[Any](n))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class GraftFgbCountPartition(n: Long) extends InputPartition
 
 /** One group of contiguous-ish feature byte ranges of one file.
   * `offs` are ABSOLUTE byte offsets, `lens` record lengths, `items`

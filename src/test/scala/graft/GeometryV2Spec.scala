@@ -79,9 +79,21 @@ class GeometryV2Spec extends SparkSpec {
     val scanDesc = df.queryExecution.executedPlan.toString
     assert(scanDesc.contains("columns [fid,score]"), scanDesc)
     assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).length == 40)
-    // count(*) prunes everything — still 40 rows
+    // count(*) is a COMPLETE pushdown: the planned candidate total,
+    // no feature bytes read
+    val cnt = spark.read.format("graft-fgb").load(near)
+      .groupBy().count()
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("complete agg [count]"),
+      cnt.queryExecution.executedPlan.toString)
     assert(spark.read.format("graft-fgb").load(near).count() == 40)
+    // a bbox-pruned count is the exact hit-set size, same path
+    assert(spark.read.format("graft-fgb")
+      .option("bbox", "1.1,0.5,6.9,3.7").load(dirOf(near)).count() == 6)
   }
+
+  private def dirOf(p: String): String =
+    new java.io.File(p).getParent
 
   test("file:// scheme paths plan and decode identically to local") {
     val (_, near, _) = archive
