@@ -1141,16 +1141,19 @@ case class FlatGeobufSource(url: String, proj: String = "EPSG:4326")
       .flatMap { group =>
         val rdr = graft.io.PositionedReader.open(path)
         try {
-          val offs = group.map { case (off, _) => fStart + off }.toArray
-          val lens = group.map { case (off, i) =>
+          // indexed ONCE: a Seq here is a List and positional access in
+          // the per-feature loop would be quadratic (the DXF/TAB bug)
+          val garr = group.toArray
+          val offs = garr.map { case (off, _) => fStart + off }
+          val lens = garr.map { case (off, i) =>
             val next = if (i + 1 < allOffsets.length) allOffsets(i + 1)
               else fLen - fStart
             (next - off).toInt
-          }.toArray
+          }
           // contiguous features (the Hilbert layout) read as coalesced
           // runs — a handful of ranged reads per group, not one per row
           FgbMeta.readRuns(rdr, offs, lens).map { case (k, buf) =>
-            val i = group(k)._2
+            val i = garr(k)._2
             val (g, props) = FgbMeta.decodeFeature(buf, colTypes,
               wantGeometry = true)
             val fid = if (fidCol >= 0 && props(fidCol) != null)

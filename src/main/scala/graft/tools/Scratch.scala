@@ -20,7 +20,7 @@ object Scratch {
     import spark.implicits._
     val sp = spark
     // g20-shape: 2000 squares with attrs from part-like data
-    val df = (0 until 2000).map { i =>
+    val df = (0 until 200000).map { i =>
       val x = (i % 50).toDouble; val y = (i / 50) * 2.0
       (i.toLong, i % 50, 900.0 + i, s"part$i",
         s"POLYGON (($x $y, ${x + 1} $y, ${x + 1} ${y + 1}, $x ${y + 1}, $x $y))")
@@ -29,7 +29,7 @@ object Scratch {
         GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
       .cache()
     df.count()
-    for (round <- 1 to 3) {
+    for (round <- 1 to 2) {
       val dir = java.nio.file.Files.createTempDirectory(s"g20probe$round")
       val out = dir.resolve("parts.fgb").toString
       var t0 = System.nanoTime()
