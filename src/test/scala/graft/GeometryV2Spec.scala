@@ -95,6 +95,22 @@ class GeometryV2Spec extends SparkSpec {
   private def dirOf(p: String): String =
     new java.io.File(p).getParent
 
+  test("bbox and limit compose: planning truncates the pruned hit set") {
+    val (dir, near, _) = archive
+    val df = spark.read.format("graft-fgb")
+      .option("bbox", "1.1,0.5,6.9,3.7").load(dir)
+      .select("fid").limit(2)
+    assert(df.collect().length == 2)
+    val scanExec = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val planned = scanExec.inputPartitions.map(
+      _.asInstanceOf[graft.sources.GraftFgbPartition])
+    // only features from the intersecting file, at most the limit
+    assert(planned.map(_.offs.length).sum == 2)
+    assert(planned.forall(_.path == near))
+  }
+
   test("file:// scheme paths plan and decode identically to local") {
     val (_, near, _) = archive
     val local = spark.read.format("graft-fgb").load(near)
