@@ -88,11 +88,14 @@ object GraftFgbTable {
     require(fs.nonEmpty, "graft-fgb: no path given")
     val m = FgbMeta.read(fs.head)
     StructType(
-      (StructField("path", StringType, nullable = false) +:
+      ((StructField("path", StringType, nullable = false) +:
         StructField("fid", LongType, nullable = false) +:
         EnvCols.map(StructField(_, DoubleType, nullable = true))) ++
         attrFields(m.cols) :+
-        StructField("geometry", BinaryType, nullable = true))
+        StructField("geometry", BinaryType, nullable = true)) :+
+        // declared SRS provenance (header crs; null when undeclared),
+        // LAST so earlier positional consumers stay valid
+        StructField("crs", StringType, nullable = true))
   }
 
   /** Virtual FEATURE-ENVELOPE columns (computed from the decoded
@@ -289,7 +292,8 @@ case class GraftFgbCountPartition(n: Long) extends InputPartition
   * so the reader decodes without re-reading the header. */
 case class GraftFgbPartition(path: String, offs: Array[Long],
     lens: Array[Int], items: Array[Int], colTypes: Array[Int],
-    fidCol: Int, attrNames: Array[String], attrPos: Array[Int])
+    fidCol: Int, attrNames: Array[String], attrPos: Array[Int],
+    crs: String = null)
     extends InputPartition
 
 class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
@@ -387,7 +391,8 @@ class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
     val want = GraftFgbTable.attrFields(m.cols)
     val have = full.fields.toSeq
       .filterNot(f => f.name == "path" || f.name == "fid" ||
-        f.name == "geometry" || GraftFgbTable.EnvCols.contains(f.name))
+        f.name == "geometry" || f.name == "crs" ||
+        GraftFgbTable.EnvCols.contains(f.name))
     require(want.map(f => (f.name, f.dataType)) ==
         have.map(f => (f.name, f.dataType)),
       s"graft-fgb: $p property columns ${want.map(_.name).mkString(",")} " +
@@ -419,7 +424,8 @@ class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
       GraftFgbPartition(p,
         g.map(c => m.featStart + c._1).toArray,
         g.map(c => FgbMeta.featureLen(m, c._1, c._2).toInt).toArray,
-        g.map(_._2).toArray, colTypes, fidCol, attrNames, attrPos)
+        g.map(_._2).toArray, colTypes, fidCol, attrNames, attrPos,
+        m.crs.orNull)
     }
   }
 
@@ -500,10 +506,12 @@ class GraftFgbReader(p: GraftFgbPartition, columns: Array[String])
   // property decode is needed for any attr column, or for fid when the
   // file carries an adopted fid property
   private val wantProps = columns.exists(c =>
-    c != "path" && c != "geometry" &&
+    c != "path" && c != "geometry" && c != "crs" &&
       !GraftFgbTable.EnvCols.contains(c) && (c != "fid" || p.fidCol >= 0))
   private val rdr = graft.io.PositionedReader.open(p.path)
   private val pathU = UTF8String.fromString(p.path)
+  private val crsU =
+    if (p.crs == null) null else UTF8String.fromString(p.crs)
   private val posByName: Map[String, Int] =
     p.attrNames.zip(p.attrPos).toMap
   private var i = -1
@@ -542,6 +550,7 @@ class GraftFgbReader(p: GraftFgbPartition, columns: Array[String])
       else (null, null)
     new GenericInternalRow(columns.map[Any] {
       case "path" => pathU
+      case "crs" => crsU
       case "fid" =>
         if (p.fidCol >= 0 && props != null && props(p.fidCol) != null)
           props(p.fidCol).asInstanceOf[Number].longValue

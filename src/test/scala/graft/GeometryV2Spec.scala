@@ -37,7 +37,8 @@ class GeometryV2Spec extends SparkSpec {
     val df = spark.read.format("graft-fgb").load(dir)
     assert(df.columns.toSeq ==
       Seq("path", "fid", "env_minx", "env_miny", "env_maxx", "env_maxy",
-        "name", "score", "geometry"))
+        "name", "score", "geometry", "crs"))
+    assert(df.select("crs").head().getString(0) == "EPSG:28992")
     assert(df.count() == 80)
     // one file, against the block source row-for-row
     val v2 = spark.read.format("graft-fgb").load(near)
