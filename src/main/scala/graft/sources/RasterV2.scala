@@ -83,7 +83,9 @@ object GraftRasterTable {
     StructField("x0", DoubleType, nullable = false),
     StructField("y0", DoubleType, nullable = false),
     StructField("x1", DoubleType, nullable = false),
-    StructField("y1", DoubleType, nullable = false)))
+    StructField("y1", DoubleType, nullable = false),
+    // declared SRS provenance (dataset metadata; null when undeclared)
+    StructField("crs", StringType, nullable = true)))
 
   /** The virtual envelope column names. */
   val EnvCols: Set[String] = Set("x0", "y0", "x1", "y1")
@@ -455,7 +457,8 @@ case class GraftAggPartition(values: Array[Any]) extends InputPartition
 case class GraftFramePartition(kind: String, path: String, frameIdx: Int,
     tMs: Long, w: Int, h: Int, gribField: Grib.Field = null,
     dsWin: TileWindow = TileWindow.All,
-    originX: Double = 0.0, originY: Double = 0.0, cell: Double = 0.0)
+    originX: Double = 0.0, originY: Double = 0.0, cell: Double = 0.0,
+    crs: String = null)
     extends InputPartition
 
 /** One GeoTIFF FILE (all surviving bands): bands share one decode, so
@@ -464,7 +467,8 @@ case class GraftFramePartition(kind: String, path: String, frameIdx: Int,
 case class GraftTifPartition(path: String, frames: Array[Int],
     times: Array[Long], w: Int, h: Int,
     dsWin: TileWindow = TileWindow.All,
-    originX: Double = 0.0, originY: Double = 0.0, cell: Double = 0.0)
+    originX: Double = 0.0, originY: Double = 0.0, cell: Double = 0.0,
+    crs: String = null)
     extends InputPartition
 
 object GraftScan {
@@ -595,7 +599,8 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
               m.timesMs.zipWithIndex.collect {
                 case (t, i) if t >= tMin && t <= tMax =>
                   GraftFramePartition("grib", p, i, t, m.w, m.h,
-                    m.fields(i), dw, m.originX, m.originY, m.cellSize)
+                    m.fields(i), dw, m.originX, m.originY, m.cellSize,
+                    m.projection)
               }
             }
         } finally ch.close()
@@ -606,7 +611,7 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
             m.timesMs.zipWithIndex.collect {
               case (t, i) if t >= tMin && t <= tMax =>
                 GraftFramePartition("zarr", p, i, t, m.w, m.h, null, dw,
-                  m.originX, m.originY, m.cellSize)
+                  m.originX, m.originY, m.cellSize, m.projection)
             }
           }
       case "nc" | "h5" =>
@@ -615,19 +620,21 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
         // to the selected frame's records/chunks)
         val ch = graft.io.PositionedReader.open(p)
         try {
-          val (times, w, h, ox, oy, cell) =
+          val (times, w, h, ox, oy, cell, crs) =
             if (kind == "nc") {
               val m = NetCdf.readMeta(ch, p)
-              (m.timesMs, m.w, m.h, m.originX, m.originY, m.cellSize)
+              (m.timesMs, m.w, m.h, m.originX, m.originY, m.cellSize,
+                m.projection)
             } else {
               val m = Hdf5.readMeta(ch, p)
-              (m.timesMs, m.w, m.h, m.originX, m.originY, m.cellSize)
+              (m.timesMs, m.w, m.h, m.originX, m.originY, m.cellSize,
+                m.projection)
             }
           dsWindow(p, ox, oy, cell, w, h).toSeq.flatMap { dw =>
             times.zipWithIndex.collect {
               case (t, i) if t >= tMin && t <= tMax =>
                 GraftFramePartition(kind, p, i, t, w, h, null, dw,
-                  ox, oy, cell)
+                  ox, oy, cell, crs)
             }
           }
         } finally ch.close()
@@ -644,7 +651,8 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
             if (sel.isEmpty) Nil
             else Seq(GraftTifPartition(p, sel.map(_._1).toArray,
               sel.map(_._2).toArray, m.w, m.h, dw,
-              m.bbox.x1, m.bbox.y2, cell))
+              m.bbox.x1, m.bbox.y2, cell,
+              if (m.epsg > 0) s"EPSG:${m.epsg}" else null))
         }
       case k => throw new IllegalArgumentException(
         s"graft-raster: unknown dataset kind $k for $p")
@@ -870,6 +878,8 @@ class GraftTifReader(p: GraftTifPartition, columns: Array[String],
       case "t"    => p.times(f)
       case "ty"   => ty
       case "tx"   => tx
+      case "crs" =>
+        if (p.crs == null) null else UTF8String.fromString(p.crs)
       case "x0" => p.originX + tx.toLong * TileLayout.TILE * p.cell
       case "x1" => p.originX +
         math.min(p.w.toLong, (tx + 1).toLong * TileLayout.TILE) * p.cell
@@ -965,6 +975,8 @@ class GraftPartitionReader(p: GraftFramePartition, columns: Array[String],
       case "t"    => p.tMs
       case "ty"   => ty
       case "tx"   => tx
+      case "crs" =>
+        if (p.crs == null) null else UTF8String.fromString(p.crs)
       case "x0" => p.originX + tx.toLong * TileLayout.TILE * p.cell
       case "x1" => p.originX +
         math.min(p.w.toLong, (tx + 1).toLong * TileLayout.TILE) * p.cell

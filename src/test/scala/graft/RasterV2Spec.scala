@@ -23,7 +23,8 @@ class RasterV2Spec extends SparkSpec {
     writeGrib(s"$dir/s.grib2", frames, w, h)
     val df = sp.read.format("graft-raster").load(s"$dir/s.grib2")
     assert(df.columns.toSeq ==
-      Seq("path", "t", "ty", "tx", "values", "x0", "y0", "x1", "y1"))
+      Seq("path", "t", "ty", "tx", "values", "x0", "y0", "x1", "y1", "crs"))
+    assert(df.select("crs").head().getString(0) == "EPSG:4326")
     val rows = df.orderBy("t").collect()
     assert(rows.length == 3) // one 256-tile covers the 7x5 grid
     for ((r, t) <- rows.zipWithIndex) {
