@@ -277,10 +277,14 @@ class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long,
   private var fx1 = Double.MaxValue
   private var fy1 = Double.MaxValue
 
+  private var tSet: Option[Set[Long]] = None
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val spatial = Set("ty", "tx")
     val envX = Set("x0", "x1"); val envY = Set("y0", "y1")
     val (accepted, residual) = filters.partition {
+      case org.apache.spark.sql.sources.In("t", vs) =>
+        vs.forall(_.isInstanceOf[java.lang.Long])
       case EqualTo("t", _: Long) => true
       case GreaterThanOrEqual("t", _: Long) => true
       case LessThanOrEqual("t", _: Long) => true
@@ -301,6 +305,11 @@ class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long,
       case _ => false
     }
     accepted.foreach {
+      case org.apache.spark.sql.sources.In("t", vs) =>
+        // a static time list (synoptic hours, a dimension join's values)
+        // prunes to EXACT instants, not just the [min, max] clamp
+        val keep = vs.collect { case l: java.lang.Long => l.longValue }.toSet
+        tSet = Some(tSet.fold(keep)(_ intersect keep))
       case EqualTo("t", v: Long) =>
         tMin = math.max(tMin, v); tMax = math.min(tMax, v)
       case GreaterThanOrEqual("t", v: Long) => tMin = math.max(tMin, v)
@@ -394,7 +403,7 @@ class GraftScanBuilder(paths: Seq[String], timeFirst: Long, timeDelta: Long,
         fx1 == Double.MaxValue && fy1 == Double.MaxValue) None
       else Some((fx0, fy0, fx1, fy1))
     val base = new GraftScan(paths, tMin, tMax, required, timeFirst,
-      timeDelta, win, bbox, filterBox)
+      timeDelta, win, bbox, filterBox, tSet)
     aggSpec match {
       case Some(kinds) => new GraftAggScan(base, kinds)
       case None => base
@@ -487,7 +496,8 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
     required: StructType, timeFirst: Long, timeDelta: Long,
     win: TileWindow = TileWindow.All,
     bbox: Option[(Double, Double, Double, Double)] = None,
-    filterBox: Option[(Double, Double, Double, Double)] = None)
+    filterBox: Option[(Double, Double, Double, Double)] = None,
+    tSet: Option[Set[Long]] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -546,6 +556,8 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
   }
   override def description(): String =
     s"graft-raster pushed t in [$tMin, $tMax], " +
+      tSet.map(ts => s"t in {${ts.toSeq.sorted.mkString(",")}}, ")
+        .getOrElse("") +
       (if (win.isAll) "" else s"tiles ty [${win.tyMin}, ${win.tyMax}] " +
         s"tx [${win.txMin}, ${win.txMax}], ") +
       bbox.map { case (x0, y0, x1, y1) =>
@@ -597,7 +609,8 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
           dsWindow(p, m.originX, m.originY, m.cellSize, m.w, m.h).toSeq
             .flatMap { dw =>
               m.timesMs.zipWithIndex.collect {
-                case (t, i) if t >= tMin && t <= tMax =>
+                case (t, i) if t >= tMin && t <= tMax &&
+                    tSet.forall(_.contains(t)) =>
                   GraftFramePartition("grib", p, i, t, m.w, m.h,
                     m.fields(i), dw, m.originX, m.originY, m.cellSize,
                     m.projection)
@@ -609,7 +622,8 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
         dsWindow(p, m.originX, m.originY, m.cellSize, m.w, m.h).toSeq
           .flatMap { dw =>
             m.timesMs.zipWithIndex.collect {
-              case (t, i) if t >= tMin && t <= tMax =>
+              case (t, i) if t >= tMin && t <= tMax &&
+                  tSet.forall(_.contains(t)) =>
                 GraftFramePartition("zarr", p, i, t, m.w, m.h, null, dw,
                   m.originX, m.originY, m.cellSize, m.projection)
             }
@@ -632,7 +646,8 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
             }
           dsWindow(p, ox, oy, cell, w, h).toSeq.flatMap { dw =>
             times.zipWithIndex.collect {
-              case (t, i) if t >= tMin && t <= tMax =>
+              case (t, i) if t >= tMin && t <= tMax &&
+                  tSet.forall(_.contains(t)) =>
                 GraftFramePartition(kind, p, i, t, w, h, null, dw,
                   ox, oy, cell, crs)
             }
@@ -647,7 +662,8 @@ class GraftScan(paths: Seq[String], tMin: Long, tMax: Long,
           dw =>
             val sel = (0 until m.bandCount)
               .map(i => (i, timeFirst + i * timeDelta))
-              .filter { case (_, t) => t >= tMin && t <= tMax }
+              .filter { case (_, t) => t >= tMin && t <= tMax &&
+                tSet.forall(_.contains(t)) }
             if (sel.isEmpty) Nil
             else Seq(GraftTifPartition(p, sel.map(_._1).toArray,
               sel.map(_._2).toArray, m.w, m.h, dw,

@@ -500,6 +500,22 @@ class RasterV2Spec extends SparkSpec {
     assert(grouped.length == 3 && grouped.forall(_.getLong(1) == 2))
   }
 
+  test("a static t IN list prunes to exact instants at planning") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_dsv2in").toString
+    writeGrib(s"$dir/s.grib2",
+      Seq.tabulate(8)(t => Array.fill(4)(t.toDouble)), 2, 2)
+    val df = sp.read.format("graft-raster").load(s"$dir/s.grib2")
+      .filter(col("t").isin(0L, 2 * 3600000L, 5 * 3600000L))
+    // exact instants, not the [0, 5h] range clamp (6 frames)
+    assert(df.rdd.getNumPartitions == 3,
+      df.queryExecution.executedPlan.toString)
+    assert(df.select(sum(element_at(col("values"), 1)))
+      .collect()(0).getDouble(0) == 0.0 + 2.0 + 5.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("t in {0,7200000,18000000}"), plan)
+  }
+
   test("runtime filtering on path and t prunes (file, frame) partitions") {
     val sp = spark
     val dir = Files.createTempDirectory("graft_dsv2rt").toString
