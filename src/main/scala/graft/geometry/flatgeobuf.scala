@@ -834,7 +834,13 @@ object FgbMeta {
 
   def read(url: String): Meta = {
     val r = graft.io.PositionedReader.open(url)
-    try {
+    try read(url, r) finally r.close()
+  }
+
+  /** [[read]] over an already-open reader — planners that follow the
+    * header with an index walk reuse one connection per file. */
+  def read(url: String, r: graft.io.PositionedReader): Meta = {
+    {
       val fileLen = r.size()
       val magic = readAt(r, 0L, 8)
       require(magic(0) == 'f' && magic(1) == 'g' && magic(2) == 'b' &&
@@ -907,7 +913,7 @@ object FgbMeta {
         }
       Meta(header, featStart, fileLen, offsets.length, nodeSize, cols, crs,
         envelope, offsets)
-    } finally r.close()
+    }
   }
 
   /** Candidate (relative offset, item index) pairs for a closed-bbox
@@ -915,7 +921,8 @@ object FgbMeta {
     * R-tree's leaf level holds per-FEATURE envelopes, so the hit set is
     * EXACT for envelope semantics, not a superset. `None` = all items. */
   def candidates(url: String, m: Meta,
-      bbox: Option[(Double, Double, Double, Double)]): Array[(Long, Int)] =
+      bbox: Option[(Double, Double, Double, Double)],
+      reuse: graft.io.PositionedReader = null): Array[(Long, Int)] =
     bbox match {
       case Some((x0, y0, x1, y1)) if m.numItems > 0 =>
         require(m.nodeSize > 0,
@@ -929,7 +936,8 @@ object FgbMeta {
         else {
           val idxStart = 8L + 4L + m.header.length
           val idxBytes = FlatGeobuf.indexBytes(m.numItems, m.nodeSize)
-          val r = graft.io.PositionedReader.open(url)
+          val r = if (reuse != null) reuse
+            else graft.io.PositionedReader.open(url)
           try {
             // cost switch: a small index is ONE ranged read; a large one
             // (a million-feature file is ~40 MB of tree) walks node
@@ -943,7 +951,7 @@ object FgbMeta {
             } else
               searchIndexPositioned(r, idxStart, m.numItems, m.nodeSize,
                 x0, y0, x1, y1).toArray.sortBy(_._1)
-          } finally r.close()
+          } finally if (reuse == null) r.close()
         }
       case _ => Array.tabulate(m.numItems)(i => (m.offsets(i), i))
     }

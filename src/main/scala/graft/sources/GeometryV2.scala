@@ -385,7 +385,16 @@ class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
   private val SplitBytes = 32L * 1024 * 1024
 
   private def planFile(p: String): Seq[InputPartition] = {
-    val m = FgbMeta.read(p)
+    // ONE connection per file per scan: header + leaf level + (bbox)
+    // index walk share the open reader — on object storage each open
+    // is a round trip
+    val rdr = graft.io.PositionedReader.open(p)
+    try planFile(p, rdr) finally rdr.close()
+  }
+
+  private def planFile(p: String,
+      rdr: graft.io.PositionedReader): Seq[InputPartition] = {
+    val m = FgbMeta.read(p, rdr)
     // schema agreement: an archive with drifting property layouts
     // must fail loudly at planning, not decode garbage per row
     val want = GraftFgbTable.attrFields(m.cols)
@@ -397,7 +406,7 @@ class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
         have.map(f => (f.name, f.dataType)),
       s"graft-fgb: $p property columns ${want.map(_.name).mkString(",")} " +
         s"do not match the archive schema ${have.map(_.name).mkString(",")}")
-    val cand = FgbMeta.candidates(p, m, bbox)
+    val cand = FgbMeta.candidates(p, m, bbox, reuse = rdr)
     if (bbox.isDefined)
       resolvedEntries.add(graft.io.FileIO.name(p) +
         (if (cand.isEmpty) " -> pruned" else s" -> ${cand.length} features"))
