@@ -718,12 +718,28 @@ object FlatGeobufSink {
       }
     } finally { outFeat.close(); outLeaf.close() }
 
+    // ATOMIC publish: assemble under a temp name the directory
+    // listers skip (no .fgb suffix), rename into place last — a
+    // watcher or concurrent reader never sees a half-written (or
+    // freshly-created empty) container. Caught by the 100-wave
+    // streaming soak: the watcher listed a just-created file mid-write.
+    val dirUrl = {
+      val cut = path.lastIndexOf('/')
+      if (cut < 0) "." else path.substring(0, cut)
+    }
+    val tmpName = graft.io.FileIO.child(dirUrl,
+      s"._tmp_${layerNameOf(path)}_${java.util.UUID.randomUUID().toString.take(8)}.part")
     val out = new java.io.BufferedOutputStream(
-      graft.io.FileIO.createStream(path))
-    try assemble(out, layerNameOf(path), proj, attrCols, colTypes,
-      geomType, nItems, (minX, minY, maxX, maxY), tmpLeaf, tmp)
-    finally {
+      graft.io.FileIO.createStream(tmpName))
+    try {
+      assemble(out, layerNameOf(path), proj, attrCols, colTypes,
+        geomType, nItems, (minX, minY, maxX, maxY), tmpLeaf, tmp)
       out.close()
+      if (graft.io.FileIO.exists(path)) graft.io.FileIO.delete(path)
+      graft.io.FileIO.rename(tmpName, path)
+    } finally {
+      try out.close() catch { case _: Exception => () }
+      try graft.io.FileIO.delete(tmpName) catch { case _: Exception => () }
       java.nio.file.Files.deleteIfExists(tmp)
       java.nio.file.Files.deleteIfExists(tmpLeaf)
     }
