@@ -839,12 +839,9 @@ object FgbMeta {
   def readAt(r: graft.io.PositionedReader, pos: Long,
       n: Int): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(n)
-    var p = pos
-    while (b.hasRemaining) {
-      val k = r.read(b, p)
-      require(k > 0, s"flatgeobuf: unexpected EOF at byte $p")
-      p += k
-    }
+    // shared must-fill read: only k<0 is EOF; legal 0-byte reads are
+    // retried with a stuck-transport bound (graft.io.PositionedReader)
+    graft.io.PositionedReader.readFully(r, pos, b)
     b.array()
   }
 

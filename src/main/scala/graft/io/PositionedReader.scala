@@ -40,6 +40,42 @@ trait PositionedReader extends AutoCloseable {
 
 object PositionedReader {
 
+  /** Consecutive 0-byte reads tolerated by [[readFully]] before the
+    * read is declared stuck. A 0 return is legal for both backends
+    * (`FileChannel.read` and Hadoop positioned reads may transfer
+    * nothing without being at EOF), so 0 must be retried, not treated
+    * as EOF — but an endless 0 stream means a broken transport, and
+    * looping forever would hang the task. */
+  private val MaxZeroReads = 64
+
+  /** Fill `dst` completely from absolute `position`, retrying short
+    * reads. Only a negative return counts as EOF (throws
+    * `EOFException`); 0-byte reads are retried up to [[MaxZeroReads]]
+    * consecutive times, then fail loudly. Returns the position after
+    * the last byte read. Every codec's must-fill read path goes
+    * through here so both failure semantics are uniform across
+    * backends. */
+  def readFully(r: PositionedReader, position: Long, dst: ByteBuffer): Long = {
+    var pos = position
+    var zeros = 0
+    while (dst.hasRemaining) {
+      val k = r.read(dst, pos)
+      if (k < 0)
+        throw new java.io.EOFException(s"unexpected EOF at byte $pos")
+      if (k == 0) {
+        zeros += 1
+        if (zeros >= MaxZeroReads)
+          throw new java.io.IOException(
+            s"positioned read stuck: $MaxZeroReads consecutive 0-byte " +
+              s"reads at byte $pos")
+      } else {
+        zeros = 0
+        pos += k
+      }
+    }
+    pos
+  }
+
   /** Open `url` for positioned reads: a bare path opens a local
     * `FileChannel`; a scheme-qualified URL goes through the Hadoop
     * `FileSystem` registered for that scheme. */
@@ -100,12 +136,7 @@ final class PositionedCursor(r: PositionedReader) extends AutoCloseable {
   def readFully(dst: Array[Byte]): Unit = readFully(dst, 0, dst.length)
   def readFully(dst: Array[Byte], off: Int, len: Int): Unit = {
     val b = ByteBuffer.wrap(dst, off, len)
-    while (b.hasRemaining) {
-      val k = r.read(b, pos)
-      if (k < 0) throw new java.io.EOFException(
-        s"unexpected EOF at byte $pos")
-      pos += k
-    }
+    pos = PositionedReader.readFully(r, pos, b)
   }
   def close(): Unit = r.close()
 }

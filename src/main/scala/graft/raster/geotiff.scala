@@ -622,13 +622,7 @@ object GeoTiff {
     var order: ByteOrder = ByteOrder.LITTLE_ENDIAN
     def bytesAt(off: Long, len: Int): Array[Byte] = {
       val a = new Array[Byte](len)
-      val b = ByteBuffer.wrap(a)
-      var read = 0
-      while (read < len) {
-        val k = rd.read(b, off + read)
-        require(k > 0, s"$path: unexpected EOF at byte ${off + read}")
-        read += k
-      }
+      graft.io.PositionedReader.readFully(rd, off, ByteBuffer.wrap(a))
       a
     }
     private def bb(off: Long, len: Int): ByteBuffer =

@@ -47,12 +47,7 @@ object Grib {
 
   private[raster] def readAt(ch: PositionedReader, at: Long, n: Int): ByteBuffer = {
     val b = ByteBuffer.allocate(n)
-    var off = 0
-    while (off < n) {
-      val k = ch.read(b, at + off)
-      require(k > 0, s"grib: truncated read at $at+$off (wanted $n bytes)")
-      off += k
-    }
+    PositionedReader.readFully(ch, at, b)
     b.flip()
     b.order(ByteOrder.BIG_ENDIAN)
     b

@@ -56,12 +56,7 @@ object Hdf5 {
     require(at >= 0 && n >= 0 && at + n <= ch.size(),
       s"hdf5: read [$at, ${at + n}) outside file of ${ch.size()} bytes")
     val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
-    var read = 0
-    while (read < n) {
-      val k = ch.read(b, at + read)
-      require(k > 0, s"hdf5: short read at $at")
-      read += k
-    }
+    PositionedReader.readFully(ch, at, b)
     b.flip()
     b.order(ByteOrder.LITTLE_ENDIAN)
   }

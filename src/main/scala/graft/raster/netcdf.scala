@@ -101,12 +101,7 @@ object NetCdf {
       require(n >= 0 && pos + n <= fileLen,
         s"netcdf: truncated header (need $n bytes at $pos, file $fileLen)")
       val b = ByteBuffer.allocate(n)
-      var off = pos
-      while (b.hasRemaining) {
-        val r = ch.read(b, off)
-        require(r > 0, s"netcdf: short read at $off")
-        off += r
-      }
+      PositionedReader.readFully(ch, pos, b)
       pos += n
       b.flip(); b
     }
@@ -134,12 +129,7 @@ object NetCdf {
     require(at >= 0 && n >= 0 && at + n <= ch.size(),
       s"netcdf: data beyond end of file (offset $at + $n > ${ch.size()})")
     val b = ByteBuffer.allocate(n)
-    var off = at
-    while (b.hasRemaining) {
-      val r = ch.read(b, off)
-      require(r > 0, s"netcdf: short read at $off")
-      off += r
-    }
+    PositionedReader.readFully(ch, at, b)
     b.flip(); b
   }
 

@@ -85,7 +85,9 @@ object GraftFgbTable {
   /** The connector schema from the FIRST file's header — `path` +
     * `fid` + the property columns + `geometry` WKB. */
   def schemaFor(fs: Seq[String]): StructType = {
-    require(fs.nonEmpty, "graft-fgb: no path given")
+    require(fs.nonEmpty, "graft-fgb: no .fgb files to infer a schema " +
+      "from — for a streaming watch over a not-yet-populated directory, " +
+      "pass an explicit .schema(...)")
     val m = FgbMeta.read(fs.head)
     StructType(
       ((StructField("path", StringType, nullable = false) +:
@@ -127,7 +129,9 @@ class GraftFgbTable(paths: Seq[String],
     provided: Option[StructType] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  private lazy val fs = GraftFgbTable.files(paths)
+  // LENIENT listing: a streaming watch may start before the first part
+  // lands; the batch path re-asserts non-emptiness in plannedParts
+  private lazy val fs = GraftFgbTable.filesLenient(paths)
   override def name(): String = s"graft-fgb(${paths.mkString(",")})"
   override def schema(): StructType =
     provided.getOrElse(GraftFgbTable.schemaFor(fs))
@@ -441,6 +445,10 @@ class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
   /** Memoized plan: statistics estimation and execution share one
     * planning pass (header + index reads happen once per scan). */
   private lazy val plannedParts: Array[InputPartition] = {
+    // deferred from table construction (lenient for streaming watches):
+    // a BATCH scan of an archive with no parts is a loud error
+    require(fs.nonEmpty,
+      s"graft-fgb: ${rawPaths.mkString(",")} holds no .fgb files")
     // header/index reads are independent per file and latency-bound on
     // object storage: the same bounded planning pool as graft-raster
     val par = math.min(GraftScan.PlanParallelism, fs.length)

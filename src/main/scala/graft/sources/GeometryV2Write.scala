@@ -9,8 +9,9 @@ import graft.geometry.{FlatGeobuf, FlatGeobufSink, GeomFunctions}
 /** DSv2 write path for the `graft-fgb` connector:
   * `df.write.format("graft-fgb").option("srs", "EPSG:...").save(dir)`
   * emits ONE complete FlatGeobuf file per task —
-  * `part-<partition>.fgb` under `dir` — with each file's own packed
-  * Hilbert R-tree. The connector's read side lists the directory, so
+  * `part-<writeId>-<partition>.fgb` under `dir` (the write-unique id
+  * keeps successive appends from colliding) — with each file's own
+  * packed Hilbert R-tree. The connector's read side lists the directory, so
   * write → read round-trips without a driver funnel: the single-file
   * `FlatGeobufSink` remains for the exchange-format contract (one
   * .fgb), this path is the archive-scale layout (a directory of
@@ -60,11 +61,19 @@ class GraftFgbStreamingWrite(cfg: GraftFgbWrite.Config, schema: StructType)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     GraftFgbStreamingWriterFactory(cfg, schema)
 
+  /** IDEMPOTENT epoch commit: part names are deterministic per
+    * (epoch, partition), so on a restart-replay of an epoch whose
+    * commit crashed midway, a part that already made it to its final
+    * name is the SAME content — treat it as published (drop the
+    * replayed tmp) instead of failing the rename, so the query can
+    * recover instead of crash-looping. */
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case GraftFgbPartWritten(tmp, fin) if tmp.nonEmpty =>
-        graft.io.FileIO.rename(tmp, fin)
+        if (graft.io.FileIO.exists(fin))
+          try graft.io.FileIO.delete(tmp) catch { case _: Exception => () }
+        else graft.io.FileIO.rename(tmp, fin)
       case _ => ()
     }
 
@@ -96,9 +105,14 @@ class GraftFgbBatchWrite(cfg: GraftFgbWrite.Config, schema: StructType)
     schema.fields(geomIdx).dataType == BinaryType,
     "graft-fgb write: the frame needs a binary `geometry` column (WKB)")
 
+  // write-unique component in final part names (what Spark's file
+  // sources do): successive `mode("append")` writes to the same
+  // archive never collide on rename at job commit
+  private val writeId = java.util.UUID.randomUUID().toString.take(8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new GraftFgbWriterFactory(cfg, schema)
+    new GraftFgbWriterFactory(cfg, schema, writeId)
 
   /** Publish: every task wrote its finished file to a `_tmp_` name in
     * the TARGET store; commit renames them into place (one metadata op
@@ -118,11 +132,13 @@ class GraftFgbBatchWrite(cfg: GraftFgbWrite.Config, schema: StructType)
     }
 }
 
-class GraftFgbWriterFactory(cfg: GraftFgbWrite.Config, schema: StructType)
+class GraftFgbWriterFactory(cfg: GraftFgbWrite.Config, schema: StructType,
+    writeId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new GraftFgbPartWriter(cfg, schema, partitionId, taskId)
+    new GraftFgbPartWriter(cfg, schema, partitionId, taskId,
+      f"part-$writeId-$partitionId%05d")
 }
 
 class GraftFgbPartWriter(cfg: GraftFgbWrite.Config, schema: StructType,

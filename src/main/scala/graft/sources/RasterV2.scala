@@ -134,6 +134,28 @@ object GraftRasterTable {
   private def ncKind(path: String): String =
     if (graft.raster.Hdf5.isHdf5(path)) "h5" else "nc"
 
+  /** Kind of ONE concrete dataset path — the streaming replay planner,
+    * which plans from the OFFSET's recorded path set rather than a
+    * fresh listing, so a committed-but-unfinished batch replays exactly
+    * the datasets its offset promised. A path that vanished since the
+    * offset was recorded fails LOUDLY (exact replay needs committed
+    * inputs to stay available), never silently drops. */
+  def kindOf(p: String): String = {
+    import graft.io.FileIO
+    require(FileIO.exists(p),
+      s"graft-raster: dataset $p named by the stream offset no longer " +
+        "exists — exact replay requires committed inputs to stay available")
+    if (FileIO.isDirectory(p)) {
+      require(isZarrStore(p),
+        s"graft-raster: offset dataset $p is a directory but not a Zarr store")
+      "zarr"
+    } else if (isGrib(p)) "grib"
+    else if (isTif(p)) "tif"
+    else if (isNcOrH5(p)) ncKind(p)
+    else throw new IllegalArgumentException(
+      s"graft-raster: offset dataset $p matches no supported raster format")
+  }
+
   /** Expand user paths to concrete (kind, path) datasets. A plain
     * directory expands one level to its GRIB/GeoTIFF/NetCDF/HDF5 files
     * and Zarr stores. */
@@ -813,13 +835,17 @@ class GraftRasterMicroBatchStream(scan: GraftScan)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  /** Plans directly from the OFFSET's path set (kind re-inferred from
+    * each path), NOT from a fresh listing: on restart-replay of a
+    * committed-but-unfinished batch, a dataset deleted since the offset
+    * was recorded fails loudly instead of being silently dropped —
+    * the same exact-replay contract as [[GraftFgbMicroBatchStream]]. */
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val s0 = start.asInstanceOf[GraftRasterOffset].paths
     val s1 = end.asInstanceOf[GraftRasterOffset].paths
-    val fresh = s1 -- s0
-    scan.listNow().filter(d => fresh.contains(d._2)).sortBy(_._2)
-      .flatMap { case (k, p) => scan.planOne(k, p) }.toArray
+    (s1 -- s0).toSeq.sorted
+      .flatMap(p => scan.planOne(GraftRasterTable.kindOf(p), p)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -343,6 +343,105 @@ class GeometryV2Spec extends SparkSpec {
       p.asInstanceOf[graft.sources.GraftFgbPartition].path == near), far)
   }
 
+  test("a streaming watch starts over an EMPTY directory (explicit " +
+      "schema) and emits the first part when it lands") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fgb_empty").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("fid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("geometry",
+        org.apache.spark.sql.types.BinaryType)))
+    // no .fgb parts have landed yet: the watch must START, not throw
+    val q = spark.readStream.format("graft-fgb").schema(schema).load(dir)
+      .select("fid", "name")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fgb_empty_watch").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fgb_empty_watch").count() == 0)
+      val df = Seq((7L, "late", "POINT (1 1)")).toDF("fid", "name", "wkt")
+        .select(col("fid"), col("name"),
+          GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+      FlatGeobufSink.writeStream(df, "EPSG:28992", s"$dir/late.fgb")(sp)
+      q.processAllAvailable()
+      val got = spark.table("fgb_empty_watch").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((7L, "late")), got.mkString(","))
+    } finally q.stop()
+    // a BATCH scan of an empty archive still fails loudly
+    val ex = intercept[Exception] {
+      spark.read.format("graft-fgb").schema(schema)
+        .load(java.nio.file.Files.createTempDirectory("fgb_empty2").toString)
+        .count()
+    }
+    assert(ex.getMessage.contains("holds no .fgb files"), ex.getMessage)
+  }
+
+  test("successive batch appends to one archive never collide on part " +
+      "names; both writes' rows read back") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fgb_append2").toString
+    def frame(base: Long): DataFrame =
+      (0 until 6).map { k =>
+        val x = k * 2.0
+        (base + k, s"r${base + k}",
+          s"POLYGON (($x 0, ${x + 1} 0, ${x + 1} 1, $x 1, $x 0))")
+      }.toDF("fid", "name", "wkt")
+        .select(col("fid"), col("name"),
+          GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+    frame(0L).repartition(2).write.format("graft-fgb")
+      .option("srs", "EPSG:28992").mode("append").save(dir)
+    // the second append reuses partition ids 0..1 — write-unique names
+    // must keep the job commit from colliding with the first write
+    frame(100L).repartition(2).write.format("graft-fgb")
+      .option("srs", "EPSG:28992").mode("append").save(dir)
+    val got = spark.read.format("graft-fgb").load(dir)
+      .select("fid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L until 6L) ++ (100L until 106L)).toSeq,
+      got.mkString(","))
+    val names = new java.io.File(dir).listFiles.map(_.getName)
+    assert(names.forall(n => n.startsWith("part-") && n.endsWith(".fgb")),
+      names.mkString(","))
+    assert(names.length == 4, names.mkString(","))
+  }
+
+  test("streaming epoch commit is idempotent: a replayed commit whose " +
+      "part already published drops the tmp instead of failing") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fgb_replay").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("geometry",
+        org.apache.spark.sql.types.BinaryType)))
+    val w = new graft.sources.GraftFgbStreamingWrite(
+      graft.sources.GraftFgbWrite.config(dir, Map("srs" -> "EPSG:28992")),
+      schema)
+    // simulate a crash between renames: the part is already at its
+    // final name, the replayed epoch re-offers the same (tmp, fin)
+    val fin = s"$dir/part-000001-00000.fgb"
+    val tmp = s"$dir/_tmp_part-000001-00000-42.tmp"
+    graft.io.FileIO.writeAll(fin, Array[Byte](1, 2, 3))
+    graft.io.FileIO.writeAll(tmp, Array[Byte](1, 2, 3))
+    w.commit(1L, Array(graft.sources.GraftFgbPartWritten(tmp, fin)))
+    assert(graft.io.FileIO.exists(fin))
+    assert(!graft.io.FileIO.exists(tmp), "replayed tmp must be dropped")
+    // and a FRESH part still publishes by rename
+    val fin2 = s"$dir/part-000002-00000.fgb"
+    val tmp2 = s"$dir/_tmp_part-000002-00000-43.tmp"
+    graft.io.FileIO.writeAll(tmp2, Array[Byte](9))
+    w.commit(2L, Array(graft.sources.GraftFgbPartWritten(tmp2, fin2)))
+    assert(graft.io.FileIO.exists(fin2) && !graft.io.FileIO.exists(tmp2))
+  }
+
   test("an archive with drifting property layouts fails loudly at planning") {
     val sp = spark
     import sp.implicits._

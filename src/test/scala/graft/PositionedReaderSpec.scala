@@ -175,6 +175,48 @@ class PositionedReaderSpec extends SparkSpec {
     assert(z.length == 1 && z(0).getSeq[Double](3) == Seq(0.0, 1.0, 2.0, 3.0))
   }
 
+  test("readFully: 0-byte reads retry (legal short transfer, not EOF), " +
+      "a negative return is EOF, an endless 0 stream fails loudly") {
+    // a backend that answers every other call with a legal 0-byte
+    // transfer — readFully must ride through and still fill the buffer
+    class Stutter(data: Array[Byte]) extends PositionedReader {
+      var calls = 0
+      override def size(): Long = data.length.toLong
+      override def read(dst: ByteBuffer, position: Long): Int = {
+        calls += 1
+        if (position >= data.length) return -1
+        if (calls % 2 == 1) return 0 // legal: nothing transferred
+        val n = math.min(dst.remaining(), data.length - position.toInt)
+        dst.put(data, position.toInt, n)
+        n
+      }
+      override def close(): Unit = ()
+    }
+    val payload = Array.tabulate[Byte](32)(_.toByte)
+    val b = ByteBuffer.allocate(16)
+    val end = PositionedReader.readFully(new Stutter(payload), 8L, b)
+    assert(end == 24L)
+    assert(b.array().toSeq == payload.slice(8, 24).toSeq)
+    // past EOF -> EOFException (negative return), not a hang
+    intercept[java.io.EOFException] {
+      PositionedReader.readFully(new Stutter(payload), 40L,
+        ByteBuffer.allocate(4))
+    }
+    // a transport stuck at 0 forever fails loudly instead of spinning
+    class Stuck extends PositionedReader {
+      override def size(): Long = 100L
+      override def read(dst: ByteBuffer, position: Long): Int = 0
+      override def close(): Unit = ()
+    }
+    val ex = intercept[java.io.IOException] {
+      PositionedReader.readFully(new Stuck, 0L, ByteBuffer.allocate(4))
+    }
+    assert(ex.getMessage.contains("stuck"), ex.getMessage)
+    // the FlatGeobuf read primitive rides the same semantics
+    val viaFgb = graft.geometry.FgbMeta.readAt(new Stutter(payload), 4L, 8)
+    assert(viaFgb.toSeq == payload.slice(4, 12).toSeq)
+  }
+
   test("positional geometry codecs (shapefile, GeoPackage, MapInfo TAB) " +
       "decode file:// URLs identically to local paths") {
     val sp = spark

@@ -422,6 +422,43 @@ class RasterV2Spec extends SparkSpec {
     assert(graft.sources.GraftRasterOffset.fromJson(off.json()) == off)
   }
 
+  test("streaming replay plans from the OFFSET's path set: a dataset " +
+      "deleted after commit fails loudly, never silently drops") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_dsv2_replay").toString
+    val w = 4; val h = 2
+    def land(name: String): Unit =
+      graft.raster.Grib.write(s"$dir/$name", Seq.tabulate(2)(t =>
+        Array.tabulate(w * h)(i => t * 100.0 + i)), w, h,
+        Double.MaxValue, Seq(0L, 3600000L), 0.0, 0.0, 0.05)
+    land("a.grib2"); land("b.grib2")
+    val df = sp.read.format("graft-raster").load(dir)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.get
+    val mbs = scan.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsReportStatistics] // just to prove it's our scan
+    assert(mbs != null)
+    val stream = scan.toMicroBatchStream(
+      Files.createTempDirectory("ck").toString)
+    val s0 = graft.sources.GraftRasterOffset(Set(s"$dir/a.grib2"))
+    val s1 = graft.sources.GraftRasterOffset(
+      Set(s"$dir/a.grib2", s"$dir/b.grib2"))
+    // normal replay: exactly b's frames, planned from the offset diff
+    val parts = stream.asInstanceOf[graft.sources.GraftRasterMicroBatchStream]
+      .planInputPartitions(s0, s1)
+    assert(parts.length == 2, parts.length) // two frames of b.grib2
+    // b vanishes after the offset was recorded: the batch MUST fail
+    // loudly (exact-replay contract), not plan around the hole
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/b.grib2"))
+    val ex = intercept[Exception] {
+      stream.asInstanceOf[graft.sources.GraftRasterMicroBatchStream]
+        .planInputPartitions(s0, s1)
+    }
+    assert(ex.getMessage.contains("no longer exists"), ex.getMessage)
+  }
+
   test("end-to-end streaming pipeline: raster watcher -> streaming Zarr " +
       "write, each epoch extends the time axis") {
     val sp = spark
