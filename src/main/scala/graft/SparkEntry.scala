@@ -1941,6 +1941,22 @@ object SparkEntry {
       s.catalog.dropTempView(name)
       res
     }),
+    "g36_dsv2_fgb_propfilter" -> ((s, dir) => {
+      // the reference's equality property filters
+      // (geometry/sources.py:109-121) through the connector: the
+      // predicate pushes into the scan (explain shows `pushed props`),
+      // the reader evaluates it on decoded properties BEFORE the
+      // geometry decode, and the residual Catalyst filter keeps the
+      // semantics exact
+      implicit val sp: SparkSession = s
+      val p = partSquares(dir)
+      val out = java.nio.file.Files.createTempDirectory("verify_fgb_pf")
+        .resolve("parts.fgb").toString
+      GeometryToFile.toFile(p, out)
+      s.read.format("graft-fgb").load(out)
+        .filter(col("p_size") === 25)
+        .select(col("fid"), col("p_size"))
+    }),
     "g33_dsv2_fgb_write" -> ((s, dir) => {
       // archive-scale write → read round-trip: one internally-indexed
       // .fgb per executor task (no driver funnel, unlike the single-file
@@ -2337,6 +2353,12 @@ object SparkEntry {
     "g35_dsv2_fgb_stream" ->
       """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size
         |FROM part""".stripMargin,
+    // equality property filter pushed into the connector scan — the
+    // predicate's SQL meaning is a plain WHERE equality
+    "g36_dsv2_fgb_propfilter" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size
+        |FROM part
+        |WHERE p_size = 25""".stripMargin,
     // the per-task write must not change a single answer: same bbox,
     // same inequalities, now against the connector-written archive
     "g33_dsv2_fgb_write" ->

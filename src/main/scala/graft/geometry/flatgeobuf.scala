@@ -1072,6 +1072,29 @@ object FgbMeta {
       }
     (g, props)
   }
+
+  /** Properties-only decode — the pushed-filter fast path: an equality
+    * predicate on a property column is evaluated BEFORE the (dominant)
+    * geometry decode, so non-matching features never pay for it. */
+  def decodeProps(buf: Array[Byte], colTypes: Array[Int]): Array[Any] = {
+    val root = Fb.i32(buf, 4) + 4
+    val propsF = Fb.field(buf, root, 1)
+    if (propsF == 0) new Array[Any](colTypes.length)
+    else {
+      val (pp, pn) = Fb.vector(buf, propsF)
+      decodeProperties(buf, pp, pn, colTypes)
+    }
+  }
+
+  /** Geometry-only decode (properties untouched) — the second half of
+    * the filtered read, run only for features that passed [[decodeProps]]
+    * evaluation. */
+  def decodeGeom(buf: Array[Byte]): Geometry = {
+    val root = Fb.i32(buf, 4) + 4
+    val geomF = Fb.field(buf, root, 0)
+    if (geomF == 0) null
+    else readGeometry(buf, Fb.indirect(buf, geomF), GtUnknown)
+  }
 }
 
 /** Distributed FlatGeobuf reader. The driver reads header + packed R-tree

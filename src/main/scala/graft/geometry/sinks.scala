@@ -160,14 +160,21 @@ case class GeoParquetSource(url: String, proj: String = "EPSG:28992") extends Ge
   override lazy val columns: Set[String] = {
     val carriers = Set("fid", "geometry_wkt",
       "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy")
-    val part = Option(new java.io.File(url).listFiles).toSeq.flatten
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).headOption
+    // scheme-aware listing (FileIO), matching every other codec: a
+    // hdfs://-/s3a://-qualified store probes its footer through the
+    // same positioned path the data read uses
+    val part =
+      (if (graft.io.FileIO.exists(url) && graft.io.FileIO.isDirectory(url))
+        graft.io.FileIO.list(url) else Seq.empty)
+        .filter(_.endsWith(".parquet")).sorted.headOption
     part match {
       case None => Set("geometry")
       case Some(f) =>
+        val conf = org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
-          new org.apache.hadoop.conf.Configuration())
+          new org.apache.hadoop.fs.Path(f), conf)
         val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           val schema = rdr.getFileMetaData.getSchema

@@ -39,6 +39,11 @@ import graft.geometry.{FgbMeta, FlatGeobuf, GeomFunctions}
   *   - column pruning reaches the payload: an unrequested `geometry`
   *     is never decoded (the dominant per-feature cost), and property
   *     bytes are skipped wholesale when only `path`/`fid` survive.
+  *   - equality predicates on property columns (the reference's
+  *     property filters, `geometry/sources.py:109-121`) are evaluated
+  *     in the reader BEFORE geometry decode — non-matching features
+  *     never pay the geometry cost; the predicate also stays residual
+  *     so Catalyst keeps exact semantics.
   *
   * All byte access goes through [[graft.io.PositionedReader]] —
   * planning reads header (+ index for bbox survivors) only, executors
@@ -192,6 +197,23 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
   private var qx0 = -Double.MaxValue; private var qy0 = -Double.MaxValue
   private var qx1 = Double.MaxValue; private var qy1 = Double.MaxValue
   private var pushed: Array[Filter] = Array.empty
+  // pushed property equality predicates (reference equality property
+  // filters, geometry/sources.py:109-121): evaluated in the READER
+  // before geometry decode, so non-matching features skip the dominant
+  // per-feature cost
+  private var propEq: Seq[(String, Any)] = Nil
+  // strict envelope bounds make the planned hit set a (tie-only)
+  // SUPERSET — then a pushed LIMIT must not truncate planning
+  private var inexactPlan = false
+
+  /** Property columns eligible for equality pushdown: everything but
+    * the synthesized/virtual columns, and only types whose decoded
+    * value compares with the pushed literal by value equality (binary
+    * and timestamp columns keep their exact Catalyst evaluation). */
+  private val propCols: Set[String] = full.fields
+    .filterNot(f => f.dataType == BinaryType || f.dataType == TimestampType)
+    .map(_.name).toSet --
+    Set("path", "fid", "geometry", "crs") -- GraftFgbTable.EnvCols
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val accepted = filters.filter {
@@ -199,6 +221,7 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
       case GreaterThan(c, _: Double)        => c == "env_maxx" || c == "env_maxy"
       case LessThanOrEqual(c, _: Double)    => c == "env_minx" || c == "env_miny"
       case LessThan(c, _: Double)           => c == "env_minx" || c == "env_miny"
+      case EqualTo(c, v)                    => propCols.contains(c) && v != null
       case _ => false
     }
     accepted.foreach {
@@ -206,13 +229,14 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
       // window is a (tie-only) superset and EVERY filter stays residual
       // below, so Catalyst re-applies the exact predicate
       case GreaterThanOrEqual("env_maxx", v: Double) => qx0 = math.max(qx0, v)
-      case GreaterThan("env_maxx", v: Double)        => qx0 = math.max(qx0, v)
+      case GreaterThan("env_maxx", v: Double)        => qx0 = math.max(qx0, v); inexactPlan = true
       case GreaterThanOrEqual("env_maxy", v: Double) => qy0 = math.max(qy0, v)
-      case GreaterThan("env_maxy", v: Double)        => qy0 = math.max(qy0, v)
+      case GreaterThan("env_maxy", v: Double)        => qy0 = math.max(qy0, v); inexactPlan = true
       case LessThanOrEqual("env_minx", v: Double)    => qx1 = math.min(qx1, v)
-      case LessThan("env_minx", v: Double)           => qx1 = math.min(qx1, v)
+      case LessThan("env_minx", v: Double)           => qx1 = math.min(qx1, v); inexactPlan = true
       case LessThanOrEqual("env_miny", v: Double)    => qy1 = math.min(qy1, v)
-      case LessThan("env_miny", v: Double)           => qy1 = math.min(qy1, v)
+      case LessThan("env_miny", v: Double)           => qy1 = math.min(qy1, v); inexactPlan = true
+      case EqualTo(c, v) => propEq :+= (c -> v)
       case _ => ()
     }
     pushed = accepted
@@ -252,8 +276,22 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
           math.min(a1, c1), math.min(b1, d1)))
       case (a, b) => a.orElse(b)
     }
-    val base = new GraftFgbScan(fs, rawPaths, full, required, eff, limit)
-    if (countOnly) new GraftFgbCountScan(base) else base
+    // a pushed LIMIT may only truncate planning when every planned
+    // candidate is a guaranteed hit: reader-side equality filters and
+    // strict envelope ties both make the candidate set a superset, and
+    // truncating a superset can return fewer matches than exist
+    val effLimit =
+      if (propEq.nonEmpty || inexactPlan) Int.MaxValue else limit
+    val base = new GraftFgbScan(fs, rawPaths, full, required, eff,
+      effLimit, propEq)
+    if (countOnly) {
+      // Spark offers complete-agg pushdown only when no residual filter
+      // remains, and every filter here stays residual — so a candidate
+      // count can never silently overcount past reader-side predicates
+      require(propEq.isEmpty && !inexactPlan,
+        "graft-fgb: complete count pushdown with reader-side filters")
+      new GraftFgbCountScan(base)
+    } else base
   }
 }
 
@@ -297,13 +335,15 @@ case class GraftFgbCountPartition(n: Long) extends InputPartition
 case class GraftFgbPartition(path: String, offs: Array[Long],
     lens: Array[Int], items: Array[Int], colTypes: Array[Int],
     fidCol: Int, attrNames: Array[String], attrPos: Array[Int],
-    crs: String = null)
+    crs: String = null,
+    propEq: Array[(Int, Any)] = Array.empty)
     extends InputPartition
 
 class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
     full: StructType,
     required: StructType, bbox: Option[(Double, Double, Double, Double)],
-    limit: Int = Int.MaxValue)
+    limit: Int = Int.MaxValue,
+    propEq: Seq[(String, Any)] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -382,6 +422,9 @@ class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
     "graft-fgb " +
       bbox.map { case (x0, y0, x1, y1) =>
         s"pushed bbox [$x0, $y0, $x1, $y1]$resolvedDesc, " }.getOrElse("") +
+      (if (propEq.isEmpty) ""
+      else propEq.map { case (c, v) => s"$c = $v" }
+        .mkString("pushed props [", ", ", "], ")) +
       s"columns [${required.fieldNames.mkString(",")}]"
 
   /** ~32 MB of feature bytes per partition (the block source's split
@@ -422,6 +465,13 @@ class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
       if (n == "fid") "fid_attr" else n
     }
     val colTypes = m.cols.map(_._2).toArray
+    // pushed equality predicates resolved to THIS file's property
+    // positions (schema agreement is enforced above, so names resolve)
+    val eqPos: Array[(Int, Any)] = propEq.map { case (c, v) =>
+      val k = attrNames.indexOf(c)
+      require(k >= 0, s"graft-fgb: pushed filter column $c absent in $p")
+      (attrPos(k), v)
+    }.toArray
     val groups = scala.collection.mutable.ArrayBuffer[Seq[(Long, Int)]]()
     var cur = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
     var curBytes = 0L
@@ -438,7 +488,7 @@ class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
         g.map(c => m.featStart + c._1).toArray,
         g.map(c => FgbMeta.featureLen(m, c._1, c._2).toInt).toArray,
         g.map(_._2).toArray, colTypes, fidCol, attrNames, attrPos,
-        m.crs.orNull)
+        m.crs.orNull, eqPos)
     }
   }
 
@@ -532,8 +582,26 @@ class GraftFgbReader(p: GraftFgbPartition, columns: Array[String])
   private val posByName: Map[String, Int] =
     p.attrNames.zip(p.attrPos).toMap
   private var i = -1
+  // with pushed equality predicates, next() decodes PROPERTIES ONLY and
+  // advances past non-matching features — geometry (the dominant decode
+  // cost) is paid in get() for matches alone
+  private val hasEq = p.propEq.nonEmpty
+  private var eqProps: Array[Any] = null
 
-  override def next(): Boolean = { i += 1; i < p.offs.length }
+  override def next(): Boolean = {
+    i += 1
+    if (!hasEq) return i < p.offs.length
+    while (i < p.offs.length) {
+      val props = FgbMeta.decodeProps(featureBytes(i), p.colTypes)
+      if (p.propEq.forall { case (pos, v) =>
+          java.util.Objects.equals(props(pos), v) }) {
+        eqProps = props
+        return true
+      }
+      i += 1
+    }
+    false
+  }
 
   // COALESCED run reads: Hilbert layout makes candidate features
   // contiguous on disk, so instead of one ranged read per feature the
@@ -562,7 +630,10 @@ class GraftFgbReader(p: GraftFgbPartition, columns: Array[String])
 
   override def get(): InternalRow = {
     val (g, props) =
-      if (wantGeometry || wantProps)
+      if (hasEq)
+        (if (wantGeometry) FgbMeta.decodeGeom(featureBytes(i)) else null,
+          eqProps)
+      else if (wantGeometry || wantProps)
         FgbMeta.decodeFeature(featureBytes(i), p.colTypes, wantGeometry)
       else (null, null)
     new GenericInternalRow(columns.map[Any] {

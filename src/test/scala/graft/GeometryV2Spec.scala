@@ -343,6 +343,42 @@ class GeometryV2Spec extends SparkSpec {
       p.asInstanceOf[graft.sources.GraftFgbPartition].path == near), far)
   }
 
+  test("property equality predicates push into the scan: evaluated " +
+      "before geometry decode, visible in the plan, exact results") {
+    val (dir, _, _) = archive
+    val df = spark.read.format("graft-fgb").load(dir)
+      .filter(col("name") === "sq7")
+      .select("fid", "name", "score", "geometry")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed props [name = sq7]"), plan)
+    // both files carry a sq7 (fid 7); values decode exactly
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2))).sorted.toSeq
+    assert(got == Seq((7L, "sq7", 10.5), (7L, "sq7", 10.5)), got)
+    // numeric property equality too, composed with bbox pruning
+    val num = spark.read.format("graft-fgb")
+      .option("bbox", "-10,-10,500,500").load(dir)
+      .filter(col("score") === 3.0).select("fid")
+    assert(num.queryExecution.executedPlan.toString
+      .contains("pushed props [score = 3.0]"))
+    assert(num.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // a pushed LIMIT must NOT truncate planning under reader-side
+    // filters: all matches still come back
+    val lim = spark.read.format("graft-fgb").load(dir)
+      .filter(col("name") === "sq7").select("fid").limit(2)
+    assert(lim.collect().length == 2)
+    // no match -> empty, not an error
+    assert(spark.read.format("graft-fgb").load(dir)
+      .filter(col("name") === "nope").count() == 0)
+    // count(*) under a residual filter goes through the NORMAL scan
+    // (never the complete-agg candidate count)
+    val cnt = spark.read.format("graft-fgb").load(dir)
+      .filter(col("name") === "sq7")
+    assert(!cnt.groupBy().count().queryExecution.executedPlan.toString
+      .contains("complete agg"))
+    assert(cnt.count() == 2)
+  }
+
   test("a streaming watch starts over an EMPTY directory (explicit " +
       "schema) and emits the first part when it lands") {
     val sp = spark

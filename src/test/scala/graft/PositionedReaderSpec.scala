@@ -233,5 +233,21 @@ class PositionedReaderSpec extends SparkSpec {
       GeometryToFile.toFile(src, s"$dir/$name")
       assert(rows(s"file://$dir/$name") == rows(s"$dir/$name"), name)
     }
+    // geoparquet: the schema PROBE (parquet footer of one part) must be
+    // scheme-aware like the data path — columns and rows agree across
+    // bare and file:// URLs
+    val store = s"$dir/gp_store"
+    GeometryToFile.toFile(src, store)
+    val local = GeoParquetSource(store)
+    val scheme = GeoParquetSource(s"file://$store")
+    assert(scheme.columns == local.columns, scheme.columns)
+    assert(scheme.columns.contains("geometry") && scheme.columns.size > 1,
+      scheme.columns)
+    def gpRows(s: GeoParquetSource): Seq[(Long, String)] =
+      s.frame(GeometryRequest())(sp)
+        .select(col("fid"),
+          GeomFunctions.stAsWkt(col("geometry")).as("wkt"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(gpRows(scheme) == gpRows(local))
   }
 }
