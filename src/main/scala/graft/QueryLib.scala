@@ -43,8 +43,13 @@ object QueryLib {
       case _ => df
     }
 
-  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    // input-size-derived shuffle parallelism (memoized per dir): a
+    // session tuned for one data decade survives the next without
+    // hand-set configs — see graft.Tuning
+    Tuning.autoConfigure(s, dir)
     normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
+  }
 
   // ---------------------------------------------------------------- raster
   case class EventsGrid(n: Long, frames: Int, w: Int, h: Int) {

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Input-size-derived shuffle parallelism, wired into the engine's
+  * table entry points (`QueryLib.tbl` and the block sources' planning)
+  * so a session needs NO hand-set `spark.sql.shuffle.partitions` to
+  * survive a data-decade change.
+  *
+  * The mechanism is Spark's own: Adaptive Query Execution coalesces
+  * shuffle partitions DOWN from
+  * `spark.sql.adaptive.coalescePartitions.initialPartitionNum` to the
+  * advisory partition size using REAL runtime shuffle bytes — but it
+  * can never scale UP past the initial number, so an initial count
+  * sized for laptop data quietly serializes a 10×-bigger input into
+  * 10×-bigger per-task hash state that spills (the round-9 soak
+  * measured 25–34% of sf10 wall-clock lost to exactly this). The
+  * policy therefore raises ONLY the initial number, proportional to
+  * the bytes the query will scan, and leaves the final partition
+  * counts to AQE: small stages still coalesce to a handful of tasks,
+  * big stages get enough reducers that per-task state stays constant
+  * across input decades.
+  *
+  * Scale story: at 100 TB the same formula asks for (100 TB × 16) /
+  * 64 MB ≈ 26 M initial partitions, clamped to [[MaxInitial]] — the
+  * operating range real clusters run (shuffle-file fan-out per map
+  * task is the only cost of a generous initial count under AQE).
+  *
+  * Escape hatch: `-Dgraft.tuning.auto=false` disables the policy; an
+  * explicitly configured `initialPartitionNum` is never lowered.
+  */
+object Tuning {
+
+  /** AQE's advisory partition size default (64 MB): the byte budget one
+    * reduce task should see after coalescing. */
+  val AdvisoryBytes: Long = 64L << 20
+
+  /** Shuffle-byte expansion over columnar input: snappy parquet
+    * decompresses ~3–4×, row-oriented shuffle records add ~2×, and the
+    * text lanes' n-gram explodes multiply again — 16× keeps the initial
+    * count ABOVE the AQE-optimal reducer count (over-provision is
+    * coalesced away; under-provision cannot be repaired at runtime). */
+  val ExpansionFactor: Int = 16
+
+  /** Ceiling on the initial partition count this policy will request.
+    * High enough for the ~100 TB operating point after clamping; low
+    * enough that map-side shuffle-file fan-out stays sane. */
+  val MaxInitial: Int = 262144
+
+  /** The policy formula: one initial shuffle partition per
+    * [[AdvisoryBytes]] of EXPANDED input, never below the session's
+    * parallelism (every core gets work even on tiny inputs), never
+    * above [[MaxInitial]]. */
+  def initialShufflePartitions(inputBytes: Long, parallelism: Int): Int = {
+    val want = math.ceil(
+      inputBytes.toDouble * ExpansionFactor / AdvisoryBytes).toLong
+    math.min(math.max(want, parallelism.toLong), MaxInitial.toLong).toInt
+  }
+
+  /** Total bytes of the parquet input at `path` — one table (a
+    * `.parquet` file or part-file store) or a DIRECTORY of tables. One
+    * listing; the number only steers parallelism, so staleness is
+    * harmless. */
+  def inputBytes(path: String): Long = {
+    import graft.io.FileIO
+    if (!FileIO.exists(path)) return 0L
+    def sizeOf(p: String): Long =
+      if (FileIO.isDirectory(p))
+        FileIO.list(p).filter(f => !FileIO.name(f).startsWith(".") &&
+          !FileIO.name(f).startsWith("_")).map(sizeOf).sum
+      else FileIO.size(p)
+    if (FileIO.isDirectory(path) && !path.toLowerCase.endsWith(".parquet"))
+      FileIO.list(path)
+        .filter(_.toLowerCase.endsWith(".parquet")).map(sizeOf).sum
+    else sizeOf(path)
+  }
+
+  private val applied =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Apply the policy for queries over the tables at `dir` (memoized
+    * per (session, dir); called from the engine's table entry points).
+    * Raises — never lowers — the AQE initial partition count, and
+    * leaves `spark.sql.shuffle.partitions` itself untouched so
+    * non-adaptive paths keep the user's setting. */
+  def autoConfigure(spark: SparkSession, dir: String): Unit = {
+    if (sys.props.get("graft.tuning.auto").contains("false")) return
+    val key = (System.identityHashCode(spark).toString, dir)
+    if (!applied.add(key)) return
+    val n = initialShufflePartitions(inputBytes(dir),
+      spark.sparkContext.defaultParallelism)
+    val cur = spark.conf
+      .getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      .map(_.toInt)
+      .getOrElse(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    if (n > cur) {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        n.toString)
+    }
+  }
+}

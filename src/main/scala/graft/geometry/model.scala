@@ -144,6 +144,8 @@ case class TableGeometrySource(
   override def projection: String = proj
 
   override def frame(req: GeometryRequest)(implicit spark: SparkSession): DataFrame = {
+    // input-size-derived shuffle parallelism (memoized; see graft.Tuning)
+    graft.Tuning.autoConfigure(spark, path)
     var df = spark.read.parquet(path)
     df = df.select((expr(fidExpr).cast("long").as("fid") +:
       columnNames.map(c => expr(c))) ++

@@ -211,6 +211,8 @@ case class TableRasterSource(
     }
     val nTx = TileLayout.tilesX(rw)
     val nTiles = TileLayout.numTiles(rw, rh)
+    // input-size-derived shuffle parallelism for the cell pivot
+    graft.Tuning.autoConfigure(spark, path)
     val df = spark.read.parquet(path)
       .select(expr(idExpr).cast("long").as("id"),
         when(expr(noDataFilter), lit(nd)).otherwise(expr(valueExpr).cast("double")).as("v"))

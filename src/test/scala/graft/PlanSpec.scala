@@ -287,4 +287,48 @@ class PlanSpec extends SparkSpec {
     // a SinglePartition window would serialize the corpus on one task
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("shuffle parallelism scales with input size through AQE's " +
+      "initial partition count, never down, with an off switch") {
+    // the formula: floor at the session parallelism, ∝ bytes above it,
+    // hard cap — the 100 TB point lands ON the cap, not above it
+    assert(Tuning.initialShufflePartitions(0L, 32) == 32)
+    assert(Tuning.initialShufflePartitions(17L << 20, 32) == 32) // sf0.1
+    val sf10 = Tuning.initialShufflePartitions(1600L << 20, 32)
+    assert(sf10 >= 256 && sf10 <= 1024, sf10) // ~400: the r9-measured zone
+    assert(Tuning.initialShufflePartitions(100L << 40, 1000) ==
+      Tuning.MaxInitial)
+    // monotone in bytes
+    assert(Tuning.initialShufflePartitions(10L << 30, 32) >= sf10)
+    // autoConfigure: raises the AQE initial count for a big-enough dir
+    // (memoized per (session, dir)) and leaves shuffle.partitions alone
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val big = java.nio.file.Files.createTempDirectory("tune_big").toString
+    val pad = new Array[Byte](200 << 20) // 200 MB -> 16x expansion = 50 init
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$big/t.parquet"), pad)
+    try {
+      Tuning.autoConfigure(spark, big)
+      val n = spark.conf
+        .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt
+      assert(n == Tuning.initialShufflePartitions(200L << 20,
+        spark.sparkContext.defaultParallelism), n)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(spark.conf
+        .get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+      // a small dir NEVER lowers an already-raised count
+      Tuning.autoConfigure(spark, dir)
+      assert(spark.conf
+        .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        .toInt >= n)
+      // and AQE actually coalesces a small shuffle back down: the
+      // executed plan carries AQEShuffleRead with few partitions
+      val df = QueryLib.tbl(spark, dir, "customer")
+        .groupBy("c_mktsegment").count()
+      df.collect()
+      val ep = df.queryExecution.executedPlan.toString
+      assert(ep.contains("AQEShuffleRead"), ep.take(1500))
+    } finally spark.conf.unset(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+  }
 }
