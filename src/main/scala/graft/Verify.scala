@@ -12,14 +12,23 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[4,8,4096] runs the SAME contract
+    // multi-JVM (separate executor processes) to flush single-JVM
+    // assumptions — broadcast thresholds, lineage, task-commit races
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // local-cluster executors are separate JVMs launched from SPARK_HOME:
+    // they need this build's classes on their classpath
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath",
+        sys.props.getOrElse("java.class.path", ""))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

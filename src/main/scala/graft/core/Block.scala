@@ -282,8 +282,23 @@ object BlockRegistry {
       classOf[FillNoData]))
     aliasAll("dask_geomodeling.raster.misc", Seq(
       classOf[Clip], classOf[Mask], classOf[MaskBelow], classOf[Step],
-      classOf[Classify], classOf[Reclassify], classOf[Rasterize],
-      classOf[RasterizeWKT]))
+      classOf[Classify], classOf[Reclassify], classOf[RasterizeWKT]))
+    // Rasterize serializes (source, column_name, dtype, limit)
+    // (raster/misc.py:548-560): dtype defaults by column presence, and
+    // `limit` is the reference's feature-count guard — the engine guards
+    // through RequestGuards instead, so the value is accepted and dropped
+    register("dask_geomodeling.raster.misc.Rasterize") { args =>
+      def opt(v: Any): Option[String] = v match {
+        case null | None => None
+        case Some(x) => Some(x.toString)
+        case x => Some(x.toString)
+      }
+      val colName = opt(args.lift(1).orNull)
+      val dtype = opt(args.lift(2).orNull)
+        .getOrElse(if (colName.isEmpty) "bool" else "int32")
+      Rasterize(args.head.asInstanceOf[graft.geometry.GeometryBlock],
+        colName, dtype)
+    }
     aliasAll("dask_geomodeling.raster.temporal", Seq(
       classOf[Snap], classOf[Shift], classOf[TemporalSum],
       classOf[TemporalAggregate], classOf[Cumulative], classOf[Resample]))

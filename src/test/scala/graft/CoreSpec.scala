@@ -171,6 +171,67 @@ class GeometrySerdeSpec extends SparkSpec {
     assert(place.store.asInstanceOf[AnyRef] eq src.asInstanceOf[AnyRef])
   }
 
+  test("reference-emitted rasterize/focal view constructs with argument " +
+      "fidelity (null limit, nested-list data, focal params)") {
+    val v = BlockRegistry.fromJson(referenceView("rasterize_focal.json"))
+    val hs = v.asInstanceOf[HillShade]
+    assert(hs.altitude == 30.0 && hs.azimuth == 200.0 && hs.fill == 1.0)
+    val sm = hs.store.asInstanceOf[Smooth]
+    assert(sm.size == 50.0 && sm.fill == 5.0)
+    val dil = sm.store.asInstanceOf[Dilate]
+    assert(dil.values == Seq(10.0))
+    val rc = dil.store.asInstanceOf[Reclassify]
+    assert(rc.select)
+    assert(rc.data == Seq((1.0, 10.0), (2.0, 20.0)))
+    val rz = rc.store.asInstanceOf[Rasterize]
+    assert(rz.columnName.contains("class") && rz.dtypeName == "int32")
+    assert(rz.source.asInstanceOf[graft.geometry.GeometryFileSource]
+      .url == "/data/land.gpkg")
+  }
+
+  test("reference-emitted field-op chain: variadic SetSeriesBlock pairs " +
+      "fold, one shared source instance everywhere") {
+    import graft.geometry._
+    // GetSeriesBlock validates columns EAGERLY against the file (the
+    // reference does the same via pyogrio.read_info in __init__), so
+    // the view needs a real store: write one and point the view at it
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("view_zones")
+    val gpkg = s"$dir/zones.gpkg"
+    GeoPackageSink.writeStream(
+      Seq((1L, 2.5, true, 0.0, 10.0, "POINT (1 1)"))
+        .toDF("fid", "value", "flag", "lo", "hi", "wkt")
+        .select(col("fid"), col("value"), col("flag"), col("lo"), col("hi"),
+          GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry")),
+      "EPSG:28992", gpkg)(sp)
+    val view = referenceView("geometry_field_chain.json")
+      .replace("file:///data/zones.gpkg", gpkg)
+    val v = BlockRegistry.fromJson(view)
+    // two (column, value) pairs fold to a chain, LAST pair outermost
+    val outer = v.asInstanceOf[SetSeriesBlock]
+    assert(outer.name == "bucket")
+    val cfc = outer.series.asInstanceOf[FieldOps.ClassifyFromColumns]
+    assert(cfc.valueColumn == "value" && cfc.binColumns == Seq("lo", "hi"))
+    assert(cfc.labels == Seq("a", "b", "c") && !cfc.right)
+    val inner = outer.source.asInstanceOf[SetSeriesBlock]
+    assert(inner.name == "rounded")
+    val rnd = inner.series.asInstanceOf[FieldOps.Round]
+    assert(rnd.decimals == 2)
+    val wh = rnd.source.asInstanceOf[FieldOps.Where]
+    assert(wh.other == 0.0)
+    assert(wh.cond.asInstanceOf[GetSeriesBlock].name == "flag")
+    assert(wh.source.asInstanceOf[GetSeriesBlock].name == "value")
+    val src = inner.source.asInstanceOf[GeometryFileSource]
+    assert(src.url == gpkg && src.layer.contains("zones"))
+    // construct_multiple sharing: every consumer of the file source gets
+    // the SAME instance
+    assert(cfc.source.asInstanceOf[AnyRef] eq src.asInstanceOf[AnyRef])
+    assert(wh.cond.asInstanceOf[GetSeriesBlock].source
+      .asInstanceOf[AnyRef] eq src.asInstanceOf[AnyRef])
+  }
+
   test("DummyBlock masquerades as the node it replaces (test_core.py:61-73)") {
     // tokenize_dummy: same name, same token as the real block
     val real = RasterFixtures.source

@@ -190,6 +190,36 @@ def build_graphs():
                           [1.0, 5.0, 25.0], ['low', 'mid', 'high', 'top'])
     views['zonal_classify'] = SetSeriesBlock(agg, 'class', cls)
 
+    # rasterize_focal: HillShade(Smooth(Dilate(Reclassify(Rasterize(land,
+    #   'class', 'int32'), [[1,10],[2,20]], select), [10]), 50, fill=5),
+    #   30, 200, 1) — pins Rasterize's null limit, Reclassify's
+    #   nested-list data + select flag, Dilate's values list, Smooth's
+    #   fill, HillShade's float coercions
+    land = gsources.GeometryFileSource('/data/land.gpkg')
+    rz = misc.Rasterize(land, column_name='class', dtype='int32')
+    rc = misc.Reclassify(rz, data=[[1, 10.0], [2, 20.0]], select=True)
+    views['rasterize_focal'] = spatial.HillShade(
+        spatial.Smooth(spatial.Dilate(rc, values=[10.0]), 50.0, fill=5.0),
+        30.0, 200.0, 1.0)
+
+    # geometry_field_chain: SetSeriesBlock with TWO (column, value) pairs
+    # over ClassifyFromColumns (column-name bins, right=False) and
+    # Round(Where(value, cond, other)) — pins the variadic pair
+    # encoding and the field-op argument orders
+    # GetSeriesBlock validates against source.columns, which probes the
+    # file via pyogrio.read_info — give the mocked probe our columns
+    gsources.read_info = lambda path, layer=None: {
+        'fields': types.SimpleNamespace(
+            tolist=lambda: ['value', 'flag', 'lo', 'hi'])}
+    zones = gsources.GeometryFileSource('/data/zones.gpkg', layer='zones')
+    val = GetSeriesBlock(zones, 'value')
+    flag = GetSeriesBlock(zones, 'flag')
+    cfc = gfield.ClassifyFromColumns(
+        zones, 'value', ['lo', 'hi'], ['a', 'b', 'c'], right=False)
+    rnd = gfield.Round(gfield.Where(val, flag, 0.0), decimals=2)
+    views['geometry_field_chain'] = SetSeriesBlock(
+        zones, 'rounded', rnd, 'bucket', cfc)
+
     return views
 
 
@@ -245,6 +275,11 @@ def main():
         with open(f'{outdir}/{name}.json', 'w') as f:
             json.dump(doc, f, indent=2)
         fix_path = os.path.join(fixdir, f'{name}.json')
+        if not os.path.exists(fix_path):
+            print(f'{name}: NO FIXTURE (captured to {outdir}/{name}.json — '
+                  'review and commit it)')
+            status = 1
+            continue
         with open(fix_path) as f:
             fixture = json.load(f)
         got = canonical(doc)
