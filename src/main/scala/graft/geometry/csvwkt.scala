@@ -126,7 +126,7 @@ object CsvWktSink {
     require(df0.columns.contains("geometry"), "csv export needs a geometry column")
     val attrCols = df0.columns.filter(c => c != "geometry" && c != "fid").toSeq
     val hasFid = df0.columns.contains("fid")
-    val ordered = if (hasFid) df0.orderBy(col("fid")) else df0
+    val ordered = if (hasFid) SinkFunnel.ordered(df0, col("fid")) else df0
     val geomIdx = ordered.columns.indexOf("geometry")
     val fidIdx = ordered.columns.indexOf("fid")
     val attrIdx = attrCols.map(ordered.columns.indexOf(_))

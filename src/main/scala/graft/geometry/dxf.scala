@@ -284,7 +284,7 @@ object DxfSink {
     val attrCols = df0.columns.filterNot(c => c == "geometry" || c == "fid").toSeq
     val fidIdx = df0.columns.indexOf("fid")
     val geomIdx = df0.columns.indexOf("geometry")
-    val ordered = if (fidIdx >= 0) df0.orderBy(col("fid")) else df0
+    val ordered = if (fidIdx >= 0) SinkFunnel.ordered(df0, col("fid")) else df0
 
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       new java.io.FileOutputStream(dxfPath), "UTF-8"))

@@ -669,11 +669,11 @@ object FlatGeobufSink {
       val cy = (((y0 + y1) / 2 - minY) / h * 65535.0).toInt
       hilbert(math.min(math.max(cx, 0), 65535), math.min(math.max(cy, 0), 65535))
     }
-    val ordered = df0
+    val ordered = SinkFunnel.ordered(df0
       .withColumn("__hil", when(col("geometry").isNull, Long.MaxValue).otherwise(
         hil(GeomFunctions.stEnvMinX(col("geometry")), GeomFunctions.stEnvMinY(col("geometry")),
-          GeomFunctions.stEnvMaxX(col("geometry")), GeomFunctions.stEnvMaxY(col("geometry")))))
-      .orderBy(col("__hil"))
+          GeomFunctions.stEnvMaxX(col("geometry")), GeomFunctions.stEnvMaxY(col("geometry"))))),
+      col("__hil"))
     val geomIdx = ordered.columns.indexOf("geometry")
     val attrIdx = attrCols.map(ordered.columns.indexOf(_))
 

@@ -542,7 +542,7 @@ object GeoPackageSink {
     val featRows: Iterator[(Long, Seq[Any])] =
       if (useFid) {
         val fidIdx = df.columns.indexOf("fid")
-        val it = df.orderBy(col("fid")).toLocalIterator()
+        val it = SinkFunnel.ordered(df, col("fid")).toLocalIterator()
         new Iterator[(Long, Seq[Any])] {
           override def hasNext: Boolean = it.hasNext
           override def next(): (Long, Seq[Any]) = {

@@ -471,7 +471,7 @@ object GmlSink {
     val fidIdx = df.columns.indexOf("fid")
     val geomIdx = df.columns.indexOf("geometry")
     val attrIdx = attrCols.map(df.columns.indexOf(_))
-    val ordered = if (fidIdx >= 0) df.orderBy(col("fid")) else df
+    val ordered = if (fidIdx >= 0) SinkFunnel.ordered(df, col("fid")) else df
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       new java.io.FileOutputStream(gmlPath), "UTF-8"))
     try {

@@ -281,7 +281,7 @@ object GpxSink {
     val (stdCols, extCols) =
       attrCols.partition(c => Gpx.StdFields.exists(_._1 == c))
     val stdOrdered = Gpx.StdFields.map(_._1).filter(stdCols.contains)
-    val ordered = if (fidIdx >= 0) df0.orderBy(col("fid")) else df0
+    val ordered = if (fidIdx >= 0) SinkFunnel.ordered(df0, col("fid")) else df0
 
     def valueOf(r: org.apache.spark.sql.Row, c: String): Option[String] = {
       val i = df0.columns.indexOf(c)

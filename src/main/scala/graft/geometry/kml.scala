@@ -251,7 +251,7 @@ object KmlSink {
     val from = graft.raster.Proj.normalize(proj)
     val layer = new java.io.File(kmlPath).getName.replaceAll("(?i)\\.kml$", "")
       .replaceAll("[^A-Za-z0-9_]", "_")
-    val ordered = if (fidIdx >= 0) df0.orderBy(col("fid")) else df0
+    val ordered = if (fidIdx >= 0) SinkFunnel.ordered(df0, col("fid")) else df0
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       new java.io.FileOutputStream(kmlPath), "UTF-8"))
     try {

@@ -675,7 +675,7 @@ object ShapefileSink {
     dup.foreach(n => throw new IllegalArgumentException(
       s"field name '$n' collides after the DBF 10-char truncation"))
 
-    val ordered = if (df.columns.contains("fid")) df.orderBy(col("fid")) else df
+    val ordered = if (df.columns.contains("fid")) SinkFunnel.ordered(df, col("fid")) else df
     val geomIdx = df.columns.indexOf("geometry")
     val attrIdx = attrCols.map(df.columns.indexOf(_))
     val w = new Shapefile.StreamWriter(shpPath, fields, proj)

@@ -11,6 +11,22 @@ import org.apache.spark.sql.functions._
   * columns for pushdown) and newline-delimited GeoJSON via the JSON writer;
   * the tile/merge dance is the committer's job.
   */
+/** The single-file sinks' driver-funnel ordering. `toLocalIterator`
+  * runs ONE sequential job per partition of its input, so the funnel
+  * pins the partition count to the session parallelism instead of
+  * inheriting the shuffle setting — the input-proportional tuning
+  * policy (graft.Tuning) can push that into the hundreds, which would
+  * turn every single-file export into hundreds of sequential job
+  * waves. `repartitionByRange` + `sortWithinPartitions` iterates in
+  * the same global order as `orderBy`. */
+object SinkFunnel {
+  def ordered(df: org.apache.spark.sql.DataFrame,
+      cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+  }
+}
+
 case class GeometryFileSink(source: GeometryBlock, url: String,
     format: String = "geoparquet", fields: Option[Seq[String]] = None) {
   require(Set("geoparquet", "geojson", "shp", "gpkg", "gml", "fgb", "csv",
@@ -488,7 +504,7 @@ object GeoJsonSink {
     val fidIdx = df0.columns.indexOf("fid")
     val geomIdx = df0.columns.indexOf("geometry")
     val from = graft.raster.Proj.normalize(proj)
-    val ordered = if (fidIdx >= 0) df0.orderBy(col("fid")) else df0
+    val ordered = if (fidIdx >= 0) SinkFunnel.ordered(df0, col("fid")) else df0
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       new java.io.FileOutputStream(path), "UTF-8"))
     try {

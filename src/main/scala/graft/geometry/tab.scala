@@ -527,7 +527,7 @@ object TabSink {
     val fidIdx = df0.columns.indexOf("fid")
     val geomIdx = df0.columns.indexOf("geometry")
     val types = df0.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
-    val ordered = if (fidIdx >= 0) df0.orderBy(col("fid")) else df0
+    val ordered = if (fidIdx >= 0) SinkFunnel.ordered(df0, col("fid")) else df0
 
     val fields = ("fid" -> "Integer") +:
       attrCols.map(c => c -> Mif.mifTypeOf(types(c)))
