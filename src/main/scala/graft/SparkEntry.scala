@@ -1957,6 +1957,18 @@ object SparkEntry {
         .filter(col("p_size") === 25)
         .select(col("fid"), col("p_size"))
     }),
+    "g37_dsv2_fgb_in" -> ((s, dir) => {
+      // IN-list property pushdown (the equality filter's set form):
+      // same reader-side eval before geometry decode, residual exactness
+      implicit val sp: SparkSession = s
+      val p = partSquares(dir)
+      val out = java.nio.file.Files.createTempDirectory("verify_fgb_in")
+        .resolve("parts.fgb").toString
+      GeometryToFile.toFile(p, out)
+      s.read.format("graft-fgb").load(out)
+        .filter(col("p_size").isin(10, 25, 40))
+        .select(col("fid"), col("p_size"))
+    }),
     "g33_dsv2_fgb_write" -> ((s, dir) => {
       // archive-scale write → read round-trip: one internally-indexed
       // .fgb per executor task (no driver funnel, unlike the single-file
@@ -2359,6 +2371,11 @@ object SparkEntry {
       """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size
         |FROM part
         |WHERE p_size = 25""".stripMargin,
+    // IN-list property pushdown: plain SQL IN
+    "g37_dsv2_fgb_in" ->
+      """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size
+        |FROM part
+        |WHERE p_size IN (10, 25, 40)""".stripMargin,
     // the per-task write must not change a single answer: same bbox,
     // same inequalities, now against the connector-written archive
     "g33_dsv2_fgb_write" ->

@@ -39,11 +39,12 @@ import graft.geometry.{FgbMeta, FlatGeobuf, GeomFunctions}
   *   - column pruning reaches the payload: an unrequested `geometry`
   *     is never decoded (the dominant per-feature cost), and property
   *     bytes are skipped wholesale when only `path`/`fid` survive.
-  *   - equality predicates on property columns (the reference's
-  *     property filters, `geometry/sources.py:109-121`) are evaluated
-  *     in the reader BEFORE geometry decode — non-matching features
-  *     never pay the geometry cost; the predicate also stays residual
-  *     so Catalyst keeps exact semantics.
+  *   - equality / IN / IS NOT NULL predicates on property columns (the
+  *     reference's property filters, `geometry/sources.py:109-121`,
+  *     widened to the shapes Catalyst commonly emits) are evaluated in
+  *     the reader BEFORE geometry decode — non-matching features never
+  *     pay the geometry cost; every predicate also stays residual so
+  *     Catalyst keeps exact semantics.
   *
   * All byte access goes through [[graft.io.PositionedReader]] —
   * planning reads header (+ index for bbox survivors) only, executors
@@ -197,11 +198,11 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
   private var qx0 = -Double.MaxValue; private var qy0 = -Double.MaxValue
   private var qx1 = Double.MaxValue; private var qy1 = Double.MaxValue
   private var pushed: Array[Filter] = Array.empty
-  // pushed property equality predicates (reference equality property
-  // filters, geometry/sources.py:109-121): evaluated in the READER
-  // before geometry decode, so non-matching features skip the dominant
-  // per-feature cost
-  private var propEq: Seq[(String, Any)] = Nil
+  // pushed property predicates (the reference's equality property
+  // filters, geometry/sources.py:109-121, plus In/IsNotNull): evaluated
+  // in the READER before geometry decode, so non-matching features skip
+  // the dominant per-feature cost
+  private var propFilters: Seq[Filter] = Nil
   // strict envelope bounds make the planned hit set a (tie-only)
   // SUPERSET — then a pushed LIMIT must not truncate planning
   private var inexactPlan = false
@@ -222,6 +223,8 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
       case LessThanOrEqual(c, _: Double)    => c == "env_minx" || c == "env_miny"
       case LessThan(c, _: Double)           => c == "env_minx" || c == "env_miny"
       case EqualTo(c, v)                    => propCols.contains(c) && v != null
+      case In(c, vs)  => propCols.contains(c) && vs.exists(_ != null)
+      case IsNotNull(c)                     => propCols.contains(c)
       case _ => false
     }
     accepted.foreach {
@@ -236,7 +239,8 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
       case LessThan("env_minx", v: Double)           => qx1 = math.min(qx1, v); inexactPlan = true
       case LessThanOrEqual("env_miny", v: Double)    => qy1 = math.min(qy1, v)
       case LessThan("env_miny", v: Double)           => qy1 = math.min(qy1, v); inexactPlan = true
-      case EqualTo(c, v) => propEq :+= (c -> v)
+      case f @ (EqualTo(_, _) | In(_, _) | IsNotNull(_)) =>
+        propFilters :+= f
       case _ => ()
     }
     pushed = accepted
@@ -281,14 +285,14 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
     // strict envelope ties both make the candidate set a superset, and
     // truncating a superset can return fewer matches than exist
     val effLimit =
-      if (propEq.nonEmpty || inexactPlan) Int.MaxValue else limit
+      if (propFilters.nonEmpty || inexactPlan) Int.MaxValue else limit
     val base = new GraftFgbScan(fs, rawPaths, full, required, eff,
-      effLimit, propEq)
+      effLimit, propFilters)
     if (countOnly) {
       // Spark offers complete-agg pushdown only when no residual filter
       // remains, and every filter here stays residual — so a candidate
       // count can never silently overcount past reader-side predicates
-      require(propEq.isEmpty && !inexactPlan,
+      require(propFilters.isEmpty && !inexactPlan,
         "graft-fgb: complete count pushdown with reader-side filters")
       new GraftFgbCountScan(base)
     } else base
@@ -326,6 +330,25 @@ class GraftFgbCountScan(base: GraftFgbScan) extends Scan with Batch {
 
 case class GraftFgbCountPartition(n: Long) extends InputPartition
 
+/** A pushed property predicate, resolved to a file's property POSITION
+  * — evaluated by the reader on decoded properties BEFORE the geometry
+  * decode. The three shapes Catalyst commonly emits on property
+  * columns; everything else stays residual-only. */
+sealed trait PropPred extends Serializable {
+  def pos: Int
+  def eval(v: Any): Boolean
+}
+case class PropEqPred(pos: Int, value: Any) extends PropPred {
+  override def eval(v: Any): Boolean = java.util.Objects.equals(v, value)
+}
+case class PropInPred(pos: Int, values: Array[Any]) extends PropPred {
+  override def eval(v: Any): Boolean =
+    v != null && values.exists(java.util.Objects.equals(_, v))
+}
+case class PropNotNullPred(pos: Int) extends PropPred {
+  override def eval(v: Any): Boolean = v != null
+}
+
 /** One group of contiguous-ish feature byte ranges of one file.
   * `offs` are ABSOLUTE byte offsets, `lens` record lengths, `items`
   * the leaf positions (the synthesized fid when no file fid exists).
@@ -336,14 +359,14 @@ case class GraftFgbPartition(path: String, offs: Array[Long],
     lens: Array[Int], items: Array[Int], colTypes: Array[Int],
     fidCol: Int, attrNames: Array[String], attrPos: Array[Int],
     crs: String = null,
-    propEq: Array[(Int, Any)] = Array.empty)
+    propEq: Array[PropPred] = Array.empty)
     extends InputPartition
 
 class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
     full: StructType,
     required: StructType, bbox: Option[(Double, Double, Double, Double)],
     limit: Int = Int.MaxValue,
-    propEq: Seq[(String, Any)] = Nil)
+    propFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -422,9 +445,14 @@ class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
     "graft-fgb " +
       bbox.map { case (x0, y0, x1, y1) =>
         s"pushed bbox [$x0, $y0, $x1, $y1]$resolvedDesc, " }.getOrElse("") +
-      (if (propEq.isEmpty) ""
-      else propEq.map { case (c, v) => s"$c = $v" }
-        .mkString("pushed props [", ", ", "], ")) +
+      (if (propFilters.isEmpty) ""
+      else propFilters.map {
+        case org.apache.spark.sql.sources.EqualTo(c, v) => s"$c = $v"
+        case org.apache.spark.sql.sources.In(c, vs) =>
+          s"$c in (${vs.filter(_ != null).mkString(",")})"
+        case org.apache.spark.sql.sources.IsNotNull(c) => s"$c not null"
+        case other => other.toString
+      }.mkString("pushed props [", ", ", "], ")) +
       s"columns [${required.fieldNames.mkString(",")}]"
 
   /** ~32 MB of feature bytes per partition (the block source's split
@@ -465,12 +493,22 @@ class GraftFgbScan(fs: Seq[String], rawPaths: Seq[String],
       if (n == "fid") "fid_attr" else n
     }
     val colTypes = m.cols.map(_._2).toArray
-    // pushed equality predicates resolved to THIS file's property
-    // positions (schema agreement is enforced above, so names resolve)
-    val eqPos: Array[(Int, Any)] = propEq.map { case (c, v) =>
+    // pushed predicates resolved to THIS file's property positions
+    // (schema agreement is enforced above, so names resolve)
+    def posOf(c: String): Int = {
       val k = attrNames.indexOf(c)
       require(k >= 0, s"graft-fgb: pushed filter column $c absent in $p")
-      (attrPos(k), v)
+      attrPos(k)
+    }
+    val eqPos: Array[PropPred] = propFilters.map {
+      case org.apache.spark.sql.sources.EqualTo(c, v) =>
+        PropEqPred(posOf(c), v)
+      case org.apache.spark.sql.sources.In(c, vs) =>
+        PropInPred(posOf(c), vs.filter(_ != null).toArray)
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        PropNotNullPred(posOf(c))
+      case other => throw new IllegalStateException(
+        s"graft-fgb: unplannable pushed filter $other")
     }.toArray
     val groups = scala.collection.mutable.ArrayBuffer[Seq[(Long, Int)]]()
     var cur = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
@@ -593,8 +631,7 @@ class GraftFgbReader(p: GraftFgbPartition, columns: Array[String])
     if (!hasEq) return i < p.offs.length
     while (i < p.offs.length) {
       val props = FgbMeta.decodeProps(featureBytes(i), p.colTypes)
-      if (p.propEq.forall { case (pos, v) =>
-          java.util.Objects.equals(props(pos), v) }) {
+      if (p.propEq.forall(pred => pred.eval(props(pred.pos)))) {
         eqProps = props
         return true
       }

@@ -350,7 +350,7 @@ class GeometryV2Spec extends SparkSpec {
       .filter(col("name") === "sq7")
       .select("fid", "name", "score", "geometry")
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("pushed props [name = sq7]"), plan)
+    assert(plan.contains("name = sq7"), plan)
     // both files carry a sq7 (fid 7); values decode exactly
     val got = df.collect().map(r => (r.getLong(0), r.getString(1),
       r.getDouble(2))).sorted.toSeq
@@ -360,7 +360,7 @@ class GeometryV2Spec extends SparkSpec {
       .option("bbox", "-10,-10,500,500").load(dir)
       .filter(col("score") === 3.0).select("fid")
     assert(num.queryExecution.executedPlan.toString
-      .contains("pushed props [score = 3.0]"))
+      .contains("score = 3.0"))
     assert(num.collect().map(_.getLong(0)).toSeq == Seq(2L))
     // a pushed LIMIT must NOT truncate planning under reader-side
     // filters: all matches still come back
@@ -377,6 +377,18 @@ class GeometryV2Spec extends SparkSpec {
     assert(!cnt.groupBy().count().queryExecution.executedPlan.toString
       .contains("complete agg"))
     assert(cnt.count() == 2)
+    // IN and IS NOT NULL push the same way (both files carry fids 2,3)
+    val inDf = spark.read.format("graft-fgb").load(dir)
+      .filter(col("name").isin("sq2", "sq3")).select("fid")
+    assert(inDf.queryExecution.executedPlan.toString
+      .contains("in (sq2,sq3)"),
+      inDf.queryExecution.executedPlan.toString.take(1200))
+    assert(inDf.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 2L, 3L, 3L))
+    val nn = spark.read.format("graft-fgb").load(dir)
+      .filter(col("name").isNotNull)
+    assert(nn.queryExecution.executedPlan.toString.contains("name not null"))
+    assert(nn.count() == 80)
   }
 
   test("a streaming watch starts over an EMPTY directory (explicit " +
