@@ -215,6 +215,26 @@ class PositionedReaderSpec extends SparkSpec {
     // the FlatGeobuf read primitive rides the same semantics
     val viaFgb = graft.geometry.FgbMeta.readAt(new Stutter(payload), 4L, 8)
     assert(viaFgb.toSeq == payload.slice(4, 12).toSeq)
+
+    // end to end: a REAL header + R-tree walk through a stuttering
+    // backend decodes identically to the clean read
+    val sp = spark
+    import sp.implicits._
+    import graft.geometry._
+    val dir = Files.createTempDirectory("stutter_fgb").toString
+    val url = s"$dir/s.fgb"
+    FlatGeobufSink.writeStream(
+      Seq((1L, "a", "POINT (1 2)"), (2L, "b", "POINT (3 4)"))
+        .toDF("fid", "name", "wkt")
+        .select(col("fid"), col("name"),
+          GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry")),
+      "EPSG:28992", url)(sp)
+    val bytes = Files.readAllBytes(Paths.get(url))
+    val clean = FgbMeta.read(url)
+    val stuttered = FgbMeta.read(url, new Stutter(bytes))
+    assert(stuttered.numItems == clean.numItems &&
+      stuttered.offsets.toSeq == clean.offsets.toSeq &&
+      stuttered.cols == clean.cols)
   }
 
   test("positional geometry codecs (shapefile, GeoPackage, MapInfo TAB) " +
