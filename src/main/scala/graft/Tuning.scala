@@ -68,15 +68,20 @@ object Tuning {
   def inputBytes(path: String): Long = {
     import graft.io.FileIO
     if (!FileIO.exists(path)) return 0L
-    def sizeOf(p: String): Long =
-      if (FileIO.isDirectory(p))
-        FileIO.list(p).filter(f => !FileIO.name(f).startsWith(".") &&
-          !FileIO.name(f).startsWith("_")).map(sizeOf).sum
-      else FileIO.size(p)
     if (FileIO.isDirectory(path) && !path.toLowerCase.endsWith(".parquet"))
       FileIO.list(path)
-        .filter(_.toLowerCase.endsWith(".parquet")).map(sizeOf).sum
-    else sizeOf(path)
+        .filter(_.toLowerCase.endsWith(".parquet")).map(treeBytes).sum
+    else treeBytes(path)
+  }
+
+  /** Recursive byte total of a file or directory tree (dot/underscore
+    * names skipped) — dataset sizing for directory-shaped stores. */
+  def treeBytes(p: String): Long = {
+    import graft.io.FileIO
+    if (FileIO.isDirectory(p))
+      FileIO.list(p).filter(f => !FileIO.name(f).startsWith(".") &&
+        !FileIO.name(f).startsWith("_")).map(treeBytes).sum
+    else FileIO.size(p)
   }
 
   private val applied =
@@ -87,11 +92,20 @@ object Tuning {
     * Raises — never lowers — the AQE initial partition count, and
     * leaves `spark.sql.shuffle.partitions` itself untouched so
     * non-adaptive paths keep the user's setting. */
-  def autoConfigure(spark: SparkSession, dir: String): Unit = {
+  def autoConfigure(spark: SparkSession, dir: String): Unit =
+    autoConfigureBytes(spark, dir, inputBytes(dir))
+
+  /** [[autoConfigure]] with caller-supplied input bytes — the DSv2
+    * connectors pass their own archive listings (fgb parts, raster
+    * datasets) whose data files are not `.parquet`. `bytes` is
+    * by-name: not evaluated when the policy is off or the key is
+    * already applied. */
+  def autoConfigureBytes(spark: SparkSession, key: String,
+      bytes: => Long): Unit = {
     if (sys.props.get("graft.tuning.auto").contains("false")) return
-    val key = (System.identityHashCode(spark).toString, dir)
-    if (!applied.add(key)) return
-    val n = initialShufflePartitions(inputBytes(dir),
+    val k = (System.identityHashCode(spark).toString, key)
+    if (!applied.add(k)) return
+    val n = initialShufflePartitions(bytes,
       spark.sparkContext.defaultParallelism)
     val cur = spark.conf
       .getOption("spark.sql.adaptive.coalescePartitions.initialPartitionNum")

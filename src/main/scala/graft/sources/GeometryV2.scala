@@ -160,7 +160,14 @@ class GraftFgbTable(paths: Seq[String],
       info.schema())
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // input-size-derived shuffle parallelism for downstream stages —
+    // the same policy the parquet entry points get (graft.Tuning);
+    // archive size from file metadata only (no header reads)
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      graft.Tuning.autoConfigureBytes(s, paths.mkString(","),
+        fs.map(graft.io.FileIO.size).sum)
+    }
     new GraftFgbScanBuilder(fs, paths, schema(),
       Option(options.get("bbox")).map { s =>
         val parts = s.split(",").map(_.trim.toDouble)
@@ -168,6 +175,7 @@ class GraftFgbTable(paths: Seq[String],
           s"graft-fgb: bbox option must be 'x0,y0,x1,y1' (got '$s')")
         (parts(0), parts(1), parts(2), parts(3))
       })
+  }
 }
 
 class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],

@@ -213,7 +213,15 @@ class GraftRasterTable(paths: Seq[String],
         info.options().asCaseSensitiveMap().asScala.toMap),
       info.schema())
   }
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // input-size-derived shuffle parallelism for downstream stages —
+    // the same policy the parquet entry points get (graft.Tuning);
+    // archive size from file/store metadata only (no header decodes)
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      graft.Tuning.autoConfigureBytes(s, paths.mkString(","),
+        GraftRasterTable.datasets(paths, lenient = true)
+          .map(d => graft.Tuning.treeBytes(d._2)).sum)
+    }
     new GraftScanBuilder(paths,
       Option(options.get("time_first")).map(_.toLong).getOrElse(0L),
       Option(options.get("time_delta")).map(_.toLong).getOrElse(3600000L),
@@ -223,6 +231,7 @@ class GraftRasterTable(paths: Seq[String],
           s"graft-raster: bbox option must be 'x0,y0,x1,y1' (got '$s')")
         (parts(0), parts(1), parts(2), parts(3))
       })
+  }
 }
 
 /** Pushed tile-coordinate window, half-open bounds resolved at read

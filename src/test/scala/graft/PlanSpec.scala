@@ -331,4 +331,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
   }
+
+  test("connector scans feed the same tuning policy with their own " +
+      "archive bytes (non-parquet data files)") {
+    try {
+      // the connectors call autoConfigureBytes with listing-derived
+      // sizes; pin the by-name contract + the raise directly
+      Tuning.autoConfigureBytes(spark, "plan-spec-archive", 10L << 30)
+      val n = spark.conf
+        .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt
+      assert(n == Tuning.initialShufflePartitions(10L << 30,
+        spark.sparkContext.defaultParallelism), n)
+      // memoized: a second call with different bytes is a no-op
+      Tuning.autoConfigureBytes(spark, "plan-spec-archive", 100L << 30)
+      assert(spark.conf
+        .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        .toInt == n)
+      // zarr stores are directories: treeBytes sums the tree
+      val d = java.nio.file.Files.createTempDirectory("tb").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$d/c/0"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/c/0/0"),
+        new Array[Byte](1024))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/zarr.json"),
+        new Array[Byte](64))
+      assert(Tuning.treeBytes(d) == 1088L)
+    } finally spark.conf.unset(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+  }
 }
