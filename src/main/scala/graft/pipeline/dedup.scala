@@ -448,6 +448,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Plane count for [[embeddingNearDupsAuto]]: enough hyperplanes that
+    * the EXPECTED bucket population stays near `targetBucket`, so the
+    * within-bucket pairwise term is (targetBucket)²/2 per bucket —
+    * constant per-bucket work at any corpus size (the signature space
+    * doubles per plane: 2^p buckets). Bounded to [1, 24] (2^24 buckets
+    * is past any realistic single-corpus need). */
+  def autoPlanes(n: Long, targetBucket: Int = 2000): Int = {
+    require(targetBucket > 0, "targetBucket must be positive")
+    if (n <= targetBucket) 1
+    else math.min(24,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+  }
+
+  /** [[embeddingNearDups]] with the plane count derived from the actual
+    * corpus size via [[autoPlanes]] (one count job) — the embedding
+    * sibling of [[lshCandidatePairsAuto]]: the within-bucket quadratic
+    * stays bounded per bucket at any scale instead of growing with the
+    * corpus. Recall note: each extra plane halves the chance an
+    * above-threshold pair shares a bucket (single-table SimHash LSH);
+    * for high-recall production dedup compose with multiprobe or band
+    * over plane GROUPS — this helper is the scale-safe default, not a
+    * recall guarantee. */
+  def embeddingNearDupsAuto(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, targetBucket: Int = 2000,
+      seed: Long = 42L,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val p = autoPlanes(df.count(), targetBucket)
+    log.info(s"embeddingNearDupsAuto: planes=$p (targetBucket=$targetBucket)")
+    embeddingNearDups(df, idCol, vecCol, threshold,
+      Similarity.randomPlanes(p, dim, seed), maxBucket)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     * deduplication over an embedding column: k-means-cluster the
     * embedding space, then inside each cluster drop every vector that has

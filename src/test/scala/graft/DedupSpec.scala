@@ -238,6 +238,31 @@ class DedupSpec extends SparkSpec {
     assert(auto == manual && auto.nonEmpty)
   }
 
+  test("autoPlanes scales the signature space with the corpus; auto " +
+      "path matches the manual planes") {
+    import spark.implicits._
+    // expected bucket population n/2^p stays near the target at any n
+    assert(Dedup.autoPlanes(100) == 1)
+    Seq(10000L, 1000000L, 1000000000L).foreach { n =>
+      val p = Dedup.autoPlanes(n)
+      val perBucket = n.toDouble / (1L << p)
+      assert(perBucket <= 2000.0 && (p == 24 || perBucket > 500.0),
+        s"n=$n p=$p perBucket=$perBucket")
+    }
+    assert(Dedup.autoPlanes(Long.MaxValue) == 24) // bounded
+    // the auto variant is exactly embeddingNearDups with derived planes
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(d => ((i % 7) + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val p = Dedup.autoPlanes(50)
+    val auto = Dedup.embeddingNearDupsAuto(vecs, "vec_id", "embedding",
+      0.9, dim = 8).orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val manual = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.9,
+      graft.pipeline.Similarity.randomPlanes(p, 8))
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(auto == manual && auto.nonEmpty)
+  }
+
   test("chunkDedup keeps the global first occurrence of each chunk") {
     val sp = spark
     import sp.implicits._
