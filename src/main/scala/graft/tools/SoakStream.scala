@@ -13,10 +13,17 @@ object SoakStream {
   def main(args: Array[String]): Unit = {
     val waves = args.headOption.map(_.toInt).getOrElse(30)
     val rows = args.drop(1).headOption.map(_.toInt).getOrElse(200)
-    val spark = SparkSession.builder().master("local[32]")
+    // SPARK_GRAFT_MASTER=local-cluster[4,8,4096] soaks the same lanes
+    // multi-JVM (separate executor processes) — the streaming write
+    // commit paths under real task distribution
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    val builder = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath",
+        sys.props.getOrElse("java.class.path", ""))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
