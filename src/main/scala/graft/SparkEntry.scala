@@ -2718,6 +2718,13 @@ object SparkEntry {
     "p11_embed_near_dups" -> ((s, dir) =>
       Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         0.3, Similarity.randomPlanes(4, 64))),
+    "p50_embed_multiprobe" -> ((s, dir) =>
+      // multi-probe near-dup search: the probe-mask equi-join must equal
+      // the hamming-ball truth (bit_count(xor) <= radius) the oracle
+      // derives independently — recall recovery without a cross join
+      Dedup.embeddingNearDupsMultiprobe(
+        tbl(s, dir, "embeddings").filter(col("vec_id") < 400),
+        "vec_id", "embedding", 0.3, Similarity.randomPlanes(6, 64), 2)),
     "p12_multimodal_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // REAL codec round-trip: synth grayscale PNGs (ImageIO encode) →
@@ -3033,6 +3040,17 @@ object SparkEntry {
          | round(list_cosine_similarity(a.v, b.v), 6) AS cos
          |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.3""".stripMargin,
+    "p50_embed_multiprobe" ->
+      // the hamming-ball TRUTH (bit_count of the signature XOR), with no
+      // probe masks involved — completeness AND soundness of the probe
+      // enumeration in one hash compare
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 400),
+         |sig AS (SELECT vec_id, v, ${bucketSql(Similarity.randomPlanes(6, 64))} AS bucket FROM e)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+         |WHERE bit_count(xor(a.bucket::BIGINT, b.bucket::BIGINT)) <= 2
+         |  AND list_cosine_similarity(a.v, b.v) >= 0.3""".stripMargin,
     "p01_dedup_exact" ->
       "SELECT min(doc_id) AS rep_id, count(*) AS n_copies FROM documents GROUP BY text",
     // chunk-level first-occurrence dedup re-derived: same 8-word windows,

@@ -448,6 +448,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** [[embeddingNearDups]] with MULTI-PROBE recall recovery: each vector
+    * also probes the buckets whose signature differs in up to
+    * `probeRadius` sign bits (near-boundary pairs land one bit apart),
+    * so an above-threshold pair is found whenever its signatures differ
+    * in ≤ radius bits — the all-pairs sibling of the ANN search's
+    * multi-probe ([[Similarity.lshCandidates]]). Mechanics: probe masks
+    * are enumerated C(planes, ≤radius) (never a 2^planes walk), exploded
+    * on ONE side of the bucket equi-join — a qualifying pair meets via
+    * exactly one mask (their signature XOR), once (the `id <` orientation
+    * filter), and the plan stays an equi-join. `radius = planes` probes
+    * everything and makes the search EXACT (the spec's equivalence
+    * lever); radius 0 is [[embeddingNearDups]]. Candidate cost multiplies
+    * by the mask count — the recall/cost dial. */
+  def embeddingNearDupsMultiprobe(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, planes: Seq[Array[Double]],
+      probeRadius: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket > 0, "maxBucket must be positive")
+    require(probeRadius >= 0, "probeRadius must be >= 0")
+    require(probeRadius == 0 || planes.length <= 24,
+      "multi-probe with more than 24 planes would enumerate too many masks")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val sigCol = Similarity.hyperplaneSignature(col(vecCol), planes)
+    val keyed0 = df.select(col(idCol).as("id"), unit(vecD).as("v"),
+      sigCol.as("bucket"))
+    val keyed =
+      if (maxBucket == Int.MaxValue) keyed0
+      else capBuckets(keyed0, Seq("bucket"), maxBucket,
+        "embeddingNearDupsMultiprobe")
+    val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
+      (0 until planes.length).combinations(r)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+    val probing = keyed.select(col("id"), col("v"),
+      explode(transform(typedLit(masks), m => col("bucket").bitwiseXOR(m)))
+        .as("bucket"))
+    probing.as("l").join(keyed.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        graft.functions.GraftFunctions.dot(col("l.v"), col("r.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Plane count for [[embeddingNearDupsAuto]]: enough hyperplanes that
     * the EXPECTED bucket population stays near `targetBucket`, so the
     * within-bucket pairwise term is (targetBucket)²/2 per bucket —

@@ -238,6 +238,47 @@ class DedupSpec extends SparkSpec {
     assert(auto == manual && auto.nonEmpty)
   }
 
+  test("multi-probe embedding near-dups: radius grows recall " +
+      "monotonically, full radius is exactly brute force, never cartesian") {
+    val sp = spark
+    import sp.implicits._
+    // vectors on a circle: neighbours are near-boundary for hyperplanes
+    val n = 60
+    val vecs = (0L until n.toLong).map { i =>
+      val a = i * 2 * math.Pi / n
+      (i, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (0.3 * math.cos(3 * a)).toFloat, (0.3 * math.sin(3 * a)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val planes = graft.pipeline.Similarity.randomPlanes(6, 4)
+    def pairs(radius: Int): Set[(Long, Long)] =
+      Dedup.embeddingNearDupsMultiprobe(vecs, "vec_id", "embedding", 0.93,
+        planes, radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // radius 0 == the plain bucketed search
+    val r0 = pairs(0)
+    assert(r0 == Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.93,
+      planes).collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // monotone recall in radius
+    val r1 = pairs(1); val r2 = pairs(2)
+    assert(r0.subsetOf(r1) && r1.subsetOf(r2))
+    // full radius = EXACT: equals the brute-force threshold join
+    val brute = vecs.as("l").join(vecs.as("r"),
+        $"l.vec_id" < $"r.vec_id")
+      .select($"l.vec_id", $"r.vec_id",
+        Dedup.cosine($"l.embedding", $"r.embedding").as("cos"))
+      .filter($"cos" >= 0.93)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(planes.length) == brute && brute.nonEmpty)
+    // near-boundary pairs exist that radius 0 misses (the point of probes)
+    assert(r0.size < brute.size,
+      s"fixture produced no boundary pairs (r0=${r0.size} brute=${brute.size})")
+    // plan shape: equi-join on bucket, never a cartesian product
+    val plan = Dedup.embeddingNearDupsMultiprobe(vecs, "vec_id", "embedding",
+      0.93, planes, 1).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("autoPlanes scales the signature space with the corpus; auto " +
       "path matches the manual planes") {
     import spark.implicits._
