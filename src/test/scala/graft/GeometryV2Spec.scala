@@ -490,6 +490,52 @@ class GeometryV2Spec extends SparkSpec {
     assert(graft.io.FileIO.exists(fin2) && !graft.io.FileIO.exists(tmp2))
   }
 
+  test("randomized property-pushdown equivalence: pushed predicates " +
+      "return exactly what the unpushed block API returns (nulls, all " +
+      "scalar types)") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fgb_fuzz").toString
+    val url = s"$dir/t.fgb"
+    // mixed types with nulls sprinkled in (null name every 7th, null
+    // score every 5th, null geometry every 11th)
+    val rows = (0 until 120).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) null else s"n${i % 9}",
+        if (i % 5 == 0) None else Some(i % 6 * 1.5),
+        i % 4,
+        i % 2 == 0,
+        if (i % 11 == 0) null
+        else s"POINT (${i % 10} ${i / 10})")
+    }
+    val df = rows.toDF("fid", "name", "score", "cnt", "flag", "wkt")
+      .select(col("fid"), col("name"), col("score"), col("cnt"), col("flag"),
+        GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+    FlatGeobufSink.writeStream(df, "EPSG:28992", url)(sp)
+    val rnd = new scala.util.Random(20260815L)
+    def somePred(): org.apache.spark.sql.Column = rnd.nextInt(6) match {
+      case 0 => col("name") === s"n${rnd.nextInt(10)}"
+      case 1 => col("name").isin(Seq.fill(1 + rnd.nextInt(3))(
+        s"n${rnd.nextInt(10)}"): _*)
+      case 2 => col("name").isNotNull
+      case 3 => col("score") === (rnd.nextInt(7) * 1.5)
+      case 4 => col("cnt") === rnd.nextInt(5)
+      case 5 => col("flag") === (rnd.nextInt(2) == 0)
+    }
+    val truthBase = FlatGeobufSource(url).frame(GeometryRequest())(sp)
+      .select("fid", "name", "score", "cnt", "flag")
+    val pushedBase = spark.read.format("graft-fgb").load(url)
+      .select("fid", "name", "score", "cnt", "flag")
+    for (trial <- 0 until 30) {
+      val preds = Seq.fill(1 + rnd.nextInt(3))(somePred()).reduce(_ && _)
+      val want = truthBase.filter(preds)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val got = pushedBase.filter(preds)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"trial $trial: preds=$preds got=$got want=$want")
+    }
+  }
+
   test("an archive with drifting property layouts fails loudly at planning") {
     val sp = spark
     import sp.implicits._
