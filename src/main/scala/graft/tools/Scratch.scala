@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions.col
 
 /** Scratch driver used by /verify sessions to exercise the library through
   * its public API from a real Spark driver (not a test). Current probe:
-  * g20-shape FlatGeobuf write + read timing decomposition.
+  * embeddingNearDups fixed-plane vs auto-scaled planes at a big SF —
+  * the documented scale lever for the within-bucket quadratic.
+  *
+  *   runMain graft.tools.Scratch <sfDir>
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -16,30 +19,22 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.geometry._
-    import spark.implicits._
-    val sp = spark
-    // g20-shape: 2000 squares with attrs from part-like data
-    val df = (0 until 200000).map { i =>
-      val x = (i % 50).toDouble; val y = (i / 50) * 2.0
-      (i.toLong, i % 50, 900.0 + i, s"part$i",
-        s"POLYGON (($x $y, ${x + 1} $y, ${x + 1} ${y + 1}, $x ${y + 1}, $x $y))")
-    }.toDF("fid", "p_size", "p_retailprice", "p_name", "wkt")
-      .select(col("fid"), col("p_size"), col("p_retailprice"), col("p_name"),
-        GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
-      .cache()
-    df.count()
-    for (round <- 1 to 2) {
-      val dir = java.nio.file.Files.createTempDirectory(s"g20probe$round")
-      val out = dir.resolve("parts.fgb").toString
-      var t0 = System.nanoTime()
-      FlatGeobufSink.writeStream(df, "EPSG:28992", out)(sp)
-      val wWrite = (System.nanoTime() - t0) / 1e9
-      t0 = System.nanoTime()
-      val src = FlatGeobufSource(out)
-      val n = src.frame(GeometryRequest())(sp).collect().length
-      val wRead = (System.nanoTime() - t0) / 1e9
-      println(f"round $round write $wWrite%.3f s read $wRead%.3f s rows $n")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val vecs = graft.QueryLib.tbl(spark, dir, "embeddings")
+    val n = vecs.count()
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"""{"probe":"$name","n":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.1f,"rows":$rows}""")
+    }
+    timed("embed_auto_planes") {
+      graft.pipeline.Dedup.embeddingNearDupsAuto(
+        vecs, "vec_id", "embedding", 0.3, dim = 64).count()
+    }
+    timed("embed_fixed_4_planes") {
+      graft.pipeline.Dedup.embeddingNearDups(
+        vecs, "vec_id", "embedding", 0.3,
+        graft.pipeline.Similarity.randomPlanes(4, 64)).count()
     }
     spark.stop()
   }
