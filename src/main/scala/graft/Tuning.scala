@@ -21,8 +21,8 @@ import org.apache.spark.sql.SparkSession
   * big stages get enough reducers that per-task state stays constant
   * across input decades.
   *
-  * Scale story: at 100 TB the same formula asks for (100 TB × 8) /
-  * 64 MB ≈ 13 M initial partitions, clamped to [[MaxInitial]] — the
+  * Scale story: at 100 TB the same formula asks for (100 TB × 3) /
+  * 64 MB ≈ 5 M initial partitions, clamped to [[MaxInitial]] — the
   * operating range real clusters run (shuffle-file fan-out per map
   * task is the only cost of a generous initial count under AQE).
   *
@@ -35,16 +35,18 @@ object Tuning {
     * reduce task should see after coalescing. */
   val AdvisoryBytes: Long = 64L << 20
 
-  /** Shuffle-byte expansion over columnar input: snappy parquet
-    * decompresses ~3–4×, row-oriented shuffle records add ~2× — 8×
-    * keeps the initial count at or above the AQE-optimal reducer count
-    * for shuffle-bound stages (over-provision is coalesced away;
-    * under-provision cannot be repaired at runtime). Measured at sf10
-    * (local[32], 1.6 GB input → 200 initial): the spill-bound lane
-    * (p11 embedding near-dups) gains 30%, while CPU-bound many-stage
-    * lanes (p07 MinHash) pay ~4 ms/task scheduling overhead — 16× kept
-    * the same win but doubled that overhead, so 8× is the knee. */
-  val ExpansionFactor: Int = 8
+  /** Shuffle-byte expansion over columnar input. Calibrated by a
+    * partition-count sweep at sf10 (local[32], 1.6 GB input; fresh JVM
+    * per point): the spill-bound lane (p11 embedding near-dups,
+    * 105 s / 48 GB heap at 32 partitions) saturates its FULL win
+    * already at 64 partitions (68 s / 15.6 GB) — more buys nothing —
+    * while every extra partition charges CPU-bound many-stage lanes a
+    * measured ~27 ms fixed cost (p07 MinHash: 11.4 s at 32 → 19.8 s at
+    * 400). 3× (≈ snappy decompression) lands the sf10 point at
+    * the measured joint optimum and keeps the count ∝ bytes for the
+    * decades above (under-provision cannot be repaired at runtime;
+    * over-provision is pure per-partition overhead). */
+  val ExpansionFactor: Int = 3
 
   /** Ceiling on the initial partition count this policy will request.
     * High enough for the ~100 TB operating point after clamping; low

@@ -295,7 +295,7 @@ class PlanSpec extends SparkSpec {
     assert(Tuning.initialShufflePartitions(0L, 32) == 32)
     assert(Tuning.initialShufflePartitions(17L << 20, 32) == 32) // sf0.1
     val sf10 = Tuning.initialShufflePartitions(1600L << 20, 32)
-    assert(sf10 >= 128 && sf10 <= 512, sf10) // ~200: the measured knee
+    assert(sf10 >= 40 && sf10 <= 128, sf10) // ~50: the measured joint optimum
     assert(Tuning.initialShufflePartitions(100L << 40, 1000) ==
       Tuning.MaxInitial)
     // monotone in bytes
@@ -304,13 +304,15 @@ class PlanSpec extends SparkSpec {
     // (memoized per (session, dir)) and leaves shuffle.partitions alone
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val big = java.nio.file.Files.createTempDirectory("tune_big").toString
-    val pad = new Array[Byte](400 << 20) // 400 MB -> 8x expansion = 50 init
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$big/t.parquet"), pad)
+    // SPARSE 3 GB file (metadata length is all the policy reads):
+    // 3 GB * 3x expansion / 64 MB advisory = 144 initial
+    val raf = new java.io.RandomAccessFile(s"$big/t.parquet", "rw")
+    try raf.setLength(3L << 30) finally raf.close()
     try {
       Tuning.autoConfigure(spark, big)
       val n = spark.conf
         .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt
-      assert(n == Tuning.initialShufflePartitions(400L << 20,
+      assert(n == Tuning.initialShufflePartitions(3L << 30,
         spark.sparkContext.defaultParallelism), n)
       assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
       assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
