@@ -2716,8 +2716,17 @@ object SparkEntry {
         .reduce(_ unionAll _)
     }),
     "p11_embed_near_dups" -> ((s, dir) =>
+      // fixed-planes EXPERT shape, kept as the oracle lane for
+      // reproducible bucket assignments; the default surface is p51
       Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         0.3, Similarity.randomPlanes(4, 64))),
+    "p51_embed_dedup_default" -> ((s, dir) =>
+      // THE default near-dup surface: plane count derived from the corpus
+      // size (autoPlanes) — scale-safe shape users should copy. At the
+      // verify SF the corpus is under the default targetBucket, so
+      // autoPlanes resolves to 1 plane; the oracle pins that resolution
+      Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", 0.3, 64)),
     "p50_embed_multiprobe" -> ((s, dir) =>
       // multi-probe near-dup search: the probe-mask equi-join must equal
       // the hamming-ball truth (bit_count(xor) <= radius) the oracle
@@ -3036,6 +3045,16 @@ object SparkEntry {
       // double literals) + cosine threshold — the p09 list_cosine precedent
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |sig AS (SELECT vec_id, v, ${bucketSql(Similarity.randomPlanes(4, 64))} AS bucket FROM e)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.3""".stripMargin,
+    "p51_embed_dedup_default" ->
+      // the default surface derives planes = autoPlanes(count(*)); with
+      // the verify corpus under the default targetBucket (2000) that is
+      // exactly 1 plane — the oracle re-derives that plane's buckets
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v, ${bucketSql(Similarity.randomPlanes(1, 64))} AS bucket FROM e)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          | round(list_cosine_similarity(a.v, b.v), 6) AS cos
          |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -86,8 +86,19 @@ object Tuning {
     else FileIO.size(p)
   }
 
-  private val applied =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  /** Per-session applied-dir memo, keyed on the session OBJECT through
+    * a weak reference: reference identity can't collide the way an
+    * identity-hash string can once the first session is GC'd (a reused
+    * hash silently skipped the policy for the same dir), and a dead
+    * session's entry vanishes with it instead of growing the memo
+    * unboundedly in a long-lived JVM. */
+  private val applied = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+
+  private def firstSight(spark: SparkSession, key: String): Boolean =
+    applied.computeIfAbsent(spark,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    ).add(key)
 
   /** Apply the policy for queries over the tables at `dir` (memoized
     * per (session, dir); called from the engine's table entry points).
@@ -105,8 +116,12 @@ object Tuning {
   def autoConfigureBytes(spark: SparkSession, key: String,
       bytes: => Long): Unit = {
     if (sys.props.get("graft.tuning.auto").contains("false")) return
-    val k = (System.identityHashCode(spark).toString, key)
-    if (!applied.add(k)) return
+    // An explicitly disabled AQE is a user decision about plan behavior
+    // for the whole session — the policy must not override it (the
+    // initial-partition knob is inert without AQE anyway).
+    if (spark.conf.getOption("spark.sql.adaptive.enabled").contains("false"))
+      return
+    if (!firstSight(spark, key)) return
     val n = initialShufflePartitions(bytes,
       spark.sparkContext.defaultParallelism)
     val cur = spark.conf

@@ -20,10 +20,30 @@ import org.apache.spark.sql.functions._
   * waves. `repartitionByRange` + `sortWithinPartitions` iterates in
   * the same global order as `orderBy`. */
 object SinkFunnel {
+  /** Estimated bytes one funnel lane should carry. Sized so a
+    * laptop-scale export (a few MB) funnels through ONE lane — the
+    * range-sampling job plus exchange that a full-width funnel adds is
+    * pure overhead there — while anything ×100 bigger saturates the
+    * session parallelism. */
+  val BytesPerLane: Long = 4L << 20
+
+  /** Funnel width for an input whose optimizer size estimate is
+    * `bytes`: one lane per [[BytesPerLane]], clamped to [1, session
+    * parallelism]. Over-estimates (Catalyst's unknown-stats default is
+    * Long.MaxValue-ish) just land on full width — today's behavior. */
+  def width(bytes: BigInt, parallelism: Int): Int =
+    (bytes / BytesPerLane + 1).min(BigInt(math.max(parallelism, 1)))
+      .max(BigInt(1)).toInt
+
   def ordered(df: org.apache.spark.sql.DataFrame,
       cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
-    val n = df.sparkSession.sparkContext.defaultParallelism
-    df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+    val n = width(df.queryExecution.optimizedPlan.stats.sizeInBytes,
+      df.sparkSession.sparkContext.defaultParallelism)
+    if (n <= 1)
+      // single lane: coalesce is a narrow dependency (no exchange, no
+      // range-sampling job) and a one-partition sort IS globally ordered
+      df.coalesce(1).sortWithinPartitions(cols: _*)
+    else df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
   }
 }
 

@@ -429,6 +429,20 @@ object Dedup {
     * embeddings) otherwise lands |bucket|² pairs on a single task. */
   val DefaultMaxBucket: Int = 100000
 
+  /** THE DEFAULT embedding near-dup surface: plane count derived from
+    * the actual corpus size ([[autoPlanes]]) so the within-bucket
+    * quadratic stays bounded per bucket at ANY corpus size. The
+    * fixed-`planes` overload below is the EXPERT path — a plane count
+    * pinned for a laptop corpus is quadratic-in-bucket at scale
+    * (measured: 84 s at sf10 and 197 s at sf30 for the pinned shape vs
+    * 14 s auto) — use it only to pin reproducible bucket assignments
+    * (oracles, cross-run comparisons). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int): DataFrame =
+    embeddingNearDupsAuto(df, idCol, vecCol, threshold, dim)
+
+  /** Fixed-planes variant — see the default surface above for when NOT
+    * to use this. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Seq[Array[Double]],
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -446,6 +460,26 @@ object Dedup {
         graft.functions.GraftFunctions.dot(col("l.v"), col("r.v")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Ceiling on the enumerated probe-mask count for
+    * [[embeddingNearDupsMultiprobe]]: each mask multiplies the exploded
+    * candidate volume, so a few thousand is already a ×thousands cost
+    * dial — anything larger is a mis-parameterization, not a tuning. */
+  val MaxProbeMasks: Int = 4096
+
+  /** C(planes, 0) + C(planes, 1) + … + C(planes, min(radius, planes)),
+    * saturating at Int.MaxValue (cap comparisons stay correct). */
+  def maskCount(planes: Int, radius: Int): Int = {
+    var total = 0L
+    var c = 1L // C(planes, 0)
+    var r = 0
+    while (r <= math.min(radius, planes) && total <= Int.MaxValue) {
+      total += c
+      c = c * (planes - r) / (r + 1)
+      r += 1
+    }
+    math.min(total, Int.MaxValue.toLong).toInt
   }
 
   /** [[embeddingNearDups]] with MULTI-PROBE recall recovery: each vector
@@ -469,6 +503,14 @@ object Dedup {
     require(probeRadius >= 0, "probeRadius must be >= 0")
     require(probeRadius == 0 || planes.length <= 24,
       "multi-probe with more than 24 planes would enumerate too many masks")
+    // The plane bound alone does not bound the ENUMERATED mask count:
+    // C(24, <=12) is ~2.7M masks — a typedLit array that size blows up
+    // the plan (and is exploded per row) long before the radius=planes
+    // exactness lever is useful. Cap the total masks, not just planes.
+    require(probeRadius == 0 || maskCount(planes.length, probeRadius) <= MaxProbeMasks,
+      s"multi-probe would enumerate ${maskCount(planes.length, probeRadius)} " +
+        s"probe masks (C(${planes.length}, <=$probeRadius)); the cap is " +
+        s"$MaxProbeMasks — lower probeRadius or the plane count")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val vecD = transform(col(vecCol), x => x.cast("double"))
     val sigCol = Similarity.hyperplaneSignature(col(vecCol), planes)

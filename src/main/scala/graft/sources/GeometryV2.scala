@@ -346,12 +346,30 @@ sealed trait PropPred extends Serializable {
   def pos: Int
   def eval(v: Any): Boolean
 }
+object PropPred {
+  /** Spark SQL numeric equality evaluates `-0.0 = 0.0` as TRUE, but
+    * `Double.equals`/`Float.equals` distinguish the two zeros — and a
+    * reader-side filter can only SUBTRACT rows (the residual filter
+    * cannot re-add a dropped match). Normalizing both the pushed
+    * literal and the decoded value keeps the pushed predicate a
+    * superset of the Catalyst one. (Boxed NaN.equals(NaN) is already
+    * true, matching Spark's NaN-equals-itself semantics.) */
+  def norm(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue == 0.0 => java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.floatValue == 0.0f  => java.lang.Float.valueOf(0.0f)
+    case other => other
+  }
+}
 case class PropEqPred(pos: Int, value: Any) extends PropPred {
-  override def eval(v: Any): Boolean = java.util.Objects.equals(v, value)
+  private val n = PropPred.norm(value)
+  override def eval(v: Any): Boolean =
+    java.util.Objects.equals(PropPred.norm(v), n)
 }
 case class PropInPred(pos: Int, values: Array[Any]) extends PropPred {
-  override def eval(v: Any): Boolean =
-    v != null && values.exists(java.util.Objects.equals(_, v))
+  private val ns = values.map(PropPred.norm)
+  override def eval(v: Any): Boolean = v != null && {
+    val n = PropPred.norm(v); ns.exists(java.util.Objects.equals(_, n))
+  }
 }
 case class PropNotNullPred(pos: Int) extends PropPred {
   override def eval(v: Any): Boolean = v != null

@@ -66,14 +66,25 @@ class GraftFgbStreamingWrite(cfg: GraftFgbWrite.Config, schema: StructType)
     * commit crashed midway, a part that already made it to its final
     * name is the SAME content — treat it as published (drop the
     * replayed tmp) instead of failing the rename, so the query can
-    * recover instead of crash-looping. */
+    * recover instead of crash-looping. Before dropping the tmp, VERIFY
+    * the published file: on a backend whose "rename" is copy+delete
+    * (object stores), the crash can leave a PARTIAL final file — its
+    * length differs from the fully-written tmp, so re-publish from the
+    * tmp on mismatch instead of keeping the truncated publish. */
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case GraftFgbPartWritten(tmp, fin) if tmp.nonEmpty =>
-        if (graft.io.FileIO.exists(fin))
-          try graft.io.FileIO.delete(tmp) catch { case _: Exception => () }
-        else graft.io.FileIO.rename(tmp, fin)
+        if (graft.io.FileIO.exists(fin)) {
+          val complete = !graft.io.FileIO.exists(tmp) ||
+            graft.io.FileIO.size(fin) == graft.io.FileIO.size(tmp)
+          if (complete)
+            try graft.io.FileIO.delete(tmp) catch { case _: Exception => () }
+          else { // partial publish from a non-atomic rename: redo it
+            graft.io.FileIO.delete(fin)
+            graft.io.FileIO.rename(tmp, fin)
+          }
+        } else graft.io.FileIO.rename(tmp, fin)
       case _ => ()
     }
 

@@ -302,6 +302,33 @@ class DedupSpec extends SparkSpec {
       graft.pipeline.Similarity.randomPlanes(p, 8))
       .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
     assert(auto == manual && auto.nonEmpty)
+    // THE DEFAULT SURFACE (planes-free overload) routes through
+    // autoPlanes — the shape users copy is the scale-safe one; the
+    // fixed-planes overload stays the explicitly-pinned expert path
+    val default = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      0.9, 8).orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(default == auto)
+  }
+
+  test("multi-probe caps the ENUMERATED mask count, not just planes") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    // C(24, <=12) ≈ 2.7M masks: a typedLit that size exploded per row
+    // blows up the plan long before the radius=planes exactness lever
+    val planes24 = graft.pipeline.Similarity.randomPlanes(24, 2)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsMultiprobe(vecs, "vec_id", "embedding",
+        0.5, planes24, probeRadius = 12)
+    }
+    assert(e.getMessage.contains("probe masks"))
+    // saturating binomial-sum arithmetic
+    assert(Dedup.maskCount(6, 2) == 1 + 6 + 15)
+    assert(Dedup.maskCount(6, 6) == 64)
+    assert(Dedup.maskCount(6, 99) == 64) // radius past planes saturates
+    assert(Dedup.maskCount(24, 12) > Dedup.MaxProbeMasks)
+    // a sane radius on many planes still passes the cap
+    assert(Dedup.maskCount(24, 2) == 1 + 24 + 276)
   }
 
   test("chunkDedup keeps the global first occurrence of each chunk") {

@@ -391,6 +391,39 @@ class GeometryV2Spec extends SparkSpec {
     assert(nn.count() == 80)
   }
 
+  test("pushed numeric equality matches Spark SQL signed-zero " +
+      "semantics: score === 0.0 keeps stored -0.0 rows") {
+    val sp = spark
+    import sp.implicits._
+    // Spark evaluates -0.0 = 0.0 as TRUE; Double.equals distinguishes
+    // them — and a reader-side filter can only SUBTRACT rows, so a
+    // naive pushed equality silently drops the -0.0 row for good
+    val dir = java.nio.file.Files.createTempDirectory("fgb_szero").toString
+    val df = Seq((1L, -0.0, "POINT (0 0)"), (2L, 0.0, "POINT (1 1)"),
+        (3L, 5.0, "POINT (2 2)"))
+      .toDF("fid", "score", "wkt")
+      .select(col("fid"), col("score"),
+        GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry"))
+    FlatGeobufSink.writeStream(df, "EPSG:4326", s"$dir/z.fgb")(sp)
+    val eq = spark.read.format("graft-fgb").load(dir)
+      .filter(col("score") === 0.0).select("fid")
+    // pushed (visible in the scan) AND both zero rows survive
+    assert(eq.queryExecution.executedPlan.toString.contains("score = 0.0"))
+    assert(eq.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val in = spark.read.format("graft-fgb").load(dir)
+      .filter(col("score").isin(0.0, 5.0)).select("fid")
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // the predicate units normalize BOTH sides (literal and decoded)
+    import graft.sources.{PropEqPred, PropInPred}
+    assert(PropEqPred(0, 0.0).eval(java.lang.Double.valueOf(-0.0)))
+    assert(PropEqPred(0, -0.0).eval(java.lang.Double.valueOf(0.0)))
+    assert(PropEqPred(0, 0.0f).eval(java.lang.Float.valueOf(-0.0f)))
+    assert(!PropEqPred(0, 0.0).eval(java.lang.Double.valueOf(1.0)))
+    assert(PropInPred(0, Array[Any](-0.0)).eval(java.lang.Double.valueOf(0.0)))
+    // NaN equals itself (Spark's NaN semantics; boxed equals already does)
+    assert(PropEqPred(0, Double.NaN).eval(java.lang.Double.valueOf(Double.NaN)))
+  }
+
   test("a streaming watch starts over an EMPTY directory (explicit " +
       "schema) and emits the first part when it lands") {
     val sp = spark
@@ -488,6 +521,17 @@ class GeometryV2Spec extends SparkSpec {
     graft.io.FileIO.writeAll(tmp2, Array[Byte](9))
     w.commit(2L, Array(graft.sources.GraftFgbPartWritten(tmp2, fin2)))
     assert(graft.io.FileIO.exists(fin2) && !graft.io.FileIO.exists(tmp2))
+    // a PARTIAL publish (non-atomic copy+delete rename that crashed
+    // mid-copy: final exists but is SHORTER than the finished tmp) must
+    // be re-published from the tmp, not kept truncated
+    val fin3 = s"$dir/part-000003-00000.fgb"
+    val tmp3 = s"$dir/_tmp_part-000003-00000-44.tmp"
+    graft.io.FileIO.writeAll(fin3, Array[Byte](1)) // truncated publish
+    graft.io.FileIO.writeAll(tmp3, Array[Byte](1, 2, 3, 4))
+    w.commit(3L, Array(graft.sources.GraftFgbPartWritten(tmp3, fin3)))
+    assert(graft.io.FileIO.size(fin3) == 4L,
+      "truncated final must be replaced by the complete tmp")
+    assert(!graft.io.FileIO.exists(tmp3))
   }
 
   test("randomized property-pushdown equivalence: pushed predicates " +

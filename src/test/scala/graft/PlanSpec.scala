@@ -360,4 +360,50 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
   }
+
+  test("tuning memo is per SESSION OBJECT: two sessions in one JVM " +
+      "each get configured; an explicit AQE-off is never overridden") {
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    Tuning.autoConfigureBytes(s1, "memo-key-archive", 10L << 30)
+    Tuning.autoConfigureBytes(s2, "memo-key-archive", 10L << 30)
+    val want = Tuning.initialShufflePartitions(10L << 30,
+      spark.sparkContext.defaultParallelism).toString
+    assert(s1.conf.get(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum") == want)
+    assert(s2.conf.get(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum") == want)
+    // disabling AQE is a user decision about PLAN BEHAVIOR for the whole
+    // session — the policy must not silently flip it back on
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.adaptive.enabled", "false")
+    Tuning.autoConfigureBytes(s3, "memo-key-archive", 10L << 30)
+    assert(s3.conf.get("spark.sql.adaptive.enabled") == "false")
+    assert(s3.conf.getOption(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum").isEmpty)
+  }
+
+  test("single-file sink funnel width follows the input size estimate") {
+    import graft.geometry.SinkFunnel
+    // a laptop-scale export funnels through ONE lane (no exchange, no
+    // range-sampling job); ×100 the bytes saturates the parallelism
+    assert(SinkFunnel.width(BigInt(0), 32) == 1)
+    assert(SinkFunnel.width(BigInt(1L << 20), 32) == 1)
+    assert(SinkFunnel.width(BigInt(400L << 20), 32) == 32)
+    // Catalyst's unknown-stats default (huge) lands on full width
+    assert(SinkFunnel.width(BigInt(Long.MaxValue) * 4, 32) == 32)
+    assert(SinkFunnel.width(BigInt(40L << 20), 32) == 11) // proportional
+    // plan shape: a small frame gets Coalesce(1), not an Exchange
+    import spark.implicits._
+    val small = Seq((1L, "a"), (2L, "b")).toDF("fid", "x")
+    val p = SinkFunnel.ordered(small, org.apache.spark.sql.functions.col("fid"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Coalesce") && !p.contains("rangepartitioning"),
+      p.take(800))
+    // iteration order is still globally fid-ascending
+    val got = SinkFunnel.ordered(small.repartition(3),
+      org.apache.spark.sql.functions.col("fid"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L))
+  }
 }
