@@ -1969,6 +1969,23 @@ object SparkEntry {
         .filter(col("p_size").isin(10, 25, 40))
         .select(col("fid"), col("p_size"))
     }),
+    "g38_dsv2_fgb_env_agg" -> ((s, dir) => {
+      // archive-extent aggregates answered from header + R-tree leaf
+      // bytes alone (explain shows `env min/max from index`): COUNT(*)
+      // is the header feature total, MIN/MAX(env_*) the leaf-envelope
+      // fold — zero feature-data bytes on the pushed path
+      implicit val sp: SparkSession = s
+      val p = partSquares(dir)
+      val out = java.nio.file.Files.createTempDirectory("verify_fgb_envagg")
+        .resolve("parts.fgb").toString
+      GeometryToFile.toFile(p, out)
+      s.read.format("graft-fgb").load(out)
+        .agg(count(lit(1)).as("n"),
+          round(min("env_minx"), 6).as("minx"),
+          round(min("env_miny"), 6).as("miny"),
+          round(max("env_maxx"), 6).as("maxx"),
+          round(max("env_maxy"), 6).as("maxy"))
+    }),
     "g33_dsv2_fgb_write" -> ((s, dir) => {
       // archive-scale write → read round-trip: one internally-indexed
       // .fgb per executor task (no driver funnel, unlike the single-file
@@ -2376,6 +2393,15 @@ object SparkEntry {
       """SELECT p_partkey AS fid, CAST(p_size AS BIGINT) AS p_size
         |FROM part
         |WHERE p_size IN (10, 25, 40)""".stripMargin,
+    // archive-extent aggregates: the squares' corners re-derived from
+    // the same table math the geometry was synthesized from
+    "g38_dsv2_fgb_env_agg" ->
+      """SELECT count(*) AS n,
+        | round(min(CAST(p_partkey % 50 AS DOUBLE)), 6) AS minx,
+        | round(min(CAST((p_partkey // 50) * 2 AS DOUBLE)), 6) AS miny,
+        | round(max(p_partkey % 50 + p_size / 10.0), 6) AS maxx,
+        | round(max((p_partkey // 50) * 2 + p_size / 10.0), 6) AS maxy
+        |FROM part""".stripMargin,
     // the per-task write must not change a single answer: same bbox,
     // same inequalities, now against the connector-written archive
     "g33_dsv2_fgb_write" ->

@@ -130,7 +130,14 @@ object BlockRegistry {
     require(types.length == args.length,
       s"${cls.getName}: expected ${types.length} args, got ${args.length}")
     val coerced = args.zip(types).map { case (a, t) => coerce(a, t) }
-    ctor.newInstance(coerced.map(_.asInstanceOf[AnyRef]): _*).asInstanceOf[Block]
+    try ctor.newInstance(coerced.map(_.asInstanceOf[AnyRef]): _*)
+      .asInstanceOf[Block]
+    catch { // surface the constructor's own error, not the reflect wrapper
+      case e: java.lang.reflect.InvocationTargetException =>
+        throw new IllegalArgumentException(
+          s"${cls.getName}(${coerced.mkString(", ")}): ${e.getCause}",
+          e.getCause)
+    }
   }
 
   private def coerce(a: Any, t: Class[_]): Any = {

@@ -688,6 +688,7 @@ object FlatGeobufSink {
     val outLeaf = new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(tmpLeaf.toFile))
     var nItems = 0
+    var nGeoms = 0 // features WITH geometry (null geometry = no envelope)
     var geomType = -1 // resolves to the uniform type or GtUnknown on mix
     var featBytes = 0L
     try {
@@ -704,12 +705,18 @@ object FlatGeobufSink {
           (i, colTypes(i), if (r.isNullAt(ci)) null else r.get(ci))
         })
         val env = if (g == null) null else g.getEnvelopeInternal
+        // a feature WITHOUT geometry has NO envelope (the reference's
+        // rule): its leaf record is the EMPTY box (+inf..-inf), which
+        // never intersects a query window and contributes nothing to
+        // parent-node or env-aggregate min/max — both fold with
+        // comparisons, where the empty bounds are identities
         writeNodeRecord(outLeaf,
-          if (env == null) minX else env.getMinX,
-          if (env == null) minY else env.getMinY,
-          if (env == null) minX else env.getMaxX,
-          if (env == null) minY else env.getMaxY,
+          if (env == null) Double.PositiveInfinity else env.getMinX,
+          if (env == null) Double.PositiveInfinity else env.getMinY,
+          if (env == null) Double.NegativeInfinity else env.getMaxX,
+          if (env == null) Double.NegativeInfinity else env.getMaxY,
           featBytes)
+        if (env != null) nGeoms += 1
         nItems += 1
         val lenPrefix = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
           .putInt(body.length).array()
@@ -733,7 +740,7 @@ object FlatGeobufSink {
       graft.io.FileIO.createStream(tmpName))
     try {
       assemble(out, layerNameOf(path), proj, attrCols, colTypes,
-        geomType, nItems, (minX, minY, maxX, maxY), tmpLeaf, tmp)
+        geomType, nItems, (minX, minY, maxX, maxY), tmpLeaf, tmp, nGeoms)
       out.close()
       if (graft.io.FileIO.exists(path)) graft.io.FileIO.delete(path)
       graft.io.FileIO.rename(tmpName, path)
@@ -774,7 +781,8 @@ object FlatGeobufSink {
   def assemble(out: java.io.OutputStream, layer: String, proj: String,
       attrCols: Seq[String], colTypes: Seq[Int], geomType: Int,
       nItems: Int, extent: (Double, Double, Double, Double),
-      tmpLeaf: java.nio.file.Path, tmpFeat: java.nio.file.Path): Unit = {
+      tmpLeaf: java.nio.file.Path, tmpFeat: java.nio.file.Path,
+      nGeoms: Int = -1): Unit = {
     val (minX, minY, maxX, maxY) = extent
     val hb = new Buf
     hb.u32(0)
@@ -799,7 +807,14 @@ object FlatGeobufSink {
       Some(tableVecRef(colWriters)), // 7 columns
       Some(U64S(nItems.toLong)), // 8 features_count
       Some(U16S(if (nItems > 0) NodeSize else 0)), // 9 index_node_size
-      Some(RefS(crsWriter)))) // 10 crs
+      Some(RefS(crsWriter)), // 10 crs
+      None, None, // 11 title, 12 description
+      // 13 metadata: the graft marker certifies the EMPTY-box leaf
+      // convention for null geometries, which is what lets a reader
+      // answer MIN/MAX(env_*) from index bytes alone; `geoms` is the
+      // non-null-geometry count (informational)
+      if (nGeoms < 0) None
+      else Some(stringRef(s"""{"graft":1,"geoms":$nGeoms}""")))) // 13
     hb.patchU32(0, ht.toLong)
     val headerBody = hb.result()
     out.write(Magic)
@@ -834,7 +849,15 @@ object FgbMeta {
       fileLen: Long, numItems: Int, nodeSize: Int,
       cols: Seq[(String, Int)], crs: Option[String],
       envelope: Option[(Double, Double, Double, Double)],
-      offsets: Array[Long])
+      offsets: Array[Long],
+      /** header metadata carries the graft marker: null-geometry
+        * features use EMPTY-box leaf records, so [[leafEnvAgg]] is the
+        * exact nullskipping MIN/MAX of the per-feature envelopes */
+      graftMarked: Boolean = false,
+      /** fold of the R-tree LEAF envelopes — (min minx, min miny,
+        * max maxx, max maxy) over features WITH an envelope; None when
+        * the file has no index or no enveloped feature */
+      leafEnvAgg: Option[(Double, Double, Double, Double)] = None)
 
   def readAt(r: graft.io.PositionedReader, pos: Long,
       n: Int): Array[Byte] = {
@@ -904,10 +927,15 @@ object FgbMeta {
             else None
           }
         }
+      // metadata (field 13): the graft writer's marker JSON
+      val mdF = Fb.field(header, root, 13)
+      val graftMarked = mdF != 0 &&
+        Fb.string(header, mdF).contains("\"graft\":")
       val idxBytes = if (nodeSize > 0 && numItems > 0)
         FlatGeobuf.indexBytes(numItems, nodeSize) else 0L
       val idxStart = 8L + 4L + hSize
       val featStart = idxStart + idxBytes
+      var leafEnvAgg: Option[(Double, Double, Double, Double)] = None
       val offsets: Array[Long] =
         if (idxBytes == 0) {
           // no index: walk size prefixes sequentially once
@@ -922,10 +950,27 @@ object FgbMeta {
           val sizes = levelSizes(numItems, nodeSize)
           val leafStart = idxStart + (sizes.sum - numItems).toLong * NodeBytes
           val leafB = readAt(r, leafStart, numItems * NodeBytes)
+          // fold the per-feature leaf envelopes while the bytes are hot:
+          // empty boxes (null geometry) fold out through the comparisons
+          var ax = Double.PositiveInfinity; var ay = Double.PositiveInfinity
+          var bx = Double.NegativeInfinity; var by = Double.NegativeInfinity
+          var i = 0
+          while (i < numItems) {
+            val x0 = Fb.f64(leafB, i * NodeBytes)
+            val y0 = Fb.f64(leafB, i * NodeBytes + 8)
+            val x1 = Fb.f64(leafB, i * NodeBytes + 16)
+            val y1 = Fb.f64(leafB, i * NodeBytes + 24)
+            if (x0 < ax) ax = x0
+            if (y0 < ay) ay = y0
+            if (x1 > bx) bx = x1
+            if (y1 > by) by = y1
+            i += 1
+          }
+          if (ax <= bx && ay <= by) leafEnvAgg = Some((ax, ay, bx, by))
           Array.tabulate(numItems)(i => Fb.u64(leafB, i * NodeBytes + 32))
         }
       Meta(header, featStart, fileLen, offsets.length, nodeSize, cols, crs,
-        envelope, offsets)
+        envelope, offsets, graftMarked, leafEnvAgg)
     }
   }
 

@@ -256,23 +256,67 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** COMPLETE pushdown of an ungrouped COUNT(*): the R-tree hit set is
-    * exact for the pushed window (per-feature leaf envelopes), so the
-    * count IS the planned candidate total — no feature byte is read.
-    * Spark only asks when no residual filter remains, so the
+  /** COMPLETE pushdown of ungrouped COUNT(*) / MIN(env_min*) /
+    * MAX(env_max*): the R-tree hit set is exact for the pushed window
+    * (per-feature leaf envelopes), so the count IS the planned
+    * candidate total, and the leaf-envelope fold IS the null-skipping
+    * MIN/MAX of the envelope columns — no feature byte is read. The
+    * null-geometry rule makes the fold exact: a feature without
+    * geometry has NO envelope (env_* columns NULL, skipped by SQL
+    * MIN/MAX), and graft-written files record it as the EMPTY box,
+    * which folds out of the leaf aggregate — certified by the `graft`
+    * header-metadata marker; files without the marker (foreign
+    * writers, unknown null convention) fall back to the scan. Spark
+    * only asks when no residual filter remains, so the
     * envelope-predicate path (always residual) never takes this. */
   private var countOnly = false
+  private var envAggExprs: Seq[
+    org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc] = null
+  private lazy val aggMetas: Seq[graft.geometry.FgbMeta.Meta] =
+    fs.map(graft.geometry.FgbMeta.read)
+
+  private def singleField(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
-    agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (!agg.groupByExpressions().isEmpty) return false
+    val ok = agg.aggregateExpressions().forall {
+      case _: CountStar => true
+      case m: Min =>
+        singleField(m.column).exists(c => c == "env_minx" || c == "env_miny")
+      case m: Max =>
+        singleField(m.column).exists(c => c == "env_maxx" || c == "env_maxy")
+      case _ => false
+    }
+    if (!ok) return false
+    if (agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])) true
+    else
+      // env MIN/MAX from index bytes: only for the WHOLE archive (no
+      // window restriction) and only when every non-empty file
+      // certifies the empty-box null-geometry convention
+      bbox.isEmpty && qx0 == -Double.MaxValue && qy0 == -Double.MaxValue &&
+        qx1 == Double.MaxValue && qy1 == Double.MaxValue &&
+        propFilters.isEmpty &&
+        aggMetas.forall(m => m.numItems == 0 ||
+          (m.graftMarked && m.nodeSize > 0))
+  }
+
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
     if (!supportCompletePushDown(agg)) return false
-    countOnly = true
+    if (agg.aggregateExpressions().forall(_.isInstanceOf[CountStar]))
+      countOnly = true
+    else envAggExprs = agg.aggregateExpressions().toSeq
     true
   }
 
@@ -303,6 +347,33 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
       require(propFilters.isEmpty && !inexactPlan,
         "graft-fgb: complete count pushdown with reader-side filters")
       new GraftFgbCountScan(base)
+    } else if (envAggExprs != null) {
+      import org.apache.spark.sql.connector.expressions.aggregate._
+      // archive-wide fold of the per-file leaf-envelope folds; a file
+      // with no enveloped feature (empty, or all-null geometry)
+      // contributes nothing, so an all-null archive answers NULL —
+      // exactly SQL MIN/MAX over zero non-null rows
+      val folds = aggMetas.flatMap(_.leafEnvAgg)
+      val fields = scala.collection.mutable.ArrayBuffer[StructField]()
+      val values = envAggExprs.map {
+        case _: CountStar =>
+          fields += StructField("count", LongType, nullable = false)
+          aggMetas.map(_.numItems.toLong).sum: java.lang.Long
+        case m: Min =>
+          val c = singleField(m.column).get
+          fields += StructField(s"min_$c", DoubleType, nullable = true)
+          val vs = folds.map(f => if (c == "env_minx") f._1 else f._2)
+          if (vs.isEmpty) null else (vs.min: java.lang.Double)
+        case m: Max =>
+          val c = singleField(m.column).get
+          fields += StructField(s"max_$c", DoubleType, nullable = true)
+          val vs = folds.map(f => if (c == "env_maxx") f._3 else f._4)
+          if (vs.isEmpty) null else (vs.max: java.lang.Double)
+        case other => throw new IllegalStateException(
+          s"graft-fgb: unplannable pushed aggregate $other")
+      }
+      new GraftFgbEnvAggScan(values.toArray, StructType(fields.toSeq),
+        rawPaths)
     } else base
   }
 }
@@ -337,6 +408,36 @@ class GraftFgbCountScan(base: GraftFgbScan) extends Scan with Batch {
 }
 
 case class GraftFgbCountPartition(n: Long) extends InputPartition
+
+/** COMPLETE env-aggregate scan: one partition, one row, answered from
+  * header + R-tree leaf bytes alone (ZERO feature-data bytes read —
+  * the values were folded at planning). */
+class GraftFgbEnvAggScan(values: Array[Any], schema: StructType,
+    paths: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-fgb complete agg [env min/max from index] " +
+      s"${schema.fieldNames.mkString(",")} over ${paths.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftFgbEnvAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val vs = partition.asInstanceOf[GraftFgbEnvAggPartition].values
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = { val r = !done; done = true; r }
+          override def get(): InternalRow = new GenericInternalRow(vs)
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class GraftFgbEnvAggPartition(values: Array[Any])
+    extends InputPartition
 
 /** A pushed property predicate, resolved to a file's property POSITION
   * — evaluated by the reader on decoded properties BEFORE the geometry

@@ -252,11 +252,13 @@ class GraftFgbPartWriter(cfg: GraftFgbWrite.Config, schema: StructType,
     try {
       order.foreach { i =>
         val r = recs(i)
+        // null geometry = NO envelope: the EMPTY box never intersects a
+        // query window and folds out of parent/env-aggregate min/max
         writeNodeRecord(leafOut,
-          if (r.hasGeom) r.minX else minX,
-          if (r.hasGeom) r.minY else minY,
-          if (r.hasGeom) r.maxX else minX,
-          if (r.hasGeom) r.maxY else minY, featBytes)
+          if (r.hasGeom) r.minX else Double.PositiveInfinity,
+          if (r.hasGeom) r.minY else Double.PositiveInfinity,
+          if (r.hasGeom) r.maxX else Double.NegativeInfinity,
+          if (r.hasGeom) r.maxY else Double.NegativeInfinity, featBytes)
         val body = java.nio.ByteBuffer.allocate(r.len)
         var p = r.off
         while (body.hasRemaining) {
@@ -277,7 +279,8 @@ class GraftFgbPartWriter(cfg: GraftFgbWrite.Config, schema: StructType,
       graft.io.FileIO.createStream(tmp))
     try FlatGeobufSink.assemble(out, FlatGeobufSink.layerNameOf(fin),
       cfg.srs, attrCols, colTypes, geomType, recs.length,
-      (minX, minY, maxX, maxY), tmpLeaf, tmpFeat)
+      (minX, minY, maxX, maxY), tmpLeaf, tmpFeat,
+      nGeoms = recs.count(_.hasGeom))
     finally {
       out.close()
       java.nio.file.Files.deleteIfExists(tmpRaw)

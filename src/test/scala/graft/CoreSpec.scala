@@ -171,6 +171,59 @@ class GeometrySerdeSpec extends SparkSpec {
     assert(place.store.asInstanceOf[AnyRef] eq src.asInstanceOf[AnyRef])
   }
 
+  test("reference-emitted temporal view with closed/label/timezone and " +
+      "the float-formatted percentile spelling constructs faithfully") {
+    // the reference formats percentile statistics as p<float> — 'p95'
+    // in, "p95.0" on the wire (temporal.py parse_percentile_statistic)
+    val v = BlockRegistry.fromJson(referenceView("temporal_closed_label.json"))
+    val rs = v.asInstanceOf[Resample]
+    assert(rs.frequency == "15min" && rs.direction == "backward" &&
+      rs.timezone == "Europe/Amsterdam")
+    val cum = rs.source.asInstanceOf[Cumulative]
+    assert(cum.statistic == "sum" && cum.frequency.contains("D") &&
+      cum.timezone == "Europe/Amsterdam")
+    val ta = cum.source.asInstanceOf[TemporalAggregate]
+    assert(ta.frequency.contains("4h") && ta.statistic == "p95.0")
+    assert(ta.closedOpt.contains("right") && ta.labelOpt.contains("right") &&
+      ta.timezone == "Europe/Amsterdam")
+    val snap = ta.source.asInstanceOf[Snap]
+    assert(snap.store.asInstanceOf[GeoTiffSource].url == "/data/radar.tif")
+    assert(snap.index.asInstanceOf[GeoTiffSource].timeDeltaMsArg == 3600000L)
+  }
+
+  test("reference-emitted zonal view with percentile aggregate, " +
+      "auto_pixel_size and the CLOSED Classify bin form constructs") {
+    import graft.geometry._
+    // GetSeriesBlock validates columns eagerly against the file (as the
+    // reference does via pyogrio.read_info) — materialize the store
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("view_fields")
+    val gpkg = s"$dir/fields.gpkg"
+    GeoPackageSink.writeStream(
+      Seq((1L, "POINT (1 1)")).toDF("fid", "wkt")
+        .select(col("fid"),
+          GeomFunctions.stGeomFromWkt(col("wkt")).as("geometry")),
+      "EPSG:28992", gpkg)(sp)
+    val v = BlockRegistry.fromJson(
+      referenceView("zonal_percentile_edges.json")
+        .replace("file:///data/fields.gpkg", gpkg))
+    val set = v.asInstanceOf[SetSeriesBlock]
+    assert(set.name == "edge_class")
+    val agg = set.source.asInstanceOf[graft.geometry.AggregateRaster]
+    assert(agg.statistic == "p95.0" && agg.aggProjection.contains("EPSG:28992"))
+    assert(agg.pixelSize.contains(0.5) && agg.maxPixels.contains(1000000L))
+    assert(agg.columnName == "p95" && agg.autoPixelSize)
+    val cls = set.series.asInstanceOf[graft.geometry.FieldOps.Classify]
+    // CLOSED form: len(labels) == len(bins)-1, right=true
+    assert(cls.bins == Seq(0.0, 1.0, 2.0) && cls.labels == Seq("a", "b") &&
+      cls.right)
+    val gs = cls.source.asInstanceOf[GetSeriesBlock]
+    assert(gs.name == "p95")
+    assert(gs.source.asInstanceOf[AnyRef] eq agg.asInstanceOf[AnyRef])
+  }
+
   test("reference-emitted rasterize/focal view constructs with argument " +
       "fidelity (null limit, nested-list data, focal params)") {
     val v = BlockRegistry.fromJson(referenceView("rasterize_focal.json"))

@@ -391,6 +391,83 @@ class GeometryV2Spec extends SparkSpec {
     assert(nn.count() == 80)
   }
 
+  test("MIN/MAX(env_*) + COUNT(*) answer from header and index bytes " +
+      "alone; null geometries have NO envelope; corrupt feature bytes " +
+      "prove the pushed path reads zero data") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fgb_envagg").toString
+    // two files; file b carries a null geometry (no envelope -> NULL
+    // env columns, skipped by SQL MIN/MAX but counted by COUNT(*))
+    def mk(rows: Seq[(Long, String)], name: String): Unit = {
+      val df = rows.toDF("fid", "wkt").select(col("fid"),
+        when(col("wkt").isNull, lit(null).cast("binary"))
+          .otherwise(GeomFunctions.stGeomFromWkt(col("wkt"))).as("geometry"))
+      FlatGeobufSink.writeStream(df, "EPSG:4326", s"$dir/$name.fgb")(sp)
+    }
+    mk(Seq((1L, "POINT (2 3)"), (2L, "LINESTRING (5 1, 9 4)")), "a")
+    mk(Seq((3L, "POINT (-4 8)"), (4L, null)), "b")
+    val agg = spark.read.format("graft-fgb").load(dir)
+      .agg(count("*").as("n"), min("env_minx").as("ax"),
+        min("env_miny").as("ay"), max("env_maxx").as("bx"),
+        max("env_maxy").as("by"))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("env min/max from index"),
+      agg.queryExecution.executedPlan.toString.take(1200))
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val r = df.collect()(0)
+      assert(r.getLong(0) == 4L) // count includes the null-geometry row
+      assert((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)) == ((-4.0, 1.0, 9.0, 8.0)), r)
+    }
+    check(agg)
+    // CORRUPT the feature sections (keep header + R-tree): the pushed
+    // path must still answer — zero data bytes are read
+    Seq("a", "b").foreach { n =>
+      val p = s"$dir/$n.fgb"
+      val m = FgbMeta.read(p)
+      val raf = new java.io.RandomAccessFile(p, "rw")
+      try {
+        raf.seek(m.featStart)
+        raf.write(Array.fill((m.fileLen - m.featStart).toInt)(0x5A.toByte))
+      } finally raf.close()
+    }
+    check(spark.read.format("graft-fgb").load(dir)
+      .agg(count("*").as("n"), min("env_minx").as("ax"),
+        min("env_miny").as("ay"), max("env_maxx").as("bx"),
+        max("env_maxy").as("by")))
+    // an ALL-null-geometry archive: MIN/MAX over zero envelopes is NULL
+    val dir2 = java.nio.file.Files.createTempDirectory("fgb_envnull").toString
+    val nulls = Seq((1L, Option.empty[String]), (2L, None))
+      .toDF("fid", "wkt")
+      .select(col("fid"), lit(null).cast("binary").as("geometry"))
+    FlatGeobufSink.writeStream(nulls, "EPSG:4326", s"$dir2/n.fgb")(sp)
+    val rn = spark.read.format("graft-fgb").load(dir2)
+      .agg(count("*").as("n"), min("env_minx").as("ax"),
+        max("env_maxx").as("bx")).collect()(0)
+    assert(rn.getLong(0) == 2L && rn.isNullAt(1) && rn.isNullAt(2))
+    // a bbox-restricted read can NOT use the archive-wide fold: plan
+    // falls back to the scan (and the null-geometry feature, having no
+    // envelope, never matches a window)
+    val dir3 = java.nio.file.Files.createTempDirectory("fgb_envbox").toString
+    val dfc = Seq((1L, "POINT (2 3)"), (2L, null)).toDF("fid", "wkt")
+      .select(col("fid"), when(col("wkt").isNull,
+        lit(null).cast("binary"))
+        .otherwise(GeomFunctions.stGeomFromWkt(col("wkt"))).as("geometry"))
+    FlatGeobufSink.writeStream(dfc, "EPSG:4326", s"$dir3/c.fgb")(sp)
+    val boxed = spark.read.format("graft-fgb")
+      .option("bbox", "0,0,10,10").load(dir3)
+    assert(!boxed.agg(min("env_minx")).queryExecution.executedPlan
+      .toString.contains("env min/max from index"))
+    assert(boxed.count() == 1L) // null geometry: no envelope, no match
+    // MIN over a MAX column is not index-derivable: falls back, exact
+    val mixed = spark.read.format("graft-fgb").load(dir3)
+      .agg(min("env_maxx").as("m"))
+    assert(!mixed.queryExecution.executedPlan.toString
+      .contains("env min/max from index"))
+    assert(mixed.collect()(0).getDouble(0) == 2.0)
+  }
+
   test("pushed numeric equality matches Spark SQL signed-zero " +
       "semantics: score === 0.0 keeps stored -0.0 rows") {
     val sp = spark

@@ -220,6 +220,36 @@ def build_graphs():
     views['geometry_field_chain'] = SetSeriesBlock(
         zones, 'rounded', rnd, 'bucket', cfc)
 
+    # temporal_closed_label: Resample(Cumulative(TemporalAggregate(
+    #   Snap(radar, gauge), '4h', 'p95', closed/label='right',
+    #   tz Europe/Amsterdam), 'sum', 'D', tz), '15min', 'backward', tz)
+    # — pins the pandas-offset NORMALIZATION ('4h', '15min'), the
+    # closed/label sides, a non-UTC timezone and the percentile
+    # statistic spelling through all three temporal ops
+    snapped = temporal.Snap(radar, gauge)
+    ta = temporal.TemporalAggregate(
+        snapped, '4h', statistic='p95', closed='right', label='right',
+        timezone='Europe/Amsterdam')
+    cum = temporal.Cumulative(
+        ta, statistic='sum', frequency='D', timezone='Europe/Amsterdam')
+    views['temporal_closed_label'] = temporal.Resample(
+        cum, '15min', direction='backward', timezone='Europe/Amsterdam')
+
+    # zonal_percentile_edges: Classify in its CLOSED-bin form
+    # (len(labels) == len(bins)-1, right=True) over an AggregateRaster
+    # with percentile statistic + auto_pixel_size — pins the other
+    # Classify arity and the aggregate's optional args
+    field_zones = gsources.GeometryFileSource('/data/fields.gpkg')
+    fdem = RasterFileSource('/data/dem.tif')
+    fagg = gagg.AggregateRaster(
+        field_zones, fdem, statistic='p95', projection='EPSG:28992',
+        pixel_size=0.5, max_pixels=1000000, column_name='p95',
+        auto_pixel_size=True)
+    fcls = gfield.Classify(GetSeriesBlock(fagg, 'p95'),
+                           [0.0, 1.0, 2.0], ['a', 'b'], right=True)
+    views['zonal_percentile_edges'] = SetSeriesBlock(
+        fagg, 'edge_class', fcls)
+
     return views
 
 
