@@ -30,6 +30,16 @@ object SoakR14 {
   private def lanePeakMb: Long =
     heapPools.map(_.getPeakUsage.getUsed).sum >> 20
 
+  /** LIVE-SET heap (post-GC used bytes): peak high-water tracks the
+    * -Xmx neighborhood under a generational collector (74 GB peak under
+    * an 80 GB ceiling says nothing about retention), so soak lines also
+    * record used-after-System.gc — the number that compares across
+    * decades and heap ceilings. */
+  private def liveSetMb: Long = {
+    System.gc()
+    heapPools.map(_.getUsage.getUsed).sum >> 20
+  }
+
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -126,12 +136,18 @@ object SoakR14 {
         }
       val peak = lanePeakMb
       worst = math.max(worst, peak)
+      // live set AFTER the timed window: the System.gc cost lands
+      // between lanes, not inside any lane's seconds. Opt out for
+      // tight A/B timing runs with SPARK_GRAFT_SOAK_LIVESET=false.
+      val live =
+        if (sys.env.get("SPARK_GRAFT_SOAK_LIVESET").contains("false")) -1L
+        else liveSetMb
       res match {
         case Right((sec, n)) =>
           total += sec
-          println(s"""{"soak_query":"$name","sec":$sec,"rows":$n,"peak_heap_mb":$peak}""")
+          println(s"""{"soak_query":"$name","sec":$sec,"rows":$n,"peak_heap_mb":$peak,"live_heap_mb":$live}""")
         case Left(e) =>
-          println(s"""{"soak_query":"$name","sec":-1,"err":"$e","peak_heap_mb":$peak}""")
+          println(s"""{"soak_query":"$name","sec":-1,"err":"$e","peak_heap_mb":$peak,"live_heap_mb":$live}""")
       }
       name -> res
     }
