@@ -288,6 +288,11 @@ class GraftFgbScanBuilder(fs: Seq[String], rawPaths: Seq[String],
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (!agg.groupByExpressions().isEmpty) return false
+    // an outer query can prune EVERY aggregate output (e.g.
+    // `df.agg(...).count()`): Spark then offers an EMPTY aggregation,
+    // and answering it with a 1-column count row trips the planner's
+    // "unexpected number of columns" assert — caught by the sf30 soak
+    if (agg.aggregateExpressions().isEmpty) return false
     val ok = agg.aggregateExpressions().forall {
       case _: CountStar => true
       case m: Min =>

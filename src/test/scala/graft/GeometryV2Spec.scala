@@ -466,6 +466,13 @@ class GeometryV2Spec extends SparkSpec {
     assert(!mixed.queryExecution.executedPlan.toString
       .contains("env min/max from index"))
     assert(mixed.collect()(0).getDouble(0) == 2.0)
+    // an outer query can prune EVERY aggregate output: Spark offers an
+    // EMPTY aggregation, which must NOT be answered with a count row
+    // (planner asserts on the column count) — caught by the sf30 soak
+    assert(spark.read.format("graft-fgb").load(dir3)
+      .agg(count("*").as("n"), min("env_minx").as("ax")).count() == 1L)
+    assert(spark.read.format("graft-fgb").load(dir3)
+      .agg(count("*").as("n")).count() == 1L)
   }
 
   test("pushed numeric equality matches Spark SQL signed-zero " +
