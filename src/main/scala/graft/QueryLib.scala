@@ -65,8 +65,18 @@ object QueryLib {
     gridCache.computeIfAbsent(dir, _ => {
       val n = tbl(s, dir, "events").count()
       val frames = 4
-      val w = 100
       val cells = (n + frames - 1) / frames
+      // historical shape: 100 wide, one cell per event. Past ~4M cells
+      // per frame that pins the grid 40000+ rows tall, which no
+      // geographic GRIB graticule can express (rows × an even
+      // millidegree pitch must stay on the globe — the sf30 soak hit
+      // the codec's own guard), so the grid WIDENS instead: row-major
+      // cell ids are shape-independent (cell_id = y*w + x = event
+      // index), so every lane and oracle is invariant to w.
+      val w0 = 100
+      val h0 = (cells + w0 - 1) / w0
+      val w = if (h0 <= 40000) w0
+        else (((cells + 39999) / 40000 + 99) / 100 * 100).toInt
       EventsGrid(n, frames, w, ((cells + w - 1) / w).toInt)
     })
 

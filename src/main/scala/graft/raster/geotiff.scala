@@ -384,15 +384,20 @@ object GeoTiff {
     def countsEntry(tag: Int): Unit =
       if (segArrays) entry(tag, arrTyp, nSegs, segArrOff + nSegs.toLong * (if (big) 8 else 4))
       else entry(tag, arrTyp, 1, recCnts(0))
+    // a dimension is SHORT *or LONG* (TIFF 6.0 §4): past 65535 rows the
+    // SHORT form truncates mod 2^16 (75000 -> 9464, caught by the sf30
+    // soak's mosaic lane) — promote the type, not the value
+    def dimEntry(tag: Int, v: Long): Unit =
+      entry(tag, if (v > 0xFFFFL) 4 else 3, 1, v)
     // entries must be ascending by tag id
-    entry(256, 3, 1, w)
-    entry(257, 3, 1, h)
+    dimEntry(256, w)
+    dimEntry(257, h)
     entry(258, 3, 1, bits)
     entry(259, 3, 1, comp)
     entry(262, 3, 1, 1)
     if (!tiled) offsetsEntry(273)
     entry(277, 3, 1, 1)
-    if (!tiled) { entry(278, 3, 1, rps); countsEntry(279) }
+    if (!tiled) { dimEntry(278, rps); countsEntry(279) }
     if (tiled) {
       entry(322, 3, 1, tileSize)
       entry(323, 3, 1, tileSize)
@@ -543,9 +548,12 @@ object GeoTiff {
           else hb.putInt(value.toInt)
         }
         val arrTyp = if (big) 16 else 4
+        // dimensions promote SHORT->LONG past 65535 (TIFF 6.0 §4)
+        def dimEntry(tag: Int, v: Long): Unit =
+          entry(tag, if (v > 0xFFFFL) 4 else 3, 1, v)
         entry(254, 4, 1, 1) // NewSubfileType: reduced-resolution image
-        entry(256, 3, 1, nw)
-        entry(257, 3, 1, nh)
+        dimEntry(256, nw)
+        dimEntry(257, nh)
         entry(258, 3, 1, bits)
         entry(259, 3, 1, 1)
         entry(262, 3, 1, 1)

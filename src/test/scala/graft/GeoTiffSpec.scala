@@ -17,6 +17,20 @@ class GeoTiffSpec extends SparkSpec {
     assert(t.epsg == 28992 && t.noData == -9999.0)
   }
 
+  test("a raster taller than 65535 rows round-trips: dimension tags " +
+      "promote SHORT->LONG instead of truncating mod 2^16") {
+    // 75000 rows wrote ImageLength=9464 before the fix (sf30 soak's
+    // mosaic lane); keep width tiny so the spec stays sub-second
+    val dir = Files.createTempDirectory("graft_tiff_tall").toString
+    val w = 2; val h = 70001
+    val vals = Array.tabulate(w * h)(i => (i % 9973).toDouble)
+    GeoTiff.write(s"$dir/tall.tif", vals, w, h, Bbox(0, 0, w, h), 28992, -1.0)
+    val t = GeoTiff.read(s"$dir/tall.tif")
+    assert(t.w == w && t.h == h)
+    assert(t.values.length == w * h)
+    assert(t.values(0) == 0.0 && t.values(w * h - 1) == ((w * h - 1) % 9973).toDouble)
+  }
+
   test("BigTIFF and big-endian fixtures decode exactly (independent encoder)") {
     // fixtures from tools/make_bigtiff_fixture.py — BigTIFF (version 43,
     // 20-byte entries, LONG8 offset arrays) and MM-order classic TIFF
