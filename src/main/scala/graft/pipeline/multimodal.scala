@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default DISK cache creates (and deletes) a temp file per
+  // encode/decode — at millions of rows across 32 executor threads that
+  // is filesystem-metadata contention, not codec work (the sf30 soak
+  // measured x9 wall on x3 data until this). The payloads here are
+  // kilobytes: the in-memory cache is strictly better at every scale.
+  // Object init runs once per executor JVM (every kernel below touches
+  // this object), so the global flag is set before any codec call.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte],
       width: Int, height: Int)
   case class FeatureRow(doc_id: Long, modality: String, feature: Array[Float],

@@ -23,6 +23,8 @@ import graft.geometry.{Sqlite, SqliteWrite, GeoPackage}
   * decodes independently, and a read touches only the requested zoom.
   */
 object GpkgTiles {
+  // in-memory ImageIO cache (a temp file per tile decode otherwise)
+  javax.imageio.ImageIO.setUseCache(false)
 
   case class Meta(table: String, zoom: Int, matrixW: Int, matrixH: Int,
       tileW: Int, tileH: Int, pixel: Double, minX: Double, maxY: Double,

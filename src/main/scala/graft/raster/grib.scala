@@ -44,6 +44,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * two's-complement value.
   */
 object Grib {
+  // in-memory ImageIO cache: the default disk cache costs a temp file
+  // per PNG pack/unpack — pure metadata contention at archive scale
+  javax.imageio.ImageIO.setUseCache(false)
 
   private[raster] def readAt(ch: PositionedReader, at: Long, n: Int): ByteBuffer = {
     val b = ByteBuffer.allocate(n)

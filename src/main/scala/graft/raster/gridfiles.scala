@@ -269,6 +269,8 @@ object Xyz {
   * loudly instead of silently taking one channel. Rotated world files
   * (B/D ≠ 0) are rejected; the warp kernel is axis-aligned. */
 object PngWorld {
+  // in-memory ImageIO cache (no temp file per encode/decode)
+  javax.imageio.ImageIO.setUseCache(false)
   import GridFiles._
 
   def read(path: String, projectionArg: String = "",
