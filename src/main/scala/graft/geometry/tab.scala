@@ -264,11 +264,37 @@ object Tab {
     * CRS rides in a `.prj` sidecar exactly like the MIF sink. */
   def write(url: String, fields: Seq[(String, String)],
       rows: Seq[(Geometry, Seq[String])], projection: String): Unit = {
+    val env = new org.locationtech.jts.geom.Envelope()
+    rows.foreach { case (g, _) => if (g != null)
+      env.expandToInclude(g.getEnvelopeInternal) }
+    writeStreaming(url, fields, rows.iterator, rows.length, env, projection)
+  }
+
+  /** Byte-counting buffered file stream: the .map record offsets ARE
+    * the running byte count, so nothing needs buffering in memory (a
+    * 20M-feature export overflowed the old whole-file array buffer at
+    * the JVM's 2 GB array ceiling — caught by the sf100 soak). */
+  private final class CountingOut(path: java.nio.file.Path) {
+    private val out = new java.io.BufferedOutputStream(
+      Files.newOutputStream(path), 1 << 16)
+    var size: Long = 0L
+    def write(b: Array[Byte]): Unit = { out.write(b); size += b.length }
+    def write(b: Int): Unit = { out.write(b); size += 1 }
+    def close(): Unit = out.close()
+  }
+
+  /** Single-pass STREAMING quartet write: `env`/`n` arrive precomputed
+    * (the sink derives them distributed), `rows` is consumed once, and
+    * .map/.id/.dat stream to disk concurrently — driver memory is O(1)
+    * in the feature count. */
+  def writeStreaming(url: String, fields: Seq[(String, String)],
+      rows: Iterator[(Geometry, Seq[String])], n: Int,
+      env: org.locationtech.jts.geom.Envelope, projection: String): Unit = {
     val base = url.replaceAll("(?i)\\.tab$", "")
     val name = Paths.get(base).getFileName.toString
 
     // ---- .map
-    val mapBuf = new java.io.ByteArrayOutputStream()
+    val mapBuf = new CountingOut(Paths.get(s"$base.map"))
     def pad(to: Int): Unit =
       while (mapBuf.size % to != 0) mapBuf.write(0)
     // header transform sized from the data envelope (what the real
@@ -277,9 +303,6 @@ object Tab {
     // coordinates stay exact), scale = 1e6 (micro-units) unless the
     // span would overflow the int32 grid, then the largest power of
     // ten that fits
-    val env = new org.locationtech.jts.geom.Envelope()
-    rows.foreach { case (g, _) => if (g != null)
-      env.expandToInclude(g.getEnvelopeInternal) }
     val (xDispl, yDispl) =
       if (env.isNull) (0.0, 0.0)
       else (math.floor(env.getMinX), math.floor(env.getMinY))
@@ -295,7 +318,7 @@ object Tab {
     head.putShort(0)
     head.putDouble(scale); head.putDouble(scale)
     head.putDouble(xDispl); head.putDouble(yDispl)
-    head.putInt(rows.length)
+    head.putInt(n)
     mapBuf.write(head.array())
     def enc(v: Double, displ: Double): Int = {
       val f = math.floor((v - displ) * scale + 0.5)
@@ -307,8 +330,41 @@ object Tab {
       val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
       f(b); b.array()
     }
-    val offsets = rows.zipWithIndex.map { case ((g, _), oid) =>
-      g match {
+    // ---- .id and .dat stream ALONGSIDE .map: one pass over `rows`
+    val idOut = new CountingOut(Paths.get(s"$base.id"))
+    def widthOf(t: String): (Char, Int, Int) = {
+      val lower = t.trim.toLowerCase
+      if (lower.startsWith("char")) {
+        val cn = "\\d+".r.findFirstIn(lower).map(_.toInt).getOrElse(254)
+        ('C', cn, 0)
+      } else if (lower == "integer") ('N', 18, 0)
+      else if (lower == "smallint") ('N', 6, 0)
+      else if (lower == "float" || lower.startsWith("decimal")) ('N', 24, 6)
+      else if (lower == "logical") ('L', 1, 0)
+      else ('C', 64, 0)
+    }
+    val widths = fields.map(f => widthOf(f._2))
+    val recSize = 1 + widths.map(_._2).sum
+    val headerSize = 32 + 32 * fields.length + 1
+    val dat = new CountingOut(Paths.get(s"$base.dat"))
+    dat.write(le(32) { b =>
+      b.put(0x03.toByte); b.put(126.toByte); b.put(1.toByte); b.put(1.toByte)
+      b.putInt(n)
+      b.putShort(headerSize.toShort); b.putShort(recSize.toShort)
+    })
+    fields.zip(widths).foreach { case ((nm, _), (c, w, d)) =>
+      dat.write(le(32) { b =>
+        val nb = nm.getBytes(StandardCharsets.US_ASCII).take(10)
+        b.put(nb); b.position(11)
+        b.put(c.toByte)
+        b.position(16); b.put(w.toByte); b.put(d.toByte)
+      })
+    }
+    dat.write(0x0D)
+    var oid = -1
+    rows.foreach { case (g, vals) =>
+      oid += 1
+      val off: Long = g match {
         case null => 0L
         case p: Point =>
           val at = mapBuf.size.toLong
@@ -361,46 +417,8 @@ object Tab {
           s"cannot write ${other.getGeometryType} to TAB " +
             "(Point/LineString/Polygon/MultiPolygon)")
       }
-    }
-    pad(BlockSize)
-    Files.write(Paths.get(s"$base.map"), mapBuf.toByteArray)
-
-    // ---- .id
-    Files.write(Paths.get(s"$base.id"), le(4 * offsets.length) { b =>
-      offsets.foreach(o => b.putInt(o.toInt))
-    })
-
-    // ---- .dat (dBASE III shape, deletion flag ' ')
-    def widthOf(t: String): (Char, Int, Int) = {
-      val lower = t.trim.toLowerCase
-      if (lower.startsWith("char")) {
-        val n = "\\d+".r.findFirstIn(lower).map(_.toInt).getOrElse(254)
-        ('C', n, 0)
-      } else if (lower == "integer") ('N', 18, 0)
-      else if (lower == "smallint") ('N', 6, 0)
-      else if (lower == "float" || lower.startsWith("decimal")) ('N', 24, 6)
-      else if (lower == "logical") ('L', 1, 0)
-      else ('C', 64, 0)
-    }
-    val widths = fields.map(f => widthOf(f._2))
-    val recSize = 1 + widths.map(_._2).sum
-    val headerSize = 32 + 32 * fields.length + 1
-    val dat = new java.io.ByteArrayOutputStream()
-    dat.write(le(32) { b =>
-      b.put(0x03.toByte); b.put(126.toByte); b.put(1.toByte); b.put(1.toByte)
-      b.putInt(rows.length)
-      b.putShort(headerSize.toShort); b.putShort(recSize.toShort)
-    })
-    fields.zip(widths).foreach { case ((nm, _), (c, w, d)) =>
-      dat.write(le(32) { b =>
-        val nb = nm.getBytes(StandardCharsets.US_ASCII).take(10)
-        b.put(nb); b.position(11)
-        b.put(c.toByte)
-        b.position(16); b.put(w.toByte); b.put(d.toByte)
-      })
-    }
-    dat.write(0x0D)
-    rows.foreach { case (_, vals) =>
+      idOut.write(le(4)(_.putInt(off.toInt)))
+      // .dat record (dBASE III shape, deletion flag ' ')
       dat.write(' ')
       vals.zip(widths).foreach { case (v, (c, w, d)) =>
         val s0 = if (v == null) "" else if (c == 'N' && d > 0 && v.nonEmpty) {
@@ -427,9 +445,10 @@ object Tab {
         }
       }
     }
+    pad(BlockSize)
+    mapBuf.close(); idOut.close(); dat.close()
     Files.write(Paths.get(tabPathOf(url)), tabText(name, fields, projection)
       .getBytes(StandardCharsets.UTF_8))
-    Files.write(Paths.get(s"$base.dat"), dat.toByteArray)
     if (projection != "EPSG:4326")
       Files.writeString(Paths.get(s"$base.prj"),
         graft.raster.WktSrs.toWkt(projection).getOrElse(projection))
@@ -531,28 +550,47 @@ object TabSink {
 
     val fields = ("fid" -> "Integer") +:
       attrCols.map(c => c -> Mif.mifTypeOf(types(c)))
-    val rows = scala.collection.mutable.ArrayBuffer[(Geometry, Seq[String])]()
-    val it = ordered.toLocalIterator()
-    var k = 0L
-    while (it.hasNext) {
-      val r = it.next()
-      val fid = if (fidIdx >= 0 && !r.isNullAt(fidIdx))
-        Gml.fidValue(r.get(fidIdx)) else k
-      val g = if (geomIdx >= 0 && !r.isNullAt(geomIdx))
-        GeomFunctions.readWkb(r.get(geomIdx).asInstanceOf[Array[Byte]]) else null
-      val vals = fid.toString +: attrCols.map { c =>
-        val idx = df0.columns.indexOf(c)
-        if (r.isNullAt(idx)) ""
-        else r.get(idx) match {
-          case b: Boolean => if (b) "T" else "F"
-          case ts: java.sql.Timestamp => ts.toInstant.toString
-          case other => other.toString
+    // distributed envelope + count pass (the .map header transform needs
+    // them BEFORE the first record), then ONE streamed driver pass —
+    // never a driver-side row buffer (20M features overflowed the old
+    // ArrayBuffer + whole-file byte buffer at the 2 GB array ceiling)
+    val ext = df0.agg(
+      org.apache.spark.sql.functions.min(GeomFunctions.stEnvMinX(col("geometry"))),
+      org.apache.spark.sql.functions.min(GeomFunctions.stEnvMinY(col("geometry"))),
+      org.apache.spark.sql.functions.max(GeomFunctions.stEnvMaxX(col("geometry"))),
+      org.apache.spark.sql.functions.max(GeomFunctions.stEnvMaxY(col("geometry"))),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))
+    ).head()
+    val env = new org.locationtech.jts.geom.Envelope()
+    if (!ext.isNullAt(0))
+      env.expandToInclude(new org.locationtech.jts.geom.Envelope(
+        ext.getDouble(0), ext.getDouble(2), ext.getDouble(1), ext.getDouble(3)))
+    val n = ext.getLong(4)
+    require(n <= Int.MaxValue, s"TAB caps at ${Int.MaxValue} features (got $n)")
+    var k = -1L
+    val it = new Iterator[(Geometry, Seq[String])] {
+      private val rows = ordered.toLocalIterator()
+      override def hasNext: Boolean = rows.hasNext
+      override def next(): (Geometry, Seq[String]) = {
+        val r = rows.next()
+        k += 1
+        val fid = if (fidIdx >= 0 && !r.isNullAt(fidIdx))
+          Gml.fidValue(r.get(fidIdx)) else k
+        val g = if (geomIdx >= 0 && !r.isNullAt(geomIdx))
+          GeomFunctions.readWkb(r.get(geomIdx).asInstanceOf[Array[Byte]]) else null
+        val vals = fid.toString +: attrCols.map { c =>
+          val idx = df0.columns.indexOf(c)
+          if (r.isNullAt(idx)) ""
+          else r.get(idx) match {
+            case b: Boolean => if (b) "T" else "F"
+            case ts: java.sql.Timestamp => ts.toInstant.toString
+            case other => other.toString
+          }
         }
+        (g, vals)
       }
-      rows += ((g, vals))
-      k += 1
     }
-    Tab.write(tabPath, fields, rows.toSeq, from)
+    Tab.writeStreaming(tabPath, fields, it, n.toInt, env, from)
     tabPath
   }
 }

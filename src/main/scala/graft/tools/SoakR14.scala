@@ -114,9 +114,14 @@ object SoakR14 {
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val names = SparkEntryNames.all
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
-    // untimed warmup (JIT + the shared source-frame reshape)
+    // untimed warmup (JIT + the shared source-frame reshape); big grids
+    // also raise the reference-compat raster-limit guard the way a
+    // real user with executor headroom would (config.py raster-limit —
+    // the full-grid lane requests exceed the laptop default past sf30)
     try {
       val g = graft.QueryLib.eventsGrid(spark, sfDir)
+      graft.raster.RequestGuards.rasterLimitPixels = math.max(
+        graft.raster.RequestGuards.rasterLimitPixels, 2L * g.w * g.h)
       graft.QueryLib.eventsRaster(sfDir, g)
         .frame(graft.QueryLib.fullReq(g))(spark).count()
     } catch { case _: Throwable => }
