@@ -131,6 +131,37 @@ object QueryLib {
       .select(col("t_idx"), col("cell_id"), col("v"))
   }
 
+  /** Join several ALIGNED tile frames (same grid, same full-period
+    * request → identical tile key sets and per-tile array layout) on the
+    * tile key and explode ONCE to (t_idx, cell_id, <one column per
+    * frame>). Result-identical to exploding each frame through [[cells]]
+    * and equi-joining on (t_idx, cell_id) — same rows, same values — but
+    * the join moves ~#tiles rows instead of ~#cells, and the posexplode
+    * runs once instead of once per frame (the aligned arrays are read by
+    * position). */
+  def cellsJoined(g: EventsGrid, frames: (DataFrame, String)*): DataFrame = {
+    require(frames.nonEmpty, "cellsJoined needs at least one frame")
+    val tile = TileLayout.TILE
+    val renamed = frames.zipWithIndex.map { case ((f, _), i) =>
+      f.select(col("t"), col("ty"), col("tx"), col("values").as(s"__v$i"))
+    }
+    val joined = renamed.reduce(_.join(_, Seq("t", "ty", "tx")))
+    val exploded = joined.select(
+      (Seq(col("t"), col("ty"), col("tx")) ++
+        frames.indices.tail.map(i => col(s"__v$i"))) :+
+        posexplode(col("__v0")).as(Seq("pos", frames.head._2)): _*)
+    val withCoords = exploded
+      .withColumn("tw", least(lit(tile), lit(g.w) - col("tx") * tile))
+      .withColumn("x", col("tx") * tile + col("pos") % col("tw"))
+      .withColumn("y", col("ty") * tile + (col("pos") / col("tw")).cast("int"))
+      .withColumn("cell_id", col("y").cast("long") * g.w + col("x"))
+      .withColumn("t_idx", (col("t") / Hour).cast("long"))
+      .filter(col("cell_id") < g.completeCells)
+    frames.zipWithIndex.tail.foldLeft(withCoords) { case (df, ((_, n), i)) =>
+      df.withColumn(n, element_at(col(s"__v$i"), col("pos") + 1))
+    }.select(col("t_idx") +: col("cell_id") +: frames.map(f => col(f._2)): _*)
+  }
+
   /** DuckDB CTE mirroring the events→cells reshape. `vexpr`/`ndexpr` are SQL
     * over the raw events row. */
   def cellsSql(vexpr: String = "value", ndcond: String = "event_type = 'error'"): String =

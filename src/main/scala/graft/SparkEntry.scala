@@ -412,15 +412,19 @@ object SparkEntry {
       "r33_elemwise_suite" -> q((s, dir, g) => {
         val a = eventsRaster(dir, g)
         val b = eventsRaster(dir, g, "200.0 - value")
-        def c(r: RasterBlock) = cells(r.frame(fullReq(g))(s), g)
-        c(Equal(a, b)).withColumnRenamed("v", "eq")
-          .join(c(NotEqual(a, 100.0)).withColumnRenamed("v", "ne"), Seq("t_idx", "cell_id"))
-          .join(c(GreaterEqual(a, b)).withColumnRenamed("v", "ge"), Seq("t_idx", "cell_id"))
-          .join(c(LessEqual(a, 100.0)).withColumnRenamed("v", "le"), Seq("t_idx", "cell_id"))
-          .join(c(Invert(IsNoData(a))).withColumnRenamed("v", "inv_nd"), Seq("t_idx", "cell_id"))
-          .join(c(Exp(Divide(a, 100.0))).withColumnRenamed("v", "expv"), Seq("t_idx", "cell_id"))
-          .join(c(Log10(eventsRaster(dir, g, "value + 1"))).withColumnRenamed("v", "l10"),
-            Seq("t_idx", "cell_id"))
+        // the seven branches are ALIGNED tile frames over one request:
+        // join them tile-wise and explode once (cellsJoined) instead of
+        // exploding each to ~#cells rows and equi-joining six times —
+        // identical rows/values, ~#tiles-row joins
+        def f(r: RasterBlock) = r.frame(fullReq(g))(s)
+        QueryLib.cellsJoined(g,
+            (f(Equal(a, b)), "eq"),
+            (f(NotEqual(a, 100.0)), "ne"),
+            (f(GreaterEqual(a, b)), "ge"),
+            (f(LessEqual(a, 100.0)), "le"),
+            (f(Invert(IsNoData(a))), "inv_nd"),
+            (f(Exp(Divide(a, 100.0))), "expv"),
+            (f(Log10(eventsRaster(dir, g, "value + 1"))), "l10"))
           .select(col("t_idx"), col("cell_id"), col("eq"), col("ne"), col("ge"),
             col("le"), col("inv_nd"), round(col("expv"), 6).as("expv"),
             round(col("l10"), 6).as("l10"))
@@ -968,11 +972,9 @@ object SparkEntry {
         val a = eventsRaster(dir, g)
         def place(hint: String) = Place(a, "EPSG:28992", (50.0, g.h / 2.0),
           Seq((25.0, g.h / 2.0), (75.0, g.h / 2.0)), "max", Some(hint))
-        val w = cells(place("warp").frame(fullReq(g))(s), g)
-          .withColumnRenamed("v", "vw")
-        val gr = cells(place("group").frame(fullReq(g))(s), g)
-          .withColumnRenamed("v", "vg")
-        w.join(gr, Seq("t_idx", "cell_id"))
+        QueryLib.cellsJoined(g,
+            (place("warp").frame(fullReq(g))(s), "vw"),
+            (place("group").frame(fullReq(g))(s), "vg"))
           .agg(sum(when(col("vw") =!= col("vg"), 1).otherwise(0))
             .cast("long").as("n_diff"), count(lit(1)).as("n_cells"))
       }),
@@ -983,11 +985,9 @@ object SparkEntry {
         val a = eventsRaster(dir, g)
         def diff(sigma: Double): DataFrame = {
           val nd = lit(QueryLib.ND)
-          val s2 = cells(Smooth(Multiply(a, 2.0), sigma).frame(fullReq(g))(s), g)
-            .withColumnRenamed("v", "va")
-          val s1 = cells(Smooth(a, sigma).frame(fullReq(g))(s), g)
-            .withColumnRenamed("v", "vb")
-          s2.join(s1, Seq("t_idx", "cell_id"))
+          QueryLib.cellsJoined(g,
+              (Smooth(Multiply(a, 2.0), sigma).frame(fullReq(g))(s), "va"),
+              (Smooth(a, sigma).frame(fullReq(g))(s), "vb"))
             .select(when(col("va") === col("vb") * 2 ||
               (col("va") === nd && col("vb") === nd), 0).otherwise(1).as("d"))
         }

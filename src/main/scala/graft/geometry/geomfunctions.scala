@@ -32,6 +32,35 @@ object GeomFunctions extends Serializable {
   def writeWkb(g: Geometry): Array[Byte] = wkbWriterTL.get.write(g)
   def readWkt(s: String): Geometry = wktReaderTL.get.read(s)
 
+  /** Per-thread 2-entry memo over the WKB bytes → parsed Geometry. The
+    * accessor/predicate UDFs below are routinely evaluated several times
+    * on the SAME geometry in consecutive calls — four envelope UDFs in one
+    * projection, a contains-point test per exploded candidate cell of one
+    * feature, both sides of a pair refinement — and re-parsing dominates
+    * the actual test. Content-compared (Spark hands each UDF call a fresh
+    * byte array, so reference equality never hits); two entries cover the
+    * alternating two-geometry pattern of pair predicates. ONLY for callers
+    * that never mutate the parsed geometry (JTS operations build new
+    * geometries; the two CoordinateFilter mutators below copy() first). */
+  private val wkbMemoTL = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](5)
+  }
+  def readWkbCached(b: Array[Byte]): Geometry = {
+    val m = wkbMemoTL.get
+    val b0 = m(0).asInstanceOf[Array[Byte]]
+    if (b0 != null && java.util.Arrays.equals(b0, b))
+      return m(1).asInstanceOf[Geometry]
+    val b1 = m(2).asInstanceOf[Array[Byte]]
+    if (b1 != null && java.util.Arrays.equals(b1, b))
+      return m(3).asInstanceOf[Geometry]
+    val g = wkbReaderTL.get.read(b)
+    // round-robin replacement: keeps the other live entry intact
+    val slot = if (m(4) == null) 0 else 2
+    m(slot) = b; m(slot + 1) = g
+    m(4) = if (slot == 0) java.lang.Boolean.TRUE else null
+    g
+  }
+
   /** Per-thread single-entry memo for the request's constant filter WKT:
     * predicate UDFs run once per row, and re-parsing (plus re-indexing)
     * the same literal for millions of rows dominates the scan at scale.
@@ -63,10 +92,10 @@ object GeomFunctions extends Serializable {
     if (wkt == null) null else writeWkb(readWkt(wkt))
   }
   private val asWkt = udf { (wkb: Array[Byte]) =>
-    if (wkb == null) null else readWkb(wkb).toText
+    if (wkb == null) null else readWkbCached(wkb).toText
   }
   private val area = udf { (wkb: Array[Byte]) =>
-    if (wkb == null) null else java.lang.Double.valueOf(readWkb(wkb).getArea)
+    if (wkb == null) null else java.lang.Double.valueOf(readWkbCached(wkb).getArea)
   }
   private val buffer = udf { (wkb: Array[Byte], dist: Double, quadrantSegs: Int) =>
     if (wkb == null) null
@@ -88,12 +117,12 @@ object GeomFunctions extends Serializable {
   }
   private val intersectionWkt = udf { (a: Array[Byte], wkt: String) =>
     if (a == null || wkt == null) null
-    else writeWkb(readWkb(a).intersection(parsedFor(wkt)))
+    else writeWkb(readWkbCached(a).intersection(parsedFor(wkt)))
   }
   private val filterPred = udf { (wkb: Array[Byte], wkt: String, mode: String) =>
     if (wkb == null || wkt == null) false
     else {
-      val g = readWkb(wkb)
+      val g = readWkbCached(wkb)
       val f = preparedFor(wkt)
       if (mode == "centroid") f.contains(g.getCentroid) else f.intersects(g)
     }
@@ -101,7 +130,7 @@ object GeomFunctions extends Serializable {
   private val sizeAtLeast = udf { (wkb: Array[Byte], minSize: Double) =>
     if (wkb == null) false
     else {
-      val e = readWkb(wkb).getEnvelopeInternal
+      val e = readWkbCached(wkb).getEnvelopeInternal
       // min_size drops features whose bbox is smaller in BOTH directions
       // (geometry/base.py:18-31)
       e.getWidth >= minSize || e.getHeight >= minSize
@@ -139,25 +168,25 @@ object GeomFunctions extends Serializable {
   }
   private val containsPoint = udf { (wkb: Array[Byte], x: Double, y: Double) =>
     if (wkb == null) false
-    else readWkb(wkb).contains(factory.createPoint(new org.locationtech.jts.geom.Coordinate(x, y)))
+    else readWkbCached(wkb).contains(factory.createPoint(new org.locationtech.jts.geom.Coordinate(x, y)))
   }
   private val envMinX = udf { (wkb: Array[Byte]) =>
-    if (wkb == null) null else java.lang.Double.valueOf(readWkb(wkb).getEnvelopeInternal.getMinX)
+    if (wkb == null) null else java.lang.Double.valueOf(readWkbCached(wkb).getEnvelopeInternal.getMinX)
   }
   private val envMinY = udf { (wkb: Array[Byte]) =>
-    if (wkb == null) null else java.lang.Double.valueOf(readWkb(wkb).getEnvelopeInternal.getMinY)
+    if (wkb == null) null else java.lang.Double.valueOf(readWkbCached(wkb).getEnvelopeInternal.getMinY)
   }
   private val envMaxX = udf { (wkb: Array[Byte]) =>
-    if (wkb == null) null else java.lang.Double.valueOf(readWkb(wkb).getEnvelopeInternal.getMaxX)
+    if (wkb == null) null else java.lang.Double.valueOf(readWkbCached(wkb).getEnvelopeInternal.getMaxX)
   }
   private val envMaxY = udf { (wkb: Array[Byte]) =>
-    if (wkb == null) null else java.lang.Double.valueOf(readWkb(wkb).getEnvelopeInternal.getMaxY)
+    if (wkb == null) null else java.lang.Double.valueOf(readWkbCached(wkb).getEnvelopeInternal.getMaxY)
   }
   private val centroidX = udf { (wkb: Array[Byte]) =>
-    if (wkb == null) null else java.lang.Double.valueOf(readWkb(wkb).getCentroid.getX)
+    if (wkb == null) null else java.lang.Double.valueOf(readWkbCached(wkb).getCentroid.getX)
   }
   private val centroidY = udf { (wkb: Array[Byte]) =>
-    if (wkb == null) null else java.lang.Double.valueOf(readWkb(wkb).getCentroid.getY)
+    if (wkb == null) null else java.lang.Double.valueOf(readWkbCached(wkb).getCentroid.getY)
   }
 
   def stGeomFromWkt(wkt: Column): Column = geomFromWkt(wkt)

@@ -126,7 +126,7 @@ object SpatialJoin {
     require(saltAbove > 0 && saltAbove <= maxCellRows,
       "need 0 < saltAbove <= maxCellRows")
     val cellsUdf = udf { (wkb: Array[Byte]) =>
-      val e = GeomFunctions.readWkb(wkb).getEnvelopeInternal
+      val e = GeomFunctions.readWkbCached(wkb).getEnvelopeInternal
       val cx0 = math.floor(e.getMinX / cellSize).toLong
       val cx1 = math.floor(e.getMaxX / cellSize).toLong
       val cy0 = math.floor(e.getMinY / cellSize).toLong
@@ -158,8 +158,9 @@ object SpatialJoin {
         saltAbove, maxCellRows)
 
     val refine = udf { (aw: Array[Byte], bw: Array[Byte], cell: Long) =>
-      val a = GeomFunctions.readWkb(aw)
-      val b = GeomFunctions.readWkb(bw)
+      // 2-entry parse memo: the pair predicate alternates two geometries
+      val a = GeomFunctions.readWkbCached(aw)
+      val b = GeomFunctions.readWkbCached(bw)
       val ea = a.getEnvelopeInternal; val eb = b.getEnvelopeInternal
       if (!ea.intersects(eb)) false
       else {

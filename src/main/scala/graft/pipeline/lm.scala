@@ -63,11 +63,31 @@ object Lm {
     // the terms join): materialized once so each branch stops re-running
     // the corpus explode+aggregate — the trigram lesson (NOTES_r14)
     // applied to the same shape here
-    val mb = g.groupBy("w1", "w2").agg(sum("cnt").as("cb"))
+    // corpus bigram totals straight off the instance stream: the count
+    // of exploded instances per (w1, w2) ≡ the former sum over docs of
+    // per-doc counts — one corpus exchange in the checkpoint pass
+    // instead of two (the per-doc pre-aggregate `g` is only needed on
+    // the scoring side, where the doc aggregate wants per-doc counts)
+    val mb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       .localCheckpoint()
-    val mc = mb.groupBy("w1").agg(sum("cb").as("cu"))
     val v = mb.select(countDistinct("w2").as("vv"))
-    val terms = g.join(mb, Seq("w1", "w2")).join(mc, Seq("w1"))
+    // attach the context total cu as a WINDOW sum over the checkpointed
+    // model table (sum of cb per w1 ≡ the former mc aggregate — same
+    // integer sum, order-independent), then join the corpus frame ONCE
+    // on (w1, w2). The former shape joined the corpus-sized `g` through
+    // mb THEN mc — two corpus-sized exchanges (the second re-keyed on
+    // w1) for counts that only depend on the bigram; now only the
+    // model-sized frame re-keys, and the corpus crosses the network
+    // once. The window (not a join, not a crossJoin) also keeps the
+    // model side's size estimate anchored to the checkpoint's EXACT
+    // stats, so on small inputs the planner broadcasts the model —
+    // never the corpus — and at scale it shuffle-joins. The 1-row vv
+    // frame attaches after the corpus join exactly as before, and tm is
+    // the same IEEE expression on the same integers → bit-identical.
+    val model = mb.withColumn("cu",
+      sum(col("cb")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w1")))
+    val terms = g.join(model, Seq("w1", "w2"))
       .crossJoin(broadcast(v))
       .select(col("doc_id"), col("cnt"),
         floor(log((col("cb").cast("double") + lit(1.0)) /
@@ -105,13 +125,13 @@ object Lm {
         concat(array(lit(BOS), lit(BOS)),
           coalesce(TextAnalysis.words(col(textCol)), array())).as("ws"))
       .where(size(col("ws")) >= 3)
-    val g = withWs.select(col("doc_id"),
+    val tg = withWs.select(col("doc_id"),
       explode(transform(sequence(lit(1), size(col("ws")) - 2), i =>
         struct(element_at(col("ws"), i).as("w1"),
           element_at(col("ws"), i + 1).as("w2"),
           element_at(col("ws"), i + 2).as("w3")))).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"), col("p.w3"))
-      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
+    val g = tg.groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
     // the corpus trigram table is read by FIVE derived aggregates and
     // the final join; left lazy, every branch of that tree recomputes
     // the whole explode+aggregate from the raw text (the sf1 soak
@@ -120,17 +140,37 @@ object Lm {
     // corpus-sized like `g`, so this is the spill-safe table to pin —
     // the same trade jaccardPairFrame makes (ContextCleaner reclaims
     // the blocks when the frame becomes unreachable).
-    val c3 = g.groupBy("w1", "w2", "w3").agg(sum("cnt").as("c3"))
+    // instance counts per trigram ≡ the former sum over docs of per-doc
+    // counts — one corpus exchange in the checkpoint pass instead of two
+    val c3 = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
       .localCheckpoint()
-    val c2ctx = c3.groupBy("w1", "w2").agg(sum("c3").as("c2ctx"))
-    val cbg = c3.groupBy("w2", "w3").agg(sum("c3").as("cbg"))
-    val c1ctx = cbg.groupBy("w2").agg(sum("cbg").as("c1ctx"))
-    val cuni = cbg.groupBy("w3").agg(sum("cbg").as("c1"))
-    val tot = cuni.agg(sum("c1").as("n"), countDistinct("w3").as("vv"))
-    val terms = g
-      .join(c3, Seq("w1", "w2", "w3")).join(c2ctx, Seq("w1", "w2"))
-      .join(cbg, Seq("w2", "w3")).join(c1ctx, Seq("w2"))
-      .join(cuni, Seq("w3")).crossJoin(broadcast(tot))
+    // totals straight off the trigram multiset: Σ c3 ≡ the former
+    // Σ_{w3} c1 (both sum every trigram occurrence once); vv unchanged
+    val tot = c3.agg(sum("c3").as("n"), countDistinct("w3").as("vv"))
+    // attach all four context totals as WINDOW sums over the
+    // checkpointed model table — each window partition sums c3 over
+    // exactly the rows the former aggregate-and-join attached
+    // (c2ctx per (w1,w2), cbg per (w2,w3), c1ctx per w2, c1 per w3;
+    // integer sums, order-independent) — then join the corpus frame
+    // ONCE on (w1, w2, w3). The former shape dragged the corpus-sized
+    // `g` through five joins — five corpus-sized exchanges, each
+    // re-keyed (w1w2w3 → w1w2 → w2w3 → w2 → w3) — for counts that only
+    // depend on the trigram; now only the model-sized frame re-keys,
+    // and the corpus crosses the network once. Windows (not joins, no
+    // crossJoin on the model side) keep the model's size estimate
+    // anchored to the checkpoint's EXACT stats: on small inputs the
+    // planner broadcasts the model — never the corpus — and at scale
+    // it shuffle-joins. The 1-row tot attaches after the corpus join
+    // exactly as before; tm is the same IEEE interpolation on the same
+    // integers → bit-identical.
+    import org.apache.spark.sql.expressions.Window
+    val model = c3
+      .withColumn("c2ctx", sum(col("c3")).over(Window.partitionBy("w1", "w2")))
+      .withColumn("cbg", sum(col("c3")).over(Window.partitionBy("w2", "w3")))
+      .withColumn("c1ctx", sum(col("c3")).over(Window.partitionBy("w2")))
+      .withColumn("c1", sum(col("c3")).over(Window.partitionBy("w3")))
+    val terms = g.join(model, Seq("w1", "w2", "w3"))
+      .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("cnt"),
         floor(log(
           lit(l3) * (col("c3").cast("double") / col("c2ctx").cast("double")) +

@@ -82,22 +82,24 @@ object Multimodal {
     if (img == null) return None
     val r = img.getRaster
     val (w, h, bands) = (img.getWidth, img.getHeight, r.getNumBands)
+    // bulk row transfer: getPixels fills one interleaved row at a time —
+    // same sample values as the former per-(x,y,band) getSample loop,
+    // without a virtual call + bounds checks per sample
+    val row = new Array[Int](w * bands)
     var sum = 0L
     var mn = Int.MaxValue
     var mx = Int.MinValue
     var y = 0
     while (y < h) {
-      var x = 0
-      while (x < w) {
-        var b = 0
-        while (b < bands) {
-          val v = r.getSample(x, y, b)
-          sum += v
-          if (v < mn) mn = v
-          if (v > mx) mx = v
-          b += 1
-        }
-        x += 1
+      r.getPixels(0, y, w, 1, row)
+      var i = 0
+      val n = w * bands
+      while (i < n) {
+        val v = row(i)
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
       }
       y += 1
     }
@@ -134,25 +136,39 @@ object Multimodal {
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
-      it.map { id =>
+      // one PNG writer per task (ImageIO.write does a registry lookup and
+      // builds a fresh writer per call); same writer + default params →
+      // byte-identical output
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      val out = it.map { id =>
         val w = (id % 64 + 16).toInt
         val h = (id % 48 + 16).toInt
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val r = img.getRaster
+        // TYPE_BYTE_GRAY backs a single byte bank with scanline stride w:
+        // filling it directly writes the same sample values as setSample
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
         var y = 0
         while (y < h) {
+          val row = y * w
           var x = 0
           while (x < w) {
-            r.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+            data(row + x) = ((id * 31 + x * 7 + y * 13) % 256).toByte
             x += 1
           }
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.write(img)
+        } finally { ios.close() }
         (id, bos.toByteArray)
       }
+      out // writer.dispose() skipped: task-scoped, reclaimed with the task
     }.toDF("doc_id", "payload")
   }
 
@@ -209,14 +225,36 @@ object Multimodal {
         val w = img.getWidth; val h = img.getHeight
         require(w.toLong * h <= (1L << 24), s"gif: frame $f is $w x $h")
         var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            sum += (img.getRGB(x, y) & 0xFF) // gray rides in every channel
-            x += 1
-          }
-          y += 1
+        img.getColorModel match {
+          // GIF decodes to an indexed image: getRGB(x, y) & 0xFF is the
+          // palette entry's blue byte looked up by the raster sample.
+          // Precompute that 256-entry lookup once per frame and stream
+          // the samples row-wise — identical values, no per-pixel color
+          // model dispatch ("gray rides in every channel" unchanged)
+          case icm: java.awt.image.IndexColorModel
+              if img.getRaster.getNumBands == 1 =>
+            val lut = new Array[Long](icm.getMapSize)
+            var i = 0
+            while (i < lut.length) { lut(i) = (icm.getRGB(i) & 0xFF).toLong; i += 1 }
+            val r = img.getRaster
+            val row = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              r.getSamples(0, y, w, 1, 0, row)
+              var x = 0
+              while (x < w) { sum += lut(row(x)); x += 1 }
+              y += 1
+            }
+          case _ =>
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sum += (img.getRGB(x, y) & 0xFF) // gray rides in every channel
+                x += 1
+              }
+              y += 1
+            }
         }
         (f, w, h, sum)
       }
@@ -252,26 +290,32 @@ object Multimodal {
       val grays = Array.tabulate(256)(i => (i | (i << 8) | (i << 16)).toInt)
       val palette = new java.awt.image.IndexColorModel(
         8, 256, grays, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+      // one GIF writer per task, reset between rows: the registry lookup
+      // and writer construction per row cost more than the tiny encode
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
       it.map { id =>
         val w = (id % 16 + 8).toInt
         val h = (id % 12 + 8).toInt
         val bos = new java.io.ByteArrayOutputStream()
         val out = javax.imageio.ImageIO.createImageOutputStream(bos)
-        val writer = javax.imageio.ImageIO
-          .getImageWritersByFormatName("gif").next()
         try {
           writer.setOutput(out)
           writer.prepareWriteSequence(null)
           for (f <- 0 until frames) {
             val img = new java.awt.image.BufferedImage(w, h,
               java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
-            val r = img.getRaster
+            // single byte bank, scanline stride w: direct fill writes the
+            // same sample values as setSample
+            val data = img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferByte].getData
             var y = 0
             while (y < h) {
+              val row = y * w
               var x = 0
               while (x < w) {
-                r.setSample(x, y, 0,
-                  ((id * 31 + x * 7 + y * 13 + f * 17) % 256).toInt)
+                data(row + x) =
+                  ((id * 31 + x * 7 + y * 13 + f * 17) % 256).toByte
                 x += 1
               }
               y += 1
@@ -280,7 +324,7 @@ object Multimodal {
               new javax.imageio.IIOImage(img, null, null), null)
           }
           writer.endWriteSequence()
-        } finally { writer.dispose(); out.close() }
+        } finally { writer.reset(); out.close() }
         (id, bos.toByteArray)
       }
     }.toDF("doc_id", "payload")
