@@ -91,7 +91,7 @@ object Dedup {
     h
   }
 
-  private[pipeline] def tokenizeWords(t: String): Array[String] =
+  private[graft] def tokenizeWords(t: String): Array[String] =
     if (t == null) Array.empty
     // Locale.ROOT: default-locale lowercasing diverges from SQL lower()
     // (Turkish dotless-i) and would break the fnv64-mirroring oracles

