@@ -140,16 +140,26 @@ object Sampling {
   def dsirModel(docs: DataFrame, idCol: String, textCol: String,
       targetCond: Column, buckets: Int = 4096): DataFrame = {
     val bUdf = dsirBucketsUdf(buckets)
-    val g = docs
-      .select(col(idCol).as("doc_id"), targetCond.as("is_target"),
+    // BOTH bucket counts in ONE map-side-combined aggregate straight off
+    // the position stream: rb = all instances per bucket (≡ the former
+    // sum over per-doc counts), tb = target instances (when(is_target)
+    // ≡ the former filter branch, including null-cond rows counting 0).
+    // The former shape ran the corpus explode once per derived branch
+    // (rb, tb) and — because the returned plan was lazy — every consumer
+    // of the model (the totals pull, the broadcast side of the scoring
+    // join) re-ran those passes again: five corpus passes per score.
+    // The model is ≤`buckets` rows BY CONSTRUCTION (the paper's point),
+    // so materializing it is O(buckets) at any corpus size and the
+    // whole fit is ONE corpus pass; totals derive from the materialized
+    // table.
+    val model0 = docs
+      .select(targetCond.as("is_target"),
         explode(bUdf(col(textCol))).as("b"))
-      .groupBy("doc_id", "is_target", "b").agg(count(lit(1)).as("cnt"))
-    val rb = g.groupBy("b").agg(sum("cnt").as("rb"))
-    val tb = g.filter(col("is_target")).groupBy("b").agg(sum("cnt").as("tb"))
-    val model = rb.join(broadcast(tb), Seq("b"), "left")
-      .select(col("b"), col("rb"), coalesce(col("tb"), lit(0L)).as("tb"))
-    model.crossJoin(broadcast(
-      model.agg(sum("rb").as("tr"), sum("tb").as("tt"))))
+      .groupBy("b").agg(count(lit(1)).as("rb"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("tb"))
+      .localCheckpoint()
+    model0.crossJoin(broadcast(
+      model0.agg(sum("rb").as("tr"), sum("tb").as("tt"))))
   }
 
   /** Score a document frame (batch OR stream) against a fitted model:
