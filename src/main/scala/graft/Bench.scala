@@ -214,6 +214,26 @@ object Bench {
     val peakHeapMb =
       math.max(warmupPeakMb, math.max(mainPeakMb, steadyPeakMb))
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"calibration":$calibration,"calibration_mt":$calibrationMt,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"frame_cache_hits":$fcHits,"frame_cache_misses":$fcMisses,"peak_heap_mb":$peakHeapMb,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // The full per-query line above is ~6 KB for 179 queries and cannot
+    // survive a ~2000-char log tail, which left the r15 AND r16 PERF
+    // comparisons with an empty per_query map. Re-emit the same map in
+    // BOUNDED chunks — every line a complete JSON object well under the
+    // tail window — so the tail always ends with complete per-query
+    // JSON no matter where it is cut.
+    val entryStrs = results.map { case (k, v) => s"\"" + k + "\":" + v }.toSeq
+    val chunks = scala.collection.mutable.ArrayBuffer[List[String]]()
+    var chunkCur = List.empty[String]
+    var chunkLen = 0
+    for (e <- entryStrs) {
+      if (chunkLen + e.length > 1100 && chunkCur.nonEmpty) {
+        chunks += chunkCur.reverse; chunkCur = Nil; chunkLen = 0
+      }
+      chunkCur = e :: chunkCur; chunkLen += e.length + 1
+    }
+    if (chunkCur.nonEmpty) chunks += chunkCur.reverse
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"bench_part":${i + 1},"bench_parts":${chunks.length},"sf":"$sfDir","queries":${c.mkString("{", ",", "}")}}""")
+    }
     // LAST line is a compact summary (no per-query map) so the driver's
     // 2000-char tail window always contains one complete JSON object —
     // BENCH_r02/r03 both lost the long line's front to that window.
@@ -225,6 +245,13 @@ object Bench {
       java.nio.file.Paths.get("bench_full_last_run.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibration_mt":$calibrationMt,"reshape_warmup":$warmupSec,"wall":$wall,"peak_heap_mb":$peakHeapMb,"queries":$qs,"steady":$steadyJson,"errors":$errJson,"sf":"$sfDir"}""")
     catch { case _: Exception => } // read-only cwd must not fail the bench
+    // durable mirror with the EXACT compact-line schema plus the full
+    // per-query map — the fallback record for a driver whose log tail
+    // lost the per-query lines
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","total_timed":$total,"calibration":$calibration,"calibration_mt":$calibrationMt,"reshape_warmup":$warmupSec,"wall":$wall,"runs_per_query":2,"decorrelated_passes":true,"peak_heap_mb":$peakHeapMb,"n_queries":${results.size},"n_errors":${errs.size},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    catch { case _: Exception => }
     QueryLib.clearCaches()
     spark.stop()
   }
