@@ -22,8 +22,7 @@ object Ivf {
     s
   }
 
-  private[pipeline] def nearest(centroids: Array[Array[Double]])(v: Seq[Double]): Int = {
-    val arr = v.toArray
+  private[pipeline] def nearestArr(centroids: Array[Array[Double]])(arr: Array[Double]): Int = {
     var best = 0; var bd = Double.MaxValue; var c = 0
     while (c < centroids.length) {
       val d = dist2(arr, centroids(c))
@@ -33,6 +32,9 @@ object Ivf {
     best
   }
 
+  private[pipeline] def nearest(centroids: Array[Array[Double]])(v: Seq[Double]): Int =
+    nearestArr(centroids)(v.toArray)
+
   /** Two-level pruned assignment (the FAISS coarse-quantizer trick): a
     * driver-side k-means over the CENTROIDS groups them under ~√k
     * super-centroids; a vector then scans the members of its 2 nearest
@@ -41,17 +43,17 @@ object Ivf {
     * whole cost of clustered SemDeDup (assignment is O(n·k) with
     * k ∝ n). Approximate only near super-cell borders the 2-probe
     * misses; small k (≤ 64) falls back to the exact scan. */
-  private[pipeline] def prunedNearest(centroids: Array[Array[Double]])
-      : Seq[Double] => Int = {
+  private[pipeline] def prunedNearestArr(centroids: Array[Array[Double]])
+      : Array[Double] => Int = {
     val k = centroids.length
-    if (k <= 64) return nearest(centroids)
+    if (k <= 64) return nearestArr(centroids)
     val b = math.max(2, math.sqrt(k.toDouble).toInt)
     var supers = Array.tabulate(b)(i => centroids(i).clone())
     val assign = new Array[Int](k)
     for (_ <- 1 to 5) {
       var i = 0
       while (i < k) {
-        assign(i) = nearest(supers)(centroids(i).toSeq); i += 1
+        assign(i) = nearestArr(supers)(centroids(i)); i += 1
       }
       val dim = centroids(0).length
       val sums = Array.fill(b, dim)(0.0)
@@ -67,11 +69,10 @@ object Ivf {
         if (counts(s) > 0) sums(s).map(_ / counts(s)) else supers(s))
     }
     var i = 0
-    while (i < k) { assign(i) = nearest(supers)(centroids(i).toSeq); i += 1 }
+    while (i < k) { assign(i) = nearestArr(supers)(centroids(i)); i += 1 }
     val members: Array[Array[Int]] =
       Array.tabulate(b)(s => (0 until k).filter(assign(_) == s).toArray)
-    (v: Seq[Double]) => {
-      val arr = v.toArray
+    (arr: Array[Double]) => {
       // two nearest supers
       var s1 = -1; var d1 = Double.MaxValue
       var s2 = -1; var d2 = Double.MaxValue
@@ -91,9 +92,19 @@ object Ivf {
     }
   }
 
+  private[pipeline] def prunedNearest(centroids: Array[Array[Double]])
+      : Seq[Double] => Int = {
+    val f = prunedNearestArr(centroids)
+    (v: Seq[Double]) => f(v.toArray)
+  }
+
   /** Deterministic k-means: init = the k lowest-id vectors, then `iters`
-    * Lloyd steps. Each step is one scan + a (cluster, dimension)-keyed sum
-    * aggregation — map-side combinable, k·dim result rows to the driver.
+    * Lloyd steps. Each step is ONE scan aggregated in-task into k×dim
+    * running sums + per-cluster counts (treeAggregate): no posexplode of
+    * every vector into n·dim shuffled rows, no per-step exchange — only
+    * k·(dim+1) doubles per partition cross the network (guide §2.3
+    * aggregate-before-you-shuffle, §5 bounded driver pulls), and each
+    * Lloyd step is exactly one job instead of an AQE shuffle-query wave.
     * (A collect_list-of-vectors per cluster would gather whole clusters
     * into single rows and OOM at corpus scale.) */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3)
@@ -107,23 +118,32 @@ object Ivf {
       var centroids = base.orderBy(col("id")).limit(k)
         .collect().map(_.getSeq[Double](1).toArray)
       val dim = centroids(0).length
+      val vecs = base.select(col("v")).rdd.map(_.getSeq[Double](0).toArray)
       for (_ <- 1 to iters) {
         // pruned for large k (exact fallback below 64): Lloyd with an
         // approximate assigner is the standard large-k practice
-        val assignUdf = udf(prunedNearest(centroids))
-        val assigned = base.withColumn("c", assignUdf(col("v")))
-        val rows = assigned
-          .select(col("c"), posexplode(col("v")).as(Seq("d", "x")))
-          .groupBy(col("c"), col("d"))
-          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-          .collect()
-        val sums = Array.fill(k, dim)(0.0)
-        val counts = new Array[Long](k)
-        rows.foreach { r =>
-          val c = r.getInt(0); val d = r.getInt(1)
-          sums(c)(d) = r.getDouble(2)
-          counts(c) = r.getLong(3)
-        }
+        val assign = prunedNearestArr(centroids)
+        val (sums, counts) = vecs.treeAggregate(
+          (Array.fill(k, dim)(0.0), new Array[Long](k)))(
+          seqOp = { case (acc @ (s, n), v) =>
+            val c = assign(v)
+            n(c) += 1
+            val sc = s(c)
+            var d = 0
+            while (d < dim) { sc(d) += v(d); d += 1 }
+            acc
+          },
+          combOp = { case (a @ (sa, na), (sb, nb)) =>
+            var c = 0
+            while (c < k) {
+              na(c) += nb(c)
+              val s1 = sa(c); val s2 = sb(c)
+              var d = 0
+              while (d < dim) { s1(d) += s2(d); d += 1 }
+              c += 1
+            }
+            a
+          })
         val updated = centroids.clone()
         for (c <- 0 until k if counts(c) > 0)
           updated(c) = sums(c).map(_ / counts(c))

@@ -58,9 +58,12 @@ object Pq {
   }
 
   /** Deterministic per-subspace k-means: init = the k lowest-id vectors'
-    * sub-vectors, then `iters` Lloyd steps. One scan + ONE aggregation per
-    * step covers all m subspaces: rows keyed (subspace, code, dimension),
-    * map-side combined, k·dim result rows to the driver. */
+    * sub-vectors, then `iters` Lloyd steps. One scan per step covers all
+    * m subspaces, aggregated in-task into m×k×(dim/m) running sums +
+    * m×k counts (treeAggregate): no posexplode of every vector into
+    * n·dim shuffled rows, no per-step exchange — only m·k·(dim/m + 1)
+    * doubles per partition cross the network (guide §2.3 aggregate-
+    * before-you-shuffle), and each Lloyd step is exactly one job. */
   def fit(df: DataFrame, idCol: String, vecCol: String, m: Int,
       k: Int = 256, iters: Int = 3): Model = {
     require(m >= 1 && k >= 1 && k <= 256, "need 1 <= k <= 256 (one byte/code)")
@@ -78,30 +81,46 @@ object Pq {
           java.util.Arrays.copyOfRange(seed(c), sub * sd, (sub + 1) * sd)
         }
       }
+      val vecs = base.select(col("v")).rdd.map(_.getSeq[Double](0).toArray)
       for (_ <- 1 to iters) {
         val model = Model(m, k, dim, books)
-        // int codes here: the byte array would land as BinaryType, which
-        // element_at cannot index
-        val codesUdf = udf { (v: Seq[Double]) =>
-          encodeVec(model)(v).map(_ & 0xFF)
-        }
-        val rows = base
-          .withColumn("codes", codesUdf(col("v")))
-          .select(posexplode(col("v")).as(Seq("gd", "x")), col("codes"))
-          .withColumn("sub", (col("gd") / sd).cast("int"))
-          .withColumn("d", col("gd") % sd)
-          .withColumn("code",
-            element_at(col("codes"), col("sub") + 1).cast("int"))
-          .groupBy(col("sub"), col("code"), col("d"))
-          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-          .collect()
-        val sums = Array.fill(m, k, sd)(0.0)
-        val counts = Array.fill(m, k)(0L)
-        rows.foreach { r =>
-          val sub = r.getInt(0); val c = r.getInt(1); val d = r.getInt(2)
-          sums(sub)(c)(d) = r.getDouble(3)
-          counts(sub)(c) = r.getLong(4)
-        }
+        val (sums, counts) = vecs.treeAggregate(
+          (Array.fill(m, k, sd)(0.0), Array.fill(m, k)(0L)))(
+          seqOp = { case (acc @ (s, n), v) =>
+            var sub = 0
+            while (sub < m) {
+              // nearest sub-centroid, ties → lowest code (encodeVec's rule)
+              val off = sub * sd
+              val cb = model.codebooks(sub)
+              var best = 0; var bd = Double.MaxValue; var c = 0
+              while (c < cb.length) {
+                val d = subDist2(v, off, cb(c))
+                if (d < bd) { bd = d; best = c }
+                c += 1
+              }
+              n(sub)(best) += 1
+              val sc = s(sub)(best)
+              var d = 0
+              while (d < sd) { sc(d) += v(off + d); d += 1 }
+              sub += 1
+            }
+            acc
+          },
+          combOp = { case (a @ (sa, na), (sb2, nb)) =>
+            var sub = 0
+            while (sub < m) {
+              var c = 0
+              while (c < k) {
+                na(sub)(c) += nb(sub)(c)
+                val s1 = sa(sub)(c); val s2 = sb2(sub)(c)
+                var d = 0
+                while (d < sd) { s1(d) += s2(d); d += 1 }
+                c += 1
+              }
+              sub += 1
+            }
+            a
+          })
         books = Array.tabulate(m) { sub =>
           Array.tabulate(books(sub).length) { c =>
             if (counts(sub)(c) > 0) sums(sub)(c).map(_ / counts(sub)(c))
