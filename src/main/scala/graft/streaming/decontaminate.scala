@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.Dedup
@@ -37,23 +37,56 @@ object StreamDecontaminate {
   val MaxEvalGrams: Int = 10000000
 
   /** Distinct word `n`-grams of `evalDocs.textCol`, collected to the
-    * driver and broadcast. One distinct-aggregate job; the probe is
-    * `limit(max+1)` so exceeding the cap is proven by one extra row,
-    * not by materializing an unbounded collect. */
+    * driver and broadcast. ONE scan, no shuffle: per-partition distinct
+    * sets built by the same per-row kernel as [[flag]] (the former shape
+    * materialized the Catalyst shingle array per doc — transform +
+    * slice×n + concat_ws + array_distinct — then paid a full distinct
+    * exchange just to collect the set right back to the driver it is
+    * broadcast from). Every set caps its growth at maxGrams + 1, so
+    * exceeding the cap is proven by ONE extra element — the same loud
+    * guard as the former `limit(max + 1)` probe — never by
+    * materializing an unbounded set; within the cap the set is exact
+    * and identical (tokenizeWords mirrors Dedup.shingles' words(), the
+    * fnv64-oracle rule, including the short-doc single shingle and the
+    * empty-doc "" shingle; null text contributes nothing, as
+    * explode(null) did). */
   def evalGrams(evalDocs: DataFrame, textCol: String, n: Int,
       maxGrams: Int = MaxEvalGrams): Broadcast[Set[String]] = {
     val spark = evalDocs.sparkSession
-    val grams = evalDocs
-      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
-      .distinct()
-      .limit(maxGrams + 1)
-      .select(col("gram")).as[String](Encoders.STRING)
-      .collect()
-    require(grams.length <= maxGrams,
+    val cap = maxGrams + 1
+    def addShingles(set: java.util.HashSet[String], t: String): Unit =
+      if (t != null && set.size < cap) {
+        val ws = Dedup.tokenizeWords(t)
+        val nSh = math.max(ws.length - n, 0) + 1
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i < nSh && set.size < cap) {
+          sb.setLength(0)
+          val end = math.min(i + n, ws.length)
+          var j = i
+          while (j < end) {
+            if (j > i) sb.append(' ')
+            sb.append(ws(j))
+            j += 1
+          }
+          set.add(sb.toString)
+          i += 1
+        }
+      }
+    val grams = evalDocs.select(col(textCol)).rdd.map(_.getString(0))
+      .treeAggregate(new java.util.HashSet[String]())(
+        seqOp = { (set, t) => addShingles(set, t); set },
+        combOp = { (a, b) =>
+          val it = b.iterator()
+          while (it.hasNext && a.size < cap) { a.add(it.next()); () }
+          a
+        })
+    require(grams.size <= maxGrams,
       s"StreamDecontaminate: evaluation set exceeds $maxGrams distinct " +
         s"$n-grams — an eval side this large cannot broadcast as an exact " +
         "set; run batch Decontaminate.overlapBloom instead")
-    spark.sparkContext.broadcast(grams.toSet)
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.broadcast(grams.asScala.toSet)
   }
 
   /** Flag `docs` (static OR streaming) against a broadcast evaluation

@@ -393,4 +393,17 @@ class StreamingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("overlapBloom"))
   }
+
+  test("evalGrams kernel equals the Catalyst shingle set") {
+    import graft.streaming.StreamDecontaminate
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = QueryLib.tbl(spark, dir, "documents")
+    val evalDocs = docs.filter(col("doc_id") % 89 === 0)
+    val bc = StreamDecontaminate.evalGrams(evalDocs, "text", 13)
+    val viaCatalyst = evalDocs
+      .select(explode(graft.pipeline.Dedup.shingles(col("text"), 13)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(bc.value == viaCatalyst)
+  }
 }
