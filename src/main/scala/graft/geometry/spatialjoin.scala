@@ -66,11 +66,18 @@ object SpatialJoin {
     * partition-parallel, and keeps the returned plan fully lazy and
     * lineage-replayable. */
   private def hotCells(lCells: DataFrame, rCells: DataFrame,
+      saltAbove: Int, maxCellRows: Long): Set[Long] =
+    hotCellsFromCounts(
+      lCells.select(col("cell"), lit(0).as("_side"))
+        .unionAll(rCells.select(col("cell"), lit(1).as("_side")))
+        .groupBy("cell", "_side").agg(count(lit(1)).as("_n")),
+      saltAbove, maxCellRows)
+
+  /** Threshold + collect stage of the stats pass over pre-aggregated
+    * per-(cell, side) populations (`cell`, `_side`, `_n`). */
+  private def hotCellsFromCounts(popCounts: DataFrame,
       saltAbove: Int, maxCellRows: Long): Set[Long] = {
-    val counts = lCells.select(col("cell"), lit(0).as("_side"))
-      .unionAll(rCells.select(col("cell"), lit(1).as("_side")))
-      .groupBy("cell", "_side").agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > saltAbove)
+    val counts = popCounts.filter(col("_n") > saltAbove)
     val maxHotCells = 1 << 16
     val hotRows = counts.limit(maxHotCells + 1).collect()
     require(hotRows.length <= maxHotCells,
@@ -243,10 +250,49 @@ object SpatialJoin {
       .withColumn("cell", explode(ringCells(col("ax"), col("ay"))))
     val r = centroids(right, "b_fid", "bx", "by")
       .withColumn("cell", cellOf(col("bx"), col("by")))
+    // Stats pass in CENTER-cell space (guide §2 skew / §2.3 aggregate
+    // before you explode): counting the ring-exploded left would replay
+    // the (2R+1)² explode over every row; instead count rows per center
+    // cell (ONE cell per feature, map-side combined) and derive each
+    // ring cell's population by summing the (2R+1)² offset-shifted
+    // center counts — identical integers (the offset set is symmetric,
+    // so Σ_o centerCount(cell − o) IS the ring-exploded count), with the
+    // explode over the aggregated cell table only. Still a cells-only
+    // recompute, never a checkpoint — the lineage-replayability decision
+    // documented on hotCells stands.
     val hotSet =
       if (!skewGuard) Set.empty[Long]
-      else hotCells(
-        l.select("cell"), r.select("cell"), saltAbove, maxCellRows)
+      else {
+        val shiftCells = udf { (c: Long) =>
+          val cx = c >> 32
+          val cy = c.toInt.toLong
+          require(cx - rings >= Int.MinValue && cx + rings <= Int.MaxValue &&
+            cy - rings >= Int.MinValue && cy + rings <= Int.MaxValue,
+            s"cell ($cx, $cy) ± $rings rings exceeds the 32-bit cell " +
+              "grid: raise cellSize")
+          val out = new Array[Long]((2 * rings + 1) * (2 * rings + 1))
+          var i = 0
+          var dx = -rings
+          while (dx <= rings) {
+            var dy = -rings
+            while (dy <= rings) {
+              out(i) = cellId(cx + dx, cy + dy); i += 1; dy += 1
+            }
+            dx += 1
+          }
+          out
+        }
+        val lCounts = centroids(left, "a_fid", "ax", "ay")
+          .select(cellOf(col("ax"), col("ay")).as("cell"))
+          .groupBy("cell").agg(count(lit(1)).as("_c"))
+          .select(explode(shiftCells(col("cell"))).as("cell"), col("_c"))
+          .groupBy("cell").agg(sum(col("_c")).as("_n"))
+          .select(col("cell"), lit(0).as("_side"), col("_n"))
+        val rCounts = r.select("cell")
+          .groupBy("cell").agg(count(lit(1)).as("_n"))
+          .select(col("cell"), lit(1).as("_side"), col("_n"))
+        hotCellsFromCounts(lCounts.unionAll(rCounts), saltAbove, maxCellRows)
+      }
     val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
       (col("ay") - col("by")) * (col("ay") - col("by"))
     val pairs = saltedCellJoin(l, r, col("b_fid"), hotSet, saltFactor)

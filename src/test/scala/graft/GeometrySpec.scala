@@ -339,6 +339,37 @@ class RasterMetaSpec extends SparkSpec {
     assert(got == plain)
   }
 
+  test("nearestWithin: dense LEFT flags hot cells via the center-count " +
+      "offset aggregate, same result") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    def pts(rows: Seq[(Long, Double, Double)]) =
+      rows.toDF("fid", "x", "y").select(col("fid"),
+        GeomFunctions.stGeomFromWkt(
+          concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")")))
+          .as("geometry"))
+    // 30 LEFT points in one cell: their ring-exploded population (30 per
+    // ring cell) is what the offset-aggregated center counts must see
+    val denseL = pts((1 to 30).map(i => (i.toLong, 0.5 + i * 0.001, 0.5)))
+    val rights = pts((1 to 8).map(i => (100L + i, 0.4 + i * 0.02, 0.45)))
+    val plain = SpatialJoin.nearestWithin(denseL, rights, k = 3,
+      maxDist = 0.5, cellSize = 1.0, skewGuard = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(plain.nonEmpty)
+    val salted = SpatialJoin.nearestWithin(denseL, rights, k = 3,
+      maxDist = 0.5, cellSize = 1.0, saltAbove = 10, saltFactor = 4)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"),
+      s"a 30-row left cell above saltAbove=10 must salt the join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"salted kNN join must stay an equi-join:\n$plan")
+    val got = salted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == plain)
+  }
+
   test("SpatialJoin with skewGuard=false is fully lazy (no Spark jobs)") {
     val sp = spark
     import sp.implicits._
