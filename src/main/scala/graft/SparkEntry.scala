@@ -558,24 +558,31 @@ object SparkEntry {
       }),
       "r58_zarr_sharded" -> q((s, dir, g) => {
         implicit val sp: SparkSession = s
-        // Zarr v3 sharding_indexed: shard objects holding 2×2 inner
-        // chunks + a crc32c-protected (offset, nbytes) index footer —
-        // the cloud-scale v3 layout; the read is positioned byte
-        // ranges off the index, and a TEMPORAL slice proves the
-        // intra-shard pruning path (only intersecting inner chunks
-        // decode)
+        // Zarr v3 sharding_indexed: shard objects holding inner chunks
+        // + a crc32c-protected (offset, nbytes) index footer — the
+        // cloud-scale v3 layout; the read is positioned byte ranges off
+        // the index, and a TEMPORAL slice proves the shard-pruning path.
+        // The store is produced by the DSv2 DISTRIBUTED write lane
+        // (r65's machinery): executor tasks, clustered+sorted by t,
+        // each assemble and PUT whole frame shards; the driver commits
+        // only the metadata JSON — the former ZarrSink path collected
+        // every frame to the driver and wrote the store single-threaded
+        // (guide §6 I/O: distribute the write) — read-back values are
+        // identical (same F8 samples, layout-independent)
         val a = eventsRaster(dir, g)
         val out = java.nio.file.Files.createTempDirectory("verify_zarrsh").toString
-        // even chunk edges so the 2×2 inner split divides; `& ~1` alone
-        // yields an invalid 0-sized chunk if a future gate grid has an
-        // edge of 1 — fail with a clear message instead (r10 ADVICE)
-        require(g.h >= 2 && g.w >= 2,
-          s"r58_zarr_sharded needs a grid of at least 2x2 for the 2x2 " +
-            s"shard split (got ${g.h}x${g.w})")
-        val cH = math.max(2, math.min(8, g.h) & ~1)
-        val cW = math.max(2, math.min(6, g.w) & ~1)
-        ZarrSink(a, s"$out/stack.zarr", chunkH = cH, chunkW = cW,
-          zarrVersion = 3, shardSplit = 2).write(fullReq(g))
+        a.frame(fullReq(g))(s)
+          .select(col("t"), col("ty"), col("tx"), col("values"))
+          .write.format("graft-raster").mode("append")
+          .option("width", g.w.toString).option("height", g.h.toString)
+          .option("x0", "0").option("y0", "0").option("cell", "1")
+          .option("projection", "EPSG:28992")
+          .option("nodata", QueryLib.ND.toString)
+          // small inner chunks keep several chunks per shard, so the
+          // sharding_indexed read path (index footer + positioned inner
+          // ranges) stays exercised
+          .option("chunk", "8")
+          .save(s"$out/stack.zarr")
         val src = RasterFileSource(s"$out/stack.zarr")
         val sliced = fullReq(g).copy(
           start = Some(java.time.Instant.ofEpochMilli(Hour)),
