@@ -45,21 +45,42 @@ object GeomFunctions extends Serializable {
   private val wkbMemoTL = new ThreadLocal[Array[AnyRef]] {
     override def initialValue(): Array[AnyRef] = new Array[AnyRef](5)
   }
+  /** Parse WKB through the per-thread 2-entry memo above.
+    *
+    * CONTRACT: the returned Geometry is SHARED across calls on this
+    * thread — callers MUST treat it as immutable. Never call
+    * `apply(CoordinateFilter)`, `normalize()`, `geometryChanged()` or
+    * write through `getCoordinates`' backing arrays on it; a mutating
+    * caller must use [[readWkb]] (and `.copy()` before editing), or it
+    * silently corrupts results for unrelated rows that hit the memo. */
   def readWkbCached(b: Array[Byte]): Geometry = {
+    if (memoOff) return readWkb(b)
     val m = wkbMemoTL.get
     val b0 = m(0).asInstanceOf[Array[Byte]]
-    if (b0 != null && java.util.Arrays.equals(b0, b))
+    if (b0 != null && java.util.Arrays.equals(b0, b)) {
+      m(4) = SlotA
       return m(1).asInstanceOf[Geometry]
+    }
     val b1 = m(2).asInstanceOf[Array[Byte]]
-    if (b1 != null && java.util.Arrays.equals(b1, b))
+    if (b1 != null && java.util.Arrays.equals(b1, b)) {
+      m(4) = SlotB
       return m(3).asInstanceOf[Geometry]
+    }
     val g = wkbReaderTL.get.read(b)
-    // round-robin replacement: keeps the other live entry intact
-    val slot = if (m(4) == null) 0 else 2
+    // evict the slot that was NOT the last hit, so an occasional third
+    // geometry never displaces the most-recently-used entry of an
+    // alternating pair (the pattern the 2-entry memo exists for)
+    val slot = if (m(4) eq SlotA) 2 else 0
     m(slot) = b; m(slot + 1) = g
-    m(4) = if (slot == 0) java.lang.Boolean.TRUE else null
+    m(4) = if (slot == 0) SlotA else SlotB
     g
   }
+  private val SlotA: AnyRef = java.lang.Integer.valueOf(0)
+  private val SlotB: AnyRef = java.lang.Integer.valueOf(2)
+  /** Measurement escape hatch: -Dgraft.wkb.memo.off=true bypasses the
+    * memo (every call re-parses). Read once at class init, so the JIT
+    * folds the branch away in the common (memo on) configuration. */
+  private val memoOff = java.lang.Boolean.getBoolean("graft.wkb.memo.off")
 
   /** Per-thread single-entry memo for the request's constant filter WKT:
     * predicate UDFs run once per row, and re-parsing (plus re-indexing)
