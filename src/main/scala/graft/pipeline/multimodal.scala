@@ -165,7 +165,12 @@ object Multimodal {
         try {
           writer.setOutput(ios)
           writer.write(img)
-        } finally { ios.close() }
+        } finally {
+          // reset per row like the GIF path: don't rely on setOutput
+          // implicitly clearing writer-implementation-private state
+          writer.reset()
+          ios.close()
+        }
         (id, bos.toByteArray)
       }
       out // writer.dispose() skipped: task-scoped, reclaimed with the task
