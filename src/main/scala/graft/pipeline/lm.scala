@@ -163,6 +163,14 @@ object Lm {
     // it shuffle-joins. The 1-row tot attaches after the corpus join
     // exactly as before; tm is the same IEEE interpolation on the same
     // integers → bit-identical.
+    // NOTE (r17, measured): the four windows do NOT cost four exchanges —
+    // the optimizer's TransposeWindow + EnsureRequirements already plan
+    // this as TWO exchanges, E(w2) → [W(w2), W(w1,w2)] → E(w3) → [W(w3),
+    // W(w2,w3)], because hashpartitioning(w2)/(w3) satisfies the
+    // clustering of every window whose keys contain it. An explicit
+    // reorder that put three windows on the w2 exchange kept the same
+    // 2-exchange count but shipped one extra column through E(w3) —
+    // reverted (plans/r17/p38_trigram_perplexity_{before,after-reorder}).
     import org.apache.spark.sql.expressions.Window
     val model = c3
       .withColumn("c2ctx", sum(col("c3")).over(Window.partitionBy("w1", "w2")))
