@@ -7,11 +7,11 @@ import graft.geometry._
 /** Ad-hoc measurement probe (not on any query/bench path).
   * Usage: runMain graft.tools.Scratch [sfDir] — default /root/testdata/sf0.1.
   *
-  * r17 shape: in-JVM interleaved A/B of the two eager sub-jobs this
-  * round restructured — p49's evalGrams (distinct+collect vs kernel
-  * treeAggregate) and g31's skew-stats pass (ring-exploded count vs
-  * center-count + offset aggregate) — so the comparison is immune to
-  * the host's cross-run window drift. */
+  * r17 shape #2: phase splits for the single-file export lanes (gpkg,
+  * dxf — VERDICT #7) and the r28 rasterize lane (VERDICT #6), plus an
+  * executor-rendered DXF variant, all interleaved in one JVM. (The
+  * evalGrams / g31-stats probes from earlier this round live in git
+  * history at commit 39c343a^.) */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -29,84 +29,89 @@ object Scratch {
       println(f"SCRATCH $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       r
     }
+    def drain(d: org.apache.spark.sql.DataFrame): Long = {
+      val it = d.toLocalIterator(); var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }; n
+    }
     graft.SparkEntry.entry(spark).count()
 
-    // ---- p49 evalGrams: OLD distinct+collect vs NEW kernel treeAggregate
-    val docs = graft.QueryLib.tbl(spark, dir, "documents")
-    val evalDocs = docs.filter(col("doc_id") % 89 === 0)
-    for (rep <- 1 to 4) {
-      time(s"evalGrams OLD(distinct+collect) #$rep") {
-        val n = evalDocs
-          .select(explode(graft.pipeline.Dedup.shingles(col("text"), 13)).as("g"))
-          .distinct().limit(10000001).collect().length
-        print(s"  n=$n ")
+    // ---- dxf (g27 shape): current writeStream vs phases vs exec-render
+    val dxfFrame = TableGeometrySource(s"$dir/part.parquet", "p_partkey",
+      Seq("p_size", "p_retailprice", "p_name"),
+      geomWktExpr = Some(
+        "concat('POINT (', 4.5 + (p_partkey % 50) * 0.001, ' ', " +
+          "51.9 + cast(p_partkey / 50 as int) * 0.0005, ')')"),
+      proj = "EPSG:4326").frame(GeometryRequest(mode = "centroid"))
+    val render = udf { (wkb: Array[Byte], fid: Long, pSize: java.lang.Long,
+        pRet: java.lang.Double, pName: String) =>
+      val g = GeomFunctions.readWkb(wkb)
+        .asInstanceOf[org.locationtech.jts.geom.Point]
+      val xd = new StringBuilder
+      xd.append("1001\nGRAFT\n").append(s"1000\nfid=$fid\n")
+      if (pSize != null) xd.append(s"1000\np_size=$pSize\n")
+      if (pRet != null) xd.append(s"1000\np_retailprice=$pRet\n")
+      if (pName != null) xd.append(s"1000\np_name=$pName\n")
+      s"0\nPOINT\n8\n0\n10\n${Gml.fmt(g.getX)}\n20\n${Gml.fmt(g.getY)}\n" + xd
+    }
+    for (rep <- 1 to 3) {
+      time(s"dxf writeStream (current)       #$rep") {
+        val t = java.nio.file.Files.createTempDirectory("scr_dxf")
+          .resolve("x.dxf").toString
+        DxfSink.writeStream(dxfFrame, "EPSG:4326", t)
       }
-      time(s"evalGrams NEW(kernel treeAgg)    #$rep") {
-        val bc = graft.streaming.StreamDecontaminate.evalGrams(evalDocs, "text", 13)
-        print(s"  n=${bc.value.size} ")
-        bc.destroy()
+      time(s"dxf funnel drain only           #$rep") {
+        drain(SinkFunnel.ordered(dxfFrame, col("fid")))
+      }
+      time(s"dxf exec-render + range8 write  #$rep") {
+        val rendered = dxfFrame.select(col("fid"),
+          render(col("geometry"), col("fid"), col("p_size").cast("long"),
+            col("p_retailprice"), col("p_name")).as("txt"))
+          .repartitionByRange(8, col("fid")).sortWithinPartitions(col("fid"))
+        val t = java.nio.file.Files.createTempDirectory("scr_dxf2")
+          .resolve("x.dxf").toString
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          new java.io.FileOutputStream(t), "UTF-8"))
+        try {
+          w.write("0\nSECTION\n2\nENTITIES\n")
+          val it = rendered.toLocalIterator()
+          while (it.hasNext) w.write(it.next().getString(1))
+          w.write("0\nENDSEC\n0\nEOF\n")
+        } finally w.close()
       }
     }
 
-    // ---- g31 stats pass: OLD ring-exploded count vs NEW offset aggregate
-    val a = TableGeometrySource(s"$dir/part.parquet", "p_partkey", Seq(),
-      geomWktExpr = Some(
-        "concat('POINT (', 4.5 + (p_partkey % 50) * 0.0009765625, ' ', " +
-          "51.9 + cast(p_partkey / 50 as int) * 0.00048828125, ')')"),
-      proj = "EPSG:4326").frame(GeometryRequest())(spark)
-    val b = TableGeometrySource(s"$dir/customer.parquet", "c_custkey", Seq(),
-      geomWktExpr = Some(
-        "concat('POINT (', 4.5 + (c_custkey % 60) * 0.0009765625, ' ', " +
-          "51.9 + cast(c_custkey / 60 as int) * 0.000244140625, ')')"),
-      proj = "EPSG:4326").frame(GeometryRequest())(spark)
-    val cellSize = 0.0029296875
-    val rings = 1
-    def cid(cx: Long, cy: Long): Long = (cx << 32) | (cy & 0xFFFFFFFFL)
-    val cellOf = udf { (x: Double, y: Double) =>
-      cid(math.floor(x / cellSize).toLong, math.floor(y / cellSize).toLong)
-    }
-    val ringCells = udf { (x: Double, y: Double) =>
-      val cx = math.floor(x / cellSize).toLong
-      val cy = math.floor(y / cellSize).toLong
-      (for (dx <- -rings to rings; dy <- -rings to rings)
-        yield cid(cx + dx, cy + dy)).toArray
-    }
-    val shiftCells = udf { (c: Long) =>
-      val cx = c >> 32; val cy = c.toInt.toLong
-      (for (dx <- -rings to rings; dy <- -rings to rings)
-        yield cid(cx + dx, cy + dy)).toArray
-    }
-    def cents(df: org.apache.spark.sql.DataFrame, fid: String, x: String, y: String) =
-      df.select(col("fid").as(fid),
-        GeomFunctions.stCentroidX(col("geometry")).as(x),
-        GeomFunctions.stCentroidY(col("geometry")).as(y))
-    val saltAbove = 100000
-    for (rep <- 1 to 4) {
-      time(s"g31 stats OLD(ring explode)   #$rep") {
-        val lC = cents(a, "a_fid", "ax", "ay")
-          .select(explode(ringCells(col("ax"), col("ay"))).as("cell"))
-        val rC = cents(b, "b_fid", "bx", "by")
-          .select(cellOf(col("bx"), col("by")).as("cell"))
-        val n = lC.select(col("cell"), lit(0).as("_side"))
-          .unionAll(rC.select(col("cell"), lit(1).as("_side")))
-          .groupBy("cell", "_side").agg(count(lit(1)).as("_n"))
-          .filter(col("_n") > saltAbove).limit(65537).collect().length
-        print(s"  hot=$n ")
+    // ---- gpkg (g17 shape): full writeStream vs drain-only (the
+    // difference = meta agg + per-row record conversion + SQLite build)
+    val sq = "concat('POLYGON ((', p_partkey % 50, ' ', cast(p_partkey / 50 as int) * 2, ', ', (p_partkey % 50) + (p_size / 10), ' ', cast(p_partkey / 50 as int) * 2, ', ', (p_partkey % 50) + (p_size / 10), ' ', (cast(p_partkey / 50 as int) * 2) + (p_size / 10), ', ', p_partkey % 50, ' ', (cast(p_partkey / 50 as int) * 2) + (p_size / 10), ', ', p_partkey % 50, ' ', cast(p_partkey / 50 as int) * 2, '))')"
+    val gpkgFrame = TableGeometrySource(s"$dir/part.parquet", "p_partkey",
+      Seq("p_size"), geomWktExpr = Some(sq))
+      .frame(GeometryRequest(mode = "centroid"))
+    for (rep <- 1 to 3) {
+      time(s"gpkg writeStream (current)      #$rep") {
+        val t = java.nio.file.Files.createTempDirectory("scr_gpkg")
+          .resolve("x.gpkg").toString
+        GeoPackageSink.writeStream(gpkgFrame, "EPSG:28992", t)
       }
-      time(s"g31 stats NEW(offset agg)     #$rep") {
-        val lCounts = cents(a, "a_fid", "ax", "ay")
-          .select(cellOf(col("ax"), col("ay")).as("cell"))
-          .groupBy("cell").agg(count(lit(1)).as("_c"))
-          .select(explode(shiftCells(col("cell"))).as("cell"), col("_c"))
-          .groupBy("cell").agg(sum(col("_c")).as("_n"))
-          .select(col("cell"), lit(0).as("_side"), col("_n"))
-        val rCounts = cents(b, "b_fid", "bx", "by")
-          .select(cellOf(col("bx"), col("by")).as("cell"))
-          .groupBy("cell").agg(count(lit(1)).as("_n"))
-          .select(col("cell"), lit(1).as("_side"), col("_n"))
-        val n = lCounts.unionAll(rCounts)
-          .filter(col("_n") > saltAbove).limit(65537).collect().length
-        print(s"  hot=$n ")
+      time(s"gpkg funnel drain only          #$rep") {
+        drain(SinkFunnel.ordered(gpkgFrame, col("fid")))
+      }
+      time(s"gpkg meta agg only              #$rep") {
+        gpkgFrame.agg(
+          min(GeomFunctions.stEnvMinX(col("geometry"))),
+          max(GeomFunctions.stEnvMaxX(col("geometry"))),
+          count(lit(1))).head()
+      }
+    }
+
+    // ---- r28 rasterize phases
+    val g = graft.QueryLib.eventsGrid(spark, dir)
+    for (rep <- 1 to 3) {
+      time(s"r28 full lane                   #$rep") {
+        graft.SparkEntry.queries("r28_rasterize")(spark, dir).count()
+      }
+      time(s"r28 feats frame only            #$rep") {
+        graft.QueryLib.customerSquares(dir, g)
+          .frame(GeometryRequest())(spark).count()
       }
     }
     spark.stop()
