@@ -140,7 +140,15 @@ object StreamDecontaminate {
     * REAL streaming plan — parquet file-stream source over `docsPath`,
     * [[flag]], memory sink, `Trigger.AvailableNow` — to completion and
     * return the drained result. The eval set comes from a STATIC frame
-    * (the fixed benchmark corpus). */
+    * (the fixed benchmark corpus).
+    *
+    * SCALE NOTE: the memory sink holds the WHOLE flag table on the
+    * driver — right for this demo/backfill entry point (bounded,
+    * result returned as a frame), wrong for a production 100 TB
+    * stream. Real deployments chain [[flag]] onto their own plan and
+    * write to a distributed sink (parquet / the graft-raster DSv2
+    * streaming writer pattern): `flag` itself is a stateless map with
+    * a broadcast set — nothing about it requires this sink. */
   def runAvailableNow(spark: SparkSession, docsPath: String,
       schema: org.apache.spark.sql.types.StructType, idCol: String,
       textCol: String, n: Int, evalDocs: DataFrame): DataFrame = {
