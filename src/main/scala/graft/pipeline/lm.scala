@@ -16,13 +16,15 @@ import org.apache.spark.sql.functions._
   * different orders still agree bit-for-bit; the single float division
   * happens once, at the very end, on identical integers.
   *
-  * Scale shape (100 TB lens): one explode feeding a per-(doc,bigram)
-  * hash aggregate (map-side combined, so the shuffle carries distinct
-  * bigrams per doc, not corpus positions); the bigram model and context
-  * totals are plain hash aggregates OF that frame (never broadcast — a
-  * web-scale bigram table has billions of rows); scoring is two shuffle
-  * equi-joins on (w1,w2)/(w1); the vocabulary size is a 1-row broadcast.
-  * No driver-side state of model size anywhere.
+  * Scale shape (100 TB lens): the model table is one map-side-combined
+  * hash aggregate of the exploded instance stream (never broadcast by
+  * construction — a web-scale n-gram table has billions of rows, though
+  * the planner is free to broadcast a small one); scoring joins the
+  * instance stream against the model ONCE and the per-doc aggregate
+  * map-side combines contiguous instances back to per-doc partials, so
+  * the corpus crosses the network in exactly one place; the vocabulary
+  * size is a 1-row broadcast. No driver-side state of model size
+  * anywhere.
   */
 object Lm {
 
@@ -52,13 +54,6 @@ object Lm {
         struct(element_at(col("ws"), i).as("w1"),
           element_at(col("ws"), i + 1).as("w2")))).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
-    // (doc, bigram) pre-aggregate: the one frame everything else derives
-    // from. NOT persisted: it is corpus-sized (~one row per distinct
-    // bigram per doc), so materializing it trades one extra map-side
-    // explode+aggregate scan for a corpus-sized cache spill — measured
-    // at sf10 (500k docs, ~50M rows) the spill made the whole query
-    // ×15.7 for ×10 rows; recomputing is the scalable trade.
-    val g = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
     // model-sized corpus bigram table, read by THREE consumers (mc, v,
     // the terms join): materialized once so each branch stops re-running
     // the corpus explode+aggregate — the trigram lesson (NOTES_r14)
@@ -66,8 +61,7 @@ object Lm {
     // corpus bigram totals straight off the instance stream: the count
     // of exploded instances per (w1, w2) ≡ the former sum over docs of
     // per-doc counts — one corpus exchange in the checkpoint pass
-    // instead of two (the per-doc pre-aggregate `g` is only needed on
-    // the scoring side, where the doc aggregate wants per-doc counts)
+    // instead of two
     val mb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       .localCheckpoint()
     val v = mb.select(countDistinct("w2").as("vv"))
@@ -87,15 +81,28 @@ object Lm {
     val model = mb.withColumn("cu",
       sum(col("cb")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("w1")))
-    val terms = g.join(model, Seq("w1", "w2"))
+    // score the INSTANCE stream directly (r17): the former per-doc
+    // (doc, bigram) pre-aggregate's only remaining consumer was this
+    // join (the model tables read the instance stream since r16), and
+    // it bought one corpus-sized 3-column-keyed exchange for a
+    // compression factor of only the within-doc duplicate-bigram rate.
+    // Joining instances is integer-identical: summing tm once per
+    // instance ≡ the former cnt·tm on longs (exact multiplication-as-
+    // repeated-addition), and n_bigrams = count(instances) ≡ sum(cnt).
+    // The final doc aggregate map-side combines the contiguous per-doc
+    // instances back to one partial row per (doc, partition) before its
+    // exchange, so the doc-keyed shuffle ships the same ~#docs rows as
+    // before — the corpus now crosses the network in ONE place (the
+    // model join; a broadcast-able model removes even that).
+    val terms = bg.join(model, Seq("w1", "w2"))
       .crossJoin(broadcast(v))
-      .select(col("doc_id"), col("cnt"),
+      .select(col("doc_id"),
         floor(log((col("cb").cast("double") + lit(1.0)) /
           (col("cu").cast("double") + col("vv").cast("double"))) *
           lit(1000000.0)).as("tm"))
     terms.groupBy("doc_id")
-      .agg(sum("cnt").as("n_bigrams"),
-        (-sum(col("cnt") * col("tm"))).as("nll_micro"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("tm"))).as("nll_micro"))
       .withColumn("avg_nll_micro",
         floor(col("nll_micro").cast("double") /
           col("n_bigrams").cast("double")))
@@ -131,7 +138,6 @@ object Lm {
           element_at(col("ws"), i + 1).as("w2"),
           element_at(col("ws"), i + 2).as("w3")))).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"), col("p.w3"))
-    val g = tg.groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
     // the corpus trigram table is read by FIVE derived aggregates and
     // the final join; left lazy, every branch of that tree recomputes
     // the whole explode+aggregate from the raw text (the sf1 soak
@@ -177,17 +183,24 @@ object Lm {
       .withColumn("cbg", sum(col("c3")).over(Window.partitionBy("w2", "w3")))
       .withColumn("c1ctx", sum(col("c3")).over(Window.partitionBy("w2")))
       .withColumn("c1", sum(col("c3")).over(Window.partitionBy("w3")))
-    val terms = g.join(model, Seq("w1", "w2", "w3"))
+    // score the INSTANCE stream directly (r17, same reasoning as the
+    // bigram path): the per-doc (doc, trigram) pre-aggregate's only
+    // remaining consumer was this join; dropping it removes a
+    // corpus-sized 4-column-keyed exchange, the doc aggregate map-side
+    // combines the contiguous instances to per-doc partials, and the
+    // integers are identical (tm summed once per instance ≡ cnt·tm;
+    // count(instances) ≡ sum(cnt)).
+    val terms = tg.join(model, Seq("w1", "w2", "w3"))
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("cnt"),
+      .select(col("doc_id"),
         floor(log(
           lit(l3) * (col("c3").cast("double") / col("c2ctx").cast("double")) +
           lit(l2) * (col("cbg").cast("double") / col("c1ctx").cast("double")) +
           lit(l1) * (col("c1").cast("double") / col("n").cast("double")) +
           lit(l0) / col("vv").cast("double")) * lit(1000000.0)).as("tm"))
     terms.groupBy("doc_id")
-      .agg(sum("cnt").as("n_trigrams"),
-        (-sum(col("cnt") * col("tm"))).as("nll_micro"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        (-sum(col("tm"))).as("nll_micro"))
       .withColumn("avg_nll_micro",
         floor(col("nll_micro").cast("double") /
           col("n_trigrams").cast("double")))

@@ -196,36 +196,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("bigram perplexity pre-aggregates before every model join") {
-    // the scoring join inputs are (doc,bigram) / bigram aggregates —
-    // never one row per corpus position
+  test("LM scoring joins the instance stream against an AGGREGATED " +
+      "model table; the probe side carries NO pre-aggregate") {
+    // r17 shape (replaces the former "pre-aggregates before every model
+    // join" pin, whose design changed): the per-doc (doc, n-gram)
+    // pre-aggregate's only consumer was the scoring join, and it bought
+    // a corpus-sized multi-column exchange for a within-doc
+    // duplicate-rate compression. The pinned invariants are now:
+    //   - the MODEL side of the scoring join is an aggregate (never a
+    //     positions-vs-positions join),
+    //   - the PROBE side is the raw instance stream (a reappearing
+    //     pre-aggregate = the removed corpus exchange sneaking back),
+    //   - nothing goes cartesian (the 1-row totals broadcast is a BNLJ
+    //     by design).
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
-    val qe = SparkEntry.queries("p33_bigram_perplexity")(spark, dir)
-      .queryExecution
-    val joins = qe.optimizedPlan.collect { case j: Join => j }
-    assert(joins.nonEmpty)
-    // every non-broadcast-size side of every join sits on an aggregate
-    val bigJoin = joins.head
-    assert(bigJoin.left.collect { case a: Aggregate => a }.nonEmpty)
-    assert(bigJoin.right.collect { case a: Aggregate => a }.nonEmpty)
-    // no cartesian anywhere (the 1-row V broadcast is a BNLJ by design)
-    assert(!plan("p33_bigram_perplexity").contains("CartesianProduct"))
-  }
-
-  test("trigram LM and the composed pipeline never go cartesian") {
-    for (q <- Seq("p38_trigram_perplexity", "p39_clean_with_lm")) {
-      val p = plan(q)
-      assert(!p.contains("CartesianProduct"), q)
-      // the only nested-loop joins are the 1-row totals broadcasts
+    for (q <- Seq("p33_bigram_perplexity", "p38_trigram_perplexity")) {
+      val qe = SparkEntry.queries(q)(spark, dir).queryExecution
+      val joins = qe.optimizedPlan.collect { case j: Join => j }
+      assert(joins.nonEmpty, q)
+      val scoring = joins.head
+      val rightIsModel =
+        scoring.right.collect { case a: Aggregate => a }.nonEmpty
+      val modelSide = if (rightIsModel) scoring.right else scoring.left
+      val probeSide = if (rightIsModel) scoring.left else scoring.right
+      assert(modelSide.collect { case a: Aggregate => a }.nonEmpty,
+        s"$q: scoring join must take an aggregated model table")
+      assert(probeSide.collect { case a: Aggregate => a }.isEmpty,
+        s"$q: probe side must stay the instance stream (no per-doc " +
+          "pre-aggregate exchange)")
+      assert(!plan(q).contains("CartesianProduct"), q)
     }
-    // p38's scoring joins take aggregated count tables, never positions
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
-    val qe = SparkEntry.queries("p38_trigram_perplexity")(spark, dir)
-      .queryExecution
-    val joins = qe.optimizedPlan.collect { case j: Join => j }
-    assert(joins.nonEmpty)
-    assert(joins.head.left.collect { case a: Aggregate => a }.nonEmpty)
-    assert(joins.head.right.collect { case a: Aggregate => a }.nonEmpty)
+    assert(!plan("p39_clean_with_lm").contains("CartesianProduct"))
   }
 
   test("line/window dedup joins are equi-joins with no forced broadcast") {
